@@ -1,13 +1,266 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{Profiler, Quantiles, Stats}
+import graft.eval.Metrics
+import graft.features.{FrequencyIndexer, Imputers}
+import graft.score.ZScoreAnomaly
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Driver contract — each entry in `queries` is one operator from
+  * SURVEY.md §2 exercised on the harness tables (TESTDATA.md); each entry
+  * in `oracleSql` is the DuckDB-equivalent SQL the driver hash-compares
+  * against at sf0.01.
+  *
+  * Determinism rules applied throughout (both sides):
+  *  - additive aggregates accumulate in DECIMAL(38,10) (exact,
+  *    associative — partition-order-independent), cast to DOUBLE last;
+  *  - every output is ORDER BY'd on a unique key;
+  *  - free-floating doubles are round()ed to a fixed scale.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val lineitemNumerics =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val anomalyFeatures = lineitemNumerics
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Z-score anomaly detection over lineitem numeric features — the
+    * reference's score→quantile-threshold→flag flow (SURVEY.md §3.2)
+    * with a model-free scorer.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qZscoreAnomaly(spark, "/root/testdata/sf0.001")
+
+  // ----------------------------------------------------------------- //
+
+  private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
+
+  /** A1/A8 — grouped aggregation (sums, exact mean, count). */
+  private def qPricingSummary(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(Stats.dsum(col("l_quantity")), 4).as("sum_qty"),
+        round(Stats.dsum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(Stats.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(Stats.dsum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A1/A9/A10 — single-pass numeric column profiler (replaces the
+    * reference's job-per-column loop, SURVEY.md §4).
+    */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    Profiler.profile(li(s, dir), lineitemNumerics)
+
+  /** A6/A7 — exact quantiles + IQR upper fence as a long table. */
+  private def qQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+    val df = li(s, dir)
+    val qs = Quantiles.exactQuantiles(df, "l_extendedprice", ps)
+    val fence = qs(2) + 1.5 * (qs(2) - qs(0))
+    val rows = ps.zip(qs).map { case (p, v) => (f"p$p%.2f", v) } :+ (("iqr_fence", fence))
+    import s.implicits._
+    rows.toDF("quantile", "value")
+      .select(col("quantile"), round(col("value"), 6).as("value"))
+      .orderBy("quantile")
+  }
+
+  /** P1/P5/L3 — filter + projection + top-k (TakeOrderedAndProject). */
+  private def qFilterTopk(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount") > lit(0.04))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+          .as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(100)
+
+  /** P3/J1 — schema-aligned union of customer and supplier. */
+  private def qUnionAlign(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer").select(
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+      col("c_nationkey").as("nationkey"), col("c_mktsegment").as("mktsegment"),
+      lit("customer").as("kind"))
+    val sup = Tables.load(s, dir, "supplier").select(
+      col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+      col("s_nationkey").as("nationkey"), lit("supplier").as("kind"))
+    graft.core.SchemaAlign.unionAligned(c, sup).orderBy("kind", "name")
+  }
+
+  /** A2/P6 — mean imputation over an induced-null column, verified via a
+    * grouped checksum of the imputed values.
+    */
+  private def qImputeMean(s: SparkSession, dir: String): DataFrame = {
+    val base = li(s, dir).withColumn("qty_n",
+      when(col("l_orderkey") % 7 === 0, lit(null).cast(DoubleType))
+        .otherwise(col("l_quantity").cast(DoubleType)))
+    val fill = Imputers.fit(base, Seq("qty_n"), Imputers.Mean)
+    base.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("qty_n").isNull, 1)).as("n_filled"),
+        round(Stats.dsum(coalesce(col("qty_n"), lit(fill("qty_n")))), 4)
+          .as("sum_imputed"))
+      .orderBy("l_returnflag")
+  }
+
+  /** F3 + A6 + P9 — the flagship: z-score anomaly detection. */
+  private def qZscoreAnomaly(s: SparkSession, dir: String): DataFrame =
+    ZScoreAnomaly.detect(li(s, dir), anomalyFeatures, p = 0.95)
+      .filter(col("is_anomaly"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("anomaly_score"), 6).as("anomaly_score"))
+      .orderBy(desc("anomaly_score"), asc("l_orderkey"), asc("l_linenumber"))
+
+  /** A5 — frequency-descending string indexing (StringIndexer parity). */
+  private def qStringIndex(s: SparkSession, dir: String): DataFrame =
+    FrequencyIndexer.fit(Tables.load(s, dir, "orders"), "o_orderpriority")
+      .labels.select(col("label"), col("label_index"))
+      .orderBy("label_index")
+
+  /** A11/A12 — confusion counts + derived rates in one aggregate. */
+  private def qConfusion(s: SparkSession, dir: String): DataFrame = {
+    val d = li(s, dir)
+      .withColumn("label", when(col("l_returnflag") === "R", 1).otherwise(0))
+      .withColumn("predicted", col("l_extendedprice") > 30000.0)
+    Metrics.rates(d, "label", "predicted")
+  }
+
+  /** A13 — ROC AUC via running-total window + trapezoid. */
+  private def qRocAuc(s: SparkSession, dir: String): DataFrame = {
+    val d = li(s, dir)
+      .withColumn("label", when(col("l_returnflag") === "R", 1).otherwise(0))
+    Metrics.aucDF(d, "label", "l_extendedprice")
+  }
+
+  // ----------------------------------------------------------------- //
+
+  /** Queries deliberately registered without an oracle (non-SQL-expressible
+    * or nondeterministic by nature) — the driver records a rows-only check.
+    */
+  def rowsOnlyQueries: Set[String] = Set()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (qPricingSummary _),
+    "q02_profile" -> (qProfile _),
+    "q03_quantiles" -> (qQuantiles _),
+    "q04_filter_topk" -> (qFilterTopk _),
+    "q05_union_align" -> (qUnionAlign _),
+    "q06_impute_mean" -> (qImputeMean _),
+    "q07_zscore_anomaly" -> (qZscoreAnomaly _),
+    "q08_string_index" -> (qStringIndex _),
+    "q09_confusion" -> (qConfusion _),
+    "q10_roc_auc" -> (qRocAuc _)
+  )
+
+  // --- DuckDB oracle SQL ------------------------------------------- //
+
+  private def dsumSql(x: String) = Stats.Sql.dsum(x)
+
+  private val profileSql: String = lineitemNumerics.map { c =>
+    val d = s"CAST($c AS DOUBLE)"
+    val valid = s"($c IS NOT NULL AND NOT isnan($d))"
+    val vd = s"(CASE WHEN $valid THEN $d END)"
+    s"""SELECT '$c' AS column_name,
+       | count(*) FILTER (WHERE $valid) AS n_valid,
+       | count(*) - count(*) FILTER (WHERE $valid) AS n_invalid,
+       | count(*) FILTER (WHERE $valid AND $d = 0.0) AS n_zero,
+       | min($vd) AS min_value, max($vd) AS max_value,
+       | round(${dsumSql(vd)} / count($vd), 6) AS mean_value,
+       | round(${Stats.Sql.dstddevSamp(vd)}, 6) AS std_value
+       | FROM lineitem""".stripMargin.replaceAll("\n", " ")
+  }.mkString(" UNION ALL ") + " ORDER BY column_name"
+
+  private val quantilesSql: String = {
+    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+    // labels match qQuantiles (p0.25 style)
+    val qRows = ps.map { p =>
+      val label = f"p$p%.2f"
+      s"SELECT '$label' AS quantile, round(quantile_cont(l_extendedprice, $p), 6) AS value FROM lineitem"
+    }
+    val fence =
+      "SELECT 'iqr_fence' AS quantile, round(quantile_cont(l_extendedprice, 0.75) + 1.5*(quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25)), 6) AS value FROM lineitem"
+    (qRows :+ fence).mkString(" UNION ALL ") + " ORDER BY quantile"
+  }
+
+  private val zscoreAnomalySql: String = {
+    val mus = anomalyFeatures.map(c =>
+      s"${dsumSql(c)} / count($c) AS mu_$c, ${Stats.Sql.dstddevSamp(c)} AS sd_$c").mkString(", ")
+    val terms = anomalyFeatures.map(c =>
+      s"coalesce(abs((CAST($c AS DOUBLE) - mu_$c) / sd_$c), 0.0)").mkString(" + ")
+    s"""WITH s AS (SELECT $mus FROM lineitem),
+       | scored AS (SELECT l_orderkey, l_linenumber,
+       |   ($terms) / ${anomalyFeatures.size}.0 AS score FROM lineitem, s),
+       | thr AS (SELECT quantile_cont(score, 0.95) AS t FROM scored)
+       | SELECT l_orderkey, l_linenumber, round(score, 6) AS anomaly_score
+       | FROM scored, thr WHERE score > t
+       | ORDER BY anomaly_score DESC, l_orderkey, l_linenumber""".stripMargin
+      .replaceAll("\n", " ")
+  }
+
+  private val rocAucSql: String =
+    """WITH d AS (SELECT CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END AS y, l_extendedprice AS score FROM lineitem),
+      | per AS (SELECT score, count(*) FILTER (WHERE y=1) AS pos, count(*) FILTER (WHERE y=0) AS neg FROM d GROUP BY score),
+      | tot AS (SELECT count(*) FILTER (WHERE y=1) AS p, count(*) FILTER (WHERE y=0) AS n FROM d),
+      | roc AS (SELECT CAST(sum(pos) OVER w AS DOUBLE) / p AS tpr, CAST(sum(neg) OVER w AS DOUBLE) / n AS fpr
+      |   FROM per, tot WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)),
+      | trap AS (SELECT CAST((fpr - coalesce(lag(fpr) OVER v, 0.0)) * (tpr + coalesce(lag(tpr) OVER v, 0.0)) / 2.0 AS DECIMAL(38,18)) AS area
+      |   FROM roc WINDOW v AS (ORDER BY fpr ASC, tpr ASC))
+      | SELECT round(CAST(sum(area) AS DOUBLE), 6) AS auc FROM trap""".stripMargin
+      .replaceAll("\n", " ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | round(${dsumSql("l_quantity")}, 4) AS sum_qty,
+         | round(${dsumSql("l_extendedprice")}, 4) AS sum_base_price,
+         | round(${dsumSql("l_extendedprice*(1.0-l_discount)")}, 4) AS sum_disc_price,
+         | round(${dsumSql("l_quantity")} / count(*), 6) AS avg_qty,
+         | count(*) AS count_order
+         | FROM lineitem GROUP BY l_returnflag, l_linestatus
+         | ORDER BY l_returnflag, l_linestatus""".stripMargin.replaceAll("\n", " "),
+    "q02_profile" -> profileSql,
+    "q03_quantiles" -> quantilesSql,
+    "q04_filter_topk" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice*(1.0-l_discount), 2) AS revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.04
+        | ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin.replaceAll("\n", " "),
+    "q05_union_align" ->
+      """SELECT c_name AS name, c_acctbal AS acctbal, c_nationkey AS nationkey, c_mktsegment AS mktsegment, 'customer' AS kind FROM customer
+        | UNION ALL
+        | SELECT s_name, s_acctbal, s_nationkey, NULL, 'supplier' FROM supplier
+        | ORDER BY kind, name""".stripMargin.replaceAll("\n", " "),
+    "q06_impute_mean" -> {
+      val fill = s"${dsumSql("qty_n")} / count(qty_n)"
+      s"""WITH base AS (SELECT l_returnflag, CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE CAST(l_quantity AS DOUBLE) END AS qty_n FROM lineitem),
+         | f AS (SELECT $fill AS fill FROM base)
+         | SELECT l_returnflag, count(*) AS n,
+         |  count(*) FILTER (WHERE qty_n IS NULL) AS n_filled,
+         |  round(${dsumSql("coalesce(qty_n, fill)")}, 4) AS sum_imputed
+         | FROM base, f GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " ")
+    },
+    "q07_zscore_anomaly" -> zscoreAnomalySql,
+    "q08_string_index" ->
+      """SELECT o_orderpriority AS label, CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) AS BIGINT) - 1 AS label_index
+        | FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority
+        | ORDER BY label_index""".stripMargin.replaceAll("\n", " "),
+    "q09_confusion" ->
+      """WITH d AS (SELECT CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END AS y, (l_extendedprice > 30000.0) AS p FROM lineitem),
+        | c AS (SELECT count(*) FILTER (WHERE y=1 AND p) AS tp, count(*) FILTER (WHERE y=0 AND p) AS fp,
+        |        count(*) FILTER (WHERE y=0 AND NOT p) AS tn, count(*) FILTER (WHERE y=1 AND NOT p) AS fn FROM d)
+        | SELECT tp, fp, tn, fn,
+        |  round(CAST(tp AS DOUBLE)/nullif(tp+fn,0), 6) AS detection_rate,
+        |  round(CAST(fp AS DOUBLE)/nullif(fp+tn,0), 6) AS false_positive_rate,
+        |  round(CAST(tp AS DOUBLE)/nullif(tp+fp,0), 6) AS precision_,
+        |  round(CAST(2*tp AS DOUBLE)/nullif(2*tp+fp+fn,0), 6) AS f1 FROM c""".stripMargin.replaceAll("\n", " "),
+    "q10_roc_auc" -> rocAucSql
+  )
 }

@@ -1,0 +1,96 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Single-pass column profiler.
+  *
+  * The reference runs one Spark job PER numeric column to count valid
+  * values (`lib/utils.py:187-199`, `app/IsolationForest_AE.py:91-99`) —
+  * an N+1 scan anti-pattern that would mean N full passes over 100 TB.
+  * Here every per-column statistic is an aggregate expression in ONE
+  * `df.agg(...)`: one scan, map-side partial aggregation, a single
+  * 1-row shuffle. The wide 1-row result is then `stack`ed to a
+  * (column_name, stats...) long table driver-side-free.
+  */
+object Profiler {
+
+  def numericCols(df: DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSeq
+
+  def categoricalCols(df: DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }.toSeq
+
+  /** Validity predicate: non-null, and non-NaN for float types
+    * (`lib/utils.py:189-194` handles both).
+    */
+  def isValid(dt: DataType, c: Column): Column = dt match {
+    case DoubleType | FloatType => c.isNotNull && !isnan(c)
+    case _ => c.isNotNull
+  }
+
+  /** Profile `cols` of `df` in one pass. Output: one row per column with
+    * n_valid, n_invalid, n_zero, min/max/mean (exact decimal mean),
+    * sample stddev — all DOUBLE except counts.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs: Seq[Column] = cols.flatMap { name =>
+      val dt = df.schema(name).dataType
+      val c = col(name)
+      val v = isValid(dt, c)
+      val d = when(v, c.cast(DoubleType)) // invalid → null, excluded below
+      Seq(
+        count(when(v, 1)).as(s"${name}__n_valid"),
+        sum(when(v, 0L).otherwise(1L)).as(s"${name}__n_invalid"),
+        count(when(v && c.cast(DoubleType) === 0.0, 1)).as(s"${name}__n_zero"),
+        min(d).as(s"${name}__min"),
+        max(d).as(s"${name}__max"),
+        round(Stats.dmean(d), 6).as(s"${name}__mean"),
+        round(Stats.dstddevSamp(d), 6).as(s"${name}__std")
+      )
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `${c}__n_valid`, `${c}__n_invalid`, `${c}__n_zero`, `${c}__min`, `${c}__max`, `${c}__mean`, `${c}__std`"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_valid, n_invalid, n_zero, min_value, max_value, mean_value, std_value)")
+      .orderBy("column_name")
+  }
+
+  /** Fraction of zero / invalid values per column in one pass — the
+    * reference's >95%-zero-or-missing feature filter
+    * (`app/LSTM_AE_enhanced.py:31-39`).
+    */
+  def sparseFractions(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { name =>
+      val dt = df.schema(name).dataType
+      val c = col(name)
+      val v = isValid(dt, c)
+      Seq(
+        avg(when(v && c.cast(DoubleType) === 0.0, 1.0).otherwise(0.0)).as(s"${name}__zero_frac"),
+        avg(when(v, 0.0).otherwise(1.0)).as(s"${name}__missing_frac"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', round(`${c}__zero_frac`, 6), round(`${c}__missing_frac`, 6)"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (column_name, zero_frac, missing_frac)")
+      .orderBy("column_name")
+  }
+
+  /** Columns to keep under a sparsity budget (driver-side small result). */
+  def denseFeatureCols(df: DataFrame, cols: Seq[String], maxSparse: Double = 0.95): Seq[String] = {
+    val rows = sparseFractions(df, cols).collect()
+    rows.filter(r => r.getDouble(1) <= maxSparse && r.getDouble(2) <= maxSparse)
+      .map(_.getString(0)).toSeq
+  }
+}

@@ -1,0 +1,67 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Deterministic aggregate helpers.
+  *
+  * Double summation in a distributed engine is partition-order-dependent:
+  * the same query can produce last-bit-different sums run to run. All
+  * additive aggregates here accumulate in DECIMAL(38,10) — exact and
+  * associative, so results are bitwise reproducible regardless of
+  * partitioning — and only cast to DOUBLE at the end. This is what makes
+  * the DuckDB-oracle hash compare stable, and it is equally valid on a
+  * 1000-executor cluster (decimal sum is a single extra wide column in the
+  * partial-aggregate buffer; map-side combine still applies).
+  *
+  * Variance/stddev use the sum-of-squares identity over exact decimal sums
+  * rather than Welford streaming (Spark's stddev_samp), trading a little
+  * numerical stability (irrelevant at exact precision) for cross-engine
+  * bitwise determinism.
+  */
+object Stats {
+  private val D = DecimalType(38, 10)
+
+  /** Exact decimal sum, cast back to double. */
+  def dsum(c: Column): Column = sum(c.cast(D)).cast(DoubleType)
+
+  /** Count of non-null (and non-NaN for float types) values. */
+  def nValid(c: Column): Column = count(when(c.isNotNull, 1))
+
+  /** Exact mean: decimal sum / valid count, division in double. */
+  def dmean(c: Column): Column = dsum(c) / nValid(c)
+
+  /** Sample variance via exact sums: (Σx² − (Σx)²/n) / (n−1).
+    * x squared in double (IEEE, deterministic) to avoid integer overflow.
+    */
+  def dvarSamp(c: Column): Column = {
+    val d = c.cast(DoubleType)
+    val n = nValid(c).cast(DoubleType)
+    (dsum(d * d) - dsum(d) * dsum(d) / n) / (n - lit(1.0))
+  }
+
+  /** Population variance via exact sums: (Σx² − (Σx)²/n) / n. */
+  def dvarPop(c: Column): Column = {
+    val d = c.cast(DoubleType)
+    val n = nValid(c).cast(DoubleType)
+    (dsum(d * d) - dsum(d) * dsum(d) / n) / n
+  }
+
+  def dstddevSamp(c: Column): Column = sqrt(dvarSamp(c))
+
+  /** DuckDB SQL fragments computing the identical quantities, for oracle
+    * parity. `x` is a SQL expression string.
+    */
+  object Sql {
+    def dsum(x: String): String =
+      s"CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS DOUBLE)"
+    def nValid(x: String): String = s"count($x)"
+    def dmean(x: String): String = s"(${dsum(x)} / ${nValid(x)})"
+    def dvarSamp(x: String): String = {
+      val d = s"CAST(($x) AS DOUBLE)"
+      s"((${dsum(s"$d*$d")} - ${dsum(d)} * ${dsum(d)} / CAST(${nValid(x)} AS DOUBLE)) / (CAST(${nValid(x)} AS DOUBLE) - 1.0))"
+    }
+    def dstddevSamp(x: String): String = s"sqrt(${dvarSamp(x)})"
+  }
+}

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the harness star schema (TESTDATA.md).
+  *
+  * The reference ingests CSV with header+inferSchema
+  * (`app/AE_model.py:25-29`) and Iceberg/Glue tables (`app/main.py:16-22`,
+  * `lib/connector.py:34-61`). Here the canonical source is parquet; CSV and
+  * generic-format readers are provided for capability parity. All readers
+  * return lazy DataFrames — Catalyst pushes filters/projections into the
+  * scan, so callers should filter/select as early as possible.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** CSV scan with header + schema inference — parity with the reference's
+    * `spark.read.csv(..., header=True, inferSchema=True)`
+    * (`app/AE_model.py:25-29`). At 100 TB inference costs an extra pass:
+    * prefer an explicit schema via `csvWithSchema`.
+    */
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def csvWithSchema(spark: SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** CSV sink — parity with the reference's anomaly-table export
+    * (`app/AE_model.py:288-290`). Distributed write, no driver collect.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.option("header", "true").mode("overwrite").csv(path)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.core.{Profiler, Quantiles, SchemaAlign, Stats}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class CoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Profiler counts null vs NaN separately from valid, in one pass") {
+    val df = Seq(
+      (1L, Some(1.0)), (2L, Some(Double.NaN)), (3L, None), (4L, Some(0.0))
+    ).toDF("id", "x")
+    val p = Profiler.profile(df, Seq("x")).collect().head
+    assert(p.getString(0) == "x")
+    assert(p.getLong(1) == 2) // n_valid: 1.0 and 0.0
+    assert(p.getLong(2) == 2) // n_invalid: NaN + null
+    assert(p.getLong(3) == 1) // n_zero
+    assert(p.getDouble(4) == 0.0 && p.getDouble(5) == 1.0)
+    assert(p.getDouble(6) == 0.5)
+  }
+
+  test("Profiler.denseFeatureCols drops >95% sparse columns") {
+    val rows = (1 to 100).map(i => (i.toDouble, if (i <= 4) 1.0 else 0.0))
+    val df = rows.toDF("dense", "sparse")
+    assert(Profiler.denseFeatureCols(df, Seq("dense", "sparse")) == Seq("dense"))
+  }
+
+  test("Stats exact decimal mean/stddev match closed form") {
+    val df = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0).toDF("x")
+    val r = df.agg(Stats.dmean($"x"), Stats.dstddevSamp($"x"), Stats.dvarPop($"x")).head()
+    assert(r.getDouble(0) == 5.0)
+    assert(math.abs(r.getDouble(1) - 2.13808993529939517) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 4.0) < 1e-12)
+  }
+
+  test("Quantiles.exact matches interpolated percentile; IQR fence") {
+    val df = (1 to 4).map(_.toDouble).toDF("x")
+    assert(Quantiles.exactQuantiles(df, "x", Seq(0.5)) == Seq(2.5))
+    // q1=1.75 q3=3.25 iqr=1.5 fence=5.5
+    assert(math.abs(Quantiles.iqrUpperFence(df, "x") - 5.5) < 1e-12)
+  }
+
+  test("Quantiles.clipToQuantiles winsorizes to [p1,p99]") {
+    val df = ((1 to 100).map(_.toDouble) :+ 10000.0).toDF("x")
+    val clipped = Quantiles.clipToQuantiles(df, Seq("x"), 0.01, 0.99)
+    val mx = clipped.agg(max($"x")).head().getDouble(0)
+    assert(mx < 10000.0)
+  }
+
+  test("SchemaAlign adds typed nulls, drops extras, reorders") {
+    val target = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", DoubleType)))
+    val df = Seq((1, "junk")).toDF("a", "c")
+    val out = SchemaAlign.alignTo(df, target)
+    assert(out.columns.toSeq == Seq("a", "b"))
+    assert(out.schema("b").dataType == DoubleType)
+    assert(out.head().isNullAt(1))
+  }
+
+  test("SchemaAlign.boolsToInt casts booleans") {
+    val df = Seq((true, 1), (false, 2)).toDF("flag", "x")
+    val out = SchemaAlign.boolsToInt(df)
+    assert(out.schema("flag").dataType == IntegerType)
+    assert(out.orderBy("x").collect().map(_.getInt(0)).toSeq == Seq(1, 0))
+  }
+}

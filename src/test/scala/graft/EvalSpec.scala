@@ -1,0 +1,43 @@
+package graft
+
+import graft.eval.Metrics
+import graft.score.ZScoreAnomaly
+import org.apache.spark.sql.functions._
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("confusion counts match hand computation") {
+    // (label, predicted): TP, FP, TN, FN = 2,1,3,1
+    val df = Seq((1, true), (1, true), (0, true), (0, false), (0, false),
+      (0, false), (1, false)).toDF("label", "pred")
+    val r = Metrics.confusion(df, "label", "pred").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 1L, 3L, 1L)))
+    val rates = Metrics.rates(df, "label", "pred").head()
+    assert(math.abs(rates.getDouble(4) - 2.0 / 3.0) < 1e-12) // recall
+    assert(math.abs(rates.getDouble(5) - 0.25) < 1e-12) // fpr
+  }
+
+  test("AUC is 1 for a perfect ranking, 0.5-ish for labels==scores ties") {
+    val perfect = Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)).toDF("y", "s")
+    assert(math.abs(Metrics.auc(perfect, "y", "s") - 1.0) < 1e-12)
+    val inverted = Seq((0, 0.9), (0, 0.8), (1, 0.2), (1, 0.1)).toDF("y", "s")
+    assert(math.abs(Metrics.auc(inverted, "y", "s") - 0.0) < 1e-12)
+  }
+
+  test("Youden-J picks the separating threshold") {
+    val df = Seq((1, 0.9), (1, 0.7), (0, 0.4), (0, 0.2)).toDF("y", "s")
+    val j = Metrics.youdenJ(df, "y", "s").head()
+    assert(j.getDouble(0) == 0.7) // tpr=1, fpr=0 at score 0.7
+    assert(j.getDouble(1) == 1.0)
+  }
+
+  test("ZScoreAnomaly flags a planted outlier") {
+    val base = (1 to 200).map(i => (i.toLong, 10.0 + (i % 5), 5.0 + (i % 3)))
+    val planted = (999L, 1000.0, -500.0)
+    val df = (base :+ planted).toDF("id", "f1", "f2")
+    val out = ZScoreAnomaly.detect(df, Seq("f1", "f2"), p = 0.99)
+    val flagged = out.filter($"is_anomaly").select("id").collect().map(_.getLong(0))
+    assert(flagged.contains(999L))
+  }
+}
