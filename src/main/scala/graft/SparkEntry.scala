@@ -140,6 +140,50 @@ object SparkEntry {
     Metrics.aucDF(d, "label", "l_extendedprice")
   }
 
+  // --- W1-W3 sequence operators on events ---------------------------- //
+
+  private def ev(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+  private val seqT = 5
+  private val seqOrder = Seq(col("ts"), col("event_id"))
+
+  /** W1 — sliding sequences per user (size-5, stride-1); sequence sum
+    * computed FROM the built array (exercises ArrayType path).
+    */
+  private def qSlidingSeq(s: SparkSession, dir: String): DataFrame =
+    graft.seq.Sequencer
+      .slidingSequences(ev(s, dir), Seq("user_id"), seqOrder, col("value"), seqT)
+      .select(col("user_id"), col("row_id"),
+        round(aggregate(col("seq"), lit(0.0), (acc, x) => acc + x), 4).as("seq_sum"))
+      .orderBy("user_id", "row_id")
+
+  /** W2 — expand flagged sequences (seq_sum > 450) to distinct member rows. */
+  private def qSeqExpand(s: SparkSession, dir: String): DataFrame = {
+    val seqs = graft.seq.Sequencer
+      .slidingSequences(ev(s, dir), Seq("user_id"), seqOrder, col("value"), seqT)
+      .withColumn("seq_sum", aggregate(col("seq"), lit(0.0), (acc, x) => acc + x))
+      .where(col("seq_sum") > 450.0)
+    graft.seq.Sequencer.expandMembers(seqs, Seq("user_id"), seqT)
+      .orderBy("user_id", "member_row_id")
+  }
+
+  /** W3 — pad-align per-sequence scores onto source rows (first t−1 rows
+    * of each series get null), aggregated per user for a compact check.
+    */
+  private def qPadAlign(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.seq.Sequencer.withRowId(ev(s, dir), Seq("user_id"), seqOrder)
+    val scores = graft.seq.Sequencer
+      .slidingSequences(ev(s, dir), Seq("user_id"), seqOrder, col("value"), seqT)
+      .select(col("user_id"), col("row_id"),
+        (aggregate(col("seq"), lit(0.0), (acc, x) => acc + x) / seqT).as("seq_score"))
+    graft.seq.Sequencer.padAlignScores(base, scores, Seq("user_id", "row_id"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("seq_score").isNull, 1)).as("n_padded"),
+        round(Stats.dsum(col("seq_score")), 4).as("score_sum"))
+      .orderBy("user_id")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -157,7 +201,10 @@ object SparkEntry {
     "q07_zscore_anomaly" -> (qZscoreAnomaly _),
     "q08_string_index" -> (qStringIndex _),
     "q09_confusion" -> (qConfusion _),
-    "q10_roc_auc" -> (qRocAuc _)
+    "q10_roc_auc" -> (qRocAuc _),
+    "q11_sliding_seq" -> (qSlidingSeq _),
+    "q12_seq_expand" -> (qSeqExpand _),
+    "q13_pad_align" -> (qPadAlign _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -261,6 +308,32 @@ object SparkEntry {
         |  round(CAST(fp AS DOUBLE)/nullif(fp+tn,0), 6) AS false_positive_rate,
         |  round(CAST(tp AS DOUBLE)/nullif(tp+fp,0), 6) AS precision_,
         |  round(CAST(2*tp AS DOUBLE)/nullif(2*tp+fp+fn,0), 6) AS f1 FROM c""".stripMargin.replaceAll("\n", " "),
-    "q10_roc_auc" -> rocAucSql
+    "q10_roc_auc" -> rocAucSql,
+    "q11_sliding_seq" ->
+      """WITH d AS (SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS row_id,
+        |  count(*)     OVER w AS n5,
+        |  round(sum(value) OVER w, 4) AS seq_sum
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        | SELECT user_id, row_id, seq_sum FROM d WHERE n5 = 5 ORDER BY user_id, row_id""".stripMargin.replaceAll("\n", " "),
+    "q12_seq_expand" ->
+      """WITH d AS (SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS row_id,
+        |  count(*)     OVER w AS n5,
+        |  sum(value)   OVER w AS seq_sum
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        | SELECT DISTINCT user_id, CAST(unnest(generate_series(row_id - 4, row_id)) AS INT) AS member_row_id
+        | FROM d WHERE n5 = 5 AND seq_sum > 450.0 ORDER BY user_id, member_row_id""".stripMargin.replaceAll("\n", " "),
+    "q13_pad_align" ->
+      s"""WITH d AS (SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS row_id,
+        |  count(*)     OVER w AS n5,
+        |  sum(value)   OVER w AS seq_sum
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        | s AS (SELECT user_id, row_id, CASE WHEN n5 = 5 THEN seq_sum / 5 END AS seq_score FROM d)
+        | SELECT user_id, count(*) AS n_rows,
+        |  count(*) FILTER (WHERE seq_score IS NULL) AS n_padded,
+        |  round(${dsumSql("seq_score")}, 4) AS score_sum
+        | FROM s GROUP BY user_id ORDER BY user_id""".stripMargin.replaceAll("\n", " ")
   )
 }

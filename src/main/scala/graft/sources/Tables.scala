@@ -16,8 +16,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects
+    // by default; read as LongType nanos (order-isomorphic — we only ever
+    // sort/bucket on it, never display it).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** CSV scan with header + schema inference — parity with the reference's
     * `spark.read.csv(..., header=True, inferSchema=True)`

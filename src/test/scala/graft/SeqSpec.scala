@@ -1,0 +1,47 @@
+package graft
+
+import graft.seq.Sequencer
+import org.apache.spark.sql.functions._
+
+class SeqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series = Seq(
+    ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+    ("b", 1L, 10.0), ("b", 2L, 20.0)
+  ).toDF("k", "o", "v")
+
+  test("slidingSequences: n < t per series yields no sequences (utils.py:105-108)") {
+    val out = Sequencer.slidingSequences(series, Seq("k"), Seq(col("o")), col("v"), t = 3)
+    val rows = out.select("k", "row_id", "seq").collect()
+    // series a has 4 rows -> 2 sequences (ends 3,4); series b has 2 < 3 -> none
+    assert(rows.map(_.getString(0)).forall(_ == "a"))
+    assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(3, 4))
+    val seqAt3 = rows.find(_.getInt(1) == 3).get.getSeq[Double](2)
+    assert(seqAt3 == Seq(1.0, 2.0, 3.0), "oldest->newest order")
+  }
+
+  test("slidingSequences: t = 1 is identity-per-row; t > n empty") {
+    val one = Sequencer.slidingSequences(series, Seq("k"), Seq(col("o")), col("v"), t = 1)
+    assert(one.count() == 6)
+    val none = Sequencer.slidingSequences(series, Seq("k"), Seq(col("o")), col("v"), t = 5)
+    assert(none.count() == 0)
+  }
+
+  test("expandMembers dedups overlapping windows") {
+    val flagged = Seq(("a", 3), ("a", 4)).toDF("k", "row_id")
+    val m = Sequencer.expandMembers(flagged, Seq("k"), t = 3)
+    // windows {1,2,3} and {2,3,4} -> union {1,2,3,4}
+    assert(m.select("member_row_id").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("padAlignScores: first t-1 rows of each series get null score") {
+    val base = Sequencer.withRowId(series, Seq("k"), Seq(col("o")))
+    val scores = Sequencer
+      .slidingSequences(series, Seq("k"), Seq(col("o")), col("v"), t = 3)
+      .select(col("k"), col("row_id"), lit(1.0).as("seq_score"))
+    val aligned = Sequencer.padAlignScores(base, scores, Seq("k", "row_id"))
+    val nulls = aligned.where(col("seq_score").isNull).count()
+    assert(nulls == 2 + 2, "a: rows 1-2 padded; b: both rows padded (n<t)")
+  }
+}
