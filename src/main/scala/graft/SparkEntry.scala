@@ -184,6 +184,74 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  // --- feature/eval coverage ---------------------------------------- //
+
+  /** A3 — median imputation (exact percentile path). */
+  private def qImputeMedian(s: SparkSession, dir: String): DataFrame = {
+    val base = li(s, dir).withColumn("price_n",
+      when(col("l_orderkey") % 5 === 0, lit(null).cast(DoubleType))
+        .otherwise(col("l_extendedprice").cast(DoubleType)))
+    val fill = Imputers.fit(base, Seq("price_n"), Imputers.MedianExact)
+    base.groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("price_n").isNull, 1)).as("n_filled"),
+        round(Stats.dsum(coalesce(col("price_n"), lit(fill("price_n")))), 4)
+          .as("sum_imputed"))
+      .orderBy("l_linestatus")
+  }
+
+  /** A4/F3 — z-score standardization, verified via grouped checksums. */
+  private def qStandardize(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val df = li(s, dir)
+    val model = graft.features.Standardizer.fit(df, cols)
+    model.transform(df, suffix = "_z")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(Stats.dsum(col("l_quantity_z")), 4).as("sum_z_qty"),
+        round(Stats.dsum(col("l_extendedprice_z")), 4).as("sum_z_price"),
+        round(max(abs(col("l_quantity_z"))), 6).as("max_abs_z_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** P11/F5 — winsorize to [p01, p99], verified via aggregates. */
+  private def qClip(s: SparkSession, dir: String): DataFrame = {
+    val clipped = Quantiles.clipToQuantiles(li(s, dir), Seq("l_extendedprice"))
+    clipped.agg(
+      round(min(col("l_extendedprice")), 4).as("min_clipped"),
+      round(max(col("l_extendedprice")), 4).as("max_clipped"),
+      round(Stats.dsum(col("l_extendedprice")), 4).as("sum_clipped"))
+  }
+
+  /** A10 — zero/missing fraction per column in one pass. */
+  private def qSparseFractions(s: SparkSession, dir: String): DataFrame = {
+    val base = li(s, dir)
+      .withColumn("qty_n",
+        when(col("l_orderkey") % 7 === 0, lit(null).cast(DoubleType))
+          .otherwise(col("l_quantity").cast(DoubleType)))
+      .withColumn("tax_d", col("l_tax").cast(DoubleType))
+    Profiler.sparseFractions(base, Seq("qty_n", "tax_d"))
+  }
+
+  /** A14 — Youden-J optimal threshold over the ROC points. */
+  private def qYouden(s: SparkSession, dir: String): DataFrame = {
+    val d = li(s, dir)
+      .withColumn("label", when(col("l_returnflag") === "R", 1).otherwise(0))
+    Metrics.youdenJ(d, "label", "l_extendedprice")
+      .select(round(col("score"), 4).as("score"), round(col("j"), 6).as("j"))
+  }
+
+  /** A9 — per-group population and sample variance (exact-sum identity). */
+  private def qVariance(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).groupBy(col("l_returnflag"))
+      .agg(
+        round(Stats.dvarPop(col("l_quantity")), 6).as("var_pop_qty"),
+        round(Stats.dvarSamp(col("l_quantity")), 6).as("var_samp_qty"),
+        round(Stats.dstddevSamp(col("l_discount")), 6).as("std_disc"))
+      .orderBy("l_returnflag")
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -204,7 +272,13 @@ object SparkEntry {
     "q10_roc_auc" -> (qRocAuc _),
     "q11_sliding_seq" -> (qSlidingSeq _),
     "q12_seq_expand" -> (qSeqExpand _),
-    "q13_pad_align" -> (qPadAlign _)
+    "q13_pad_align" -> (qPadAlign _),
+    "q14_impute_median" -> (qImputeMedian _),
+    "q15_standardize" -> (qStandardize _),
+    "q16_clip" -> (qClip _),
+    "q17_sparse_fractions" -> (qSparseFractions _),
+    "q18_youden" -> (qYouden _),
+    "q19_variance" -> (qVariance _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -334,6 +408,61 @@ object SparkEntry {
         | SELECT user_id, count(*) AS n_rows,
         |  count(*) FILTER (WHERE seq_score IS NULL) AS n_padded,
         |  round(${dsumSql("seq_score")}, 4) AS score_sum
-        | FROM s GROUP BY user_id ORDER BY user_id""".stripMargin.replaceAll("\n", " ")
+        | FROM s GROUP BY user_id ORDER BY user_id""".stripMargin.replaceAll("\n", " "),
+    "q14_impute_median" -> {
+      s"""WITH base AS (SELECT l_linestatus, CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE CAST(l_extendedprice AS DOUBLE) END AS price_n FROM lineitem),
+         | f AS (SELECT quantile_cont(price_n, 0.5) AS fill FROM base)
+         | SELECT l_linestatus, count(*) AS n,
+         |  count(*) FILTER (WHERE price_n IS NULL) AS n_filled,
+         |  round(${dsumSql("coalesce(price_n, fill)")}, 4) AS sum_imputed
+         | FROM base, f GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin.replaceAll("\n", " ")
+    },
+    "q15_standardize" -> {
+      val muQ = Stats.Sql.dmean("l_quantity"); val sdQ = Stats.Sql.dstddevSamp("l_quantity")
+      val muP = Stats.Sql.dmean("l_extendedprice"); val sdP = Stats.Sql.dstddevSamp("l_extendedprice")
+      s"""WITH s AS (SELECT $muQ AS mu_q, $sdQ AS sd_q, $muP AS mu_p, $sdP AS sd_p FROM lineitem),
+         | z AS (SELECT l_returnflag,
+         |   (CAST(l_quantity AS DOUBLE) - mu_q) / sd_q AS zq,
+         |   (CAST(l_extendedprice AS DOUBLE) - mu_p) / sd_p AS zp
+         |   FROM lineitem, s)
+         | SELECT l_returnflag, count(*) AS n,
+         |  round(${dsumSql("zq")}, 4) AS sum_z_qty,
+         |  round(${dsumSql("zp")}, 4) AS sum_z_price,
+         |  round(max(abs(zq)), 6) AS max_abs_z_qty
+         | FROM z GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " ")
+    },
+    "q16_clip" -> {
+      s"""WITH b AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo, quantile_cont(l_extendedprice, 0.99) AS hi FROM lineitem),
+         | c AS (SELECT least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi) AS v FROM lineitem, b)
+         | SELECT round(min(v), 4) AS min_clipped, round(max(v), 4) AS max_clipped,
+         |  round(${dsumSql("v")}, 4) AS sum_clipped FROM c""".stripMargin.replaceAll("\n", " ")
+    },
+    "q17_sparse_fractions" ->
+      """WITH base AS (SELECT
+        |  CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE CAST(l_quantity AS DOUBLE) END AS qty_n,
+        |  CAST(l_tax AS DOUBLE) AS tax_d FROM lineitem)
+        | SELECT 'qty_n' AS column_name,
+        |  round(avg(CASE WHEN qty_n IS NOT NULL AND NOT isnan(qty_n) AND qty_n = 0.0 THEN 1.0 ELSE 0.0 END), 6) AS zero_frac,
+        |  round(avg(CASE WHEN qty_n IS NOT NULL AND NOT isnan(qty_n) THEN 0.0 ELSE 1.0 END), 6) AS missing_frac FROM base
+        | UNION ALL
+        | SELECT 'tax_d',
+        |  round(avg(CASE WHEN tax_d IS NOT NULL AND NOT isnan(tax_d) AND tax_d = 0.0 THEN 1.0 ELSE 0.0 END), 6),
+        |  round(avg(CASE WHEN tax_d IS NOT NULL AND NOT isnan(tax_d) THEN 0.0 ELSE 1.0 END), 6) FROM base
+        | ORDER BY column_name""".stripMargin.replaceAll("\n", " "),
+    "q18_youden" ->
+      """WITH d AS (SELECT CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END AS y, CAST(l_extendedprice AS DOUBLE) AS score FROM lineitem),
+        | per AS (SELECT score, count(*) FILTER (WHERE y=1) AS pos, count(*) FILTER (WHERE y=0) AS neg FROM d GROUP BY score),
+        | tot AS (SELECT count(*) FILTER (WHERE y=1) AS p, count(*) FILTER (WHERE y=0) AS n FROM d),
+        | roc AS (SELECT score, CAST(sum(pos) OVER w AS DOUBLE) / p AS tpr, CAST(sum(neg) OVER w AS DOUBLE) / n AS fpr
+        |   FROM per, tot WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING))
+        | SELECT round(score, 4) AS score, round(tpr - fpr, 6) AS j
+        | FROM roc ORDER BY (tpr - fpr) DESC, score ASC LIMIT 1""".stripMargin.replaceAll("\n", " "),
+    "q19_variance" -> {
+      s"""SELECT l_returnflag,
+         | round(${Stats.Sql.dvarPop("l_quantity")}, 6) AS var_pop_qty,
+         | round(${Stats.Sql.dvarSamp("l_quantity")}, 6) AS var_samp_qty,
+         | round(${Stats.Sql.dstddevSamp("l_discount")}, 6) AS std_disc
+         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

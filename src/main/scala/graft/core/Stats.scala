@@ -63,5 +63,9 @@ object Stats {
       s"((${dsum(s"$d*$d")} - ${dsum(d)} * ${dsum(d)} / CAST(${nValid(x)} AS DOUBLE)) / (CAST(${nValid(x)} AS DOUBLE) - 1.0))"
     }
     def dstddevSamp(x: String): String = s"sqrt(${dvarSamp(x)})"
+    def dvarPop(x: String): String = {
+      val d = s"CAST(($x) AS DOUBLE)"
+      s"((${dsum(s"$d*$d")} - ${dsum(d)} * ${dsum(d)} / CAST(${nValid(x)} AS DOUBLE)) / CAST(${nValid(x)} AS DOUBLE))"
+    }
   }
 }
