@@ -243,6 +243,48 @@ object SparkEntry {
       .select(round(col("score"), 4).as("score"), round(col("j"), 6).as("j"))
   }
 
+  // --- text analysis over documents (training-data pipeline ops) ----- //
+
+  private def doc(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** T1 — token counting (whitespace, distinct, BPE-ish, regex) +
+    * rolling-hash fingerprint, one codegen'd map stage per document.
+    */
+  private def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    doc(s, dir).select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextOps.uniqueTokenCount(col("text")).cast("long").as("n_uniq"),
+      TextOps.bpeTokenCount(col("text")).as("bpe_tokens"),
+      TextOps.regexTokenCount(col("text")).cast("long").as("regex_tokens"),
+      TextOps.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** T2 — language identification (lexicon-overlap argmax) with a
+    * per-(actual, predicted) confusion rollup.
+    */
+  private def qLangId(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    doc(s, dir)
+      .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  /** T3 — per-document quality scoring (stopword/unique ratios, length
+    * prior blend).
+    */
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    doc(s, dir).select(col("doc_id"),
+      round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+      round(TextOps.avgTokenLen(col("text")), 6).as("avg_token_len"),
+      round(TextOps.uniqueRatio(col("text")), 6).as("unique_ratio"),
+      round(TextOps.qualityScore(col("text")), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
   /** A9 — per-group population and sample variance (exact-sum identity). */
   private def qVariance(s: SparkSession, dir: String): DataFrame =
     li(s, dir).groupBy(col("l_returnflag"))
@@ -278,7 +320,10 @@ object SparkEntry {
     "q16_clip" -> (qClip _),
     "q17_sparse_fractions" -> (qSparseFractions _),
     "q18_youden" -> (qYouden _),
-    "q19_variance" -> (qVariance _)
+    "q19_variance" -> (qVariance _),
+    "q20_text_stats" -> (qTextStats _),
+    "q21_lang_id" -> (qLangId _),
+    "q22_text_quality" -> (qTextQuality _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -463,6 +508,31 @@ object SparkEntry {
          | round(${Stats.Sql.dvarSamp("l_quantity")}, 6) AS var_samp_qty,
          | round(${Stats.Sql.dstddevSamp("l_discount")}, 6) AS std_disc
          | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " ")
+    },
+    "q20_text_stats" -> {
+      import graft.text.TextOps.{Sql => T}
+      s"""SELECT doc_id,
+         | ${T.tokenCount("text")} AS n_tokens,
+         | ${T.uniqueTokenCount("text")} AS n_uniq,
+         | ${T.bpeTokenCount("text")} AS bpe_tokens,
+         | CAST(len(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT) AS regex_tokens,
+         | ${T.fingerprint("text")} AS fingerprint
+         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q21_lang_id" -> {
+      import graft.text.TextOps.{Sql => T}
+      s"""SELECT lang, lang_pred, count(*) AS n
+         | FROM (SELECT lang, ${T.langId("text")} AS lang_pred FROM documents)
+         | GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin.replaceAll("\n", " ")
+    },
+    "q22_text_quality" -> {
+      import graft.text.TextOps.{Sql => T}
+      s"""SELECT doc_id,
+         | round(${T.stopwordRatio("text")}, 6) AS stopword_ratio,
+         | round(${T.avgTokenLen("text")}, 6) AS avg_token_len,
+         | round(${T.uniqueRatio("text")}, 6) AS unique_ratio,
+         | round(${T.qualityScore("text")}, 6) AS quality
+         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("t")
+
+  test("strHash matches the reference polynomial fold") {
+    def ref(s: String): Long =
+      s.foldLeft(TextOps.HashSeed)((acc, c) => (acc * 31 + c.toLong) % TextOps.P)
+    for (s <- Seq("hello", "a", "spark engine", "zzzz")) {
+      val got = one(s).select(TextOps.strHash(col("t"))).head.getLong(0)
+      assert(got == ref(s), s"hash of '$s'")
+    }
+  }
+
+  test("token counts: whitespace, distinct, bpe, regex") {
+    val df = one("aa bb aa cccccc")
+    val r = df.select(
+      TextOps.tokenCount(col("t")),
+      TextOps.uniqueTokenCount(col("t")),
+      TextOps.bpeTokenCount(col("t")),
+      TextOps.regexTokenCount(col("t"))).head
+    assert(r.getInt(0) == 4)
+    assert(r.getInt(1) == 3)
+    // ceil(2/4)*3 + ceil(6/4) = 3 + 2
+    assert(r.getLong(2) == 5L)
+    assert(r.getInt(3) == 4)
+  }
+
+  test("empty text yields zero tokens (and null-safe ratios upstream)") {
+    val r = one("").select(TextOps.tokenCount(col("t"))).head
+    assert(r.getInt(0) == 0)
+  }
+
+  test("fingerprint is order-sensitive; identical token sequences collide") {
+    val fp = (s: String) => one(s).select(TextOps.fingerprint(col("t"))).head.getLong(0)
+    assert(fp("a b c") == fp("a b c"))
+    assert(fp("a b c") != fp("c b a"))
+  }
+
+  test("langId: argmax with alphabetical tie-break, und when no hits") {
+    val pred = (s: String) => one(s).select(TextOps.langId(col("t"))).head.getString(0)
+    assert(pred("der die und") == "de")
+    assert(pred("the fast slow") == "en")
+    // 'window' (de) vs 'the' (en): tie 1-1 → alphabetical first = de
+    assert(pred("window the") == "de")
+    assert(pred("qqq www") == "und")
+  }
+
+  test("quality parts are in expected ranges and deterministic") {
+    val df = one("the fast row the fast")
+    val r = df.select(
+      TextOps.stopwordRatio(col("t")),
+      TextOps.avgTokenLen(col("t")),
+      TextOps.uniqueRatio(col("t")),
+      TextOps.qualityScore(col("t"))).head
+    assert(r.getDouble(0) == 1.0) // all tokens are markers
+    assert(math.abs(r.getDouble(1) - 17.0 / 5) < 1e-12)
+    assert(r.getDouble(2) == 3.0 / 5)
+    assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+  }
+}
