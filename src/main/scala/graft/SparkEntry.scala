@@ -285,6 +285,55 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // --- deduplication over documents / embeddings --------------------- //
+
+  /** D1 — exact dedup by content hash on a frame with induced duplicates
+    * (every 10th doc re-inserted under a shifted id). Only (hash, id)
+    * shuffles — document bodies never move.
+    */
+  private def qExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = doc(s, dir).select(col("doc_id"), col("text"))
+    val withDups = d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    graft.dedup.Dedup.exactDupGroups(withDups, "doc_id", "text")
+      .select(col("content_hash"), col("n_dups"), col("canonical_id"))
+      .orderBy("canonical_id")
+  }
+
+  /** D2 — all-pairs 3-gram Jaccard near-dup detection (correctness
+    * baseline for D3's LSH path).
+    */
+  private def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.jaccardPairs(doc(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy("a", "b")
+
+  /** D3 — MinHash(16) + 4-band LSH candidates, exact-Jaccard verified.
+    * The scale path: shuffles band keys, verifies only in-bucket pairs.
+    */
+  private def qMinHashLsh(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.MinHashLSH.nearDupPairs(doc(s, dir), "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+      .orderBy("a", "b")
+
+  /** D4 — per-document 24-bit SimHash fingerprints. */
+  private def qSimHash(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SimHash.fingerprints(doc(s, dir), "doc_id", "text")
+      .orderBy("id")
+
+  /** D5 — SimHash Hamming-distance near-dup pairs (≤ 1 bit). */
+  private def qSimHashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SimHash.hammingPairs(doc(s, dir), "doc_id", "text", maxDist = 1)
+      .orderBy("a", "b")
+
+  /** D6 — embedding-cosine near-dup pairs over the embeddings table. */
+  private def qCosineDups(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.cosineDupPairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45)
+      .orderBy("a", "b")
+
   /** A9 — per-group population and sample variance (exact-sum identity). */
   private def qVariance(s: SparkSession, dir: String): DataFrame =
     li(s, dir).groupBy(col("l_returnflag"))
@@ -323,7 +372,13 @@ object SparkEntry {
     "q19_variance" -> (qVariance _),
     "q20_text_stats" -> (qTextStats _),
     "q21_lang_id" -> (qLangId _),
-    "q22_text_quality" -> (qTextQuality _)
+    "q22_text_quality" -> (qTextQuality _),
+    "q23_exact_dedup" -> (qExactDedup _),
+    "q24_jaccard_pairs" -> (qJaccardPairs _),
+    "q25_minhash_lsh" -> (qMinHashLsh _),
+    "q26_simhash" -> (qSimHash _),
+    "q27_simhash_pairs" -> (qSimHashPairs _),
+    "q28_cosine_dups" -> (qCosineDups _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -533,6 +588,64 @@ object SparkEntry {
          | round(${T.uniqueRatio("text")}, 6) AS unique_ratio,
          | round(${T.qualityScore("text")}, 6) AS quality
          | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q23_exact_dedup" -> {
+      import graft.text.TextOps.{Sql => T}
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0),
+         | h AS (SELECT doc_id, ${T.strHash("text")} AS content_hash FROM base)
+         | SELECT content_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
+         | FROM h GROUP BY content_hash HAVING count(*) > 1
+         | ORDER BY canonical_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q24_jaccard_pairs" -> {
+      val sh = graft.dedup.Dedup.Sql.shingles("text", 3)
+      s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents),
+         | e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         | sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+         | i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |   FROM e x JOIN e y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         | v AS (SELECT a, b, inter, CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+         |   FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
+         | SELECT a, b, inter, round(jaccard, 6) AS jaccard FROM v
+         | WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin.replaceAll("\n", " ")
+    },
+    "q25_minhash_lsh" -> {
+      import graft.dedup.MinHashLSH.{Sql => M}
+      val sh = graft.dedup.Dedup.Sql.shingles("text", 3)
+      s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents),
+         | ne AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+         | sg AS (SELECT doc_id, sh, ${M.signatureFromShingles("sh", 16)} AS sig FROM ne),
+         | bands AS (SELECT doc_id, unnest(${M.bandKeyList("sig", 16, 4)}) AS band_key,
+         |   unnest(generate_series(0, 3)) AS band_idx FROM sg),
+         | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+         |   ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         | v AS (SELECT a, b, len(list_intersect(sa.sh, sb.sh)) AS inter, len(sa.sh) AS na, len(sb.sh) AS nb
+         |   FROM cand JOIN ne sa ON sa.doc_id = a JOIN ne sb ON sb.doc_id = b)
+         | SELECT a, b, inter, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+         | FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+         | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")
+    },
+    "q26_simhash" -> {
+      import graft.dedup.SimHash.{Sql => S}
+      s"""SELECT doc_id AS id, ${S.simhash("text")} AS simhash
+         | FROM documents ORDER BY id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q27_simhash_pairs" -> {
+      import graft.dedup.SimHash.{Sql => S}
+      s"""WITH f AS (SELECT doc_id AS id, ${S.simhash("text")} AS s FROM documents)
+         | SELECT x.id AS a, y.id AS b, bit_count(xor(x.s, y.s)) AS hamming
+         | FROM f x JOIN f y ON x.id < y.id
+         | WHERE bit_count(xor(x.s, y.s)) <= 1 ORDER BY a, b""".stripMargin.replaceAll("\n", " ")
+    },
+    "q28_cosine_dups" -> {
+      import graft.sim.VectorMath.{Sql => V}
+      s"""WITH v AS (SELECT vec_id, embedding, ${V.norm2("embedding")} AS n2 FROM embeddings),
+         | p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+         |   ${V.dot("x.embedding", "y.embedding")} / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+         |   FROM v x JOIN v y ON x.vec_id < y.vec_id)
+         | SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.45
+         | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

@@ -1,0 +1,123 @@
+package graft.dedup
+
+import graft.sim.VectorMath
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-corpus curation: exact
+  * (content-hash groupBy), n-gram Jaccard near-dup, and embedding-cosine
+  * near-dup. MinHash/LSH and SimHash live in their own files.
+  *
+  * Scale design (100 TB corpus):
+  *  - exact dedup shuffles only (hash, id) pairs — never the document
+  *    bodies; the groupBy is a map-side-combinable count.
+  *  - the quadratic shingle self-join here is the *verification* kernel;
+  *    at scale candidates come from [[MinHashLSH]] buckets and this join
+  *    runs per-bucket. `maxShingleDocFreq` prunes stop-shingles (shared
+  *    by thousands of docs) that would otherwise square the join output.
+  *  - embedding near-dup at scale goes through [[graft.sim.Ann]] LSH
+  *    buckets; the all-pairs form is the correctness baseline.
+  */
+object Dedup {
+
+  /** Word n-gram shingles (distinct) of a text column; empty array when
+    * the document has fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact-duplicate groups by content hash: (content_hash, n_dups,
+    * canonical_id = min id). Only ids and 64-bit-ish hashes are shuffled.
+    * `hash` defaults to the oracle-parity polynomial hash; pass
+    * `xxhash64(_)` for production speed.
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String,
+                     hash: Column => Column = TextOps.strHash(_)): DataFrame =
+    df.select(hash(col(textCol)).as("content_hash"), col(idCol).cast("long").as("id"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_dups"), min("id").as("canonical_id"))
+      .where(col("n_dups") > 1)
+
+  /** Keep one row per content hash (the min-id representative): the
+    * "apply" side of exact dedup. Implemented as a min-id aggregation +
+    * semi join back, so document bodies never shuffle.
+    */
+  def dropExactDups(df: DataFrame, idCol: String, textCol: String,
+                    hash: Column => Column = TextOps.strHash(_)): DataFrame = {
+    val reps = df
+      .select(hash(col(textCol)).as("content_hash"), col(idCol).as("rep_id"))
+      .groupBy("content_hash").agg(min("rep_id").as("rep_id"))
+    df.join(reps, df(idCol) === reps("rep_id"), "left_semi")
+  }
+
+  /** Per-document distinct-shingle exploded view: (id, shingle). */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        explode(shingles(col(textCol), n)).as("shingle"))
+
+  /** All pairs (a < b) with n-gram Jaccard similarity ≥ `threshold`.
+    * `maxShingleDocFreq`: drop shingles occurring in more than this many
+    * documents before pairing (0 = keep all; oracle queries use 0).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double,
+                   maxShingleDocFreq: Long = 0L): DataFrame = {
+    val rows = shingleRows(df, idCol, textCol, n)
+    val pruned =
+      if (maxShingleDocFreq <= 0) rows
+      else {
+        val hot = rows.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxShingleDocFreq).select("shingle")
+        rows.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
+    val sizes = rows.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = pruned.as("x")
+      .join(pruned.as("y"), col("x.shingle") === col("y.shingle") &&
+        col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("inter"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** All embedding pairs (a < b) with cosine ≥ `threshold` — the
+    * near-duplicate filter over an embedding column. Norms are reduced
+    * per vector before the pair join.
+    */
+  def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    // persisted: norms are computed once per vector, and the self-join
+    // reuses one materialization for both sides
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("n2", VectorMath.norm2(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        VectorMath.cosineFromNorms(
+          VectorMath.dot(col("x.vec"), col("y.vec")),
+          col("x.n2"), col("y.n2")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** DuckDB oracle twins. */
+  object Sql {
+    def shingles(x: String, n: Int): String = {
+      val toks = TextOps.Sql.toks(x)
+      s"CASE WHEN len($toks) >= $n THEN list_distinct(list_transform(generate_series(1, len($toks) - ${n - 1}), i -> array_to_string($toks[i:i+${n - 1}], ' '))) ELSE [] END"
+    }
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.dedup.{Dedup, MinHashLSH, SimHash}
+import graft.sim.VectorMath
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "one two")                                      // < 3 tokens
+  ).toDF("doc_id", "text")
+
+  test("shingles: distinct word 3-grams; short docs yield empty") {
+    val r = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[String](1)).toMap
+    assert(r(1L).contains("the quick brown"))
+    assert(r(1L).size == 7)
+    assert(r(5L).isEmpty)
+  }
+
+  test("exactDupGroups finds only true duplicates, canonical = min id") {
+    val g = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n_dups") == 2L)
+    assert(g(0).getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("dropExactDups keeps the min-id representative") {
+    val kept = Dedup.dropExactDups(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("jaccardPairs: near-identical docs pair up, distinct docs do not") {
+    val p = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("jaccard")))
+    // 1-2 share 6 of 8 union shingles (j=0.75); 1-4 and 2-4 are dups/near
+    val keys = p.map(x => (x._1, x._2)).toSet
+    assert(keys.contains((1L, 2L)))
+    assert(keys.contains((1L, 4L)))
+    assert(p.find(x => (x._1, x._2) == (1L, 4L)).get._3 == 1.0)
+    assert(!keys.exists(k => k._1 == 3L || k._2 == 3L))
+  }
+
+  test("minhash LSH finds the same high-similarity pairs as brute force") {
+    val lsh = MinHashLSH.nearDupPairs(docs, "doc_id", "text",
+      n = 3, k = 16, bands = 4, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // exact dups MUST collide (identical signatures)
+    assert(lsh.contains((1L, 4L)))
+    // every LSH pair must also pass brute-force verification
+    val brute = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))
+  }
+
+  test("simhash: identical docs identical; near docs within small hamming") {
+    val fp = SimHash.fingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // one-token difference perturbs few bits (tiny docs can tie, so ≤)
+    assert(ham(fp(1L), fp(2L)) <= ham(fp(1L), fp(3L)))
+    assert(ham(fp(1L), fp(2L)) <= 8)
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 24)))
+  }
+
+  test("hammingPairs and bandCandidates agree on exact dups") {
+    val hp = SimHash.hammingPairs(docs, "doc_id", "text", maxDist = 0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(hp.contains((1L, 4L)))
+    val bc = SimHash.bandCandidates(docs, "doc_id", "text")
+      .where(col("hamming") === 0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(bc.contains((1L, 4L)))
+  }
+
+  test("cosineDupPairs flags the planted duplicate vector") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val p = Dedup.cosineDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(p == Set((1L, 2L)))
+  }
+
+  test("cosine is exactly 1 for identical vectors (sequential fold)") {
+    val vecs = Seq((1L, Seq(0.3f, -0.2f, 0.9f)), (2L, Seq(0.3f, -0.2f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val c = vecs.as("x").join(vecs.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(VectorMath.cosine(col("x.embedding"), col("y.embedding")))
+      .head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-15)
+  }
+}
