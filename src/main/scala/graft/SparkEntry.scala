@@ -334,6 +334,25 @@ object SparkEntry {
         threshold = 0.45)
       .orderBy("a", "b")
 
+  // --- similarity search over embeddings ----------------------------- //
+
+  /** N1 — brute-force cosine top-3 neighbors (codegen'd dot kernel) for
+    * query vectors id < 100; the exactness baseline for N2.
+    */
+  private def qCosineTopK(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Ann.cosineTopK(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 3, queryPred = col("id") < 100)
+      .orderBy("a", "rank")
+
+  /** N2 — random-hyperplane LSH ANN (4 tables × 8 bits), exact re-rank
+    * within buckets only: the 100 TB path.
+    */
+  private def qLshAnn(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Ann.lshTopK(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 3, dim = 64, tables = 4,
+        bitsPerTable = 8, queryPred = col("id") < 100)
+      .orderBy("a", "rank")
+
   /** A9 — per-group population and sample variance (exact-sum identity). */
   private def qVariance(s: SparkSession, dir: String): DataFrame =
     li(s, dir).groupBy(col("l_returnflag"))
@@ -378,7 +397,9 @@ object SparkEntry {
     "q25_minhash_lsh" -> (qMinHashLsh _),
     "q26_simhash" -> (qSimHash _),
     "q27_simhash_pairs" -> (qSimHashPairs _),
-    "q28_cosine_dups" -> (qCosineDups _)
+    "q28_cosine_dups" -> (qCosineDups _),
+    "q29_cosine_topk" -> (qCosineTopK _),
+    "q30_lsh_ann" -> (qLshAnn _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -646,6 +667,31 @@ object SparkEntry {
          |   FROM v x JOIN v y ON x.vec_id < y.vec_id)
          | SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.45
          | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")
+    },
+    "q29_cosine_topk" -> {
+      import graft.sim.VectorMath.{Sql => V}
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec, ${V.norm2("embedding")} AS n2 FROM embeddings),
+         | p AS (SELECT x.id AS a, y.id AS b,
+         |   ${V.dot("x.vec", "y.vec")} / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+         |   FROM v x JOIN v y ON x.id <> y.id WHERE x.id < 100),
+         | r AS (SELECT a, b, cos, row_number() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS rank FROM p)
+         | SELECT a, b, rank, round(cos, 6) AS cos FROM r WHERE rank <= 3
+         | ORDER BY a, rank""".stripMargin.replaceAll("\n", " ")
+    },
+    "q30_lsh_ann" -> {
+      import graft.sim.Ann.{Sql => A}
+      import graft.sim.VectorMath.{Sql => V}
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec, ${V.norm2("embedding")} AS n2 FROM embeddings),
+         | bk AS (SELECT id, unnest(${A.lshBuckets("vec", 64, 4, 8)}) AS bucket,
+         |   unnest(generate_series(0, 3)) AS tbl FROM v),
+         | cand AS (SELECT DISTINCT q.id AS qid, t.id AS tid FROM bk q JOIN bk t
+         |   ON q.tbl = t.tbl AND q.bucket = t.bucket AND q.id <> t.id WHERE q.id < 100),
+         | p AS (SELECT qid AS a, tid AS b,
+         |   ${V.dot("qv.vec", "tv.vec")} / (sqrt(qv.n2) * sqrt(tv.n2)) AS cos
+         |   FROM cand JOIN v qv ON qv.id = qid JOIN v tv ON tv.id = tid),
+         | r AS (SELECT a, b, cos, row_number() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS rank FROM p)
+         | SELECT a, b, rank, round(cos, 6) AS cos FROM r WHERE rank <= 3
+         | ORDER BY a, rank""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

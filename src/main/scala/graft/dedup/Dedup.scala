@@ -100,14 +100,16 @@ object Dedup {
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
     // persisted: norms are computed once per vector, and the self-join
-    // reuses one materialization for both sides
+    // reuses one materialization for both sides; the pair-stage dot uses
+    // the codegen'd kernel (bitwise-identical to the interpreted fold)
+    graft.sim.GraftFunctions.register(df.sparkSession)
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .withColumn("n2", VectorMath.norm2(col("vec")))
+      .withColumn("n2", graft.sim.GraftFunctions.norm2(col("vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         VectorMath.cosineFromNorms(
-          VectorMath.dot(col("x.vec"), col("y.vec")),
+          graft.sim.GraftFunctions.dot(col("x.vec"), col("y.vec")),
           col("x.n2"), col("y.n2")).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))

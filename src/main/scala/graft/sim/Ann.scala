@@ -1,0 +1,139 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[cosineTopK]] — brute-force all-pairs cosine top-k: the
+  *    correctness baseline. O(n²·d) with the codegen'd
+  *    [[DotProductExpr]] kernel; right answer at any scale where n²
+  *    pairs are tractable.
+  *  - [[lshTopK]] — random-hyperplane LSH: L tables × b hyperplane sign
+  *    bits per vector (one map stage), bucket equi-join for candidates,
+  *    exact cosine re-rank of candidates only. This is the 100 TB path:
+  *    the only all-corpus shuffle carries (id, table, bucket) triples,
+  *    and pair work is confined to buckets. Recall tunes with (L, b).
+  *
+  * Hyperplanes are pseudo-random but fully deterministic arithmetic —
+  * component (p, j) = ((2654435761·(p·dim+j) + 40503) mod P)/P − ½ —
+  * so results are reproducible across runs, partitionings, and the SQL
+  * oracle (no RNG state, no driver-side materialization to broadcast).
+  */
+object Ann {
+
+  val P: Long = graft.text.TextOps.P
+  val C1 = 2654435761L
+  val C2 = 40503L
+
+  /** Hyperplane component (plane p, coordinate j) in [−½, ½). */
+  def planeComp(p: Column, j: Column, dim: Int): Column =
+    (((lit(C1) * (p.cast("long") * dim + j.cast("long")) + lit(C2)) % lit(P))
+      .cast("double") / lit(P.toDouble)) - lit(0.5)
+
+  /** Signed projection of `vec` onto plane p (sequential fold — exact
+    * parity with the oracle's list_reduce).
+    */
+  private def planeDot(vec: Column, p: Column, dim: Int): Column =
+    aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+      (acc, j) => acc + element_at(vec, j).cast("double") *
+        planeComp(p, j - 1, dim))
+
+  /** Length-L array of bucket ids: table t's bucket packs the sign bits
+    * of planes t·b … t·b+b−1. Planes are evaluated once each
+    * (single-pass transform), then packed per table.
+    */
+  def lshBuckets(vec: Column, dim: Int, tables: Int, bitsPerTable: Int): Column = {
+    val signs = transform(sequence(lit(0), lit(tables * bitsPerTable - 1)),
+      p => when(planeDot(vec, p, dim) > 0, lit(1L)).otherwise(lit(0L)))
+    transform(sequence(lit(0), lit(tables - 1)),
+      t => aggregate(
+        zip_with(
+          slice(signs, t * lit(bitsPerTable) + lit(1), lit(bitsPerTable)),
+          sequence(lit(0L), lit(bitsPerTable - 1L)),
+          (s, b) => s * pow(lit(2.0), b.cast("double")).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+  }
+
+  /** Brute-force cosine top-k neighbors for each query vector
+    * (`queryPred` restricts the query side; targets are all vectors).
+    * Output: (a, b, rank, cos), rank 1..k by (cos desc, b asc).
+    */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                 queryPred: Column = lit(true)): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("n2", GraftFunctions.norm2(col("vec")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = v.where(queryPred)
+    rerank(q, v, k)
+  }
+
+  /** LSH-bucketed top-k: candidates share ≥1 table bucket with the
+    * query; exact cosine re-rank within candidates. May return < k rows
+    * per query (approximate by design).
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              dim: Int, tables: Int = 4, bitsPerTable: Int = 8,
+              queryPred: Column = lit(true)): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("n2", GraftFunctions.norm2(col("vec")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bk = v.select(col("id"),
+        posexplode(lshBuckets(col("vec"), dim, tables, bitsPerTable)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // candidate (query, target) pairs sharing any bucket
+    val cand = bk.as("qx").where(queryPredOnId(queryPred))
+      .join(bk.as("tx"),
+        col("qx.tbl") === col("tx.tbl") && col("qx.bucket") === col("tx.bucket") &&
+          col("qx.id") =!= col("tx.id"))
+      .select(col("qx.id").as("qid"), col("tx.id").as("tid"))
+      .distinct()
+    val withVecs = cand
+      .join(v.select(col("id").as("qid"), col("vec").as("qvec"), col("n2").as("qn2")), "qid")
+      .join(v.select(col("id").as("tid"), col("vec").as("tvec"), col("n2").as("tn2")), "tid")
+      .select(col("qid").as("a"), col("tid").as("b"),
+        (GraftFunctions.dot(col("qvec"), col("tvec")) /
+          (sqrt(col("qn2")) * sqrt(col("tn2")))).as("cos"))
+    topK(withVecs, k)
+  }
+
+  // queryPred is written against column `id`
+  private def queryPredOnId(p: Column): Column = p
+
+  private def rerank(q: DataFrame, v: DataFrame, k: Int): DataFrame = {
+    val pairs = q.select(col("id").as("a"), col("vec").as("qvec"), col("n2").as("qn2"))
+      .join(v.select(col("id").as("b"), col("vec").as("tvec"), col("n2").as("tn2")),
+        col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        (GraftFunctions.dot(col("qvec"), col("tvec")) /
+          (sqrt(col("qn2")) * sqrt(col("tn2")))).as("cos"))
+    topK(pairs, k)
+  }
+
+  private def topK(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("a").orderBy(desc("cos"), asc("b"))))
+      .where(col("rank") <= k)
+      .select(col("a"), col("b"), col("rank"), round(col("cos"), 6).as("cos"))
+
+  /** DuckDB oracle twins. */
+  object Sql {
+    def planeComp(p: String, j: String, dim: Int): String =
+      s"((CAST(($C1 * (($p) * $dim + ($j)) + $C2) % $P AS DOUBLE) / $P.0) - 0.5)"
+
+    def planeDot(vec: String, p: String, dim: Int): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $dim), j -> CAST(($vec)[j] AS DOUBLE) * ${planeComp(p, "j - 1", dim)})), (acc, x) -> acc + x)"
+
+    def lshBuckets(vec: String, dim: Int, tables: Int, bitsPerTable: Int): String = {
+      val signs = s"list_transform(generate_series(0, ${tables * bitsPerTable - 1}), p -> CASE WHEN ${planeDot(vec, "p", dim)} > 0 THEN 1::BIGINT ELSE 0::BIGINT END)"
+      s"list_transform(generate_series(0, ${tables - 1}), t -> list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $bitsPerTable), b -> ($signs)[t * $bitsPerTable + b] * CAST(power(2.0, CAST(b - 1 AS DOUBLE)) AS BIGINT))), (acc, x) -> acc + x))"
+    }
+  }
+}

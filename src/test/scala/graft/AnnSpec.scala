@@ -1,0 +1,98 @@
+package graft
+
+import graft.sim.{Ann, GraftFunctions, VectorMath}
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clustered(nClusters: Int, perCluster: Int, dim: Int) = {
+    // deterministic clusters: center c has 1.0 in coords [4c, 4c+4); members
+    // add a small deterministic perturbation
+    val rows = for {
+      c <- 0 until nClusters
+      m <- 0 until perCluster
+    } yield {
+      val v = Array.fill(dim)(0.0f)
+      for (j <- 4 * c until math.min(4 * c + 4, dim)) v(j) = 1.0f
+      v((c * 7 + m) % dim) += 0.05f * ((m % 3) + 1)
+      ((c * perCluster + m).toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("codegen dot kernel is bitwise-identical to the interpreted fold") {
+    GraftFunctions.register(spark)
+    val df = clustered(4, 5, 16)
+    val both = df.as("x").join(df.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(
+        GraftFunctions.dot(col("x.embedding"), col("y.embedding")).as("fast"),
+        VectorMath.dot(col("x.embedding"), col("y.embedding")).as("slow"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("dot kernel handles float and double arrays") {
+    GraftFunctions.register(spark)
+    val d = Seq((Seq(1.0f, 2.0f), Seq(3.0, 4.0))).toDF("f", "d")
+    val r = d.select(
+      GraftFunctions.dot(col("f"), col("f")),
+      GraftFunctions.dot(col("d"), col("d")),
+      GraftFunctions.dot(col("f"), col("d"))).head
+    assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 25.0 && r.getDouble(2) == 11.0)
+  }
+
+  test("cosineTopK: nearest neighbors are same-cluster members") {
+    val df = clustered(5, 4, 20)
+    val top = Ann.cosineTopK(df, "vec_id", "embedding", k = 3)
+      .collect()
+      .groupBy(_.getAs[Long]("a"))
+    top.foreach { case (a, rows) =>
+      val cluster = a / 4
+      rows.foreach { r =>
+        assert(r.getAs[Long]("b") / 4 == cluster,
+          s"query $a got cross-cluster neighbor ${r.getAs[Long]("b")}")
+      }
+    }
+  }
+
+  test("cosineTopK ranks are 1..k with descending cosine") {
+    val df = clustered(3, 5, 12)
+    val rows = Ann.cosineTopK(df, "vec_id", "embedding", k = 3)
+      .orderBy("a", "rank").collect()
+    rows.groupBy(_.getAs[Long]("a")).foreach { case (_, rs) =>
+      val ranked = rs.sortBy(_.getAs[Int]("rank"))
+      assert(ranked.map(_.getAs[Int]("rank")).toSeq == (1 to ranked.length))
+      val cs = ranked.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("lshTopK recall vs brute force on well-separated clusters") {
+    val df = clustered(5, 4, 20)
+    val brute = Ann.cosineTopK(df, "vec_id", "embedding", k = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(df, "vec_id", "embedding", k = 2,
+      dim = 20, tables = 4, bitsPerTable = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // LSH is approximate, but same-cluster vectors are near-identical:
+    // demand decent recall and zero cross-cluster junk in the top ranks
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low")
+    approx.foreach { case (a, b) => assert(a / 4 == b / 4) }
+  }
+
+  test("lshBuckets are deterministic across evaluations") {
+    val df = clustered(2, 3, 8)
+    val b1 = df.select(col("vec_id"), Ann.lshBuckets(col("embedding"), 8, 2, 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b2 = df.select(col("vec_id"), Ann.lshBuckets(col("embedding"), 8, 2, 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(b1 == b2)
+    assert(b1.values.forall(_.forall(v => v >= 0 && v < 16)))
+  }
+}
