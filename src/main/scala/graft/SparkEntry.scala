@@ -353,6 +353,64 @@ object SparkEntry {
         bitsPerTable = 8, queryPred = col("id") < 100)
       .orderBy("a", "rank")
 
+  // --- joins, sampling, augmentation --------------------------------- //
+
+  /** J — multiway star join with broadcast dims: revenue by nation for
+    * one region+year. lineitem⋈orders shuffles on the fact keys; nation
+    * and region are broadcast (no shuffle); the date filter pushes into
+    * the orders scan. The canonical 100 TB join shape.
+    */
+  private def qJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = SparkEntry.li(s, dir)
+    val ord = Tables.load(s, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val cust = Tables.load(s, dir, "customer")
+    val nat = Tables.load(s, dir, "nation")
+    val reg = Tables.load(s, dir, "region").where(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(Stats.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+  }
+
+  /** R1' — deterministic content-hash sampling (the engine's scale-sane
+    * replacement for RNG sampling: stable under retries and engine
+    * changes), verified via grouped aggregates of the sampled set.
+    */
+  private def qHashSample(s: SparkSession, dir: String): DataFrame =
+    graft.aug.Sampling.hashSample(li(s, dir), "l_orderkey", 0.1, seed = 42L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(Stats.dsum(col("l_extendedprice")), 4).as("sum_price"))
+      .orderBy("l_returnflag")
+
+  /** R2 — deterministic SMOTE: 50 synthetic minority rows (label=7) by
+    * k-NN interpolation over embeddings; checksummed via the synthetic
+    * vector's squared norm.
+    */
+  private def qSmote(s: SparkSession, dir: String): DataFrame =
+    graft.aug.Smote.oversample(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", col("label") === 7, k = 5, target = 50)
+      .select(col("synth_id"), col("a"), col("b"), round(col("u"), 6).as("u"),
+        round(graft.sim.GraftFunctions.norm2(col("vec")), 6).as("vec_norm2"))
+      .orderBy("synth_id")
+
+  /** R1/R3 — Spark-native seeded sample + full shuffle (rows-only:
+    * rand(seed) is engine-specific by nature).
+    */
+  private def qSampleShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.aug.Sampling.shuffle(
+      graft.aug.Sampling.seededSample(li(s, dir), 0.01, seed = 42L), seed = 42L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .limit(1000)
+
   /** A9 — per-group population and sample variance (exact-sum identity). */
   private def qVariance(s: SparkSession, dir: String): DataFrame =
     li(s, dir).groupBy(col("l_returnflag"))
@@ -367,7 +425,7 @@ object SparkEntry {
   /** Queries deliberately registered without an oracle (non-SQL-expressible
     * or nondeterministic by nature) — the driver records a rows-only check.
     */
-  def rowsOnlyQueries: Set[String] = Set()
+  def rowsOnlyQueries: Set[String] = Set("q34_sample_shuffle")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (qPricingSummary _),
@@ -399,7 +457,11 @@ object SparkEntry {
     "q27_simhash_pairs" -> (qSimHashPairs _),
     "q28_cosine_dups" -> (qCosineDups _),
     "q29_cosine_topk" -> (qCosineTopK _),
-    "q30_lsh_ann" -> (qLshAnn _)
+    "q30_lsh_ann" -> (qLshAnn _),
+    "q31_join_revenue" -> (qJoinRevenue _),
+    "q32_hash_sample" -> (qHashSample _),
+    "q33_smote" -> (qSmote _),
+    "q34_sample_shuffle" -> (qSampleShuffle _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -692,6 +754,48 @@ object SparkEntry {
          | r AS (SELECT a, b, cos, row_number() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS rank FROM p)
          | SELECT a, b, rank, round(cos, 6) AS cos FROM r WHERE rank <= 3
          | ORDER BY a, rank""".stripMargin.replaceAll("\n", " ")
+    },
+    "q31_join_revenue" ->
+      s"""SELECT n_name,
+         | round(${dsumSql("l_extendedprice*(1.0-l_discount)")}, 4) AS revenue,
+         | count(*) AS n_lines
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         | WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         | GROUP BY n_name ORDER BY n_name""".stripMargin.replaceAll("\n", " "),
+    "q32_hash_sample" -> {
+      import graft.aug.Sampling.{Sql => Smp}
+      s"""SELECT l_returnflag, count(*) AS n,
+         | round(${dsumSql("l_extendedprice")}, 4) AS sum_price
+         | FROM lineitem WHERE ${Smp.samplePred("l_orderkey", 0.1, 42L)}
+         | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " ")
+    },
+    "q33_smote" -> {
+      import graft.sim.VectorMath.{Sql => V}
+      val P = graft.text.TextOps.P
+      s"""WITH m0 AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE label = 7),
+         | m AS (SELECT id, vec, CAST(row_number() OVER (ORDER BY id) AS BIGINT) - 1 AS rn,
+         |   ${V.norm2("vec")} AS n2 FROM m0),
+         | nn0 AS (SELECT x.rn AS arn, y.rn AS brn,
+         |   (x.n2 + y.n2 - 2.0 * ${V.dot("x.vec", "y.vec")}) AS d2
+         |   FROM m x JOIN m y ON x.id <> y.id),
+         | nn AS (SELECT arn, brn, row_number() OVER (PARTITION BY arn ORDER BY d2 ASC, brn ASC) AS nnrank FROM nn0),
+         | cnt AS (SELECT count(*) AS nm FROM m),
+         | synth AS (SELECT CAST(r AS BIGINT) AS synth_id, CAST(r AS BIGINT) % nm AS arn,
+         |   ((CAST(r AS BIGINT) * 2654435761 + 97) % $P + $P) % $P % 5 + 1 AS pick,
+         |   CAST(((CAST(r AS BIGINT) * 1103515245 + 12345) % $P + $P) % $P AS DOUBLE) / $P.0 AS u
+         |   FROM generate_series(0, 49) g(r), cnt),
+         | picked AS (SELECT synth_id, s.arn, nn.brn, u FROM synth s JOIN nn
+         |   ON nn.arn = s.arn AND nn.nnrank = s.pick),
+         | built AS (SELECT synth_id, ma.id AS a, mb.id AS b, u,
+         |   list_transform(generate_series(1, len(ma.vec)),
+         |     i -> CAST(ma.vec[i] AS DOUBLE) + u * (CAST(mb.vec[i] AS DOUBLE) - CAST(ma.vec[i] AS DOUBLE))) AS vec
+         |   FROM picked JOIN m ma ON ma.rn = picked.arn JOIN m mb ON mb.rn = picked.brn)
+         | SELECT synth_id, a, b, round(u, 6) AS u, round(${V.norm2("vec")}, 6) AS vec_norm2
+         | FROM built ORDER BY synth_id""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

@@ -1,0 +1,61 @@
+package graft.aug
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sampling & shuffling operators (reference SURVEY.md §2.7 R1/R3/R4).
+  *
+  * Two families:
+  *  - Spark-native seeded sampling (`sample`/`sampleBy`/`orderBy(rand)`)
+  *    — parity with the reference's numpy-seeded sampling
+  *    (`app/data_augmentation_enhanced.py:229-241`). Deterministic for a
+  *    fixed seed *within Spark* but not reproducible by another engine,
+  *    so these get rows-only verification.
+  *  - [[hashSample]] — content-hash systematic sampling: keep a row iff
+  *    h(key) mod M < fraction·M. Fully deterministic across engines,
+  *    partitionings, and re-runs; this is also the right 100 TB design:
+  *    the sample is stable under retries/backfills (no RNG state), trivially
+  *    parallel, and join-compatible (the same key always lands in the
+  *    same split — e.g. consistent train/test assignment).
+  */
+object Sampling {
+
+  val P: Long = graft.text.TextOps.P
+  private val M = 1000000L
+
+  /** Multiplicative hash of a long key into [0, M). */
+  def keyBucket(key: Column, seed: Long): Column =
+    ((key.cast("long") * lit(2654435761L) + lit(seed) * lit(40503L))
+      % lit(P) + lit(P)) % lit(P) % lit(M)
+
+  /** Deterministic hash sample: rows whose key bucket falls below
+    * fraction·M. Reproducible everywhere; stable under data reordering.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 seed: Long = 42L): DataFrame =
+    df.where(keyBucket(col(keyCol), seed) < lit((fraction * M).toLong))
+
+  /** Seeded Bernoulli sample (Spark-native; reference R1). */
+  def seededSample(df: DataFrame, fraction: Double, seed: Long = 42L,
+                   withReplacement: Boolean = false): DataFrame =
+    df.sample(withReplacement, fraction, seed)
+
+  /** Class-conditional sampling (reference R4): per-class fractions. */
+  def stratifiedSample(df: DataFrame, classCol: String,
+                       fractions: Map[Any, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(classCol, fractions, seed)
+
+  /** Seeded full shuffle (reference R3: `sample(frac=1, random_state)`).
+    * A total order by rand(seed) — one range-partitioned sort at scale.
+    */
+  def shuffle(df: DataFrame, seed: Long = 42L): DataFrame =
+    df.orderBy(rand(seed))
+
+  /** DuckDB oracle twin of [[keyBucket]]/[[hashSample]]'s predicate. */
+  object Sql {
+    def keyBucket(key: String, seed: Long): String =
+      s"((((CAST($key AS BIGINT) * 2654435761 + $seed * 40503) % $P) + $P) % $P) % ${M}"
+    def samplePred(key: String, fraction: Double, seed: Long): String =
+      s"${keyBucket(key, seed)} < ${(fraction * M).toLong}"
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.aug.{Sampling, Smote}
+import org.apache.spark.sql.functions._
+
+class AugSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = spark.read.parquet(s"$sf/lineitem.parquet")
+
+  test("hashSample is deterministic and roughly proportional") {
+    val a = Sampling.hashSample(li, "l_orderkey", 0.1).count()
+    val b = Sampling.hashSample(li, "l_orderkey", 0.1).count()
+    assert(a == b)
+    val total = li.count()
+    assert(a > total * 0.03 && a < total * 0.25, s"sampled $a of $total")
+  }
+
+  test("hashSample is stable under reordering (content-addressed)") {
+    val a = Sampling.hashSample(li, "l_orderkey", 0.1)
+      .select("l_orderkey", "l_linenumber").collect().map(_.toString).sorted
+    val b = Sampling.hashSample(li.orderBy(desc("l_extendedprice")), "l_orderkey", 0.1)
+      .select("l_orderkey", "l_linenumber").collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("seeded sample/shuffle are reproducible for a fixed seed") {
+    val s1 = Sampling.seededSample(li, 0.05, 42L).count()
+    val s2 = Sampling.seededSample(li, 0.05, 42L).count()
+    assert(s1 == s2 && s1 > 0)
+    val o1 = Sampling.shuffle(li.limit(500), 42L).select("l_orderkey").collect()
+    val o2 = Sampling.shuffle(li.limit(500), 42L).select("l_orderkey").collect()
+    assert(o1.toSeq == o2.toSeq)
+  }
+
+  test("stratifiedSample respects per-class fractions approximately") {
+    val s = Sampling.stratifiedSample(li, "l_returnflag",
+      Map[Any, Double]("R" -> 0.2, "A" -> 0.0, "N" -> 0.0), 42L)
+    val flags = s.select("l_returnflag").distinct().as[String].collect().toSet
+    assert(flags == Set("R"))
+  }
+
+  test("smote: target count, u in [0,1), synthetic vec between endpoints") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Smote.oversample(emb, "vec_id", "embedding",
+      col("label") === 1, k = 3, target = 20).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val u = r.getAs[Double]("u")
+      assert(u >= 0.0 && u < 1.0)
+      assert(r.getAs[Long]("a") != r.getAs[Long]("b"))
+      assert(r.getSeq[Double](r.fieldIndex("vec")).length == 64)
+    }
+  }
+
+  test("smote interpolation is exact: vec = va + u*(vb-va)") {
+    val tiny = Seq(
+      (1L, Seq(0.0f, 0.0f), 1), (2L, Seq(1.0f, 2.0f), 1), (3L, Seq(4.0f, 4.0f), 1),
+      (4L, Seq(9.0f, 9.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Smote.oversample(tiny, "vec_id", "embedding",
+      col("label") === 1, k = 2, target = 6).collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      val u = r.getAs[Double]("u")
+      val vec = r.getSeq[Double](r.fieldIndex("vec"))
+      val va = Map(1L -> Seq(0.0, 0.0), 2L -> Seq(1.0, 2.0), 3L -> Seq(4.0, 4.0))
+      val a = va(r.getAs[Long]("a")); val b = va(r.getAs[Long]("b"))
+      vec.indices.foreach { i =>
+        assert(math.abs(vec(i) - (a(i) + u * (b(i) - a(i)))) < 1e-12)
+      }
+    }
+  }
+
+  test("balance yields original + synthetic rows of the minority class") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n0 = emb.count()
+    val out = Smote.balance(emb, "vec_id", "embedding", "label",
+      minorityValue = 1, k = 3, target = 15)
+    assert(out.count() == n0 + 15)
+    assert(out.where(col("vec_id") >= 1000000L).count() == 15)
+  }
+}
