@@ -411,6 +411,43 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       .limit(1000)
 
+  // --- native models: driver fit → broadcast → distributed score ----- //
+
+  /** M1 — Isolation Forest end-to-end (the reference's flagship IF flow,
+    * `app/IsolationForest_AE.py`): fit 100 iTrees on a deterministic
+    * driver pool, broadcast, score every row distributed, flag the p90
+    * tail. Rows-only check (a random forest has no SQL oracle); scores
+    * are reproducible across runs/partitionings by construction.
+    */
+  private def qIsolationForest(s: SparkSession, dir: String): DataFrame = {
+    val feats = array(lineitemNumerics.map(c => col(c).cast("double")): _*)
+    val base = li(s, dir).withColumn("features", feats)
+    val model = graft.score.IsolationForest.fit(
+      base, "l_orderkey", "features", numTrees = 100, maxSamples = 16)
+    val scored = model.transform(base, "features", "if_score")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = graft.core.Quantiles.exactQuantiles(scored, "if_score", Seq(0.9)).head
+    scored.where(col("if_score") > thr)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_anomalies"),
+        round(avg(col("if_score")), 6).as("mean_score"))
+      .orderBy("l_returnflag")
+  }
+
+  /** M2 — linear-AE (PCA) reconstruction-error anomaly ranking over
+    * embeddings: fit top-8 components on the driver pool, broadcast,
+    * score distributed, report the top-20 most anomalous vectors.
+    */
+  private def qLinearAE(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "embeddings")
+      .withColumn("features", col("embedding").cast("array<double>"))
+    val model = graft.score.LinearAE.fit(base, "vec_id", "features", k = 8)
+    model.transform(base, "features", "recon_error")
+      .select(col("vec_id"), round(col("recon_error"), 6).as("recon_error"))
+      .orderBy(desc("recon_error"), asc("vec_id"))
+      .limit(20)
+  }
+
   /** A9 — per-group population and sample variance (exact-sum identity). */
   private def qVariance(s: SparkSession, dir: String): DataFrame =
     li(s, dir).groupBy(col("l_returnflag"))
@@ -425,7 +462,8 @@ object SparkEntry {
   /** Queries deliberately registered without an oracle (non-SQL-expressible
     * or nondeterministic by nature) — the driver records a rows-only check.
     */
-  def rowsOnlyQueries: Set[String] = Set("q34_sample_shuffle")
+  def rowsOnlyQueries: Set[String] =
+    Set("q34_sample_shuffle", "q35_iforest", "q36_linear_ae")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (qPricingSummary _),
@@ -461,7 +499,9 @@ object SparkEntry {
     "q31_join_revenue" -> (qJoinRevenue _),
     "q32_hash_sample" -> (qHashSample _),
     "q33_smote" -> (qSmote _),
-    "q34_sample_shuffle" -> (qSampleShuffle _)
+    "q34_sample_shuffle" -> (qSampleShuffle _),
+    "q35_iforest" -> (qIsolationForest _),
+    "q36_linear_ae" -> (qLinearAE _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
