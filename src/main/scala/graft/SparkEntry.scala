@@ -448,6 +448,41 @@ object SparkEntry {
       .limit(20)
   }
 
+  // --- multimodal binary + grid search ------------------------------- //
+
+  /** X1 — multimodal binary plumbing: text encoded to a binary payload
+    * (stand-in for image/audio bytes), typed metadata struct attached,
+    * byte-level metadata extracted (length, rolling byte hash, histogram
+    * checksum). Byte ops run in JVM UDFs over the blob — the engine's
+    * mapInPandas-analog boundary; everything around stays codegen'd.
+    */
+  private def qBinaryMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    val bin = Binary.withMeta(
+      doc(s, dir).withColumn("content", encode(col("text"), "UTF-8")),
+      "content", mediaType = lit("text/plain"))
+    bin.select(col("doc_id"),
+      col("media_meta.media_type").as("media_type"),
+      length(col("content")).cast("long").as("n_bytes"),
+      Binary.byteHashCol(col("content")).as("byte_hash"),
+      aggregate(Binary.byteHistogramCol(col("content")),
+        lit(0L), (acc, x) => acc + x * x).as("hist_checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** A15 — single-pass grid search: F1 at each quantile threshold of the
+    * score, 30 conditional aggregates in one scan (no grid cross join).
+    */
+  private def qGridThreshold(s: SparkSession, dir: String): DataFrame = {
+    val d = li(s, dir)
+      .withColumn("label", when(col("l_returnflag") === "R", 1).otherwise(0))
+    graft.eval.GridSearch.thresholdGrid(d, "label", "l_extendedprice",
+        Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.95))
+      .select(col("p"), round(col("threshold"), 4).as("threshold"),
+        col("tp"), col("fp"), col("fn"), round(col("f1"), 6).as("f1"))
+      .orderBy("p")
+  }
+
   /** A9 — per-group population and sample variance (exact-sum identity). */
   private def qVariance(s: SparkSession, dir: String): DataFrame =
     li(s, dir).groupBy(col("l_returnflag"))
@@ -501,7 +536,9 @@ object SparkEntry {
     "q33_smote" -> (qSmote _),
     "q34_sample_shuffle" -> (qSampleShuffle _),
     "q35_iforest" -> (qIsolationForest _),
-    "q36_linear_ae" -> (qLinearAE _)
+    "q36_linear_ae" -> (qLinearAE _),
+    "q37_binary_meta" -> (qBinaryMeta _),
+    "q38_grid_threshold" -> (qGridThreshold _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -836,6 +873,33 @@ object SparkEntry {
          |   FROM picked JOIN m ma ON ma.rn = picked.arn JOIN m mb ON mb.rn = picked.brn)
          | SELECT synth_id, a, b, round(u, 6) AS u, round(${V.norm2("vec")}, 6) AS vec_norm2
          | FROM built ORDER BY synth_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q37_binary_meta" -> {
+      val codes = "list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> ascii(c)::BIGINT)"
+      val byteHash = s"list_reduce(list_prepend(13::BIGINT, $codes), (acc, b) -> (acc * 31 + b) % ${graft.multimodal.Binary.P})"
+      val hist = s"list_transform(generate_series(0, 15), b -> len(list_filter($codes, c -> (c // 16) = b))::BIGINT)"
+      s"""SELECT doc_id, 'text/plain' AS media_type,
+         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         | $byteHash AS byte_hash,
+         | list_reduce(list_prepend(0::BIGINT, list_transform($hist, x -> x * x)), (a, b) -> a + b) AS hist_checksum
+         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q38_grid_threshold" -> {
+      val grid = Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.95).map(p =>
+        s"SELECT CAST($p AS DOUBLE) AS p, quantile_cont(s, $p) AS thr FROM d")
+        .mkString(" UNION ALL ")
+      s"""WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         |   CAST(l_extendedprice AS DOUBLE) AS s FROM lineitem),
+         | g AS ($grid),
+         | c AS (SELECT p, thr,
+         |   count(*) FILTER (WHERE s > thr AND y = 1) AS tp,
+         |   count(*) FILTER (WHERE s > thr AND y = 0) AS fp,
+         |   count(*) FILTER (WHERE NOT (s > thr) AND y = 1) AS fn
+         |   FROM d, g GROUP BY p, thr)
+         | SELECT p, round(thr, 4) AS threshold, tp, fp, fn,
+         |  round(CASE WHEN 2*tp+fp+fn = 0 THEN NULL
+         |    ELSE 2.0*tp/(2*tp+fp+fn) END, 6) AS f1
+         | FROM c ORDER BY p""".stripMargin.replaceAll("\n", " ")
     }
   )
 }
