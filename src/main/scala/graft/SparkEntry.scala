@@ -322,9 +322,12 @@ object SparkEntry {
     graft.dedup.SimHash.fingerprints(doc(s, dir), "doc_id", "text")
       .orderBy("id")
 
-  /** D5 — SimHash Hamming-distance near-dup pairs (≤ 1 bit). */
+  /** D5 — SimHash Hamming-distance near-dup pairs (≤ 1 bit), via the
+    * exact banded path (pigeonhole: ≤1 differing bit ⇒ ≥2 intact
+    * chunks), verified against the brute-force oracle.
+    */
   private def qSimHashPairs(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.SimHash.hammingPairs(doc(s, dir), "doc_id", "text", maxDist = 1)
+    graft.dedup.SimHash.nearPairs(doc(s, dir), "doc_id", "text", maxDist = 1)
       .orderBy("a", "b")
 
   /** D6 — embedding-cosine near-dup pairs over the embeddings table. */
@@ -426,7 +429,11 @@ object SparkEntry {
       base, "l_orderkey", "features", numTrees = 100, maxSamples = 16)
     val scored = model.transform(base, "features", "if_score")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val thr = graft.core.Quantiles.exactQuantiles(scored, "if_score", Seq(0.9)).head
+    // approx quantile (mergeable sketch, no global sort) — the scale
+    // path for thresholds on distributed scores; deterministic
+    val thr = scored
+      .agg(graft.core.Quantiles.approx(col("if_score"), Seq(0.9)))
+      .head.getSeq[Double](0).head
     scored.where(col("if_score") > thr)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_anomalies"),

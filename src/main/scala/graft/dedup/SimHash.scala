@@ -102,6 +102,24 @@ object SimHash {
       .distinct()
   }
 
+  /** Near-dup pairs with Hamming ≤ maxDist, choosing the cheapest EXACT
+    * strategy: when maxDist < bits/8, any qualifying pair has at least
+    * one intact 8-bit chunk (pigeonhole), so the banded bucket join
+    * finds every such pair — same answer as the all-pairs scan at a
+    * fraction of the pair work. Falls back to the quadratic scan
+    * otherwise. This is the 100 TB default.
+    */
+  def nearPairs(df: DataFrame, idCol: String, textCol: String,
+                maxDist: Int, bits: Int = DefaultBits): DataFrame = {
+    val chunks = bits / 8
+    if (maxDist < chunks)
+      bandCandidates(df, idCol, textCol, bits)
+        .where(col("hamming") <= maxDist)
+        .select("a", "b", "hamming")
+    else
+      hammingPairs(df, idCol, textCol, maxDist, bits)
+  }
+
   /** DuckDB oracle twins. */
   object Sql {
     def simhash(x: String, bits: Int = DefaultBits): String = {

@@ -42,13 +42,17 @@ object Ann {
       (acc, j) => acc + element_at(vec, j).cast("double") *
         planeComp(p, j - 1, dim))
 
-  /** Length-L array of bucket ids: table t's bucket packs the sign bits
-    * of planes t·b … t·b+b−1. Planes are evaluated once each
-    * (single-pass transform), then packed per table.
+  /** Sign-bit array of `vec` against the first `nPlanes` hyperplanes
+    * (each plane's projection evaluated exactly once).
     */
-  def lshBuckets(vec: Column, dim: Int, tables: Int, bitsPerTable: Int): Column = {
-    val signs = transform(sequence(lit(0), lit(tables * bitsPerTable - 1)),
+  def planeSigns(vec: Column, dim: Int, nPlanes: Int): Column =
+    transform(sequence(lit(0), lit(nPlanes - 1)),
       p => when(planeDot(vec, p, dim) > 0, lit(1L)).otherwise(lit(0L)))
+
+  /** Pack a sign array into per-table bucket ids (table t packs bits
+    * t·b … t·b+b−1).
+    */
+  def bucketsFromSigns(signs: Column, tables: Int, bitsPerTable: Int): Column =
     transform(sequence(lit(0), lit(tables - 1)),
       t => aggregate(
         zip_with(
@@ -56,7 +60,15 @@ object Ann {
           sequence(lit(0L), lit(bitsPerTable - 1L)),
           (s, b) => s * pow(lit(2.0), b.cast("double")).cast("long")),
         lit(0L), (acc, x) => acc + x))
-  }
+
+  /** Length-L array of bucket ids. NOTE for hot paths: this single
+    * expression re-evaluates the sign subtree once per table (lambda
+    * inlining); [[lshTopK]] hoists [[planeSigns]] into its own
+    * projection so the 32 plane dots run once per vector.
+    */
+  def lshBuckets(vec: Column, dim: Int, tables: Int, bitsPerTable: Int): Column =
+    bucketsFromSigns(planeSigns(vec, dim, tables * bitsPerTable),
+      tables, bitsPerTable)
 
   /** Brute-force cosine top-k neighbors for each query vector
     * (`queryPred` restricts the query side; targets are all vectors).
@@ -83,8 +95,11 @@ object Ann {
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .withColumn("n2", GraftFunctions.norm2(col("vec")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bk = v.select(col("id"),
-        posexplode(lshBuckets(col("vec"), dim, tables, bitsPerTable)))
+    val bk = v
+      .select(col("id"),
+        planeSigns(col("vec"), dim, tables * bitsPerTable).as("signs"))
+      .select(col("id"),
+        posexplode(bucketsFromSigns(col("signs"), tables, bitsPerTable)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // candidate (query, target) pairs sharing any bucket

@@ -1,0 +1,96 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(minute * 60000L)
+
+  test("windowedStats: watermarked sliding windows aggregate per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamOps.windowedStats(
+      in.toDF.toDF("ts", "user", "value"),
+      "ts", "user", "value", "10 minutes", "5 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("ws")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), "u1", 10.0), (ts(2), "u1", 20.0), (ts(3), "u2", 5.0))
+      q.processAllAvailable()
+      // advance event time far past watermark to close the early windows
+      in.addData((ts(60), "u1", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ws").collect()
+      val u1 = rows.filter(r => r.getAs[String]("user") == "u1" &&
+        r.getAs[Timestamp]("window_start").getTime == 0L)
+      assert(u1.length == 1)
+      assert(u1.head.getAs[Long]("n") == 2L)
+      assert(u1.head.getAs[Double]("value_sum") == 30.0)
+    } finally q.stop()
+  }
+
+  test("foreachBatchScorer applies a fitted batch model per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // fit a linear AE on static rank-1 data, then score a stream with it
+    val fitDf = (0 until 50).map(i => (i.toLong, Seq(i * 0.1, i * 0.1)))
+      .toDF("id", "features")
+    val model = graft.score.LinearAE.fit(fitDf, "id", "features", k = 1,
+      sampleSize = 50)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val q = StreamOps.foreachBatchScorer(
+      in.toDF.toDF("id", "features"),
+      batch => model.transform(batch, "features", "err"),
+      (scored, _) => seen.synchronized {
+        seen ++= scored.select("id", "err").collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+      },
+      ckpt)
+    try {
+      in.addData((1L, Seq(0.5, 0.5)), (2L, Seq(5.0, -5.0)))
+      q.awaitTermination()
+      val m = seen.toMap
+      assert(m(1L) < 1e-10)   // on the learned subspace
+      assert(m(2L) > 1.0)     // far off-subspace
+    } finally q.stop()
+  }
+
+  test("runningMaxPerKey keeps cumulative state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val out = StreamOps.runningMaxPerKey(in.toDF.toDF("k", "v"), "k", "v")
+    val q = out.writeStream.format("memory").queryName("rm")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(("a", 1.0), ("a", 3.0), ("b", 2.0))
+      q.processAllAvailable()
+      in.addData(("a", 2.0), ("b", 9.0))
+      q.processAllAvailable()
+      val last = spark.table("rm").collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(last("a") == 3.0) // 2.0 did not lower the running max
+      assert(last("b") == 9.0)
+    } finally q.stop()
+  }
+
+  test("thresholdAlerts is a stateless pass-through filter") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val out = StreamOps.thresholdAlerts(in.toDF.toDF("id", "score"), "score", 0.5)
+    val q = out.writeStream.format("memory").queryName("ta")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, 0.1), (2L, 0.9), (3L, 0.6))
+      q.processAllAvailable()
+      val ids = spark.table("ta").select("id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(2L, 3L))
+    } finally q.stop()
+  }
+}
