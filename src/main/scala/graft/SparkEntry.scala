@@ -490,6 +490,76 @@ object SparkEntry {
       .orderBy("p")
   }
 
+  // --- reconstruction-error scoring (F1/F2) -------------------------- //
+
+  /** F1 — variance-normalized MAE record scoring (`lib/utils.py:39-63`):
+    * x̂ = per-feature train means (the trivial linear reconstruction),
+    * vars = population variances (np.var semantics), score thresholded
+    * at p95 — the Dense-AE flow with an oracle-checkable reconstruction.
+    */
+  private def qReconMae(s: SparkSession, dir: String): DataFrame = {
+    val cols = lineitemNumerics
+    val df = li(s, dir)
+    val aggs = cols.flatMap { c =>
+      val d = col(c).cast(DoubleType)
+      Seq(Stats.dmean(d).as(s"${c}__mu"), Stats.dvarPop(d).as(s"${c}__var"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val mus = cols.indices.map(i => r.getDouble(2 * i))
+    val vars = cols.indices.map(i => r.getDouble(2 * i + 1))
+    val x = array(cols.map(col(_).cast(DoubleType)): _*)
+    val xhat = array(mus.map(lit): _*)
+    val scored = df.withColumn("score",
+        graft.score.ReconstructionError.varNormalizedMae(x, xhat, vars))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = Quantiles.exactQuantiles(scored, "score", Seq(0.95)).head
+    scored.where(col("score") > thr)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("score"), 6).as("recon_mae"))
+      .orderBy(desc("recon_mae"), asc("l_orderkey"), asc("l_linenumber"))
+  }
+
+  /** F2 — sequence reconstruction scoring over the W1 sliding windows:
+    * per-timestep F1 against the global mean, averaged over the window.
+    */
+  private def qSeqReconMae(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val r = e.agg(
+      Stats.dmean(col("value").cast(DoubleType)),
+      Stats.dvarPop(col("value").cast(DoubleType))).head()
+    val (mu, vr) = (r.getDouble(0), r.getDouble(1))
+    graft.seq.Sequencer
+      .slidingSequences(e, Seq("user_id"), seqOrder, col("value"), seqT)
+      .select(col("user_id"), col("row_id"),
+        round(graft.score.ReconstructionError.seqVarNormalizedMae(
+          transform(col("seq"), v => array(v)), Seq(mu), Seq(vr)), 6)
+          .as("seq_recon_mae"))
+      .orderBy("user_id", "row_id")
+  }
+
+  /** S6/A2-A5 — the full fitted feature pipeline end-to-end (impute →
+    * frequency-index → assemble → standardize), checksummed per group.
+    * The reference's `Pipeline.fit/transform` flow in one query.
+    */
+  private def qFeaturePipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.features.FeaturePipeline
+    val base = li(s, dir).withColumn("qty_n",
+      when(col("l_orderkey") % 7 === 0, lit(null).cast(DoubleType))
+        .otherwise(col("l_quantity").cast(DoubleType)))
+    val spec = FeaturePipeline.Spec(
+      imputeCols = Seq("qty_n"),
+      imputeStrategy = graft.features.Imputers.Mean,
+      indexCols = Seq("l_returnflag", "l_linestatus"),
+      numericCols = Seq("qty_n", "l_extendedprice"),
+      standardize = true)
+    FeaturePipeline.fit(base, spec).transform(base)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(Stats.dsum(aggregate(col("features"), lit(0.0), (a, x) => a + x)), 4)
+          .as("feat_checksum"))
+      .orderBy("l_returnflag")
+  }
+
   /** A9 — per-group population and sample variance (exact-sum identity). */
   private def qVariance(s: SparkSession, dir: String): DataFrame =
     li(s, dir).groupBy(col("l_returnflag"))
@@ -545,7 +615,10 @@ object SparkEntry {
     "q35_iforest" -> (qIsolationForest _),
     "q36_linear_ae" -> (qLinearAE _),
     "q37_binary_meta" -> (qBinaryMeta _),
-    "q38_grid_threshold" -> (qGridThreshold _)
+    "q38_grid_threshold" -> (qGridThreshold _),
+    "q39_recon_mae" -> (qReconMae _),
+    "q40_seq_recon_mae" -> (qSeqReconMae _),
+    "q41_feature_pipeline" -> (qFeaturePipeline _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -907,6 +980,65 @@ object SparkEntry {
          |  round(CASE WHEN 2*tp+fp+fn = 0 THEN NULL
          |    ELSE 2.0*tp/(2*tp+fp+fn) END, 6) AS f1
          | FROM c ORDER BY p""".stripMargin.replaceAll("\n", " ")
+    },
+    "q39_recon_mae" -> {
+      val stats = lineitemNumerics.map { c =>
+        s"${Stats.Sql.dmean(c)} AS mu_$c, ${Stats.Sql.dvarPop(c)} AS var_$c"
+      }.mkString(", ")
+      // same fold order as the Spark side: ((((0+t1)+t2)+t3)+t4)/4
+      // (0.0+x == x exactly in IEEE for finite x)
+      val terms = lineitemNumerics.map(c =>
+        s"abs(CAST($c AS DOUBLE) - mu_$c) / greatest(var_$c, 0.000001)")
+        .mkString(" + ")
+      s"""WITH s AS (SELECT $stats FROM lineitem),
+         | sc AS (SELECT l_orderkey, l_linenumber, ($terms) / ${lineitemNumerics.size}.0 AS score
+         |   FROM lineitem, s),
+         | thr AS (SELECT quantile_cont(score, 0.95) AS t FROM sc)
+         | SELECT l_orderkey, l_linenumber, round(score, 6) AS recon_mae
+         | FROM sc, thr WHERE score > t
+         | ORDER BY recon_mae DESC, l_orderkey, l_linenumber""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q40_seq_recon_mae" -> {
+      val mu = Stats.Sql.dmean("value")
+      val vr = Stats.Sql.dvarPop("value")
+      s"""WITH s AS (SELECT $mu AS mu, $vr AS vr FROM events),
+         | d AS (SELECT user_id,
+         |   row_number() OVER w AS row_id,
+         |   count(*)     OVER v AS n5,
+         |   list(CAST(value AS DOUBLE)) OVER v AS vals
+         |   FROM events
+         |   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         |          v AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         | SELECT user_id, row_id,
+         |  round(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(vals, x -> (0.0 + abs(x - mu) / greatest(vr, 0.000001)) / 1.0)),
+         |    (acc, t) -> acc + t) / 5.0, 6) AS seq_recon_mae
+         | FROM d, s WHERE n5 = 5 ORDER BY user_id, row_id""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q41_feature_pipeline" -> {
+      def mu(x: String) = Stats.Sql.dmean(x)
+      def sd(x: String) = Stats.Sql.dstddevSamp(x)
+      s"""WITH base AS (SELECT l_returnflag, l_linestatus,
+         |   CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE CAST(l_quantity AS DOUBLE) END AS qty_n,
+         |   CAST(l_extendedprice AS DOUBLE) AS price FROM lineitem),
+         | fill AS (SELECT ${Stats.Sql.dsum("qty_n")} / count(qty_n) AS f FROM base),
+         | rf AS (SELECT l_returnflag AS v, CAST(row_number() OVER (ORDER BY count(*) DESC, l_returnflag ASC) AS BIGINT) - 1 AS idx
+         |   FROM base WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag),
+         | lst AS (SELECT l_linestatus AS v, CAST(row_number() OVER (ORDER BY count(*) DESC, l_linestatus ASC) AS BIGINT) - 1 AS idx
+         |   FROM base WHERE l_linestatus IS NOT NULL GROUP BY l_linestatus),
+         | feat AS (SELECT b.l_returnflag, coalesce(b.qty_n, fill.f) AS f1, b.price AS f2,
+         |   CAST(rf.idx AS DOUBLE) AS f3, CAST(lst.idx AS DOUBLE) AS f4
+         |   FROM base b JOIN rf ON rf.v = b.l_returnflag JOIN lst ON lst.v = b.l_linestatus CROSS JOIN fill),
+         | st AS (SELECT ${mu("f1")} AS mu1, ${sd("f1")} AS sd1, ${mu("f2")} AS mu2, ${sd("f2")} AS sd2,
+         |   ${mu("f3")} AS mu3, ${sd("f3")} AS sd3, ${mu("f4")} AS mu4, ${sd("f4")} AS sd4 FROM feat),
+         | z AS (SELECT l_returnflag,
+         |   ((f1 - mu1) / sd1 + (f2 - mu2) / sd2 + (f3 - mu3) / sd3 + (f4 - mu4) / sd4) AS fs
+         |   FROM feat, st)
+         | SELECT l_returnflag, count(*) AS n, round(${Stats.Sql.dsum("fs")}, 4) AS feat_checksum
+         | FROM z GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        .replaceAll("\n", " ")
     }
   )
 }

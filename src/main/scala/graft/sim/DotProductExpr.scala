@@ -87,8 +87,9 @@ case class DotProductExpr(left: Expression, right: Expression)
 /** Session registration for graft's native functions. Idempotent. */
 object GraftFunctions {
   val DotName = "graft_dot"
+  val StrHashName = "graft_strhash"
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName,
       { args: Seq[Expression] =>
@@ -96,6 +97,18 @@ object GraftFunctions {
         DotProductExpr(args(0), args(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      StrHashName,
+      { args: Seq[Expression] =>
+        require(args.length == 2, s"$StrHashName takes 2 arguments")
+        StrHashExpr(args(0), args(1))
+      },
+      "built-in")
+  }
+
+  /** Codegen'd polynomial string hash (requires [[register]]). */
+  def strHash(c: Column, seed: Long): Column =
+    F.call_function(StrHashName, c, F.lit(seed))
 
   /** Codegen'd dot product (requires [[register]] on the session). */
   def dot(a: Column, b: Column): Column = F.call_function(DotName, a, b)

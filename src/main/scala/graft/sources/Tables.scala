@@ -21,6 +21,9 @@ object Tables {
     // by default; read as LongType nanos (order-isomorphic — we only ever
     // sort/bucket on it, never display it).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // graft's native expressions (graft_dot, graft_strhash) ride every
+    // query path; registration is idempotent
+    graft.sim.GraftFunctions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -40,8 +40,19 @@ object TextOps {
 
   /** Deterministic polynomial hash of a string: fold over characters,
     * h := (h*31 + ascii(c)) mod P. Oracle-parity twin of `Sql.strHash`.
+    *
+    * Dispatches to the native codegen kernel
+    * ([[graft.sim.StrHashExpr]], one static call per value instead of
+    * one lambda invocation per character); sessions are registered by
+    * `Tables.load` / `GraftFunctions.register`. [[strHashHof]] is the
+    * pure higher-order form (identical results on BMP text, no session
+    * registration needed) kept for parity testing.
     */
   def strHash(c: Column, seed: Long = HashSeed): Column =
+    graft.sim.GraftFunctions.strHash(c, seed)
+
+  /** Higher-order-function form of [[strHash]] (slow path). */
+  def strHashHof(c: Column, seed: Long = HashSeed): Column =
     aggregate(
       filter(split(c, ""), ch => ch =!= lit("")),
       lit(seed),

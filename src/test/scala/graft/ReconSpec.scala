@@ -1,0 +1,42 @@
+package graft
+
+import graft.score.ReconstructionError
+import org.apache.spark.sql.functions._
+
+class ReconSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("varNormalizedMae matches hand computation (var floor applied)") {
+    val df = Seq((Seq(1.0, 10.0), Seq(0.0, 12.0))).toDF("x", "xhat")
+    // vars: 0.5 and 0 (floored to 1e-6): (|1-0|/0.5 + |10-12|/1e-6)/2
+    val got = df.select(ReconstructionError.varNormalizedMae(
+      col("x"), col("xhat"), Seq(0.5, 0.0))).head.getDouble(0)
+    val want = (1.0 / 0.5 + 2.0 / 1e-6) / 2.0
+    assert(math.abs(got - want) / want < 1e-15)
+  }
+
+  test("zero error for perfect reconstruction") {
+    val df = Seq((Seq(3.0, 4.0), Seq(3.0, 4.0))).toDF("x", "xhat")
+    val got = df.select(ReconstructionError.varNormalizedMae(
+      col("x"), col("xhat"), Seq(1.0, 1.0))).head.getDouble(0)
+    assert(got == 0.0)
+  }
+
+  test("seqVarNormalizedMae averages per-timestep scores") {
+    val df = Seq(Tuple1(Seq(Seq(1.0), Seq(3.0)))).toDF("seq")
+    // steps vs xhat=[2.0], var=[1.0]: (|1-2| + |3-2|)/2 timesteps = 1.0
+    val got = df.select(ReconstructionError.seqVarNormalizedMae(
+      col("seq"), Seq(2.0), Seq(1.0))).head.getDouble(0)
+    assert(got == 1.0)
+  }
+
+  test("monotone in reconstruction distance") {
+    val df = Seq(
+      (1L, Seq(1.0, 1.0)), (2L, Seq(5.0, 5.0))
+    ).toDF("id", "x").withColumn("xhat", typedLit(Seq(0.0, 0.0)))
+    val scored = df.select(col("id"), ReconstructionError.varNormalizedMae(
+      col("x"), col("xhat"), Seq(1.0, 1.0)).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(2L) > scored(1L))
+  }
+}

@@ -17,6 +17,16 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("native strHash kernel equals the higher-order fold") {
+    val strs = Seq("hello world", "", "a", "key agg row scan slow",
+      "zzzz qqqq xxxx yyyy")
+    for (s <- strs) {
+      val r = one(s).select(
+        TextOps.strHash(col("t")), TextOps.strHashHof(col("t"))).head
+      assert(r.getLong(0) == r.getLong(1), s"mismatch on '$s'")
+    }
+  }
+
   test("token counts: whitespace, distinct, bpe, regex") {
     val df = one("aa bb aa cccccc")
     val r = df.select(
