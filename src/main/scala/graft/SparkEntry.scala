@@ -267,7 +267,8 @@ object SparkEntry {
   private def qLangId(s: SparkSession, dir: String): DataFrame = {
     import graft.text.TextOps
     doc(s, dir)
-      .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+      .select(col("lang"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("lang"), TextOps.langIdFromTokens(col("toks")).as("lang_pred"))
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
   }
@@ -560,6 +561,18 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** K1 — skew-salted two-stage aggregation: hot keys spread over 32
+    * salt buckets, decimal partials merged exactly — bit-identical to
+    * the plain GROUP BY the oracle runs (the correctness contract of
+    * the salting rewrite).
+    */
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.core.Skew.saltedSumCount(li(s, dir), Seq("l_returnflag"),
+        "l_extendedprice", spread = col("l_orderkey"), buckets = 32)
+      .select(col("l_returnflag"),
+        round(col("sum_l_extendedprice"), 4).as("sum_price"), col("n"))
+      .orderBy("l_returnflag")
+
   /** A9 — per-group population and sample variance (exact-sum identity). */
   private def qVariance(s: SparkSession, dir: String): DataFrame =
     li(s, dir).groupBy(col("l_returnflag"))
@@ -618,7 +631,8 @@ object SparkEntry {
     "q38_grid_threshold" -> (qGridThreshold _),
     "q39_recon_mae" -> (qReconMae _),
     "q40_seq_recon_mae" -> (qSeqReconMae _),
-    "q41_feature_pipeline" -> (qFeaturePipeline _)
+    "q41_feature_pipeline" -> (qFeaturePipeline _),
+    "q42_salted_agg" -> (qSaltedAgg _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -1039,6 +1053,10 @@ object SparkEntry {
          | SELECT l_returnflag, count(*) AS n, round(${Stats.Sql.dsum("fs")}, 4) AS feat_checksum
          | FROM z GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
         .replaceAll("\n", " ")
-    }
+    },
+    "q42_salted_agg" ->
+      s"""SELECT l_returnflag, round(${dsumSql("l_extendedprice")}, 4) AS sum_price,
+         | count(*) AS n FROM lineitem GROUP BY l_returnflag
+         | ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " ")
   )
 }

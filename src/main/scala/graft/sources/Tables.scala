@@ -44,4 +44,20 @@ object Tables {
     */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.option("header", "true").mode("overwrite").csv(path)
+
+  /** JSON line source/sink — additional interchange format. */
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Hive-style partitioned parquet sink: one directory per partition
+    * value. At 100 TB this is what makes downstream scans prunable —
+    * a filter on a partition column never touches other partitions'
+    * files (verify via `PartitionFilters` in the scan node).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 }

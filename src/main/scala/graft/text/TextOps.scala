@@ -103,22 +103,33 @@ object TextOps {
   /** Per-language overlap score: number of tokens present in the
     * language's lexicon (with multiplicity).
     */
-  def langScore(text: Column, lex: Seq[String]): Column = {
+  def langScoreFromTokens(toks: Column, lex: Seq[String]): Column = {
     val lexArr = typedLit(lex)
-    size(filter(tokens(text), t => array_contains(lexArr, t)))
+    size(filter(toks, t => array_contains(lexArr, t)))
   }
 
-  /** Predicted language: argmax of lexicon overlap, ties broken by
-    * alphabetical language order; no hits at all → "und".
+  def langScore(text: Column, lex: Seq[String]): Column =
+    langScoreFromTokens(tokens(text), lex)
+
+  /** [[langId]] over a pre-tokenized column. PERF: the argmax references
+    * each language score ~2× and each score walks the token array, so
+    * callers on hot paths should project the token array into its own
+    * column first (CollapseProject keeps multi-referenced non-cheap
+    * expressions un-inlined) — see `SparkEntry.qLangId`.
     */
-  def langId(text: Column): Column = {
-    val scores = lexicons.map { case (l, lex) => l -> langScore(text, lex) }
+  def langIdFromTokens(toks: Column): Column = {
+    val scores = lexicons.map { case (l, lex) => l -> langScoreFromTokens(toks, lex) }
     val best = greatest(scores.map(_._2): _*)
     val chain = scores.foldLeft(when(best === 0, lit("und"))) {
       case (acc, (l, s)) => acc.when(s === best, lit(l))
     }
     chain.otherwise(lit("und"))
   }
+
+  /** Predicted language: argmax of lexicon overlap, ties broken by
+    * alphabetical language order; no hits at all → "und".
+    */
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
   /** Combined stopword list (all lexicons) for quality scoring. */
   private val allMarkers: Seq[String] = lexicons.flatMap(_._2).distinct.sorted

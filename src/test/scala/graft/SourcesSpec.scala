@@ -1,0 +1,60 @@
+package graft
+
+import graft.core.Skew
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = spark.read.parquet(s"$sf/lineitem.parquet")
+
+  test("JSON sink/source round-trips rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val sample = li.select("l_orderkey", "l_linenumber", "l_quantity").limit(500)
+    Tables.writeJson(sample, s"$dir/li")
+    val back = Tables.readJson(spark, s"$dir/li")
+    assert(back.count() == 500)
+    assert(back.agg(sum("l_quantity")).head.getDouble(0) ==
+      sample.agg(sum("l_quantity")).head.getDouble(0))
+  }
+
+  test("partitioned parquet write enables partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.writePartitioned(
+      li.select("l_orderkey", "l_returnflag", "l_extendedprice"),
+      s"$dir/li", Seq("l_returnflag"))
+    val back = spark.read.parquet(s"$dir/li").where(col("l_returnflag") === "R")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("l_returnflag"), s"no partition pruning in:\n$plan")
+    assert(back.count() == li.where(col("l_returnflag") === "R").count())
+  }
+
+  test("CSV round-trip with explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val sample = li.select("l_orderkey", "l_quantity").limit(100)
+    Tables.writeCsv(sample, s"$dir/li")
+    val back = Tables.csvWithSchema(spark, s"$dir/li", sample.schema)
+    assert(back.count() == 100)
+    assert(back.schema == sample.schema)
+  }
+
+  test("salted aggregation is bit-identical to the plain groupBy") {
+    val salted = Skew.saltedSumCount(li, Seq("l_returnflag"),
+        "l_extendedprice", col("l_orderkey"), buckets = 32)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val plain = li.groupBy("l_returnflag")
+      .agg(graft.core.Stats.dsum(col("l_extendedprice")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted.keySet == plain.keySet)
+    salted.foreach { case (k, (s, n)) =>
+      assert(java.lang.Double.doubleToLongBits(s) ==
+        java.lang.Double.doubleToLongBits(plain(k)._1), s"sum differs for $k")
+      assert(n == plain(k)._2)
+    }
+  }
+}
