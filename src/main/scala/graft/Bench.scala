@@ -14,10 +14,17 @@ object Bench {
     // isn't charged ~3s of JVM warmup
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .agg(org.apache.spark.sql.functions.sum("l_quantity")).collect()
+    // best-of-N (default 2): one shared-JVM run carries multi-second
+    // GC/JIT noise per query; the minimum is the standard steady-state
+    // throughput estimate
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

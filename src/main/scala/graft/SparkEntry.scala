@@ -508,10 +508,9 @@ object SparkEntry {
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val mus = cols.indices.map(i => r.getDouble(2 * i))
     val vars = cols.indices.map(i => r.getDouble(2 * i + 1))
-    val x = array(cols.map(col(_).cast(DoubleType)): _*)
-    val xhat = array(mus.map(lit): _*)
     val scored = df.withColumn("score",
-        graft.score.ReconstructionError.varNormalizedMae(x, xhat, vars))
+        graft.score.ReconstructionError.varNormalizedMaeCols(
+          cols.map(col), mus, vars))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = Quantiles.exactQuantiles(scored, "score", Seq(0.95)).head
     scored.where(col("score") > thr)

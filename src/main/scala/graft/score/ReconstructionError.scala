@@ -31,6 +31,20 @@ object ReconstructionError {
     aggregate(terms, lit(0.0), (acc, t) => acc + t) / lit(vars.size.toDouble)
   }
 
+  /** F1 over scalar feature columns (no array assembly): identical
+    * values to [[varNormalizedMae]] — t1+t2+…+tn left-associates exactly
+    * like the fold (0.0+t1 ≡ t1) — but pure codegen'd arithmetic, no
+    * interpreted higher-order evaluation. Prefer this form on hot paths
+    * when features are top-level columns.
+    */
+  def varNormalizedMaeCols(cols: Seq[Column], xhat: Seq[Double],
+                           vars: Seq[Double]): Column = {
+    val terms = cols.zip(xhat).zip(vars).map { case ((c, m), v) =>
+      abs(c.cast("double") - lit(m)) / lit(math.max(v, 1e-6))
+    }
+    terms.reduce(_ + _) / lit(vars.size.toDouble)
+  }
+
   /** F2 over a sequence column (array of per-timestep feature arrays)
     * reconstructed against a fixed per-timestep x̂ (broadcast literal
     * array) — mean of per-timestep F1 scores.

@@ -30,6 +30,23 @@ class ReconSpec extends SparkSpec {
     assert(got == 1.0)
   }
 
+  test("scalar-columns form is bitwise-identical to the array fold") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_quantity", "l_extendedprice", "l_discount")
+    val mus = Seq(20.0, 30000.0, 0.05)
+    val vars = Seq(100.0, 1e8, 0.001)
+    val x = array(df.columns.map(c => col(c).cast("double")): _*)
+    val xhat = array(mus.map(lit): _*)
+    val both = df.select(
+      ReconstructionError.varNormalizedMae(x, xhat, vars).as("a"),
+      ReconstructionError.varNormalizedMaeCols(
+        df.columns.map(col).toSeq, mus, vars).as("b")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("monotone in reconstruction distance") {
     val df = Seq(
       (1L, Seq(1.0, 1.0)), (2L, Seq(5.0, 5.0))
