@@ -1,0 +1,76 @@
+package graft
+
+import graft.multimodal.Binary
+import graft.score.IsolationForest
+import graft.sim.HashUtil
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck properties over the engine's pure kernels (SURVEY.md §5:
+  * property tests for invariants the oracle can't see per-row).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, p: Prop): Unit = {
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  private val asciiStr: Gen[String] =
+    Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+
+  test("polyHash: range [0,P), deterministic, seed-sensitive") {
+    check("range", Prop.forAll(asciiStr) { s =>
+      val h = HashUtil.polyHash(UTF8String.fromString(s), 7L)
+      h >= 0 && h < HashUtil.P
+    })
+    check("det", Prop.forAll(asciiStr) { s =>
+      HashUtil.polyHash(UTF8String.fromString(s), 7L) ==
+        HashUtil.polyHash(UTF8String.fromString(s), 7L)
+    })
+    check("seed", Prop.forAll(asciiStr.suchThat(_.nonEmpty)) { s =>
+      HashUtil.polyHash(UTF8String.fromString(s), 7L) !=
+        HashUtil.polyHash(UTF8String.fromString(s), 8L) ||
+        s.isEmpty
+    })
+  }
+
+  test("isolation forest c(n) is nonnegative and nondecreasing") {
+    check("c", Prop.forAll(Gen.choose(1, 100000)) { n =>
+      IsolationForest.c(n) >= 0.0 &&
+        IsolationForest.c(n + 1) >= IsolationForest.c(n)
+    })
+  }
+
+  test("byte histogram partitions the payload; stride sample sizes") {
+    val bytesGen = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    check("hist", Prop.forAll(bytesGen) { b =>
+      Binary.byteHistogram(b).sum == b.length
+    })
+    check("stride", Prop.forAll(bytesGen, Gen.choose(1, 16)) { (b, k) =>
+      Binary.strideSample(b, k).length == (b.length + k - 1) / k
+    })
+  }
+
+  test("lerp interpolation stays within the endpoint box") {
+    val vecGen = Gen.listOfN(8, Gen.choose(-100.0, 100.0))
+    check("lerp", Prop.forAll(vecGen, vecGen, Gen.choose(0.0, 0.999999)) {
+      (a, b, u) =>
+        a.zip(b).forall { case (x, y) =>
+          val v = x + u * (y - x)
+          v >= math.min(x, y) - 1e-9 && v <= math.max(x, y) + 1e-9
+        }
+    })
+  }
+
+  test("linear AE reconstruction error is nonnegative (clamped projection)") {
+    val m = new graft.score.LinearAE.Model(
+      Array(0.0, 0.0), Array(Array(1.0, 0.0)))
+    check("recon", Prop.forAll(Gen.choose(-1e6, 1e6), Gen.choose(-1e6, 1e6)) {
+      (x, y) => m.reconstructionError(Array(x, y)) >= 0.0
+    })
+  }
+}
