@@ -27,17 +27,23 @@ object MinHashLSH {
   private def hashAt(i: Column, h: Column): Column =
     ((lit(2L) * i + lit(1L)) * h + lit(7919L) * i + lit(12345L)) % lit(P)
 
-  /** k-wide MinHash signature from a shingle-array column.
-    *
-    * SINGLE-PASS: folds the shingle array once, hashing each shingle
-    * exactly once and updating a k-wide min accumulator — the naive
-    * `transform(0..k-1, i -> array_min(transform(shingles, hash)))`
-    * form re-evaluates every shingle hash k times per row (Catalyst
-    * inlines the shared subtree into each lambda), a 16× slowdown
-    * measured at sf0.1. Same values: integer min is commutative.
+  /** k-wide MinHash signature from a shingle-array column, via the
+    * native codegen kernel ([[graft.sim.MinHashSigExpr]]): each shingle
+    * hashed exactly once, k mins updated in one generated loop. Null
+    * for empty shingle sets.
     */
-  def signatureFromShingles(sh: Column, k: Int): Column = {
-    val hs = transform(sh, s => TextOps.strHash(s))
+  def signatureFromShingles(sh: Column, k: Int): Column =
+    graft.sim.GraftFunctions.minhashSig(sh, k)
+
+  /** Higher-order-function form of [[signatureFromShingles]] (slow
+    * path, no session registration needed) — kept for parity testing.
+    * Single-pass fold: the naive `transform(0..k-1, i ->
+    * array_min(transform(shingles, hash)))` re-evaluates every shingle
+    * hash k times per row (Catalyst inlines the shared subtree into
+    * each lambda), a 16× slowdown measured at sf0.1.
+    */
+  def signatureFromShinglesHof(sh: Column, k: Int): Column = {
+    val hs = transform(sh, s => TextOps.strHashHof(s))
     when(size(sh) > 0,
       aggregate(hs,
         transform(sequence(lit(0), lit(k - 1)), _ => lit(P)),

@@ -104,7 +104,20 @@ object GraftFunctions {
         StrHashExpr(args(0), args(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MinHashName,
+      { args: Seq[Expression] =>
+        require(args.length == 2, s"$MinHashName takes 2 arguments")
+        MinHashSigExpr(args(0), args(1))
+      },
+      "built-in")
   }
+
+  val MinHashName = "graft_minhash"
+
+  /** Codegen'd MinHash signature over a shingle-array column. */
+  def minhashSig(shingles: Column, k: Int): Column =
+    F.call_function(MinHashName, shingles, F.lit(k))
 
   /** Codegen'd polynomial string hash (requires [[register]]). */
   def strHash(c: Column, seed: Long): Column =

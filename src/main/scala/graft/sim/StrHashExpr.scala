@@ -27,6 +27,31 @@ object HashUtil {
     }
     acc
   }
+
+  /** k-wide MinHash signature over a shingle array: hash each shingle
+    * once (polyHash, seed 7), update k mins with
+    * h_i = ((2i+1)·h + 7919·i + 12345) mod P. Exactly the arithmetic of
+    * `MinHashLSH.signatureFromShinglesHof` in one tight loop. Returns
+    * null for an empty shingle set (no signature).
+    */
+  def minhashSig(shingles: org.apache.spark.sql.catalyst.util.ArrayData,
+                 k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(k)(P)
+    var j = 0
+    while (j < n) {
+      val h = polyHash(shingles.getUTF8String(j), 7L)
+      var i = 0
+      while (i < k) {
+        val hi = ((2L * i + 1L) * h + 7919L * i + 12345L) % P
+        if (hi < mins(i)) mins(i) = hi
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
 }
 
 /** Native codegen form of the polynomial string hash. The interpreted
@@ -57,5 +82,45 @@ case class StrHashExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): StrHashExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native MinHash signature: one generated loop over the shingle array
+  * (each shingle hashed once, k mins updated in registers) instead of
+  * the interpreted transform/aggregate/zip_with chain — the dominant
+  * cost of the LSH dedup stage at sf0.1. Null for empty shingle sets.
+  */
+case class MinHashSigExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def k: Int = right.eval(null).asInstanceOf[Int]
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType.isInstanceOf[ArrayType] &&
+        left.dataType.asInstanceOf[ArrayType].elementType == StringType &&
+        right.dataType == IntegerType && right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash expects (array<string>, literal int), got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def nullSafeEval(sh: Any, kk: Any): Any =
+    HashUtil.minhashSig(
+      sh.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      kk.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sh, kk) =>
+      s"""
+         |${ev.value} = graft.sim.HashUtil.minhashSig($sh, $kk);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSigExpr =
     copy(left = newLeft, right = newRight)
 }

@@ -48,6 +48,19 @@ class DedupSpec extends SparkSpec {
     assert(!keys.exists(k => k._1 == 3L || k._2 == 3L))
   }
 
+  test("native minhash signature equals the higher-order fold") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val both = sh.select(
+      MinHashLSH.signatureFromShingles(col("sh"), 16).as("fast"),
+      MinHashLSH.signatureFromShinglesHof(col("sh"), 16).as("slow"))
+      .collect()
+    both.foreach { r =>
+      val fast = if (r.isNullAt(0)) null else r.getSeq[Long](0)
+      val slow = if (r.isNullAt(1)) null else r.getSeq[Long](1)
+      assert(fast == slow)
+    }
+  }
+
   test("minhash LSH finds the same high-similarity pairs as brute force") {
     val lsh = MinHashLSH.nearDupPairs(docs, "doc_id", "text",
       n = 3, k = 16, bands = 4, threshold = 0.5)
