@@ -572,6 +572,22 @@ object SparkEntry {
         round(col("sum_l_extendedprice"), 4).as("sum_price"), col("n"))
       .orderBy("l_returnflag")
 
+  /** S2 — the SQL entry surface (`spark.sql` over registered tables,
+    * the reference's `app/main.py` shape): orders per priority per year,
+    * straight ANSI SQL through the same Catalyst pipeline.
+    */
+  private def qSqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT year(o_orderdate) AS yr, o_orderpriority,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 4) AS sum_total
+        |FROM orders
+        |WHERE o_orderstatus <> 'X'
+        |GROUP BY year(o_orderdate), o_orderpriority
+        |ORDER BY yr, o_orderpriority""".stripMargin)
+  }
+
   /** A9 — per-group population and sample variance (exact-sum identity). */
   private def qVariance(s: SparkSession, dir: String): DataFrame =
     li(s, dir).groupBy(col("l_returnflag"))
@@ -631,7 +647,8 @@ object SparkEntry {
     "q39_recon_mae" -> (qReconMae _),
     "q40_seq_recon_mae" -> (qSeqReconMae _),
     "q41_feature_pipeline" -> (qFeaturePipeline _),
-    "q42_salted_agg" -> (qSaltedAgg _)
+    "q42_salted_agg" -> (qSaltedAgg _),
+    "q43_sql_surface" -> (qSqlSurface _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -1056,6 +1073,12 @@ object SparkEntry {
     "q42_salted_agg" ->
       s"""SELECT l_returnflag, round(${dsumSql("l_extendedprice")}, 4) AS sum_price,
          | count(*) AS n FROM lineitem GROUP BY l_returnflag
-         | ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " ")
+         | ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " "),
+    "q43_sql_surface" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority, count(*) AS n,
+         | round(${dsumSql("o_totalprice")}, 4) AS sum_total
+         | FROM orders WHERE o_orderstatus <> 'X'
+         | GROUP BY year(o_orderdate), o_orderpriority
+         | ORDER BY yr, o_orderpriority""".stripMargin.replaceAll("\n", " ")
   )
 }

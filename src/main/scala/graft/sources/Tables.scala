@@ -52,6 +52,18 @@ object Tables {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Register every harness table as a temp view so the SQL entry
+    * surface works (`spark.sql("SELECT … FROM lineitem")`) — parity
+    * with the reference's SQL-on-catalog entry point
+    * (`app/main.py:16-22`; here the "catalog" is the harness dir).
+    * Views are lazy metadata: no data is read until a query runs.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach(t => load(spark, dir, t).createOrReplaceTempView(t))
+
+  def dropViews(spark: SparkSession): Unit =
+    all.foreach(t => spark.catalog.dropTempView(t))
+
   /** Hive-style partitioned parquet sink: one directory per partition
     * value. At 100 TB this is what makes downstream scans prunable —
     * a filter on a partition column never touches other partitions'

@@ -40,6 +40,23 @@ class SourcesSpec extends SparkSpec {
     assert(back.schema == sample.schema)
   }
 
+  test("temp-view SQL surface: register, query, drop") {
+    Tables.registerViews(spark, sf)
+    val n = spark.sql("SELECT count(*) AS n FROM lineitem").head.getLong(0)
+    assert(n == li.count())
+    Tables.dropViews(spark)
+    assert(!spark.catalog.tableExists("lineitem"))
+  }
+
+  test("filters and column pruning reach the parquet scan") {
+    val q = li.where(col("l_discount") > 0.05).select("l_orderkey", "l_discount")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(l_discount"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_discount:double>"),
+      s"columns not pruned:\n$plan")
+  }
+
   test("salted aggregation is bit-identical to the plain groupBy") {
     val salted = Skew.saltedSumCount(li, Seq("l_returnflag"),
         "l_extendedprice", col("l_orderkey"), buckets = 32)
