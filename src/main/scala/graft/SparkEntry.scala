@@ -434,7 +434,7 @@ object SparkEntry {
     // path for thresholds on distributed scores; deterministic
     val thr = scored
       .agg(graft.core.Quantiles.approx(col("if_score"), Seq(0.9)))
-      .head.getSeq[Double](0).head
+      .head().getSeq[Double](0).head
     scored.where(col("if_score") > thr)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_anomalies"),
@@ -588,6 +588,26 @@ object SparkEntry {
         |ORDER BY yr, o_orderpriority""".stripMargin)
   }
 
+  /** M3 — sequence anomaly scoring end-to-end (the engine's LSTM-AE
+    * capability analog, SURVEY.md §7: sequence scoring with a pluggable
+    * scorer): W1 sliding windows → fixed-length sequence vectors →
+    * linear-AE (PCA) reconstruction error → top-20 most anomalous
+    * windows. Fit on a deterministic pool, score distributed.
+    */
+  private def qSeqAeScore(s: SparkSession, dir: String): DataFrame = {
+    val seqs = graft.seq.Sequencer
+      .slidingSequences(ev(s, dir), Seq("user_id"), seqOrder, col("value"), seqT)
+      .withColumn("features", col("seq").cast("array<double>"))
+      .withColumn("seq_key",
+        col("user_id").cast("long") * 1000000L + col("row_id"))
+    val model = graft.score.LinearAE.fit(seqs, "seq_key", "features", k = 2)
+    model.transform(seqs, "features", "recon_error")
+      .select(col("user_id"), col("row_id"),
+        round(col("recon_error"), 6).as("recon_error"))
+      .orderBy(desc("recon_error"), asc("user_id"), asc("row_id"))
+      .limit(20)
+  }
+
   /** A9 — per-group population and sample variance (exact-sum identity). */
   private def qVariance(s: SparkSession, dir: String): DataFrame =
     li(s, dir).groupBy(col("l_returnflag"))
@@ -603,7 +623,7 @@ object SparkEntry {
     * or nondeterministic by nature) — the driver records a rows-only check.
     */
   def rowsOnlyQueries: Set[String] =
-    Set("q34_sample_shuffle", "q35_iforest", "q36_linear_ae")
+    Set("q34_sample_shuffle", "q35_iforest", "q36_linear_ae", "q44_seq_ae_score")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (qPricingSummary _),
@@ -648,7 +668,8 @@ object SparkEntry {
     "q40_seq_recon_mae" -> (qSeqReconMae _),
     "q41_feature_pipeline" -> (qFeaturePipeline _),
     "q42_salted_agg" -> (qSaltedAgg _),
-    "q43_sql_surface" -> (qSqlSurface _)
+    "q43_sql_surface" -> (qSqlSurface _),
+    "q44_seq_ae_score" -> (qSeqAeScore _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
