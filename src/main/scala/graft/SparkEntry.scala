@@ -572,6 +572,36 @@ object SparkEntry {
         round(col("sum_l_extendedprice"), 4).as("sum_price"), col("n"))
       .orderBy("l_returnflag")
 
+  /** N3 — IVF ANN: k-means coarse cells (fit on a deterministic pool,
+    * broadcast), nprobe-cell candidate search, exact re-rank. Rows-only
+    * (centroid fit isn't SQL-replicable); deterministic by construction.
+    */
+  private def qIvfAnn(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Ann.ivfTopK(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 3, nCells = 16, nprobe = 2,
+        queryPred = col("id") < 100)
+      .orderBy("a", "rank")
+
+  /** T4 — TF-IDF top-3 terms per document (rational IDF for exact
+    * cross-engine arithmetic; log variant in the library).
+    */
+  private def qTfIdf(s: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.topTerms(
+        doc(s, dir).where(col("doc_id") < 50), "doc_id", "text",
+        k = 3, rational = true)
+      .orderBy("id", "rank")
+
+  /** D7 — near-dup clustering: connected components over the Jaccard
+    * ≥ 0.5 pair graph (min-label propagation), the dedup
+    * canonicalization step. Oracle = recursive min-reachable-id CTE.
+    */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.Dedup.jaccardPairs(doc(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.5)
+    graft.dedup.Components.connectedComponents(pairs, "a", "b")
+      .orderBy("id")
+  }
+
   /** S2 — the SQL entry surface (`spark.sql` over registered tables,
     * the reference's `app/main.py` shape): orders per priority per year,
     * straight ANSI SQL through the same Catalyst pipeline.
@@ -623,7 +653,8 @@ object SparkEntry {
     * or nondeterministic by nature) — the driver records a rows-only check.
     */
   def rowsOnlyQueries: Set[String] =
-    Set("q34_sample_shuffle", "q35_iforest", "q36_linear_ae", "q44_seq_ae_score")
+    Set("q34_sample_shuffle", "q35_iforest", "q36_linear_ae",
+      "q44_seq_ae_score", "q45_ivf_ann")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (qPricingSummary _),
@@ -669,7 +700,10 @@ object SparkEntry {
     "q41_feature_pipeline" -> (qFeaturePipeline _),
     "q42_salted_agg" -> (qSaltedAgg _),
     "q43_sql_surface" -> (qSqlSurface _),
-    "q44_seq_ae_score" -> (qSeqAeScore _)
+    "q44_seq_ae_score" -> (qSeqAeScore _),
+    "q45_ivf_ann" -> (qIvfAnn _),
+    "q46_tfidf" -> (qTfIdf _),
+    "q47_dedup_clusters" -> (qDedupClusters _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -1100,6 +1134,39 @@ object SparkEntry {
          | round(${dsumSql("o_totalprice")}, 4) AS sum_total
          | FROM orders WHERE o_orderstatus <> 'X'
          | GROUP BY year(o_orderdate), o_orderpriority
-         | ORDER BY yr, o_orderpriority""".stripMargin.replaceAll("\n", " ")
+         | ORDER BY yr, o_orderpriority""".stripMargin.replaceAll("\n", " "),
+    "q46_tfidf" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      s"""WITH d AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 50),
+         | n AS (SELECT count(*) AS nd FROM d),
+         | tf AS (SELECT id, unnest($toks) AS term FROM d),
+         | tfc AS (SELECT id, term, count(*) AS tf FROM tf GROUP BY id, term),
+         | dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+         | sc AS (SELECT id, tfc.term, tf, tf * ((1.0 + nd) / (1.0 + df)) AS tfidf
+         |   FROM tfc JOIN dfc ON dfc.term = tfc.term CROSS JOIN n),
+         | r AS (SELECT id, term, tf, tfidf,
+         |   row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS rank FROM sc)
+         | SELECT id, rank, term, tf, round(tfidf, 6) AS tfidf
+         | FROM r WHERE rank <= 3 ORDER BY id, rank""".stripMargin.replaceAll("\n", " ")
+    },
+    "q47_dedup_clusters" -> {
+      val sh = graft.dedup.Dedup.Sql.shingles("text", 3)
+      s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents),
+         | e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         | sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+         | i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |   FROM e x JOIN e y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         | p AS (SELECT a, b FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |   WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+         | ed AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+         | verts AS (SELECT DISTINCT src AS id FROM ed),
+         | reach AS (WITH RECURSIVE rr(id, r) AS (
+         |     SELECT id, id FROM verts
+         |     UNION
+         |     SELECT ed.src, rr.r FROM ed JOIN rr ON rr.id = ed.dst)
+         |   SELECT * FROM rr)
+         | SELECT id, min(r) AS component FROM reach GROUP BY id
+         | ORDER BY id""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

@@ -118,6 +118,50 @@ object Ann {
     topK(withVecs, k)
   }
 
+  /** IVF top-k: coarse k-means quantization (fit on a deterministic
+    * pool, broadcast centers), candidates = vectors sharing the query's
+    * `nprobe` nearest cells, exact cosine re-rank within candidates.
+    * The classic inverted-file ANN: the only all-corpus shuffle carries
+    * (id, cell); pair work is confined to probed cells.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              nCells: Int = 16, nprobe: Int = 2,
+              queryPred: Column = lit(true)): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("n2", GraftFunctions.norm2(col("vec")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val km = KMeans.fit(v, "id", "vec", nCells)
+    val bc = df.sparkSession.sparkContext.broadcast(km)
+    val probeUdf = udf { xs: Seq[Double] =>
+      val x = xs.toArray
+      bc.value.centers.indices
+        .map { c =>
+          val ctr = bc.value.centers(c)
+          var d = 0.0
+          var j = 0
+          while (j < ctr.length) { val t = x(j) - ctr(j); d += t * t; j += 1 }
+          (d, c)
+        }
+        .sortBy(identity).take(nprobe).map(_._2)
+    }
+    val assigned = km.transform(v, "vec", "cell")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val probes = assigned.where(queryPred)
+      .select(col("id").as("qid"), col("vec").as("qvec"), col("n2").as("qn2"),
+        explode(probeUdf(col("vec"))).as("cell"))
+    val pairs = probes.join(
+        assigned.select(col("id").as("b"), col("vec").as("tvec"),
+          col("n2").as("tn2"), col("cell")),
+        Seq("cell"))
+      .where(col("qid") =!= col("b"))
+      .select(col("qid").as("a"), col("b"),
+        (GraftFunctions.dot(col("qvec"), col("tvec")) /
+          (sqrt(col("qn2")) * sqrt(col("tn2")))).as("cos"))
+      .distinct()
+    topK(pairs, k)
+  }
+
   // queryPred is written against column `id`
   private def queryPredOnId(p: Column): Column = p
 

@@ -86,6 +86,33 @@ class AnnSpec extends SparkSpec {
     approx.foreach { case (a, b) => assert(a / 4 == b / 4) }
   }
 
+  test("ivfTopK recall vs brute force on well-separated clusters") {
+    val df = clustered(5, 4, 20)
+    val brute = Ann.cosineTopK(df, "vec_id", "embedding", k = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(df, "vec_id", "embedding", k = 2,
+      nCells = 5, nprobe = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low")
+    ivf.foreach { case (a, b) => assert(a / 4 == b / 4) }
+  }
+
+  test("kmeans recovers planted clusters and is deterministic") {
+    import graft.sim.KMeans
+    val df = clustered(4, 5, 16)
+      .withColumn("vec", col("embedding").cast("array<double>"))
+    val m1 = KMeans.fit(df, "vec_id", "vec", k = 4)
+    val m2 = KMeans.fit(df, "vec_id", "vec", k = 4)
+    assert(m1.centers.map(_.toSeq).toSeq == m2.centers.map(_.toSeq).toSeq)
+    val assigned = m1.transform(df, "vec").select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    // members of the same planted cluster land in the same cell
+    assigned.groupBy(_._1 / 5).values.foreach { grp =>
+      assert(grp.map(_._2).distinct.length == 1, s"split cluster: ${grp.toSeq}")
+    }
+  }
+
   test("lshBuckets are deterministic across evaluations") {
     val df = clustered(2, 3, 8)
     val b1 = df.select(col("vec_id"), Ann.lshBuckets(col("embedding"), 8, 2, 4).as("b"))
