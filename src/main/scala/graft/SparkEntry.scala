@@ -602,6 +602,57 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Q1 — declarative data-quality suite in one aggregation pass +
+    * one referential anti-join (the deequ-style engine-native form of
+    * the reference's defensive checks).
+    */
+  private def qQualityChecks(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Checks
+    import graft.core.Checks._
+    val l = li(s, dir)
+    val base = Checks.run(l, Seq(
+      MaxNullFraction("l_quantity", 0.01),
+      InRange("l_discount", 0.0, 0.05),
+      Unique("l_orderkey"),
+      NonEmpty,
+      Finite("l_extendedprice")))
+    val orphans = Checks.referentialOrphans(
+      l, "l_orderkey", Tables.load(s, dir, "orders"), "o_orderkey")
+    import s.implicits._
+    val refRow = Seq(("referential(l_orderkey->orders)",
+      orphans.toDouble, 0.0, orphans == 0L))
+      .toDF("check", "observed", "threshold", "passed")
+    base.unionByName(refRow).orderBy("check")
+  }
+
+  /** A13' — binned approximate ROC AUC: the documented scale path for
+    * continuous scores (window input = bins, not distinct scores).
+    */
+  private def qBinnedRoc(s: SparkSession, dir: String): DataFrame = {
+    val d = li(s, dir)
+      .withColumn("label", when(col("l_returnflag") === "R", 1).otherwise(0))
+    Metrics.binnedRocAuc(d, "label", "l_extendedprice", bins = 20)
+  }
+
+  /** L' — ranking window functions (row_number + lag delta): top-2
+    * orders per customer by price.
+    */
+  private def qRanking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .where(col("o_custkey") < 200)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("delta_to_prev",
+        round(coalesce(lag("o_totalprice", 1).over(w) - col("o_totalprice"),
+          lit(0.0)), 4))
+      .where(col("rank") <= 2)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("total"), col("delta_to_prev"))
+      .orderBy("o_custkey", "rank")
+  }
+
   /** S2 — the SQL entry surface (`spark.sql` over registered tables,
     * the reference's `app/main.py` shape): orders per priority per year,
     * straight ANSI SQL through the same Catalyst pipeline.
@@ -703,7 +754,10 @@ object SparkEntry {
     "q44_seq_ae_score" -> (qSeqAeScore _),
     "q45_ivf_ann" -> (qIvfAnn _),
     "q46_tfidf" -> (qTfIdf _),
-    "q47_dedup_clusters" -> (qDedupClusters _)
+    "q47_dedup_clusters" -> (qDedupClusters _),
+    "q48_quality_checks" -> (qQualityChecks _),
+    "q49_binned_roc" -> (qBinnedRoc _),
+    "q50_ranking" -> (qRanking _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -1167,6 +1221,54 @@ object SparkEntry {
          |   SELECT * FROM rr)
          | SELECT id, min(r) AS component FROM reach GROUP BY id
          | ORDER BY id""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    "q48_quality_checks" ->
+      """WITH agg AS (SELECT
+        |  avg(CASE WHEN l_quantity IS NULL OR isnan(CAST(l_quantity AS DOUBLE)) THEN 1.0 ELSE 0.0 END) AS o0,
+        |  CAST(count(*) FILTER (WHERE CAST(l_discount AS DOUBLE) < 0.0 OR CAST(l_discount AS DOUBLE) > 0.05) AS DOUBLE) AS o1,
+        |  CAST(count(l_orderkey) - count(DISTINCT l_orderkey) AS DOUBLE) AS o2,
+        |  CAST(count(*) AS DOUBLE) AS o3,
+        |  CAST(count(*) FILTER (WHERE isnan(CAST(l_extendedprice AS DOUBLE)) OR CAST(l_extendedprice AS DOUBLE) = CAST('infinity' AS DOUBLE) OR CAST(l_extendedprice AS DOUBLE) = CAST('-infinity' AS DOUBLE)) AS DOUBLE) AS o4
+        |  FROM lineitem),
+        | orph AS (SELECT CAST(count(*) AS DOUBLE) AS o5 FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))
+        | SELECT * FROM (
+        |  SELECT 'null_fraction(l_quantity)' AS "check", round(o0, 6) AS observed, CAST(0.01 AS DOUBLE) AS threshold, o0 <= 0.01 AS passed FROM agg
+        |  UNION ALL SELECT 'in_range(l_discount)', round(o1, 6), CAST(0.0 AS DOUBLE), o1 <= 0.0 FROM agg
+        |  UNION ALL SELECT 'unique(l_orderkey)', round(o2, 6), CAST(0.0 AS DOUBLE), o2 <= 0.0 FROM agg
+        |  UNION ALL SELECT 'non_empty', round(o3, 6), CAST(1.0 AS DOUBLE), o3 >= 1.0 FROM agg
+        |  UNION ALL SELECT 'finite(l_extendedprice)', round(o4, 6), CAST(0.0 AS DOUBLE), o4 <= 0.0 FROM agg
+        |  UNION ALL SELECT 'referential(l_orderkey->orders)', round(o5, 6), CAST(0.0 AS DOUBLE), o5 <= 0.0 FROM orph)
+        | ORDER BY "check"""".stripMargin.replaceAll("\n", " "),
+    "q49_binned_roc" -> {
+      val ps = (1 until 20).map(_.toDouble / 20)
+      val qcols = ps.zipWithIndex.map { case (p, i) =>
+        s"quantile_cont(s, $p) AS t$i"
+      }.mkString(", ")
+      val binExpr = ps.indices.map(i => s"CASE WHEN s > t$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         |   CAST(l_extendedprice AS DOUBLE) AS s FROM lineitem),
+         | q AS (SELECT $qcols FROM d),
+         | b AS (SELECT y, ($binExpr) AS bin FROM d, q),
+         | pb AS (SELECT bin, count(*) FILTER (WHERE y = 1) AS pos,
+         |   count(*) FILTER (WHERE y = 0) AS neg FROM b GROUP BY bin),
+         | tot AS (SELECT count(*) FILTER (WHERE y = 1) AS p, count(*) FILTER (WHERE y = 0) AS n FROM d),
+         | r AS (SELECT bin, CAST(sum(pos) OVER w AS DOUBLE) / p AS tpr,
+         |   CAST(sum(neg) OVER w AS DOUBLE) / n AS fpr
+         |   FROM pb, tot WINDOW w AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)),
+         | tr AS (SELECT CAST((fpr - coalesce(lag(fpr) OVER v, 0.0)) * (tpr + coalesce(lag(tpr) OVER v, 0.0)) / 2.0 AS DECIMAL(38,18)) AS area
+         |   FROM r WINDOW v AS (ORDER BY fpr ASC, tpr ASC))
+         | SELECT round(CAST(sum(area) AS DOUBLE), 6) AS auc_binned FROM tr""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q50_ranking" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |   row_number() OVER w AS rank,
+        |   round(coalesce(lag(o_totalprice) OVER w - o_totalprice, 0.0), 4) AS delta_to_prev
+        |   FROM orders WHERE o_custkey < 200
+        |   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
+        | SELECT o_custkey, rank, o_orderkey, round(o_totalprice, 4) AS total, delta_to_prev
+        | FROM r WHERE rank <= 2 ORDER BY o_custkey, rank""".stripMargin.replaceAll("\n", " ")
   )
 }
