@@ -653,6 +653,16 @@ object SparkEntry {
       .orderBy("o_custkey", "rank")
   }
 
+  /** A1' — exact per-column cardinality (the oracle-checkable column of
+    * `Profiler.cardinality`; the HLL approx column is spec-tested —
+    * sketches aren't cross-engine comparable).
+    */
+  private def qCardinality(s: SparkSession, dir: String): DataFrame =
+    Profiler.cardinality(li(s, dir),
+        Seq("l_returnflag", "l_linestatus", "l_orderkey", "l_quantity"))
+      .select("column_name", "n_distinct")
+      .orderBy("column_name")
+
   /** S2 — the SQL entry surface (`spark.sql` over registered tables,
     * the reference's `app/main.py` shape): orders per priority per year,
     * straight ANSI SQL through the same Catalyst pipeline.
@@ -757,7 +767,8 @@ object SparkEntry {
     "q47_dedup_clusters" -> (qDedupClusters _),
     "q48_quality_checks" -> (qQualityChecks _),
     "q49_binned_roc" -> (qBinnedRoc _),
-    "q50_ranking" -> (qRanking _)
+    "q50_ranking" -> (qRanking _),
+    "q51_cardinality" -> (qCardinality _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -1269,6 +1280,13 @@ object SparkEntry {
         |   FROM orders WHERE o_custkey < 200
         |   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
         | SELECT o_custkey, rank, o_orderkey, round(o_totalprice, 4) AS total, delta_to_prev
-        | FROM r WHERE rank <= 2 ORDER BY o_custkey, rank""".stripMargin.replaceAll("\n", " ")
+        | FROM r WHERE rank <= 2 ORDER BY o_custkey, rank""".stripMargin.replaceAll("\n", " "),
+    "q51_cardinality" ->
+      """SELECT column_name, n_distinct FROM (
+        |  SELECT 'l_returnflag' AS column_name, count(DISTINCT l_returnflag) AS n_distinct FROM lineitem
+        |  UNION ALL SELECT 'l_linestatus', count(DISTINCT l_linestatus) FROM lineitem
+        |  UNION ALL SELECT 'l_orderkey', count(DISTINCT l_orderkey) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', count(DISTINCT l_quantity) FROM lineitem)
+        | ORDER BY column_name""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -45,7 +45,8 @@ object Checks {
   private def observed(c: Check): Column = c match {
     case MaxNullFraction(cl, _) =>
       val d = col(cl).cast("double")
-      avg(when(col(cl).isNull || isnan(d), 1.0).otherwise(0.0))
+      // empty table → 0.0 (vacuously clean), not null
+      coalesce(avg(when(col(cl).isNull || isnan(d), 1.0).otherwise(0.0)), lit(0.0))
     case InRange(cl, lo, hi) =>
       val d = col(cl).cast("double")
       count(when(d < lo || d > hi, 1)).cast("double")

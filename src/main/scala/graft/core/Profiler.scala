@@ -87,6 +87,27 @@ object Profiler {
       .orderBy("column_name")
   }
 
+  /** Cardinality profile per column, one pass: exact distinct count
+    * (expand-based distinct aggregate — exact but shuffles per-column
+    * value sets; the oracle-checkable form) and the HLL sketch estimate
+    * (`approx_count_distinct`, rsd 2% default — single-pass, mergeable,
+    * constant memory: the 100 TB path).
+    */
+  def cardinality(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { name =>
+      Seq(
+        count_distinct(col(name)).as(s"${name}__exact"),
+        approx_count_distinct(col(name), rsd = 0.02).as(s"${name}__approx"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `${c}__exact`, `${c}__approx`"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (column_name, n_distinct, n_distinct_approx)")
+      .orderBy("column_name")
+  }
+
   /** Columns to keep under a sparsity budget (driver-side small result). */
   def denseFeatureCols(df: DataFrame, cols: Seq[String], maxSparse: Double = 0.95): Seq[String] = {
     val rows = sparseFractions(df, cols).collect()

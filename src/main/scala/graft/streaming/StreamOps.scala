@@ -68,6 +68,19 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming exact deduplication: drop rows whose key was already
+    * seen, with state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark`) — the incremental form of
+    * [[graft.dedup.Dedup.dropExactDups]] for continuously-ingested
+    * corpora. Keys older than the watermark are evicted from state, so
+    * memory is O(keys per watermark window), not O(stream).
+    */
+  def streamingDedup(stream: DataFrame, keyCols: Seq[String], tsCol: String,
+                     watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Keyed running maximum via explicit state (mapGroupsWithState):
     * emits (key, running_max_so_far) once per key per micro-batch.
     */

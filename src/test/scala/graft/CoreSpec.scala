@@ -1,5 +1,19 @@
 package graft
 
+class CardinalitySpec extends SparkSpec {
+  test("cardinality: exact counts right, HLL within 5%") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val rows = graft.core.Profiler
+      .cardinality(li, Seq("l_returnflag", "l_orderkey"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("l_returnflag")._1 == 3L)
+    val (exact, approx) = rows("l_orderkey")
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL $approx vs exact $exact")
+  }
+}
+
 import graft.core.{Profiler, Quantiles, SchemaAlign, Stats}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._

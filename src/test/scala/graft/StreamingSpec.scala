@@ -80,6 +80,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup drops repeated keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.streamingDedup(
+      in.toDF.toDF("ts", "doc_id", "text"), Seq("doc_id"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), 1L, "a"), (ts(1), 2L, "b"), (ts(2), 1L, "a-dup"))
+      q.processAllAvailable()
+      in.addData((ts(3), 2L, "b-dup"), (ts(3), 3L, "c"))
+      q.processAllAvailable()
+      val ids = spark.table("sd").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("thresholdAlerts is a stateless pass-through filter") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
