@@ -81,6 +81,14 @@ object StreamOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream–static enrichment join: each micro-batch joins against a
+    * (small) static dimension — broadcast per batch, no stream-side
+    * state. The streaming form of the engine's dim joins (q31).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame,
+             joinCols: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), joinCols)
+
   /** Keyed running maximum via explicit state (mapGroupsWithState):
     * emits (key, running_max_so_far) once per key per micro-batch.
     */

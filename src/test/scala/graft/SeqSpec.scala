@@ -35,6 +35,25 @@ class SeqSpec extends SparkSpec {
     assert(m.select("member_row_id").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("multi-feature windows: array-valued sequences give (t, f) tensors") {
+    import org.apache.spark.sql.functions._
+    // the reference's LSTM input is (timesteps, features); passing an
+    // array-valued column to slidingSequences yields array<array<_>>
+    val df = Seq(
+      (1L, 1L, 1.0, 10.0), (1L, 2L, 2.0, 20.0), (1L, 3L, 3.0, 30.0)
+    ).toDF("sid", "ord", "a", "b")
+    val seqs = graft.seq.Sequencer.slidingSequences(
+      df, Seq("sid"), Seq(col("ord")), array(col("a"), col("b")), t = 2)
+    val r = seqs.orderBy("row_id").collect()
+    assert(r.length == 2)
+    val first = r(0).getSeq[Seq[Double]](r(0).fieldIndex("seq"))
+    assert(first == Seq(Seq(1.0, 10.0), Seq(2.0, 20.0)))
+    // flatten to the (t*f) vector the linear-AE scorer consumes
+    val flat = seqs.select(flatten(col("seq")).as("v")).orderBy(col("v"))
+      .head.getSeq[Double](0)
+    assert(flat.length == 4)
+  }
+
   test("padAlignScores: first t-1 rows of each series get null score") {
     val base = Sequencer.withRowId(series, Seq("k"), Seq(col("o")))
     val scores = Sequencer

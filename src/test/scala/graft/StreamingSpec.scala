@@ -97,6 +97,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrich: stream-static broadcast join per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val out = StreamOps.enrich(in.toDF.toDF("user_id", "value"), dim,
+      Seq("user_id"))
+    val q = out.writeStream.format("memory").queryName("en")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, 5.0), (2L, 6.0), (3L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("en").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("tier")).toMap
+      assert(rows == Map(1L -> "gold", 2L -> "silver")) // 3 has no dim row
+    } finally q.stop()
+  }
+
   test("thresholdAlerts is a stateless pass-through filter") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
