@@ -48,18 +48,23 @@ object Smote {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // k nearest neighbors per minority row: d² = |a|² + |b|² − 2·a·b
+    val nCnt = m.count()
+    require(nCnt >= 2, s"SMOTE needs >= 2 minority rows, got $nCnt")
+    // a row has only nCnt-1 neighbors: clamp k so every pick resolves
+    // (otherwise synthetic rows with out-of-range picks silently vanish)
+    val kEff = math.min(k, (nCnt - 1).toInt)
+
     val nn = m.as("x").join(m.as("y"), col("x.id") =!= col("y.id"))
       .select(col("x.rn").as("arn"), col("y.rn").as("brn"),
         (col("x.n2") + col("y.n2") -
           lit(2.0) * GraftFunctions.dot(col("x.vec"), col("y.vec"))).as("d2"))
       .withColumn("nnrank", row_number().over(
         Window.partitionBy("arn").orderBy(asc("d2"), asc("brn"))))
-      .where(col("nnrank") <= k)
+      .where(col("nnrank") <= kEff)
 
-    val nCnt = m.count()
     val synth = df.sparkSession.range(target).toDF("synth_id")
       .withColumn("arn", col("synth_id") % nCnt)
-      .withColumn("pick", (h(col("synth_id"), 2654435761L, 97L) % k) + 1)
+      .withColumn("pick", (h(col("synth_id"), 2654435761L, 97L) % kEff) + 1)
       .withColumn("u", h(col("synth_id"), 1103515245L, 12345L)
         .cast("double") / lit(P.toDouble))
 

@@ -72,6 +72,16 @@ class AugSpec extends SparkSpec {
     }
   }
 
+  test("smote: k larger than the minority still yields every target row") {
+    val tiny = Seq(
+      (1L, Seq(0.0f, 0.0f), 1), (2L, Seq(1.0f, 2.0f), 1), (3L, Seq(9.0f, 9.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    // minority has 2 rows (1 neighbor each); k=5 must clamp, not drop rows
+    val out = Smote.oversample(tiny, "vec_id", "embedding",
+      col("label") === 1, k = 5, target = 8)
+    assert(out.count() == 8)
+  }
+
   test("balance yields original + synthetic rows of the minority class") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val n0 = emb.count()
