@@ -32,19 +32,33 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
       val nbr = edges
         .join(labels.select(col("id").as("dst"), col("component").as("c")), "dst")
         .groupBy(col("src").as("id")).agg(min("c").as("nbr_min"))
-      val next = labels
+      val stepped = labels
         .join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer jumping: also adopt the label OF the current label —
+      // halves the effective diameter per round, so a length-D chain
+      // converges in O(log D) rounds instead of D (same fixpoint)
+      // localCheckpoint TRUNCATES LINEAGE — without it the iterated
+      // self-joins double the logical plan every round (pointer jumping
+      // squares it) until planning itself blows up; persist() alone
+      // caches data but keeps the exponential plan. On a cluster use
+      // reliable checkpoint(dir) for fault tolerance instead.
+      val next = stepped.as("l")
+        .join(stepped.select(col("id").as("component"),
+          col("component").as("cc")).as("r"), Seq("component"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("cc"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
       changed = next
         .join(labels.select(col("id"), col("component").as("old")), "id")
         .where(col("component") =!= col("old")).count()

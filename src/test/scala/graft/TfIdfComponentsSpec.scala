@@ -48,6 +48,16 @@ class TfIdfComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("long chains converge within the iteration budget (pointer jumping)") {
+    // a 60-vertex path: naive one-hop propagation needs 60 rounds,
+    // pointer jumping fits comfortably inside maxIter=20
+    val pairs = (0L until 59L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Components.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length == 60)
+    assert(cc.forall(_._2 == 0L), s"unconverged: ${cc.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("clusters summarizes component sizes") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val cl = Components.clusters(pairs, "a", "b")
