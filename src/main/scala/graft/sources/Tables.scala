@@ -64,6 +64,18 @@ object Tables {
   def dropViews(spark: SparkSession): Unit =
     all.foreach(t => spark.catalog.dropTempView(t))
 
+  /** Managed-table sink + lifecycle — parity with the reference's
+    * Iceberg `writeTo(...).createOrReplace()` ingest and
+    * `DROP TABLE ... PURGE` (`app/main.py:13-14,25`); here the catalog
+    * is Spark's session catalog (swap in an Iceberg catalog config for
+    * the lakehouse deployment — the API shape is identical).
+    */
+  def writeManagedTable(df: DataFrame, name: String): Unit =
+    df.write.mode("overwrite").saveAsTable(name)
+
+  def dropTable(spark: SparkSession, name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+
   /** Hive-style partitioned parquet sink: one directory per partition
     * value. At 100 TB this is what makes downstream scans prunable —
     * a filter on a partition column never touches other partitions'

@@ -57,6 +57,14 @@ class SourcesSpec extends SparkSpec {
       s"columns not pruned:\n$plan")
   }
 
+  test("managed table: save, SQL query, drop (S3/S4 lifecycle)") {
+    Tables.writeManagedTable(li.limit(100).select("l_orderkey", "l_quantity"),
+      "li_managed")
+    assert(spark.sql("SELECT count(*) FROM li_managed").head.getLong(0) == 100L)
+    Tables.dropTable(spark, "li_managed")
+    assert(!spark.catalog.tableExists("li_managed"))
+  }
+
   test("salted aggregation is bit-identical to the plain groupBy") {
     val salted = Skew.saltedSumCount(li, Seq("l_returnflag"),
         "l_extendedprice", col("l_orderkey"), buckets = 32)
