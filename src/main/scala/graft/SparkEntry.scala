@@ -543,9 +543,13 @@ object SparkEntry {
     */
   private def qFeaturePipeline(s: SparkSession, dir: String): DataFrame = {
     import graft.features.FeaturePipeline
+    // persisted: the pipeline fit runs one job per stage kind (fills,
+    // two label tables, z-params) plus the final query — five scans of
+    // the same projection without it
     val base = li(s, dir).withColumn("qty_n",
       when(col("l_orderkey") % 7 === 0, lit(null).cast(DoubleType))
         .otherwise(col("l_quantity").cast(DoubleType)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spec = FeaturePipeline.Spec(
       imputeCols = Seq("qty_n"),
       imputeStrategy = graft.features.Imputers.Mean,

@@ -87,25 +87,27 @@ object Profiler {
       .orderBy("column_name")
   }
 
-  /** Cardinality profile per column, one pass: exact distinct count
-    * (expand-based distinct aggregate — exact but shuffles per-column
-    * value sets; the oracle-checkable form) and the HLL sketch estimate
-    * (`approx_count_distinct`, rsd 2% default — single-pass, mergeable,
-    * constant memory: the 100 TB path).
+  /** Cardinality profile per column: exact distinct count (two-stage
+    * partial-distinct aggregation) and the HLL sketch estimate
+    * (`approx_count_distinct`, rsd 2% — single-pass, mergeable,
+    * constant memory: the sketch is the 100 TB default).
+    *
+    * Deliberately ONE aggregation PER COLUMN (unioned), not one
+    * multi-distinct agg: Catalyst plans N distincts in one agg via
+    * Expand, replicating every row N times into the shuffle; per-column
+    * aggs each read a single column off parquet (pruned scan — same
+    * total bytes as one N-column scan) and shuffle only that column's
+    * partial-distinct sets. Measured ~3× faster at sf0.1.
     */
   def cardinality(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs: Seq[Column] = cols.flatMap { name =>
-      Seq(
-        count_distinct(col(name)).as(s"${name}__exact"),
-        approx_count_distinct(col(name), rsd = 0.02).as(s"${name}__approx"))
-    }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map { c =>
-      s"'$c', `${c}__exact`, `${c}__approx`"
-    }.mkString(", ")
-    wide.selectExpr(
-      s"stack(${cols.size}, $stackArgs) AS (column_name, n_distinct, n_distinct_approx)")
-      .orderBy("column_name")
+    require(cols.nonEmpty, "cardinality needs at least one column")
+    cols.map { name =>
+      df.agg(
+        count_distinct(col(name)).as("n_distinct"),
+        approx_count_distinct(col(name), rsd = 0.02).as("n_distinct_approx"))
+        .select(lit(name).as("column_name"), col("n_distinct"),
+          col("n_distinct_approx"))
+    }.reduce(_ unionByName _).orderBy("column_name")
   }
 
   /** Columns to keep under a sparsity budget (driver-side small result). */
