@@ -70,7 +70,10 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
                    maxShingleDocFreq: Long = 0L): DataFrame = {
+    // persisted: referenced by the size aggregate and BOTH sides of the
+    // pair self-join — shingling would otherwise run four times
     val rows = shingleRows(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pruned =
       if (maxShingleDocFreq <= 0) rows
       else {

@@ -45,11 +45,15 @@ object ZScoreAnomaly {
     }.toMap
   }
 
-  /** End-to-end: score, threshold at quantile p of the scores, flag. */
+  /** End-to-end: score, threshold at quantile p of the scores, flag.
+    * The scored frame is persisted across the threshold pass and the
+    * caller's flag/filter pass (scoring would otherwise re-run).
+    */
   def detect(df: DataFrame, cols: Seq[String], p: Double = 0.95,
              scoreCol: String = "anomaly_score",
              flagCol: String = "is_anomaly"): DataFrame = {
     val scored = score(df, cols, fitStats(df, cols), scoreCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = Quantiles.exactQuantiles(scored, scoreCol, Seq(p)).head
     scored.withColumn(flagCol, col(scoreCol) > lit(thr))
   }
