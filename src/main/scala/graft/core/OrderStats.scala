@@ -1,0 +1,146 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Distributed exact quantiles via order-statistic selection.
+  *
+  * Catalyst's `percentile` buffers every value per partition and merges
+  * the full value multiset on a single reducer — at 100 TB that reducer
+  * is an OOM, and before that a straggler. This computes the same exact,
+  * linearly-interpolated quantiles (numpy `np.percentile` semantics, the
+  * reference's threshold math at `app/AE_model.py:197` and
+  * `app/LSTM_AE.py:513-517`) with bounded memory everywhere:
+  *
+  *  1. one mergeable agg: (count, min, max) per column;
+  *  2. per pass: bucket the candidate value range into `buckets`
+  *     equi-width cells and aggregate (count, min, max) per cell — a
+  *     map-side-combined shuffle of at most `buckets` keys; locate the
+  *     cell holding each target rank;
+  *  3. a cell that is constant (min == max) resolves immediately; a cell
+  *     with ≤ `collectThreshold` rows is fetched and sorted on the
+  *     driver; anything else recurses into the cell's [min, max].
+  *
+  * Each pass shrinks the candidate span ~`buckets`-fold (the next span is
+  * one cell's actual [min, max]), so passes are O(log_B span) — 2–3 full
+  * scans in practice, each pruned to a single column with a pushed-down
+  * range filter. Driver and executor memory are bounded by
+  * `buckets` + `collectThreshold` regardless of data size, and every
+  * aggregate is mergeable, so the plan survives a 1000-executor cluster.
+  *
+  * Interpolation matches Catalyst `Percentile` bitwise (and DuckDB
+  * `quantile_cont` within rounding): with h = p·(n−1),
+  * result = v_⌊h⌋·(⌈h⌉−h) + v_⌈h⌉·(h−⌊h⌋).
+  * Nulls and NaNs are excluded (Imputer/profiler validity semantics).
+  */
+object OrderStats {
+
+  private case class Segment(lo: Double, hi: Double, below: Long, ranks: List[Long])
+
+  /** Exact interpolated quantiles `ps` for each of `cols`, computed with
+    * the bounded-memory selection above. Returns per column the quantile
+    * values in the order of `ps`; a column with zero valid rows maps to
+    * NaNs.
+    */
+  def quantiles(df: DataFrame, cols: Seq[String], ps: Seq[Double],
+                buckets: Int = 1024, collectThreshold: Int = 4096): Map[String, Seq[Double]] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile probabilities must be in [0,1]: $ps")
+    def valid(c: String): Column = {
+      val d = col(c).cast(DoubleType)
+      when(d.isNotNull && !isnan(d), d)
+    }
+    val statAggs = cols.flatMap { c =>
+      val v = valid(c)
+      Seq(count(v).as(s"${c}__n"), min(v).as(s"${c}__min"), max(v).as(s"${c}__max"))
+    }
+    val srow = df.agg(statAggs.head, statAggs.tail: _*).head()
+
+    cols.zipWithIndex.map { case (c, ci) =>
+      val n = srow.getLong(3 * ci)
+      if (n == 0L) c -> ps.map(_ => Double.NaN)
+      else {
+        val mn = srow.getDouble(3 * ci + 1)
+        val mx = srow.getDouble(3 * ci + 2)
+        val pos = ps.map(p => p * (n - 1)) // 0-indexed fractional positions
+        val needed = pos.flatMap(h => Seq(math.floor(h).toLong + 1L, math.ceil(h).toLong + 1L))
+          .distinct.sorted.toList
+        val values: Map[Long, Double] =
+          if (mn == mx) needed.map(_ -> mn).toMap
+          else select(df, valid(c), needed, mn, mx, buckets, collectThreshold)
+        c -> pos.map { h =>
+          val fl = math.floor(h); val cl = math.ceil(h)
+          val lo = values(fl.toLong + 1L)
+          if (cl == fl) lo
+          else lo * (cl - h) + values(cl.toLong + 1L) * (h - fl)
+        }
+      }
+    }.toMap
+  }
+
+  /** Single-column convenience. */
+  def quantilesOf(df: DataFrame, colName: String, ps: Seq[Double]): Seq[Double] =
+    quantiles(df, Seq(colName), ps)(colName)
+
+  /** Resolve the 1-indexed order statistics `ranks` of the valid values
+    * of `v`, known to lie in [mn, mx], by iterative histogram pruning.
+    */
+  private def select(df: DataFrame, v: Column, ranks: List[Long],
+                     mn: Double, mx: Double, b: Int, collectThr: Int): Map[Long, Double] = {
+    val out = scala.collection.mutable.Map.empty[Long, Double]
+
+    def collectResolve(lo: Double, hi: Double, below: Long, rs: List[Long]): Unit = {
+      val vals = df.where(v >= lit(lo) && v <= lit(hi)).select(v.as("v"))
+        .collect().map(_.getDouble(0)).sorted
+      rs.foreach(k => out(k) = vals((k - below - 1).toInt))
+    }
+
+    var segments: List[Segment] = List(Segment(mn, mx, 0L, ranks))
+    var pass = 0
+    while (segments.nonEmpty) {
+      pass += 1
+      require(pass <= 64, s"order-statistic selection failed to converge after $pass passes")
+      segments = segments.flatMap { seg =>
+        if (seg.lo == seg.hi) { seg.ranks.foreach(out(_) = seg.lo); Nil }
+        else {
+          // hi/b - lo/b instead of (hi-lo)/b: avoids overflow for huge spans
+          val w = seg.hi / b - seg.lo / b
+          if (!java.lang.Double.isFinite(w) || w <= 0.0) {
+            // span below bucketing resolution — a handful of adjacent
+            // doubles; resolve directly (count is tiny in value-space)
+            collectResolve(seg.lo, seg.hi, seg.below, seg.ranks); Nil
+          } else {
+            val bucket = least(floor((v - lit(seg.lo)) / lit(w)), lit(b - 1)).cast("long")
+            val hist = df.where(v >= lit(seg.lo) && v <= lit(seg.hi))
+              .groupBy(bucket.as("b"))
+              .agg(count(lit(1)).as("c"), min(v).as("mn"), max(v).as("mx"))
+              .orderBy("b").collect()
+            var cum = seg.below
+            var remaining = seg.ranks
+            val next = scala.collection.mutable.ListBuffer.empty[Segment]
+            hist.foreach { r =>
+              val cnt = r.getLong(1)
+              val (inB, rest) = remaining.partition(k => k > cum && k <= cum + cnt)
+              if (inB.nonEmpty) {
+                val bmn = r.getDouble(2); val bmx = r.getDouble(3)
+                if (bmn == bmx) inB.foreach(out(_) = bmn)
+                else if (cnt <= collectThr) collectResolve(bmn, bmx, cum, inB)
+                else if (bmn == seg.lo && bmx == seg.hi)
+                  // no shrink possible (ulp-dense cell) — force resolve to
+                  // guarantee termination; only reachable for adversarial
+                  // distributions packed within ~buckets ULPs
+                  collectResolve(bmn, bmx, cum, inB)
+                else next += Segment(bmn, bmx, cum, inB)
+              }
+              cum += cnt
+              remaining = rest
+            }
+            next.toList
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+}

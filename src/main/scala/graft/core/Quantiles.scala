@@ -10,23 +10,31 @@ import org.apache.spark.sql.functions._
   * IQR fence Q3+1.5·IQR (`app/LSTM_AE.py:513-517`), p1/p99 winsorizing
   * clip (`app/LSTM_AE_enhanced.py:57-69`).
   *
-  * Two paths:
-  *  - `exact*` uses SQL `percentile` (sort-based, linear interpolation —
-  *    matches numpy/DuckDB `quantile_cont`). Cost: full sort of the
-  *    column per distinct agg — fine for correctness checks.
-  *  - `approx*` uses `percentile_approx` (Greenwald–Khanna sketch,
-  *    mergeable, single pass, no sort) — the 100 TB path. relativeError
-  *    1e-4 keeps thresholds within noise of exact at a fraction of cost.
+  * Three paths:
+  *  - `exactQuantiles` — exact linear-interpolated quantiles
+  *    (numpy/DuckDB `quantile_cont` semantics) via
+  *    [[OrderStats distributed order-statistic selection]]: bounded
+  *    memory on every node, mergeable aggregates only — the default and
+  *    the 100 TB path for exact thresholds.
+  *  - `exact` — Catalyst `percentile` as a Column, for embedding in a
+  *    combined single-pass agg. Buffers all values per partition and
+  *    merges on one reducer: correctness baseline / small-frame use
+  *    only, never on a full fact table.
+  *  - `approx` — `percentile_approx` (Greenwald–Khanna sketch,
+  *    mergeable, single pass) — when a rank-error tolerance is
+  *    acceptable and a single combined pass matters more than exactness.
   */
 object Quantiles {
 
+  /** Catalyst exact percentile as a Column — single-reducer merge; keep
+    * off large frames (use [[exactQuantiles]] there).
+    */
   def exact(c: Column, ps: Seq[Double]): Column =
     percentile(c, array(ps.map(lit): _*))
 
-  def exactQuantiles(df: DataFrame, colName: String, ps: Seq[Double]): Seq[Double] = {
-    val row = df.agg(exact(col(colName), ps)).head()
-    row.getSeq[Double](0)
-  }
+  /** Exact interpolated quantiles with bounded memory at any scale. */
+  def exactQuantiles(df: DataFrame, colName: String, ps: Seq[Double]): Seq[Double] =
+    OrderStats.quantilesOf(df, colName, ps)
 
   def approx(c: Column, ps: Seq[Double], accuracy: Int = 10000): Column =
     percentile_approx(c, array(ps.map(lit): _*), lit(accuracy))
@@ -38,17 +46,16 @@ object Quantiles {
   }
 
   /** Winsorize: clip to [pLo, pHi] quantiles (`app/LSTM_AE_enhanced.py:57-69`).
-    * Quantiles are computed in one agg job; the clip itself is a
-    * codegen'd `least/greatest` — no UDF.
+    * Bounds come from the distributed selection (one shared stats pass
+    * for all columns, then per-column pruning passes); the clip itself
+    * is a codegen'd `least/greatest` — no UDF, no shuffle.
     */
   def clipToQuantiles(df: DataFrame, cols: Seq[String],
                       pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
-    val bounds = df.agg(
-      exact(col(cols.head), Seq(pLo, pHi)).as(cols.head),
-      cols.tail.map(c => exact(col(c), Seq(pLo, pHi)).as(c)): _*).head()
-    cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
-      val b = bounds.getSeq[Double](i)
-      acc.withColumn(c, least(greatest(col(c).cast("double"), lit(b.head)), lit(b.last)))
+    val bounds = OrderStats.quantiles(df, cols, Seq(pLo, pHi))
+    cols.foldLeft(df) { case (acc, c) =>
+      val Seq(lo, hi) = bounds(c)
+      acc.withColumn(c, least(greatest(col(c).cast("double"), lit(lo)), lit(hi)))
     }
   }
 }

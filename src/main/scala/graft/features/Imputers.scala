@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.DoubleType
 object Imputers {
   sealed trait Strategy
   case object Mean extends Strategy
-  /** Exact median (sort-based percentile) — oracle-parity path. */
+  /** Exact median via distributed order-statistic selection
+    * (`graft.core.OrderStats`) — oracle-parity AND scale-safe: no
+    * per-partition value buffer, unlike Catalyst `percentile`.
+    */
   case object MedianExact extends Strategy
   /** Approximate median (GK sketch) — the 100 TB path; matches the
     * reference's relativeError=0.001 Imputer.
@@ -27,18 +30,21 @@ object Imputers {
   /** Compute fill values for `cols` in one pass. NaNs are excluded like
     * nulls (spark.ml Imputer semantics).
     */
-  def fit(df: DataFrame, cols: Seq[String], strategy: Strategy): Map[String, Double] = {
-    val aggs = cols.map { name =>
-      val d = col(name).cast(DoubleType)
-      val clean = when(!isnan(d), d) // null stays null, NaN → null
-      (strategy match {
-        case Mean => Stats.dmean(clean)
-        case MedianExact => percentile(clean, lit(0.5))
-        case MedianApprox => percentile_approx(clean, lit(0.5), lit(1000))
-      }).as(name)
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.zipWithIndex.map { case (c, i) => c -> row.getDouble(i) }.toMap
+  def fit(df: DataFrame, cols: Seq[String], strategy: Strategy): Map[String, Double] = strategy match {
+    case MedianExact =>
+      // distributed selection: bounded memory, no Percentile buffer
+      graft.core.OrderStats.quantiles(df, cols, Seq(0.5)).map { case (c, qs) => c -> qs.head }
+    case _ =>
+      val aggs = cols.map { name =>
+        val d = col(name).cast(DoubleType)
+        val clean = when(!isnan(d), d) // null stays null, NaN → null
+        (strategy match {
+          case Mean => Stats.dmean(clean)
+          case _ => percentile_approx(clean, lit(0.5), lit(1000))
+        }).as(name)
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      cols.zipWithIndex.map { case (c, i) => c -> row.getDouble(i) }.toMap
   }
 
   def transform(df: DataFrame, fills: Map[String, Double]): DataFrame =

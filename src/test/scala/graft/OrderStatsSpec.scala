@@ -1,0 +1,68 @@
+package graft
+
+import graft.core.{OrderStats, Quantiles}
+import org.apache.spark.sql.functions._
+
+/** The distributed order-statistic selection must be BITWISE identical to
+  * Catalyst `Percentile` (the previous oracle-green implementation) — the
+  * driver hash-compares query outputs, so equality here is the guarantee
+  * that swapping the plan does not move a single hash.
+  */
+class OrderStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.72, 0.75, 0.9, 0.95, 0.99, 1.0)
+
+  private def assertMatchesPercentile(values: Seq[Double], label: String): Unit = {
+    val df = values.toDF("x").repartition(7)
+    val expected = df.agg(Quantiles.exact(col("x"), ps)).head().getSeq[Double](0)
+    // tiny collectThreshold + small bucket count force the histogram
+    // recursion even on test-sized data
+    val got = OrderStats.quantiles(df, Seq("x"), ps, buckets = 8, collectThreshold = 3)("x")
+    got.zip(expected).zip(ps).foreach { case ((g, e), p) =>
+      assert(g == e, s"$label p=$p: got $g expected $e")
+    }
+  }
+
+  test("matches Percentile bitwise: uniform ints") {
+    assertMatchesPercentile((1 to 101).map(_.toDouble), "uniform")
+  }
+
+  test("matches Percentile bitwise: heavy ties") {
+    assertMatchesPercentile(Seq.fill(40)(2.0) ++ Seq.fill(40)(7.0) ++ Seq(1.0, 9.0, 7.5), "ties")
+  }
+
+  test("matches Percentile bitwise: negative + skewed doubles") {
+    val vs = (1 to 200).map(i => math.pow(-1, i) * math.exp(i / 23.0) / (i + 0.5))
+    assertMatchesPercentile(vs, "skewed")
+  }
+
+  test("matches Percentile bitwise: near-identical values (ulp-dense)") {
+    val base = 1.0
+    val vs = (0 until 50).map(i => base + i * java.lang.Math.ulp(base))
+    assertMatchesPercentile(vs, "ulp")
+  }
+
+  test("single value, constant column, and nulls/NaN excluded") {
+    assert(OrderStats.quantilesOf(Seq(5.0).toDF("x"), "x", Seq(0.0, 0.5, 1.0)) == Seq(5.0, 5.0, 5.0))
+    assert(OrderStats.quantilesOf(Seq.fill(10)(3.0).toDF("x"), "x", Seq(0.25, 0.9)) == Seq(3.0, 3.0))
+    val withJunk = Seq(Some(1.0), None, Some(Double.NaN), Some(2.0), Some(3.0)).toDF("x")
+    assert(OrderStats.quantilesOf(withJunk, "x", Seq(0.5)) == Seq(2.0))
+    assert(OrderStats.quantilesOf(withJunk.where($"x" > 100), "x", Seq(0.5)).head.isNaN)
+  }
+
+  test("multi-column batch shares the stats pass and resolves independently") {
+    val df = (1 to 50).map(i => (i.toDouble, (51 - i) * 10.0)).toDF("a", "b")
+    val m = OrderStats.quantiles(df, Seq("a", "b"), Seq(0.5), buckets = 4, collectThreshold = 2)
+    val ea = df.agg(Quantiles.exact($"a", Seq(0.5))).head().getSeq[Double](0).head
+    val eb = df.agg(Quantiles.exact($"b", Seq(0.5))).head().getSeq[Double](0).head
+    assert(m("a").head == ea && m("b").head == eb)
+  }
+
+  test("matches Percentile on real table column (lineitem quantities)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val expected = li.agg(Quantiles.exact(col("l_extendedprice"), ps)).head().getSeq[Double](0)
+    val got = OrderStats.quantilesOf(li, "l_extendedprice", ps)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"got $g expected $e") }
+  }
+}
