@@ -338,6 +338,17 @@ object SparkEntry {
         threshold = 0.45)
       .orderBy("a", "b")
 
+  /** D6s — LSH-bucketed embedding near-dup pairs: the 100 TB twin of
+    * q28. Bucket equi-join candidates + in-bucket exact cosine — the
+    * plan contains no BroadcastNestedLoopJoin; q28 remains the labeled
+    * all-pairs correctness baseline.
+    */
+  private def qLshCosineDups(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.lshCosineDupPairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, dim = 64, tables = 8, bitsPerTable = 6)
+      .orderBy("a", "b")
+
   // --- similarity search over embeddings ----------------------------- //
 
   /** N1 — brute-force cosine top-3 neighbors (codegen'd dot kernel) for
@@ -428,7 +439,10 @@ object SparkEntry {
     val base = li(s, dir).withColumn("features", feats)
     val model = graft.score.IsolationForest.fit(
       base, "l_orderkey", "features", numTrees = 100, maxSamples = 16)
+    // persist only the two columns the threshold and report need — the
+    // wide features arrays would dominate the cached bytes
     val scored = model.transform(base, "features", "if_score")
+      .select(col("l_returnflag"), col("if_score"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // approx quantile (mergeable sketch, no global sort) — the scale
     // path for thresholds on distributed scores; deterministic
@@ -508,9 +522,12 @@ object SparkEntry {
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val mus = cols.indices.map(i => r.getDouble(2 * i))
     val vars = cols.indices.map(i => r.getDouble(2 * i + 1))
+    // persist only the report columns — caching the 16-col frame would
+    // multiply the cached bytes for nothing
     val scored = df.withColumn("score",
         graft.score.ReconstructionError.varNormalizedMaeCols(
           cols.map(col), mus, vars))
+      .select(col("l_orderkey"), col("l_linenumber"), col("score"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = Quantiles.exactQuantiles(scored, "score", Seq(0.95)).head
     scored.where(col("score") > thr)
@@ -772,7 +789,8 @@ object SparkEntry {
     "q48_quality_checks" -> (qQualityChecks _),
     "q49_binned_roc" -> (qBinnedRoc _),
     "q50_ranking" -> (qRanking _),
-    "q51_cardinality" -> (qCardinality _)
+    "q51_cardinality" -> (qCardinality _),
+    "q52_lsh_cosine_dups" -> (qLshCosineDups _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -1038,6 +1056,20 @@ object SparkEntry {
          | p AS (SELECT x.vec_id AS a, y.vec_id AS b,
          |   ${V.dot("x.embedding", "y.embedding")} / (sqrt(x.n2) * sqrt(y.n2)) AS cos
          |   FROM v x JOIN v y ON x.vec_id < y.vec_id)
+         | SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.45
+         | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")
+    },
+    "q52_lsh_cosine_dups" -> {
+      import graft.sim.Ann.{Sql => A}
+      import graft.sim.VectorMath.{Sql => V}
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec, ${V.norm2("embedding")} AS n2 FROM embeddings),
+         | bk AS (SELECT id, unnest(${A.lshBuckets("vec", 64, 8, 6)}) AS bucket,
+         |   unnest(generate_series(0, 7)) AS tbl FROM v),
+         | cand AS (SELECT DISTINCT x.id AS a, y.id AS b FROM bk x JOIN bk y
+         |   ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.id < y.id),
+         | p AS (SELECT a, b,
+         |   ${V.dot("av.vec", "bv.vec")} / (sqrt(av.n2) * sqrt(bv.n2)) AS cos
+         |   FROM cand JOIN v av ON av.id = a JOIN v bv ON bv.id = b)
          | SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.45
          | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")
     },

@@ -118,6 +118,49 @@ object Dedup {
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** LSH-bucketed embedding near-dup pairs — the 100 TB twin of
+    * [[cosineDupPairs]]. Candidates are pairs sharing at least one
+    * random-hyperplane bucket (`tables` tables × `bitsPerTable` sign
+    * bits, deterministic planes — `graft.sim.Ann`); the exact cosine ≥
+    * `threshold` check runs only inside buckets. The only all-corpus
+    * shuffles carry (id, table, bucket) triples and the bucket
+    * equi-join — no cartesian, no BroadcastNestedLoopJoin; recall tunes
+    * with (tables, bitsPerTable) like any hyperplane-LSH index.
+    */
+  def lshCosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, dim: Int,
+                        tables: Int = 8, bitsPerTable: Int = 6): DataFrame = {
+    import graft.sim.{Ann, GraftFunctions}
+    GraftFunctions.register(df.sparkSession)
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("n2", GraftFunctions.norm2(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signs hoisted into their own projection: the plane dots run once
+    // per vector, not once per table (lambda inlining)
+    // persisted: the self-join below would otherwise recompute the plane
+    // dots for BOTH sides
+    val bk = v
+      .select(col("id"), Ann.planeSigns(col("vec"), dim, tables * bitsPerTable).as("signs"))
+      .select(col("id"), posexplode(Ann.bucketsFromSigns(col("signs"), tables, bitsPerTable)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bk.as("x")
+      .join(bk.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("a"), col("vec").as("avec"), col("n2").as("an2")), "a")
+      .join(v.select(col("id").as("b"), col("vec").as("bvec"), col("n2").as("bn2")), "b")
+      .select(col("a"), col("b"),
+        VectorMath.cosineFromNorms(
+          GraftFunctions.dot(col("avec"), col("bvec")),
+          col("an2"), col("bn2")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** DuckDB oracle twins. */
   object Sql {
     def shingles(x: String, n: Int): String = {

@@ -53,9 +53,19 @@ object IsolationForest {
       math.pow(2.0, -(s / trees.length) / cn)
     }
 
-    /** Distributed scoring: broadcast this model, apply as a map stage. */
+    /** Distributed scoring: broadcast the [[FlatForest flattened forest]],
+      * apply as a codegen'd map stage ([[IfScoreExpr]]) — no boxing, no
+      * encoder round-trip; bitwise-identical scores to [[udfTransform]].
+      */
     def transform(df: DataFrame, featuresCol: String,
-                  outCol: String = "if_score"): DataFrame = {
+                  outCol: String = "if_score"): DataFrame =
+      df.withColumn(outCol, IfScoreExpr.column(df, this, featuresCol))
+
+    /** Boxed Scala-UDF scoring — correctness baseline for the codegen
+      * path (ModelSpec asserts bitwise equality); not used by queries.
+      */
+    def udfTransform(df: DataFrame, featuresCol: String,
+                     outCol: String = "if_score"): DataFrame = {
       val bc = df.sparkSession.sparkContext.broadcast(this)
       val scoreUdf = udf { xs: Seq[Double] => bc.value.score(xs.toArray) }
       df.withColumn(outCol, scoreUdf(col(featuresCol)))

@@ -105,6 +105,26 @@ class DedupSpec extends SparkSpec {
     assert(p == Set((1L, 2L)))
   }
 
+  test("lshCosineDupPairs: subset of all-pairs baseline, finds near-identical dup, no nested-loop join") {
+    val dim = 8
+    val base = Seq(0.9, 0.1, -0.3, 0.7, 0.2, -0.5, 0.4, 0.8)
+    val vecs = Seq(
+      1L -> base,
+      2L -> base.map(_ * 1.001 + 0.0005), // near-identical to 1
+      3L -> base.map(-_), // opposite
+      4L -> Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    ).map { case (id, v) => (id, v.map(_.toFloat)) }.toDF("vec_id", "embedding")
+    val lsh = Dedup.lshCosineDupPairs(vecs, "vec_id", "embedding", 0.95, dim,
+      tables = 8, bitsPerTable = 4)
+    val lshPairs = lsh.select("a", "b").as[(Long, Long)].collect().toSet
+    val all = Dedup.cosineDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lshPairs.subsetOf(all), s"LSH produced non-dup pairs: ${lshPairs -- all}")
+    assert(lshPairs.contains((1L, 2L)), "near-identical pair must share every bucket")
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "scale path must not plan a cartesian")
+  }
+
   test("cosine is exactly 1 for identical vectors (sequential fold)") {
     val vecs = Seq((1L, Seq(0.3f, -0.2f, 0.9f)), (2L, Seq(0.3f, -0.2f, 0.9f)))
       .toDF("vec_id", "embedding")

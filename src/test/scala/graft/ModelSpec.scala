@@ -35,6 +35,18 @@ class ModelSpec extends SparkSpec {
     assert(s1.toSeq == s2.toSeq)
   }
 
+  test("codegen forest scoring is bitwise-identical to the UDF baseline") {
+    val df = planted(300)
+    val m = IsolationForest.fit(df, "id", "features", numTrees = 80,
+      maxSamples = 16, poolSize = 301)
+    val fast = m.transform(df, "features").orderBy("id")
+      .select("if_score").as[Double].collect()
+    val slow = m.udfTransform(df, "features").orderBy("id")
+      .select("if_score").as[Double].collect()
+    assert(fast.length == slow.length)
+    fast.zip(slow).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("isolation forest c(n) matches known values") {
     assert(IsolationForest.c(1) == 0.0)
     assert(math.abs(IsolationForest.c(2) - 0.15443133) < 1e-6)
