@@ -37,6 +37,7 @@ object SparkEntry {
   // ----------------------------------------------------------------- //
 
   private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
+  private def em(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
   /** A1/A8 — grouped aggregation (sums, exact mean, count). */
   private def qPricingSummary(s: SparkSession, dir: String): DataFrame =
@@ -55,7 +56,7 @@ object SparkEntry {
     * reference's job-per-column loop, SURVEY.md §4).
     */
   private def qProfile(s: SparkSession, dir: String): DataFrame =
-    Profiler.profile(li(s, dir), lineitemNumerics)
+    Profiler.profile(par(li(s, dir)), lineitemNumerics)
 
   /** A6/A7 — exact quantiles + IQR upper fence as a long table. */
   private def qQuantiles(s: SparkSession, dir: String): DataFrame = {
@@ -113,7 +114,7 @@ object SparkEntry {
 
   /** F3 + A6 + P9 — the flagship: z-score anomaly detection. */
   private def qZscoreAnomaly(s: SparkSession, dir: String): DataFrame =
-    ZScoreAnomaly.detect(li(s, dir), anomalyFeatures, p = 0.95)
+    ZScoreAnomaly.detect(par(li(s, dir)), anomalyFeatures, p = 0.95)
       .filter(col("is_anomaly"))
       .select(col("l_orderkey"), col("l_linenumber"),
         round(col("anomaly_score"), 6).as("anomaly_score"))
@@ -246,6 +247,16 @@ object SparkEntry {
   // --- text analysis over documents (training-data pipeline ops) ----- //
 
   private def doc(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  /** Post-scan round-robin repartition (the reference's own L5
+    * `repartition(32)`, `app/AE_model.py:29`). The harness's local
+    * parquet files hold ONE row group each, so a bare scan is a single
+    * task; queries whose cost is per-row compute (model scoring,
+    * multi-agg profiling, shingle explosion) repartition first so the
+    * narrow stages use every core. Cheap scan-bound queries skip it —
+    * the shuffle would cost more than it buys.
+    */
+  private def par(df: DataFrame) =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** T1 — token counting (whitespace, distinct, BPE-ish, regex) +
     * rolling-hash fingerprint, one codegen'd map stage per document.
@@ -306,7 +317,7 @@ object SparkEntry {
     * baseline for D3's LSH path).
     */
   private def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.jaccardPairs(doc(s, dir), "doc_id", "text",
+    graft.dedup.Dedup.jaccardPairs(par(doc(s, dir)), "doc_id", "text",
         n = 3, threshold = 0.5)
       .orderBy("a", "b")
 
@@ -334,7 +345,7 @@ object SparkEntry {
   /** D6 — embedding-cosine near-dup pairs over the embeddings table. */
   private def qCosineDups(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.cosineDupPairs(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        em(s, dir), "vec_id", "embedding",
         threshold = 0.45)
       .orderBy("a", "b")
 
@@ -345,7 +356,7 @@ object SparkEntry {
     */
   private def qLshCosineDups(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.lshCosineDupPairs(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        em(s, dir), "vec_id", "embedding",
         threshold = 0.45, dim = 64, tables = 8, bitsPerTable = 6)
       .orderBy("a", "b")
 
@@ -355,7 +366,7 @@ object SparkEntry {
     * query vectors id < 100; the exactness baseline for N2.
     */
   private def qCosineTopK(s: SparkSession, dir: String): DataFrame =
-    graft.sim.Ann.cosineTopK(Tables.load(s, dir, "embeddings"),
+    graft.sim.Ann.cosineTopK(em(s, dir),
         "vec_id", "embedding", k = 3, queryPred = col("id") < 100)
       .orderBy("a", "rank")
 
@@ -363,7 +374,7 @@ object SparkEntry {
     * within buckets only: the 100 TB path.
     */
   private def qLshAnn(s: SparkSession, dir: String): DataFrame =
-    graft.sim.Ann.lshTopK(Tables.load(s, dir, "embeddings"),
+    graft.sim.Ann.lshTopK(em(s, dir),
         "vec_id", "embedding", k = 3, dim = 64, tables = 4,
         bitsPerTable = 8, queryPred = col("id") < 100)
       .orderBy("a", "rank")
@@ -411,7 +422,7 @@ object SparkEntry {
     * vector's squared norm.
     */
   private def qSmote(s: SparkSession, dir: String): DataFrame =
-    graft.aug.Smote.oversample(Tables.load(s, dir, "embeddings"),
+    graft.aug.Smote.oversample(em(s, dir),
         "vec_id", "embedding", col("label") === 7, k = 5, target = 50)
       .select(col("synth_id"), col("a"), col("b"), round(col("u"), 6).as("u"),
         round(graft.sim.GraftFunctions.norm2(col("vec")), 6).as("vec_norm2"))
@@ -436,9 +447,11 @@ object SparkEntry {
     */
   private def qIsolationForest(s: SparkSession, dir: String): DataFrame = {
     val feats = array(lineitemNumerics.map(c => col(c).cast("double")): _*)
-    val base = li(s, dir).withColumn("features", feats)
+    // composite key = total order: the fit pool is tie-free deterministic
+    val base = par(li(s, dir)).withColumn("features", feats)
+      .withColumn("fit_id", col("l_orderkey") * 10 + col("l_linenumber"))
     val model = graft.score.IsolationForest.fit(
-      base, "l_orderkey", "features", numTrees = 100, maxSamples = 16)
+      base, "fit_id", "features", numTrees = 100, maxSamples = 16)
     // persist only the two columns the threshold and report need — the
     // wide features arrays would dominate the cached bytes
     val scored = model.transform(base, "features", "if_score")
@@ -461,13 +474,33 @@ object SparkEntry {
     * score distributed, report the top-20 most anomalous vectors.
     */
   private def qLinearAE(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.load(s, dir, "embeddings")
+    val base = em(s, dir)
       .withColumn("features", col("embedding").cast("array<double>"))
     val model = graft.score.LinearAE.fit(base, "vec_id", "features", k = 8)
     model.transform(base, "features", "recon_error")
       .select(col("vec_id"), round(col("recon_error"), 6).as("recon_error"))
       .orderBy(desc("recon_error"), asc("vec_id"))
       .limit(20)
+  }
+
+  /** M2n — nonlinear MLP autoencoder (Dense-AE parity,
+    * `app/AE_model.py:114-191`): driver-fit 64→16→64 tanh AE on the
+    * deterministic pool, broadcast weights, distributed reconstruction
+    * error, p95 threshold (`app/AE_model.py:197`), report the flagged
+    * anomalies. Deterministic but not SQL-replicable (rows-only check).
+    */
+  private def qMlpAe(s: SparkSession, dir: String): DataFrame = {
+    val base = em(s, dir)
+      .withColumn("features", col("embedding").cast("array<double>"))
+    val model = graft.score.MlpAE.fit(base, "vec_id", "features",
+      hidden = 16, epochs = 60)
+    val scored = model.transform(base, "features", "recon_error")
+      .select(col("vec_id"), col("recon_error"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = Quantiles.exactQuantiles(scored, "recon_error", Seq(0.95)).head
+    scored.where(col("recon_error") > thr)
+      .select(col("vec_id"), round(col("recon_error"), 6).as("recon_error"))
+      .orderBy(desc("recon_error"), asc("vec_id"))
   }
 
   // --- multimodal binary + grid search ------------------------------- //
@@ -505,6 +538,28 @@ object SparkEntry {
       .orderBy("p")
   }
 
+  /** A15m — model-hyperparameter grid for the native isolation forest
+    * with the reference's stability score
+    * (`app/IsolationForest_AE_enhanced.py:39-146`). Driver loop over
+    * the grid; per candidate one distributed agg pass. Deterministic
+    * (hash-seeded forests) but not SQL-replicable — rows-only check.
+    */
+  private def qIfGrid(s: SparkSession, dir: String): DataFrame = {
+    val feats = array(lineitemNumerics.map(c => col(c).cast("double")): _*)
+    // (l_orderkey, l_linenumber) is the table key; a composite sort id
+    // makes the fit pool a total order (no tie-dependent rows)
+    val base = par(li(s, dir)).withColumn("features", feats)
+      .withColumn("fit_id", col("l_orderkey") * 10 + col("l_linenumber"))
+    graft.eval.GridSearch.ifParamGrid(base, "fit_id", "features",
+        grid = Seq((50, 16), (100, 16), (50, 64), (100, 64)))
+      .select(col("num_trees"), col("max_samples"),
+        round(col("mean_score"), 6).as("mean_score"),
+        round(col("std_score"), 6).as("std_score"),
+        round(col("score_range"), 6).as("score_range"),
+        round(col("stability"), 6).as("stability"))
+      .orderBy(desc("stability"), asc("num_trees"), asc("max_samples"))
+  }
+
   // --- reconstruction-error scoring (F1/F2) -------------------------- //
 
   /** F1 — variance-normalized MAE record scoring (`lib/utils.py:39-63`):
@@ -514,7 +569,7 @@ object SparkEntry {
     */
   private def qReconMae(s: SparkSession, dir: String): DataFrame = {
     val cols = lineitemNumerics
-    val df = li(s, dir)
+    val df = par(li(s, dir))
     val aggs = cols.flatMap { c =>
       val d = col(c).cast(DoubleType)
       Seq(Stats.dmean(d).as(s"${c}__mu"), Stats.dvarPop(d).as(s"${c}__var"))
@@ -563,7 +618,7 @@ object SparkEntry {
     // persisted: the pipeline fit runs one job per stage kind (fills,
     // two label tables, z-params) plus the final query — five scans of
     // the same projection without it
-    val base = li(s, dir).withColumn("qty_n",
+    val base = par(li(s, dir)).withColumn("qty_n",
       when(col("l_orderkey") % 7 === 0, lit(null).cast(DoubleType))
         .otherwise(col("l_quantity").cast(DoubleType)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -598,7 +653,7 @@ object SparkEntry {
     * (centroid fit isn't SQL-replicable); deterministic by construction.
     */
   private def qIvfAnn(s: SparkSession, dir: String): DataFrame =
-    graft.sim.Ann.ivfTopK(Tables.load(s, dir, "embeddings"),
+    graft.sim.Ann.ivfTopK(em(s, dir),
         "vec_id", "embedding", k = 3, nCells = 16, nprobe = 2,
         queryPred = col("id") < 100)
       .orderBy("a", "rank")
@@ -617,7 +672,7 @@ object SparkEntry {
     * canonicalization step. Oracle = recursive min-reachable-id CTE.
     */
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.dedup.Dedup.jaccardPairs(doc(s, dir), "doc_id", "text",
+    val pairs = graft.dedup.Dedup.jaccardPairs(par(doc(s, dir)), "doc_id", "text",
       n = 3, threshold = 0.5)
     graft.dedup.Components.connectedComponents(pairs, "a", "b")
       .orderBy("id")
@@ -736,7 +791,7 @@ object SparkEntry {
     */
   def rowsOnlyQueries: Set[String] =
     Set("q34_sample_shuffle", "q35_iforest", "q36_linear_ae",
-      "q44_seq_ae_score", "q45_ivf_ann")
+      "q44_seq_ae_score", "q45_ivf_ann", "q53_mlp_ae", "q54_if_grid")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (qPricingSummary _),
@@ -790,7 +845,9 @@ object SparkEntry {
     "q49_binned_roc" -> (qBinnedRoc _),
     "q50_ranking" -> (qRanking _),
     "q51_cardinality" -> (qCardinality _),
-    "q52_lsh_cosine_dups" -> (qLshCosineDups _)
+    "q52_lsh_cosine_dups" -> (qLshCosineDups _),
+    "q53_mlp_ae" -> (qMlpAe _),
+    "q54_if_grid" -> (qIfGrid _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

@@ -47,6 +47,24 @@ object OrderStats {
                 buckets: Int = 1024, collectThreshold: Int = 4096): Map[String, Seq[Double]] = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile probabilities must be in [0,1]: $ps")
+    // The selection makes 2-3 passes over the values; if the caller
+    // didn't already persist, cache the column-pruned projection for the
+    // duration so every pass reads the narrow cached frame instead of
+    // re-running the upstream plan (scan + any exchange) per pass. At
+    // 100 TB the projection is the pruned quantile columns only, and
+    // MEMORY_AND_DISK degrades to re-scan economics, never OOM.
+    val needCache = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val base =
+      if (needCache)
+        df.select(cols.distinct.map(col): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    try quantilesOn(base, cols, ps, buckets, collectThreshold)
+    finally if (needCache) { base.unpersist(false); () }
+  }
+
+  private def quantilesOn(df: DataFrame, cols: Seq[String], ps: Seq[Double],
+                          buckets: Int, collectThreshold: Int): Map[String, Seq[Double]] = {
     def valid(c: String): Column = {
       val d = col(c).cast(DoubleType)
       when(d.isNotNull && !isnan(d), d)
@@ -90,10 +108,19 @@ object OrderStats {
                      mn: Double, mx: Double, b: Int, collectThr: Int): Map[Long, Double] = {
     val out = scala.collection.mutable.Map.empty[Long, Double]
 
-    def collectResolve(lo: Double, hi: Double, below: Long, rs: List[Long]): Unit = {
-      val vals = df.where(v >= lit(lo) && v <= lit(hi)).select(v.as("v"))
-        .collect().map(_.getDouble(0)).sorted
-      rs.foreach(k => out(k) = vals((k - below - 1).toInt))
+    /** One job resolves EVERY small cell of the pass: the cells are
+      * disjoint value ranges, so a single filtered collect fetches their
+      * union and each cell sorts its own slice. Without the batching, a
+      * many-quantile request (e.g. 19 ROC bin edges) fires one job per
+      * resolved cell.
+      */
+    def collectResolveAll(cells: List[Segment]): Unit = if (cells.nonEmpty) {
+      val cond = cells.map(c => v >= lit(c.lo) && v <= lit(c.hi)).reduce(_ || _)
+      val vals = df.where(cond).select(v.as("v")).collect().map(_.getDouble(0))
+      cells.foreach { c =>
+        val slice = vals.filter(x => x >= c.lo && x <= c.hi).sorted
+        c.ranks.foreach(k => out(k) = slice((k - c.below - 1).toInt))
+      }
     }
 
     var segments: List[Segment] = List(Segment(mn, mx, 0L, ranks))
@@ -101,6 +128,7 @@ object OrderStats {
     while (segments.nonEmpty) {
       pass += 1
       require(pass <= 64, s"order-statistic selection failed to converge after $pass passes")
+      val toCollect = scala.collection.mutable.ListBuffer.empty[Segment]
       segments = segments.flatMap { seg =>
         if (seg.lo == seg.hi) { seg.ranks.foreach(out(_) = seg.lo); Nil }
         else {
@@ -109,7 +137,7 @@ object OrderStats {
           if (!java.lang.Double.isFinite(w) || w <= 0.0) {
             // span below bucketing resolution — a handful of adjacent
             // doubles; resolve directly (count is tiny in value-space)
-            collectResolve(seg.lo, seg.hi, seg.below, seg.ranks); Nil
+            toCollect += seg; Nil
           } else {
             val bucket = least(floor((v - lit(seg.lo)) / lit(w)), lit(b - 1)).cast("long")
             val hist = df.where(v >= lit(seg.lo) && v <= lit(seg.hi))
@@ -125,12 +153,12 @@ object OrderStats {
               if (inB.nonEmpty) {
                 val bmn = r.getDouble(2); val bmx = r.getDouble(3)
                 if (bmn == bmx) inB.foreach(out(_) = bmn)
-                else if (cnt <= collectThr) collectResolve(bmn, bmx, cum, inB)
+                else if (cnt <= collectThr) toCollect += Segment(bmn, bmx, cum, inB)
                 else if (bmn == seg.lo && bmx == seg.hi)
                   // no shrink possible (ulp-dense cell) — force resolve to
                   // guarantee termination; only reachable for adversarial
                   // distributions packed within ~buckets ULPs
-                  collectResolve(bmn, bmx, cum, inB)
+                  toCollect += Segment(bmn, bmx, cum, inB)
                 else next += Segment(bmn, bmx, cum, inB)
               }
               cum += cnt
@@ -140,6 +168,7 @@ object OrderStats {
           }
         }
       }
+      collectResolveAll(toCollect.toList)
     }
     out.toMap
   }

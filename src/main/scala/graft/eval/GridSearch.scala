@@ -43,6 +43,48 @@ object GridSearch {
             (lit(2) * col("tp") + col("fp") + col("fn")).cast("double")))
   }
 
+  /** Model-hyperparameter grid for the native isolation forest — the
+    * reference's manual IF search with its stability score
+    * (`app/IsolationForest_AE_enhanced.py:39-146`:
+    * `1/(1 + σ/(μ+1e-8) + range/(μ+1e-8))` over the score
+    * distribution; GridSearchCV analog at
+    * `app/IsolationForest_AE.py:210-247`).
+    *
+    * Scale shape: the driver loops over the (small) grid; each
+    * candidate's FIT is a bounded driver computation (trees see
+    * ≤ maxSamples of a 4096-row deterministic pool) and its SCORING
+    * DISTRIBUTION is ONE mergeable aggregate pass over the scored
+    * frame (mean/σ/min/max via decimal-exact sums) — no collect of
+    * scores, no per-candidate shuffle beyond the agg. The input
+    * projection is persisted once across all candidates.
+    */
+  def ifParamGrid(df: DataFrame, idCol: String, featuresCol: String,
+                  grid: Seq[(Int, Int)], poolSize: Int = 4096,
+                  seed: Long = 42L): DataFrame = {
+    import graft.core.Stats
+    import graft.score.IsolationForest
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol), col(featuresCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one TakeOrdered job: every candidate fits from the same pool
+    val pool = IsolationForest.collectPool(base, idCol, featuresCol, poolSize)
+    val rows = grid.map { case (numTrees, maxSamples) =>
+      val m = IsolationForest.fitPool(pool,
+        numTrees = numTrees, maxSamples = maxSamples, seed = seed)
+      val s = col("s")
+      val r = m.transform(base, featuresCol, "s")
+        .agg(Stats.dmean(s), sqrt(Stats.dvarPop(s)), min(s), max(s))
+        .head()
+      val (mu, sd, mn, mx) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      val stability = 1.0 / (1.0 + sd / (mu + 1e-8) + (mx - mn) / (mu + 1e-8))
+      (numTrees, maxSamples, mu, sd, mx - mn, stability)
+    }
+    base.unpersist()
+    rows.toDF("num_trees", "max_samples", "mean_score", "std_score",
+      "score_range", "stability")
+  }
+
   /** The winning threshold: max F1, ties to the smaller quantile. */
   def bestThreshold(df: DataFrame, labelCol: String, scoreCol: String,
                     ps: Seq[Double]): DataFrame =

@@ -110,11 +110,24 @@ object IsolationForest {
     */
   def fit(df: DataFrame, idCol: String, featuresCol: String,
           numTrees: Int = 100, maxSamples: Int = 16,
-          poolSize: Int = 4096, seed: Long = 42L): Model = {
-    val pool = df.select(col(idCol), col(featuresCol))
+          poolSize: Int = 4096, seed: Long = 42L): Model =
+    fitPool(collectPool(df, idCol, featuresCol, poolSize),
+      numTrees, maxSamples, seed)
+
+  /** The deterministic fit pool: lexicographically-first `poolSize` rows
+    * by `idCol`. One TakeOrdered job; reusable across a parameter grid
+    * (`eval.GridSearch.ifParamGrid` collects it once for all candidates).
+    */
+  def collectPool(df: DataFrame, idCol: String, featuresCol: String,
+                  poolSize: Int = 4096): Array[Array[Double]] =
+    df.select(col(idCol), col(featuresCol))
       .orderBy(col(idCol)).limit(poolSize)
       .collect()
       .map(_.getSeq[Double](1).toArray)
+
+  /** Fit from a pre-collected pool (driver-side, bounded). */
+  def fitPool(pool: Array[Array[Double]], numTrees: Int = 100,
+              maxSamples: Int = 16, seed: Long = 42L): Model = {
     require(pool.nonEmpty, "empty fit pool")
     val psi = math.min(maxSamples, pool.length)
     val maxDepth = math.ceil(math.log(psi.toDouble) / math.log(2.0)).toInt

@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
 object LinearAE {
 
   final class Model(val mean: Array[Double], val components: Array[Array[Double]])
-      extends Serializable {
+      extends ArrayScorer {
     private val d = mean.length
+
+    def score(x: Array[Double]): Double = reconstructionError(x)
 
     def reconstructionError(x: Array[Double]): Double = {
       val cvec = new Array[Double](d)
@@ -51,12 +53,12 @@ object LinearAE {
       math.max(total - proj, 0.0)
     }
 
+    /** Distributed scoring: broadcast the basis, one map stage reading
+      * straight out of ArrayData — no boxing ([[ArrayScoreExpr]]).
+      */
     def transform(df: DataFrame, featuresCol: String,
-                  outCol: String = "recon_error"): DataFrame = {
-      val bc = df.sparkSession.sparkContext.broadcast(this)
-      val u = udf { xs: Seq[Double] => bc.value.reconstructionError(xs.toArray) }
-      df.withColumn(outCol, u(col(featuresCol)))
-    }
+                  outCol: String = "recon_error"): DataFrame =
+      df.withColumn(outCol, ArrayScoreExpr.column(df, this, featuresCol))
   }
 
   /** Deterministic pseudo-random unit start vector for power iteration. */

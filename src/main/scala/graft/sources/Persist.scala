@@ -75,4 +75,24 @@ object Persist {
       lines.head.split(',').map(_.toDouble),
       lines.tail.map(_.split(',').map(_.toDouble)).toArray)
   }
+
+  // --- MLP AE ---------------------------------------------------------- //
+
+  /** Layout: mean / std / b1 / b2, then `#b1` rows of W1, then `#b2`
+    * rows of W2 — plain comma-joined doubles, exact round-trip.
+    */
+  def saveMlpAE(path: String, m: graft.score.MlpAE.Model): Unit = {
+    val lines = Seq(m.mean, m.std, m.b1, m.b2).map(_.mkString(",")) ++
+      m.w1.map(_.mkString(",")).toSeq ++ m.w2.map(_.mkString(",")).toSeq
+    write(path, lines.mkString("\n"))
+  }
+
+  def loadMlpAE(path: String): graft.score.MlpAE.Model = {
+    val lines = Files.readAllLines(Paths.get(path)).asScala.toSeq
+      .map(_.split(',').map(_.toDouble))
+    val Seq(mean, std, b1, b2) = lines.take(4)
+    val w1 = lines.slice(4, 4 + b1.length).toArray
+    val w2 = lines.slice(4 + b1.length, 4 + b1.length + b2.length).toArray
+    new graft.score.MlpAE.Model(mean, std, w1, b1, w2, b2)
+  }
 }

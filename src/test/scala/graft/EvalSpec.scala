@@ -33,6 +33,25 @@ class EvalSpec extends SparkSpec {
     assert(j.getDouble(1) == 1.0)
   }
 
+  test("IF param grid: stability matches the reference formula, deterministic") {
+    val df = (0 until 250).map { i =>
+      (i.toLong, Seq((i % 7) * 0.1, (i % 11) * 0.2, (i % 3) * 1.0))
+    }.toDF("id", "features")
+    val grid = Seq((20, 16), (40, 32))
+    val g1 = graft.eval.GridSearch.ifParamGrid(df, "id", "features", grid, poolSize = 250)
+      .orderBy("num_trees").collect()
+    assert(g1.length == 2)
+    g1.foreach { r =>
+      val (mu, sd, rg, st) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val expect = 1.0 / (1.0 + sd / (mu + 1e-8) + rg / (mu + 1e-8))
+      assert(math.abs(st - expect) < 1e-12)
+      assert(st > 0.0 && st <= 1.0)
+    }
+    val g2 = graft.eval.GridSearch.ifParamGrid(df, "id", "features", grid, poolSize = 250)
+      .orderBy("num_trees").collect()
+    assert(g1.map(_.toSeq).toSeq == g2.map(_.toSeq).toSeq)
+  }
+
   test("ZScoreAnomaly flags a planted outlier") {
     val base = (1 to 200).map(i => (i.toLong, 10.0 + (i % 5), 5.0 + (i % 3)))
     val planted = (999L, 1000.0, -500.0)
