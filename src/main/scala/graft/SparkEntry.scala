@@ -538,6 +538,25 @@ object SparkEntry {
       .orderBy("p")
   }
 
+  /** P2/P3/P4/J2 end-to-end — the reference's test-vs-train schema
+    * reconciliation (`app/test_AE.py:50-83`): a mutated "test" frame
+    * (training column missing, unexpected extra column, boolean flag)
+    * aligned back to the training schema — missing column restored as a
+    * typed null, extra dropped, field order restored, bool cast to int.
+    * Pure metadata operations: the plan is a single projection over the
+    * scan, no shuffle.
+    */
+  private def qSchemaAlign(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val target = cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      col("c_mktsegment"), (col("c_custkey") % 2 === 0).as("is_even"))
+    val mutated = cust.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      lit("junk").as("c_extra"), (col("c_custkey") % 2 === 0).as("is_even"))
+    graft.core.SchemaAlign.boolsToInt(
+        graft.core.SchemaAlign.alignTo(mutated, target.schema))
+      .orderBy("c_custkey")
+  }
+
   /** A15m — model-hyperparameter grid for the native isolation forest
     * with the reference's stability score
     * (`app/IsolationForest_AE_enhanced.py:39-146`). Driver loop over
@@ -847,7 +866,8 @@ object SparkEntry {
     "q51_cardinality" -> (qCardinality _),
     "q52_lsh_cosine_dups" -> (qLshCosineDups _),
     "q53_mlp_ae" -> (qMlpAe _),
-    "q54_if_grid" -> (qIfGrid _)
+    "q54_if_grid" -> (qIfGrid _),
+    "q55_schema_align" -> (qSchemaAlign _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -1116,6 +1136,10 @@ object SparkEntry {
          | SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.45
          | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")
     },
+    "q55_schema_align" ->
+      s"""SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal,
+         | c_mktsegment, CAST(c_custkey % 2 = 0 AS INT) AS is_even
+         | FROM customer ORDER BY c_custkey""".stripMargin.replaceAll("\n", " "),
     "q52_lsh_cosine_dups" -> {
       import graft.sim.Ann.{Sql => A}
       import graft.sim.VectorMath.{Sql => V}

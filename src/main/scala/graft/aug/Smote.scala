@@ -85,9 +85,12 @@ object Smote {
     */
   def balance(df: DataFrame, idCol: String, vecCol: String, classCol: String,
               minorityValue: Any, k: Int, target: Int): DataFrame = {
+    // synthetic ids start past the real id range — a fixed offset would
+    // collide with real rows once ids grow past it
+    val idBase = df.agg(max(col(idCol).cast("long"))).head().getLong(0) + 1L
     val synth = oversample(df, idCol, vecCol,
       col(classCol) === lit(minorityValue), k, target)
-      .select((col("synth_id") + 1000000L).as(idCol), col("vec").as(vecCol),
+      .select((col("synth_id") + idBase).as(idCol), col("vec").as(vecCol),
         lit(minorityValue).as(classCol))
     df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"), col(classCol))
       .unionByName(synth)

@@ -26,8 +26,14 @@ object Stats {
   /** Exact decimal sum, cast back to double. */
   def dsum(c: Column): Column = sum(c.cast(D)).cast(DoubleType)
 
-  /** Count of non-null (and non-NaN for float types) values. */
-  def nValid(c: Column): Column = count(when(c.isNotNull, 1))
+  /** Count of non-null, non-NaN values — the same validity predicate as
+    * `Profiler.isValid`, and consistent with [[dsum]] (where a NaN casts
+    * to a null decimal and silently drops out of the sum): a NaN
+    * contributes to neither the numerator nor the denominator of
+    * [[dmean]].
+    */
+  def nValid(c: Column): Column =
+    count(when(c.isNotNull && !isnan(c.cast(DoubleType)), 1))
 
   /** Exact mean: decimal sum / valid count, division in double. */
   def dmean(c: Column): Column = dsum(c) / nValid(c)
@@ -56,7 +62,8 @@ object Stats {
   object Sql {
     def dsum(x: String): String =
       s"CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS DOUBLE)"
-    def nValid(x: String): String = s"count($x)"
+    def nValid(x: String): String =
+      s"count(CASE WHEN ($x) IS NOT NULL AND NOT isnan(CAST(($x) AS DOUBLE)) THEN 1 END)"
     def dmean(x: String): String = s"(${dsum(x)} / ${nValid(x)})"
     def dvarSamp(x: String): String = {
       val d = s"CAST(($x) AS DOUBLE)"

@@ -39,8 +39,16 @@ case class ApproxQuantileRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
       val accuracy = spark.conf.getOption(AccuracyFlag).map(_.toInt)
         .getOrElse(ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY.toInt)
       plan transformAllExpressions {
+        // Percentile always evaluates to DOUBLE (array<double> for a
+        // list of percentages); ApproximatePercentile returns the
+        // child's type. Only a DOUBLE child is type-preserving — a
+        // rewrite on e.g. an int child would change the analyzed
+        // schema post-analysis (and nearest-rank would truncate 2.5
+        // to 2). A Cast wrapper is not an option: the node sits inside
+        // an AggregateExpression, which requires an AggregateFunction.
         case p: Percentile
-            if p.frequencyExpression == Literal(1L) && !p.reverse =>
+            if p.frequencyExpression == Literal(1L) && !p.reverse &&
+              p.child.dataType == org.apache.spark.sql.types.DoubleType =>
           new ApproximatePercentile(p.child, p.percentageExpression,
             Literal(accuracy))
       }

@@ -88,6 +88,8 @@ class AugSpec extends SparkSpec {
     val out = Smote.balance(emb, "vec_id", "embedding", "label",
       minorityValue = 1, k = 3, target = 15)
     assert(out.count() == n0 + 15)
-    assert(out.where(col("vec_id") >= 1000000L).count() == 15)
+    // synthetic ids start past the real id range (no collisions)
+    val maxReal = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0)
+    assert(out.where(col("vec_id") > maxReal).count() == 15)
   }
 }
