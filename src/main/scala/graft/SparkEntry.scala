@@ -579,6 +579,23 @@ object SparkEntry {
       .orderBy(desc("stability"), asc("num_trees"), asc("max_samples"))
   }
 
+  /** A15cv — k-fold cross-validated threshold grid (GridSearchCV
+    * analog, `app/IsolationForest_AE.py:210-247`): deterministic hash
+    * folds, per-fold exact train-side thresholds, held-out confusion
+    * cells. The CV structure itself is oracle-checked — fold
+    * assignment, per-fold quantiles, and held-out counts all replicate
+    * in SQL.
+    */
+  private def qCvGrid(s: SparkSession, dir: String): DataFrame =
+    graft.eval.GridSearch.cvThresholdGrid(
+        li(s, dir)
+          .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber"))
+          .withColumn("label", when(col("l_returnflag") === "R", 1).otherwise(0)),
+        "rid", "label", "l_extendedprice", ps = Seq(0.8, 0.9, 0.95), k = 5)
+      .select(col("p"), col("fold"), round(col("threshold"), 4).as("threshold"),
+        col("tp"), col("fp"), col("fn"), round(col("f1"), 6).as("f1"))
+      .orderBy("p", "fold")
+
   // --- reconstruction-error scoring (F1/F2) -------------------------- //
 
   /** F1 — variance-normalized MAE record scoring (`lib/utils.py:39-63`):
@@ -867,7 +884,8 @@ object SparkEntry {
     "q52_lsh_cosine_dups" -> (qLshCosineDups _),
     "q53_mlp_ae" -> (qMlpAe _),
     "q54_if_grid" -> (qIfGrid _),
-    "q55_schema_align" -> (qSchemaAlign _)
+    "q55_schema_align" -> (qSchemaAlign _),
+    "q56_cv_grid" -> (qCvGrid _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -1135,6 +1153,27 @@ object SparkEntry {
          |   FROM v x JOIN v y ON x.vec_id < y.vec_id)
          | SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.45
          | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")
+    },
+    "q56_cv_grid" -> {
+      import graft.eval.GridSearch.{FoldC1, FoldC2, FoldP}
+      s"""WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         |   CAST(l_extendedprice AS DOUBLE) AS s,
+         |   ((l_orderkey*10 + l_linenumber) * $FoldC1 + $FoldC2) % $FoldP % 5 AS fold
+         |   FROM lineitem),
+         | g AS (${
+             (for (p <- Seq(0.8, 0.9, 0.95); f <- 0 until 5) yield
+               s"SELECT CAST($p AS DOUBLE) AS p, $f AS f, " +
+                 s"(SELECT quantile_cont(s, $p) FROM d WHERE fold <> $f) AS thr"
+             ).mkString(" UNION ALL ")
+           }),
+         | c AS (SELECT g.p, g.f AS fold, g.thr,
+         |   count(*) FILTER (WHERE d.s > g.thr AND d.y = 1) AS tp,
+         |   count(*) FILTER (WHERE d.s > g.thr AND d.y = 0) AS fp,
+         |   count(*) FILTER (WHERE NOT (d.s > g.thr) AND d.y = 1) AS fn
+         |   FROM d JOIN g ON d.fold = g.f GROUP BY 1, 2, 3)
+         | SELECT p, fold, round(thr, 4) AS threshold, tp, fp, fn,
+         |  round(CASE WHEN 2*tp+fp+fn = 0 THEN NULL ELSE 2.0*tp/(2*tp+fp+fn) END, 6) AS f1
+         | FROM c ORDER BY p, fold""".stripMargin.replaceAll("\n", " ")
     },
     "q55_schema_align" ->
       s"""SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal,

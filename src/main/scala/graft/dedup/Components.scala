@@ -39,11 +39,14 @@ object Components {
       val nbr = edges
         .join(labels.select(col("id").as("dst"), col("component").as("c")), "dst")
         .groupBy(col("src").as("id")).agg(min("c").as("nbr_min"))
+      // the pre-step label rides along as `old`, so convergence is a
+      // plain agg over the checkpointed result — no extra join job
       val stepped = labels
         .join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
+            .as("component"),
+          col("component").as("old"))
       // pointer jumping: also adopt the label OF the current label —
       // halves the effective diameter per round, so a length-D chain
       // converges in O(log D) rounds instead of D (same fixpoint)
@@ -57,12 +60,12 @@ object Components {
           col("component").as("cc")).as("r"), Seq("component"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("cc"), col("component")))
-            .as("component"))
+            .as("component"),
+          col("old"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("component").as("old")), "id")
-        .where(col("component") =!= col("old")).count()
-      labels = next
+      changed = next.agg(count(when(col("component") =!= col("old"), 1)))
+        .head().getLong(0)
+      labels = next.drop("old")
       it += 1
     }
     labels

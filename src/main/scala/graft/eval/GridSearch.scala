@@ -85,6 +85,87 @@ object GridSearch {
       "score_range", "stability")
   }
 
+  /** k-fold cross-validated threshold grid — A15's GridSearchCV analog
+    * (`app/IsolationForest_AE.py:210-247`, cv=5) made engine-exact:
+    * folds are a deterministic 64-bit hash of the id (partition-proof
+    * and replicable in SQL, so the whole CV is oracle-checkable); for
+    * each candidate quantile p the threshold is fit per fold on the
+    * TRAIN side (fold ≠ f; exact interpolated quantile via the
+    * distributed selection) and the confusion counts are measured on
+    * the HELD-OUT side (fold = f).
+    *
+    * Scale shape: thresholds come from [[graft.core.OrderStats]] over
+    * the persisted (id, label, score) projection; then ONE
+    * conditional-agg pass computes every (fold, p) confusion cell —
+    * k·|ps|·3 mergeable aggregates, no per-fold scan. Output is one
+    * row per (p, fold): fold-level cells are exact in both engines,
+    * where a cross-fold float mean would be summation-order-sensitive.
+    */
+  def cvThresholdGrid(df: DataFrame, idCol: String, labelCol: String,
+                      scoreCol: String, ps: Seq[Double], k: Int = 5): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol)
+    val base = df.select(
+        col(idCol).cast("long").as("id"), y.as("y"), s.as("s"))
+      .withColumn("fold",
+        ((col("id") * lit(FoldC1) + lit(FoldC2)) % lit(FoldP)) % k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-fold training thresholds (exact, bounded-memory selection)
+    val thr: Map[Int, Seq[Double]] = (0 until k).map { f =>
+      f -> graft.core.OrderStats.quantilesOf(base.where(col("fold") =!= f), "s", ps)
+    }.toMap
+    // one pass: every (fold, p) confusion cell as conditional aggregates
+    val aggs = for {
+      f <- 0 until k
+      i <- ps.indices
+      (nm, pred) <- {
+        val hit = col("fold") === f && col("s") > thr(f)(i)
+        val miss = col("fold") === f && !(col("s") > thr(f)(i))
+        Seq(("tp", hit && col("y") === 1), ("fp", hit && col("y") === 0),
+          ("fn", miss && col("y") === 1))
+      }
+    } yield count(when(pred, 1)).as(s"${nm}_${f}_$i")
+    val onerow = base.agg(aggs.head, aggs.tail: _*)
+    val structs = for {
+      f <- 0 until k
+      i <- ps.indices
+    } yield struct(
+      lit(ps(i)).as("p"), lit(f).as("fold"), lit(thr(f)(i)).as("threshold"),
+      col(s"tp_${f}_$i").as("tp"), col(s"fp_${f}_$i").as("fp"),
+      col(s"fn_${f}_$i").as("fn"))
+    val out = onerow.select(inline(array(structs: _*)))
+      .withColumn("f1",
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(null))
+          .otherwise((lit(2.0) * col("tp")) /
+            (lit(2) * col("tp") + col("fp") + col("fn")).cast("double")))
+    base.unpersist()
+    out
+  }
+
+  /** Fold-hash constants (pure 64-bit arithmetic, same family as
+    * `graft.sim.Ann`; id·C1 stays within Long for id < 3.4e9 — document
+    * larger id spaces onto a pre-hash).
+    */
+  val FoldC1 = 2654435761L
+  val FoldC2 = 40503L
+  val FoldP = 1000000007L
+
+  /** CV winner: max mean-F1 across folds (driver-side over the tiny
+    * fold grid; sequential fold order ⇒ deterministic mean), ties to
+    * the smaller quantile.
+    */
+  def cvBestThreshold(df: DataFrame, idCol: String, labelCol: String,
+                      scoreCol: String, ps: Seq[Double], k: Int = 5): (Double, Double) = {
+    val rows = cvThresholdGrid(df, idCol, labelCol, scoreCol, ps, k)
+      .select("p", "f1").collect()
+    val byP = rows.groupBy(_.getDouble(0)).map { case (p, rs) =>
+      val f1s = rs.flatMap(r => Option(r.get(1)).map(_.asInstanceOf[Double]))
+      p -> (if (f1s.isEmpty) 0.0 else f1s.sum / f1s.length)
+    }
+    byP.toSeq.sortBy { case (p, m) => (-m, p) }.head
+  }
+
   /** The winning threshold: max F1, ties to the smaller quantile. */
   def bestThreshold(df: DataFrame, labelCol: String, scoreCol: String,
                     ps: Seq[Double]): DataFrame =

@@ -52,6 +52,30 @@ class EvalSpec extends SparkSpec {
     assert(g1.map(_.toSeq).toSeq == g2.map(_.toSeq).toSeq)
   }
 
+  test("CV threshold grid: fold cells partition the data, partition-layout-proof") {
+    val df = (1 to 400).map { i =>
+      (i.toLong, if (i % 10 == 0) 1 else 0, i * 1.0)
+    }.toDF("id", "y", "s")
+    val g1 = graft.eval.GridSearch
+      .cvThresholdGrid(df, "id", "y", "s", Seq(0.5, 0.9), k = 4)
+      .orderBy("p", "fold").collect()
+    assert(g1.length == 8)
+    // repartitioned input must yield identical cells (hash folds + exact
+    // quantiles are layout-free)
+    val g2 = graft.eval.GridSearch
+      .cvThresholdGrid(df.repartition(13), "id", "y", "s", Seq(0.5, 0.9), k = 4)
+      .orderBy("p", "fold").collect()
+    assert(g1.map(_.toSeq).toSeq == g2.map(_.toSeq).toSeq)
+    // every positive lands in exactly one held-out cell per p
+    val positives = 40L
+    Seq(0.5, 0.9).foreach { p =>
+      val cells = g1.filter(_.getDouble(0) == p)
+      assert(cells.map(r => r.getLong(3) + r.getLong(5)).sum == positives)
+    }
+    val (bestP, bestF1) = graft.eval.GridSearch.cvBestThreshold(df, "id", "y", "s", Seq(0.5, 0.9), k = 4)
+    assert(Seq(0.5, 0.9).contains(bestP) && bestF1 >= 0.0 && bestF1 <= 1.0)
+  }
+
   test("ZScoreAnomaly flags a planted outlier") {
     val base = (1 to 200).map(i => (i.toLong, 10.0 + (i % 5), 5.0 + (i % 3)))
     val planted = (999L, 1000.0, -500.0)
