@@ -134,11 +134,15 @@ object SparkEntry {
     Metrics.rates(d, "label", "predicted")
   }
 
-  /** A13 — ROC AUC via running-total window + trapezoid. */
+  /** A13 — exact ROC AUC via the tie-corrected rank-sum identity over a
+    * distributed prefix scan (integer-exact numerator; no
+    * single-partition window — the windowed trapezoid `Metrics.aucDF`
+    * remains as the small-data baseline).
+    */
   private def qRocAuc(s: SparkSession, dir: String): DataFrame = {
     val d = li(s, dir)
       .withColumn("label", when(col("l_returnflag") === "R", 1).otherwise(0))
-    Metrics.aucDF(d, "label", "l_extendedprice")
+    Metrics.aucRankSum(d, "label", "l_extendedprice")
   }
 
   // --- W1-W3 sequence operators on events ---------------------------- //
@@ -933,15 +937,17 @@ object SparkEntry {
       .replaceAll("\n", " ")
   }
 
+  // tie-corrected rank-sum AUC: 2U = Σ pos_s·(2·cum_neg_below + neg_s),
+  // AUC = 2U/(2PN) — integer-exact numerator, one double division
+  // (mathematically equal to the trapezoid over the tie-collapsed ROC)
   private val rocAucSql: String =
-    """WITH d AS (SELECT CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END AS y, l_extendedprice AS score FROM lineitem),
+    """WITH d AS (SELECT CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END AS y, CAST(l_extendedprice AS DOUBLE) AS score FROM lineitem),
       | per AS (SELECT score, count(*) FILTER (WHERE y=1) AS pos, count(*) FILTER (WHERE y=0) AS neg FROM d GROUP BY score),
-      | tot AS (SELECT count(*) FILTER (WHERE y=1) AS p, count(*) FILTER (WHERE y=0) AS n FROM d),
-      | roc AS (SELECT CAST(sum(pos) OVER w AS DOUBLE) / p AS tpr, CAST(sum(neg) OVER w AS DOUBLE) / n AS fpr
-      |   FROM per, tot WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)),
-      | trap AS (SELECT CAST((fpr - coalesce(lag(fpr) OVER v, 0.0)) * (tpr + coalesce(lag(tpr) OVER v, 0.0)) / 2.0 AS DECIMAL(38,18)) AS area
-      |   FROM roc WINDOW v AS (ORDER BY fpr ASC, tpr ASC))
-      | SELECT round(CAST(sum(area) AS DOUBLE), 6) AS auc FROM trap""".stripMargin
+      | c AS (SELECT pos, neg, coalesce(sum(neg) OVER (ORDER BY score ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg_below FROM per),
+      | tot AS (SELECT count(*) FILTER (WHERE y=1) AS p, count(*) FILTER (WHERE y=0) AS n FROM d)
+      | SELECT round(CAST(sum(CAST(pos AS DECIMAL(38,0)) * (2*cum_neg_below + neg)) AS DOUBLE)
+      |   / CAST(2*p*n AS DOUBLE), 6) AS auc
+      | FROM c, tot GROUP BY p, n""".stripMargin
       .replaceAll("\n", " ")
 
   def oracleSql: Map[String, String] = Map(

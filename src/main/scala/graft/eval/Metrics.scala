@@ -97,15 +97,104 @@ object Metrics {
       .agg(round(sum("area").cast(DoubleType), 6).as("auc"))
   }
 
-  /** Youden-J optimal threshold: score maximizing tpr − fpr
-    * (`app/AE_model_enhanced.py:150-168`). TakeOrderedAndProject — no
-    * full sort materialization.
+  /** Per-distinct-score counts with EXCLUSIVE running totals, computed
+    * by a distributed two-phase prefix scan — no single-partition
+    * window anywhere:
+    *
+    *  1. `groupBy(score)` → (score, pos, neg): shuffle on score with
+    *     map-side combine (input shrinks to #distinct scores);
+    *  2. range-repartition + in-partition sort by score: a distributed
+    *     sort, every partition holds a contiguous score range;
+    *  3. phase one collects per-partition (pos, neg) subtotals — one
+    *     tiny row per partition; the driver prefix-sums them into
+    *     per-partition offsets (broadcast);
+    *  4. phase two streams each partition once, emitting
+    *     (score, pos, neg, cum_pos_below, cum_neg_below).
+    *
+    * The result is layout-independent (prefix sums depend only on the
+    * score order) and every stage is bounded: the classic scalable scan
+    * primitive behind exact ROC/AUC/Youden on billions of rows. Scores
+    * must be non-null and non-NaN.
     */
-  def youdenJ(df: DataFrame, labelCol: String, scoreCol: String): DataFrame =
-    rocPoints(df, labelCol, scoreCol)
-      .select(col("score"), (col("tpr") - col("fpr")).as("j"))
+  def prefixScoreCounts(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val y = col(labelCol).cast("int")
+    val perScore = df.groupBy(col(scoreCol).cast("double").as("score"))
+      .agg(count(when(y === 1, 1)).as("pos"), count(when(y === 0, 1)).as("neg"))
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val sorted = perScore.repartitionByRange(parts, col("score"))
+      .sortWithinPartitions("score")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subtotal = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var p = 0L; var n = 0L
+      it.foreach { r => p += r.getLong(1); n += r.getLong(2) }
+      Iterator((i, p, n))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[(Long, Long)](subtotal.length)
+    var (ap, an) = (0L, 0L)
+    subtotal.foreach { case (i, p, n) => offsets(i) = (ap, an); ap += p; an += n }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val rows = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var (cp, cn) = bc.value(i)
+      it.map { r =>
+        val out = Row(r.getDouble(0), r.getLong(1), r.getLong(2), cp, cn)
+        cp += r.getLong(1); cn += r.getLong(2)
+        out
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("score", DoubleType), StructField("pos", LongType),
+      StructField("neg", LongType), StructField("cum_pos_below", LongType),
+      StructField("cum_neg_below", LongType)))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Exact AUC via the tie-corrected rank-sum (Mann–Whitney) identity —
+    * equal to the trapezoid over the tie-collapsed ROC, but with an
+    * INTEGER-EXACT numerator and no window at all:
+    *   2U = Σ_s pos_s·(2·cum_neg_below(s) + neg_s),  AUC = 2U / (2·P·N).
+    * The sum accumulates in DECIMAL(38,0) (associative, order-free), so
+    * the result is bitwise deterministic on any layout and identical in
+    * any engine — where the trapezoid's double areas depend on
+    * summation order. This is the 100 TB exact-AUC path; [[aucDF]]
+    * stays as the windowed baseline and [[binnedRocAuc]] as the
+    * approximate variant.
+    */
+  def aucRankSum(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val y = col(labelCol).cast("int")
+    val totals = df.agg(
+      count(when(y === 1, 1)).as("P"), count(when(y === 0, 1)).as("N")).head()
+    val (pTot, nTot) = (totals.getLong(0), totals.getLong(1))
+    if (pTot == 0L || nTot == 0L)
+      return df.sparkSession.range(1).select(lit(null).cast(DoubleType).as("auc"))
+    prefixScoreCounts(df, labelCol, scoreCol)
+      .select((col("pos").cast(DecimalType(38, 0)) *
+        (lit(2) * col("cum_neg_below") + col("neg"))).as("c"))
+      .agg(round((sum("c").cast(DoubleType) /
+        lit((2L * pTot * nTot).toDouble)), 6).as("auc"))
+  }
+
+  /** Youden-J optimal threshold: score maximizing tpr − fpr
+    * (`app/AE_model_enhanced.py:150-168`). tpr/fpr at threshold s
+    * (predict positive when score ≥ s) come from the prefix scan:
+    * tpr = (P − cum_pos_below)/P — no single-partition window; the
+    * argmax is TakeOrderedAndProject.
+    */
+  def youdenJ(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val y = col(labelCol).cast("int")
+    val totals = df.agg(
+      count(when(y === 1, 1)).as("P"), count(when(y === 0, 1)).as("N")).head()
+    val (pTot, nTot) = (totals.getLong(0), totals.getLong(1))
+    prefixScoreCounts(df, labelCol, scoreCol)
+      .select(col("score"),
+        (((lit(pTot) - col("cum_pos_below")).cast("double") / lit(pTot.toDouble)) -
+          ((lit(nTot) - col("cum_neg_below")).cast("double") / lit(nTot.toDouble))).as("j"))
       .orderBy(desc("j"), asc("score"))
       .limit(1)
+  }
 
   /** Approximate AUC via quantile-binned scores — the 100 TB path for
     * continuous (near-unique) scores promised in [[rocPoints]]'s note:

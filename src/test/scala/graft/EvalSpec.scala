@@ -33,6 +33,22 @@ class EvalSpec extends SparkSpec {
     assert(j.getDouble(1) == 1.0)
   }
 
+  test("rank-sum AUC equals the windowed trapezoid, on ties and any layout") {
+    val rows = (1 to 500).map { i =>
+      // deliberately tie-heavy scores, imperfectly correlated labels
+      (if ((i * 7) % 10 < 3) 1 else 0, ((i * 13) % 40).toDouble)
+    }
+    val df = rows.toDF("y", "s")
+    val viaTrapezoid = graft.eval.Metrics.aucDF(df, "y", "s").head().getDouble(0)
+    val viaRankSum = graft.eval.Metrics.aucRankSum(df, "y", "s").head().getDouble(0)
+    assert(viaRankSum == viaTrapezoid, s"$viaRankSum != $viaTrapezoid")
+    val shuffled = graft.eval.Metrics.aucRankSum(df.repartition(17), "y", "s")
+      .head().getDouble(0)
+    assert(shuffled == viaRankSum)
+    // degenerate: single-class input yields null
+    assert(graft.eval.Metrics.aucRankSum(df.where($"y" === 1), "y", "s").head().isNullAt(0))
+  }
+
   test("IF param grid: stability matches the reference formula, deterministic") {
     val df = (0 until 250).map { i =>
       (i.toLong, Seq((i % 7) * 0.1, (i % 11) * 0.2, (i % 3) * 1.0))
