@@ -451,9 +451,14 @@ object SparkEntry {
     */
   private def qIsolationForest(s: SparkSession, dir: String): DataFrame = {
     val feats = array(lineitemNumerics.map(c => col(c).cast("double")): _*)
-    // composite key = total order: the fit pool is tie-free deterministic
+    // composite key = total order: the fit pool is tie-free deterministic.
+    // One slim persisted projection feeds both the pool TakeOrdered and
+    // the scoring pass — the scan + repartition + array construction run
+    // once instead of twice.
     val base = par(li(s, dir)).withColumn("features", feats)
       .withColumn("fit_id", col("l_orderkey") * 10 + col("l_linenumber"))
+      .select(col("fit_id"), col("l_returnflag"), col("features"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = graft.score.IsolationForest.fit(
       base, "fit_id", "features", numTrees = 100, maxSamples = 16)
     // persist only the two columns the threshold and report need — the
@@ -466,6 +471,7 @@ object SparkEntry {
     val thr = scored
       .agg(graft.core.Quantiles.approx(col("if_score"), Seq(0.9)))
       .head().getSeq[Double](0).head
+    base.unpersist() // scored is materialized; the wide frame can go
     scored.where(col("if_score") > thr)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_anomalies"),

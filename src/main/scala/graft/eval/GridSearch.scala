@@ -111,10 +111,9 @@ object GridSearch {
       .withColumn("fold",
         ((col("id") * lit(FoldC1) + lit(FoldC2)) % lit(FoldP)) % k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-fold training thresholds (exact, bounded-memory selection)
-    val thr: Map[Int, Seq[Double]] = (0 until k).map { f =>
-      f -> graft.core.OrderStats.quantilesOf(base.where(col("fold") =!= f), "s", ps)
-    }.toMap
+    // ALL k×|ps| exact train-side thresholds from ONE multi-fold prefix
+    // scan (3 jobs total), instead of k independent quantile selections
+    val thr = foldThresholds(base, k, ps)
     // one pass: every (fold, p) confusion cell as conditional aggregates
     val aggs = for {
       f <- 0 until k
@@ -141,6 +140,93 @@ object GridSearch {
             (lit(2) * col("tp") + col("fp") + col("fn")).cast("double")))
     base.unpersist()
     out
+  }
+
+  /** Exact interpolated quantiles of the score over every fold's
+    * COMPLEMENT (train side), all from one distributed prefix scan:
+    *
+    *  1. groupBy(score) with one count per fold — shuffle shrinks the
+    *     input to #distinct scores × k counts;
+    *  2. range-repartition + in-partition sort by score; per-partition
+    *     fold subtotals to the driver (tiny), prefix into offsets;
+    *  3. one streaming pass locates, for every (fold, rank), the score
+    *     whose complement-cumulative range covers the rank — the
+    *     bracketing order statistics of all k·|ps| quantiles in a
+    *     single job.
+    *
+    * Interpolation matches `OrderStats`/Catalyst `Percentile` bitwise.
+    * Scales like any groupBy + sorted scan: no per-node buffer of
+    * values, no repeated passes per fold.
+    */
+  private def foldThresholds(base: DataFrame, k: Int,
+                             ps: Seq[Double]): Map[Int, Seq[Double]] = {
+    val spark = base.sparkSession
+    val cnts = (0 until k).map(f => count(when(col("fold") === f, 1)).as(s"c$f"))
+    val perScore = base.groupBy(col("s").cast("double").as("score"))
+      .agg(cnts.head, cnts.tail: _*)
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val sorted = perScore.repartitionByRange(parts, col("score"))
+      .sortWithinPartitions("score")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sub = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      val t = new Array[Long](k)
+      it.foreach { r => var f = 0; while (f < k) { t(f) += r.getLong(f + 1); f += 1 } }
+      Iterator((i, t))
+    }.collect().sortBy(_._1)
+    val offsets = Array.ofDim[Long](sub.length, k)
+    val running = new Array[Long](k)
+    sub.foreach { case (i, t) =>
+      Array.copy(running, 0, offsets(i), 0, k)
+      var f = 0
+      while (f < k) { running(f) += t(f); f += 1 }
+    }
+    val nFold = running.clone()
+    val nTot = nFold.sum
+    // 1-indexed bracketing ranks per fold over its complement
+    val nComp = (0 until k).map(f => nTot - nFold(f))
+    nComp.foreach(n => require(n > 0, "a fold's training complement is empty"))
+    val needed: Array[Array[Long]] = (0 until k).map { f =>
+      ps.flatMap { p =>
+        val h = p * (nComp(f) - 1)
+        Seq(math.floor(h).toLong + 1L, math.ceil(h).toLong + 1L)
+      }.distinct.sorted.toArray
+    }.toArray
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcNeed = spark.sparkContext.broadcast(needed)
+    val picks = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      val cum = bcOff.value(i).clone()
+      it.flatMap { r =>
+        val score = r.getDouble(0)
+        val rowCnt = Array.tabulate(k)(f => r.getLong(f + 1))
+        val rowTot = rowCnt.sum
+        var cumTot = 0L
+        var f = 0
+        while (f < k) { cumTot += cum(f); f += 1 }
+        // materialize BEFORE mutating cum — the comprehension closes
+        // over the mutable array
+        val out = (for {
+          f <- (0 until k).iterator
+          cumC = cumTot - cum(f)
+          cntC = rowTot - rowCnt(f)
+          if cntC > 0
+          rk <- bcNeed.value(f).iterator
+          if rk > cumC && rk <= cumC + cntC
+        } yield ((f, rk), score)).toList
+        f = 0
+        while (f < k) { cum(f) += rowCnt(f); f += 1 }
+        out
+      }
+    }.collect().toMap
+    sorted.unpersist()
+    (0 until k).map { f =>
+      f -> ps.map { p =>
+        val h = p * (nComp(f) - 1)
+        val fl = math.floor(h); val cl = math.ceil(h)
+        val lo = picks((f, fl.toLong + 1L))
+        if (cl == fl) lo
+        else lo * (cl - h) + picks((f, cl.toLong + 1L)) * (h - fl)
+      }
+    }.toMap
   }
 
   /** Fold-hash constants (pure 64-bit arithmetic, same family as

@@ -59,6 +59,28 @@ class OrderStatsSpec extends SparkSpec {
     assert(m("a").head == ea && m("b").head == eb)
   }
 
+  test("randomized differential: matches Percentile across shapes (fixed seed)") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 10).foreach { case_i =>
+      val n = 1 + rnd.nextInt(300)
+      val distinct = 1 + rnd.nextInt(20) // force heavy ties sometimes
+      val scale = math.pow(10.0, rnd.nextInt(7) - 3)
+      val vs = Seq.fill(n)((rnd.nextInt(distinct) - distinct / 2) * scale +
+        (if (rnd.nextBoolean()) rnd.nextDouble() * 1e-9 else 0.0))
+      val qs = Seq.fill(1 + rnd.nextInt(4))(rnd.nextDouble()).sorted
+      assertMatchesPercentile2(vs, qs, s"case $case_i (n=$n d=$distinct)")
+    }
+  }
+
+  private def assertMatchesPercentile2(values: Seq[Double], qs: Seq[Double], label: String): Unit = {
+    val df = values.toDF("x").repartition(5)
+    val expected = df.agg(Quantiles.exact(col("x"), qs)).head().getSeq[Double](0)
+    val got = OrderStats.quantiles(df, Seq("x"), qs, buckets = 8, collectThreshold = 4)("x")
+    got.zip(expected).zip(qs).foreach { case ((g, e), p) =>
+      assert(g == e, s"$label p=$p: got $g expected $e")
+    }
+  }
+
   test("matches Percentile on real table column (lineitem quantities)") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val expected = li.agg(Quantiles.exact(col("l_extendedprice"), ps)).head().getSeq[Double](0)
