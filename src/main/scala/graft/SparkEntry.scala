@@ -114,7 +114,8 @@ object SparkEntry {
 
   /** F3 + A6 + P9 — the flagship: z-score anomaly detection. */
   private def qZscoreAnomaly(s: SparkSession, dir: String): DataFrame =
-    ZScoreAnomaly.detect(par(li(s, dir)), anomalyFeatures, p = 0.95)
+    ZScoreAnomaly.detect(par(li(s, dir)), anomalyFeatures, p = 0.95,
+        keep = Seq("l_orderkey", "l_linenumber"))
       .filter(col("is_anomaly"))
       .select(col("l_orderkey"), col("l_linenumber"),
         round(col("anomaly_score"), 6).as("anomaly_score"))
@@ -513,6 +514,28 @@ object SparkEntry {
       .orderBy(desc("recon_error"), asc("vec_id"))
   }
 
+  /** F6 — VAE loss pieces as a distributed query (`app/LSTM_VAE.py:46-95`):
+    * per-row reconstruction MSE + KL divergence over (x, x̂, μ, logσ²)
+    * array columns — one codegen'd map stage. Training stays driver-side
+    * like the reference's Keras fit; the loss math itself is engine
+    * surface, and fully oracle-checked (deterministic derived μ/logσ²).
+    */
+  private def qVaeLoss(s: SparkSession, dir: String): DataFrame = {
+    import graft.score.VaeLoss
+    val base = em(s, dir).select(
+      col("vec_id"),
+      col("embedding").as("x"),
+      transform(col("embedding"), v => v.cast(DoubleType) * lit(0.9)).as("xhat"),
+      transform(col("embedding"), v => v.cast(DoubleType) * lit(0.5)).as("mu"),
+      transform(col("embedding"), v => -abs(v.cast(DoubleType))).as("logvar"))
+    base.select(col("vec_id"),
+        VaeLoss.mse(col("x"), col("xhat")).as("m"),
+        VaeLoss.klDivergence(col("mu"), col("logvar")).as("k"))
+      .select(col("vec_id"), round(col("m"), 6).as("mse"),
+        round(col("k"), 6).as("kl"), round(col("m") + col("k"), 6).as("loss"))
+      .orderBy("vec_id")
+  }
+
   // --- multimodal binary + grid search ------------------------------- //
 
   /** X1 — multimodal binary plumbing: text encoded to a binary payload
@@ -895,7 +918,8 @@ object SparkEntry {
     "q53_mlp_ae" -> (qMlpAe _),
     "q54_if_grid" -> (qIfGrid _),
     "q55_schema_align" -> (qSchemaAlign _),
-    "q56_cv_grid" -> (qCvGrid _)
+    "q56_cv_grid" -> (qCvGrid _),
+    "q57_vae_loss" -> (qVaeLoss _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -1165,6 +1189,18 @@ object SparkEntry {
          |   FROM v x JOIN v y ON x.vec_id < y.vec_id)
          | SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.45
          | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")
+    },
+    "q57_vae_loss" -> {
+      import graft.score.VaeLoss.{Sql => V}
+      s"""WITH v AS (SELECT vec_id,
+         |   embedding AS x,
+         |   list_transform(embedding, e -> CAST(e AS DOUBLE) * 0.9) AS xhat,
+         |   list_transform(embedding, e -> CAST(e AS DOUBLE) * 0.5) AS mu,
+         |   list_transform(embedding, e -> -abs(CAST(e AS DOUBLE))) AS logvar
+         |  FROM embeddings),
+         | l AS (SELECT vec_id, ${V.mse("x", "xhat")} AS m, ${V.klDivergence("mu", "logvar")} AS k FROM v)
+         | SELECT vec_id, round(m, 6) AS mse, round(k, 6) AS kl, round(m + k, 6) AS loss
+         | FROM l ORDER BY vec_id""".stripMargin.replaceAll("\n", " ")
     },
     "q56_cv_grid" -> {
       import graft.eval.GridSearch.{FoldC1, FoldC2, FoldP}

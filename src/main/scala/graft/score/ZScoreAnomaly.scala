@@ -48,12 +48,19 @@ object ZScoreAnomaly {
   /** End-to-end: score, threshold at quantile p of the scores, flag.
     * The scored frame is persisted across the threshold pass and the
     * caller's flag/filter pass (scoring would otherwise re-run).
+    * `keep` prunes the persisted frame to the columns the caller needs
+    * downstream (plus the score) — at scale, caching a wide frame to
+    * read three columns multiplies the cached bytes for nothing; the
+    * default keeps every column.
     */
   def detect(df: DataFrame, cols: Seq[String], p: Double = 0.95,
              scoreCol: String = "anomaly_score",
-             flagCol: String = "is_anomaly"): DataFrame = {
-    val scored = score(df, cols, fitStats(df, cols), scoreCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+             flagCol: String = "is_anomaly",
+             keep: Seq[String] = Nil): DataFrame = {
+    val full = score(df, cols, fitStats(df, cols), scoreCol)
+    val slim = if (keep.isEmpty) full
+      else full.select((keep :+ scoreCol).map(col): _*)
+    val scored = slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = Quantiles.exactQuantiles(scored, scoreCol, Seq(p)).head
     scored.withColumn(flagCol, col(scoreCol) > lit(thr))
   }

@@ -56,4 +56,30 @@ class ReconSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(scored(2L) > scored(1L))
   }
+
+  test("VAE loss: closed forms and reparameterization identities") {
+    import graft.score.VaeLoss
+    val df = Seq((1L, Seq(1.0, 3.0), Seq(0.0, 1.0), Seq(0.5, -0.5), Seq(0.0, 0.0)))
+      .toDF("id", "x", "xhat", "mu", "logvar")
+    val r = df.select(
+      VaeLoss.mse($"x", $"xhat"),
+      VaeLoss.klDivergence($"mu", $"logvar"),
+      VaeLoss.loss($"x", $"xhat", $"mu", $"logvar")).head()
+    // mse = ((1-0)^2 + (3-1)^2)/2 = 2.5
+    assert(r.getDouble(0) == 2.5)
+    // kl = -0.5 * mean(1 + 0 - mu^2 - e^0) = -0.5 * mean(-0.25, -0.25) = 0.125
+    assert(math.abs(r.getDouble(1) - 0.125) < 1e-12)
+    assert(r.getDouble(2) == r.getDouble(0) + r.getDouble(1))
+    // kl(mu=0, logvar=0) = 0; z(eps=0) = mu; z(logvar=0, eps=e) = mu + e
+    val z = Seq((1L, Seq(0.7, -0.2), Seq(0.0, 0.0), Seq(1.0, 2.0)))
+      .toDF("id", "mu", "logvar", "eps")
+      .select(VaeLoss.klDivergence($"mu", $"logvar"),
+        VaeLoss.reparameterize($"mu", $"logvar",
+          org.apache.spark.sql.functions.transform($"mu", _ => lit(0.0))),
+        VaeLoss.reparameterize($"mu", $"logvar", $"eps")).head()
+    // terms: 1 + 0 − μ² − e⁰ = −μ² → kl = −0.5·mean(−0.49, −0.04)
+    assert(math.abs(z.getDouble(0) - (-0.5 * (-0.49 + -0.04) / 2)) < 1e-12)
+    assert(z.getSeq[Double](1) == Seq(0.7, -0.2))
+    assert(z.getSeq[Double](2) == Seq(1.7, 1.8))
+  }
 }
