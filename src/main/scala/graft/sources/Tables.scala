@@ -66,6 +66,16 @@ object Tables {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC source/sink — the other columnar lake format Spark ships
+    * natively; same pushdown/pruning properties as parquet
+    * (PushedFilters in the scan node, vectorized reader).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Register every harness table as a temp view so the SQL entry
     * surface works (`spark.sql("SELECT … FROM lineitem")`) — parity
     * with the reference's SQL-on-catalog entry point

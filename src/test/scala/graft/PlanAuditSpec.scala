@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the scale properties the engine claims are
+  * asserted against `.explain` output, so a regression that silently
+  * turns a broadcast join into a shuffle, drops a pushed filter, or
+  * reintroduces a single-reducer Percentile FAILS the build rather
+  * than surfacing as a 100 TB incident.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("star join broadcasts the small dimensions, never nested-loops") {
+    val p = plan(SparkEntry.queries("q31_join_revenue")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"cartesian in star join:\n$p")
+  }
+
+  test("filter + projection push into the parquet scan") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(li)
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"),
+      s"filter not pushed:\n$p")
+    // pruned read schema: the 14 unused columns must not be scanned
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"),
+      s"projection not pruned:\n$p")
+  }
+
+  test("no registered query plans a Percentile aggregate (single-reducer buffer)") {
+    // analyze lazily: optimizedPlan is enough to see the aggregate choice
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val q = fn(spark, sf)
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(!p.contains("percentile("),
+        s"$name still plans exact Percentile:\n${p.take(2000)}")
+    }
+  }
+
+  test("LSH dedup and ANN plans contain no nested-loop join") {
+    Seq("q52_lsh_cosine_dups", "q30_lsh_ann", "q25_minhash_lsh").foreach { name =>
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
+  test("aggregation queries use partial (map-side) aggregation") {
+    val p = plan(SparkEntry.queries("q01_pricing_summary")(spark, sf))
+    // two HashAggregate nodes around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("forest scoring stays inside whole-stage codegen") {
+    // parquet-backed: a local relation would be constant-folded away
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("features"))
+    val m = graft.score.IsolationForest.fit(df, "id", "features",
+      numTrees = 10, maxSamples = 8, poolSize = 50)
+    val scored = m.transform(df, "features")
+    val p = plan(scored)
+    // "*(n)" node prefixes mark whole-stage-codegen regions in the
+    // compact plan string; the scoring Project must carry one
+    assert(p.linesIterator.exists(l => l.contains("ifscoreexpr") && l.contains("*(")),
+      s"scoring fell out of codegen:\n$p")
+  }
+}

@@ -19,6 +19,20 @@ class SourcesSpec extends SparkSpec {
       sample.agg(sum("l_quantity")).head.getDouble(0))
   }
 
+  test("ORC sink/source round-trips rows with filter pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val sample = li.select("l_orderkey", "l_linenumber", "l_quantity").limit(500)
+    Tables.writeOrc(sample, s"$dir/li")
+    val back = Tables.readOrc(spark, s"$dir/li")
+    assert(back.count() == 500)
+    assert(back.agg(sum("l_quantity")).head.getDouble(0) ==
+      sample.agg(sum("l_quantity")).head.getDouble(0))
+    val filtered = back.where(col("l_orderkey") > 100)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_orderkey"),
+      s"no ORC filter pushdown in:\n$plan")
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables.writePartitioned(
