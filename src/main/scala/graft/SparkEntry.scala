@@ -976,7 +976,7 @@ object SparkEntry {
       | c AS (SELECT pos, neg, coalesce(sum(neg) OVER (ORDER BY score ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg_below FROM per),
       | tot AS (SELECT count(*) FILTER (WHERE y=1) AS p, count(*) FILTER (WHERE y=0) AS n FROM d)
       | SELECT round(CAST(sum(CAST(pos AS DECIMAL(38,0)) * (2*cum_neg_below + neg)) AS DOUBLE)
-      |   / CAST(2*p*n AS DOUBLE), 6) AS auc
+      |   / (2.0 * p * n), 6) AS auc
       | FROM c, tot GROUP BY p, n""".stripMargin
       .replaceAll("\n", " ")
 

@@ -86,8 +86,10 @@ object Smote {
   def balance(df: DataFrame, idCol: String, vecCol: String, classCol: String,
               minorityValue: Any, k: Int, target: Int): DataFrame = {
     // synthetic ids start past the real id range — a fixed offset would
-    // collide with real rows once ids grow past it
-    val idBase = df.agg(max(col(idCol).cast("long"))).head().getLong(0) + 1L
+    // collide with real rows once ids grow past it (empty/uncastable
+    // ids ⇒ null max ⇒ start at 1)
+    val maxRow = df.agg(max(col(idCol).cast("long"))).head()
+    val idBase = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) + 1L
     val synth = oversample(df, idCol, vecCol,
       col(classCol) === lit(minorityValue), k, target)
       .select((col("synth_id") + idBase).as(idCol), col("vec").as(vecCol),

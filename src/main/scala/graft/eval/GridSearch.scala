@@ -138,8 +138,12 @@ object GridSearch {
         when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(null))
           .otherwise((lit(2.0) * col("tp")) /
             (lit(2) * col("tp") + col("fp") + col("fn")).cast("double")))
+    // materialize BEFORE unpersisting — `out` is lazy, and unpersisting
+    // first would make the caller's action rebuild `base` uncached
+    val local = out.collect().toIndexedSeq
     base.unpersist()
-    out
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(local, 1), out.schema)
   }
 
   /** Exact interpolated quantiles of the score over every fold's

@@ -116,7 +116,15 @@ object Metrics {
     * primitive behind exact ROC/AUC/Youden on billions of rows. Scores
     * must be non-null and non-NaN.
     */
-  def prefixScoreCounts(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+  def prefixScoreCounts(df: DataFrame, labelCol: String, scoreCol: String): DataFrame =
+    prefixScan(df, labelCol, scoreCol)._1
+
+  /** [[prefixScoreCounts]] plus the grand totals (P, N) — the subtotal
+    * fold already produces them, so callers avoid a separate
+    * full-input counting scan.
+    */
+  private def prefixScan(df: DataFrame, labelCol: String,
+                         scoreCol: String): (DataFrame, Long, Long) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
@@ -148,7 +156,7 @@ object Metrics {
       StructField("score", DoubleType), StructField("pos", LongType),
       StructField("neg", LongType), StructField("cum_pos_below", LongType),
       StructField("cum_neg_below", LongType)))
-    spark.createDataFrame(rows, schema)
+    (spark.createDataFrame(rows, schema), ap, an)
   }
 
   /** Exact AUC via the tie-corrected rank-sum (Mann–Whitney) identity —
@@ -164,17 +172,16 @@ object Metrics {
     */
   def aucRankSum(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val y = col(labelCol).cast("int")
-    val totals = df.agg(
-      count(when(y === 1, 1)).as("P"), count(when(y === 0, 1)).as("N")).head()
-    val (pTot, nTot) = (totals.getLong(0), totals.getLong(1))
+    val (pc, pTot, nTot) = prefixScan(df, labelCol, scoreCol)
     if (pTot == 0L || nTot == 0L)
       return df.sparkSession.range(1).select(lit(null).cast(DoubleType).as("auc"))
-    prefixScoreCounts(df, labelCol, scoreCol)
-      .select((col("pos").cast(DecimalType(38, 0)) *
+    // denominator in double: 2·P·N overflows Long past ~2e9 rows per
+    // class (left-associated (2.0·P)·N matches the oracle's
+    // (2.0 * p * n))
+    pc.select((col("pos").cast(DecimalType(38, 0)) *
         (lit(2) * col("cum_neg_below") + col("neg"))).as("c"))
       .agg(round((sum("c").cast(DoubleType) /
-        lit((2L * pTot * nTot).toDouble)), 6).as("auc"))
+        lit(2.0 * pTot.toDouble * nTot.toDouble)), 6).as("auc"))
   }
 
   /** Youden-J optimal threshold: score maximizing tpr − fpr
@@ -184,12 +191,8 @@ object Metrics {
     * argmax is TakeOrderedAndProject.
     */
   def youdenJ(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
-    val y = col(labelCol).cast("int")
-    val totals = df.agg(
-      count(when(y === 1, 1)).as("P"), count(when(y === 0, 1)).as("N")).head()
-    val (pTot, nTot) = (totals.getLong(0), totals.getLong(1))
-    prefixScoreCounts(df, labelCol, scoreCol)
-      .select(col("score"),
+    val (pc, pTot, nTot) = prefixScan(df, labelCol, scoreCol)
+    pc.select(col("score"),
         (((lit(pTot) - col("cum_pos_below")).cast("double") / lit(pTot.toDouble)) -
           ((lit(nTot) - col("cum_neg_below")).cast("double") / lit(nTot.toDouble))).as("j"))
       .orderBy(desc("j"), asc("score"))

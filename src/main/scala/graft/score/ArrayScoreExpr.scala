@@ -58,13 +58,19 @@ case class ArrayScoreExpr(child: Expression, scorer: Broadcast[ArrayScorer])
 }
 
 object ArrayScoreExpr {
+  // monotonic registration ids: identityHashCode can collide between two
+  // live scorers, silently rebinding a not-yet-analyzed plan
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Build the scoring Column: broadcast the scorer, route through a
     * scorer-specific temp function (the registry is the public seam for
-    * Column←Expression in Spark 4).
+    * Column←Expression in Spark 4). Each call registers one session
+    * function holding one broadcast — session-scoped model state, like
+    * a registered UDF.
     */
   def column(df: DataFrame, scorer: ArrayScorer, featuresCol: String): Column = {
     val bc = df.sparkSession.sparkContext.broadcast(scorer)
-    val name = s"graft_arrayscore_${Integer.toHexString(System.identityHashCode(scorer))}"
+    val name = s"graft_arrayscore_${nextId.incrementAndGet()}"
     df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       { args: Seq[Expression] =>

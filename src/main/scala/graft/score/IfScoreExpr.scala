@@ -151,15 +151,19 @@ case class IfScoreExpr(child: Expression, forest: Broadcast[FlatForest])
 }
 
 object IfScoreExpr {
+  // monotonic registration ids: identityHashCode can collide between two
+  // live models, silently rebinding a not-yet-analyzed plan
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Build a scoring Column for `featuresCol`: broadcasts the flattened
     * forest and routes the expression through a model-specific temp
     * function (the registry is the public seam for Column←Expression in
-    * Spark 4). Registration is per model instance; re-registering is a
-    * cheap replace.
+    * Spark 4). Each call registers one session function holding one
+    * broadcast — session-scoped model state, like a registered UDF.
     */
   def column(df: DataFrame, model: IsolationForest.Model, featuresCol: String): Column = {
     val bc = df.sparkSession.sparkContext.broadcast(FlatForest(model))
-    val name = s"graft_ifscore_${Integer.toHexString(System.identityHashCode(model))}"
+    val name = s"graft_ifscore_${nextId.incrementAndGet()}"
     df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       { args: Seq[Expression] =>

@@ -120,10 +120,7 @@ object IsolationForest {
     */
   def collectPool(df: DataFrame, idCol: String, featuresCol: String,
                   poolSize: Int = 4096): Array[Array[Double]] =
-    df.select(col(idCol), col(featuresCol))
-      .orderBy(col(idCol)).limit(poolSize)
-      .collect()
-      .map(_.getSeq[Double](1).toArray)
+    FitPool.collect(df, idCol, featuresCol, poolSize)
 
   /** Fit from a pre-collected pool (driver-side, bounded). */
   def fitPool(pool: Array[Array[Double]], numTrees: Int = 100,

@@ -136,10 +136,7 @@ object LinearAE {
   /** Fit on the first `sampleSize` rows by `idCol` (deterministic). */
   def fit(df: DataFrame, idCol: String, featuresCol: String, k: Int,
           sampleSize: Int = 4096): Model = {
-    val pool = df.select(col(idCol), col(featuresCol))
-      .orderBy(col(idCol)).limit(sampleSize)
-      .collect()
-      .map(_.getSeq[Double](1).toArray)
+    val pool = FitPool.collect(df, idCol, featuresCol, sampleSize)
     require(pool.nonEmpty, "empty fit pool")
     val d = pool(0).length
     val n = pool.length

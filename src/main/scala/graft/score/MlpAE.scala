@@ -68,11 +68,15 @@ object MlpAE {
   }
 
   /** Deterministic pseudo-random uniform in [−½, ½) (same hash family
-    * as [[LinearAE]] / `graft.sim.Ann` — no RNG object state).
+    * as [[LinearAE]] / `graft.sim.Ann` — no RNG object state). The
+    * double-mod guard keeps the remainder non-negative when the Long
+    * product wraps (large seeds) — Scala `%` is a signed remainder.
     */
-  private def hashUnit(tag: Long, idx: Long): Double =
-    (((2654435761L * (tag * 1000003L + idx) + 40503L) % 1000000007L).toDouble /
-      1000000007.0) - 0.5
+  private def hashUnit(tag: Long, idx: Long): Double = {
+    val P = 1000000007L
+    val h = (2654435761L * (tag * 1000003L + idx) + 40503L) % P
+    (((h + P) % P).toDouble / P.toDouble) - 0.5
+  }
 
   /** Fit on the first `sampleSize` rows by `idCol` (deterministic pool,
     * like the reference's bounded training collect). Adam, mini-batches
@@ -81,10 +85,7 @@ object MlpAE {
   def fit(df: DataFrame, idCol: String, featuresCol: String,
           hidden: Int, epochs: Int = 200, batchSize: Int = 64,
           lr: Double = 0.01, sampleSize: Int = 4096, seed: Long = 42L): Model = {
-    val pool = df.select(col(idCol), col(featuresCol))
-      .orderBy(col(idCol)).limit(sampleSize)
-      .collect()
-      .map(_.getSeq[Double](1).toArray)
+    val pool = FitPool.collect(df, idCol, featuresCol, sampleSize)
     require(pool.nonEmpty, "empty fit pool")
     val d = pool(0).length
     val n = pool.length

@@ -59,7 +59,7 @@ object ZScoreAnomaly {
              keep: Seq[String] = Nil): DataFrame = {
     val full = score(df, cols, fitStats(df, cols), scoreCol)
     val slim = if (keep.isEmpty) full
-      else full.select((keep :+ scoreCol).map(col): _*)
+      else full.select((keep.filterNot(_ == scoreCol) :+ scoreCol).map(col): _*)
     val scored = slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = Quantiles.exactQuantiles(scored, scoreCol, Seq(p)).head
     scored.withColumn(flagCol, col(scoreCol) > lit(thr))

@@ -27,20 +27,6 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** [[load]] + round-robin repartition to the session's default
-    * parallelism — the reference's own post-scan `repartition(32)`
-    * (operator L5, `app/AE_model.py:29`). Use for compute-heavy paths:
-    * the harness's local parquet files hold ONE row group each, so a
-    * bare scan is a single task no matter how many cores exist — every
-    * downstream narrow stage (scoring, profiling, per-row array math)
-    * would run single-threaded without this. On a real lake the files
-    * arrive pre-split (many row groups / files) and the repartition is
-    * unnecessary — which is exactly when its relative cost (one local
-    * shuffle of the scan output) also vanishes.
-    */
-  def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame =
-    load(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
-
   /** CSV scan with header + schema inference — parity with the reference's
     * `spark.read.csv(..., header=True, inferSchema=True)`
     * (`app/AE_model.py:25-29`). At 100 TB inference costs an extra pass:

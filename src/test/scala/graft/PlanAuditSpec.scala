@@ -32,7 +32,9 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("no registered query plans a Percentile aggregate (single-reducer buffer)") {
-    // analyze lazily: optimizedPlan is enough to see the aggregate choice
+    // NOTE: building a query runs its driver-side fits/thresholds
+    // eagerly (models, OrderStats) — acceptable at the spec's sf0.001,
+    // and it is exactly those eager paths the audit needs to cover
     SparkEntry.queries.foreach { case (name, fn) =>
       val q = fn(spark, sf)
       val p = q.queryExecution.optimizedPlan.toString
