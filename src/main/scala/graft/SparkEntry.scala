@@ -249,6 +249,25 @@ object SparkEntry {
       .select(round(col("score"), 4).as("score"), round(col("j"), 6).as("j"))
   }
 
+  /** W5 — gap-based sessionization over events (30-minute gap): per-key
+    * ordered window (parallel across users, no global window), session
+    * summaries with decimal-exact value sums. Oracle-checked end to end
+    * including the gap logic.
+    */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000 // 30 min in micros
+    // micro-precision timestamps on BOTH engines: DuckDB TIMESTAMP is
+    // microseconds, so the nanos-as-long column is integer-divided down
+    // before the gap compare (otherwise a gap within 1 µs of the
+    // threshold could sessionize differently across engines)
+    val base = ev(s, dir).withColumn("ts_us", expr("ts div 1000"))
+    graft.seq.Sessionizer.sessionStats(base, Seq("user_id"),
+        col("ts_us"), Seq(col("event_id")), gapUs, col("value"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("start_ts"), col("end_ts"), round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
   // --- text analysis over documents (training-data pipeline ops) ----- //
 
   private def doc(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
@@ -919,7 +938,8 @@ object SparkEntry {
     "q54_if_grid" -> (qIfGrid _),
     "q55_schema_align" -> (qSchemaAlign _),
     "q56_cv_grid" -> (qCvGrid _),
-    "q57_vae_loss" -> (qVaeLoss _)
+    "q57_vae_loss" -> (qVaeLoss _),
+    "q58_sessionize" -> (qSessionize _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -1189,6 +1209,20 @@ object SparkEntry {
          |   FROM v x JOIN v y ON x.vec_id < y.vec_id)
          | SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.45
          | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")
+    },
+    "q58_sessionize" -> {
+      val gapUs = 30L * 60 * 1000 * 1000
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn, value FROM events),
+         | s AS (SELECT user_id, tsn, value,
+         |   CASE WHEN lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > $gapUs THEN 1 ELSE 0 END AS is_new,
+         |   event_id FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+         | t AS (SELECT user_id, tsn, value, event_id,
+         |   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq
+         |   FROM s)
+         | SELECT user_id, session_seq, count(*) AS n_events,
+         |  min(tsn) AS start_ts, max(tsn) AS end_ts,
+         |  round(${graft.core.Stats.Sql.dsum("value")}, 4) AS sum_value
+         | FROM t GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin.replaceAll("\n", " ")
     },
     "q57_vae_loss" -> {
       import graft.score.VaeLoss.{Sql => V}

@@ -86,6 +86,21 @@ object Tables {
   def dropTable(spark: SparkSession, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $name")
 
+  /** Bucketed managed table: rows are hash-clustered into `nBuckets`
+    * files by `bucketCols` and sorted within buckets. Two tables
+    * bucketed the same way join WITHOUT a shuffle on either side — at
+    * 100 TB this turns the fact⋈fact join from the dominant exchange
+    * into a zip of co-located files. (Bucketing requires the session
+    * catalog: `saveAsTable`, not a bare path.)
+    */
+  def writeBucketed(df: DataFrame, name: String, bucketCols: Seq[String],
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(name)
+
   /** Hive-style partitioned parquet sink: one directory per partition
     * value. At 100 TB this is what makes downstream scans prunable —
     * a filter on a partition column never touches other partitions'

@@ -63,4 +63,25 @@ class SeqSpec extends SparkSpec {
     val nulls = aligned.where(col("seq_score").isNull).count()
     assert(nulls == 2 + 2, "a: rows 1-2 padded; b: both rows padded (n<t)")
   }
+
+  test("sessionize: gap starts a new session; summary is layout-proof") {
+    import graft.seq.Sessionizer
+    // user 1: events at t=0,10,20, then a jump to 1000 (gap>100), 1010
+    // user 2: single event
+    val ev = Seq(
+      (1L, 1L, 0L, 1.0), (1L, 2L, 10L, 2.0), (1L, 3L, 20L, 3.0),
+      (1L, 4L, 1000L, 4.0), (1L, 5L, 1010L, 5.0),
+      (2L, 6L, 5L, 9.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = Sessionizer.sessionStats(ev, Seq("user_id"), col("ts"),
+        Seq(col("event_id")), gap = 100L, valueCol = col("value"))
+      .orderBy("user_id", "session_seq").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 0L, 3L), (1L, 1L, 2L), (2L, 0L, 1L)))
+    assert(out.head.getDouble(5) == 6.0) // 1+2+3 in session 0
+    val shuffled = Sessionizer.sessionStats(ev.repartition(7), Seq("user_id"),
+        col("ts"), Seq(col("event_id")), 100L, col("value"))
+      .orderBy("user_id", "session_seq").collect()
+    assert(out.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq)
+  }
 }

@@ -33,6 +33,30 @@ class SourcesSpec extends SparkSpec {
       s"no ORC filter pushdown in:\n$plan")
   }
 
+  test("bucketed tables join without a shuffle on either side") {
+    val a = li.select("l_orderkey", "l_quantity").limit(2000)
+    val b = li.select("l_orderkey", "l_extendedprice").limit(2000)
+    Tables.writeBucketed(a, "graft_bucket_a", Seq("l_orderkey"), 4)
+    Tables.writeBucketed(b, "graft_bucket_b", Seq("l_orderkey"), 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path: broadcast would also avoid a shuffle,
+      // but bucketing's point is the co-located join of two BIG sides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      Tables.dropTable(spark, "graft_bucket_a")
+      Tables.dropTable(spark, "graft_bucket_b")
+    }
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables.writePartitioned(
