@@ -64,4 +64,24 @@ class PipelineSpec extends SparkSpec {
     val b = g.transform(train).select("features").collect().map(_.getSeq[Double](0))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("spark.ml pipeline twin: fit, transform, built-in save/load round-trip") {
+    import graft.features.MlPipeline
+    import org.apache.spark.ml.functions.vector_to_array
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_quantity", "l_extendedprice", "l_returnflag").limit(400)
+    val m = MlPipeline.fit(df, Seq("l_quantity", "l_extendedprice"), Seq("l_returnflag"))
+    val out = m.transform(df).select(vector_to_array(col("features")).as("f"))
+    val rows = out.collect().map(_.getSeq[Double](0))
+    assert(rows.nonEmpty && rows.forall(_.length == 3))
+    // standardized columns: |mean| ~ 0 over the frame
+    val meanQty = rows.map(_.head).sum / rows.length
+    assert(math.abs(meanQty) < 1e-9, s"not centered: $meanQty")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlpipe").toString
+    MlPipeline.save(m, s"$dir/pipe")
+    val m2 = MlPipeline.load(s"$dir/pipe")
+    val rows2 = m2.transform(df).select(vector_to_array(col("features")).as("f"))
+      .collect().map(_.getSeq[Double](0))
+    assert(rows.toSeq == rows2.toSeq)
+  }
 }
