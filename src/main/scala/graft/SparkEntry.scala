@@ -249,6 +249,17 @@ object SparkEntry {
       .select(round(col("score"), 4).as("score"), round(col("j"), 6).as("j"))
   }
 
+  /** T5 — duplicate-n-gram repetition fractions (Gopher-style quality
+    * filter): map-only, per-doc 2-gram and 3-gram dup fractions.
+    */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    doc(s, dir).select(col("doc_id"),
+        round(TextOps.dupNgramFraction(col("text"), 2), 6).as("dup2"),
+        round(TextOps.dupNgramFraction(col("text"), 3), 6).as("dup3"))
+      .orderBy("doc_id")
+  }
+
   /** W5 — gap-based sessionization over events (30-minute gap): per-key
     * ordered window (parallel across users, no global window), session
     * summaries with decimal-exact value sums. Oracle-checked end to end
@@ -939,7 +950,8 @@ object SparkEntry {
     "q55_schema_align" -> (qSchemaAlign _),
     "q56_cv_grid" -> (qCvGrid _),
     "q57_vae_loss" -> (qVaeLoss _),
-    "q58_sessionize" -> (qSessionize _)
+    "q58_sessionize" -> (qSessionize _),
+    "q59_repetition" -> (qRepetition _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -1209,6 +1221,12 @@ object SparkEntry {
          |   FROM v x JOIN v y ON x.vec_id < y.vec_id)
          | SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.45
          | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")
+    },
+    "q59_repetition" -> {
+      import graft.text.TextOps.{Sql => T}
+      s"""SELECT doc_id, round(${T.dupNgramFraction("text", 2)}, 6) AS dup2,
+         | round(${T.dupNgramFraction("text", 3)}, 6) AS dup3
+         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     },
     "q58_sessionize" -> {
       val gapUs = 30L * 60 * 1000 * 1000

@@ -165,6 +165,22 @@ object TextOps {
     uniqueRatio(text) * lit(0.5) + lenPrior * lit(0.3) + sw * lit(0.2)
   }
 
+  /** Gopher-style repetition signal: the fraction of n-gram occurrences
+    * that repeat an earlier n-gram of the same document —
+    * `1 − distinct_ngrams / total_ngrams` (0 when the doc has fewer
+    * than n tokens). High values mark boilerplate/spam (the duplicate
+    * n-gram filters of Rae et al. 2021). Pure codegen'd map stage.
+    */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val total = size(toks) - lit(n - 1)
+    val grams = transform(sequence(lit(1), total),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    when(total > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   // --- DuckDB oracle SQL twins --------------------------------------- //
 
   /** SQL fragments computing byte-identical results in DuckDB ≥1.0.
@@ -212,5 +228,12 @@ object TextOps {
 
     def qualityScore(x: String): String =
       s"(${uniqueRatio(x)} * 0.5 + least(CAST(${tokenCount(x)} AS DOUBLE) / 100.0, 1.0) * 0.3 + least(${stopwordRatio(x)} * 5.0, 1.0) * 0.2)"
+
+    def dupNgramFraction(x: String, n: Int): String = {
+      val t = toks(x)
+      val total = s"(len($t) - ${n - 1})"
+      val grams = s"list_transform(generate_series(1, $total), i -> array_to_string($t[i:i+${n - 1}], ' '))"
+      s"CASE WHEN $total > 0 THEN 1.0 - CAST(len(list_distinct($grams)) AS DOUBLE) / $total ELSE 0.0 END"
+    }
   }
 }

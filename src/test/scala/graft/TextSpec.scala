@@ -61,6 +61,21 @@ class TextSpec extends SparkSpec {
     assert(pred("qqq www") == "und")
   }
 
+  test("dupNgramFraction: repeated phrase high, unique text 0, short text 0") {
+    val df = Seq(
+      (1L, "the cat sat the cat sat the cat sat"), // heavy 3-gram repeats
+      (2L, "one two three four five six"), // all distinct
+      (3L, "hi") // shorter than n
+    ).toDF("id", "text")
+    val r = df.select(col("id"),
+        TextOps.dupNgramFraction(col("text"), 3).as("d3"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // 7 total 3-grams, 3 distinct -> 1 - 3/7
+    assert(math.abs(r(1L) - (1.0 - 3.0 / 7.0)) < 1e-12)
+    assert(r(2L) == 0.0)
+    assert(r(3L) == 0.0)
+  }
+
   test("quality parts are in expected ranges and deterministic") {
     val df = one("the fast row the fast")
     val r = df.select(
