@@ -69,24 +69,47 @@ object OrderStats {
       val d = col(c).cast(DoubleType)
       when(d.isNotNull && !isnan(d), d)
     }
+    // ±Infinity cannot be histogram-bucketed (infinite cell width), so
+    // the stats pass counts the infinite tails separately and the
+    // selection runs over the FINITE range with a rank offset; ranks
+    // inside a tail resolve to that infinity directly.
+    def finite(c: String): Column = {
+      val v = valid(c)
+      when(v > Double.NegativeInfinity && v < Double.PositiveInfinity, v)
+    }
     val statAggs = cols.flatMap { c =>
       val v = valid(c)
-      Seq(count(v).as(s"${c}__n"), min(v).as(s"${c}__min"), max(v).as(s"${c}__max"))
+      Seq(count(v).as(s"${c}__n"),
+        count(when(v === Double.NegativeInfinity, 1)).as(s"${c}__ninf"),
+        count(when(v === Double.PositiveInfinity, 1)).as(s"${c}__pinf"),
+        min(finite(c)).as(s"${c}__min"), max(finite(c)).as(s"${c}__max"))
     }
     val srow = df.agg(statAggs.head, statAggs.tail: _*).head()
 
     cols.zipWithIndex.map { case (c, ci) =>
-      val n = srow.getLong(3 * ci)
+      val n = srow.getLong(5 * ci)
       if (n == 0L) c -> ps.map(_ => Double.NaN)
       else {
-        val mn = srow.getDouble(3 * ci + 1)
-        val mx = srow.getDouble(3 * ci + 2)
+        val nNegInf = srow.getLong(5 * ci + 1)
+        val nPosInf = srow.getLong(5 * ci + 2)
         val pos = ps.map(p => p * (n - 1)) // 0-indexed fractional positions
         val needed = pos.flatMap(h => Seq(math.floor(h).toLong + 1L, math.ceil(h).toLong + 1L))
           .distinct.sorted.toList
-        val values: Map[Long, Double] =
-          if (mn == mx) needed.map(_ -> mn).toMap
-          else select(df, valid(c), needed, mn, mx, buckets, collectThreshold)
+        val (tailRanks, finiteRanks) =
+          needed.partition(r => r <= nNegInf || r > n - nPosInf)
+        val tailValues = tailRanks.map { r =>
+          r -> (if (r <= nNegInf) Double.NegativeInfinity else Double.PositiveInfinity)
+        }.toMap
+        val finiteValues: Map[Long, Double] =
+          if (finiteRanks.isEmpty) Map.empty
+          else {
+            val mn = srow.getDouble(5 * ci + 3)
+            val mx = srow.getDouble(5 * ci + 4)
+            if (mn == mx) finiteRanks.map(_ -> mn).toMap
+            else select(df, finite(c), finiteRanks, mn, mx,
+              buckets, collectThreshold, below0 = nNegInf)
+          }
+        val values = tailValues ++ finiteValues
         c -> pos.map { h =>
           val fl = math.floor(h); val cl = math.ceil(h)
           val lo = values(fl.toLong + 1L)
@@ -105,7 +128,8 @@ object OrderStats {
     * of `v`, known to lie in [mn, mx], by iterative histogram pruning.
     */
   private def select(df: DataFrame, v: Column, ranks: List[Long],
-                     mn: Double, mx: Double, b: Int, collectThr: Int): Map[Long, Double] = {
+                     mn: Double, mx: Double, b: Int, collectThr: Int,
+                     below0: Long = 0L): Map[Long, Double] = {
     val out = scala.collection.mutable.Map.empty[Long, Double]
 
     /** One job resolves EVERY small cell of the pass: the cells are
@@ -123,7 +147,7 @@ object OrderStats {
       }
     }
 
-    var segments: List[Segment] = List(Segment(mn, mx, 0L, ranks))
+    var segments: List[Segment] = List(Segment(mn, mx, below0, ranks))
     var pass = 0
     while (segments.nonEmpty) {
       pass += 1

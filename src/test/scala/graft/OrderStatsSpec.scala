@@ -43,6 +43,21 @@ class OrderStatsSpec extends SparkSpec {
     assertMatchesPercentile(vs, "ulp")
   }
 
+  test("matches Percentile bitwise: infinite tails") {
+    val vs = Seq(Double.NegativeInfinity, Double.NegativeInfinity, 1.0, 2.0,
+      3.0, 4.0, 5.0, Double.PositiveInfinity)
+    assertMatchesPercentile(vs, "infinities")
+    // all-infinite column
+    val allInf = Seq(Double.NegativeInfinity, Double.PositiveInfinity,
+      Double.PositiveInfinity)
+    val df = allInf.toDF("x")
+    val exp = df.agg(Quantiles.exact(col("x"), Seq(0.0, 0.5, 1.0))).head().getSeq[Double](0)
+    val got = OrderStats.quantilesOf(df, "x", Seq(0.0, 0.5, 1.0))
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g == e || (g.isNaN && e.isNaN), s"got $g expected $e")
+    }
+  }
+
   test("single value, constant column, and nulls/NaN excluded") {
     assert(OrderStats.quantilesOf(Seq(5.0).toDF("x"), "x", Seq(0.0, 0.5, 1.0)) == Seq(5.0, 5.0, 5.0))
     assert(OrderStats.quantilesOf(Seq.fill(10)(3.0).toDF("x"), "x", Seq(0.25, 0.9)) == Seq(3.0, 3.0))
