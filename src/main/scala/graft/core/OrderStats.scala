@@ -131,19 +131,46 @@ object OrderStats {
                      mn: Double, mx: Double, b: Int, collectThr: Int,
                      below0: Long = 0L): Map[Long, Double] = {
     val out = scala.collection.mutable.Map.empty[Long, Double]
+    // project the (possibly deeply when-wrapped) value expression ONCE:
+    // the cell filters below reference it up to 2·cells times per row,
+    // and without this projection every reference re-evaluates the
+    // whole validity/finiteness expression (measured 8× slowdown on a
+    // 19-edge request)
+    val vdf = df.select(v.as("__v")).where(col("__v").isNotNull)
+    val vv = col("__v")
 
-    /** One job resolves EVERY small cell of the pass: the cells are
-      * disjoint value ranges, so a single filtered collect fetches their
-      * union and each cell sorts its own slice. Without the batching, a
-      * many-quantile request (e.g. 19 ROC bin edges) fires one job per
-      * resolved cell.
+    /** Resolve a single small range by direct collect+sort (used only
+      * for the rare no-shrink / sub-resolution branches — a lone range
+      * is a simple AND filter, cheap to plan and run).
       */
-    def collectResolveAll(cells: List[Segment]): Unit = if (cells.nonEmpty) {
-      val cond = cells.map(c => v >= lit(c.lo) && v <= lit(c.hi)).reduce(_ || _)
-      val vals = df.where(cond).select(v.as("v")).collect().map(_.getDouble(0))
-      cells.foreach { c =>
-        val slice = vals.filter(x => x >= c.lo && x <= c.hi).sorted
-        c.ranks.foreach(k => out(k) = slice((k - c.below - 1).toInt))
+    def collectResolveOne(cell: Segment): Unit = {
+      val vals = vdf.where(vv >= lit(cell.lo) && vv <= lit(cell.hi))
+        .collect().map(_.getDouble(0)).sorted
+      cell.ranks.foreach(k => out(k) = vals((k - cell.below - 1).toInt))
+    }
+
+    /** ONE job resolves every small cell of a segment's histogram pass:
+      * membership is the segment's own bucket arithmetic plus an
+      * integer IN-set — a single codegen'd predicate. (An OR-chain of
+      * per-cell range conjunctions is catastrophically worse: the
+      * optimizer's CNF conversion is exponential in the number of
+      * disjuncts — a 19-cell request spent ~8 s planning; a
+      * higher-order `exists` over literal bounds fixes planning but
+      * pays interpreted-lambda cost per row.)
+      */
+    def collectResolveBuckets(seg: Segment, w: Double,
+                              cells: List[(Long, Segment)]): Unit = if (cells.nonEmpty) {
+      val bucketCol = least(floor((vv - lit(seg.lo)) / lit(w)), lit(b - 1)).cast("long")
+      val rows = vdf
+        .where(vv >= lit(seg.lo) && vv <= lit(seg.hi) &&
+          bucketCol.isin(cells.map(_._1): _*))
+        .select(vv.as("v"), bucketCol.as("bkt"))
+        .collect()
+      val byBucket = rows.groupBy(_.getLong(1))
+      cells.foreach { case (bi, cell) =>
+        val slice = byBucket.getOrElse(bi, Array.empty)
+          .map(_.getDouble(0)).sorted
+        cell.ranks.foreach(k => out(k) = slice((k - cell.below - 1).toInt))
       }
     }
 
@@ -152,7 +179,6 @@ object OrderStats {
     while (segments.nonEmpty) {
       pass += 1
       require(pass <= 64, s"order-statistic selection failed to converge after $pass passes")
-      val toCollect = scala.collection.mutable.ListBuffer.empty[Segment]
       segments = segments.flatMap { seg =>
         if (seg.lo == seg.hi) { seg.ranks.foreach(out(_) = seg.lo); Nil }
         else {
@@ -161,38 +187,40 @@ object OrderStats {
           if (!java.lang.Double.isFinite(w) || w <= 0.0) {
             // span below bucketing resolution — a handful of adjacent
             // doubles; resolve directly (count is tiny in value-space)
-            toCollect += seg; Nil
+            collectResolveOne(seg); Nil
           } else {
-            val bucket = least(floor((v - lit(seg.lo)) / lit(w)), lit(b - 1)).cast("long")
-            val hist = df.where(v >= lit(seg.lo) && v <= lit(seg.hi))
+            val bucket = least(floor((vv - lit(seg.lo)) / lit(w)), lit(b - 1)).cast("long")
+            val hist = vdf.where(vv >= lit(seg.lo) && vv <= lit(seg.hi))
               .groupBy(bucket.as("b"))
-              .agg(count(lit(1)).as("c"), min(v).as("mn"), max(v).as("mx"))
+              .agg(count(lit(1)).as("c"), min(vv).as("mn"), max(vv).as("mx"))
               .orderBy("b").collect()
             var cum = seg.below
             var remaining = seg.ranks
             val next = scala.collection.mutable.ListBuffer.empty[Segment]
+            val small = scala.collection.mutable.ListBuffer.empty[(Long, Segment)]
             hist.foreach { r =>
               val cnt = r.getLong(1)
               val (inB, rest) = remaining.partition(k => k > cum && k <= cum + cnt)
               if (inB.nonEmpty) {
                 val bmn = r.getDouble(2); val bmx = r.getDouble(3)
                 if (bmn == bmx) inB.foreach(out(_) = bmn)
-                else if (cnt <= collectThr) toCollect += Segment(bmn, bmx, cum, inB)
+                else if (cnt <= collectThr)
+                  small += ((r.getLong(0), Segment(bmn, bmx, cum, inB)))
                 else if (bmn == seg.lo && bmx == seg.hi)
                   // no shrink possible (ulp-dense cell) — force resolve to
                   // guarantee termination; only reachable for adversarial
                   // distributions packed within ~buckets ULPs
-                  toCollect += Segment(bmn, bmx, cum, inB)
+                  collectResolveOne(Segment(bmn, bmx, cum, inB))
                 else next += Segment(bmn, bmx, cum, inB)
               }
               cum += cnt
               remaining = rest
             }
+            collectResolveBuckets(seg, w, small.toList)
             next.toList
           }
         }
       }
-      collectResolveAll(toCollect.toList)
     }
     out.toMap
   }
