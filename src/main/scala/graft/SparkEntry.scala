@@ -1258,7 +1258,7 @@ object SparkEntry {
       import graft.eval.GridSearch.{FoldC1, FoldC2, FoldP}
       s"""WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
          |   CAST(l_extendedprice AS DOUBLE) AS s,
-         |   ((l_orderkey*10 + l_linenumber) * $FoldC1 + $FoldC2) % $FoldP % 5 AS fold
+         |   (((l_orderkey*10 + l_linenumber) % $FoldP) * ${FoldC1 % FoldP} + $FoldC2) % $FoldP % 5 AS fold
          |   FROM lineitem),
          | g AS (${
              (for (p <- Seq(0.8, 0.9, 0.95); f <- 0 until 5) yield

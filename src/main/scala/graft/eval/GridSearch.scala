@@ -109,7 +109,7 @@ object GridSearch {
     val base = df.select(
         col(idCol).cast("long").as("id"), y.as("y"), s.as("s"))
       .withColumn("fold",
-        ((col("id") * lit(FoldC1) + lit(FoldC2)) % lit(FoldP)) % k)
+        (((col("id") % lit(FoldP)) * lit(FoldC1 % FoldP) + lit(FoldC2)) % lit(FoldP)) % k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ALL k×|ps| exact train-side thresholds from ONE multi-fold prefix
     // scan (3 jobs total), instead of k independent quantile selections
@@ -234,8 +234,9 @@ object GridSearch {
   }
 
   /** Fold-hash constants (pure 64-bit arithmetic, same family as
-    * `graft.sim.Ann`; id·C1 stays within Long for id < 3.4e9 — document
-    * larger id spaces onto a pre-hash).
+    * `graft.sim.Ann`). The hash reduces the id mod P BEFORE the
+    * multiply, so (id%P)·(C1%P) < 2⁶³ for ANY Long id — no wraparound
+    * on the Spark side and no BIGINT overflow error on the SQL side.
     */
   val FoldC1 = 2654435761L
   val FoldC2 = 40503L
