@@ -166,7 +166,12 @@ object GridSearch {
                              ps: Seq[Double]): Map[Int, Seq[Double]] = {
     val spark = base.sparkSession
     val cnts = (0 until k).map(f => count(when(col("fold") === f, 1)).as(s"c$f"))
-    val perScore = base.groupBy(col("s").cast("double").as("score"))
+    // null/NaN scores carry no rank information — excluded from the
+    // threshold fit (quantile semantics), though their rows still score
+    // as misses in the confusion pass (null > thr is never true)
+    val perScore = base
+      .where(col("s").isNotNull && !isnan(col("s").cast("double")))
+      .groupBy(col("s").cast("double").as("score"))
       .agg(cnts.head, cnts.tail: _*)
     val parts = math.max(1, spark.sparkContext.defaultParallelism)
     val sorted = perScore.repartitionByRange(parts, col("score"))
