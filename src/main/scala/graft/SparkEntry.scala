@@ -1258,7 +1258,7 @@ object SparkEntry {
       import graft.eval.GridSearch.{FoldC1, FoldC2, FoldP}
       s"""WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
          |   CAST(l_extendedprice AS DOUBLE) AS s,
-         |   (((l_orderkey*10 + l_linenumber) % $FoldP) * ${FoldC1 % FoldP} + $FoldC2) % $FoldP % 5 AS fold
+         |   (((((l_orderkey*10 + l_linenumber) % $FoldP + $FoldP) % $FoldP) * ${FoldC1 % FoldP} + $FoldC2) % $FoldP) % 5 AS fold
          |   FROM lineitem),
          | g AS (${
              (for (p <- Seq(0.8, 0.9, 0.95); f <- 0 until 5) yield
@@ -1267,9 +1267,9 @@ object SparkEntry {
              ).mkString(" UNION ALL ")
            }),
          | c AS (SELECT g.p, g.f AS fold, g.thr,
-         |   count(*) FILTER (WHERE d.s > g.thr AND d.y = 1) AS tp,
-         |   count(*) FILTER (WHERE d.s > g.thr AND d.y = 0) AS fp,
-         |   count(*) FILTER (WHERE NOT (d.s > g.thr) AND d.y = 1) AS fn
+         |   count(*) FILTER (WHERE d.s IS NOT NULL AND NOT isnan(d.s) AND d.s > g.thr AND d.y = 1) AS tp,
+         |   count(*) FILTER (WHERE d.s IS NOT NULL AND NOT isnan(d.s) AND d.s > g.thr AND d.y = 0) AS fp,
+         |   count(*) FILTER (WHERE NOT (d.s IS NOT NULL AND NOT isnan(d.s) AND d.s > g.thr) AND d.y = 1) AS fn
          |   FROM d JOIN g ON d.fold = g.f GROUP BY 1, 2, 3)
          | SELECT p, fold, round(thr, 4) AS threshold, tp, fp, fn,
          |  round(CASE WHEN 2*tp+fp+fn = 0 THEN NULL ELSE 2.0*tp/(2*tp+fp+fn) END, 6) AS f1
@@ -1378,9 +1378,9 @@ object SparkEntry {
          |   CAST(l_extendedprice AS DOUBLE) AS s FROM lineitem),
          | g AS ($grid),
          | c AS (SELECT p, thr,
-         |   count(*) FILTER (WHERE s > thr AND y = 1) AS tp,
-         |   count(*) FILTER (WHERE s > thr AND y = 0) AS fp,
-         |   count(*) FILTER (WHERE NOT (s > thr) AND y = 1) AS fn
+         |   count(*) FILTER (WHERE s IS NOT NULL AND NOT isnan(s) AND s > thr AND y = 1) AS tp,
+         |   count(*) FILTER (WHERE s IS NOT NULL AND NOT isnan(s) AND s > thr AND y = 0) AS fp,
+         |   count(*) FILTER (WHERE NOT (s IS NOT NULL AND NOT isnan(s) AND s > thr) AND y = 1) AS fn
          |   FROM d, g GROUP BY p, thr)
          | SELECT p, round(thr, 4) AS threshold, tp, fp, fn,
          |  round(CASE WHEN 2*tp+fp+fn = 0 THEN NULL

@@ -132,18 +132,20 @@ object Dedup {
                         tables: Int = 8, bitsPerTable: Int = 6): DataFrame = {
     import graft.sim.{Ann, GraftFunctions}
     GraftFunctions.register(df.sparkSession)
+    // No caching anywhere: every reuse of `v`/`bk` below recomputes a
+    // map-only stage (a pruned scan + plane dots / one self-dot per
+    // row). At corpus scale that recompute is strictly cheaper than
+    // materializing a corpus-sized cache, and it leaves nothing behind
+    // to unpersist — a previous version persisted both and leaked the
+    // caches (+ broadcasts) for the session lifetime.
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .withColumn("n2", GraftFunctions.norm2(col("vec")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signs hoisted into their own projection: the plane dots run once
     // per vector, not once per table (lambda inlining)
-    // persisted: the self-join below would otherwise recompute the plane
-    // dots for BOTH sides
     val bk = v
       .select(col("id"), Ann.planeSigns(col("vec"), dim, tables * bitsPerTable).as("signs"))
       .select(col("id"), posexplode(Ann.bucketsFromSigns(col("signs"), tables, bitsPerTable)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bk.as("x")
       .join(bk.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&

@@ -25,7 +25,10 @@ object GridSearch {
     val y = col(labelCol)
     val s = col(scoreCol).cast("double")
     val aggs = ps.indices.flatMap { i =>
-      val pred = s > thrs(i)
+      // null/NaN scores are misses, never hits: without the guard Spark
+      // (and DuckDB) order NaN above every threshold, so a NaN row
+      // would count as tp/fp
+      val pred = s.isNotNull && !isnan(s) && s > thrs(i)
       Seq(
         count(when(pred && y === 1, 1)).as(s"tp_$i"),
         count(when(pred && y === 0, 1)).as(s"fp_$i"),
@@ -108,8 +111,16 @@ object GridSearch {
     val y = col(labelCol)
     val base = df.select(
         col(idCol).cast("long").as("id"), y.as("y"), s.as("s"))
+      // pmod, not %: Scala/Spark % is a signed remainder, so a negative
+      // id would land in a negative fold and silently match no
+      // `fold === f` — excluded from every threshold fit and confusion
+      // cell. A non-numeric id casts to null: fail loudly instead of
+      // silently shrinking the CV population.
       .withColumn("fold",
-        (((col("id") % lit(FoldP)) * lit(FoldC1 % FoldP) + lit(FoldC2)) % lit(FoldP)) % k)
+        when(col("id").isNull, raise_error(lit(
+          "cvThresholdGrid: id column cast to null — fold assignment needs numeric non-null ids")))
+          .otherwise(
+            pmod(pmod(col("id"), lit(FoldP)) * lit(FoldC1 % FoldP) + lit(FoldC2), lit(FoldP)) % k))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ALL k×|ps| exact train-side thresholds from ONE multi-fold prefix
     // scan (3 jobs total), instead of k independent quantile selections
@@ -119,8 +130,14 @@ object GridSearch {
       f <- 0 until k
       i <- ps.indices
       (nm, pred) <- {
-        val hit = col("fold") === f && col("s") > thr(f)(i)
-        val miss = col("fold") === f && !(col("s") > thr(f)(i))
+        // a hit requires a real (non-null, non-NaN) score above the
+        // threshold — NaN compares greater than everything in both
+        // Spark and DuckDB, so an unguarded `s > thr` would count NaN
+        // rows as hits; everything that is not a hit (including
+        // null/NaN scores) is a miss
+        val real = col("s").isNotNull && !isnan(col("s"))
+        val hit = col("fold") === f && real && col("s") > thr(f)(i)
+        val miss = col("fold") === f && !(real && col("s") > thr(f)(i))
         Seq(("tp", hit && col("y") === 1), ("fp", hit && col("y") === 0),
           ("fn", miss && col("y") === 1))
       }
@@ -167,8 +184,8 @@ object GridSearch {
     val spark = base.sparkSession
     val cnts = (0 until k).map(f => count(when(col("fold") === f, 1)).as(s"c$f"))
     // null/NaN scores carry no rank information — excluded from the
-    // threshold fit (quantile semantics), though their rows still score
-    // as misses in the confusion pass (null > thr is never true)
+    // threshold fit (quantile semantics); the confusion pass counts
+    // them as misses via its explicit non-null/non-NaN hit guard
     val perScore = base
       .where(col("s").isNotNull && !isnan(col("s").cast("double")))
       .groupBy(col("s").cast("double").as("score"))
@@ -239,9 +256,10 @@ object GridSearch {
   }
 
   /** Fold-hash constants (pure 64-bit arithmetic, same family as
-    * `graft.sim.Ann`). The hash reduces the id mod P BEFORE the
-    * multiply, so (id%P)·(C1%P) < 2⁶³ for ANY Long id — no wraparound
-    * on the Spark side and no BIGINT overflow error on the SQL side.
+    * `graft.sim.Ann`). The hash reduces the id pmod P BEFORE the
+    * multiply, so pmod(id,P)·(C1%P) < 2⁶³ for ANY Long id — no
+    * wraparound on the Spark side and no BIGINT overflow error on the
+    * SQL side; pmod (not %) keeps negative ids in [0, k) folds.
     */
   val FoldC1 = 2654435761L
   val FoldC2 = 40503L

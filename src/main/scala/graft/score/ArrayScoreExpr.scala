@@ -1,7 +1,7 @@
 package graft.score
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -62,22 +62,43 @@ object ArrayScoreExpr {
   // live scorers, silently rebinding a not-yet-analyzed plan
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Build the scoring Column: broadcast the scorer, route through a
-    * scorer-specific temp function (the registry is the public seam for
-    * Column←Expression in Spark 4). Each call registers one session
-    * function holding one broadcast — session-scoped model state, like
-    * a registered UDF.
+  /** Register `builder` as a temp function just long enough to analyze
+    * the scored frame, then DEREGISTER it. The registry is the public
+    * seam for Column←Expression in Spark 4, but analysis resolves the
+    * call into the concrete expression (which holds the broadcast
+    * directly), so the entry is needed only for that moment — leaving
+    * it registered would pin one broadcast per model build for the
+    * session lifetime (grid/bench loops construct many). After the
+    * drop, the broadcast lives exactly as long as plans referencing it
+    * and is ContextCleaner-collected with them.
     */
-  def column(df: DataFrame, scorer: ArrayScorer, featuresCol: String): Column = {
+  private[score] def scored(df: DataFrame, featuresCol: String, outCol: String,
+                            prefix: String,
+                            builder: Seq[Expression] => Expression): DataFrame = {
+    val name = s"${prefix}_${nextId.incrementAndGet()}"
+    val reg = df.sparkSession.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(name, builder, "built-in")
+    try {
+      val out = df.withColumn(outCol, call_function(name, col(featuresCol)))
+      // Dataset construction analyzes eagerly; force it explicitly so
+      // the drop below can never race a lazy analysis
+      out.queryExecution.analyzed
+      out
+    } finally {
+      reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+      ()
+    }
+  }
+
+  /** The scored frame `df` + `outCol`: broadcast the scorer, apply as a
+    * no-boxing map expression (scoped registration — no session leak).
+    */
+  def withScore(df: DataFrame, scorer: ArrayScorer, featuresCol: String,
+                outCol: String): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(scorer)
-    val name = s"graft_arrayscore_${nextId.incrementAndGet()}"
-    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
-      { args: Seq[Expression] =>
-        require(args.length == 1, s"$name takes 1 argument")
-        ArrayScoreExpr(args.head, bc)
-      },
-      "built-in")
-    call_function(name, col(featuresCol))
+    scored(df, featuresCol, outCol, "graft_arrayscore", { args: Seq[Expression] =>
+      require(args.length == 1, "graft_arrayscore takes 1 argument")
+      ArrayScoreExpr(args.head, bc)
+    })
   }
 }

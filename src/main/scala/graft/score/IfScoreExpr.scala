@@ -1,12 +1,11 @@
 package graft.score
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.{call_function, col}
 import org.apache.spark.sql.types._
 
 /** Pointer-free isolation forest: every tree flattened into parallel
@@ -151,26 +150,19 @@ case class IfScoreExpr(child: Expression, forest: Broadcast[FlatForest])
 }
 
 object IfScoreExpr {
-  // monotonic registration ids: identityHashCode can collide between two
-  // live models, silently rebinding a not-yet-analyzed plan
-  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Build a scoring Column for `featuresCol`: broadcasts the flattened
-    * forest and routes the expression through a model-specific temp
-    * function (the registry is the public seam for Column←Expression in
-    * Spark 4). Each call registers one session function holding one
-    * broadcast — session-scoped model state, like a registered UDF.
+  /** The scored frame `df` + `outCol`: broadcasts the flattened forest
+    * and applies it as a codegen'd map expression. Registration is
+    * scoped (register → analyze → deregister, see
+    * [[ArrayScoreExpr.scored]]) so repeated model builds don't pin
+    * broadcasts in the session function registry.
     */
-  def column(df: DataFrame, model: IsolationForest.Model, featuresCol: String): Column = {
+  def withScore(df: DataFrame, model: IsolationForest.Model, featuresCol: String,
+                outCol: String): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(FlatForest(model))
-    val name = s"graft_ifscore_${nextId.incrementAndGet()}"
-    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
-      { args: Seq[Expression] =>
-        require(args.length == 1, s"$name takes 1 argument")
-        IfScoreExpr(args.head, bc)
-      },
-      "built-in")
-    call_function(name, col(featuresCol))
+    ArrayScoreExpr.scored(df, featuresCol, outCol, "graft_ifscore", { args: Seq[Expression] =>
+      require(args.length == 1, "graft_ifscore takes 1 argument")
+      IfScoreExpr(args.head, bc)
+    })
   }
 }

@@ -59,7 +59,7 @@ object IsolationForest {
       */
     def transform(df: DataFrame, featuresCol: String,
                   outCol: String = "if_score"): DataFrame =
-      df.withColumn(outCol, IfScoreExpr.column(df, this, featuresCol))
+      IfScoreExpr.withScore(df, this, featuresCol, outCol)
 
     /** Boxed Scala-UDF scoring — correctness baseline for the codegen
       * path (ModelSpec asserts bitwise equality); not used by queries.

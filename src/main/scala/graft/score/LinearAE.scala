@@ -58,7 +58,7 @@ object LinearAE {
       */
     def transform(df: DataFrame, featuresCol: String,
                   outCol: String = "recon_error"): DataFrame =
-      df.withColumn(outCol, ArrayScoreExpr.column(df, this, featuresCol))
+      ArrayScoreExpr.withScore(df, this, featuresCol, outCol)
   }
 
   /** Deterministic pseudo-random unit start vector for power iteration. */

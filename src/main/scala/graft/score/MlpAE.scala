@@ -64,7 +64,7 @@ object MlpAE {
     /** Distributed scoring: broadcast weights, one map stage, no boxing. */
     def transform(df: DataFrame, featuresCol: String,
                   outCol: String = "recon_error"): DataFrame =
-      df.withColumn(outCol, ArrayScoreExpr.column(df, this, featuresCol))
+      ArrayScoreExpr.withScore(df, this, featuresCol, outCol)
   }
 
   /** Deterministic pseudo-random uniform in [−½, ½) (same hash family
