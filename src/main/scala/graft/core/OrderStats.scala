@@ -1,33 +1,43 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Distributed exact quantiles via order-statistic selection.
+/** Distributed exact quantiles via order-statistic selection over a
+  * sortable-bits histogram.
   *
   * Catalyst's `percentile` buffers every value per partition and merges
   * the full value multiset on a single reducer — at 100 TB that reducer
   * is an OOM, and before that a straggler. This computes the same exact,
   * linearly-interpolated quantiles (numpy `np.percentile` semantics, the
   * reference's threshold math at `app/AE_model.py:197` and
-  * `app/LSTM_AE.py:513-517`) with bounded memory everywhere:
+  * `app/LSTM_AE.py:513-517`) with bounded memory everywhere, and
+  * usually in ONE full pass:
   *
-  *  1. one mergeable agg: (count, min, max) per column;
-  *  2. per pass: bucket the candidate value range into `buckets`
-  *     equi-width cells and aggregate (count, min, max) per cell — a
-  *     map-side-combined shuffle of at most `buckets` keys; locate the
-  *     cell holding each target rank;
-  *  3. a cell that is constant (min == max) resolves immediately; a cell
-  *     with ≤ `collectThreshold` rows is fetched and sorted on the
-  *     driver; anything else recurses into the cell's [min, max].
+  *  1. bucket every value by a fixed right-shift of its
+  *     [[SortableBitsExpr order-preserving bit image]] — a monotone,
+  *     data-independent partition of the double line, so there is NO
+  *     min/max pre-pass and no infinite-tail special case — and
+  *     aggregate (count, min, max) per occupied bucket: a
+  *     map-side-combined shuffle of at most `buckets` keys. The bucket
+  *     counts locate the cell holding each target rank AND yield the
+  *     total count n, so rank targets come from the same pass.
+  *  2. a located cell that is constant (min == max) resolves
+  *     immediately; cells with ≤ `collectThreshold` rows are fetched
+  *     and sorted on the driver (one bucket-membership job per level
+  *     for ALL such cells); anything larger recurses with the shift
+  *     reduced by log₂(buckets) bits — resolution grows `buckets`-fold
+  *     per level, and at shift 0 a bucket is a single double, so
+  *     termination is structural (≤ ⌈64/log₂(buckets)⌉ levels), not
+  *     data-dependent.
   *
-  * Each pass shrinks the candidate span ~`buckets`-fold (the next span is
-  * one cell's actual [min, max]), so passes are O(log_B span) — 2–3 full
-  * scans in practice, each pruned to a single column with a pushed-down
-  * range filter. Driver and executor memory are bounded by
-  * `buckets` + `collectThreshold` regardless of data size, and every
-  * aggregate is mergeable, so the plan survives a 1000-executor cluster.
+  * Multi-column requests fuse into the same passes (one scan covers
+  * every column via a posexplode of the validity-filtered values).
+  * Driver and executor memory are bounded by `buckets` +
+  * `collectThreshold` per column regardless of data size, and every
+  * aggregate is mergeable, so the plan survives a 1000-executor
+  * cluster.
   *
   * Interpolation matches Catalyst `Percentile` bitwise (and DuckDB
   * `quantile_cont` within rounding): with h = p·(n−1),
@@ -36,192 +46,189 @@ import org.apache.spark.sql.types.DoubleType
   */
 object OrderStats {
 
-  private case class Segment(lo: Double, hi: Double, below: Long, ranks: List[Long])
+  /** A located cell: bucket `id` at the current shift for column
+    * `colIdx`, holding the 1-indexed order statistics `ranks`, with
+    * `below` values strictly before it in ascending order.
+    */
+  private case class Cell(colIdx: Int, id: Long, below: Long,
+                          ranks: List[Long], mn: Double, mx: Double, cnt: Long)
 
-  /** Exact interpolated quantiles `ps` for each of `cols`, computed with
-    * the bounded-memory selection above. Returns per column the quantile
-    * values in the order of `ps`; a column with zero valid rows maps to
-    * NaNs.
+  /** Exact interpolated quantiles `ps` for each of `cols`. Returns per
+    * column the quantile values in the order of `ps`; a column with
+    * zero valid rows maps to NaNs. `buckets` bounds the occupied cells
+    * per column and level (driver histogram size); `collectThreshold`
+    * bounds the rows fetched per driver-resolved cell.
     */
   def quantiles(df: DataFrame, cols: Seq[String], ps: Seq[Double],
-                buckets: Int = 1024, collectThreshold: Int = 4096): Map[String, Seq[Double]] = {
+                buckets: Int = 1 << 17, collectThreshold: Int = 8192): Map[String, Seq[Double]] = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile probabilities must be in [0,1]: $ps")
-    // The selection makes 2-3 passes over the values; if the caller
-    // didn't already persist, cache the column-pruned projection for the
-    // duration so every pass reads the narrow cached frame instead of
-    // re-running the upstream plan (scan + any exchange) per pass. At
-    // 100 TB the projection is the pruned quantile columns only, and
-    // MEMORY_AND_DISK degrades to re-scan economics, never OOM.
-    val needCache = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    val base =
-      if (needCache)
-        df.select(cols.distinct.map(col): _*)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
-    try quantilesOn(base, cols, ps, buckets, collectThreshold)
-    finally if (needCache) { base.unpersist(false); () }
-  }
-
-  private def quantilesOn(df: DataFrame, cols: Seq[String], ps: Seq[Double],
-                          buckets: Int, collectThreshold: Int): Map[String, Seq[Double]] = {
+    require(buckets >= 2, s"need at least 2 buckets: $buckets")
+    CoreFunctions.register(df.sparkSession)
     def valid(c: String): Column = {
       val d = col(c).cast(DoubleType)
       when(d.isNotNull && !isnan(d), d)
     }
-    // ±Infinity cannot be histogram-bucketed (infinite cell width), so
-    // the stats pass counts the infinite tails separately and the
-    // selection runs over the FINITE range with a rank offset; ranks
-    // inside a tail resolve to that infinity directly.
-    def finite(c: String): Column = {
-      val v = valid(c)
-      when(v > Double.NegativeInfinity && v < Double.PositiveInfinity, v)
-    }
-    val statAggs = cols.flatMap { c =>
-      val v = valid(c)
-      Seq(count(v).as(s"${c}__n"),
-        count(when(v === Double.NegativeInfinity, 1)).as(s"${c}__ninf"),
-        count(when(v === Double.PositiveInfinity, 1)).as(s"${c}__pinf"),
-        min(finite(c)).as(s"${c}__min"), max(finite(c)).as(s"${c}__max"))
-    }
-    val srow = df.agg(statAggs.head, statAggs.tail: _*).head()
-
-    cols.zipWithIndex.map { case (c, ci) =>
-      val n = srow.getLong(5 * ci)
-      if (n == 0L) c -> ps.map(_ => Double.NaN)
-      else {
-        val nNegInf = srow.getLong(5 * ci + 1)
-        val nPosInf = srow.getLong(5 * ci + 2)
-        val pos = ps.map(p => p * (n - 1)) // 0-indexed fractional positions
-        val needed = pos.flatMap(h => Seq(math.floor(h).toLong + 1L, math.ceil(h).toLong + 1L))
-          .distinct.sorted.toList
-        val (tailRanks, finiteRanks) =
-          needed.partition(r => r <= nNegInf || r > n - nPosInf)
-        val tailValues = tailRanks.map { r =>
-          r -> (if (r <= nNegInf) Double.NegativeInfinity else Double.PositiveInfinity)
-        }.toMap
-        val finiteValues: Map[Long, Double] =
-          if (finiteRanks.isEmpty) Map.empty
-          else {
-            val mn = srow.getDouble(5 * ci + 3)
-            val mx = srow.getDouble(5 * ci + 4)
-            if (mn == mx) finiteRanks.map(_ -> mn).toMap
-            else select(df, finite(c), finiteRanks, mn, mx,
-              buckets, collectThreshold, below0 = nNegInf)
-          }
-        val values = tailValues ++ finiteValues
-        c -> pos.map { h =>
-          val fl = math.floor(h); val cl = math.ceil(h)
-          val lo = values(fl.toLong + 1L)
-          if (cl == fl) lo
-          else lo * (cl - h) + values(cl.toLong + 1L) * (h - fl)
-        }
-      }
-    }.toMap
+    // (colIdx, value) pairs — ONE scan covers every requested column.
+    // The selection reads them 1 + ~levels times; if the caller didn't
+    // already persist, cache the narrow pair frame so every later pass
+    // reads it instead of re-running the upstream plan. At 100 TB the
+    // cache is the pruned quantile columns only, and MEMORY_AND_DISK
+    // degrades to re-scan economics, never OOM.
+    val pairs0 =
+      if (cols.length == 1) df.select(lit(0).as("ci"), valid(cols.head).as("v"))
+      else df.select(posexplode(array(cols.map(valid): _*)).as(Seq("ci", "v")))
+    val pairs1 = pairs0.where(col("v").isNotNull)
+    val needCache = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val pairs =
+      if (needCache) pairs1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pairs1
+    try {
+      val resolved = selectAll(pairs, cols.length, ps, buckets, collectThreshold)
+      cols.zipWithIndex.map { case (c, ci) =>
+        val (n, values) = resolved(ci)
+        c -> interpolate(ps, n, values)
+      }.toMap
+    } finally if (needCache) { pairs.unpersist(false); () }
   }
 
   /** Single-column convenience. */
   def quantilesOf(df: DataFrame, colName: String, ps: Seq[Double]): Seq[Double] =
     quantiles(df, Seq(colName), ps)(colName)
 
-  /** Resolve the 1-indexed order statistics `ranks` of the valid values
-    * of `v`, known to lie in [mn, mx], by iterative histogram pruning.
+  /** The 1-indexed bracketing order statistics needed for `ps` over n
+    * values (numpy linear interpolation: both neighbors of p·(n−1)).
     */
-  private def select(df: DataFrame, v: Column, ranks: List[Long],
-                     mn: Double, mx: Double, b: Int, collectThr: Int,
-                     below0: Long = 0L): Map[Long, Double] = {
-    val out = scala.collection.mutable.Map.empty[Long, Double]
-    // project the (possibly deeply when-wrapped) value expression ONCE:
-    // the cell filters below reference it up to 2·cells times per row,
-    // and without this projection every reference re-evaluates the
-    // whole validity/finiteness expression (measured 8× slowdown on a
-    // 19-edge request)
-    val vdf = df.select(v.as("__v")).where(col("__v").isNotNull)
-    val vv = col("__v")
+  private def ranksFor(ps: Seq[Double], n: Long): List[Long] =
+    ps.flatMap { p =>
+      val h = p * (n - 1)
+      Seq(math.floor(h).toLong + 1L, math.ceil(h).toLong + 1L)
+    }.distinct.sorted.toList
 
-    /** Resolve a single small range by direct collect+sort (used only
-      * for the rare no-shrink / sub-resolution branches — a lone range
-      * is a simple AND filter, cheap to plan and run).
-      */
-    def collectResolveOne(cell: Segment): Unit = {
-      val vals = vdf.where(vv >= lit(cell.lo) && vv <= lit(cell.hi))
-        .collect().map(_.getDouble(0)).sorted
-      cell.ranks.foreach(k => out(k) = vals((k - cell.below - 1).toInt))
+  private def interpolate(ps: Seq[Double], n: Long,
+                          values: Map[Long, Double]): Seq[Double] =
+    if (n == 0L) ps.map(_ => Double.NaN)
+    else ps.map { p =>
+      val h = p * (n - 1)
+      val fl = math.floor(h); val cl = math.ceil(h)
+      val lo = values(fl.toLong + 1L)
+      if (cl == fl) lo
+      else lo * (cl - h) + values(cl.toLong + 1L) * (h - fl)
     }
 
-    /** ONE job resolves every small cell of a segment's histogram pass:
-      * membership is the segment's own bucket arithmetic plus an
-      * integer IN-set — a single codegen'd predicate. (An OR-chain of
-      * per-cell range conjunctions is catastrophically worse: the
-      * optimizer's CNF conversion is exponential in the number of
-      * disjuncts — a 19-cell request spent ~8 s planning; a
-      * higher-order `exists` over literal bounds fixes planning but
-      * pays interpreted-lambda cost per row.)
-      */
-    def collectResolveBuckets(seg: Segment, w: Double,
-                              cells: List[(Long, Segment)]): Unit = if (cells.nonEmpty) {
-      val bucketCol = least(floor((vv - lit(seg.lo)) / lit(w)), lit(b - 1)).cast("long")
-      val rows = vdf
-        .where(vv >= lit(seg.lo) && vv <= lit(seg.hi) &&
-          bucketCol.isin(cells.map(_._1): _*))
-        .select(vv.as("v"), bucketCol.as("bkt"))
-        .collect()
-      val byBucket = rows.groupBy(_.getLong(1))
-      cells.foreach { case (bi, cell) =>
-        val slice = byBucket.getOrElse(bi, Array.empty)
-          .map(_.getDouble(0)).sorted
-        cell.ranks.foreach(k => out(k) = slice((k - cell.below - 1).toInt))
-      }
-    }
+  /** Resolve every needed order statistic for every column. Returns per
+    * column (total valid count n, rank → value map).
+    */
+  private def selectAll(pairs: DataFrame, nCols: Int, ps: Seq[Double],
+                        buckets: Int, collectThr: Int): Array[(Long, Map[Long, Double])] = {
+    val bitsPerLevel = 63 - java.lang.Long.numberOfLeadingZeros(buckets.toLong)
+    val bits = CoreFunctions.dbits(col("v"))
+    val out = Array.fill(nCols)(scala.collection.mutable.Map.empty[Long, Double])
+    val ns = new Array[Long](nCols)
 
-    var segments: List[Segment] = List(Segment(mn, mx, below0, ranks))
-    var pass = 0
-    while (segments.nonEmpty) {
-      pass += 1
-      require(pass <= 64, s"order-statistic selection failed to converge after $pass passes")
-      segments = segments.flatMap { seg =>
-        if (seg.lo == seg.hi) { seg.ranks.foreach(out(_) = seg.lo); Nil }
-        else {
-          // hi/b - lo/b instead of (hi-lo)/b: avoids overflow for huge spans
-          val w = seg.hi / b - seg.lo / b
-          if (!java.lang.Double.isFinite(w) || w <= 0.0) {
-            // span below bucketing resolution — a handful of adjacent
-            // doubles; resolve directly (count is tiny in value-space)
-            collectResolveOne(seg); Nil
-          } else {
-            val bucket = least(floor((vv - lit(seg.lo)) / lit(w)), lit(b - 1)).cast("long")
-            val hist = vdf.where(vv >= lit(seg.lo) && vv <= lit(seg.hi))
-              .groupBy(bucket.as("b"))
-              .agg(count(lit(1)).as("c"), min(vv).as("mn"), max(vv).as("mx"))
-              .orderBy("b").collect()
-            var cum = seg.below
-            var remaining = seg.ranks
-            val next = scala.collection.mutable.ListBuffer.empty[Segment]
-            val small = scala.collection.mutable.ListBuffer.empty[(Long, Segment)]
-            hist.foreach { r =>
-              val cnt = r.getLong(1)
-              val (inB, rest) = remaining.partition(k => k > cum && k <= cum + cnt)
-              if (inB.nonEmpty) {
-                val bmn = r.getDouble(2); val bmx = r.getDouble(3)
-                if (bmn == bmx) inB.foreach(out(_) = bmn)
-                else if (cnt <= collectThr)
-                  small += ((r.getLong(0), Segment(bmn, bmx, cum, inB)))
-                else if (bmn == seg.lo && bmx == seg.hi)
-                  // no shrink possible (ulp-dense cell) — force resolve to
-                  // guarantee termination; only reachable for adversarial
-                  // distributions packed within ~buckets ULPs
-                  collectResolveOne(Segment(bmn, bmx, cum, inB))
-                else next += Segment(bmn, bmx, cum, inB)
-              }
-              cum += cnt
-              remaining = rest
-            }
-            collectResolveBuckets(seg, w, small.toList)
-            next.toList
-          }
+    /** Histogram rows (ci, bkt, cnt, mn, mx) for one column, ascending
+      * by bucket (bucket order IS value order).
+      */
+    def colRows(hist: Array[Row], ci: Int): Array[Row] =
+      hist.filter(_.getInt(0) == ci).sortBy(_.getLong(1))
+
+    /** Walk one column's ordered cells covering ranks starting at
+      * `below0`; resolve constant cells inline, return (small, heavy).
+      */
+    def classify(ci: Int, rows: Array[Row], below0: Long,
+                 ranks: List[Long]): (List[Cell], List[Cell]) = {
+      var cum = below0
+      var remaining = ranks
+      val small = scala.collection.mutable.ListBuffer.empty[Cell]
+      val heavy = scala.collection.mutable.ListBuffer.empty[Cell]
+      rows.foreach { r =>
+        val cnt = r.getLong(2)
+        val (inB, rest) = remaining.partition(k => k > cum && k <= cum + cnt)
+        if (inB.nonEmpty) {
+          val mn = r.getDouble(3); val mx = r.getDouble(4)
+          if (mn == mx) inB.foreach(out(ci)(_) = mn)
+          else if (cnt <= collectThr)
+            small += Cell(ci, r.getLong(1), cum, inB, mn, mx, cnt)
+          else heavy += Cell(ci, r.getLong(1), cum, inB, mn, mx, cnt)
         }
+        cum += cnt
+        remaining = rest
+      }
+      require(remaining.isEmpty,
+        s"order-statistic selection: ranks $remaining not covered (col $ci)")
+      (small.toList, heavy.toList)
+    }
+
+    /** One membership predicate for a set of same-level cells — an OR
+      * of per-column (ci, isin) conjunctions: #cols disjuncts at most,
+      * never a per-cell range OR-chain (CNF-explosion trap).
+      */
+    def cellFilter(cells: List[Cell], shift: Int): Column =
+      cells.groupBy(_.colIdx).map { case (ci, cs) =>
+        col("ci") === ci && shiftright(bits, shift).isin(cs.map(_.id): _*)
+      }.reduce(_ || _)
+
+    /** ONE job resolves every small cell of the current level: fetch
+      * (ci, bucket, value) for members, sort per cell on the driver.
+      */
+    def resolveSmall(cells: List[Cell], shift: Int): Unit = if (cells.nonEmpty) {
+      val rows = pairs.where(cellFilter(cells, shift))
+        .select(col("ci"), shiftright(bits, shift).as("bkt"), col("v"))
+        .collect()
+      val byCell = rows.groupBy(r => (r.getInt(0), r.getLong(1)))
+      cells.foreach { cell =>
+        val vals = byCell((cell.colIdx, cell.id)).map(_.getDouble(2)).sorted
+        cell.ranks.foreach(k => out(cell.colIdx)(k) = vals((k - cell.below - 1).toInt))
       }
     }
-    out.toMap
+
+    // ---- level 0: one full pass, all columns fused; yields n too ----
+    val topShift = 64 - bitsPerLevel
+    val h0 = pairs
+      .groupBy(col("ci"), shiftright(bits, topShift).as("bkt"))
+      .agg(count(lit(1)).as("c"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect()
+    var small = List.empty[Cell]
+    var heavy = List.empty[Cell]
+    (0 until nCols).foreach { ci =>
+      val rows = colRows(h0, ci)
+      ns(ci) = rows.map(_.getLong(2)).sum
+      if (ns(ci) > 0) {
+        val (s, h) = classify(ci, rows, 0L, ranksFor(ps, ns(ci)))
+        small :::= s; heavy :::= h
+      }
+    }
+
+    // ---- deeper levels: filtered histogram over heavy cells only ----
+    var shift = topShift
+    var level = 0
+    while (small.nonEmpty || heavy.nonEmpty) {
+      level += 1
+      require(level <= 64, s"order-statistic selection failed to converge")
+      resolveSmall(small, shift)
+      small = Nil
+      if (heavy.nonEmpty) {
+        val childShift = math.max(shift - bitsPerLevel, 0)
+        val h = pairs.where(cellFilter(heavy, shift))
+          .groupBy(col("ci"), shiftright(bits, childShift).as("bkt"))
+          .agg(count(lit(1)).as("c"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+          .collect()
+        val stillHeavy = heavy
+        heavy = Nil
+        stillHeavy.foreach { cell =>
+          // this parent's children: finer buckets whose coarse prefix
+          // is the parent id (arithmetic shifts compose)
+          val rows = colRows(h, cell.colIdx)
+            .filter(r => (r.getLong(1) >> (shift - childShift)) == cell.id)
+          require(rows.map(_.getLong(2)).sum == cell.cnt,
+            s"order-statistic selection: child counts disagree with parent (col ${cell.colIdx})")
+          val (s, hv) = classify(cell.colIdx, rows, cell.below, cell.ranks)
+          small :::= s; heavy :::= hv
+        }
+        shift = childShift
+      }
+    }
+
+    (0 until nCols).map(ci => (ns(ci), out(ci).toMap)).toArray
   }
 }
