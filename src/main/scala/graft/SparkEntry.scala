@@ -492,7 +492,7 @@ object SparkEntry {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = graft.score.IsolationForest.fit(
       base, "fit_id", "features", numTrees = 100, maxSamples = 16)
-    // persist only the two columns the threshold and report need — the
+    // cache only the two columns the threshold and report need — the
     // wide features arrays would dominate the cached bytes
     val scored = model.transform(base, "features", "if_score")
       .select(col("l_returnflag"), col("if_score"))
@@ -503,6 +503,7 @@ object SparkEntry {
       .agg(graft.core.Quantiles.approx(col("if_score"), Seq(0.9)))
       .head().getSeq[Double](0).head
     base.unpersist() // scored is materialized; the wide frame can go
+    graft.core.Caches.retain("entry.q35", scored)
     scored.where(col("if_score") > thr)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_anomalies"),
@@ -539,6 +540,7 @@ object SparkEntry {
       .select(col("vec_id"), col("recon_error"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = Quantiles.exactQuantiles(scored, "recon_error", Seq(0.95)).head
+    graft.core.Caches.retain("entry.q53", scored)
     scored.where(col("recon_error") > thr)
       .select(col("vec_id"), round(col("recon_error"), 6).as("recon_error"))
       .orderBy(desc("recon_error"), asc("vec_id"))
@@ -676,7 +678,7 @@ object SparkEntry {
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val mus = cols.indices.map(i => r.getDouble(2 * i))
     val vars = cols.indices.map(i => r.getDouble(2 * i + 1))
-    // persist only the report columns — caching the 16-col frame would
+    // cache only the report columns — caching the 16-col frame would
     // multiply the cached bytes for nothing
     val scored = df.withColumn("score",
         graft.score.ReconstructionError.varNormalizedMaeCols(
@@ -684,6 +686,7 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_linenumber"), col("score"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = Quantiles.exactQuantiles(scored, "score", Seq(0.95)).head
+    graft.core.Caches.retain("entry.q39", scored)
     scored.where(col("score") > thr)
       .select(col("l_orderkey"), col("l_linenumber"),
         round(col("score"), 6).as("recon_mae"))
@@ -727,12 +730,14 @@ object SparkEntry {
       indexCols = Seq("l_returnflag", "l_linestatus"),
       numericCols = Seq("qty_n", "l_extendedprice"),
       standardize = true)
-    FeaturePipeline.fit(base, spec).transform(base)
+    val out = FeaturePipeline.fit(base, spec).transform(base)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         round(Stats.dsum(aggregate(col("features"), lit(0.0), (a, x) => a + x)), 4)
           .as("feat_checksum"))
       .orderBy("l_returnflag")
+    graft.core.Caches.retain("entry.q41", base)
+    out
   }
 
   /** K1 — skew-salted two-stage aggregation: hot keys spread over 32

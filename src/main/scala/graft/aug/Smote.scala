@@ -68,7 +68,7 @@ object Smote {
       .withColumn("u", h(col("synth_id"), 1103515245L, 12345L)
         .cast("double") / lit(P.toDouble))
 
-    synth
+    val out = synth
       .join(nn, Seq("arn"))
       .where(col("nnrank") === col("pick"))
       .join(m.select(col("rn").as("arn"), col("id").as("a"), col("vec").as("va")), "arn")
@@ -77,6 +77,8 @@ object Smote {
         zip_with(col("va"), col("vb"),
           (x, y) => x.cast("double") + col("u") * (y.cast("double") - x.cast("double")))
           .as("vec"))
+    graft.core.Caches.retain("smote.oversample", m)
+    out
   }
 
   /** Balanced frame: original rows + synthetic rows for the minority

@@ -68,6 +68,9 @@ object Components {
       labels = next.drop("old")
       it += 1
     }
+    // labels is checkpointed (lineage truncated); the edge cache is
+    // retained for same-operator reruns and swept by the next operator
+    graft.core.Caches.retain("components.cc", edges)
     labels
   }
 

@@ -87,13 +87,15 @@ object Dedup {
         col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
       .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("inter"), round(col("jaccard"), 6).as("jaccard"))
+    graft.core.Caches.retain("dedup.jaccardPairs", rows)
+    out
   }
 
   /** All embedding pairs (a < b) with cosine ≥ `threshold` — the
@@ -109,13 +111,15 @@ object Dedup {
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .withColumn("n2", graft.sim.GraftFunctions.norm2(col("vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
+    val out = v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         VectorMath.cosineFromNorms(
           graft.sim.GraftFunctions.dot(col("x.vec"), col("y.vec")),
           col("x.n2"), col("y.n2")).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+    graft.core.Caches.retain("dedup.cosineDupPairs", v)
+    out
   }
 
   /** LSH-bucketed embedding near-dup pairs — the 100 TB twin of
@@ -132,27 +136,25 @@ object Dedup {
                         tables: Int = 8, bitsPerTable: Int = 6): DataFrame = {
     import graft.sim.{Ann, GraftFunctions}
     GraftFunctions.register(df.sparkSession)
-    // No caching anywhere: every reuse of `v`/`bk` below recomputes a
-    // map-only stage (a pruned scan + plane dots / one self-dot per
-    // row). At corpus scale that recompute is strictly cheaper than
-    // materializing a corpus-sized cache, and it leaves nothing behind
-    // to unpersist — a previous version persisted both and leaked the
-    // caches (+ broadcasts) for the session lifetime.
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .withColumn("n2", GraftFunctions.norm2(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signs hoisted into their own projection: the plane dots run once
     // per vector, not once per table (lambda inlining)
+    // persisted: the self-join below would otherwise recompute the plane
+    // dots for BOTH sides (A/B-measured slower than the cache round-trip)
     val bk = v
       .select(col("id"), Ann.planeSigns(col("vec"), dim, tables * bitsPerTable).as("signs"))
       .select(col("id"), posexplode(Ann.bucketsFromSigns(col("signs"), tables, bitsPerTable)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bk.as("x")
       .join(bk.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    cand
+    val out = cand
       .join(v.select(col("id").as("a"), col("vec").as("avec"), col("n2").as("an2")), "a")
       .join(v.select(col("id").as("b"), col("vec").as("bvec"), col("n2").as("bn2")), "b")
       .select(col("a"), col("b"),
@@ -161,6 +163,8 @@ object Dedup {
           col("an2"), col("bn2")).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+    graft.core.Caches.retain("dedup.lshCosineDupPairs", v, bk)
+    out
   }
 
   /** DuckDB oracle twins. */

@@ -87,6 +87,7 @@ object MinHashLSH {
                      n: Int, k: Int, bands: Int): DataFrame = {
     val bk = bandKeys(df, idCol, textCol, n, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("minhash.candidatePairs", bk)
     selfJoinBuckets(bk)
   }
 
@@ -118,7 +119,7 @@ object MinHashLSH {
     val bk = bandKeysFromShingleFrame(sh, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = selfJoinBuckets(bk)
-    cand
+    val out = cand
       .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
       .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
@@ -126,6 +127,8 @@ object MinHashLSH {
         (size(col("sha")) + size(col("shb")) - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("inter"), round(col("jaccard"), 6).as("jaccard"))
+    graft.core.Caches.retain("minhash.nearDupPairs", sh, bk)
+    out
   }
 
   /** DuckDB oracle twins (same hash family, same banding). */

@@ -71,10 +71,12 @@ object SimHash {
     // on both sides (fingerprints are tiny — two longs per doc)
     val fp = fingerprints(df, idCol, textCol, bits)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    fp.as("x").join(fp.as("y"), col("x.id") < col("y.id"))
+    val out = fp.as("x").join(fp.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .where(col("hamming") <= maxDist)
+    graft.core.Caches.retain("simhash.hammingPairs", fp)
+    out
   }
 
   /** Scale path: bucket by 8-bit chunks of the fingerprint; two docs
@@ -93,13 +95,15 @@ object SimHash {
           pow(lit(2.0), c.cast("double") * 8)).cast("long") % 256))))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_val")
-    banded.as("x").join(banded.as("y"),
+    val out = banded.as("x").join(banded.as("y"),
         col("x.chunk_idx") === col("y.chunk_idx") &&
         col("x.chunk_val") === col("y.chunk_val") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
+    graft.core.Caches.retain("simhash.bandCandidates", fp)
+    out
   }
 
   /** Near-dup pairs with Hamming ≤ maxDist, choosing the cheapest EXACT

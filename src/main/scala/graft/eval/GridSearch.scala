@@ -53,37 +53,45 @@ object GridSearch {
     * distribution; GridSearchCV analog at
     * `app/IsolationForest_AE.py:210-247`).
     *
-    * Scale shape: the driver loops over the (small) grid; each
-    * candidate's FIT is a bounded driver computation (trees see
-    * ≤ maxSamples of a 4096-row deterministic pool) and its SCORING
-    * DISTRIBUTION is ONE mergeable aggregate pass over the scored
-    * frame (mean/σ/min/max via decimal-exact sums) — no collect of
-    * scores, no per-candidate shuffle beyond the agg. The input
-    * projection is persisted once across all candidates.
+    * Scale shape: every candidate's FIT is a bounded driver computation
+    * (trees see ≤ maxSamples of a 4096-row deterministic pool), and ALL
+    * candidates' SCORING DISTRIBUTIONS come from ONE pass: each model
+    * is a broadcast codegen'd map column, and the moments
+    * (mean/σ/min/max via decimal-exact sums) are 4·|grid| mergeable
+    * aggregates in a single scan — no collect of scores, no
+    * per-candidate scan, no shuffle beyond the one agg.
     */
   def ifParamGrid(df: DataFrame, idCol: String, featuresCol: String,
                   grid: Seq[(Int, Int)], poolSize: Int = 4096,
                   seed: Long = 42L): DataFrame = {
     import graft.core.Stats
-    import graft.score.IsolationForest
+    import graft.score.{IfScoreExpr, IsolationForest}
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol), col(featuresCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one TakeOrdered job: every candidate fits from the same pool
     val pool = IsolationForest.collectPool(base, idCol, featuresCol, poolSize)
-    val rows = grid.map { case (numTrees, maxSamples) =>
-      val m = IsolationForest.fitPool(pool,
+    val models = grid.map { case (numTrees, maxSamples) =>
+      IsolationForest.fitPool(pool,
         numTrees = numTrees, maxSamples = maxSamples, seed = seed)
-      val s = col("s")
-      val r = m.transform(base, featuresCol, "s")
-        .agg(Stats.dmean(s), sqrt(Stats.dvarPop(s)), min(s), max(s))
-        .head()
-      val (mu, sd, mn, mx) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    val scored = models.zipWithIndex.foldLeft(base) { case (acc, (m, i)) =>
+      IfScoreExpr.withScore(acc, m, featuresCol, s"__s$i")
+    }
+    val aggs = grid.indices.flatMap { i =>
+      val s = col(s"__s$i")
+      Seq(Stats.dmean(s).as(s"mu_$i"), sqrt(Stats.dvarPop(s)).as(s"sd_$i"),
+        min(s).as(s"mn_$i"), max(s).as(s"mx_$i"))
+    }
+    val r = scored.agg(aggs.head, aggs.tail: _*).head()
+    base.unpersist()
+    val rows = grid.zipWithIndex.map { case ((numTrees, maxSamples), i) =>
+      val mu = r.getDouble(4 * i); val sd = r.getDouble(4 * i + 1)
+      val mn = r.getDouble(4 * i + 2); val mx = r.getDouble(4 * i + 3)
       val stability = 1.0 / (1.0 + sd / (mu + 1e-8) + (mx - mn) / (mu + 1e-8))
       (numTrees, maxSamples, mu, sd, mx - mn, stability)
     }
-    base.unpersist()
     rows.toDF("num_trees", "max_samples", "mean_score", "std_score",
       "score_range", "stability")
   }

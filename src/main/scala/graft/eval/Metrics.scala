@@ -116,28 +116,18 @@ object Metrics {
     * primitive behind exact ROC/AUC/Youden on billions of rows. Scores
     * must be non-null and non-NaN.
     */
-  def prefixScoreCounts(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
-    val (pc, _, _, done) = prefixScan(df, labelCol, scoreCol)
-    // materialize + truncate lineage so the internal cached sort can be
-    // released NOW (a lazily-dependent return value would pin a cached
-    // RDD + broadcast per call for the session lifetime); checkpointed
-    // blocks are ContextCleaner-collected once the frame is unreachable
-    val mat = pc.localCheckpoint(true)
-    done()
-    mat
-  }
+  def prefixScoreCounts(df: DataFrame, labelCol: String, scoreCol: String): DataFrame =
+    prefixScan(df, labelCol, scoreCol)._1
 
   /** [[prefixScoreCounts]] plus the grand totals (P, N) — the subtotal
     * fold already produces them, so callers avoid a separate
-    * full-input counting scan — plus a cleanup thunk that releases the
-    * internal cached sort. Callers MUST materialize everything they
-    * need from the frame before invoking the thunk (tiny-result
-    * callers collect their final rows — no extra distributed pass);
-    * skipping the thunk would leak a cached RDD + broadcast per call
-    * for the session lifetime.
+    * full-input counting scan. The internal cached sort is registered
+    * with [[graft.core.Caches]]: it stays warm for the caller's action
+    * and same-operator reruns, and is swept when a different operator
+    * retains — bounded, not leaked.
     */
   private def prefixScan(df: DataFrame, labelCol: String,
-                         scoreCol: String): (DataFrame, Long, Long, () => Unit) = {
+                         scoreCol: String): (DataFrame, Long, Long) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
@@ -169,21 +159,8 @@ object Metrics {
       StructField("score", DoubleType), StructField("pos", LongType),
       StructField("neg", LongType), StructField("cum_pos_below", LongType),
       StructField("cum_neg_below", LongType)))
-    (spark.createDataFrame(rows, schema), ap, an, () => { sorted.unpersist(); () })
-  }
-
-  /** Run `build` over the prefix scan, collect its (small) result, then
-    * release the scan's internal cache — the collect IS the terminal
-    * action, so cleanup costs no extra distributed pass.
-    */
-  private def smallResult(df: DataFrame, labelCol: String, scoreCol: String)(
-      build: (DataFrame, Long, Long) => DataFrame): DataFrame = {
-    val (pc, pTot, nTot, done) = prefixScan(df, labelCol, scoreCol)
-    val out = build(pc, pTot, nTot)
-    val local = out.collect().toIndexedSeq
-    done()
-    df.sparkSession.createDataFrame(
-      df.sparkSession.sparkContext.parallelize(local, 1), out.schema)
+    graft.core.Caches.retain("metrics.prefixScan", sorted)
+    (spark.createDataFrame(rows, schema), ap, an)
   }
 
   /** Exact AUC via the tie-corrected rank-sum (Mann–Whitney) identity —
@@ -199,18 +176,16 @@ object Metrics {
     */
   def aucRankSum(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    smallResult(df, labelCol, scoreCol) { (pc, pTot, nTot) =>
-      if (pTot == 0L || nTot == 0L)
-        df.sparkSession.range(1).select(lit(null).cast(DoubleType).as("auc"))
-      else
-        // denominator in double: 2·P·N overflows Long past ~2e9 rows per
-        // class (left-associated (2.0·P)·N matches the oracle's
-        // (2.0 * p * n))
-        pc.select((col("pos").cast(DecimalType(38, 0)) *
-            (lit(2) * col("cum_neg_below") + col("neg"))).as("c"))
-          .agg(round((sum("c").cast(DoubleType) /
-            lit(2.0 * pTot.toDouble * nTot.toDouble)), 6).as("auc"))
-    }
+    val (pc, pTot, nTot) = prefixScan(df, labelCol, scoreCol)
+    if (pTot == 0L || nTot == 0L)
+      return df.sparkSession.range(1).select(lit(null).cast(DoubleType).as("auc"))
+    // denominator in double: 2·P·N overflows Long past ~2e9 rows per
+    // class (left-associated (2.0·P)·N matches the oracle's
+    // (2.0 * p * n))
+    pc.select((col("pos").cast(DecimalType(38, 0)) *
+        (lit(2) * col("cum_neg_below") + col("neg"))).as("c"))
+      .agg(round((sum("c").cast(DoubleType) /
+        lit(2.0 * pTot.toDouble * nTot.toDouble)), 6).as("auc"))
   }
 
   /** Youden-J optimal threshold: score maximizing tpr − fpr
@@ -219,14 +194,14 @@ object Metrics {
     * tpr = (P − cum_pos_below)/P — no single-partition window; the
     * argmax is TakeOrderedAndProject.
     */
-  def youdenJ(df: DataFrame, labelCol: String, scoreCol: String): DataFrame =
-    smallResult(df, labelCol, scoreCol) { (pc, pTot, nTot) =>
-      pc.select(col("score"),
-          (((lit(pTot) - col("cum_pos_below")).cast("double") / lit(pTot.toDouble)) -
-            ((lit(nTot) - col("cum_neg_below")).cast("double") / lit(nTot.toDouble))).as("j"))
-        .orderBy(desc("j"), asc("score"))
-        .limit(1)
-    }
+  def youdenJ(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val (pc, pTot, nTot) = prefixScan(df, labelCol, scoreCol)
+    pc.select(col("score"),
+        (((lit(pTot) - col("cum_pos_below")).cast("double") / lit(pTot.toDouble)) -
+          ((lit(nTot) - col("cum_neg_below")).cast("double") / lit(nTot.toDouble))).as("j"))
+      .orderBy(desc("j"), asc("score"))
+      .limit(1)
+  }
 
   /** Approximate AUC via quantile-binned scores — the 100 TB path for
     * continuous (near-unique) scores promised in [[rocPoints]]'s note:

@@ -46,12 +46,14 @@ object ZScoreAnomaly {
   }
 
   /** End-to-end: score, threshold at quantile p of the scores, flag.
-    * The scored frame is persisted across the threshold pass and the
-    * caller's flag/filter pass (scoring would otherwise re-run).
-    * `keep` prunes the persisted frame to the columns the caller needs
-    * downstream (plus the score) — at scale, caching a wide frame to
-    * read three columns multiplies the cached bytes for nothing; the
-    * default keeps every column.
+    * The scored frame is cached across the threshold pass and the
+    * caller's flag/filter pass (scoring would otherwise re-run) and
+    * registered with [[graft.core.Caches]] so it is swept by the next
+    * operator rather than pinned for the session. `keep` prunes the
+    * cached frame to the columns the caller needs downstream (plus the
+    * score) — at scale, caching a wide frame to read three columns
+    * multiplies the cached bytes for nothing; the default keeps every
+    * column.
     */
   def detect(df: DataFrame, cols: Seq[String], p: Double = 0.95,
              scoreCol: String = "anomaly_score",
@@ -62,6 +64,7 @@ object ZScoreAnomaly {
       else full.select((keep.filterNot(_ == scoreCol) :+ scoreCol).map(col): _*)
     val scored = slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = Quantiles.exactQuantiles(scored, scoreCol, Seq(p)).head
+    graft.core.Caches.retain("zscore.detect", scored)
     scored.withColumn(flagCol, col(scoreCol) > lit(thr))
   }
 }

@@ -81,6 +81,7 @@ object Ann {
       .withColumn("n2", GraftFunctions.norm2(col("vec")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val q = v.where(queryPred)
+    graft.core.Caches.retain("ann.cosineTopK", v)
     rerank(q, v, k)
   }
 
@@ -115,6 +116,7 @@ object Ann {
       .select(col("qid").as("a"), col("tid").as("b"),
         (GraftFunctions.dot(col("qvec"), col("tvec")) /
           (sqrt(col("qn2")) * sqrt(col("tn2")))).as("cos"))
+    graft.core.Caches.retain("ann.lshTopK", v, bk)
     topK(withVecs, k)
   }
 
@@ -159,6 +161,7 @@ object Ann {
         (GraftFunctions.dot(col("qvec"), col("tvec")) /
           (sqrt(col("qn2")) * sqrt(col("tn2")))).as("cos"))
       .distinct()
+    graft.core.Caches.retain("ann.ivfTopK", v, assigned)
     topK(pairs, k)
   }
 
