@@ -260,6 +260,60 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** T6 — PII detection + redaction (emails / phones / IPv4), the
+    * corpus-scrubbing stage: pure regex Column expressions, map-only.
+    * Deterministic PII is injected per doc_id so counts and the
+    * redacted-text hash are meaningfully nonzero on synthetic text.
+    */
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Pii, TextOps}
+    val t = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" from 192.168.1.77")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit(" call +1 555 0100")).otherwise(lit("")))
+    doc(s, dir).withColumn("t", t)
+      .select(col("doc_id"),
+        Pii.emailCount(col("t")).as("n_email"),
+        Pii.phoneCount(col("t")).as("n_phone"),
+        Pii.ipv4Count(col("t")).as("n_ip"),
+        TextOps.strHash(Pii.redact(col("t"))).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** T7 — benchmark decontamination: 3-gram overlap of every corpus
+    * document (doc_id ≥ 20) against the "benchmark" set (doc_id < 20) —
+    * broadcast shingle semi-join, the pre-training leak check.
+    */
+  private def qDecontam(s: SparkSession, dir: String): DataFrame = {
+    val d = doc(s, dir)
+    graft.text.Decontam.contamination(
+        d.where(col("doc_id") >= 20), d.where(col("doc_id") < 20),
+        "doc_id", "text", n = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** W6 — as-of join: each event picks up the most recent prior error
+    * event's value for its user (point-in-time enrichment). Union-scan
+    * form — one shuffle on the key, no range-join pair blowup; DuckDB's
+    * native ASOF JOIN is the oracle.
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+    // marker stream deduped to one row per (user, ts): at equal
+    // timestamps the as-of pick would otherwise be engine-dependent
+    val err = e.where(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts_us")).agg(max(col("value")).as("err_value"))
+    graft.seq.AsOfJoin.asOf(e, err, "user_id", "ts_us", Seq("err_value"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
+        col("asof_ts").as("err_ts"), col("asof_err_value").as("err_value"))
+      .orderBy("event_id")
+  }
+
   /** W5 — gap-based sessionization over events (30-minute gap): per-key
     * ordered window (parallel across users, no global window), session
     * summaries with decimal-exact value sums. Oracle-checked end to end
@@ -956,7 +1010,10 @@ object SparkEntry {
     "q56_cv_grid" -> (qCvGrid _),
     "q57_vae_loss" -> (qVaeLoss _),
     "q58_sessionize" -> (qSessionize _),
-    "q59_repetition" -> (qRepetition _)
+    "q59_repetition" -> (qRepetition _),
+    "q60_pii_redact" -> (qPiiRedact _),
+    "q61_decontam" -> (qDecontam _),
+    "q62_asof_join" -> (qAsofJoin _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -1232,6 +1289,38 @@ object SparkEntry {
       s"""SELECT doc_id, round(${T.dupNgramFraction("text", 2)}, 6) AS dup2,
          | round(${T.dupNgramFraction("text", 3)}, 6) AS dup3
          | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q60_pii_redact" -> {
+      import graft.text.Pii.{Sql => P}
+      import graft.text.TextOps.{Sql => T}
+      s"""WITH d AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.1.77' ELSE '' END ||
+         |  CASE WHEN doc_id % 13 = 0 THEN ' call +1 555 0100' ELSE '' END AS t
+         |  FROM documents)
+         | SELECT doc_id, ${P.emailCount("t")} AS n_email,
+         |  ${P.phoneCount("t")} AS n_phone, ${P.ipv4Count("t")} AS n_ip,
+         |  ${T.strHash(P.redact("t"))} AS redacted_hash
+         | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q61_decontam" -> {
+      import graft.dedup.Dedup.{Sql => D}
+      s"""WITH c AS (SELECT doc_id, ${D.shingles("text", 3)} AS sh FROM documents WHERE doc_id >= 20),
+         | b AS (SELECT DISTINCT unnest(${D.shingles("text", 3)}) AS shingle FROM documents WHERE doc_id < 20),
+         | x AS (SELECT doc_id, unnest(sh) AS shingle FROM c),
+         | h AS (SELECT doc_id, count(*) AS n_hit FROM x JOIN b USING (shingle) GROUP BY doc_id)
+         | SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_shingles,
+         |  coalesce(h.n_hit, 0) AS n_contaminated,
+         |  CASE WHEN len(c.sh) > 0 THEN round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(c.sh), 6) END AS contamination
+         | FROM c LEFT JOIN h USING (doc_id) ORDER BY c.doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q62_asof_join" -> {
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+         | r AS (SELECT user_id, ts_us AS err_ts, max(value) AS err_value FROM e
+         |   WHERE event_type = 'error' GROUP BY user_id, ts_us)
+         | SELECT e.event_id, e.user_id, e.ts_us, e.event_type, r.err_ts, r.err_value
+         | FROM e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts_us >= r.err_ts
+         | ORDER BY e.event_id""".stripMargin.replaceAll("\n", " ")
     },
     "q58_sessionize" -> {
       val gapUs = 30L * 60 * 1000 * 1000

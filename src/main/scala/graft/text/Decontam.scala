@@ -1,0 +1,42 @@
+package graft.text
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share word
+  * n-gram shingles with an evaluation/benchmark set — the overlap check
+  * run before LLM training so test data does not leak into the corpus
+  * (the classic 13-gram decontamination; n is a parameter here).
+  *
+  * Scale shape: the benchmark side is SMALL by definition (eval sets),
+  * so its distinct shingles broadcast; the corpus side is one shingle
+  * explosion + a broadcast-hash semi join + a per-doc count with
+  * map-side combine. The only corpus-wide shuffle carries (doc_id,
+  * hit_count) pairs — document bodies never move, and nothing about
+  * the plan changes at 1000 executors.
+  */
+object Decontam {
+
+  /** Per-corpus-document overlap against the benchmark's shingle set:
+    * (id, n_shingles, n_contaminated, contamination ∈ [0,1] rounded to
+    * 6, null when the document has no shingles).
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int): DataFrame = {
+    val bsh = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      Dedup.shingles(col(textCol), n).as("sh"))
+    val hits = base.select(col("id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(bsh), Seq("shingle"))
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    base.join(hits, Seq("id"), "left")
+      .select(col("id"), size(col("sh")).cast("long").as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_contaminated"),
+        when(size(col("sh")) > 0,
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            size(col("sh")).cast("double"), 6)).as("contamination"))
+  }
+}

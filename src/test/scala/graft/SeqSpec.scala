@@ -84,4 +84,37 @@ class SeqSpec extends SparkSpec {
       .orderBy("user_id", "session_seq").collect()
     assert(out.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq)
   }
+  test("asOf: latest right row at or before each left row, per key") {
+    import graft.seq.AsOfJoin
+    val right = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"))
+      .toDF("k", "ts", "v")
+    val left = Seq((1L, 5L), (1L, 10L), (1L, 25L), (2L, 14L), (3L, 9L))
+      .toDF("k", "ts")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", Seq("v"))
+      .orderBy("k", "ts").collect()
+    // (k, ts) -> matched (asof_ts, v); ties (ts=10) see the right row
+    assert(out.map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        Option(r.getString(3)).getOrElse("-"))).toSeq ==
+      Seq((1L, 5L, -1L, "-"), (1L, 10L, 10L, "a"), (1L, 25L, 20L, "b"),
+        (2L, 14L, -1L, "-"), (3L, 9L, -1L, "-")))
+    // layout-proof: same result on a different partitioning
+    val shuffled = AsOfJoin.asOf(left.repartition(7), right.repartition(3),
+      "k", "ts", Seq("v")).orderBy("k", "ts").collect()
+    assert(out.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq)
+  }
+
+  test("asOf: tolerance discards stale matches; null payload still matches") {
+    import graft.seq.AsOfJoin
+    val right = Seq((1L, 10L, Some("a")), (1L, 50L, None)).toDF("k", "ts", "v")
+    val left = Seq((1L, 12L), (1L, 40L), (1L, 51L)).toDF("k", "ts")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", Seq("v"),
+        tolerance = Some(5L))
+      .orderBy("ts").collect()
+    // ts=12: match at 10 within 5. ts=40: match at 10 is 30 old -> null.
+    // ts=51: right row at 50 has NULL v but still matches (struct carry).
+    assert(!out(0).isNullAt(2) && out(0).getString(3) == "a")
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3))
+    assert(!out(2).isNullAt(2) && out(2).getLong(2) == 50L && out(2).isNullAt(3))
+  }
 }

@@ -88,4 +88,36 @@ class TextSpec extends SparkSpec {
     assert(r.getDouble(2) == 3.0 / 5)
     assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
   }
+  test("Pii: counts and redaction for emails, phones, IPv4") {
+    import graft.text.Pii
+    val df = one("mail me at bob.smith+x@corp.example.org or call +1 555 0100, " +
+      "server 10.0.0.7 is down, plain words stay")
+    val r = df.select(Pii.emailCount(col("t")), Pii.phoneCount(col("t")),
+      Pii.ipv4Count(col("t")), Pii.redact(col("t"))).head
+    assert(r.getLong(0) == 1 && r.getLong(1) == 1 && r.getLong(2) == 1)
+    val red = r.getString(3)
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"))
+    assert(!red.contains("@") && !red.contains("10.0.0.7") && !red.contains("555"))
+    assert(red.contains("plain words stay"))
+    // no PII -> zero counts, text unchanged
+    val clean = one("nothing sensitive here")
+      .select(Pii.emailCount(col("t")), Pii.redact(col("t"))).head
+    assert(clean.getLong(0) == 0 && clean.getString(1) == "nothing sensitive here")
+  }
+
+  test("Decontam: overlap counts against a benchmark set") {
+    import graft.text.Decontam
+    val bench = Seq((0L, "alpha beta gamma delta")).toDF("id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma epsilon"), // shares "alpha beta gamma"
+      (11L, "zeta eta theta iota"),      // no overlap
+      (12L, "xy")                        // too short: no shingles
+    ).toDF("id", "text")
+    val out = Decontam.contamination(corpus, bench, "id", "text", n = 3)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((10L, 2L, 1L), (11L, 2L, 0L), (12L, 0L, 0L)))
+    assert(out(0).getDouble(3) == 0.5)
+    assert(out(2).isNullAt(3)) // no shingles -> null rate
+  }
 }
