@@ -221,11 +221,18 @@ object Metrics {
     val y = col(labelCol).cast("int")
     val s = col(scoreCol).cast("double")
     val bin = ts.map(t => when(s > lit(t), 1).otherwise(0)).reduce(_ + _)
-    val perBin = df.groupBy(bin.as("bin"))
+    // ONE aggregate pass: the bin table is collected (≤ bins+1 rows) and
+    // the grand totals are its integer-exact column sums — a separate
+    // full-input counting scan would triple the data passes, and the
+    // tiny local bin table also keeps the downstream window off the
+    // distributed plan entirely
+    val agged = df.groupBy(bin.as("bin"))
       .agg(count(when(y === 1, 1)).as("pos"), count(when(y === 0, 1)).as("neg"))
-    val totals = df.agg(
-      count(when(y === 1, 1)).as("P"), count(when(y === 0, 1)).as("N")).head()
-    val (pTot, nTot) = (totals.getLong(0), totals.getLong(1))
+    val perBinRows = agged.collect()
+    val (pTot, nTot) = (perBinRows.map(_.getLong(1)).sum, perBinRows.map(_.getLong(2)).sum)
+    val spark = df.sparkSession
+    val perBin = spark.createDataFrame(
+      spark.sparkContext.parallelize(perBinRows.toIndexedSeq, 1), agged.schema)
     val w = Window.orderBy(desc("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wl = Window.orderBy(asc("fpr"), asc("tpr"))

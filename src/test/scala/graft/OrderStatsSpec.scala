@@ -102,4 +102,9 @@ class OrderStatsSpec extends SparkSpec {
     val got = OrderStats.quantilesOf(li, "l_extendedprice", ps)
     got.zip(expected).foreach { case (g, e) => assert(g == e, s"got $g expected $e") }
   }
+  test("matches Percentile bitwise: subnormals, extremes, mixed magnitudes") {
+    val vs = Seq(java.lang.Double.MIN_VALUE, 1.5e-310, -1.5e-310, 0.0,
+      1.0e308, -1.0e308, 1e-16, -1e-16, 3.14, -2.71, 1e100, -1e100, 2.0, 2.0)
+    assertMatchesPercentile(vs, "extremes")
+  }
 }

@@ -50,6 +50,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("decontamination broadcasts the benchmark shingles") {
+    val p = plan(SparkEntry.queries("q61_decontam")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"cartesian in decontam:\n$p")
+  }
+
+  test("as-of join plans a window scan, not a range join") {
+    val p = plan(SparkEntry.queries("q62_asof_join")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of join exploded into a pair join:\n$p")
+    assert(p.contains("Window"), s"no window carry in as-of plan:\n$p")
+  }
+
   test("aggregation queries use partial (map-side) aggregation") {
     val p = plan(SparkEntry.queries("q01_pricing_summary")(spark, sf))
     // two HashAggregate nodes around the exchange = partial + final
