@@ -85,7 +85,7 @@ object GridSearch {
         min(s).as(s"mn_$i"), max(s).as(s"mx_$i"))
     }
     val r = scored.agg(aggs.head, aggs.tail: _*).head()
-    base.unpersist()
+    graft.core.Caches.retain("gridsearch.ifParamGrid", base)
     val rows = grid.zipWithIndex.map { case ((numTrees, maxSamples), i) =>
       val mu = r.getDouble(4 * i); val sd = r.getDouble(4 * i + 1)
       val mn = r.getDouble(4 * i + 2); val mx = r.getDouble(4 * i + 3)
@@ -163,10 +163,10 @@ object GridSearch {
         when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(null))
           .otherwise((lit(2.0) * col("tp")) /
             (lit(2) * col("tp") + col("fp") + col("fn")).cast("double")))
-    // materialize BEFORE unpersisting — `out` is lazy, and unpersisting
-    // first would make the caller's action rebuild `base` uncached
+    // materialize BEFORE releasing `out`'s dependency — then hand the
+    // cache to the retention registry for steady-state reruns
     val local = out.collect().toIndexedSeq
-    base.unpersist()
+    graft.core.Caches.retain("gridsearch.cvThresholdGrid", base)
     df.sparkSession.createDataFrame(
       df.sparkSession.sparkContext.parallelize(local, 1), out.schema)
   }
