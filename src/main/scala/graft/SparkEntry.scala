@@ -566,7 +566,12 @@ object SparkEntry {
     val thr = scored
       .agg(graft.core.Quantiles.approx(col("if_score"), Seq(0.9)))
       .head().getSeq[Double](0).head
-    graft.core.Caches.retain("entry.q35", base, scored)
+    // the threshold action above materialized `scored`, so the wide
+    // features frame is spent — release it NOW rather than retaining it
+    // (the arrays would dominate cached bytes for several operators);
+    // only the slim (flag, score) frame is worth keeping warm.
+    base.unpersist()
+    graft.core.Caches.retain("entry.q35", scored)
     scored.where(col("if_score") > thr)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_anomalies"),

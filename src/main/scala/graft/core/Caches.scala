@@ -32,11 +32,14 @@ import org.apache.spark.sql.DataFrame
   *
   * Within one key the frame list is deduplicated by logical plan
   * (`sameResult`): re-registering an identical plan keeps the single
-  * underlying cache entry, so per-key growth is bounded too (and
-  * evicting one frame can never invalidate another's data, since no two
-  * held frames share a plan). Operators that finish consuming a cache
-  * before returning should still unpersist in-function; [[retain]] is
-  * for caches the returned result depends on.
+  * underlying cache entry, so per-key growth is bounded too. ACROSS
+  * keys two sets may legitimately hold same-plan frames — Spark's
+  * CacheManager backs both with ONE entry — so eviction unpersists a
+  * frame only when no surviving set still retains its plan; evicting
+  * one key can therefore never invalidate data another key's frames
+  * depend on. Operators that finish consuming a cache before returning
+  * should still unpersist in-function; [[retain]] is for caches the
+  * returned result depends on.
   */
 object Caches {
 
@@ -59,14 +62,22 @@ object Caches {
       existing.exists(_.queryExecution.analyzed.sameResult(f.queryExecution.analyzed))
     }
     var merged = existing ::: fresh
+    var dropped = List.empty[DataFrame]
     while (merged.length > maxFramesPerSet) {
-      merged.head.unpersist()
+      dropped ::= merged.head
       merged = merged.tail
     }
     sets = others :+ (key -> merged)
     while (sets.length > maxSets) {
-      sets.head._2.foreach(_.unpersist())
+      dropped :::= sets.head._2
       sets = sets.tail
+    }
+    // release only plans no surviving set still retains (see scaladoc:
+    // same-plan frames under two keys share one CacheManager entry)
+    dropped.foreach { f =>
+      val plan = f.queryExecution.analyzed
+      if (!sets.exists(_._2.exists(_.queryExecution.analyzed.sameResult(plan))))
+        f.unpersist()
     }
   }
 

@@ -64,6 +64,15 @@ object OrderStats {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile probabilities must be in [0,1]: $ps")
     require(buckets >= 2, s"need at least 2 buckets: $buckets")
+    // Fused multi-column passes can return up to nCols × buckets
+    // occupied cells to the driver; divide the per-column resolution so
+    // a level-0 collect stays ≈ `buckets` rows TOTAL regardless of how
+    // many columns fused (floor 1024 — worst case a couple of extra
+    // recursion levels, never a driver-heap step-up).
+    val effBuckets =
+      if (cols.length <= 1) buckets
+      else math.min(buckets,
+        math.max(1024, Integer.highestOneBit(math.max(1, buckets / cols.length))))
     CoreFunctions.register(df.sparkSession)
     def valid(c: String): Column = {
       val d = col(c).cast(DoubleType)
@@ -84,7 +93,7 @@ object OrderStats {
       if (needCache) pairs1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else pairs1
     try {
-      val resolved = selectAll(pairs, cols.length, ps, buckets, collectThreshold)
+      val resolved = selectAll(pairs, cols.length, ps, effBuckets, collectThreshold)
       cols.zipWithIndex.map { case (c, ci) =>
         val (n, values) = resolved(ci)
         c -> interpolate(ps, n, values)

@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   * parallel across keys, skew bounded by a single key's history. Ties
   * (right.ts == left.ts) order the right row first, so a simultaneous
   * right row IS visible (≤ semantics, matching DuckDB's ASOF JOIN).
+  * Duplicate RIGHT rows at the same (key, ts) resolve deterministically
+  * to the struct-wise greatest payload (they are further ordered by the
+  * payload struct); pre-deduplicate to one row per (key, ts) if a
+  * different winner is wanted.
   *
   * The right payload travels as ONE struct, so a right row whose
   * payload FIELDS are null still registers as a match (the struct
@@ -50,7 +54,13 @@ object AsOfJoin {
     val l = left.select(col(keyCol).as("__k"), col(tsCol).cast("long").as("__ts"),
       lit(1).as("__tag"), lStructCol.as("__l"), lit(null).cast(rStructType).as("__r"))
 
-    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tag"))
+    // third sort key = the right payload struct itself: with duplicate
+    // right rows at the same (key, ts), `last` then deterministically
+    // picks the struct-wise greatest payload instead of an arbitrary
+    // partition-order-dependent one. Left rows tie only among
+    // themselves (all carry the same preceding __m), so their null __r
+    // is harmless.
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tag"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = r.unionByName(l)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

@@ -27,7 +27,14 @@ object Decontam {
     val bsh = benchmark
       .select(explode(Dedup.shingles(col(textCol), n)).as("shingle"))
       .distinct()
-    val base = corpus.select(col(idCol).cast("long").as("id"),
+    // A non-numeric or null id casts to null, the left join below then
+    // never matches its hit counts, and the document silently reports
+    // n_contaminated = 0 — a false NEGATIVE in a leak-safety check.
+    // Fail loudly instead (same contract as GridSearch.cvThresholdGrid).
+    val base = corpus.select(
+      when(col(idCol).cast("long").isNull, raise_error(lit(
+        "Decontam.contamination: id column cast to null — contamination join needs numeric non-null ids")))
+        .otherwise(col(idCol).cast("long")).as("id"),
       Dedup.shingles(col(textCol), n).as("sh"))
     val hits = base.select(col("id"), explode(col("sh")).as("shingle"))
       .join(broadcast(bsh), Seq("shingle"))
