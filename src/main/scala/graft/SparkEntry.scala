@@ -343,6 +343,44 @@ object SparkEntry {
       .orderBy("user_id", "session_seq")
   }
 
+  // --- distribution drift (data-quality monitoring) ------------------ //
+
+  /** D1 — PSI per numeric feature between early (baseline) and late
+    * (current) shipment populations: decile edges from the baseline via
+    * the distributed order-statistic selection, then one fused
+    * (column, bin) aggregate per frame — narrow keys only.
+    */
+  private def qPsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val l = li(s, dir)
+    val cut = lit("1998-01-01").cast("timestamp")
+    graft.drift.Drift.psi(
+        l.where(col("l_shipdate") < cut), l.where(col("l_shipdate") >= cut),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), bins = 10)
+      .orderBy("feature")
+  }
+
+  /** D2 — exact two-sample Kolmogorov–Smirnov statistic between
+    * purchase and click event values — distributed prefix scan, no
+    * single-partition window, sup evaluated at every distinct value.
+    */
+  private def qKsDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    graft.drift.Drift.ks(
+      e.where(col("event_type") === "purchase"),
+      e.where(col("event_type") === "click"), "value")
+  }
+
+  /** D3 — chi-square categorical drift: event-type mix of even- vs
+    * odd-id events (a scale-free split — both sides are non-empty at
+    * every sf, unlike an absolute id cut).
+    */
+  private def qChi2Drift(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    graft.drift.Drift.chiSquare(
+      e.where(col("event_id") % 2 === 0), e.where(col("event_id") % 2 === 1),
+      "event_type")
+  }
+
   // --- text analysis over documents (training-data pipeline ops) ----- //
 
   private def doc(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
@@ -1031,7 +1069,10 @@ object SparkEntry {
     "q59_repetition" -> (qRepetition _),
     "q60_pii_redact" -> (qPiiRedact _),
     "q61_decontam" -> (qDecontam _),
-    "q62_asof_join" -> (qAsofJoin _)
+    "q62_asof_join" -> (qAsofJoin _),
+    "q63_psi_drift" -> (qPsiDrift _),
+    "q64_ks_drift" -> (qKsDrift _),
+    "q65_chi2_drift" -> (qChi2Drift _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -1655,6 +1696,63 @@ object SparkEntry {
         |  UNION ALL SELECT 'l_linestatus', count(DISTINCT l_linestatus) FROM lineitem
         |  UNION ALL SELECT 'l_orderkey', count(DISTINCT l_orderkey) FROM lineitem
         |  UNION ALL SELECT 'l_quantity', count(DISTINCT l_quantity) FROM lineitem)
-        | ORDER BY column_name""".stripMargin.replaceAll("\n", " ")
+        | ORDER BY column_name""".stripMargin.replaceAll("\n", " "),
+    "q63_psi_drift" -> {
+      val ps = (1 until 10).map(_.toDouble / 10)
+      val psArr = ps.mkString("[", ", ", "]")
+      s"""WITH vb AS (
+         |  SELECT 0 AS ci, CAST(l_quantity AS DOUBLE) AS v FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+         |  UNION ALL SELECT 1, CAST(l_extendedprice AS DOUBLE) FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+         |  UNION ALL SELECT 2, CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'),
+         | vc AS (
+         |  SELECT 0 AS ci, CAST(l_quantity AS DOUBLE) AS v FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+         |  UNION ALL SELECT 1, CAST(l_extendedprice AS DOUBLE) FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+         |  UNION ALL SELECT 2, CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+         | ed AS (SELECT DISTINCT ci, edge FROM (
+         |   SELECT ci, unnest(quantile_cont(v, $psArr)) AS edge FROM vb GROUP BY ci)),
+         | bb AS (SELECT vb.ci AS ci, (SELECT count(*) FROM ed WHERE ed.ci = vb.ci AND vb.v > ed.edge) AS bin
+         |   FROM vb WHERE vb.v IS NOT NULL AND NOT isnan(vb.v)),
+         | cb AS (SELECT vc.ci AS ci, (SELECT count(*) FROM ed WHERE ed.ci = vc.ci AND vc.v > ed.edge) AS bin
+         |   FROM vc WHERE vc.v IS NOT NULL AND NOT isnan(vc.v)),
+         | nb AS (SELECT ci, bin, count(*) AS cnt_b FROM bb GROUP BY ci, bin),
+         | nc AS (SELECT ci, bin, count(*) AS cnt_c FROM cb GROUP BY ci, bin),
+         | j AS (SELECT coalesce(nb.ci, nc.ci) AS ci, coalesce(nb.bin, nc.bin) AS bin,
+         |   coalesce(cnt_b, 0) AS cnt_b, coalesce(cnt_c, 0) AS cnt_c
+         |   FROM nb FULL OUTER JOIN nc ON nb.ci = nc.ci AND nb.bin = nc.bin),
+         | t AS (SELECT ci,
+         |   greatest(CAST(cnt_b AS DOUBLE) / sum(cnt_b) OVER (PARTITION BY ci), 1e-6) AS pb,
+         |   greatest(CAST(cnt_c AS DOUBLE) / sum(cnt_c) OVER (PARTITION BY ci), 1e-6) AS pc FROM j),
+         | terms AS (SELECT ci, CAST((pc - pb) * ln(pc / pb) AS DECIMAL(38,18)) AS term FROM t),
+         | p AS (SELECT ci, round(CAST(sum(term) AS DOUBLE), 6) AS psi FROM terms GROUP BY ci)
+         | SELECT CASE ci WHEN 0 THEN 'l_quantity' WHEN 1 THEN 'l_extendedprice' ELSE 'l_discount' END AS feature,
+         |   psi FROM p ORDER BY feature""".stripMargin.replaceAll("\n", " ")
+    },
+    "q64_ks_drift" ->
+      """WITH u AS (
+        |  SELECT CAST(value AS DOUBLE) AS v, 1 AS s FROM events WHERE event_type = 'purchase'
+        |    AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+        |  UNION ALL
+        |  SELECT CAST(value AS DOUBLE) AS v, 0 AS s FROM events WHERE event_type = 'click'
+        |    AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+        | per AS (SELECT v, count(*) FILTER (WHERE s = 1) AS ca, count(*) FILTER (WHERE s = 0) AS cb
+        |   FROM u GROUP BY v),
+        | tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM per),
+        | cum AS (SELECT sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb FROM per
+        |   WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING))
+        | SELECT round(max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+        |     - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS ks,
+        |   na AS n_a, nb AS n_b FROM cum, tot GROUP BY na, nb""".stripMargin.replaceAll("\n", " "),
+    "q65_chi2_drift" ->
+      """WITH nb AS (SELECT event_type AS cat, count(*) AS cnt_b FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        | nc AS (SELECT event_type AS cat, count(*) AS cnt_c FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+        | j AS (SELECT coalesce(nb.cat, nc.cat) AS cat, coalesce(cnt_b, 0) AS cnt_b, coalesce(cnt_c, 0) AS cnt_c
+        |   FROM nb FULL OUTER JOIN nc ON nb.cat = nc.cat),
+        | t AS (SELECT cat, cnt_b, cnt_c,
+        |   CAST(sum(cnt_c) OVER () AS DOUBLE) *
+        |     greatest(CAST(cnt_b AS DOUBLE) / CAST(sum(cnt_b) OVER () AS DOUBLE), 1e-6) AS e FROM j)
+        | SELECT round(CAST(sum(CAST((CAST(cnt_c AS DOUBLE) - e) * (CAST(cnt_c AS DOUBLE) - e) / e AS DECIMAL(38,18))) AS DOUBLE), 6) AS chi2,
+        |   CAST(count(*) AS BIGINT) AS n_categories,
+        |   CAST(sum(cnt_b) AS BIGINT) AS n_base, CAST(sum(cnt_c) AS BIGINT) AS n_cur
+        | FROM t""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -1,0 +1,139 @@
+package graft.drift
+
+import graft.core.OrderStats
+import graft.eval.Metrics
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Distribution-drift detection between a baseline (training/reference)
+  * frame and a current (serving/incoming) frame — the monitoring half
+  * of a data-quality engine: the reference validates incoming batches
+  * against training-time expectations (schema guard
+  * `app/test_AE.py:138-165`, threshold drift via re-derived quantiles
+  * `app/AE_model.py:197`); these operators quantify the distribution
+  * shift itself.
+  *
+  * All three statistics reduce to per-key counts (map-side combined)
+  * over narrow columns — document/row bodies never shuffle — so every
+  * plan survives a 1000-executor cluster:
+  *
+  *  - [[psi]]: quantile-binned Population Stability Index per numeric
+  *    column; bin edges from the baseline via the distributed
+  *    order-statistic selection, then ONE fused aggregate per frame
+  *    over (column, bin) keys (≤ cols × bins of them).
+  *  - [[ks]]: EXACT two-sample Kolmogorov–Smirnov statistic via the
+  *    distributed two-phase prefix scan (no single-partition window,
+  *    no value collect) — sup|ECDF_a − ECDF_b| evaluated at every
+  *    distinct value.
+  *  - [[chiSquare]]: categorical chi-square against baseline
+  *    proportions; two tiny per-category aggregates.
+  */
+object Drift {
+
+  /** PSI per column: Σ_bins (p_cur − p_base)·ln(p_cur/p_base), bins =
+    * baseline quantile intervals (`bins`-iles; duplicate edges
+    * collapse). Zero-count bins are smoothed to proportion `eps` —
+    * PSI stays finite when a bin empties on one side, the standard
+    * practical convention. Null/NaN values are excluded (validity
+    * semantics of the profiler). Returns (feature, psi) rows.
+    *
+    * Common reading: psi < 0.1 stable, 0.1–0.25 moderate shift,
+    * > 0.25 action required.
+    */
+  def psi(baseline: DataFrame, current: DataFrame, cols: Seq[String],
+          bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"psi needs at least 2 bins: $bins")
+    require(cols.nonEmpty, "psi needs at least one column")
+    val ps = (1 until bins).map(_.toDouble / bins)
+    // edges from the BASELINE only (the monitored population is scored
+    // against training-time geometry); one fused multi-column selection
+    val edges = OrderStats.quantiles(baseline, cols, ps)
+
+    // long-form (ci, bin) per frame: bin = #edges strictly below the
+    // value, a codegen'd comparison sum; invalid values map to a null
+    // bin and drop out. ONE map stage + one tiny-key aggregate.
+    def binned(df: DataFrame, side: String): DataFrame = {
+      val binCols: Seq[Column] = cols.map { c =>
+        val v = col(c).cast(DoubleType)
+        val es = edges(c).distinct
+        val idx = es.map(e => when(v > lit(e), 1).otherwise(0)).reduce(_ + _)
+        when(v.isNotNull && !isnan(v), idx)
+      }
+      df.select(posexplode(array(binCols: _*)).as(Seq("ci", "bin")))
+        .where(col("bin").isNotNull)
+        .groupBy("ci", "bin").agg(count(lit(1)).as(side))
+    }
+
+    val b = binned(baseline, "nb")
+    val c = binned(current, "nc")
+    // per-column totals from the bin tables themselves (≤ cols×bins
+    // rows) — no extra full-input pass
+    val joined = b.join(c, Seq("ci", "bin"), "full_outer")
+      .select(col("ci"), col("bin"),
+        coalesce(col("nb"), lit(0L)).as("nb"), coalesce(col("nc"), lit(0L)).as("nc"))
+    val totals = org.apache.spark.sql.expressions.Window.partitionBy("ci")
+    val pb = greatest(col("nb").cast(DoubleType) / sum("nb").over(totals), lit(eps))
+    val pc = greatest(col("nc").cast(DoubleType) / sum("nc").over(totals), lit(eps))
+    val featureName = element_at(array(cols.map(lit): _*), col("ci") + 1)
+    joined
+      .select(col("ci"),
+        ((pc - pb) * log(pc / pb)).cast(DecimalType(38, 18)).as("term"))
+      .groupBy(col("ci"))
+      .agg(round(sum("term").cast(DoubleType), 6).as("psi"))
+      .select(featureName.as("feature"), col("psi"))
+  }
+
+  /** Exact two-sample KS statistic D = sup_v |ECDF_a(v) − ECDF_b(v)|
+    * over the values of `valueCol`, plus both sample sizes. Tagged
+    * union → per-distinct-value counts → distributed prefix scan
+    * ([[Metrics.prefixScoreCountsWithTotals]]): every stage is a
+    * bounded shuffle of narrow keys; the sup is an order-free max.
+    */
+  def ks(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, tag: Int): DataFrame = {
+      val v = col(valueCol).cast(DoubleType)
+      df.select(v.as("v"), lit(tag).as("side"))
+        .where(col("v").isNotNull && !isnan(col("v")))
+    }
+    val (pc, nA, nB) = Metrics.prefixScoreCountsWithTotals(
+      side(a, 1).unionAll(side(b, 0)), "side", "v")
+    require(nA > 0 && nB > 0, "ks needs non-empty samples on both sides")
+    pc.select(abs(
+        (col("cum_pos_below") + col("pos")).cast(DoubleType) / lit(nA.toDouble) -
+        (col("cum_neg_below") + col("neg")).cast(DoubleType) / lit(nB.toDouble)).as("d"))
+      .agg(round(max("d"), 6).as("ks"))
+      .select(col("ks"), lit(nA).as("n_a"), lit(nB).as("n_b"))
+  }
+
+  /** Chi-square drift for a categorical column: Σ_cat (o_c − e_c)²/e_c
+    * with expected e_c = n_cur · max(p_base_c, eps) (smoothing keeps
+    * categories absent from the baseline finite rather than dividing
+    * by zero). Returns one row: (chi2, n_categories, n_base, n_cur).
+    * Two tiny aggregates over category keys — scale-free.
+    */
+  def chiSquare(baseline: DataFrame, current: DataFrame, catCol: String,
+                eps: Double = 1e-6): DataFrame = {
+    val b = baseline.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("nb"))
+    val c = current.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("nc"))
+    val joined = b.join(c, Seq("cat"), "full_outer")
+      .select(col("cat"),
+        coalesce(col("nb"), lit(0L)).as("nb"), coalesce(col("nc"), lit(0L)).as("nc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val e = sum("nc").over(w).cast(DoubleType) *
+      greatest(col("nb").cast(DoubleType) / sum("nb").over(w).cast(DoubleType), lit(eps))
+    // (o−e)² via explicit multiply, not pow(): IEEE multiplication is
+    // bit-identical across engines, libm pow need not be. Guard e > 0:
+    // an EMPTY current frame makes every e zero, and Spark's ANSI
+    // double division by zero THROWS (it is not IEEE-silent) — with
+    // the guard an empty side yields a null chi2 instead of a job
+    // failure.
+    val d = col("nc").cast(DoubleType) - e
+    joined
+      .select(col("cat"), col("nb"), col("nc"),
+        when(e > lit(0.0), d * d / e).cast(DecimalType(38, 18)).as("term"))
+      .agg(round(sum("term").cast(DoubleType), 6).as("chi2"),
+        count(lit(1)).as("n_categories"),
+        sum("nb").as("n_base"), sum("nc").as("n_cur"))
+  }
+}

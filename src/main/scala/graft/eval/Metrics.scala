@@ -119,6 +119,15 @@ object Metrics {
   def prefixScoreCounts(df: DataFrame, labelCol: String, scoreCol: String): DataFrame =
     prefixScan(df, labelCol, scoreCol)._1
 
+  /** [[prefixScoreCounts]] plus the grand totals (P, N) as scalars —
+    * the subtotal fold produces them for free, and callers that need
+    * ECDF denominators (KS drift, rank statistics) avoid a second
+    * counting pass over the input.
+    */
+  def prefixScoreCountsWithTotals(df: DataFrame, labelCol: String,
+                                  scoreCol: String): (DataFrame, Long, Long) =
+    prefixScan(df, labelCol, scoreCol)
+
   /** [[prefixScoreCounts]] plus the grand totals (P, N) — the subtotal
     * fold already produces them, so callers avoid a separate
     * full-input counting scan. The internal cached sort is registered

@@ -1,0 +1,75 @@
+package graft
+
+import graft.drift.Drift
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift operators: PSI, two-sample KS, chi-square. */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("psi is ~0 for identical distributions and large for shifted ones") {
+    val base = (1 to 2000).map(i => i.toDouble % 100).toDF("x")
+    val same = (1 to 2000).map(i => (i.toDouble + 7) % 100).toDF("x")
+    val shifted = (1 to 2000).map(i => i.toDouble % 100 + 80).toDF("x")
+    val lo = Drift.psi(base, same, Seq("x")).head().getDouble(1)
+    val hi = Drift.psi(base, shifted, Seq("x")).head().getDouble(1)
+    assert(math.abs(lo) < 0.01, s"identical-distribution psi should be ~0, got $lo")
+    assert(hi > 0.25, s"shifted-distribution psi should flag, got $hi")
+  }
+
+  test("psi excludes null and NaN values and fuses multiple columns") {
+    val base = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, 20.0), (3.0, 30.0), (4.0, 40.0), (5.0, 50.0),
+      (6.0, 60.0), (7.0, 70.0), (8.0, 80.0), (9.0, 90.0), (10.0, 100.0))
+      .toDF("a", "b")
+    val cur = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (null, 20.0), (Double.NaN, 30.0), (4.0, 40.0), (5.0, 50.0))
+      .toDF("a", "b")
+    val out = Drift.psi(base, cur, Seq("a", "b"), bins = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === Set("a", "b"))
+    // column a: current valid values {1,4,5} vs balanced baseline —
+    // the nulls must not land in bin 0 (they'd fake a mass shift)
+    assert(out("a") >= 0.0 && out("b") >= 0.0)
+  }
+
+  test("ks matches the hand-computed statistic on a small sample") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    // ECDFs diverge most at v=2: |2/4 - 0/4| = 0.5
+    val row = Drift.ks(a, b, "v").head()
+    assert(row.getDouble(0) === 0.5)
+    assert(row.getLong(1) === 4L && row.getLong(2) === 4L)
+  }
+
+  test("ks is 0 for identical samples and ~1 for disjoint ones") {
+    val a = (1 to 500).map(_.toDouble).toDF("v")
+    val d = (1001 to 1500).map(_.toDouble).toDF("v")
+    assert(Drift.ks(a, a, "v").head().getDouble(0) === 0.0)
+    assert(Drift.ks(a, d, "v").head().getDouble(0) === 1.0)
+  }
+
+  test("chi-square is 0 for identical category mixes and positive under drift") {
+    val base = (1 to 900).map(i => if (i % 3 == 0) "x" else "y").toDF("c")
+    val cur = (1 to 300).map(i => if (i % 3 == 0) "x" else "y").toDF("c")
+    val same = Drift.chiSquare(base, cur, "c").head()
+    assert(same.getDouble(0) === 0.0)
+    assert(same.getLong(1) === 2L)
+    val drifted = (1 to 300).map(_ => "x").toDF("c")
+    assert(Drift.chiSquare(base, drifted, "c").head().getDouble(0) > 100.0)
+  }
+
+  test("chi-square survives a category absent from one side") {
+    val base = Seq("x", "x", "y").toDF("c")
+    val cur = Seq("x", "z").toDF("c") // z unseen in baseline
+    val row = Drift.chiSquare(base, cur, "c").head()
+    assert(!row.isNullAt(0) && row.getDouble(0) > 0.0)
+    assert(row.getLong(1) === 3L)
+  }
+
+  test("chi-square yields null (not a job failure) on an empty current side") {
+    val base = Seq("x", "y").toDF("c")
+    val cur = base.where(lit(false))
+    assert(Drift.chiSquare(base, cur, "c").head().isNullAt(0))
+  }
+}
