@@ -381,6 +381,56 @@ object SparkEntry {
       "event_type")
   }
 
+  /** W7 — rolling trailing-window features per user over the event
+    * stream: moving count/avg/std/min/max + lag delta. One shuffle on
+    * the key, per-key ordered windows, decimal-exact windowed sums
+    * (engines disagree on windowed-double association order).
+    */
+  private def qRollingFeats(s: SparkSession, dir: String): DataFrame =
+    graft.seq.Rolling.rolling(ev(s, dir), Seq("user_id"), col("event_id"),
+        col("value"), k = 4)
+      .select(col("event_id"), col("user_id"), col("roll_n"),
+        round(col("roll_avg"), 6).as("roll_avg"),
+        round(col("roll_std"), 6).as("roll_std"),
+        round(col("roll_min"), 6).as("roll_min"),
+        round(col("roll_max"), 6).as("roll_max"),
+        round(col("roll_delta"), 6).as("roll_delta"))
+      .orderBy("event_id")
+
+  /** A16 — pairwise Pearson correlation matrix of the lineitem numeric
+    * features in ONE mergeable aggregate pass (pairwise-complete
+    * validity, exact decimal moments).
+    */
+  private def qCorrMatrix(s: SparkSession, dir: String): DataFrame =
+    Stats.corrMatrix(li(s, dir), lineitemNumerics)
+      .select(col("col_x"), col("col_y"), round(col("corr"), 6).as("corr"))
+      .orderBy("col_x", "col_y")
+
+  /** F7 — robust (median/IQR) scaling, the outlier-insensitive scaler:
+    * fused distributed quantile fit, codegen'd transform, grouped
+    * decimal checksum of the scaled values.
+    */
+  private def qRobustScale(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val base = li(s, dir)
+    val m = graft.features.RobustScaler.fit(base, cols)
+    m.transform(base, "_r")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(Stats.dsum(col("l_quantity_r")), 4).as("sum_qty_scaled"),
+        round(Stats.dsum(col("l_extendedprice_r")), 4).as("sum_price_scaled"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A17 — exact per-group quantiles via the fused grouped selection
+    * (no per-group value buffers, no single-reducer percentile).
+    */
+  private def qGroupedQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.core.OrderStats.groupedQuantiles(li(s, dir), "l_returnflag",
+        "l_extendedprice", Seq(0.25, 0.5, 0.95))
+      .select(col("l_returnflag"), col("p"), round(col("value"), 6).as("value"))
+      .orderBy("l_returnflag", "p")
+
   // --- text analysis over documents (training-data pipeline ops) ----- //
 
   private def doc(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
@@ -1072,7 +1122,11 @@ object SparkEntry {
     "q62_asof_join" -> (qAsofJoin _),
     "q63_psi_drift" -> (qPsiDrift _),
     "q64_ks_drift" -> (qKsDrift _),
-    "q65_chi2_drift" -> (qChi2Drift _)
+    "q65_chi2_drift" -> (qChi2Drift _),
+    "q66_rolling_feats" -> (qRollingFeats _),
+    "q67_corr_matrix" -> (qCorrMatrix _),
+    "q68_robust_scale" -> (qRobustScale _),
+    "q69_grouped_quantiles" -> (qGroupedQuantiles _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -1753,6 +1807,64 @@ object SparkEntry {
         | SELECT round(CAST(sum(CAST((CAST(cnt_c AS DOUBLE) - e) * (CAST(cnt_c AS DOUBLE) - e) / e AS DECIMAL(38,18))) AS DOUBLE), 6) AS chi2,
         |   CAST(count(*) AS BIGINT) AS n_categories,
         |   CAST(sum(cnt_b) AS BIGINT) AS n_base, CAST(sum(cnt_c) AS BIGINT) AS n_cur
-        | FROM t""".stripMargin.replaceAll("\n", " ")
+        | FROM t""".stripMargin.replaceAll("\n", " "),
+    "q66_rolling_feats" -> {
+      import graft.seq.Rolling.{Sql => R}
+      s"""SELECT event_id, user_id, roll_n, round(roll_avg, 6) AS roll_avg,
+         |  round(roll_std, 6) AS roll_std, round(roll_min, 6) AS roll_min,
+         |  round(roll_max, 6) AS roll_max, round(roll_delta, 6) AS roll_delta
+         | FROM (SELECT event_id, user_id,
+         |   ${R.n("value")} AS roll_n,
+         |   ${R.avg("value")} AS roll_avg,
+         |   ${R.std("value")} AS roll_std,
+         |   min(CAST(value AS DOUBLE)) OVER wf AS roll_min,
+         |   max(CAST(value AS DOUBLE)) OVER wf AS roll_max,
+         |   CAST(value AS DOUBLE) - lag(CAST(value AS DOUBLE)) OVER wl AS roll_delta
+         |  FROM events
+         |  WINDOW wf AS (PARTITION BY user_id ORDER BY event_id ROWS 3 PRECEDING),
+         |         wl AS (PARTITION BY user_id ORDER BY event_id))
+         | ORDER BY event_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q67_corr_matrix" -> {
+      val cols = lineitemNumerics
+      val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
+        yield (cols(i), cols(j))
+      val selects = pairs.map { case (a, b) =>
+        val x = s"CAST($a AS DOUBLE)"; val y = s"CAST($b AS DOUBLE)"
+        val valid = s"$a IS NOT NULL AND NOT isnan($x) AND $b IS NOT NULL AND NOT isnan($y)"
+        s"""SELECT '$a' AS col_x, '$b' AS col_y,
+           | round(CASE WHEN vx > 0.0 AND vy > 0.0 THEN num / (sqrt(vx) * sqrt(vy)) END, 6) AS corr
+           | FROM (SELECT CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+           |   CAST(n AS DOUBLE) * syy - sy * sy AS vy,
+           |   CAST(n AS DOUBLE) * sxy - sx * sy AS num
+           |  FROM (SELECT count(*) AS n, ${dsumSql(x)} AS sx, ${dsumSql(y)} AS sy,
+           |   ${dsumSql(s"$x * $x")} AS sxx, ${dsumSql(s"$y * $y")} AS syy,
+           |   ${dsumSql(s"$x * $y")} AS sxy FROM lineitem WHERE $valid))""".stripMargin
+          .replaceAll("\n", " ")
+      }
+      selects.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_x, col_y")
+    },
+    "q68_robust_scale" -> {
+      val sq = "(CAST(l_quantity AS DOUBLE) - qq[2]) / (qq[3] - qq[1])"
+      val sp = "(CAST(l_extendedprice AS DOUBLE) - qp[2]) / (qp[3] - qp[1])"
+      s"""WITH q AS (SELECT
+         |   quantile_cont(CAST(l_quantity AS DOUBLE), [0.25, 0.5, 0.75]) AS qq,
+         |   quantile_cont(CAST(l_extendedprice AS DOUBLE), [0.25, 0.5, 0.75]) AS qp
+         |  FROM lineitem)
+         | SELECT l_returnflag, count(*) AS n,
+         |  round(${dsumSql(sq)}, 4) AS sum_qty_scaled,
+         |  round(${dsumSql(sp)}, 4) AS sum_price_scaled
+         | FROM lineitem, q GROUP BY l_returnflag, qq, qp
+         | ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " ")
+    },
+    "q69_grouped_quantiles" ->
+      """SELECT l_returnflag, p, round(v, 6) AS value FROM (
+        |  SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS p,
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS v FROM lineitem GROUP BY l_returnflag
+        |  UNION ALL SELECT l_returnflag, CAST(0.5 AS DOUBLE),
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) FROM lineitem GROUP BY l_returnflag
+        |  UNION ALL SELECT l_returnflag, CAST(0.95 AS DOUBLE),
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) FROM lineitem GROUP BY l_returnflag)
+        | ORDER BY l_returnflag, p""".stripMargin.replaceAll("\n", " ")
   )
 }

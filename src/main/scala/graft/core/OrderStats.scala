@@ -64,15 +64,7 @@ object OrderStats {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile probabilities must be in [0,1]: $ps")
     require(buckets >= 2, s"need at least 2 buckets: $buckets")
-    // Fused multi-column passes can return up to nCols × buckets
-    // occupied cells to the driver; divide the per-column resolution so
-    // a level-0 collect stays ≈ `buckets` rows TOTAL regardless of how
-    // many columns fused (floor 1024 — worst case a couple of extra
-    // recursion levels, never a driver-heap step-up).
-    val effBuckets =
-      if (cols.length <= 1) buckets
-      else math.min(buckets,
-        math.max(1024, Integer.highestOneBit(math.max(1, buckets / cols.length))))
+    val effBuckets = effectiveBuckets(buckets, cols.length)
     CoreFunctions.register(df.sparkSession)
     def valid(c: String): Column = {
       val d = col(c).cast(DoubleType)
@@ -103,7 +95,85 @@ object OrderStats {
 
   /** Single-column convenience. */
   def quantilesOf(df: DataFrame, colName: String, ps: Seq[Double]): Seq[Double] =
-    quantiles(df, Seq(colName), ps)(colName)
+    OrderStats.quantiles(df, Seq(colName), ps)(colName)
+
+  /** Exact per-GROUP quantiles of `valueCol`, sharing the same fused
+    * selection passes across every group (group index plays the same
+    * role as column index in [[quantiles]]). Returns
+    * (groupCol, p, value) rows — one per group × probability; null
+    * groups are excluded.
+    *
+    * Scale shape: for LOW-cardinality group columns (flags, segments,
+    * categories — the monitoring case). Distinct groups are collected
+    * once (bounded by `maxGroups`), broadcast back as an index join,
+    * and the per-level driver histogram divides `buckets` across
+    * groups exactly like the multi-column cap. For HIGH-cardinality
+    * groups prefer a plain `groupBy(percentile(...))`: with many small
+    * groups the per-group value buffer is bounded by the group size
+    * and hash aggregation is already parallel — the single-reducer
+    * pathology this selection exists to avoid only bites when one
+    * group's values outsize an executor.
+    */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       ps: Seq[Double], buckets: Int = 1 << 17,
+                       collectThreshold: Int = 8192,
+                       maxGroups: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile probabilities must be in [0,1]: $ps")
+    val spark = df.sparkSession
+    CoreFunctions.register(spark)
+    val groups = df.select(col(groupCol)).where(col(groupCol).isNotNull)
+      .distinct().orderBy(groupCol).collect().map(_.get(0))
+    require(groups.length <= maxGroups,
+      s"groupedQuantiles: ${groups.length} groups exceeds maxGroups=$maxGroups " +
+        "— use groupBy + percentile for high-cardinality keys")
+    if (groups.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(df.schema(groupCol).copy(name = groupCol),
+          StructField("p", org.apache.spark.sql.types.DoubleType),
+          StructField("value", org.apache.spark.sql.types.DoubleType))))
+    val mapSchema = StructType(Seq(
+      df.schema(groupCol).copy(name = "__g"), StructField("ci", IntegerType)))
+    val mapping = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        groups.zipWithIndex.map { case (g, i) => Row(g, i) }.toIndexedSeq, 1),
+      mapSchema)
+    val v0 = col(valueCol).cast(DoubleType)
+    val pairs1 = df.join(broadcast(mapping), col(groupCol) === col("__g"))
+      .select(col("ci"), when(v0.isNotNull && !isnan(v0), v0).as("v"))
+      .where(col("v").isNotNull)
+    val needCache = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val pairs =
+      if (needCache) pairs1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pairs1
+    try {
+      val eff = effectiveBuckets(buckets, groups.length)
+      val resolved = selectAll(pairs, groups.length, ps, eff, collectThreshold)
+      val rows = groups.zipWithIndex.flatMap { case (g, ci) =>
+        val (n, values) = resolved(ci)
+        ps.zip(interpolate(ps, n, values)).map { case (p, q) => Row(g, p, q) }
+      }
+      val outSchema = StructType(Seq(
+        df.schema(groupCol).copy(name = groupCol),
+        StructField("p", org.apache.spark.sql.types.DoubleType),
+        StructField("value", org.apache.spark.sql.types.DoubleType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), outSchema)
+    } finally if (needCache) { pairs.unpersist(false); () }
+  }
+
+  /** Fused passes (multi-column or per-group) can return up to
+    * n × buckets occupied cells to the driver; divide the per-slot
+    * resolution so a level-0 collect stays ≈ `buckets` rows TOTAL
+    * regardless of fan-out (floor 1024 — worst case a couple of extra
+    * recursion levels, never a driver-heap step-up).
+    */
+  private def effectiveBuckets(buckets: Int, slots: Int): Int =
+    if (slots <= 1) buckets
+    else math.min(buckets,
+      math.max(1024, Integer.highestOneBit(math.max(1, buckets / slots))))
 
   /** The 1-indexed bracketing order statistics needed for `ps` over n
     * values (numpy linear interpolation: both neighbors of p·(n−1)).

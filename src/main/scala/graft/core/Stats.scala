@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -55,6 +55,49 @@ object Stats {
   }
 
   def dstddevSamp(c: Column): Column = sqrt(dvarSamp(c))
+
+  /** Pairwise Pearson correlation matrix over `cols` in ONE aggregate
+    * pass (long form: col_x, col_y, corr for each unordered pair).
+    *
+    * Pairwise-complete semantics: each pair's moments count only rows
+    * where BOTH values are valid (non-null, non-NaN) — numpy
+    * `np.corrcoef` on clean data, pandas `DataFrame.corr`'s
+    * pairwise-deletion on dirty data. All six moments per pair are
+    * conditional decimal sums in the same mergeable aggregate, so the
+    * full matrix costs one map-side-combined pass regardless of width
+    * (k columns → 6·k·(k−1)/2 buffer slots, no extra scans, no
+    * shuffle beyond the single-row agg merge).
+    *
+    * corr = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²)),
+    * final arithmetic in double over exact decimal sums (deterministic
+    * cross-engine), null when either variance term is zero (constant
+    * column — matches the undefined-correlation convention, and dodges
+    * ANSI division-by-zero).
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.length >= 2, s"corrMatrix needs at least 2 columns: $cols")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
+      yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), idx) =>
+      val x = col(a).cast(DoubleType); val y = col(b).cast(DoubleType)
+      val both = x.isNotNull && !isnan(x) && y.isNotNull && !isnan(y)
+      def s(c: Column, name: String) =
+        sum(when(both, c).cast(D)).cast(DoubleType).as(s"${name}_$idx")
+      Seq(count(when(both, 1)).as(s"n_$idx"),
+        s(x, "sx"), s(y, "sy"), s(x * x, "sxx"), s(y * y, "syy"), s(x * y, "sxy"))
+    }
+    val rows = pairs.zipWithIndex.map { case ((a, b), idx) =>
+      val n = col(s"n_$idx").cast(DoubleType)
+      val vx = n * col(s"sxx_$idx") - col(s"sx_$idx") * col(s"sx_$idx")
+      val vy = n * col(s"syy_$idx") - col(s"sy_$idx") * col(s"sy_$idx")
+      val num = n * col(s"sxy_$idx") - col(s"sx_$idx") * col(s"sy_$idx")
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        when(vx > 0.0 && vy > 0.0, num / (sqrt(vx) * sqrt(vy))).as("corr"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("p"))
+      .select(col("p.col_x"), col("p.col_y"), col("p.corr"))
+  }
 
   /** DuckDB SQL fragments computing the identical quantities, for oracle
     * parity. `x` is a SQL expression string.

@@ -1,0 +1,81 @@
+package graft.seq
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Trailing-window rolling features per key — the moving-average /
+  * moving-dispersion / lag-delta family a time-series anomaly pipeline
+  * derives before scoring (the reference builds its LSTM input windows
+  * the same way driver-side, `app/LSTM_AE.py:116-140`; these are the
+  * set-based equivalents that stay distributed).
+  *
+  * Scale shape: ONE shuffle on the key columns, then per-partition
+  * sorted window evaluation — parallel across keys, skew bounded by a
+  * single key's history, no global window anywhere.
+  *
+  * Determinism: windowed sums accumulate in DECIMAL(38,10). Engines
+  * disagree on windowed-double association order (DuckDB evaluates
+  * frames via segment trees, Spark streams them), so a double sum can
+  * differ in the last ulp — decimal is exact and associative, making
+  * every downstream derived stat bitwise reproducible cross-engine.
+  * The variance-under-sqrt is clamped at zero on both sides: the
+  * sum-of-squares identity can go hair-negative on constant windows
+  * (identically in both engines, since the inputs are identical), and
+  * DuckDB's sqrt raises on negatives where Spark's returns NaN.
+  */
+object Rolling {
+  private val D = DecimalType(38, 10)
+
+  /** Adds to `df`: `<prefix>{n,avg,std,min,max,lag,delta}` computed
+    * over the trailing `k` rows (current row inclusive) per key, rows
+    * ordered by `ordCol`. `ordCol` must be unique within a key for the
+    * lag/delta columns to be deterministic (the frame aggregates are
+    * order-stable under ties, lag is not). `std` is the sample stddev,
+    * null while the window holds < 2 rows; `lag`/`delta` are null on
+    * each key's first row.
+    */
+  def rolling(df: DataFrame, keys: Seq[String], ordCol: Column, valCol: Column,
+              k: Int, prefix: String = "roll_"): DataFrame = {
+    require(k >= 1, s"rolling window must hold at least 1 row: $k")
+    val wf = Window.partitionBy(keys.map(col): _*).orderBy(ordCol)
+      .rowsBetween(-(k - 1).toLong, Window.currentRow)
+    val wl = Window.partitionBy(keys.map(col): _*).orderBy(ordCol)
+    val v = valCol.cast(DoubleType)
+    val n = count(v).over(wf)
+    val sm = sum(v.cast(D)).over(wf).cast(DoubleType)
+    val sq = sum((v * v).cast(D)).over(wf).cast(DoubleType)
+    val nD = n.cast(DoubleType)
+    df.withColumn(prefix + "n", n)
+      .withColumn(prefix + "avg", sm / nD)
+      .withColumn(prefix + "std",
+        when(n > 1, sqrt(greatest((sq - sm * sm / nD) / (nD - lit(1.0)), lit(0.0)))))
+      .withColumn(prefix + "min", min(v).over(wf))
+      .withColumn(prefix + "max", max(v).over(wf))
+      .withColumn(prefix + "lag", lag(v, 1).over(wl))
+      .withColumn(prefix + "delta", v - lag(v, 1).over(wl))
+  }
+
+  /** DuckDB SQL fragments computing identical rolling columns, for
+    * oracle parity: `window` must be declared as
+    * `WINDOW wf AS (PARTITION BY <keys> ORDER BY <ord> ROWS <k-1> PRECEDING),
+    *         wl AS (PARTITION BY <keys> ORDER BY <ord>)`.
+    */
+  object Sql {
+    def n(v: String): String = s"count(CAST(($v) AS DOUBLE)) OVER wf"
+    def sum(v: String): String =
+      s"CAST(sum(CAST(CAST(($v) AS DOUBLE) AS DECIMAL(38,10))) OVER wf AS DOUBLE)"
+    def sumSq(v: String): String = {
+      val d = s"CAST(($v) AS DOUBLE)"
+      s"CAST(sum(CAST(($d * $d) AS DECIMAL(38,10))) OVER wf AS DOUBLE)"
+    }
+    def avg(v: String): String = s"(${sum(v)} / CAST(${n(v)} AS DOUBLE))"
+    def std(v: String): String = {
+      val nD = s"CAST(${n(v)} AS DOUBLE)"
+      s"""CASE WHEN ${n(v)} > 1 THEN
+         | sqrt(greatest((${sumSq(v)} - ${sum(v)} * ${sum(v)} / $nD) / ($nD - 1.0), 0.0))
+         | END""".stripMargin.replaceAll("\n", " ")
+    }
+  }
+}

@@ -78,4 +78,30 @@ class CoreSpec extends SparkSpec {
     assert(out.schema("flag").dataType == IntegerType)
     assert(out.orderBy("x").collect().map(_.getInt(0)).toSeq == Seq(1, 0))
   }
+
+  test("corrMatrix matches known correlations and handles constants") {
+    import spark.implicits._
+    val df = (1 to 100).map { i =>
+      val x = i.toDouble
+      (x, 2.0 * x + 1.0, -3.0 * x, 5.0)
+    }.toDF("a", "b", "c", "k")
+    val m = graft.core.Stats.corrMatrix(df, Seq("a", "b", "c", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)))).toMap
+    assert(math.abs(m(("a", "b")).doubleValue - 1.0) < 1e-12)
+    assert(math.abs(m(("a", "c")).doubleValue + 1.0) < 1e-12)
+    assert(m(("a", "k")) == null) // constant column -> undefined corr
+    assert(m.size === 6)
+  }
+
+  test("corrMatrix is pairwise-complete under nulls") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
+      (1.0, 1.0, 9.0), (2.0, 2.0, null), (3.0, 3.0, 1.0), (4.0, null, 4.0))
+      .toDF("x", "y", "z")
+    val m = graft.core.Stats.corrMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // x~y over rows 1-3 only: perfectly linear
+    assert(math.abs(m(("x", "y")) - 1.0) < 1e-12)
+  }
 }

@@ -36,4 +36,14 @@ class FeaturesSpec extends SparkSpec {
     assert(rows.map(_.getDouble(1)).forall(_ == 0.0))
     assert(math.abs(rows.head.getDouble(0) + 1.0) < 1e-12) // (1-2)/1
   }
+
+  test("robust scaler: median maps to 0, IQR to unit range, constants to 0") {
+    import spark.implicits._
+    val df = (1 to 101).map(i => (i.toDouble, 42.0)).toDF("x", "c")
+    val m = graft.features.RobustScaler.fit(df, Seq("x", "c"))
+    assert(m.stats("x") === ((51.0, 50.0))) // median 51, IQR 76-26
+    val out = m.transform(df, "_s").where(col("x") === 51.0).head()
+    assert(out.getDouble(out.fieldIndex("x_s")) === 0.0)
+    assert(out.getDouble(out.fieldIndex("c_s")) === 0.0) // IQR=0 -> 0
+  }
 }

@@ -107,4 +107,31 @@ class OrderStatsSpec extends SparkSpec {
       1.0e308, -1.0e308, 1e-16, -1e-16, 3.14, -2.71, 1e100, -1e100, 2.0, 2.0)
     assertMatchesPercentile(vs, "extremes")
   }
+
+  test("groupedQuantiles matches per-group Percentile exactly") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val qs = Seq(0.25, 0.5, 0.95)
+    val got = OrderStats.groupedQuantiles(li, "l_returnflag", "l_extendedprice", qs,
+        buckets = 16, collectThreshold = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val expected = li.groupBy(col("l_returnflag"))
+      .agg(Quantiles.exact(col("l_extendedprice"), qs).as("q"))
+      .collect().flatMap { r =>
+        qs.zip(r.getSeq[Double](1)).map { case (p, v) => (r.getString(0), p) -> v }
+      }.toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, v) => assert(v == expected(k), s"$k: got $v expected ${expected(k)}") }
+  }
+
+  test("groupedQuantiles excludes null groups and handles empty-value groups") {
+    import spark.implicits._
+    val df = Seq[(java.lang.String, java.lang.Double)](
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", Double.NaN), (null, 9.0))
+      .toDF("g", "v")
+    val out = OrderStats.groupedQuantiles(df, "g", "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set("a", "b"))
+    assert(out("a") == 2.0)
+    assert(out("b").isNaN) // all values invalid -> NaN quantile
+  }
 }

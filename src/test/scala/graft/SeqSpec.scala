@@ -117,4 +117,32 @@ class SeqSpec extends SparkSpec {
     assert(out(1).isNullAt(2) && out(1).isNullAt(3))
     assert(!out(2).isNullAt(2) && out(2).getLong(2) == 50L && out(2).isNullAt(3))
   }
+
+  test("rolling features match a hand-computed trailing window") {
+    import spark.implicits._
+    val df = Seq((1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (1, 4, 40.0), (1, 5, 50.0),
+      (2, 6, 5.0)).toDF("k", "ord", "v")
+    val out = graft.seq.Rolling.rolling(df, Seq("k"), col("ord"), col("v"), k = 3)
+      .orderBy("ord").collect()
+    // ord=4: window {20,30,40} -> avg 30, min 20, max 40, n 3, lag 30, delta 10
+    val r4 = out(3)
+    assert(r4.getLong(3) === 3L)
+    assert(r4.getDouble(4) === 30.0)
+    assert(r4.getDouble(5) === 10.0) // sample std of {20,30,40}
+    assert(r4.getDouble(6) === 20.0 && r4.getDouble(7) === 40.0)
+    assert(r4.getDouble(8) === 30.0 && r4.getDouble(9) === 10.0)
+    // key 2 is independent: n=1, std/lag/delta null
+    val r6 = out(5)
+    assert(r6.getLong(3) === 1L)
+    assert(r6.isNullAt(5) && r6.isNullAt(8) && r6.isNullAt(9))
+  }
+
+  test("rolling std is null for first row and zero-clamped on constant windows") {
+    import spark.implicits._
+    val df = (1 to 5).map(i => (1, i, 7.0)).toDF("k", "ord", "v")
+    val out = graft.seq.Rolling.rolling(df, Seq("k"), col("ord"), col("v"), k = 4)
+      .orderBy("ord").collect()
+    assert(out(0).isNullAt(5))
+    (1 until 5).foreach(i => assert(out(i).getDouble(5) === 0.0))
+  }
 }
