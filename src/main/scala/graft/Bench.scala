@@ -34,11 +34,16 @@ object Bench {
       if (times.isEmpty) { failed += name; name -> -1.0 }
       else name -> times.min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // times rounded to ms and the headline total emitted BEFORE the
+    // per-query map: the driver's capture window can truncate the tail
+    // of a long line, and the total must survive truncation
+    def ms(v: Double): Double = math.round(v * 1000) / 1000.0
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = ms(results.values.filter(_ >= 0).sum)
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs}""")
     spark.stop()
   }
 }

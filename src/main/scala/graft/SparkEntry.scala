@@ -402,7 +402,7 @@ object SparkEntry {
     * validity, exact decimal moments).
     */
   private def qCorrMatrix(s: SparkSession, dir: String): DataFrame =
-    Stats.corrMatrix(li(s, dir), lineitemNumerics)
+    Stats.corrMatrix(par(li(s, dir)), lineitemNumerics)
       .select(col("col_x"), col("col_y"), round(col("corr"), 6).as("corr"))
       .orderBy("col_x", "col_y")
 
@@ -1762,7 +1762,7 @@ object SparkEntry {
          |  SELECT 0 AS ci, CAST(l_quantity AS DOUBLE) AS v FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
          |  UNION ALL SELECT 1, CAST(l_extendedprice AS DOUBLE) FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
          |  UNION ALL SELECT 2, CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
-         | ed AS (SELECT DISTINCT ci, edge FROM (
+         | ed AS (SELECT DISTINCT ci, round(edge, 6) AS edge FROM (
          |   SELECT ci, unnest(quantile_cont(v, $psArr)) AS edge FROM vb GROUP BY ci)),
          | bb AS (SELECT vb.ci AS ci, (SELECT count(*) FROM ed WHERE ed.ci = vb.ci AND vb.v > ed.edge) AS bin
          |   FROM vb WHERE vb.v IS NOT NULL AND NOT isnan(vb.v)),

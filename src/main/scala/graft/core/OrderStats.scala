@@ -124,10 +124,14 @@ object OrderStats {
       s"quantile probabilities must be in [0,1]: $ps")
     val spark = df.sparkSession
     CoreFunctions.register(spark)
+    // bounded collect: LIMIT maxGroups+1 so the cardinality guard is
+    // enforced BEFORE anything unbounded reaches the driver — a
+    // high-cardinality group column fails with the loud message below,
+    // never with a driver OOM on the collect itself
     val groups = df.select(col(groupCol)).where(col(groupCol).isNotNull)
-      .distinct().orderBy(groupCol).collect().map(_.get(0))
+      .distinct().orderBy(groupCol).limit(maxGroups + 1).collect().map(_.get(0))
     require(groups.length <= maxGroups,
-      s"groupedQuantiles: ${groups.length} groups exceeds maxGroups=$maxGroups " +
+      s"groupedQuantiles: more than maxGroups=$maxGroups distinct groups " +
         "— use groupBy + percentile for high-cardinality keys")
     if (groups.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],

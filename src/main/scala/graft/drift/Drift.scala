@@ -40,15 +40,28 @@ object Drift {
     *
     * Common reading: psi < 0.1 stable, 0.1–0.25 moderate shift,
     * > 0.25 action required.
+    *
+    * An EMPTY side (no valid values in a column of either frame) yields
+    * a null psi for that column rather than an ANSI division-by-zero
+    * job failure. Bin edges are rounded to `edgeScale` decimals before
+    * binning so the bin assignment of mass sitting exactly on an edge
+    * cannot depend on last-ulp quantile-interpolation differences
+    * between engines (lo·(1−f)+hi·f vs lo+(hi−lo)·f).
     */
   def psi(baseline: DataFrame, current: DataFrame, cols: Seq[String],
-          bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+          bins: Int = 10, eps: Double = 1e-6, edgeScale: Int = 6): DataFrame = {
     require(bins >= 2, s"psi needs at least 2 bins: $bins")
     require(cols.nonEmpty, "psi needs at least one column")
     val ps = (1 until bins).map(_.toDouble / bins)
     // edges from the BASELINE only (the monitored population is scored
     // against training-time geometry); one fused multi-column selection
-    val edges = OrderStats.quantiles(baseline, cols, ps)
+    val edges0 = OrderStats.quantiles(baseline, cols, ps)
+    val edges = edges0.map { case (c, es) =>
+      c -> es.map(e =>
+        if (e.isNaN || e.isInfinite) e
+        else BigDecimal(e).setScale(edgeScale, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
 
     // long-form (ci, bin) per frame: bin = #edges strictly below the
     // value, a codegen'd comparison sum; invalid values map to a null
@@ -73,8 +86,14 @@ object Drift {
       .select(col("ci"), col("bin"),
         coalesce(col("nb"), lit(0L)).as("nb"), coalesce(col("nc"), lit(0L)).as("nc"))
     val totals = org.apache.spark.sql.expressions.Window.partitionBy("ci")
-    val pb = greatest(col("nb").cast(DoubleType) / sum("nb").over(totals), lit(eps))
-    val pc = greatest(col("nc").cast(DoubleType) / sum("nc").over(totals), lit(eps))
+    // guard the denominators: an empty side makes its per-column total
+    // 0 and ANSI double division by zero THROWS — with the guard the
+    // proportion (hence the psi term, hence the column's psi) is null
+    // instead of an opaque job failure (same convention as chiSquare)
+    val tb = sum("nb").over(totals)
+    val tc = sum("nc").over(totals)
+    val pb = when(tb > 0, greatest(col("nb").cast(DoubleType) / tb.cast(DoubleType), lit(eps)))
+    val pc = when(tc > 0, greatest(col("nc").cast(DoubleType) / tc.cast(DoubleType), lit(eps)))
     val featureName = element_at(array(cols.map(lit): _*), col("ci") + 1)
     joined
       .select(col("ci"),
