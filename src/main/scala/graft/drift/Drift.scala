@@ -41,12 +41,23 @@ object Drift {
     * Common reading: psi < 0.1 stable, 0.1–0.25 moderate shift,
     * > 0.25 action required.
     *
-    * An EMPTY side (no valid values in a column of either frame) yields
-    * a null psi for that column rather than an ANSI division-by-zero
-    * job failure. Bin edges are rounded to `edgeScale` decimals before
+    * Every requested column emits exactly one output row: a column with
+    * no valid values in EITHER frame (or an empty side) yields a null
+    * psi rather than an ANSI division-by-zero job failure or a silently
+    * missing row. Bin edges are rounded to `edgeScale` decimals before
     * binning so the bin assignment of mass sitting exactly on an edge
     * cannot depend on last-ulp quantile-interpolation differences
-    * between engines (lo·(1−f)+hi·f vs lo+(hi−lo)·f).
+    * between engines (lo·(1−f)+hi·f vs lo+(hi−lo)·f). `edgeScale` is
+    * ABSOLUTE decimals; for a column whose inter-quantile gaps are
+    * smaller than 10^-edgeScale that rounding would merge genuinely
+    * distinct edges and silently flatten the histogram, so the scale
+    * auto-escalates (+3 at a time, up to 15) until rounding is
+    * collapse-free, falling back to raw edges for sub-1e-15 gaps.
+    * Residual cross-engine risk: a value whose exact decimal expansion
+    * ties at the rounding digit can round differently under another
+    * engine's scaled-double rounding — rare (needs a tie in the 6th
+    * decimal of a measured value) and detectable as a one-bin count
+    * diff; pin `edgeScale` higher if the data is tie-prone.
     */
   def psi(baseline: DataFrame, current: DataFrame, cols: Seq[String],
           bins: Int = 10, eps: Double = 1e-6, edgeScale: Int = 6): DataFrame = {
@@ -56,11 +67,16 @@ object Drift {
     // edges from the BASELINE only (the monitored population is scored
     // against training-time geometry); one fused multi-column selection
     val edges0 = OrderStats.quantiles(baseline, cols, ps)
+    def roundAt(es: Seq[Double], scale: Int): Seq[Double] = es.map(e =>
+      if (e.isNaN || e.isInfinite) e
+      else BigDecimal(e).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
     val edges = edges0.map { case (c, es) =>
-      c -> es.map(e =>
-        if (e.isNaN || e.isInfinite) e
-        else BigDecimal(e).setScale(edgeScale, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble)
+      val finite = es.filter(e => !e.isNaN && !e.isInfinite)
+      val want = finite.distinct.size
+      val scale = (edgeScale to 15 by 3).find(sc =>
+        roundAt(finite, sc).distinct.size == want)
+      c -> scale.map(roundAt(es, _)).getOrElse(es)
     }
 
     // long-form (ci, bin) per frame: bin = #edges strictly below the
@@ -94,13 +110,19 @@ object Drift {
     val tc = sum("nc").over(totals)
     val pb = when(tb > 0, greatest(col("nb").cast(DoubleType) / tb.cast(DoubleType), lit(eps)))
     val pc = when(tc > 0, greatest(col("nc").cast(DoubleType) / tc.cast(DoubleType), lit(eps)))
-    val featureName = element_at(array(cols.map(lit): _*), col("ci") + 1)
-    joined
+    val psiByCi = joined
       .select(col("ci"),
         ((pc - pb) * log(pc / pb)).cast(DecimalType(38, 18)).as("term"))
       .groupBy(col("ci"))
       .agg(round(sum("term").cast(DoubleType), 6).as("psi"))
-      .select(featureName.as("feature"), col("psi"))
+    // left-join against the full requested-column index: a column empty
+    // in BOTH frames has no (ci, bin) rows at all, and without this it
+    // would be silently absent from the output instead of null-psi
+    val colIdx = baseline.sparkSession
+      .createDataFrame(cols.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("ci", "feature")
+    colIdx.join(broadcast(psiByCi), Seq("ci"), "left")
+      .select(col("feature"), col("psi"))
   }
 
   /** Exact two-sample KS statistic D = sup_v |ECDF_a(v) − ECDF_b(v)|

@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions._
   * Duplicate RIGHT rows at the same (key, ts) resolve deterministically
   * to the struct-wise greatest payload (they are further ordered by the
   * payload struct); pre-deduplicate to one row per (key, ts) if a
-  * different winner is wanted.
+  * different winner is wanted. That payload tiebreak applies only when
+  * every payload type is ORDERABLE — a payload containing e.g. a
+  * MapType cannot be a sort key (Window.orderBy on it fails analysis),
+  * so such joins fall back to the two-key (ts, tag) ordering and the
+  * winner among exact (key, ts) right-duplicates is partition-order
+  * dependent; pre-deduplicate those upstream.
   *
   * The right payload travels as ONE struct, so a right row whose
   * payload FIELDS are null still registers as a match (the struct
@@ -59,8 +64,14 @@ object AsOfJoin {
     // picks the struct-wise greatest payload instead of an arbitrary
     // partition-order-dependent one. Left rows tie only among
     // themselves (all carry the same preceding __m), so their null __r
-    // is harmless.
-    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tag"), col("__r"))
+    // is harmless. Only added when the payload is orderable — sorting
+    // on a struct with a Map field fails analysis (see scaladoc).
+    val sortKeys =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(rStructType))
+        Seq(col("__ts"), col("__tag"), col("__r"))
+      else Seq(col("__ts"), col("__tag"))
+    val w = Window.partitionBy("__k").orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = r.unionByName(l)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

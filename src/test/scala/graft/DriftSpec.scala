@@ -33,6 +33,37 @@ class DriftSpec extends SparkSpec {
     assert(out("a") >= 0.0 && out("b") >= 0.0)
   }
 
+  test("psi keeps bin resolution on small-magnitude columns (edge rounding escalates)") {
+    // inter-quantile gaps ~1e-10: rounding to 6 absolute decimals would
+    // merge every edge to 0.0 and flatten the histogram to one bin,
+    // reporting psi ~0 for a blatant shift
+    val base = (1 to 1000).map(i => i * 1e-9).toDF("x")
+    val shifted = (1 to 1000).map(i => (i + 800) * 1e-9).toDF("x")
+    val hi = Drift.psi(base, shifted, Seq("x")).head().getDouble(1)
+    assert(hi > 0.25, s"small-scale shifted psi should flag, got $hi")
+    val same = (1 to 1000).map(i => i * 1e-9).toDF("x")
+    val lo = Drift.psi(base, same, Seq("x")).head().getDouble(1)
+    assert(math.abs(lo) < 0.01, s"small-scale identical psi should be ~0, got $lo")
+  }
+
+  test("psi emits a null-psi row for every requested column, even empty-in-both ones") {
+    val base = Seq[(Double, java.lang.Double)]((1.0, null), (2.0, null), (3.0, null))
+      .toDF("a", "b")
+    val cur = Seq[(Double, java.lang.Double)]((1.0, null), (4.0, null))
+      .toDF("a", "b")
+    val out = Drift.psi(base, cur, Seq("a", "b"), bins = 2).collect()
+    assert(out.length === 2)
+    val byName = out.map(r => r.getString(0) -> r).toMap
+    assert(!byName("a").isNullAt(1))
+    assert(byName("b").isNullAt(1), "all-null column must emit a null psi row")
+  }
+
+  test("psi yields null (not a job failure) on an empty current side") {
+    val base = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val cur = base.where(lit(false))
+    assert(Drift.psi(base, cur, Seq("x"), bins = 2).head().isNullAt(1))
+  }
+
   test("ks matches the hand-computed statistic on a small sample") {
     val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
     val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")

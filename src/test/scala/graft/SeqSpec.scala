@@ -104,6 +104,21 @@ class SeqSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq)
   }
 
+  test("asOf: non-orderable (MapType) payload still analyzes and joins") {
+    import graft.seq.AsOfJoin
+    val right = Seq((1L, 10L, Map("x" -> 1)), (1L, 20L, Map("y" -> 2)))
+      .toDF("k", "ts", "m")
+    val left = Seq((1L, 15L), (1L, 25L)).toDF("k", "ts")
+    // the struct tiebreak is skipped (Map is not orderable); the join
+    // itself must not fail analysis
+    val out = AsOfJoin.asOf(left, right, "k", "ts", Seq("m"))
+      .orderBy("ts").collect()
+    assert(out(0).getLong(2) == 10L &&
+      out(0).getMap[String, Int](3) == Map("x" -> 1))
+    assert(out(1).getLong(2) == 20L &&
+      out(1).getMap[String, Int](3) == Map("y" -> 2))
+  }
+
   test("asOf: tolerance discards stale matches; null payload still matches") {
     import graft.seq.AsOfJoin
     val right = Seq((1L, 10L, Some("a")), (1L, 50L, None)).toDF("k", "ts", "v")
