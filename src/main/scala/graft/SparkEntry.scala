@@ -1026,12 +1026,20 @@ object SparkEntry {
     * windows. Fit on a deterministic pool, score distributed.
     */
   private def qSeqAeScore(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the sliding-window frame (scan + window shuffle) feeds
+    // BOTH the fit-pool TakeOrdered and the scoring pass — without the
+    // cache the whole window computation runs twice (q35/q39 pattern);
+    // pruned to the fit/score/report columns so the cached bytes stay
+    // lean (retention-bounded via Caches)
     val seqs = graft.seq.Sequencer
       .slidingSequences(ev(s, dir), Seq("user_id"), seqOrder, col("value"), seqT)
       .withColumn("features", col("seq").cast("array<double>"))
       .withColumn("seq_key",
         col("user_id").cast("long") * 1000000L + col("row_id"))
+      .select(col("user_id"), col("row_id"), col("seq_key"), col("features"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = graft.score.LinearAE.fit(seqs, "seq_key", "features", k = 2)
+    graft.core.Caches.retain("entry.q44", seqs)
     model.transform(seqs, "features", "recon_error")
       .select(col("user_id"), col("row_id"),
         round(col("recon_error"), 6).as("recon_error"))
@@ -1047,6 +1055,83 @@ object SparkEntry {
         round(Stats.dvarSamp(col("l_quantity")), 6).as("var_samp_qty"),
         round(Stats.dstddevSamp(col("l_discount")), 6).as("std_disc"))
       .orderBy("l_returnflag")
+
+  /** A13'' — full ROC-curve export (the reference's headline evaluation
+    * artifact: the fpr/tpr arrays it plots, `lib/utils.py:117-151`,
+    * `app/AE_model.py:294-319`), via the distributed prefix scan — one
+    * row per distinct score, no single-partition window anywhere.
+    */
+  private def qRocCurve(s: SparkSession, dir: String): DataFrame = {
+    val d = li(s, dir)
+      .withColumn("label", when(col("l_returnflag") === "R", 1).otherwise(0))
+    Metrics.rocCurve(d, "label", "l_quantity")
+      .select(col("score"), round(col("tpr"), 6).as("tpr"),
+        round(col("fpr"), 6).as("fpr"))
+      .orderBy("score")
+  }
+
+  /** A13'' binned — the ROC curve's scale path for continuous scores:
+    * quantile-bucketed, one row per bin instead of per distinct score.
+    */
+  private def qBinnedRocCurve(s: SparkSession, dir: String): DataFrame = {
+    val d = li(s, dir)
+      .withColumn("label", when(col("l_returnflag") === "R", 1).otherwise(0))
+    Metrics.binnedRocCurve(d, "label", "l_extendedprice", bins = 20)
+      .select(col("bin").cast("long").as("bin"), round(col("tpr"), 6).as("tpr"),
+        round(col("fpr"), 6).as("fpr"))
+      .orderBy("bin")
+  }
+
+  /** R4' — deterministic stratified sampling (hash-bucketed per-class
+    * fractions, the oracle-checkable twin of RNG `sampleBy`), verified
+    * via per-class aggregates of the sampled set.
+    */
+  private def qStratSample(s: SparkSession, dir: String): DataFrame =
+    graft.aug.Sampling.hashStratifiedSample(li(s, dir), "l_returnflag",
+        "l_orderkey", Map("A" -> 0.05, "N" -> 0.25, "R" -> 0.5), seed = 42L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(Stats.dsum(col("l_extendedprice")), 4).as("sum_price"))
+      .orderBy("l_returnflag")
+
+  /** P3'/J2' — feature-dimension guard + zero-pad (`app/test_AE.py:
+    * 138-165`): a "test-time" frame assembled with only 3 of the 5
+    * training features is padded back to the training width; the
+    * position-weighted checksum proves pad values AND positions (a
+    * truncation or left-pad would shift the weights).
+    */
+  private def qDimPad(s: SparkSession, dir: String): DataFrame = {
+    val narrow = li(s, dir).withColumn("features",
+      array(Seq("l_quantity", "l_extendedprice", "l_discount")
+        .map(c => col(c).cast(DoubleType)): _*))
+    val padded = graft.core.SchemaAlign.padFeatures(narrow, "features", dim = 5)
+    val weighted = (1 to 5)
+      .map(i => element_at(col("features"), i) * lit(i.toDouble))
+      .reduce(_ + _)
+    padded.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(Stats.dsum(weighted), 4).as("checksum"),
+        max(size(col("features"))).cast("long").as("dim"))
+      .orderBy("l_returnflag")
+  }
+
+  /** MM' — REAL image-container metadata decode (PNG/JPEG/GIF header
+    * bytes → dimensions + bit depth, pure byte arithmetic, no codec):
+    * synthetic headers built from doc_id round-trip through the parser
+    * and are checked against a known-answer oracle. Pixel decode stays
+    * the documented stub (q37 covers the byte-level plumbing).
+    */
+  private def qImageMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).select(col("doc_id"))
+      .withColumn("img", Binary.synthHeaderCol(col("doc_id")))
+      .select(col("doc_id"), Binary.imageMetaCol(col("img")).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.width").cast("long").as("width"),
+        col("m.height").cast("long").as("height"),
+        col("m.bit_depth").cast("long").as("bit_depth"))
+      .orderBy("doc_id")
+  }
 
   // ----------------------------------------------------------------- //
 
@@ -1126,7 +1211,12 @@ object SparkEntry {
     "q66_rolling_feats" -> (qRollingFeats _),
     "q67_corr_matrix" -> (qCorrMatrix _),
     "q68_robust_scale" -> (qRobustScale _),
-    "q69_grouped_quantiles" -> (qGroupedQuantiles _)
+    "q69_grouped_quantiles" -> (qGroupedQuantiles _),
+    "q70_roc_curve" -> (qRocCurve _),
+    "q71_binned_roc_curve" -> (qBinnedRocCurve _),
+    "q72_strat_sample" -> (qStratSample _),
+    "q73_dim_pad" -> (qDimPad _),
+    "q74_image_meta" -> (qImageMeta _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -1865,6 +1955,67 @@ object SparkEntry {
         |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) FROM lineitem GROUP BY l_returnflag
         |  UNION ALL SELECT l_returnflag, CAST(0.95 AS DOUBLE),
         |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) FROM lineitem GROUP BY l_returnflag)
-        | ORDER BY l_returnflag, p""".stripMargin.replaceAll("\n", " ")
+        | ORDER BY l_returnflag, p""".stripMargin.replaceAll("\n", " "),
+    "q70_roc_curve" ->
+      """WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |   CAST(l_quantity AS DOUBLE) AS s FROM lineitem
+        |   WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))),
+        | per AS (SELECT s AS score, count(*) FILTER (WHERE y = 1) AS pos,
+        |   count(*) FILTER (WHERE y = 0) AS neg FROM d GROUP BY s),
+        | tot AS (SELECT CAST(sum(pos) AS DOUBLE) AS p, CAST(sum(neg) AS DOUBLE) AS n FROM per),
+        | c AS (SELECT score, sum(pos) OVER w AS ctp, sum(neg) OVER w AS cfp FROM per
+        |   WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING))
+        | SELECT score, round(CAST(ctp AS DOUBLE) / p, 6) AS tpr,
+        |   round(CAST(cfp AS DOUBLE) / n, 6) AS fpr
+        | FROM c, tot ORDER BY score""".stripMargin.replaceAll("\n", " "),
+    "q71_binned_roc_curve" -> {
+      val ps = (1 until 20).map(_.toDouble / 20)
+      val qcols = ps.zipWithIndex.map { case (p, i) =>
+        s"quantile_cont(s, $p) AS t$i"
+      }.mkString(", ")
+      val binExpr = ps.indices.map(i => s"CASE WHEN s > t$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         |   CAST(l_extendedprice AS DOUBLE) AS s FROM lineitem),
+         | q AS (SELECT $qcols FROM d),
+         | b AS (SELECT y, ($binExpr) AS bin FROM d, q),
+         | pb AS (SELECT bin, count(*) FILTER (WHERE y = 1) AS pos,
+         |   count(*) FILTER (WHERE y = 0) AS neg FROM b GROUP BY bin),
+         | tot AS (SELECT CAST(count(*) FILTER (WHERE y = 1) AS DOUBLE) AS p,
+         |   CAST(count(*) FILTER (WHERE y = 0) AS DOUBLE) AS n FROM d)
+         | SELECT CAST(bin AS BIGINT) AS bin,
+         |   round(CAST(sum(pos) OVER w AS DOUBLE) / p, 6) AS tpr,
+         |   round(CAST(sum(neg) OVER w AS DOUBLE) / n, 6) AS fpr
+         | FROM pb, tot WINDOW w AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+         | ORDER BY bin""".stripMargin.replaceAll("\n", " ")
+    },
+    "q72_strat_sample" -> {
+      import graft.aug.Sampling.{Sql => Smp}
+      s"""SELECT l_returnflag, count(*) AS n,
+         | round(${dsumSql("l_extendedprice")}, 4) AS sum_price
+         | FROM lineitem
+         | WHERE ${Smp.stratPred("l_orderkey", "l_returnflag",
+        Map("A" -> 0.05, "N" -> 0.25, "R" -> 0.5), 42L)}
+         | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q73_dim_pad" -> {
+      val weighted = "CAST(l_quantity AS DOUBLE) * 1.0" +
+        " + CAST(l_extendedprice AS DOUBLE) * 2.0" +
+        " + CAST(l_discount AS DOUBLE) * 3.0"
+      s"""SELECT l_returnflag, count(*) AS n,
+         | round(${dsumSql(s"($weighted)")}, 4) AS checksum,
+         | CAST(5 AS BIGINT) AS dim
+         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q74_image_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |  CAST(doc_id % 1920 + 1 AS BIGINT) AS width,
+        |  CAST(doc_id % 1080 + 1 AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END)
+        |    WHEN doc_id % 3 = 1 THEN 8 ELSE doc_id % 8 + 1 END AS BIGINT) AS bit_depth
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

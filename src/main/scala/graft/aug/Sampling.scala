@@ -45,6 +45,26 @@ object Sampling {
                        fractions: Map[Any, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(classCol, fractions, seed)
 
+  /** Deterministic stratified sample — [[hashSample]]'s per-class form
+    * of `sampleBy` (reference R4, `app/data_augmentation_enhanced
+    * .py:221-241`): keep a row iff its key bucket falls below
+    * fraction(class)·M. Classes absent from `fractions` are dropped
+    * (sampleBy semantics). Reproducible across engines/partitionings/
+    * retries — which is what makes the per-class counts oracle-checkable
+    * where RNG `sampleBy` is rows-only — and join-stable: a key keeps
+    * one global bucket, so per-class splits stay consistent with any
+    * other hash-sampled view of the same keys.
+    */
+  def hashStratifiedSample(df: DataFrame, classCol: String, keyCol: String,
+                           fractions: Map[String, Double],
+                           seed: Long = 42L): DataFrame = {
+    require(fractions.nonEmpty, "hashStratifiedSample needs fractions")
+    val thr = fractions.foldLeft(lit(0L)) { case (acc, (k, f)) =>
+      when(col(classCol) === lit(k), lit((f * M).toLong)).otherwise(acc)
+    }
+    df.where(keyBucket(col(keyCol), seed) < thr)
+  }
+
   /** Seeded full shuffle (reference R3: `sample(frac=1, random_state)`).
     * A total order by rand(seed) — one range-partitioned sort at scale.
     */
@@ -57,5 +77,12 @@ object Sampling {
       s"((((CAST($key AS BIGINT) * 2654435761 + $seed * 40503) % $P) + $P) % $P) % ${M}"
     def samplePred(key: String, fraction: Double, seed: Long): String =
       s"${keyBucket(key, seed)} < ${(fraction * M).toLong}"
+    def stratPred(key: String, classCol: String,
+                  fractions: Map[String, Double], seed: Long): String = {
+      val whens = fractions.toSeq.sortBy(_._1).map { case (k, f) =>
+        s"WHEN '$k' THEN ${(f * M).toLong}"
+      }.mkString(" ")
+      s"${keyBucket(key, seed)} < (CASE $classCol $whens ELSE 0 END)"
+    }
   }
 }

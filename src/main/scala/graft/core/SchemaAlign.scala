@@ -39,4 +39,29 @@ object SchemaAlign {
       (acc, f) => acc.withColumn(f.name, col(f.name).cast(IntegerType))
     }
   }
+
+  /** Feature-dimension guard + zero-pad for an assembled array-feature
+    * column — the reference detects a train/test feature-dim mismatch
+    * and zero-pads the narrow side up to the training width
+    * (`app/test_AE.py:138-165`). A row whose array is WIDER than `dim`
+    * fails loudly (`raise_error`): silently truncating features would
+    * corrupt every downstream score. Null arrays pass through null (the
+    * validity predicate decides their fate, not the pad). Pure per-row
+    * projection — codegen'd, no shuffle, no job to plan the guard.
+    */
+  def padFeatures(df: DataFrame, featCol: String, dim: Int,
+                  pad: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.functions.{array_repeat, concat, lit => flit,
+      raise_error, size, when => fwhen, concat_ws}
+    val c = col(featCol)
+    val sz = size(c)
+    df.withColumn(featCol,
+      fwhen(c.isNull, c)
+        .when(sz === dim, c)
+        .when(sz < dim,
+          concat(c, array_repeat(flit(pad), flit(dim) - sz)))
+        .otherwise(raise_error(concat_ws("",
+          flit(s"feature dim mismatch in '$featCol': got "),
+          sz.cast("string"), flit(s", expected <= $dim")))))
+  }
 }

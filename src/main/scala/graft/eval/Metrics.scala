@@ -172,6 +172,56 @@ object Metrics {
     (spark.createDataFrame(rows, schema), ap, an)
   }
 
+  /** Full ROC curve (score, tpr, fpr) — the reference's headline
+    * evaluation artifact (the fpr/tpr arrays it plots,
+    * `lib/utils.py:117-151`, `app/AE_model.py:294-319`) — computed from
+    * the distributed two-phase prefix scan instead of [[rocPoints]]'s
+    * single-partition global window: at threshold s (predict positive
+    * when score ≥ s), tp = P − cum_pos_below(s), so the curve is a
+    * projection of [[prefixScoreCounts]] with NO window anywhere — the
+    * 100 TB exact-curve path. One row per distinct score; for
+    * continuous (near-unique) scores use [[binnedRocCurve]].
+    */
+  def rocCurve(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val (pc, pTot, nTot) = prefixScan(df, labelCol, scoreCol)
+    require(pTot > 0 && nTot > 0,
+      s"rocCurve needs both classes present: P=$pTot N=$nTot")
+    pc.select(col("score"),
+      ((lit(pTot) - col("cum_pos_below")).cast("double") / lit(pTot.toDouble)).as("tpr"),
+      ((lit(nTot) - col("cum_neg_below")).cast("double") / lit(nTot.toDouble)).as("fpr"))
+  }
+
+  /** Quantile-binned ROC curve — [[rocCurve]]'s scale path for
+    * continuous scores (same binning as [[binnedRocAuc]]): one (bin,
+    * tpr, fpr) row per score-quantile bucket, cumulated from the
+    * highest bin down. The bin table is ≤ bins+1 rows, so the
+    * cumulative window is driver-trivial while every full-data pass
+    * stays a codegen'd aggregate.
+    */
+  def binnedRocCurve(df: DataFrame, labelCol: String, scoreCol: String,
+                     bins: Int = 20): DataFrame = {
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val ts = graft.core.Quantiles.exactQuantiles(df, scoreCol, ps).distinct
+    val y = col(labelCol).cast("int")
+    val s = col(scoreCol).cast("double")
+    val bin = ts.map(t => when(s > lit(t), 1).otherwise(0)).reduce(_ + _)
+    val agged = df.groupBy(bin.as("bin"))
+      .agg(count(when(y === 1, 1)).as("pos"), count(when(y === 0, 1)).as("neg"))
+    val perBinRows = agged.collect()
+    val (pTot, nTot) = (perBinRows.map(_.getLong(1)).sum, perBinRows.map(_.getLong(2)).sum)
+    require(pTot > 0 && nTot > 0,
+      s"binnedRocCurve needs both classes present: P=$pTot N=$nTot")
+    val spark = df.sparkSession
+    val perBin = spark.createDataFrame(
+      spark.sparkContext.parallelize(perBinRows.toIndexedSeq, 1), agged.schema)
+    val w = Window.orderBy(desc("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBin
+      .select(col("bin"),
+        (sum("pos").over(w).cast("double") / lit(pTot.toDouble)).as("tpr"),
+        (sum("neg").over(w).cast("double") / lit(nTot.toDouble)).as("fpr"))
+  }
+
   /** Exact AUC via the tie-corrected rank-sum (Mann–Whitney) identity —
     * equal to the trapezoid over the tie-collapsed ROC, but with an
     * INTEGER-EXACT numerator and no window at all:

@@ -92,4 +92,22 @@ class AugSpec extends SparkSpec {
     val maxReal = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0)
     assert(out.where(col("vec_id") > maxReal).count() == 15)
   }
+
+  test("hashStratifiedSample: per-class fractions, unlisted classes dropped") {
+    import spark.implicits._
+    val s = Sampling.hashStratifiedSample(li, "l_returnflag", "l_orderkey",
+      Map("R" -> 0.5, "N" -> 0.1), 42L)
+    val counts = s.groupBy("l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    assert(!counts.contains("A"), "class without a fraction must be dropped")
+    val totals = li.groupBy("l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("R") > totals("R") * 0.3 && counts("R") < totals("R") * 0.7)
+    assert(counts("N") < totals("N") * 0.3)
+    // per-class stratum == the single-fraction hash sample restricted to
+    // that class (same key bucket): strata stay join-consistent
+    val viaGlobal = Sampling.hashSample(
+      li.where(col("l_returnflag") === "R"), "l_orderkey", 0.5, 42L).count()
+    assert(counts("R") == viaGlobal)
+  }
 }

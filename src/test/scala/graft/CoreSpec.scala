@@ -104,4 +104,25 @@ class CoreSpec extends SparkSpec {
     // x~y over rows 1-3 only: perfectly linear
     assert(math.abs(m(("x", "y")) - 1.0) < 1e-12)
   }
+
+  test("SchemaAlign.padFeatures zero-pads narrow arrays, keeps exact, nulls pass") {
+    val df = Seq((1, Seq(1.0, 2.0)), (2, Seq(1.0, 2.0, 3.0))).toDF("id", "features")
+    val out = SchemaAlign.padFeatures(df, "features", 3).orderBy("id")
+      .collect().map(_.getSeq[Double](1))
+    assert(out(0) == Seq(1.0, 2.0, 0.0))
+    assert(out(1) == Seq(1.0, 2.0, 3.0))
+    val withNull = Seq((1, Option.empty[Seq[Double]])).toDF("id", "features")
+    assert(SchemaAlign.padFeatures(withNull, "features", 3).head().isNullAt(1))
+  }
+
+  test("SchemaAlign.padFeatures fails loudly on wider-than-dim arrays") {
+    val wide = Seq((1, Seq(1.0, 2.0, 3.0, 4.0))).toDF("id", "features")
+    val e = intercept[Throwable] {
+      SchemaAlign.padFeatures(wide, "features", 3).collect()
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("feature dim mismatch"),
+      s"expected a loud dim-mismatch error, got: $chain")
+  }
 }

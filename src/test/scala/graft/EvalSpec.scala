@@ -100,4 +100,33 @@ class EvalSpec extends SparkSpec {
     val flagged = out.filter($"is_anomaly").select("id").collect().map(_.getLong(0))
     assert(flagged.contains(999L))
   }
+
+  test("rocCurve matches hand-computed tpr/fpr per distinct score") {
+    // pos scores {3,2}, neg scores {2,1}; thresholds = distinct scores
+    val df = Seq((1, 3.0), (1, 2.0), (0, 2.0), (0, 1.0)).toDF("y", "s")
+    val out = Metrics.rocCurve(df, "y", "s").orderBy(desc("score"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((3.0, 0.5, 0.0), (2.0, 1.0, 0.5), (1.0, 1.0, 1.0)))
+    // layout-proof: identical on a different partitioning
+    val shuffled = Metrics.rocCurve(df.repartition(7), "y", "s")
+      .orderBy(desc("score"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(shuffled.toSeq == out.toSeq)
+  }
+
+  test("binnedRocCurve is monotone and reaches (1,1) at the lowest bin") {
+    val df = (1 to 200).map(i => (if (i > 120) 1 else 0, i.toDouble))
+      .toDF("y", "s")
+    val out = Metrics.binnedRocCurve(df, "y", "s", bins = 5)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.head._1 == 0 && out.head._2 == 1.0 && out.head._3 == 1.0)
+    // cumulated from the top bin down: tpr/fpr non-increasing in bin
+    out.sliding(2).foreach { case Array((_, t1, f1), (_, t2, f2)) =>
+      assert(t1 >= t2 && f1 >= f2)
+    }
+    out.foreach { case (_, t, f) =>
+      assert(t >= 0.0 && t <= 1.0 && f >= 0.0 && f <= 1.0)
+    }
+  }
 }

@@ -69,4 +69,38 @@ class MultimodalSpec extends SparkSpec {
       Seq(0.25, 0.5, 0.75)).head
     assert(best.getAs[Double]("p") == 0.5)
   }
+
+  test("parseImageMeta round-trips png/jpeg/gif headers, rejects garbage") {
+    assert(Binary.parseImageMeta(Binary.pngHeader(640, 480, 16))
+      .contains(Binary.ImageMeta("png", 640, 480, 16)))
+    assert(Binary.parseImageMeta(Binary.jpegHeader(1920, 1080))
+      .contains(Binary.ImageMeta("jpeg", 1920, 1080, 8)))
+    assert(Binary.parseImageMeta(Binary.gifHeader(320, 200, 5))
+      .contains(Binary.ImageMeta("gif", 320, 200, 5)))
+    assert(Binary.parseImageMeta("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Binary.parseImageMeta(Array[Byte](0x89.toByte, 'P')).isEmpty)
+    // the jpeg marker walk must skip arbitrary segments before SOF:
+    // splice a COM segment between SOI and APP0
+    val j = Binary.jpegHeader(10, 20)
+    val com = Array[Byte](0xff.toByte, 0xfe.toByte, 0, 4, 'h', 'i')
+    assert(Binary.parseImageMeta(j.take(2) ++ com ++ j.drop(2))
+      .contains(Binary.ImageMeta("jpeg", 10, 20, 8)))
+    // truncated jpeg (SOI + APP0 only, no SOF) parses to None, not a crash
+    assert(Binary.parseImageMeta(j.take(20)).isEmpty)
+  }
+
+  test("imageMetaCol surfaces parsed header fields as a typed struct column") {
+    val df = Seq(0L, 1L, 2L, 300L).toDF("id")
+      .withColumn("img", Binary.synthHeaderCol(col("id")))
+      .select(col("id"), Binary.imageMetaCol(col("img")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"),
+        col("m.bit_depth"))
+      .orderBy("id").collect()
+    assert(df(0).getString(1) == "png" && df(0).getInt(2) == 1 &&
+      df(0).getInt(3) == 1 && df(0).getInt(4) == 8)
+    assert(df(1).getString(1) == "jpeg" && df(1).getInt(2) == 2)
+    assert(df(2).getString(1) == "gif" && df(2).getInt(4) == 3)
+    assert(df(3).getString(1) == "png" && df(3).getInt(2) == 301 &&
+      df(3).getInt(4) == 8)
+  }
 }
