@@ -14,10 +14,13 @@ object Bench {
     // isn't charged ~3s of JVM warmup
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .agg(org.apache.spark.sql.functions.sum("l_quantity")).collect()
-    // best-of-N (default 2): one shared-JVM run carries multi-second
+    // best-of-N (default 3): one shared-JVM run carries multi-second
     // GC/JIT noise per query; the minimum is the standard steady-state
-    // throughput estimate
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // throughput estimate. ALL per-run times are emitted alongside the
+    // min so a noisy session is visible in the artifact itself (a 4 s
+    // recording of a 1 s query shows up as [4.1, 1.0, 1.1], not as a
+    // silent regression).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
@@ -31,19 +34,24 @@ object Bench {
       }
       // a query with no successful run is reported as -1, never as a
       // (fast) failure wall time, and lands in the `failed` list
-      if (times.isEmpty) { failed += name; name -> -1.0 }
-      else name -> times.min
+      if (times.isEmpty) { failed += name; name -> (-1.0, times) }
+      else name -> (times.min, times)
     }.toMap
     // times rounded to ms and the headline total emitted BEFORE the
     // per-query map: the driver's capture window can truncate the tail
     // of a long line, and the total must survive truncation
     def ms(v: Double): Double = math.round(v * 1000) / 1000.0
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+      .map { case (k, (v, _)) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = ms(results.values.filter(_ >= 0).sum)
+    val runsJson = results.toSeq.sortBy(_._1)
+      .map { case (k, (_, ts)) =>
+        s"\"" + k + "\":" + ts.map(ms).mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
+    val total = ms(results.values.map(_._1).filter(_ >= 0).sum)
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs,"runs":$runsJson}""")
     spark.stop()
   }
 }

@@ -200,26 +200,46 @@ object Metrics {
     */
   def binnedRocCurve(df: DataFrame, labelCol: String, scoreCol: String,
                      bins: Int = 20): DataFrame = {
-    val ps = (1 until bins).map(_.toDouble / bins)
-    val ts = graft.core.Quantiles.exactQuantiles(df, scoreCol, ps).distinct
-    val y = col(labelCol).cast("int")
-    val s = col(scoreCol).cast("double")
-    val bin = ts.map(t => when(s > lit(t), 1).otherwise(0)).reduce(_ + _)
-    val agged = df.groupBy(bin.as("bin"))
-      .agg(count(when(y === 1, 1)).as("pos"), count(when(y === 0, 1)).as("neg"))
-    val perBinRows = agged.collect()
-    val (pTot, nTot) = (perBinRows.map(_.getLong(1)).sum, perBinRows.map(_.getLong(2)).sum)
+    val (perBinRows, schema, pTot, nTot) = binnedCounts(df, labelCol, scoreCol, bins)
     require(pTot > 0 && nTot > 0,
       s"binnedRocCurve needs both classes present: P=$pTot N=$nTot")
     val spark = df.sparkSession
     val perBin = spark.createDataFrame(
-      spark.sparkContext.parallelize(perBinRows.toIndexedSeq, 1), agged.schema)
+      spark.sparkContext.parallelize(perBinRows.toIndexedSeq, 1), schema)
     val w = Window.orderBy(desc("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perBin
       .select(col("bin"),
         (sum("pos").over(w).cast("double") / lit(pTot.toDouble)).as("tpr"),
         (sum("neg").over(w).cast("double") / lit(nTot.toDouble)).as("fpr"))
+  }
+
+  /** Shared bin table for the binned-ROC family ([[binnedRocAuc]],
+    * [[binnedRocCurve]]): a slim (y, s) projection is cached
+    * (retention-bounded via [[graft.core.Caches]]) so that curve + AUC
+    * calls over the same input share ONE scan — the second call's
+    * identical projection plan is served from the cache by Spark's
+    * CacheManager `sameResult` matching, and the quantile-selection
+    * histogram passes read the cached projection instead of re-scanning
+    * the source. Returns (bin rows, schema, P, N); the bin table itself
+    * is ≤ bins+1 rows collected to the driver, keeping the downstream
+    * cumulative window off the distributed plan entirely.
+    */
+  private def binnedCounts(df: DataFrame, labelCol: String, scoreCol: String,
+                           bins: Int): (Array[org.apache.spark.sql.Row],
+                            org.apache.spark.sql.types.StructType, Long, Long) = {
+    val slim = df.select(col(labelCol).cast("int").as("y"),
+        col(scoreCol).cast("double").as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val ts = graft.core.Quantiles.exactQuantiles(slim, "s", ps).distinct
+    val bin = ts.map(t => when(col("s") > lit(t), 1).otherwise(0)).reduce(_ + _)
+    val agged = slim.groupBy(bin.as("bin"))
+      .agg(count(when(col("y") === 1, 1)).as("pos"),
+        count(when(col("y") === 0, 1)).as("neg"))
+    val rows = agged.collect()
+    graft.core.Caches.retain("metrics.binnedRoc", slim)
+    (rows, agged.schema, rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
   }
 
   /** Exact AUC via the tie-corrected rank-sum (Mann–Whitney) identity —
@@ -275,23 +295,14 @@ object Metrics {
   def binnedRocAuc(df: DataFrame, labelCol: String, scoreCol: String,
                    bins: Int = 20): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val ps = (1 until bins).map(_.toDouble / bins)
-    val ts = graft.core.Quantiles.exactQuantiles(df, scoreCol, ps).distinct
-    val y = col(labelCol).cast("int")
-    val s = col(scoreCol).cast("double")
-    val bin = ts.map(t => when(s > lit(t), 1).otherwise(0)).reduce(_ + _)
-    // ONE aggregate pass: the bin table is collected (≤ bins+1 rows) and
-    // the grand totals are its integer-exact column sums — a separate
-    // full-input counting scan would triple the data passes, and the
-    // tiny local bin table also keeps the downstream window off the
-    // distributed plan entirely
-    val agged = df.groupBy(bin.as("bin"))
-      .agg(count(when(y === 1, 1)).as("pos"), count(when(y === 0, 1)).as("neg"))
-    val perBinRows = agged.collect()
-    val (pTot, nTot) = (perBinRows.map(_.getLong(1)).sum, perBinRows.map(_.getLong(2)).sum)
+    // ONE aggregate pass over the shared cached projection (see
+    // binnedCounts): grand totals are the bin table's integer-exact
+    // column sums — a separate full-input counting scan would triple
+    // the data passes
+    val (perBinRows, schema, pTot, nTot) = binnedCounts(df, labelCol, scoreCol, bins)
     val spark = df.sparkSession
     val perBin = spark.createDataFrame(
-      spark.sparkContext.parallelize(perBinRows.toIndexedSeq, 1), agged.schema)
+      spark.sparkContext.parallelize(perBinRows.toIndexedSeq, 1), schema)
     val w = Window.orderBy(desc("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wl = Window.orderBy(asc("fpr"), asc("tpr"))
