@@ -59,43 +59,57 @@ object Drift {
     * decimal of a measured value) and detectable as a one-bin count
     * diff; pin `edgeScale` higher if the data is tie-prone.
     */
-  def psi(baseline: DataFrame, current: DataFrame, cols: Seq[String],
-          bins: Int = 10, eps: Double = 1e-6, edgeScale: Int = 6): DataFrame = {
-    require(bins >= 2, s"psi needs at least 2 bins: $bins")
-    require(cols.nonEmpty, "psi needs at least one column")
+  /** Quantile bin index of `v` against `es` (count of edges strictly
+    * below the value, codegen'd comparison sum); invalid values map to
+    * a null bin. Shared by batch PSI and the streaming PSI monitor.
+    */
+  private[graft] def binIndex(v: Column, es: Seq[Double]): Column = {
+    val idx = es.map(e => when(v > lit(e), 1).otherwise(0)).reduce(_ + _)
+    when(v.isNotNull && !isnan(v), idx)
+  }
+
+  /** Baseline bin edges: (1..bins−1)/bins quantiles per column via the
+    * fused distributed order-statistic selection, rounded with the
+    * collapse-free escalation documented on [[psi]], deduplicated.
+    */
+  private def psiEdges(baseline: DataFrame, cols: Seq[String], bins: Int,
+                       edgeScale: Int): Map[String, Seq[Double]] = {
     val ps = (1 until bins).map(_.toDouble / bins)
-    // edges from the BASELINE only (the monitored population is scored
-    // against training-time geometry); one fused multi-column selection
     val edges0 = OrderStats.quantiles(baseline, cols, ps)
     def roundAt(es: Seq[Double], scale: Int): Seq[Double] = es.map(e =>
       if (e.isNaN || e.isInfinite) e
       else BigDecimal(e).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
         .toDouble)
-    val edges = edges0.map { case (c, es) =>
+    edges0.map { case (c, es) =>
       val finite = es.filter(e => !e.isNaN && !e.isInfinite)
       val want = finite.distinct.size
       val scale = (edgeScale to 15 by 3).find(sc =>
         roundAt(finite, sc).distinct.size == want)
-      c -> scale.map(roundAt(es, _)).getOrElse(es)
+      c -> scale.map(roundAt(es, _)).getOrElse(es).distinct
     }
+  }
 
-    // long-form (ci, bin) per frame: bin = #edges strictly below the
-    // value, a codegen'd comparison sum; invalid values map to a null
-    // bin and drop out. ONE map stage + one tiny-key aggregate.
-    def binned(df: DataFrame, side: String): DataFrame = {
-      val binCols: Seq[Column] = cols.map { c =>
-        val v = col(c).cast(DoubleType)
-        val es = edges(c).distinct
-        val idx = es.map(e => when(v > lit(e), 1).otherwise(0)).reduce(_ + _)
-        when(v.isNotNull && !isnan(v), idx)
-      }
-      df.select(posexplode(array(binCols: _*)).as(Seq("ci", "bin")))
-        .where(col("bin").isNotNull)
-        .groupBy("ci", "bin").agg(count(lit(1)).as(side))
-    }
+  /** Long-form (ci, bin, count) for one frame — ONE map stage + one
+    * tiny-key aggregate (≤ cols × bins output rows).
+    */
+  private def binnedCounts(df: DataFrame, side: String, cols: Seq[String],
+                           edges: Map[String, Seq[Double]]): DataFrame = {
+    val binCols: Seq[Column] =
+      cols.map(c => binIndex(col(c).cast(DoubleType), edges(c)))
+    df.select(posexplode(array(binCols: _*)).as(Seq("ci", "bin")))
+      .where(col("bin").isNotNull)
+      .groupBy("ci", "bin").agg(count(lit(1)).as(side))
+  }
 
-    val b = binned(baseline, "nb")
-    val c = binned(current, "nc")
+  def psi(baseline: DataFrame, current: DataFrame, cols: Seq[String],
+          bins: Int = 10, eps: Double = 1e-6, edgeScale: Int = 6): DataFrame = {
+    require(bins >= 2, s"psi needs at least 2 bins: $bins")
+    require(cols.nonEmpty, "psi needs at least one column")
+    // edges from the BASELINE only (the monitored population is scored
+    // against training-time geometry); one fused multi-column selection
+    val edges = psiEdges(baseline, cols, bins, edgeScale)
+    val b = binnedCounts(baseline, "nb", cols, edges)
+    val c = binnedCounts(current, "nc", cols, edges)
     // per-column totals from the bin tables themselves (≤ cols×bins
     // rows) — no extra full-input pass
     val joined = b.join(c, Seq("ci", "bin"), "full_outer")
@@ -123,6 +137,48 @@ object Drift {
       .toDF("ci", "feature")
     colIdx.join(broadcast(psiByCi), Seq("ci"), "left")
       .select(col("feature"), col("psi"))
+  }
+
+  /** Training-time PSI geometry, frozen for monitoring: per-column
+    * deduplicated bin edges plus smoothed baseline bin proportions.
+    * Fit ONCE on the (static) training frame, then score any number of
+    * serving batches/windows against it — batch via the proportions
+    * directly, streaming via [[graft.streaming.StreamOps.streamingPsi]]
+    * (edges and proportions ride into the stream as literals: no
+    * stream-side join, no state beyond the windowed counts).
+    */
+  final case class PsiBaseline(cols: Seq[String],
+                               edges: Map[String, Seq[Double]],
+                               props: Map[String, Seq[Double]])
+
+  /** Fit the frozen PSI baseline: quantile edges (same collapse-free
+    * rounding as [[psi]]) and per-bin proportions (zero-count bins
+    * smoothed to `eps`, the same convention [[psi]] applies to the
+    * current side). Fails loudly on a column with no valid values —
+    * a baseline that can't define geometry should not silently emit
+    * null monitoring forever after.
+    */
+  def fitPsiBaseline(baseline: DataFrame, cols: Seq[String], bins: Int = 10,
+                     eps: Double = 1e-6, edgeScale: Int = 6): PsiBaseline = {
+    require(bins >= 2, s"fitPsiBaseline needs at least 2 bins: $bins")
+    require(cols.nonEmpty, "fitPsiBaseline needs at least one column")
+    val edges = psiEdges(baseline, cols, bins, edgeScale)
+    val rows = binnedCounts(baseline, "nb", cols, edges).collect()
+    val byCol: Map[Int, Map[Int, Long]] = rows
+      .groupBy(_.getInt(0))
+      .map { case (ci, rs) =>
+        ci -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      }
+    val props = cols.zipWithIndex.map { case (c, ci) =>
+      val m = byCol.getOrElse(ci, Map.empty[Int, Long])
+      val total = m.values.sum
+      require(total > 0L,
+        s"fitPsiBaseline: baseline column '$c' has no valid values")
+      val nBins = edges(c).size + 1
+      c -> (0 until nBins).map(b =>
+        math.max(m.getOrElse(b, 0L).toDouble / total, eps)).toSeq
+    }.toMap
+    PsiBaseline(cols, edges, props)
   }
 
   /** Exact two-sample KS statistic D = sup_v |ECDF_a(v) − ECDF_b(v)|

@@ -20,7 +20,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    incremental scoring with zero operator changes;
   *  - [[runningMaxPerKey]] — custom keyed state via mapGroupsWithState
   *    (per-series cumulative extremes, the stateful primitive the
-  *    sliding-sequence operators need in streaming form).
+  *    sliding-sequence operators need in streaming form);
+  *  - [[streamingPsi]] — continuous drift monitoring: PSI per
+  *    event-time window against a frozen training baseline.
   *
   * Scale: watermarks bound state; per-key state is O(distinct keys);
   * foreachBatch inherits the batch operators' shuffle/broadcast shapes.
@@ -88,6 +90,61 @@ object StreamOps {
   def enrich(stream: DataFrame, dim: DataFrame,
              joinCols: Seq[String]): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), joinCols)
+
+  /** Streaming drift monitor: PSI per event-time window against a
+    * frozen training-time baseline
+    * ([[graft.drift.Drift.fitPsiBaseline]]) — the incremental form of
+    * [[graft.drift.Drift.psi]], i.e. continuous "is serving data
+    * drifting from training data" monitoring.
+    *
+    * Structure chosen for streaming constraints: ONE watermarked
+    * tumbling-window aggregation computes per-window bin counts as
+    * cols × bins CONDITIONAL counts (wide form — a second stateful
+    * aggregation for totals/proportions would be illegal in append
+    * mode), then psi per column is a STATELESS projection over those
+    * count columns with the baseline proportions riding in as literals
+    * (no stream-side join, no extra state). Output: one
+    * (window_start, window_end, feature, psi) row per column per
+    * closed window; a column with no valid values in a window emits
+    * null psi (same convention as batch). State is O(open windows ×
+    * cols × bins) — watermark-bounded, scale-free in the row count.
+    */
+  def streamingPsi(stream: DataFrame, tsCol: String,
+                   base: graft.drift.Drift.PsiBaseline,
+                   windowDur: String, watermarkDelay: String,
+                   eps: Double = 1e-6): DataFrame = {
+    import graft.drift.Drift
+    val aggs = base.cols.zipWithIndex.flatMap { case (c, ci) =>
+      val bin = Drift.binIndex(col(c).cast("double"), base.edges(c))
+      (0 to base.edges(c).size).map(b =>
+        count(when(bin === b, 1)).as(s"__n_${ci}_$b"))
+    }
+    val win = stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(aggs.head, aggs.tail: _*)
+    val psiCols = base.cols.zipWithIndex.map { case (c, ci) =>
+      val nb = (0 to base.edges(c).size).map(b => col(s"__n_${ci}_$b"))
+      val total = nb.reduce(_ + _)
+      val terms = nb.zipWithIndex.map { case (n, b) =>
+        val pc = greatest(n.cast("double") / total.cast("double"), lit(eps))
+        val pb = lit(base.props(c)(b))
+        (pc - pb) * log(pc / pb)
+      }
+      when(total > 0, round(terms.reduce(_ + _), 6)).as(s"__psi_$ci")
+    }
+    val wide = win.select(
+      Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end")) ++ psiCols: _*)
+    // long form via a stateless explode (NOT a self-union of the
+    // aggregation, which would double the state store)
+    val pairs = explode(array(base.cols.zipWithIndex.map { case (c, ci) =>
+      struct(lit(c).as("feature"), col(s"__psi_$ci").as("psi"))
+    }: _*))
+    wide.select(col("window_start"), col("window_end"), pairs.as("fp"))
+      .select(col("window_start"), col("window_end"),
+        col("fp.feature").as("feature"), col("fp.psi").as("psi"))
+  }
 
   /** Keyed running maximum via explicit state (mapGroupsWithState):
     * emits (key, running_max_so_far) once per key per micro-batch.

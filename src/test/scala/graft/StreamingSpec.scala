@@ -114,6 +114,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingPsi flags a shifted window against a frozen baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = (1 to 100).map(_.toDouble).toDF("x")
+    val base = graft.drift.Drift.fitPsiBaseline(baseline, Seq("x"), bins = 5)
+    val in = MemoryStream[(Timestamp, Double)]
+    val out = StreamOps.streamingPsi(in.toDF.toDF("ts", "x"), "ts", base,
+      "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window [0,10): the baseline distribution; [10,20): shifted mass
+      in.addData((1 to 100).map(i => (ts(1 + i % 3), i.toDouble)): _*)
+      in.addData((1 to 100).map(i => (ts(11 + i % 3), 500.0 + i)): _*)
+      q.processAllAvailable()
+      in.addData((ts(60), 1.0)) // advance watermark to close both windows
+      q.processAllAvailable()
+      val rows = spark.table("sp").collect()
+        .map(r => r.getAs[Timestamp]("window_start").getTime ->
+          r.getAs[Double]("psi")).toMap
+      assert(rows.contains(0L) && rows.contains(600000L))
+      assert(math.abs(rows(0L)) < 0.05,
+        s"same-distribution window psi should be ~0, got ${rows(0L)}")
+      assert(rows(600000L) > 0.25,
+        s"shifted window psi should flag, got ${rows(600000L)}")
+    } finally q.stop()
+  }
+
   test("thresholdAlerts is a stateless pass-through filter") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
