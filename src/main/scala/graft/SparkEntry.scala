@@ -1133,6 +1133,110 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** MM'' — REAL audio-container metadata decode (WAV RIFF-chunk walk +
+    * FLAC STREAMINFO bit unpack → rate/channels/bits/frames/duration,
+    * pure byte arithmetic, no codec): synthetic headers built from
+    * doc_id round-trip through the parser and are checked against a
+    * known-answer oracle. PCM decode stays the documented stub.
+    */
+  private def qAudioMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).select(col("doc_id"))
+      .withColumn("au", Binary.synthAudioHeaderCol(col("doc_id")))
+      .select(col("doc_id"), Binary.audioMetaCol(col("au")).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.sample_rate").cast("long").as("sample_rate"),
+        col("m.channels").cast("long").as("channels"),
+        col("m.bits_per_sample").cast("long").as("bits_per_sample"),
+        col("m.n_frames").as("n_frames"),
+        col("m.duration_ms").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
+  /** V1 — int8 symmetric embedding quantization (the vector-store
+    * memory-compression step before ANN indexing): per-vector max-abs
+    * scale, half-up integer codes, auditable max dequantization error.
+    * Pure map stage (codegen'd HOF expressions, no shuffle beyond the
+    * final tiny sort).
+    */
+  private def qEmbedQuant(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.Quantize
+    // NB the raw scale keeps a distinct name from the rounded output
+    // column: a lambda in the same select that references `scale`
+    // binds to the projection's `round(...) AS scale` alias, not the
+    // child column (HOF lambda resolution quirk), silently computing
+    // the error against the ROUNDED scale
+    em(s, dir)
+      .withColumn("scale_raw", Quantize.scaleCol(col("embedding")))
+      .withColumn("q", Quantize.quantize(col("embedding"), col("scale_raw")))
+      .withColumn("max_err_raw",
+        Quantize.dequantError(col("embedding"), col("q"), col("scale_raw")))
+      .select(col("vec_id"), col("label"),
+        round(col("scale_raw"), 6).as("scale"),
+        Quantize.codeSum(col("q")).as("q_sum"),
+        Quantize.codeL1(col("q")).as("q_l1"),
+        round(col("max_err_raw"), 6).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  /** K1 — sequence packing (concat-and-chunk, the standard pretraining
+    * batching): documents concatenated in doc_id order, cut every 512
+    * BPE-ish tokens, each doc assigned to the chunk where it starts;
+    * per-pack doc counts and token mass. The global running sum is the
+    * two-phase distributed prefix scan — no single-partition window.
+    */
+  private def qSeqPack(s: SparkSession, dir: String): DataFrame = {
+    val d = doc(s, dir).select(col("doc_id"),
+      graft.text.TextOps.bpeTokenCount(col("text")).as("tokens"))
+    graft.seq.Packing.packStats(d, "doc_id", "tokens", budget = 512L)
+      .orderBy("pack_id")
+  }
+
+  /** D7 — incremental (delta) dedup at ingest: a new batch (doc_id %
+    * 5 = 4) is anti-joined against the existing corpus's content
+    * hashes, then exact-deduped within itself — the kept set unioned
+    * with the corpus stays exactly-deduplicated. Only (hash, id) pairs
+    * shuffle.
+    */
+  private def qDeltaDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = doc(s, dir)
+    val corpus = d.where(col("doc_id") % 5 < 4)
+    val batch = d.where(col("doc_id") % 5 === 4)
+    graft.dedup.Dedup.deltaDedup(batch, corpus, "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** D8 — duplicated-span coverage (the ExactSubstr partial-dup signal,
+    * Lee et al. 2021): per document, the fraction of tokens covered by
+    * a 5-gram appearing verbatim in ≥2 distinct documents. Catches
+    * boilerplate/quoted passages whole-document near-dup misses.
+    */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.dupSpanCoverage(doc(s, dir), "doc_id", "text", n = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** Z1 — z-order layout keys (the OPTIMIZE ZORDER BY primitive):
+    * Morton-interleave (l_partkey, l_suppkey), then per-z-cell extent
+    * stats — each 256×256 cell's min/max on BOTH dimensions stays
+    * tight, which is exactly why min/max file stats prune two-sided
+    * filters on a z-laid-out table.
+    */
+  private def qZorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.ZOrder
+    li(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        ZOrder.zkey(col("l_partkey"), col("l_suppkey")).as("zkey"),
+        ZOrder.zcell(col("l_partkey"), col("l_suppkey"), 16).as("zcell"))
+      .groupBy("zcell")
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+        min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"),
+        min("zkey").as("min_z"), max("zkey").as("max_z"))
+      .orderBy("zcell")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -1216,7 +1320,13 @@ object SparkEntry {
     "q71_binned_roc_curve" -> (qBinnedRocCurve _),
     "q72_strat_sample" -> (qStratSample _),
     "q73_dim_pad" -> (qDimPad _),
-    "q74_image_meta" -> (qImageMeta _)
+    "q74_image_meta" -> (qImageMeta _),
+    "q75_audio_meta" -> (qAudioMeta _),
+    "q76_embed_quant" -> (qEmbedQuant _),
+    "q77_seq_pack" -> (qSeqPack _),
+    "q78_delta_dedup" -> (qDeltaDedup _),
+    "q79_dup_spans" -> (qDupSpans _),
+    "q80_zorder" -> (qZorder _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -2016,6 +2126,72 @@ object SparkEntry {
         |  CAST(doc_id % 1080 + 1 AS BIGINT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END)
         |    WHEN doc_id % 3 = 1 THEN 8 ELSE doc_id % 8 + 1 END AS BIGINT) AS bit_depth
-        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q75_audio_meta" ->
+      """WITH p AS (SELECT doc_id,
+        |   ([8000, 16000, 24000, 44100, 48000])[CAST(doc_id % 5 AS INTEGER) + 1] AS rate
+        |  FROM documents)
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(doc_id % 3 + 1 AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 24 END AS BIGINT) AS bits_per_sample,
+        |  CAST((doc_id % 10 + 1) * rate // 100 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 10 + 1) * 10 AS BIGINT) AS duration_ms
+        | FROM p ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q76_embed_quant" -> {
+      import graft.sim.Quantize.{Sql => Q}
+      s"""WITH s AS (SELECT vec_id, label, embedding,
+         |   ${Q.scaleCol("embedding")} AS scale FROM embeddings),
+         | qq AS (SELECT vec_id, label, embedding, scale,
+         |   ${Q.quantize("embedding", "scale")} AS q FROM s)
+         | SELECT vec_id, label, round(scale, 6) AS scale,
+         |  ${Q.codeSum("q")} AS q_sum,
+         |  ${Q.codeL1("q")} AS q_l1,
+         |  round(${Q.dequantError("embedding", "q", "scale")}, 6) AS max_err
+         | FROM qq ORDER BY vec_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q77_seq_pack" -> {
+      val rel = s"(SELECT doc_id, ${graft.text.TextOps.Sql.bpeTokenCount("text")} AS tokens FROM documents)"
+      s"SELECT * FROM (${graft.seq.Packing.Sql.packStats(rel, "doc_id", "tokens", 512L)}) ORDER BY pack_id"
+    },
+    "q78_delta_dedup" -> {
+      val h = graft.text.TextOps.Sql.strHash("text")
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 < 4),
+         | batch AS (SELECT doc_id, lang, n_chars, $h AS h FROM documents WHERE doc_id % 5 = 4),
+         | ch AS (SELECT DISTINCT $h AS h FROM corpus),
+         | fresh AS (SELECT batch.* FROM batch LEFT JOIN ch ON batch.h = ch.h WHERE ch.h IS NULL),
+         | reps AS (SELECT h, min(doc_id) AS rep FROM fresh GROUP BY h)
+         | SELECT doc_id, lang, n_chars FROM fresh JOIN reps ON fresh.doc_id = reps.rep
+         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q79_dup_spans" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      val gh = graft.text.TextOps.Sql.strHash("array_to_string(toks[pos:pos+4], ' ')")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         | g0 AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS pos, toks FROM t),
+         | g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, $gh AS gh FROM g0),
+         | dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+         | ds AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+         | cv AS (SELECT doc_id, least(5, coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 5)) AS contrib FROM ds),
+         | cov AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS covered_tokens,
+         |   count(*) AS n_dup_starts FROM cv GROUP BY doc_id)
+         | SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  coalesce(n_dup_starts, 0) AS n_dup_starts,
+         |  coalesce(covered_tokens, 0) AS covered_tokens,
+         |  CASE WHEN len(toks) > 0 THEN round(CAST(coalesce(covered_tokens, 0) AS DOUBLE) / len(toks), 6) ELSE 0.0 END AS coverage
+         | FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id ORDER BY t.doc_id""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q80_zorder" -> {
+      import graft.core.ZOrder.{Sql => Z}
+      s"""SELECT ${Z.zcell("l_partkey", "l_suppkey", 16)} AS zcell, count(*) AS n,
+         | min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+         | min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp,
+         | min(${Z.zkey("l_partkey", "l_suppkey")}) AS min_z,
+         | max(${Z.zkey("l_partkey", "l_suppkey")}) AS max_z
+         | FROM lineitem GROUP BY 1 ORDER BY zcell""".stripMargin
+        .replaceAll("\n", " ")
+    }
   )
 }

@@ -63,6 +63,86 @@ object Dedup {
     df.select(col(idCol).cast("long").as("id"),
         explode(shingles(col(textCol), n)).as("shingle"))
 
+  /** Incremental (delta) dedup — the ingest-time form every growing
+    * corpus runs: keep only the NEW batch's documents whose content
+    * hash appears nowhere in the EXISTING corpus, then drop exact dups
+    * within the batch itself (min-id representative), so the union
+    * corpus+kept stays exactly-deduplicated. Two narrow anti/semi
+    * joins on (hash, id) pairs — bodies never shuffle, and the corpus
+    * side reduces to its distinct hashes before joining. At 100 TB the
+    * corpus hash set is itself big data (no broadcast); a production
+    * deployment additionally keeps a bloom filter of corpus hashes to
+    * prune the batch before the exact join — the exact anti-join stays
+    * as the verifier, so the result is identical (bloom false
+    * positives only cost a lookup, never a wrong drop).
+    */
+  def deltaDedup(batch: DataFrame, corpus: DataFrame, idCol: String,
+                 textCol: String,
+                 hash: Column => Column = TextOps.strHash(_)): DataFrame = {
+    val corpusHashes = corpus
+      .select(hash(col(textCol)).as("content_hash")).distinct()
+    val fresh = batch
+      .withColumn("content_hash", hash(col(textCol)))
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+    dropExactDups(fresh.drop("content_hash"), idCol, textCol, hash)
+  }
+
+  /** Duplicated-span coverage — the exact-substring dedup signal of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better", the ExactSubstr criterion): for every document,
+    * the fraction of its tokens covered by an n-token span that also
+    * appears verbatim in at least `minDocs` distinct documents. Unlike
+    * whole-document near-dup (Jaccard/MinHash), this finds PARTIAL
+    * duplication — boilerplate, quoted passages, licence blocks —
+    * which at web scale is most of the duplicate mass.
+    *
+    * Pipeline: positional n-gram rows (id, pos, gram-hash) → cross-doc
+    * duplicate grams (count-distinct-docs ≥ minDocs) → per-doc
+    * interval-union sweep of the duplicated starts (a per-doc window:
+    * overlapping spans merge via min(n, next_start − start)).
+    * Everything that shuffles is a (hash, id, pos) triple — shingle
+    * STRINGS never leave the map stage and bodies never move; the
+    * windows are per-document keys. `hash` defaults to the
+    * oracle-parity polynomial hash (collisions ~|grams|²/2P, identical
+    * in the oracle since it hashes the same way); pass `xxhash64(_)`
+    * for production.
+    */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, minDocs: Int = 2,
+                      hash: Column => Column = TextOps.strHash(_)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("long").as("id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = base.select(col("id"),
+        posexplode(when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - lit(n - 1)),
+            i => hash(array_join(slice(col("toks"), i, lit(n)), " "))))
+          .otherwise(array().cast("array<long>"))))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gh"))
+    val dup = grams.groupBy("gh").agg(countDistinct("id").as("nd"))
+      .where(col("nd") >= minDocs).select("gh")
+    val ds = grams.join(dup, Seq("gh"), "left_semi")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val cov = ds
+      .withColumn("contrib", least(lit(n.toLong),
+        coalesce(lead("pos", 1).over(w) - col("pos"), lit(n.toLong))))
+      .groupBy("id").agg(sum("contrib").as("covered_tokens"),
+        count(lit(1)).as("n_dup_starts"))
+    val covered = coalesce(col("covered_tokens"), lit(0L))
+    val out = base.join(cov, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        covered.as("covered_tokens"),
+        when(col("n_tokens") > 0,
+          round(covered.cast("double") / col("n_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)).as("coverage"))
+    graft.core.Caches.retain("dedup.dupSpanCoverage", base)
+    out
+  }
+
   /** All pairs (a < b) with n-gram Jaccard similarity ≥ `threshold`.
     * `maxShingleDocFreq`: drop shingles occurring in more than this many
     * documents before pairing (0 = keep all; oracle queries use 0).

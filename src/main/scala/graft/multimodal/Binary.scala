@@ -175,6 +175,127 @@ object Binary {
   def imageMetaCol(c: Column): Column =
     udf { b: Array[Byte] => parseImageMeta(b) }.apply(c)
 
+  /** Parsed audio-container metadata (header fields only — no PCM
+    * decode, no codec library). `duration_ms` is derived from the
+    * parsed frame count and sample rate (floor division).
+    */
+  final case class AudioMeta(format: String, sample_rate: Int, channels: Int,
+                             bits_per_sample: Int, n_frames: Long,
+                             duration_ms: Long)
+
+  /** REAL audio metadata decode from HEADER BYTES — pure byte
+    * arithmetic, no codec dependency: WAV (RIFF/WAVE chunk walk to
+    * `fmt ` for rate/channels/bits and `data` for the frame count —
+    * skips any interleaved LIST/fact chunks) and FLAC ("fLaC" +
+    * STREAMINFO bit-packed sample rate / channels / bit depth / total
+    * samples). Returns None for unrecognized/truncated bytes. PCM
+    * decode stays behind [[stubDecode]]; rate/channel/duration — the
+    * metadata a 100 TB multimodal pipeline filters and partitions
+    * on — needs only these first bytes, so it runs as cheap per-row
+    * map work.
+    */
+  def parseAudioMeta(b: Array[Byte]): Option[AudioMeta] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      i + s.length <= b.length && s.indices.forall(k => b(i + k) == s(k).toByte)
+    if (tag(0, "RIFF") && tag(8, "WAVE")) {
+      // chunk walk: [id(4) size(4,LE) payload(size, word-aligned)]*
+      var i = 12
+      var rate = 0; var ch = 0; var bits = 0; var dataBytes = -1L
+      var blockAlign = 0
+      while (i + 8 <= b.length && (rate == 0 || dataBytes < 0)) {
+        val size = le32(i + 4)
+        if (tag(i, "fmt ") && i + 24 <= b.length) {
+          ch = le16(i + 10); rate = le32(i + 12).toInt
+          blockAlign = le16(i + 20); bits = le16(i + 22)
+        } else if (tag(i, "data")) dataBytes = size
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      if (rate <= 0 || ch <= 0 || blockAlign <= 0 || dataBytes < 0) None
+      else {
+        val frames = dataBytes / blockAlign
+        Some(AudioMeta("wav", rate, ch, bits, frames, frames * 1000L / rate))
+      }
+    } else if (tag(0, "fLaC") && b.length >= 26 && (u8(4) & 0x7f) == 0) {
+      // STREAMINFO (block type 0, 34 bytes at offset 8); the packed
+      // field at offset 18: rate(20) channels-1(3) bits-1(5) samples(36)
+      val rate = (u8(18) << 12) | (u8(19) << 4) | (u8(20) >> 4)
+      val ch = ((u8(20) >> 1) & 7) + 1
+      val bits = (((u8(20) & 1) << 4) | (u8(21) >> 4)) + 1
+      val frames = ((u8(21) & 0x0f).toLong << 32) | (u8(22).toLong << 24) |
+        (u8(23).toLong << 16) | (u8(24).toLong << 8) | u8(25).toLong
+      if (rate <= 0) None
+      else Some(AudioMeta("flac", rate, ch, bits, frames, frames * 1000L / rate))
+    } else None
+  }
+
+  /** Minimal VALID audio headers (container + format fields, no PCM
+    * payload) — deterministic fixtures for codec-less environments:
+    * [[parseAudioMeta]] round-trips them, exercising both parser paths
+    * against a known-answer oracle.
+    */
+  def wavHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                nFrames: Long): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le32(v: Long) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    val blockAlign = channels * bitsPerSample / 8
+    val dataBytes = nFrames * blockAlign
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + dataBytes) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(sampleRate.toLong * blockAlign) ++
+      le16(blockAlign) ++ le16(bitsPerSample) ++
+      "data".getBytes("US-ASCII") ++ le32(dataBytes) // header only, no PCM
+  }
+
+  def flacHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                 nFrames: Long): Array[Byte] = {
+    val packed = new Array[Byte](8)
+    packed(0) = (sampleRate >>> 12).toByte
+    packed(1) = (sampleRate >>> 4).toByte
+    packed(2) = (((sampleRate & 0xf) << 4) | (((channels - 1) & 7) << 1) |
+      (((bitsPerSample - 1) >> 4) & 1)).toByte
+    packed(3) = ((((bitsPerSample - 1) & 0xf) << 4) |
+      ((nFrames >>> 32) & 0xf)).toByte
+    packed(4) = (nFrames >>> 24).toByte
+    packed(5) = (nFrames >>> 16).toByte
+    packed(6) = (nFrames >>> 8).toByte
+    packed(7) = nFrames.toByte
+    "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ // last-block flag + STREAMINFO(34)
+      Array[Byte](0x10, 0, 0x10, 0) ++ // min/max block size 4096
+      Array[Byte](0, 0, 0, 0, 0, 0) ++ // min/max frame size (unknown)
+      packed ++ new Array[Byte](16) // MD5 (unset)
+  }
+
+  /** Deterministic per-id synthetic audio header (format alternates
+    * wav/flac; every field a closed form of the id so a SQL oracle can
+    * recompute it) — the query-able fixture column for
+    * [[parseAudioMeta]]. Rates are all divisible by 100, so
+    * `n_frames = (id%10+1)·rate/100` gives an exact
+    * `duration_ms = (id%10+1)·10`.
+    */
+  val synthRates: Seq[Int] = Seq(8000, 16000, 24000, 44100, 48000)
+
+  def synthAudioHeader(id: Long): Array[Byte] = {
+    val rate = synthRates((id % 5).toInt)
+    val ch = (id % 3 + 1).toInt
+    val bits = if (id % 4 < 2) 16 else 24
+    val frames = (id % 10 + 1) * rate / 100
+    if (id % 2 == 0) wavHeader(rate, ch, bits, frames)
+    else flacHeader(rate, ch, bits, frames)
+  }
+
+  def synthAudioHeaderCol(c: Column): Column =
+    udf { id: Long => synthAudioHeader(id) }.apply(c)
+  def audioMetaCol(c: Column): Column =
+    udf { b: Array[Byte] => parseAudioMeta(b) }.apply(c)
+
   /** STUB — media decode. A real deployment plugs a codec here (e.g.
     * JAI/ffmpeg bindings) returning pixel/PCM tensors; this container
     * has none, so the stub emits a deterministic 8-dim pseudo-feature

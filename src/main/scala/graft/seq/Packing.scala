@@ -1,0 +1,107 @@
+package graft.seq
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence packing for LLM pretraining dataloaders: documents are
+  * concatenated in a deterministic order into one token stream, which
+  * is cut every `budget` tokens; each document is assigned to the pack
+  * (training sequence) where it STARTS. This is concat-and-chunk
+  * packing — the standard way pretraining corpora are batched — and
+  * its core is a GLOBAL exclusive running sum of token counts, which
+  * Spark's window functions can only express as a single-partition
+  * window (a scale-killer).
+  *
+  * [[exclusivePrefixSum]] computes it with the same two-phase
+  * distributed scan as `Metrics.prefixScan` (range-repartition + sort,
+  * per-partition subtotals collected once — one tiny row per
+  * partition — offsets broadcast back): every stage is a bounded
+  * shuffle of (key, weight) pairs, document bodies never move, and the
+  * result is layout-independent. At 100 TB the scan moves ~16 bytes per
+  * document — the packing of a trillion-token corpus is two narrow
+  * shuffles.
+  *
+  * The reference has no packing operator (it windows telemetry rows,
+  * `lib/utils.py` sequence building); this is part of the LLM-pipeline
+  * family the engine adds on top of the reference's surface.
+  */
+object Packing {
+
+  /** (key, weight, cum_before) with cum_before = Σ weights of all
+    * strictly-smaller keys — an EXCLUSIVE prefix sum in `keyCol` order,
+    * no single-partition window anywhere. Keys must be unique non-null
+    * longs (a duplicate key would make the intra-key order, and so the
+    * scan, nondeterministic — callers order by a rowid/doc_id);
+    * weights must be non-null longs ≥ 0.
+    */
+  def exclusivePrefixSum(df: DataFrame, keyCol: String,
+                         weightCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val slim = df.select(col(keyCol).cast(LongType).as("key"),
+      col(weightCol).cast(LongType).as("weight"))
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val sorted = slim.repartitionByRange(parts, col("key"))
+      .sortWithinPartitions("key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subtotal = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var w = 0L
+      it.foreach { r => w += r.getLong(1) }
+      Iterator((i, w))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](subtotal.length)
+    var acc = 0L
+    subtotal.foreach { case (i, w) => offsets(i) = acc; acc += w }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val rows = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var cum = bc.value(i)
+      it.map { r =>
+        val out = Row(r.getLong(0), r.getLong(1), cum)
+        cum += r.getLong(1)
+        out
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("weight", LongType),
+      StructField("cum_before", LongType)))
+    graft.core.Caches.retain("packing.prefixSum", sorted)
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Assign each document its training-sequence id:
+    * `pack_id = cum_before div budget` (the chunk its first token lands
+    * in). Returns (key, weight, cum_before, pack_id).
+    */
+  def packSequences(df: DataFrame, keyCol: String, weightCol: String,
+                    budget: Long): DataFrame = {
+    require(budget > 0, s"packSequences needs a positive budget: $budget")
+    exclusivePrefixSum(df, keyCol, weightCol)
+      .withColumn("pack_id", expr(s"cum_before div ${budget}L"))
+  }
+
+  /** Per-pack summary: how many documents start in each pack and how
+    * many tokens they contribute (a pack's `doc_tokens` can exceed the
+    * budget — its tail spills into the next chunk, the defining
+    * property of concat-and-chunk).
+    */
+  def packStats(df: DataFrame, keyCol: String, weightCol: String,
+                budget: Long): DataFrame =
+    packSequences(df, keyCol, weightCol, budget)
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("weight").as("doc_tokens"))
+
+  /** DuckDB twin: the same packing as a cumulative window (fine at
+    * oracle scale; the point of the Spark side is avoiding exactly
+    * this global window).
+    */
+  object Sql {
+    def packStats(rel: String, key: String, weight: String,
+                  budget: Long): String =
+      s"""WITH c AS (SELECT $key AS key, $weight AS weight,
+         |   CAST(coalesce(sum($weight) OVER (ORDER BY $key ROWS UNBOUNDED PRECEDING), 0) - $weight AS BIGINT) AS cum_before
+         |  FROM $rel)
+         | SELECT cum_before // $budget AS pack_id, count(*) AS n_docs,
+         |   CAST(sum(weight) AS BIGINT) AS doc_tokens
+         | FROM c GROUP BY 1""".stripMargin.replaceAll("\n", " ")
+  }
+}

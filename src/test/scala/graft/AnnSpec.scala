@@ -122,4 +122,32 @@ class AnnSpec extends SparkSpec {
     assert(b1 == b2)
     assert(b1.values.forall(_.forall(v => v >= 0 && v < 16)))
   }
+
+  test("int8 quantization: known codes, tie rounding, zero-vector guard") {
+    import graft.sim.Quantize
+    val df = Seq(
+      (1L, Seq(127.0f, -64.0f, 0.0f)),
+      (2L, Seq(2.0f, 1.0f)), // 1/(2/127) = 63.5: the half-up tie
+      (3L, Seq(0.0f, 0.0f))  // zero vector: scale 0, codes 0, no crash
+    ).toDF("vec_id", "embedding")
+    val out = df
+      .withColumn("scale", Quantize.scaleCol(col("embedding")))
+      .withColumn("q", Quantize.quantize(col("embedding"), col("scale")))
+      .withColumn("err",
+        Quantize.dequantError(col("embedding"), col("q"), col("scale")))
+      .orderBy("vec_id").collect()
+    assert(out(0).getAs[Double]("scale") == 1.0)
+    assert(out(0).getSeq[Long](out(0).fieldIndex("q")) == Seq(127L, -64L, 0L))
+    assert(out(0).getAs[Double]("err") == 0.0)
+    assert(out(1).getSeq[Long](out(1).fieldIndex("q")) == Seq(127L, 64L))
+    assert(math.abs(out(1).getAs[Double]("err") - 1.0 / 127.0) < 1e-12)
+    assert(out(2).getAs[Double]("scale") == 0.0)
+    assert(out(2).getSeq[Long](out(2).fieldIndex("q")) == Seq(0L, 0L))
+    // codes are always within the int8 envelope on arbitrary data
+    val codes = clustered(4, 5, 16)
+      .withColumn("scale", Quantize.scaleCol(col("embedding")))
+      .select(Quantize.quantize(col("embedding"), col("scale")).as("q"))
+      .select(explode(col("q")).as("c")).collect().map(_.getLong(0))
+    assert(codes.forall(c => c >= -127 && c <= 127))
+  }
 }

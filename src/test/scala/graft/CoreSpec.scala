@@ -125,4 +125,32 @@ class CoreSpec extends SparkSpec {
     assert(chain.contains("feature dim mismatch"),
       s"expected a loud dim-mismatch error, got: $chain")
   }
+
+  test("zorder: known morton keys, locality, and the 32-bit envelope") {
+    import graft.core.ZOrder
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((3L, 5L), (0L, 0L), (1L, 0L), (0L, 1L), (0xffffffffL, 0L))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zkey(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // interleave x into even bits, y into odd: (3,5) → 0b100111 = 39
+    assert(df((3L, 5L)) == 39L)
+    assert(df((0L, 0L)) == 0L && df((1L, 0L)) == 1L && df((0L, 1L)) == 2L)
+    // full 32-bit x spreads to all even bits — positive, no sign wrap
+    assert(df((0xffffffffL, 0L)) == 0x5555555555555555L)
+    // locality: every 2^16-key z-cell is a 256×256 box in (x, y)
+    val grid = (for { x <- 0L until 600L by 7L; y <- 0L until 600L by 11L }
+      yield (x, y)).toDF("x", "y")
+    val cells = grid.select(
+        ZOrder.zcell(col("x"), col("y"), 16).as("cell"), col("x"), col("y"))
+      .groupBy("cell")
+      .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      .collect()
+    assert(cells.nonEmpty)
+    cells.foreach { r =>
+      assert(r.getLong(1) < 256L && r.getLong(2) < 256L,
+        s"z-cell ${r.getLong(0)} spans dx=${r.getLong(1)} dy=${r.getLong(2)}")
+    }
+  }
 }

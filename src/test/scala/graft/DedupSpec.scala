@@ -133,4 +133,56 @@ class DedupSpec extends SparkSpec {
       .head.getDouble(0)
     assert(math.abs(c - 1.0) < 1e-15)
   }
+
+  test("deltaDedup drops corpus dups AND in-batch dups, keeps min-id rep") {
+    val corpus = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b"), // exact dup of corpus doc 1 → dropped
+      (12L, "e f"), // in-batch dup group {11,12} → 11 kept
+      (11L, "e f"),
+      (13L, "g h")  // fresh → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.deltaDedup(batch, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(11L, 13L))
+    // union(corpus, kept) must still be exactly deduplicated
+    val union = corpus.unionByName(
+      batch.join(Seq(11L, 13L).toDF("doc_id"), Seq("doc_id"), "left_semi"))
+    assert(Dedup.exactDupGroups(union, "doc_id", "text").count() == 0)
+    // an empty corpus degrades to plain in-batch exact dedup
+    val empty = corpus.where(lit(false))
+    val all = Dedup.deltaDedup(batch, empty, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(all.toSeq == Seq(10L, 11L, 13L))
+  }
+
+  test("dupSpanCoverage: interval union of cross-doc duplicated n-grams") {
+    val docs = Seq(
+      (1L, "a b c d e"),     // grams at 1..3; "a b c","b c d" shared with doc 2
+      (2L, "x a b c d y"),   // shared grams start at 2,3 → tokens 2..5 covered
+      (3L, "p q r s t u"),   // no cross-doc grams
+      (4L, "z z")            // shorter than n: no grams at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanCoverage(docs, "doc_id", "text", n = 3)
+      .orderBy("id").collect()
+    // doc 1: starts {1,2} → min(3,1) + 3 = 4 covered of 5
+    assert(out(0).getLong(1) == 5L && out(0).getLong(2) == 2L &&
+      out(0).getLong(3) == 4L && out(0).getDouble(4) == 0.8)
+    // doc 2: starts {2,3} → 4 covered of 6
+    assert(out(1).getLong(1) == 6L && out(1).getLong(3) == 4L &&
+      out(1).getDouble(4) == 0.666667)
+    // doc 3: nothing duplicated
+    assert(out(2).getLong(2) == 0L && out(2).getLong(3) == 0L &&
+      out(2).getDouble(4) == 0.0)
+    // doc 4: no grams (too short), still present with zero coverage
+    assert(out(3).getLong(1) == 2L && out(3).getDouble(4) == 0.0)
+    // disjoint spans do not merge: two separated shared grams count 2n
+    val far = Seq(
+      (1L, "a b c 1 2 3 4 x y z"), // "a b c" at 1, "x y z" at 8
+      (2L, "a b c q r s t x y z")
+    ).toDF("doc_id", "text")
+    val f = Dedup.dupSpanCoverage(far, "doc_id", "text", n = 3)
+      .orderBy("id").collect()
+    assert(f(0).getLong(3) == 6L && f(1).getLong(3) == 6L)
+  }
 }

@@ -89,6 +89,52 @@ class MultimodalSpec extends SparkSpec {
     assert(Binary.parseImageMeta(j.take(20)).isEmpty)
   }
 
+  test("parseAudioMeta round-trips wav/flac headers, rejects garbage") {
+    assert(Binary.parseAudioMeta(Binary.wavHeader(44100, 2, 16, 44100L))
+      .contains(Binary.AudioMeta("wav", 44100, 2, 16, 44100L, 1000L)))
+    assert(Binary.parseAudioMeta(Binary.flacHeader(48000, 1, 24, 24000L))
+      .contains(Binary.AudioMeta("flac", 48000, 1, 24, 24000L, 500L)))
+    // frame counts above 2^32 exercise the 36-bit FLAC field
+    assert(Binary.parseAudioMeta(Binary.flacHeader(8000, 8, 32, 0x5_0000_0000L))
+      .contains(Binary.AudioMeta("flac", 8000, 8, 32, 0x5_0000_0000L,
+        0x5_0000_0000L * 1000L / 8000L)))
+    assert(Binary.parseAudioMeta("not audio at all".getBytes("UTF-8")).isEmpty)
+    assert(Binary.parseAudioMeta(Array[Byte]('R', 'I', 'F')).isEmpty)
+    // the wav chunk walk must skip a LIST chunk spliced before fmt
+    val w = Binary.wavHeader(16000, 1, 16, 1600L)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    assert(Binary.parseAudioMeta(w.take(12) ++ list ++ w.drop(12))
+      .contains(Binary.AudioMeta("wav", 16000, 1, 16, 1600L, 100L)))
+    // truncated wav (RIFF/WAVE but no fmt/data) parses to None, not a crash
+    assert(Binary.parseAudioMeta(w.take(14)).isEmpty)
+  }
+
+  test("audioMetaCol surfaces parsed header fields as a typed struct column") {
+    val df = Seq(0L, 1L, 7L, 300L).toDF("id")
+      .withColumn("au", Binary.synthAudioHeaderCol(col("id")))
+      .select(col("id"), Binary.audioMetaCol(col("au")).as("m"))
+      .select(col("id"), col("m.format"), col("m.sample_rate"),
+        col("m.channels"), col("m.bits_per_sample"), col("m.n_frames"),
+        col("m.duration_ms"))
+      .orderBy("id").collect()
+    // id=0: wav, rate 8000, ch 1, 16-bit, frames 1*80, dur 10ms
+    assert(df(0).getString(1) == "wav" && df(0).getInt(2) == 8000 &&
+      df(0).getInt(3) == 1 && df(0).getInt(4) == 16 &&
+      df(0).getLong(5) == 80L && df(0).getLong(6) == 10L)
+    // id=1: flac, rate 16000, ch 2, 16-bit, frames 2*160, dur 20ms
+    assert(df(1).getString(1) == "flac" && df(1).getInt(2) == 16000 &&
+      df(1).getInt(3) == 2 && df(1).getInt(4) == 16 &&
+      df(1).getLong(5) == 320L && df(1).getLong(6) == 20L)
+    // id=7: flac, rate 24000 (7%5=2), ch 2, 24-bit (7%4=3), frames 8*240
+    assert(df(2).getString(1) == "flac" && df(2).getInt(2) == 24000 &&
+      df(2).getInt(3) == 2 && df(2).getInt(4) == 24 &&
+      df(2).getLong(5) == 1920L && df(2).getLong(6) == 80L)
+    // id=300: wav, rate 8000 (300%5=0), ch 1 (300%3=0), 16-bit (300%4=0)
+    assert(df(3).getString(1) == "wav" && df(3).getInt(2) == 8000 &&
+      df(3).getInt(3) == 1 && df(3).getInt(4) == 16)
+  }
+
   test("imageMetaCol surfaces parsed header fields as a typed struct column") {
     val df = Seq(0L, 1L, 2L, 300L).toDF("id")
       .withColumn("img", Binary.synthHeaderCol(col("id")))

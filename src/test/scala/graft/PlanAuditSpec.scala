@@ -69,6 +69,31 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
+  test("round-6 query plans keep their scale shapes") {
+    // q76 quantization is map-only: the sole exchange is the output sort
+    val q76 = plan(SparkEntry.queries("q76_embed_quant")(spark, sf))
+    assert("Exchange".r.findAllIn(q76).size <= 1,
+      s"quantization should not shuffle beyond the output sort:\n$q76")
+    // q77 packing: the global prefix sum must NOT be a single-partition
+    // window (that is the whole point of the two-phase scan)
+    val q77 = plan(SparkEntry.queries("q77_seq_pack")(spark, sf))
+    assert(!q77.contains("Window"), s"packing regressed to a window:\n$q77")
+    assert(!q77.contains("Exchange SinglePartition"),
+      s"packing plans a single-partition exchange:\n$q77")
+    // q78 delta dedup: hash anti-join, never a nested loop
+    val q78 = plan(SparkEntry.queries("q78_delta_dedup")(spark, sf))
+    assert(!q78.contains("BroadcastNestedLoopJoin"),
+      s"delta dedup plans a cartesian:\n$q78")
+    // q79 span coverage: windows are per-document, not global
+    val q79 = plan(SparkEntry.queries("q79_dup_spans")(spark, sf))
+    assert(q79.contains("Window"), s"no interval-union window:\n$q79")
+    assert(!q79.contains("Exchange SinglePartition"),
+      s"span sweep plans a single-partition exchange:\n$q79")
+    // q80 z-order cell stats aggregate map-side first
+    val q80 = plan(SparkEntry.queries("q80_zorder")(spark, sf))
+    assert("HashAggregate".r.findAllIn(q80).size >= 2, s"no partial agg:\n$q80")
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -160,4 +160,41 @@ class SeqSpec extends SparkSpec {
     assert(out(0).isNullAt(5))
     (1 until 5).foreach(i => assert(out(i).getDouble(5) === 0.0))
   }
+
+  test("packing: distributed exclusive prefix sum matches a sequential fold") {
+    import graft.seq.Packing
+    val data = (0L until 1000L).map(i => (i, i * 7 % 23))
+    val expected = data.map(_._2).scanLeft(0L)(_ + _).init
+    // deliberately scrambled partitioning: the scan must be layout-free
+    val df = data.toDF("id", "w").repartition(7, col("w"))
+    val got = Packing.exclusivePrefixSum(df, "id", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.length == 1000)
+    got.zipWithIndex.foreach { case ((k, w, cum), i) =>
+      assert(k == i && w == data(i.toInt)._2 && cum == expected(i.toInt))
+    }
+  }
+
+  test("packing: concat-and-chunk pack assignment and per-pack stats") {
+    import graft.seq.Packing
+    // docs of 60 tokens, budget 100: starts at 0,60,120,... →
+    // packs 0,0,1,1,2,3,3,4,4,5 for the first ten docs
+    val df = (0L until 10L).map(i => (i, 60L)).toDF("id", "w")
+    val packs = Packing.packSequences(df, "id", "w", budget = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val expect = Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      5L -> 3L, 6L -> 3L, 7L -> 4L, 8L -> 4L, 9L -> 5L)
+    assert(packs == expect)
+    val stats = Packing.packStats(df, "id", "w", budget = 100L)
+      .orderBy("pack_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stats.toSeq == Seq((0L, 2L, 120L), (1L, 2L, 120L), (2L, 1L, 60L),
+      (3L, 2L, 120L), (4L, 2L, 120L), (5L, 1L, 60L)))
+    // zero-weight docs pack into the chunk at their offset, not a new one
+    val z = Seq((0L, 0L), (1L, 5L), (2L, 0L)).toDF("id", "w")
+    val zp = Packing.packSequences(z, "id", "w", budget = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(zp == Map(0L -> 0L, 1L -> 0L, 2L -> 1L))
+  }
 }
