@@ -1237,6 +1237,68 @@ object SparkEntry {
       .orderBy("zcell")
   }
 
+  /** T7 — corpus vocabulary (the tokenizer-training frequency table):
+    * total count + document frequency per token, count ≥ 50, one
+    * explode + one map-side-combinable aggregate.
+    */
+  private def qVocab(s: SparkSession, dir: String): DataFrame =
+    graft.text.Vocab.vocabulary(doc(s, dir), "doc_id", "text", minCount = 50L)
+      .orderBy(desc("n"), asc("token"))
+
+  /** T8 — C4/Gopher-style rule-based quality filtering: per-source
+    * kept counts and per-rule failure counts in ONE aggregate pass.
+    * Token-derived stats are hoisted into their own projection first
+    * (HOF lambdas inline shared subtrees — evaluating four rules off
+    * the raw text column would re-walk the token array per rule).
+    */
+  private def qQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val t = col("text")
+    val stats = doc(s, dir).select(col("source"),
+      TextOps.tokenCount(t).cast("long").as("n_tokens"),
+      TextOps.avgTokenLen(t).as("avg_len"),
+      TextOps.stopwordRatio(t).as("sw_ratio"),
+      TextOps.dupNgramFraction(t, 2).as("dup_frac"))
+    val rules = TextOps.c4Rules(col("n_tokens"), col("avg_len"),
+      col("sw_ratio"), col("dup_frac"))
+    val passAll = rules.map(_._2).reduce(_ && _)
+    val failCounts = rules.map { case (name, p) =>
+      count(when(!p, 1)).as(s"n_fail_$name")
+    }
+    stats.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (count(when(passAll, 1)).as("n_kept") +: failCounts): _*)
+      .orderBy("source")
+  }
+
+  /** R5 — deterministic negative sampling (the contrastive-training
+    * draw): 4 hash-drawn negatives per anchor, never the anchor
+    * itself; payload fetch is a plain equi-join on neg_id.
+    */
+  private def qNegSample(s: SparkSession, dir: String): DataFrame = {
+    val e = em(s, dir)
+    graft.aug.Sampling.negativeSamples(e, "vec_id", k = 4)
+      .join(e.select(col("vec_id").as("neg_id"),
+        col("label").cast("long").as("neg_label")), "neg_id")
+      .select(col("anchor"), col("j"), col("neg_id"), col("neg_label"))
+      .orderBy("anchor", "j")
+  }
+
+  /** V2 — per-label embedding centroids (class prototypes): narrow
+    * (label, dim) component means with DECIMAL partials, reduced to a
+    * position-weighted checksum + squared norm per label.
+    */
+  private def qLabelCentroids(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Centroids.labelCentroids(em(s, dir), "label", "embedding")
+      .groupBy("group")
+      .agg(max("n").as("n"),
+        round(Stats.dsum(col("mean") * col("dim").cast("double")), 6)
+          .as("centroid_checksum"),
+        round(Stats.dsum(col("mean") * col("mean")), 6).as("norm2"))
+      .select(col("group").cast("long").as("label"), col("n"),
+        col("centroid_checksum"), col("norm2"))
+      .orderBy("label")
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -1326,7 +1388,11 @@ object SparkEntry {
     "q77_seq_pack" -> (qSeqPack _),
     "q78_delta_dedup" -> (qDeltaDedup _),
     "q79_dup_spans" -> (qDupSpans _),
-    "q80_zorder" -> (qZorder _)
+    "q80_zorder" -> (qZorder _),
+    "q81_vocab" -> (qVocab _),
+    "q82_quality_filter" -> (qQualityFilter _),
+    "q83_neg_sample" -> (qNegSample _),
+    "q84_label_centroids" -> (qLabelCentroids _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -2192,6 +2258,44 @@ object SparkEntry {
          | max(${Z.zkey("l_partkey", "l_suppkey")}) AS max_z
          | FROM lineitem GROUP BY 1 ORDER BY zcell""".stripMargin
         .replaceAll("\n", " ")
+    },
+    "q81_vocab" ->
+      s"""SELECT * FROM (${graft.text.Vocab.Sql.vocabulary("documents", "doc_id", "text", 50L)})
+         | ORDER BY n DESC, token""".stripMargin.replaceAll("\n", " "),
+    "q82_quality_filter" -> {
+      import graft.text.TextOps.{Sql => T}
+      s"""WITH st AS (SELECT source,
+         |   CAST(${T.tokenCount("text")} AS BIGINT) AS n_tokens,
+         |   ${T.avgTokenLen("text")} AS avg_len,
+         |   ${T.stopwordRatio("text")} AS sw_ratio,
+         |   ${T.dupNgramFraction("text", 2)} AS dup_frac
+         |  FROM documents)
+         | SELECT source, count(*) AS n_docs,
+         |  count(*) FILTER (WHERE n_tokens >= 20 AND avg_len >= 2.0 AND avg_len <= 12.0
+         |    AND sw_ratio > 0.0 AND dup_frac <= 0.9) AS n_kept,
+         |  count(*) FILTER (WHERE NOT (n_tokens >= 20)) AS n_fail_min_tokens,
+         |  count(*) FILTER (WHERE NOT (avg_len >= 2.0 AND avg_len <= 12.0)) AS n_fail_avg_token_len,
+         |  count(*) FILTER (WHERE NOT (sw_ratio > 0.0)) AS n_fail_has_stopword,
+         |  count(*) FILTER (WHERE NOT (dup_frac <= 0.9)) AS n_fail_low_repetition
+         | FROM st GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " ")
+    },
+    "q83_neg_sample" -> {
+      val neg = graft.aug.Sampling.Sql.negId("anchor", "j", "cnt", 7L)
+      s"""WITH nn AS (SELECT count(*) AS cnt FROM embeddings),
+         | a AS (SELECT vec_id AS anchor FROM embeddings),
+         | c AS (SELECT anchor, CAST(unnest(generate_series(0, 3)) AS BIGINT) AS j FROM a),
+         | neg AS (SELECT anchor, j, CAST($neg AS BIGINT) AS neg_id FROM c, nn)
+         | SELECT anchor, j, neg_id, CAST(e.label AS BIGINT) AS neg_label
+         | FROM neg JOIN embeddings e ON e.vec_id = neg.neg_id
+         | ORDER BY anchor, j""".stripMargin.replaceAll("\n", " ")
+    },
+    "q84_label_centroids" -> {
+      val cm = graft.sim.Centroids.Sql.labelCentroids("embeddings", "label", "embedding")
+      s"""WITH cm AS ($cm)
+         | SELECT CAST("group" AS BIGINT) AS label, max(n) AS n,
+         |  round(${dsumSql("(mean * CAST(dim AS DOUBLE))")}, 6) AS centroid_checksum,
+         |  round(${dsumSql("(mean * mean)")}, 6) AS norm2
+         | FROM cm GROUP BY "group" ORDER BY label""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

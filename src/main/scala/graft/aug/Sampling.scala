@@ -71,6 +71,29 @@ object Sampling {
   def shuffle(df: DataFrame, seed: Long = 42L): DataFrame =
     df.orderBy(rand(seed))
 
+  /** Deterministic negative sampling — the contrastive-training data
+    * op (word2vec/SimCLR-style: for each anchor, k "negative" rows
+    * drawn pseudo-randomly from the corpus, never the anchor itself).
+    * Ids must be dense 0..n−1 (rank-encode otherwise); candidate j of
+    * anchor a is `(a·131 + j·977 + seed) mod n`, bumped by one (mod n)
+    * on self-collision. No RNG state: the draw is a pure hash of
+    * (anchor, j), so it is reproducible across engines/retries and the
+    * "fetch the negative's payload" step is a plain equi-join on
+    * neg_id — narrow shuffles only, no cross join, at any scale.
+    * Returns (anchor, j, neg_id).
+    */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int,
+                      seed: Long = 7L): DataFrame = {
+    require(k >= 1, s"negativeSamples needs k >= 1: $k")
+    val n = df.count()
+    require(n > 1, s"negativeSamples needs at least 2 rows: $n")
+    val raw = (col("anchor") * lit(131L) + col("j") * lit(977L) + lit(seed)) % lit(n)
+    df.select(col(idCol).cast("long").as("anchor"))
+      .select(col("anchor"), explode(sequence(lit(0L), lit(k - 1L))).as("j"))
+      .withColumn("neg_id",
+        when(raw === col("anchor"), (raw + 1) % lit(n)).otherwise(raw))
+  }
+
   /** DuckDB oracle twin of [[keyBucket]]/[[hashSample]]'s predicate. */
   object Sql {
     def keyBucket(key: String, seed: Long): String =
@@ -83,6 +106,14 @@ object Sampling {
         s"WHEN '$k' THEN ${(f * M).toLong}"
       }.mkString(" ")
       s"${keyBucket(key, seed)} < (CASE $classCol $whens ELSE 0 END)"
+    }
+    /** Twin of [[Sampling.negativeSamples]]' candidate arithmetic:
+      * `anchor`, `j` and `n` are SQL expressions (pass the corpus size
+      * as a subquery/CTE column so the oracle adapts to any SF).
+      */
+    def negId(anchor: String, j: String, n: String, seed: Long): String = {
+      val raw = s"(($anchor * 131 + $j * 977 + $seed) % $n)"
+      s"(CASE WHEN $raw = $anchor THEN ($raw + 1) % $n ELSE $raw END)"
     }
   }
 }

@@ -87,6 +87,39 @@ object Dedup {
     dropExactDups(fresh.drop("content_hash"), idCol, textCol, hash)
   }
 
+  /** [[deltaDedup]] with the documented bloom-filter prepass made
+    * real: a bloom filter of corpus content hashes (built once,
+    * `expectedCorpusDocs`/`fpp` size it) splits the batch into
+    * definitely-fresh docs (bloom miss — no false negatives, so no
+    * exact check needed) and candidates (bloom hit — verified by the
+    * exact anti-join). Output is IDENTICAL to [[deltaDedup]] (spec
+    * asserts it); the exact join's input shrinks from |batch| to
+    * |true dups| + fpp·|batch|. The filter here is built driver-side
+    * (`df.stat.bloomFilter`, memory = the bit array you sized); a
+    * production corpus maintains it incrementally at ingest instead
+    * of rebuilding per batch.
+    */
+  def deltaDedupBloom(batch: DataFrame, corpus: DataFrame, idCol: String,
+                      textCol: String, expectedCorpusDocs: Long,
+                      fpp: Double = 0.01,
+                      hash: Column => Column = TextOps.strHash(_)): DataFrame = {
+    val spark = batch.sparkSession
+    val bf = corpus.select(hash(col(textCol)).as("content_hash"))
+      .stat.bloomFilter("content_hash", math.max(1L, expectedCorpusDocs), fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val maybe = udf { h: Long => bc.value.mightContainLong(h) }
+    val hashed = batch.withColumn("content_hash", hash(col(textCol)))
+      .withColumn("__maybe", maybe(col("content_hash")))
+    val definitelyFresh = hashed.where(!col("__maybe"))
+    val corpusHashes = corpus
+      .select(hash(col(textCol)).as("content_hash")).distinct()
+    val verified = hashed.where(col("__maybe"))
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+    val fresh = definitelyFresh.unionByName(verified)
+      .drop("content_hash", "__maybe")
+    dropExactDups(fresh, idCol, textCol, hash)
+  }
+
   /** Duplicated-span coverage — the exact-substring dedup signal of
     * Lee et al. 2021 ("Deduplicating Training Data Makes Language
     * Models Better", the ExactSubstr criterion): for every document,

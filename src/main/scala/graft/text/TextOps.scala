@@ -181,6 +181,21 @@ object TextOps {
       .otherwise(lit(0.0))
   }
 
+  /** C4/Gopher-style document quality rules (Raffel et al. 2020 §2.2,
+    * Rae et al. 2021 A1.1): each is (rule_name, pass-predicate) over a
+    * PRE-PROJECTED stats row — callers hoist [[tokenCount]],
+    * [[avgTokenLen]], [[stopwordRatio]], [[dupNgramFraction]] into
+    * their own projection first (HOF lambdas inline shared subtrees
+    * per reference, so evaluating the rules straight off the text
+    * column would re-walk the token array once per rule).
+    */
+  def c4Rules(nTokens: Column, avgLen: Column, swRatio: Column,
+              dupFrac: Column): Seq[(String, Column)] = Seq(
+    "min_tokens" -> (nTokens >= 20),
+    "avg_token_len" -> (avgLen >= 2.0 && avgLen <= 12.0),
+    "has_stopword" -> (swRatio > 0.0),
+    "low_repetition" -> (dupFrac <= 0.9))
+
   // --- DuckDB oracle SQL twins --------------------------------------- //
 
   /** SQL fragments computing byte-identical results in DuckDB ≥1.0.

@@ -110,4 +110,35 @@ class AugSpec extends SparkSpec {
       li.where(col("l_returnflag") === "R"), "l_orderkey", 0.5, 42L).count()
     assert(counts("R") == viaGlobal)
   }
+
+  test("negativeSamples: known hash draws, self-collision bump, k per anchor") {
+    val ids = (0L until 5L).toDF("id")
+    val out = Sampling.negativeSamples(ids, "id", k = 2, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (a·131 + j·977 + 7) mod 5, no collisions at this seed
+    assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 4L, (1L, 0L) -> 3L,
+      (1L, 1L) -> 0L, (2L, 0L) -> 4L, (2L, 1L) -> 1L, (3L, 0L) -> 0L,
+      (3L, 1L) -> 2L, (4L, 0L) -> 1L, (4L, 1L) -> 3L))
+    // seed 0: anchor 0, j 0 → raw 0 = self → bumped to 1
+    val bump = Sampling.negativeSamples(ids, "id", k = 1, seed = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bump(0L) == 1L)
+    // every anchor gets exactly k rows, never itself
+    val big = Sampling.negativeSamples((0L until 100L).toDF("id"), "id", k = 4)
+    assert(big.count() == 400L)
+    assert(big.where(col("neg_id") === col("anchor")).count() == 0L)
+    assert(big.where(col("neg_id") < 0 || col("neg_id") >= 100).count() == 0L)
+  }
+
+  test("labelCentroids: exact component means per group") {
+    val vecs = Seq(
+      ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 4.0f)), ("b", Seq(5.0f, 6.0f))
+    ).toDF("label", "embedding")
+    val out = graft.sim.Centroids.labelCentroids(vecs, "label", "embedding")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(("a", 1L) -> ((2L, 2.0)), ("a", 2L) -> ((2L, 3.0)),
+      ("b", 1L) -> ((1L, 5.0)), ("b", 2L) -> ((1L, 6.0))))
+  }
 }

@@ -120,4 +120,42 @@ class TextSpec extends SparkSpec {
     assert(out(0).getDouble(3) == 0.5)
     assert(out(2).isNullAt(3)) // no shingles -> null rate
   }
+
+  test("vocabulary counts totals and doc frequency, filters by minCount") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b x")).toDF("id", "t")
+    val v = graft.text.Vocab.vocabulary(docs, "id", "t", minCount = 2L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(v == Map("a" -> ((3L, 2L)), "b" -> ((2L, 2L))))
+  }
+
+  test("c4Rules: each rule fails on its planted violation, passes a clean doc") {
+    val clean = "the quick brown fox jumps over the lazy dog and " +
+      "the fast cat runs under a tall tree while the slow dove sits"
+    val docs = Seq(
+      (1L, clean),                                // 23 varied tokens + stopwords
+      (2L, "the tiny doc"),                       // < 20 tokens
+      (3L, ("supercalifragilistic " * 25).trim),  // avg len 20 > 12
+      (4L, ("qq ww ee rr tt yy uu ii oo pp " * 2 + "aa ss dd ff gg").trim), // no stopword
+      (5L, ("xy " * 25).trim)                     // 2-gram dup frac 23/24 > 0.9
+    ).toDF("id", "t")
+    val stats = docs.select(col("id"),
+      TextOps.tokenCount(col("t")).cast("long").as("n_tokens"),
+      TextOps.avgTokenLen(col("t")).as("avg_len"),
+      TextOps.stopwordRatio(col("t")).as("sw_ratio"),
+      TextOps.dupNgramFraction(col("t"), 2).as("dup_frac"))
+    val rules = TextOps.c4Rules(col("n_tokens"), col("avg_len"),
+      col("sw_ratio"), col("dup_frac"))
+    val out = stats.select(col("id") +: rules.map { case (n, p) => p.as(n) }: _*)
+      .orderBy("id").collect()
+    val names = rules.map(_._1)
+    def failed(i: Int): Set[String] =
+      names.zipWithIndex.collect { case (n, j) if !out(i).getBoolean(j + 1) => n }.toSet
+    assert(failed(0) == Set.empty)
+    assert(failed(1).contains("min_tokens"))
+    assert(failed(2).contains("avg_token_len"))
+    assert(failed(3).contains("has_stopword"))
+    assert(failed(4).contains("low_repetition"))
+    // doc 5 is ALSO 25 identical 1-char tokens: passes length rules
+    assert(!failed(4).contains("min_tokens") && !failed(4).contains("avg_token_len"))
+  }
 }
