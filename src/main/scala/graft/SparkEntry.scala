@@ -1299,6 +1299,33 @@ object SparkEntry {
         col("centroid_checksum"), col("norm2"))
       .orderBy("label")
 
+  /** DV1 — snapshot diff (dataset versioning): yesterday's corpus
+    * (doc_id % 7 ≠ 3) vs today's (all docs, 1-in-10 texts revised) →
+    * added/changed/unchanged churn counts by content hash; the
+    * training-data release-note summary.
+    */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = doc(s, dir)
+    val snapA = d.where(col("doc_id") % 7 =!= 3)
+    val snapB = d.withColumn("text",
+      when(col("doc_id") % 10 === 0, concat(col("text"), lit(" rev2")))
+        .otherwise(col("text")))
+    graft.core.Versioning.diffSummary(snapA, snapB, "doc_id",
+      df => graft.text.TextOps.strHash(df("text")))
+      .orderBy("status")
+  }
+
+  /** K2 — length-bucketed batching stats (the dynamic-batching tuner):
+    * docs bucketed by BPE-ish token count; per bucket, the padding
+    * waste of batching to the bucket max.
+    */
+  private def qLengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = doc(s, dir)
+      .select(graft.text.TextOps.bpeTokenCount(col("text")).as("tokens"))
+    graft.seq.Packing.lengthBuckets(d, "tokens", Seq(16L, 32L, 48L, 64L))
+      .orderBy("bucket")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -1392,7 +1419,9 @@ object SparkEntry {
     "q81_vocab" -> (qVocab _),
     "q82_quality_filter" -> (qQualityFilter _),
     "q83_neg_sample" -> (qNegSample _),
-    "q84_label_centroids" -> (qLabelCentroids _)
+    "q84_label_centroids" -> (qLabelCentroids _),
+    "q85_snapshot_diff" -> (qSnapshotDiff _),
+    "q86_length_buckets" -> (qLengthBuckets _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -2296,6 +2325,24 @@ object SparkEntry {
          |  round(${dsumSql("(mean * CAST(dim AS DOUBLE))")}, 6) AS centroid_checksum,
          |  round(${dsumSql("(mean * mean)")}, 6) AS norm2
          | FROM cm GROUP BY "group" ORDER BY label""".stripMargin.replaceAll("\n", " ")
+    },
+    "q85_snapshot_diff" -> {
+      val hA = graft.text.TextOps.Sql.strHash("text")
+      val hB = graft.text.TextOps.Sql.strHash(
+        "(CASE WHEN doc_id % 10 = 0 THEN text || ' rev2' ELSE text END)")
+      s"""WITH a AS (SELECT doc_id, $hA AS h FROM documents WHERE doc_id % 7 <> 3),
+         | b AS (SELECT doc_id, $hB AS h FROM documents),
+         | j AS (SELECT coalesce(a.doc_id, b.doc_id) AS id, a.h AS ha, b.h AS hb
+         |   FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         | SELECT CASE WHEN ha IS NULL THEN 'added' WHEN hb IS NULL THEN 'removed'
+         |   WHEN ha = hb THEN 'unchanged' ELSE 'changed' END AS status,
+         |  count(*) AS n
+         | FROM j GROUP BY 1 ORDER BY status""".stripMargin.replaceAll("\n", " ")
+    },
+    "q86_length_buckets" -> {
+      val rel = s"(SELECT ${graft.text.TextOps.Sql.bpeTokenCount("text")} AS tokens FROM documents)"
+      s"""SELECT * FROM (${graft.seq.Packing.Sql.lengthBuckets(rel, "tokens", Seq(16L, 32L, 48L, 64L))})
+         | ORDER BY bucket""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

@@ -90,6 +90,29 @@ object Packing {
       .groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("weight").as("doc_tokens"))
 
+  /** Length-bucketed batching stats — the inference-serving twin of
+    * packing: bucket documents by token count (thresholds define
+    * half-open ranges), and per bucket report the padding waste of
+    * batching to the bucket's max length (`n·max − Σtokens`). High
+    * waste in a bucket means its range is too wide — the statistic
+    * that tunes dynamic-batching bucket boundaries. One
+    * map-side-combinable aggregate; bucket index is a codegen'd
+    * comparison sum (same shape as the PSI binIndex).
+    */
+  def lengthBuckets(df: DataFrame, weightCol: String,
+                    thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted,
+      s"lengthBuckets needs ascending thresholds: $thresholds")
+    val w = col(weightCol).cast(LongType)
+    val bucket = thresholds.map(t => when(w >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.select(bucket.as("bucket"), w.as("w"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("sum_tokens"),
+        max("w").as("max_tokens"),
+        (count(lit(1)) * max("w") - sum("w")).as("padding_waste"))
+  }
+
   /** DuckDB twin: the same packing as a cumulative window (fine at
     * oracle scale; the point of the Spark side is avoiding exactly
     * this global window).
@@ -103,5 +126,17 @@ object Packing {
          | SELECT cum_before // $budget AS pack_id, count(*) AS n_docs,
          |   CAST(sum(weight) AS BIGINT) AS doc_tokens
          | FROM c GROUP BY 1""".stripMargin.replaceAll("\n", " ")
+
+    def lengthBuckets(rel: String, weight: String,
+                      thresholds: Seq[Long]): String = {
+      val bucket = thresholds
+        .map(t => s"(CASE WHEN CAST($weight AS BIGINT) >= $t THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"""SELECT CAST($bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+         | CAST(sum(CAST($weight AS BIGINT)) AS BIGINT) AS sum_tokens,
+         | max(CAST($weight AS BIGINT)) AS max_tokens,
+         | CAST(count(*) * max(CAST($weight AS BIGINT)) - sum(CAST($weight AS BIGINT)) AS BIGINT) AS padding_waste
+         | FROM $rel GROUP BY 1""".stripMargin.replaceAll("\n", " ")
+    }
   }
 }

@@ -126,6 +126,27 @@ class CoreSpec extends SparkSpec {
       s"expected a loud dim-mismatch error, got: $chain")
   }
 
+  test("snapshot diff classifies added/removed/changed/unchanged by content hash") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "text")
+    val b = Seq((2L, "y"), (3L, "zz"), (4L, "w")).toDF("id", "text")
+    val hash = (df: org.apache.spark.sql.DataFrame) =>
+      graft.text.TextOps.strHash(df("text"))
+    val st = graft.core.Versioning.diffStatus(a, b, "id", hash)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added"))
+    val sum = graft.core.Versioning.diffSummary(a, b, "id", hash)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum == Map("removed" -> 1L, "unchanged" -> 1L, "changed" -> 1L,
+      "added" -> 1L))
+    // identical snapshots: everything unchanged
+    val same = graft.core.Versioning.diffSummary(a, a, "id", hash)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(same == Map("unchanged" -> 3L))
+  }
+
   test("zorder: known morton keys, locality, and the 32-bit envelope") {
     import graft.core.ZOrder
     import org.apache.spark.sql.functions._

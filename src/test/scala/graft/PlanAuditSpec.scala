@@ -92,6 +92,19 @@ class PlanAuditSpec extends SparkSpec {
     // q80 z-order cell stats aggregate map-side first
     val q80 = plan(SparkEntry.queries("q80_zorder")(spark, sf))
     assert("HashAggregate".r.findAllIn(q80).size >= 2, s"no partial agg:\n$q80")
+    // q81 vocab / q84 centroids / q86 buckets: map-side combine absorbs
+    // token/dimension skew before the shuffle
+    Seq("q81_vocab", "q84_label_centroids", "q86_length_buckets").foreach { n =>
+      val p = plan(SparkEntry.queries(n)(spark, sf))
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$n: no partial agg:\n$p")
+    }
+    // q83 negative fetch and q85 snapshot diff are hash equi-joins,
+    // never nested loops
+    Seq("q83_neg_sample", "q85_snapshot_diff").foreach { n =>
+      val p = plan(SparkEntry.queries(n)(spark, sf))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$n plans a cartesian:\n$p")
+    }
   }
 
   test("forest scoring stays inside whole-stage codegen") {

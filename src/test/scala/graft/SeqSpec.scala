@@ -197,4 +197,20 @@ class SeqSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(zp == Map(0L -> 0L, 1L -> 0L, 2L -> 1L))
   }
+
+  test("lengthBuckets: threshold bucketing and padding waste to bucket max") {
+    import graft.seq.Packing
+    val df = Seq(5L, 20L, 30L, 70L).toDF("tokens")
+    val out = Packing.lengthBuckets(df, "tokens", Seq(16L, 64L))
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 5L, 5L, 0L),     // below 16
+      (1L, 2L, 50L, 30L, 10L),  // [16,64): pad 20→30 wastes 10
+      (2L, 1L, 70L, 70L, 0L)))  // 64+
+    // padding waste is always non-negative and zero for singletons
+    intercept[IllegalArgumentException] {
+      Packing.lengthBuckets(df, "tokens", Seq(64L, 16L))
+    }
+  }
 }
