@@ -1326,6 +1326,29 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** K3 — per-group (monolingual) sequence packing: the token stream
+    * restarts per language, so the running sum is an ordinary window
+    * PARTITIONED BY lang — parallel across groups, no global scan.
+    */
+  private def qGroupedPack(s: SparkSession, dir: String): DataFrame = {
+    val d = doc(s, dir).select(col("lang"), col("doc_id"),
+      graft.text.TextOps.bpeTokenCount(col("text")).as("tokens"))
+    graft.seq.Packing.packStatsByGroup(d, "lang", "doc_id", "tokens",
+        budget = 512L)
+      .withColumnRenamed("group", "lang")
+      .orderBy("lang", "pack_id")
+  }
+
+  /** T9 — inverted-index posting lists (the search-index build): per
+    * term, document frequency + first-10 doc ids; hot-term lists are
+    * capped BEFORE collecting, so no executor materializes "the"'s
+    * full postings.
+    */
+  private def qPostings(s: SparkSession, dir: String): DataFrame =
+    graft.text.Vocab.postings(doc(s, dir), "doc_id", "text",
+        cap = 10, minDf = 5L)
+      .orderBy("token")
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -1421,7 +1444,9 @@ object SparkEntry {
     "q83_neg_sample" -> (qNegSample _),
     "q84_label_centroids" -> (qLabelCentroids _),
     "q85_snapshot_diff" -> (qSnapshotDiff _),
-    "q86_length_buckets" -> (qLengthBuckets _)
+    "q86_length_buckets" -> (qLengthBuckets _),
+    "q87_grouped_pack" -> (qGroupedPack _),
+    "q88_postings" -> (qPostings _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -2343,6 +2368,21 @@ object SparkEntry {
       val rel = s"(SELECT ${graft.text.TextOps.Sql.bpeTokenCount("text")} AS tokens FROM documents)"
       s"""SELECT * FROM (${graft.seq.Packing.Sql.lengthBuckets(rel, "tokens", Seq(16L, 32L, 48L, 64L))})
          | ORDER BY bucket""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    "q87_grouped_pack" -> {
+      val bpe = graft.text.TextOps.Sql.bpeTokenCount("text")
+      s"""WITH t AS (SELECT lang, doc_id, $bpe AS tokens FROM documents),
+         | c AS (SELECT lang, doc_id, tokens,
+         |   CAST(coalesce(sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |     ROWS UNBOUNDED PRECEDING), 0) - tokens AS BIGINT) AS cum_before
+         |  FROM t)
+         | SELECT lang, cum_before // 512 AS pack_id, count(*) AS n_docs,
+         |  CAST(sum(tokens) AS BIGINT) AS doc_tokens
+         | FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q88_postings" ->
+      s"""SELECT * FROM (${graft.text.Vocab.Sql.postings("documents", "doc_id", "text", 10, 5L)})
+         | ORDER BY token""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -90,6 +90,34 @@ object Packing {
       .groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("weight").as("doc_tokens"))
 
+  /** Per-group concat-and-chunk packing — the grouped form used when
+    * training sequences must not mix groups (monolingual packs, one
+    * source per sequence): the token stream restarts per group, so the
+    * running sum is an ordinary window PARTITIONED BY the group —
+    * parallel across groups, no global scan needed (contrast
+    * [[packSequences]], whose single global stream forces the
+    * two-phase prefix scan). Keys must be unique within a group.
+    * Returns (group, key, weight, cum_before, pack_id).
+    */
+  def packSequencesByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                           weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"packSequencesByGroup needs a positive budget: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group").orderBy("key")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(groupCol).as("group"), col(keyCol).cast(LongType).as("key"),
+        col(weightCol).cast(LongType).as("weight"))
+      .withColumn("cum_before", coalesce(sum("weight").over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div ${budget}L"))
+  }
+
+  /** Per-(group, pack) summary of [[packSequencesByGroup]]. */
+  def packStatsByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                       weightCol: String, budget: Long): DataFrame =
+    packSequencesByGroup(df, groupCol, keyCol, weightCol, budget)
+      .groupBy("group", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("weight").as("doc_tokens"))
+
   /** Length-bucketed batching stats — the inference-serving twin of
     * packing: bucket documents by token count (thresholds define
     * half-open ranges), and per bucket report the padding waste of

@@ -32,6 +32,30 @@ object Vocab {
       .agg(count(lit(1)).as("n"), countDistinct("id").as("df"))
       .where(col("n") >= minCount)
 
+  /** Inverted-index posting lists: per term, document frequency and
+    * the first `cap` doc ids ascending (comma-joined string, so the
+    * artifact is engine-portable). The per-term id lists are capped
+    * BEFORE collecting (row_number window partitioned by term), so no
+    * executor ever materializes a hot term's full posting list — the
+    * collect is bounded by `cap` regardless of how many documents
+    * contain "the". The search-index build step of a corpus pipeline.
+    */
+  def postings(df: DataFrame, idCol: String, textCol: String,
+               cap: Int, minDf: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("token"))
+    val dfc = rows.groupBy("token").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    val top = rows
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("token").orderBy("id")))
+      .where(col("rk") <= cap)
+      .groupBy("token")
+      .agg(array_join(sort_array(collect_list("id")), ",").as("doc_ids"))
+    dfc.join(top, Seq("token"))
+  }
+
   /** DuckDB twin. */
   object Sql {
     def vocabulary(rel: String, id: String, text: String,
@@ -40,5 +64,18 @@ object Vocab {
          | FROM (SELECT $id, unnest(${TextOps.Sql.toks(text)}) AS token FROM $rel)
          | GROUP BY token HAVING count(*) >= $minCount""".stripMargin
         .replaceAll("\n", " ")
+
+    def postings(rel: String, id: String, text: String, cap: Int,
+                 minDf: Long): String =
+      s"""SELECT dfc.token AS token, df, doc_ids FROM
+         | (SELECT token, count(*) AS df FROM
+         |   (SELECT $id AS id, unnest(list_distinct(${TextOps.Sql.toks(text)})) AS token FROM $rel)
+         |  GROUP BY token HAVING count(*) >= $minDf) dfc
+         | JOIN
+         | (SELECT token, array_to_string(list(id ORDER BY id), ',') AS doc_ids FROM
+         |   (SELECT token, id, row_number() OVER (PARTITION BY token ORDER BY id) AS rk FROM
+         |     (SELECT $id AS id, unnest(list_distinct(${TextOps.Sql.toks(text)})) AS token FROM $rel))
+         |  WHERE rk <= $cap GROUP BY token) lists
+         | USING (token)""".stripMargin.replaceAll("\n", " ")
   }
 }

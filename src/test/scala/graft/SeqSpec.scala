@@ -198,6 +198,21 @@ class SeqSpec extends SparkSpec {
     assert(zp == Map(0L -> 0L, 1L -> 0L, 2L -> 1L))
   }
 
+  test("packSequencesByGroup: the stream restarts per group") {
+    import graft.seq.Packing
+    val df = (Seq.tabulate(4)(i => ("a", i.toLong, 60L)) ++
+      Seq(("b", 0L, 150L), ("b", 1L, 150L))).toDF("g", "id", "w")
+    val packs = Packing.packSequencesByGroup(df, "g", "id", "w", budget = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(packs == Map(("a", 0L) -> 0L, ("a", 1L) -> 0L, ("a", 2L) -> 1L,
+      ("a", 3L) -> 1L, ("b", 0L) -> 0L, ("b", 1L) -> 1L))
+    val stats = Packing.packStatsByGroup(df, "g", "id", "w", budget = 100L)
+      .orderBy("group", "pack_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.toSeq == Seq(("a", 0L, 2L, 120L), ("a", 1L, 2L, 120L),
+      ("b", 0L, 1L, 150L), ("b", 1L, 1L, 150L)))
+  }
+
   test("lengthBuckets: threshold bucketing and padding waste to bucket max") {
     import graft.seq.Packing
     val df = Seq(5L, 20L, 30L, 70L).toDF("tokens")

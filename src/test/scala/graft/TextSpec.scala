@@ -128,6 +128,17 @@ class TextSpec extends SparkSpec {
     assert(v == Map("a" -> ((3L, 2L)), "b" -> ((2L, 2L))))
   }
 
+  test("postings: per-term doc lists are capped, sorted, df-filtered") {
+    val docs = Seq((1L, "a b"), (2L, "b a a"), (3L, "b")).toDF("id", "t")
+    val all = graft.text.Vocab.postings(docs, "id", "t", cap = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // df counts DOCUMENTS (distinct per doc), caps the id list at 2
+    assert(all == Map("a" -> ((2L, "1,2")), "b" -> ((3L, "1,2"))))
+    val hot = graft.text.Vocab.postings(docs, "id", "t", cap = 2, minDf = 3L)
+      .collect().map(_.getString(0)).toSeq
+    assert(hot == Seq("b"))
+  }
+
   test("c4Rules: each rule fails on its planted violation, passes a clean doc") {
     val clean = "the quick brown fox jumps over the lazy dog and " +
       "the fast cat runs under a tall tree while the slow dove sits"
