@@ -75,19 +75,26 @@ object Sampling {
     * op (word2vec/SimCLR-style: for each anchor, k "negative" rows
     * drawn pseudo-randomly from the corpus, never the anchor itself).
     * Ids must be dense 0..n−1 (rank-encode otherwise); candidate j of
-    * anchor a is `(a·131 + j·977 + seed) mod n`, bumped by one (mod n)
-    * on self-collision. No RNG state: the draw is a pure hash of
-    * (anchor, j), so it is reproducible across engines/retries and the
-    * "fetch the negative's payload" step is a plain equi-join on
-    * neg_id — narrow shuffles only, no cross join, at any scale.
-    * Returns (anchor, j, neg_id).
+    * anchor a is `((a mod P)·2654435761 + j·40503 + seed) mod P mod n`
+    * (P = 1e9+7 prime), bumped by one (mod n) on self-collision.
+    * Routing through the PRIME modulus before mod n is what prevents
+    * systematic degeneracy: a direct `(a·c1 + j·c2) mod n` collapses
+    * the j-stride whenever gcd(c2, n) > 1 (every anchor would draw k
+    * copies of one id at n = c2); mod a prime, distinct j always hash
+    * distinctly, and residual mod-n collisions are incidental (~k/n),
+    * which negative sampling tolerates. The `a mod P` pre-reduction
+    * keeps the product within Long. No RNG state: the draw is a pure
+    * hash of (anchor, j), reproducible across engines/retries, and
+    * the payload fetch is a plain equi-join on neg_id — narrow
+    * shuffles only at any scale. Returns (anchor, j, neg_id).
     */
   def negativeSamples(df: DataFrame, idCol: String, k: Int,
                       seed: Long = 7L): DataFrame = {
     require(k >= 1, s"negativeSamples needs k >= 1: $k")
     val n = df.count()
     require(n > 1, s"negativeSamples needs at least 2 rows: $n")
-    val raw = (col("anchor") * lit(131L) + col("j") * lit(977L) + lit(seed)) % lit(n)
+    val raw = (((col("anchor") % lit(P)) * lit(2654435761L)
+      + col("j") * lit(40503L) + lit(seed)) % lit(P)) % lit(n)
     df.select(col(idCol).cast("long").as("anchor"))
       .select(col("anchor"), explode(sequence(lit(0L), lit(k - 1L))).as("j"))
       .withColumn("neg_id",
@@ -112,7 +119,7 @@ object Sampling {
       * as a subquery/CTE column so the oracle adapts to any SF).
       */
     def negId(anchor: String, j: String, n: String, seed: Long): String = {
-      val raw = s"(($anchor * 131 + $j * 977 + $seed) % $n)"
+      val raw = s"(((($anchor % $P) * 2654435761 + $j * 40503 + $seed) % $P) % $n)"
       s"(CASE WHEN $raw = $anchor THEN ($raw + 1) % $n ELSE $raw END)"
     }
   }

@@ -50,9 +50,17 @@ object Dedup {
     * semi join back, so document bodies never shuffle.
     */
   def dropExactDups(df: DataFrame, idCol: String, textCol: String,
-                    hash: Column => Column = TextOps.strHash(_)): DataFrame = {
+                    hash: Column => Column = TextOps.strHash(_)): DataFrame =
+    dropExactDupsByHash(df, idCol, hash(col(textCol)))
+
+  /** [[dropExactDups]] over an already-computed hash expression/column —
+    * lets callers that carry a content hash (delta dedup) dedupe
+    * without walking every document body a second time.
+    */
+  private def dropExactDupsByHash(df: DataFrame, idCol: String,
+                                  hashCol: Column): DataFrame = {
     val reps = df
-      .select(hash(col(textCol)).as("content_hash"), col(idCol).as("rep_id"))
+      .select(hashCol.as("content_hash"), col(idCol).as("rep_id"))
       .groupBy("content_hash").agg(min("rep_id").as("rep_id"))
     df.join(reps, df(idCol) === reps("rep_id"), "left_semi")
   }
@@ -84,7 +92,10 @@ object Dedup {
     val fresh = batch
       .withColumn("content_hash", hash(col(textCol)))
       .join(corpusHashes, Seq("content_hash"), "left_anti")
-    dropExactDups(fresh.drop("content_hash"), idCol, textCol, hash)
+    // in-batch dedup reuses the hash already on the frame — each body
+    // is walked once per ingest, not twice
+    dropExactDupsByHash(fresh, idCol, col("content_hash"))
+      .drop("content_hash")
   }
 
   /** [[deltaDedup]] with the documented bloom-filter prepass made
@@ -108,16 +119,21 @@ object Dedup {
       .stat.bloomFilter("content_hash", math.max(1L, expectedCorpusDocs), fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val maybe = udf { h: Long => bc.value.mightContainLong(h) }
+    // null-hash rows (null text) must take the definitely-fresh branch,
+    // matching the exact path where a null key never matches the
+    // anti-join: without the coalesce the primitive-Long UDF returns
+    // null and the row fails BOTH branch filters, silently vanishing
     val hashed = batch.withColumn("content_hash", hash(col(textCol)))
-      .withColumn("__maybe", maybe(col("content_hash")))
+      .withColumn("__maybe",
+        coalesce(maybe(col("content_hash")), lit(false)))
     val definitelyFresh = hashed.where(!col("__maybe"))
     val corpusHashes = corpus
       .select(hash(col(textCol)).as("content_hash")).distinct()
     val verified = hashed.where(col("__maybe"))
       .join(corpusHashes, Seq("content_hash"), "left_anti")
     val fresh = definitelyFresh.unionByName(verified)
+    dropExactDupsByHash(fresh, idCol, col("content_hash"))
       .drop("content_hash", "__maybe")
-    dropExactDups(fresh, idCol, textCol, hash)
   }
 
   /** Duplicated-span coverage — the exact-substring dedup signal of

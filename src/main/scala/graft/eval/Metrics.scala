@@ -137,39 +137,12 @@ object Metrics {
     */
   private def prefixScan(df: DataFrame, labelCol: String,
                          scoreCol: String): (DataFrame, Long, Long) = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val spark = df.sparkSession
     val y = col(labelCol).cast("int")
     val perScore = df.groupBy(col(scoreCol).cast("double").as("score"))
       .agg(count(when(y === 1, 1)).as("pos"), count(when(y === 0, 1)).as("neg"))
-    val parts = math.max(1, spark.sparkContext.defaultParallelism)
-    val sorted = perScore.repartitionByRange(parts, col("score"))
-      .sortWithinPartitions("score")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val subtotal = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
-      var p = 0L; var n = 0L
-      it.foreach { r => p += r.getLong(1); n += r.getLong(2) }
-      Iterator((i, p, n))
-    }.collect().sortBy(_._1)
-    val offsets = new Array[(Long, Long)](subtotal.length)
-    var (ap, an) = (0L, 0L)
-    subtotal.foreach { case (i, p, n) => offsets(i) = (ap, an); ap += p; an += n }
-    val bc = spark.sparkContext.broadcast(offsets)
-    val rows = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
-      var (cp, cn) = bc.value(i)
-      it.map { r =>
-        val out = Row(r.getDouble(0), r.getLong(1), r.getLong(2), cp, cn)
-        cp += r.getLong(1); cn += r.getLong(2)
-        out
-      }
-    }
-    val schema = StructType(Seq(
-      StructField("score", DoubleType), StructField("pos", LongType),
-      StructField("neg", LongType), StructField("cum_pos_below", LongType),
-      StructField("cum_neg_below", LongType)))
-    graft.core.Caches.retain("metrics.prefixScan", sorted)
-    (spark.createDataFrame(rows, schema), ap, an)
+    val (scanned, totals) = graft.core.PrefixScan.exclusive(
+      perScore, "score", Seq("pos", "neg"), "metrics.prefixScan")
+    (scanned, totals(0), totals(1))
   }
 
   /** Full ROC curve (score, tpr, fpr) — the reference's headline

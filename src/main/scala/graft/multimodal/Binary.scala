@@ -203,17 +203,24 @@ object Binary {
     def tag(i: Int, s: String): Boolean =
       i + s.length <= b.length && s.indices.forall(k => b(i + k) == s(k).toByte)
     if (tag(0, "RIFF") && tag(8, "WAVE")) {
-      // chunk walk: [id(4) size(4,LE) payload(size, word-aligned)]*
-      var i = 12
+      // chunk walk: [id(4) size(4,LE) payload(size, word-aligned)].
+      // The cursor is a Long and the unsigned 32-bit chunk size is
+      // never truncated to Int: a malformed (or >= 2 GiB) size walks
+      // the cursor past the buffer and falls out of the loop as None,
+      // instead of a zero/negative Int step looping forever or
+      // indexing out of bounds. Step >= 8 always, so the walk
+      // terminates.
+      var i = 12L
       var rate = 0; var ch = 0; var bits = 0; var dataBytes = -1L
       var blockAlign = 0
       while (i + 8 <= b.length && (rate == 0 || dataBytes < 0)) {
-        val size = le32(i + 4)
-        if (tag(i, "fmt ") && i + 24 <= b.length) {
-          ch = le16(i + 10); rate = le32(i + 12).toInt
-          blockAlign = le16(i + 20); bits = le16(i + 22)
-        } else if (tag(i, "data")) dataBytes = size
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        val p = i.toInt // safe: i + 8 <= b.length <= Int.MaxValue
+        val size = le32(p + 4)
+        if (tag(p, "fmt ") && i + 24 <= b.length) {
+          ch = le16(p + 10); rate = le32(p + 12).toInt
+          blockAlign = le16(p + 20); bits = le16(p + 22)
+        } else if (tag(p, "data")) dataBytes = size
+        i += 8L + size + (size & 1L) // chunks are word-aligned
       }
       if (rate <= 0 || ch <= 0 || blockAlign <= 0 || dataBytes < 0) None
       else {

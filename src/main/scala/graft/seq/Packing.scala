@@ -1,6 +1,6 @@
 package graft.seq
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,12 +13,11 @@ import org.apache.spark.sql.types._
   * Spark's window functions can only express as a single-partition
   * window (a scale-killer).
   *
-  * [[exclusivePrefixSum]] computes it with the same two-phase
-  * distributed scan as `Metrics.prefixScan` (range-repartition + sort,
-  * per-partition subtotals collected once — one tiny row per
-  * partition — offsets broadcast back): every stage is a bounded
-  * shuffle of (key, weight) pairs, document bodies never move, and the
-  * result is layout-independent. At 100 TB the scan moves ~16 bytes per
+  * [[exclusivePrefixSum]] computes it with the shared two-phase
+  * distributed scan ([[graft.core.PrefixScan]] — the same primitive
+  * behind the exact ROC/KS metrics): every stage is a bounded shuffle
+  * of (key, weight) pairs, document bodies never move, and the result
+  * is layout-independent. At 100 TB the scan moves ~16 bytes per
   * document — the packing of a trillion-token corpus is two narrow
   * shuffles.
   *
@@ -37,35 +36,11 @@ object Packing {
     */
   def exclusivePrefixSum(df: DataFrame, keyCol: String,
                          weightCol: String): DataFrame = {
-    val spark = df.sparkSession
     val slim = df.select(col(keyCol).cast(LongType).as("key"),
       col(weightCol).cast(LongType).as("weight"))
-    val parts = math.max(1, spark.sparkContext.defaultParallelism)
-    val sorted = slim.repartitionByRange(parts, col("key"))
-      .sortWithinPartitions("key")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val subtotal = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
-      var w = 0L
-      it.foreach { r => w += r.getLong(1) }
-      Iterator((i, w))
-    }.collect().sortBy(_._1)
-    val offsets = new Array[Long](subtotal.length)
-    var acc = 0L
-    subtotal.foreach { case (i, w) => offsets(i) = acc; acc += w }
-    val bc = spark.sparkContext.broadcast(offsets)
-    val rows = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
-      var cum = bc.value(i)
-      it.map { r =>
-        val out = Row(r.getLong(0), r.getLong(1), cum)
-        cum += r.getLong(1)
-        out
-      }
-    }
-    val schema = StructType(Seq(
-      StructField("key", LongType), StructField("weight", LongType),
-      StructField("cum_before", LongType)))
-    graft.core.Caches.retain("packing.prefixSum", sorted)
-    spark.createDataFrame(rows, schema)
+    val (scanned, _) = graft.core.PrefixScan.exclusive(
+      slim, "key", Seq("weight"), "packing.prefixSum")
+    scanned.withColumnRenamed("cum_weight_below", "cum_before")
   }
 
   /** Assign each document its training-sequence id:

@@ -115,10 +115,11 @@ class AugSpec extends SparkSpec {
     val ids = (0L until 5L).toDF("id")
     val out = Sampling.negativeSamples(ids, "id", k = 2, seed = 7L)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    // (a·131 + j·977 + 7) mod 5, no collisions at this seed
-    assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 4L, (1L, 0L) -> 3L,
-      (1L, 1L) -> 0L, (2L, 0L) -> 4L, (2L, 1L) -> 1L, (3L, 0L) -> 0L,
-      (3L, 1L) -> 2L, (4L, 0L) -> 1L, (4L, 1L) -> 3L))
+    // ((a·2654435761 + j·40503 + 7) mod P) mod 5; (0,1) and (2,1) hit
+    // the anchor and bump, (4,1) bumps and wraps to 0
+    assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 0L) -> 4L,
+      (1L, 1L) -> 2L, (2L, 0L) -> 4L, (2L, 1L) -> 3L, (3L, 0L) -> 1L,
+      (3L, 1L) -> 4L, (4L, 0L) -> 1L, (4L, 1L) -> 0L))
     // seed 0: anchor 0, j 0 → raw 0 = self → bumped to 1
     val bump = Sampling.negativeSamples(ids, "id", k = 1, seed = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
@@ -128,6 +129,13 @@ class AugSpec extends SparkSpec {
     assert(big.count() == 400L)
     assert(big.where(col("neg_id") === col("anchor")).count() == 0L)
     assert(big.where(col("neg_id") < 0 || col("neg_id") >= 100).count() == 0L)
+    // no systematic stride collapse when n shares a factor with the
+    // j-multiplier (the old (a·131 + j·977) mod n drew k IDENTICAL
+    // negatives for every anchor at n = 977)
+    val deg = Sampling.negativeSamples((0L until 977L).toDF("id"), "id", k = 4)
+      .groupBy("anchor").agg(countDistinct("neg_id").as("nd"))
+    val dist = deg.agg(avg("nd")).head.getDouble(0)
+    assert(dist > 3.9, s"degenerate draws: avg distinct negatives $dist of 4")
   }
 
   test("labelCentroids: exact component means per group") {

@@ -108,6 +108,15 @@ class MultimodalSpec extends SparkSpec {
       .contains(Binary.AudioMeta("wav", 16000, 1, 16, 1600L, 100L)))
     // truncated wav (RIFF/WAVE but no fmt/data) parses to None, not a crash
     assert(Binary.parseAudioMeta(w.take(14)).isEmpty)
+    // malformed chunk size near 2^32 (would be a negative/zero Int step):
+    // must walk off the end and return None — not hang or throw
+    val evil = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+    assert(Binary.parseAudioMeta(evil).isEmpty)
+    val evil2 = evil.dropRight(4) ++
+      Array[Byte](0, 0, 0, 0x80.toByte) // 0x80000000: sign-bit size
+    assert(Binary.parseAudioMeta(evil2).isEmpty)
   }
 
   test("audioMetaCol surfaces parsed header fields as a typed struct column") {
