@@ -73,4 +73,46 @@ class PropertySpec extends AnyFunSuite {
       (x, y) => m.reconstructionError(Array(x, y)) >= 0.0
     })
   }
+
+  test("media header parsers: total on arbitrary bytes (None, never throw/hang)") {
+    val bytes: Gen[Array[Byte]] =
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    check("audio-fuzz", Prop.forAll(bytes) { b =>
+      Binary.parseAudioMeta(b); true // totality: returns without throwing
+    })
+    check("image-fuzz", Prop.forAll(bytes) { b =>
+      Binary.parseImageMeta(b); true
+    })
+    // truncation of a VALID header at any point must also be total
+    val trunc = for {
+      id <- Gen.choose(0L, 5000L)
+      audio <- Gen.oneOf(true, false)
+      full = if (audio) Binary.synthAudioHeader(id) else Binary.synthHeader(id)
+      cut <- Gen.choose(0, full.length)
+    } yield (audio, full.take(cut))
+    check("truncation", Prop.forAll(trunc) { case (audio, b) =>
+      if (audio) Binary.parseAudioMeta(b) else Binary.parseImageMeta(b); true
+    })
+  }
+
+  test("wav/flac headers round-trip through the parser for any valid params") {
+    val params = for {
+      rate <- Gen.choose(1, 655349)
+      ch <- Gen.choose(1, 8)
+      bits <- Gen.oneOf(8, 16, 24, 32)
+      frames <- Gen.choose(0L, 0xf_ffff_ffffL) // full 36-bit FLAC range
+    } yield (rate, ch, bits, frames)
+    check("flac-roundtrip", Prop.forAll(params) { case (rate, ch, bits, frames) =>
+      Binary.parseAudioMeta(Binary.flacHeader(rate, ch, bits, frames))
+        .contains(Binary.AudioMeta("flac", rate, ch, bits, frames,
+          frames * 1000L / rate))
+    })
+    check("wav-roundtrip", Prop.forAll(params) { case (rate, ch, bits, frames) =>
+      val blockAlign = ch * bits / 8
+      // wav data size field is 32-bit: keep frames·blockAlign in range
+      val f = math.min(frames, (0xffffffffL / blockAlign) - 1)
+      Binary.parseAudioMeta(Binary.wavHeader(rate, ch, bits, f))
+        .contains(Binary.AudioMeta("wav", rate, ch, bits, f, f * 1000L / rate))
+    })
+  }
 }
