@@ -1349,6 +1349,39 @@ object SparkEntry {
         cap = 10, minDf = 5L)
       .orderBy("token")
 
+  /** A13''' — precision–recall curve export: the imbalance-robust
+    * companion to q70's ROC curve, as the same no-window prefix-scan
+    * projection.
+    */
+  private def qPrCurve(s: SparkSession, dir: String): DataFrame = {
+    val d = li(s, dir)
+      .withColumn("label", when(col("l_returnflag") === "R", 1).otherwise(0))
+    Metrics.prCurve(d, "label", "l_quantity")
+      .select(col("score"), round(col("precision"), 6).as("precision"),
+        round(col("recall"), 6).as("recall"))
+      .orderBy("score")
+  }
+
+  /** A16 — calibration/reliability bins: per score-quantile bin, the
+    * count, mean score, and observed positive rate (the reliability-
+    * diagram table; "are high scores still enriched for positives?").
+    */
+  private def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    val d = li(s, dir)
+      .withColumn("label", when(col("l_returnflag") === "R", 1).otherwise(0))
+    // mean rounded at 6, not 4: a mean of 2-dp money over n rows can be
+    // a TRUE tie at the 5th decimal (bin 8 at sf0.01 is exactly
+    // x.59795), where Spark's shortest-repr HALF_UP and DuckDB's
+    // binary-double rounding disagree; at scale 6 the terminating
+    // expansions end before the rounding digit and non-terminating
+    // ones can never tie
+    Metrics.calibrationBins(d, "label", "l_extendedprice", bins = 10)
+      .select(col("bin").cast("long").as("bin"), col("n"),
+        round(col("mean_score"), 6).as("mean_score"),
+        round(col("pos_rate"), 6).as("pos_rate"))
+      .orderBy("bin")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -1446,7 +1479,9 @@ object SparkEntry {
     "q85_snapshot_diff" -> (qSnapshotDiff _),
     "q86_length_buckets" -> (qLengthBuckets _),
     "q87_grouped_pack" -> (qGroupedPack _),
-    "q88_postings" -> (qPostings _)
+    "q88_postings" -> (qPostings _),
+    "q89_pr_curve" -> (qPrCurve _),
+    "q90_calibration" -> (qCalibration _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -2383,6 +2418,34 @@ object SparkEntry {
     },
     "q88_postings" ->
       s"""SELECT * FROM (${graft.text.Vocab.Sql.postings("documents", "doc_id", "text", 10, 5L)})
-         | ORDER BY token""".stripMargin.replaceAll("\n", " ")
+         | ORDER BY token""".stripMargin.replaceAll("\n", " "),
+    "q89_pr_curve" ->
+      """WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |   CAST(l_quantity AS DOUBLE) AS s FROM lineitem
+        |   WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))),
+        | per AS (SELECT s AS score, count(*) FILTER (WHERE y = 1) AS pos,
+        |   count(*) FILTER (WHERE y = 0) AS neg FROM d GROUP BY s),
+        | tot AS (SELECT CAST(sum(pos) AS DOUBLE) AS p FROM per),
+        | c AS (SELECT score, sum(pos) OVER w AS ctp, sum(pos + neg) OVER w AS cpred FROM per
+        |   WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING))
+        | SELECT score, round(CAST(ctp AS DOUBLE) / CAST(cpred AS DOUBLE), 6) AS precision,
+        |   round(CAST(ctp AS DOUBLE) / p, 6) AS recall
+        | FROM c, tot ORDER BY score""".stripMargin.replaceAll("\n", " "),
+    "q90_calibration" -> {
+      val ps = (1 until 10).map(_.toDouble / 10)
+      val qcols = ps.zipWithIndex.map { case (p, i) =>
+        s"quantile_cont(s, $p) AS t$i"
+      }.mkString(", ")
+      val binExpr = ps.indices.map(i => s"CASE WHEN s > t$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         |   CAST(l_extendedprice AS DOUBLE) AS s FROM lineitem),
+         | q AS (SELECT $qcols FROM d),
+         | b AS (SELECT y, s, ($binExpr) AS bin FROM d, q)
+         | SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+         |  round(${dsumSql("s")} / count(*), 6) AS mean_score,
+         |  round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+         | FROM b GROUP BY bin ORDER BY bin""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

@@ -164,6 +164,50 @@ object Metrics {
       ((lit(nTot) - col("cum_neg_below")).cast("double") / lit(nTot.toDouble)).as("fpr"))
   }
 
+  /** Full precision–recall curve (score, precision, recall) — the
+    * standard companion artifact to [[rocCurve]], and the one that
+    * stays informative under heavy class imbalance (anomaly detection's
+    * usual regime, where ROC saturates). Same no-window projection of
+    * the prefix scan: at threshold s (predict positive when score ≥ s),
+    * tp = P − cum_pos_below and predicted = (P+N) − (cum_pos_below +
+    * cum_neg_below); predicted ≥ 1 at every emitted score (each
+    * distinct score has at least one row), so precision never divides
+    * by zero.
+    */
+  def prCurve(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val (pc, pTot, nTot) = prefixScan(df, labelCol, scoreCol)
+    require(pTot > 0, s"prCurve needs positive examples: P=$pTot")
+    val tp = (lit(pTot) - col("cum_pos_below")).cast("double")
+    val pred = (lit(pTot + nTot) - col("cum_pos_below") - col("cum_neg_below"))
+      .cast("double")
+    pc.select(col("score"), (tp / pred).as("precision"),
+      (tp / lit(pTot.toDouble)).as("recall"))
+  }
+
+  /** Calibration (reliability) table over score-quantile bins: per bin,
+    * the count, mean score, and observed positive rate — the data
+    * behind a reliability diagram and the drift check "are high scores
+    * still enriched for positives?". One quantile fit (exact
+    * distributed selection) + one aggregate pass; the mean uses the
+    * engine's DECIMAL partials, so bins are layout-independent.
+    */
+  def calibrationBins(df: DataFrame, labelCol: String, scoreCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibrationBins needs at least 2 bins: $bins")
+    val slim = df.select(col(labelCol).cast("int").as("y"),
+        col(scoreCol).cast("double").as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val ts = graft.core.Quantiles.exactQuantiles(slim, "s", ps).distinct
+    val bin = ts.map(t => when(col("s") > lit(t), 1).otherwise(0)).reduce(_ + _)
+    val out = slim.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        (graft.core.Stats.dsum(col("s")) / count(lit(1))).as("mean_score"),
+        (sum(col("y")).cast("double") / count(lit(1)).cast("double")).as("pos_rate"))
+    graft.core.Caches.retain("metrics.calibration", slim)
+    out
+  }
+
   /** Quantile-binned ROC curve — [[rocCurve]]'s scale path for
     * continuous scores (same binning as [[binnedRocAuc]]): one (bin,
     * tpr, fpr) row per score-quantile bucket, cumulated from the

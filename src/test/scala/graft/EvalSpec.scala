@@ -129,4 +129,28 @@ class EvalSpec extends SparkSpec {
       assert(t >= 0.0 && t <= 1.0 && f >= 0.0 && f <= 1.0)
     }
   }
+
+  test("prCurve matches hand-computed precision/recall per distinct score") {
+    val df = Seq((1, 3.0), (0, 3.0), (1, 2.0), (0, 1.0)).toDF("label", "score")
+    val out = Metrics.prCurve(df, "label", "score")
+      .orderBy(desc("score")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    // s=3: tp=1 of 2 predicted; s=2: tp=2 of 3; s=1: tp=2 of 4
+    assert(out(0) == ((3.0, 0.5, 0.5)))
+    assert(out(1)._1 == 2.0 && math.abs(out(1)._2 - 2.0 / 3.0) < 1e-15 &&
+      out(1)._3 == 1.0)
+    assert(out(2) == ((1.0, 0.5, 1.0)))
+  }
+
+  test("calibrationBins: per-quantile-bin count, mean score, positive rate") {
+    val df = (1 to 10).map(i => (if (i > 5) 1 else 0, i.toDouble))
+      .toDF("label", "score")
+    val out = Metrics.calibrationBins(df, "label", "score", bins = 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // median 5.5 splits 1..5 (no positives) from 6..10 (all positive)
+    assert(out.length == 2)
+    assert(out(0) == ((0, 5L, 3.0, 0.0)))
+    assert(out(1) == ((1, 5L, 8.0, 1.0)))
+  }
 }
