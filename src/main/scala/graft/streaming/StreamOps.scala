@@ -146,6 +146,79 @@ object StreamOps {
         col("fp.feature").as("feature"), col("fp.psi").as("psi"))
   }
 
+  /** Open-session state for [[streamingSessionize]]: millis bounds +
+    * running aggregates of the session being built per key.
+    */
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+
+  /** Streaming gap-based sessionization — the incremental form of
+    * [[graft.seq.Sessionizer]]: events with the same key belong to one
+    * session while consecutive event times are within `gapMs`; a
+    * session CLOSES (and is emitted, append-mode) either when a
+    * later event of the same key arrives past the gap, or when the
+    * event-time watermark passes `last + gapMs` (EventTimeTimeout —
+    * no more in-gap events can exist, by the watermark contract).
+    * Emits (key, session_start, session_end, n_events, value_sum).
+    *
+    * State is one [[SessionState]] per ACTIVE key — watermark-bounded:
+    * idle keys time out, emit, and are removed. Events are processed
+    * in event-time order within each micro-batch; cross-batch
+    * disorder beyond the watermark delay is dropped upstream by the
+    * watermark itself (the same completeness contract as
+    * [[windowedStats]]).
+    */
+  def streamingSessionize(stream: DataFrame, tsCol: String, keyCol: String,
+                          valueCol: String, gapMs: Long,
+                          watermarkDelay: String): DataFrame = {
+    import stream.sparkSession.implicits._
+    require(gapMs > 0, s"streamingSessionize needs a positive gap: $gapMs")
+    // project/cast FIRST, watermark the projected column: a cast after
+    // withWatermark mints a new attribute without the event-time tag
+    // and EventTimeTimeout then rejects the plan
+    val typed = stream
+      .select(col(keyCol).cast("string").as("k"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(valueCol).cast("double").as("v"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState,
+        (String, java.sql.Timestamp, java.sql.Timestamp, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator((key, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.sum))
+          } else {
+            val events = rows.map(r => (r._2.getTime, r._3)).toArray.sortBy(_._1)
+            val closed = scala.collection.mutable.ArrayBuffer
+              .empty[(String, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+            var cur = state.getOption
+            events.foreach { case (t, v) =>
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t),
+                    s.n + 1, s.sum + v))
+                case Some(s) =>
+                  closed += ((key, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, s.sum))
+                  cur = Some(SessionState(t, t, 1L, v))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.iterator
+          }
+      }
+      .toDF("key", "session_start", "session_end", "n_events", "value_sum")
+  }
+
   /** Keyed running maximum via explicit state (mapGroupsWithState):
     * emits (key, running_max_so_far) once per key per micro-batch.
     */

@@ -61,6 +61,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSessionize: gap-break within a batch, timeout via watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamOps.streamingSessionize(
+      in.toDF.toDF("ts", "user", "value"),
+      "ts", "user", "value", gapMs = 5 * 60000L, watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u1: events at minutes 1,2 then 20,21 — the in-batch gap break
+      // closes the first session immediately
+      in.addData((ts(1), "u1", 1.0), (ts(2), "u1", 2.0),
+        (ts(20), "u1", 3.0), (ts(21), "u1", 4.0))
+      q.processAllAvailable()
+      val first = spark.table("sess").collect()
+      assert(first.length == 1)
+      assert(first.head.getAs[String]("key") == "u1")
+      assert(first.head.getAs[Timestamp]("session_start") == ts(1))
+      assert(first.head.getAs[Timestamp]("session_end") == ts(2))
+      assert(first.head.getAs[Long]("n_events") == 2L)
+      assert(first.head.getAs[Double]("value_sum") == 3.0)
+      // a far-future event for another key advances the watermark past
+      // 21min + gap, timing out u1's open session
+      in.addData((ts(120), "u2", 9.0))
+      q.processAllAvailable()
+      in.addData((ts(121), "u2", 1.0)) // one more batch so the timeout fires
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+      val u1Late = rows.filter(r => r.getAs[String]("key") == "u1" &&
+        r.getAs[Timestamp]("session_start") == ts(20))
+      assert(u1Late.length == 1)
+      assert(u1Late.head.getAs[Long]("n_events") == 2L)
+      assert(u1Late.head.getAs[Double]("value_sum") == 7.0)
+    } finally q.stop()
+  }
+
   test("runningMaxPerKey keeps cumulative state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Double)]
