@@ -1382,6 +1382,25 @@ object SparkEntry {
       .orderBy("bin")
   }
 
+  /** SK2 — salted skew join: lineitem⋈part on the (potentially hot)
+    * part key via replicate-and-salt, then revenue per brand. The
+    * oracle is the PLAIN join + group-by — the salted plan must be
+    * row-identical.
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val joined = graft.core.Skew.saltedJoin(
+      li(s, dir).select(col("l_partkey").as("p_partkey"),
+        col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      p, Seq("p_partkey"), spread = col("l_orderkey"), buckets = 8)
+    joined.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        round(Stats.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+      .orderBy("p_brand")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -1481,7 +1500,8 @@ object SparkEntry {
     "q87_grouped_pack" -> (qGroupedPack _),
     "q88_postings" -> (qPostings _),
     "q89_pr_curve" -> (qPrCurve _),
-    "q90_calibration" -> (qCalibration _)
+    "q90_calibration" -> (qCalibration _),
+    "q91_salted_join" -> (qSaltedJoin _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -2419,6 +2439,11 @@ object SparkEntry {
     "q88_postings" ->
       s"""SELECT * FROM (${graft.text.Vocab.Sql.postings("documents", "doc_id", "text", 10, 5L)})
          | ORDER BY token""".stripMargin.replaceAll("\n", " "),
+    "q91_salted_join" ->
+      s"""SELECT p_brand, count(*) AS n,
+         | round(${dsumSql("CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE))")}, 4) AS revenue
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | GROUP BY p_brand ORDER BY p_brand""".stripMargin.replaceAll("\n", " "),
     "q89_pr_curve" ->
       """WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
         |   CAST(l_quantity AS DOUBLE) AS s FROM lineitem

@@ -41,4 +41,26 @@ object Skew {
         sum(col("__psum")).cast(DoubleType).as(s"sum_$valueCol"),
         sum(col("__pcnt")).as("n"))
   }
+
+  /** Salted inner equi-join — the replicate-and-salt fix for a SKEWED
+    * join key when the small side is still too big to broadcast and
+    * AQE's split threshold is not in play: the fact side widens its
+    * key with a deterministic salt (spread column mod `buckets`), the
+    * other side is replicated `buckets`× with an exploded salt, and
+    * the join runs on (keys, salt) — a hot key's rows land on
+    * `buckets` reducers instead of one. Row-identical to
+    * `fact.join(other, keys)` (the q91 oracle is the plain join);
+    * costs `buckets`× the small side's shuffle volume, the standard
+    * trade. Deterministic (data-derived salt, not rand()) so retries
+    * and the oracle reproduce it.
+    */
+  def saltedJoin(fact: DataFrame, other: DataFrame, keys: Seq[String],
+                 spread: Column, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"saltedJoin needs at least 1 bucket: $buckets")
+    val sf = fact.withColumn("__salt",
+      pmod(spread.cast("long"), lit(buckets.toLong)))
+    val so = other.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    sf.join(so, keys :+ "__salt").drop("__salt")
+  }
 }

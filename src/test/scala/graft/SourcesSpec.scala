@@ -120,4 +120,24 @@ class SourcesSpec extends SparkSpec {
       assert(n == plain(k)._2)
     }
   }
+
+  test("salted join is row-identical to the plain equi-join") {
+    import spark.implicits._
+    // planted hot key: 90% of fact rows share key 1
+    val fact = ((1 to 90).map(i => (1L, i.toLong)) ++
+      (1 to 10).map(i => (i.toLong % 5 + 2, 100L + i))).toDF("k", "payload")
+    val dim = (1L to 7L).map(i => (i, s"dim$i")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"),
+        spread = col("payload"), buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq)
+    // keys missing from the dim side drop in both (inner-join semantics)
+    assert(!salted.exists(_._1 > 7L))
+    // degenerate single bucket degrades to the plain join
+    val one = Skew.saltedJoin(fact, dim, Seq("k"), col("payload"), buckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(one.toSeq == plain.toSeq)
+  }
 }
