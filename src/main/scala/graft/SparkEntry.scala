@@ -1401,6 +1401,18 @@ object SparkEntry {
       .orderBy("p_brand")
   }
 
+  /** R6 — temperature mixture sampling (α = 0.5 source rebalancing):
+    * per-language keep rates computed from the data (upsample
+    * low-resource languages relative to their share), applied as a
+    * deterministic hash sample; per-language kept counts + char mass.
+    */
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    graft.aug.Sampling.temperatureSample(doc(s, dir), "lang", "doc_id",
+        targetFraction = 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -1501,7 +1513,8 @@ object SparkEntry {
     "q88_postings" -> (qPostings _),
     "q89_pr_curve" -> (qPrCurve _),
     "q90_calibration" -> (qCalibration _),
-    "q91_salted_join" -> (qSaltedJoin _)
+    "q91_salted_join" -> (qSaltedJoin _),
+    "q92_temperature_mix" -> (qTemperatureMix _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -2439,6 +2452,19 @@ object SparkEntry {
     "q88_postings" ->
       s"""SELECT * FROM (${graft.text.Vocab.Sql.postings("documents", "doc_id", "text", 10, 5L)})
          | ORDER BY token""".stripMargin.replaceAll("\n", " "),
+    "q92_temperature_mix" -> {
+      import graft.aug.Sampling.{Sql => Smp}
+      s"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         | tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt,
+         |   list_reduce(list_prepend(0.0::DOUBLE, list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)), (a, b) -> a + b) AS sw
+         |  FROM cnt),
+         | r AS (SELECT lang, least(1.0, floor(0.5 * nt) * sqrt(CAST(n AS DOUBLE)) / (sw * CAST(n AS DOUBLE))) AS rate
+         |  FROM cnt, tot),
+         | kept AS (SELECT d.lang, d.n_chars FROM documents d JOIN r ON d.lang = r.lang
+         |  WHERE ${Smp.keyBucket("d.doc_id", 42L)} < CAST(floor(rate * 1000000) AS BIGINT))
+         | SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         | FROM kept GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " ")
+    },
     "q91_salted_join" ->
       s"""SELECT p_brand, count(*) AS n,
          | round(${dsumSql("CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE))")}, 4) AS revenue

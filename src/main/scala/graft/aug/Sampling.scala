@@ -71,6 +71,38 @@ object Sampling {
   def shuffle(df: DataFrame, seed: Long = 42L): DataFrame =
     df.orderBy(rand(seed))
 
+  /** Temperature-based mixture sampling — the multilingual/multi-source
+    * REBALANCING op (the `p_s ∝ n_s^α` upsampling of low-resource
+    * sources used since mBERT/XLM-R): per-class keep rates are
+    * COMPUTED FROM THE DATA — `rate_s = min(1, N_target·n_s^α /
+    * (Σ_t n_t^α · n_s))` with `N_target = ⌊targetFraction·N⌋` — then
+    * applied as a deterministic hash sample ([[hashStratifiedSample]]),
+    * so the draw is engine/retry-reproducible. The class-count collect
+    * is bounded by the number of classes. α = 0.5 (the default) uses
+    * `sqrt`, which IEEE defines correctly-rounded — rates computed by
+    * another engine match bitwise; other α go through `pow`, where
+    * libm implementations may differ in the last ulp (documented
+    * parity caveat). The Σ n^α fold runs in class-sorted order so the
+    * double sum is order-fixed.
+    */
+  def temperatureSample(df: DataFrame, classCol: String, keyCol: String,
+                        targetFraction: Double, alpha: Double = 0.5,
+                        seed: Long = 42L): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1.0,
+      s"temperatureSample needs targetFraction in (0,1]: $targetFraction")
+    def w(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).sortBy(_._1)
+    require(counts.nonEmpty, "temperatureSample needs at least one class")
+    val sw = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n) }
+    val nTarget = math.floor(targetFraction * counts.map(_._2).sum.toDouble)
+    val fractions = counts.map { case (c, n) =>
+      c -> math.min(1.0, nTarget * w(n) / (sw * n.toDouble))
+    }.toMap
+    hashStratifiedSample(df, classCol, keyCol, fractions, seed)
+  }
+
   /** Deterministic negative sampling — the contrastive-training data
     * op (word2vec/SimCLR-style: for each anchor, k "negative" rows
     * drawn pseudo-randomly from the corpus, never the anchor itself).

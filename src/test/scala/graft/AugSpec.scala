@@ -138,6 +138,33 @@ class AugSpec extends SparkSpec {
     assert(dist > 3.9, s"degenerate draws: avg distinct negatives $dist of 4")
   }
 
+  test("temperatureSample upsamples low-resource classes (alpha=0.5 math)") {
+    // a: 100 rows, b: 400 rows; N_target = 250, sw = 10 + 20 = 30
+    // → rate_a = 250·10/(30·100) = 0.8333, rate_b = 250·20/(30·400) = 0.4167
+    val df = ((1 to 100).map(i => ("a", i.toLong)) ++
+      (1 to 400).map(i => ("b", 1000L + i))).toDF("cls", "id")
+    val kept = Sampling.temperatureSample(df, "cls", "id",
+        targetFraction = 0.5)
+      .groupBy("cls").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fa = kept("a") / 100.0
+    val fb = kept("b") / 400.0
+    // hash-bucket sampling tracks the computed rates closely
+    assert(math.abs(fa - 0.8333) < 0.08, s"rate_a off: $fa")
+    assert(math.abs(fb - 0.4167) < 0.08, s"rate_b off: $fb")
+    // the whole point: the low-resource class keeps ~2× the rate
+    assert(fa / fb > 1.6, s"no upsampling: $fa vs $fb")
+    // determinism across runs
+    val again = Sampling.temperatureSample(df, "cls", "id", 0.5)
+      .groupBy("cls").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+    // targetFraction 1.0 with equal classes keeps everything (rate 1)
+    val eq = ((1 to 50).map(i => ("x", i.toLong)) ++
+      (1 to 50).map(i => ("y", 100L + i))).toDF("cls", "id")
+    assert(Sampling.temperatureSample(eq, "cls", "id", 1.0).count() == 100L)
+  }
+
   test("labelCentroids: exact component means per group") {
     val vecs = Seq(
       ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 4.0f)), ("b", Seq(5.0f, 6.0f))
