@@ -1413,6 +1413,36 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))
       .orderBy("lang")
 
+  /** K4 — materialized training sequences: q77's pack assignment joined
+    * back to the text and concatenated in key order; per-pack collects
+    * are bounded by the pack capacity. Verified via length + content
+    * hash per pack.
+    */
+  private def qPackTexts(s: SparkSession, dir: String): DataFrame = {
+    val d = doc(s, dir).select(col("doc_id"),
+      graft.text.TextOps.bpeTokenCount(col("text")).as("tokens"), col("text"))
+    graft.seq.Packing.packTexts(d, "doc_id", "tokens", "text", budget = 512L)
+      .select(col("pack_id"), col("n_docs"), col("doc_tokens"),
+        length(col("text")).cast("long").as("text_len"),
+        graft.text.TextOps.strHash(col("text")).as("text_hash"))
+      .orderBy("pack_id")
+  }
+
+  /** T10 — deterministic token masking (denoising-objective prep):
+    * 15% of tokens masked by a pure (doc_id, position) hash — the
+    * same example corrupts identically across epochs/engines.
+    */
+  private def qSpanMask(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    doc(s, dir)
+      .withColumn("masked", TextOps.maskTokens(col("doc_id"), col("text"), pct = 15))
+      .select(col("doc_id"),
+        size(col("masked")).cast("long").as("n_tokens"),
+        size(filter(col("masked"), t => t === "<mask>")).cast("long").as("n_masked"),
+        TextOps.strHash(array_join(col("masked"), " ")).as("masked_hash"))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -1514,7 +1544,9 @@ object SparkEntry {
     "q89_pr_curve" -> (qPrCurve _),
     "q90_calibration" -> (qCalibration _),
     "q91_salted_join" -> (qSaltedJoin _),
-    "q92_temperature_mix" -> (qTemperatureMix _)
+    "q92_temperature_mix" -> (qTemperatureMix _),
+    "q93_pack_texts" -> (qPackTexts _),
+    "q94_span_mask" -> (qSpanMask _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -2452,6 +2484,30 @@ object SparkEntry {
     "q88_postings" ->
       s"""SELECT * FROM (${graft.text.Vocab.Sql.postings("documents", "doc_id", "text", 10, 5L)})
          | ORDER BY token""".stripMargin.replaceAll("\n", " "),
+    "q93_pack_texts" -> {
+      val bpe = graft.text.TextOps.Sql.bpeTokenCount("text")
+      val h = graft.text.TextOps.Sql.strHash("text")
+      s"""WITH t AS (SELECT doc_id, $bpe AS tokens, text FROM documents),
+         | c AS (SELECT doc_id, tokens, text,
+         |   CAST(coalesce(sum(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING), 0) - tokens AS BIGINT) AS cum_before
+         |  FROM t),
+         | g AS (SELECT cum_before // 512 AS pack_id, count(*) AS n_docs,
+         |   CAST(sum(tokens) AS BIGINT) AS doc_tokens,
+         |   string_agg(text, ' ' ORDER BY doc_id) AS text
+         |  FROM c GROUP BY 1)
+         | SELECT pack_id, n_docs, doc_tokens,
+         |  CAST(length(text) AS BIGINT) AS text_len, $h AS text_hash
+         | FROM g ORDER BY pack_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q94_span_mask" -> {
+      val masked = graft.text.TextOps.Sql.maskTokens("doc_id", "text", 15)
+      val h = graft.text.TextOps.Sql.strHash("array_to_string(masked, ' ')")
+      s"""SELECT doc_id, CAST(len(masked) AS BIGINT) AS n_tokens,
+         | CAST(len(list_filter(masked, t -> t = '<mask>')) AS BIGINT) AS n_masked,
+         | $h AS masked_hash
+         | FROM (SELECT doc_id, $masked AS masked FROM documents)
+         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
     "q92_temperature_mix" -> {
       import graft.aug.Sampling.{Sql => Smp}
       s"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

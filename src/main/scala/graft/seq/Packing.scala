@@ -86,6 +86,28 @@ object Packing {
       .withColumn("pack_id", expr(s"cum_before div ${budget}L"))
   }
 
+  /** Materialized pack contents — the actual training sequences:
+    * each pack's member documents joined back by key and concatenated
+    * in key order. The per-pack collect is bounded by the pack's
+    * capacity (a pack holds at most budget/min_doc_tokens + 1
+    * documents), so no executor ever gathers more than one training
+    * sequence's worth of text — the safe-by-construction version of
+    * "collect_list the corpus". Returns (pack_id, n_docs, doc_tokens,
+    * text) with text = members joined by a single space.
+    */
+  def packTexts(df: DataFrame, keyCol: String, weightCol: String,
+                textCol: String, budget: Long): DataFrame = {
+    val packs = packSequences(df, keyCol, weightCol, budget)
+    val withText = packs.join(
+      df.select(col(keyCol).cast(LongType).as("key"),
+        col(textCol).as("__text")), Seq("key"))
+    withText.groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("weight").as("doc_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("key"), col("__text")))),
+          s => s.getField("__text")), " ").as("text"))
+  }
+
   /** Per-(group, pack) summary of [[packSequencesByGroup]]. */
   def packStatsByGroup(df: DataFrame, groupCol: String, keyCol: String,
                        weightCol: String, budget: Long): DataFrame =

@@ -181,6 +181,35 @@ object TextOps {
       .otherwise(lit(0.0))
   }
 
+  /** Deterministic token masking — denoising-objective data prep (the
+    * BERT/T5 corruption step, made reproducible): token i (1-based) of
+    * document `id` is replaced by the `<mask>` sentinel iff
+    * `(((id mod P)·1000003 + i·40503 + seed) mod P)·2654435761 mod P
+    * mod 100 < pct`. The second multiplicative round matters: without
+    * it, ids below ~P/10⁶ leave the first mod-P a no-op and the
+    * per-position pattern degenerates to a stride-3 arithmetic
+    * progression mod 100 (whole small documents then mask nothing or
+    * everything). A pure hash of (id, position) — no RNG state, so
+    * the same example always corrupts the same way across epochs/
+    * engines/retries (and the mask layout is oracle-checkable). Pure
+    * codegen'd map stage. Production swaps the sentinel for numbered
+    * span-sentinels downstream; the position-hash mechanism is
+    * identical.
+    */
+  def maskTokens(id: Column, text: Column, pct: Int,
+                 seed: Long = 11L): Column = {
+    val toks = tokens(text)
+    val masked = transform(sequence(lit(1), size(toks)), i => {
+      val u = ((id.cast(LongType) % lit(P)) * lit(1000003L) +
+        i.cast(LongType) * lit(40503L) + lit(seed)) % lit(P)
+      val h = (u * lit(2654435761L)) % lit(P) % lit(100L)
+      when(h < pct, lit("<mask>")).otherwise(element_at(toks, i))
+    })
+    // sequence(1, 0) DESCENDS in Spark — guard the empty-token case
+    // (and keep element_at off an empty array under ANSI)
+    when(size(toks) > 0, masked).otherwise(array().cast("array<string>"))
+  }
+
   /** C4/Gopher-style document quality rules (Raffel et al. 2020 §2.2,
     * Rae et al. 2021 A1.1): each is (rule_name, pass-predicate) over a
     * PRE-PROJECTED stats row — callers hoist [[tokenCount]],
@@ -249,6 +278,11 @@ object TextOps {
       val total = s"(len($t) - ${n - 1})"
       val grams = s"list_transform(generate_series(1, $total), i -> array_to_string($t[i:i+${n - 1}], ' '))"
       s"CASE WHEN $total > 0 THEN 1.0 - CAST(len(list_distinct($grams)) AS DOUBLE) / $total ELSE 0.0 END"
+    }
+
+    def maskTokens(id: String, x: String, pct: Int, seed: Long = 11L): String = {
+      val t = toks(x)
+      s"list_transform(generate_series(1, len($t)), i -> CASE WHEN (((($id % $P) * 1000003 + i * 40503 + $seed) % $P) * 2654435761) % $P % 100 < $pct THEN '<mask>' ELSE ($t)[i] END)"
     }
   }
 }

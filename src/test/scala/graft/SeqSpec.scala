@@ -213,6 +213,18 @@ class SeqSpec extends SparkSpec {
       ("b", 0L, 1L, 150L), ("b", 1L, 1L, 150L)))
   }
 
+  test("packTexts materializes pack members concatenated in key order") {
+    import graft.seq.Packing
+    val df = Seq((2L, 60L, "bb"), (0L, 60L, "aa"), (1L, 60L, "mid"),
+      (3L, 60L, "cc")).toDF("id", "w", "txt")
+    // budget 100: packs {0,1}, {2,3} — text joins in id order regardless
+    // of input row order
+    val out = Packing.packTexts(df, "id", "w", "txt", budget = 100L)
+      .orderBy("pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((0L, 2L, 120L, "aa mid"), (1L, 2L, 120L, "bb cc")))
+  }
+
   test("lengthBuckets: threshold bucketing and padding waste to bucket max") {
     import graft.seq.Packing
     val df = Seq(5L, 20L, 30L, 70L).toDF("tokens")

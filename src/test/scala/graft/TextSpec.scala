@@ -128,6 +128,38 @@ class TextSpec extends SparkSpec {
     assert(v == Map("a" -> ((3L, 2L)), "b" -> ((2L, 2L))))
   }
 
+  test("maskTokens: deterministic positional masking, stable across calls") {
+    val docs = Seq((7L, "a b c d e f g h i j"), (8L, "a b c d e f g h i j"),
+      (9L, "")).toDF("id", "t")
+    val out = docs.select(col("id"),
+        TextOps.maskTokens(col("id"), col("t"), pct = 30).as("m"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    // same text, different ids → different mask layouts (id is hashed)
+    assert(out(0)._2.length == 10 && out(1)._2.length == 10)
+    assert(out(0)._2 != out(1)._2)
+    // unmasked positions keep their original token
+    val orig = "a b c d e f g h i j".split(" ")
+    out.take(2).foreach { case (_, m) =>
+      m.zipWithIndex.foreach { case (tok, i) =>
+        assert(tok == "<mask>" || tok == orig(i))
+      }
+    }
+    // empty text → empty array, no descending-sequence blowup
+    assert(out(2)._2.isEmpty)
+    // pct 0 masks nothing; pct 100 masks everything
+    val ends = docs.where(col("id") === 7L).select(
+      TextOps.maskTokens(col("id"), col("t"), 0).as("none"),
+      TextOps.maskTokens(col("id"), col("t"), 100).as("all")).head
+    assert(ends.getSeq[String](0) == orig.toSeq)
+    assert(ends.getSeq[String](1).forall(_ == "<mask>"))
+    // deterministic across evaluations
+    val again = docs.select(col("id"),
+        TextOps.maskTokens(col("id"), col("t"), 30).as("m"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("postings: per-term doc lists are capped, sorted, df-filtered") {
     val docs = Seq((1L, "a b"), (2L, "b a a"), (3L, "b")).toDF("id", "t")
     val all = graft.text.Vocab.postings(docs, "id", "t", cap = 2)
