@@ -1443,6 +1443,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** R7 — deterministic train/val/test split assignment: hash-bucket
+    * ranges give every doc a stable split label (join-stable,
+    * leak-proof under re-ingestion); per-split counts + char mass.
+    */
+  private def qSplitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.aug.Sampling.splitAssign(doc(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("split")
+
+  /** T11 — bigram LM quality scoring (the CCNet-style perplexity
+    * filter, self-fit): mean add-one-smoothed bigram log-probability
+    * per document; low scores flag garbled/boilerplate text.
+    */
+  private def qBigramLm(s: SparkSession, dir: String): DataFrame =
+    graft.text.BigramLm.score(doc(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -1546,7 +1566,9 @@ object SparkEntry {
     "q91_salted_join" -> (qSaltedJoin _),
     "q92_temperature_mix" -> (qTemperatureMix _),
     "q93_pack_texts" -> (qPackTexts _),
-    "q94_span_mask" -> (qSpanMask _)
+    "q94_span_mask" -> (qSpanMask _),
+    "q95_split_assign" -> (qSplitAssign _),
+    "q96_bigram_lm" -> (qBigramLm _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -2484,6 +2506,19 @@ object SparkEntry {
     "q88_postings" ->
       s"""SELECT * FROM (${graft.text.Vocab.Sql.postings("documents", "doc_id", "text", 10, 5L)})
          | ORDER BY token""".stripMargin.replaceAll("\n", " "),
+    "q96_bigram_lm" -> {
+      val sc = graft.text.BigramLm.Sql.score("documents", "doc_id", "text")
+      s"""SELECT id AS doc_id, n_bigrams, avg_logp FROM ($sc)
+         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q95_split_assign" -> {
+      val sc = graft.aug.Sampling.Sql.splitCase("doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 42L)
+      s"""SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         | FROM (SELECT $sc AS split, n_chars FROM documents)
+         | WHERE split IS NOT NULL GROUP BY split ORDER BY split""".stripMargin
+        .replaceAll("\n", " ")
+    },
     "q93_pack_texts" -> {
       val bpe = graft.text.TextOps.Sql.bpeTokenCount("text")
       val h = graft.text.TextOps.Sql.strHash("text")

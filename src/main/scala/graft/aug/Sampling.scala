@@ -71,6 +71,37 @@ object Sampling {
   def shuffle(df: DataFrame, seed: Long = 42L): DataFrame =
     df.orderBy(rand(seed))
 
+  /** Deterministic train/validation/test split assignment: every row
+    * gets a split label from its key's hash bucket, with fractions
+    * mapped to contiguous bucket ranges in the given order. Unlike
+    * `randomSplit`, the assignment is a pure function of the key —
+    * join-stable (features computed elsewhere land in the same split),
+    * retry-stable, engine-reproducible, and leak-proof under
+    * re-ingestion (a document's split never changes when the corpus
+    * around it does). Fractions must sum to ≤ 1; any remainder is
+    * labeled with `restLabel` (empty string drops instead).
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)], seed: Long = 42L,
+                  restLabel: String = ""): DataFrame = {
+    require(splits.nonEmpty, "splitAssign needs at least one split")
+    val fracSum = splits.map(_._2).sum
+    require(fracSum <= 1.0 + 1e-12, s"split fractions sum to $fracSum > 1")
+    val b = keyBucket(col(keyCol), seed)
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + (f * M).toLong
+    }.tail
+    val labeled = splits.zip(bounds).foldLeft((when(lit(false), lit("")), 0L)) {
+      case ((expr, lo), ((name, _), hi)) =>
+        (expr.when(b >= lo && b < hi, lit(name)), hi)
+    }._1
+    val withRest =
+      if (restLabel.nonEmpty) labeled.otherwise(lit(restLabel))
+      else labeled
+    df.withColumn("split", withRest)
+      .where(col("split").isNotNull)
+  }
+
   /** Temperature-based mixture sampling — the multilingual/multi-source
     * REBALANCING op (the `p_s ∝ n_s^α` upsampling of low-resource
     * sources used since mBERT/XLM-R): per-class keep rates are
@@ -146,6 +177,21 @@ object Sampling {
       }.mkString(" ")
       s"${keyBucket(key, seed)} < (CASE $classCol $whens ELSE 0 END)"
     }
+    /** Twin of [[Sampling.splitAssign]]'s bucket-range CASE. */
+    def splitCase(key: String, splits: Seq[(String, Double)], seed: Long,
+                  restLabel: String = ""): String = {
+      val b = keyBucket(key, seed)
+      val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+        acc + (f * M).toLong
+      }.tail
+      val whens = splits.zip(bounds).foldLeft((Seq.empty[String], 0L)) {
+        case ((acc, lo), ((name, _), hi)) =>
+          (acc :+ s"WHEN $b >= $lo AND $b < $hi THEN '$name'", hi)
+      }._1.mkString(" ")
+      val rest = if (restLabel.nonEmpty) s"'$restLabel'" else "NULL"
+      s"(CASE $whens ELSE $rest END)"
+    }
+
     /** Twin of [[Sampling.negativeSamples]]' candidate arithmetic:
       * `anchor`, `j` and `n` are SQL expressions (pass the corpus size
       * as a subquery/CTE column so the oracle adapts to any SF).

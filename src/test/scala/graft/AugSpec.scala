@@ -165,6 +165,30 @@ class AugSpec extends SparkSpec {
     assert(Sampling.temperatureSample(eq, "cls", "id", 1.0).count() == 100L)
   }
 
+  test("splitAssign: stable 3-way partition, rest label, fraction bounds") {
+    val df = (0L until 1000L).toDF("id")
+    val out = Sampling.splitAssign(df, "id",
+        Seq("train" -> 0.5, "val" -> 0.3), restLabel = "rest")
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 1000L) // total partition: nothing dropped
+    assert(math.abs(out("train") - 500L) < 60, s"train ${out("train")}")
+    assert(math.abs(out("val") - 300L) < 60, s"val ${out("val")}")
+    assert(math.abs(out("rest") - 200L) < 60, s"rest ${out("rest")}")
+    // no rest label → remainder rows are dropped
+    val dropped = Sampling.splitAssign(df, "id",
+      Seq("train" -> 0.5, "val" -> 0.3)).count()
+    assert(dropped == out("train") + out("val"))
+    // join stability: a filtered subset keeps identical assignments
+    val full = Sampling.splitAssign(df, "id", Seq("train" -> 0.8),
+        restLabel = "eval")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val subset = Sampling.splitAssign(df.where(col("id") % 3 === 0), "id",
+        Seq("train" -> 0.8), restLabel = "eval")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (k, s) => assert(full(k) == s) }
+  }
+
   test("labelCentroids: exact component means per group") {
     val vecs = Seq(
       ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 4.0f)), ("b", Seq(5.0f, 6.0f))

@@ -160,6 +160,26 @@ class TextSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("bigram LM scoring: hand-computed add-one log-probabilities") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b x")).toDF("id", "t")
+    val out = graft.text.BigramLm.score(docs, "id", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // counts: (a,b)=3 (b,a)=1 (b,x)=1; unigrams a=3 b=3 x=1, V=3
+    // doc1: (2·ln(4/6) + ln(2/6)) / 3;  doc2: (ln(4/6) + ln(2/6)) / 2
+    val l23 = math.log(2.0 / 3.0); val l13 = math.log(1.0 / 3.0)
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - (2 * l23 + l13) / 3) < 1e-6)
+    assert(out(2L)._1 == 2L)
+    assert(math.abs(out(2L)._2 - (l23 + l13) / 2) < 1e-6)
+    // a repetitive doc scores higher than a garbled one under a model
+    // fit on normal text
+    val corpus = (0L until 50L).map(i => (i, "the quick brown fox jumps")) ++
+      Seq((100L, "the quick brown fox jumps"), (101L, "fox the jumps quick brown"))
+    val scored = graft.text.BigramLm.score(corpus.toDF("id", "t"), "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(100L) > scored(101L))
+  }
+
   test("postings: per-term doc lists are capped, sorted, df-filtered") {
     val docs = Seq((1L, "a b"), (2L, "b a a"), (3L, "b")).toDF("id", "t")
     val all = graft.text.Vocab.postings(docs, "id", "t", cap = 2)
