@@ -146,6 +146,36 @@ object StreamOps {
         col("fp.feature").as("feature"), col("fp.psi").as("psi"))
   }
 
+  /** Exactly-once-style sink wrapper for [[foreachBatchScorer]]-shaped
+    * pipelines: `foreachBatch` is AT-LEAST-ONCE (a crash between sink
+    * write and checkpoint commit replays the batch), so any sink with
+    * side effects must be idempotent per (queryKey, batchId). This
+    * wrapper makes an arbitrary sink idempotent with a processed-batch
+    * ledger: a replayed batchId is skipped instead of re-applied. The
+    * ledger here is in-memory per queryKey (the unit-testable core);
+    * production swaps `markIfNew` for a transactional INSERT into a
+    * commit table next to the data (the standard lakehouse pattern).
+    */
+  final class IdempotentSink(queryKey: String,
+                             sink: (DataFrame, Long) => Unit)
+      extends ((DataFrame, Long) => Unit) with Serializable {
+    def apply(batch: DataFrame, batchId: Long): Unit =
+      if (IdempotentSink.markIfNew(queryKey, batchId)) sink(batch, batchId)
+  }
+
+  object IdempotentSink {
+    private val seen =
+      scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    /** True iff (queryKey, batchId) was not yet processed (and marks it). */
+    def markIfNew(queryKey: String, batchId: Long): Boolean = seen.synchronized {
+      seen.getOrElseUpdate(queryKey, scala.collection.mutable.Set.empty)
+        .add(batchId)
+    }
+    /** Test/reset hook. */
+    def clear(queryKey: String): Unit =
+      seen.synchronized { seen.remove(queryKey); () }
+  }
+
   /** Open-session state for [[streamingSessionize]]: millis bounds +
     * running aggregates of the session being built per key.
     */

@@ -98,13 +98,23 @@ class PlanAuditSpec extends SparkSpec {
       val p = plan(SparkEntry.queries(n)(spark, sf))
       assert("HashAggregate".r.findAllIn(p).size >= 2, s"$n: no partial agg:\n$p")
     }
-    // q83 negative fetch and q85 snapshot diff are hash equi-joins,
-    // never nested loops
-    Seq("q83_neg_sample", "q85_snapshot_diff").foreach { n =>
+    // q83 negative fetch, q85 snapshot diff, q91 salted join, and
+    // q96 LM scoring are hash equi-joins, never nested loops
+    Seq("q83_neg_sample", "q85_snapshot_diff", "q91_salted_join",
+      "q96_bigram_lm").foreach { n =>
       val p = plan(SparkEntry.queries(n)(spark, sf))
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$n plans a cartesian:\n$p")
     }
+    // q92/q95 sampling aggregates combine map-side; q93 pack
+    // materialization keeps the prefix scan window-free
+    Seq("q92_temperature_mix", "q95_split_assign").foreach { n =>
+      val p = plan(SparkEntry.queries(n)(spark, sf))
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$n: no partial agg:\n$p")
+    }
+    val q93 = plan(SparkEntry.queries("q93_pack_texts")(spark, sf))
+    assert(!q93.contains("Exchange SinglePartition"),
+      s"pack texts plans a single-partition exchange:\n$q93")
   }
 
   test("forest scoring stays inside whole-stage codegen") {

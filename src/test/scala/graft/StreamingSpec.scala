@@ -61,6 +61,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IdempotentSink: a replayed batchId is skipped, new ones apply") {
+    StreamOps.IdempotentSink.clear("t1")
+    val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink = new StreamOps.IdempotentSink("t1",
+      (_, id) => applied.synchronized { applied += id })
+    val df = spark.range(1).toDF()
+    sink(df, 0L); sink(df, 1L)
+    sink(df, 0L) // at-least-once replay: must be a no-op
+    sink(df, 2L)
+    assert(applied.toSeq == Seq(0L, 1L, 2L))
+    // a different query key has an independent ledger
+    StreamOps.IdempotentSink.clear("t2")
+    val other = scala.collection.mutable.ArrayBuffer.empty[Long]
+    new StreamOps.IdempotentSink("t2",
+      (_, id) => other.synchronized { other += id })(df, 0L)
+    assert(other.toSeq == Seq(0L))
+  }
+
   test("streamingSessionize: gap-break within a batch, timeout via watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
