@@ -1463,6 +1463,52 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** T12 — quality-pruned corpus (keep-best selection): per source,
+    * keep the top half of documents by quality score (deterministic
+    * doc_id tiebreak); per-source kept counts and quality mass. The
+    * per-source window ranks in parallel across sources.
+    */
+  private def qQualityPrune(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = doc(s, dir).select(col("source"), col("doc_id"), col("n_chars"),
+      graft.text.TextOps.qualityScore(col("text")).as("q"))
+    val w = Window.partitionBy("source")
+    val ranked = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(desc("q"), asc("doc_id"))))
+      .withColumn("n_src", count(lit(1)).over(w))
+      .where(col("rk") <= ceil(col("n_src") * lit(0.5)))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        round(Stats.dsum(col("q")), 6).as("quality_mass"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
+  /** D9 — train/test leakage audit: split assignment (q95's hash
+    * ranges) × prefix fingerprints (first-8-token hash, the cheap
+    * near-dup key) — fingerprint groups that straddle the train/test
+    * boundary are eval leakage (the decontamination check applied to
+    * the corpus's OWN splits; this corpus has no EXACT text dups, but
+    * shared prefixes cross the boundary).
+    */
+  private def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val split = graft.aug.Sampling.splitAssign(doc(s, dir), "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1))
+    val prefixFp = TextOps.strHash(
+      array_join(slice(TextOps.tokens(col("text")), 1, 8), " "))
+    val groups = split
+      .select(prefixFp.as("h"), col("split"))
+      .groupBy("h")
+      .agg(count(when(col("split") === "train", 1)).as("n_train"),
+        count(when(col("split") === "test", 1)).as("n_test"))
+      .where(col("n_train") > 0 && col("n_test") > 0)
+    groups.agg(count(lit(1)).as("n_leaky_groups"),
+      coalesce(sum("n_train"), lit(0L)).as("n_train_docs"),
+      coalesce(sum("n_test"), lit(0L)).as("n_test_docs"))
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -1568,7 +1614,9 @@ object SparkEntry {
     "q93_pack_texts" -> (qPackTexts _),
     "q94_span_mask" -> (qSpanMask _),
     "q95_split_assign" -> (qSplitAssign _),
-    "q96_bigram_lm" -> (qBigramLm _)
+    "q96_bigram_lm" -> (qBigramLm _),
+    "q97_quality_prune" -> (qQualityPrune _),
+    "q98_split_leakage" -> (qSplitLeakage _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -2506,6 +2554,34 @@ object SparkEntry {
     "q88_postings" ->
       s"""SELECT * FROM (${graft.text.Vocab.Sql.postings("documents", "doc_id", "text", 10, 5L)})
          | ORDER BY token""".stripMargin.replaceAll("\n", " "),
+    "q97_quality_prune" -> {
+      val q = graft.text.TextOps.Sql.qualityScore("text")
+      s"""WITH sc AS (SELECT source, doc_id, n_chars, $q AS q FROM documents),
+         | r AS (SELECT source, doc_id, n_chars, q,
+         |   row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk,
+         |   count(*) OVER (PARTITION BY source) AS n_src FROM sc)
+         | SELECT source, count(*) AS n_kept,
+         |  round(${dsumSql("q")}, 6) AS quality_mass,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         | FROM r WHERE rk <= ceil(n_src * 0.5)
+         | GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " ")
+    },
+    "q98_split_leakage" -> {
+      val sc = graft.aug.Sampling.Sql.splitCase("doc_id",
+        Seq("train" -> 0.9, "test" -> 0.1), 42L)
+      val h = graft.text.TextOps.Sql.strHash(
+        s"array_to_string((${graft.text.TextOps.Sql.toks("text")})[1:8], ' ')")
+      s"""WITH sp AS (SELECT doc_id, text, $sc AS split FROM documents),
+         | g AS (SELECT $h AS h,
+         |   count(*) FILTER (WHERE split = 'train') AS n_train,
+         |   count(*) FILTER (WHERE split = 'test') AS n_test
+         |  FROM sp WHERE split IS NOT NULL GROUP BY h)
+         | SELECT count(*) AS n_leaky_groups,
+         |  CAST(coalesce(sum(n_train), 0) AS BIGINT) AS n_train_docs,
+         |  CAST(coalesce(sum(n_test), 0) AS BIGINT) AS n_test_docs
+         | FROM g WHERE n_train > 0 AND n_test > 0""".stripMargin
+        .replaceAll("\n", " ")
+    },
     "q96_bigram_lm" -> {
       val sc = graft.text.BigramLm.Sql.score("documents", "doc_id", "text")
       s"""SELECT id AS doc_id, n_bigrams, avg_logp FROM ($sc)
