@@ -2650,16 +2650,15 @@ object SparkEntry {
         |   round(CAST(ctp AS DOUBLE) / p, 6) AS recall
         | FROM c, tot ORDER BY score""".stripMargin.replaceAll("\n", " "),
     "q90_calibration" -> {
-      val ps = (1 until 10).map(_.toDouble / 10)
-      val qcols = ps.zipWithIndex.map { case (p, i) =>
-        s"quantile_cont(s, $p) AS t$i"
-      }.mkString(", ")
-      val binExpr = ps.indices.map(i => s"CASE WHEN s > t$i THEN 1 ELSE 0 END")
-        .mkString(" + ")
+      // DISTINCT edge table (the q63 pattern), matching the Scala
+      // side's `.distinct` — a per-threshold CASE sum would diverge on
+      // bin LABELS whenever two quantiles tie
+      val ps = (1 until 10).map(_.toDouble / 10).mkString("[", ", ", "]")
       s"""WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
          |   CAST(l_extendedprice AS DOUBLE) AS s FROM lineitem),
-         | q AS (SELECT $qcols FROM d),
-         | b AS (SELECT y, s, ($binExpr) AS bin FROM d, q)
+         | ed AS (SELECT DISTINCT edge FROM
+         |   (SELECT unnest(quantile_cont(s, $ps)) AS edge FROM d)),
+         | b AS (SELECT y, s, (SELECT count(*) FROM ed WHERE d.s > ed.edge) AS bin FROM d)
          | SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
          |  round(${dsumSql("s")} / count(*), 6) AS mean_score,
          |  round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pos_rate

@@ -123,9 +123,13 @@ object Sampling {
       s"temperatureSample needs targetFraction in (0,1]: $targetFraction")
     def w(n: Long): Double =
       if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
-    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
+    // null-class rows are dropped (hashStratifiedSample semantics for a
+    // class with no fraction) — and they must not reach r.get(0).toString,
+    // which would NPE the driver on the null-key group
+    val counts = df.where(col(classCol).isNotNull)
+      .groupBy(col(classCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.get(0).toString -> r.getLong(1)).sortBy(_._1)
-    require(counts.nonEmpty, "temperatureSample needs at least one class")
+    require(counts.nonEmpty, "temperatureSample needs at least one non-null class")
     val sw = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n) }
     val nTarget = math.floor(targetFraction * counts.map(_._2).sum.toDouble)
     val fractions = counts.map { case (c, n) =>

@@ -57,8 +57,11 @@ object Skew {
   def saltedJoin(fact: DataFrame, other: DataFrame, keys: Seq[String],
                  spread: Column, buckets: Int): DataFrame = {
     require(buckets >= 1, s"saltedJoin needs at least 1 bucket: $buckets")
+    // a null (or uncastable) spread value must still land in SOME
+    // bucket — a null salt would fail the equi-join and silently drop
+    // the fact row, breaking the row-identical-to-plain-join contract
     val sf = fact.withColumn("__salt",
-      pmod(spread.cast("long"), lit(buckets.toLong)))
+      coalesce(pmod(spread.cast("long"), lit(buckets.toLong)), lit(0L)))
     val so = other.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets - 1L))))
     sf.join(so, keys :+ "__salt").drop("__salt")

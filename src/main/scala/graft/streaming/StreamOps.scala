@@ -159,17 +159,27 @@ object StreamOps {
   final class IdempotentSink(queryKey: String,
                              sink: (DataFrame, Long) => Unit)
       extends ((DataFrame, Long) => Unit) with Serializable {
+    // the ledger is marked AFTER the sink succeeds, never before: a
+    // sink that throws must stay unmarked so the replay retries it —
+    // marking first would turn a transient sink failure into silent
+    // permanent data loss. foreachBatch invokes serially per query, so
+    // check-then-mark needs no cross-batch atomicity.
     def apply(batch: DataFrame, batchId: Long): Unit =
-      if (IdempotentSink.markIfNew(queryKey, batchId)) sink(batch, batchId)
+      if (!IdempotentSink.processed(queryKey, batchId)) {
+        sink(batch, batchId)
+        IdempotentSink.mark(queryKey, batchId)
+      }
   }
 
   object IdempotentSink {
     private val seen =
       scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
-    /** True iff (queryKey, batchId) was not yet processed (and marks it). */
-    def markIfNew(queryKey: String, batchId: Long): Boolean = seen.synchronized {
+    def processed(queryKey: String, batchId: Long): Boolean = seen.synchronized {
+      seen.get(queryKey).exists(_.contains(batchId))
+    }
+    def mark(queryKey: String, batchId: Long): Unit = seen.synchronized {
       seen.getOrElseUpdate(queryKey, scala.collection.mutable.Set.empty)
-        .add(batchId)
+        .add(batchId); ()
     }
     /** Test/reset hook. */
     def clear(queryKey: String): Unit =
@@ -228,9 +238,19 @@ object StreamOps {
             var cur = state.getOption
             events.foreach { case (t, v) =>
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t),
-                    s.n + 1, s.sum + v))
+                // in-gap on EITHER side: a within-watermark late event
+                // extends the session backwards (start = min), not just
+                // forwards — the signed `t - last` alone would silently
+                // swallow arbitrarily-early events into the wrong session
+                case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1, s.sum + v))
+                case Some(s) if t < s.start - gapMs =>
+                  // stale: more than a gap BEFORE the open session —
+                  // an older session this operator can no longer grow;
+                  // emit it as its own single-event session
+                  closed += ((key, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1L, v))
                 case Some(s) =>
                   closed += ((key, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.last), s.n, s.sum))

@@ -200,7 +200,11 @@ object TextOps {
                  seed: Long = 11L): Column = {
     val toks = tokens(text)
     val masked = transform(sequence(lit(1), size(toks)), i => {
-      val u = ((id.cast(LongType) % lit(P)) * lit(1000003L) +
+      // sign-normalize the id residue (the keyBucket convention):
+      // Spark % is a signed remainder, so a negative id would make h
+      // negative and `h < pct` mask early tokens unconditionally
+      val idRes = (id.cast(LongType) % lit(P) + lit(P)) % lit(P)
+      val u = (idRes * lit(1000003L) +
         i.cast(LongType) * lit(40503L) + lit(seed)) % lit(P)
       val h = (u * lit(2654435761L)) % lit(P) % lit(100L)
       when(h < pct, lit("<mask>")).otherwise(element_at(toks, i))
@@ -282,7 +286,7 @@ object TextOps {
 
     def maskTokens(id: String, x: String, pct: Int, seed: Long = 11L): String = {
       val t = toks(x)
-      s"list_transform(generate_series(1, len($t)), i -> CASE WHEN (((($id % $P) * 1000003 + i * 40503 + $seed) % $P) * 2654435761) % $P % 100 < $pct THEN '<mask>' ELSE ($t)[i] END)"
+      s"list_transform(generate_series(1, len($t)), i -> CASE WHEN ((((($id % $P + $P) % $P) * 1000003 + i * 40503 + $seed) % $P) * 2654435761) % $P % 100 < $pct THEN '<mask>' ELSE ($t)[i] END)"
     }
   }
 }

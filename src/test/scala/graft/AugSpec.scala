@@ -163,6 +163,12 @@ class AugSpec extends SparkSpec {
     val eq = ((1 to 50).map(i => ("x", i.toLong)) ++
       (1 to 50).map(i => ("y", 100L + i))).toDF("cls", "id")
     assert(Sampling.temperatureSample(eq, "cls", "id", 1.0).count() == 100L)
+    // null classes are dropped, not an NPE on the driver
+    val withNull = (Seq((null.asInstanceOf[String], 900L)) ++
+      (1 to 50).map(i => ("x", i.toLong))).toDF("cls", "id")
+    val kept2 = Sampling.temperatureSample(withNull, "cls", "id", 1.0)
+    assert(kept2.where(col("cls").isNull).count() == 0L)
+    assert(kept2.count() == 50L)
   }
 
   test("splitAssign: stable 3-way partition, rest label, fraction bounds") {

@@ -139,5 +139,11 @@ class SourcesSpec extends SparkSpec {
     val one = Skew.saltedJoin(fact, dim, Seq("k"), col("payload"), buckets = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
     assert(one.toSeq == plain.toSeq)
+    // a null spread value must not drop the row (it lands in bucket 0)
+    val fWithNull = Seq((1L, Some(5L)), (2L, None), (3L, None))
+      .toDF("k", "payload")
+    val pn = fWithNull.join(dim, Seq("k")).count()
+    val sn = Skew.saltedJoin(fWithNull, dim, Seq("k"), col("payload"), 8).count()
+    assert(sn == pn && sn == 3L)
   }
 }

@@ -71,6 +71,19 @@ class StreamingSpec extends SparkSpec {
     sink(df, 0L) // at-least-once replay: must be a no-op
     sink(df, 2L)
     assert(applied.toSeq == Seq(0L, 1L, 2L))
+    // a batch whose sink THROWS must stay unmarked: the replay retries
+    // it instead of silently dropping the data forever
+    StreamOps.IdempotentSink.clear("t3")
+    var failOnce = true
+    val flaky = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val fsink = new StreamOps.IdempotentSink("t3", (_, id) => {
+      if (id == 7L && failOnce) { failOnce = false; sys.error("transient") }
+      flaky.synchronized { flaky += id }
+    })
+    intercept[RuntimeException] { fsink(df, 7L) }
+    fsink(df, 7L) // replay after failure: must apply
+    fsink(df, 7L) // replay after success: must skip
+    assert(flaky.toSeq == Seq(7L))
     // a different query key has an independent ledger
     StreamOps.IdempotentSink.clear("t2")
     val other = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -112,6 +125,41 @@ class StreamingSpec extends SparkSpec {
       assert(u1Late.length == 1)
       assert(u1Late.head.getAs[Long]("n_events") == 2L)
       assert(u1Late.head.getAs[Double]("value_sum") == 7.0)
+    } finally q.stop()
+  }
+
+  test("streamingSessionize: late in-gap event extends start; stale event splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamOps.streamingSessionize(
+      in.toDF.toDF("ts", "user", "value"),
+      "ts", "user", "value", gapMs = 5 * 60000L, watermarkDelay = "15 minutes")
+    val q = out.writeStream.format("memory").queryName("sessl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(10), "u1", 1.0), (ts(11), "u1", 2.0))
+      q.processAllAvailable()
+      // minute 9 is late but in-gap: merges and extends start backwards;
+      // minute 1 is stale (> gap before the open session): its own session
+      in.addData((ts(9), "u1", 4.0), (ts(1), "u1", 8.0))
+      q.processAllAvailable()
+      val stale = spark.table("sessl").collect()
+      assert(stale.length == 1)
+      assert(stale.head.getAs[Timestamp]("session_start") == ts(1) &&
+        stale.head.getAs[Long]("n_events") == 1L &&
+        stale.head.getAs[Double]("value_sum") == 8.0)
+      // close the merged session via watermark advance
+      in.addData((ts(120), "u2", 0.0))
+      q.processAllAvailable()
+      in.addData((ts(121), "u2", 0.0))
+      q.processAllAvailable()
+      val merged = spark.table("sessl").collect()
+        .filter(r => r.getAs[String]("key") == "u1" &&
+          r.getAs[Long]("n_events") == 3L)
+      assert(merged.length == 1)
+      assert(merged.head.getAs[Timestamp]("session_start") == ts(9))
+      assert(merged.head.getAs[Timestamp]("session_end") == ts(11))
+      assert(merged.head.getAs[Double]("value_sum") == 7.0)
     } finally q.stop()
   }
 

@@ -158,6 +158,17 @@ class TextSpec extends SparkSpec {
         TextOps.maskTokens(col("id"), col("t"), 30).as("m"))
       .orderBy("id").collect().map(r => r.getLong(0) -> r.getSeq[String](1))
     assert(again.toSeq == out.toSeq)
+    // negative ids: the sign-normalized hash keeps pct semantics — pct=0
+    // masks nothing (the unnormalized remainder masked early tokens
+    // unconditionally)
+    val neg = Seq((-5L, ("w " * 150).trim)).toDF("id", "t")
+    val negNone = neg.select(TextOps.maskTokens(col("id"), col("t"), 0).as("m"))
+      .head.getSeq[String](0)
+    assert(negNone.forall(_ == "w"))
+    val negSome = neg.select(TextOps.maskTokens(col("id"), col("t"), 15).as("m"))
+      .head.getSeq[String](0)
+    val frac = negSome.count(_ == "<mask>").toDouble / negSome.size
+    assert(frac > 0.02 && frac < 0.5, s"negative-id mask fraction $frac")
   }
 
   test("bigram LM scoring: hand-computed add-one log-probabilities") {
