@@ -1514,6 +1514,34 @@ object SparkEntry {
       coalesce(sum("n_test"), lit(0L)).as("n_test_docs"))
   }
 
+  /** P12 — pivot (long → wide): revenue matrix returnflag × linestatus
+    * via the relational pivot; one partial-aggregated pass, columns
+    * fixed by the explicit value list (no value-discovery scan).
+    */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .withColumn("rev",
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(38, 10)))
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum("rev").cast(DoubleType), 4))
+      .withColumnRenamed("F", "rev_f").withColumnRenamed("O", "rev_o")
+      .orderBy("l_returnflag")
+
+  /** P13 — unpivot (wide → long, melt): per-row numeric columns
+    * stacked to (metric, value) then profiled — the tidy-data
+    * reshape feeding any per-metric operator.
+    */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .select(col("l_returnflag"), expr(
+        """stack(3, 'quantity', CAST(l_quantity AS DOUBLE),
+          | 'price', CAST(l_extendedprice AS DOUBLE),
+          | 'discount', CAST(l_discount AS DOUBLE)) AS (metric, value)""".stripMargin))
+      .groupBy("l_returnflag", "metric")
+      .agg(count(lit(1)).as("n"), round(Stats.dsum(col("value")), 4).as("sum_value"))
+      .orderBy("l_returnflag", "metric")
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -1621,7 +1649,9 @@ object SparkEntry {
     "q95_split_assign" -> (qSplitAssign _),
     "q96_bigram_lm" -> (qBigramLm _),
     "q97_quality_prune" -> (qQualityPrune _),
-    "q98_split_leakage" -> (qSplitLeakage _)
+    "q98_split_leakage" -> (qSplitLeakage _),
+    "q99_pivot" -> (qPivot _),
+    "q100_unpivot" -> (qUnpivot _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -2591,6 +2621,23 @@ object SparkEntry {
       val sc = graft.text.BigramLm.Sql.score("documents", "doc_id", "text")
       s"""SELECT id AS doc_id, n_bigrams, avg_logp FROM ($sc)
          | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q99_pivot" -> {
+      def cell(status: String) =
+        s"round(CAST(sum(CASE WHEN l_linestatus = '$status' THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10)) END) AS DOUBLE), 4)"
+      s"""SELECT l_returnflag, ${cell("F")} AS rev_f, ${cell("O")} AS rev_o
+         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q100_unpivot" -> {
+      def leg(metric: String, colName: String) =
+        s"""SELECT l_returnflag, '$metric' AS metric, count(*) AS n,
+           | round(${dsumSql(s"CAST($colName AS DOUBLE)")}, 4) AS sum_value
+           | FROM lineitem GROUP BY l_returnflag""".stripMargin.replaceAll("\n", " ")
+      s"""SELECT * FROM (${leg("quantity", "l_quantity")}
+         | UNION ALL ${leg("price", "l_extendedprice")}
+         | UNION ALL ${leg("discount", "l_discount")})
+         | ORDER BY l_returnflag, metric""".stripMargin.replaceAll("\n", " ")
     },
     "q95_split_assign" -> {
       val sc = graft.aug.Sampling.Sql.splitCase("doc_id",
