@@ -1542,6 +1542,21 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(Stats.dsum(col("value")), 4).as("sum_value"))
       .orderBy("l_returnflag", "metric")
 
+  /** W5 — time-series resampling + forward fill (telemetry gap
+    * repair, the step the reference's evenly-spaced LSTM windows
+    * presume happened upstream): 6-hour grid per user, last
+    * observation per bucket, gaps carried forward; per-user grid
+    * size, observed count, and filled-value checksum.
+    */
+  private def qResample(s: SparkSession, dir: String): DataFrame =
+    graft.seq.Resample.resampleFfill(ev(s, dir), "user_id", "ts", "value",
+        stepSeconds = 21600L)
+      .groupBy(col("key").as("user_id"))
+      .agg(count(lit(1)).as("n_points"),
+        count(when(col("observed"), 1)).as("n_observed"),
+        round(Stats.dsum(col("value")), 4).as("value_checksum"))
+      .orderBy("user_id")
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -1651,7 +1666,8 @@ object SparkEntry {
     "q97_quality_prune" -> (qQualityPrune _),
     "q98_split_leakage" -> (qSplitLeakage _),
     "q99_pivot" -> (qPivot _),
-    "q100_unpivot" -> (qUnpivot _)
+    "q100_unpivot" -> (qUnpivot _),
+    "q101_resample" -> (qResample _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -2621,6 +2637,22 @@ object SparkEntry {
       val sc = graft.text.BigramLm.Sql.score("documents", "doc_id", "text")
       s"""SELECT id AS doc_id, n_bigrams, avg_logp FROM ($sc)
          | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q101_resample" -> {
+      s"""WITH obs AS (SELECT user_id AS key,
+         |   CAST(floor(epoch(ts) / 21600) AS BIGINT) AS bucket,
+         |   arg_max(CAST(value AS DOUBLE), ts) AS v
+         |  FROM events GROUP BY 1, 2),
+         | span AS (SELECT key, min(bucket) AS b0, max(bucket) AS b1 FROM obs GROUP BY key),
+         | grid AS (SELECT key, unnest(generate_series(b0, b1)) AS bucket FROM span),
+         | j AS (SELECT g.key, g.bucket, obs.v,
+         |   last_value(obs.v IGNORE NULLS) OVER (PARTITION BY g.key ORDER BY g.bucket
+         |     ROWS UNBOUNDED PRECEDING) AS fv
+         |  FROM grid g LEFT JOIN obs ON obs.key = g.key AND obs.bucket = g.bucket)
+         | SELECT key AS user_id, count(*) AS n_points,
+         |  count(*) FILTER (WHERE v IS NOT NULL) AS n_observed,
+         |  round(${dsumSql("fv")}, 4) AS value_checksum
+         | FROM j GROUP BY key ORDER BY user_id""".stripMargin.replaceAll("\n", " ")
     },
     "q99_pivot" -> {
       def cell(status: String) =

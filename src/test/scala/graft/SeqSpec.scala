@@ -213,6 +213,35 @@ class SeqSpec extends SparkSpec {
       ("b", 0L, 1L, 150L), ("b", 1L, 1L, 150L)))
   }
 
+  test("resampleFfill: regular grid, last-per-bucket, forward fill, gaps") {
+    import graft.seq.Resample
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val df = Seq(
+      ("a", ts(0), 1.0), ("a", ts(3), 2.0),   // bucket 0: last obs wins (2.0)
+      ("a", ts(25), 9.0),                     // bucket 2; bucket 1 is a gap
+      ("b", ts(10), 7.0)                      // single-point key
+    ).toDF("k", "ts", "v")
+    val out = Resample.resampleFfill(df, "k", "ts", "v", stepSeconds = 600L)
+      .orderBy("key", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("a", 0L, 2.0, true),   // last observation in the bucket
+      ("a", 1L, 2.0, false),  // gap: carried forward
+      ("a", 2L, 9.0, true),
+      ("b", 1L, 7.0, true)))  // grid spans only the key's own range
+    // LongType ts = nanoseconds (the harness parquet shape): exact
+    // integer bucketing, including a ts exactly ON a bucket boundary
+    val nanos = Seq(
+      ("a", 0L, 1.0), ("a", 600L * 1000000000L, 5.0), // boundary-exact
+      ("a", 1250L * 1000000000L, 6.0)
+    ).toDF("k", "ts", "v")
+    val nOut = Resample.resampleFfill(nanos, "k", "ts", "v", stepSeconds = 600L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getBoolean(4)))
+    assert(nOut.toSeq == Seq((0L, 1.0, true), (1L, 5.0, true), (2L, 6.0, true)))
+  }
+
   test("packTexts materializes pack members concatenated in key order") {
     import graft.seq.Packing
     val df = Seq((2L, 60L, "bb"), (0L, 60L, "aa"), (1L, 60L, "mid"),
