@@ -52,6 +52,12 @@ object Bench {
     val total = ms(results.values.map(_._1).filter(_ >= 0).sum)
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs,"runs":$runsJson}""")
+    // The r6 artifact proved the driver's capture window can truncate
+    // the FRONT of a long line (it kept the tail), while r5 assumed it
+    // truncates the tail. Emit the headline total a second time as its
+    // own short, self-contained line so it survives truncation from
+    // EITHER end of the big line above.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -88,9 +88,7 @@ object Sampling {
     val fracSum = splits.map(_._2).sum
     require(fracSum <= 1.0 + 1e-12, s"split fractions sum to $fracSum > 1")
     val b = keyBucket(col(keyCol), seed)
-    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
-      acc + (f * M).toLong
-    }.tail
+    val bounds = cumBounds(splits)
     val labeled = splits.zip(bounds).foldLeft((when(lit(false), lit("")), 0L)) {
       case ((expr, lo), ((name, _), hi)) =>
         (expr.when(b >= lo && b < hi, lit(name)), hi)
@@ -101,6 +99,16 @@ object Sampling {
     df.withColumn("split", withRest)
       .where(col("split").isNotNull)
   }
+
+  /** Bucket bounds from CUMULATIVE fractions (round(cumFrac·M)), not a
+    * sum of per-split truncations: three 1/3 splits must cover all M
+    * buckets (truncating each to 333333 would leave bound 999999 and
+    * silently drop the residual buckets when restLabel is empty).
+    * Clamped to M so a 1.0+1e-13 float sum can't mint bucket M.
+    */
+  private[graft] def cumBounds(splits: Seq[(String, Double)]): Seq[Long] =
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(cf => math.min(M, math.round(cf * M)))
 
   /** Temperature-based mixture sampling — the multilingual/multi-source
     * REBALANCING op (the `p_s ∝ n_s^α` upsampling of low-resource
@@ -185,9 +193,8 @@ object Sampling {
     def splitCase(key: String, splits: Seq[(String, Double)], seed: Long,
                   restLabel: String = ""): String = {
       val b = keyBucket(key, seed)
-      val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
-        acc + (f * M).toLong
-      }.tail
+      // same cumulative-rounded arithmetic as splitAssign, by sharing it
+      val bounds = cumBounds(splits)
       val whens = splits.zip(bounds).foldLeft((Seq.empty[String], 0L)) {
         case ((acc, lo), ((name, _), hi)) =>
           (acc :+ s"WHEN $b >= $lo AND $b < $hi THEN '$name'", hi)

@@ -24,13 +24,20 @@ object Versioning {
     */
   def diffStatus(a: DataFrame, b: DataFrame, idCol: String,
                  hash: DataFrame => Column): DataFrame = {
-    val ha = a.select(col(idCol).cast("long").as("id"), hash(a).as("ha"))
-    val hb = b.select(col(idCol).cast("long").as("id"), hash(b).as("hb"))
+    // presence is carried as an explicit flag per side, NOT inferred
+    // from hash nullness: a key present in both snapshots with a null
+    // content hash (e.g. null text) must classify as unchanged, not
+    // "added", and one-sided null hashes must compare null-safely
+    // (<=>) instead of falling through a null-valued === to "changed"
+    val ha = a.select(col(idCol).cast("long").as("id"), hash(a).as("ha"),
+      lit(true).as("pa"))
+    val hb = b.select(col(idCol).cast("long").as("id"), hash(b).as("hb"),
+      lit(true).as("pb"))
     ha.join(hb, Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("ha").isNull, lit("added"))
-          .when(col("hb").isNull, lit("removed"))
-          .when(col("ha") === col("hb"), lit("unchanged"))
+        when(col("pa").isNull, lit("added"))
+          .when(col("pb").isNull, lit("removed"))
+          .when(col("ha") <=> col("hb"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 

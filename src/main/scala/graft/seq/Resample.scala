@@ -38,7 +38,13 @@ object Resample {
     // double's 2^53 exactness, so a float divide could flip buckets
     // for timestamps sitting exactly on a boundary
     val bucket = df.schema(tsCol).dataType match {
-      case LongType => expr(s"$tsCol div ${stepSeconds * 1000000000L}L")
+      // floor-division via pmod, not `div`: `div` truncates toward
+      // zero, so a pre-1970 epoch (-1ns) would land in bucket 0 instead
+      // of -1, diverging from the timestamp path's floor() and the
+      // oracle; pmod is non-negative, so (ts - pmod) div step IS floor
+      case LongType =>
+        val step = stepSeconds * 1000000000L
+        expr(s"($tsCol - pmod($tsCol, ${step}L)) div ${step}L")
       case _ => floor(unix_timestamp(col(tsCol)).cast(LongType) / stepSeconds)
         .cast(LongType)
     }

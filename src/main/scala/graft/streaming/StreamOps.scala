@@ -172,18 +172,20 @@ object StreamOps {
   }
 
   object IdempotentSink {
-    private val seen =
-      scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
-    def processed(queryKey: String, batchId: Long): Boolean = seen.synchronized {
-      seen.get(queryKey).exists(_.contains(batchId))
-    }
-    def mark(queryKey: String, batchId: Long): Unit = seen.synchronized {
-      seen.getOrElseUpdate(queryKey, scala.collection.mutable.Set.empty)
-        .add(batchId); ()
+    // batchIds are monotonically increasing per query, so the ledger is
+    // a single high-watermark Long per queryKey (max committed batchId)
+    // rather than a Set — O(1) memory over an unbounded run, and the
+    // same shape as the transactional commit-table pattern the class
+    // doc describes (SELECT max(batch_id) ... / INSERT).
+    private val watermark = scala.collection.mutable.Map.empty[String, Long]
+    def processed(queryKey: String, batchId: Long): Boolean =
+      watermark.synchronized { watermark.get(queryKey).exists(batchId <= _) }
+    def mark(queryKey: String, batchId: Long): Unit = watermark.synchronized {
+      watermark.update(queryKey, math.max(watermark.getOrElse(queryKey, Long.MinValue), batchId))
     }
     /** Test/reset hook. */
     def clear(queryKey: String): Unit =
-      seen.synchronized { seen.remove(queryKey); () }
+      watermark.synchronized { watermark.remove(queryKey); () }
   }
 
   /** Open-session state for [[streamingSessionize]]: millis bounds +
@@ -235,7 +237,19 @@ object StreamOps {
             val events = rows.map(r => (r._2.getTime, r._3)).toArray.sortBy(_._1)
             val closed = scala.collection.mutable.ArrayBuffer
               .empty[(String, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+            def emit(s: SessionState): Unit =
+              closed += ((key, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.last), s.n, s.sum))
             var cur = state.getOption
+            // stale events (more than a gap BEFORE the open session —
+            // older sessions this operator can no longer grow) are
+            // gap-merged among THEMSELVES before emission, matching the
+            // batch Sessionizer: adjacent stale events within gapMs
+            // form one session, not n single-event sessions. A stale
+            // chain can never reach the open session (each member is
+            // > gapMs before its start by definition), so the merge
+            // stays local to this accumulator.
+            var stale = Option.empty[SessionState]
             events.foreach { case (t, v) =>
               cur match {
                 // in-gap on EITHER side: a within-watermark late event
@@ -246,19 +260,22 @@ object StreamOps {
                   cur = Some(SessionState(math.min(s.start, t),
                     math.max(s.last, t), s.n + 1, s.sum + v))
                 case Some(s) if t < s.start - gapMs =>
-                  // stale: more than a gap BEFORE the open session —
-                  // an older session this operator can no longer grow;
-                  // emit it as its own single-event session
-                  closed += ((key, new java.sql.Timestamp(t),
-                    new java.sql.Timestamp(t), 1L, v))
+                  stale match {
+                    case Some(st) if t - st.last <= gapMs =>
+                      stale = Some(SessionState(st.start, math.max(st.last, t),
+                        st.n + 1, st.sum + v))
+                    case other =>
+                      other.foreach(emit)
+                      stale = Some(SessionState(t, t, 1L, v))
+                  }
                 case Some(s) =>
-                  closed += ((key, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.last), s.n, s.sum))
+                  emit(s)
                   cur = Some(SessionState(t, t, 1L, v))
                 case None =>
                   cur = Some(SessionState(t, t, 1L, v))
               }
             }
+            stale.foreach(emit)
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last + gapMs)

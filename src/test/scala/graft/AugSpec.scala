@@ -193,6 +193,12 @@ class AugSpec extends SparkSpec {
         Seq("train" -> 0.8), restLabel = "eval")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     subset.foreach { case (k, s) => assert(full(k) == s) }
+    // fractions that sum to exactly 1 but truncate individually (three
+    // 1/3 splits) must still cover every bucket: cumulative-rounded
+    // bounds, so NO rows drop even with no rest label
+    val thirds = Sampling.splitAssign(df, "id",
+      Seq("a" -> 1.0 / 3, "b" -> 1.0 / 3, "c" -> 1.0 / 3))
+    assert(thirds.count() == 1000L)
   }
 
   test("labelCentroids: exact component means per group") {

@@ -145,6 +145,15 @@ class CoreSpec extends SparkSpec {
     val same = graft.core.Versioning.diffSummary(a, a, "id", hash)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(same == Map("unchanged" -> 3L))
+    // null content hashes: presence flags, not hash nullness, drive the
+    // classification — null<=>null is unchanged, null vs value is changed
+    val an = Seq((1L, null.asInstanceOf[String]), (2L, "y"))
+      .toDF("id", "text")
+    val bn = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val stn = graft.core.Versioning.diffStatus(an, bn, "id", hash)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stn == Map(1L -> "unchanged", 2L -> "changed"))
   }
 
   test("zorder: known morton keys, locality, and the 32-bit envelope") {

@@ -240,6 +240,13 @@ class SeqSpec extends SparkSpec {
       .orderBy("bucket").collect()
       .map(r => (r.getLong(1), r.getDouble(3), r.getBoolean(4)))
     assert(nOut.toSeq == Seq((0L, 1.0, true), (1L, 5.0, true), (2L, 6.0, true)))
+    // pre-1970 nanos must FLOOR, not truncate toward zero: -1ns is
+    // bucket -1 (same as the timestamp path), never bucket 0
+    val neg = Seq(("a", -1L, 3.0), ("a", 0L, 4.0)).toDF("k", "ts", "v")
+    val negOut = Resample.resampleFfill(neg, "k", "ts", "v", stepSeconds = 600L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getBoolean(4)))
+    assert(negOut.toSeq == Seq((-1L, 3.0, true), (0L, 4.0, true)))
   }
 
   test("packTexts materializes pack members concatenated in key order") {

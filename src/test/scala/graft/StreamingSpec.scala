@@ -163,6 +163,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSessionize: adjacent stale events gap-merge like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamOps.streamingSessionize(
+      in.toDF.toDF("ts", "user", "value"),
+      "ts", "user", "value", gapMs = 5 * 60000L, watermarkDelay = "60 minutes")
+    val q = out.writeStream.format("memory").queryName("sessm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(30), "u1", 1.0), (ts(31), "u1", 2.0))
+      q.processAllAvailable()
+      // four stale events, all > gap before the open session's start:
+      // minutes 1,2,3 are within gap of each other (ONE session, the
+      // batch Sessionizer's answer), minute 12 is its own
+      in.addData((ts(1), "u1", 1.0), (ts(2), "u1", 2.0), (ts(3), "u1", 4.0),
+        (ts(12), "u1", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessm").collect()
+        .map(r => (r.getAs[Timestamp]("session_start"),
+          r.getAs[Timestamp]("session_end"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("value_sum")))
+        .sortBy(_._1.getTime)
+      assert(rows.toSeq == Seq((ts(1), ts(3), 3L, 7.0), (ts(12), ts(12), 1L, 8.0)))
+    } finally q.stop()
+  }
+
   test("runningMaxPerKey keeps cumulative state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Double)]
