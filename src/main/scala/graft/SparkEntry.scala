@@ -707,6 +707,79 @@ object SparkEntry {
       .orderBy(desc("recon_error"), asc("vec_id"))
   }
 
+  /** M2n-deep — the reference's ENHANCED Dense AE shape
+    * (`app/AE_model.py:114-191`: a deep relu encoder-decoder,
+    * 512→256→128→48→… in its configs) scaled to the embedding dim:
+    * driver-fit multi-layer relu stack on the deterministic pool,
+    * broadcast weights, distributed reconstruction error, p95
+    * threshold. Deterministic but not SQL-replicable (rows-only).
+    */
+  private def qDeepAe(s: SparkSession, dir: String): DataFrame = {
+    val base = em(s, dir)
+      .withColumn("features", col("embedding").cast("array<double>"))
+    val model = graft.score.MlpAE.fitStack(base, "vec_id", "features",
+      hidden = Seq(32, 16, 8, 16, 32), activation = "relu",
+      epochs = 30, sampleSize = 1024)
+    val scored = model.transform(base, "features", "recon_error")
+      .select(col("vec_id"), col("recon_error"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = Quantiles.exactQuantiles(scored, "recon_error", Seq(0.95)).head
+    graft.core.Caches.retain("entry.q103", scored)
+    scored.where(col("recon_error") > thr)
+      .select(col("vec_id"), round(col("recon_error"), 6).as("recon_error"))
+      .orderBy(desc("recon_error"), asc("vec_id"))
+      .limit(25)
+  }
+
+  /** E2E — the curation pipeline composed end to end, the way a
+    * pretraining-data run chains it: C4 rule filter (q82) →
+    * standing-corpus exact dedup + incoming-batch delta dedup (q78) →
+    * benchmark decontamination (q61, integer-arithmetic threshold:
+    * keep iff 2·n_contaminated ≤ n_shingles, no float compare to tie)
+    * → deterministic split assignment (q95) → per-split sequence
+    * packing (q87). Proves the operators compose with no row-id or
+    * ordering assumptions between stages; oracle-checked end to end
+    * over the composed SQL. Scale shape inherits from the parts:
+    * bodies shuffle only into the final per-split window; dedup and
+    * decontam move (hash, id) pairs and broadcast benchmark shingles.
+    */
+  private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val d = doc(s, dir)
+    val stats = d.select(col("doc_id"), col("text"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextOps.avgTokenLen(col("text")).as("avg_len"),
+      TextOps.stopwordRatio(col("text")).as("sw_ratio"),
+      TextOps.dupNgramFraction(col("text"), 2).as("dup_frac"))
+    val passAll = TextOps.c4Rules(col("n_tokens"), col("avg_len"),
+      col("sw_ratio"), col("dup_frac")).map(_._2).reduce(_ && _)
+    // persisted: the corpus side is referenced by its own dedup reps
+    // join AND the batch's anti-join; re-walking the C4 stats per
+    // reference would triple the text scans
+    val kept = stats.where(passAll).select("doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = kept.where(col("doc_id") % 5 < 4)
+    val batch = kept.where(col("doc_id") % 5 === 4)
+    val merged = graft.dedup.Dedup.dropExactDups(corpus, "doc_id", "text")
+      .unionByName(graft.dedup.Dedup.deltaDedup(batch, corpus, "doc_id", "text"))
+      .where(col("doc_id") >= 20)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cont = graft.text.Decontam.contamination(
+      merged, d.where(col("doc_id") < 20), "doc_id", "text", n = 3)
+    val cleanIds = cont.where(col("n_contaminated") * 2 <= col("n_shingles"))
+      .select(col("id").as("doc_id"))
+    val clean = merged.join(cleanIds, Seq("doc_id"), "left_semi")
+    val split = graft.aug.Sampling.splitAssign(clean, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val weighted = split.select(col("split"), col("doc_id"),
+      TextOps.bpeTokenCount(col("text")).as("tokens"))
+    graft.core.Caches.retain("entry.q102", kept, merged)
+    graft.seq.Packing.packStatsByGroup(weighted, "split", "doc_id", "tokens",
+        budget = 512L)
+      .withColumnRenamed("group", "split")
+      .orderBy("split", "pack_id")
+  }
+
   /** F6 — VAE loss pieces as a distributed query (`app/LSTM_VAE.py:46-95`):
     * per-row reconstruction MSE + KL divergence over (x, x̂, μ, logσ²)
     * array columns — one codegen'd map stage. Training stays driver-side
@@ -1564,7 +1637,8 @@ object SparkEntry {
     */
   def rowsOnlyQueries: Set[String] =
     Set("q34_sample_shuffle", "q35_iforest", "q36_linear_ae",
-      "q44_seq_ae_score", "q45_ivf_ann", "q53_mlp_ae", "q54_if_grid")
+      "q44_seq_ae_score", "q45_ivf_ann", "q53_mlp_ae", "q54_if_grid",
+      "q103_deep_ae")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (qPricingSummary _),
@@ -1667,7 +1741,9 @@ object SparkEntry {
     "q98_split_leakage" -> (qSplitLeakage _),
     "q99_pivot" -> (qPivot _),
     "q100_unpivot" -> (qUnpivot _),
-    "q101_resample" -> (qResample _)
+    "q101_resample" -> (qResample _),
+    "q102_curation_pipeline" -> (qCurationPipeline _),
+    "q103_deep_ae" -> (qDeepAe _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -2677,6 +2753,48 @@ object SparkEntry {
       s"""SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          | FROM (SELECT $sc AS split, n_chars FROM documents)
          | WHERE split IS NOT NULL GROUP BY split ORDER BY split""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q102_curation_pipeline" -> {
+      import graft.text.TextOps.{Sql => T}
+      import graft.dedup.Dedup.{Sql => D}
+      val h = T.strHash("text")
+      val sc = graft.aug.Sampling.Sql.splitCase("doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 42L)
+      val bpe = T.bpeTokenCount("text")
+      s"""WITH st AS (SELECT doc_id, text,
+         |   CAST(${T.tokenCount("text")} AS BIGINT) AS n_tokens,
+         |   ${T.avgTokenLen("text")} AS avg_len,
+         |   ${T.stopwordRatio("text")} AS sw_ratio,
+         |   ${T.dupNgramFraction("text", 2)} AS dup_frac
+         |  FROM documents),
+         | kept AS (SELECT doc_id, text FROM st
+         |   WHERE n_tokens >= 20 AND avg_len >= 2.0 AND avg_len <= 12.0
+         |     AND sw_ratio > 0.0 AND dup_frac <= 0.9),
+         | corpus AS (SELECT doc_id, text, $h AS h FROM kept WHERE doc_id % 5 < 4),
+         | creps AS (SELECT h, min(doc_id) AS rep FROM corpus GROUP BY h),
+         | corpusd AS (SELECT c.doc_id, c.text FROM corpus c JOIN creps ON c.doc_id = creps.rep),
+         | batch AS (SELECT doc_id, text, $h AS h FROM kept WHERE doc_id % 5 = 4),
+         | ch AS (SELECT DISTINCT h FROM corpus),
+         | freshall AS (SELECT b.doc_id, b.text, b.h FROM batch b LEFT JOIN ch ON b.h = ch.h WHERE ch.h IS NULL),
+         | breps AS (SELECT h, min(doc_id) AS rep FROM freshall GROUP BY h),
+         | fresh AS (SELECT f.doc_id, f.text FROM freshall f JOIN breps ON f.doc_id = breps.rep),
+         | merged AS (SELECT * FROM corpusd UNION ALL SELECT * FROM fresh),
+         | mc AS (SELECT doc_id, text, ${D.shingles("text", 3)} AS sh FROM merged WHERE doc_id >= 20),
+         | bsh AS (SELECT DISTINCT unnest(${D.shingles("text", 3)}) AS shingle FROM documents WHERE doc_id < 20),
+         | x AS (SELECT doc_id, unnest(sh) AS shingle FROM mc),
+         | hits AS (SELECT doc_id, count(*) AS n_hit FROM x JOIN bsh USING (shingle) GROUP BY doc_id),
+         | clean AS (SELECT mc.doc_id, mc.text FROM mc LEFT JOIN hits USING (doc_id)
+         |   WHERE coalesce(n_hit, 0) * 2 <= len(sh)),
+         | w AS (SELECT split, doc_id, $bpe AS tokens
+         |   FROM (SELECT doc_id, text, $sc AS split FROM clean) WHERE split IS NOT NULL),
+         | c AS (SELECT split, doc_id, tokens,
+         |   CAST(coalesce(sum(tokens) OVER (PARTITION BY split ORDER BY doc_id
+         |     ROWS UNBOUNDED PRECEDING), 0) - tokens AS BIGINT) AS cum_before
+         |  FROM w)
+         | SELECT split, cum_before // 512 AS pack_id, count(*) AS n_docs,
+         |  CAST(sum(tokens) AS BIGINT) AS doc_tokens
+         | FROM c GROUP BY split, pack_id ORDER BY split, pack_id""".stripMargin
         .replaceAll("\n", " ")
     },
     "q93_pack_texts" -> {

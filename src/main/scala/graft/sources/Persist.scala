@@ -78,21 +78,34 @@ object Persist {
 
   // --- MLP AE ---------------------------------------------------------- //
 
-  /** Layout: mean / std / b1 / b2, then `#b1` rows of W1, then `#b2`
-    * rows of W2 — plain comma-joined doubles, exact round-trip.
+  /** Layout: header `mlp <act> <nLayers>`, then mean / std lines, then
+    * per layer its bias line followed by `#bias` weight rows — plain
+    * comma-joined doubles, exact round-trip for any stack depth.
     */
   def saveMlpAE(path: String, m: graft.score.MlpAE.Model): Unit = {
-    val lines = Seq(m.mean, m.std, m.b1, m.b2).map(_.mkString(",")) ++
-      m.w1.map(_.mkString(",")).toSeq ++ m.w2.map(_.mkString(",")).toSeq
+    val header = s"mlp ${m.act.name} ${m.weights.length}"
+    val layers = m.weights.indices.flatMap { l =>
+      m.biases(l).mkString(",") +: m.weights(l).map(_.mkString(",")).toSeq
+    }
+    val lines = header +: (Seq(m.mean, m.std).map(_.mkString(",")) ++ layers)
     write(path, lines.mkString("\n"))
   }
 
   def loadMlpAE(path: String): graft.score.MlpAE.Model = {
-    val lines = Files.readAllLines(Paths.get(path)).asScala.toSeq
-      .map(_.split(',').map(_.toDouble))
-    val Seq(mean, std, b1, b2) = lines.take(4)
-    val w1 = lines.slice(4, 4 + b1.length).toArray
-    val w2 = lines.slice(4 + b1.length, 4 + b1.length + b2.length).toArray
-    new graft.score.MlpAE.Model(mean, std, w1, b1, w2, b2)
+    val raw = Files.readAllLines(Paths.get(path)).asScala.toSeq
+    val Array(tag, actName, nStr) = raw.head.trim.split(' ')
+    require(tag == "mlp", s"not an MlpAE artifact: ${raw.head}")
+    val nLayers = nStr.toInt
+    val lines = raw.tail.map(_.split(',').map(_.toDouble))
+    val Seq(mean, std) = lines.take(2)
+    var at = 2
+    val (ws, bs) = (0 until nLayers).map { _ =>
+      val bias = lines(at)
+      val w = lines.slice(at + 1, at + 1 + bias.length).toArray
+      at += 1 + bias.length
+      (w, bias)
+    }.unzip
+    new graft.score.MlpAE.Model(mean, std, ws.toArray, bs.toArray,
+      graft.score.MlpAE.actByName(actName))
   }
 }

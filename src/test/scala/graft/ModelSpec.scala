@@ -98,6 +98,46 @@ class ModelSpec extends SparkSpec {
     assert(s2.toSeq == s3.toSeq)
   }
 
+  test("deep MLP AE: relu stack detects the planted outlier, reproduces bitwise, persists") {
+    // the reference's enhanced Dense AE shape (app/AE_model.py:114-191)
+    // scaled to the test dim: an overcomplete relu encoder-decoder
+    val df = planted(300)
+    val stack = Seq(16, 8, 4, 8, 16)
+    val m = MlpAE.fitStack(df.where($"id" < 300), "id", "features",
+      hidden = stack, activation = "relu", epochs = 120, sampleSize = 300)
+    assert(m.weights.length == stack.length + 1) // + linear output layer
+    val scored = m.transform(df, "features").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("recon_error"))
+    assert(scored.maxBy(_._2)._1 == 300L, "outlier not top-scored by the deep AE")
+    // bitwise reproducibility across independent fits
+    val m2 = MlpAE.fitStack(df.where($"id" < 300), "id", "features",
+      hidden = stack, activation = "relu", epochs = 120, sampleSize = 300)
+    val s1 = m.transform(df, "features").orderBy("id")
+      .select("recon_error").as[Double].collect()
+    val s2 = m2.transform(df, "features").orderBy("id")
+      .select("recon_error").as[Double].collect()
+    assert(s1.toSeq == s2.toSeq)
+    // stack persistence round-trips exactly (depth, act, every weight)
+    val dir = java.nio.file.Files.createTempDirectory("graft-deep-mlp").toString
+    Persist.saveMlpAE(s"$dir/deep.txt", m)
+    val m3 = Persist.loadMlpAE(s"$dir/deep.txt")
+    assert(m3.act == MlpAE.Relu && m3.weights.length == m.weights.length)
+    val s3 = m3.transform(df, "features").orderBy("id")
+      .select("recon_error").as[Double].collect()
+    assert(s1.toSeq == s3.toSeq)
+  }
+
+  test("single-hidden fit is the Seq(h) special case of fitStack (bitwise)") {
+    val df = planted(150)
+    val a = MlpAE.fit(df, "id", "features", hidden = 2, epochs = 40,
+        sampleSize = 151)
+      .transform(df, "features").orderBy("id").select("recon_error").as[Double].collect()
+    val b = MlpAE.fitStack(df, "id", "features", hidden = Seq(2),
+        activation = "tanh", epochs = 40, sampleSize = 151)
+      .transform(df, "features").orderBy("id").select("recon_error").as[Double].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("linear AE: zero reconstruction error on in-subspace data") {
     // rank-1 data along (1,1,0)
     val df = (0 until 100).map(i => (i.toLong, Seq(i * 0.1, i * 0.1, 0.0)))
