@@ -176,6 +176,55 @@ object Sampling {
         when(raw === col("anchor"), (raw + 1) % lit(n)).otherwise(raw))
   }
 
+  /** Per-group cap — the "domain capping" curation op (limit any one
+    * source/domain/URL-host to at most `cap` documents so a crawl
+    * dominated by one site cannot dominate the training mix; the CCNet/
+    * RefinedWeb per-domain limit). Rows within a group are ranked by
+    * their key's hash bucket (ties broken by the key itself), so WHICH
+    * rows survive is a pure function of the data — retry-stable,
+    * engine-reproducible, and unchanged when the corpus around a group
+    * grows (a kept doc stays kept until its group out-ranks it).
+    *
+    * Scale shape: one window hash-partitioned BY GROUP — groups rank in
+    * parallel and only (group, key) ordering state is held per
+    * partition. A pathologically hot group (one domain = half the
+    * corpus) serializes on one partition; the 100 TB mitigation is a
+    * pre-pass dropping groups with count ≤ cap from the window input
+    * (they pass through unranked — most groups, in a Zipfian crawl),
+    * which [[capPerGroupCounted]] implements.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  cap: Int, seed: Long = 42L): DataFrame = {
+    require(cap >= 1, s"capPerGroup needs cap >= 1: $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(keyBucket(col(keyCol), seed), col(keyCol))
+    df.withColumn("grp_rank", row_number().over(w))
+      .where(col("grp_rank") <= cap)
+      .drop("grp_rank")
+  }
+
+  /** [[capPerGroup]] with the small-group bypass: per-group counts are
+    * computed first (map-side-combined aggregate, one row per group),
+    * groups at-or-under the cap skip the window entirely, and only the
+    * over-cap remainder — in a Zipfian crawl, a tiny fraction of
+    * groups carrying most rows — is ranked. Output is row-identical to
+    * [[capPerGroup]]; the split is purely a physical optimization, so
+    * the spec pins equality between the two paths.
+    */
+  def capPerGroupCounted(df: DataFrame, groupCol: String, keyCol: String,
+                         cap: Int, seed: Long = 42L): DataFrame = {
+    require(cap >= 1, s"capPerGroupCounted needs cap >= 1: $cap")
+    // counts = one row per group: broadcastable for realistic domain
+    // cardinalities; left unhinted so AQE can fall back to a shuffle
+    // join if the group count itself is huge
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("grp_n"))
+    val tagged = df.join(counts, Seq(groupCol))
+    val small = tagged.where(col("grp_n") <= cap).drop("grp_n")
+    val big = tagged.where(col("grp_n") > cap).drop("grp_n")
+    small.unionByName(capPerGroup(big, groupCol, keyCol, cap, seed))
+  }
+
   /** DuckDB oracle twin of [[keyBucket]]/[[hashSample]]'s predicate. */
   object Sql {
     def keyBucket(key: String, seed: Long): String =

@@ -41,6 +41,40 @@ object Versioning {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** CDC merge (SCD-type-1 upsert-apply) — the other half of snapshot
+    * versioning: apply a change batch (id, op ∈ I|U|D, payload, seq) to
+    * a snapshot, producing the next snapshot. Semantics:
+    *
+    *  - per id, the LATEST change wins (highest `seqCol`; ties broken
+    *    by `opCol` ascending so the result is a pure function of the
+    *    data, not arrival order),
+    *  - winning D deletes the id (a D for an absent id is a no-op),
+    *  - winning I/U replaces-or-inserts the payload (an upsert — a U
+    *    for an absent id inserts, matching MERGE WHEN NOT MATCHED).
+    *
+    * Scale shape: the latest-change window partitions by id (change
+    * batches are small relative to snapshots and key-spread); the
+    * snapshot side is touched by ONE left-anti equi-join on id — the
+    * snapshot's payload never shuffles more than the join requires,
+    * and with both sides bucketed by id it shuffles nothing. This is
+    * exactly the shape Iceberg/Delta MERGE plans under the hood; kept
+    * engine-native here since the sandbox ships no table-format jars.
+    * `changes` must carry every snapshot column plus `opCol`/`seqCol`.
+    */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame, idCol: String,
+                   opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col(seqCol).desc, col(opCol).asc)
+    val latest = changes.withColumn("cdc_rn", row_number().over(w))
+      .where(col("cdc_rn") === 1)
+    val payload = snapshot.columns.toSeq
+    val upserts = latest.where(col(opCol) =!= lit("D"))
+      .select(payload.map(col): _*)
+    snapshot.join(latest.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(upserts)
+  }
+
   /** Churn summary: (status, n) — one row per present status. */
   def diffSummary(a: DataFrame, b: DataFrame, idCol: String,
                   hash: DataFrame => Column): DataFrame =

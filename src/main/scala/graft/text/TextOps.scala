@@ -86,6 +86,42 @@ object TextOps {
     aggregate(tokens(text), lit(0L),
       (acc, t) => (acc * lit(RollBase) + strHash(t)) % lit(P))
 
+  /** Canonical text normalization — the pre-dedup/pre-hash cleanup pass
+    * (lowercase, every non-[a-z0-9 ] byte → space, whitespace runs
+    * collapsed, ends trimmed). Normalizing BEFORE hashing is what lets
+    * exact dedup catch case/punctuation-only near-duplicates; the regex
+    * subset is deliberately engine-portable (same semantics in Java
+    * regex and DuckDB/RE2). Pure map stage: zero shuffle at any scale.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Unigram token entropy in bits — the vocabulary-diversity quality
+    * signal (a boilerplate/template page scores near 0; natural prose
+    * scores ≈ log2 of its effective vocabulary). Computed wholly inside
+    * higher-order functions over the token array — no explode, no
+    * shuffle, one codegen'd map stage per row.
+    *
+    * Determinism: the per-token probabilities are summed in SORTED
+    * distinct-token order (both engines), so the double fold is
+    * order-fixed and cross-engine reproducible to the last ulp of each
+    * step. `0.0 - fold` (not unary minus) keeps an all-identical-token
+    * document at +0.0, never -0.0 (which would hash-mismatch the
+    * oracle). O(distinct × tokens) per row — the no-shuffle trade.
+    *
+    * PERF: pass a pre-projected token-array column on hot paths (the
+    * [[langIdFromTokens]] caveat — HOF lambdas re-inline per branch).
+    */
+  def tokenEntropyFromTokens(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    val probs = transform(array_sort(array_distinct(toks)),
+      t => size(filter(toks, y => y === t)).cast("double") / n)
+    lit(0.0) - aggregate(probs, lit(0.0), (acc, p) => acc + p * log2(p))
+  }
+
+  def tokenEntropy(text: Column): Column =
+    tokenEntropyFromTokens(tokens(text))
+
   // --- language identification -------------------------------------- //
 
   /** Marker lexicons (disjoint). Real deployments would use larger
@@ -282,6 +318,16 @@ object TextOps {
       val total = s"(len($t) - ${n - 1})"
       val grams = s"list_transform(generate_series(1, $total), i -> array_to_string($t[i:i+${n - 1}], ' '))"
       s"CASE WHEN $total > 0 THEN 1.0 - CAST(len(list_distinct($grams)) AS DOUBLE) / $total ELSE 0.0 END"
+    }
+
+    def normalize(x: String): String =
+      s"trim(regexp_replace(regexp_replace(lower($x), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+    def tokenEntropy(x: String): String = {
+      val t = toks(x)
+      val n = s"CAST(len($t) AS DOUBLE)"
+      val p = s"(CAST(len(list_filter($t, y -> y = u)) AS DOUBLE) / $n)"
+      s"(0.0 - list_reduce(list_prepend(0.0, list_transform(list_sort(list_distinct($t)), u -> $p * log2($p))), (a, b) -> a + b))"
     }
 
     def maskTokens(id: String, x: String, pct: Int, seed: Long = 11L): String = {

@@ -201,6 +201,33 @@ class AugSpec extends SparkSpec {
     assert(thirds.count() == 1000L)
   }
 
+  test("capPerGroup: cap respected, deterministic, counted path identical") {
+    val df = (1L to 300L).map(i => (s"g${i % 7}", i)).toDF("grp", "id")
+    val capped = Sampling.capPerGroup(df, "grp", "id", cap = 10)
+    val byGrp = capped.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp.values.forall(_ == 10L), s"per-group counts: $byGrp")
+    // deterministic: same rows on re-run
+    val a = capped.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Sampling.capPerGroup(df, "grp", "id", cap = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+    // survivors are stable when the group grows: a kept id stays kept
+    // unless out-ranked — subsetting other groups never changes this one
+    val g0 = a.filter(_._1 == "g0")
+    val g0Sub = Sampling.capPerGroup(df.where(col("grp") === "g0"), "grp",
+      "id", cap = 10).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(g0 == g0Sub)
+    // counted path (small-group bypass) is row-identical, including
+    // groups under the cap passing through untouched
+    val mixed = df.where(col("id") <= 150 || col("grp") === "g1")
+    val plain = Sampling.capPerGroup(mixed, "grp", "id", cap = 18)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val counted = Sampling.capPerGroupCounted(mixed, "grp", "id", cap = 18)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(plain == counted)
+  }
+
   test("labelCentroids: exact component means per group") {
     val vecs = Seq(
       ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 4.0f)), ("b", Seq(5.0f, 6.0f))

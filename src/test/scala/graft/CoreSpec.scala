@@ -156,6 +156,29 @@ class CoreSpec extends SparkSpec {
     assert(stn == Map(1L -> "unchanged", 2L -> "changed"))
   }
 
+  test("applyChanges: upsert/delete/latest-wins CDC merge semantics") {
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq(
+      (2L, "b2", "U", 1L),  // update existing
+      (3L, "c2", "U", 1L),  // update…
+      (3L, "x", "D", 2L),   // …overridden by a later delete (latest wins)
+      (4L, "d", "I", 1L),   // insert new
+      (5L, "e", "U", 1L),   // U on absent id inserts (upsert)
+      (9L, "x", "D", 1L),   // D on absent id is a no-op
+      (4L, "d0", "I", 0L)   // earlier change for id 4 loses to seq 1
+    ).toDF("id", "v", "op", "seq")
+    val out = graft.core.Versioning.applyChanges(snap, changes, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "b2", 4L -> "d", 5L -> "e"))
+    // idempotent: re-applying the same batch yields the same state
+    val again = graft.core.Versioning.applyChanges(
+        Seq((1L, "a"), (2L, "b2"), (4L, "d"), (5L, "e")).toDF("id", "v"),
+        changes, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
+
   test("zorder: known morton keys, locality, and the 32-bit envelope") {
     import graft.core.ZOrder
     import org.apache.spark.sql.functions._

@@ -269,6 +269,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingPsi per-window psi equals batch Drift.psi on the same slice") {
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = (1 to 100).map(_.toDouble).toDF("x")
+    val base = graft.drift.Drift.fitPsiBaseline(baseline, Seq("x"), bins = 5)
+    // two windows with different mixes: in-distribution, and half-shifted
+    val w0 = (1 to 100).map(i => (ts(1 + i % 3), i.toDouble))
+    val w1 = (1 to 100).map(i =>
+      (ts(11 + i % 3), if (i % 2 == 0) 500.0 + i else i.toDouble))
+    val in = MemoryStream[(Timestamp, Double)]
+    val out = StreamOps.streamingPsi(in.toDF.toDF("ts", "x"), "ts", base,
+      "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("spp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(w0 ++ w1: _*)
+      q.processAllAvailable()
+      in.addData((ts(60), 1.0)) // advance watermark to close both windows
+      q.processAllAvailable()
+      val streamed = spark.table("spp").collect()
+        .map(r => r.getAs[Timestamp]("window_start").getTime ->
+          r.getAs[Double]("psi")).toMap
+      // batch twin: Drift.psi(baseline, <window slice>) with the same
+      // bins — same edges (same fit path), same eps smoothing; the only
+      // representational difference is the term-sum (decimal-exact in
+      // batch, fixed-order double in the stream), so parity is asserted
+      // at the shared round-at-6 output scale
+      Seq(0L -> w0, 600000L -> w1).foreach { case (wStart, slice) =>
+        val batchPsi = graft.drift.Drift.psi(
+            baseline, slice.map(_._2).toDF("x"), Seq("x"), bins = 5)
+          .collect().head.getAs[Double]("psi")
+        assert(math.abs(streamed(wStart) - batchPsi) <= 1e-6,
+          s"window $wStart: streaming ${streamed(wStart)} vs batch $batchPsi")
+      }
+    } finally q.stop()
+  }
+
   test("thresholdAlerts is a stateless pass-through filter") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]

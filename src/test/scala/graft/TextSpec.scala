@@ -232,4 +232,38 @@ class TextSpec extends SparkSpec {
     // doc 5 is ALSO 25 identical 1-char tokens: passes length rules
     assert(!failed(4).contains("min_tokens") && !failed(4).contains("avg_token_len"))
   }
+
+  test("normalize: lowercase, punctuation→space, collapsed, trimmed") {
+    val cases = Seq(
+      "Hello, World!" -> "hello world",
+      "  a\tb\nc  " -> "a b c",
+      "UPPER-case_mix 42" -> "upper case mix 42",
+      "..." -> "",
+      "" -> "",
+      "already clean" -> "already clean")
+    for ((in, want) <- cases) {
+      val got = one(in).select(TextOps.normalize(col("t"))).head.getString(0)
+      assert(got == want, s"normalize($in) = $got, want $want")
+    }
+    // null propagates
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(TextOps.normalize(col("t"))).head.isNullAt(0))
+  }
+
+  test("tokenEntropy: known answers, +0.0 on uniform, null propagation") {
+    def ent(s: String): Double =
+      one(s).select(TextOps.tokenEntropy(col("t"))).head.getDouble(0)
+    assert(math.abs(ent("a b a b") - 1.0) < 1e-12)       // two equiprobable
+    assert(math.abs(ent("a b c d") - 2.0) < 1e-12)       // four equiprobable
+    // 3/4, 1/4 → -(0.75·log2 0.75 + 0.25·log2 0.25)
+    val want = -(0.75 * math.log(0.75) / math.log(2.0) + 0.25 * -2.0)
+    assert(math.abs(ent("a a a b") - want) < 1e-12)
+    // all-identical tokens: exactly +0.0, never -0.0 (oracle hash parity)
+    val z = ent("x x x")
+    assert(z == 0.0 && java.lang.Double.doubleToRawLongBits(z) == 0L,
+      s"expected +0.0, got ${java.lang.Double.doubleToRawLongBits(z)}")
+    assert(ent("") == 0.0)
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(TextOps.tokenEntropy(col("t"))).head.isNullAt(0))
+  }
 }
