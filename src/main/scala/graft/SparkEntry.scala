@@ -1729,6 +1729,75 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Feature discretization (features.Discretizer): equal-frequency
+    * bins on price (exact distributed k-quantile edges) + equal-width
+    * bins on quantity (one min/max pass), reported as a long per-bin
+    * table. Rides the shared stats-family cache.
+    */
+  private def qDiscretize(s: SparkSession, dir: String): DataFrame = {
+    import graft.features.Discretizer
+    val df = liStats(s, dir)
+    val ef = Discretizer.fitEqualFreq(df, Seq("l_extendedprice"), 8)
+    val ew = Discretizer.fitEqualWidth(df, Seq("l_quantity"), 6)
+    def leg(m: Discretizer.Model, c: String) =
+      m.transform(df.select(col(c)))
+        .groupBy(col(s"${c}_bin").cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(Stats.dsum(col(c).cast("double")), 4).as("sum_value"))
+        .select(lit(c).as("column_name"), col("bin"), col("n"), col("sum_value"))
+    leg(ef, "l_extendedprice").unionByName(leg(ew, "l_quantity"))
+      .orderBy("column_name", "bin")
+  }
+
+  /** Target encoding (features.TargetEncoder): m-estimate-smoothed
+    * per-brand mean of a binary label + the per-brand checksum of the
+    * leave-one-out row encodings (pins every row's LOO value).
+    */
+  private def qTargetEncode(s: SparkSession, dir: String): DataFrame = {
+    import graft.features.TargetEncoder
+    val p = Tables.load(s, dir, "part")
+      .select(col("p_brand"), (col("p_size") > 25).cast("int").as("y"))
+    val enc = TargetEncoder.encodings(p, "p_brand", "y", m = 10.0)
+      .select(col("p_brand"), col("n"), round(col("enc"), 6).as("enc"))
+    val loo = TargetEncoder.looTransform(p, "p_brand", "y")
+      .groupBy("p_brand")
+      .agg(round(Stats.dsum(col("loo_enc")), 6).as("loo_checksum"))
+    enc.join(loo, Seq("p_brand")).orderBy("p_brand")
+  }
+
+  /** Interval containment join (seq.IntervalJoin): every ~97th event
+    * anchors a 2 h half-open interval; all events falling inside any
+    * interval match via the bucketed range join (bucket = interval
+    * width ⇒ ≤ 2 buckets per interval, one equi-join, no nested loop).
+    * Micro-precision longs on both engines (the q58 convention).
+    */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val twoH = 2L * 3600 * 1000 * 1000
+    val e = ev(s, dir).withColumn("ts_us", expr("ts div 1000"))
+    val anchors = e.where(col("event_id") % 97 === 0)
+      .select(col("event_id").as("anchor_id"), col("ts_us").as("start_us"),
+        (col("ts_us") + lit(twoH)).as("end_us"))
+    val pts = e.select(col("event_id"), col("ts_us"), col("value"))
+    graft.seq.IntervalJoin.containment(pts, anchors, "ts_us",
+        "start_us", "end_us", bucketWidth = twoH)
+      .groupBy("anchor_id")
+      .agg(count(lit(1)).as("n_points"), sum(col("event_id")).as("id_checksum"),
+        round(Stats.dsum(col("value")), 4).as("value_checksum"))
+      .orderBy("anchor_id")
+  }
+
+  /** Per-user EWMA (seq.Rolling.ewmaByKey): the sequential smoothing
+    * fold, distributed one-key-per-group; α = 0.5 and a (ts, value)
+    * sort key keep the fold bitwise cross-engine.
+    */
+  private def qEwma(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"),
+      expr("ts div 1000").as("ts_us"), col("value"))
+    graft.seq.Rolling.ewmaByKey(e, Seq("user_id"), "ts_us", "value", alpha = 0.5)
+      .select(col("user_id"), col("n"), round(col("ewma"), 6).as("ewma"))
+      .orderBy("user_id")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -1846,7 +1915,11 @@ object SparkEntry {
     "q104_source_cap" -> (qSourceCap _),
     "q105_normalize" -> (qNormalize _),
     "q106_token_entropy" -> (qTokenEntropy _),
-    "q107_cdc_merge" -> (qCdcMerge _)
+    "q107_cdc_merge" -> (qCdcMerge _),
+    "q108_discretize" -> (qDiscretize _),
+    "q109_target_encode" -> (qTargetEncode _),
+    "q110_interval_join" -> (qIntervalJoin _),
+    "q111_ewma" -> (qEwma _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -3011,6 +3084,59 @@ object SparkEntry {
          |  CAST(sum(n_chars) AS BIGINT) AS chars_checksum
          | FROM merged GROUP BY source ORDER BY source""".stripMargin
         .replaceAll("\n", " ")
+    },
+    "q108_discretize" -> {
+      val ps = (1 until 8).map(_.toDouble / 8).mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT CAST(l_extendedprice AS DOUBLE) AS s FROM lineitem),
+         | ed AS (SELECT DISTINCT edge FROM
+         |   (SELECT unnest(quantile_cont(s, $ps)) AS edge FROM d)),
+         | l1 AS (SELECT 'l_extendedprice' AS column_name,
+         |   CAST((SELECT count(*) FROM ed WHERE d.s > ed.edge) AS BIGINT) AS bin, s FROM d),
+         | q AS (SELECT CAST(l_quantity AS DOUBLE) AS s FROM lineitem),
+         | mm AS (SELECT min(s) AS mn, max(s) AS mx FROM q),
+         | ew AS (SELECT DISTINCT mn + (mx - mn) / 6 * i AS edge
+         |   FROM mm, (SELECT unnest(generate_series(1, 5)) AS i)),
+         | l2 AS (SELECT 'l_quantity' AS column_name,
+         |   CAST((SELECT count(*) FROM ew WHERE q.s > ew.edge) AS BIGINT) AS bin, s FROM q),
+         | u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+         | SELECT column_name, bin, count(*) AS n, round(${dsumSql("s")}, 4) AS sum_value
+         | FROM u GROUP BY column_name, bin
+         | ORDER BY column_name, bin""".stripMargin.replaceAll("\n", " ")
+    },
+    "q109_target_encode" -> {
+      val yd = "CAST(y AS DOUBLE)"
+      s"""WITH p AS (SELECT p_brand, CASE WHEN p_size > 25 THEN 1 ELSE 0 END AS y FROM part),
+         | pr AS (SELECT ${dsumSql(yd)} / count($yd) AS prior FROM p),
+         | g AS (SELECT p_brand, count($yd) AS n, ${dsumSql(yd)} AS sum_y
+         |   FROM p GROUP BY p_brand),
+         | enc AS (SELECT p_brand, n,
+         |   round((sum_y + 10.0 * prior) / (CAST(n AS DOUBLE) + 10.0), 6) AS enc
+         |  FROM g, pr),
+         | loo AS (SELECT p.p_brand,
+         |   CASE WHEN g.n > 1 THEN (g.sum_y - CAST(p.y AS DOUBLE)) / CAST(g.n - 1 AS DOUBLE)
+         |        ELSE prior END AS v
+         |  FROM p JOIN g USING (p_brand) CROSS JOIN pr),
+         | ls AS (SELECT p_brand, round(${dsumSql("v")}, 6) AS loo_checksum
+         |   FROM loo GROUP BY p_brand)
+         | SELECT enc.p_brand, n, enc, loo_checksum FROM enc JOIN ls USING (p_brand)
+         | ORDER BY p_brand""".stripMargin.replaceAll("\n", " ")
+    },
+    "q110_interval_join" -> {
+      s"""WITH e AS (SELECT event_id, epoch_us(ts) AS t, value FROM events),
+         | a AS (SELECT event_id AS anchor_id, t AS st, t + 7200000000 AS en
+         |   FROM e WHERE event_id % 97 = 0)
+         | SELECT anchor_id, count(*) AS n_points,
+         |  CAST(sum(e.event_id) AS BIGINT) AS id_checksum,
+         |  round(${dsumSql("value")}, 4) AS value_checksum
+         | FROM a JOIN e ON e.t >= a.st AND e.t < a.en
+         | GROUP BY anchor_id ORDER BY anchor_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q111_ewma" -> {
+      s"""SELECT user_id, CAST(len(l) AS BIGINT) AS n,
+         | round(list_reduce(l, (s, v) -> s * 0.5 + v * 0.5), 6) AS ewma
+         | FROM (SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), value) AS l
+         |   FROM events GROUP BY user_id)
+         | ORDER BY user_id""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

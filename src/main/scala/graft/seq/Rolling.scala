@@ -57,6 +57,36 @@ object Rolling {
       .withColumn(prefix + "delta", v - lag(v, 1).over(wl))
   }
 
+  /** Per-key exponentially-weighted moving average (final value): the
+    * fold s ← s·(1−α) + v·α over each key's time-ordered values,
+    * seeded with the first value — pandas `ewm(alpha).mean(adjust=
+    * False)` semantics, the smoothing step of every drift/telemetry
+    * monitor. EWMA is inherently sequential, so it is computed per key
+    * as a HOF fold over the key's sort-collected value array: ONE
+    * shuffle on the key, state bounded by a single key's history (the
+    * [[Sessionizer]] trade), zero windows. The fold multiplies in a
+    * fixed written order (`s·(1−α) + v·α`) and the array is sorted by
+    * (ord, value) so ties cannot reorder the sum — the exact same
+    * left-fold a SQL oracle's `list_reduce(list(v ORDER BY ord, v),
+    * (s, v) -> s*(1-α) + v*α)` performs, making the double result
+    * reproducible cross-engine. Returns (keys..., n, ewma).
+    */
+  def ewmaByKey(df: DataFrame, keys: Seq[String], ordCol: String,
+                valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    val vals = array_sort(collect_list(
+      struct(col(ordCol), col(valCol).cast(DoubleType).as("v"))))
+    df.groupBy(keys.map(col): _*)
+      .agg(vals.as("ts_vals"))
+      .select(keys.map(col) ++ Seq(
+        size(col("ts_vals")).cast("long").as("n"),
+        aggregate(
+          slice(col("ts_vals"), lit(2), size(col("ts_vals")) - lit(1)),
+          element_at(col("ts_vals"), 1).getField("v"),
+          (s, x) => s * lit(1.0 - alpha) + x.getField("v") * lit(alpha)
+        ).as("ewma")): _*)
+  }
+
   /** DuckDB SQL fragments computing identical rolling columns, for
     * oracle parity: `window` must be declared as
     * `WINDOW wf AS (PARTITION BY <keys> ORDER BY <ord> ROWS <k-1> PRECEDING),

@@ -46,4 +46,53 @@ class FeaturesSpec extends SparkSpec {
     assert(out.getDouble(out.fieldIndex("x_s")) === 0.0)
     assert(out.getDouble(out.fieldIndex("c_s")) === 0.0) // IQR=0 -> 0
   }
+
+  test("discretizer: equal-freq balanced bins, equal-width known edges") {
+    import spark.implicits._
+    import graft.features.Discretizer
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    // equal-frequency, k=4: interior edges at exact quartiles, 25/bin
+    val ef = Discretizer.fitEqualFreq(df, Seq("x"), 4)
+    assert(ef.edges("x") == Seq(25.75, 50.5, 75.25))
+    val efCounts = ef.transform(df).groupBy("x_bin").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(efCounts == Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25))
+    // equal-width, k=4 on [0,100]: edges 25/50/75; value AT an edge
+    // falls in the bin below (strict >)
+    val wdf = (0 to 100).map(_.toDouble).toDF("x")
+    val ew = Discretizer.fitEqualWidth(wdf, Seq("x"), 4)
+    assert(ew.edges("x") == Seq(25.0, 50.0, 75.0))
+    val bins = ew.transform(wdf).where(col("x").isin(25.0, 26.0, 100.0))
+      .collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    assert(bins == Map(25.0 -> 0, 26.0 -> 1, 100.0 -> 3))
+    // degenerate constant column: no edges, everything in bin 0
+    val c = Seq(7.0, 7.0).toDF("x")
+    assert(Discretizer.fitEqualWidth(c, Seq("x"), 4).edges("x").isEmpty)
+    // duplicate quantile edges collapse (heavy ties)
+    val ties = Seq.fill(50)(1.0).map(Tuple1(_)).toDF("x")
+    assert(Discretizer.fitEqualFreq(ties, Seq("x"), 4).edges("x") == Seq(1.0))
+  }
+
+  test("target encoder: smoothing shrinks to prior, LOO excludes own row") {
+    import spark.implicits._
+    import graft.features.TargetEncoder
+    // a: y = 1,1,0,0 (mean .5); b: y = 1 (singleton); prior = 3/5
+    val df = Seq(("a", 1), ("a", 1), ("a", 0), ("a", 0), ("b", 1))
+      .toDF("cat", "y")
+    val raw = TargetEncoder.encodings(df, "cat", "y", m = 0.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(raw == Map("a" -> 0.5, "b" -> 1.0))
+    // m → ∞ limit: everything shrinks toward the prior; at m = 1:
+    // a: (2 + .6)/5 = .52, b: (1 + .6)/2 = .8
+    val sm = TargetEncoder.encodings(df, "cat", "y", m = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(sm("a") - 0.52) < 1e-12 && math.abs(sm("b") - 0.8) < 1e-12)
+    // LOO: an a-row with y=1 sees (2-1)/3; with y=0 sees 2/3; the
+    // singleton b falls back to the prior 0.6
+    val loo = TargetEncoder.looTransform(df, "cat", "y").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(loo(("a", 1)) - 1.0 / 3) < 1e-12)
+    assert(math.abs(loo(("a", 0)) - 2.0 / 3) < 1e-12)
+    assert(math.abs(loo(("b", 1)) - 0.6) < 1e-12)
+  }
 }

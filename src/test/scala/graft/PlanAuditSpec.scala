@@ -117,6 +117,35 @@ class PlanAuditSpec extends SparkSpec {
       s"pack texts plans a single-partition exchange:\n$q93")
   }
 
+  test("round-7 query plans keep their scale shapes") {
+    // q110 interval join: the bucketed range join MUST plan as a hash
+    // equi-join — a nested loop here is the exact trap the operator exists
+    // to avoid
+    val q110 = plan(SparkEntry.queries("q110_interval_join")(spark, sf))
+    assert(!q110.contains("BroadcastNestedLoopJoin") && !q110.contains("CartesianProduct"),
+      s"interval join exploded into a pair join:\n$q110")
+    // q104 domain cap: the ranking window is hash-partitioned by group,
+    // never a global single-partition sort
+    val q104 = plan(SparkEntry.queries("q104_source_cap")(spark, sf))
+    assert(!q104.contains("Exchange SinglePartition"),
+      s"group cap plans a single-partition exchange:\n$q104")
+    // q107 CDC merge: latest-change selection + anti-join are hash
+    // operations
+    val q107 = plan(SparkEntry.queries("q107_cdc_merge")(spark, sf))
+    assert(!q107.contains("BroadcastNestedLoopJoin") && !q107.contains("CartesianProduct"),
+      s"CDC merge plans a cartesian:\n$q107")
+    // q105/q106 text transforms are map-stage + final aggregate shapes;
+    // q109 target encoding joins the tiny per-category table back by hash
+    val q109 = plan(SparkEntry.queries("q109_target_encode")(spark, sf))
+    assert(!q109.contains("BroadcastNestedLoopJoin"),
+      s"target encoding plans a cartesian:\n$q109")
+    // q111 EWMA: one aggregate keyed by user — no window, no
+    // single-partition exchange
+    val q111 = plan(SparkEntry.queries("q111_ewma")(spark, sf))
+    assert(!q111.contains("Window") && !q111.contains("Exchange SinglePartition"),
+      s"EWMA regressed to a window/global sort:\n$q111")
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -276,4 +276,43 @@ class SeqSpec extends SparkSpec {
       Packing.lengthBuckets(df, "tokens", Seq(64L, 16L))
     }
   }
+
+  test("intervalJoin: containment matches brute force, half-open bounds") {
+    import graft.seq.IntervalJoin
+    val pts = Seq(0L, 5L, 10L, 15L, 99L, 100L, 101L, 250L)
+      .map(t => (t, s"p$t")).toDF("t", "pid")
+    val ivs = Seq((1L, 0L, 100L), (2L, 10L, 11L), (3L, 90L, 260L),
+      (4L, 50L, 50L), (5L, 60L, 40L)) // 4: empty, 5: inverted — match nothing
+      .toDF("iid", "st", "en")
+    for (w <- Seq(1L, 7L, 100L, 1000L)) { // bucket width must not change results
+      val got = IntervalJoin.containment(pts, ivs, "t", "st", "en", w)
+        .select("iid", "t").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (t, _) <- Seq(0L, 5L, 10L, 15L, 99L, 100L, 101L, 250L).map(t => (t, ()))
+        (iid, st, en) <- Seq((1L, 0L, 100L), (2L, 10L, 11L), (3L, 90L, 260L))
+        if t >= st && t < en
+      } yield (iid, t)).toSet
+      assert(got == want, s"width $w")
+    }
+    // each matching pair appears exactly once (no bucket-replication dupes)
+    val rows = IntervalJoin.containment(pts, ivs, "t", "st", "en", 10L)
+      .select("iid", "t").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.toSet.size)
+  }
+
+  test("ewmaByKey: sequential fold per key, seeded with first value") {
+    import graft.seq.Rolling
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+      ("b", 5L, 4.0), // singleton: ewma = the value itself
+      ("c", 2L, 8.0), ("c", 1L, 2.0) // out-of-order input: sorted by ts
+    ).toDF("k", "ts", "v")
+    val out = Rolling.ewmaByKey(df, Seq("k"), "ts", "v", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // a: 10 → 10*.5+20*.5=15 → 15*.5+30*.5=22.5
+    assert(out("a") == ((3L, 22.5)))
+    assert(out("b") == ((1L, 4.0)))
+    // c sorts (1,2.0),(2,8.0): 2 → 2*.5+8*.5=5
+    assert(out("c") == ((2L, 5.0)))
+  }
 }
