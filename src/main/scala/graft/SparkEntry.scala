@@ -1798,6 +1798,79 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Mutual information between flag and status (core.InfoTheory):
+    * one joint-count pass; entropies/MI as decimal-exact sums of
+    * fixed-shape double terms.
+    */
+  private def qMutualInfo(s: SparkSession, dir: String): DataFrame =
+    graft.core.InfoTheory.mutualInfo(li(s, dir), "l_returnflag", "l_linestatus")
+      .select(round(col("h_a"), 6).as("h_flag"),
+        round(col("h_b"), 6).as("h_status"),
+        round(col("mi"), 6).as("mi"), round(col("nmi"), 6).as("nmi"))
+
+  /** Quality-weighted subsample (Sampling.weightedSample): k docs drawn
+    * ∝ n_chars via the deterministic exponential race; TakeOrdered
+    * top-k, never a global sort.
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.aug.Sampling.weightedSample(
+        doc(s, dir).select("doc_id", "source", "n_chars"),
+        "doc_id", "n_chars", k = 100)
+      .orderBy("doc_id")
+
+  /** Hashing-trick featurization (TextOps.hashedTokens/hashFeatures):
+    * 64-dim token-count vectors, pinned by nnz / L1 / position-weighted
+    * checksums. Tokens hashed once in their own projection.
+    */
+  private def qFeatureHash(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val dim = 64
+    par(doc(s, dir))
+      .select(col("doc_id"), TextOps.hashedTokens(col("text"), dim).as("hs"))
+      .select(col("doc_id"), TextOps.hashFeaturesFromHashed(col("hs"), dim).as("f"))
+      .select(col("doc_id"),
+        size(filter(col("f"), c => c > 0)).cast("long").as("nnz"),
+        aggregate(col("f"), lit(0L), (a, c) => a + c).as("l1"),
+        aggregate(
+          transform(sequence(lit(1L), lit(dim.toLong)),
+            i => element_at(col("f"), i.cast("int")) * i),
+          lit(0L), (a, c) => a + c).as("wsum"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary-id encoding (Vocab.encode): docs tokenized against the
+    * fitted top-256 vocab with OOV bucketing; per-doc length / OOV /
+    * position-weighted id checksums pin every id at every position.
+    */
+  private def qVocabEncode(s: SparkSession, dir: String): DataFrame = {
+    val vs = 256
+    graft.text.Vocab.encode(doc(s, dir), "doc_id", "text", vocabSize = vs)
+      .select(col("id").as("doc_id"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        size(filter(col("ids"), t => t === vs)).cast("long").as("n_oov"),
+        aggregate(
+          transform(sequence(lit(1L), size(col("ids")).cast("long")),
+            i => element_at(col("ids"), i.cast("int")).cast("long") * i),
+          lit(0L), (a, c) => a + c).as("id_checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** Overlapping chunking (TextOps.chunkTexts): 40-token chunks with
+    * 8-token overlap, one row per chunk, pinned by per-chunk token
+    * count and content hash.
+    */
+  private def qChunk(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    par(doc(s, dir))
+      .select(col("doc_id"),
+        posexplode(TextOps.chunkTexts(TextOps.tokens(col("text")), 40, 8))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        TextOps.tokenCount(col("chunk")).cast("long").as("chunk_tokens"),
+        TextOps.strHash(col("chunk")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -1919,7 +1992,12 @@ object SparkEntry {
     "q108_discretize" -> (qDiscretize _),
     "q109_target_encode" -> (qTargetEncode _),
     "q110_interval_join" -> (qIntervalJoin _),
-    "q111_ewma" -> (qEwma _)
+    "q111_ewma" -> (qEwma _),
+    "q112_mutual_info" -> (qMutualInfo _),
+    "q113_weighted_sample" -> (qWeightedSample _),
+    "q114_feature_hash" -> (qFeatureHash _),
+    "q115_vocab_encode" -> (qVocabEncode _),
+    "q116_chunk" -> (qChunk _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -3137,6 +3215,76 @@ object SparkEntry {
          | FROM (SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), value) AS l
          |   FROM events GROUP BY user_id)
          | ORDER BY user_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q112_mutual_info" -> {
+      def p(c: String) = s"(CAST($c AS DOUBLE) / n)"
+      def plogp(c: String) = s"(${p(c)} * log2(${p(c)}))"
+      val term = s"(${p("nab")} * log2(${p("nab")} / (${p("na")} * ${p("nb")})))"
+      s"""WITH j AS (SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS nab
+         |   FROM lineitem
+         |   WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+         |   GROUP BY 1, 2),
+         | nn AS (SELECT CAST(sum(nab) AS DOUBLE) AS n FROM j),
+         | ma AS (SELECT a, sum(nab) AS na FROM j GROUP BY a),
+         | mb AS (SELECT b, sum(nab) AS nb FROM j GROUP BY b),
+         | ha AS (SELECT 0.0 - ${dsumSql(plogp("na"))} AS h FROM ma, nn),
+         | hb AS (SELECT 0.0 - ${dsumSql(plogp("nb"))} AS h FROM mb, nn),
+         | mi AS (SELECT ${dsumSql(term)} AS mi
+         |   FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn)
+         | SELECT round(ha.h, 6) AS h_flag, round(hb.h, 6) AS h_status,
+         |  round(mi.mi, 6) AS mi,
+         |  round(CASE WHEN least(ha.h, hb.h) > 0.0 THEN mi.mi / least(ha.h, hb.h)
+         |        ELSE 0.0 END, 6) AS nmi
+         | FROM ha, hb, mi""".stripMargin.replaceAll("\n", " ")
+    },
+    "q113_weighted_sample" -> {
+      val race = graft.aug.Sampling.Sql.raceKey("doc_id", "n_chars", 42L)
+      s"""SELECT doc_id, source, n_chars FROM
+         | (SELECT doc_id, source, n_chars FROM documents
+         |   WHERE n_chars IS NOT NULL AND n_chars > 0
+         |   ORDER BY $race, doc_id LIMIT 100)
+         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q114_feature_hash" -> {
+      import graft.text.TextOps.{Sql => T}
+      s"""WITH h AS (SELECT doc_id, ${T.hashedTokens("text", 64)} AS hs FROM documents),
+         | f AS (SELECT doc_id, ${T.hashFeaturesFromHashed("hs", 64)} AS f FROM h)
+         | SELECT doc_id,
+         |  CAST(len(list_filter(f, c -> c > 0)) AS BIGINT) AS nnz,
+         |  CAST(list_reduce(list_prepend(0, f), (a, c) -> a + c) AS BIGINT) AS l1,
+         |  CAST(list_reduce(list_prepend(0,
+         |    list_transform(generate_series(1, 64), i -> f[i] * i)), (a, c) -> a + c) AS BIGINT) AS wsum
+         | FROM f ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q115_vocab_encode" -> {
+      import graft.text.TextOps.{Sql => T}
+      val vs = 256
+      s"""WITH c AS (SELECT token, count(*) AS n FROM
+         |   (SELECT unnest(${T.toks("text")}) AS token FROM documents) GROUP BY token),
+         | v AS (SELECT token, row_number() OVER (ORDER BY n DESC, token) - 1 AS tok_id
+         |   FROM (SELECT * FROM c ORDER BY n DESC, token LIMIT $vs)),
+         | p AS (SELECT doc_id, u.pos AS pos, u.tok AS token FROM
+         |   (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+         |      i -> {'pos': i, 'tok': t[i]})) AS u
+         |    FROM (SELECT doc_id, ${T.toks("text")} AS t FROM documents))),
+         | j AS (SELECT doc_id, pos, coalesce(tok_id, $vs) AS tid
+         |   FROM p LEFT JOIN v USING (token))
+         | SELECT doc_id, count(*) AS n_tokens,
+         |  count(*) FILTER (WHERE tid = $vs) AS n_oov,
+         |  CAST(sum(pos * tid) AS BIGINT) AS id_checksum
+         | FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q116_chunk" -> {
+      import graft.text.TextOps.{Sql => T}
+      val ch = T.chunkTexts("text", 40, 8)
+      s"""SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx,
+         | CAST(${T.tokenCount("u.ch")} AS BIGINT) AS chunk_tokens,
+         | ${T.strHash("u.ch")} AS chunk_hash
+         | FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(chunks)),
+         |    i -> {'ci': i - 1, 'ch': chunks[i]})) AS u
+         |   FROM (SELECT doc_id, $ch AS chunks FROM documents))
+         | ORDER BY doc_id, chunk_idx""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

@@ -225,10 +225,43 @@ object Sampling {
     small.unionByName(capPerGroup(big, groupCol, keyCol, cap, seed))
   }
 
+  /** Deterministic weighted sampling without replacement — the
+    * Efraimidis–Spirakis exponential race (each row draws an
+    * exponential with rate = its weight; the k earliest arrivals win,
+    * giving exact probability-proportional-to-weight semantics), with
+    * the uniform draw derived from the key's hash bucket
+    * (`u = (bucket + 0.5)/M` ∈ (0,1) — never 0 or 1, so ln is always
+    * finite) instead of RNG state. This is the quality-weighted
+    * subsample step of corpus curation (sample documents ∝ quality
+    * score), reproducible across engines/retries like every other
+    * hash-derived draw here. Non-positive or null weights are
+    * excluded (zero-weight rows can never win a rate-w race).
+    *
+    * Scale shape: the race key is a map-stage expression; the k-select
+    * plans as TakeOrderedAndProject — per-partition top-k then a
+    * k-row merge, never a global sort. Ties (astronomically unlikely
+    * with double keys) break on the key column for determinism.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"weightedSample needs k >= 1: $k")
+    val u = (keyBucket(col(keyCol), seed).cast("double") + lit(0.5)) /
+      lit(1000000.0)
+    val race = (lit(0.0) - log(u)) / col(weightCol).cast("double")
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("es_race", race)
+      .orderBy(col("es_race"), col(keyCol))
+      .limit(k)
+      .drop("es_race")
+  }
+
   /** DuckDB oracle twin of [[keyBucket]]/[[hashSample]]'s predicate. */
   object Sql {
     def keyBucket(key: String, seed: Long): String =
       s"((((CAST($key AS BIGINT) * 2654435761 + $seed * 40503) % $P) + $P) % $P) % ${M}"
+    /** Twin of [[Sampling.weightedSample]]'s race key. */
+    def raceKey(key: String, weight: String, seed: Long): String =
+      s"((0.0 - ln((CAST(${keyBucket(key, seed)} AS DOUBLE) + 0.5) / 1000000.0)) / CAST($weight AS DOUBLE))"
     def samplePred(key: String, fraction: Double, seed: Long): String =
       s"${keyBucket(key, seed)} < ${(fraction * M).toLong}"
     def stratPred(key: String, classCol: String,

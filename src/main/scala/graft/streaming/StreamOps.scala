@@ -286,6 +286,46 @@ object StreamOps {
       .toDF("key", "session_start", "session_end", "n_events", "value_sum")
   }
 
+  /** Streaming twin of `seq.Rolling.ewmaByKey`: per-key EWMA carried as
+    * explicit (ewma, n) state across micro-batches. Each batch's new
+    * rows are sorted by (ts, value) and folded `s ← s·(1−α) + v·α` onto
+    * the carried state — BIT-IDENTICAL to the batch fold when events
+    * arrive time-ordered across batches (the StreamingSpec parity
+    * assertion). Out-of-order arrivals WITHIN a batch are handled by
+    * the sort; across batches they would need the watermarked-buffer
+    * pattern of [[streamingSessionize]] — EWMA is order-defined, so a
+    * late event cannot be folded exactly without replaying the fold;
+    * callers needing exactness under cross-batch disorder should
+    * window-buffer upstream. Emits (key, n, ewma) per key per batch.
+    *
+    * State is two doubles per key — O(distinct keys), no timeout by
+    * default (a monitoring EWMA is long-lived by design).
+    */
+  def streamingEwma(stream: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    import stream.sparkSession.implicits._
+    stream
+      .select(col(keyCol).cast("long").as("k"), col(tsCol).cast("long").as("t"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[(Double, Long)]) =>
+          val ordered = rows.toSeq.sortBy(r => (r._2, r._3)).map(_._3)
+          val (s0, n0) =
+            if (state.exists) (state.get._1, state.get._2)
+            else (ordered.head, 1L)
+          val start = if (state.exists) ordered else ordered.tail
+          val s = start.foldLeft(s0)((s, v) => s * (1.0 - alpha) + v * alpha)
+          val n = n0 + start.size
+          state.update((s, n))
+          (key, n, s)
+      }
+      .toDF("key", "n", "ewma")
+  }
+
   /** Keyed running maximum via explicit state (mapGroupsWithState):
     * emits (key, running_max_so_far) once per key per micro-batch.
     */

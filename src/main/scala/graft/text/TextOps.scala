@@ -122,6 +122,52 @@ object TextOps {
   def tokenEntropy(text: Column): Column =
     tokenEntropyFromTokens(tokens(text))
 
+  /** Hashing-trick token featurization (the HashingTF / Vowpal-Wabbit
+    * featurizer): tokens hash into a FIXED `dim`-long count vector, so
+    * an unbounded vocabulary becomes a constant-width dense array with
+    * no fitted dictionary to ship — the featurization that works on a
+    * stream or a 100 TB corpus without a vocabulary pass. Collisions
+    * fold counts together by design (the hashing-trick trade).
+    *
+    * Map-only: both steps are HOF projections, zero shuffle. Hash the
+    * tokens ONCE into their own column ([[hashedTokens]]), then count
+    * ([[hashFeaturesFromHashed]] is O(dim·tokens) integer compares) —
+    * fusing them would re-walk `strHash` per dimension (the HOF
+    * re-inlining gotcha).
+    */
+  def hashedTokens(text: Column, dim: Int, seed: Long = HashSeed): Column = {
+    require(dim >= 1, s"hashFeatures needs dim >= 1: $dim")
+    // strHash lands in [0, P) — plain % dim stays non-negative
+    transform(tokens(text), t => strHash(t, seed) % lit(dim.toLong))
+  }
+
+  def hashFeaturesFromHashed(hs: Column, dim: Int): Column =
+    transform(sequence(lit(0L), lit(dim.toLong - 1)),
+      d => size(filter(hs, h => h === d)).cast(LongType))
+
+  /** Overlapping token-window chunking — the RAG / long-document
+    * splitting step: a document becomes ⌈(n−overlap)/(size−overlap)⌉
+    * chunks of `chunkSize` tokens, consecutive chunks sharing
+    * `overlap` tokens (the last chunk may run short). Pure HOF map
+    * stage over the token array — zero shuffle; pair with
+    * `posexplode` to get one row per chunk. Empty docs yield an empty
+    * chunk array (not one empty chunk).
+    */
+  def chunkTexts(toks: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): $overlap")
+    val step = chunkSize - overlap
+    val n = size(toks)
+    val k = when(n <= chunkSize, lit(1)).otherwise(
+      floor((n - lit(chunkSize) + lit(step) - 1).cast("double") /
+        lit(step.toDouble)).cast("int") + 1)
+    // n = 0 guarded explicitly: Spark's sequence(0, -1) DESCENDS
+    when(n === 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), k - 1),
+        i => array_join(slice(toks, i * lit(step) + lit(1), lit(chunkSize)), " ")))
+  }
+
   // --- language identification -------------------------------------- //
 
   /** Marker lexicons (disjoint). Real deployments would use larger
@@ -320,8 +366,24 @@ object TextOps {
       s"CASE WHEN $total > 0 THEN 1.0 - CAST(len(list_distinct($grams)) AS DOUBLE) / $total ELSE 0.0 END"
     }
 
+    def hashedTokens(x: String, dim: Int): String =
+      s"list_transform(${toks(x)}, t -> ${strHash("t")} % $dim)"
+
+    def hashFeaturesFromHashed(hs: String, dim: Int): String =
+      s"list_transform(generate_series(0, ${dim - 1}), d -> len(list_filter($hs, h -> h = d)))"
+
     def normalize(x: String): String =
       s"trim(regexp_replace(regexp_replace(lower($x), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+    def chunkTexts(x: String, c: Int, o: Int): String = {
+      val t = toks(x)
+      val step = c - o
+      val k = s"(CASE WHEN len($t) <= $c THEN 1 ELSE (len($t) - $c + ${step - 1}) // $step + 1 END)"
+      s"""(CASE WHEN len($t) = 0 THEN CAST([] AS VARCHAR[])
+         | ELSE list_transform(generate_series(0, $k - 1),
+         |   i -> array_to_string(($t)[i * $step + 1 : i * $step + $c], ' '))
+         | END)""".stripMargin.replaceAll("\n", " ")
+    }
 
     def tokenEntropy(x: String): String = {
       val t = toks(x)

@@ -61,6 +61,40 @@ object Vocab {
     dfc.join(top, Seq("token"))
   }
 
+  /** Token-id encoding against a fitted top-`vocabSize` vocabulary —
+    * the tokenize-the-corpus step once a vocab exists: each doc becomes
+    * its array of token ids, unknown tokens map to the OOV id
+    * (= vocabSize). Ranking is (count desc, token asc) — a total
+    * order, so the id assignment is deterministic cross-engine.
+    *
+    * Scale shape: the top-k cut is TakeOrdered (per-partition top-k +
+    * k-row merge over the token-keyed count table — never a global
+    * sort of the vocabulary); id assignment windows over the LIMITED
+    * vocab table only (bounded by the parameter — the q08
+    * StringIndexer convention: the label table IS the model). Docs
+    * posexplode, broadcast-join the vocab, and re-collect ids in
+    * position order; the only corpus-sized shuffle is the per-doc
+    * regroup, keyed by doc id.
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(vocabSize >= 1, s"encode needs vocabSize >= 1: $vocabSize")
+    val counts = df.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val vocab = counts.orderBy(desc("n"), asc("token")).limit(vocabSize)
+      .withColumn("tok_id",
+        row_number().over(Window.orderBy(desc("n"), asc("token"))) - 1)
+      .select("token", "tok_id")
+    val pos = df.select(col(idCol).cast("long").as("id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "token")))
+    pos.join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("tid", coalesce(col("tok_id"), lit(vocabSize)))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+        s => s.getField("tid")).as("ids"))
+  }
+
   /** DuckDB twin. */
   object Sql {
     def vocabulary(rel: String, id: String, text: String,

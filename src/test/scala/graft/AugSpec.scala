@@ -228,6 +228,27 @@ class AugSpec extends SparkSpec {
     assert(plain == counted)
   }
 
+  test("weightedSample: k rows, deterministic, weight-monotone inclusion") {
+    val df = (1L to 1000L).map(i => (i, (i % 10 + 1).toDouble)).toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", k = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.size == 100)
+    val b = Sampling.weightedSample(df, "id", "w", k = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // zero/negative/null weights can never win
+    val z = Seq((1L, 0.0), (2L, -3.0), (3L, 1e-9)).toDF("id", "w")
+    val zs = Sampling.weightedSample(z, "id", "w", k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(zs == Set(3L))
+    // proportionality (statistical, deterministic given the hash):
+    // weight-10 ids should beat weight-1 ids decisively in the sample
+    val byW = Sampling.weightedSample(df, "id", "w", k = 200)
+      .collect().map(r => r.getDouble(1)).groupBy(identity).view.mapValues(_.length)
+    assert(byW.getOrElse(10.0, 0) > byW.getOrElse(1.0, 0),
+      s"weight-10 (${byW.getOrElse(10.0, 0)}) should outdraw weight-1 (${byW.getOrElse(1.0, 0)})")
+  }
+
   test("labelCentroids: exact component means per group") {
     val vecs = Seq(
       ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 4.0f)), ("b", Seq(5.0f, 6.0f))

@@ -179,6 +179,32 @@ class CoreSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("mutualInfo: independence → 0, determinism → min entropy, known value") {
+    import graft.core.InfoTheory
+    import spark.implicits._
+    // tolerance: every p·log2(…) term is quantized to DECIMAL(38,10)
+    // before summing (the order-free exact-sum trade), so sums carry up
+    // to ~5e-11 per term of representation error — assert at 1e-9
+    val eps = 1e-9
+    // independent: every (a, b) combination equally likely → MI = 0
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q", "r") }
+      yield (a, b)).toDF("a", "b")
+    val r1 = InfoTheory.mutualInfo(indep, "a", "b").head
+    assert(math.abs(r1.getAs[Double]("mi")) < eps)
+    assert(math.abs(r1.getAs[Double]("h_a") - 1.0) < eps)          // log2(2)
+    assert(math.abs(r1.getAs[Double]("h_b") - math.log(3) / math.log(2)) < eps)
+    assert(math.abs(r1.getAs[Double]("nmi")) < eps)
+    // deterministic b = f(a): MI = H(b), NMI = 1
+    val det = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("z", "r")).toDF("a", "b")
+    val r2 = InfoTheory.mutualInfo(det, "a", "b").head
+    assert(math.abs(r2.getAs[Double]("mi") - r2.getAs[Double]("h_b")) < eps)
+    assert(math.abs(r2.getAs[Double]("nmi") - 1.0) < eps)
+    // null categories are excluded before counting
+    val withNull = Seq(("x", "p"), ("x", null), (null, "q")).toDF("a", "b")
+    val r3 = InfoTheory.mutualInfo(withNull, "a", "b").head
+    assert(r3.getAs[Double]("h_a") == 0.0 && r3.getAs[Double]("mi") == 0.0)
+  }
+
   test("zorder: known morton keys, locality, and the 32-bit envelope") {
     import graft.core.ZOrder
     import org.apache.spark.sql.functions._

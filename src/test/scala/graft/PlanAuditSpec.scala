@@ -144,6 +144,16 @@ class PlanAuditSpec extends SparkSpec {
     val q111 = plan(SparkEntry.queries("q111_ewma")(spark, sf))
     assert(!q111.contains("Window") && !q111.contains("Exchange SinglePartition"),
       s"EWMA regressed to a window/global sort:\n$q111")
+    // q113 weighted sample: the k-select is TakeOrdered (per-partition
+    // top-k + k-row merge), never a global sort
+    val q113 = plan(SparkEntry.queries("q113_weighted_sample")(spark, sf))
+    assert(q113.contains("TakeOrderedAndProject"),
+      s"weighted sample lost its top-k plan:\n$q113")
+    // q114 feature hashing is a pure map stage: only the output sort
+    // exchanges
+    val q114 = plan(SparkEntry.queries("q114_feature_hash")(spark, sf))
+    assert("Exchange".r.findAllIn(q114).size <= 2, // par() + output sort
+      s"feature hashing should not shuffle beyond repartition + sort:\n$q114")
   }
 
   test("forest scoring stays inside whole-stage codegen") {

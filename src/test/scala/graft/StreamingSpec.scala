@@ -208,6 +208,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingEwma carries the fold across batches and matches batch ewmaByKey") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)]
+    val out = StreamOps.streamingEwma(in.toDF.toDF("k", "t", "v"),
+      "k", "t", "v", alpha = 0.5)
+    val q = out.writeStream.format("memory").queryName("sewma")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1 arrives out of order WITHIN the batch (sorted by t first)
+      val b1 = Seq((1L, 2L, 20.0), (1L, 1L, 10.0), (2L, 1L, 4.0))
+      // batch 2 continues key 1 in time order across batches
+      val b2 = Seq((1L, 3L, 30.0), (1L, 4L, 40.0))
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val last = spark.table("sewma").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2._1)._2 }
+      // exact parity with the batch operator on the concatenated data
+      val batch = graft.seq.Rolling.ewmaByKey(
+          (b1 ++ b2).toDF("k", "t", "v"), Seq("k"), "t", "v", alpha = 0.5)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(last(1L) == batch(1L), s"streaming ${last(1L)} vs batch ${batch(1L)}")
+      assert(last(2L) == batch(2L))
+      // and the fold really is the expected closed form:
+      // 10 → 15 → 22.5 → 31.25
+      assert(last(1L) == ((4L, 31.25)))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops repeated keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]

@@ -250,6 +250,68 @@ class TextSpec extends SparkSpec {
       .select(TextOps.normalize(col("t"))).head.isNullAt(0))
   }
 
+  test("hashFeatures: counts land in hashed dims, collisions fold, L1 = tokens") {
+    val dim = 16
+    def feats(s: String): Seq[Long] =
+      one(s).select(TextOps.hashedTokens(col("t"), dim).as("hs"))
+        .select(TextOps.hashFeaturesFromHashed(col("hs"), dim))
+        .head.getSeq[Long](0)
+    def slot(tok: String): Int =
+      one(tok).select(TextOps.strHash(col("t")) % dim).head.getLong(0).toInt
+    val f = feats("alpha beta alpha gamma")
+    assert(f.length == dim && f.sum == 4L) // L1 = token count, always
+    assert(f(slot("alpha")) >= 2L)         // both alphas share a slot
+    assert(f(slot("beta")) >= 1L && f(slot("gamma")) >= 1L)
+    // empty text: the zero vector, not nulls
+    val e = feats("")
+    assert(e.length == dim && e.forall(_ == 0L))
+    // distribution sanity: many distinct tokens spread over most slots
+    val many = (1 to 200).map(i => s"tok$i").mkString(" ")
+    assert(feats(many).count(_ > 0) > dim / 2)
+  }
+
+  test("chunkTexts: overlap windows, short tail, exact counts, empty doc") {
+    def chunks(s: String, c: Int, o: Int): Seq[String] =
+      one(s).select(TextOps.chunkTexts(TextOps.tokens(col("t")), c, o))
+        .head.getSeq[String](0)
+    // 7 tokens, size 3, overlap 1 → starts 0,2,4: full coverage, no
+    // redundant tail chunk
+    val t7 = "a b c d e f g"
+    assert(chunks(t7, 3, 1) == Seq("a b c", "c d e", "e f g"))
+    // no overlap: clean partition
+    assert(chunks(t7, 3, 0) == Seq("a b c", "d e f", "g"))
+    // doc shorter than a chunk: exactly one chunk
+    assert(chunks("a b", 5, 2) == Seq("a b"))
+    // exact multiple: no phantom trailing chunk
+    assert(chunks("a b c d", 2, 0) == Seq("a b", "c d"))
+    // empty doc: zero chunks, not one empty chunk
+    assert(chunks("", 4, 1).isEmpty)
+    intercept[IllegalArgumentException] {
+      TextOps.chunkTexts(col("t"), 4, 4)
+    }
+  }
+
+  test("vocab encode: frequency-ranked ids, OOV bucket, position order") {
+    import graft.text.Vocab
+    val docs = Seq(
+      (1L, "b b b a a c"),   // freq: b=3, a=2, c=1
+      (2L, "a b zz a"),      // zz is OOV at vocabSize 3... and c cut at 2
+      (3L, "")               // empty doc: absent from output
+    ).toDF("doc_id", "text")
+    // corpus counts: a=4, b=4, c=1, zz=1; the a/b tie breaks
+    // alphabetically → a→0, b→1; c/zz cut at vocabSize 2 → OOV id 2
+    val out = Vocab.encode(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(out(1L) == Seq(1, 1, 1, 0, 0, 2))
+    assert(out(2L) == Seq(0, 1, 2, 0)) // position order preserved
+    assert(!out.contains(3L))
+    // tie on count: alphabetical token order breaks it deterministically
+    val ties = Seq((1L, "x y")).toDF("doc_id", "text")
+    val t = Vocab.encode(ties, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(t(1L) == Seq(0, 1)) // x before y
+  }
+
   test("tokenEntropy: known answers, +0.0 on uniform, null propagation") {
     def ent(s: String): Double =
       one(s).select(TextOps.tokenEntropy(col("t"))).head.getDouble(0)
