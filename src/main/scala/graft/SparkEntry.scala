@@ -1871,6 +1871,38 @@ object SparkEntry {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** PCA over the embeddings table (sim.Pca): distributed
+    * treeAggregate covariance fit + driver Jacobi eigensolve, k = 4
+    * codegen'd dot-product scores per row. Rows-only: eigenvectors are
+    * not SQL-expressible (the q36/q53 model convention); ModelSpec
+    * pins orthonormality, variance ordering, and axis recovery.
+    */
+  private def qPca(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val m = graft.sim.Pca.fit(e, "v", k = 4)
+    m.transform(par(e), "v")
+      .select(col("vec_id"), round(col("pc0"), 6).as("pc0"),
+        round(col("pc1"), 6).as("pc1"), round(col("pc2"), 6).as("pc2"),
+        round(col("pc3"), 6).as("pc3"))
+      .orderBy("vec_id")
+  }
+
+  /** Per-user OLS trend (seq.Trend.linearFit): slope rescaled to
+    * per-hour units so the 6-dp rounding keeps signal (raw slope is
+    * per-microsecond). One window + one aggregate on the same key.
+    */
+  private def qTrend(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"),
+      expr("ts div 1000").as("x"), col("value").as("y"))
+    graft.seq.Trend.linearFit(e, Seq("user_id"), "x", "y")
+      .select(col("user_id"), col("n"),
+        round(col("slope") * lit(3.6e9), 6).as("slope_per_hour"),
+        round(col("intercept"), 6).as("intercept"),
+        round(col("r2"), 6).as("r2"))
+      .orderBy("user_id")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -1879,7 +1911,7 @@ object SparkEntry {
   def rowsOnlyQueries: Set[String] =
     Set("q34_sample_shuffle", "q35_iforest", "q36_linear_ae",
       "q44_seq_ae_score", "q45_ivf_ann", "q53_mlp_ae", "q54_if_grid",
-      "q103_deep_ae")
+      "q103_deep_ae", "q117_pca")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (qPricingSummary _),
@@ -1997,7 +2029,9 @@ object SparkEntry {
     "q113_weighted_sample" -> (qWeightedSample _),
     "q114_feature_hash" -> (qFeatureHash _),
     "q115_vocab_encode" -> (qVocabEncode _),
-    "q116_chunk" -> (qChunk _)
+    "q116_chunk" -> (qChunk _),
+    "q117_pca" -> (qPca _),
+    "q118_trend" -> (qTrend _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -3285,6 +3319,22 @@ object SparkEntry {
          |    i -> {'ci': i - 1, 'ch': chunks[i]})) AS u
          |   FROM (SELECT doc_id, $ch AS chunks FROM documents))
          | ORDER BY doc_id, chunk_idx""".stripMargin.replaceAll("\n", " ")
+    },
+    "q118_trend" -> {
+      import graft.seq.Trend.{Sql => T}
+      s"""WITH b AS (SELECT user_id,
+         |   CAST(epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id) AS DOUBLE) AS x,
+         |   CAST(value AS DOUBLE) AS y FROM events),
+         | g AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+         |   ${dsumSql("x")} AS sx, ${dsumSql("y")} AS sy,
+         |   ${dsumSql("x * x")} AS sxx, ${dsumSql("x * y")} AS sxy,
+         |   ${dsumSql("y * y")} AS syy
+         |  FROM b GROUP BY user_id)
+         | SELECT user_id, CAST(n AS BIGINT) AS n,
+         |  round(${T.slope} * 3600000000.0, 6) AS slope_per_hour,
+         |  round(${T.intercept}, 6) AS intercept,
+         |  round(${T.r2}, 6) AS r2
+         | FROM g ORDER BY user_id""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

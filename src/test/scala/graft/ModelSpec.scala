@@ -186,6 +186,43 @@ class ModelSpec extends SparkSpec {
     val aem2 = Persist.loadLinearAE(s"$dir/ae.txt")
     assert(aem.reconstructionError(x) == aem2.reconstructionError(x))
   }
+
+  test("PCA: recovers the dominant axis, orthonormal components, ordered variance") {
+    import graft.sim.Pca
+    import spark.implicits._
+    // 3-d data with variance concentrated along (1,1,0)/√2: x = t·u + noise
+    val u = Array(1.0 / math.sqrt(2), 1.0 / math.sqrt(2), 0.0)
+    val rows = (0 until 400).map { i =>
+      val t = (i % 40) - 19.5          // dominant coordinate, var ≈ 133
+      val n1 = ((i * 31) % 7) - 3.0    // small deterministic noise
+      val n2 = ((i * 17) % 5) - 2.0
+      (i.toLong, Seq(t * u(0) + n1 * 0.1, t * u(1) - n1 * 0.1, n2 * 0.3))
+    }.toDF("id", "v")
+    val m = Pca.fit(rows, "v", k = 3)
+    // eigenvalues descending
+    assert(m.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    // first component aligns with the planted axis
+    val dot0 = math.abs(m.components(0).zip(u).map { case (a, b) => a * b }.sum)
+    assert(dot0 > 0.999, s"pc0 misaligned: |cos| = $dot0")
+    // orthonormal: CᵀC = I
+    for (i <- m.components.indices; j <- i until m.components.length) {
+      val d = m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-9, s"C[$i]·C[$j] = $d")
+    }
+    // transform: scores are centered and pc0 variance ≈ λ0
+    val scores = m.transform(rows, "v").select("pc0").collect().map(_.getDouble(0))
+    val mean0 = scores.sum / scores.length
+    val var0 = scores.map(s => (s - mean0) * (s - mean0)).sum / scores.length
+    assert(math.abs(mean0) < 1e-9)
+    assert(math.abs(var0 - m.eigenvalues(0)) < 1e-6 * math.max(1.0, var0),
+      s"var(pc0) = $var0 vs eigenvalue ${m.eigenvalues(0)}")
+    // explained variance sums to 1 over the full basis
+    assert(math.abs(m.explainedVariance.sum - 1.0) < 1e-9)
+    // determinism: refit is bitwise-identical (fixed sweep order + sign rule)
+    val m2 = Pca.fit(rows, "v", k = 3)
+    assert(m.components.toSeq.map(_.toSeq) == m2.components.toSeq.map(_.toSeq))
+  }
 }
 
 private object Files {

@@ -154,6 +154,13 @@ class PlanAuditSpec extends SparkSpec {
     val q114 = plan(SparkEntry.queries("q114_feature_hash")(spark, sf))
     assert("Exchange".r.findAllIn(q114).size <= 2, // par() + output sort
       s"feature hashing should not shuffle beyond repartition + sort:\n$q114")
+    // q118 trend: the centering window and the stats aggregate share the
+    // user_id hash exchange — one key shuffle plus the output sort only
+    val q118 = plan(SparkEntry.queries("q118_trend")(spark, sf))
+    assert(!q118.contains("Exchange SinglePartition"),
+      s"trend plans a single-partition exchange:\n$q118")
+    assert("Exchange hashpartitioning".r.findAllIn(q118).size <= 1,
+      s"trend re-shuffles between window and aggregate:\n$q118")
   }
 
   test("forest scoring stays inside whole-stage codegen") {

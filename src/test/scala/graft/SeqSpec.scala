@@ -300,6 +300,33 @@ class SeqSpec extends SparkSpec {
     assert(rows.length == rows.toSet.size)
   }
 
+  test("linearFit: exact line recovered, degenerate keys null out") {
+    import graft.seq.Trend
+    // key a: y = 3 + 2x exactly → slope 2, intercept 3, r2 = 1
+    // key b: single point; key c: constant x — both degenerate
+    // key d: constant y → slope 0, r2 null (0/0)
+    val df = (Seq.tabulate(10)(i => ("a", i.toLong, 3.0 + 2.0 * i)) ++
+      Seq(("b", 5L, 7.0), ("c", 2L, 1.0), ("c", 2L, 9.0),
+        ("d", 1L, 4.0), ("d", 2L, 4.0), ("d", 3L, 4.0)))
+      .toDF("k", "x", "y")
+    val out = Trend.linearFit(df, Seq("k"), "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(math.abs(a.getAs[Double]("slope") - 2.0) < 1e-9)
+    assert(math.abs(a.getAs[Double]("intercept") - 3.0) < 1e-9)
+    assert(math.abs(a.getAs[Double]("r2") - 1.0) < 1e-9)
+    assert(out("b").isNullAt(out("b").fieldIndex("slope")))
+    assert(out("c").isNullAt(out("c").fieldIndex("slope")))
+    val d = out("d")
+    assert(math.abs(d.getAs[Double]("slope")) < 1e-9)
+    assert(d.isNullAt(d.fieldIndex("r2")))
+    // centering invariance: shifting x by a huge epoch offset changes nothing
+    val shifted = df.withColumn("x", col("x") + lit(1700000000000000L))
+    val s = Trend.linearFit(shifted, Seq("k"), "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(math.abs(s("a").getAs[Double]("slope") - 2.0) < 1e-9)
+  }
+
   test("ewmaByKey: sequential fold per key, seeded with first value") {
     import graft.seq.Rolling
     val df = Seq(
