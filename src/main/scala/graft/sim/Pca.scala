@@ -127,7 +127,7 @@ object Pca {
     * (eigenvalues, eigenvector matrix with eigenvectors in COLUMNS).
     * Deterministic: fixed (p, q) sweep order, closed-form rotations.
     */
-  private[sim] def jacobiEigen(m: Array[Array[Double]],
+  private[graft] def jacobiEigen(m: Array[Array[Double]],
                                maxSweeps: Int = 64,
                                tol: Double = 1e-14): (Array[Double], Array[Array[Double]]) = {
     val d = m.length

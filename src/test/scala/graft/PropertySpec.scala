@@ -115,4 +115,35 @@ class PropertySpec extends AnyFunSuite {
         .contains(Binary.AudioMeta("wav", rate, ch, bits, f, f * 1000L / rate))
     })
   }
+
+  test("jacobi eigensolver: trace preserved, orthonormal basis, Av = λv") {
+    val matGen = for {
+      d <- Gen.choose(2, 8)
+      entries <- Gen.listOfN(d * d, Gen.choose(-10.0, 10.0))
+    } yield {
+      val raw = entries.toArray.grouped(d).toArray
+      // symmetrize: A := (M + Mᵀ)/2
+      Array.tabulate(d, d)((i, j) => (raw(i)(j) + raw(j)(i)) / 2.0)
+    }
+    check("jacobi", Prop.forAll(matGen) { a =>
+      val d = a.length
+      val (evals, v) = graft.sim.Pca.jacobiEigen(a)
+      val scale = math.max(1.0, a.map(_.map(math.abs).max).max) * d
+      val traceOk = math.abs(evals.sum - (0 until d).map(i => a(i)(i)).sum) <
+        1e-8 * scale
+      val orthoOk = (0 until d).forall { i =>
+        (i until d).forall { j =>
+          val dot = (0 until d).map(r => v(r)(i) * v(r)(j)).sum
+          math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8
+        }
+      }
+      val residOk = (0 until d).forall { k =>
+        (0 until d).forall { r =>
+          val av = (0 until d).map(c => a(r)(c) * v(c)(k)).sum
+          math.abs(av - evals(k) * v(r)(k)) < 1e-7 * scale
+        }
+      }
+      traceOk && orthoOk && residOk
+    })
+  }
 }
