@@ -1903,6 +1903,63 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Decile lift/gains table — the marketing-science twin of the ROC
+    * family: rank rows by score into exact deciles (OrderStats edges,
+    * the q49/q108 bin shape), then per decile report positive rate,
+    * cumulative gain (fraction of all positives captured) and lift vs
+    * the base rate. The cumulative window runs over the 10-row decile
+    * table, not the data.
+    */
+  private def qLiftGains(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = li(s, dir).select(
+      (col("l_returnflag") === "R").cast("int").as("y"),
+      col("l_extendedprice").cast("double").as("score"))
+    val edges = graft.core.OrderStats.quantilesOf(
+      base, "score", (1 until 10).map(_.toDouble / 10)).distinct
+    val bin = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col("score") > lit(e), 1).otherwise(0)
+    }
+    val perBin = base.withColumn("decile", bin.cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("pos"))
+    // descending deciles: highest scores first (decile 9 = top)
+    val w = Window.orderBy(desc("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBin
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .select(col("decile"), col("n"), col("pos"),
+        round(col("cum_pos").cast("double") /
+          sum(col("pos")).over(Window.partitionBy()), 6).as("gain"),
+        round((col("cum_pos").cast("double") / col("cum_n")) /
+          (sum(col("pos")).over(Window.partitionBy()).cast("double") /
+            sum(col("n")).over(Window.partitionBy())), 6).as("lift"))
+      .orderBy(desc("decile"))
+  }
+
+  /** Median/MAD robust anomaly score — the outlier-insensitive twin of
+    * q07's z-score (median and MAD ignore the outliers themselves;
+    * mean/std do not): flag rows with |0.6745·(x−med)/MAD| > 3.5 (the
+    * Iglewicz–Hoaglin modified z-score). Both statistics are exact
+    * distributed order-statistic selections; scoring is codegen'd
+    * column math with plan literals.
+    */
+  private def qMadScore(s: SparkSession, dir: String): DataFrame = {
+    val base = li(s, dir).select(col("l_orderkey"),
+      col("l_extendedprice").cast("double").as("x"))
+    val med = graft.core.OrderStats.quantilesOf(base, "x", Seq(0.5)).head
+    val dev = base.withColumn("d", abs(col("x") - lit(med)))
+    val mad = graft.core.OrderStats.quantilesOf(dev, "d", Seq(0.5)).head
+    val mz = lit(0.6745) * (col("x") - lit(med)) / lit(mad)
+    base.withColumn("mz", mz)
+      .agg(count(lit(1)).as("n"),
+        count(when(abs(col("mz")) > 3.5, 1)).as("n_flagged"),
+        round(max(col("mz")), 6).as("max_mz"), round(min(col("mz")), 6).as("min_mz"))
+      .withColumn("median", round(lit(med), 6))
+      .withColumn("mad", round(lit(mad), 6))
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -2031,7 +2088,9 @@ object SparkEntry {
     "q115_vocab_encode" -> (qVocabEncode _),
     "q116_chunk" -> (qChunk _),
     "q117_pca" -> (qPca _),
-    "q118_trend" -> (qTrend _)
+    "q118_trend" -> (qTrend _),
+    "q119_lift_gains" -> (qLiftGains _),
+    "q120_mad_score" -> (qMadScore _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -3335,6 +3394,36 @@ object SparkEntry {
          |  round(${T.intercept}, 6) AS intercept,
          |  round(${T.r2}, 6) AS r2
          | FROM g ORDER BY user_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q119_lift_gains" -> {
+      val ps = (1 until 10).map(_.toDouble / 10).mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         |   CAST(l_extendedprice AS DOUBLE) AS s FROM lineitem),
+         | ed AS (SELECT DISTINCT edge FROM
+         |   (SELECT unnest(quantile_cont(s, $ps)) AS edge FROM d)),
+         | b AS (SELECT y, (SELECT count(*) FROM ed WHERE d.s > ed.edge) AS decile FROM d),
+         | p AS (SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+         |   CAST(sum(y) AS BIGINT) AS pos FROM b GROUP BY decile),
+         | c AS (SELECT decile, n, pos,
+         |   CAST(sum(pos) OVER (ORDER BY decile DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+         |   CAST(sum(n) OVER (ORDER BY decile DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         |   CAST(sum(pos) OVER () AS BIGINT) AS tot_pos,
+         |   CAST(sum(n) OVER () AS BIGINT) AS tot_n FROM p)
+         | SELECT decile, n, pos,
+         |  round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS gain,
+         |  round((CAST(cum_pos AS DOUBLE) / cum_n) / (CAST(tot_pos AS DOUBLE) / tot_n), 6) AS lift
+         | FROM c ORDER BY decile DESC""".stripMargin.replaceAll("\n", " ")
+    },
+    "q120_mad_score" -> {
+      s"""WITH d AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+         | m AS (SELECT quantile_cont(x, 0.5) AS med FROM d),
+         | md AS (SELECT quantile_cont(abs(x - med), 0.5) AS mad FROM d, m),
+         | z AS (SELECT x, med, mad, 0.6745 * (x - med) / mad AS mz FROM d, m, md)
+         | SELECT count(*) AS n,
+         |  count(*) FILTER (WHERE abs(mz) > 3.5) AS n_flagged,
+         |  round(med, 6) AS median, round(mad, 6) AS mad,
+         |  round(max(mz), 6) AS max_mz, round(min(mz), 6) AS min_mz
+         | FROM z GROUP BY med, mad""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

@@ -286,6 +286,35 @@ object StreamOps {
       .toDF("key", "session_start", "session_end", "n_events", "value_sum")
   }
 
+  /** Watermarked stream-stream inner join — the last §2.9 shape: two
+    * unbounded sources equi-joined on a key with an event-time
+    * interval constraint (right.ts ∈ [left.ts − before, left.ts +
+    * after]). BOTH sides carry watermarks and the time-range predicate
+    * bounds BOTH buffers: Spark derives, from watermark + range, how
+    * long each side's rows can still find partners, and evicts state
+    * past that horizon — without the range constraint the buffers grow
+    * forever, which is why this wrapper makes it non-optional.
+    * Left columns are prefixed `l_`, right `r_`, to keep the joined
+    * schema collision-free.
+    *
+    * Scale: state is O(in-horizon rows per side), hash-partitioned by
+    * key; the join itself is the same shuffled equi-join as batch.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       keyCol: String, tsCol: String,
+                       leftWatermark: String, rightWatermark: String,
+                       before: String, after: String): DataFrame = {
+    val l = left.columns.foldLeft(left)((df, c) => df.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_$tsCol", leftWatermark)
+    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$tsCol", rightWatermark)
+    l.join(r, expr(
+      s"""l_$keyCol = r_$keyCol AND
+         | r_$tsCol >= l_$tsCol - interval $before AND
+         | r_$tsCol <= l_$tsCol + interval $after""".stripMargin
+        .replaceAll("\n", " ")))
+  }
+
   /** Streaming twin of `seq.Rolling.ewmaByKey`: per-key EWMA carried as
     * explicit (ewma, n) state across micro-batches. Each batch's new
     * rows are sorted by (ts, value) and folded `s ← s·(1−α) + v·α` onto

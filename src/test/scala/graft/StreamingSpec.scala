@@ -239,6 +239,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamStreamJoin matches keys within the event-time interval only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val buys = MemoryStream[(Timestamp, Long, Double)]
+    val out = StreamOps.streamStreamJoin(
+      clicks.toDF.toDF("ts", "uid", "page"),
+      buys.toDF.toDF("ts", "uid", "amount"),
+      keyCol = "uid", tsCol = "ts",
+      leftWatermark = "10 minutes", rightWatermark = "10 minutes",
+      before = "0 minutes", after = "15 minutes")
+    val q = out.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((ts(1), 1L, "home"), (ts(2), 2L, "search"))
+      buys.addData(
+        (ts(10), 1L, 5.0),   // within 15 min of u1's click → joins
+        (ts(40), 2L, 9.0),   // 38 min after u2's click → outside window
+        (ts(5), 3L, 7.0))    // no clicking user 3 → no partner
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+        .map(r => (r.getAs[Long]("l_uid"), r.getAs[String]("l_page"),
+          r.getAs[Double]("r_amount")))
+      assert(rows.toSet == Set((1L, "home", 5.0)))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops repeated keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
