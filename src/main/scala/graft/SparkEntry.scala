@@ -1960,6 +1960,117 @@ object SparkEntry {
       .withColumn("mad", round(lit(mad), 6))
   }
 
+  /** A18 — Spearman rank correlation matrix: rank-robust dependence
+    * over the lineitem numerics. Ranks derive from per-distinct-value
+    * tie counts + the two-phase prefix scan (no global window), join
+    * back on the value, then Pearson over exact decimal moments.
+    */
+  private def qSpearman(s: SparkSession, dir: String): DataFrame =
+    graft.core.Rank.spearmanMatrix(li(s, dir), lineitemNumerics, "q121")
+      .select(col("col_x"), col("col_y"), round(col("rho"), 6).as("rho"))
+      .orderBy("col_x", "col_y")
+
+  /** A19 — Cramér's V association between two categorical columns
+    * (orders status × priority): one contingency-table scan, broadcast
+    * marginals, χ² normalized to [0,1].
+    */
+  private def qCramersV(s: SparkSession, dir: String): DataFrame =
+    graft.drift.Drift.cramersV(Tables.load(s, dir, "orders"),
+      "o_orderstatus", "o_orderpriority")
+
+  /** Q5 — Benford first-digit conformance of l_extendedprice: the
+    * fabricated-data screen; arithmetic digit extraction, 9-bucket
+    * map-side-combined aggregate, Nigrini MAD summary.
+    */
+  private def qBenford(s: SparkSession, dir: String): DataFrame =
+    graft.drift.Drift.benford(li(s, dir), "l_extendedprice")
+      .orderBy("digit")
+
+  /** A20 — per-priority Gini concentration of order value: sorted-rank
+    * identity with the rank window PARTITIONED by group (parallel
+    * across groups), exact decimal Σ i·xᵢ.
+    */
+  private def qGini(s: SparkSession, dir: String): DataFrame =
+    graft.core.Inequality.giniByGroup(Tables.load(s, dir, "orders"),
+        Seq("o_orderpriority"), "o_totalprice", col("o_orderkey"))
+      .select(col("o_orderpriority"), col("n"),
+        round(col("total"), 4).as("total"), round(col("gini"), 6).as("gini"))
+      .orderBy("o_orderpriority")
+
+  /** W8 — per-user CUSUM changepoint detection over the event stream:
+    * the persistent-level-shift detector (prefix-sum minus running-min
+    * closed form — per-key windows only). In-control μ/σ come from one
+    * exact-decimal global aggregate; k = σ/2 (tuned for a 1σ shift),
+    * h = 4σ. Output: per-user alarm summary.
+    */
+  private def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), col("event_id"),
+      col("value").cast("double").as("value"))
+    val st = e.agg(Stats.dmean(col("value")).as("mu"),
+      Stats.dstddevSamp(col("value")).as("sd")).head()
+    val (mu, sd) = (st.getDouble(0), st.getDouble(1))
+    graft.seq.Changepoint.cusum(e, Seq("user_id"), Seq(col("event_id")),
+        "value", mu, sd / 2.0, 4.0 * sd)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("alarm")).cast("long").as("n_alarms"),
+        round(max(col("cusum_pos")), 6).as("max_pos"),
+        round(max(col("cusum_neg")), 6).as("max_neg"))
+      .orderBy("user_id")
+  }
+
+  /** A21 — exact weighted quantiles (quantity-weighted price
+    * distribution): cumulative-weight selection over the per-value
+    * prefix scan — the statistic unweighted quantiles get wrong when
+    * rows carry multiplicity.
+    */
+  private def qWeightedQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.core.WeightedQuantile.quantiles(li(s, dir), "l_extendedprice",
+        "l_quantity", Seq(0.25, 0.5, 0.75, 0.95), "q126")
+      .select(col("p"), round(col("value"), 6).as("value"))
+      .orderBy("p")
+
+  /** A22 — ROLLUP grouping-set aggregation (flag → flag×status →
+    * grand total) with an explicit grouping level — the OLAP subtotal
+    * surface; one shuffle computes every grouping set via partial
+    * aggregation.
+    */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(Stats.dsum(col("l_extendedprice")), 4).as("sum_price"),
+        (grouping(col("l_returnflag")) * 2 +
+          grouping(col("l_linestatus"))).cast("long").as("lvl"))
+      .orderBy("lvl", "l_returnflag", "l_linestatus")
+
+  /** L6 — Pareto frontier of the part catalog (maximize retail price,
+    * minimize size): two-phase local-frontier + global-merge skyline —
+    * no O(n²) self-join, only frontiers move between stages.
+    */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+      .withColumn("neg_size", -col("p_size").cast("double"))
+    graft.core.Skyline.skyline(p, Seq("p_retailprice", "neg_size"))
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        col("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
+  /** J4 — blocked fuzzy self-join on customer names (edit distance ≤ 1
+    * within a 16-char-prefix block): the record-linkage shape — equi-
+    * join on the block key, quadratic comparison only within blocks.
+    * Output summarizes pairs per block (the pair list is the operator;
+    * the query checks its exact cardinality profile).
+    */
+  private def qFuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    graft.text.FuzzyJoin.blockedPairs(Tables.load(s, dir, "customer"),
+        "c_custkey", "c_name", substring(col("c_name"), 1, 16), 1)
+      .groupBy(substring(col("text_a"), 1, 16).as("block"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_a")).as("n_left"),
+        max(col("dist")).as("max_dist"))
+      .orderBy("block")
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -2090,7 +2201,16 @@ object SparkEntry {
     "q117_pca" -> (qPca _),
     "q118_trend" -> (qTrend _),
     "q119_lift_gains" -> (qLiftGains _),
-    "q120_mad_score" -> (qMadScore _)
+    "q120_mad_score" -> (qMadScore _),
+    "q121_spearman" -> (qSpearman _),
+    "q122_cramers_v" -> (qCramersV _),
+    "q123_benford" -> (qBenford _),
+    "q124_gini" -> (qGini _),
+    "q125_cusum" -> (qCusum _),
+    "q126_weighted_quantiles" -> (qWeightedQuantiles _),
+    "q127_rollup" -> (qRollup _),
+    "q128_skyline" -> (qSkyline _),
+    "q129_fuzzy_pairs" -> (qFuzzyPairs _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -3424,6 +3544,142 @@ object SparkEntry {
          |  round(med, 6) AS median, round(mad, 6) AS mad,
          |  round(max(mz), 6) AS max_mz, round(min(mz), 6) AS min_mz
          | FROM z GROUP BY med, mad""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    "q121_spearman" -> {
+      val cols = lineitemNumerics
+      val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
+        yield (cols(i), cols(j))
+      val selects = pairs.map { case (a, b) =>
+        val valid = s"$a IS NOT NULL AND NOT isnan(CAST($a AS DOUBLE)) AND " +
+          s"$b IS NOT NULL AND NOT isnan(CAST($b AS DOUBLE))"
+        // average-tie rank = rank() (min rank) + (ties - 1)/2; ranks are
+        // half-integers, so the decimal moment sums are exact
+        s"""SELECT '$a' AS col_x, '$b' AS col_y,
+           | round(CASE WHEN vx > 0.0 AND vy > 0.0 THEN num / (sqrt(vx) * sqrt(vy)) END, 6) AS rho
+           | FROM (SELECT CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+           |   CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+           |   CAST(n AS DOUBLE) * syy - sy * sy AS vy
+           |  FROM (SELECT count(*) AS n, ${dsumSql("rx")} AS sx, ${dsumSql("ry")} AS sy,
+           |   ${dsumSql("rx * rx")} AS sxx, ${dsumSql("ry * ry")} AS syy,
+           |   ${dsumSql("rx * ry")} AS sxy
+           |  FROM (SELECT
+           |    rank() OVER (ORDER BY CAST($a AS DOUBLE)) + (count(*) OVER (PARTITION BY CAST($a AS DOUBLE)) - 1) / 2.0 AS rx,
+           |    rank() OVER (ORDER BY CAST($b AS DOUBLE)) + (count(*) OVER (PARTITION BY CAST($b AS DOUBLE)) - 1) / 2.0 AS ry
+           |   FROM lineitem WHERE $valid)))""".stripMargin.replaceAll("\n", " ")
+      }
+      selects.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_x, col_y")
+    },
+    "q122_cramers_v" ->
+      """WITH ct AS (SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS o
+        |   FROM orders GROUP BY 1, 2),
+        | tt AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT a) AS r,
+        |   count(DISTINCT b) AS c FROM ct),
+        | rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM ct GROUP BY a),
+        | cl AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM ct GROUP BY b),
+        | x AS (SELECT n, r, c, CAST(sum(CAST(
+        |     (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |     * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |     / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS DECIMAL(38,18))) AS DOUBLE)
+        |   + (CAST(n AS DOUBLE) - CAST(sum(CAST(
+        |     CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS DECIMAL(38,18))) AS DOUBLE)) AS chi2
+        |  FROM ct JOIN rt USING (a) JOIN cl USING (b) CROSS JOIN tt
+        |  GROUP BY n, r, c)
+        | SELECT n, r AS n_cat_a, c AS n_cat_b, round(chi2, 6) AS chi2,
+        |  round(CASE WHEN least(r, c) > 1 THEN
+        |    sqrt(chi2 / (CAST(n AS DOUBLE) * (CAST(least(r, c) AS DOUBLE) - 1.0))) END, 6) AS cramers_v
+        | FROM x""".stripMargin.replaceAll("\n", " "),
+    "q123_benford" ->
+      """WITH d AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+        |   WHERE l_extendedprice IS NOT NULL
+        |     AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |     AND CAST(l_extendedprice AS DOUBLE) > 0),
+        | dg AS (SELECT CASE WHEN rawd = 10 THEN 1 WHEN rawd = 0 THEN 9 ELSE rawd END AS digit
+        |   FROM (SELECT CAST(floor(x / pow(10.0, floor(log10(x)))) AS INT) AS rawd FROM d)),
+        | c AS (SELECT digit, count(*) AS n_obs FROM dg GROUP BY digit),
+        | f AS (SELECT digit, n_obs,
+        |   CAST(n_obs AS DOUBLE) / CAST(sum(n_obs) OVER () AS DOUBLE) AS freq_obs,
+        |   log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS freq_exp FROM c),
+        | g AS (SELECT digit, n_obs, freq_obs, freq_exp,
+        |   abs(freq_obs - freq_exp) AS dev FROM f)
+        | SELECT digit, n_obs, round(freq_obs, 6) AS freq_obs,
+        |  round(freq_exp, 6) AS freq_exp, round(dev, 6) AS dev,
+        |  round(avg(dev) OVER (), 6) AS mad
+        | FROM g ORDER BY digit""".stripMargin.replaceAll("\n", " "),
+    "q124_gini" -> {
+      s"""WITH d AS (SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS x,
+         |   o_orderkey AS k FROM orders
+         |  WHERE o_totalprice IS NOT NULL AND NOT isnan(CAST(o_totalprice AS DOUBLE))
+         |    AND CAST(o_totalprice AS DOUBLE) >= 0),
+         | r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x, k) AS rk FROM d)
+         | SELECT g AS o_orderpriority, count(*) AS n,
+         |  round(${dsumSql("x")}, 4) AS total,
+         |  round(CASE WHEN count(*) > 1 AND ${dsumSql("x")} > 0.0 THEN
+         |    2.0 * ${dsumSql("rk * x")} / (CAST(count(*) AS DOUBLE) * ${dsumSql("x")})
+         |      - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE) END, 6) AS gini
+         | FROM r GROUP BY g ORDER BY g""".stripMargin.replaceAll("\n", " ")
+    },
+    "q125_cusum" -> {
+      val mu = s"${dsumSql("v")} / count(v)"
+      val sd = "sqrt((s2 - s1 * s1 / nn) / (nn - 1.0))"
+      s"""WITH e AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS v FROM events),
+         | st AS (SELECT s1 / nn AS mu, $sd AS sd FROM
+         |   (SELECT ${dsumSql("v")} AS s1, ${dsumSql("v * v")} AS s2,
+         |     CAST(count(v) AS DOUBLE) AS nn FROM e)),
+         | p AS (SELECT user_id, event_id, sd,
+         |   CAST(sum(CAST(v - mu - sd / 2.0 AS DECIMAL(38,10)))
+         |     OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS pp,
+         |   CAST(sum(CAST(mu - v - sd / 2.0 AS DECIMAL(38,10)))
+         |     OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS qq
+         |  FROM e, st),
+         | c AS (SELECT user_id, sd,
+         |   pp - least(0.0, min(pp) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING)) AS cp,
+         |   qq - least(0.0, min(qq) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING)) AS cn
+         |  FROM p)
+         | SELECT user_id, count(*) AS n,
+         |  CAST(sum(CASE WHEN cp > 4.0 * sd OR cn > 4.0 * sd THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+         |  round(max(cp), 6) AS max_pos, round(max(cn), 6) AS max_neg
+         | FROM c GROUP BY user_id ORDER BY user_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q126_weighted_quantiles" ->
+      """WITH d AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |   CAST(l_quantity AS BIGINT) AS w FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_quantity IS NOT NULL AND CAST(l_quantity AS BIGINT) > 0),
+        | pv AS (SELECT v, CAST(sum(w) AS BIGINT) AS w FROM d GROUP BY v),
+        | sc AS (SELECT v, sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM pv),
+        | t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM pv)
+        | SELECT CAST(p.p AS DOUBLE) AS p, round(min(sc.v), 6) AS value
+        | FROM (VALUES (0.25), (0.5), (0.75), (0.95)) AS p(p), sc, t
+        | WHERE sc.cum >= greatest(CAST(ceil(CAST(p.p AS DOUBLE) * tot) AS BIGINT), 1)
+        | GROUP BY p.p ORDER BY p""".stripMargin.replaceAll("\n", " "),
+    "q127_rollup" -> {
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  round(${dsumSql("l_extendedprice")}, 4) AS sum_price,
+         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS lvl
+         | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         | ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin.replaceAll("\n", " ")
+    },
+    "q128_skyline" ->
+      """SELECT s.p_partkey, s.p_name, s.p_size, s.p_retailprice
+        | FROM part s WHERE NOT EXISTS (
+        |  SELECT 1 FROM part t
+        |  WHERE CAST(t.p_retailprice AS DOUBLE) >= CAST(s.p_retailprice AS DOUBLE)
+        |    AND CAST(t.p_size AS DOUBLE) <= CAST(s.p_size AS DOUBLE)
+        |    AND (CAST(t.p_retailprice AS DOUBLE) > CAST(s.p_retailprice AS DOUBLE)
+        |      OR CAST(t.p_size AS DOUBLE) < CAST(s.p_size AS DOUBLE)))
+        | ORDER BY s.p_partkey""".stripMargin.replaceAll("\n", " "),
+    "q129_fuzzy_pairs" ->
+      """WITH k AS (SELECT substr(c_name, 1, 16) AS block, c_custkey AS id,
+        |   c_name AS name FROM customer),
+        | p AS (SELECT a.block, a.id AS id_a, b.id AS id_b,
+        |   levenshtein(a.name, b.name) AS dist
+        |  FROM k a JOIN k b ON a.block = b.block AND a.id < b.id
+        |  WHERE levenshtein(a.name, b.name) <= 1)
+        | SELECT block, count(*) AS n_pairs, count(DISTINCT id_a) AS n_left,
+        |  CAST(max(dist) AS INTEGER) AS max_dist
+        | FROM p GROUP BY block ORDER BY block""".stripMargin.replaceAll("\n", " ")
   )
 }

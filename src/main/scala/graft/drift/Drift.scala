@@ -233,4 +233,88 @@ object Drift {
         count(lit(1)).as("n_categories"),
         sum("nb").as("n_base"), sum("nc").as("n_cur"))
   }
+
+  /** Cramér's V association between two categorical columns of ONE
+    * frame: χ² over the r×c contingency table, normalized to [0, 1] by
+    * V = √(χ² / (n·(min(r,c) − 1))). The contingency table is one
+    * map-side-combined groupBy on (a, b); marginals derive from it by
+    * two tiny re-aggregations joined back ON THE CATEGORY KEYS (both
+    * sides are category-cardinality-sized — broadcast at any data
+    * scale). The data is scanned exactly once.
+    *
+    * The contingency groupBy materializes only OBSERVED cells; a zero
+    * cell still contributes (0 − e)²/e = e to χ². Rather than
+    * generating the full r×c grid, the zero cells enter via the
+    * identity Σ_allcells e = n:  χ² = Σ_obs (o−e)²/e + (n − Σ_obs e).
+    * Expected counts e = rowTot·colTot/n are never zero for observed
+    * marginals, so no smoothing is needed (unlike the two-sample
+    * [[chiSquare]], where a category can be absent from one side).
+    * χ² terms accumulate in DECIMAL(38,18) for cross-engine
+    * determinism. V is null for a degenerate table (r or c = 1).
+    */
+  def cramersV(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val ct = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain(s"drift.cramersV:$colA:$colB", ct)
+    val rowTot = ct.groupBy("a").agg(sum("o").as("ra"))
+    val colTot = ct.groupBy("b").agg(sum("o").as("cb"))
+    val n = ct.agg(sum("o").as("n"), countDistinct("a").as("r"),
+      countDistinct("b").as("c"))
+    val e = col("ra").cast(DoubleType) * col("cb").cast(DoubleType) /
+      col("n").cast(DoubleType)
+    val d = col("o").cast(DoubleType) - e
+    ct.join(broadcast(rowTot), "a").join(broadcast(colTot), "b")
+      .crossJoin(broadcast(n))
+      .select(col("n"), col("r"), col("c"),
+        (d * d / e).cast(DecimalType(38, 18)).as("term"),
+        e.cast(DecimalType(38, 18)).as("e_obs"))
+      .groupBy("n", "r", "c")
+      .agg((sum("term").cast(DoubleType) +
+        (col("n").cast(DoubleType) - sum("e_obs").cast(DoubleType)))
+        .as("chi2"))
+      .select(col("n"), col("r").as("n_cat_a"), col("c").as("n_cat_b"),
+        round(col("chi2"), 6).as("chi2"),
+        round(when(least(col("r"), col("c")) > 1,
+          sqrt(col("chi2") / (col("n").cast(DoubleType) *
+            (least(col("r"), col("c")).cast(DoubleType) - 1.0)))), 6)
+          .as("cramers_v"))
+  }
+
+  /** Benford first-significant-digit conformance — the classic
+    * fabricated-data / corrupted-feed screen for positive numeric
+    * columns spanning several orders of magnitude. Per digit d ∈ 1..9:
+    * observed count and frequency vs the Benford expectation
+    * p_d = log₁₀(1 + 1/d), plus the per-digit deviation. One row per
+    * digit, with the summary MAD (mean |obs − exp| over the 9 digits,
+    * the Nigrini conformance statistic) repeated on each row.
+    *
+    * The first digit is extracted arithmetically —
+    * floor(x / 10^floor(log₁₀ x)) — not by string formatting, so the
+    * whole extraction is codegen'd column math; the aggregation is a
+    * 9-bucket groupBy (map-side combined, scale-free). Non-positive,
+    * null, and NaN values are excluded (Benford is undefined there).
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val raw = floor(x / pow(lit(10.0), floor(log10(x)))).cast("int")
+    // at exact powers of 10 a 1-ulp log10 error in EITHER engine can
+    // under/over-floor the exponent, yielding 10 (true digit 1) or 0
+    // (true digit 9); the correction makes extraction engine-proof
+    val digit = when(raw === 10, 1).when(raw === 0, 9).otherwise(raw)
+    val counts = df.where(x.isNotNull && !isnan(x) && x > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val expP = log10(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType))
+    counts
+      .withColumn("freq_obs",
+        col("n_obs").cast(DoubleType) / sum("n_obs").over(w).cast(DoubleType))
+      .withColumn("freq_exp", expP)
+      .withColumn("dev", abs(col("freq_obs") - col("freq_exp")))
+      .withColumn("mad", avg(col("dev")).over(w))
+      .select(col("digit"), col("n_obs"), round(col("freq_obs"), 6).as("freq_obs"),
+        round(col("freq_exp"), 6).as("freq_exp"),
+        round(col("dev"), 6).as("dev"), round(col("mad"), 6).as("mad"))
+  }
 }

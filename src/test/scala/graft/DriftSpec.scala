@@ -103,4 +103,43 @@ class DriftSpec extends SparkSpec {
     val cur = base.where(lit(false))
     assert(Drift.chiSquare(base, cur, "c").head().isNullAt(0))
   }
+
+  test("cramers V is 1 for perfect association, ~0 for independence, null for degenerate") {
+    // perfect: b is a function of a (and vice versa)
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"),
+      ("z", "r")).toDF("a", "b")
+    val v1 = Drift.cramersV(perfect, "a", "b").head().getAs[Double]("cramers_v")
+    assert(math.abs(v1 - 1.0) < 1e-9, s"perfect association should give 1, got $v1")
+    // independent: every (a, b) cell equally filled
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 25 }
+      yield (a, b)).toDF("a", "b")
+    val v0 = Drift.cramersV(indep, "a", "b").head().getAs[Double]("cramers_v")
+    assert(math.abs(v0) < 1e-9, s"independence should give ~0, got $v0")
+    // degenerate: one column is constant → V undefined
+    val degen = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    assert(Drift.cramersV(degen, "a", "b").head()
+      .isNullAt(4))
+  }
+
+  test("benford digit extraction is exact at powers of ten and flags uniform data") {
+    val powers = Seq(1.0, 10.0, 100.0, 1000.0, 10000.0, 0.1, 0.01).toDF("x")
+    val d = Drift.benford(powers, "x").select("digit", "n_obs")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(d === Map(1 -> 7L), s"all powers of ten have first digit 1: $d")
+    // digits 1..9 uniformly: MAD far above the Nigrini conformity bound
+    val uniform = (1 to 9).flatMap(dd => Seq.fill(100)(dd * 7.0)).toDF("x")
+    val mad = Drift.benford(uniform, "x").head().getAs[Double]("mad")
+    assert(mad > 0.015, s"uniform digits are non-conforming, mad=$mad")
+    // benford-ish data (log-uniform): small MAD
+    val rnd = new scala.util.Random(3)
+    val logu = Seq.fill(5000)(math.pow(10.0, rnd.nextDouble() * 4)).toDF("x")
+    val madB = Drift.benford(logu, "x").head().getAs[Double]("mad")
+    assert(madB < 0.012, s"log-uniform data conforms to Benford, mad=$madB")
+  }
+
+  test("benford excludes non-positive, null, and NaN values") {
+    val df = Seq[java.lang.Double](-5.0, 0.0, null, Double.NaN, 23.0).toDF("x")
+    val rows = Drift.benford(df, "x").collect()
+    assert(rows.length === 1 && rows(0).getInt(0) === 2 && rows(0).getLong(1) === 1L)
+  }
 }

@@ -328,4 +328,18 @@ class TextSpec extends SparkSpec {
     assert(Seq(Option.empty[String]).toDF("t")
       .select(TextOps.tokenEntropy(col("t"))).head.isNullAt(0))
   }
+
+  test("blocked fuzzy join pairs within blocks by edit distance only") {
+    val df = Seq(
+      (1L, "alpha one"), (2L, "alpha oze"),   // dist 1, same block
+      (3L, "alpha xyzzy"),                    // same block, dist > 2 from both
+      (4L, "beta one"), (5L, "beta one"),     // dist 0, same block
+      (6L, "alpho one")                       // dist 1 from id 1 but block differs
+    ).toDF("id", "name")
+    val pairs = graft.text.FuzzyJoin.blockedPairs(df, "id", "name",
+        org.apache.spark.sql.functions.substring_index(col("name"), " ", 1), 2)
+      .select("id_a", "id_b", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((1L, 2L, 1), (4L, 5L, 0)))
+  }
 }
