@@ -2071,6 +2071,140 @@ object SparkEntry {
         max(col("dist")).as("max_dist"))
       .orderBy("block")
 
+  /** R5 — deterministic Poisson bootstrap CI for the mean order value:
+    * the shuffle-free bootstrap (per-replicate hash-derived Poisson(1)
+    * weights, all replicates in one map-side-combined pass) — THE
+    * resampling shape that survives 100 TB, where a true resample
+    * would be R full shuffles.
+    */
+  private def qBootstrapCi(s: SparkSession, dir: String): DataFrame =
+    graft.aug.Bootstrap.meanCi(Tables.load(s, dir, "orders"),
+        "o_orderkey", "o_totalprice", replicates = 40, alpha = 0.025,
+        seed = 42L)
+      .select(round(col("estimate"), 6).as("estimate"),
+        round(col("ci_lo"), 6).as("ci_lo"),
+        round(col("ci_hi"), 6).as("ci_hi"),
+        col("n"), col("n_replicates"))
+
+  /** A23 — isotonic (monotone) calibration of price→return-rate via
+    * the PAV≡minimax identity on quantile bins: the data-proportional
+    * work is one binning pass; the fit is relational algebra over the
+    * ≤20-row bin table (triangle join + max-of-min), no sequential
+    * pooling, oracle-replayable.
+    */
+  private def qIsotonic(s: SparkSession, dir: String): DataFrame = {
+    val d = li(s, dir)
+      .withColumn("label", when(col("l_returnflag") === "R", 1).otherwise(0))
+    graft.eval.Isotonic.fitBins(d, "label", "l_extendedprice", bins = 20)
+      .select(col("bin"), col("n"), col("pos"),
+        round(col("rate"), 6).as("rate"),
+        round(col("fitted"), 6).as("fitted"))
+      .orderBy("bin")
+  }
+
+  /** F8 — Mahalanobis multivariate anomaly score over (quantity,
+    * price): covariance-aware distance, one exact-moment fit
+    * aggregate, driver 2×2 adjugate inverse as plan literals,
+    * codegen'd quadratic form, χ²₂(0.99) flag threshold.
+    */
+  private def qMahalanobis(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val base = graft.score.Mahalanobis.completeCase(li(s, dir), cols)
+    val m = graft.score.Mahalanobis.fit(base, cols)
+    base.select(m.score.as("d2"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("d2") > 9.21034, 1)).as("n_flagged"),
+        round(max(col("d2")), 6).as("max_d2"),
+        round(Stats.dsum(col("d2")) / count(lit(1)), 6).as("mean_d2"))
+  }
+
+  /** W9 — Theil–Sen robust trend per user: median of all pairwise
+    * slopes — the breakdown-resistant twin of q118's OLS (one wild
+    * value corrupts OLS; the slope median shrugs). Pairs form inside
+    * each key only (equi-join on the key, quadratic in per-key series
+    * length, parallel across keys); the median is the fused grouped
+    * exact selection — no per-group buffers.
+    */
+  private def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"),
+        expr("ts div 1000").as("us"), col("value").cast("double").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q133", e)
+    val a = e.select(col("user_id"), col("us").as("us_a"), col("v").as("v_a"))
+    val b = e.select(col("user_id"), col("us").as("us_b"), col("v").as("v_b"))
+    val slopes = a.join(b, Seq("user_id"))
+      .where(col("us_a") < col("us_b"))
+      .select(col("user_id"), ((col("v_b") - col("v_a")) /
+        ((col("us_b") - col("us_a")).cast("double") / lit(3600000000.0)))
+        .as("slope"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q133", slopes)
+    val med = graft.core.OrderStats.groupedQuantiles(
+      slopes, "user_id", "slope", Seq(0.5))
+    val counts = slopes.groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+    counts.join(med, "user_id")
+      .select(col("user_id"), col("n_pairs"),
+        round(col("value"), 6).as("med_slope_per_hr"))
+      .orderBy("user_id")
+  }
+
+  /** W10 — event funnel (view → click → purchase, 7-day completion):
+    * per-step earliest-qualifying-timestamp chaining — three grouped
+    * min-aggregates, each joined to the previous step's frame (all
+    * user-cardinality-sized), never a per-user event sort. The classic
+    * product-analytics operator.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"),
+      expr("ts div 1000").as("us"), col("event_type"))
+    val s1 = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val s2 = e.where(col("event_type") === "click").join(s1, "user_id")
+      .where(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"), min("t1").as("t1"))
+    val s3 = e.where(col("event_type") === "purchase").join(s2, "user_id")
+      .where(col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"), min("t1").as("t1"))
+    val completed = s3.where(col("t3") - col("t1") <= 604800000000L)
+    val n1 = s1.agg(count(lit(1)).as("step1_users"))
+    val n2 = s2.agg(count(lit(1)).as("step2_users"))
+    val n3 = s3.agg(count(lit(1)).as("step3_users"))
+    val n4 = completed.agg(count(lit(1)).as("completed_7d"))
+    n1.crossJoin(n2).crossJoin(n3).crossJoin(n4)
+      .select(col("step1_users"), col("step2_users"), col("step3_users"),
+        col("completed_7d"),
+        round(col("step2_users").cast("double") /
+          col("step1_users").cast("double"), 6).as("conv_1_2"),
+        round(col("step3_users").cast("double") /
+          col("step2_users").cast("double"), 6).as("conv_2_3"))
+  }
+
+  /** W11 — weekly cohort retention: cohort = first-activity week,
+    * retention = fraction of the cohort active k weeks later. Exact
+    * integer week bucketing (micros div 7d — floor-exact, no date-lib
+    * divergence), one distinct-activity aggregate, cohort sizes joined
+    * from the offset-0 row.
+    */
+  private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val wk = 604800000000L
+    val e = ev(s, dir).select(col("user_id"), expr("ts div 1000").as("us"))
+    val first = e.groupBy("user_id").agg(min("us").as("first_us"))
+    val act = e.join(first, "user_id")
+      .select(expr(s"first_us div $wk").as("cohort_wk"),
+        expr(s"(us - first_us) div $wk").as("week_offset"), col("user_id"))
+      .distinct()
+    val byCell = act.groupBy("cohort_wk", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+    val base = byCell.where(col("week_offset") === 0)
+      .select(col("cohort_wk"), col("n_active").as("cohort_size"))
+    byCell.join(broadcast(base), "cohort_wk")
+      .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retention"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -2210,7 +2344,13 @@ object SparkEntry {
     "q126_weighted_quantiles" -> (qWeightedQuantiles _),
     "q127_rollup" -> (qRollup _),
     "q128_skyline" -> (qSkyline _),
-    "q129_fuzzy_pairs" -> (qFuzzyPairs _)
+    "q129_fuzzy_pairs" -> (qFuzzyPairs _),
+    "q130_bootstrap_ci" -> (qBootstrapCi _),
+    "q131_isotonic" -> (qIsotonic _),
+    "q132_mahalanobis" -> (qMahalanobis _),
+    "q133_theilsen" -> (qTheilSen _),
+    "q134_funnel" -> (qFunnel _),
+    "q135_retention" -> (qRetention _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -3680,6 +3820,117 @@ object SparkEntry {
         |  WHERE levenshtein(a.name, b.name) <= 1)
         | SELECT block, count(*) AS n_pairs, count(DISTINCT id_a) AS n_left,
         |  CAST(max(dist) AS INTEGER) AS max_dist
-        | FROM p GROUP BY block ORDER BY block""".stripMargin.replaceAll("\n", " ")
+        | FROM p GROUP BY block ORDER BY block""".stripMargin.replaceAll("\n", " "),
+    "q130_bootstrap_ci" -> {
+      val reps = 40
+      // rank literals via the SAME IEEE expressions meanCi evaluates at
+      // runtime (0.025·40 rounds ABOVE 1.0, so loRank is 2, not 1)
+      val loR = math.ceil(0.025 * reps).toLong.max(1L)
+      val hiR = math.ceil((1.0 - 0.025) * reps).toLong
+      val bucket = graft.aug.Sampling.Sql.keyBucket("(k * 64 + r)", 42L)
+      val w = graft.aug.Bootstrap.Sql.poissonWeight(bucket)
+      s"""WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+         |   CAST(o_totalprice AS DOUBLE) AS x FROM orders
+         |  WHERE o_totalprice IS NOT NULL AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
+         | reps AS (SELECT CAST(range AS BIGINT) AS r FROM range($reps)),
+         | wts AS (SELECT r, x, $w AS w FROM base, reps),
+         | means AS (SELECT r, ${dsumSql("w * x")} / CAST(sum(w) AS DOUBLE) AS m
+         |   FROM wts GROUP BY r),
+         | rk AS (SELECT m, row_number() OVER (ORDER BY m, r) AS rk FROM means),
+         | bd AS (SELECT min(CASE WHEN rk = $loR THEN m END) AS lo,
+         |   min(CASE WHEN rk = $hiR THEN m END) AS hi FROM rk),
+         | e AS (SELECT ${dsumSql("x")} / count(x) AS est, count(*) AS n FROM base)
+         | SELECT round(est, 6) AS estimate, round(lo, 6) AS ci_lo,
+         |  round(hi, 6) AS ci_hi, n, CAST($reps AS BIGINT) AS n_replicates
+         | FROM e, bd""".stripMargin.replaceAll("\n", " ")
+    },
+    "q131_isotonic" -> {
+      val ps = (1 until 20).map(_.toDouble / 20).mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         |   CAST(l_extendedprice AS DOUBLE) AS s FROM lineitem),
+         | ed AS (SELECT DISTINCT edge FROM
+         |   (SELECT unnest(quantile_cont(s, $ps)) AS edge FROM d)),
+         | b AS (SELECT y, (SELECT count(*) FROM ed WHERE d.s > ed.edge) AS bin FROM d),
+         | pb AS (SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+         |   CAST(sum(y) AS BIGINT) AS pos FROM b GROUP BY bin),
+         | spans AS (SELECT j.bin AS j, l.bin AS l,
+         |   CAST(sum(m.pos) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE) AS rate
+         |  FROM pb j, pb l, pb m
+         |  WHERE j.bin <= l.bin AND m.bin >= j.bin AND m.bin <= l.bin
+         |  GROUP BY j.bin, l.bin),
+         | mm AS (SELECT pb.bin AS bin, s.j AS j, min(s.rate) AS minr
+         |   FROM pb, spans s WHERE s.j <= pb.bin AND s.l >= pb.bin
+         |   GROUP BY pb.bin, s.j),
+         | f AS (SELECT bin, max(minr) AS fitted FROM mm GROUP BY bin)
+         | SELECT pb.bin, pb.n, pb.pos,
+         |  round(CAST(pb.pos AS DOUBLE) / CAST(pb.n AS DOUBLE), 6) AS rate,
+         |  round(f.fitted, 6) AS fitted
+         | FROM pb JOIN f USING (bin) ORDER BY bin""".stripMargin.replaceAll("\n", " ")
+    },
+    "q132_mahalanobis" -> {
+      val valid = "l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE)) " +
+        "AND l_extendedprice IS NOT NULL AND NOT isnan(CAST(l_extendedprice AS DOUBLE))"
+      val det = "(vx * vy - cxy * cxy)"
+      s"""WITH cc AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+         |   CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem WHERE $valid),
+         | m AS (SELECT ${Stats.Sql.dmean("x")} AS mx, ${Stats.Sql.dmean("y")} AS my,
+         |   ${Stats.Sql.dvarSamp("x")} AS vx, ${Stats.Sql.dvarSamp("y")} AS vy,
+         |   ${Stats.Sql.dcovSamp("x", "y", "count(*)")} AS cxy FROM cc),
+         | sc AS (SELECT
+         |   (vy / $det) * (x - mx) * (x - mx)
+         |   + ((-cxy) / $det) * (x - mx) * (y - my)
+         |   + ((-cxy) / $det) * (y - my) * (x - mx)
+         |   + (vx / $det) * (y - my) * (y - my) AS d2
+         |  FROM cc, m)
+         | SELECT count(*) AS n,
+         |  count(CASE WHEN d2 > CAST(9.21034 AS DOUBLE) THEN 1 END) AS n_flagged,
+         |  round(max(d2), 6) AS max_d2,
+         |  round(${dsumSql("d2")} / count(*), 6) AS mean_d2
+         | FROM sc""".stripMargin.replaceAll("\n", " ")
+    },
+    "q133_theilsen" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, CAST(value AS DOUBLE) AS v
+        |   FROM events),
+        | p AS (SELECT a.user_id AS user_id,
+        |   (b.v - a.v) / (CAST(b.us - a.us AS DOUBLE) / 3600000000.0) AS slope
+        |  FROM e a JOIN e b ON a.user_id = b.user_id AND a.us < b.us)
+        | SELECT user_id, count(*) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5), 6) AS med_slope_per_hr
+        | FROM p GROUP BY user_id ORDER BY user_id""".stripMargin.replaceAll("\n", " "),
+    "q134_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        | s1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |   WHERE event_type = 'view' GROUP BY user_id),
+        | s2 AS (SELECT e.user_id AS user_id, min(us) AS t2, min(t1) AS t1
+        |   FROM e JOIN s1 USING (user_id)
+        |   WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+        | s3 AS (SELECT e.user_id AS user_id, min(us) AS t3, min(t1) AS t1
+        |   FROM e JOIN s2 USING (user_id)
+        |   WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id),
+        | c AS (SELECT * FROM s3 WHERE t3 - t1 <= 604800000000)
+        | SELECT (SELECT count(*) FROM s1) AS step1_users,
+        |  (SELECT count(*) FROM s2) AS step2_users,
+        |  (SELECT count(*) FROM s3) AS step3_users,
+        |  (SELECT count(*) FROM c) AS completed_7d,
+        |  round(CAST((SELECT count(*) FROM s2) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM s1) AS DOUBLE), 6) AS conv_1_2,
+        |  round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM s2) AS DOUBLE), 6) AS conv_2_3""".stripMargin
+        .replaceAll("\n", " "),
+    "q135_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        | f AS (SELECT user_id, min(us) AS first_us FROM e GROUP BY user_id),
+        | act AS (SELECT DISTINCT first_us // 604800000000 AS cohort_wk,
+        |   (us - first_us) // 604800000000 AS week_offset, e.user_id AS user_id
+        |  FROM e JOIN f USING (user_id)),
+        | bc AS (SELECT cohort_wk, week_offset,
+        |   count(DISTINCT user_id) AS n_active FROM act GROUP BY 1, 2),
+        | b0 AS (SELECT cohort_wk, n_active AS cohort_size FROM bc
+        |   WHERE week_offset = 0)
+        | SELECT bc.cohort_wk, bc.week_offset, bc.n_active, b0.cohort_size,
+        |  round(CAST(bc.n_active AS DOUBLE) / CAST(b0.cohort_size AS DOUBLE), 6)
+        |   AS retention
+        | FROM bc JOIN b0 USING (cohort_wk)
+        | ORDER BY cohort_wk, week_offset""".stripMargin.replaceAll("\n", " ")
   )
 }

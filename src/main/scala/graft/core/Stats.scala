@@ -56,6 +56,17 @@ object Stats {
 
   def dstddevSamp(c: Column): Column = sqrt(dvarSamp(c))
 
+  /** Sample covariance via exact sums: (Σxy − Σx·Σy/n) / (n−1), over
+    * rows where BOTH sides are valid (pair with a caller-side filter
+    * for complete-case semantics across more columns).
+    */
+  def dcovSamp(a: Column, b: Column): Column = {
+    val x = a.cast(DoubleType); val y = b.cast(DoubleType)
+    val n = count(when(x.isNotNull && !isnan(x) && y.isNotNull && !isnan(y), 1))
+      .cast(DoubleType)
+    (dsum(x * y) - dsum(x) * dsum(y) / n) / (n - lit(1.0))
+  }
+
   /** Pairwise Pearson correlation matrix over `cols` in ONE aggregate
     * pass (long form: col_x, col_y, corr for each unordered pair).
     *
@@ -116,6 +127,13 @@ object Stats {
     def dvarPop(x: String): String = {
       val d = s"CAST(($x) AS DOUBLE)"
       s"((${dsum(s"$d*$d")} - ${dsum(d)} * ${dsum(d)} / CAST(${nValid(x)} AS DOUBLE)) / CAST(${nValid(x)} AS DOUBLE))"
+    }
+    /** Twin of [[Stats.dcovSamp]]; `n` must be the complete-case count
+      * expression the caller also uses for the variances.
+      */
+    def dcovSamp(x: String, y: String, n: String): String = {
+      val dx = s"CAST(($x) AS DOUBLE)"; val dy = s"CAST(($y) AS DOUBLE)"
+      s"((${dsum(s"$dx*$dy")} - ${dsum(dx)} * ${dsum(dy)} / CAST($n AS DOUBLE)) / (CAST($n AS DOUBLE) - 1.0))"
     }
   }
 }

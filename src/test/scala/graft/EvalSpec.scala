@@ -153,4 +153,34 @@ class EvalSpec extends SparkSpec {
     assert(out(0) == ((0, 5L, 3.0, 0.0)))
     assert(out(1) == ((1, 5L, 8.0, 1.0)))
   }
+
+  test("isotonic minimax fit equals hand PAV and is monotone") {
+    import graft.eval.Isotonic
+    // scores 1..8 in 4 bins of 2; per-bin positive rates 0, 1, 0.5, 1:
+    // PAV pools bins 1..2 (rates 1, 0.5 violate) → pooled 0.75
+    val rows = Seq(
+      (0, 1.0), (0, 2.0),           // bin 0: rate 0
+      (1, 3.0), (1, 4.0),           // bin 1: rate 1   ┐ pooled
+      (0, 5.0), (1, 6.0),           // bin 2: rate 0.5 ┘ → 0.75
+      (1, 7.0), (1, 8.0))           // bin 3: rate 1
+    val df = rows.toDF("y", "s")
+    val out = Isotonic.fitBins(df, "y", "s", bins = 4)
+      .orderBy("bin")
+      .select("bin", "rate", "fitted")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.map(_._2).toSeq == Seq(0.0, 1.0, 0.5, 1.0))
+    assert(out.map(_._3).toSeq == Seq(0.0, 0.75, 0.75, 1.0))
+    val fitted = out.map(_._3)
+    assert(fitted.zip(fitted.tail).forall { case (a, b) => a <= b },
+      s"fitted must be monotone: ${fitted.toSeq}")
+  }
+
+  test("isotonic fit is the identity when rates are already monotone") {
+    import graft.eval.Isotonic
+    val rows = Seq((0, 1.0), (0, 2.0), (0, 3.0), (1, 4.0), (1, 5.0), (1, 6.0))
+    val out = Isotonic.fitBins(rows.toDF("y", "s"), "y", "s", bins = 3)
+      .orderBy("bin").select("rate", "fitted")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    out.foreach { case (rate, fitted) => assert(rate === fitted) }
+  }
 }

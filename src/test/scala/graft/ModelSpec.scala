@@ -223,6 +223,58 @@ class ModelSpec extends SparkSpec {
     val m2 = Pca.fit(rows, "v", k = 3)
     assert(m.components.toSeq.map(_.toSeq) == m2.components.toSeq.map(_.toSeq))
   }
+
+  test("mahalanobis inverse satisfies M·M⁻¹ ≈ I for k=2 and k=4") {
+    import graft.score.Mahalanobis
+    def check(m: Array[Array[Double]]): Unit = {
+      val inv = Mahalanobis.invert(m)
+      val k = m.length
+      for (i <- 0 until k; j <- 0 until k) {
+        val e = (0 until k).map(l => m(i)(l) * inv(l)(j)).sum
+        assert(math.abs(e - (if (i == j) 1.0 else 0.0)) < 1e-9,
+          s"(M·M⁻¹)($i)($j) = $e")
+      }
+    }
+    check(Array(Array(4.0, 1.2), Array(1.2, 2.0)))
+    check(Array(
+      Array(5.0, 1.0, 0.5, 0.2), Array(1.0, 4.0, 0.3, 0.1),
+      Array(0.5, 0.3, 3.0, 0.7), Array(0.2, 0.1, 0.7, 2.0)))
+  }
+
+  test("mahalanobis d² reduces to squared z-scores for uncorrelated features") {
+    import graft.score.Mahalanobis
+    import org.apache.spark.sql.functions.col
+    // x and y designed uncorrelated: all 4 sign combinations equally
+    val rows = Seq((1.0, 10.0), (-1.0, 10.0), (1.0, -10.0), (-1.0, -10.0),
+      (3.0, 30.0), (-3.0, 30.0), (3.0, -30.0), (-3.0, -30.0))
+    val df = rows.toDF("x", "y")
+    val m = Mahalanobis.fit(df, Seq("x", "y"))
+    assert(math.abs(m.means(0)) < 1e-12 && math.abs(m.means(1)) < 1e-12)
+    // cov = 0 → inv diagonal = 1/var; d²(x,y) = x²/vx + y²/vy
+    val vx = rows.map(_._1).map(v => v * v).sum / (rows.length - 1)
+    val vy = rows.map(_._2).map(v => v * v).sum / (rows.length - 1)
+    val got = df.select(m.score.as("d2")).collect().map(_.getDouble(0))
+    val want = rows.map { case (x, y) => x * x / vx + y * y / vy }
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+  }
+
+  test("mahalanobis flags the planted multivariate outlier that z-scores miss") {
+    import graft.score.Mahalanobis
+    import org.apache.spark.sql.functions.col
+    // strongly correlated cloud y ≈ 2x, plus one point ON the marginal
+    // ranges but OFF the correlation axis
+    val rnd = new scala.util.Random(5)
+    val cloud = Seq.fill(500) {
+      val x = rnd.nextGaussian(); (x, 2.0 * x + 0.1 * rnd.nextGaussian())
+    }
+    val outlier = (1.5, -3.0) // |x|, |y| both unremarkable marginally
+    val df = (cloud :+ outlier).toDF("x", "y")
+    val m = Mahalanobis.fit(df, Seq("x", "y"))
+    val scored = df.select(col("x"), col("y"), m.score.as("d2"))
+      .orderBy(org.apache.spark.sql.functions.desc("d2")).head()
+    assert(scored.getDouble(0) === 1.5 && scored.getDouble(1) === -3.0,
+      "the off-axis point must have the largest mahalanobis distance")
+  }
 }
 
 private object Files {
