@@ -2205,6 +2205,108 @@ object SparkEntry {
       .orderBy("cohort_wk", "week_offset")
   }
 
+  /** F9 — HBOS (histogram-based outlier score) over the lineitem
+    * numerics: per-feature quantile-histogram densities, score =
+    * Σ −log₁₀ density — the linear-time anomaly baseline
+    * complementing q132's covariance-aware Mahalanobis. Fit = one
+    * edges pass + ONE conditional-count aggregate; scoring is a
+    * literal when-chain (no join/broadcast/UDF).
+    */
+  private def qHbos(s: SparkSession, dir: String): DataFrame = {
+    val base = li(s, dir)
+    val m = graft.score.Hbos.fit(base, lineitemNumerics, bins = 10)
+    base.select(m.score.as("score"))
+      .agg(count(lit(1)).as("n"),
+        round(Stats.dsum(col("score")) / count(lit(1)), 6).as("mean_score"),
+        round(max(col("score")), 6).as("max_score"),
+        round(min(col("score")), 6).as("min_score"))
+  }
+
+  /** W12 — day-of-week seasonal profile + residual anomaly per user:
+    * the seasonality-aware twin of q07's global z-score (a Monday
+    * spike is only anomalous relative to MONDAYS). Exact integer dow
+    * bucketing (no date-lib divergence), per-(user, dow) exact-decimal
+    * means, residual flags at 2σ of the residual distribution.
+    */
+  private def qSeasonalResid(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"),
+      expr("((ts div 1000) div 86400000000 + 4) % 7").as("dow"),
+      col("value").cast("double").as("v"))
+    val prof = e.groupBy("user_id", "dow").agg(Stats.dmean(col("v")).as("mu"))
+    val r = e.join(prof, Seq("user_id", "dow"))
+      .select(col("user_id"), (col("v") - col("mu")).as("resid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q137", r)
+    val sd = r.agg(Stats.dstddevSamp(col("resid"))).head().getDouble(0)
+    r.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        count(when(abs(col("resid")) > lit(2.0 * sd), 1)).as("n_flagged"),
+        round(max(abs(col("resid"))), 6).as("max_abs_resid"))
+      .orderBy("user_id")
+  }
+
+  /** W13 — event-type Markov transition matrix: per-user ordered
+    * lead() pairs (one shuffle on the key, windows within partitions),
+    * then global transition counts and row-normalized probabilities —
+    * the behavioral-model summary of the event stream.
+    */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, dir).select(col("user_id"), col("event_id"),
+      expr("ts div 1000").as("us"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val pairs = e.withColumn("next", lead(col("event_type"), 1).over(w))
+      .where(col("next").isNotNull)
+    val wc = Window.partitionBy("cur")
+    pairs.groupBy(col("event_type").as("cur"), col("next"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("cur"), col("next"), col("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(wc).cast("double"), 6).as("p"))
+      .orderBy("cur", "next")
+  }
+
+  /** W14 — sliding 7-day distinct active users per day: the rolling-
+    * engagement metric. Exact sliding DISTINCT resists plain windows
+    * (COUNT(DISTINCT) OVER isn't supported and would buffer users);
+    * instead each (user, activity-day) pair — already deduplicated,
+    * bounded by users × days — fans out to the ≤7 report days it
+    * covers via a compact range join, then one distinct-count per day.
+    * Fan-out is 7× the DEDUPED activity table, never 7× the events.
+    */
+  private def qSlidingDau(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000L
+    val act = ev(s, dir)
+      .select(col("user_id"), expr(s"(ts div 1000) div $day").as("d"))
+      .distinct()
+    val days = act.select(col("d").as("report_d")).distinct()
+    act.join(days,
+        col("report_d") >= col("d") && col("report_d") <= col("d") + 6)
+      .groupBy("report_d")
+      .agg(countDistinct("user_id").as("dau_7d"))
+      .orderBy("report_d")
+  }
+
+  /** P12 — SCD2 validity intervals from a change log: per (user) the
+    * ordered event stream becomes [valid_from, valid_to) rows via
+    * lead() — one shuffle on the key, the warehouse history-modeling
+    * primitive (current rows carry a null valid_to).
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, dir).select(col("user_id"), col("event_id"),
+      expr("ts div 1000").as("us"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val iv = e.withColumn("valid_to", lead(col("us"), 1).over(w))
+    iv.groupBy("user_id")
+      .agg(count(lit(1)).as("n_versions"),
+        count(when(col("valid_to").isNull, 1)).as("n_current"),
+        sum(when(col("valid_to").isNotNull,
+          col("valid_to") - col("us"))).cast("long").as("total_covered_us"),
+        max(col("valid_to") - col("us")).as("max_interval_us"))
+      .orderBy("user_id")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -2350,7 +2452,12 @@ object SparkEntry {
     "q132_mahalanobis" -> (qMahalanobis _),
     "q133_theilsen" -> (qTheilSen _),
     "q134_funnel" -> (qFunnel _),
-    "q135_retention" -> (qRetention _)
+    "q135_retention" -> (qRetention _),
+    "q136_hbos" -> (qHbos _),
+    "q137_seasonal_resid" -> (qSeasonalResid _),
+    "q138_transitions" -> (qTransitions _),
+    "q139_sliding_dau" -> (qSlidingDau _),
+    "q140_scd2" -> (qScd2 _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -3931,6 +4038,75 @@ object SparkEntry {
         |  round(CAST(bc.n_active AS DOUBLE) / CAST(b0.cohort_size AS DOUBLE), 6)
         |   AS retention
         | FROM bc JOIN b0 USING (cohort_wk)
-        | ORDER BY cohort_wk, week_offset""".stripMargin.replaceAll("\n", " ")
+        | ORDER BY cohort_wk, week_offset""".stripMargin.replaceAll("\n", " "),
+    "q136_hbos" -> {
+      val cols = lineitemNumerics
+      val ps = (1 until 10).map(_.toDouble / 10).mkString("[", ", ", "]")
+      val eCtes = cols.zipWithIndex.map { case (c, i) =>
+        s"e$i AS (SELECT DISTINCT edge FROM (SELECT unnest(quantile_cont(CAST($c AS DOUBLE), $ps)) AS edge FROM lineitem))"
+      }
+      val bCtes = cols.zipWithIndex.map { case (c, i) =>
+        s"b$i AS (SELECT (SELECT count(*) FROM e$i WHERE CAST(l.$c AS DOUBLE) > e$i.edge) AS bin, count(*) AS nb FROM lineitem l GROUP BY 1)"
+      }
+      val binSel = cols.zipWithIndex.map { case (c, i) =>
+        s"(SELECT count(*) FROM e$i WHERE CAST(l.$c AS DOUBLE) > e$i.edge) AS bin$i"
+      }.mkString(", ")
+      val scoreTerms = cols.indices.map { i =>
+        s"(- log10(greatest(CAST(b$i.nb AS DOUBLE), 1.0) / CAST(t.n AS DOUBLE)))"
+      }.mkString(" + ")
+      val joins = cols.indices.map(i => s"JOIN b$i ON r.bin$i = b$i.bin").mkString(" ")
+      s"""WITH t AS (SELECT count(*) AS n FROM lineitem),
+         | ${eCtes.mkString(", ")},
+         | ${bCtes.mkString(", ")},
+         | r AS (SELECT $binSel FROM lineitem l),
+         | sc AS (SELECT $scoreTerms AS score FROM r $joins CROSS JOIN t)
+         | SELECT count(*) AS n,
+         |  round(${dsumSql("score")} / count(*), 6) AS mean_score,
+         |  round(max(score), 6) AS max_score,
+         |  round(min(score), 6) AS min_score FROM sc""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q137_seasonal_resid" ->
+      s"""WITH e AS (SELECT user_id,
+         |   ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+         |   CAST(value AS DOUBLE) AS v FROM events),
+         | p AS (SELECT user_id, dow, ${Stats.Sql.dmean("v")} AS mu
+         |   FROM e GROUP BY user_id, dow),
+         | r AS (SELECT e.user_id AS user_id, v - mu AS resid
+         |   FROM e JOIN p USING (user_id, dow)),
+         | g AS (SELECT ${Stats.Sql.dstddevSamp("resid")} AS sd FROM r)
+         | SELECT user_id, count(*) AS n,
+         |  count(CASE WHEN abs(resid) > 2.0 * sd THEN 1 END) AS n_flagged,
+         |  round(max(abs(resid)), 6) AS max_abs_resid
+         | FROM r, g GROUP BY user_id, sd ORDER BY user_id""".stripMargin
+        .replaceAll("\n", " "),
+    "q138_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |   FROM events),
+        | p AS (SELECT event_type AS cur, lead(event_type)
+        |   OVER (PARTITION BY user_id ORDER BY us, event_id) AS next FROM e),
+        | c AS (SELECT cur, next, count(*) AS n FROM p
+        |   WHERE next IS NOT NULL GROUP BY cur, next)
+        | SELECT cur, next, n,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+        | FROM c ORDER BY cur, next""".stripMargin.replaceAll("\n", " "),
+    "q139_sliding_dau" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |   epoch_us(ts) // 86400000000 AS d FROM events),
+        | days AS (SELECT DISTINCT d AS report_d FROM act)
+        | SELECT report_d, count(DISTINCT user_id) AS dau_7d
+        | FROM act JOIN days ON report_d >= d AND report_d <= d + 6
+        | GROUP BY report_d ORDER BY report_d""".stripMargin.replaceAll("\n", " "),
+    "q140_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |   FROM events),
+        | iv AS (SELECT user_id, us, lead(us)
+        |   OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to FROM e)
+        | SELECT user_id, count(*) AS n_versions,
+        |  count(CASE WHEN valid_to IS NULL THEN 1 END) AS n_current,
+        |  CAST(sum(CASE WHEN valid_to IS NOT NULL THEN valid_to - us END) AS BIGINT)
+        |   AS total_covered_us,
+        |  max(valid_to - us) AS max_interval_us
+        | FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -251,11 +251,36 @@ object OrderStats {
         col("ci") === ci && shiftright(bits, shift).isin(cs.map(_.id): _*)
       }.reduce(_ || _)
 
+    /** Rows belonging to `cells`. Few distinct columns → the literal
+      * predicate above (codegen'd, no join). MANY columns — the
+      * grouped-selection path, where one "column" is one GROUP and
+      * thousands are legitimate — switch to a broadcast LEFT SEMI join
+      * on (ci, bucket): a thousand-disjunct OR tree overflows the
+      * column-conversion stack and chokes CNF conversion, while a
+      * semi-join against a cell-count-sized frame is the plan a
+      * membership test should be at scale anyway.
+      */
+    def memberRows(cells: List[Cell], shift: Int): DataFrame =
+      if (cells.map(_.colIdx).distinct.length <= 64)
+        pairs.where(cellFilter(cells, shift))
+      else {
+        import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+        val spark = pairs.sparkSession
+        val schema = StructType(Seq(StructField("__ci", IntegerType),
+          StructField("__bkt", LongType)))
+        val cdf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            cells.map(c => Row(c.colIdx, c.id)).toIndexedSeq, 1), schema)
+        pairs.join(broadcast(cdf),
+          col("ci") === col("__ci") &&
+            shiftright(bits, shift) === col("__bkt"), "leftsemi")
+      }
+
     /** ONE job resolves every small cell of the current level: fetch
       * (ci, bucket, value) for members, sort per cell on the driver.
       */
     def resolveSmall(cells: List[Cell], shift: Int): Unit = if (cells.nonEmpty) {
-      val rows = pairs.where(cellFilter(cells, shift))
+      val rows = memberRows(cells, shift)
         .select(col("ci"), shiftright(bits, shift).as("bkt"), col("v"))
         .collect()
       val byCell = rows.groupBy(r => (r.getInt(0), r.getLong(1)))
@@ -292,7 +317,7 @@ object OrderStats {
       small = Nil
       if (heavy.nonEmpty) {
         val childShift = math.max(shift - bitsPerLevel, 0)
-        val h = pairs.where(cellFilter(heavy, shift))
+        val h = memberRows(heavy, shift)
           .groupBy(col("ci"), shiftright(bits, childShift).as("bkt"))
           .agg(count(lit(1)).as("c"), min(col("v")).as("mn"), max(col("v")).as("mx"))
           .collect()

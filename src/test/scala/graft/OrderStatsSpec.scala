@@ -134,4 +134,42 @@ class OrderStatsSpec extends SparkSpec {
     assert(out("a") == 2.0)
     assert(out("b").isNaN) // all values invalid -> NaN quantile
   }
+
+  test("groupedQuantiles scales past 64 groups (semi-join membership path)") {
+    import spark.implicits._
+    // 300 groups × 101 values: enough columns that the literal OR-chain
+    // predicate would (before the semi-join path) build a 300-disjunct
+    // tree — the shape that overflowed the column-conversion stack at
+    // 1500 groups in q133
+    val rnd = new scala.util.Random(13)
+    val rows = for { g <- 0 until 300; _ <- 0 until 101 }
+      yield (s"g$g", rnd.nextDouble() * g)
+    val df = rows.toDF("g", "v").repartition(8)
+    val got = OrderStats.groupedQuantiles(df, "g", "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.size === 300)
+    val byG = rows.groupBy(_._1)
+    got.foreach { case (g, v) =>
+      val sorted = byG(g).map(_._2).sorted
+      assert(v == sorted(50), s"group $g: got $v expected ${sorted(50)}")
+    }
+  }
+
+  test("spark's mergeable approx_percentile stays within accuracy of the exact engine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // the documented approximate scale path: approx_percentile's
+    // mergeable sketch (one pass, no selection rounds) vs the exact
+    // distributed selection — relative rank error bounded by 1/accuracy
+    val df = (1 to 20000).map(i => (i.toDouble * 0.5)).toDF("v")
+    val exact = OrderStats.quantilesOf(df, "v", Seq(0.1, 0.5, 0.9))
+    val approx = df.agg(expr(
+      "approx_percentile(v, array(0.1, 0.5, 0.9), 1000)")).head()
+      .getSeq[Double](0)
+    exact.zip(approx).zip(Seq(0.1, 0.5, 0.9)).foreach { case ((e, a), p) =>
+      // rank error ≤ n/accuracy = 20 ranks → value error ≤ 20·0.5 + slack
+      assert(math.abs(e - a) <= 11.0,
+        s"p=$p: approx $a too far from exact $e")
+    }
+  }
 }

@@ -265,6 +265,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment join resolves per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.broadcast
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val out = in.toDF.toDF("ts", "uid", "amount")
+      .join(broadcast(dim), Seq("uid"), "left")
+    val q = out.writeStream.format("memory").queryName("ssj_static")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), 1L, 5.0), (ts(2), 3L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_static").collect()
+        .map(r => (r.getAs[Long]("uid"), Option(r.getAs[String]("tier")))).toSet
+      assert(rows === Set((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops repeated keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
