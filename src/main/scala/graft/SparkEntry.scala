@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{Profiler, Quantiles, Stats}
+import graft.core.{PrefixScan, Profiler, Quantiles, Stats}
 import graft.eval.Metrics
 import graft.features.{FrequencyIndexer, Imputers}
 import graft.score.ZScoreAnomaly
@@ -2206,10 +2206,10 @@ object SparkEntry {
   }
 
   /** F9 — HBOS (histogram-based outlier score) over the lineitem
-    * numerics: per-feature quantile-histogram densities, score =
+    * numerics: per-feature equal-width-histogram densities, score =
     * Σ −log₁₀ density — the linear-time anomaly baseline
     * complementing q132's covariance-aware Mahalanobis. Fit = one
-    * edges pass + ONE conditional-count aggregate; scoring is a
+    * min/max pass + ONE conditional-count aggregate; scoring is a
     * literal when-chain (no join/broadcast/UDF).
     */
   private def qHbos(s: SparkSession, dir: String): DataFrame = {
@@ -2305,6 +2305,190 @@ object SparkEntry {
           col("valid_to") - col("us"))).cast("long").as("total_covered_us"),
         max(col("valid_to") - col("us")).as("max_interval_us"))
       .orderBy("user_id")
+  }
+
+  /** A15b — Welch two-sample t-test (unequal variances): the A/B-test
+    * primitive. Group moments are ONE conditional-aggregate pass
+    * (exact decimal sums per [[Stats]]); t and the Welch–Satterthwaite
+    * df are pure double arithmetic over those moments, expression-
+    * shape-mirrored in the oracle so IEEE rounding agrees bitwise.
+    */
+  private def qWelch(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("g"),
+        col("o_totalprice").cast("double").as("v"))
+      .where(col("g").isin("1-URGENT", "5-LOW"))
+    val ag = o.groupBy("g").agg(count(lit(1)).cast("double").as("n"),
+      Stats.dmean(col("v")).as("m"), Stats.dvarSamp(col("v")).as("s2"))
+    val r = ag.agg(
+      max(when(col("g") === "1-URGENT", col("n"))).as("n1"),
+      max(when(col("g") === "1-URGENT", col("m"))).as("m1"),
+      max(when(col("g") === "1-URGENT", col("s2"))).as("s21"),
+      max(when(col("g") === "5-LOW", col("n"))).as("n2"),
+      max(when(col("g") === "5-LOW", col("m"))).as("m2"),
+      max(when(col("g") === "5-LOW", col("s2"))).as("s22"))
+    val se1 = col("s21") / col("n1")
+    val se2 = col("s22") / col("n2")
+    val se = se1 + se2
+    r.select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+      round(col("m1"), 6).as("mean1"), round(col("m2"), 6).as("mean2"),
+      round((col("m1") - col("m2")) / sqrt(se), 6).as("t_stat"),
+      round(se * se / (se1 * se1 / (col("n1") - lit(1.0)) +
+        se2 * se2 / (col("n2") - lit(1.0))), 6).as("df"))
+  }
+
+  /** A16 — RFM customer segmentation: recency / frequency / monetary
+    * per customer from the order history, each quintile-binned with the
+    * [[graft.features.Discretizer]] exact-quantile machinery (the q108
+    * edge convention — distinct edges, bin = count of edges strictly
+    * below). One groupBy builds the per-customer frame; the fit is one
+    * fused 3-column distributed selection; binning is codegen'd
+    * literal comparisons — no global ntile window anywhere.
+    */
+  private def qRfm(s: SparkSession, dir: String): DataFrame = {
+    import graft.features.Discretizer
+    val per = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        col("o_totalprice").cast("double").as("tp"))
+      .groupBy("o_custkey")
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+        Stats.dsum(col("tp")).as("monetary"))
+    val maxDay = per.agg(max("last_day")).head().getLong(0)
+    val rfm = per.select(col("o_custkey"),
+        (lit(maxDay) - col("last_day")).cast("double").as("recency"),
+        col("freq").cast("double").as("frequency"), col("monetary"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q142", rfm)
+    val m = Discretizer.fitEqualFreq(rfm,
+      Seq("recency", "frequency", "monetary"), 5)
+    m.transform(rfm)
+      .groupBy(col("recency_bin").cast("long").as("r"),
+        col("frequency_bin").cast("long").as("f"),
+        col("monetary_bin").cast("long").as("m"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(Stats.dsum(col("monetary")), 4).as("sum_monetary"))
+      .orderBy("r", "f", "m")
+  }
+
+  /** A17 — Pareto / ABC analysis: parts ranked by revenue, classified
+    * by cumulative share (A ≤ 80%, B ≤ 95%, C rest). The cumulative
+    * sum is the distributed two-phase [[PrefixScan]] — no
+    * single-partition window — over exact integer cents, and the class
+    * boundaries are pure integer comparisons (incl·5 ≤ tot·4), so
+    * revenue ties cannot flip the per-class aggregates and no floating
+    * comparison can diverge cross-engine.
+    */
+  private def qPareto(s: SparkSession, dir: String): DataFrame = {
+    val pr = li(s, dir)
+      .select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100) AS LONG)").as("cents"))
+      .groupBy("l_partkey").agg(sum("cents").as("cents"))
+      .select(col("cents"), (-col("cents")).as("neg"))
+    val (scanned, totals) = PrefixScan.exclusive(pr, "neg", Seq("cents"), "q143")
+    val tot = totals(0)
+    val incl = col("cum_cents_below") + col("cents")
+    scanned.select(col("cents"),
+        when(incl * 5 <= tot * 4L, "A")
+          .when(incl * 20 <= tot * 19L, "B").otherwise("C").as("cls"))
+      .groupBy("cls").agg(count(lit(1)).as("n_parts"),
+        sum(col("cents")).as("revenue_cents"),
+        round(sum(col("cents")).cast("double") / lit(tot.toDouble), 6)
+          .as("rev_share"))
+      .orderBy("cls")
+  }
+
+  /** A18 — market-basket association rules over brands co-occurring in
+    * an order: support / confidence / lift for each brand pair. The
+    * (order, brand) incidence deduplicates first (one shuffle, rows
+    * bounded by orders × brands-per-order); the pair join shuffles on
+    * the order key with per-key width bounded by the brand alphabet;
+    * the part dim and the single-brand counts broadcast.
+    */
+  private def qBasket(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val ob = li(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q144", ob)
+    val nOrders = ob.select("ok").distinct().count()
+    val singles = ob.groupBy("b").agg(count(lit(1)).as("nb"))
+    val pairs = ob.toDF("ok", "b1")
+      .join(ob.toDF("ok2", "b2"), col("ok") === col("ok2") && col("b1") < col("b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("n_pair"))
+    pairs.join(broadcast(singles.toDF("b1", "n1")), "b1")
+      .join(broadcast(singles.toDF("b2", "n2")), "b2")
+      .where(col("n_pair") >= 5)
+      .select(col("b1"), col("b2"), col("n_pair"),
+        round(col("n_pair").cast("double") / lit(nOrders.toDouble), 6)
+          .as("support"),
+        round(col("n_pair").cast("double") / col("n1").cast("double"), 6)
+          .as("confidence"),
+        round(col("n_pair").cast("double") * lit(nOrders.toDouble) /
+          (col("n1").cast("double") * col("n2").cast("double")), 6).as("lift"))
+      .orderBy("b1", "b2")
+  }
+
+  /** W15 — autocorrelation function of the daily event-count series at
+    * calendar lags 1..7. The heavy stage is the distributed daily
+    * aggregate; the series itself is bounded by distinct days, so the
+    * mean/denominator scalars and the lag equi-join run on a tiny
+    * persisted frame. Deviation products are decimal-summed
+    * (order-independent) per the [[Stats]] convention.
+    */
+  private def qAcf(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q145", daily)
+    val mu = daily.agg(Stats.dmean(col("c").cast("double"))).head().getDouble(0)
+    val dev = daily.select(col("d"), (col("c").cast("double") - lit(mu)).as("x"))
+    val denom = dev.agg(Stats.dsum(col("x") * col("x"))).head().getDouble(0)
+    dev.select(col("d"), col("x"),
+        explode(array((1 to 7).map(i => lit(i)): _*)).as("k"))
+      .join(dev.toDF("d2", "y"), col("d2") === col("d") + col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_pairs"),
+        round(Stats.dsum(col("x") * col("y")) / lit(denom), 6).as("acf"))
+      .orderBy("k")
+  }
+
+  /** A19 — Jensen–Shannon divergence between the price distributions of
+    * two segments over shared pooled-decile bins: the symmetric,
+    * bounded drift measure complementing PSI (q63) and KS (q64). Edges
+    * come from one exact distributed selection; per-(bin, group) counts
+    * are ONE conditional aggregate; the ~10 ln-terms decimal-sum per
+    * the q96 convention (`ln` of identical doubles is libm-identical).
+    */
+  private def qJsDiv(s: SparkSession, dir: String): DataFrame = {
+    val base = li(s, dir).where(col("l_returnflag").isin("R", "N"))
+      .select(col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q146", base)
+    val edges = Quantiles.exactQuantiles(base, "v",
+      (1 until 10).map(_.toDouble / 10)).distinct
+    val bin = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col("v") > lit(e), 1).otherwise(0)
+    }
+    val cnt = base.groupBy(bin.as("bin")).agg(
+      count(when(col("g") === "R", 1)).as("na"),
+      count(when(col("g") === "N", 1)).as("nb"))
+    val tot = cnt.agg(sum("na").as("ta"), sum("nb").as("tb"))
+    val terms = cnt.crossJoin(tot)
+      .select((col("na").cast("double") / col("ta").cast("double")).as("p"),
+        (col("nb").cast("double") / col("tb").cast("double")).as("q"))
+      .select(col("p"), col("q"), ((col("p") + col("q")) * 0.5).as("m"))
+      .select(
+        when(col("p") > 0, col("p") * log(col("p") / col("m")))
+          .otherwise(0.0).as("tp"),
+        when(col("q") > 0, col("q") * log(col("q") / col("m")))
+          .otherwise(0.0).as("tq"))
+    terms.agg(count(lit(1)).as("n_bins"),
+      round((Stats.dsum(col("tp")) + Stats.dsum(col("tq"))) * 0.5, 6)
+        .as("js_divergence"))
   }
 
   // ----------------------------------------------------------------- //
@@ -2457,7 +2641,13 @@ object SparkEntry {
     "q137_seasonal_resid" -> (qSeasonalResid _),
     "q138_transitions" -> (qTransitions _),
     "q139_sliding_dau" -> (qSlidingDau _),
-    "q140_scd2" -> (qScd2 _)
+    "q140_scd2" -> (qScd2 _),
+    "q141_welch_ttest" -> (qWelch _),
+    "q142_rfm" -> (qRfm _),
+    "q143_pareto" -> (qPareto _),
+    "q144_basket_pairs" -> (qBasket _),
+    "q145_acf" -> (qAcf _),
+    "q146_js_div" -> (qJsDiv _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -4041,9 +4231,8 @@ object SparkEntry {
         | ORDER BY cohort_wk, week_offset""".stripMargin.replaceAll("\n", " "),
     "q136_hbos" -> {
       val cols = lineitemNumerics
-      val ps = (1 until 10).map(_.toDouble / 10).mkString("[", ", ", "]")
       val eCtes = cols.zipWithIndex.map { case (c, i) =>
-        s"e$i AS (SELECT DISTINCT edge FROM (SELECT unnest(quantile_cont(CAST($c AS DOUBLE), $ps)) AS edge FROM lineitem))"
+        s"e$i AS (SELECT DISTINCT mn + (mx - mn) / 10 * i AS edge FROM (SELECT min(CAST($c AS DOUBLE)) AS mn, max(CAST($c AS DOUBLE)) AS mx FROM lineitem), (SELECT unnest(generate_series(1, 9)) AS i))"
       }
       val bCtes = cols.zipWithIndex.map { case (c, i) =>
         s"b$i AS (SELECT (SELECT count(*) FROM e$i WHERE CAST(l.$c AS DOUBLE) > e$i.edge) AS bin, count(*) AS nb FROM lineitem l GROUP BY 1)"
@@ -4107,6 +4296,115 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN valid_to IS NOT NULL THEN valid_to - us END) AS BIGINT)
         |   AS total_covered_us,
         |  max(valid_to - us) AS max_interval_us
-        | FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin.replaceAll("\n", " ")
+        | FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin.replaceAll("\n", " "),
+    "q141_welch_ttest" -> {
+      val se = "(s21/n1 + s22/n2)"
+      s"""WITH o AS (SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+         |   FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         | a AS (SELECT g, CAST(count(*) AS DOUBLE) AS n,
+         |   ${Stats.Sql.dmean("v")} AS m, ${Stats.Sql.dvarSamp("v")} AS s2
+         |   FROM o GROUP BY g),
+         | w AS (SELECT
+         |   max(CASE WHEN g = '1-URGENT' THEN n END) AS n1,
+         |   max(CASE WHEN g = '1-URGENT' THEN m END) AS m1,
+         |   max(CASE WHEN g = '1-URGENT' THEN s2 END) AS s21,
+         |   max(CASE WHEN g = '5-LOW' THEN n END) AS n2,
+         |   max(CASE WHEN g = '5-LOW' THEN m END) AS m2,
+         |   max(CASE WHEN g = '5-LOW' THEN s2 END) AS s22 FROM a)
+         | SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+         |  round((m1 - m2) / sqrt$se, 6) AS t_stat,
+         |  round($se * $se / ((s21/n1) * (s21/n1) / (n1 - 1.0) +
+         |    (s22/n2) * (s22/n2) / (n2 - 1.0)), 6) AS df
+         | FROM w""".stripMargin.replaceAll("\n", " ")
+    },
+    "q142_rfm" -> {
+      val ps = "[0.2, 0.4, 0.6, 0.8]"
+      s"""WITH per AS (SELECT o_custkey,
+         |   max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+         |   count(*) AS freq,
+         |   ${dsumSql("CAST(o_totalprice AS DOUBLE)")} AS monetary
+         |  FROM orders GROUP BY o_custkey),
+         | mx AS (SELECT max(last_day) AS md FROM per),
+         | rfm AS (SELECT CAST(md - last_day AS DOUBLE) AS recency,
+         |   CAST(freq AS DOUBLE) AS frequency, monetary FROM per, mx),
+         | er AS (SELECT DISTINCT edge FROM
+         |   (SELECT unnest(quantile_cont(recency, $ps)) AS edge FROM rfm)),
+         | ef AS (SELECT DISTINCT edge FROM
+         |   (SELECT unnest(quantile_cont(frequency, $ps)) AS edge FROM rfm)),
+         | em AS (SELECT DISTINCT edge FROM
+         |   (SELECT unnest(quantile_cont(monetary, $ps)) AS edge FROM rfm)),
+         | b AS (SELECT
+         |   (SELECT count(*) FROM er WHERE rfm.recency > er.edge) AS r,
+         |   (SELECT count(*) FROM ef WHERE rfm.frequency > ef.edge) AS f,
+         |   (SELECT count(*) FROM em WHERE rfm.monetary > em.edge) AS m,
+         |   monetary FROM rfm)
+         | SELECT r, f, m, count(*) AS n_customers,
+         |  round(${dsumSql("monetary")}, 4) AS sum_monetary
+         | FROM b GROUP BY r, f, m ORDER BY r, f, m""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q143_pareto" ->
+      """WITH pr AS (SELECT l_partkey,
+        |   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY l_partkey),
+        | t AS (SELECT sum(cents) AS tot FROM pr),
+        | c AS (SELECT cents,
+        |   sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS incl FROM pr),
+        | k AS (SELECT cents, tot,
+        |   CASE WHEN incl * 5 <= tot * 4 THEN 'A'
+        |        WHEN incl * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS cls
+        |  FROM c, t)
+        | SELECT cls, count(*) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |  round(CAST(sum(cents) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6) AS rev_share
+        | FROM k GROUP BY cls ORDER BY cls""".stripMargin.replaceAll("\n", " "),
+    "q144_basket_pairs" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |   FROM lineitem JOIN part ON l_partkey = p_partkey),
+        | no AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n FROM ob),
+        | s AS (SELECT b, count(*) AS nb FROM ob GROUP BY b),
+        | pr AS (SELECT x.b AS b1, y.b AS b2, count(*) AS n_pair
+        |   FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b GROUP BY x.b, y.b)
+        | SELECT b1, b2, n_pair,
+        |  round(CAST(n_pair AS DOUBLE) / n, 6) AS support,
+        |  round(CAST(n_pair AS DOUBLE) / CAST(s1.nb AS DOUBLE), 6) AS confidence,
+        |  round(CAST(n_pair AS DOUBLE) * n /
+        |    (CAST(s1.nb AS DOUBLE) * CAST(s2.nb AS DOUBLE)), 6) AS lift
+        | FROM pr JOIN s s1 ON pr.b1 = s1.b JOIN s s2 ON pr.b2 = s2.b
+        | CROSS JOIN no WHERE n_pair >= 5
+        | ORDER BY b1, b2""".stripMargin.replaceAll("\n", " "),
+    "q145_acf" ->
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS c
+         |   FROM events GROUP BY 1),
+         | m AS (SELECT ${Stats.Sql.dmean("CAST(c AS DOUBLE)")} AS mu FROM daily),
+         | dev AS (SELECT d, CAST(c AS DOUBLE) - mu AS x FROM daily, m),
+         | dn AS (SELECT ${dsumSql("x * x")} AS denom FROM dev),
+         | ks AS (SELECT CAST(unnest(generate_series(1, 7)) AS INT) AS k)
+         | SELECT k, count(*) AS n_pairs,
+         |  round(${dsumSql("a.x * b.x")} / max(denom), 6) AS acf
+         | FROM dev a CROSS JOIN ks JOIN dev b ON b.d = a.d + k CROSS JOIN dn
+         | GROUP BY k ORDER BY k""".stripMargin.replaceAll("\n", " "),
+    "q146_js_div" -> {
+      val ps = (1 until 10).map(_.toDouble / 10).mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+         |   FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+         | ed AS (SELECT DISTINCT edge FROM
+         |   (SELECT unnest(quantile_cont(v, $ps)) AS edge FROM b)),
+         | bn AS (SELECT (SELECT count(*) FROM ed WHERE b.v > ed.edge) AS bin,
+         |   count(CASE WHEN g = 'R' THEN 1 END) AS na,
+         |   count(CASE WHEN g = 'N' THEN 1 END) AS nb
+         |  FROM b GROUP BY 1),
+         | t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM bn),
+         | pq AS (SELECT CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
+         |   CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) AS q FROM bn, t),
+         | mm AS (SELECT p, q, (p + q) * 0.5 AS m FROM pq),
+         | tm AS (SELECT
+         |   CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0.0 END AS tp,
+         |   CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0.0 END AS tq FROM mm)
+         | SELECT count(*) AS n_bins,
+         |  round((${dsumSql("tp")} + ${dsumSql("tq")}) * 0.5, 6) AS js_divergence
+         | FROM tm""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

@@ -11,8 +11,14 @@ import org.apache.spark.sql.types.DoubleType
   * the price of linear scaling, complementary to [[Mahalanobis]] which
   * models the covariance HBOS ignores).
   *
-  * Scale shape: fit is one exact-quantile pass per feature for edges
-  * (distinct-edge convention — tied quantiles collapse) plus ONE
+  * Bins are EQUAL-WIDTH (the paper's static variant): with
+  * equal-frequency (quantile) bins every bin holds ~n/k rows, the
+  * densities flatten to 1/k and the score carries no signal — the
+  * histogram must vary in occupancy for an outlier to stand out.
+  * Degenerate (min = max) features collapse to one bin and contribute
+  * a constant 0 to every score.
+  *
+  * Scale shape: fit is ONE min/max aggregate for the edges plus ONE
   * aggregate computing every (feature, bin) count as a conditional
   * count cell — features × bins mergeable slots in a single map-side-
   * combined pass. Scoring is a literal-folded when-chain per feature:
@@ -41,9 +47,18 @@ object Hbos {
 
   def fit(df: DataFrame, cols: Seq[String], bins: Int = 10): Model = {
     require(bins >= 2, s"hbos needs at least 2 bins: $bins")
-    val ps = (1 until bins).map(_.toDouble / bins)
-    val edges = cols.map(c =>
-      graft.core.Quantiles.exactQuantiles(df, c, ps).distinct)
+    val mmAggs = cols.flatMap(c => Seq(
+      min(col(c).cast(DoubleType)).as(s"mn_$c"),
+      max(col(c).cast(DoubleType)).as(s"mx_$c")))
+    val mm = df.agg(mmAggs.head, mmAggs.tail: _*).head()
+    val edges = cols.map { c =>
+      val mn = mm.getAs[Double](s"mn_$c")
+      val mx = mm.getAs[Double](s"mx_$c")
+      if (!(mx > mn)) Seq.empty[Double]
+      // left-assoc (mx-mn)/bins*i — the Discretizer.fitEqualWidth IEEE
+      // op sequence, bitwise-matched by the oracle's (mx - mn) / k * i
+      else (1 until bins).map(i => mn + (mx - mn) / bins * i).distinct
+    }
     def binOf(c: String, es: Seq[Double]): Column =
       es.foldLeft(lit(0)) { (acc, e) =>
         acc + when(col(c).cast(DoubleType) > lit(e), 1).otherwise(0)
