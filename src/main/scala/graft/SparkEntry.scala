@@ -2491,6 +2491,101 @@ object SparkEntry {
         .as("js_divergence"))
   }
 
+  /** A20 — exact heavy hitters over document languages with a Misra–Gries
+    * candidate prune ([[graft.core.HeavyHitters]]): one map-only
+    * sketch pass emits ≤ k keys per partition, one recount pass counts
+    * only candidates (everything else folds into an overflow bucket) —
+    * at 100 TB of a high-cardinality key the shuffle carries the
+    * candidate set, not one partial per distinct item. The exact
+    * recount makes the output independent of the sketch's
+    * order-sensitivity.
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.core.HeavyHitters.exact(doc(s, dir).select(col("lang")), "lang", 5)
+      .withColumnRenamed("item", "lang")
+  }
+
+  /** G1 — weighted PageRank over the nation trade graph (customer
+    * nation → supplier nation, weighted by lineitem count). The edge
+    * aggregation is the heavy distributed stage; the power iteration
+    * ([[PageRank]]) is narrow joins + decimal-summed aggregates, and
+    * the oracle unrolls the same ten iterations as generated CTEs.
+    */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val l = li(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val sup = Tables.load(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val r = graft.core.PageRank.run(edges, d = 0.85, iters = 10, cacheKey = "q148")
+    val nat = Tables.load(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    r.join(broadcast(nat), col("node") === col("n_nationkey"))
+      .select(col("n_name"), round(col("r"), 6).as("pr"))
+      .orderBy("n_name")
+  }
+
+  /** W16 — Kaplan–Meier survival curve for time-to-purchase: per user,
+    * duration (days) from first event to first purchase, censored at
+    * the corpus horizon when no purchase occurs. The per-user
+    * reduction is the distributed stage; at-risk counts and the
+    * cumulative ln-product run on the duration table (bounded by
+    * distinct day values), with ln terms decimal-summed per the q96
+    * convention and a full-death guard (d = n ⇒ S = 0 thereafter).
+    */
+  private def qKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, dir).select(col("user_id"),
+      expr("ts div 1000").as("us"), col("event_type"))
+    val maxUs = e.agg(max("us")).head().getLong(0)
+    val per = e.groupBy("user_id").agg(min("us").as("first_us"),
+      min(when(col("event_type") === "purchase", col("us"))).as("p_us"))
+    val tbl = per
+      .select(expr(s"(coalesce(p_us, ${maxUs}) - first_us) div 86400000000").as("t"),
+        when(col("p_us").isNotNull, 1L).otherwise(0L).as("died"))
+      .groupBy("t").agg(sum("died").as("d"), count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q149", tbl)
+    val tot = tbl.agg(sum("c")).head().getLong(0)
+    val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val wInc = Window.orderBy("t")
+    val ar = tbl.withColumn("n_at_risk",
+      lit(tot) - coalesce(sum("c").over(wPrev), lit(0L)))
+    val term = when(col("d") < col("n_at_risk"),
+      log(lit(1.0) - col("d").cast("double") / col("n_at_risk").cast("double"))
+        .cast(DecimalType(38, 18)))
+    val zf = when(col("d") >= col("n_at_risk"), 1).otherwise(0)
+    ar.withColumn("zcum", max(zf).over(wInc))
+      .withColumn("cum", sum(term).over(wInc))
+      .where(col("d") > 0)
+      .select(col("t"), col("n_at_risk"), col("d"),
+        round(when(col("zcum") === 1, lit(0.0))
+          .otherwise(exp(col("cum").cast("double"))), 6).as("survival"))
+      .orderBy("t")
+  }
+
+  /** W17 — top first-5-event-type paths: the user-journey summary.
+    * One key shuffle ranks events per user; paths assemble via
+    * order-preserving array_sort over (rank, type) structs — no
+    * unordered collect_list dependence — and the bounded path strings
+    * aggregate map-side.
+    */
+  private def qEventPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    ev(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"), col("event_type"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type), '>')").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), col("path"))
+      .limit(20)
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -2647,7 +2742,11 @@ object SparkEntry {
     "q143_pareto" -> (qPareto _),
     "q144_basket_pairs" -> (qBasket _),
     "q145_acf" -> (qAcf _),
-    "q146_js_div" -> (qJsDiv _)
+    "q146_js_div" -> (qJsDiv _),
+    "q147_heavy_hitters" -> (qHeavyHitters _),
+    "q148_pagerank" -> (qPageRank _),
+    "q149_kaplan_meier" -> (qKaplanMeier _),
+    "q150_event_paths" -> (qEventPaths _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -4405,6 +4504,67 @@ object SparkEntry {
          | SELECT count(*) AS n_bins,
          |  round((${dsumSql("tp")} + ${dsumSql("tq")}) * 0.5, 6) AS js_divergence
          | FROM tm""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    "q147_heavy_hitters" ->
+      """WITH t AS (SELECT count(*) AS n FROM documents),
+        | g AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
+        | SELECT lang, cnt,
+        |  round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share
+        | FROM g, t WHERE cnt * 5 > n ORDER BY lang""".stripMargin
+        .replaceAll("\n", " "),
+    "q148_pagerank" -> {
+      val d = "CAST(0.85 AS DOUBLE)"
+      val iterCtes = (1 to 10).map { t =>
+        s"r$t AS (SELECT n.node, (CAST(1.0 AS DOUBLE) - $d) / nn + $d * coalesce(c.s, CAST(0.0 AS DOUBLE)) AS r FROM nodes n CROSS JOIN nc LEFT JOIN (SELECT e.dst AS cnode, ${dsumSql("r.r * CAST(e.w AS DOUBLE) / CAST(e.outw AS DOUBLE)")} AS s FROM e JOIN r${t - 1} r ON e.src = r.node GROUP BY e.dst) c ON n.node = c.cnode)"
+      }
+      s"""WITH base AS (SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+         |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |   JOIN customer ON o_custkey = c_custkey
+         |   JOIN supplier ON l_suppkey = s_suppkey
+         |   GROUP BY c_nationkey, s_nationkey),
+         | ow AS (SELECT src, sum(w) AS outw FROM base GROUP BY src),
+         | e AS (SELECT base.src, base.dst, base.w, ow.outw
+         |   FROM base JOIN ow ON base.src = ow.src),
+         | nodes AS (SELECT src AS node FROM base UNION SELECT dst FROM base),
+         | nc AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+         | r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn AS r
+         |   FROM nodes CROSS JOIN nc),
+         | ${iterCtes.mkString(", ")}
+         | SELECT n_name, round(r.r, 6) AS pr
+         | FROM r10 r JOIN nation ON r.node = n_nationkey
+         | ORDER BY n_name""".stripMargin.replaceAll("\n", " ")
+    },
+    "q149_kaplan_meier" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        | mx AS (SELECT max(us) AS mu FROM e),
+        | per AS (SELECT user_id, min(us) AS first_us,
+        |   min(CASE WHEN event_type = 'purchase' THEN us END) AS p_us
+        |  FROM e GROUP BY user_id),
+        | dd AS (SELECT (coalesce(p_us, mu) - first_us) // 86400000000 AS t,
+        |   CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS died FROM per, mx),
+        | tb AS (SELECT t, sum(died) AS d, count(*) AS c FROM dd GROUP BY t),
+        | tt AS (SELECT sum(c) AS tot FROM tb),
+        | ar AS (SELECT t, d, c, tot - coalesce(sum(c) OVER
+        |   (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS n_at_risk FROM tb, tt),
+        | tm AS (SELECT t, d, n_at_risk,
+        |   CASE WHEN d < n_at_risk THEN CAST(ln(CAST(1.0 AS DOUBLE) -
+        |     CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)) AS DECIMAL(38,18)) END AS term,
+        |   CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS zf FROM ar),
+        | sv AS (SELECT t, d, n_at_risk, max(zf) OVER (ORDER BY t) AS zcum,
+        |   sum(term) OVER (ORDER BY t) AS cum FROM tm)
+        | SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, CAST(d AS BIGINT) AS d,
+        |  round(CASE WHEN zcum = 1 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE exp(CAST(cum AS DOUBLE)) END, 6) AS survival
+        | FROM sv WHERE d > 0 ORDER BY t""".stripMargin.replaceAll("\n", " "),
+    "q150_event_paths" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY epoch_us(ts), event_id) AS rn FROM events),
+        | p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |   FROM e WHERE rn <= 5 GROUP BY user_id)
+        | SELECT path, count(*) AS n_users FROM p GROUP BY path
+        | ORDER BY n_users DESC, path LIMIT 20""".stripMargin
+        .replaceAll("\n", " ")
   )
 }

@@ -1,0 +1,52 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank by DataFrame power iteration.
+  *
+  * Each iteration is two narrow-key operations: an equi-join of the
+  * edge table with the current rank vector on the source, and one
+  * grouped aggregate on the destination — the shape that scales to
+  * billions of edges (ranks and edge endpoints shuffle; no adjacency
+  * ever collects to the driver). Contributions accumulate through
+  * [[Stats.dsum]] (exact decimal, partition-order-independent), so
+  * ranks are bitwise reproducible and oracle-comparable.
+  *
+  * Every iteration `localCheckpoint(true)`s the 1-row-per-node rank
+  * frame: iterative self-referential lineage otherwise grows
+  * exponentially and the PLANNING itself blows up (the label-
+  * propagation lesson — persist() does not truncate the plan).
+  *
+  * Dangling nodes (no out-edges) simply leak their mass — the plain
+  * power-iteration convention, applied identically by the SQL oracle;
+  * nodes with no in-edges settle at (1−d)/N.
+  */
+object PageRank {
+
+  /** edges: (src, dst, w) with long weights; returns (node, r). */
+  def run(edges: DataFrame, d: Double = 0.85, iters: Int = 10,
+          cacheKey: String = "pagerank"): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = edges
+      .join(edges.groupBy("src").agg(sum("w").as("outw")), "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Caches.retain(cacheKey, nodes, e)
+    val nN = nodes.count()
+    var r = nodes.select(col("node"), lit(1.0 / nN).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .groupBy(e("dst").as("cnode"))
+        .agg(Stats.dsum(col("r") * col("w").cast("double") /
+          col("outw").cast("double")).as("s"))
+      r = nodes.join(contrib, col("node") === col("cnode"), "left")
+        .select(col("node"), (lit((1.0 - d) / nN) +
+          lit(d) * coalesce(col("s"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+}
