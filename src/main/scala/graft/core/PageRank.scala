@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * [[Stats.dsum]] (exact decimal, partition-order-independent), so
   * ranks are bitwise reproducible and oracle-comparable.
   *
-  * Every iteration `localCheckpoint(true)`s the 1-row-per-node rank
-  * frame: iterative self-referential lineage otherwise grows
-  * exponentially and the PLANNING itself blows up (the label-
-  * propagation lesson — persist() does not truncate the plan).
+  * Every third iteration `localCheckpoint(true)`s the 1-row-per-node
+  * rank frame: iterative lineage otherwise grows without bound and the
+  * PLANNING itself blows up (the label-propagation lesson — persist()
+  * does not truncate the plan). Checkpointing each iteration would be
+  * safe but pays a blocking materialization per step; every third
+  * bounds the un-truncated depth at 3 joins while trimming ~2/3 of
+  * that overhead (A/B'd at sf0.1).
   *
   * Dangling nodes (no out-edges) simply leak their mass — the plain
   * power-iteration convention, applied identically by the SQL oracle;
@@ -37,7 +40,7 @@ object PageRank {
     val nN = nodes.count()
     var r = nodes.select(col("node"), lit(1.0 / nN).as("r"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e.join(r, e("src") === r("node"))
         .groupBy(e("dst").as("cnode"))
         .agg(Stats.dsum(col("r") * col("w").cast("double") /
@@ -45,7 +48,7 @@ object PageRank {
       r = nodes.join(contrib, col("node") === col("cnode"), "left")
         .select(col("node"), (lit((1.0 - d) / nN) +
           lit(d) * coalesce(col("s"), lit(0.0))).as("r"))
-        .localCheckpoint(true)
+      if (i % 3 == 0 || i == iters) r = r.localCheckpoint(true)
     }
     r
   }
