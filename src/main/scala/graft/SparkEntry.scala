@@ -2586,6 +2586,193 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** A21 — trimmed + winsorized mean of extended price at the 10/90
+    * fences: the robust-location twins (drop the tails vs clamp them).
+    * Edges come from one exact distributed selection; both means are
+    * conditional decimal aggregates in ONE pass.
+    */
+  private def qTrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    val base = li(s, dir).select(col("l_extendedprice").cast("double").as("v"))
+    val qs = Quantiles.exactQuantiles(base, "v", Seq(0.1, 0.9))
+    val (p10, p90) = (qs(0), qs(1))
+    val v = col("v")
+    val kept = when(v >= p10 && v <= p90, v)
+    val wins = when(v < p10, lit(p10)).when(v > p90, lit(p90)).otherwise(v)
+    base.agg(count(lit(1)).as("n"),
+      count(kept).as("n_kept"),
+      round(Stats.dmean(kept), 6).as("trimmed_mean"),
+      round(Stats.dmean(wins), 6).as("winsorized_mean"))
+  }
+
+  /** A22 — Mann–Whitney U (rank-sum) test between two order-priority
+    * groups: the nonparametric twin of q141's Welch t. Ranks are the
+    * distributed average-tie ranks of [[Rank.avgRank]] (no global
+    * window); the tie-corrected normal approximation runs on exact
+    * decimal rank sums.
+    */
+  private def qMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("g"),
+        col("o_totalprice").cast("double").as("v"))
+      .where(col("g").isin("1-URGENT", "5-LOW"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q152", o)
+    val ranked = graft.core.Rank.avgRank(o, "v", "rk", "q152_rank")
+    val ag = ranked.agg(
+      count(when(col("g") === "1-URGENT", 1)).cast("double").as("n1"),
+      count(when(col("g") === "5-LOW", 1)).cast("double").as("n2"),
+      Stats.dsum(when(col("g") === "1-URGENT", col("rk"))).as("r1"))
+    val t = col("t").cast("double")
+    val tc = o.groupBy("v").agg(count(lit(1)).as("t"))
+      .agg(Stats.dsum(t * t * t - t).as("tsum"))
+    val n = col("n1") + col("n2")
+    val u1 = col("r1") - col("n1") * (col("n1") + lit(1.0)) / lit(2.0)
+    val sigma = sqrt(col("n1") * col("n2") / lit(12.0) *
+      ((n + lit(1.0)) - col("tsum") / (n * (n - lit(1.0)))))
+    ag.crossJoin(tc).select(
+      col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+      round(u1, 4).as("u1"),
+      round((u1 - col("n1") * col("n2") / lit(2.0)) / sigma, 6).as("z"))
+  }
+
+  /** A23 — two-proportion z-test on conversion (did the user purchase
+    * at least twice — "ever purchased" saturates at ~1 in this data and
+    * the pooled variance degenerates) between the even/odd user-id
+    * cohorts: the categorical A/B primitive. One per-user reduction,
+    * one conditional aggregate, pooled-variance z in mirrored double
+    * arithmetic, null z when the pooled proportion is degenerate.
+    */
+  private def qPropZtest(s: SparkSession, dir: String): DataFrame = {
+    val per = ev(s, dir).groupBy("user_id")
+      .agg(when(sum(when(col("event_type") === "purchase", 1).otherwise(0))
+        .geq(2), 1).otherwise(0).as("conv"))
+      .select((col("user_id") % 2 === 0).as("a"), col("conv"))
+    val ag = per.agg(
+      count(when(col("a"), 1)).cast("double").as("n1"),
+      count(when(!col("a"), 1)).cast("double").as("n2"),
+      sum(when(col("a"), col("conv"))).cast("double").as("x1"),
+      sum(when(!col("a"), col("conv"))).cast("double").as("x2"))
+    val p1 = col("x1") / col("n1")
+    val p2 = col("x2") / col("n2")
+    val pp = (col("x1") + col("x2")) / (col("n1") + col("n2"))
+    ag.select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+      col("x1").cast("long").as("conv1"), col("x2").cast("long").as("conv2"),
+      round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+      round(when(pp > 0.0 && pp < 1.0,
+        (p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n1") + lit(1.0) / col("n2")))), 6).as("z"))
+  }
+
+  /** W18 — classical seasonal decomposition of the daily event-count
+    * series: trend = centered 7-row moving average (complete windows
+    * only), seasonal = day-of-week mean of the detrended series,
+    * residual = remainder. The distributed stage is the daily
+    * aggregate; the decomposition runs on the bounded day table. Both
+    * engines apply identical ROWS-window semantics, so parity holds
+    * even across calendar gaps.
+    */
+  private def qSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev(s, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q154", daily)
+    val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    val dt = daily
+      .withColumn("trend", when(count(lit(1)).over(w7) === 7,
+        sum("c").over(w7).cast("double") / lit(7.0)))
+      .withColumn("detr", col("c").cast("double") - col("trend"))
+      .withColumn("dow", (col("d") + 4) % 7)
+    val se = dt.groupBy("dow").agg(Stats.dmean(col("detr")).as("seasonal"))
+    dt.join(broadcast(se), "dow")
+      .select(col("d"), col("c"), round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("detr") - col("seasonal"), 6).as("resid"))
+      .orderBy("d")
+  }
+
+  /** F10 — quantile normalization of three lineitem measures onto
+    * their consensus distribution (the cross-sample calibration step
+    * from genomics, applied as feature prep): each column's sorted
+    * values align by position via the distributed [[PrefixScan]] (no
+    * global row_number window), the target is the positionwise mean,
+    * and each column reports its correlation with — and mean absolute
+    * deviation from — the consensus. Tied positions swap freely but
+    * carry equal values, so every output is tie-order invariant.
+    */
+  private def qQuantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val tabs = cols.zipWithIndex.map { case (c, i) =>
+      val base = li(s, dir).select(col(c).cast("double").as(s"v$i"),
+        lit(1L).as("one"))
+      val (scanned, _) = PrefixScan.exclusive(base, s"v$i", Seq("one"), s"q155_$i")
+      scanned.select(col("cum_one_below").as("pos"), col(s"v$i"))
+    }
+    val t = tabs(0).join(tabs(1), "pos").join(tabs(2), "pos")
+      .withColumn("tg", (col("v0") + col("v1") + col("v2")) / lit(3.0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q155", t)
+    val aggs = cols.indices.flatMap { i =>
+      val x = col(s"v$i"); val y = col("tg")
+      Seq(Stats.dsum(x).as(s"sx_$i"), Stats.dsum(x * x).as(s"sxx_$i"),
+        Stats.dsum(x * y).as(s"sxy_$i"),
+        Stats.dsum(abs(x - y)).as(s"sad_$i"))
+    } ++ Seq(Stats.dsum(col("tg")).as("sy"),
+      Stats.dsum(col("tg") * col("tg")).as("syy"),
+      count(lit(1)).cast("double").as("n"))
+    val m = t.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      val n = col("n")
+      val vx = n * col(s"sxx_$i") - col(s"sx_$i") * col(s"sx_$i")
+      val vy = n * col("syy") - col("sy") * col("sy")
+      val num = n * col(s"sxy_$i") - col(s"sx_$i") * col("sy")
+      struct(lit(c).as("column_name"),
+        round(num / (sqrt(vx) * sqrt(vy)), 6).as("corr_consensus"),
+        round(col(s"sad_$i") / n, 6).as("mad_consensus"))
+    }
+    m.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.column_name"), col("p.corr_consensus"),
+        col("p.mad_consensus"))
+      .orderBy("column_name")
+  }
+
+  /** G2 — triangle census of the brand co-occurrence graph (edges =
+    * brand pairs sharing ≥ 5 orders, from the q144 incidence): global
+    * clustering coefficient = 3·triangles / connected triples. The
+    * oriented (b1 < b2) edge list makes each triangle count exactly
+    * once; the census is two equi-joins over the persisted edge table
+    * and the triple count is pure integer degree arithmetic.
+    */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val ob = li(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+    val e = ob.toDF("ok", "b1")
+      .join(ob.toDF("ok2", "b2"), col("ok") === col("ok2") && col("b1") < col("b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("np"))
+      .where(col("np") >= 5).select("b1", "b2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q156", e)
+    val deg = e.select(col("b1").as("b")).union(e.select(col("b2").as("b")))
+      .groupBy("b").agg(count(lit(1)).as("dg"))
+    val triples = deg.agg(sum(col("dg") * (col("dg") - 1) / 2).as("triples"))
+    val tri = e.toDF("x", "y")
+      .join(e.toDF("y", "z2").withColumnRenamed("y", "y2"),
+        col("y") === col("y2"))
+      .join(e.toDF("x3", "z3"),
+        col("x") === col("x3") && col("z2") === col("z3"))
+      .agg(count(lit(1)).as("tri"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    ne.crossJoin(tri).crossJoin(triples)
+      .select(col("n_edges"), col("tri").as("n_triangles"),
+        col("triples").cast("long").as("n_triples"),
+        round(lit(3.0) * col("tri").cast("double") /
+          col("triples").cast("double"), 6).as("clustering_coef"))
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -2746,7 +2933,13 @@ object SparkEntry {
     "q147_heavy_hitters" -> (qHeavyHitters _),
     "q148_pagerank" -> (qPageRank _),
     "q149_kaplan_meier" -> (qKaplanMeier _),
-    "q150_event_paths" -> (qEventPaths _)
+    "q150_event_paths" -> (qEventPaths _),
+    "q151_trimmed_mean" -> (qTrimmedMean _),
+    "q152_mannwhitney" -> (qMannWhitney _),
+    "q153_prop_ztest" -> (qPropZtest _),
+    "q154_seasonal_decompose" -> (qSeasonalDecompose _),
+    "q155_quantile_normalize" -> (qQuantileNormalize _),
+    "q156_triangles" -> (qTriangles _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -4565,6 +4758,115 @@ object SparkEntry {
         |   FROM e WHERE rn <= 5 GROUP BY user_id)
         | SELECT path, count(*) AS n_users FROM p GROUP BY path
         | ORDER BY n_users DESC, path LIMIT 20""".stripMargin
-        .replaceAll("\n", " ")
+        .replaceAll("\n", " "),
+    "q151_trimmed_mean" -> {
+      val kept = "CASE WHEN v >= p10 AND v <= p90 THEN v END"
+      val wins = "CASE WHEN v < p10 THEN p10 WHEN v > p90 THEN p90 ELSE v END"
+      s"""WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+         | q AS (SELECT quantile_cont(v, 0.1) AS p10,
+         |   quantile_cont(v, 0.9) AS p90 FROM b)
+         | SELECT count(*) AS n, count($kept) AS n_kept,
+         |  round(${Stats.Sql.dmean(kept)}, 6) AS trimmed_mean,
+         |  round(${Stats.Sql.dmean(wins)}, 6) AS winsorized_mean
+         | FROM b, q""".stripMargin.replaceAll("\n", " ")
+    },
+    "q152_mannwhitney" -> {
+      val u1 = "(r1 - n1 * (n1 + 1.0) / 2.0)"
+      val sigma = "sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1.0) - tsum / ((n1 + n2) * (n1 + n2 - 1.0))))"
+      val t3 = "CAST(t AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE) - CAST(t AS DOUBLE)"
+      s"""WITH o AS (SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+         |   FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         | rk AS (SELECT g, rank() OVER (ORDER BY v) +
+         |   (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS rk FROM o),
+         | ag AS (SELECT
+         |   CAST(count(CASE WHEN g = '1-URGENT' THEN 1 END) AS DOUBLE) AS n1,
+         |   CAST(count(CASE WHEN g = '5-LOW' THEN 1 END) AS DOUBLE) AS n2,
+         |   ${dsumSql("CASE WHEN g = '1-URGENT' THEN rk END")} AS r1 FROM rk),
+         | tc AS (SELECT ${dsumSql(t3)} AS tsum
+         |   FROM (SELECT count(*) AS t FROM o GROUP BY v))
+         | SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  round($u1, 4) AS u1,
+         |  round(($u1 - n1 * n2 / 2.0) / $sigma, 6) AS z
+         | FROM ag, tc""".stripMargin.replaceAll("\n", " ")
+    },
+    "q153_prop_ztest" -> {
+      val pp = "((x1 + x2) / (n1 + n2))"
+      s"""WITH per AS (SELECT user_id,
+         |   CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 2
+         |     THEN 1 ELSE 0 END AS conv
+         |  FROM events GROUP BY user_id),
+         | ag AS (SELECT
+         |   CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS DOUBLE) AS n1,
+         |   CAST(count(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS DOUBLE) AS n2,
+         |   CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv END) AS DOUBLE) AS x1,
+         |   CAST(sum(CASE WHEN user_id % 2 <> 0 THEN conv END) AS DOUBLE) AS x2
+         |  FROM per)
+         | SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  CAST(x1 AS BIGINT) AS conv1, CAST(x2 AS BIGINT) AS conv2,
+         |  round(x1 / n1, 6) AS p1, round(x2 / n2, 6) AS p2,
+         |  round(CASE WHEN $pp > 0.0 AND $pp < 1.0 THEN
+         |    (x1 / n1 - x2 / n2) / sqrt($pp * (CAST(1.0 AS DOUBLE) - $pp) *
+         |    (CAST(1.0 AS DOUBLE) / n1 + CAST(1.0 AS DOUBLE) / n2)) END, 6) AS z
+         | FROM ag""".stripMargin.replaceAll("\n", " ")
+    },
+    "q154_seasonal_decompose" ->
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS c
+         |   FROM events GROUP BY 1),
+         | t AS (SELECT d, c, CASE WHEN count(*) OVER w = 7
+         |   THEN CAST(sum(c) OVER w AS DOUBLE) / 7.0 END AS trend
+         |  FROM daily
+         |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         | dt AS (SELECT d, c, trend, CAST(c AS DOUBLE) - trend AS detr,
+         |   (d + 4) % 7 AS dow FROM t),
+         | se AS (SELECT dow, ${Stats.Sql.dmean("detr")} AS seasonal
+         |   FROM dt GROUP BY dow)
+         | SELECT d, c, round(trend, 6) AS trend,
+         |  round(seasonal, 6) AS seasonal,
+         |  round(detr - seasonal, 6) AS resid
+         | FROM dt JOIN se USING (dow) ORDER BY d""".stripMargin
+        .replaceAll("\n", " "),
+    "q155_quantile_normalize" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val sCtes = cols.zipWithIndex.map { case (c, i) =>
+        s"s$i AS (SELECT row_number() OVER (ORDER BY CAST($c AS DOUBLE)) - 1 AS pos, CAST($c AS DOUBLE) AS v$i FROM lineitem)"
+      }
+      val moms = cols.indices.flatMap { i =>
+        Seq(s"${dsumSql(s"v$i")} AS sx_$i", s"${dsumSql(s"v$i * v$i")} AS sxx_$i",
+          s"${dsumSql(s"v$i * tg")} AS sxy_$i",
+          s"${dsumSql(s"abs(v$i - tg)")} AS sad_$i")
+      } ++ Seq(s"${dsumSql("tg")} AS sy", s"${dsumSql("tg * tg")} AS syy",
+        "CAST(count(*) AS DOUBLE) AS n")
+      val legs = cols.zipWithIndex.map { case (c, i) =>
+        s"""SELECT '$c' AS column_name,
+           | round((n * sxy_$i - sx_$i * sy) /
+           |   (sqrt(n * sxx_$i - sx_$i * sx_$i) * sqrt(n * syy - sy * sy)), 6)
+           |   AS corr_consensus,
+           | round(sad_$i / n, 6) AS mad_consensus FROM m""".stripMargin
+          .replaceAll("\n", " ")
+      }
+      s"""WITH ${sCtes.mkString(", ")},
+         | t AS (SELECT s0.pos, v0, v1, v2, (v0 + v1 + v2) / 3.0 AS tg
+         |   FROM s0 JOIN s1 ON s0.pos = s1.pos JOIN s2 ON s0.pos = s2.pos),
+         | m AS (SELECT ${moms.mkString(", ")} FROM t)
+         | SELECT * FROM (${legs.mkString(" UNION ALL ")})
+         | ORDER BY column_name""".stripMargin.replaceAll("\n", " ")
+    },
+    "q156_triangles" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |   FROM lineitem JOIN part ON l_partkey = p_partkey),
+        | e AS (SELECT x.b AS b1, y.b AS b2 FROM ob x JOIN ob y
+        |   ON x.ok = y.ok AND x.b < y.b GROUP BY x.b, y.b
+        |   HAVING count(*) >= 5),
+        | deg AS (SELECT b, count(*) AS dg FROM
+        |   (SELECT b1 AS b FROM e UNION ALL SELECT b2 FROM e) GROUP BY b),
+        | tp AS (SELECT CAST(sum(dg * (dg - 1) / 2) AS BIGINT) AS triples FROM deg),
+        | tr AS (SELECT count(*) AS tri FROM e e1
+        |   JOIN e e2 ON e1.b2 = e2.b1
+        |   JOIN e e3 ON e1.b1 = e3.b1 AND e2.b2 = e3.b2),
+        | ne AS (SELECT count(*) AS n_edges FROM e)
+        | SELECT n_edges, tri AS n_triangles, triples AS n_triples,
+        |  round(CAST(3.0 AS DOUBLE) * CAST(tri AS DOUBLE) /
+        |    CAST(triples AS DOUBLE), 6) AS clustering_coef
+        | FROM ne, tr, tp""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -67,6 +67,25 @@ class StatsQuerySpec extends SparkSpec {
     assert(df_ > 3.0 && df_ < n1 + n2 - 2) // Welch df between min and pooled
   }
 
+  test("mann-whitney rank sum matches the hand-computed U on a tiny sample") {
+    // A: 1,2,3  B: 4,5 → all A below all B: U1 = 0, R1 = 1+2+3 = 6
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 4.0), ("B", 5.0))
+      .toDF("g", "v")
+    val ranked = graft.core.Rank.avgRank(df, "v", "rk", "spec_mw")
+    val r1 = ranked.where(col("g") === "A")
+      .agg(graft.core.Stats.dsum(col("rk"))).head().getDouble(0)
+    assert(r1 === 6.0)
+    val u1 = r1 - 3.0 * 4.0 / 2.0
+    assert(u1 === 0.0)
+  }
+
+  test("average-tie ranks give tied values the midpoint rank") {
+    val df = Seq(1.0, 2.0, 2.0, 3.0).toDF("v")
+    val got = graft.core.Rank.avgRank(df, "v", "rk", "spec_ties")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got(1.0) === 1.0 && got(2.0) === 2.5 && got(3.0) === 4.0)
+  }
+
   test("acf of a perfectly alternating series is -1 at lag 1 (calendar join)") {
     val daily = (0 until 20).map(d => (d.toLong, if (d % 2 == 0) 1.0 else 3.0))
       .toDF("d", "c")
