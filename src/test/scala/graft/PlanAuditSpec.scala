@@ -163,6 +163,47 @@ class PlanAuditSpec extends SparkSpec {
       s"trend re-shuffles between window and aggregate:\n$q118")
   }
 
+  test("round-7 extension query plans keep their scale shapes") {
+    // q136 HBOS: scoring is a literal when-chain — fit collapses to plan
+    // literals, so the scoring plan must contain NO join at all
+    val q136 = plan(SparkEntry.queries("q136_hbos")(spark, sf))
+    assert(!q136.contains("Join"), s"HBOS scoring gained a join:\n$q136")
+    // q142 RFM: quintiles come from the fused exact selection, never a
+    // global ntile window
+    val q142 = plan(SparkEntry.queries("q142_rfm")(spark, sf))
+    assert(!q142.contains("Window"), s"RFM regressed to ntile windows:\n$q142")
+    // q143 Pareto: cumulative shares ride the distributed PrefixScan —
+    // no window, no single-partition exchange before the 3-row output
+    val q143 = plan(SparkEntry.queries("q143_pareto")(spark, sf))
+    assert(!q143.contains("Window"), s"Pareto regressed to a window:\n$q143")
+    // q144 basket / q156 triangles: pair expansion is an equi-join on the
+    // order/brand keys — never a cartesian
+    val q144 = plan(SparkEntry.queries("q144_basket_pairs")(spark, sf))
+    assert(!q144.contains("CartesianProduct"),
+      s"basket pairs plans a cartesian:\n$q144")
+    val q156 = plan(SparkEntry.queries("q156_triangles")(spark, sf))
+    assert(!q156.contains("CartesianProduct") ||
+      "CartesianProduct".r.findAllIn(q156).size <= 2, // 1-row stat crossJoins
+      s"triangle census plans a data-sized cartesian:\n$q156")
+    // q152 Mann–Whitney / q155 quantile normalization / q121 fast path:
+    // ranks and positions come from PrefixScan joins — no global
+    // row_number/rank window anywhere
+    val q152 = plan(SparkEntry.queries("q152_mannwhitney")(spark, sf))
+    assert(!q152.contains("Window"),
+      s"mann-whitney regressed to a rank window:\n$q152")
+    val q155 = plan(SparkEntry.queries("q155_quantile_normalize")(spark, sf))
+    assert(!q155.contains("Window"),
+      s"quantile normalization regressed to a row_number window:\n$q155")
+    val q121 = plan(SparkEntry.queries("q121_spearman")(spark, sf))
+    assert(!q121.contains("Window"),
+      s"spearman regressed to a rank window:\n$q121")
+    // q147 heavy hitters: the recount groups the BUCKETED item (candidate
+    // set folded to literals) — no join in the counting plan
+    val q147 = plan(SparkEntry.queries("q147_heavy_hitters")(spark, sf))
+    assert(!q147.contains("SortMergeJoin"),
+      s"heavy-hitter recount gained a data-sized join:\n$q147")
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
