@@ -2773,6 +2773,113 @@ object SparkEntry {
           col("triples").cast("double"), 6).as("clustering_coef"))
   }
 
+  /** A24 — log-rank test comparing time-to-purchase survival between
+    * the even/odd user cohorts: the standard two-sample censored-data
+    * test, sharing q149's duration machinery. Per event time, observed
+    * vs expected cohort-A deaths under the hypergeometric null; the
+    * statistic runs on decimal-summed terms over the bounded
+    * distinct-duration table.
+    */
+  private def qLogRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, dir).select(col("user_id"),
+      expr("ts div 1000").as("us"), col("event_type"))
+    val maxUs = e.agg(max("us")).head().getLong(0)
+    val per = e.groupBy("user_id").agg(min("us").as("first_us"),
+      min(when(col("event_type") === "purchase", col("us"))).as("p_us"))
+    val tbl = per.select(
+        expr(s"(coalesce(p_us, ${maxUs}) - first_us) div 86400000000").as("t"),
+        when(col("p_us").isNotNull, 1L).otherwise(0L).as("died"),
+        (col("user_id") % 2 === 0).as("a"))
+      .groupBy("t").agg(
+        sum(when(col("a"), col("died")).otherwise(0L)).as("d1"),
+        sum("died").as("d"),
+        count(when(col("a"), 1)).as("c1"),
+        count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q157", tbl)
+    val tots = tbl.agg(sum("c1"), sum("c")).head()
+    val (tot1, tot) = (tots.getLong(0), tots.getLong(1))
+    val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val ar = tbl
+      .withColumn("n1", lit(tot1) - coalesce(sum("c1").over(wPrev), lit(0L)))
+      .withColumn("n", lit(tot) - coalesce(sum("c").over(wPrev), lit(0L)))
+      .where(col("d") > 0)
+    val dD = col("d").cast("double"); val n1D = col("n1").cast("double")
+    val nD = col("n").cast("double")
+    val e1 = dD * n1D / nD
+    val v1 = when(col("n") > 1,
+      dD * (n1D / nD) * (lit(1.0) - n1D / nD) *
+        (nD - dD) / (nD - lit(1.0))).otherwise(lit(0.0))
+    val agg = ar.agg(count(lit(1)).as("n_event_times"),
+      Stats.dsum(col("d1").cast("double") - e1).as("oe"),
+      Stats.dsum(v1).as("v"))
+    agg.select(col("n_event_times"), round(col("oe"), 6).as("o_minus_e"),
+      round(col("v"), 6).as("var_sum"),
+      round(col("oe") / sqrt(col("v")), 6).as("z"))
+  }
+
+  /** W19 — Pettitt changepoint test on the daily event-count series:
+    * the rank-based nonparametric location-shift detector. Ranks come
+    * from the windowless [[graft.core.Rank.avgRank]]; the U statistic
+    * is exact integer arithmetic over cumulative rank sums on the
+    * bounded day table, and the changepoint is the earliest argmax of
+    * |U|.
+    */
+  private def qPettitt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev(s, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("d"))
+      .groupBy("d").agg(count(lit(1)).cast("double").as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q158", daily)
+    val nN = daily.count()
+    val ranked = graft.core.Rank.avgRank(daily, "c", "rk", "q158_rank")
+    val wInc = Window.orderBy("d")
+    val ut = ranked
+      .withColumn("pos", row_number().over(wInc))
+      .withColumn("srk", sum(col("rk").cast(DecimalType(38, 10))).over(wInc)
+        .cast("double"))
+      .where(col("pos") < nN) // U_n ≡ 0 by construction; t ranges 1..n−1
+      .select(col("d"),
+        (lit(2.0) * col("srk") - col("pos").cast("double") *
+          lit((nN + 1).toDouble)).as("u"))
+    val top = ut.orderBy(abs(col("u")).desc, col("d")).limit(1)
+    val k = abs(col("u"))
+    top.select(col("d").as("changepoint_day"), col("u").cast("long").as("u"),
+      round(lit(2.0) * exp(lit(-6.0) * k * k /
+        lit((nN.toDouble * nN * nN + nN.toDouble * nN))), 6).as("p_approx"))
+  }
+
+  /** T1 — pointwise mutual information of word pairs co-occurring in a
+    * document: the collocation/association mine over the corpus. The
+    * (doc, word) incidence deduplicates once (the q144 basket shape on
+    * text); pair counts shuffle on the doc key with per-doc width
+    * bounded by the distinct-word count; PMI is mirrored double
+    * arithmetic over exact counts.
+    */
+  private def qPmi(s: SparkSession, dir: String): DataFrame = {
+    val dw = doc(s, dir).select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), t -> t != '')")).as("w"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q159", dw)
+    val nD = dw.select("doc_id").distinct().count()
+    val wc = dw.groupBy("w").agg(count(lit(1)).as("cw"))
+    val pairs = dw.toDF("doc_id", "w1")
+      .join(dw.toDF("doc2", "w2"),
+        col("doc_id") === col("doc2") && col("w1") < col("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= 5)
+    pairs.join(broadcast(wc.toDF("w1", "c1")), "w1")
+      .join(broadcast(wc.toDF("w2", "c2")), "w2")
+      .select(col("w1"), col("w2"), col("cab"),
+        round(log(col("cab").cast("double") * lit(nD.toDouble) /
+          (col("c1").cast("double") * col("c2").cast("double"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(20)
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -2939,7 +3046,10 @@ object SparkEntry {
     "q153_prop_ztest" -> (qPropZtest _),
     "q154_seasonal_decompose" -> (qSeasonalDecompose _),
     "q155_quantile_normalize" -> (qQuantileNormalize _),
-    "q156_triangles" -> (qTriangles _)
+    "q156_triangles" -> (qTriangles _),
+    "q157_logrank" -> (qLogRank _),
+    "q158_pettitt" -> (qPettitt _),
+    "q159_pmi" -> (qPmi _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -4867,6 +4977,74 @@ object SparkEntry {
         | SELECT n_edges, tri AS n_triangles, triples AS n_triples,
         |  round(CAST(3.0 AS DOUBLE) * CAST(tri AS DOUBLE) /
         |    CAST(triples AS DOUBLE), 6) AS clustering_coef
-        | FROM ne, tr, tp""".stripMargin.replaceAll("\n", " ")
+        | FROM ne, tr, tp""".stripMargin.replaceAll("\n", " "),
+    "q157_logrank" -> {
+      val e1 = "(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))"
+      val v1 = "CASE WHEN n > 1 THEN CAST(d AS DOUBLE) * " +
+        "(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(1.0 AS DOUBLE) - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(n AS DOUBLE) - CAST(d AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE)) " +
+        "ELSE CAST(0.0 AS DOUBLE) END"
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+         | mx AS (SELECT max(us) AS mu FROM e),
+         | per AS (SELECT user_id, min(us) AS first_us,
+         |   min(CASE WHEN event_type = 'purchase' THEN us END) AS p_us
+         |  FROM e GROUP BY user_id),
+         | dd AS (SELECT (coalesce(p_us, mu) - first_us) // 86400000000 AS t,
+         |   CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS died,
+         |   user_id % 2 = 0 AS a FROM per, mx),
+         | tb AS (SELECT t, sum(CASE WHEN a THEN died ELSE 0 END) AS d1,
+         |   sum(died) AS d, count(CASE WHEN a THEN 1 END) AS c1, count(*) AS c
+         |  FROM dd GROUP BY t),
+         | tt AS (SELECT sum(c1) AS tot1, sum(c) AS tot FROM tb),
+         | ar AS (SELECT t, d1, d,
+         |   tot1 - coalesce(sum(c1) OVER
+         |     (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+         |   tot - coalesce(sum(c) OVER
+         |     (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+         |  FROM tb, tt),
+         | fl AS (SELECT * FROM ar WHERE d > 0),
+         | ag AS (SELECT count(*) AS n_event_times,
+         |   ${dsumSql(s"CAST(d1 AS DOUBLE) - $e1")} AS oe,
+         |   ${dsumSql(v1)} AS v FROM fl)
+         | SELECT n_event_times, round(oe, 6) AS o_minus_e,
+         |  round(v, 6) AS var_sum, round(oe / sqrt(v), 6) AS z
+         | FROM ag""".stripMargin.replaceAll("\n", " ")
+    },
+    "q158_pettitt" -> {
+      val den = "(CAST(nn AS DOUBLE) * nn * nn + CAST(nn AS DOUBLE) * nn)"
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+         |   CAST(count(*) AS DOUBLE) AS c FROM events GROUP BY 1),
+         | nc AS (SELECT count(*) AS nn FROM daily),
+         | rkt AS (SELECT d, rank() OVER (ORDER BY c) +
+         |   (count(*) OVER (PARTITION BY c) - 1) / 2.0 AS rk FROM daily),
+         | ut AS (SELECT d, row_number() OVER (ORDER BY d) AS pos,
+         |   CAST(sum(CAST(rk AS DECIMAL(38,10))) OVER (ORDER BY d) AS DOUBLE) AS srk
+         |  FROM rkt),
+         | uu AS (SELECT d, CAST(2.0 AS DOUBLE) * srk -
+         |   CAST(pos AS DOUBLE) * CAST(nn + 1 AS DOUBLE) AS u
+         |  FROM ut, nc WHERE pos < nn),
+         | top AS (SELECT d, u FROM uu ORDER BY abs(u) DESC, d LIMIT 1)
+         | SELECT d AS changepoint_day, CAST(u AS BIGINT) AS u,
+         |  round(CAST(2.0 AS DOUBLE) * exp(CAST(-6.0 AS DOUBLE) * abs(u) * abs(u) /
+         |    $den), 6) AS p_approx
+         | FROM top, nc""".stripMargin.replaceAll("\n", " ")
+    },
+    "q159_pmi" ->
+      """WITH dw AS (SELECT DISTINCT doc_id, w FROM
+        |   (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |     t -> t <> '')) AS w FROM documents)),
+        | nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM dw),
+        | wc AS (SELECT w, count(*) AS cw FROM dw GROUP BY w),
+        | pr AS (SELECT x.w AS w1, y.w AS w2, count(*) AS cab
+        |   FROM dw x JOIN dw y ON x.doc_id = y.doc_id AND x.w < y.w
+        |   GROUP BY x.w, y.w HAVING count(*) >= 5)
+        | SELECT w1, w2, cab,
+        |  round(ln(CAST(cab AS DOUBLE) * n /
+        |    (CAST(c1.cw AS DOUBLE) * CAST(c2.cw AS DOUBLE))), 6) AS pmi
+        | FROM pr JOIN wc c1 ON pr.w1 = c1.w JOIN wc c2 ON pr.w2 = c2.w
+        | CROSS JOIN nd
+        | ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+        .replaceAll("\n", " ")
   )
 }
