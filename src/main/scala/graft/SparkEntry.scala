@@ -2880,6 +2880,137 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** O6 — CUBE over (returnflag, linestatus): all four grouping sets in
+    * ONE pass — Spark expands the grouping sets map-side and the
+    * partials stay mergeable decimal sums, so the cube costs one
+    * shuffle, not four scans. `grouping_id` disambiguates levels; null
+    * markers project to 'ALL' so the output carries no null-ordering
+    * ambiguity between engines.
+    */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(Stats.dsum(col("l_quantity")), 4).as("sum_qty"),
+        round(Stats.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+      .select(col("gid").cast("long").as("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"), col("revenue"))
+      .orderBy("gid", "rf", "ls")
+
+  /** A25 — Kruskal–Wallis H across the returnflag groups on quantity:
+    * the k-sample generalization of Mann–Whitney. Ranks come from the
+    * windowless [[graft.core.Rank.avgRank]] (prefix scan over the
+    * bounded distinct-value table — quantity has ~50 distinct values,
+    * so ties dominate and the tie correction is load-bearing). Rank
+    * sums are decimal partials; H and the tie term are mirrored double
+    * arithmetic over exact counts.
+    */
+  private def qKruskal(s: SparkSession, dir: String): DataFrame = {
+    val d = col("l_quantity").cast("double")
+    val base = li(s, dir)
+      .where(col("l_quantity").isNotNull && !isnan(d))
+      .select(col("l_returnflag").as("g"), d.as("v"))
+    val ranked = graft.core.Rank.avgRank(base, "v", "rk", "q161_rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q161", ranked)
+    val grp = ranked.groupBy("g").agg(count(lit(1)).as("nj"),
+      Stats.dsum(col("rk")).as("rj"))
+    val summ = grp.agg(sum("nj").as("n"), count(lit(1)).as("k"),
+      Stats.dsum(col("rj") * col("rj") / col("nj").cast("double")).as("s2"))
+    val ties = ranked.groupBy("v")
+      .agg(count(lit(1)).cast("double").as("t"))
+      .agg(Stats.dsum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) / (nD * (nD + lit(1.0))) * col("s2") -
+      lit(3.0) * (nD + lit(1.0))
+    val cc = lit(1.0) - col("tsum") / (nD * nD * nD - nD)
+    summ.crossJoin(ties).select(col("n"), col("k"),
+      round(h, 6).as("h"), round(cc, 6).as("tie_c"),
+      round(h / cc, 6).as("h_adj"))
+  }
+
+  /** A26 — Jarque–Bera normality screen per numeric column: skewness,
+    * excess kurtosis, and JB = n/6·(S² + K²/4) from CENTRAL moments —
+    * one fused pass for all means, one fused pass for all (x−μ)^p
+    * sums, both over the shared cached stats slice. Centering first
+    * keeps the decimal partials inside DECIMAL(38,10) headroom (raw
+    * Σx⁴ of a 10⁵-scale column would overflow near SF1000); μ is a
+    * driver scalar folded into the second pass as a literal.
+    */
+  private def qJarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val cols = lineitemNumerics
+    val t = par(liStats(s, dir))
+    def vd(c: String) = {
+      val d = col(c).cast("double")
+      when(col(c).isNotNull && !isnan(d), d)
+    }
+    val meanAggs = cols.flatMap { c =>
+      Seq(Stats.dsum(vd(c)).as(s"s_$c"), count(vd(c)).as(s"n_$c"))
+    }
+    val mrow = t.agg(meanAggs.head, meanAggs.tail: _*).head()
+    val mus = cols.map { c =>
+      c -> mrow.getAs[Double](s"s_$c") / mrow.getAs[Long](s"n_$c").toDouble
+    }.toMap
+    val cAggs = cols.flatMap { c =>
+      val v = vd(c) - lit(mus(c))
+      Seq(count(vd(c)).as(s"n_$c"), Stats.dsum(v * v).as(s"m2_$c"),
+        Stats.dsum(v * v * v).as(s"m3_$c"),
+        Stats.dsum(v * v * v * v).as(s"m4_$c"))
+    }
+    val m = t.agg(cAggs.head, cAggs.tail: _*)
+    val rows = cols.map { c =>
+      val nD = col(s"n_$c").cast("double")
+      val m2 = col(s"m2_$c") / nD
+      val m3 = col(s"m3_$c") / nD
+      val m4 = col(s"m4_$c") / nD
+      val sk = m3 / pow(m2, lit(1.5))
+      val ku = m4 / (m2 * m2) - lit(3.0)
+      struct(lit(c).as("column_name"), col(s"n_$c").as("n"),
+        round(sk, 6).as("skewness"), round(ku, 6).as("kurtosis_excess"),
+        round(nD / lit(6.0) * (sk * sk + ku * ku / lit(4.0)), 6).as("jb"))
+    }
+    m.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.column_name"), col("p.n"), col("p.skewness"),
+        col("p.kurtosis_excess"), col("p.jb"))
+      .orderBy("column_name")
+  }
+
+  /** A27 — one-way ANOVA F across the returnflag groups on extended
+    * price: between/within sums of squares from per-group decimal
+    * partials of the CENTERED values (grand mean subtracted first, the
+    * q162 pattern). Centering is load-bearing for cross-engine
+    * determinism, not just conditioning: uncentered Σsj²/nj terms have
+    * 10-bit binary fractions, so their 54-bit-precision sums land on
+    * exact double midpoints where Java (half-up) and strtod
+    * (half-even) disagree — observed 1-ulp flips at two of three
+    * scales. Centered terms carry full-length decimal tails, making
+    * midpoints measure-zero. The grand totals derive from the k group
+    * rows, so the second aggregation is over a bounded table.
+    */
+  private def qAnova(s: SparkSession, dir: String): DataFrame = {
+    val d = col("l_extendedprice").cast("double")
+    val v = when(col("l_extendedprice").isNotNull && !isnan(d), d)
+    val mrow = li(s, dir).agg(Stats.dsum(v).as("s"), count(v).as("c")).head()
+    val mu = mrow.getAs[Double]("s") / mrow.getAs[Long]("c").toDouble
+    val vc = v - lit(mu)
+    val grp = li(s, dir).groupBy(col("l_returnflag").as("g"))
+      .agg(count(vc).as("nj"), Stats.dsum(vc).as("sj"),
+        Stats.dsum(vc * vc).as("sj2"))
+    val njD = col("nj").cast("double")
+    val summ = grp.agg(sum("nj").as("n"), count(lit(1)).as("k"),
+      Stats.dsum(col("sj")).as("st"),
+      Stats.dsum(col("sj2") - col("sj") * col("sj") / njD).as("ssw"),
+      Stats.dsum(col("sj") * col("sj") / njD).as("sb_part"))
+    val nD = col("n").cast("double"); val kD = col("k").cast("double")
+    val ssb = col("sb_part") - col("st") * col("st") / nD
+    val f = (ssb / (kD - lit(1.0))) / (col("ssw") / (nD - kD))
+    summ.select(col("n"), col("k"), round(ssb, 6).as("ss_between"),
+      round(col("ssw"), 6).as("ss_within"), round(f, 6).as("f_stat"))
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -3049,7 +3180,11 @@ object SparkEntry {
     "q156_triangles" -> (qTriangles _),
     "q157_logrank" -> (qLogRank _),
     "q158_pettitt" -> (qPettitt _),
-    "q159_pmi" -> (qPmi _)
+    "q159_pmi" -> (qPmi _),
+    "q160_cube" -> (qCube _),
+    "q161_kruskal" -> (qKruskal _),
+    "q162_jarque_bera" -> (qJarqueBera _),
+    "q163_anova" -> (qAnova _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -5045,6 +5180,80 @@ object SparkEntry {
         | FROM pr JOIN wc c1 ON pr.w1 = c1.w JOIN wc c2 ON pr.w2 = c2.w
         | CROSS JOIN nd
         | ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
-        .replaceAll("\n", " ")
+        .replaceAll("\n", " "),
+    "q160_cube" ->
+      s"""SELECT CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         | coalesce(l_returnflag, 'ALL') AS rf,
+         | coalesce(l_linestatus, 'ALL') AS ls,
+         | count(*) AS n, round(${dsumSql("l_quantity")}, 4) AS sum_qty,
+         | round(${dsumSql("l_extendedprice*(1.0-l_discount)")}, 4) AS revenue
+         | FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         | ORDER BY gid, rf, ls""".stripMargin.replaceAll("\n", " "),
+    "q161_kruskal" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val h = s"(12.0 / ($nD * ($nD + 1.0)) * s2 - 3.0 * ($nD + 1.0))"
+      val cc = s"(1.0 - tsum / ($nD * $nD * $nD - $nD))"
+      s"""WITH base AS (SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v
+         |   FROM lineitem WHERE l_quantity IS NOT NULL
+         |   AND NOT isnan(CAST(l_quantity AS DOUBLE))),
+         | rkt AS (SELECT g, v, rank() OVER (ORDER BY v) +
+         |   (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS rk FROM base),
+         | grp AS (SELECT g, count(*) AS nj, ${Stats.Sql.dsumWide("rk")} AS rj
+         |   FROM rkt GROUP BY g),
+         | summ AS (SELECT CAST(sum(nj) AS BIGINT) AS n, count(*) AS k,
+         |   ${Stats.Sql.dsumWide("rj * rj / CAST(nj AS DOUBLE)")} AS s2 FROM grp),
+         | tt AS (SELECT ${Stats.Sql.dsumWide("t * t * t - t")} AS tsum FROM
+         |   (SELECT CAST(count(*) AS DOUBLE) AS t FROM rkt GROUP BY v))
+         | SELECT n, k, round($h, 6) AS h, round($cc, 6) AS tie_c,
+         |  round($h / $cc, 6) AS h_adj
+         | FROM summ, tt""".stripMargin.replaceAll("\n", " ")
+    },
+    "q162_jarque_bera" -> {
+      def vd(c: String) =
+        s"(CASE WHEN $c IS NOT NULL AND NOT isnan(CAST($c AS DOUBLE)) THEN CAST($c AS DOUBLE) END)"
+      val mAggs = lineitemNumerics.map(c =>
+        s"${Stats.Sql.dsumWide(vd(c))} / CAST(count(${vd(c)}) AS DOUBLE) AS mu_$c").mkString(", ")
+      val cAggs = lineitemNumerics.flatMap { c =>
+        val dv = s"(${vd(c)} - mu_$c)"
+        Seq(s"count(${vd(c)}) AS n_$c",
+          s"${Stats.Sql.dsumWide(s"$dv * $dv")} AS m2_$c",
+          s"${Stats.Sql.dsumWide(s"$dv * $dv * $dv")} AS m3_$c",
+          s"${Stats.Sql.dsumWide(s"$dv * $dv * $dv * $dv")} AS m4_$c")
+      }.mkString(", ")
+      val legs = lineitemNumerics.map { c =>
+        val nD = s"CAST(n_$c AS DOUBLE)"
+        val m2 = s"(m2_$c / $nD)"; val m3 = s"(m3_$c / $nD)"
+        val m4 = s"(m4_$c / $nD)"
+        val sk = s"($m3 / pow($m2, 1.5))"
+        val ku = s"($m4 / ($m2 * $m2) - 3.0)"
+        s"""SELECT '$c' AS column_name, n_$c AS n, round($sk, 6) AS skewness,
+           | round($ku, 6) AS kurtosis_excess,
+           | round($nD / 6.0 * ($sk * $sk + $ku * $ku / 4.0), 6) AS jb
+           | FROM cm""".stripMargin.replaceAll("\n", " ")
+      }
+      s"""WITH m AS (SELECT $mAggs FROM lineitem),
+         | cm AS (SELECT $cAggs FROM lineitem, m)
+         | SELECT * FROM (${legs.mkString(" UNION ALL ")})
+         | ORDER BY column_name""".stripMargin.replaceAll("\n", " ")
+    },
+    "q163_anova" -> {
+      val v =
+        "(CASE WHEN l_extendedprice IS NOT NULL AND NOT isnan(CAST(l_extendedprice AS DOUBLE)) THEN CAST(l_extendedprice AS DOUBLE) END)"
+      val vc = s"($v - m)"
+      val nD = "CAST(n AS DOUBLE)"; val kD = "CAST(k AS DOUBLE)"
+      val ssb = s"(sb_part - st * st / $nD)"
+      s"""WITH mu AS (SELECT ${Stats.Sql.dsumWide(v)} /
+         |   CAST(count($v) AS DOUBLE) AS m FROM lineitem),
+         | grp AS (SELECT l_returnflag AS g, count($vc) AS nj,
+         |   ${Stats.Sql.dsumWide(vc)} AS sj, ${Stats.Sql.dsumWide(s"$vc * $vc")} AS sj2
+         |  FROM lineitem, mu GROUP BY l_returnflag),
+         | summ AS (SELECT CAST(sum(nj) AS BIGINT) AS n, count(*) AS k,
+         |   ${Stats.Sql.dsumWide("sj")} AS st,
+         |   ${Stats.Sql.dsumWide("sj2 - sj * sj / CAST(nj AS DOUBLE)")} AS ssw,
+         |   ${Stats.Sql.dsumWide("sj * sj / CAST(nj AS DOUBLE)")} AS sb_part FROM grp)
+         | SELECT n, k, round($ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+         |  round(($ssb / ($kD - 1.0)) / (ssw / ($nD - $kD)), 6) AS f_stat
+         | FROM summ""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

@@ -116,6 +116,17 @@ object Stats {
   object Sql {
     def dsum(x: String): String =
       s"CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS DOUBLE)"
+    /** [[dsum]] for sums whose magnitude can exceed ~9·10⁵ (scaled
+      * int128 > 2⁵³): DuckDB's direct DECIMAL→DOUBLE cast rounds twice
+      * (int128→double, then ÷10¹⁰) and can land 1 ulp off the
+      * correctly-rounded value Spark produces (BigDecimal.doubleValue
+      * rounds once). Routing through VARCHAR forces strtod — correctly
+      * rounded — restoring bitwise parity. Harmless for small sums;
+      * REQUIRED when the sum feeds nonlinear math (squares, differences
+      * of near-equal bigs) that amplifies the ulp.
+      */
+    def dsumWide(x: String): String =
+      s"CAST(CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
     def nValid(x: String): String =
       s"count(CASE WHEN ($x) IS NOT NULL AND NOT isnan(CAST(($x) AS DOUBLE)) THEN 1 END)"
     def dmean(x: String): String = s"(${dsum(x)} / ${nValid(x)})"
