@@ -3011,6 +3011,141 @@ object SparkEntry {
       round(col("ssw"), 6).as("ss_within"), round(f, 6).as("f_stat"))
   }
 
+  /** T2 — BM25 relevance scoring of the corpus against a fixed term
+    * set: the classic retrieval ranker over the q81 vocabulary
+    * machinery. Corpus stats (N, df per term, avgdl) reduce to a
+    * handful of driver scalars in ONE pass over the tokenized frame;
+    * scoring is then a pure codegen'd map stage (idf constants folded
+    * into the plan) + TakeOrdered top-k — no join, no second shuffle.
+    */
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "hash", "filter")
+    val base = doc(s, dir)
+      .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      .withColumn("dl", size(col("toks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q164", base)
+    val statAggs = Seq(count(lit(1)).as("n_docs"),
+      Stats.dsum(col("dl")).as("sdl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        count(when(array_contains(col("toks"), t), 1)).as(s"df_$i")
+      }
+    val st = base.agg(statAggs.head, statAggs.tail: _*).head()
+    val nD = st.getAs[Long]("n_docs").toDouble
+    val avgdl = st.getAs[Double]("sdl") / nD
+    val dlD = col("dl").cast("double")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val dfD = st.getAs[Long](s"df_$i").toDouble
+      val idf = math.log((nD - dfD + 0.5) / (dfD + 0.5) + 1.0)
+      val tf = size(expr(s"filter(toks, x -> x = '$t')")).cast("double")
+      lit(idf) * tf / (tf + lit(1.2) *
+        (lit(1.0) - lit(0.75) + lit(0.75) * dlD / lit(avgdl)))
+    }.reduce(_ + _)
+    base.select(col("doc_id"), col("dl").cast("long").as("dl"),
+        round(score, 6).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id")).limit(20)
+  }
+
+  /** Q1 — referential-integrity audit across the star schema's FK
+    * relationships (+ one deliberately-corrupted twin proving
+    * detection): the deequ-style orphan check. Each relationship
+    * reduces the child to DISTINCT (fk, row-count) pairs FIRST — only
+    * fixed-width keys and counts shuffle, never payload — then one
+    * left-anti join against the parent's key set. Child rows re-derive
+    * from the same bounded key table, so the audit costs one narrow
+    * shuffle + one anti-join per relationship.
+    */
+  private def qRefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def rel(name: String, child: DataFrame, fk: String,
+            parent: DataFrame, pk: String): DataFrame = {
+      val ck = child.select(col(fk).as("k")).where(col("k").isNotNull)
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.core.Caches.retain(s"q165_$name", ck)
+      val orph = ck.join(parent.select(col(pk).as("k")).distinct(),
+        Seq("k"), "left_anti")
+      ck.agg(count(lit(1)).as("fk_keys"), sum("cnt").as("child_rows"))
+        .crossJoin(orph.agg(count(lit(1)).as("orphan_keys"),
+          coalesce(sum("cnt"), lit(0L)).as("orphan_rows")))
+        .select(lit(name).as("relationship"), col("fk_keys"),
+          col("child_rows").cast("long").as("child_rows"),
+          col("orphan_keys"),
+          col("orphan_rows").cast("long").as("orphan_rows"))
+    }
+    val o = Tables.load(s, dir, "orders"); val liT = li(s, dir)
+    val cust = Tables.load(s, dir, "customer")
+    Seq(
+      rel("customer.nationkey->nation", cust, "c_nationkey",
+        Tables.load(s, dir, "nation"), "n_nationkey"),
+      rel("lineitem.orderkey->orders", liT, "l_orderkey", o, "o_orderkey"),
+      rel("lineitem.orderkey->orders[mod3-corrupted]", liT, "l_orderkey",
+        o.where(col("o_orderkey") % 3 =!= 0), "o_orderkey"),
+      rel("lineitem.partkey->part", liT, "l_partkey",
+        Tables.load(s, dir, "part"), "p_partkey"),
+      rel("orders.custkey->customer", o, "o_custkey", cust, "c_custkey"))
+      .reduce(_ union _).orderBy("relationship")
+  }
+
+  /** A28 — Kendall tau-b between daily order count and daily revenue:
+    * the rank-correlation twin of q121's Spearman, computed by exact
+    * pair classification over the day-level series. The pair join is
+    * bounded by the CALENDAR (distinct days), not the data — at any SF
+    * it is a ~2.4k×2.4k comparison of 24-byte rows — so the quadratic
+    * step is scale-free by construction; the revenue doubles feeding
+    * the equality tests are wide-sum parity-safe on both engines.
+    */
+  private def qKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "orders")
+      .groupBy(expr("unix_timestamp(o_orderdate) div 86400").as("d"))
+      .agg(count(lit(1)).cast("double").as("x"),
+        Stats.dsum(col("o_totalprice")).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q166", daily)
+    val nDays = daily.count()
+    val p = daily.toDF("d1", "x1", "y1")
+      .join(daily.toDF("d2", "x2", "y2"), col("d1") < col("d2"))
+    val conc = (col("x1") < col("x2") && col("y1") < col("y2")) ||
+      (col("x1") > col("x2") && col("y1") > col("y2"))
+    val disc = (col("x1") < col("x2") && col("y1") > col("y2")) ||
+      (col("x1") > col("x2") && col("y1") < col("y2"))
+    val tx = col("x1") === col("x2") && col("y1") =!= col("y2")
+    val ty = col("y1") === col("y2") && col("x1") =!= col("x2")
+    val agg = p.agg(count(when(conc, 1)).as("nc"), count(when(disc, 1)).as("nd"),
+      count(when(tx, 1)).as("tie_x"), count(when(ty, 1)).as("tie_y"))
+    val ncD = col("nc").cast("double"); val ndD = col("nd").cast("double")
+    val txD = col("tie_x").cast("double"); val tyD = col("tie_y").cast("double")
+    agg.select(lit(nDays).as("n_days"), col("nc"), col("nd"),
+      col("tie_x"), col("tie_y"),
+      round((ncD - ndD) /
+        sqrt((ncD + ndD + txD) * (ncD + ndD + tyD)), 6).as("tau_b"))
+  }
+
+  /** W20 — Holt linear-trend smoothing of each nation's monthly
+    * revenue ([[graft.seq.Rolling.holtByKey]]): level+trend state with
+    * a one-step forecast. One narrow join tree (orders⋈customer
+    * shuffled on custkey, nation broadcast), one shuffle on the
+    * 25-key group, per-key fold state bounded by the month count.
+    */
+  private def qHolt(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select(col("o_custkey"),
+      col("o_totalprice"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("ym"))
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val monthly = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("ym"))
+      .agg(Stats.dsum(col("o_totalprice")).as("rev"))
+    graft.seq.Rolling.holtByKey(monthly, Seq("n_name"), "ym", "rev",
+        alpha = 0.5, beta = 0.3)
+      .select(col("n_name"), col("n"), round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("forecast"), 6).as("forecast"))
+      .orderBy("n_name")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -3184,7 +3319,11 @@ object SparkEntry {
     "q160_cube" -> (qCube _),
     "q161_kruskal" -> (qKruskal _),
     "q162_jarque_bera" -> (qJarqueBera _),
-    "q163_anova" -> (qAnova _)
+    "q163_anova" -> (qAnova _),
+    "q164_bm25" -> (qBm25 _),
+    "q165_ref_integrity" -> (qRefIntegrity _),
+    "q166_kendall" -> (qKendall _),
+    "q167_holt" -> (qHolt _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -5254,6 +5393,89 @@ object SparkEntry {
          | SELECT n, k, round($ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
          |  round(($ssb / ($kD - 1.0)) / (ssw / ($nD - $kD)), 6) AS f_stat
          | FROM summ""".stripMargin.replaceAll("\n", " ")
+    },
+    "q164_bm25" -> {
+      val terms = Seq("join", "hash", "filter")
+      val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+        s"count(CASE WHEN list_contains(toks, '$t') THEN 1 END) AS df_$i"
+      }.mkString(", ")
+      val idfs = terms.indices.map { i =>
+        val dfD = s"CAST(df_$i AS DOUBLE)"
+        s"ln((CAST(n_docs AS DOUBLE) - $dfD + 0.5) / ($dfD + 0.5) + 1.0) AS idf_$i"
+      }.mkString(", ")
+      val score = terms.zipWithIndex.map { case (t, i) =>
+        val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+        s"idf_$i * $tf / ($tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |   len(string_split(text, ' ')) AS dl FROM documents),
+         | st AS (SELECT count(*) AS n_docs,
+         |   ${dsumSql("dl")} / CAST(count(*) AS DOUBLE) AS avgdl, $dfAggs FROM b),
+         | co AS (SELECT n_docs, avgdl, $idfs FROM st)
+         | SELECT doc_id, CAST(dl AS BIGINT) AS dl, round($score, 6) AS bm25
+         | FROM b, co ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q165_ref_integrity" -> {
+      val rels = Seq(
+        ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey", ""),
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", ""),
+        ("lineitem.orderkey->orders[mod3-corrupted]", "lineitem", "l_orderkey", "orders", "o_orderkey", " AND o_orderkey % 3 <> 0"),
+        ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey", ""),
+        ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey", ""))
+      val ctes = rels.zipWithIndex.map { case ((_, child, fk, parent, pk, pf), i) =>
+        s"""ck$i AS (SELECT $fk AS k, count(*) AS cnt FROM $child
+           | WHERE $fk IS NOT NULL GROUP BY $fk),
+           | or$i AS (SELECT count(*) AS ok, CAST(coalesce(sum(cnt), 0) AS BIGINT) AS orr
+           |  FROM ck$i WHERE NOT EXISTS
+           |  (SELECT 1 FROM $parent WHERE $pk = ck$i.k$pf))""".stripMargin
+          .replaceAll("\n", " ")
+      }.mkString(", ")
+      val legs = rels.zipWithIndex.map { case ((name, _, _, _, _, _), i) =>
+        s"""SELECT '$name' AS relationship,
+           | (SELECT count(*) FROM ck$i) AS fk_keys,
+           | (SELECT CAST(sum(cnt) AS BIGINT) FROM ck$i) AS child_rows,
+           | ok AS orphan_keys, orr AS orphan_rows FROM or$i""".stripMargin
+          .replaceAll("\n", " ")
+      }
+      s"WITH $ctes SELECT * FROM (${legs.mkString(" UNION ALL ")}) ORDER BY relationship"
+    },
+    "q166_kendall" -> {
+      val ncD = "CAST(nc AS DOUBLE)"; val ndD = "CAST(nd AS DOUBLE)"
+      val txD = "CAST(tie_x AS DOUBLE)"; val tyD = "CAST(tie_y AS DOUBLE)"
+      s"""WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+         |   CAST(count(*) AS DOUBLE) AS x, ${Stats.Sql.dsumWide("o_totalprice")} AS y
+         |  FROM orders GROUP BY 1),
+         | p AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+         |   FROM daily a JOIN daily b ON a.d < b.d),
+         | ag AS (SELECT
+         |   count(CASE WHEN (x1 < x2 AND y1 < y2) OR (x1 > x2 AND y1 > y2) THEN 1 END) AS nc,
+         |   count(CASE WHEN (x1 < x2 AND y1 > y2) OR (x1 > x2 AND y1 < y2) THEN 1 END) AS nd,
+         |   count(CASE WHEN x1 = x2 AND y1 <> y2 THEN 1 END) AS tie_x,
+         |   count(CASE WHEN y1 = y2 AND x1 <> x2 THEN 1 END) AS tie_y FROM p),
+         | nn AS (SELECT count(*) AS n_days FROM daily)
+         | SELECT n_days, nc, nd, tie_x, tie_y,
+         |  round(($ncD - $ndD) /
+         |    sqrt(($ncD + $ndD + $txD) * ($ncD + $ndD + $tyD)), 6) AS tau_b
+         | FROM ag, nn""".stripMargin.replaceAll("\n", " ")
+    },
+    "q167_holt" -> {
+      val lNew = "0.5 * x[1] + (1.0 - 0.5) * (s[1] + s[2])"
+      s"""WITH monthly AS (SELECT n_name,
+         |   CAST(year(o_orderdate) AS INT) * 12 + CAST(month(o_orderdate) AS INT) AS ym,
+         |   ${Stats.Sql.dsumWide("o_totalprice")} AS rev
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name, ym),
+         | ser AS (SELECT n_name, list(rev ORDER BY ym) AS l
+         |   FROM monthly GROUP BY n_name),
+         | hs AS (SELECT n_name, CAST(len(l) AS BIGINT) AS n,
+         |   list_reduce(list_transform(l, v -> [v, 0.0]),
+         |     (s, x) -> [$lNew,
+         |       0.3 * (($lNew) - s[1]) + (1.0 - 0.3) * s[2]]) AS st
+         |  FROM ser)
+         | SELECT n_name, n, round(st[1], 6) AS level, round(st[2], 6) AS trend,
+         |  round(st[1] + st[2], 6) AS forecast FROM hs
+         | ORDER BY n_name""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

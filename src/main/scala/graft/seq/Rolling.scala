@@ -87,6 +87,45 @@ object Rolling {
         ).as("ewma")): _*)
   }
 
+  /** Per-key Holt linear (double) exponential smoothing — level + trend
+    * state, the forecasting step after [[ewmaByKey]]'s single-state
+    * smoothing: l ← α·v + (1−α)(l+b); b ← β(l−l_prev) + (1−β)b, seeded
+    * l₀ = first value, b₀ = 0 (statsmodels Holt with
+    * initialization_method='known'). Same distribution shape as
+    * [[ewmaByKey]]: ONE shuffle on the key, a HOF left-fold over the
+    * sort-collected series with a 2-element array accumulator —
+    * mirrored by a SQL oracle's `list_reduce(list_transform(l, v ->
+    * [v, 0.0]), (s, x) -> [l', b'])`. (1−α)/(1−β) are built as runtime
+    * IEEE subtractions so the oracle can write `(1.0 - β)` verbatim —
+    * a pre-folded Scala literal could differ from the SQL parse of the
+    * shortest decimal by 1 ulp. Returns (keys..., n, level, trend,
+    * forecast = level + trend).
+    */
+  def holtByKey(df: DataFrame, keys: Seq[String], ordCol: String,
+                valCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1]: $beta")
+    val vals = array_sort(collect_list(
+      struct(col(ordCol), col(valCol).cast(DoubleType).as("v"))))
+    val folded = aggregate(
+      slice(col("ts_vals"), lit(2), size(col("ts_vals")) - lit(1)),
+      array(element_at(col("ts_vals"), 1).getField("v"), lit(0.0)),
+      (s, x) => {
+        val l = element_at(s, 1); val b = element_at(s, 2)
+        val lNew = lit(alpha) * x.getField("v") +
+          (lit(1.0) - lit(alpha)) * (l + b)
+        array(lNew, lit(beta) * (lNew - l) + (lit(1.0) - lit(beta)) * b)
+      })
+    df.groupBy(keys.map(col): _*)
+      .agg(vals.as("ts_vals"))
+      .select(keys.map(col) ++ Seq(
+        size(col("ts_vals")).cast("long").as("n"), folded.as("st")): _*)
+      .select(keys.map(col) ++ Seq(col("n"),
+        element_at(col("st"), 1).as("level"),
+        element_at(col("st"), 2).as("trend"),
+        (element_at(col("st"), 1) + element_at(col("st"), 2)).as("forecast")): _*)
+  }
+
   /** DuckDB SQL fragments computing identical rolling columns, for
     * oracle parity: `window` must be declared as
     * `WINDOW wf AS (PARTITION BY <keys> ORDER BY <ord> ROWS <k-1> PRECEDING),
