@@ -3146,6 +3146,102 @@ object SparkEntry {
       .orderBy("n_name")
   }
 
+  /** S1' — item–item collaborative similarity: cosine between brands
+    * over the customer×brand purchase-count matrix (the
+    * neighborhood-method recommender primitive). Entirely EXACT
+    * integer arithmetic until the final cosine: counts, squared norms
+    * and pair dot-products are integer sums (bitwise cross-engine),
+    * so no decimal machinery is needed. The pair join shuffles the
+    * (customer, brand, n) incidence on the customer key with per-key
+    * fan-out bounded by the brand count (~25), the same shape as q144
+    * baskets; norms broadcast back onto the bounded pair table.
+    */
+  private def qItemSim(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cb = li(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("cust"), col("p_brand").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q168", cb)
+    val norms = cb.groupBy("b").agg(sum(col("n") * col("n")).as("sn2"))
+      .select(col("b"), sqrt(col("sn2").cast("double")).as("nrm"))
+    val pairs = cb.toDF("cust", "b1", "n1")
+      .join(cb.toDF("cust2", "b2", "n2"),
+        col("cust") === col("cust2") && col("b1") < col("b2"))
+      .groupBy("b1", "b2").agg(sum(col("n1") * col("n2")).as("dot"))
+    pairs
+      .join(broadcast(norms.toDF("b1", "nrm1")), "b1")
+      .join(broadcast(norms.toDF("b2", "nrm2")), "b2")
+      .select(col("b1"), col("b2"), col("dot").cast("long").as("dot"),
+        round(col("dot").cast("double") / (col("nrm1") * col("nrm2")), 6)
+          .as("cosine"))
+      .orderBy(desc("cosine"), col("b1"), col("b2"))
+      .limit(20)
+  }
+
+  /** Q2 — functional-dependency audit (X → Y candidates with the g3
+    * violation measure: minimum rows to delete for the FD to hold =
+    * Σ_x (n_x − max_y n_xy)). Two narrow count shuffles per candidate
+    * — (x,y) pairs then x — nothing wider than keys and counts ever
+    * moves; TPC-H's brand→mfgr FD genuinely holds while type→size is
+    * genuinely violated, so both verdict branches are exercised.
+    */
+  private def qFdAudit(s: SparkSession, dir: String): DataFrame = {
+    def fd(name: String, t: DataFrame, x: String, y: String): DataFrame = {
+      val perX = t.groupBy(col(x).as("x"), col(y).as("y"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("x").agg(sum("c").as("nx"), max("c").as("mx"),
+          count(lit(1)).as("ndv"))
+      perX.agg(count(lit(1)).as("lhs_values"),
+        count(when(col("ndv") > 1, 1)).as("violating_lhs"),
+        sum(col("nx") - col("mx")).as("vr"))
+        .select(lit(name).as("fd"), col("lhs_values"), col("violating_lhs"),
+          col("vr").cast("long").as("violation_rows"),
+          (col("violating_lhs") === 0).as("holds"))
+    }
+    val part = Tables.load(s, dir, "part")
+    Seq(
+      fd("customer: c_nationkey->c_mktsegment",
+        Tables.load(s, dir, "customer"), "c_nationkey", "c_mktsegment"),
+      fd("nation: n_nationkey->n_regionkey",
+        Tables.load(s, dir, "nation"), "n_nationkey", "n_regionkey"),
+      fd("orders: o_custkey->o_orderpriority",
+        Tables.load(s, dir, "orders"), "o_custkey", "o_orderpriority"),
+      fd("part: p_name->p_brand", part, "p_name", "p_brand"),
+      fd("part: p_type->p_size", part, "p_type", "p_size"))
+      .reduce(_ union _).orderBy("fd")
+  }
+
+  /** A29 — NDCG@100 of the returnflag classifier ranking (binary
+    * gains): the graded ranking-quality companion to q10's AUC. The
+    * top-k cut is a TakeOrdered (never a global sort); positions are
+    * minted by a window over the ALREADY-bounded k-row frame, so the
+    * single-partition window is k-bounded by construction. IDCG sums
+    * the ideal discount series over a driver-bounded range.
+    */
+  private def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 100
+    val d = li(s, dir).select(
+      when(col("l_returnflag") === "R", 1).otherwise(0).as("label"),
+      col("l_extendedprice").as("score"), col("l_orderkey"), col("l_linenumber"))
+    val nPos = d.agg(sum("label")).head().getLong(0)
+    val ord = Seq(desc("score"), asc("l_orderkey"), asc("l_linenumber"))
+    val top = d.orderBy(ord: _*).limit(k)
+      .withColumn("pos", row_number().over(Window.orderBy(ord: _*)))
+    val dcg = top.agg(Stats.dsum(col("label").cast("double") /
+      log2(col("pos").cast("double") + lit(1.0))).as("dcg"))
+    val idcg = s.range(1L, math.min(k.toLong, nPos) + 1L).toDF("i")
+      .agg(Stats.dsum(lit(1.0) /
+        log2(col("i").cast("double") + lit(1.0))).as("idcg"))
+    dcg.crossJoin(idcg).select(lit(k).as("k"), lit(nPos).as("n_pos"),
+      round(col("dcg"), 6).as("dcg"), round(col("idcg"), 6).as("idcg"),
+      round(col("dcg") / col("idcg"), 6).as("ndcg"))
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -3323,7 +3419,10 @@ object SparkEntry {
     "q164_bm25" -> (qBm25 _),
     "q165_ref_integrity" -> (qRefIntegrity _),
     "q166_kendall" -> (qKendall _),
-    "q167_holt" -> (qHolt _)
+    "q167_holt" -> (qHolt _),
+    "q168_item_sim" -> (qItemSim _),
+    "q169_fd_audit" -> (qFdAudit _),
+    "q170_ndcg" -> (qNdcg _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -5476,6 +5575,51 @@ object SparkEntry {
          | SELECT n_name, n, round(st[1], 6) AS level, round(st[2], 6) AS trend,
          |  round(st[1] + st[2], 6) AS forecast FROM hs
          | ORDER BY n_name""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    "q168_item_sim" ->
+      """WITH cb AS (SELECT o_custkey AS cust, p_brand AS b, count(*) AS n
+        |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |   JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        | nm AS (SELECT b, sqrt(CAST(sum(n * n) AS DOUBLE)) AS nrm
+        |   FROM cb GROUP BY b),
+        | pr AS (SELECT a.b AS b1, c.b AS b2, CAST(sum(a.n * c.n) AS BIGINT) AS dot
+        |   FROM cb a JOIN cb c ON a.cust = c.cust AND a.b < c.b
+        |   GROUP BY a.b, c.b)
+        | SELECT b1, b2, dot,
+        |  round(CAST(dot AS DOUBLE) / (n1.nrm * n2.nrm), 6) AS cosine
+        | FROM pr JOIN nm n1 ON pr.b1 = n1.b JOIN nm n2 ON pr.b2 = n2.b
+        | ORDER BY cosine DESC, b1, b2 LIMIT 20""".stripMargin
+        .replaceAll("\n", " "),
+    "q169_fd_audit" -> {
+      val fds = Seq(
+        ("customer: c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+        ("nation: n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+        ("orders: o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+        ("part: p_name->p_brand", "part", "p_name", "p_brand"),
+        ("part: p_type->p_size", "part", "p_type", "p_size"))
+      val legs = fds.map { case (name, t, x, y) =>
+        s"""SELECT '$name' AS fd, count(*) AS lhs_values,
+           | count(CASE WHEN ndv > 1 THEN 1 END) AS violating_lhs,
+           | CAST(sum(nx - mx) AS BIGINT) AS violation_rows,
+           | count(CASE WHEN ndv > 1 THEN 1 END) = 0 AS holds
+           | FROM (SELECT x, sum(c) AS nx, max(c) AS mx, count(*) AS ndv
+           |   FROM (SELECT $x AS x, $y AS y, count(*) AS c FROM $t GROUP BY 1, 2)
+           |   GROUP BY x)""".stripMargin.replaceAll("\n", " ")
+      }
+      s"SELECT * FROM (${legs.mkString(" UNION ALL ")}) ORDER BY fd"
+    },
+    "q170_ndcg" ->
+      s"""WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
+         |   l_extendedprice AS score, l_orderkey, l_linenumber FROM lineitem),
+         | np AS (SELECT CAST(sum(label) AS BIGINT) AS n_pos FROM d),
+         | top AS (SELECT label, row_number() OVER
+         |   (ORDER BY score DESC, l_orderkey, l_linenumber) AS pos
+         |  FROM d ORDER BY score DESC, l_orderkey, l_linenumber LIMIT 100),
+         | dc AS (SELECT ${dsumSql("CAST(label AS DOUBLE) / log2(CAST(pos AS DOUBLE) + 1.0)")} AS dcg FROM top),
+         | ic AS (SELECT ${dsumSql("1.0 / log2(CAST(i AS DOUBLE) + 1.0)")} AS idcg
+         |   FROM (SELECT unnest(generate_series(1, least(100, n_pos))) AS i FROM np))
+         | SELECT 100 AS k, n_pos, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+         |  round(dcg / idcg, 6) AS ndcg FROM dc, ic, np""".stripMargin
+        .replaceAll("\n", " ")
   )
 }
