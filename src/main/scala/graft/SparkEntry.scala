@@ -2918,8 +2918,12 @@ object SparkEntry {
     graft.core.Caches.retain("q161", ranked)
     val grp = ranked.groupBy("g").agg(count(lit(1)).as("nj"),
       Stats.dsum(col("rk")).as("rj"))
+    // second-level rj²/nj terms are wide doubles whose decimal casts
+    // differ between engines in low digits — over 3 rows use the
+    // order-defined IEEE fold instead (see orderedFoldSum)
     val summ = grp.agg(sum("nj").as("n"), count(lit(1)).as("k"),
-      Stats.dsum(col("rj") * col("rj") / col("nj").cast("double")).as("s2"))
+      orderedFoldSum(col("g"),
+        col("rj") * col("rj") / col("nj").cast("double")).as("s2"))
     val ties = ranked.groupBy("v")
       .agg(count(lit(1)).cast("double").as("t"))
       .agg(Stats.dsum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
@@ -2993,22 +2997,82 @@ object SparkEntry {
   private def qAnova(s: SparkSession, dir: String): DataFrame = {
     val d = col("l_extendedprice").cast("double")
     val v = when(col("l_extendedprice").isNotNull && !isnan(d), d)
-    val mrow = li(s, dir).agg(Stats.dsum(v).as("s"), count(v).as("c")).head()
+    centeredAnovaF(li(s, dir).select(col("l_returnflag").as("g"), v.as("v")))
+  }
+
+  /** Shared core of q163/q172: one-way F over a (g, v) frame with the
+    * grand mean subtracted first (see qAnova's determinism note —
+    * centering makes the double-midpoint tie class measure-zero).
+    * [[centeredAnovaSql]] is its oracle twin over a `d(g, v)` CTE.
+    */
+  private def centeredAnovaF(gv: DataFrame): DataFrame = {
+    val mrow = gv.agg(Stats.dsum(col("v")).as("s"), count(col("v")).as("c")).head()
     val mu = mrow.getAs[Double]("s") / mrow.getAs[Long]("c").toDouble
-    val vc = v - lit(mu)
-    val grp = li(s, dir).groupBy(col("l_returnflag").as("g"))
+    // Two determinism guards, both observed failing in the wild:
+    // centering makes the grp-level sums well-conditioned (see qAnova
+    // note), and the SECOND level avoids decimal casts entirely —
+    // both engines' double→decimal casts are APPROXIMATIONS for wide
+    // values (Spark goes through the shortest-repr string, DuckDB
+    // multiplies by 10¹⁰ in double), whose low-digit junk surfaces
+    // whenever a small-row-count sum lands near a double rounding
+    // boundary. Over the BOUNDED group table the order-defined IEEE
+    // fold is exactly mirrorable instead (list_reduce ORDER BY g).
+    val vc = col("v") - lit(mu)
+    val grp = gv.groupBy("g")
       .agg(count(vc).as("nj"), Stats.dsum(vc).as("sj"),
         Stats.dsum(vc * vc).as("sj2"))
     val njD = col("nj").cast("double")
     val summ = grp.agg(sum("nj").as("n"), count(lit(1)).as("k"),
-      Stats.dsum(col("sj")).as("st"),
-      Stats.dsum(col("sj2") - col("sj") * col("sj") / njD).as("ssw"),
-      Stats.dsum(col("sj") * col("sj") / njD).as("sb_part"))
+      orderedFoldSum(col("g"), col("sj")).as("st"),
+      orderedFoldSum(col("g"),
+        col("sj2") - col("sj") * col("sj") / njD).as("ssw"),
+      orderedFoldSum(col("g"), col("sj") * col("sj") / njD).as("sb_part"))
     val nD = col("n").cast("double"); val kD = col("k").cast("double")
     val ssb = col("sb_part") - col("st") * col("st") / nD
     val f = (ssb / (kD - lit(1.0))) / (col("ssw") / (nD - kD))
     summ.select(col("n"), col("k"), round(ssb, 6).as("ss_between"),
       round(col("ssw"), 6).as("ss_within"), round(f, 6).as("f_stat"))
+  }
+
+  /** Order-defined IEEE sum over a BOUNDED group table (second-level
+    * aggregates): collect (key, term) pairs, sort, left-fold plain
+    * double adds — NO decimal casts. Both engines' double→decimal
+    * casts are approximations for wide values (Spark rounds through
+    * the shortest-repr string, DuckDB multiplies by 10^scale in
+    * double), and over a handful of rows that junk is not averaged
+    * away — observed flipping q172's ss_within across the nearest-
+    * double boundary. The fold is mirrored exactly by
+    * `list_reduce(list(term ORDER BY key), (s, x) -> s + x)`.
+    */
+  private def orderedFoldSum(key: Column, term: Column): Column = {
+    val arr = array_sort(collect_list(struct(key.as("k"), term.as("v"))))
+    aggregate(slice(arr, lit(2), size(arr) - lit(1)),
+      element_at(arr, 1).getField("v"), (s, x) => s + x.getField("v"))
+  }
+
+  /** Oracle twin of [[centeredAnovaF]]: emits the full statement given
+    * the body of a `d` CTE producing (g, v) rows.
+    */
+  private def centeredAnovaSql(dBody: String): String = {
+    val nD = "CAST(n AS DOUBLE)"; val kD = "CAST(k AS DOUBLE)"
+    val ssb = "(sb_part - st * st / " + nD + ")"
+    val vc = "(v - m)"
+    s"""WITH d AS ($dBody),
+       | mu AS (SELECT ${Stats.Sql.dsumWide("v")} /
+       |   CAST(count(v) AS DOUBLE) AS m FROM d),
+       | grp AS (SELECT g, count($vc) AS nj,
+       |   ${Stats.Sql.dsumWide(vc)} AS sj,
+       |   ${Stats.Sql.dsumWide(s"$vc * $vc")} AS sj2
+       |  FROM d, mu GROUP BY g),
+       | summ AS (SELECT CAST(sum(nj) AS BIGINT) AS n, count(*) AS k,
+       |   list_reduce(list(sj ORDER BY g), (s, x) -> s + x) AS st,
+       |   list_reduce(list(sj2 - sj * sj / CAST(nj AS DOUBLE) ORDER BY g),
+       |     (s, x) -> s + x) AS ssw,
+       |   list_reduce(list(sj * sj / CAST(nj AS DOUBLE) ORDER BY g),
+       |     (s, x) -> s + x) AS sb_part FROM grp)
+       | SELECT n, k, round($ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+       |  round(($ssb / ($kD - 1.0)) / (ssw / ($nD - $kD)), 6) AS f_stat
+       | FROM summ""".stripMargin.replaceAll("\n", " ")
   }
 
   /** T2 — BM25 relevance scoring of the corpus against a fixed term
@@ -3242,6 +3306,158 @@ object SparkEntry {
       round(col("dcg") / col("idcg"), 6).as("ndcg"))
   }
 
+  /** A30 — decision-stump split finder: weighted Gini impurity of the
+    * label at each decile threshold of the score column — the
+    * single-feature CART split step, and the one-node version of a
+    * tree ensemble's feature-importance scan. Thresholds come from the
+    * distributed exact-selection engine; ALL candidate splits evaluate
+    * in ONE conditional-aggregation pass (no per-threshold scans), so
+    * the scan count is independent of the candidate count.
+    */
+  private def qStump(s: SparkSession, dir: String): DataFrame = {
+    val ps = (1 to 9).map(_ / 10.0)
+    val d = col("l_extendedprice").cast("double")
+    val base = li(s, dir)
+      .select(when(col("l_returnflag") === "R", 1).otherwise(0).as("y"),
+        d.as("v"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q171", base)
+    val ts = graft.core.OrderStats.quantilesOf(base, "v", ps)
+    val aggs = Seq(count(lit(1)).as("n"), sum("y").as("pos")) ++
+      ts.zipWithIndex.flatMap { case (t, i) =>
+        Seq(count(when(col("v") <= lit(t), 1)).as(s"nl_$i"),
+          sum(when(col("v") <= lit(t), col("y")).otherwise(0)).as(s"pl_$i"))
+      }
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    val rows = ts.zipWithIndex.map { case (t, i) =>
+      val nD = col("n").cast("double")
+      val nlD = col(s"nl_$i").cast("double")
+      val nrD = nD - nlD
+      val pL = col(s"pl_$i").cast("double") / nlD
+      val pR = (col("pos").cast("double") - col(s"pl_$i").cast("double")) / nrD
+      val gL = lit(1.0) - pL * pL - (lit(1.0) - pL) * (lit(1.0) - pL)
+      val gR = lit(1.0) - pR * pR - (lit(1.0) - pR) * (lit(1.0) - pR)
+      val g = when(col(s"nl_$i") > 0 && col(s"nl_$i") < col("n"),
+        nlD / nD * gL + nrD / nD * gR)
+      struct(lit(ps(i)).as("p"), lit(t).as("threshold"),
+        col(s"nl_$i").as("n_left"), col(s"pl_$i").cast("long").as("pos_left"),
+        round(g, 6).as("gini_split"))
+    }
+    m.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.p"), round(col("r.threshold"), 6).as("threshold"),
+        col("r.n_left"), col("r.pos_left"), col("r.gini_split"))
+      .orderBy("p")
+  }
+
+  /** A31 — Brown–Forsythe (median-based Levene) test for variance
+    * homogeneity across the returnflag groups: the robust companion
+    * to q163's mean-comparison F — same [[centeredAnovaF]] core, run
+    * on per-group median absolute deviations. Group medians come from
+    * the grouped exact-selection engine and join back broadcast, so
+    * the transform stays a map stage.
+    */
+  private def qBrownForsythe(s: SparkSession, dir: String): DataFrame = {
+    val d = col("l_extendedprice").cast("double")
+    val base = li(s, dir)
+      .select(col("l_returnflag").as("g"), d.as("v0"))
+      .where(col("v0").isNotNull && !isnan(col("v0")))
+    val med = graft.core.OrderStats
+      .groupedQuantiles(base, "g", "v0", Seq(0.5))
+      .select(col("g"), col("value").as("md"))
+    centeredAnovaF(base.join(broadcast(med), "g")
+      .select(col("g"), abs(col("v0") - col("md")).as("v")))
+  }
+
+  /** A32 — two-predictor OLS (extendedprice ~ quantity + discount) by
+    * exact normal equations: grand means first (driver scalars), then
+    * ONE pass of centered second moments (decimal partials, wide-sum
+    * parity), then the closed-form 2×2 solve — no iteration, no
+    * gradient steps, bitwise-reproducible. The R² derives from the
+    * same moments (SSR = b₁S₁y + b₂S₂y), so the whole fit is two
+    * scans total.
+    */
+  private def qOls(s: SparkSession, dir: String): DataFrame = {
+    def vd(c: String) = {
+      val d = col(c).cast("double")
+      when(col(c).isNotNull && !isnan(d), d)
+    }
+    val ok = vd("l_extendedprice").isNotNull && vd("l_quantity").isNotNull &&
+      vd("l_discount").isNotNull
+    val base = li(s, dir).where(ok)
+      .select(vd("l_extendedprice").as("y"), vd("l_quantity").as("x1"),
+        vd("l_discount").as("x2"))
+    val mrow = base.agg(Stats.dsum(col("y")).as("sy"),
+      Stats.dsum(col("x1")).as("s1"), Stats.dsum(col("x2")).as("s2"),
+      count(lit(1)).as("c")).head()
+    val nL = mrow.getAs[Long]("c"); val nD = nL.toDouble
+    val muY = mrow.getAs[Double]("sy") / nD
+    val mu1 = mrow.getAs[Double]("s1") / nD
+    val mu2 = mrow.getAs[Double]("s2") / nD
+    val cy = col("y") - lit(muY); val c1 = col("x1") - lit(mu1)
+    val c2 = col("x2") - lit(mu2)
+    val m = base.agg(Stats.dsum(c1 * c1).as("s11"), Stats.dsum(c2 * c2).as("s22"),
+      Stats.dsum(c1 * c2).as("s12"), Stats.dsum(c1 * cy).as("s1y"),
+      Stats.dsum(c2 * cy).as("s2y"), Stats.dsum(cy * cy).as("syy"))
+    val det = col("s11") * col("s22") - col("s12") * col("s12")
+    val b1 = (col("s22") * col("s1y") - col("s12") * col("s2y")) / det
+    val b2 = (col("s11") * col("s2y") - col("s12") * col("s1y")) / det
+    val b0 = lit(muY) - b1 * lit(mu1) - b2 * lit(mu2)
+    val r2 = (b1 * col("s1y") + b2 * col("s2y")) / col("syy")
+    m.select(lit(nL).as("n"), round(b0, 6).as("b0"), round(b1, 6).as("b1"),
+      round(b2, 6).as("b2"), round(r2, 6).as("r2"))
+  }
+
+  /** A33 — Cohen's kappa between two deterministic document-quality
+    * raters (char-count vs token-count rules): chance-corrected
+    * inter-rater agreement, the label-audit statistic for annotation
+    * pipelines. One conditional-count pass; κ from exact cell counts.
+    */
+  private def qKappa(s: SparkSession, dir: String): DataFrame = {
+    val r1 = col("n_chars") >= 500
+    val r2 = size(expr("split(text, ' ')")) >= 80
+    val m = doc(s, dir).agg(count(lit(1)).as("n"),
+      count(when(r1 && r2, 1)).as("n11"),
+      count(when(r1 && !r2, 1)).as("n10"),
+      count(when(!r1 && r2, 1)).as("n01"),
+      count(when(!r1 && !r2, 1)).as("n00"))
+    val nD = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pe = (col("n11") + col("n10")).cast("double") / nD *
+      ((col("n11") + col("n01")).cast("double") / nD) +
+      (col("n00") + col("n01")).cast("double") / nD *
+        ((col("n00") + col("n10")).cast("double") / nD)
+    m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  /** T3 — vocabulary overlap between corpus sources (Jaccard over
+    * distinct word sets): the corpus-composition diagnostic before
+    * mixing sources into a training set. The (source, word) incidence
+    * deduplicates once; the pair join shuffles on the word key with
+    * fan-out bounded by the source count squared.
+    */
+  private def qVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sw = doc(s, dir).select(col("source"),
+        explode(expr("filter(split(text, ' '), t -> t != '')")).as("w"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q175", sw)
+    val vs = sw.groupBy("source").agg(count(lit(1)).as("v"))
+    val pairs = sw.toDF("s1", "w")
+      .join(sw.toDF("s2", "w2"), col("w") === col("w2") && col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(vs.toDF("s1", "v1")), "s1")
+      .join(broadcast(vs.toDF("s2", "v2")), "s2")
+      .select(col("s1"), col("s2"), col("v1"), col("v2"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("v1") + col("v2") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -3422,7 +3638,12 @@ object SparkEntry {
     "q167_holt" -> (qHolt _),
     "q168_item_sim" -> (qItemSim _),
     "q169_fd_audit" -> (qFdAudit _),
-    "q170_ndcg" -> (qNdcg _)
+    "q170_ndcg" -> (qNdcg _),
+    "q171_stump" -> (qStump _),
+    "q172_brown_forsythe" -> (qBrownForsythe _),
+    "q173_ols" -> (qOls _),
+    "q174_kappa" -> (qKappa _),
+    "q175_vocab_overlap" -> (qVocabOverlap _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -5439,7 +5660,8 @@ object SparkEntry {
          | grp AS (SELECT g, count(*) AS nj, ${Stats.Sql.dsumWide("rk")} AS rj
          |   FROM rkt GROUP BY g),
          | summ AS (SELECT CAST(sum(nj) AS BIGINT) AS n, count(*) AS k,
-         |   ${Stats.Sql.dsumWide("rj * rj / CAST(nj AS DOUBLE)")} AS s2 FROM grp),
+         |   list_reduce(list(rj * rj / CAST(nj AS DOUBLE) ORDER BY g),
+         |     (s, x) -> s + x) AS s2 FROM grp),
          | tt AS (SELECT ${Stats.Sql.dsumWide("t * t * t - t")} AS tsum FROM
          |   (SELECT CAST(count(*) AS DOUBLE) AS t FROM rkt GROUP BY v))
          | SELECT n, k, round($h, 6) AS h, round($cc, 6) AS tie_c,
@@ -5474,25 +5696,10 @@ object SparkEntry {
          | SELECT * FROM (${legs.mkString(" UNION ALL ")})
          | ORDER BY column_name""".stripMargin.replaceAll("\n", " ")
     },
-    "q163_anova" -> {
-      val v =
-        "(CASE WHEN l_extendedprice IS NOT NULL AND NOT isnan(CAST(l_extendedprice AS DOUBLE)) THEN CAST(l_extendedprice AS DOUBLE) END)"
-      val vc = s"($v - m)"
-      val nD = "CAST(n AS DOUBLE)"; val kD = "CAST(k AS DOUBLE)"
-      val ssb = s"(sb_part - st * st / $nD)"
-      s"""WITH mu AS (SELECT ${Stats.Sql.dsumWide(v)} /
-         |   CAST(count($v) AS DOUBLE) AS m FROM lineitem),
-         | grp AS (SELECT l_returnflag AS g, count($vc) AS nj,
-         |   ${Stats.Sql.dsumWide(vc)} AS sj, ${Stats.Sql.dsumWide(s"$vc * $vc")} AS sj2
-         |  FROM lineitem, mu GROUP BY l_returnflag),
-         | summ AS (SELECT CAST(sum(nj) AS BIGINT) AS n, count(*) AS k,
-         |   ${Stats.Sql.dsumWide("sj")} AS st,
-         |   ${Stats.Sql.dsumWide("sj2 - sj * sj / CAST(nj AS DOUBLE)")} AS ssw,
-         |   ${Stats.Sql.dsumWide("sj * sj / CAST(nj AS DOUBLE)")} AS sb_part FROM grp)
-         | SELECT n, k, round($ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
-         |  round(($ssb / ($kD - 1.0)) / (ssw / ($nD - $kD)), 6) AS f_stat
-         | FROM summ""".stripMargin.replaceAll("\n", " ")
-    },
+    "q163_anova" -> centeredAnovaSql(
+      "SELECT l_returnflag AS g, (CASE WHEN l_extendedprice IS NOT NULL " +
+        "AND NOT isnan(CAST(l_extendedprice AS DOUBLE)) " +
+        "THEN CAST(l_extendedprice AS DOUBLE) END) AS v FROM lineitem"),
     "q164_bm25" -> {
       val terms = Seq("join", "hash", "filter")
       val dfAggs = terms.zipWithIndex.map { case (t, i) =>
@@ -5620,6 +5827,107 @@ object SparkEntry {
          |   FROM (SELECT unnest(generate_series(1, least(100, n_pos))) AS i FROM np))
          | SELECT 100 AS k, n_pos, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
          |  round(dcg / idcg, 6) AS ndcg FROM dc, ic, np""".stripMargin
+        .replaceAll("\n", " "),
+    "q171_stump" -> {
+      val ps = (1 to 9).map(_ / 10.0)
+      val qts = ps.zipWithIndex.map { case (p, i) =>
+        s"quantile_cont(v, $p) AS t_$i"
+      }.mkString(", ")
+      val ags = ps.indices.flatMap { i =>
+        Seq(s"count(CASE WHEN v <= t_$i THEN 1 END) AS nl_$i",
+          s"sum(CASE WHEN v <= t_$i THEN y ELSE 0 END) AS pl_$i")
+      }.mkString(", ")
+      val legs = ps.zipWithIndex.map { case (p, i) =>
+        val nD = "CAST(n AS DOUBLE)"; val nlD = s"CAST(nl_$i AS DOUBLE)"
+        val nrD = s"($nD - $nlD)"
+        val pL = s"(CAST(pl_$i AS DOUBLE) / $nlD)"
+        val pR = s"((CAST(pos AS DOUBLE) - CAST(pl_$i AS DOUBLE)) / $nrD)"
+        val gL = s"(1.0 - $pL * $pL - (1.0 - $pL) * (1.0 - $pL))"
+        val gR = s"(1.0 - $pR * $pR - (1.0 - $pR) * (1.0 - $pR))"
+        val g = s"CASE WHEN nl_$i > 0 AND nl_$i < n THEN " +
+          s"$nlD / $nD * $gL + $nrD / $nD * $gR END"
+        s"""SELECT CAST($p AS DOUBLE) AS p, round(t_$i, 6) AS threshold,
+           | nl_$i AS n_left, CAST(pl_$i AS BIGINT) AS pos_left,
+           | round($g, 6) AS gini_split FROM ag, qt""".stripMargin
+          .replaceAll("\n", " ")
+      }
+      s"""WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         |   CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+         |   WHERE l_extendedprice IS NOT NULL
+         |   AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+         | qt AS (SELECT $qts FROM d),
+         | ag AS (SELECT count(*) AS n, sum(y) AS pos, $ags FROM d, qt)
+         | SELECT * FROM (${legs.mkString(" UNION ALL ")})
+         | ORDER BY p""".stripMargin.replaceAll("\n", " ")
+    },
+    "q172_brown_forsythe" -> centeredAnovaSql(
+      """SELECT b.g, abs(b.v0 - m.md) AS v FROM
+        | (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v0
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  AND NOT isnan(CAST(l_extendedprice AS DOUBLE))) b
+        | JOIN (SELECT l_returnflag AS g,
+        |   quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS md
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |  GROUP BY l_returnflag) m ON b.g = m.g""".stripMargin
+        .replaceAll("\n", " ")),
+    "q173_ols" -> {
+      def vd(c: String) =
+        s"(CASE WHEN $c IS NOT NULL AND NOT isnan(CAST($c AS DOUBLE)) THEN CAST($c AS DOUBLE) END)"
+      val det = "(s11 * s22 - s12 * s12)"
+      val b1 = s"((s22 * s1y - s12 * s2y) / $det)"
+      val b2 = s"((s11 * s2y - s12 * s1y) / $det)"
+      s"""WITH b AS (SELECT y, x1, x2 FROM
+         |  (SELECT ${vd("l_extendedprice")} AS y, ${vd("l_quantity")} AS x1,
+         |    ${vd("l_discount")} AS x2 FROM lineitem)
+         |  WHERE y IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL),
+         | mu AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |   ${Stats.Sql.dsumWide("y")} / CAST(count(*) AS DOUBLE) AS muY,
+         |   ${Stats.Sql.dsumWide("x1")} / CAST(count(*) AS DOUBLE) AS mu1,
+         |   ${Stats.Sql.dsumWide("x2")} / CAST(count(*) AS DOUBLE) AS mu2 FROM b),
+         | m AS (SELECT
+         |   ${Stats.Sql.dsumWide("(x1 - mu1) * (x1 - mu1)")} AS s11,
+         |   ${Stats.Sql.dsumWide("(x2 - mu2) * (x2 - mu2)")} AS s22,
+         |   ${Stats.Sql.dsumWide("(x1 - mu1) * (x2 - mu2)")} AS s12,
+         |   ${Stats.Sql.dsumWide("(x1 - mu1) * (y - muY)")} AS s1y,
+         |   ${Stats.Sql.dsumWide("(x2 - mu2) * (y - muY)")} AS s2y,
+         |   ${Stats.Sql.dsumWide("(y - muY) * (y - muY)")} AS syy FROM b, mu)
+         | SELECT n, round(muY - $b1 * mu1 - $b2 * mu2, 6) AS b0,
+         |  round($b1, 6) AS b1, round($b2, 6) AS b2,
+         |  round(($b1 * s1y + $b2 * s2y) / syy, 6) AS r2
+         | FROM m, mu""".stripMargin.replaceAll("\n", " ")
+    },
+    "q174_kappa" -> {
+      val r1 = "n_chars >= 500"
+      val r2 = "len(string_split(text, ' ')) >= 80"
+      val nD = "CAST(n AS DOUBLE)"
+      val po = s"(CAST(n11 + n00 AS DOUBLE) / $nD)"
+      val pe = s"(CAST(n11 + n10 AS DOUBLE) / $nD * (CAST(n11 + n01 AS DOUBLE) / $nD) + " +
+        s"CAST(n00 + n01 AS DOUBLE) / $nD * (CAST(n00 + n10 AS DOUBLE) / $nD))"
+      s"""WITH m AS (SELECT count(*) AS n,
+         |  count(CASE WHEN $r1 AND $r2 THEN 1 END) AS n11,
+         |  count(CASE WHEN $r1 AND NOT ($r2) THEN 1 END) AS n10,
+         |  count(CASE WHEN NOT ($r1) AND $r2 THEN 1 END) AS n01,
+         |  count(CASE WHEN NOT ($r1) AND NOT ($r2) THEN 1 END) AS n00
+         | FROM documents)
+         | SELECT n, n11, n10, n01, n00, round($po, 6) AS po,
+         |  round($pe, 6) AS pe,
+         |  round(($po - $pe) / (1.0 - $pe), 6) AS kappa FROM m""".stripMargin
         .replaceAll("\n", " ")
+    },
+    "q175_vocab_overlap" ->
+      """WITH sw AS (SELECT DISTINCT source, w FROM
+        |   (SELECT source, unnest(list_filter(string_split(text, ' '),
+        |     t -> t <> '')) AS w FROM documents)),
+        | vs AS (SELECT source, count(*) AS v FROM sw GROUP BY source),
+        | pr AS (SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+        |   FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+        |   GROUP BY 1, 2)
+        | SELECT s1, s2, va.v AS v1, vb.v AS v2, inter,
+        |  round(CAST(inter AS DOUBLE) /
+        |    CAST((va.v + vb.v - inter) AS DOUBLE), 6) AS jaccard
+        | FROM pr JOIN vs va ON pr.s1 = va.source
+        | JOIN vs vb ON pr.s2 = vb.source
+        | ORDER BY s1, s2""".stripMargin.replaceAll("\n", " ")
   )
 }
