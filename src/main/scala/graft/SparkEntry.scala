@@ -3458,6 +3458,25 @@ object SparkEntry {
       .orderBy("s1", "s2")
   }
 
+  /** R1/R3 oracle twin of q34 (which is rows-only by RNG nature): the
+    * deterministic-hash sample composed with the deterministic-hash
+    * permutation ([[graft.aug.Sampling.hashShuffled]]). The head of the
+    * permutation plus the sample count pin BOTH the membership (R1) and
+    * the ordering (R3) semantics in a cross-engine-checkable form.
+    * Head extraction is TakeOrderedAndProject — distributed top-k, no
+    * single-partition window.
+    */
+  private def qSampleShuffleAudit(s: SparkSession, dir: String): DataFrame = {
+    val sampled = graft.aug.Sampling.hashSample(li(s, dir), "l_orderkey",
+        fraction = 0.01, seed = 7L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    graft.aug.Sampling.hashShuffled(sampled, "l_orderkey", 99L,
+        col("l_orderkey"), col("l_linenumber"))
+      .select(graft.aug.Sampling.keyBucket(col("l_orderkey"), 99L).as("shuffle_key"),
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .limit(50)
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -3643,7 +3662,8 @@ object SparkEntry {
     "q172_brown_forsythe" -> (qBrownForsythe _),
     "q173_ols" -> (qOls _),
     "q174_kappa" -> (qKappa _),
-    "q175_vocab_overlap" -> (qVocabOverlap _)
+    "q175_vocab_overlap" -> (qVocabOverlap _),
+    "q176_sample_shuffle_audit" -> (qSampleShuffleAudit _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -5928,6 +5948,14 @@ object SparkEntry {
         |    CAST((va.v + vb.v - inter) AS DOUBLE), 6) AS jaccard
         | FROM pr JOIN vs va ON pr.s1 = va.source
         | JOIN vs vb ON pr.s2 = vb.source
-        | ORDER BY s1, s2""".stripMargin.replaceAll("\n", " ")
+        | ORDER BY s1, s2""".stripMargin.replaceAll("\n", " "),
+    "q176_sample_shuffle_audit" -> {
+      import graft.aug.Sampling.{Sql => Smp}
+      s"""SELECT ${Smp.keyBucket("l_orderkey", 99L)} AS shuffle_key,
+         | l_orderkey, l_linenumber, l_extendedprice
+         | FROM lineitem WHERE ${Smp.samplePred("l_orderkey", 0.01, 7L)}
+         | ORDER BY shuffle_key, l_orderkey, l_linenumber
+         | LIMIT 50""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

@@ -71,6 +71,16 @@ object Sampling {
   def shuffle(df: DataFrame, seed: Long = 42L): DataFrame =
     df.orderBy(rand(seed))
 
+  /** Deterministic permutation — R3's engine-reproducible twin: a total
+    * order by the key's hash bucket, ties broken by `tieBreak`. Same
+    * range-partitioned-sort shape at scale as [[shuffle]], but the
+    * order is a pure function of the data, so it is retry-stable and
+    * oracle-checkable where `rand(seed)` is Spark-private.
+    */
+  def hashShuffled(df: DataFrame, keyCol: String, seed: Long,
+                   tieBreak: Column*): DataFrame =
+    df.orderBy(keyBucket(col(keyCol), seed) +: tieBreak: _*)
+
   /** Deterministic train/validation/test split assignment: every row
     * gets a split label from its key's hash bucket, with fractions
     * mapped to contiguous bucket ranges in the given order. Unlike

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the harness star schema (TESTDATA.md).
   *
@@ -17,15 +19,37 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects
-    // by default; read as LongType nanos (order-isomorphic — we only ever
-    // sort/bucket on it, never display it).
+    // some testdata generations write events.ts as TIMESTAMP(NANOS), which
+    // Spark's reader rejects by default; read those as LongType nanos
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // DuckDB's epoch_us() interprets naive timestamps as UTC; pin the
+    // session the same way so timestamp→epoch math is engine-identical
+    // regardless of which entry point built the session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     // graft's native expressions (graft_dot, graft_strhash) ride every
     // query path; registration is idempotent
     graft.sim.GraftFunctions.register(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") withNanosTs(df) else df
   }
+
+  /** Harness generations have shipped `events.ts` both as
+    * TIMESTAMP(NANOS) (surfaced as LongType nanos under nanosAsLong) and
+    * as timestamp[us] (surfaced as TIMESTAMP_NTZ). Normalize to LongType
+    * epoch-nanoseconds at the scan so every downstream consumer
+    * (`ts div 1000` micro bucketing, Resample's integer-exact nanos path)
+    * sees one shape whichever generation wrote the file. Values stay
+    * within Long range until 2262, same bound as the nanos encoding.
+    */
+  def withNanosTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) | None => df
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected long nanos or timestamp")
+    }
 
   /** CSV scan with header + schema inference — parity with the reference's
     * `spark.read.csv(..., header=True, inferSchema=True)`

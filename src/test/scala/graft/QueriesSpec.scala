@@ -2,6 +2,19 @@ package graft
 
 class QueriesSpec extends SparkSpec {
 
+  test("every query resolves its plan against the current testdata schema") {
+    // cheap analysis-only sweep, run FIRST: a harness testdata regeneration
+    // that changes a column type (round 7: events.ts ns→us) breaks the
+    // build here in seconds, naming every affected query, instead of
+    // surfacing one at a time at bench/verify time
+    val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, sf).queryExecution.analyzed; None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}") }
+    }
+    assert(broken.isEmpty, s"queries failing analysis:\n${broken.mkString("\n")}")
+  }
+
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

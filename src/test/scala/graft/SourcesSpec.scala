@@ -9,6 +9,52 @@ class SourcesSpec extends SparkSpec {
 
   private lazy val li = spark.read.parquet(s"$sf/lineitem.parquet")
 
+  test("every harness table loads with the pinned canonical schema") {
+    // pin name→type for all 10 tables AS LOADED (post-normalization:
+    // events.ts is always LongType epoch-nanos whichever parquet
+    // encoding the harness generation used). A testdata regeneration
+    // that drifts a column type fails HERE, naming table and column,
+    // instead of as 18 scattered analysis errors (the round-7 incident).
+    import org.apache.spark.sql.types._
+    val pinned: Map[String, Seq[(String, DataType)]] = Map(
+      "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+      "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+        "l_shipdate" -> TimestampNTZType),
+      "events" -> Seq("event_id" -> LongType, "ts" -> LongType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> Seq("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+    // compare via .sql: nullability-insensitive (parquet element
+    // nullability is a writer detail, not a semantic contract)
+    val drift = Tables.all.flatMap { t =>
+      val got = Tables.load(spark, sf, t).schema
+        .map(f => f.name -> f.dataType.sql)
+      val want = pinned(t).map { case (n, d) => n -> d.sql }
+      if (got == want) None else Some(s"$t: expected $want, got $got")
+    }
+    assert(drift.isEmpty, s"schema drift:\n${drift.mkString("\n")}")
+  }
+
   test("JSON sink/source round-trips rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
     val sample = li.select("l_orderkey", "l_linenumber", "l_quantity").limit(500)
