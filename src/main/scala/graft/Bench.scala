@@ -28,10 +28,19 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      // settle the heap between queries: the r6/r7 artifacts showed 2-8×
-      // run-to-run spread on individual queries from cross-query GC debt
-      // in the shared bench JVM, not from the plans themselves
+      // isolate queries from each other: drop the cache registry (each
+      // query is measured from a clean slate — its OWN reruns still hit
+      // its caches) and settle the heap. The r8 A/B: q121 measured 11.8s
+      // mid-sweep with neighbors' retained caches + GC debt vs 2.8s
+      // isolated; r6/r7 showed the same 2-8× cross-query spread.
+      graft.core.Caches.releaseAll()
       System.gc()
+      // one untimed warmup execution: codegen compilation + JIT of the
+      // query's operators land here, so the timed runs measure steady-
+      // state throughput (the advisory's <2× per-run spread criterion).
+      // Disable with SPARK_GRAFT_BENCH_WARMUP=0 to time cold plans.
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {

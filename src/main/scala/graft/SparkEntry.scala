@@ -3477,6 +3477,175 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** T-series lead–lag cross-correlation (CCF): Pearson correlation
+    * between the daily click count and the purchase count k days LATER,
+    * k = 0..5 — the "does activity lead conversions" diagnostic that
+    * complements q145's autocorrelation. The daily frame is ≤ one row
+    * per day, so the per-lag self-join fans out 6× over a tiny frame;
+    * moments are decimal sums over integer-exact counts, so the oracle
+    * math is digit-identical.
+    */
+  private def qCcf(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(expr("(ts div 1000) div 86400000000").as("d"), col("event_type"))
+      .groupBy("d")
+      .agg(count(when(col("event_type") === "click", 1)).cast("double").as("x"),
+        count(when(col("event_type") === "purchase", 1)).cast("double").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q177", daily)
+    val lagged = daily.select(col("d"), col("x"),
+        explode(array((0 to 5).map(i => lit(i)): _*)).as("k"))
+      .join(daily.select(col("d").as("d2"), col("y")),
+        col("d2") === col("d") + col("k"))
+    val n = col("n_pairs").cast("double")
+    lagged.groupBy("k").agg(count(lit(1)).as("n_pairs"),
+        Stats.dsum(col("x")).as("sx"), Stats.dsum(col("y")).as("sy"),
+        Stats.dsum(col("x") * col("x")).as("sxx"),
+        Stats.dsum(col("y") * col("y")).as("syy"),
+        Stats.dsum(col("x") * col("y")).as("sxy"))
+      .select(col("k"), col("n_pairs"),
+        round((n * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+           sqrt(n * col("syy") - col("sy") * col("sy"))), 6).as("ccf"))
+      .orderBy("k")
+  }
+
+  /** Effect size between the click and purchase value distributions:
+    * Cohen's d on the pooled sample SD, with the Hedges' g small-sample
+    * correction — the "is the difference MEANINGFUL" companion to
+    * q141's Welch significance test. Two mergeable moment aggregates;
+    * scalar algebra on a one-row frame.
+    */
+  private def qCohensD(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("g"), col("value").cast("double").as("v"))
+    val ag = e.groupBy("g").agg(count(lit(1)).cast("double").as("n"),
+      Stats.dmean(col("v")).as("m"), Stats.dvarSamp(col("v")).as("s2"))
+    val r = ag.agg(
+      max(when(col("g") === "click", col("n"))).as("n1"),
+      max(when(col("g") === "click", col("m"))).as("m1"),
+      max(when(col("g") === "click", col("s2"))).as("s21"),
+      max(when(col("g") === "purchase", col("n"))).as("n2"),
+      max(when(col("g") === "purchase", col("m"))).as("m2"),
+      max(when(col("g") === "purchase", col("s2"))).as("s22"))
+    val dof = col("n1") + col("n2") - lit(2.0)
+    val sp = sqrt(((col("n1") - lit(1.0)) * col("s21") +
+      (col("n2") - lit(1.0)) * col("s22")) / dof)
+    val dEff = (col("m1") - col("m2")) / sp
+    r.select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+      round(col("m1"), 6).as("mean1"), round(col("m2"), 6).as("mean2"),
+      round(sp, 6).as("pooled_sd"), round(dEff, 6).as("cohens_d"),
+      round(dEff * (lit(1.0) - lit(3.0) / (lit(4.0) * dof - lit(1.0))), 6)
+        .as("hedges_g"))
+  }
+
+  /** Herfindahl–Hirschman concentration of order revenue across
+    * customers, per order priority: HHI = Σ share² — the market-
+    * concentration audit (is one customer dominating a segment?).
+    * Two-level aggregate: exact integer cents per (priority, customer),
+    * then one mergeable moment pass per priority. Squaring happens in
+    * DOUBLE on both engines (same IEEE op), the sums in DECIMAL.
+    */
+  private def qHhi(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("g"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS LONG)").as("cents"))
+      .groupBy("g", "o_custkey").agg(sum("cents").as("cents"))
+    per.select(col("g"), col("cents").cast("double").as("c"))
+      .groupBy("g").agg(count(lit(1)).as("n_customers"),
+        Stats.dsum(col("c")).as("tot"),
+        Stats.dsum(col("c") * col("c")).as("ss"))
+      .select(col("g").as("priority"), col("n_customers"),
+        round(col("tot") / lit(100.0), 2).as("revenue"),
+        round(col("ss") / (col("tot") * col("tot")), 6).as("hhi"))
+      .orderBy("priority")
+  }
+
+  /** Lorenz curve of customer lifetime order value in deciles: per
+    * decile of customers (poorest→richest), the decile's share of total
+    * revenue and the cumulative share — the inequality curve behind
+    * q124's Gini scalar. Rank-range decile assignment WITHOUT a global
+    * window: per DISTINCT value, the exclusive prefix count from
+    * [[graft.core.PrefixScan]] gives the value's rank interval, and its
+    * overlap with each decile's boundary interval is pure arithmetic —
+    * tie-order-independent by construction, so engine-exact. At 100 TB
+    * the scanned frame is one row per distinct value, not per customer.
+    */
+  private def qLorenz(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS LONG)").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    val byVal = per.groupBy("cents").agg(count(lit(1)).as("n"))
+      .withColumn("vsum", col("cents") * col("n"))
+    val (scanned, totals) =
+      PrefixScan.exclusive(byVal, "cents", Seq("n", "vsum"), "q180")
+    val nT = totals(0)
+    val cT = totals(1)
+    val ex = scanned.select(col("cents"), col("n"), col("cum_n_below").as("cum"),
+        explode(array((0 to 9).map(i => lit(i)): _*)).as("decile"))
+      .withColumn("b_lo", expr(s"(${nT}L * decile) div 10"))
+      .withColumn("b_hi", expr(s"(${nT}L * (decile + 1)) div 10"))
+      .withColumn("in_d", greatest(lit(0L),
+        least(col("cum") + col("n"), col("b_hi")) -
+          greatest(col("cum"), col("b_lo"))))
+      .withColumn("le_d", greatest(lit(0L),
+        least(col("n"), col("b_hi") - col("cum"))))
+    ex.groupBy("decile").agg(sum("in_d").as("n_customers"),
+        Stats.dsum(col("in_d").cast("double") * col("cents").cast("double"))
+          .as("dc"),
+        Stats.dsum(col("le_d").cast("double") * col("cents").cast("double"))
+          .as("cc"))
+      .select(col("decile"), col("n_customers"),
+        round(col("dc") / lit(cT.toDouble), 6).as("value_share"),
+        round(col("cc") / lit(cT.toDouble), 6).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  /** Degree histogram of the supplier–part bipartite graph (who supplies
+    * what): per side, how many nodes have each degree — the graph-shape
+    * profile (hubs vs long tail) that sizes any downstream graph
+    * algorithm. One distinct edge scan feeds two narrow count-of-counts
+    * aggregates.
+    */
+  private def qDegreeHist(s: SparkSession, dir: String): DataFrame = {
+    val edges = li(s, dir).select(col("l_suppkey"), col("l_partkey")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q181", edges)
+    val sup = edges.groupBy("l_suppkey").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .withColumn("side", lit("supplier"))
+    val prt = edges.groupBy("l_partkey").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .withColumn("side", lit("part"))
+    sup.unionByName(prt).select("side", "deg", "n_nodes")
+      .orderBy("side", "deg")
+  }
+
+  /** DAU/MAU stickiness per 30-day window: average daily active users
+    * over the window's monthly active users — the engagement ratio.
+    * Exact distinct counts via two narrow (window, user) dedups; no
+    * approximate sketches so the oracle is exact.
+    */
+  private def qStickiness(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(
+      expr("(ts div 1000) div 86400000000").as("d"),
+      expr("((ts div 1000) div 86400000000) div 30").as("m"),
+      col("user_id"))
+    val daily = e.select("m", "d", "user_id").distinct()
+      .groupBy("m", "d").agg(count(lit(1)).as("dau"))
+    val dauAvg = daily.groupBy("m").agg(count(lit(1)).as("n_days"),
+      Stats.dmean(col("dau").cast("double")).as("avg_dau"))
+    val mau = e.select("m", "user_id").distinct()
+      .groupBy("m").agg(count(lit(1)).as("mau"))
+    dauAvg.join(mau, "m")
+      .select(col("m"), col("n_days"), col("mau"),
+        round(col("avg_dau"), 6).as("avg_dau"),
+        round(col("avg_dau") / col("mau").cast("double"), 6).as("stickiness"))
+      .orderBy("m")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle (non-SQL-expressible
@@ -3663,7 +3832,13 @@ object SparkEntry {
     "q173_ols" -> (qOls _),
     "q174_kappa" -> (qKappa _),
     "q175_vocab_overlap" -> (qVocabOverlap _),
-    "q176_sample_shuffle_audit" -> (qSampleShuffleAudit _)
+    "q176_sample_shuffle_audit" -> (qSampleShuffleAudit _),
+    "q177_ccf" -> (qCcf _),
+    "q178_cohens_d" -> (qCohensD _),
+    "q179_hhi" -> (qHhi _),
+    "q180_lorenz" -> (qLorenz _),
+    "q181_degree_hist" -> (qDegreeHist _),
+    "q182_stickiness" -> (qStickiness _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -5956,6 +6131,103 @@ object SparkEntry {
          | FROM lineitem WHERE ${Smp.samplePred("l_orderkey", 0.01, 7L)}
          | ORDER BY shuffle_key, l_orderkey, l_linenumber
          | LIMIT 50""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    "q177_ccf" -> {
+      val n = "CAST(count(*) AS DOUBLE)"
+      def w(x: String) = Stats.Sql.dsumWide(x)
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+         |   CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE) AS x,
+         |   CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS y
+         |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+         | l AS (SELECT a.d, g.k, a.x, b.y
+         |  FROM daily a
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k) g
+         |  JOIN daily b ON b.d = a.d + g.k)
+         | SELECT k, count(*) AS n_pairs,
+         |  round(($n * ${w("x*y")} - ${w("x")} * ${w("y")}) /
+         |   (sqrt($n * ${w("x*x")} - ${w("x")} * ${w("x")}) *
+         |    sqrt($n * ${w("y*y")} - ${w("y")} * ${w("y")})), 6) AS ccf
+         | FROM l GROUP BY k ORDER BY k""".stripMargin.replaceAll("\n", " ")
+    },
+    "q178_cohens_d" -> {
+      val sp = "sqrt(((n1 - 1.0) * s21 + (n2 - 1.0) * s22) / (n1 + n2 - 2.0))"
+      val d = s"((m1 - m2) / $sp)"
+      s"""WITH e AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+         |   FROM events WHERE event_type IN ('click', 'purchase')),
+         | a AS (SELECT g, CAST(count(*) AS DOUBLE) AS n,
+         |   ${Stats.Sql.dmean("v")} AS m, ${Stats.Sql.dvarSamp("v")} AS s2
+         |   FROM e GROUP BY g),
+         | w AS (SELECT
+         |   max(CASE WHEN g = 'click' THEN n END) AS n1,
+         |   max(CASE WHEN g = 'click' THEN m END) AS m1,
+         |   max(CASE WHEN g = 'click' THEN s2 END) AS s21,
+         |   max(CASE WHEN g = 'purchase' THEN n END) AS n2,
+         |   max(CASE WHEN g = 'purchase' THEN m END) AS m2,
+         |   max(CASE WHEN g = 'purchase' THEN s2 END) AS s22 FROM a)
+         | SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+         |  round($sp, 6) AS pooled_sd, round($d, 6) AS cohens_d,
+         |  round($d * (1.0 - 3.0 / (4.0 * (n1 + n2 - 2.0) - 1.0)), 6) AS hedges_g
+         | FROM w""".stripMargin.replaceAll("\n", " ")
+    },
+    "q179_hhi" -> {
+      val c = "CAST(cents AS DOUBLE)"
+      s"""WITH per AS (SELECT o_orderpriority AS g, o_custkey,
+         |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1, 2),
+         | a AS (SELECT g, count(*) AS n_customers,
+         |   ${Stats.Sql.dsumWide(c)} AS tot,
+         |   ${Stats.Sql.dsumWide(s"$c*$c")} AS ss FROM per GROUP BY g)
+         | SELECT g AS priority, n_customers, round(tot / 100.0, 2) AS revenue,
+         |  round(ss / (tot * tot), 6) AS hhi FROM a ORDER BY priority""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q180_lorenz" -> {
+      s"""WITH per AS (SELECT o_custkey,
+         |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         | v AS (SELECT cents, count(*) AS n FROM per GROUP BY cents),
+         | sc AS (SELECT cents, n, CAST(COALESCE(sum(n) OVER (ORDER BY cents
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |   FROM v),
+         | t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |   CAST(sum(cents * n) AS BIGINT) AS ct FROM v),
+         | e AS (SELECT decile, cents, n, cum, ct,
+         |   (nt * decile) // 10 AS b_lo, (nt * (decile + 1)) // 10 AS b_hi
+         |  FROM sc CROSS JOIN t
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS decile)),
+         | f AS (SELECT decile, cents, ct,
+         |   greatest(0, least(cum + n, b_hi) - greatest(cum, b_lo)) AS in_d,
+         |   greatest(0, least(n, b_hi - cum)) AS le_d FROM e)
+         | SELECT decile, CAST(sum(in_d) AS BIGINT) AS n_customers,
+         |  round(${Stats.Sql.dsumWide("CAST(in_d AS DOUBLE) * CAST(cents AS DOUBLE)")} /
+         |    CAST(max(ct) AS DOUBLE), 6) AS value_share,
+         |  round(${Stats.Sql.dsumWide("CAST(le_d AS DOUBLE) * CAST(cents AS DOUBLE)")} /
+         |    CAST(max(ct) AS DOUBLE), 6) AS cum_share
+         | FROM f GROUP BY decile ORDER BY decile""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q181_degree_hist" ->
+      """WITH edges AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+        | sup AS (SELECT 'supplier' AS side, deg, count(*) AS n_nodes FROM
+        |   (SELECT l_suppkey, count(*) AS deg FROM edges GROUP BY 1) GROUP BY 2),
+        | prt AS (SELECT 'part' AS side, deg, count(*) AS n_nodes FROM
+        |   (SELECT l_partkey, count(*) AS deg FROM edges GROUP BY 1) GROUP BY 2)
+        | SELECT side, deg, n_nodes FROM (SELECT * FROM sup UNION ALL SELECT * FROM prt)
+        | ORDER BY side, deg""".stripMargin.replaceAll("\n", " "),
+    "q182_stickiness" ->
+      s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d,
+         |   (epoch_us(ts) // 86400000000) // 30 AS m, user_id FROM events),
+         | daily AS (SELECT m, d, count(*) AS dau FROM
+         |   (SELECT DISTINCT m, d, user_id FROM e) GROUP BY m, d),
+         | da AS (SELECT m, count(*) AS n_days,
+         |   ${Stats.Sql.dmean("CAST(dau AS DOUBLE)")} AS avg_dau
+         |  FROM daily GROUP BY m),
+         | ma AS (SELECT m, count(*) AS mau FROM
+         |   (SELECT DISTINCT m, user_id FROM e) GROUP BY m)
+         | SELECT da.m AS m, n_days, mau, round(avg_dau, 6) AS avg_dau,
+         |  round(avg_dau / CAST(mau AS DOUBLE), 6) AS stickiness
+         | FROM da JOIN ma ON da.m = ma.m ORDER BY m""".stripMargin
+        .replaceAll("\n", " ")
   )
 }

@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Round close-out ANN quality measurement: recall@k of the sublinear
+  * index paths (q30 hyperplane LSH, q45 IVF) against brute-force ground
+  * truth (the q29 path) on the harness embeddings table at an arbitrary
+  * scale factor. AnnSpec enforces floors at test scale; this tool tracks
+  * the same numbers as the data grows (PLANS.md records them per round),
+  * so LSH/IVF parameter quality is measured — not assumed — at each SF.
+  *
+  * Usage: runMain graft.tools.RecallCheck <sfDir> [nQueries] [k]
+  * Prints one JSON line {"sf":…,"n":…,"k":…,"lsh":…,"lsh_tuned":…,
+  * "ivf":…,"ivf_tuned":…}.
+  */
+object RecallCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nQueries = args.lift(1).map(_.toInt).getOrElse(100)
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val pred = col("id") < nQueries
+    import graft.sim.Ann
+    def pairs(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("a", "b").collect()
+        .groupBy(_.getLong(0)).map { case (a, rs) =>
+          a -> rs.map(_.getLong(1)).toSet
+        }
+    val brute = pairs(Ann.cosineTopK(emb, "vec_id", "embedding", k,
+      queryPred = pred))
+    def recallOf(approx: Map[Long, Set[Long]]): Double = {
+      val per = brute.map { case (a, truth) =>
+        (truth intersect approx.getOrElse(a, Set.empty)).size.toDouble /
+          truth.size
+      }
+      per.sum / per.size
+    }
+    def r(v: Double): Double = math.round(v * 1000) / 1000.0
+    val lsh = recallOf(pairs(Ann.lshTopK(emb, "vec_id", "embedding", k,
+      dim = 64, tables = 4, bitsPerTable = 8, queryPred = pred)))
+    val lshTuned = recallOf(pairs(Ann.lshTopK(emb, "vec_id", "embedding", k,
+      dim = 64, tables = 16, bitsPerTable = 4, queryPred = pred)))
+    val ivf = recallOf(pairs(Ann.ivfTopK(emb, "vec_id", "embedding", k,
+      nCells = 16, nprobe = 2, queryPred = pred)))
+    val ivfTuned = recallOf(pairs(Ann.ivfTopK(emb, "vec_id", "embedding", k,
+      nCells = 16, nprobe = 4, queryPred = pred)))
+    println(s"""{"sf":"$sfDir","n":$nQueries,"k":$k,"lsh":${r(lsh)},""" +
+      s""""lsh_tuned":${r(lshTuned)},"ivf":${r(ivf)},"ivf_tuned":${r(ivfTuned)}}""")
+    spark.stop()
+  }
+}
