@@ -3623,6 +3623,65 @@ object SparkEntry {
       .orderBy("side", "deg")
   }
 
+  /** Corpus composition audit — the language mix per source: per source
+    * its document count, language count, the dominant language's share
+    * and the language-distribution entropy (bits). The before-mixing
+    * diagnostic for multilingual corpus assembly (a source whose
+    * entropy jumps between snapshots changed its crawl mix). One
+    * (source, lang) aggregate, then a per-source fold — both narrow.
+    */
+  private def qLangMix(s: SparkSession, dir: String): DataFrame = {
+    val c = doc(s, dir).groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    val tot = c.groupBy("source").agg(sum("n").as("n_docs"),
+      count(lit(1)).as("n_langs"))
+    c.join(tot, "source")
+      .withColumn("p", col("n").cast("double") / col("n_docs").cast("double"))
+      .groupBy("source").agg(
+        max("n_langs").as("n_langs"), max("n_docs").as("n_docs"),
+        round(max("p"), 6).as("top_share"),
+        round(lit(0.0) - Stats.dsum(col("p") * log2(col("p"))), 6)
+          .as("entropy_bits"))
+      .orderBy("source")
+  }
+
+  /** Near-duplicate cluster size distribution: how many dup clusters of
+    * each size the corpus holds — the dedup planning statistic (many
+    * small clusters → cheap pair removal; one giant cluster → template
+    * spam needing a different rule). Reuses the q47 component labeling;
+    * two count-of-counts aggregates on the tiny (id → component) frame.
+    */
+  private def qClusterSizeHist(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.Dedup.jaccardPairs(par(doc(s, dir)), "doc_id", "text",
+      n = 3, threshold = 0.5)
+    graft.dedup.Components.connectedComponents(pairs, "a", "b")
+      .groupBy("component").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("sz")
+  }
+
+  /** Daily OHLC bars of purchase values: open/close by (ts, event_id)
+    * order, high/low/mean over the day — the classic downsample-for-
+    * charting aggregation. ONE mergeable aggregate: open/close ride
+    * lexicographic min/max over a (ts, event_id, v) struct (the unique
+    * key makes the selection deterministic), no window anywhere.
+    */
+  private def qOhlc(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).where(col("event_type") === "purchase")
+      .select(expr("(ts div 1000) div 86400000000").as("d"),
+        col("ts"), col("event_id"), col("value").cast("double").as("v"))
+    e.groupBy("d").agg(
+        min(struct(col("ts"), col("event_id"), col("v"))).as("fst"),
+        max(struct(col("ts"), col("event_id"), col("v"))).as("lst"),
+        count(lit(1)).as("n"),
+        round(min("v"), 6).as("low"), round(max("v"), 6).as("high"),
+        Stats.dsum(col("v")).as("sv"))
+      .select(col("d"), col("n"),
+        round(col("fst.v"), 6).as("open"), round(col("lst.v"), 6).as("close"),
+        col("low"), col("high"),
+        round(col("sv") / col("n").cast("double"), 6).as("mean"))
+      .orderBy("d")
+  }
+
   /** DAU/MAU stickiness per 30-day window: average daily active users
     * over the window's monthly active users — the engagement ratio.
     * Exact distinct counts via two narrow (window, user) dedups; no
@@ -3838,7 +3897,10 @@ object SparkEntry {
     "q179_hhi" -> (qHhi _),
     "q180_lorenz" -> (qLorenz _),
     "q181_degree_hist" -> (qDegreeHist _),
-    "q182_stickiness" -> (qStickiness _)
+    "q182_stickiness" -> (qStickiness _),
+    "q183_lang_mix" -> (qLangMix _),
+    "q184_cluster_size_hist" -> (qClusterSizeHist _),
+    "q185_ohlc" -> (qOhlc _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -6228,6 +6290,55 @@ object SparkEntry {
          | SELECT da.m AS m, n_days, mau, round(avg_dau, 6) AS avg_dau,
          |  round(avg_dau / CAST(mau AS DOUBLE), 6) AS stickiness
          | FROM da JOIN ma ON da.m = ma.m ORDER BY m""".stripMargin
+        .replaceAll("\n", " "),
+    "q183_lang_mix" -> {
+      s"""WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+         | t AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+         |   count(*) AS n_langs FROM c GROUP BY source),
+         | j AS (SELECT c.source, n_langs, n_docs,
+         |   CAST(n AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p
+         |  FROM c JOIN t ON c.source = t.source)
+         | SELECT source, max(n_langs) AS n_langs, max(n_docs) AS n_docs,
+         |  round(max(p), 6) AS top_share,
+         |  round(0.0 - ${dsumSql("p * log2(p)")}, 6) AS entropy_bits
+         | FROM j GROUP BY source ORDER BY source""".stripMargin
         .replaceAll("\n", " ")
+    },
+    "q184_cluster_size_hist" -> {
+      val sh = graft.dedup.Dedup.Sql.shingles("text", 3)
+      s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents),
+         | e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         | sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+         | i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |   FROM e x JOIN e y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         | p AS (SELECT a, b FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |   WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+         | ed AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+         | verts AS (SELECT DISTINCT src AS id FROM ed),
+         | reach AS (WITH RECURSIVE rr(id, r) AS (
+         |     SELECT id, id FROM verts
+         |     UNION
+         |     SELECT ed.src, rr.r FROM ed JOIN rr ON rr.id = ed.dst)
+         |   SELECT * FROM rr),
+         | comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         | cs AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+         | SELECT sz, count(*) AS n_clusters FROM cs GROUP BY sz
+         | ORDER BY sz""".stripMargin.replaceAll("\n", " ")
+    },
+    "q185_ohlc" -> {
+      s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d, epoch_us(ts) AS us,
+         |   event_id, CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE event_type = 'purchase'),
+         | r AS (SELECT d, v,
+         |   row_number() OVER (PARTITION BY d ORDER BY us, event_id) AS rn_a,
+         |   row_number() OVER (PARTITION BY d ORDER BY us DESC, event_id DESC) AS rn_z
+         |  FROM e)
+         | SELECT d, count(*) AS n,
+         |  round(max(CASE WHEN rn_a = 1 THEN v END), 6) AS open,
+         |  round(max(CASE WHEN rn_z = 1 THEN v END), 6) AS close,
+         |  round(min(v), 6) AS low, round(max(v), 6) AS high,
+         |  round(${dsumSql("v")} / CAST(count(*) AS DOUBLE), 6) AS mean
+         | FROM r GROUP BY d ORDER BY d""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }
