@@ -3682,6 +3682,90 @@ object SparkEntry {
       .orderBy("d")
   }
 
+  /** Tokenizer fertility by language: per lang, characters per
+    * whitespace token and BPE-ish subword tokens per word — the
+    * tokenizer-suitability diagnostic (a language whose fertility is 2×
+    * the corpus median pays 2× the context budget per sentence; the
+    * standard argument for retraining a tokenizer before a multilingual
+    * run). One pass, all counts from codegen'd string expressions.
+    */
+  private def qFertility(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    par(doc(s, dir))
+      .select(col("lang"), length(col("text")).cast("long").as("chars"),
+        TextOps.tokenCount(col("text")).cast("long").as("ws"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("bpe"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum("chars").as("chars"), sum("ws").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        round(col("chars").cast("double") / col("ws_tokens").cast("double"), 6)
+          .as("chars_per_word"),
+        round(col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"), 6)
+          .as("fertility"))
+      .orderBy("lang")
+  }
+
+  /** Cross-source duplication matrix: for each (source, source) pair,
+    * how many near-duplicate document pairs span them — the corpus-
+    * licensing/provenance audit (mirror sites show up as off-diagonal
+    * mass; template spam as diagonal mass). Near-dup pairs come from
+    * the exact n-gram Jaccard path; two broadcast-able doc→source joins
+    * label the ends.
+    */
+  private def qCrossSourceDups(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.Dedup.jaccardPairs(par(doc(s, dir)), "doc_id", "text",
+      n = 3, threshold = 0.5)
+    val src = doc(s, dir).select(col("doc_id"), col("source"))
+    pairs.join(src.toDF("a", "s_a"), "a").join(src.toDF("b", "s_b"), "b")
+      .select(least(col("s_a"), col("s_b")).as("s1"),
+        greatest(col("s_a"), col("s_b")).as("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy("s1", "s2")
+  }
+
+  /** Balanced class weights over the embeddings labels — the
+    * `n_samples / (n_classes * n_c)` inverse-frequency weighting every
+    * imbalanced trainer consumes. One narrow aggregate + a broadcast
+    * scalar.
+    */
+  private def qClassWeights(s: SparkSession, dir: String): DataFrame = {
+    val c = em(s, dir).groupBy("label").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q188", c)
+    val r0 = c.agg(sum("n"), count(lit(1))).head()
+    val total = r0.getLong(0)
+    val k = r0.getLong(1)
+    c.select(col("label"), col("n"),
+        round(lit(total.toDouble) / (lit(k.toDouble) * col("n").cast("double")), 6)
+          .as("weight"))
+      .orderBy("label")
+  }
+
+  /** Odds ratio with 95% CI for the error outcome between two hash
+    * cohorts of users — the epidemiological 2×2 effect measure
+    * complementing q153's significance z-test: OR = ad/bc with the Woolf
+    * log-interval. One conditional-count aggregate; exact integer cells.
+    */
+  private def qOddsRatio(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(
+      (col("user_id") % 2 === 0).as("exposed"),
+      (col("event_type") === "error").as("bad"))
+    val m = e.agg(
+      count(when(col("exposed") && col("bad"), 1)).as("a"),
+      count(when(col("exposed") && !col("bad"), 1)).as("b"),
+      count(when(!col("exposed") && col("bad"), 1)).as("c"),
+      count(when(!col("exposed") && !col("bad"), 1)).as("d"))
+    val or = (col("a") * col("d")).cast("double") /
+      (col("b") * col("c")).cast("double")
+    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+      lit(1.0) / col("c") + lit(1.0) / col("d"))
+    m.select(col("a"), col("b"), col("c"), col("d"),
+      round(or, 6).as("odds_ratio"),
+      round(exp(log(or) - lit(1.959963984540054) * se), 6).as("ci_lo"),
+      round(exp(log(or) + lit(1.959963984540054) * se), 6).as("ci_hi"))
+  }
+
   /** DAU/MAU stickiness per 30-day window: average daily active users
     * over the window's monthly active users — the engagement ratio.
     * Exact distinct counts via two narrow (window, user) dedups; no
@@ -3900,7 +3984,11 @@ object SparkEntry {
     "q182_stickiness" -> (qStickiness _),
     "q183_lang_mix" -> (qLangMix _),
     "q184_cluster_size_hist" -> (qClusterSizeHist _),
-    "q185_ohlc" -> (qOhlc _)
+    "q185_ohlc" -> (qOhlc _),
+    "q186_fertility" -> (qFertility _),
+    "q187_cross_source_dups" -> (qCrossSourceDups _),
+    "q188_class_weights" -> (qClassWeights _),
+    "q189_odds_ratio" -> (qOddsRatio _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -6339,6 +6427,53 @@ object SparkEntry {
          |  round(min(v), 6) AS low, round(max(v), 6) AS high,
          |  round(${dsumSql("v")} / CAST(count(*) AS DOUBLE), 6) AS mean
          | FROM r GROUP BY d ORDER BY d""".stripMargin.replaceAll("\n", " ")
+    },
+    "q186_fertility" -> {
+      import graft.text.TextOps.{Sql => T}
+      s"""WITH d AS (SELECT lang, length(text) AS chars,
+         |   ${T.tokenCount("text")} AS ws, ${T.bpeTokenCount("text")} AS bpe
+         |  FROM documents)
+         | SELECT lang, count(*) AS n_docs, CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+         |  round(CAST(sum(chars) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6) AS chars_per_word,
+         |  round(CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6) AS fertility
+         | FROM d GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " ")
+    },
+    "q187_cross_source_dups" -> {
+      val sh = graft.dedup.Dedup.Sql.shingles("text", 3)
+      s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents),
+         | e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         | sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+         | i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |   FROM e x JOIN e y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         | p AS (SELECT a, b FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |   WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5)
+         | SELECT least(da.source, db.source) AS s1,
+         |  greatest(da.source, db.source) AS s2, count(*) AS n_dup_pairs
+         | FROM p JOIN documents da ON da.doc_id = p.a
+         | JOIN documents db ON db.doc_id = p.b
+         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")
+    },
+    "q188_class_weights" ->
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+        | t AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+        |   CAST(count(*) AS DOUBLE) AS k FROM c)
+        | SELECT label, n, round(total / (k * CAST(n AS DOUBLE)), 6) AS weight
+        | FROM c, t ORDER BY label""".stripMargin.replaceAll("\n", " "),
+    "q189_odds_ratio" -> {
+      val or = "(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))"
+      val se = "sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)"
+      s"""WITH e AS (SELECT (user_id % 2 = 0) AS exposed,
+         |   (event_type = 'error') AS bad FROM events),
+         | m AS (SELECT
+         |   count(CASE WHEN exposed AND bad THEN 1 END) AS a,
+         |   count(CASE WHEN exposed AND NOT bad THEN 1 END) AS b,
+         |   count(CASE WHEN NOT exposed AND bad THEN 1 END) AS c,
+         |   count(CASE WHEN NOT exposed AND NOT bad THEN 1 END) AS d FROM e)
+         | SELECT a, b, c, d, round($or, 6) AS odds_ratio,
+         |  round(exp(ln($or) - 1.959963984540054 * $se), 6) AS ci_lo,
+         |  round(exp(ln($or) + 1.959963984540054 * $se), 6) AS ci_hi
+         | FROM m""".stripMargin.replaceAll("\n", " ")
     }
   )
 }
