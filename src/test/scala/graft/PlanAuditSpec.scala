@@ -204,6 +204,44 @@ class PlanAuditSpec extends SparkSpec {
       s"heavy-hitter recount gained a data-sized join:\n$q147")
   }
 
+  test("round-8 query plans keep their scale shapes") {
+    // q176 sample+shuffle audit: head extraction is distributed top-k
+    // (TakeOrderedAndProject), never a global sort + limit
+    val q176 = plan(SparkEntry.queries("q176_sample_shuffle_audit")(spark, sf))
+    assert(q176.contains("TakeOrderedAndProject"),
+      s"sample audit lost its top-k plan:\n$q176")
+    // q180 Lorenz: decile assignment is PrefixScan + arithmetic — no
+    // window operator, no single-partition exchange anywhere
+    val q180 = plan(SparkEntry.queries("q180_lorenz")(spark, sf))
+    assert(!q180.contains("Window"),
+      s"Lorenz regressed to a window:\n$q180")
+    // q185 OHLC: open/close ride struct min/max inside ONE aggregate —
+    // no window, no join
+    val q185 = plan(SparkEntry.queries("q185_ohlc")(spark, sf))
+    assert(!q185.contains("Window") && !q185.contains("Join"),
+      s"OHLC regressed from single-aggregate shape:\n$q185")
+    // q177 CCF: the per-lag self-join of the tiny daily frame must be a
+    // hash equi-join on (d + k), not a nested loop
+    val q177 = plan(SparkEntry.queries("q177_ccf")(spark, sf))
+    assert(!q177.contains("BroadcastNestedLoopJoin") &&
+      !q177.contains("CartesianProduct"),
+      s"CCF lag join exploded:\n$q177")
+    // q187 cross-source dups: the doc→source labeling joins are
+    // equi-joins (broadcast or hash), never nested loops
+    val q187 = plan(SparkEntry.queries("q187_cross_source_dups")(spark, sf))
+    assert(!q187.contains("BroadcastNestedLoopJoin") &&
+      !q187.contains("CartesianProduct"),
+      s"cross-source labeling plans a cartesian:\n$q187")
+    // q181/q182/q183/q186: narrow aggregate chains — no single-partition
+    // exchange except the bounded final merge of scalar aggregates
+    Seq("q181_degree_hist", "q182_stickiness", "q183_lang_mix",
+        "q186_fertility").foreach { name =>
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      assert(!p.contains("Window"), s"$name gained a window:\n$p")
+    }
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
