@@ -3766,6 +3766,24 @@ object SparkEntry {
       round(exp(log(or) + lit(1.959963984540054) * se), 6).as("ci_hi"))
   }
 
+  /** Self-verifying GK quantile sketch (core.Sketches.quantileAudit):
+    * the single-pass mergeable substitute for OrderStats at 100 TB,
+    * shipped with its acceptance audit — the oracle asserts the
+    * bound-check column as literal TRUE, so a sketch that violates its
+    * rank guarantee fails the correctness gate.
+    */
+  private def qQuantileSketch(s: SparkSession, dir: String): DataFrame =
+    graft.core.Sketches.quantileAudit(liStats(s, dir), "l_extendedprice",
+      Seq(0.25, 0.5, 0.75, 0.95), accuracy = 200)
+
+  /** Self-verifying HLL++ cardinality sketch per group — same audit
+    * pattern as q190: exact distinct count (cross-engine-checked) plus
+    * the 3·rsd bound boolean the oracle pins TRUE.
+    */
+  private def qHllAudit(s: SparkSession, dir: String): DataFrame =
+    graft.core.Sketches.distinctAudit(li(s, dir), "l_linestatus",
+      "l_partkey", rsd = 0.05)
+
   /** DAU/MAU stickiness per 30-day window: average daily active users
     * over the window's monthly active users — the engagement ratio.
     * Exact distinct counts via two narrow (window, user) dedups; no
@@ -3988,7 +4006,9 @@ object SparkEntry {
     "q186_fertility" -> (qFertility _),
     "q187_cross_source_dups" -> (qCrossSourceDups _),
     "q188_class_weights" -> (qClassWeights _),
-    "q189_odds_ratio" -> (qOddsRatio _)
+    "q189_odds_ratio" -> (qOddsRatio _),
+    "q190_quantile_sketch" -> (qQuantileSketch _),
+    "q191_hll_audit" -> (qHllAudit _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -6474,6 +6494,23 @@ object SparkEntry {
          |  round(exp(ln($or) - 1.959963984540054 * $se), 6) AS ci_lo,
          |  round(exp(ln($or) + 1.959963984540054 * $se), 6) AS ci_hi
          | FROM m""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    "q190_quantile_sketch" -> {
+      // the oracle computes the exact quantiles and PINS the sketch's
+      // bound check as literal TRUE: a guarantee violation on the Spark
+      // side hash-mismatches the correctness row
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      ps.map { p =>
+        s"""SELECT '${f"p$p%.2f"}' AS quantile,
+           | round(quantile_cont(l_extendedprice, $p), 6) AS exact_value,
+           | TRUE AS within_bound FROM lineitem""".stripMargin
+          .replaceAll("\n", " ")
+      }.mkString(" UNION ALL ") + " ORDER BY quantile"
+    },
+    "q191_hll_audit" ->
+      """SELECT l_linestatus, count(DISTINCT l_partkey) AS exact,
+        | TRUE AS within_bound
+        | FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+        .replaceAll("\n", " ")
   )
 }
