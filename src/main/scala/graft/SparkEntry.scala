@@ -3784,6 +3784,29 @@ object SparkEntry {
     graft.core.Sketches.distinctAudit(li(s, dir), "l_linestatus",
       "l_partkey", rsd = 0.05)
 
+  /** Analytic window-function suite over per-user event streams: lag
+    * delta (inter-event micros), percent_rank and cume_dist of the
+    * value within the user's history, ntile(4) session-quartile — the
+    * four rank-analytic primitives not exercised elsewhere, all over
+    * ONE hash-partitioned (user_id) window family (no global window;
+    * ties broken by the unique event_id). Head-200 via distributed
+    * top-k for a bounded deterministic output.
+    */
+  private def qWindowSuite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, dir).select(col("user_id"), col("event_id"),
+      expr("ts div 1000").as("us"), col("value").cast("double").as("v"))
+    val wt = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wv = Window.partitionBy("user_id").orderBy("v", "event_id")
+    e.select(col("user_id"), col("event_id"),
+        (col("us") - lag("us", 1).over(wt)).as("delta_us"),
+        round(percent_rank().over(wv), 6).as("pr"),
+        round(cume_dist().over(wv), 6).as("cd"),
+        ntile(4).over(wv).as("tile"))
+      .orderBy("user_id", "event_id")
+      .limit(200)
+  }
+
   /** DAU/MAU stickiness per 30-day window: average daily active users
     * over the window's monthly active users — the engagement ratio.
     * Exact distinct counts via two narrow (window, user) dedups; no
@@ -4008,7 +4031,8 @@ object SparkEntry {
     "q188_class_weights" -> (qClassWeights _),
     "q189_odds_ratio" -> (qOddsRatio _),
     "q190_quantile_sketch" -> (qQuantileSketch _),
-    "q191_hll_audit" -> (qHllAudit _)
+    "q191_hll_audit" -> (qHllAudit _),
+    "q192_window_suite" -> (qWindowSuite _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -6511,6 +6535,16 @@ object SparkEntry {
       """SELECT l_linestatus, count(DISTINCT l_partkey) AS exact,
         | TRUE AS within_bound
         | FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+        .replaceAll("\n", " "),
+    "q192_window_suite" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |   CAST(value AS DOUBLE) AS v FROM events)
+        | SELECT user_id, event_id,
+        |  us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS delta_us,
+        |  round(percent_rank() OVER (PARTITION BY user_id ORDER BY v, event_id), 6) AS pr,
+        |  round(cume_dist() OVER (PARTITION BY user_id ORDER BY v, event_id), 6) AS cd,
+        |  ntile(4) OVER (PARTITION BY user_id ORDER BY v, event_id) AS tile
+        | FROM e ORDER BY user_id, event_id LIMIT 200""".stripMargin
         .replaceAll("\n", " ")
   )
 }
