@@ -3007,7 +3007,17 @@ object SparkEntry {
     */
   private def centeredAnovaF(gv: DataFrame): DataFrame = {
     val mrow = gv.agg(Stats.dsum(col("v")).as("s"), count(col("v")).as("c")).head()
-    val mu = mrow.getAs[Double]("s") / mrow.getAs[Long]("c").toDouble
+    // round the centering constant to 6 dp: every caller feeds v with
+    // ≤6 decimal places, so vc = v − mu stays EXACTLY representable in
+    // DECIMAL(38,10) and the first-level sums are decimal-exact on both
+    // engines. An unrounded mu has a full double fraction, and the two
+    // engines' double→decimal casts disagree on half-ulp cases (Spark
+    // shortest-repr string vs DuckDB ×10¹⁰ double multiply) — observed
+    // as a last-digit ss_within flip on q195 at sf0.1. Centering is a
+    // numerical-conditioning device; a ≤5e-7 shift of the center is
+    // statistically nil and F is invariant to it up to that epsilon.
+    val mu = math.round(
+      mrow.getAs[Double]("s") / mrow.getAs[Long]("c").toDouble * 1e6) / 1e6
     // Two determinism guards, both observed failing in the wild:
     // centering makes the grp-level sums well-conditioned (see qAnova
     // note), and the SECOND level avoids decimal casts entirely —
@@ -3018,9 +3028,20 @@ object SparkEntry {
     // boundary. Over the BOUNDED group table the order-defined IEEE
     // fold is exactly mirrorable instead (list_reduce ORDER BY g).
     val vc = col("v") - lit(mu)
+    // Integer micro-unit accumulation: vc is a ≤6-dp value (callers
+    // feed ≤6-dp v, mu is 6-dp), so w = round(vc·10⁶) recovers its
+    // EXACT integer micro-units on both engines (the double is within
+    // 3e-5 of the integer — any rounding convention agrees), and Σw,
+    // Σw² in exact decimal arithmetic are bitwise mirrorable. Summing
+    // vc² as doubles is not: the product carries a full fraction, and
+    // the engines' double→decimal casts (Spark shortest-repr string,
+    // DuckDB ×10^scale double multiply) disagree on half-ulp cases —
+    // observed flipping q195's ss_within last ulp at sf0.1.
+    val w = round(vc * lit(1000000.0)).cast(DecimalType(38, 0))
     val grp = gv.groupBy("g")
-      .agg(count(vc).as("nj"), Stats.dsum(vc).as("sj"),
-        Stats.dsum(vc * vc).as("sj2"))
+      .agg(count(vc).as("nj"),
+        (sum(w).cast(DoubleType) / lit(1000000.0)).as("sj"),
+        (sum(w * w).cast(DoubleType) / lit(1.0e12)).as("sj2"))
     val njD = col("nj").cast("double")
     val summ = grp.agg(sum("nj").as("n"), count(lit(1)).as("k"),
       orderedFoldSum(col("g"), col("sj")).as("st"),
@@ -3030,8 +3051,13 @@ object SparkEntry {
     val nD = col("n").cast("double"); val kD = col("k").cast("double")
     val ssb = col("sb_part") - col("st") * col("st") / nD
     val f = (ssb / (kD - lit(1.0))) / (col("ssw") / (nD - kD))
-    summ.select(col("n"), col("k"), round(ssb, 6).as("ss_between"),
-      round(col("ssw"), 6).as("ss_within"), round(f, 6).as("f_stat"))
+    // SS columns round to INTEGERS, not 6 dp: at ss ~ 1e14, DuckDB's
+    // round(x, 6) computes x·10⁶ (≈1e20, far past 2⁵³) and hands back a
+    // DIFFERENT double — the scale-0 round has no multiply and both
+    // engines agree. Sub-integer digits of a 1e14 sum are noise anyway;
+    // f_stat is O(1) and keeps its 6 dp.
+    summ.select(col("n"), col("k"), round(ssb).as("ss_between"),
+      round(col("ssw")).as("ss_within"), round(f, 6).as("f_stat"))
   }
 
   /** Order-defined IEEE sum over a BOUNDED group table (second-level
@@ -3058,11 +3084,14 @@ object SparkEntry {
     val ssb = "(sb_part - st * st / " + nD + ")"
     val vc = "(v - m)"
     s"""WITH d AS ($dBody),
-       | mu AS (SELECT ${Stats.Sql.dsumWide("v")} /
-       |   CAST(count(v) AS DOUBLE) AS m FROM d),
+       | mu AS (SELECT round(${Stats.Sql.dsumWide("v")} /
+       |   CAST(count(v) AS DOUBLE), 6) AS m FROM d),
        | grp AS (SELECT g, count($vc) AS nj,
-       |   ${Stats.Sql.dsumWide(vc)} AS sj,
-       |   ${Stats.Sql.dsumWide(s"$vc * $vc")} AS sj2
+       |   CAST(CAST(sum(CAST(round(($vc) * 1000000.0) AS HUGEINT)) AS VARCHAR)
+       |     AS DOUBLE) / 1000000.0 AS sj,
+       |   CAST(CAST(sum(CAST(round(($vc) * 1000000.0) AS HUGEINT) *
+       |     CAST(round(($vc) * 1000000.0) AS HUGEINT)) AS VARCHAR)
+       |     AS DOUBLE) / 1.0e12 AS sj2
        |  FROM d, mu GROUP BY g),
        | summ AS (SELECT CAST(sum(nj) AS BIGINT) AS n, count(*) AS k,
        |   list_reduce(list(sj ORDER BY g), (s, x) -> s + x) AS st,
@@ -3070,7 +3099,7 @@ object SparkEntry {
        |     (s, x) -> s + x) AS ssw,
        |   list_reduce(list(sj * sj / CAST(nj AS DOUBLE) ORDER BY g),
        |     (s, x) -> s + x) AS sb_part FROM grp)
-       | SELECT n, k, round($ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+       | SELECT n, k, round($ssb) AS ss_between, round(ssw) AS ss_within,
        |  round(($ssb / ($kD - 1.0)) / (ssw / ($nD - $kD)), 6) AS f_stat
        | FROM summ""".stripMargin.replaceAll("\n", " ")
   }
@@ -3807,6 +3836,114 @@ object SparkEntry {
       .limit(200)
   }
 
+  /** Arbitrary GROUPING SETS through the SQL surface (the shape cube
+    * q160 and rollup q127 are special cases of): three chosen sets in
+    * ONE Expand+aggregate pass, 'ALL' markers dodging cross-engine null
+    * ordering.
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 4) AS sum_qty
+        | FROM lineitem
+        | GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |   (l_returnflag), (l_linestatus))
+        | ORDER BY rflag, lstatus""".stripMargin)
+  }
+
+  /** Explicit LEFT SEMI / LEFT ANTI join surface: per market segment,
+    * customers with and without orders — the existence-join pair every
+    * referential audit composes, registered as first-class plan shapes
+    * (semi/anti hash joins, never a count-join-dedup detour).
+    */
+  private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables.load(s, dir, "orders").select(col("o_custkey"))
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    c.groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      .join(withO, Seq("c_mktsegment"), "left")
+      .join(without, Seq("c_mktsegment"), "left")
+      .select(col("c_mktsegment").as("segment"), col("n_customers"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy("segment")
+  }
+
+  /** A33 — Levene's homogeneity-of-variance test (mean-centered),
+    * completing the spread-test family with q172's Brown–Forsythe
+    * (median-centered, the robust twin): same one-way F over absolute
+    * deviations, centered on per-group MEANS (one mergeable aggregate
+    * instead of the grouped median selection).
+    */
+  private def qLevene(s: SparkSession, dir: String): DataFrame = {
+    val d = col("l_extendedprice").cast("double")
+    val base = li(s, dir)
+      .select(col("l_returnflag").as("g"), d.as("v0"))
+      .where(col("v0").isNotNull && !isnan(col("v0")))
+    // center on round(mean, 6), not the raw mean: 2-dp data minus a
+    // 6-dp center keeps |x − c| exactly representable in DECIMAL(38,10),
+    // where a full-fraction center makes the two engines' double→decimal
+    // casts disagree on half-ulp cases (Spark rounds via shortest-repr
+    // string, DuckDB multiplies by 10¹⁰ in double — the q172 scaladoc
+    // class, observed shifting ss_between at 1e-5 here). The center
+    // choice is conventional in Levene's test; a 1e-6 shift of a 5e4
+    // magnitude center is statistically nil but buys bitwise parity.
+    val mn = base.groupBy("g").agg(round(Stats.dmean(col("v0")), 6).as("mn"))
+    centeredAnovaF(base.join(broadcast(mn), "g")
+      .select(col("g"), abs(col("v0") - col("mn")).as("v")))
+  }
+
+  /** Poisson rate-ratio test between even and odd days: event counts,
+    * exposure days, the rate ratio and its log-scale z statistic — the
+    * count-data companion to q153's proportion test. Pure conditional
+    * counts; exact integers both sides.
+    */
+  private def qRateRatio(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("d"))
+      .select(col("d"), (col("d") % 2 === 0).as("even"))
+    val m = e.agg(
+      count(when(col("even"), 1)).as("c1"),
+      count(when(!col("even"), 1)).as("c2"),
+      countDistinct(when(col("even"), col("d"))).as("d1"),
+      countDistinct(when(!col("even"), col("d"))).as("d2"))
+    val r1 = col("c1").cast("double") / col("d1").cast("double")
+    val r2 = col("c2").cast("double") / col("d2").cast("double")
+    m.select(col("c1"), col("c2"), col("d1"), col("d2"),
+      round(r1 / r2, 6).as("rate_ratio"),
+      round(log(r1 / r2) /
+        sqrt(lit(1.0) / col("c1") + lit(1.0) / col("c2")), 6).as("z"))
+  }
+
+  /** Per-user inter-event gap profile: event count, gap count, mean and
+    * max gap in micros — the telemetry-cadence health table (a user
+    * whose max gap dwarfs the mean has a collection outage). The lag
+    * window and the aggregate share ONE user_id hash exchange.
+    */
+  private def qGapStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"),
+        count(col("gap")).as("n_gaps"),
+        // nearest MICROSECOND (scale-0 round): integer micros over a
+        // 2·5-smooth gap count produce exact 4-dp midpoints where the
+        // engines' round(x, 4) conventions split (observed at sf0.1);
+        // scale-0 has no ×10^k multiply and exact .5 rounds up on both
+        round(Stats.dmean(col("gap").cast("double"))).as("mean_gap_us"),
+        max("gap").as("max_gap_us"))
+      .orderBy("user_id")
+  }
+
   /** DAU/MAU stickiness per 30-day window: average daily active users
     * over the window's monthly active users — the engagement ratio.
     * Exact distinct counts via two narrow (window, user) dedups; no
@@ -4032,7 +4169,12 @@ object SparkEntry {
     "q189_odds_ratio" -> (qOddsRatio _),
     "q190_quantile_sketch" -> (qQuantileSketch _),
     "q191_hll_audit" -> (qHllAudit _),
-    "q192_window_suite" -> (qWindowSuite _)
+    "q192_window_suite" -> (qWindowSuite _),
+    "q193_grouping_sets" -> (qGroupingSets _),
+    "q194_semi_anti" -> (qSemiAnti _),
+    "q195_levene" -> (qLevene _),
+    "q196_rate_ratio" -> (qRateRatio _),
+    "q197_gap_stats" -> (qGapStats _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -6545,6 +6687,57 @@ object SparkEntry {
         |  round(cume_dist() OVER (PARTITION BY user_id ORDER BY v, event_id), 6) AS cd,
         |  ntile(4) OVER (PARTITION BY user_id ORDER BY v, event_id) AS tile
         | FROM e ORDER BY user_id, event_id LIMIT 200""".stripMargin
+        .replaceAll("\n", " "),
+    "q193_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus, count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 4) AS sum_qty
+        | FROM lineitem
+        | GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |   (l_returnflag), (l_linestatus))
+        | ORDER BY rflag, lstatus""".stripMargin.replaceAll("\n", " "),
+    "q194_semi_anti" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_customers,
+        |  count(CASE WHEN EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey) THEN 1 END) AS n_with_orders,
+        |  count(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey) THEN 1 END) AS n_without_orders
+        | FROM customer c GROUP BY c_mktsegment ORDER BY segment""".stripMargin
+        .replaceAll("\n", " "),
+    "q195_levene" -> centeredAnovaSql(
+      s"""SELECT b.g, abs(b.v0 - m.mn) AS v FROM
+         | (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v0
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+         |  AND NOT isnan(CAST(l_extendedprice AS DOUBLE))) b
+         | JOIN (SELECT l_returnflag AS g,
+         |   round(${Stats.Sql.dsumWide("CAST(l_extendedprice AS DOUBLE)")} /
+         |     CAST(count(l_extendedprice) AS DOUBLE), 6) AS mn
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+         |  AND NOT isnan(CAST(l_extendedprice AS DOUBLE)) GROUP BY 1) m
+         | ON b.g = m.g""".stripMargin.replaceAll("\n", " ")),
+    "q196_rate_ratio" -> {
+      val r1 = "(CAST(c1 AS DOUBLE) / CAST(d1 AS DOUBLE))"
+      val r2 = "(CAST(c2 AS DOUBLE) / CAST(d2 AS DOUBLE))"
+      s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d,
+         |   (epoch_us(ts) // 86400000000) % 2 = 0 AS even FROM events),
+         | m AS (SELECT count(CASE WHEN even THEN 1 END) AS c1,
+         |   count(CASE WHEN NOT even THEN 1 END) AS c2,
+         |   count(DISTINCT CASE WHEN even THEN d END) AS d1,
+         |   count(DISTINCT CASE WHEN NOT even THEN d END) AS d2 FROM e)
+         | SELECT c1, c2, d1, d2, round($r1 / $r2, 6) AS rate_ratio,
+         |  round(ln($r1 / $r2) / sqrt(1.0/c1 + 1.0/c2), 6) AS z
+         | FROM m""".stripMargin.replaceAll("\n", " ")
+    },
+    "q197_gap_stats" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         | g AS (SELECT user_id,
+         |   us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+         |  FROM e)
+         | SELECT user_id, count(*) AS n_events, count(gap) AS n_gaps,
+         |  round(${Stats.Sql.dsum("CAST(gap AS DOUBLE)")} /
+         |    count(gap)) AS mean_gap_us,
+         |  CAST(max(gap) AS BIGINT) AS max_gap_us
+         | FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
         .replaceAll("\n", " ")
   )
 }
