@@ -240,6 +240,19 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
       assert(!p.contains("Window"), s"$name gained a window:\n$p")
     }
+    // q193 grouping sets: ONE Expand feeding one aggregate — three
+    // grouping sets must not become three scans
+    val q193 = plan(SparkEntry.queries("q193_grouping_sets")(spark, sf))
+    assert(q193.contains("Expand"), s"grouping sets lost the Expand plan:\n$q193")
+    assert("Scan parquet".r.findAllIn(q193).size <= 1,
+      s"grouping sets scans more than once:\n$q193")
+    // q194: the existence joins plan as real SEMI/ANTI hash joins, not
+    // a count-join-dedup detour
+    val q194 = plan(SparkEntry.queries("q194_semi_anti")(spark, sf))
+    assert(q194.contains("LeftSemi"), s"semi join shape lost:\n$q194")
+    assert(q194.contains("LeftAnti"), s"anti join shape lost:\n$q194")
+    assert(!q194.contains("BroadcastNestedLoopJoin"),
+      s"existence join plans a cartesian:\n$q194")
   }
 
   test("forest scoring stays inside whole-stage codegen") {
