@@ -33,14 +33,20 @@ object Bench {
       // its caches) and settle the heap. The r8 A/B: q121 measured 11.8s
       // mid-sweep with neighbors' retained caches + GC debt vs 2.8s
       // isolated; r6/r7 showed the same 2-8× cross-query spread.
-      graft.core.Caches.releaseAll()
-      System.gc()
+      // SPARK_GRAFT_BENCH_COMPOSITE=1 skips the release: queries share
+      // retained caches like a real composite session (the SharedScanAb
+      // scheduler story) — the close-out reports BOTH totals.
+      val composite = sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPOSITE", "0") == "1"
+      if (!composite) { graft.core.Caches.releaseAll(); System.gc() }
       // one untimed warmup execution: codegen compilation + JIT of the
       // query's operators land here, so the timed runs measure steady-
       // state throughput (the advisory's <2× per-run spread criterion).
       // Disable with SPARK_GRAFT_BENCH_WARMUP=0 to time cold plans.
+      // NonFatal only: swallowing an OOM/fatal JVM error here would let
+      // the timed runs proceed on a degraded heap and report garbage.
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try fn(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(_) => () }
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -76,6 +82,17 @@ object Bench {
     // own short, self-contained line so it survives truncation from
     // EITHER end of the big line above.
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson}""")
+    // full per-query artifact ON DISK: the driver's stdout capture
+    // truncates the big line (the r8 tail carried ~49 of 197 per-query
+    // arrays), so every (query → [runs]) also lands in a committed file
+    // a later round can diff without the lossy capture in the way
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "bench_detail.json")
+    try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(detailPath),
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs,"runs":$runsJson}""" + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench_detail write failed: $e") }
     spark.stop()
   }
 }

@@ -579,13 +579,17 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, queryPred = col("id") < 100)
       .orderBy("a", "rank")
 
-  /** N2 — random-hyperplane LSH ANN (4 tables × 8 bits), exact re-rank
-    * within buckets only: the 100 TB path.
+  /** N2 — random-hyperplane LSH ANN (16 tables × 4 bits), exact
+    * re-rank within buckets only: the 100 TB path. Registered at the
+    * MEASURED operating point (r8 RecallCheck: recall@10 = 0.73 at
+    * sf0.1 vs 0.13 for the old 4×8 banding — same 64 total planes,
+    * wider OR over narrower buckets; AnnSpec floors the recall per
+    * build so a params regression fails the suite).
     */
   private def qLshAnn(s: SparkSession, dir: String): DataFrame =
     graft.sim.Ann.lshTopK(em(s, dir),
-        "vec_id", "embedding", k = 3, dim = 64, tables = 4,
-        bitsPerTable = 8, queryPred = col("id") < 100)
+        "vec_id", "embedding", k = 3, dim = 64, tables = 16,
+        bitsPerTable = 4, queryPred = col("id") < 100)
       .orderBy("a", "rank")
 
   // --- joins, sampling, augmentation --------------------------------- //
@@ -651,8 +655,13 @@ object SparkEntry {
   /** M1 — Isolation Forest end-to-end (the reference's flagship IF flow,
     * `app/IsolationForest_AE.py`): fit 100 iTrees on a deterministic
     * driver pool, broadcast, score every row distributed, flag the p90
-    * tail. Rows-only check (a random forest has no SQL oracle); scores
-    * are reproducible across runs/partitionings by construction.
+    * tail. SELF-VERIFYING (the q190/q191 audit pattern): a random
+    * forest's scores have no SQL twin, so the query outputs the exact
+    * row count plus in-query invariants the oracle pins TRUE — score
+    * range (0,1], planted synthetic extremes scoring above the normal
+    * pool's median, and the p90 flag fraction landing in its band. A
+    * broken forest (degenerate trees, bad path-length math, wrong
+    * normalization) fails the hard correctness gate, not just a spec.
     */
   private def qIsolationForest(s: SparkSession, dir: String): DataFrame = {
     val feats = array(lineitemNumerics.map(c => col(c).cast("double")): _*)
@@ -662,45 +671,93 @@ object SparkEntry {
     // once instead of twice.
     val base = par(li(s, dir)).withColumn("features", feats)
       .withColumn("fit_id", col("l_orderkey") * 10 + col("l_linenumber"))
-      .select(col("fit_id"), col("l_returnflag"), col("features"))
+      .select(col("fit_id"), col("features"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = graft.score.IsolationForest.fit(
       base, "fit_id", "features", numTrees = 100, maxSamples = 16)
-    // cache only the two columns the threshold and report need — the
-    // wide features arrays would dominate the cached bytes
+    // cache only the score column — the wide features arrays would
+    // dominate the cached bytes
     val scored = model.transform(base, "features", "if_score")
-      .select(col("l_returnflag"), col("if_score"))
+      .select(col("if_score"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // approx quantile (mergeable sketch, no global sort) — the scale
+    // approx quantiles (mergeable sketch, no global sort) — the scale
     // path for thresholds on distributed scores; deterministic
-    val thr = scored
-      .agg(graft.core.Quantiles.approx(col("if_score"), Seq(0.9)))
-      .head().getSeq[Double](0).head
+    val qs = scored
+      .agg(graft.core.Quantiles.approx(col("if_score"), Seq(0.5, 0.9)))
+      .head().getSeq[Double](0)
+    val (median, thr) = (qs(0), qs(1))
     // the threshold action above materialized `scored`, so the wide
-    // features frame is spent — release it NOW rather than retaining it
-    // (the arrays would dominate cached bytes for several operators);
-    // only the slim (flag, score) frame is worth keeping warm.
+    // features frame is spent — release it NOW rather than retaining it.
     base.unpersist()
+    // planted extremes: 4 synthetic rows far outside the data envelope,
+    // scored through the SAME broadcast forest — the audit's anomaly
+    // ground truth (reference analog: the labeled failure rows of
+    // `app/IsolationForest_AE.py:367-399`)
+    val dim = lineitemNumerics.size
+    val planted = s.range(4).select(
+      transform(sequence(lit(1), lit(dim)),
+        j => lit(1.0e12) + col("id").cast("double") * j.cast("double"))
+        .as("features"))
+    val plantedMin = model.transform(planted, "features", "ps")
+      .agg(min(col("ps"))).head().getDouble(0)
+    val a = scored.agg(
+      count(lit(1)).as("n"),
+      count(when(col("if_score") <= 0 || col("if_score") > 1, 1)).as("bad"),
+      count(when(col("if_score") > thr, 1)).as("flagged")).head()
     graft.core.Caches.retain("entry.q35", scored)
-    scored.where(col("if_score") > thr)
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_anomalies"),
-        round(avg(col("if_score")), 6).as("mean_score"))
-      .orderBy("l_returnflag")
+    val (n, bad, flagged) = (a.getLong(0), a.getLong(1), a.getLong(2))
+    import s.implicits._
+    Seq((n, 4L, bad == 0L, plantedMin > median,
+        flagged <= (n * 0.12).toLong && flagged >= (n * 0.02).toLong))
+      .toDF("n_rows", "n_planted", "scores_in_unit", "planted_above_median",
+        "flag_frac_ok")
   }
 
-  /** M2 — linear-AE (PCA) reconstruction-error anomaly ranking over
-    * embeddings: fit top-8 components on the driver pool, broadcast,
-    * score distributed, report the top-20 most anomalous vectors.
+  /** M2 — linear-AE (PCA) reconstruction-error scoring over embeddings:
+    * fit top-8 components on the driver pool, broadcast, score
+    * distributed. SELF-VERIFYING: eigenvectors have no SQL twin, so the
+    * output is the exact (row count, dim, k) plus in-query invariants
+    * the oracle pins TRUE — every error non-negative and bounded by the
+    * centered squared norm (k = 0 reconstruction), error monotonically
+    * non-increasing in k over the NESTED bases (k = 8 basis truncated
+    * to k = 2 — more components can only absorb more variance), and the
+    * fitted basis orthonormal to 1e-8. Projection-math or basis bugs
+    * now fail the hard correctness gate.
     */
   private def qLinearAE(s: SparkSession, dir: String): DataFrame = {
     val base = em(s, dir)
       .withColumn("features", col("embedding").cast("array<double>"))
-    val model = graft.score.LinearAE.fit(base, "vec_id", "features", k = 8)
-    model.transform(base, "features", "recon_error")
-      .select(col("vec_id"), round(col("recon_error"), 6).as("recon_error"))
-      .orderBy(desc("recon_error"), asc("vec_id"))
-      .limit(20)
+    val m8 = graft.score.LinearAE.fit(base, "vec_id", "features", k = 8)
+    // truncations of the SAME fitted basis: nested by construction, so
+    // err8 <= err2 <= err0 holds row-wise as a mathematical identity
+    val m2 = new graft.score.LinearAE.Model(m8.mean, m8.components.take(2))
+    val m0 = new graft.score.LinearAE.Model(m8.mean, Array.empty)
+    val scored = m8.transform(
+      m2.transform(m0.transform(base, "features", "err0"),
+        "features", "err2"),
+      "features", "err8")
+    val a = scored.agg(
+      count(lit(1)).as("n"),
+      count(when(col("err8") < 0, 1)).as("neg"),
+      count(when(col("err8") > col("err2") + lit(1e-9) ||
+        col("err2") > col("err0") + lit(1e-9), 1)).as("nonmono")).head()
+    val ortho = basisOrthonormal(m8.components)
+    import s.implicits._
+    Seq((a.getLong(0), m8.mean.length.toLong, 8L, a.getLong(1) == 0L,
+        a.getLong(2) == 0L, ortho))
+      .toDF("n_rows", "dim", "k", "err_nonneg", "err_monotone_k",
+        "basis_orthonormal")
+  }
+
+  /** max |⟨wᵢ,wⱼ⟩ − δᵢⱼ| < 1e-8 over a fitted component basis. */
+  private def basisOrthonormal(comps: Array[Array[Double]]): Boolean = {
+    var ok = true
+    for (i <- comps.indices; j <- i until comps.length) {
+      val dot = comps(i).zip(comps(j)).map { case (x, y) => x * y }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      if (math.abs(dot - expect) > 1e-8) ok = false
+    }
+    ok
   }
 
   /** M2n — nonlinear MLP autoencoder (Dense-AE parity,
@@ -719,9 +776,39 @@ object SparkEntry {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = Quantiles.exactQuantiles(scored, "recon_error", Seq(0.95)).head
     graft.core.Caches.retain("entry.q53", scored)
-    scored.where(col("recon_error") > thr)
-      .select(col("vec_id"), round(col("recon_error"), 6).as("recon_error"))
-      .orderBy(desc("recon_error"), asc("vec_id"))
+    // SELF-VERIFYING audit (q190/q191 pattern): trained weights aren't
+    // SQL-expressible, so the output is the exact row count plus
+    // invariants the oracle pins TRUE — MSE scores non-negative, the
+    // TRAINED net beating its own Xavier-init weights on the fit pool
+    // (60 Adam epochs must reduce reconstruction loss), and the exact
+    // p95 flag fraction within its band. A diverged fit, a broken
+    // forward pass, or a wrong threshold fails the hard gate.
+    mlpAudit(s, base, model, scored, thr,
+      init = graft.score.MlpAE.fit(base, "vec_id", "features",
+        hidden = 16, epochs = 0))
+  }
+
+  /** Shared MLP-AE audit body for q53/q103: distributed invariants over
+    * the scored frame + driver-side trained-vs-init loss on the pool.
+    */
+  private def mlpAudit(s: SparkSession, base: DataFrame,
+                       model: graft.score.MlpAE.Model,
+                       scored: DataFrame, thr: Double,
+                       init: graft.score.MlpAE.Model,
+                       poolSize: Int = 4096): DataFrame = {
+    val pool = graft.score.FitPool.collect(base, "vec_id", "features", poolSize)
+    def meanLoss(m: graft.score.MlpAE.Model): Double =
+      pool.map(m.score).sum / pool.length
+    val trainedBeatsInit = meanLoss(model) < meanLoss(init)
+    val a = scored.agg(
+      count(lit(1)).as("n"),
+      count(when(col("recon_error") < 0, 1)).as("neg"),
+      count(when(col("recon_error") > thr, 1)).as("flagged")).head()
+    val (n, neg, flagged) = (a.getLong(0), a.getLong(1), a.getLong(2))
+    import s.implicits._
+    Seq((n, neg == 0L, trainedBeatsInit,
+        flagged <= (n * 0.05).toLong && flagged >= 1L))
+      .toDF("n_rows", "err_nonneg", "trained_beats_init", "flag_frac_ok")
   }
 
   /** M2n-deep — the reference's ENHANCED Dense AE shape
@@ -742,10 +829,14 @@ object SparkEntry {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = Quantiles.exactQuantiles(scored, "recon_error", Seq(0.95)).head
     graft.core.Caches.retain("entry.q103", scored)
-    scored.where(col("recon_error") > thr)
-      .select(col("vec_id"), round(col("recon_error"), 6).as("recon_error"))
-      .orderBy(desc("recon_error"), asc("vec_id"))
-      .limit(25)
+    // same self-verifying audit as q53 (see mlpAudit): deep relu stack
+    // must beat its own init after 30 epochs, scores non-negative, p95
+    // flag fraction in band — the oracle pins every boolean TRUE
+    mlpAudit(s, base, model, scored, thr,
+      init = graft.score.MlpAE.fitStack(base, "vec_id", "features",
+        hidden = Seq(32, 16, 8, 16, 32), activation = "relu",
+        epochs = 0, sampleSize = 1024),
+      poolSize = 1024)
   }
 
   /** E2E — the curation pipeline composed end to end, the way a
@@ -885,8 +976,13 @@ object SparkEntry {
   /** A15m — model-hyperparameter grid for the native isolation forest
     * with the reference's stability score
     * (`app/IsolationForest_AE_enhanced.py:39-146`). Driver loop over
-    * the grid; per candidate one distributed agg pass. Deterministic
-    * (hash-seeded forests) but not SQL-replicable — rows-only check.
+    * the grid; ALL candidates' scoring moments from ONE distributed agg
+    * pass. SELF-VERIFYING: forest scores have no SQL twin, so each grid
+    * row carries its exact (num_trees, max_samples) coordinates plus
+    * in-query invariants the oracle pins TRUE — mean score in (0,1),
+    * σ ≥ 0, range in [0,1], the reference's stability statistic in
+    * (0,1]. A degenerate candidate (collapsed scores, broken moments)
+    * fails the hard gate on its own grid row.
     */
   private def qIfGrid(s: SparkSession, dir: String): DataFrame = {
     val feats = array(lineitemNumerics.map(c => col(c).cast("double")): _*)
@@ -897,11 +993,11 @@ object SparkEntry {
     graft.eval.GridSearch.ifParamGrid(base, "fit_id", "features",
         grid = Seq((50, 16), (100, 16), (50, 64), (100, 64)))
       .select(col("num_trees"), col("max_samples"),
-        round(col("mean_score"), 6).as("mean_score"),
-        round(col("std_score"), 6).as("std_score"),
-        round(col("score_range"), 6).as("score_range"),
-        round(col("stability"), 6).as("stability"))
-      .orderBy(desc("stability"), asc("num_trees"), asc("max_samples"))
+        (col("mean_score") > 0 && col("mean_score") < 1).as("mean_in_unit"),
+        (col("std_score") >= 0).as("std_nonneg"),
+        (col("score_range") >= 0 && col("score_range") <= 1).as("range_valid"),
+        (col("stability") > 0 && col("stability") <= 1).as("stability_in_unit"))
+      .orderBy("num_trees", "max_samples")
   }
 
   /** A15cv — k-fold cross-validated threshold grid (GridSearchCV
@@ -1017,14 +1113,38 @@ object SparkEntry {
       .orderBy("l_returnflag")
 
   /** N3 — IVF ANN: k-means coarse cells (fit on a deterministic pool,
-    * broadcast), nprobe-cell candidate search, exact re-rank. Rows-only
-    * (centroid fit isn't SQL-replicable); deterministic by construction.
+    * broadcast), nprobe-cell candidate search, exact re-rank.
+    * Registered at the MEASURED operating point (nprobe = 4 — the r8
+    * RecallCheck numbers; nprobe = 2 traded too much recall for
+    * bucket-confined cost). SELF-VERIFYING: centroids have no SQL twin,
+    * so the query audits itself in-query against the exact brute-force
+    * top-k (the q29 path) over the SAME query set and the oracle pins
+    * the booleans TRUE — recall@k ≥ 0.5 and every reported cosine in
+    * [−1, 1]. An index whose defaults stop returning real neighbors
+    * fails the hard correctness gate, which is exactly the r8
+    * "recall trap" fix.
     */
-  private def qIvfAnn(s: SparkSession, dir: String): DataFrame =
-    graft.sim.Ann.ivfTopK(em(s, dir),
-        "vec_id", "embedding", k = 3, nCells = 16, nprobe = 2,
+  private def qIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = em(s, dir)
+    val ivf = graft.sim.Ann.ivfTopK(e,
+        "vec_id", "embedding", k = 3, nCells = 16, nprobe = 4,
         queryPred = col("id") < 100)
-      .orderBy("a", "rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val brute = graft.sim.Ann.cosineTopK(e,
+      "vec_id", "embedding", k = 3, queryPred = col("id") < 100)
+    val nTrue = brute.count()
+    val nHit = brute.select("a", "b")
+      .join(ivf.select("a", "b"), Seq("a", "b"), "left_semi").count()
+    val recall = nHit.toDouble / nTrue
+    val badCos = ivf.agg(count(when(
+      col("cos") < lit(-1.0 - 1e-9) || col("cos") > lit(1.0 + 1e-9), 1)))
+      .head().getLong(0)
+    graft.core.Caches.retain("entry.q45", ivf)
+    val nQueries = e.where(col("vec_id") < 100).count()
+    import s.implicits._
+    Seq((nQueries, 3L, recall >= 0.5, badCos == 0L))
+      .toDF("n_queries", "k", "recall_ge_floor", "cos_in_range")
+  }
 
   /** T4 — TF-IDF top-3 terms per document (rational IDF for exact
     * cross-engine arithmetic; log variant in the library).
@@ -1126,29 +1246,41 @@ object SparkEntry {
   /** M3 — sequence anomaly scoring end-to-end (the engine's LSTM-AE
     * capability analog, SURVEY.md §7: sequence scoring with a pluggable
     * scorer): W1 sliding windows → fixed-length sequence vectors →
-    * linear-AE (PCA) reconstruction error → top-20 most anomalous
-    * windows. Fit on a deterministic pool, score distributed.
+    * linear-AE (PCA) reconstruction error, fit on a deterministic pool,
+    * scored distributed. SELF-VERIFYING: the W1 sequence COUNT is exact
+    * SQL (Σ_user max(n_u − t + 1, 0)) and anchors the oracle row; the
+    * model side ships its invariants as booleans the oracle pins TRUE —
+    * errors non-negative, bounded by the centered norm (k = 0), and
+    * monotone over the nested k = 2 → 1 → 0 bases.
     */
   private def qSeqAeScore(s: SparkSession, dir: String): DataFrame = {
     // persisted: the sliding-window frame (scan + window shuffle) feeds
     // BOTH the fit-pool TakeOrdered and the scoring pass — without the
-    // cache the whole window computation runs twice (q35/q39 pattern);
-    // pruned to the fit/score/report columns so the cached bytes stay
-    // lean (retention-bounded via Caches)
+    // cache the whole window computation runs twice (q35/q39 pattern)
     val seqs = graft.seq.Sequencer
       .slidingSequences(ev(s, dir), Seq("user_id"), seqOrder, col("value"), seqT)
       .withColumn("features", col("seq").cast("array<double>"))
       .withColumn("seq_key",
         col("user_id").cast("long") * 1000000L + col("row_id"))
-      .select(col("user_id"), col("row_id"), col("seq_key"), col("features"))
+      .select(col("seq_key"), col("features"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = graft.score.LinearAE.fit(seqs, "seq_key", "features", k = 2)
+    val m2 = graft.score.LinearAE.fit(seqs, "seq_key", "features", k = 2)
+    val m1 = new graft.score.LinearAE.Model(m2.mean, m2.components.take(1))
+    val m0 = new graft.score.LinearAE.Model(m2.mean, Array.empty)
     graft.core.Caches.retain("entry.q44", seqs)
-    model.transform(seqs, "features", "recon_error")
-      .select(col("user_id"), col("row_id"),
-        round(col("recon_error"), 6).as("recon_error"))
-      .orderBy(desc("recon_error"), asc("user_id"), asc("row_id"))
-      .limit(20)
+    val scored = m2.transform(
+      m1.transform(m0.transform(seqs, "features", "err0"), "features", "err1"),
+      "features", "err2")
+    val a = scored.agg(
+      count(lit(1)).as("n"),
+      count(when(col("err2") < 0, 1)).as("neg"),
+      count(when(col("err2") > col("err1") + lit(1e-9) ||
+        col("err1") > col("err0") + lit(1e-9), 1)).as("nonmono")).head()
+    import s.implicits._
+    Seq((a.getLong(0), seqT.toLong, a.getLong(1) == 0L, a.getLong(2) == 0L,
+        basisOrthonormal(m2.components)))
+      .toDF("n_seqs", "seq_len", "err_nonneg", "err_monotone_k",
+        "basis_orthonormal")
   }
 
   /** A9 — per-group population and sample variance (exact-sum identity). */
@@ -1873,19 +2005,42 @@ object SparkEntry {
 
   /** PCA over the embeddings table (sim.Pca): distributed
     * treeAggregate covariance fit + driver Jacobi eigensolve, k = 4
-    * codegen'd dot-product scores per row. Rows-only: eigenvectors are
-    * not SQL-expressible (the q36/q53 model convention); ModelSpec
-    * pins orthonormality, variance ordering, and axis recovery.
+    * codegen'd dot-product scores per row. SELF-VERIFYING: eigenvectors
+    * aren't SQL-expressible, so the query audits the decomposition
+    * in-query and the oracle pins the booleans TRUE — eigenvalues
+    * descending and non-negative, basis orthonormal, and the variance
+    * identity mean(‖x−μ‖² − Σⱼpcⱼ²) = trace(Σ) − Σ top-k λ (both sides
+    * from the SAME full-data fit — an eigensolve or projection bug
+    * breaks the equality). Exact anchors: row count and dimension.
     */
   private def qPca(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val m = graft.sim.Pca.fit(e, "v", k = 4)
-    m.transform(par(e), "v")
-      .select(col("vec_id"), round(col("pc0"), 6).as("pc0"),
-        round(col("pc1"), 6).as("pc1"), round(col("pc2"), 6).as("pc2"),
-        round(col("pc3"), 6).as("pc3"))
-      .orderBy("vec_id")
+    val evalsOk = m.eigenvalues.forall(_ >= -1e-9) &&
+      m.eigenvalues.zip(m.eigenvalues.tail).forall { case (a, b) => a >= b - 1e-12 }
+    // centered squared norm via the k = 0 linear-AE scorer sharing μ
+    val m0 = new graft.score.LinearAE.Model(m.mean, Array.empty)
+    val scored = m.transform(m0.transform(par(e), "v", "sq"), "v")
+    val projSq = (0 until 4).map(j => col(s"pc$j") * col(s"pc$j"))
+      .reduce(_ + _)
+    val a = scored.agg(
+      count(lit(1)).as("n"),
+      Stats.dmean(col("sq") - projSq).as("mean_resid"),
+      Stats.dmean(col("sq")).as("mean_sq"),
+      count(when(col("sq") - projSq < lit(-1e-6), 1)).as("neg")).head()
+    val (n, meanResid, meanSq, neg) =
+      (a.getLong(0), a.getDouble(1), a.getDouble(2), a.getLong(3))
+    // population identity: E[residual] = trace(cov) − Σ top-k eigenvalues;
+    // trace comes from mean ‖x−μ‖² over the same rows the fit consumed
+    val expected = meanSq - m.eigenvalues.sum
+    val identityOk = math.abs(meanResid - expected) <=
+      1e-6 * math.max(1.0, meanSq)
+    import s.implicits._
+    Seq((n, m.mean.length.toLong, 4L, evalsOk, basisOrthonormal(m.components),
+        identityOk, neg == 0L))
+      .toDF("n_rows", "dim", "k", "evals_descending", "basis_orthonormal",
+        "var_identity_ok", "resid_nonneg")
   }
 
   /** Per-user OLS trend (seq.Trend.linearFit): slope rescaled to
@@ -3854,10 +4009,15 @@ object SparkEntry {
         | ORDER BY rflag, lstatus""".stripMargin)
   }
 
-  /** Explicit LEFT SEMI / LEFT ANTI join surface: per market segment,
-    * customers with and without orders — the existence-join pair every
-    * referential audit composes, registered as first-class plan shapes
-    * (semi/anti hash joins, never a count-join-dedup detour).
+  /** Explicit LEFT SEMI join surface: per market segment, customers
+    * with and without orders. Two customer scans, one orders scan: the
+    * "without" column is ARITHMETIC (n_customers − n_with_orders), not
+    * a third scan through a LEFT ANTI join — at 100× the data the r8
+    * three-scan form paid a full extra pass of both tables for a number
+    * the report already implies (r8 advisory #3). The LEFT ANTI plan
+    * shape itself stays a registered, plan-audited surface via
+    * [[antiJoinOrphans]] (PlanAuditSpec pins the SEMI here and the ANTI
+    * there, and that q48's referential check keeps planning one).
     */
   private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer")
@@ -3865,15 +4025,28 @@ object SparkEntry {
     val o = Tables.load(s, dir, "orders").select(col("o_custkey"))
     val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
-    val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
-      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
     c.groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
       .join(withO, Seq("c_mktsegment"), "left")
-      .join(without, Seq("c_mktsegment"), "left")
       .select(col("c_mktsegment").as("segment"), col("n_customers"),
         coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
-        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+        (col("n_customers") - coalesce(col("n_with_orders"), lit(0L)))
+          .as("n_without_orders"))
       .orderBy("segment")
+  }
+
+  /** The LEFT ANTI existence-join shape, kept as a first-class audited
+    * surface (PlanAuditSpec asserts the anti hash join): customers with
+    * no orders, per segment. Not a registered query — q194 reports the
+    * same number arithmetically with one fewer scan; this is the plan
+    * shape a caller uses when they need the ROWS, not the count.
+    */
+  def antiJoinOrphans(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables.load(s, dir, "orders").select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+      .orderBy("c_mktsegment")
   }
 
   /** A33 — Levene's homogeneity-of-variance test (mean-centered),
@@ -3969,13 +4142,16 @@ object SparkEntry {
 
   // ----------------------------------------------------------------- //
 
-  /** Queries deliberately registered without an oracle (non-SQL-expressible
-    * or nondeterministic by nature) — the driver records a rows-only check.
+  /** Queries deliberately registered without an oracle — the driver
+    * records a rows-only check. Down to ONE since round 9: the whole
+    * model family (q35/q36/q44/q45/q53/q54/q103/q117) now ships
+    * self-verifying audits (exact SQL anchors + in-query invariant
+    * booleans the oracle pins TRUE, the q190/q191 pattern). q34 stays
+    * rows-only by nature: it demonstrates Spark's OWN rand(seed)
+    * sample/shuffle, whose RNG stream is engine-specific; its
+    * deterministic hash-based oracle twin is q176.
     */
-  def rowsOnlyQueries: Set[String] =
-    Set("q34_sample_shuffle", "q35_iforest", "q36_linear_ae",
-      "q44_seq_ae_score", "q45_ivf_ann", "q53_mlp_ae", "q54_if_grid",
-      "q103_deep_ae", "q117_pca")
+  def rowsOnlyQueries: Set[String] = Set("q34_sample_shuffle")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (qPricingSummary _),
@@ -4561,9 +4737,13 @@ object SparkEntry {
     "q30_lsh_ann" -> {
       import graft.sim.Ann.{Sql => A}
       import graft.sim.VectorMath.{Sql => V}
+      // signs materialized ONCE per row in their own CTE column (the
+      // 16×4 banding would otherwise inline the 64-plane family per
+      // (table, bit) element — quadratic in the SQL engine)
       s"""WITH v AS (SELECT vec_id AS id, embedding AS vec, ${V.norm2("embedding")} AS n2 FROM embeddings),
-         | bk AS (SELECT id, unnest(${A.lshBuckets("vec", 64, 4, 8)}) AS bucket,
-         |   unnest(generate_series(0, 3)) AS tbl FROM v),
+         | sg AS (SELECT id, ${A.signsList("vec", 64, 64)} AS signs FROM v),
+         | bk AS (SELECT id, unnest(${A.bucketsFromSigns("signs", 16, 4)}) AS bucket,
+         |   unnest(generate_series(0, 15)) AS tbl FROM sg),
          | cand AS (SELECT DISTINCT q.id AS qid, t.id AS tid FROM bk q JOIN bk t
          |   ON q.tbl = t.tbl AND q.bucket = t.bucket AND q.id <> t.id WHERE q.id < 100),
          | p AS (SELECT qid AS a, tid AS b,
@@ -4615,6 +4795,52 @@ object SparkEntry {
          | SELECT synth_id, a, b, round(u, 6) AS u, round(${V.norm2("vec")}, 6) AS vec_norm2
          | FROM built ORDER BY synth_id""".stripMargin.replaceAll("\n", " ")
     },
+    // --- model-family self-verifying audits (the q190/q191 pattern):
+    // the oracle computes the exact anchors (counts, dims, grid
+    // coordinates) and PINS every in-query invariant boolean as literal
+    // TRUE — a model whose guarantee breaks hash-mismatches its row
+    "q35_iforest" ->
+      """SELECT count(*) AS n_rows, CAST(4 AS BIGINT) AS n_planted,
+        | TRUE AS scores_in_unit, TRUE AS planted_above_median,
+        | TRUE AS flag_frac_ok FROM lineitem""".stripMargin
+        .replaceAll("\n", " "),
+    "q36_linear_ae" ->
+      """SELECT count(*) AS n_rows, CAST(max(len(embedding)) AS BIGINT) AS dim,
+        | CAST(8 AS BIGINT) AS k, TRUE AS err_nonneg, TRUE AS err_monotone_k,
+        | TRUE AS basis_orthonormal FROM embeddings""".stripMargin
+        .replaceAll("\n", " "),
+    "q44_seq_ae_score" ->
+      s"""SELECT CAST(coalesce(sum(CASE WHEN c >= $seqT THEN c - ${seqT - 1} END), 0) AS BIGINT) AS n_seqs,
+         | CAST($seqT AS BIGINT) AS seq_len, TRUE AS err_nonneg,
+         | TRUE AS err_monotone_k, TRUE AS basis_orthonormal
+         | FROM (SELECT count(*) AS c FROM events GROUP BY user_id)""".stripMargin
+        .replaceAll("\n", " "),
+    "q45_ivf_ann" ->
+      """SELECT count(*) AS n_queries, CAST(3 AS BIGINT) AS k,
+        | TRUE AS recall_ge_floor, TRUE AS cos_in_range
+        | FROM embeddings WHERE vec_id < 100""".stripMargin
+        .replaceAll("\n", " "),
+    "q53_mlp_ae" ->
+      """SELECT count(*) AS n_rows, TRUE AS err_nonneg,
+        | TRUE AS trained_beats_init, TRUE AS flag_frac_ok
+        | FROM embeddings""".stripMargin.replaceAll("\n", " "),
+    "q54_if_grid" ->
+      """SELECT * FROM (VALUES (50, 16, TRUE, TRUE, TRUE, TRUE),
+        | (50, 64, TRUE, TRUE, TRUE, TRUE), (100, 16, TRUE, TRUE, TRUE, TRUE),
+        | (100, 64, TRUE, TRUE, TRUE, TRUE))
+        | AS t(num_trees, max_samples, mean_in_unit, std_nonneg, range_valid,
+        | stability_in_unit) ORDER BY num_trees, max_samples""".stripMargin
+        .replaceAll("\n", " "),
+    "q103_deep_ae" ->
+      """SELECT count(*) AS n_rows, TRUE AS err_nonneg,
+        | TRUE AS trained_beats_init, TRUE AS flag_frac_ok
+        | FROM embeddings""".stripMargin.replaceAll("\n", " "),
+    "q117_pca" ->
+      """SELECT count(*) AS n_rows, CAST(max(len(embedding)) AS BIGINT) AS dim,
+        | CAST(4 AS BIGINT) AS k, TRUE AS evals_descending,
+        | TRUE AS basis_orthonormal, TRUE AS var_identity_ok,
+        | TRUE AS resid_nonneg FROM embeddings""".stripMargin
+        .replaceAll("\n", " "),
     "q37_binary_meta" -> {
       val codes = "list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> ascii(c)::BIGINT)"
       val byteHash = s"list_reduce(list_prepend(13::BIGINT, $codes), (acc, b) -> (acc * 31 + b) % ${graft.multimodal.Binary.P})"

@@ -46,8 +46,12 @@ object Sketches {
     val r0 = df.agg(
       percentile_approx(c, array(ps.map(lit): _*), lit(accuracy)).as("est"),
       count(c).as("n")).head()
-    val ests = r0.getSeq[Double](0)
     val n = r0.getLong(1)
+    // percentile_approx returns null over an empty/all-null column;
+    // fail diagnosably instead of NPE-ing on the estimate array
+    require(n > 0 && !r0.isNullAt(0),
+      s"quantileAudit($colName): no non-null values to sketch")
+    val ests = r0.getSeq[Double](0)
     val rankAggs = ests.zipWithIndex.flatMap { case (e, i) =>
       Seq(count(when(c < e, 1)).as(s"lt_$i"),
         count(when(c <= e, 1)).as(s"le_$i"))

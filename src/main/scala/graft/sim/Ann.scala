@@ -193,9 +193,20 @@ object Ann {
     def planeDot(vec: String, p: String, dim: Int): String =
       s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $dim), j -> CAST(($vec)[j] AS DOUBLE) * ${planeComp(p, "j - 1", dim)})), (acc, x) -> acc + x)"
 
-    def lshBuckets(vec: String, dim: Int, tables: Int, bitsPerTable: Int): String = {
-      val signs = s"list_transform(generate_series(0, ${tables * bitsPerTable - 1}), p -> CASE WHEN ${planeDot(vec, "p", dim)} > 0 THEN 1::BIGINT ELSE 0::BIGINT END)"
+    /** The full sign-bit list — meant to be materialized ONCE per row in
+      * its own CTE column, then fed to [[bucketsFromSigns]]: inlining it
+      * per (table, bit) element (the old single-expression form) makes
+      * the SQL engine evaluate the whole plane family quadratically.
+      */
+    def signsList(vec: String, dim: Int, nPlanes: Int): String =
+      s"list_transform(generate_series(0, ${nPlanes - 1}), p -> CASE WHEN ${planeDot(vec, "p", dim)} > 0 THEN 1::BIGINT ELSE 0::BIGINT END)"
+
+    /** Per-table bucket ids from a sign-list COLUMN reference. */
+    def bucketsFromSigns(signs: String, tables: Int, bitsPerTable: Int): String =
       s"list_transform(generate_series(0, ${tables - 1}), t -> list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $bitsPerTable), b -> ($signs)[t * $bitsPerTable + b] * CAST(power(2.0, CAST(b - 1 AS DOUBLE)) AS BIGINT))), (acc, x) -> acc + x))"
-    }
+
+    def lshBuckets(vec: String, dim: Int, tables: Int, bitsPerTable: Int): String =
+      bucketsFromSigns(signsList(vec, dim, tables * bitsPerTable),
+        tables, bitsPerTable)
   }
 }

@@ -37,6 +37,10 @@ object RecallCheck {
         }
     val brute = pairs(Ann.cosineTopK(emb, "vec_id", "embedding", k,
       queryPred = pred))
+    // empty ground truth (non-zero-based vec_id, tiny SF) would make
+    // every recall 0/0 → NaN, which is not valid JSON downstream
+    require(brute.nonEmpty,
+      s"no ground-truth queries: no embeddings satisfy id < $nQueries in $sfDir")
     def recallOf(approx: Map[Long, Set[Long]]): Double = {
       val per = brute.map { case (a, truth) =>
         (truth intersect approx.getOrElse(a, Set.empty)).size.toDouble /

@@ -41,7 +41,16 @@ object SharedScanAb {
       graft.core.Caches.releaseAll(); System.gc()
       q -> r(time(graft.SparkEntry.queries(q)(spark, sfDir).count()))
     }
-    // (c) family with a shared persisted slice warmed first
+    // (c) retained-cache leg: persist NOTHING up front, just stop
+    // releasing each query's own Caches.retain working set between
+    // queries — isolates how much of any "warm" win is intra-family
+    // cache retention rather than the shared slice
+    graft.core.Caches.releaseAll(); System.gc()
+    val retained = family.map { q =>
+      q -> r(time(graft.SparkEntry.queries(q)(spark, sfDir).count()))
+    }
+    // (d) family with a shared persisted slice warmed first (caches
+    // also retained between queries, as in a real composite session)
     graft.core.Caches.releaseAll(); System.gc()
     val slice = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(cols.map(col): _*)
@@ -54,6 +63,7 @@ object SharedScanAb {
     println(s"""{"sf":"$sfDir","pruned_scan_sec":${r(scanSec)},""" +
       s""""slice_warm_sec":${r(warmSec)},""" +
       s""""cold":{${cold.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
+      s""""retained":{${retained.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
       s""""warm":{${warm.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}""")
     spark.stop()
   }

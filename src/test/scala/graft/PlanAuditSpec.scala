@@ -246,13 +246,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(q193.contains("Expand"), s"grouping sets lost the Expand plan:\n$q193")
     assert("Scan parquet".r.findAllIn(q193).size <= 1,
       s"grouping sets scans more than once:\n$q193")
-    // q194: the existence joins plan as real SEMI/ANTI hash joins, not
-    // a count-join-dedup detour
+    // q194 (r9 two-scan rewrite): the semi join survives, the customer
+    // table is scanned at most twice (n_without is arithmetic, not a
+    // third scan), and no nested loop appears
     val q194 = plan(SparkEntry.queries("q194_semi_anti")(spark, sf))
     assert(q194.contains("LeftSemi"), s"semi join shape lost:\n$q194")
-    assert(q194.contains("LeftAnti"), s"anti join shape lost:\n$q194")
+    assert(!q194.contains("LeftAnti"),
+      s"q194 re-grew the third (anti) scan the r8 advisory removed:\n$q194")
+    assert("Scan parquet".r.findAllIn(q194).size <= 3,
+      s"q194 scans more than customer×2 + orders×1:\n$q194")
     assert(!q194.contains("BroadcastNestedLoopJoin"),
       s"existence join plans a cartesian:\n$q194")
+    // the LEFT ANTI surface stays registered and audited on its own
+    // plan (rows-of-orphans shape, SparkEntry.antiJoinOrphans)
+    val anti = plan(SparkEntry.antiJoinOrphans(spark, sf))
+    assert(anti.contains("LeftAnti"), s"anti join shape lost:\n$anti")
+    assert(!anti.contains("BroadcastNestedLoopJoin"),
+      s"anti join plans a cartesian:\n$anti")
   }
 
   test("forest scoring stays inside whole-stage codegen") {

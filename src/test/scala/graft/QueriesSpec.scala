@@ -3,10 +3,15 @@ package graft
 class QueriesSpec extends SparkSpec {
 
   test("every query resolves its plan against the current testdata schema") {
-    // cheap analysis-only sweep, run FIRST: a harness testdata regeneration
+    // analysis-first sweep, run FIRST: a harness testdata regeneration
     // that changes a column type (round 7: events.ts ns→us) breaks the
-    // build here in seconds, naming every affected query, instead of
-    // surfacing one at a time at bench/verify time
+    // build here, naming every affected query, instead of surfacing one
+    // at a time at bench/verify time. NOT purely analysis-only: queries
+    // with eager driver-side actions during CONSTRUCTION (model fits,
+    // OrderStats thresholds, PrefixScan collects — q35/q39/q130/q180
+    // family) execute real Spark jobs here, so those failures surface
+    // as execution errors; at sf0.001 that costs seconds and is the
+    // coverage we want (the eager path is part of building the plan)
     val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try { fn(spark, sf).queryExecution.analyzed; None }
