@@ -4140,6 +4140,115 @@ object SparkEntry {
       .orderBy("m")
   }
 
+  /** D13 — SemDeDup (Abbas et al. 2023): semantic deduplication by
+    * k-means clustering the embedding space and pruning cosine
+    * near-duplicates ONLY within clusters — the step that makes
+    * embedding dedup tractable at corpus scale (all-pairs is O(n²);
+    * clustering confines the quadratic work to cluster-sized buckets,
+    * and k grows with n so bucket sizes stay bounded).
+    *
+    * Cluster assignment is a pure codegen'd HOF arg-min over the
+    * broadcast centers literal (no UDF in the hot path); the prune rule
+    * is deterministic — drop a vector iff an in-cluster LOWER-ID
+    * neighbor has cosine ≥ θ — so the kept set is a pure function of
+    * the data and the fitted centers.
+    *
+    * Self-verifying audit (the q190/q191 pattern — centers are
+    * driver-fit model state DuckDB cannot refit): exact SQL anchors
+    * (n_vecs, k, dim) plus in-query invariants the oracle pins TRUE:
+    * `assign_ok` cross-checks the codegen arg-min assignment against
+    * the independent broadcast-model scorer ([[graft.sim.KMeans]]'s
+    * sequential-fold UDF) on every row; `cos_bounded` checks every
+    * in-cluster pair cosine is a valid similarity; `pruned_frac_ok`
+    * bounds the prune rate at half the corpus.
+    */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SemDedup.audit(em(s, dir), "vec_id", "embedding",
+      k = 16, theta = 0.45)
+
+  /** T25 — CCNet perplexity bucketing (Wenzek et al. 2020): documents
+    * split per language into head/middle/tail thirds by LM score —
+    * the standard quality-stratification step before sampling a
+    * pretraining mix (train mostly on head+middle, drop tail). LM =
+    * q96's corpus-self-fit add-one bigram model; tertile edges per
+    * language via the distributed exact-quantile selection
+    * ([[graft.core.OrderStats]] — no single-reducer percentile);
+    * bucketing is a broadcast join of the 2-row-per-language edge
+    * table. Higher avg log-prob = more probable text = "head".
+    */
+  private def qPerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = doc(s, dir)
+    val scored = graft.text.BigramLm.score(d, "doc_id", "text")
+    val withLang = scored.join(
+      d.select(col("doc_id").cast("long").as("id"), col("lang")), "id")
+    val edges = graft.core.OrderStats.groupedQuantiles(
+      withLang, "lang", "avg_logp", Seq(1.0 / 3, 2.0 / 3))
+    val e2 = edges.groupBy("lang").agg(
+      max(when(col("p") === 1.0 / 3, col("value"))).as("t1"),
+      max(when(col("p") === 2.0 / 3, col("value"))).as("t2"))
+    withLang.join(broadcast(e2), "lang")
+      .withColumn("bucket",
+        when(col("avg_logp") >= col("t2"), "head")
+          .when(col("avg_logp") >= col("t1"), "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n"),
+        round(Stats.dmean(col("avg_logp")), 6).as("mean_logp"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** T26 — BPE merge-pair statistics: corpus-wide adjacent character
+    * pair frequencies — the exact quantity the first iteration of
+    * byte-pair-encoding tokenizer training maximizes over (Sennrich et
+    * al. 2016). One explode to words, one codegen'd HOF expansion to
+    * in-word character bigrams, one map-side-combinable count (the key
+    * space is bounded by charset², so partial aggregation collapses
+    * the corpus before any shuffle), top-32 via TakeOrderedAndProject
+    * with a total (cnt desc, pair asc) order so the cut is
+    * deterministic cross-engine.
+    */
+  private def qBpePairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val words = par(doc(s, dir))
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+    val pairs = words.select(explode(
+      when(length(col("w")) >= 2,
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("pair")).limit(32)
+  }
+
+  /** W5 — RANGE-frame sliding window: per-user rolling 6-hour event
+    * count and value sum, the time-based frame (`RANGE BETWEEN
+    * <interval> PRECEDING AND CURRENT ROW`) as opposed to the
+    * row-count frames everywhere else — frame membership follows the
+    * ORDER BY *value* (event time in micros), so co-timed events are
+    * peers and gaps shrink the frame. Hash-partitioned per-user
+    * windows (no global window); the rolling sum accumulates in
+    * DECIMAL(38,10) so window-internal addition order (segment trees
+    * vs sequential) cannot flip a bit cross-engine. Reduced per user
+    * to peak concurrency / peak rolling mass / total rolling mass.
+    */
+  private def qRangeWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sixHoursUs = 21600000000L
+    val e = ev(s, dir).select(col("user_id"),
+      expr("ts div 1000").as("us"),
+      col("value").cast(DecimalType(38, 10)).as("v"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-sixHoursUs, 0)
+    e.withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum", sum("v").over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max("roll_n").as("max_roll_n"),
+        round(max("roll_sum").cast(DoubleType), 4).as("max_roll_sum"),
+        round(sum("roll_sum").cast(DoubleType), 4).as("sum_roll_sum"))
+      .orderBy("user_id")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -4350,7 +4459,11 @@ object SparkEntry {
     "q194_semi_anti" -> (qSemiAnti _),
     "q195_levene" -> (qLevene _),
     "q196_rate_ratio" -> (qRateRatio _),
-    "q197_gap_stats" -> (qGapStats _)
+    "q197_gap_stats" -> (qGapStats _),
+    "q198_semdedup" -> (qSemDedup _),
+    "q199_perplexity_buckets" -> (qPerplexityBuckets _),
+    "q200_bpe_pairs" -> (qBpePairs _),
+    "q201_range_window" -> (qRangeWindow _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -6964,6 +7077,52 @@ object SparkEntry {
          |    count(gap)) AS mean_gap_us,
          |  CAST(max(gap) AS BIGINT) AS max_gap_us
          | FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+        .replaceAll("\n", " "),
+    // self-verifying audit (q190/q191 pattern): centers are driver-fit
+    // model state; the oracle computes the exact anchors and pins every
+    // invariant boolean TRUE — a broken assignment or similarity
+    // hash-mismatches its row
+    "q198_semdedup" ->
+      """SELECT count(*) AS n_vecs, CAST(16 AS BIGINT) AS k,
+        | CAST(max(len(embedding)) AS BIGINT) AS dim, TRUE AS assign_ok,
+        | TRUE AS cos_bounded, TRUE AS pruned_frac_ok
+        | FROM embeddings""".stripMargin.replaceAll("\n", " "),
+    "q199_perplexity_buckets" -> {
+      val sc = graft.text.BigramLm.Sql.score("documents", "doc_id", "text")
+      s"""WITH sc AS ($sc),
+         | wl AS (SELECT sc.id, sc.avg_logp, d.lang
+         |   FROM sc JOIN documents d ON d.doc_id = sc.id),
+         | ed AS (SELECT lang, quantile_cont(avg_logp, 1.0/3) AS t1,
+         |   quantile_cont(avg_logp, 2.0/3) AS t2 FROM wl GROUP BY lang)
+         | SELECT lang,
+         |  CASE WHEN avg_logp >= t2 THEN 'head'
+         |    WHEN avg_logp >= t1 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  count(*) AS n,
+         |  round(${Stats.Sql.dmean("avg_logp")}, 6) AS mean_logp
+         | FROM wl JOIN ed USING (lang)
+         | GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q200_bpe_pairs" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      s"""WITH w AS (SELECT unnest($toks) AS w FROM documents),
+         | p AS (SELECT unnest(list_transform(
+         |     generate_series(1, length(w) - 1), i -> substring(w, i, 2))) AS pair
+         |   FROM w)
+         | SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+         | ORDER BY cnt DESC, pair LIMIT 32""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q201_range_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |   CAST(value AS DECIMAL(38,10)) AS v FROM events),
+        | r AS (SELECT user_id, count(*) OVER w AS roll_n, sum(v) OVER w AS roll_sum
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |     RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW))
+        | SELECT user_id, count(*) AS n_events, max(roll_n) AS max_roll_n,
+        |  round(CAST(max(roll_sum) AS DOUBLE), 4) AS max_roll_sum,
+        |  round(CAST(sum(roll_sum) AS DOUBLE), 4) AS sum_roll_sum
+        | FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
         .replaceAll("\n", " ")
   )
 }

@@ -1,0 +1,101 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.sim.{KMeans, VectorMath => V}
+
+/** SemDeDup — semantic deduplication (Abbas et al. 2023,
+  * arXiv:2303.09540): k-means cluster the embedding space, then prune
+  * cosine near-duplicates ONLY within clusters. All-pairs cosine dedup
+  * is O(n²·d); clustering confines the quadratic work to cluster-sized
+  * buckets, and k grows with n so bucket sizes stay bounded — the same
+  * bucket-confinement discipline as the MinHash/SimHash/LSH families
+  * (reference capability analog: the embedding near-dup step a
+  * pretraining corpus pipeline runs after exact/fuzzy text dedup).
+  *
+  * Determinism: centers come from the deterministic driver-pool
+  * [[graft.sim.KMeans]] fit; assignment is a pure codegen'd HOF
+  * arg-min over the broadcast centers literal (no UDF in the hot
+  * path); the prune rule — drop a vector iff an in-cluster LOWER-ID
+  * neighbor has cosine ≥ θ — makes the kept set a pure function of
+  * (data, centers). Each cluster's pair join is a plain equi-join on
+  * the cluster id; vectors shuffle once, carrying a precomputed
+  * squared norm so the per-pair work is a single dot product.
+  */
+object SemDedup {
+
+  /** Cluster assignment with the dual-path audit column: `cluster` is
+    * the codegen'd HOF arg-min (first minimal index, strict `<`);
+    * `cluster_check` re-derives it through the broadcast-model scorer
+    * ([[KMeans.Model.transform]]'s sequential-fold UDF). Both fold the
+    * squared distance in identical IEEE order, so the two paths agree
+    * bitwise — a divergence means a broken kernel, not noise.
+    */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int = 8): DataFrame = {
+    val e = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val model = KMeans.fit(e, "id", "vec", k = k, iters = iters)
+    val centersLit = array(model.centers.map(c =>
+      array(c.map(lit(_)): _*)): _*)
+    val dists = transform(centersLit, ctr =>
+      aggregate(zip_with(col("vec"), ctr, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x))
+    model.transform(
+      e.withColumn("dists", dists)
+        .withColumn("cluster",
+          element_at(filter(sequence(lit(0), lit(k - 1)),
+            i => element_at(col("dists"), i + 1) === array_min(col("dists"))), 1))
+        .drop("dists")
+        .withColumn("n2", V.norm2(col("vec"))),
+      "vec", "cluster_check")
+  }
+
+  /** In-cluster lower-id near-neighbor pairs: (id, cos) for every
+    * ordered pair (b < id) sharing a cluster. The equi-join on the
+    * cluster id is the bucket-confined quadratic stage.
+    */
+  def clusterPairs(assigned: DataFrame): DataFrame = {
+    val right = assigned.select(col("cluster"), col("id").as("b"),
+      col("vec").as("vb"), col("n2").as("n2b"))
+    assigned.select(col("cluster"), col("id"), col("vec"), col("n2"))
+      .join(right, Seq("cluster"))
+      .where(col("b") < col("id"))
+      .select(col("id"), col("b"),
+        V.cosineFromNorms(V.dot(col("vec"), col("vb")),
+          col("n2"), col("n2b")).as("cos"))
+  }
+
+  /** Ids pruned by the θ rule (distinct ids having any lower-id
+    * in-cluster neighbor with cosine ≥ θ). Kept set = complement.
+    */
+  def prunedIds(pairs: DataFrame, theta: Double): DataFrame =
+    pairs.where(col("cos") >= theta).select("id").distinct()
+
+  /** The registered single-row self-verifying audit (q198): exact SQL
+    * anchors (n_vecs, k, dim) + invariant booleans the oracle pins
+    * TRUE (`assign_ok` dual-path assignment agreement, `cos_bounded`
+    * similarity validity, `pruned_frac_ok` prune-rate sanity).
+    */
+  def audit(df: DataFrame, idCol: String, vecCol: String,
+            k: Int, theta: Double): DataFrame = {
+    val assigned = assign(df, idCol, vecCol, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = clusterPairs(assigned)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a1 = assigned.agg(count(lit(1)).as("n_vecs"),
+      max(size(col("vec"))).cast("long").as("dim"),
+      (count(when(col("cluster") === col("cluster_check"), 1)) ===
+        count(lit(1))).as("assign_ok"))
+    val a2 = pairs.agg(
+      coalesce(min(abs(col("cos")) <= lit(1.0 + 1e-9)), lit(true)).as("cos_bounded"))
+    val a3 = prunedIds(pairs, theta).agg(count(lit(1)).as("n_pruned"))
+    graft.core.Caches.retain("dedup.semdedup", assigned, pairs)
+    a1.crossJoin(a2).crossJoin(a3)
+      .select(col("n_vecs"), lit(k.toLong).as("k"), col("dim"),
+        col("assign_ok"), col("cos_bounded"),
+        (col("n_pruned") * 2 <= col("n_vecs")).as("pruned_frac_ok"))
+  }
+}

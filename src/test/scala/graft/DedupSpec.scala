@@ -210,4 +210,40 @@ class DedupSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(f(0).getLong(3) == 6L && f(1).getLong(3) == 6L)
   }
+
+  test("SemDedup: dual-path cluster assignment agrees bitwise") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = graft.dedup.SemDedup.assign(e, "vec_id", "embedding", k = 8)
+    assert(a.where(col("cluster") =!= col("cluster_check")).count() == 0L)
+    // every cluster id in range
+    assert(a.where(col("cluster") < 0 || col("cluster") >= 8).count() == 0L)
+  }
+
+  test("SemDedup: planted exact duplicate is pruned, lower id kept") {
+    import graft.dedup.SemDedup
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val dup = e.where(col("vec_id") === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val assigned = SemDedup.assign(e.unionByName(dup), "vec_id", "embedding", k = 8)
+    // identical vectors share identical distance vectors → same cluster
+    val clusters = assigned.where(col("id").isin(0L, 100000L))
+      .select("cluster").distinct().count()
+    assert(clusters == 1L)
+    val pruned = SemDedup.prunedIds(SemDedup.clusterPairs(assigned), 0.999)
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned.contains(100000L), "the planted duplicate must be pruned")
+    assert(!pruned.contains(0L), "the lower-id original must be kept")
+  }
+
+  test("SemDedup: audit invariants hold on the test frame") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val r = graft.dedup.SemDedup.audit(e, "vec_id", "embedding",
+      k = 8, theta = 0.45).collect()(0)
+    assert(r.getAs[Long]("n_vecs") == 500L)
+    assert(r.getAs[Long]("dim") == 64L)
+    assert(r.getAs[Boolean]("assign_ok"))
+    assert(r.getAs[Boolean]("cos_bounded"))
+    assert(r.getAs[Boolean]("pruned_frac_ok"))
+  }
 }

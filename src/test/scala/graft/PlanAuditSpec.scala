@@ -265,6 +265,38 @@ class PlanAuditSpec extends SparkSpec {
       s"anti join plans a cartesian:\n$anti")
   }
 
+  test("round-9 query plans keep their scale shapes") {
+    // q198 SemDeDup: the in-cluster pair stage must be an EQUI join on
+    // the cluster id (bucket-confined quadratic), never a cartesian;
+    // the only nested-loop joins allowed are the two 1-row×1-row
+    // scalar-audit cross joins at the very top of the plan
+    val q198 = plan(SparkEntry.queries("q198_semdedup")(spark, sf))
+    assert(!q198.contains("CartesianProduct"), s"semdedup plans a cartesian:\n$q198")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(q198).size <= 2,
+      s"semdedup pair stage fell out of the equi join:\n$q198")
+    assert(q198.contains("HashJoin") || q198.contains("SortMergeJoin"),
+      s"no hash equi-join for the cluster pair stage:\n$q198")
+    // q199 perplexity buckets: the per-language edge table broadcasts;
+    // LM count tables join hash-wise, never nested-loop
+    val q199 = plan(SparkEntry.queries("q199_perplexity_buckets")(spark, sf))
+    assert(q199.contains("BroadcastHashJoin"),
+      s"tertile edges not broadcast:\n$q199")
+    assert(!q199.contains("CartesianProduct"),
+      s"perplexity bucketing plans a cartesian:\n$q199")
+    // q200 BPE pairs: map-side combine before the shuffle, top-32 as
+    // distributed TakeOrderedAndProject (never a global sort)
+    val q200 = plan(SparkEntry.queries("q200_bpe_pairs")(spark, sf))
+    assert("HashAggregate".r.findAllIn(q200).size >= 2,
+      s"pair count lost partial aggregation:\n$q200")
+    assert(q200.contains("TakeOrderedAndProject"),
+      s"top-32 is not a distributed top-k:\n$q200")
+    // q201 RANGE window: hash-partitioned per-user windows only
+    val q201 = plan(SparkEntry.queries("q201_range_window")(spark, sf))
+    assert(q201.contains("Window"), s"range frame lost its window:\n$q201")
+    assert(!q201.contains("Exchange SinglePartition"),
+      s"range window plans a single-partition exchange:\n$q201")
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
