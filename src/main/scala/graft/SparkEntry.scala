@@ -4249,6 +4249,165 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** D14 — MinHash estimator-quality audit: per LSH candidate pair,
+    * the signature-estimated Jaccard next to the exact shingle-set
+    * Jaccard ([[graft.dedup.MinHashLSH.estimateAudit]]). Run this
+    * before trusting a banded dedup config on a new corpus: if
+    * |est − exact| is wide at the dedup threshold, k is too small.
+    */
+  private def qMinhashEstAudit(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.MinHashLSH.estimateAudit(doc(s, dir), "doc_id", "text",
+        n = 3, k = 16, bands = 4)
+      .orderBy("a", "b")
+
+  /** A34 — Cochran–Mantel–Haenszel stratified 2×2 association test +
+    * Mantel–Haenszel pooled odds ratio: "is exposure associated with
+    * outcome after controlling for the stratifying variable" — the
+    * confounder-adjusted companion to q189's crude odds ratio (and the
+    * aggregate-vs-stratified discrepancy IS Simpson's paradox when the
+    * two disagree). One conditional-count pass builds every stratum's
+    * 2×2 table; E/V/OR terms are fixed-shape double arithmetic over
+    * exact integer counts (products of four ~n counts overflow int64
+    * at sf0.1 scale — computed in double, identically parenthesized on
+    * both engines).
+    */
+  private def qCmh(s: SparkSession, dir: String): DataFrame = {
+    val t = li(s, dir).select(
+      col("l_returnflag").as("g"),
+      (col("l_discount") > 0.05).as("x"),
+      (col("l_tax") > 0.04).as("y"))
+    val cells = t.groupBy("g").agg(
+      count(when(col("x") && col("y"), 1)).as("a"),
+      count(when(col("x") && !col("y"), 1)).as("b"),
+      count(when(!col("x") && col("y"), 1)).as("c"),
+      count(when(!col("x") && !col("y"), 1)).as("d"))
+    val n = (col("a") + col("b") + col("c") + col("d")).cast(DoubleType)
+    val ad = col("a").cast(DoubleType)
+    val e = (col("a") + col("b")).cast(DoubleType) *
+      (col("a") + col("c")).cast(DoubleType) / n
+    val v = ((col("a") + col("b")).cast(DoubleType) *
+        (col("c") + col("d")).cast(DoubleType)) *
+      ((col("a") + col("c")).cast(DoubleType) *
+        (col("b") + col("d")).cast(DoubleType)) /
+      (n * n * (n - lit(1.0)))
+    val per = cells.select(col("g"), col("a"), ad.as("ae"), e.as("ee"),
+      v.as("ve"),
+      (col("a").cast(DoubleType) * col("d").cast(DoubleType) / n).as("rr"),
+      (col("b").cast(DoubleType) * col("c").cast(DoubleType) / n).as("ss"))
+    // cross-stratum sums of full-fraction doubles: fold in stratum-key
+    // order over a sorted struct array (order-fixed, bitwise
+    // cross-engine — the q106 convention; decimal widening is NOT safe
+    // here, double→decimal casts of full-fraction values are the
+    // documented divergence class)
+    val folded = per.agg(count(lit(1)).as("n_strata"), sum("a").as("sum_a"),
+      sort_array(collect_list(struct(col("g"), col("ee"), col("ve"),
+        col("rr"), col("ss")))).as("xs"))
+    def fsum(field: String) = aggregate(col("xs"), lit(0.0),
+      (acc, x) => acc + x.getField(field))
+    folded.select(col("n_strata"), col("sum_a"), fsum("ee").as("sum_e"),
+        fsum("ve").as("sum_v"), fsum("rr").as("sum_r"), fsum("ss").as("sum_s"))
+      .select(col("n_strata"), col("sum_a"),
+        round(col("sum_e"), 6).as("sum_e"),
+        round(col("sum_v"), 6).as("sum_v"),
+        round(pow(abs(col("sum_a").cast(DoubleType) - col("sum_e")) - lit(0.5), 2) /
+          col("sum_v"), 6).as("cmh"),
+        round(col("sum_r") / col("sum_s"), 6).as("or_mh"))
+  }
+
+  /** D15 — dedup threshold sweep: pair and affected-document counts at
+    * a ladder of Jaccard thresholds over the LSH candidate set — the
+    * planning table that picks a dedup θ for a new corpus (how much am
+    * I about to delete?) from ONE candidate-generation pass; the
+    * threshold ladder explodes AFTER the quadratic stage, so the sweep
+    * costs one extra narrow aggregate, not five dedup runs.
+    */
+  private def qDedupSweep(s: SparkSession, dir: String): DataFrame = {
+    val thetas = Seq(0.3, 0.5, 0.7, 0.8, 0.9)
+    val pairs = graft.dedup.MinHashLSH.nearDupPairs(doc(s, dir), "doc_id",
+        "text", n = 3, k = 16, bands = 4, threshold = 0.0)
+      .select(col("a"), col("b"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sel = pairs
+      .select(explode(array(thetas.map(lit(_)): _*)).as("theta"),
+        col("a"), col("b"), col("jaccard"))
+      .where(col("jaccard") >= col("theta"))
+    val nPairs = sel.groupBy("theta").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = sel
+      .select(col("theta"), explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("theta").agg(countDistinct("id").as("n_docs"))
+    graft.core.Caches.retain("entry.dedupSweep", pairs)
+    nPairs.join(nDocs, Seq("theta"), "left")
+      .select(col("theta"), col("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("theta")
+  }
+
+  /** G1 — deletion-propagation purge (the GDPR/right-to-be-forgotten
+    * shape): a deletion list of user ids anti-joined out of the event
+    * log, with a per-event-type before/after/deleted reconciliation
+    * AND the residual count of surviving rows for deleted users — the
+    * audit a data-governance pipeline must publish with every purge.
+    * The anti join is a hash equi-join on the user id (the q194-family
+    * LEFT ANTI surface, here as a registered at-scale operator);
+    * reconciliation reuses one conditional-count pass per side.
+    */
+  private def qPurgeAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), col("event_type"))
+    val del = e.select("user_id").where(col("user_id") % 13 === 0).distinct()
+    val purged = e.join(del, Seq("user_id"), "left_anti")
+      .groupBy("event_type").agg(count(lit(1)).as("n_after"),
+        count(when(col("user_id") % 13 === 0, 1)).as("n_residual"))
+    e.groupBy("event_type").agg(count(lit(1)).as("n_before"))
+      .join(purged, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_deleted"),
+        coalesce(col("n_residual"), lit(0L)).as("n_residual"))
+      .orderBy("event_type")
+  }
+
+  /** A35 — Benjamini–Hochberg FDR correction: the multiple-testing
+    * step-up over a family of per-event-type hypotheses (here: a
+    * 3-bucket day-of-cycle uniformity χ² with df=2, whose survival
+    * function is exactly e^(−χ²/2) — elementary, so p-values are
+    * engine-exact with no special functions). Rank p ascending, reject
+    * all ranks ≤ k* where k* = max{i : p_i ≤ (i/m)·α} — the step-up
+    * rule that plain per-test α misstates. The ranking window runs
+    * over the aggregated family table (one row per event type — cards
+    * bounded by the hypothesis family, not the data), never over raw
+    * events.
+    */
+  private def qBhFdr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alpha = 0.05
+    val e = ev(s, dir).select(col("event_type"),
+      expr("((ts div 1000) div 86400000000) % 3").as("b"))
+    val byType = e.groupBy("event_type").agg(
+      count(when(col("b") === 0, 1)).as("n0"),
+      count(when(col("b") === 1, 1)).as("n1"),
+      count(when(col("b") === 2, 1)).as("n2"),
+      count(lit(1)).as("t"))
+    val exp3 = col("t").cast(DoubleType) / lit(3.0)
+    def term(c: Column) = pow(c.cast(DoubleType) - exp3, 2) / exp3
+    val scored = byType.withColumn("chi2",
+        term(col("n0")) + term(col("n1")) + term(col("n2")))
+      .withColumn("p", exp(col("chi2") / lit(-2.0)))
+    val w = Window.orderBy("p", "event_type")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored.withColumn("rank", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("crit",
+        col("rank").cast(DoubleType) / col("m").cast(DoubleType) * lit(alpha))
+      .withColumn("kstar",
+        coalesce(max(when(col("p") <= col("crit"), col("rank"))).over(wAll),
+          lit(0)))
+      .select(col("event_type"), col("t").as("n"),
+        round(col("chi2"), 6).as("chi2"), round(col("p"), 6).as("p"),
+        col("rank").cast("long").as("rank"),
+        (col("rank") <= col("kstar")).as("reject"))
+      .orderBy("rank")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -4463,7 +4622,12 @@ object SparkEntry {
     "q198_semdedup" -> (qSemDedup _),
     "q199_perplexity_buckets" -> (qPerplexityBuckets _),
     "q200_bpe_pairs" -> (qBpePairs _),
-    "q201_range_window" -> (qRangeWindow _)
+    "q201_range_window" -> (qRangeWindow _),
+    "q202_minhash_est_audit" -> (qMinhashEstAudit _),
+    "q203_cmh" -> (qCmh _),
+    "q204_dedup_sweep" -> (qDedupSweep _),
+    "q205_purge_audit" -> (qPurgeAudit _),
+    "q206_bh_fdr" -> (qBhFdr _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -7123,6 +7287,115 @@ object SparkEntry {
         |  round(CAST(max(roll_sum) AS DOUBLE), 4) AS max_roll_sum,
         |  round(CAST(sum(roll_sum) AS DOUBLE), 4) AS sum_roll_sum
         | FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+        .replaceAll("\n", " "),
+    "q202_minhash_est_audit" -> {
+      import graft.dedup.MinHashLSH.{Sql => M}
+      val sh = graft.dedup.Dedup.Sql.shingles("text", 3)
+      s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents),
+         | ne AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+         | sg AS (SELECT doc_id, sh, ${M.signatureFromShingles("sh", 16)} AS sig FROM ne),
+         | bands AS (SELECT doc_id, unnest(${M.bandKeyList("sig", 16, 4)}) AS band_key,
+         |   unnest(generate_series(0, 3)) AS band_idx FROM sg),
+         | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+         |   ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         | v AS (SELECT a, b,
+         |   len(list_filter(list_transform(generate_series(1, 16),
+         |     i -> sa.sig[i] = sb.sig[i]), x -> x)) AS n_eq,
+         |   len(list_intersect(sa.sh, sb.sh)) AS inter,
+         |   len(sa.sh) AS na, len(sb.sh) AS nb
+         |   FROM cand JOIN sg sa ON sa.doc_id = a JOIN sg sb ON sb.doc_id = b)
+         | SELECT a, b, CAST(n_eq AS BIGINT) AS n_eq,
+         |  round(CAST(n_eq AS DOUBLE) / 16, 6) AS est_jaccard,
+         |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+         | FROM v ORDER BY a, b""".stripMargin.replaceAll("\n", " ")
+    },
+    "q203_cmh" -> {
+      val n = "(CAST(a + b + c + d AS DOUBLE))"
+      val ee = s"(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE) / $n)"
+      val ve = s"((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)) * (CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) / ($n * $n * ($n - 1.0)))"
+      val rr = s"(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / $n)"
+      val ss = s"(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / $n)"
+      def fold(l: String) =
+        s"list_reduce(list_prepend(0.0::DOUBLE, $l), (acc, x) -> acc + x)"
+      s"""WITH t AS (SELECT l_returnflag AS g, l_discount > 0.05 AS x,
+         |   l_tax > 0.04 AS y FROM lineitem),
+         | cells AS (SELECT g,
+         |   count(CASE WHEN x AND y THEN 1 END) AS a,
+         |   count(CASE WHEN x AND NOT y THEN 1 END) AS b,
+         |   count(CASE WHEN NOT x AND y THEN 1 END) AS c,
+         |   count(CASE WHEN NOT x AND NOT y THEN 1 END) AS d
+         |  FROM t GROUP BY g),
+         | per AS (SELECT g, a, $ee AS ee, $ve AS ve, $rr AS rr, $ss AS ss FROM cells),
+         | f AS (SELECT count(*) AS n_strata, CAST(sum(a) AS BIGINT) AS sum_a,
+         |   ${fold("list(ee ORDER BY g)")} AS sum_e,
+         |   ${fold("list(ve ORDER BY g)")} AS sum_v,
+         |   ${fold("list(rr ORDER BY g)")} AS sum_r,
+         |   ${fold("list(ss ORDER BY g)")} AS sum_s FROM per)
+         | SELECT n_strata, sum_a, round(sum_e, 6) AS sum_e,
+         |  round(sum_v, 6) AS sum_v,
+         |  round(pow(abs(CAST(sum_a AS DOUBLE) - sum_e) - 0.5, 2) / sum_v, 6) AS cmh,
+         |  round(sum_r / sum_s, 6) AS or_mh
+         | FROM f""".stripMargin.replaceAll("\n", " ")
+    },
+    "q204_dedup_sweep" -> {
+      import graft.dedup.MinHashLSH.{Sql => M}
+      val sh = graft.dedup.Dedup.Sql.shingles("text", 3)
+      s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents),
+         | ne AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+         | sg AS (SELECT doc_id, sh, ${M.signatureFromShingles("sh", 16)} AS sig FROM ne),
+         | bands AS (SELECT doc_id, unnest(${M.bandKeyList("sig", 16, 4)}) AS band_key,
+         |   unnest(generate_series(0, 3)) AS band_idx FROM sg),
+         | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+         |   ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         | v AS (SELECT a, b, round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |     (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS j
+         |   FROM cand JOIN ne sa ON sa.doc_id = a JOIN ne sb ON sb.doc_id = b),
+         | th AS (SELECT unnest([0.3::DOUBLE, 0.5::DOUBLE, 0.7::DOUBLE,
+         |   0.8::DOUBLE, 0.9::DOUBLE]) AS theta),
+         | sel AS (SELECT theta, a, b FROM v JOIN th ON j >= theta),
+         | np AS (SELECT theta, count(*) AS n_pairs FROM sel GROUP BY theta),
+         | nd AS (SELECT theta, count(DISTINCT id) AS n_docs FROM
+         |   (SELECT theta, a AS id FROM sel UNION ALL SELECT theta, b FROM sel)
+         |  GROUP BY theta)
+         | SELECT np.theta, np.n_pairs, coalesce(nd.n_docs, 0) AS n_docs
+         | FROM np LEFT JOIN nd ON nd.theta = np.theta
+         | ORDER BY np.theta""".stripMargin.replaceAll("\n", " ")
+    },
+    "q205_purge_audit" ->
+      """WITH e AS (SELECT user_id, event_type FROM events),
+        | p AS (SELECT event_type, count(*) AS n_after,
+        |   count(CASE WHEN user_id % 13 = 0 THEN 1 END) AS n_residual
+        |  FROM e WHERE user_id NOT IN
+        |    (SELECT DISTINCT user_id FROM e WHERE user_id % 13 = 0)
+        |  GROUP BY event_type)
+        | SELECT b.event_type, b.n_before,
+        |  coalesce(p.n_after, 0) AS n_after,
+        |  b.n_before - coalesce(p.n_after, 0) AS n_deleted,
+        |  coalesce(p.n_residual, 0) AS n_residual
+        | FROM (SELECT event_type, count(*) AS n_before FROM e GROUP BY event_type) b
+        | LEFT JOIN p ON p.event_type = b.event_type
+        | ORDER BY b.event_type""".stripMargin.replaceAll("\n", " "),
+    "q206_bh_fdr" -> {
+      val exp3 = "(CAST(t AS DOUBLE) / 3.0)"
+      def term(c: String) = s"pow(CAST($c AS DOUBLE) - $exp3, 2) / $exp3"
+      s"""WITH e AS (SELECT event_type,
+         |   (epoch_us(ts) // 86400000000) % 3 AS b FROM events),
+         | bt AS (SELECT event_type,
+         |   count(CASE WHEN b = 0 THEN 1 END) AS n0,
+         |   count(CASE WHEN b = 1 THEN 1 END) AS n1,
+         |   count(CASE WHEN b = 2 THEN 1 END) AS n2,
+         |   count(*) AS t FROM e GROUP BY event_type),
+         | sc AS (SELECT event_type, t,
+         |   ${term("n0")} + ${term("n1")} + ${term("n2")} AS chi2 FROM bt),
+         | rk AS (SELECT event_type, t, chi2, exp(chi2 / -2.0) AS p,
+         |   row_number() OVER (ORDER BY exp(chi2 / -2.0), event_type) AS rank,
+         |   count(*) OVER () AS m FROM sc),
+         | wc AS (SELECT *, CAST(rank AS DOUBLE) / CAST(m AS DOUBLE) * 0.05 AS crit FROM rk),
+         | ks AS (SELECT coalesce(max(CASE WHEN p <= crit THEN rank END), 0) AS kstar FROM wc)
+         | SELECT event_type, t AS n, round(chi2, 6) AS chi2, round(p, 6) AS p,
+         |  CAST(rank AS BIGINT) AS rank, rank <= kstar AS reject
+         | FROM wc CROSS JOIN ks ORDER BY rank""".stripMargin
         .replaceAll("\n", " ")
+    }
   )
 }

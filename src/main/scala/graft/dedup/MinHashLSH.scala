@@ -131,6 +131,47 @@ object MinHashLSH {
     out
   }
 
+  /** Estimator-quality audit: for every LSH candidate pair, the
+    * signature-estimated Jaccard (fraction of equal MinHash
+    * components — the unbiased estimator the banding math is built on)
+    * next to the exact shingle-set Jaccard. The per-round measurement
+    * that tells an operator whether k is large enough for the corpus's
+    * similarity profile BEFORE trusting the banded dedup at scale;
+    * everything is deterministic (the fixed hash family), so the whole
+    * audit — estimates included — is oracle-checkable, not just
+    * spot-sampled.
+    */
+  def estimateAudit(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val sh = df.select(col(idCol).cast("long").as("id"),
+        Dedup.shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sg = sh.select(col("id"), col("sh"),
+        signatureFromShingles(col("sh"), k).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bk = sg.select(col("id"),
+        posexplode(bandKeysFromSig(col("sig"), k, bands)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    val out = selfJoinBuckets(bk)
+      .join(sg.select(col("id").as("a"), col("sh").as("sha"),
+        col("sig").as("siga")), "a")
+      .join(sg.select(col("id").as("b"), col("sh").as("shb"),
+        col("sig").as("sigb")), "b")
+      .withColumn("n_eq", size(filter(
+        zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+        p => p)).cast("long"))
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .select(col("a"), col("b"), col("n_eq"),
+        round(col("n_eq").cast("double") / k, 6).as("est_jaccard"),
+        round(col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")), 6).as("jaccard"))
+    graft.core.Caches.retain("minhash.estimateAudit", sh, sg)
+    out
+  }
+
   /** DuckDB oracle twins (same hash family, same banding). */
   object Sql {
     def signature(x: String, n: Int, k: Int): String =

@@ -295,6 +295,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(q201.contains("Window"), s"range frame lost its window:\n$q201")
     assert(!q201.contains("Exchange SinglePartition"),
       s"range window plans a single-partition exchange:\n$q201")
+    // q202/q204: the MinHash candidate stage is a banded equi-join,
+    // never a cartesian; the sweep aggregates combine map-side
+    Seq("q202_minhash_est_audit", "q204_dedup_sweep").foreach { n =>
+      val p = plan(SparkEntry.queries(n)(spark, sf))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$n plans a cartesian:\n$p")
+    }
+    // q203 CMH: one conditional-count pass with partial aggregation
+    val q203 = plan(SparkEntry.queries("q203_cmh")(spark, sf))
+    assert("HashAggregate".r.findAllIn(q203).size >= 2,
+      s"CMH cell counts lost partial aggregation:\n$q203")
+    // q205 purge: a real LEFT ANTI hash join, never a nested loop
+    val q205 = plan(SparkEntry.queries("q205_purge_audit")(spark, sf))
+    assert(q205.contains("LeftAnti"), s"purge lost the anti join:\n$q205")
+    assert(!q205.contains("BroadcastNestedLoopJoin"),
+      s"purge anti join plans a cartesian:\n$q205")
+    // q206 BH-FDR: the step-up rule is windows over the aggregated
+    // family table (rows = #hypotheses, not #events) — no join at all
+    val q206 = plan(SparkEntry.queries("q206_bh_fdr")(spark, sf))
+    assert(!q206.contains("Join"), s"BH-FDR grew a join:\n$q206")
+    assert(q206.contains("Window"), s"BH-FDR lost the ranking window:\n$q206")
   }
 
   test("forest scoring stays inside whole-stage codegen") {
