@@ -4179,8 +4179,14 @@ object SparkEntry {
   private def qPerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
     val d = doc(s, dir)
     val scored = graft.text.BigramLm.score(d, "doc_id", "text")
+    // persisted: the scored frame feeds BOTH the tertile-edge selection
+    // and the bucket pass — without it the whole LM pipeline (explode,
+    // two count tables, two joins) runs twice (bench-measured 2.2s→
+    // roughly the single-pass cost)
     val withLang = scored.join(
-      d.select(col("doc_id").cast("long").as("id"), col("lang")), "id")
+        d.select(col("doc_id").cast("long").as("id"), col("lang")), "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.perplexityBuckets", withLang)
     val edges = graft.core.OrderStats.groupedQuantiles(
       withLang, "lang", "avg_logp", Seq(1.0 / 3, 2.0 / 3))
     val e2 = edges.groupBy("lang").agg(
@@ -4408,6 +4414,146 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** J4 — relational set operations: INTERSECT / EXCEPT on distinct
+    * key sets and INTERSECT ALL / EXCEPT ALL on multisets — the set
+    * algebra surface (Catalyst plans these as semi/anti hash joins and
+    * count-compare aggregates; nothing here should ever nested-loop).
+    * Sets: customers with a high-value order vs customers with an
+    * urgent order.
+    */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val m1 = o.where(col("o_totalprice") > 150000).select("o_custkey")
+    val m2 = o.where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val s1 = m1.distinct()
+    val s2 = m2.distinct()
+    def cnt(op: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+    cnt("except_all", m1.exceptAll(m2))
+      .unionByName(cnt("except_hp_minus_urgent", s1.except(s2)))
+      .unionByName(cnt("except_urgent_minus_hp", s2.except(s1)))
+      .unionByName(cnt("intersect", s1.intersect(s2)))
+      .unionByName(cnt("intersect_all", m1.intersectAll(m2)))
+      .orderBy("op")
+  }
+
+  /** T27 — tokenizer vocabulary coverage on a held-out split: fit a
+    * top-V vocabulary on the train split only (q95's leak-proof hash
+    * split), measure per-language OOV rate on the test split — the
+    * coverage report that decides whether a tokenizer's V is large
+    * enough per language BEFORE training with it. The vocabulary is
+    * bounded by V, so the membership join broadcasts.
+    */
+  private def qTokenizerCoverage(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val vocabSize = 256
+    val split = graft.aug.Sampling.splitAssign(doc(s, dir), "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1))
+    val vocab = split.where(col("split") === "train")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    split.where(col("split") === "test")
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("oov_rate"))
+      .orderBy("lang")
+  }
+
+  /** N4 — hard-negative mining for contrastive training: for each
+    * anchor embedding, the top-3 most-similar vectors with a DIFFERENT
+    * label, candidates confined to shared LSH buckets (the registered
+    * 16×4 banding) with exact cosine re-rank — the metric-learning
+    * companion to q83's random negatives (hard negatives carry the
+    * gradient signal; random ones mostly don't). Plane signs are
+    * hoisted into their own projection so the 64 plane dots run once
+    * per vector.
+    */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.{Ann, GraftFunctions}
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val v = em(s, dir).select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("vec"), col("label"))
+      .withColumn("n2", GraftFunctions.norm2(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bk = v
+      .select(col("id"), Ann.planeSigns(col("vec"), 64, 64).as("signs"))
+      .select(col("id"), posexplode(Ann.bucketsFromSigns(col("signs"), 16, 4)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bk.as("qx").where(col("qx.id") < 100)
+      .join(bk.as("tx"),
+        col("qx.tbl") === col("tx.tbl") &&
+          col("qx.bucket") === col("tx.bucket") &&
+          col("qx.id") =!= col("tx.id"))
+      .select(col("qx.id").as("qid"), col("tx.id").as("tid"))
+      .distinct()
+    val scoredPairs = cand
+      .join(v.select(col("id").as("qid"), col("vec").as("qvec"),
+        col("n2").as("qn2"), col("label").as("label_a")), "qid")
+      .join(v.select(col("id").as("tid"), col("vec").as("tvec"),
+        col("n2").as("tn2"), col("label").as("label_b")), "tid")
+      .where(col("label_a") =!= col("label_b"))
+      .select(col("qid").as("a"), col("tid").as("b"),
+        col("label_a"), col("label_b"),
+        (GraftFunctions.dot(col("qvec"), col("tvec")) /
+          (sqrt(col("qn2")) * sqrt(col("tn2")))).as("cos"))
+    graft.core.Caches.retain("entry.hardNegatives", v, bk)
+    scoredPairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("a").orderBy(desc("cos"), asc("b"))))
+      .where(col("rank") <= 3)
+      .select(col("a"), col("b"), col("rank"), col("label_a"),
+        col("label_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("a", "rank")
+  }
+
+  /** T28 — corpus data card: the per-source datasheet a curated
+    * release ships (Datasheets for Datasets / Dolma-style): document
+    * and token volumes, language spread with the dominant language,
+    * mean quality, exact-duplicate and too-short counts — every signal
+    * from ONE pass over the corpus plus two narrow per-source
+    * aggregates; the kind of composed reporting query a 100 TB corpus
+    * runs nightly.
+    */
+  private def qDataCard(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    import org.apache.spark.sql.expressions.Window
+    val d = doc(s, dir).select(col("source"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_toks"),
+        TextOps.qualityScore(col("text")).as("q"),
+        TextOps.strHash(col("text")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_toks").as("n_tokens"),
+      count(when(col("n_toks") < 20, 1)).as("n_short"),
+      round(Stats.dmean(col("q")), 6).as("mean_quality"))
+    val topLang = d.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(desc("cnt"), asc("lang"))))
+    val langs = topLang.groupBy("source").agg(
+      count(lit(1)).as("n_langs"),
+      max(when(col("rk") === 1, col("lang"))).as("top_lang"))
+    val dups = d.groupBy("source", "h").agg(count(lit(1)).as("nh"))
+      .groupBy("source")
+      .agg(coalesce(sum(when(col("nh") > 1, col("nh"))), lit(0L))
+        .as("n_dup_docs"))
+    graft.core.Caches.retain("entry.dataCard", d)
+    base.join(langs, "source").join(dups, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_langs"), col("top_lang"), col("mean_quality"),
+        col("n_dup_docs"), col("n_short"))
+      .orderBy("source")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -4627,7 +4773,11 @@ object SparkEntry {
     "q203_cmh" -> (qCmh _),
     "q204_dedup_sweep" -> (qDedupSweep _),
     "q205_purge_audit" -> (qPurgeAudit _),
-    "q206_bh_fdr" -> (qBhFdr _)
+    "q206_bh_fdr" -> (qBhFdr _),
+    "q207_set_ops" -> (qSetOps _),
+    "q208_tokenizer_coverage" -> (qTokenizerCoverage _),
+    "q209_hard_negatives" -> (qHardNegatives _),
+    "q210_data_card" -> (qDataCard _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -7396,6 +7546,90 @@ object SparkEntry {
          |  CAST(rank AS BIGINT) AS rank, rank <= kstar AS reject
          | FROM wc CROSS JOIN ks ORDER BY rank""".stripMargin
         .replaceAll("\n", " ")
+    },
+    "q207_set_ops" ->
+      """WITH m1 AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+        | m2 AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        | s1 AS (SELECT DISTINCT o_custkey FROM m1),
+        | s2 AS (SELECT DISTINCT o_custkey FROM m2)
+        | SELECT 'except_all' AS op, count(*) AS n
+        |   FROM (SELECT * FROM m1 EXCEPT ALL SELECT * FROM m2)
+        | UNION ALL SELECT 'except_hp_minus_urgent', count(*)
+        |   FROM (SELECT * FROM s1 EXCEPT SELECT * FROM s2)
+        | UNION ALL SELECT 'except_urgent_minus_hp', count(*)
+        |   FROM (SELECT * FROM s2 EXCEPT SELECT * FROM s1)
+        | UNION ALL SELECT 'intersect', count(*)
+        |   FROM (SELECT * FROM s1 INTERSECT SELECT * FROM s2)
+        | UNION ALL SELECT 'intersect_all', count(*)
+        |   FROM (SELECT * FROM m1 INTERSECT ALL SELECT * FROM m2)
+        | ORDER BY op""".stripMargin.replaceAll("\n", " "),
+    "q208_tokenizer_coverage" -> {
+      import graft.text.TextOps.{Sql => T}
+      val sc = graft.aug.Sampling.Sql.splitCase("doc_id",
+        Seq("train" -> 0.9, "test" -> 0.1), 42L)
+      s"""WITH sp AS (SELECT doc_id, lang, text, $sc AS split FROM documents),
+         | tt AS (SELECT unnest(${T.toks("text")}) AS token FROM sp
+         |   WHERE split = 'train'),
+         | voc AS (SELECT token FROM (SELECT token, count(*) AS n FROM tt
+         |   GROUP BY token ORDER BY n DESC, token LIMIT 256)),
+         | te AS (SELECT lang, unnest(${T.toks("text")}) AS token FROM sp
+         |   WHERE split = 'test'),
+         | j AS (SELECT lang, te.token, voc.token AS vt FROM te
+         |   LEFT JOIN voc ON voc.token = te.token)
+         | SELECT lang, count(*) AS n_tokens,
+         |  count(CASE WHEN vt IS NULL THEN 1 END) AS n_oov,
+         |  round(CAST(count(CASE WHEN vt IS NULL THEN 1 END) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE), 6) AS oov_rate
+         | FROM j GROUP BY lang ORDER BY lang""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q209_hard_negatives" -> {
+      import graft.sim.Ann.{Sql => A}
+      import graft.sim.VectorMath.{Sql => V}
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec, label,
+         |   ${V.norm2("embedding")} AS n2 FROM embeddings),
+         | sg AS (SELECT id, ${A.signsList("vec", 64, 64)} AS signs FROM v),
+         | bk AS (SELECT id, unnest(${A.bucketsFromSigns("signs", 16, 4)}) AS bucket,
+         |   unnest(generate_series(0, 15)) AS tbl FROM sg),
+         | cand AS (SELECT DISTINCT q.id AS qid, t.id AS tid FROM bk q JOIN bk t
+         |   ON q.tbl = t.tbl AND q.bucket = t.bucket AND q.id <> t.id WHERE q.id < 100),
+         | p AS (SELECT qid AS a, tid AS b, qv.label AS label_a, tv.label AS label_b,
+         |   ${V.dot("qv.vec", "tv.vec")} / (sqrt(qv.n2) * sqrt(tv.n2)) AS cos
+         |   FROM cand JOIN v qv ON qv.id = qid JOIN v tv ON tv.id = tid
+         |   WHERE qv.label <> tv.label),
+         | r AS (SELECT a, b, label_a, label_b, cos,
+         |   row_number() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS rank FROM p)
+         | SELECT a, b, CAST(rank AS BIGINT) AS rank, label_a, label_b,
+         |  round(cos, 6) AS cos
+         | FROM r WHERE rank <= 3 ORDER BY a, rank""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q210_data_card" -> {
+      import graft.text.TextOps.{Sql => T}
+      s"""WITH d AS (SELECT source, lang,
+         |   CAST(${T.tokenCount("text")} AS BIGINT) AS n_toks,
+         |   ${T.qualityScore("text")} AS q, ${T.strHash("text")} AS h
+         |  FROM documents),
+         | base AS (SELECT source, count(*) AS n_docs,
+         |   CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |   count(CASE WHEN n_toks < 20 THEN 1 END) AS n_short,
+         |   round(${Stats.Sql.dmean("q")}, 6) AS mean_quality
+         |  FROM d GROUP BY source),
+         | lc AS (SELECT source, lang, count(*) AS cnt,
+         |   row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang)
+         |     AS rk
+         |  FROM d GROUP BY source, lang),
+         | langs AS (SELECT source, count(*) AS n_langs,
+         |   max(CASE WHEN rk = 1 THEN lang END) AS top_lang FROM lc GROUP BY source),
+         | dups AS (SELECT source,
+         |   coalesce(sum(CASE WHEN nh > 1 THEN nh END), 0) AS n_dup_docs
+         |  FROM (SELECT source, h, count(*) AS nh FROM d GROUP BY source, h)
+         |  GROUP BY source)
+         | SELECT base.source, n_docs, n_tokens, n_langs, top_lang,
+         |  mean_quality, CAST(n_dup_docs AS BIGINT) AS n_dup_docs, n_short
+         | FROM base JOIN langs ON langs.source = base.source
+         | JOIN dups ON dups.source = base.source
+         | ORDER BY base.source""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

@@ -316,6 +316,30 @@ class PlanAuditSpec extends SparkSpec {
     val q206 = plan(SparkEntry.queries("q206_bh_fdr")(spark, sf))
     assert(!q206.contains("Join"), s"BH-FDR grew a join:\n$q206")
     assert(q206.contains("Window"), s"BH-FDR lost the ranking window:\n$q206")
+    // q207 set ops: INTERSECT/EXCEPT plan as hash semi/anti joins or
+    // count-compare aggregates — never a nested loop
+    val q207 = plan(SparkEntry.queries("q207_set_ops")(spark, sf))
+    assert(!q207.contains("BroadcastNestedLoopJoin") &&
+      !q207.contains("CartesianProduct"),
+      s"set ops plan a cartesian:\n$q207")
+    // q208 coverage: the V-bounded vocabulary broadcasts
+    val q208 = plan(SparkEntry.queries("q208_tokenizer_coverage")(spark, sf))
+    assert(q208.contains("BroadcastHashJoin"),
+      s"vocabulary membership not broadcast:\n$q208")
+    // q209 hard negatives: bucket equi-join candidates, per-anchor
+    // (not global) ranking window
+    val q209 = plan(SparkEntry.queries("q209_hard_negatives")(spark, sf))
+    assert(!q209.contains("BroadcastNestedLoopJoin") &&
+      !q209.contains("CartesianProduct"),
+      s"hard-negative mining plans a cartesian:\n$q209")
+    assert(!q209.contains("Exchange SinglePartition"),
+      s"hard-negative ranking plans a single-partition exchange:\n$q209")
+    // q210 data card: narrow per-source aggregates with map-side combine
+    val q210 = plan(SparkEntry.queries("q210_data_card")(spark, sf))
+    assert("HashAggregate".r.findAllIn(q210).size >= 2,
+      s"data card lost partial aggregation:\n$q210")
+    assert(!q210.contains("CartesianProduct"),
+      s"data card plans a cartesian:\n$q210")
   }
 
   test("forest scoring stays inside whole-stage codegen") {
