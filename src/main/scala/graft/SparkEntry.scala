@@ -3266,8 +3266,13 @@ object SparkEntry {
     * scoring is then a pure codegen'd map stage (idf constants folded
     * into the plan) + TakeOrdered top-k — no join, no second shuffle.
     */
-  private def qBm25(s: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("join", "hash", "filter")
+  /** The BM25-scored frame behind q164 and q212's lexical leg:
+    * (doc_id, dl, score) with the RAW score (rounding happens at each
+    * query's output edge — q212 ranks on the raw value exactly like
+    * the oracle does).
+    */
+  private def bm25Frame(s: SparkSession, dir: String,
+                        terms: Seq[String]): DataFrame = {
     val base = doc(s, dir)
       .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
       .withColumn("dl", size(col("toks")))
@@ -3290,9 +3295,13 @@ object SparkEntry {
         (lit(1.0) - lit(0.75) + lit(0.75) * dlD / lit(avgdl)))
     }.reduce(_ + _)
     base.select(col("doc_id"), col("dl").cast("long").as("dl"),
-        round(score, 6).as("bm25"))
-      .orderBy(desc("bm25"), col("doc_id")).limit(20)
+      score.as("score"))
   }
+
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    bm25Frame(s, dir, Seq("join", "hash", "filter"))
+      .select(col("doc_id"), col("dl"), round(col("score"), 6).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id")).limit(20)
 
   /** Q1 — referential-integrity audit across the star schema's FK
     * relationships (+ one deliberately-corrupted twin proving
@@ -4554,6 +4563,64 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** N5 — product quantization ([[graft.sim.Pq]]): M=8 sub-space
+    * codebooks of k=16 centroids over the 64-dim embeddings — 512
+    * bytes/vector down to 8. Self-verifying audit (codebooks are
+    * driver-fit model state): anchors n/dim/M/k/bytes, invariants
+    * codes-in-range, dual-path arg-min agreement, nonneg + minimal
+    * per-sub-space quantization error.
+    */
+  private def qPqQuantize(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Pq.audit(em(s, dir), "vec_id", "embedding", m = 8, k = 16)
+
+  /** N6 — hybrid retrieval with reciprocal-rank fusion: the lexical
+    * leg ranks the top-100 documents by BM25 (q164's scorer) and the
+    * semantic leg the top-100 embeddings by cosine to the query
+    * vector; RRF fuses `Σ 1/(60+rank)` over the legs a candidate
+    * appears in — the standard hybrid-search merge (rank-based, so the
+    * two legs' incomparable score scales never touch). Each leg's cut
+    * is a distributed TakeOrderedAndProject with a total tie-break
+    * order; the ranking window then runs over the 100-row cut (bounded
+    * by the parameter, never the corpus — the q115 convention).
+    * Missing-leg ranks report 0. Fully oracle-checked.
+    */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.GraftFunctions
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val rrfK = 60
+    val topN = 100
+    val lex = bm25Frame(s, dir, Seq("join", "hash", "filter"))
+      .orderBy(desc("score"), asc("doc_id")).limit(topN)
+      .withColumn("rank_lex", row_number().over(
+        Window.orderBy(desc("score"), asc("doc_id"))))
+      .select(col("doc_id").cast("long").as("id"), col("rank_lex"))
+    val v = em(s, dir).select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("vec"))
+      .withColumn("n2", GraftFunctions.norm2(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = v.where(col("id") === 0)
+      .select(col("vec").as("qvec"), col("n2").as("qn2"))
+    val sem = v.where(col("id") =!= 0).crossJoin(broadcast(q))
+      .select(col("id"), (GraftFunctions.dot(col("vec"), col("qvec")) /
+        (sqrt(col("n2")) * sqrt(col("qn2")))).as("cos"))
+      .orderBy(desc("cos"), asc("id")).limit(topN)
+      .withColumn("rank_sem", row_number().over(
+        Window.orderBy(desc("cos"), asc("id"))))
+      .select(col("id"), col("rank_sem"))
+    graft.core.Caches.retain("entry.hybridRrf", v)
+    val fused = lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("rank_lex"), lit(0)).cast("long").as("rank_lex"),
+        coalesce(col("rank_sem"), lit(0)).cast("long").as("rank_sem"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_sem")), lit(0.0)))
+          .as("rrf"))
+    fused.orderBy(desc("rrf"), asc("id")).limit(20)
+      .select(col("id"), col("rank_lex"), col("rank_sem"),
+        round(col("rrf"), 6).as("rrf"))
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -4777,7 +4844,9 @@ object SparkEntry {
     "q207_set_ops" -> (qSetOps _),
     "q208_tokenizer_coverage" -> (qTokenizerCoverage _),
     "q209_hard_negatives" -> (qHardNegatives _),
-    "q210_data_card" -> (qDataCard _)
+    "q210_data_card" -> (qDataCard _),
+    "q211_pq_quantize" -> (qPqQuantize _),
+    "q212_hybrid_rrf" -> (qHybridRrf _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -7630,6 +7699,56 @@ object SparkEntry {
          | FROM base JOIN langs ON langs.source = base.source
          | JOIN dups ON dups.source = base.source
          | ORDER BY base.source""".stripMargin.replaceAll("\n", " ")
+    },
+    // self-verifying audit (q190/q191 pattern): PQ codebooks are
+    // driver-fit model state; anchors + pinned-TRUE invariants
+    "q211_pq_quantize" ->
+      """SELECT count(*) AS n_vecs, CAST(max(len(embedding)) AS BIGINT) AS dim,
+        | CAST(8 AS BIGINT) AS m, CAST(16 AS BIGINT) AS k,
+        | CAST(max(len(embedding)) * 8 AS BIGINT) AS bytes_raw,
+        | CAST(8 AS BIGINT) AS bytes_pq, TRUE AS codes_valid,
+        | TRUE AS assign_ok, TRUE AS qerr_nonneg, TRUE AS qerr_minimal
+        | FROM embeddings""".stripMargin.replaceAll("\n", " "),
+    "q212_hybrid_rrf" -> {
+      import graft.sim.VectorMath.{Sql => V}
+      val terms = Seq("join", "hash", "filter")
+      val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+        s"count(CASE WHEN list_contains(toks, '$t') THEN 1 END) AS df_$i"
+      }.mkString(", ")
+      val idfs = terms.indices.map { i =>
+        val dfD = s"CAST(df_$i AS DOUBLE)"
+        s"ln((CAST(n_docs AS DOUBLE) - $dfD + 0.5) / ($dfD + 0.5) + 1.0) AS idf_$i"
+      }.mkString(", ")
+      val score = terms.zipWithIndex.map { case (t, i) =>
+        val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+        s"idf_$i * $tf / ($tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |   len(string_split(text, ' ')) AS dl FROM documents),
+         | st AS (SELECT count(*) AS n_docs,
+         |   ${dsumSql("dl")} / CAST(count(*) AS DOUBLE) AS avgdl, $dfAggs FROM b),
+         | co AS (SELECT n_docs, avgdl, $idfs FROM st),
+         | lexcut AS (SELECT doc_id, $score AS score FROM b, co
+         |   ORDER BY score DESC, doc_id LIMIT 100),
+         | lex AS (SELECT doc_id AS id,
+         |   row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex FROM lexcut),
+         | ve AS (SELECT vec_id AS id, embedding AS vec,
+         |   ${V.norm2("embedding")} AS n2 FROM embeddings),
+         | qv AS (SELECT vec AS qvec, n2 AS qn2 FROM ve WHERE id = 0),
+         | semcut AS (SELECT ve.id,
+         |   ${V.dot("ve.vec", "qv.qvec")} / (sqrt(ve.n2) * sqrt(qv.qn2)) AS cos
+         |   FROM ve, qv WHERE ve.id <> 0 ORDER BY cos DESC, ve.id LIMIT 100),
+         | sem AS (SELECT id,
+         |   row_number() OVER (ORDER BY cos DESC, id) AS rank_sem FROM semcut),
+         | fused AS (SELECT coalesce(lex.id, sem.id) AS id,
+         |   CAST(coalesce(rank_lex, 0) AS BIGINT) AS rank_lex,
+         |   CAST(coalesce(rank_sem, 0) AS BIGINT) AS rank_sem,
+         |   coalesce(1.0 / (60 + rank_lex), 0.0) +
+         |     coalesce(1.0 / (60 + rank_sem), 0.0) AS rrf
+         |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
+         | SELECT id, rank_lex, rank_sem, round(rrf, 6) AS rrf
+         | FROM fused ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+        .replaceAll("\n", " ")
     }
   )
 }

@@ -58,6 +58,13 @@ object KMeans {
       .orderBy(col(idCol)).limit(poolSize)
       .collect()
       .map(_.getSeq[Double](1).toArray)
+    fitPool(pool, k, iters)
+  }
+
+  /** Lloyd on an already-collected driver pool (shared by the IVF fit
+    * above and [[Pq]]'s per-sub-space codebook fits).
+    */
+  def fitPool(pool: Array[Array[Double]], k: Int, iters: Int): Model = {
     require(pool.length >= k, s"pool ${pool.length} smaller than k=$k")
     val d = pool(0).length
     var centers = Array.tabulate(k) { c =>

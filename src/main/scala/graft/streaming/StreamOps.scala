@@ -355,6 +355,65 @@ object StreamOps {
       .toDF("key", "n", "ewma")
   }
 
+  /** Streaming heavy hitters: sharded Misra–Gries over an unbounded
+    * stream. Items hash into `buckets` shards (every occurrence of a
+    * value lands in the SAME shard, so each shard's summary covers its
+    * values completely); each shard keeps a capacity-bounded MG
+    * counter map as mapGroupsWithState state — O(buckets × capacity)
+    * total, independent of stream length — and emits its tracked
+    * (item, count_lb, n_shard) rows each micro-batch. The incremental
+    * twin of [[graft.core.HeavyHitters]]: MG's guarantee carries over
+    * per shard — a tracked counter underestimates the true count by at
+    * most n_shard/capacity, and any item with true shard frequency
+    * above n_shard/capacity is still tracked — so the union of shard
+    * summaries is a superset of the exact heavy hitters at any
+    * threshold ≥ 1/capacity of a shard (StreamingSpec pins both
+    * properties against the batch-exact operator).
+    */
+  final case class MgSummary(counters: Map[String, Long], n: Long)
+
+  def streamingHeavyHitters(stream: DataFrame, itemCol: String,
+                            buckets: Int = 32,
+                            capacity: Int = 64): DataFrame = {
+    require(buckets >= 1 && capacity >= 2,
+      s"need buckets >= 1, capacity >= 2: $buckets, $capacity")
+    import stream.sparkSession.implicits._
+    stream.select(col(itemCol).cast("string").as("item"))
+      .where(col("item").isNotNull)
+      .as[String]
+      .groupByKey(item => math.floorMod(item.hashCode, buckets))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[String], state: GroupState[MgSummary]) =>
+          val counters = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          var n = 0L
+          if (state.exists) {
+            state.get.counters.toSeq.sortBy(_._1)
+              .foreach { case (k, v) => counters.update(k, v) }
+            n = state.get.n
+          }
+          rows.foreach { v =>
+            n += 1
+            counters.get(v) match {
+              case Some(c) => counters.update(v, c + 1)
+              case None if counters.size < capacity => counters.update(v, 1L)
+              case None =>
+                val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+                counters.foreach { case (key, c) =>
+                  if (c == 1L) dead += key else counters.update(key, c - 1)
+                }
+                dead.foreach(counters.remove)
+            }
+          }
+          state.update(MgSummary(counters.toMap, n))
+          val nOut = n
+          counters.iterator.map { case (item, c) =>
+            (shard, item, c, nOut)
+          }.toSeq.iterator
+      }
+      .toDF("shard", "item", "count_lb", "n_shard")
+  }
+
   /** Keyed running maximum via explicit state (mapGroupsWithState):
     * emits (key, running_max_so_far) once per key per micro-batch.
     */

@@ -340,6 +340,19 @@ class PlanAuditSpec extends SparkSpec {
       s"data card lost partial aggregation:\n$q210")
     assert(!q210.contains("CartesianProduct"),
       s"data card plans a cartesian:\n$q210")
+    // q211 PQ audit: encode + audit is one aggregate over projections —
+    // no join anywhere in the plan
+    val q211 = plan(SparkEntry.queries("q211_pq_quantize")(spark, sf))
+    assert(!q211.contains("Join"), s"PQ audit grew a join:\n$q211")
+    // q212 hybrid RRF: each leg cuts via distributed top-k; the only
+    // nested loop is the broadcast 1-row query vector
+    val q212 = plan(SparkEntry.queries("q212_hybrid_rrf")(spark, sf))
+    assert(q212.contains("TakeOrderedAndProject"),
+      s"RRF legs lost the distributed top-k cut:\n$q212")
+    assert(!q212.contains("CartesianProduct"),
+      s"RRF plans a cartesian:\n$q212")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(q212).size <= 1,
+      s"RRF grew a non-scalar nested loop:\n$q212")
   }
 
   test("forest scoring stays inside whole-stage codegen") {

@@ -393,4 +393,46 @@ class StreamingSpec extends SparkSpec {
       assert(ids.toSeq == Seq(2L, 3L))
     } finally q.stop()
   }
+
+  test("streamingHeavyHitters: sharded MG is a superset of batch-exact " +
+      "heavy hitters with the per-shard error bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = StreamOps.streamingHeavyHitters(in.toDF.toDF("item"), "item",
+      buckets = 2, capacity = 4)
+    val q = out.writeStream.format("memory").queryName("shh")
+      .outputMode(OutputMode.Update).start()
+    val b1 = Seq.fill(30)("hot") ++ Seq.fill(10)("warm") ++
+      ('a' to 'f').map(_.toString)
+    val b2 = Seq.fill(20)("hot") ++ Seq.fill(10)("warm") ++
+      ('g' to 'l').map(_.toString)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val rows = spark.table("shh").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // final emission per shard = rows carrying that shard's max n
+      // (n_shard strictly grows whenever the group is invoked)
+      val fin = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val mx = rs.map(_._4).max; rs.filter(_._4 == mx).toSeq
+      }
+      val all = b1 ++ b2
+      val trueCounts = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      // totals: the shards' final ns partition the stream
+      assert(fin.groupBy(_._1).map(_._2.head._4).sum == all.size.toLong)
+      // superset: batch-exact heavy hitters (freq > n/4) all tracked
+      import spark.implicits._
+      val exact = graft.core.HeavyHitters.exact(
+        all.toDF("item"), "item", k = 4)
+        .select("item").as[String].collect().toSet
+      val tracked = fin.map(_._2).toSet
+      assert(exact.subsetOf(tracked), s"missing: ${exact diff tracked}")
+      // MG bound per tracked item: lb <= true <= lb + n_shard/capacity
+      fin.foreach { case (_, item, lb, nShard) =>
+        val t = trueCounts(item)
+        assert(lb <= t, s"$item lb $lb > true $t")
+        assert(t - lb <= nShard / 4, s"$item true $t - lb $lb > ${nShard / 4}")
+      }
+    } finally q.stop()
+  }
 }
