@@ -4621,6 +4621,108 @@ object SparkEntry {
         round(col("rrf"), 6).as("rrf"))
   }
 
+  /** MM''' — REAL video-container metadata decode (ISO-BMFF/MP4 box
+    * walk → brand/timescale/duration/track-count, pure byte
+    * arithmetic, no codec; Long cursors throughout per the byte-walk
+    * rule): synthetic MP4 skeletons built from doc_id — every 4th with
+    * the 64-bit mvhd v1 layout — round-trip through the parser against
+    * a known-answer oracle. Frame decode stays the documented stub.
+    * Completes the image (q74) / audio (q75) / video container
+    * triple.
+    */
+  private def qVideoMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).select(col("doc_id"))
+      .withColumn("vid", Binary.synthVideoHeaderCol(col("doc_id")))
+      .select(col("doc_id"), Binary.videoMetaCol(col("vid")).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.major_brand").as("major_brand"),
+        col("m.timescale").as("timescale"),
+        col("m.duration_ms").as("duration_ms"),
+        col("m.n_tracks").cast("long").as("n_tracks"))
+      .orderBy("doc_id")
+  }
+
+  /** S9 — count-min sketch with an EXACT oracle: the D×W counter
+    * matrix is one (row, cell)-keyed mergeable aggregate over the
+    * deterministic hash family (the MinHash family shape over the
+    * polynomial string hash), so the sketch — and every tracked key's
+    * estimate `min_j counter[j][h_j(key)]` — computes bitwise
+    * identically on both engines. Unlike the GK/HLL audits (q190/q191,
+    * bound-checked), the CMS is fully value-checked: per tracked hot
+    * key the oracle compares the exact true count, the exact estimate,
+    * and the deterministic one-sided guarantee est ≥ true. Sketch
+    * size is D·W cells regardless of corpus size — the fixed-memory
+    * substitute for exact counting at 100 TB.
+    */
+  private def qCountMinSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val depth = 4
+    val width = 256
+    val tracked = (1L to 20L)
+    val keyed = li(s, dir)
+      .select(col("l_partkey").cast("string").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def cellOf(j: Column, key: Column): Column =
+      ((lit(2L) * j + lit(1L)) * TextOps.strHash(key) +
+        lit(7919L) * j + lit(12345L)) % lit(TextOps.P) % lit(width.toLong)
+    val counters = keyed
+      .select(explode(sequence(lit(0L), lit(depth - 1L))).as("j"), col("key"))
+      .select(col("j"), cellOf(col("j"), col("key")).as("h"))
+      .groupBy("j", "h").agg(count(lit(1)).as("c"))
+    val cells = keyed.sparkSession
+      .range(1, 21).select(col("id").as("partkey"))
+      .select(col("partkey"),
+        explode(sequence(lit(0L), lit(depth - 1L))).as("j"))
+      .select(col("partkey"), col("j"),
+        cellOf(col("j"), col("partkey").cast("string")).as("h"))
+    val est = cells.join(counters, Seq("j", "h"))
+      .groupBy("partkey").agg(min("c").as("est"))
+    val truth = keyed.where(col("key").isin(tracked.map(_.toString): _*))
+      .groupBy("key").agg(count(lit(1)).as("true_cnt"))
+      .select(col("key").cast("long").as("partkey"), col("true_cnt"))
+    graft.core.Caches.retain("entry.cms", keyed)
+    truth.join(est, "partkey")
+      .select(col("partkey"), col("true_cnt"), col("est"),
+        (col("est") >= col("true_cnt")).as("est_ge_true"),
+        (col("est") - col("true_cnt")).as("overestimate"))
+      .orderBy("partkey")
+  }
+
+  /** N7 — IVF-PQ ANN ([[graft.sim.Pq.ivfPqTopK]]): coarse 16-cell
+    * inverted file + 8×256 product-quantized ADC scoring + exact
+    * re-rank of the 16k shortlist — the billion-scale vector-store
+    * read path end to end. Registered at the measured operating point
+    * (r9 RecallCheck recall@3: 0.633 / 0.647 / 0.557 at sf0.001/0.01/
+    * 0.1 — essentially the nprobe=4 cell-probe ceiling, i.e. ADC loses
+    * almost nothing after re-rank). Same self-verifying audit shape as
+    * q45: in-query recall vs the exact top-k pinned ≥ 0.5, cosine
+    * validity pinned.
+    */
+  private def qIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = em(s, dir)
+    val model = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 8, k = 256)
+    val approx = graft.sim.Pq.ivfPqTopK(e, "vec_id", "embedding", k = 3,
+        model, nCells = 16, nprobe = 4, rerankFactor = 16,
+        queryPred = col("id") < 100)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val brute = graft.sim.Ann.cosineTopK(e,
+      "vec_id", "embedding", k = 3, queryPred = col("id") < 100)
+    val nTrue = brute.count()
+    val nHit = brute.select("a", "b")
+      .join(approx.select("a", "b"), Seq("a", "b"), "left_semi").count()
+    val recall = nHit.toDouble / nTrue
+    val badCos = approx.agg(count(when(
+      col("cos") < lit(-1.0 - 1e-9) || col("cos") > lit(1.0 + 1e-9), 1)))
+      .head().getLong(0)
+    graft.core.Caches.retain("entry.q215", approx)
+    val nQueries = e.where(col("vec_id") < 100).count()
+    import s.implicits._
+    Seq((nQueries, 3L, 8L, 256L, recall >= 0.5, badCos == 0L))
+      .toDF("n_queries", "k", "pq_m", "pq_k", "recall_ge_floor",
+        "cos_in_range")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -4846,7 +4948,10 @@ object SparkEntry {
     "q209_hard_negatives" -> (qHardNegatives _),
     "q210_data_card" -> (qDataCard _),
     "q211_pq_quantize" -> (qPqQuantize _),
-    "q212_hybrid_rrf" -> (qHybridRrf _)
+    "q212_hybrid_rrf" -> (qHybridRrf _),
+    "q213_video_meta" -> (qVideoMeta _),
+    "q214_count_min" -> (qCountMinSketch _),
+    "q215_ivfpq_ann" -> (qIvfPq _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -7749,6 +7854,43 @@ object SparkEntry {
          | SELECT id, rank_lex, rank_sem, round(rrf, 6) AS rrf
          | FROM fused ORDER BY rrf DESC, id LIMIT 20""".stripMargin
         .replaceAll("\n", " ")
-    }
+    },
+    "q213_video_meta" ->
+      """SELECT doc_id, 'mp4' AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS major_brand,
+        |  ([600, 1000, 24000, 30000, 90000])[CAST(doc_id % 5 AS INTEGER) + 1]::BIGINT AS timescale,
+        |  CAST((doc_id % 120 + 1) * 500 AS BIGINT) AS duration_ms,
+        |  CAST(doc_id % 3 + 1 AS BIGINT) AS n_tracks
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q214_count_min" -> {
+      import graft.text.TextOps.{Sql => T}
+      val P = graft.text.TextOps.P
+      def cell(j: String, key: String) =
+        s"((((2*$j + 1) * ${T.strHash(key)} + 7919*$j + 12345) % $P) % 256)"
+      s"""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem),
+         | js AS (SELECT unnest(generate_series(0, 3)) AS j),
+         | rows_ AS (SELECT j, ${cell("j", "key")} AS h FROM k CROSS JOIN js),
+         | counters AS (SELECT j, h, count(*) AS c FROM rows_ GROUP BY j, h),
+         | cells AS (SELECT partkey, j, ${cell("j", "CAST(partkey AS VARCHAR)")} AS h
+         |   FROM (SELECT unnest(generate_series(1, 20)) AS partkey) CROSS JOIN js),
+         | est AS (SELECT partkey, min(c) AS est FROM cells
+         |   JOIN counters USING (j, h) GROUP BY partkey),
+         | truth AS (SELECT CAST(key AS BIGINT) AS partkey, count(*) AS true_cnt
+         |   FROM k WHERE CAST(key AS BIGINT) BETWEEN 1 AND 20 GROUP BY key)
+         | SELECT CAST(truth.partkey AS BIGINT) AS partkey, true_cnt,
+         |  CAST(est AS BIGINT) AS est, est >= true_cnt AS est_ge_true,
+         |  CAST(est - true_cnt AS BIGINT) AS overestimate
+         | FROM truth JOIN est ON est.partkey = truth.partkey
+         | ORDER BY partkey""".stripMargin.replaceAll("\n", " ")
+    },
+    // q45-pattern self-verifying audit: PQ codebooks + IVF cells are
+    // driver-fit model state; the oracle pins the in-query recall
+    // floor and cosine validity TRUE
+    "q215_ivfpq_ann" ->
+      """SELECT count(*) AS n_queries, CAST(3 AS BIGINT) AS k,
+        | CAST(8 AS BIGINT) AS pq_m, CAST(256 AS BIGINT) AS pq_k,
+        | TRUE AS recall_ge_floor, TRUE AS cos_in_range
+        | FROM embeddings WHERE vec_id < 100""".stripMargin
+        .replaceAll("\n", " ")
   )
 }

@@ -303,6 +303,126 @@ object Binary {
   def audioMetaCol(c: Column): Column =
     udf { b: Array[Byte] => parseAudioMeta(b) }.apply(c)
 
+  /** Parsed video-container metadata (ISO-BMFF/MP4 box headers only —
+    * no codec, no frame decode). `duration_ms` = floor(duration · 1000
+    * / timescale) from the movie header.
+    */
+  final case class VideoMeta(format: String, major_brand: String,
+                             timescale: Long, duration_ms: Long,
+                             n_tracks: Int)
+
+  /** REAL MP4 metadata decode — a top-level ISO-BMFF box walk (32-bit
+    * big-endian sizes; `size == 1` promotes to the 64-bit largesize,
+    * `size == 0` means to-end-of-buffer) to `ftyp` (major brand) and
+    * `moov`, then a child walk inside `moov` for `mvhd` (version 0:
+    * 32-bit timescale/duration; version 1: 64-bit) and the `trak`
+    * count. Cursors stay Long throughout — an unsigned 32-bit size
+    * field truncated to Int becomes a zero/negative step, i.e. an
+    * executor-side infinite loop on crafted input (the byte-walk rule
+    * from the audio parser). Returns None for unrecognized/truncated/
+    * malformed bytes.
+    */
+  def parseVideoMeta(b: Array[Byte]): Option[VideoMeta] = {
+    def u8(i: Long): Long = b(i.toInt) & 0xffL
+    def be32(i: Long): Long =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Long): Long =
+      (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Long): String =
+      new String(b.slice(i.toInt, i.toInt + 4), "US-ASCII")
+    val n = b.length.toLong
+    // (boxType, boxBodyStart, boxEnd) walk over [from, hi)
+    def boxes(from: Long, hi: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] {
+        private var cur = from
+        def hasNext: Boolean = cur >= 0 && cur + 8 <= hi
+        def next(): (String, Long, Long) = {
+          val size32 = be32(cur)
+          val typ = fourcc(cur + 4)
+          val (body, end) =
+            if (size32 == 1L && cur + 16 <= hi) (cur + 16, cur + be64(cur + 8))
+            else if (size32 == 0L) (cur + 8, hi)
+            else (cur + 8, cur + size32)
+          if (end <= cur || end > hi) { cur = -1; (typ, body, -1L) }
+          else { cur = end; (typ, body, end) }
+        }
+      }
+    if (n < 16) return None
+    var brand: String = null
+    var timescale = -1L
+    var duration = -1L
+    var tracks = 0
+    boxes(0L, n).foreach {
+      case (_, _, -1L) => return None // malformed size
+      case ("ftyp", body, end) =>
+        if (body + 4 <= end) brand = fourcc(body) else return None
+      case ("moov", body, end) =>
+        boxes(body, end).foreach {
+          case (_, _, -1L) => return None
+          case ("mvhd", mb, me) =>
+            val version = u8(mb)
+            if (version == 0L && mb + 20 <= me) {
+              timescale = be32(mb + 12); duration = be32(mb + 16)
+            } else if (version == 1L && mb + 32 <= me) {
+              timescale = be32(mb + 20); duration = be64(mb + 24)
+            } else return None
+          case ("trak", _, _) => tracks += 1
+          case _ => ()
+        }
+      case _ => () // skip free/mdat/unknown top-level boxes
+    }
+    if (brand == null || timescale <= 0 || duration < 0) None
+    else Some(VideoMeta("mp4", brand, timescale,
+      duration * 1000L / timescale, tracks))
+  }
+
+  /** Minimal VALID MP4 skeleton (ftyp + moov[mvhd + empty traks]) —
+    * the deterministic fixture [[parseVideoMeta]] round-trips.
+    */
+  def mp4Header(timescale: Long, duration: Long, nTracks: Int,
+                brand: String = "isom", mvhdV1: Boolean = false): Array[Byte] = {
+    def be32(v: Long) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ be32(512L) ++
+      "isommp41".getBytes("US-ASCII"))
+    val mvhdBody =
+      if (!mvhdV1)
+        Array[Byte](0, 0, 0, 0) ++ be32(0L) ++ be32(0L) ++
+          be32(timescale) ++ be32(duration) ++
+          be32(0x00010000L) ++ Array[Byte](0x01, 0, 0, 0) ++
+          new Array[Byte](8) ++ new Array[Byte](36) ++
+          new Array[Byte](24) ++ be32(nTracks + 1L)
+      else
+        Array[Byte](1, 0, 0, 0) ++ be64(0L) ++ be64(0L) ++
+          be32(timescale) ++ be64(duration) ++
+          be32(0x00010000L) ++ Array[Byte](0x01, 0, 0, 0) ++
+          new Array[Byte](8) ++ new Array[Byte](36) ++
+          new Array[Byte](24) ++ be32(nTracks + 1L)
+    val traks = Array.fill(nTracks)(box("trak", Array.empty[Byte]))
+      .foldLeft(Array.empty[Byte])(_ ++ _)
+    ftyp ++ box("moov", box("mvhd", mvhdBody) ++ traks)
+  }
+
+  /** Deterministic per-id synthetic MP4 (timescale cycles standard
+    * clock rates, duration/tracks derive from the id, every 4th file
+    * uses the 64-bit mvhd v1 layout).
+    */
+  private val synthTimescales = Array(600L, 1000L, 24000L, 30000L, 90000L)
+  def synthVideoHeader(id: Long): Array[Byte] = {
+    val ts = synthTimescales((id % 5).toInt)
+    val dur = (id % 120 + 1) * ts / 2 // 0.5 s steps
+    mp4Header(ts, dur, (id % 3 + 1).toInt,
+      brand = if (id % 2 == 0) "isom" else "mp42", mvhdV1 = id % 4 == 3)
+  }
+
+  def synthVideoHeaderCol(c: Column): Column =
+    udf { id: Long => synthVideoHeader(id) }.apply(c)
+  def videoMetaCol(c: Column): Column =
+    udf { b: Array[Byte] => parseVideoMeta(b) }.apply(c)
+
   /** STUB — media decode. A real deployment plugs a codec here (e.g.
     * JAI/ffmpeg bindings) returning pixel/PCM tensors; this container
     * has none, so the stub emits a deterministic 8-dim pseudo-feature

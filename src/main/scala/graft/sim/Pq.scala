@@ -86,6 +86,89 @@ object Pq {
     }.drop((0 until model.m).map(mi => s"dists_$mi"): _*)
   }
 
+  /** IVF-PQ ANN search — the billion-scale vector-store read path:
+    * a coarse k-means quantizer buckets every vector into a cell
+    * (inverted file), queries probe their `nprobe` nearest cells
+    * (candidate generation is a hash EQUI-join on the cell id — the
+    * pair stage never nested-loops), and candidates are scored in the
+    * compressed domain by ADC: each query precomputes an M×k lookup
+    * table of sub-distances to every codebook centroid, so a
+    * candidate costs M array lookups instead of a d-dim dot product.
+    * The top `rerankFactor`·k by ADC are re-ranked with exact cosine.
+    * (Codebooks here quantize raw vectors; per-cell residual
+    * quantization is the classic refinement — same plan shape, one
+    * subtraction more per encode.)
+    *
+    * Output: (a, b, rank, cos) like [[Ann.cosineTopK]] — approximate
+    * by design; recall is gated by the q215 in-query audit and
+    * measured per round.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                model: Model, nCells: Int = 16, nprobe: Int = 4,
+                rerankFactor: Int = 4,
+                queryPred: Column = lit(true)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(df.sparkSession)
+    val coarse = KMeans.fit(
+      df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v")),
+      "id", "v", k = nCells)
+    val coarseLit = array(coarse.centers.map(c =>
+      array(c.map(lit(_)): _*)): _*)
+    def cellDists(vec: Column): Column = transform(coarseLit, ctr =>
+      aggregate(zip_with(vec, ctr, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x))
+    val enc = encode(df, idCol, vecCol, model)
+      .withColumn("n2", GraftFunctions.norm2(col("vec")))
+      .withColumn("cdists", cellDists(col("vec")))
+      .withColumn("cell", element_at(filter(
+        sequence(lit(0), lit(nCells - 1)),
+        i => element_at(col("cdists"), i + 1) === array_min(col("cdists"))), 1))
+      .drop("cdists")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // queries: nprobe nearest cells + the M per-sub-space ADC tables
+    val qBase = enc.where(queryPred)
+      .withColumn("cdists", cellDists(col("vec")))
+      .withColumn("probe", slice(array_sort(
+        zip_with(col("cdists"), sequence(lit(0), lit(nCells - 1)),
+          (d, i) => struct(d.as("d"), i.as("c")))), 1, nprobe))
+      .drop("cdists")
+    val qLuts = (0 until model.m).foldLeft(qBase) { (acc, mi) =>
+      acc.withColumn(s"lut_$mi", subDists(model, col("vec"), mi))
+    }
+    val q = qLuts.select((Seq(col("id").as("qid"), col("vec").as("qvec"),
+      col("n2").as("qn2"),
+      explode(col("probe")).as("p")) ++
+      (0 until model.m).map(mi => col(s"lut_$mi"))): _*)
+      .withColumn("cell", col("p.c")).drop("p")
+    val adc = (0 until model.m).map(mi =>
+      element_at(col(s"lut_$mi"), col(s"code_$mi") + 1)).reduce(_ + _)
+    val targetCols = Seq(col("id").as("tid"), col("cell"),
+      col("vec").as("tvec"), col("n2").as("tn2")) ++
+      (0 until model.m).map(mi => col(s"code_$mi"))
+    val cand = q.join(enc.select(targetCols: _*), Seq("cell"))
+      .where(col("qid") =!= col("tid"))
+      .select(col("qid"), col("tid"), col("qvec"), col("qn2"),
+        col("tvec"), col("tn2"), adc.as("adc"))
+      // a candidate can arrive via several probed cells → dedup, keep
+      // its (identical) adc via min
+      .groupBy("qid", "tid").agg(min("adc").as("adc"),
+        first("qvec").as("qvec"), first("qn2").as("qn2"),
+        first("tvec").as("tvec"), first("tn2").as("tn2"))
+    val shortlist = cand
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("adc"), asc("tid"))))
+      .where(col("arank") <= k * rerankFactor)
+    graft.core.Caches.retain("sim.ivfPq", enc)
+    shortlist
+      .select(col("qid").as("a"), col("tid").as("b"),
+        (GraftFunctions.dot(col("qvec"), col("tvec")) /
+          (sqrt(col("qn2")) * sqrt(col("tn2")))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("a").orderBy(desc("cos"), asc("b"))))
+      .where(col("rank") <= k)
+  }
+
   /** The registered self-verifying audit (q211): exact SQL anchors
     * (n_vecs, dim, M, k, bytes per vector before/after) + invariants
     * the oracle pins TRUE — `codes_valid` (every code in [0, k)),

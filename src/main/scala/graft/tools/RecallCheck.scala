@@ -57,12 +57,17 @@ object RecallCheck {
       nCells = 16, nprobe = 2, queryPred = pred)))
     val ivfTuned = recallOf(pairs(Ann.ivfTopK(emb, "vec_id", "embedding", k,
       nCells = 16, nprobe = 4, queryPred = pred)))
+    val pqModel = graft.sim.Pq.fit(emb, "vec_id", "embedding", m = 8, k = 256)
+    val ivfPq = recallOf(pairs(graft.sim.Pq.ivfPqTopK(emb, "vec_id",
+      "embedding", k, pqModel, nCells = 16, nprobe = 4, rerankFactor = 16,
+      queryPred = pred)))
     // "registered" = the operating points q30/q45 actually ship
     // (16×4 banding, nprobe=4 — re-registered in r8 at measured
     // recall); "legacy" = the pre-r8 points kept for trend comparison
     println(s"""{"sf":"$sfDir","n":$nQueries,"k":$k,""" +
       s""""lsh_legacy_4x8":${r(lsh)},"lsh_registered_16x4":${r(lshTuned)},""" +
-      s""""ivf_legacy_np2":${r(ivf)},"ivf_registered_np4":${r(ivfTuned)}}""")
+      s""""ivf_legacy_np2":${r(ivf)},"ivf_registered_np4":${r(ivfTuned)},""" +
+      s""""ivfpq_k256_np4_rr16":${r(ivfPq)}}""")
     spark.stop()
   }
 }

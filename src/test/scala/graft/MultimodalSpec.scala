@@ -158,4 +158,35 @@ class MultimodalSpec extends SparkSpec {
     assert(df(3).getString(1) == "png" && df(3).getInt(2) == 301 &&
       df(3).getInt(4) == 8)
   }
+
+  test("parseVideoMeta round-trips mp4 v0/v1 headers, rejects garbage") {
+    import graft.multimodal.Binary
+    // mvhd version 0
+    val v0 = Binary.parseVideoMeta(Binary.mp4Header(
+      timescale = 30000, duration = 90000, nTracks = 2)).get
+    assert(v0.format == "mp4" && v0.major_brand == "isom")
+    assert(v0.timescale == 30000L && v0.duration_ms == 3000L)
+    assert(v0.n_tracks == 2)
+    // mvhd version 1 (64-bit fields)
+    val v1 = Binary.parseVideoMeta(Binary.mp4Header(
+      timescale = 90000, duration = 45000, nTracks = 1,
+      brand = "mp42", mvhdV1 = true)).get
+    assert(v1.major_brand == "mp42" && v1.timescale == 90000L &&
+      v1.duration_ms == 500L && v1.n_tracks == 1)
+    // garbage / truncation / malformed sizes never loop or throw
+    assert(Binary.parseVideoMeta(Array.empty[Byte]).isEmpty)
+    assert(Binary.parseVideoMeta("not a video".getBytes).isEmpty)
+    assert(Binary.parseVideoMeta(
+      Binary.mp4Header(600, 600, 1).take(20)).isEmpty)
+    // crafted box size 0xFFFFFFFF (would be negative as Int) at the top
+    val evil = Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 'f', 't', 'y', 'p') ++ new Array[Byte](16)
+    assert(Binary.parseVideoMeta(evil).isEmpty)
+    // deterministic per-id fixture covers both layouts
+    val a = Binary.parseVideoMeta(Binary.synthVideoHeader(3)).get // v1 path
+    assert(a.duration_ms == (3 % 120 + 1) * 500L)
+    val b = Binary.parseVideoMeta(Binary.synthVideoHeader(10)).get // v0 path
+    assert(b.duration_ms == (10 % 120 + 1) * 500L &&
+      b.n_tracks == (10 % 3 + 1))
+  }
 }

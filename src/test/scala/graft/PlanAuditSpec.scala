@@ -353,6 +353,27 @@ class PlanAuditSpec extends SparkSpec {
       s"RRF plans a cartesian:\n$q212")
     assert("BroadcastNestedLoopJoin".r.findAllIn(q212).size <= 1,
       s"RRF grew a non-scalar nested loop:\n$q212")
+    // q214 count-min: counters are one map-side-combined (j, cell)
+    // aggregate; estimate lookup is a hash equi-join on (j, cell)
+    val q214 = plan(SparkEntry.queries("q214_count_min")(spark, sf))
+    assert("HashAggregate".r.findAllIn(q214).size >= 2,
+      s"CMS counters lost partial aggregation:\n$q214")
+    assert(!q214.contains("CartesianProduct") &&
+      !q214.contains("BroadcastNestedLoopJoin"),
+      s"CMS plans a cartesian:\n$q214")
+    // q215 IVF-PQ: candidate generation is the cell equi-join; ranking
+    // windows are per-query — never a cartesian, never single-partition
+    val q215pairs = graft.sim.Pq.ivfPqTopK(
+      spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding",
+      k = 3, graft.sim.Pq.fit(spark.read.parquet(s"$sf/embeddings.parquet"),
+        "vec_id", "embedding", m = 8, k = 16),
+      nCells = 16, nprobe = 4, queryPred = col("id") < 100)
+    val p215 = plan(q215pairs)
+    assert(!p215.contains("CartesianProduct") &&
+      !p215.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ plans a cartesian:\n$p215")
+    assert(!p215.contains("Exchange SinglePartition"),
+      s"IVF-PQ plans a single-partition exchange:\n$p215")
   }
 
   test("forest scoring stays inside whole-stage codegen") {

@@ -47,6 +47,28 @@ class PqSpec extends SparkSpec {
     assert(totalErr(m16) < totalErr(m1))
   }
 
+  test("IVF-PQ top-k: well-formed output and recall floor at the " +
+      "registered operating point") {
+    val model = Pq.fit(emb, "vec_id", "embedding", m = 8, k = 256)
+    val approx = Pq.ivfPqTopK(emb, "vec_id", "embedding", k = 3, model,
+      nCells = 16, nprobe = 4, rerankFactor = 16,
+      queryPred = col("id") < 100)
+    val rows = approx.collect()
+    // ≤ k rows per query, ranks contiguous from 1, cosine valid
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.length <= 3 && ranks.toSeq == (1 to ranks.length))
+    }
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
+    val brute = graft.sim.Ann.cosineTopK(emb, "vec_id", "embedding", k = 3,
+      queryPred = col("id") < 100)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    // r9 RecallCheck: 0.633 at sf0.001 — the registered floor is 0.5
+    assert(recall >= 0.5, s"IVF-PQ recall@3 regressed: $recall")
+  }
+
   test("PQ audit: anchors and invariants on the test frame") {
     val r = Pq.audit(emb, "vec_id", "embedding", m = 8, k = 16).collect()(0)
     assert(r.getAs[Long]("n_vecs") == 500L)
