@@ -4723,6 +4723,47 @@ object SparkEntry {
         "cos_in_range")
   }
 
+  /** V1 — incremental view maintenance: a materialized per-group
+    * aggregate (n, decimal sum) updated from a CDC delta batch by
+    * MERGING partial aggregates — the lakehouse pattern that avoids
+    * rescanning the base table on every ingest. The delta here is the
+    * last day of orders (by order date); `base ⊎ delta` is maintained
+    * as `agg(base) + agg(delta)` (group-wise outer merge of two small
+    * aggregate states), and the oracle recomputes the view from the
+    * full table — the in-query `ivm_ok` boolean pins
+    * incremental == full-recompute per group, which only holds because
+    * the aggregate state is mergeable and decimal-exact (a double sum
+    * would drift under the split). Merge cost is O(groups), not
+    * O(rows).
+    */
+  private def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("g"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        col("o_totalprice").cast(DecimalType(38, 10)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cut = o.agg(max(col("day"))).head().getLong(0)
+    val isDelta = col("day") === cut
+    def agg0(df: DataFrame) = df.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val base = agg0(o.where(!isDelta))
+    val delta = agg0(o.where(isDelta))
+    val merged = base.as("b").join(delta.as("d"), Seq("g"), "full_outer")
+      .select(col("g"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+        (coalesce(col("b.s"), lit(BigDecimal(0)).cast(DecimalType(38, 10))) +
+          coalesce(col("d.s"), lit(BigDecimal(0)).cast(DecimalType(38, 10))))
+          .as("s"))
+    val full = agg0(o).withColumnRenamed("n", "n_full")
+      .withColumnRenamed("s", "s_full")
+    graft.core.Caches.retain("entry.ivm", o)
+    merged.join(full, "g")
+      .select(col("g"), col("n"),
+        round(col("s").cast(DoubleType), 4).as("sum_price"),
+        (col("n") === col("n_full") && col("s") === col("s_full")).as("ivm_ok"))
+      .orderBy("g")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -4951,7 +4992,8 @@ object SparkEntry {
     "q212_hybrid_rrf" -> (qHybridRrf _),
     "q213_video_meta" -> (qVideoMeta _),
     "q214_count_min" -> (qCountMinSketch _),
-    "q215_ivfpq_ann" -> (qIvfPq _)
+    "q215_ivfpq_ann" -> (qIvfPq _),
+    "q216_incremental_agg" -> (qIncrementalAgg _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -7891,6 +7933,15 @@ object SparkEntry {
         | CAST(8 AS BIGINT) AS pq_m, CAST(256 AS BIGINT) AS pq_k,
         | TRUE AS recall_ge_floor, TRUE AS cos_in_range
         | FROM embeddings WHERE vec_id < 100""".stripMargin
+        .replaceAll("\n", " "),
+    // the oracle recomputes the VIEW from the full table; ivm_ok (the
+    // incremental == full-recompute parity, provable only because the
+    // aggregate state is mergeable + decimal-exact) is pinned TRUE
+    "q216_incremental_agg" ->
+      """SELECT o_orderpriority AS g, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 4)
+        |    AS sum_price, TRUE AS ivm_ok
+        | FROM orders GROUP BY o_orderpriority ORDER BY g""".stripMargin
         .replaceAll("\n", " ")
   )
 }

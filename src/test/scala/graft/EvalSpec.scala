@@ -183,4 +183,38 @@ class EvalSpec extends SparkSpec {
       .collect().map(r => (r.getDouble(0), r.getDouble(1)))
     out.foreach { case (rate, fitted) => assert(rate === fitted) }
   }
+
+  test("RocPlot renders a deterministic self-contained SVG artifact") {
+    import spark.implicits._
+    import graft.eval.{Metrics, RocPlot}
+    val df = Seq((1, 0.9), (1, 0.8), (0, 0.7), (1, 0.6), (0, 0.4),
+      (0, 0.3), (1, 0.55), (0, 0.2)).toDF("y", "s")
+    val curve = Metrics.rocCurve(df, "y", "s")
+    val auc = Metrics.auc(df, "y", "s")
+    val svg = RocPlot.rocSvg(curve, auc)
+    assert(svg.startsWith("<svg") && svg.endsWith("</svg>"))
+    assert(svg.contains("polyline") && svg.contains("AUC = "))
+    assert(svg.contains("%.4f".formatLocal(java.util.Locale.ROOT, auc)))
+    // deterministic: identical input → identical artifact
+    assert(svg == RocPlot.rocSvg(Metrics.rocCurve(df, "y", "s"), auc))
+    // file write round-trips
+    val p = java.nio.file.Files.createTempFile("roc", ".svg")
+    RocPlot.writeRocSvg(curve, auc, p.toString)
+    assert(java.nio.file.Files.readString(p) == svg)
+  }
+
+  test("RocPlot.downsample bounds points, keeps order and endpoints") {
+    import spark.implicits._
+    import graft.eval.RocPlot
+    val big = (0 until 5000).map(i => (i / 5000.0, i / 5000.0))
+      .toDF("fpr", "tpr")
+    val ds = RocPlot.downsample(big, "fpr", maxPoints = 100)
+      .collect().map(_.getDouble(0))
+    assert(ds.length <= 100 && ds.length >= 99)
+    assert(ds.head == 0.0 && ds.last == 4999 / 5000.0)
+    assert(ds.sorted.sameElements(ds), "downsample must preserve order")
+    // small frames pass through untouched
+    val small = (0 until 10).map(i => (i / 10.0, i / 10.0)).toDF("fpr", "tpr")
+    assert(RocPlot.downsample(small, "fpr", 512).count() == 10)
+  }
 }

@@ -374,6 +374,14 @@ class PlanAuditSpec extends SparkSpec {
       s"IVF-PQ plans a cartesian:\n$p215")
     assert(!p215.contains("Exchange SinglePartition"),
       s"IVF-PQ plans a single-partition exchange:\n$p215")
+    // q216 IVM: the merge is a hash full-outer join of two O(groups)
+    // aggregate states — partial aggregation everywhere, no nested loop
+    val q216 = plan(SparkEntry.queries("q216_incremental_agg")(spark, sf))
+    assert("HashAggregate".r.findAllIn(q216).size >= 2,
+      s"IVM lost partial aggregation:\n$q216")
+    assert(!q216.contains("BroadcastNestedLoopJoin") &&
+      !q216.contains("CartesianProduct"),
+      s"IVM plans a cartesian:\n$q216")
   }
 
   test("forest scoring stays inside whole-stage codegen") {
