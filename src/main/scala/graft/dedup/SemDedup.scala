@@ -38,8 +38,9 @@ object SemDedup {
     val e = df.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
     val model = KMeans.fit(e, "id", "vec", k = k, iters = iters)
-    val centersLit = array(model.centers.map(c =>
-      array(c.map(lit(_)): _*)): _*)
+    // one nested-array Literal (typedlit), not k·d lit() nodes — keeps
+    // plan size O(1) in the codebook (the q215 planning-cost lesson)
+    val centersLit = typedlit(model.centers.map(_.toSeq).toSeq)
     val dists = transform(centersLit, ctr =>
       aggregate(zip_with(col("vec"), ctr, (x, y) => (x - y) * (x - y)),
         lit(0.0), (a, x) => a + x))

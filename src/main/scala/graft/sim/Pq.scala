@@ -51,8 +51,13 @@ object Pq {
     new Model(books)
   }
 
+  /** One nested-array Literal node (typedlit), NOT k·d individual
+    * lit() nodes — with k=256 codebooks the per-element form puts
+    * ~16k expression nodes PER SUB-SPACE into the plan and analysis/
+    * codegen time dwarfs execution (bench-measured on q215).
+    */
   private def bookLit(book: Array[Array[Double]]): Column =
-    array(book.map(c => array(c.map(lit(_)): _*)): _*)
+    typedlit(book.map(_.toSeq).toSeq)
 
   /** Squared distances from the mi-th sub-vector to that sub-space's k
     * centroids (sequential fold per centroid — oracle-parity order).
@@ -113,8 +118,7 @@ object Pq {
       df.select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v")),
       "id", "v", k = nCells)
-    val coarseLit = array(coarse.centers.map(c =>
-      array(c.map(lit(_)): _*)): _*)
+    val coarseLit = typedlit(coarse.centers.map(_.toSeq).toSeq)
     def cellDists(vec: Column): Column = transform(coarseLit, ctr =>
       aggregate(zip_with(vec, ctr, (x, y) => (x - y) * (x - y)),
         lit(0.0), (a, x) => a + x))
@@ -198,7 +202,7 @@ object Pq {
     val qerrMinimal = (0 until m).map { mi =>
       val toZero = aggregate(zip_with(
         slice(col("vec"), mi * model.subDim + 1, model.subDim),
-        array(model.codebooks(mi)(0).map(lit(_)): _*),
+        typedlit(model.codebooks(mi)(0).toSeq),
         (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
       col(s"qerr_$mi") <= toZero
     }.reduce(_ && _)
