@@ -4764,6 +4764,79 @@ object SparkEntry {
       .orderBy("g")
   }
 
+  /** E1 — multi-touch attribution (linear model): every purchase's
+    * value is split equally across the user's touch events (any
+    * non-purchase event) in the 7 days before it; purchases with no
+    * touches credit a 'direct' bucket. Per-touch credit is computed in
+    * integer MICRO-units (`round(v·10⁶ / n_touches)` — the double
+    * division is deterministic, its scale-0 round is engine-exact, and
+    * integer micros sum exactly; a raw double credit sum would be
+    * partition-order-dependent). The purchase×touch pairing is a
+    * per-user equi-join with a time-window residual predicate —
+    * fan-out bounded by per-user activity, never a global range join.
+    */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val sevenDaysUs = 7L * 86400000000L
+    val e = ev(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts div 1000").as("us"),
+        col("value").cast(DoubleType).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("us").as("p_us"), col("v"))
+    val touches = e.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("us").as("t_us"))
+    val pairs = purchases.join(touches, Seq("user_id"))
+      .where(col("t_us") < col("p_us") && col("t_us") >= col("p_us") - sevenDaysUs)
+    val counted = pairs.groupBy("p_id", "v")
+      .agg(count(lit(1)).as("n_touches"))
+    val credited = pairs
+      .join(counted.select(col("p_id"), col("n_touches")), "p_id")
+      .select(col("touch_type"),
+        round(col("v") * lit(1000000.0) / col("n_touches").cast(DoubleType))
+          .cast("long").as("credit_micro"))
+    val direct = purchases.join(
+        counted.select(col("p_id"), col("n_touches")), Seq("p_id"), "left_anti")
+      .select(lit("direct").as("touch_type"),
+        round(col("v") * lit(1000000.0)).cast("long").as("credit_micro"))
+    graft.core.Caches.retain("entry.attribution", e)
+    credited.unionByName(direct)
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_credited"),
+        round(sum("credit_micro").cast(DoubleType) / lit(1000000.0), 4)
+          .as("credit"))
+      .orderBy("touch_type")
+  }
+
+  /** A36 — Holt–Winters additive triple smoothing
+    * ([[graft.seq.Rolling.holtWintersByKey]]): monthly revenue per
+    * nation with a 12-month seasonal component — the seasonality-aware
+    * companion to q167's Holt. Same distributed shape (one key per
+    * group, order-fixed sequential fold), seasonal state carried by
+    * rotation so the fold needs no time index.
+    */
+  private def qHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select(col("o_custkey"),
+      col("o_totalprice"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("ym"))
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val monthly = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("ym"))
+      .agg(Stats.dsum(col("o_totalprice")).as("rev"))
+    graft.seq.Rolling.holtWintersByKey(monthly, Seq("n_name"), "ym", "rev",
+        alpha = 0.5, beta = 0.3, gamma = 0.2, period = 12)
+      .select(col("n_name"), col("n"), round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("next_season"), 6).as("next_season"),
+        round(col("forecast"), 6).as("forecast"))
+      .orderBy("n_name")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -4993,7 +5066,9 @@ object SparkEntry {
     "q213_video_meta" -> (qVideoMeta _),
     "q214_count_min" -> (qCountMinSketch _),
     "q215_ivfpq_ann" -> (qIvfPq _),
-    "q216_incremental_agg" -> (qIncrementalAgg _)
+    "q216_incremental_agg" -> (qIncrementalAgg _),
+    "q217_attribution" -> (qAttribution _),
+    "q218_holt_winters" -> (qHoltWinters _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -7942,6 +8017,54 @@ object SparkEntry {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 4)
         |    AS sum_price, TRUE AS ivm_ok
         | FROM orders GROUP BY o_orderpriority ORDER BY g""".stripMargin
-        .replaceAll("\n", " ")
+        .replaceAll("\n", " "),
+    "q217_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |   CAST(value AS DOUBLE) AS v FROM events),
+        | p AS (SELECT user_id, event_id AS p_id, us AS p_us, v FROM e
+        |   WHERE event_type = 'purchase'),
+        | t AS (SELECT user_id, event_type AS touch_type, us AS t_us FROM e
+        |   WHERE event_type <> 'purchase'),
+        | pr AS (SELECT p_id, v, touch_type FROM p JOIN t USING (user_id)
+        |   WHERE t_us < p_us AND t_us >= p_us - 604800000000),
+        | cn AS (SELECT p_id, count(*) AS n_touches FROM pr GROUP BY p_id),
+        | cr AS (SELECT touch_type,
+        |   CAST(round(v * 1000000.0 / CAST(n_touches AS DOUBLE)) AS BIGINT)
+        |     AS credit_micro
+        |  FROM pr JOIN cn USING (p_id)),
+        | dr AS (SELECT 'direct' AS touch_type,
+        |   CAST(round(v * 1000000.0) AS BIGINT) AS credit_micro
+        |  FROM p WHERE p_id NOT IN (SELECT p_id FROM cn)),
+        | u AS (SELECT * FROM cr UNION ALL SELECT * FROM dr)
+        | SELECT touch_type, count(*) AS n_credited,
+        |  round(CAST(sum(credit_micro) AS DOUBLE) / 1000000.0, 4) AS credit
+        | FROM u GROUP BY touch_type ORDER BY touch_type""".stripMargin
+        .replaceAll("\n", " "),
+    "q218_holt_winters" -> {
+      // state s: [level, trend, season_1..season_12]; each series value
+      // is pre-wrapped to the same 14-wide shape so list_reduce's
+      // first-element init matches the Spark fold's init exactly
+      val lNew = "0.5 * (x[1] - s[3]) + (1.0 - 0.5) * (s[1] + s[2])"
+      val bNew = s"0.3 * (($lNew) - s[1]) + (1.0 - 0.3) * s[2]"
+      val seasNew = s"0.2 * (x[1] - ($lNew)) + (1.0 - 0.2) * s[3]"
+      s"""WITH monthly AS (SELECT n_name,
+         |   CAST(year(o_orderdate) AS INT) * 12 + CAST(month(o_orderdate) AS INT) AS ym,
+         |   ${Stats.Sql.dsumWide("o_totalprice")} AS rev
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name, ym),
+         | ser AS (SELECT n_name, list(rev ORDER BY ym) AS l
+         |   FROM monthly GROUP BY n_name),
+         | hs AS (SELECT n_name, CAST(len(l) AS BIGINT) AS n,
+         |   list_reduce(
+         |     list_transform(l, v -> list_concat([v, 0.0],
+         |       list_transform(generate_series(1, 12), i -> 0.0))),
+         |     (s, x) -> list_concat(list_concat([$lNew, $bNew], s[4:]),
+         |       [$seasNew])) AS st
+         |  FROM ser)
+         | SELECT n_name, n, round(st[1], 6) AS level,
+         |  round(st[2], 6) AS trend, round(st[3], 6) AS next_season,
+         |  round(st[1] + st[2] + st[3], 6) AS forecast FROM hs
+         | ORDER BY n_name""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

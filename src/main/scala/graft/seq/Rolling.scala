@@ -126,6 +126,55 @@ object Rolling {
         (element_at(col("st"), 1) + element_at(col("st"), 2)).as("forecast")): _*)
   }
 
+  /** Holt–Winters additive triple exponential smoothing per key —
+    * q167's Holt plus a seasonal component of length `period`,
+    * distributed one-key-per-group over sort-collected series exactly
+    * like [[holtByKey]] (order-fixed sequential fold, bitwise
+    * cross-engine). Seasonal state uses the ROTATION trick: the
+    * current step's season slot is always the HEAD of the seasonal
+    * sub-array and the updated slot is appended at the tail, so the
+    * fold needs no time index. Zero-init variant (level = first value,
+    * trend = 0, seasonals = 0) — the convention is documented rather
+    * than estimated, keeping the fold a pure function of the series.
+    * One-step forecast = level + trend + next season slot (the head
+    * after rotation).
+    */
+  def holtWintersByKey(df: DataFrame, keys: Seq[String], ordCol: String,
+                       valCol: String, alpha: Double, beta: Double,
+                       gamma: Double, period: Int): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1]: $beta")
+    require(gamma >= 0.0 && gamma <= 1.0, s"gamma must be in [0,1]: $gamma")
+    require(period >= 2, s"period must be >= 2: $period")
+    val vals = array_sort(collect_list(
+      struct(col(ordCol), col(valCol).cast(DoubleType).as("v"))))
+    val zeros = transform(sequence(lit(1), lit(period)), _ => lit(0.0))
+    val folded = aggregate(
+      slice(col("ts_vals"), lit(2), size(col("ts_vals")) - lit(1)),
+      concat(array(element_at(col("ts_vals"), 1).getField("v"), lit(0.0)),
+        zeros),
+      (s, x) => {
+        val l = element_at(s, 1)
+        val b = element_at(s, 2)
+        val sh = element_at(s, 3)
+        val v = x.getField("v")
+        val lNew = lit(alpha) * (v - sh) + (lit(1.0) - lit(alpha)) * (l + b)
+        val bNew = lit(beta) * (lNew - l) + (lit(1.0) - lit(beta)) * b
+        val seasNew = lit(gamma) * (v - lNew) + (lit(1.0) - lit(gamma)) * sh
+        concat(array(lNew, bNew), slice(s, 4, period - 1), array(seasNew))
+      })
+    df.groupBy(keys.map(col): _*)
+      .agg(vals.as("ts_vals"))
+      .select(keys.map(col) ++ Seq(
+        size(col("ts_vals")).cast("long").as("n"), folded.as("st")): _*)
+      .select(keys.map(col) ++ Seq(col("n"),
+        element_at(col("st"), 1).as("level"),
+        element_at(col("st"), 2).as("trend"),
+        element_at(col("st"), 3).as("next_season"),
+        (element_at(col("st"), 1) + element_at(col("st"), 2) +
+          element_at(col("st"), 3)).as("forecast")): _*)
+  }
+
   /** DuckDB SQL fragments computing identical rolling columns, for
     * oracle parity: `window` must be declared as
     * `WINDOW wf AS (PARTITION BY <keys> ORDER BY <ord> ROWS <k-1> PRECEDING),

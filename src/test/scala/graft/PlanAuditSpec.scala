@@ -382,6 +382,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!q216.contains("BroadcastNestedLoopJoin") &&
       !q216.contains("CartesianProduct"),
       s"IVM plans a cartesian:\n$q216")
+    // q217 attribution: purchase×touch pairing is a per-user hash
+    // equi-join (window predicate is a residual filter, never a range
+    // join blowup)
+    val q217 = plan(SparkEntry.queries("q217_attribution")(spark, sf))
+    assert(!q217.contains("BroadcastNestedLoopJoin") &&
+      !q217.contains("CartesianProduct"),
+      s"attribution plans a cartesian:\n$q217")
+    // q218 Holt–Winters: per-key fold — no window operator at all
+    val q218 = plan(SparkEntry.queries("q218_holt_winters")(spark, sf))
+    assert(!q218.contains("Window"), s"HW fold regressed to a window:\n$q218")
+    assert(!q218.contains("CartesianProduct"),
+      s"HW plans a cartesian:\n$q218")
   }
 
   test("forest scoring stays inside whole-stage codegen") {

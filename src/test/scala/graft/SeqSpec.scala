@@ -342,4 +342,30 @@ class SeqSpec extends SparkSpec {
     // c sorts (1,2.0),(2,8.0): 2 → 2*.5+8*.5=5
     assert(out("c") == ((2L, 5.0)))
   }
+
+  test("holtWintersByKey: hand-computed fold with seasonal rotation") {
+    import spark.implicits._
+    import graft.seq.Rolling
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0))
+      .toDF("k", "ts", "v")
+    val out = Rolling.holtWintersByKey(df, Seq("k"), "ts", "v",
+      alpha = 0.5, beta = 0.5, gamma = 0.5, period = 2).collect()(0)
+    // init l=10 b=0 s=[0,0]
+    // x=20: l=.5*20+.5*10=15, b=.5*5+.5*0=2.5, seas=.5*5=2.5 → s=[0,2.5]
+    // x=30: l=.5*30+.5*17.5=23.75, b=.5*8.75+.5*2.5=5.625,
+    //       seas=.5*6.25=3.125 → s=[2.5,3.125]
+    assert(out.getAs[Long]("n") == 3L)
+    assert(out.getAs[Double]("level") == 23.75)
+    assert(out.getAs[Double]("trend") == 5.625)
+    assert(out.getAs[Double]("next_season") == 2.5)
+    assert(out.getAs[Double]("forecast") == 31.875)
+    // gamma = 0 degenerates to plain Holt (zero seasonals forever)
+    val holt = Rolling.holtByKey(df, Seq("k"), "ts", "v", 0.5, 0.5)
+      .collect()(0)
+    val hw0 = Rolling.holtWintersByKey(df, Seq("k"), "ts", "v",
+      0.5, 0.5, gamma = 0.0, period = 2).collect()(0)
+    assert(hw0.getAs[Double]("level") == holt.getAs[Double]("level"))
+    assert(hw0.getAs[Double]("trend") == holt.getAs[Double]("trend"))
+    assert(hw0.getAs[Double]("next_season") == 0.0)
+  }
 }
