@@ -4837,6 +4837,48 @@ object SparkEntry {
       .orderBy("n_name")
   }
 
+  /** A37 — split-conformal prediction interval: the
+    * distribution-free uncertainty wrapper around ANY point predictor
+    * (Vovk; Angelopoulos & Bates 2021). Hash-split train/cal/test; the
+    * predictor is the per-segment train mean; q-hat is the (1-alpha)
+    * calibration-residual quantile via the distributed exact
+    * interpolated selection; test coverage of |y - yhat| <= q-hat is
+    * then reported. Every number recomputes exactly in SQL: the oracle
+    * is a full value check, not an audit.
+    */
+  private def qConformal(s: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.1
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority").as("seg"),
+        col("o_totalprice").cast(DoubleType).as("y"))
+    val split = graft.aug.Sampling.splitAssign(o, "o_orderkey",
+        Seq("train" -> 0.5, "cal" -> 0.25, "test" -> 0.25))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val means = split.where(col("split") === "train")
+      .groupBy("seg").agg(Stats.dmean(col("y")).as("yhat"))
+    val withResid = split.join(broadcast(means), "seg")
+      .withColumn("r", abs(col("y") - col("yhat")))
+    val cal = withResid.where(col("split") === "cal")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCal = cal.count()
+    // q-hat at the PLAIN (1-alpha) interpolated quantile — constant
+    // fraction on both engines (DuckDB's quantile_cont cannot take a
+    // computed fraction); the finite-sample-corrected
+    // k = ceil((n_cal+1)(1-alpha)) order statistic is the production
+    // refinement — same plan, a rank instead of a fraction
+    val qhat = graft.core.OrderStats.quantilesOf(cal, "r",
+      Seq(1.0 - alpha)).head
+    graft.core.Caches.retain("entry.conformal", split, cal)
+    split.where(col("split") === "test")
+      .join(broadcast(means), "seg")
+      .agg(count(lit(1)).as("n_test"),
+        count(when(abs(col("y") - col("yhat")) <= qhat, 1)).as("n_covered"))
+      .select(lit(nCal).as("n_cal"),
+        round(lit(qhat), 4).as("qhat"), col("n_test"), col("n_covered"),
+        round(col("n_covered").cast(DoubleType) /
+          col("n_test").cast(DoubleType), 6).as("coverage"))
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -5068,7 +5110,8 @@ object SparkEntry {
     "q215_ivfpq_ann" -> (qIvfPq _),
     "q216_incremental_agg" -> (qIncrementalAgg _),
     "q217_attribution" -> (qAttribution _),
-    "q218_holt_winters" -> (qHoltWinters _)
+    "q218_holt_winters" -> (qHoltWinters _),
+    "q219_conformal" -> (qConformal _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -8065,6 +8108,25 @@ object SparkEntry {
          |  round(st[2], 6) AS trend, round(st[3], 6) AS next_season,
          |  round(st[1] + st[2] + st[3], 6) AS forecast FROM hs
          | ORDER BY n_name""".stripMargin.replaceAll("\n", " ")
+    },
+    "q219_conformal" -> {
+      val sc = graft.aug.Sampling.Sql.splitCase("o_orderkey",
+        Seq("train" -> 0.5, "cal" -> 0.25, "test" -> 0.25), 42L)
+      s"""WITH o AS (SELECT o_orderkey, o_orderpriority AS seg,
+         |   CAST(o_totalprice AS DOUBLE) AS y, $sc AS split FROM orders),
+         | m AS (SELECT seg, ${Stats.Sql.dmean("y")} AS yhat FROM o
+         |   WHERE split = 'train' GROUP BY seg),
+         | cal AS (SELECT abs(y - yhat) AS r FROM o JOIN m USING (seg)
+         |   WHERE split = 'cal'),
+         | qh AS (SELECT count(*) AS n_cal, quantile_cont(r, 0.9) AS qhat
+         |   FROM cal),
+         | te AS (SELECT count(*) AS n_test,
+         |   count(CASE WHEN abs(y - yhat) <= qhat THEN 1 END) AS n_covered
+         |  FROM o JOIN m USING (seg) CROSS JOIN qh WHERE split = 'test')
+         | SELECT n_cal, round(qhat, 4) AS qhat, n_test, n_covered,
+         |  round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+         |    AS coverage
+         | FROM te CROSS JOIN qh""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

@@ -394,6 +394,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!q218.contains("Window"), s"HW fold regressed to a window:\n$q218")
     assert(!q218.contains("CartesianProduct"),
       s"HW plans a cartesian:\n$q218")
+    // q219 conformal: segment means broadcast; q-hat is a driver
+    // scalar literal — no cartesian anywhere
+    val q219 = plan(SparkEntry.queries("q219_conformal")(spark, sf))
+    assert(q219.contains("BroadcastHashJoin"),
+      s"conformal predictor join not broadcast:\n$q219")
+    assert(!q219.contains("CartesianProduct"),
+      s"conformal plans a cartesian:\n$q219")
   }
 
   test("forest scoring stays inside whole-stage codegen") {
