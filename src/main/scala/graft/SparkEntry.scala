@@ -4879,6 +4879,34 @@ object SparkEntry {
           col("n_test").cast(DoubleType), 6).as("coverage"))
   }
 
+  /** A38 — walk-forward forecast backtest
+    * ([[graft.seq.Rolling.holtBacktestByKey]]): the monthly-revenue
+    * Holt smoother scored by expanding-window one-step-ahead MAE
+    * against the naive last-value baseline, per nation — forecast
+    * validation with no look-ahead, errors accumulated inside the
+    * order-fixed fold so the MAEs are engine-exact. A negative skill
+    * honestly reports where persistence beats the smoother.
+    */
+  private def qForecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select(col("o_custkey"),
+      col("o_totalprice"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("ym"))
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val monthly = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("ym"))
+      .agg(Stats.dsum(col("o_totalprice")).as("rev"))
+    graft.seq.Rolling.holtBacktestByKey(monthly, Seq("n_name"), "ym", "rev",
+        alpha = 0.5, beta = 0.3)
+      .select(col("n_name"), col("n"), round(col("mae"), 6).as("mae"),
+        round(col("mae_naive"), 6).as("mae_naive"),
+        round(col("skill"), 6).as("skill"))
+      .orderBy("n_name")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -5111,7 +5139,8 @@ object SparkEntry {
     "q216_incremental_agg" -> (qIncrementalAgg _),
     "q217_attribution" -> (qAttribution _),
     "q218_holt_winters" -> (qHoltWinters _),
-    "q219_conformal" -> (qConformal _)
+    "q219_conformal" -> (qConformal _),
+    "q220_forecast_backtest" -> (qForecastBacktest _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -8127,6 +8156,31 @@ object SparkEntry {
          |  round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
          |    AS coverage
          | FROM te CROSS JOIN qh""".stripMargin.replaceAll("\n", " ")
+    },
+    "q220_forecast_backtest" -> {
+      // state s: [level, trend, sum_abs_err, sum_abs_naive, prev];
+      // each value pre-wrapped to the same 5-wide shape so
+      // list_reduce's first-element init matches the Spark fold
+      val lNew = "0.5 * x[1] + (1.0 - 0.5) * (s[1] + s[2])"
+      s"""WITH monthly AS (SELECT n_name,
+         |   CAST(year(o_orderdate) AS INT) * 12 + CAST(month(o_orderdate) AS INT) AS ym,
+         |   ${Stats.Sql.dsumWide("o_totalprice")} AS rev
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name, ym),
+         | ser AS (SELECT n_name, list(rev ORDER BY ym) AS l
+         |   FROM monthly GROUP BY n_name),
+         | hs AS (SELECT n_name, CAST(len(l) AS BIGINT) AS n,
+         |   list_reduce(list_transform(l, v -> [v, 0.0, 0.0, 0.0, v]),
+         |     (s, x) -> [$lNew,
+         |       0.3 * (($lNew) - s[1]) + (1.0 - 0.3) * s[2],
+         |       s[3] + abs(x[1] - (s[1] + s[2])),
+         |       s[4] + abs(x[1] - s[5]), x[1]]) AS st
+         |  FROM ser)
+         | SELECT n_name, n,
+         |  round(CASE WHEN n > 1 THEN st[3] / CAST(n - 1 AS DOUBLE) END, 6) AS mae,
+         |  round(CASE WHEN n > 1 THEN st[4] / CAST(n - 1 AS DOUBLE) END, 6) AS mae_naive,
+         |  round(CASE WHEN n > 1 AND st[4] > 0.0 THEN 1.0 - st[3] / st[4] END, 6) AS skill
+         | FROM hs ORDER BY n_name""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

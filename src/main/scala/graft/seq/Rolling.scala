@@ -175,6 +175,53 @@ object Rolling {
           element_at(col("st"), 3)).as("forecast")): _*)
   }
 
+  /** Expanding-window one-step-ahead forecast backtest for the Holt
+    * smoother: at every step t ≥ 2 the PRIOR state's forecast (l+b) is
+    * scored against the arriving value before the state updates —
+    * walk-forward validation with no look-ahead, the way a forecast
+    * model's accuracy must be measured. The same order-fixed
+    * sequential fold as [[holtByKey]], with the absolute one-step
+    * error and the naive (last-value) baseline error accumulated
+    * INSIDE the fold state — summation order is the series order on
+    * both engines, so the MAEs are bitwise cross-engine. Skill =
+    * 1 − mae/mae_naive (positive ⇒ the smoother beats persistence).
+    */
+  def holtBacktestByKey(df: DataFrame, keys: Seq[String], ordCol: String,
+                        valCol: String, alpha: Double,
+                        beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1]: $beta")
+    val vals = array_sort(collect_list(
+      struct(col(ordCol), col(valCol).cast(DoubleType).as("v"))))
+    // state: [level, trend, sum_abs_err, sum_abs_naive, prev_value]
+    val folded = aggregate(
+      slice(col("ts_vals"), lit(2), size(col("ts_vals")) - lit(1)),
+      array(element_at(col("ts_vals"), 1).getField("v"), lit(0.0),
+        lit(0.0), lit(0.0), element_at(col("ts_vals"), 1).getField("v")),
+      (s, x) => {
+        val l = element_at(s, 1)
+        val b = element_at(s, 2)
+        val v = x.getField("v")
+        val err = abs(v - (l + b))
+        val naive = abs(v - element_at(s, 5))
+        val lNew = lit(alpha) * v + (lit(1.0) - lit(alpha)) * (l + b)
+        array(lNew, lit(beta) * (lNew - l) + (lit(1.0) - lit(beta)) * b,
+          element_at(s, 3) + err, element_at(s, 4) + naive, v)
+      })
+    df.groupBy(keys.map(col): _*)
+      .agg(vals.as("ts_vals"))
+      .select(keys.map(col) ++ Seq(
+        size(col("ts_vals")).cast("long").as("n"), folded.as("st")): _*)
+      .select(keys.map(col) ++ Seq(col("n"),
+        when(col("n") > 1, element_at(col("st"), 3) /
+          (col("n") - lit(1)).cast(DoubleType)).as("mae"),
+        when(col("n") > 1, element_at(col("st"), 4) /
+          (col("n") - lit(1)).cast(DoubleType)).as("mae_naive"),
+        when(col("n") > 1 && element_at(col("st"), 4) > 0.0,
+          lit(1.0) - element_at(col("st"), 3) / element_at(col("st"), 4))
+          .as("skill")): _*)
+  }
+
   /** DuckDB SQL fragments computing identical rolling columns, for
     * oracle parity: `window` must be declared as
     * `WINDOW wf AS (PARTITION BY <keys> ORDER BY <ord> ROWS <k-1> PRECEDING),

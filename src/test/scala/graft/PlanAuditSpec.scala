@@ -389,11 +389,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!q217.contains("BroadcastNestedLoopJoin") &&
       !q217.contains("CartesianProduct"),
       s"attribution plans a cartesian:\n$q217")
-    // q218 Holt–Winters: per-key fold — no window operator at all
-    val q218 = plan(SparkEntry.queries("q218_holt_winters")(spark, sf))
-    assert(!q218.contains("Window"), s"HW fold regressed to a window:\n$q218")
-    assert(!q218.contains("CartesianProduct"),
-      s"HW plans a cartesian:\n$q218")
+    // q218/q220 Holt–Winters + backtest: per-key folds — no window
+    // operator at all
+    Seq("q218_holt_winters", "q220_forecast_backtest").foreach { nm =>
+      val p = plan(SparkEntry.queries(nm)(spark, sf))
+      assert(!p.contains("Window"), s"$nm fold regressed to a window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$nm plans a cartesian:\n$p")
+    }
     // q219 conformal: segment means broadcast; q-hat is a driver
     // scalar literal — no cartesian anywhere
     val q219 = plan(SparkEntry.queries("q219_conformal")(spark, sf))

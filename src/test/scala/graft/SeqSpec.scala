@@ -368,4 +368,24 @@ class SeqSpec extends SparkSpec {
     assert(hw0.getAs[Double]("trend") == holt.getAs[Double]("trend"))
     assert(hw0.getAs[Double]("next_season") == 0.0)
   }
+
+  test("holtBacktestByKey: one-step errors scored BEFORE state update") {
+    import spark.implicits._
+    import graft.seq.Rolling
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0))
+      .toDF("k", "ts", "v")
+    val out = Rolling.holtBacktestByKey(df, Seq("k"), "ts", "v", 0.5, 0.5)
+      .collect()(0)
+    // x=20: forecast 10 → err 10, naive 10; state l=15 b=2.5
+    // x=30: forecast 17.5 → err 12.5, naive 10
+    assert(out.getAs[Long]("n") == 3L)
+    assert(out.getAs[Double]("mae") == 11.25)
+    assert(out.getAs[Double]("mae_naive") == 10.0)
+    assert(out.getAs[Double]("skill") == 1.0 - 22.5 / 20.0)
+    // singleton series: metrics null, never divide by zero
+    val one = Rolling.holtBacktestByKey(
+      Seq(("b", 1L, 5.0)).toDF("k", "ts", "v"), Seq("k"), "ts", "v", 0.5, 0.5)
+      .collect()(0)
+    assert(one.getAs[Long]("n") == 1L && one.isNullAt(2) && one.isNullAt(4))
+  }
 }
