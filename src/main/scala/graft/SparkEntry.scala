@@ -641,14 +641,72 @@ object SparkEntry {
         round(graft.sim.GraftFunctions.norm2(col("vec")), 6).as("vec_norm2"))
       .orderBy("synth_id")
 
-  /** R1/R3 — Spark-native seeded sample + full shuffle (rows-only:
-    * rand(seed) is engine-specific by nature).
+  /** R1/R3 — Spark-native seeded sample + full shuffle, SELF-VERIFYING
+    * (the q190/q191 audit pattern; closes the engine's last rows-only
+    * row). rand(seed)'s stream is engine-private, so instead of emitting
+    * RNG-dependent rows the query emits deterministic anchors (the exact
+    * lineitem row count and class count, cross-engine-checked) plus
+    * distributional invariants the oracle pins TRUE:
+    *  - `frac_in_band`  — |n_sampled − p·N| ≤ 6σ, σ = √(N·p·(1−p)): the
+    *    Bernoulli(p) sample size sits inside its binomial envelope;
+    *  - `chi2_ok`       — Σ_c (n_c − p·N_c)²/(p·(1−p)·N_c) < 30: the
+    *    per-returnflag sampled counts match their exact expected counts
+    *    (each class is an independent Binomial(N_c, p); the bound is a
+    *    ~1e-6 tail for 3 classes, robust to any healthy RNG stream);
+    *  - `subset_ok`     — without-replacement sampling draws a multiset
+    *    SUBSET: for every (l_orderkey, l_linenumber) the sampled count
+    *    never exceeds the base count (the synthetic lineitem carries
+    *    duplicate business keys, so the check is per-key counts, not
+    *    distinctness);
+    *  - `perm_ok`       — the rand(seed) shuffle is a true permutation:
+    *    zipWithIndex over the sorted frame yields exactly n indices with
+    *    max = n−1 (forces the sort to materialize — the aggregate-only
+    *    form would let Catalyst drop it).
+    * A broken sampler (wrong fraction, replacement, skew) or shuffle
+    * (dropped/duplicated rows) now fails the hard correctness gate.
+    * Deterministic oracle twin for membership/order semantics: q176.
     */
-  private def qSampleShuffle(s: SparkSession, dir: String): DataFrame =
-    graft.aug.Sampling.shuffle(
-      graft.aug.Sampling.seededSample(li(s, dir), 0.01, seed = 42L), seed = 42L)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .limit(1000)
+  private def qSampleShuffle(s: SparkSession, dir: String): DataFrame = {
+    val p = 0.01
+    val base = li(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    // exact per-class totals: one grouped aggregate, ≤3 rows collected
+    val totals = base.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTotal = totals.values.sum
+    val sampled = graft.aug.Sampling.seededSample(base, p, seed = 42L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sCounts = sampled.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nSamp = sCounts.values.sum
+    val fracOk =
+      math.abs(nSamp - p * nTotal) <= 6.0 * math.sqrt(nTotal * p * (1 - p))
+    val chi2 = totals.map { case (c, nc) =>
+      val obs = sCounts.getOrElse(c, 0L).toDouble
+      val exp = p * nc
+      (obs - exp) * (obs - exp) / (exp * (1 - p))
+    }.sum
+    val subsetOk = sampled.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("sn"))
+      .join(base.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("bn")), Seq("l_orderkey", "l_linenumber"))
+      .where(col("sn") > col("bn")).count() == 0L
+    // permutation check: index the sorted order itself
+    val idx = graft.aug.Sampling.shuffle(sampled, seed = 42L)
+      .select("l_orderkey").rdd.zipWithIndex().map(_._2)
+    val (permCnt, permMax) = idx.aggregate((0L, -1L))(
+      (a, i) => (a._1 + 1, math.max(a._2, i)),
+      (a, b) => (a._1 + b._1, math.max(a._2, b._2)))
+    sampled.unpersist()
+    val permOk = permCnt == nSamp && permMax == nSamp - 1
+    s.range(1).select(
+      lit(nTotal).as("n_rows"),
+      lit(totals.size.toLong).as("n_classes"),
+      lit(fracOk).as("frac_in_band"),
+      lit(chi2 < 30.0).as("chi2_ok"),
+      lit(subsetOk).as("subset_ok"),
+      lit(permOk).as("perm_ok"))
+  }
 
   // --- native models: driver fit → broadcast → distributed score ----- //
 
@@ -4910,15 +4968,13 @@ object SparkEntry {
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
-    * records a rows-only check. Down to ONE since round 9: the whole
-    * model family (q35/q36/q44/q45/q53/q54/q103/q117) now ships
-    * self-verifying audits (exact SQL anchors + in-query invariant
-    * booleans the oracle pins TRUE, the q190/q191 pattern). q34 stays
-    * rows-only by nature: it demonstrates Spark's OWN rand(seed)
-    * sample/shuffle, whose RNG stream is engine-specific; its
-    * deterministic hash-based oracle twin is q176.
+    * records a rows-only check. EMPTY since round 10: q34, the last
+    * rows-only row, now ships a distributional self-verifying audit
+    * (exact lineitem anchors + binomial-band / chi-square / no-dup /
+    * permutation-length booleans the oracle pins TRUE — the q190/q191
+    * pattern), so every registered query sits inside the hard gate.
     */
-  def rowsOnlyQueries: Set[String] = Set("q34_sample_shuffle")
+  def rowsOnlyQueries: Set[String] = Set.empty
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (qPricingSummary _),
@@ -5589,6 +5645,12 @@ object SparkEntry {
     // the oracle computes the exact anchors (counts, dims, grid
     // coordinates) and PINS every in-query invariant boolean as literal
     // TRUE — a model whose guarantee breaks hash-mismatches its row
+    "q34_sample_shuffle" ->
+      """SELECT count(*) AS n_rows,
+        | count(DISTINCT l_returnflag) AS n_classes,
+        | TRUE AS frac_in_band, TRUE AS chi2_ok, TRUE AS subset_ok,
+        | TRUE AS perm_ok FROM lineitem""".stripMargin
+        .replaceAll("\n", " "),
     "q35_iforest" ->
       """SELECT count(*) AS n_rows, CAST(4 AS BIGINT) AS n_planted,
         | TRUE AS scores_in_unit, TRUE AS planted_above_median,
