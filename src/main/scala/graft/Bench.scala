@@ -47,30 +47,61 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
         try fn(spark, sfDir).count()
         catch { case scala.util.control.NonFatal(_) => () }
+      // per-rep JVM telemetry: GC-time delta and post-rep heap. The r9
+      // artifact carried unexplained 10x heavy tails (q155 reps
+      // [14.4, 2.2, 21.4] s) in the FULL sweep only — the same queries
+      // are flat in a 4-query session — so each rep records how much of
+      // its wall time was collector time. A rep whose gcSec ~= wall
+      // delta is a heap-pressure artifact, not a plan problem.
+      def gcMs: Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+      }
+      val gcSecs = scala.collection.mutable.ListBuffer.empty[Double]
+      val heapGb = scala.collection.mutable.ListBuffer.empty[Double]
       val times = (1 to runs).flatMap { _ =>
+        val g0 = gcMs
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
             System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
             false
         }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        val dt = (System.nanoTime() - t0) / 1e9
+        gcSecs += (gcMs - g0) / 1e3
+        val rt = Runtime.getRuntime
+        heapGb += (rt.totalMemory - rt.freeMemory) / 1e9
+        if (ok) Some(dt) else None
       }
       // a query with no successful run is reported as -1, never as a
       // (fast) failure wall time, and lands in the `failed` list
-      if (times.isEmpty) { failed += name; name -> (-1.0, times) }
-      else name -> (times.min, times)
+      if (times.isEmpty) { failed += name; name -> (-1.0, times, gcSecs.toSeq, heapGb.toSeq) }
+      else name -> (times.min, times, gcSecs.toSeq, heapGb.toSeq)
     }.toMap
     // times rounded to ms and the headline total emitted BEFORE the
     // per-query map: the driver's capture window can truncate the tail
     // of a long line, and the total must survive truncation
     def ms(v: Double): Double = math.round(v * 1000) / 1000.0
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, (v, _)) => s"\"" + k + "\":" + ms(v) }
+      .map { case (k, (v, _, _, _)) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val runsJson = results.toSeq.sortBy(_._1)
-      .map { case (k, (_, ts)) =>
+      .map { case (k, (_, ts, _, _)) =>
         s"\"" + k + "\":" + ts.map(ms).mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
+    // telemetry maps land only in the on-disk detail artifact (the
+    // stdout contract line keeps its driver-parsed shape)
+    val gcJson = results.toSeq.sortBy(_._1)
+      .map { case (k, (_, _, gs, _)) =>
+        s"\"" + k + "\":" + gs.map(ms).mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
+    val heapJson = results.toSeq.sortBy(_._1)
+      .map { case (k, (_, _, _, hs)) =>
+        s"\"" + k + "\":" + hs.map(h => math.round(h * 100) / 100.0)
+          .mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
     val total = ms(results.values.map(_._1).filter(_ >= 0).sum)
@@ -90,7 +121,7 @@ object Bench {
       "bench_detail.json")
     try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(detailPath),
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs,"runs":$runsJson}""" + "\n")
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs,"runs":$runsJson,"gc_sec":$gcJson,"heap_gb":$heapJson}""" + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench_detail write failed: $e") }
     spark.stop()

@@ -1172,20 +1172,25 @@ object SparkEntry {
 
   /** N3 — IVF ANN: k-means coarse cells (fit on a deterministic pool,
     * broadcast), nprobe-cell candidate search, exact re-rank.
-    * Registered at the MEASURED operating point (nprobe = 4 — the r8
-    * RecallCheck numbers; nprobe = 2 traded too much recall for
-    * bucket-confined cost). SELF-VERIFYING: centroids have no SQL twin,
-    * so the query audits itself in-query against the exact brute-force
-    * top-k (the q29 path) over the SAME query set and the oracle pins
-    * the booleans TRUE — recall@k ≥ 0.5 and every reported cosine in
-    * [−1, 1]. An index whose defaults stop returning real neighbors
-    * fails the hard correctness gate, which is exactly the r8
-    * "recall trap" fix.
+    * Registered at the MEASURED r10 knee (nprobe = 8 of 16 cells —
+    * recall@3 0.837/0.883/0.843 at sf0.001/0.01/0.1; the r9 nprobe=4
+    * point's 0.56–0.65 was a recall trap for users trusting the
+    * default). The harness embeddings have weak intrinsic cluster
+    * structure, so recall tracks the scanned fraction near-linearly —
+    * the measured tradeoff curve lives in PLANS.md; on real corpora
+    * with cluster structure the same nprobe/nCells fraction buys far
+    * more. SELF-VERIFYING: centroids have no SQL twin, so the query
+    * audits itself in-query against the exact brute-force top-k (the
+    * q29 path) over the SAME query set and the oracle pins the
+    * booleans TRUE — recall@k ≥ 0.75 (just under the weakest measured
+    * SF point) and every reported cosine in [−1, 1]. An index whose
+    * defaults stop returning real neighbors fails the hard
+    * correctness gate.
     */
   private def qIvfAnn(s: SparkSession, dir: String): DataFrame = {
     val e = em(s, dir)
     val ivf = graft.sim.Ann.ivfTopK(e,
-        "vec_id", "embedding", k = 3, nCells = 16, nprobe = 4,
+        "vec_id", "embedding", k = 3, nCells = 16, nprobe = 8,
         queryPred = col("id") < 100)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val brute = graft.sim.Ann.cosineTopK(e,
@@ -1200,7 +1205,7 @@ object SparkEntry {
     graft.core.Caches.retain("entry.q45", ivf)
     val nQueries = e.where(col("vec_id") < 100).count()
     import s.implicits._
-    Seq((nQueries, 3L, recall >= 0.5, badCos == 0L))
+    Seq((nQueries, 3L, recall >= 0.75, badCos == 0L))
       .toDF("n_queries", "k", "recall_ge_floor", "cos_in_range")
   }
 
@@ -4750,18 +4755,20 @@ object SparkEntry {
   /** N7 — IVF-PQ ANN ([[graft.sim.Pq.ivfPqTopK]]): coarse 16-cell
     * inverted file + 8×256 product-quantized ADC scoring + exact
     * re-rank of the 16k shortlist — the billion-scale vector-store
-    * read path end to end. Registered at the measured operating point
-    * (r9 RecallCheck recall@3: 0.633 / 0.647 / 0.557 at sf0.001/0.01/
-    * 0.1 — essentially the nprobe=4 cell-probe ceiling, i.e. ADC loses
-    * almost nothing after re-rank). Same self-verifying audit shape as
-    * q45: in-query recall vs the exact top-k pinned ≥ 0.5, cosine
-    * validity pinned.
+    * read path end to end. Registered at the measured r10 knee
+    * (nprobe = 8, rerank 32 — the r9 nprobe=4 point's 0.56–0.65
+    * recall@3 was the cell-probe ceiling, i.e. ADC loses almost
+    * nothing after re-rank; doubling the probed cells moves the
+    * ceiling, see q45 and the PLANS.md tradeoff curve). Same
+    * self-verifying audit shape as q45: in-query recall vs the exact
+    * top-k pinned ≥ 0.7 (PQ shortlist truncation costs a few points
+    * vs exact-IVF's 0.75 floor), cosine validity pinned.
     */
   private def qIvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = em(s, dir)
     val model = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 8, k = 256)
     val approx = graft.sim.Pq.ivfPqTopK(e, "vec_id", "embedding", k = 3,
-        model, nCells = 16, nprobe = 4, rerankFactor = 16,
+        model, nCells = 16, nprobe = 8, rerankFactor = 32,
         queryPred = col("id") < 100)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val brute = graft.sim.Ann.cosineTopK(e,
@@ -4776,7 +4783,7 @@ object SparkEntry {
     graft.core.Caches.retain("entry.q215", approx)
     val nQueries = e.where(col("vec_id") < 100).count()
     import s.implicits._
-    Seq((nQueries, 3L, 8L, 256L, recall >= 0.5, badCos == 0L))
+    Seq((nQueries, 3L, 8L, 256L, recall >= 0.7, badCos == 0L))
       .toDF("n_queries", "k", "pq_m", "pq_k", "recall_ge_floor",
         "cos_in_range")
   }

@@ -53,21 +53,25 @@ object RecallCheck {
       dim = 64, tables = 4, bitsPerTable = 8, queryPred = pred)))
     val lshTuned = recallOf(pairs(Ann.lshTopK(emb, "vec_id", "embedding", k,
       dim = 64, tables = 16, bitsPerTable = 4, queryPred = pred)))
-    val ivf = recallOf(pairs(Ann.ivfTopK(emb, "vec_id", "embedding", k,
-      nCells = 16, nprobe = 2, queryPred = pred)))
-    val ivfTuned = recallOf(pairs(Ann.ivfTopK(emb, "vec_id", "embedding", k,
+    val ivfLegacy = recallOf(pairs(Ann.ivfTopK(emb, "vec_id", "embedding", k,
       nCells = 16, nprobe = 4, queryPred = pred)))
+    val ivfReg = recallOf(pairs(Ann.ivfTopK(emb, "vec_id", "embedding", k,
+      nCells = 16, nprobe = 8, queryPred = pred)))
     val pqModel = graft.sim.Pq.fit(emb, "vec_id", "embedding", m = 8, k = 256)
-    val ivfPq = recallOf(pairs(graft.sim.Pq.ivfPqTopK(emb, "vec_id",
+    val ivfPqLegacy = recallOf(pairs(graft.sim.Pq.ivfPqTopK(emb, "vec_id",
       "embedding", k, pqModel, nCells = 16, nprobe = 4, rerankFactor = 16,
       queryPred = pred)))
-    // "registered" = the operating points q30/q45 actually ship
-    // (16×4 banding, nprobe=4 — re-registered in r8 at measured
-    // recall); "legacy" = the pre-r8 points kept for trend comparison
+    val ivfPqReg = recallOf(pairs(graft.sim.Pq.ivfPqTopK(emb, "vec_id",
+      "embedding", k, pqModel, nCells = 16, nprobe = 8, rerankFactor = 32,
+      queryPred = pred)))
+    // "registered" = the operating points q30/q45/q215 actually ship
+    // (16×4 banding; nprobe=8 of 16 cells — re-registered in r10 at
+    // the measured recall knee); "legacy" = prior points kept for
+    // trend comparison
     println(s"""{"sf":"$sfDir","n":$nQueries,"k":$k,""" +
       s""""lsh_legacy_4x8":${r(lsh)},"lsh_registered_16x4":${r(lshTuned)},""" +
-      s""""ivf_legacy_np2":${r(ivf)},"ivf_registered_np4":${r(ivfTuned)},""" +
-      s""""ivfpq_k256_np4_rr16":${r(ivfPq)}}""")
+      s""""ivf_legacy_np4":${r(ivfLegacy)},"ivf_registered_np8":${r(ivfReg)},""" +
+      s""""ivfpq_legacy_np4_rr16":${r(ivfPqLegacy)},"ivfpq_registered_np8_rr32":${r(ivfPqReg)}}""")
     spark.stop()
   }
 }

@@ -119,32 +119,34 @@ class AnnSpec extends SparkSpec {
       }
       per.sum / per.size
     }
-    // REGISTERED operating points since round 9 (the r8 "recall trap"
-    // fix): q30 = 16 tables × 4 bits, q45 = nprobe 4. The old defaults
-    // stay measured as the narrow variants to prove the probing knob
-    // still moves recall in the right direction.
+    // REGISTERED operating points since round 10: q30 = 16 tables × 4
+    // bits, q45 = nprobe 8 of 16 cells (the r9 nprobe=4 point measured
+    // 0.56–0.65 recall — re-registered at the measured knee, ≥ 0.8
+    // across all SFs). The prior defaults stay measured as the narrow
+    // variants to prove the probing knob still moves recall in the
+    // right direction.
     val lshNarrow = recallOf(pairs(Ann.lshTopK(emb, "vec_id", "embedding", k,
       dim = 64, tables = 4, bitsPerTable = 8, queryPred = col("id") < 100)))
     val lsh = recallOf(pairs(Ann.lshTopK(emb, "vec_id", "embedding", k,
       dim = 64, tables = 16, bitsPerTable = 4, queryPred = col("id") < 100)))
     val ivfNarrow = recallOf(pairs(Ann.ivfTopK(emb, "vec_id", "embedding", k,
-      nCells = 16, nprobe = 2, queryPred = col("id") < 100)))
-    val ivf = recallOf(pairs(Ann.ivfTopK(emb, "vec_id", "embedding", k,
       nCells = 16, nprobe = 4, queryPred = col("id") < 100)))
+    val ivf = recallOf(pairs(Ann.ivfTopK(emb, "vec_id", "embedding", k,
+      nCells = 16, nprobe = 8, queryPred = col("id") < 100)))
     info(f"recall@10: lsh=$lsh%.3f (narrow $lshNarrow%.3f) ivf=$ivf%.3f (narrow $ivfNarrow%.3f)")
     // every operator here is deterministic (hash planes, pooled k-means
     // — no RNG), so these are exact measurements, not noisy estimates;
     // floors sit just under the measured values (registered 0.688 /
-    // 0.620, narrow 0.081 / 0.393 at sf0.001 — see PLANS.md). The
+    // 0.839, narrow 0.081 / 0.620 at sf0.001 — see PLANS.md). The
     // harness embeddings are near-isotropic (no planted cluster
     // structure), which bounds ANY sublinear index. A user trusting the
     // q30/q45 defaults must get a usable index: the registered floors
-    // are the ≥ 0.5 contract, not a token bound. Raise params, never
-    // the floor, if this regresses.
+    // are the contract, not a token bound. Raise params, never the
+    // floor, if this regresses.
     assert(lsh >= 0.5, s"LSH@q30-registered-params recall $lsh below floor 0.5")
-    assert(ivf >= 0.5, s"IVF@q45-registered-params recall $ivf below floor 0.5")
+    assert(ivf >= 0.75, s"IVF@q45-registered-params recall $ivf below floor 0.75")
     assert(lshNarrow >= 0.08, s"LSH narrow recall $lshNarrow below floor 0.08")
-    assert(ivfNarrow >= 0.35, s"IVF narrow recall $ivfNarrow below floor 0.35")
+    assert(ivfNarrow >= 0.5, s"IVF narrow recall $ivfNarrow below floor 0.5")
     assert(lsh > lshNarrow && ivf > ivfNarrow, "probing knob must raise recall")
   }
 

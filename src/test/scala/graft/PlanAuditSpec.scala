@@ -367,7 +367,7 @@ class PlanAuditSpec extends SparkSpec {
       spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding",
       k = 3, graft.sim.Pq.fit(spark.read.parquet(s"$sf/embeddings.parquet"),
         "vec_id", "embedding", m = 8, k = 16),
-      nCells = 16, nprobe = 4, queryPred = col("id") < 100)
+      nCells = 16, nprobe = 8, queryPred = col("id") < 100)
     val p215 = plan(q215pairs)
     assert(!p215.contains("CartesianProduct") &&
       !p215.contains("BroadcastNestedLoopJoin"),

@@ -51,7 +51,7 @@ class PqSpec extends SparkSpec {
       "registered operating point") {
     val model = Pq.fit(emb, "vec_id", "embedding", m = 8, k = 256)
     val approx = Pq.ivfPqTopK(emb, "vec_id", "embedding", k = 3, model,
-      nCells = 16, nprobe = 4, rerankFactor = 16,
+      nCells = 16, nprobe = 8, rerankFactor = 32,
       queryPred = col("id") < 100)
     val rows = approx.collect()
     // ≤ k rows per query, ranks contiguous from 1, cosine valid
@@ -65,8 +65,9 @@ class PqSpec extends SparkSpec {
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute intersect got).size.toDouble / brute.size
-    // r9 RecallCheck: 0.633 at sf0.001 — the registered floor is 0.5
-    assert(recall >= 0.5, s"IVF-PQ recall@3 regressed: $recall")
+    // r10 RecallCheck at the re-registered knee (nprobe 8, rerank 32):
+    // 0.837 / 0.883 / 0.820 at sf0.001/0.01/0.1 — floor 0.7
+    assert(recall >= 0.7, s"IVF-PQ recall@3 regressed: $recall")
   }
 
   test("PQ audit: anchors and invariants on the test frame") {
