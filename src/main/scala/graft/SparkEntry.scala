@@ -4234,9 +4234,16 @@ object SparkEntry {
     * in-cluster pair cosine is a valid similarity; `pruned_frac_ok`
     * bounds the prune rate at half the corpus.
     */
-  private def qSemDedup(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.SemDedup.audit(em(s, dir), "vec_id", "embedding",
-      k = 16, theta = 0.45)
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    // k from the √n scale recipe (SemDedup.kForCorpus) rather than a
+    // fixed benchmark point: bucket sizes stay ~√n as the corpus grows,
+    // and the oracle pins the SAME formula in SQL, so a drifting k is a
+    // hash mismatch, not a silent re-tune
+    val e = em(s, dir)
+    val k = graft.dedup.SemDedup.kForCorpus(e.count())
+    graft.dedup.SemDedup.audit(e, "vec_id", "embedding",
+      k = k, theta = 0.45)
+  }
 
   /** T25 — CCNet perplexity bucketing (Wenzek et al. 2020): documents
     * split per language into head/middle/tail thirds by LM score —
@@ -4308,6 +4315,16 @@ object SparkEntry {
     * DECIMAL(38,10) so window-internal addition order (segment trees
     * vs sequential) cannot flip a bit cross-engine. Reduced per user
     * to peak concurrency / peak rolling mass / total rolling mass.
+    *
+    * The double→DECIMAL(38,10) cast below is the documented divergence
+    * class (Spark: shortest-repr string, HALF_UP; DuckDB: ×10^scale in
+    * double) — it is EXACT here because events.value is 2-decimal money
+    * of magnitude < 10^3 (measured across SFs): Spark's shortest repr
+    * is the 2-dp literal, and DuckDB's scaled product sits ~9 orders of
+    * magnitude under the 2^52/10^10 ≈ 4.5e5 safety bound, so both
+    * engines recover the identical decimal. A full-fraction or
+    * ≥ 450k-magnitude value column must NOT take this path unrounded —
+    * recover integer units first (see the Verify skill notes).
     */
   private def qRangeWindow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -7829,7 +7846,8 @@ object SparkEntry {
     // invariant boolean TRUE — a broken assignment or similarity
     // hash-mismatches its row
     "q198_semdedup" ->
-      """SELECT count(*) AS n_vecs, CAST(16 AS BIGINT) AS k,
+      """SELECT count(*) AS n_vecs,
+        | CAST(least(4096, greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS BIGINT) AS k,
         | CAST(max(len(embedding)) AS BIGINT) AS dim, TRUE AS assign_ok,
         | TRUE AS cos_bounded, TRUE AS pruned_frac_ok
         | FROM embeddings""".stripMargin.replaceAll("\n", " "),

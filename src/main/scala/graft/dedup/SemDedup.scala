@@ -26,6 +26,21 @@ import graft.sim.{KMeans, VectorMath => V}
   */
 object SemDedup {
 
+  /** The scale recipe for the cluster count: k = ⌈√n⌉ (clamped to
+    * [4, 4096]) balances the two cost terms — per-cluster pair work
+    * totals ~n²/k and the assignment scan costs n·k, so √n bounds the
+    * whole operator at O(n^1.5) with bucket sizes ~√n. A FIXED k (the
+    * pre-r10 registration) silently degrades: the in-cluster join
+    * grows as (n/k)² per cluster at larger corpora. The 4096 ceiling
+    * is the driver-pool Lloyd fit bound ([[KMeans.fit]] poolSize) —
+    * beyond that a real deployment shards the fit; the recipe still
+    * caps bucket sizes up to n ≈ 16M vectors per partition-group,
+    * and corpus-level runs cluster per shard.
+    */
+  def kForCorpus(n: Long): Int =
+    math.min(4096L, math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong))
+      .toInt
+
   /** Cluster assignment with the dual-path audit column: `cluster` is
     * the codegen'd HOF arg-min (first minimal index, strict `<`);
     * `cluster_check` re-derives it through the broadcast-model scorer

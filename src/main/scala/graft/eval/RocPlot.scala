@@ -25,8 +25,14 @@ object RocPlot {
   def downsample(curve: DataFrame, orderCol: String,
                  maxPoints: Int = 512): DataFrame = {
     require(maxPoints >= 2, s"need at least 2 points: $maxPoints")
+    // total order: orderCol first, then every remaining column — ROC
+    // curves carry repeated fpr values (vertical segments), and a sort
+    // on fpr alone would leave the index assignment (and so WHICH rows
+    // survive the downsample) partition-order-dependent
+    val sortCols = (orderCol +: curve.columns.filterNot(_ == orderCol).toSeq)
+      .map(col)
     val n = curve.count()
-    if (n <= maxPoints) curve.orderBy(orderCol)
+    if (n <= maxPoints) curve.orderBy(sortCols: _*)
     else {
       val step = (n - 1).toDouble / (maxPoints - 1).toDouble
       // rank via the distributed prefix scan shape: zipWithIndex on the
@@ -34,11 +40,12 @@ object RocPlot {
       val spark = curve.sparkSession
       val schema = curve.schema.add("_i", "long")
       val indexed = spark.createDataFrame(
-        curve.orderBy(orderCol).rdd.zipWithIndex.map { case (r, i) =>
+        curve.orderBy(sortCols: _*).rdd.zipWithIndex.map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
         }, schema)
       val keep = (0 until maxPoints).map(j => math.round(j * step)).distinct
-      indexed.where(col("_i").isin(keep: _*)).drop("_i").orderBy(orderCol)
+      indexed.where(col("_i").isin(keep: _*)).drop("_i")
+        .orderBy(sortCols: _*)
     }
   }
 
