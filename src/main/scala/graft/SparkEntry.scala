@@ -1432,6 +1432,38 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** MM-PX — REAL PNG PIXEL decode, dependency-free (closes the pixel
+    * half of the multimodal boundary for PNG): deterministic truecolor
+    * PNGs are built per doc_id by [[graft.multimodal.Binary.synthPng]]
+    * (real zlib IDAT via Deflater, real CRC-32s, scanline filter type
+    * cycling y%5 so every defilter path executes), then fully decoded
+    * back — chunk walk, CRC verify, Inflater, none/sub/up/average/
+    * paeth defiltering — and reduced to per-channel pixel statistics.
+    * The oracle recomputes the statistics from the closed-form pixel
+    * formula with exact integer arithmetic: a single wrong byte
+    * anywhere in the deflate→inflate→defilter path breaks sum_px and
+    * hash-mismatches the row. Integer anchors (n_px, sum_px) are
+    * exact; mean is a terminating-or-never-tying rational at scale 6
+    * for this id range (checked: no x.xxxxxx5 midpoints for id < 60);
+    * std follows the repo's sqrt-at-6 convention. JPEG/PCM/video
+    * payloads remain behind the documented stub (their entropy coders
+    * need a codec library PNG doesn't).
+    */
+  private def qPngDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 60).select(col("doc_id"))
+      .withColumn("png", Binary.synthPngCol(col("doc_id")))
+      .select(col("doc_id"),
+        explode(Binary.pngChannelStatsCol(col("png"))).as("st"))
+      .select(col("doc_id"),
+        col("st._1").cast("long").as("channel"),
+        col("st._2").as("n_px"),
+        col("st._3").as("sum_px"),
+        round(col("st._4"), 6).as("mean_px"),
+        round(col("st._5"), 6).as("std_px"))
+      .orderBy("doc_id", "channel")
+  }
+
   /** MM'' — REAL audio-container metadata decode (WAV RIFF-chunk walk +
     * FLAC STREAMINFO bit unpack → rate/channels/bits/frames/duration,
     * pure byte arithmetic, no codec): synthetic headers built from
@@ -5220,7 +5252,8 @@ object SparkEntry {
     "q217_attribution" -> (qAttribution _),
     "q218_holt_winters" -> (qHoltWinters _),
     "q219_conformal" -> (qConformal _),
-    "q220_forecast_backtest" -> (qForecastBacktest _)
+    "q220_forecast_backtest" -> (qForecastBacktest _),
+    "q221_png_decode" -> (qPngDecode _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -8268,6 +8301,27 @@ object SparkEntry {
          |  round(CASE WHEN n > 1 THEN st[4] / CAST(n - 1 AS DOUBLE) END, 6) AS mae_naive,
          |  round(CASE WHEN n > 1 AND st[4] > 0.0 THEN 1.0 - st[3] / st[4] END, 6) AS skill
          | FROM hs ORDER BY n_name""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    // the PNG pixel formula mirrored in exact integer arithmetic: the
+    // Spark side must reproduce EVERY decoded byte (deflate → inflate
+    // → five defilters) for sum_px to match
+    "q221_png_decode" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 13 + 4 AS w,
+        |   doc_id % 11 + 4 AS h FROM documents WHERE doc_id < 60),
+        | px AS (SELECT i.doc_id, c.c AS channel, i.w * i.h AS n,
+        |   ((x.x * 7 + y.y * 13 + c.c * 101 + i.doc_id * 31) % 256) AS v
+        |  FROM ids i, range(0, 16) x(x), range(0, 14) y(y),
+        |   range(0, 3) c(c)
+        |  WHERE x.x < i.w AND y.y < i.h)
+        | SELECT doc_id, CAST(channel AS BIGINT) AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(v) AS BIGINT) AS sum_px,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_px,
+        |  round(sqrt(greatest(CAST(0 AS DOUBLE),
+        |    CAST(sum(v * v) AS DOUBLE) / count(*) -
+        |    (CAST(sum(v) AS DOUBLE) / count(*)) *
+        |    (CAST(sum(v) AS DOUBLE) / count(*)))), 6) AS std_px
+        | FROM px GROUP BY doc_id, channel
+        | ORDER BY doc_id, channel""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   * operators here (length, hash, histogram, stride sampling) are real
   * and deterministic, and so is image-container METADATA decode
   * ([[parseImageMeta]]: PNG/JPEG/GIF dimensions + bit depth from pure
-  * header-byte arithmetic); only the PIXEL decode step is a clearly
-  * marked STUB ([[stubDecode]]) because no image/audio codec library
-  * ships in this environment — the Spark-side plumbing (schema,
+  * header-byte arithmetic). PIXEL decode is REAL for PNG
+  * ([[pngDecode]]: chunk walk + CRC verify + JDK zlib inflate + full
+  * scanline defiltering — no codec library needed); JPEG/PCM/video
+  * payloads stay behind the clearly marked STUB ([[stubDecode]])
+  * because their entropy coders need codec libraries this environment
+  * doesn't ship — for those, the Spark-side plumbing (schema,
   * batching, partition-level processing, UDF signature) is the
   * deliverable and is fully tested.
   *
@@ -423,11 +426,235 @@ object Binary {
   def videoMetaCol(c: Column): Column =
     udf { b: Array[Byte] => parseVideoMeta(b) }.apply(c)
 
+  // ------------------------------------------------------------------ //
+  // REAL PNG pixel codec — dependency-free (java.util.zip only).
+  // PNG is the one mainstream image format whose full pixel path is
+  // decodable with nothing beyond the JDK: zlib (Inflater) + the five
+  // scanline filters. This closes the pixel half of the multimodal
+  // boundary for PNG; JPEG/PCM/video payloads remain behind
+  // [[stubDecode]] (their entropy coders need a codec library).
+  // ------------------------------------------------------------------ //
+
+  /** Decoded truecolor image: RGB bytes row-major, 3 bytes/pixel. */
+  final case class PngImage(width: Int, height: Int, pixels: Array[Byte])
+
+  private def crc32Of(parts: Array[Byte]*): Int = {
+    val c = new java.util.zip.CRC32
+    parts.foreach(p => c.update(p))
+    c.getValue.toInt
+  }
+
+  private def pngBe32(v: Int): Array[Byte] = Array[Byte](
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** REAL PNG encoder (8-bit truecolor, no interlace): IHDR + one IDAT
+    * holding the zlib-deflated filtered scanlines + IEND, with genuine
+    * CRC-32s. Each row's filter type cycles y % 5 (none/sub/up/average/
+    * paeth) so a round-trip exercises every defilter path — the encoder
+    * exists to make [[pngDecode]] testable against a known-answer
+    * oracle, not to win compression.
+    */
+  def pngEncode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height * 3,
+      s"need ${width * height * 3} RGB bytes, got ${pixels.length}")
+    val bpp = 3
+    val stride = width * bpp
+    val raw = new Array[Byte](height * (1 + stride))
+    var y = 0
+    while (y < height) {
+      val f = y % 5
+      raw(y * (1 + stride)) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = pixels(y * stride + i) & 0xff
+        val left = if (i >= bpp) pixels(y * stride + i - bpp) & 0xff else 0
+        val above = if (y > 0) pixels((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) pixels((y - 1) * stride + i - bpp) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => above
+          case 3 => (left + above) / 2
+          case 4 => paeth(left, above, ul)
+        }
+        raw(y * (1 + stride) + 1 + i) = ((cur - pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished())
+      out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idat = out.toByteArray
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      pngBe32(data.length) ++ t ++ data ++ pngBe32(crc32Of(t, data))
+    }
+    val ihdr = pngBe32(width) ++ pngBe32(height) ++
+      Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, deflate, adaptive, no interlace
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.empty)
+  }
+
+  /** REAL PNG pixel decode, dependency-free: chunk walk with CRC-32
+    * verification, concatenated-IDAT zlib inflate, and full scanline
+    * defiltering (none/sub/up/average/paeth). Supports the 8-bit
+    * truecolor non-interlaced profile ([[pngEncode]]'s output and the
+    * overwhelmingly common case); anything else (palette, alpha,
+    * 16-bit, interlaced, corrupt CRC, short stream) returns None
+    * rather than junk pixels. Cursor arithmetic stays in Long per the
+    * byte-walk discipline (a crafted 4 GiB length field must not
+    * become a negative step).
+    */
+  def pngDecode(b: Array[Byte]): Option[PngImage] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    if (b.length < 8 + 25 || u8(0) != 0x89 || b(1) != 'P' || b(2) != 'N' ||
+        b(3) != 'G') return None
+    var pos = 8L
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && pos + 8 <= b.length) {
+      val len = be32(pos.toInt)
+      if (len > Int.MaxValue - 12 || pos + 12 + len > b.length) return None
+      val typ = new String(b, pos.toInt + 4, 4, "US-ASCII")
+      val dataOff = pos.toInt + 8
+      val crcStored = be32(dataOff + len.toInt)
+      val c = new java.util.zip.CRC32
+      c.update(b, pos.toInt + 4, 4 + len.toInt)
+      if ((c.getValue & 0xffffffffL) != crcStored) return None
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(dataOff).toInt; h = be32(dataOff + 4).toInt
+          val (depth, color, comp, filt, inter) = (u8(dataOff + 8),
+            u8(dataOff + 9), u8(dataOff + 10), u8(dataOff + 11), u8(dataOff + 12))
+          if (depth != 8 || color != 2 || comp != 0 || filt != 0 || inter != 0)
+            return None
+          if (w <= 0 || h <= 0 || w.toLong * h * 3 > 64L * 1024 * 1024)
+            return None
+        case "IDAT" => idat.write(b, dataOff, len.toInt)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunk: skip
+      }
+      pos += 12 + len
+    }
+    if (!sawEnd || w < 0) return None
+    val bpp = 3
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    if (got != raw.length) return None
+    val px = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (1 + stride)) & 0xff
+      if (f > 4) return None
+      var i = 0
+      while (i < stride) {
+        val v = raw(y * (1 + stride) + 1 + i) & 0xff
+        val left = if (i >= bpp) px(y * stride + i - bpp) & 0xff else 0
+        val above = if (y > 0) px((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) px((y - 1) * stride + i - bpp) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => above
+          case 3 => (left + above) / 2
+          case 4 => paeth(left, above, ul)
+        }
+        px(y * stride + i) = ((v + pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some(PngImage(w, h, px))
+  }
+
+  /** Deterministic synthetic truecolor PNG per id: dims (id%13+4) ×
+    * (id%11+4), pixel value (x·7 + y·13 + c·101 + id·31) mod 256 — a
+    * closed form DuckDB reproduces exactly with integer arithmetic, so
+    * decoded-pixel statistics get a full VALUE-checked oracle (the
+    * whole deflate→inflate→defilter path must reproduce every byte).
+    */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = (id % 13 + 4).toInt
+    val h = (id % 11 + 4).toInt
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          px((y * w + x) * 3 + c) =
+            ((x * 7 + y * 13 + c * 101 + id * 31) % 256).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    pngEncode(w, h, px)
+  }
+
+  def synthPngCol(c: Column): Column =
+    udf { id: Long => synthPng(id) }.apply(c)
+
+  /** Per-channel decoded-pixel statistics: (channel, n, mean, std) rows
+    * per image — the feature-extraction step a real multimodal pipeline
+    * runs after decode. Population std via exact integer sums (pixel
+    * values are 0..255 ints, so the sums are exact longs and the final
+    * doubles are reproducible cross-engine after rounding).
+    */
+  def pngChannelStats(b: Array[Byte]): Option[Seq[(Int, Long, Long, Double, Double)]] =
+    pngDecode(b).map { img =>
+      val n = img.width.toLong * img.height
+      (0 until 3).map { c =>
+        var s = 0L; var ss = 0L
+        var i = c
+        while (i < img.pixels.length) {
+          val v = img.pixels(i) & 0xff
+          s += v; ss += v.toLong * v
+          i += 3
+        }
+        val mean = s.toDouble / n
+        val variance = ss.toDouble / n - mean * mean
+        (c, n, s, mean, math.sqrt(math.max(0.0, variance)))
+      }
+    }
+
+  def pngChannelStatsCol(c: Column): Column =
+    udf { b: Array[Byte] => pngChannelStats(b) }.apply(c)
+
   /** STUB — media decode. A real deployment plugs a codec here (e.g.
     * JAI/ffmpeg bindings) returning pixel/PCM tensors; this container
     * has none, so the stub emits a deterministic 8-dim pseudo-feature
     * derived from the byte stream (stride-sampled rolling hashes scaled
     * to [0,1)). Signature and batching are what a real decoder uses.
+    * (PNG is the exception: [[pngDecode]] above is a REAL pixel path.)
     */
   def stubDecode(bytes: Array[Byte]): Array[Float] = {
     val f = new Array[Float](8)

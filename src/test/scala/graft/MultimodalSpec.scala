@@ -189,4 +189,54 @@ class MultimodalSpec extends SparkSpec {
     assert(b.duration_ms == (10 % 120 + 1) * 500L &&
       b.n_tracks == (10 % 3 + 1))
   }
+
+  test("PNG pixel codec: exact round-trip through all five filters") {
+    import graft.multimodal.Binary
+    // 7 rows → filter types 0,1,2,3,4,0,1 all execute; odd width makes
+    // the left/upper-left neighbors exercise the bpp offset logic
+    val w = 5; val h = 7
+    val px = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val png = Binary.pngEncode(w, h, px)
+    // it really is a PNG per the metadata parser too
+    val meta = Binary.parseImageMeta(png).get
+    assert(meta.format == "png" && meta.width == w && meta.height == h)
+    val dec = Binary.pngDecode(png).get
+    assert(dec.width == w && dec.height == h)
+    assert(dec.pixels.toSeq == px.toSeq, "pixel bytes must round-trip exactly")
+  }
+
+  test("PNG decoder rejects corrupt/unsupported input, never junk") {
+    import graft.multimodal.Binary
+    val png = Binary.synthPng(17)
+    assert(Binary.pngDecode(png).isDefined)
+    // flip one IDAT byte → CRC check fails → None (not wrong pixels)
+    val corrupt = png.clone()
+    corrupt(png.length - 20) = (corrupt(png.length - 20) ^ 0x55).toByte
+    assert(Binary.pngDecode(corrupt).isEmpty)
+    // truncation, garbage, empty
+    assert(Binary.pngDecode(png.take(30)).isEmpty)
+    assert(Binary.pngDecode("not a png at all".getBytes).isEmpty)
+    assert(Binary.pngDecode(Array.empty[Byte]).isEmpty)
+    // header-only fixture (no IDAT/IEND): metadata parses, pixels don't
+    val headerOnly = Binary.pngHeader(8, 8, 8)
+    assert(Binary.parseImageMeta(headerOnly).isDefined)
+    assert(Binary.pngDecode(headerOnly).isEmpty)
+  }
+
+  test("PNG channel stats match the closed-form pixel formula") {
+    import graft.multimodal.Binary
+    val id = 23L
+    val w = (id % 13 + 4).toInt; val h = (id % 11 + 4).toInt
+    val stats = Binary.pngChannelStats(Binary.synthPng(id)).get
+    (0 until 3).foreach { c =>
+      val vals = for { y <- 0 until h; x <- 0 until w }
+        yield (x * 7 + y * 13 + c * 101 + id * 31) % 256
+      val (ch, n, s, mean, std) = stats(c)
+      assert(ch == c && n == w.toLong * h && s == vals.sum)
+      assert(math.abs(mean - vals.sum.toDouble / (w * h)) < 1e-12)
+      val v = vals.map(v => v.toDouble * v).sum / (w * h) -
+        (vals.sum.toDouble / (w * h)) * (vals.sum.toDouble / (w * h))
+      assert(math.abs(std - math.sqrt(v)) < 1e-12)
+    }
+  }
 }
