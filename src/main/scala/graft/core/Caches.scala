@@ -81,9 +81,20 @@ object Caches {
     }
   }
 
-  /** Release every retained cache (session teardown / tests). */
+  /** Release every retained cache (session teardown / tests /
+    * benchmark isolation). BLOCKING unpersist, deliberately: the
+    * default async unpersist only ENQUEUES block removal, so a mass
+    * release (hundreds of cached partitions after a cache-heavy
+    * operator) executes during whatever runs NEXT — measured in the
+    * r9 bench as multi-second heavy-tail spikes landing on innocent
+    * queries right after big retainers (q131 after q130_bootstrap,
+    * q155 after q154, q47 after q46_tfidf). Blocking moves that cost
+    * into the caller's own (untimed) teardown window. LRU eviction in
+    * [[retain]] stays async — an operator should not stall on its
+    * neighbor's cleanup.
+    */
   def releaseAll(): Unit = lock.synchronized {
-    sets.foreach(_._2.foreach(_.unpersist()))
+    sets.foreach(_._2.foreach(_.unpersist(blocking = true)))
     sets = Vector.empty
   }
 }

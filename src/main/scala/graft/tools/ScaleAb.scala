@@ -1,0 +1,122 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale audit: measures how the most expensive registered
+  * queries actually scale when the data grows ~10×, turning the
+  * 100×-readiness story from a plan-shape argument into a measurement.
+  *
+  * The harness testdata is capped at sf0.1 (read-only), so the tool
+  * inflates each table IN-FLIGHT — crossJoin with a 10-row range and a
+  * consistent key re-salt (key → key·10 + rep) — and materializes the
+  * result under /tmp (never /root/testdata), so the 10× run exercises
+  * the same parquet-scan path as the 1× run. Salting rules:
+  *
+  *  - join keys are salted CONSISTENTLY on both sides (l_orderkey and
+  *    o_orderkey, o_custkey and c_custkey), so referential joins keep
+  *    exactly their 1× fan-out;
+  *  - foreign keys into UN-inflated dimension tables (part, supplier,
+  *    nation) are left unsalted, so dimension joins stay valid;
+  *  - document text gets a per-rep suffix token and embeddings a
+  *    per-rep first-component nudge: verbatim 10× duplication would
+  *    hand the dedup/clustering family artificial 100× in-bucket pair
+  *    blowups (they exist to FIND duplicates) — the audit measures
+  *    scaling on 10× genuine content, not on a pathological corpus.
+  *
+  * Output: one JSON line per query with t(1×), t(10×) (best of
+  * `reps`), and the fitted scaling exponent log10(t10/t1) — 1.0 =
+  * linear, <1 amortized fixed costs, >1 super-linear. PLANS.md records
+  * the table per round; anything super-linear beyond its declared
+  * complexity needs a plan fix or a documented reason.
+  *
+  * Usage: runMain graft.tools.ScaleAb [sfDir] [outDir] [reps] [q,q,...]
+  */
+object ScaleAb {
+
+  /** The declared top-cost set from VERDICT r9 + its brief. */
+  private val defaultQueries = Seq(
+    "q121_spearman", "q215_ivfpq_ann", "q148_pagerank", "q129_fuzzy_pairs",
+    "q132_mahalanobis", "q155_quantile_normalize", "q47_dedup_clusters",
+    "q198_semdedup", "q35_iforest", "q67_corr_matrix")
+
+  def inflate(spark: SparkSession, sfDir: String, outDir: String,
+              factor: Int): Unit = {
+    val fs = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(fs)
+    def reps = spark.range(factor).select(col("id").as("__rep"))
+    def read(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    // small dimensions: copy through unchanged
+    Seq("region", "nation", "part", "supplier").foreach(t => write(read(t), t))
+    // customer: salt c_custkey (orders salts o_custkey identically)
+    write(read("customer").crossJoin(reps)
+      .withColumn("c_custkey", col("c_custkey") * factor + col("__rep"))
+      .drop("__rep"), "customer")
+    write(read("orders").crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") * factor + col("__rep"))
+      .withColumn("o_custkey", col("o_custkey") * factor + col("__rep"))
+      .drop("__rep"), "orders")
+    // lineitem: salt the orderkey consistently; part/supp keys stay
+    // valid into the un-inflated dimensions
+    write(read("lineitem").crossJoin(reps)
+      .withColumn("l_orderkey", col("l_orderkey") * factor + col("__rep"))
+      .drop("__rep"), "lineitem")
+    write(read("events").crossJoin(reps)
+      .withColumn("user_id", col("user_id") * factor + col("__rep"))
+      .drop("__rep"), "events")
+    write(read("documents").crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") * factor + col("__rep"))
+      .withColumn("text", concat(col("text"), lit(" zrep"), col("__rep")))
+      .drop("__rep"), "documents")
+    write(read("embeddings").crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") * factor + col("__rep"))
+      .withColumn("embedding", concat(
+        array((col("embedding").getItem(0) +
+          col("__rep").cast("double") * lit(1e-3)).cast("float")),
+        slice(col("embedding"), 2, 10000)))
+      .drop("__rep"), "embeddings")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/scaleab_10x")
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val names = args.lift(3).map(_.split(",").toSeq).getOrElse(defaultQueries)
+    val factor = 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$outDir/lineitem.parquet"))) {
+      System.err.println(s"[scaleab] materializing ${factor}x of $sfDir -> $outDir")
+      inflate(spark, sfDir, outDir, factor)
+    }
+    def time(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      graft.core.Caches.releaseAll(); System.gc()
+      fn(spark, dir).count() // untimed warmup (codegen/JIT)
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    def r(v: Double): Double = math.round(v * 1000) / 1000.0
+    val rows = names.map { n =>
+      val t1 = time(n, sfDir)
+      val t10 = time(n, outDir)
+      val exp = math.log(t10 / t1) / math.log(factor.toDouble)
+      System.err.println(f"[scaleab] $n%-26s t1=$t1%7.2fs t10=$t10%7.2fs exp=$exp%5.2f")
+      s"""{"query":"$n","t1_sec":${r(t1)},"t10_sec":${r(t10)},"exponent":${r(exp)}}"""
+    }
+    println(s"""{"metric":"scale_ab","factor":$factor,"sf":"$sfDir","results":[${rows.mkString(",")}]}""")
+    spark.stop()
+  }
+}

@@ -342,4 +342,25 @@ class TextSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(pairs === Set((1L, 2L, 1), (4L, 5L, 0)))
   }
+
+  test("blocked fuzzy join: exact-duplicate collapse keeps full pair " +
+      "semantics (texts follow their ids through the canonical swap)") {
+    // three copies of one text + a dist-1 neighbor in the same block:
+    // the distance stage sees 2 distinct texts; the output still holds
+    // every id-level pair exactly once with id_a < id_b
+    val df = Seq(
+      (10L, "gamma one"), (7L, "gamma one"), (3L, "gamma one"),
+      (5L, "gamma oze")
+    ).toDF("id", "name")
+    val rows = graft.text.FuzzyJoin.blockedPairs(df, "id", "name",
+        org.apache.spark.sql.functions.substring_index(col("name"), " ", 1), 1)
+      .as[(Long, String, Long, String, Int)].collect().toSet
+    val sameText = Set((3L, 7L), (3L, 10L), (7L, 10L))
+      .map { case (a, b) => (a, "gamma one", b, "gamma one", 0) }
+    val crossText = Set(
+      (3L, "gamma one", 5L, "gamma oze", 1),
+      (5L, "gamma oze", 7L, "gamma one", 1),
+      (5L, "gamma oze", 10L, "gamma one", 1))
+    assert(rows === sameText ++ crossText)
+  }
 }
