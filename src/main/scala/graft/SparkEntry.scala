@@ -1464,6 +1464,124 @@ object SparkEntry {
       .orderBy("doc_id", "channel")
   }
 
+  /** D16 — cluster-safe train/test split: q98 DETECTS eval leakage;
+    * this PREVENTS it. Near-dup clusters (connected components over
+    * the Jaccard ≥ 0.5 pair graph, the q47 machinery) are collapsed to
+    * their canonical root, and the split hash is taken over the ROOT —
+    * every member of a near-dup cluster lands in the same split by
+    * construction, so a test document can never have a training-set
+    * near-duplicate. The `no_leakage` boolean re-verifies the
+    * guarantee by recomputation (roots spanning >1 split), and the
+    * oracle replays components + hash + split end-to-end. Scale shape:
+    * the pair graph is banded (Dedup.jaccardPairs), components are
+    * iterative equi-joins, the split is one hash — no new shuffles
+    * beyond the dedup family's own.
+    */
+  private def qClusterSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = par(doc(s, dir))
+    val pairs = graft.dedup.Dedup.jaccardPairs(d, "doc_id", "text",
+      n = 3, threshold = 0.5)
+    val comp = graft.dedup.Components.connectedComponents(pairs, "a", "b")
+      .withColumnRenamed("id", "doc_id")
+    val rooted = d.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("root", coalesce(col("component"), col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q222", rooted)
+    val split = graft.aug.Sampling.splitAssign(rooted, "root",
+      Seq("train" -> 0.9, "test" -> 0.1))
+    val noLeak = split.groupBy("root")
+      .agg(countDistinct(col("split")).as("ns"))
+      .where(col("ns") > 1).count() == 0L
+    split.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("root")).as("n_clusters"))
+      .withColumn("no_leakage", lit(noLeak))
+      .orderBy("split")
+  }
+
+  /** T27 — token-budget corpus selection: pick documents maximizing
+    * lexical diversity (distinct-token ratio, integer-exact density
+    * score) under a global token budget (25% of corpus tokens) — the
+    * data-selection step before a fixed-compute pretraining run.
+    * Selection is a GLOBAL greedy prefix: order by (density desc,
+    * doc_id), running token total via the two-phase [[PrefixScan]]
+    * (no single-partition window), keep while the running total fits.
+    * The (score, id) pair packs into one integer sort key —
+    * (10⁶ − density)·2³³ + doc_id — so the prefix-scan order is total
+    * and deterministic, and the oracle mirrors it with the same
+    * integer arithmetic.
+    */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val toks = TextOps.tokens(col("text"))
+    val d = doc(s, dir).select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("u"))
+      .where(col("n_tok") > 0)
+      .withColumn("key",
+        (lit(1000000L) - expr("u * 1000000 div n_tok")) * lit(8589934592L) +
+          col("doc_id"))
+    val budget = d.agg(sum("n_tok")).head().getLong(0) / 4
+    val (scanned, _) = graft.core.PrefixScan.exclusive(
+      d, "key", Seq("n_tok"), "entry.q223")
+    scanned.where(col("cum_n_tok_below") + col("n_tok") <= budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"),
+        sum("n_tok").as("tokens_selected"))
+      .orderBy("source")
+  }
+
+  /** N8 — two-table kNN JOIN (query set × corpus, the retrieval /
+    * RAG-eval shape, vs q29's self-join): exact cosine top-3 of each
+    * query row over a DISJOINT corpus partition. Labeled brute-force
+    * baseline like q29 — the sublinear paths (q30/q45/q215) are the
+    * scale story; this is the ground-truth operator they're audited
+    * against.
+    */
+  private def qKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = em(s, dir)
+    graft.sim.Ann.knnJoin(
+        e.where(col("vec_id") < 50), e.where(col("vec_id") >= 50),
+        "vec_id", "embedding", k = 3)
+      .orderBy("a", "rank")
+  }
+
+  /** T28 — domain mixture reweighting (the DoReMi-flavoured one-step
+    * proxy, Xie et al. 2023): per-language excess loss under the
+    * corpus-self-fit bigram LM (q96) lifts that domain's sampling
+    * weight above its natural frequency — train harder on what the
+    * model finds hard. Weights are the deterministic closed form
+    * w ∝ frac·(1 + max(0, L_domain − L_corpus)) (linear excess, not a
+    * softmax — exp() is last-ulp engine-divergent, +/× are not), all
+    * means taken over 6-dp-rounded per-doc scores so every decimal
+    * sum is exact cross-engine.
+    */
+  private def qDomainWeights(s: SparkSession, dir: String): DataFrame = {
+    val d = doc(s, dir)
+    val sc = graft.text.BigramLm.score(d, "doc_id", "text")
+    val wl = d.select(col("doc_id").as("id"), col("lang")).join(sc, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q225", wl)
+    val per = wl.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+      (Stats.dsum(col("avg_logp")) / count(lit(1))).as("m"))
+    val all = wl.agg(
+      (Stats.dsum(col("avg_logp")) / count(lit(1))).as("m_all"),
+      count(lit(1)).as("n_all"))
+    val joined = per.crossJoin(all)
+      .withColumn("excess", greatest(lit(0.0), col("m_all") - col("m")))
+      .withColumn("wr", round(
+        (col("n_docs").cast("double") / col("n_all").cast("double")) *
+          (lit(1.0) + col("excess")), 6))
+    val z = joined.agg(Stats.dsum(col("wr")).as("z"))
+    joined.crossJoin(z)
+      .select(col("lang"), col("n_docs"),
+        round(col("m"), 6).as("mean_logp"),
+        round(col("excess"), 6).as("excess_loss"),
+        round(col("wr") / col("z"), 6).as("weight"))
+      .orderBy("lang")
+  }
+
   /** MM'' — REAL audio-container metadata decode (WAV RIFF-chunk walk +
     * FLAC STREAMINFO bit unpack → rate/channels/bits/frames/duration,
     * pure byte arithmetic, no codec): synthetic headers built from
@@ -5253,7 +5371,11 @@ object SparkEntry {
     "q218_holt_winters" -> (qHoltWinters _),
     "q219_conformal" -> (qConformal _),
     "q220_forecast_backtest" -> (qForecastBacktest _),
-    "q221_png_decode" -> (qPngDecode _)
+    "q221_png_decode" -> (qPngDecode _),
+    "q222_cluster_safe_split" -> (qClusterSafeSplit _),
+    "q223_token_budget" -> (qTokenBudget _),
+    "q224_knn_join" -> (qKnnJoin _),
+    "q225_domain_weights" -> (qDomainWeights _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -8322,6 +8444,81 @@ object SparkEntry {
         |    (CAST(sum(v) AS DOUBLE) / count(*)) *
         |    (CAST(sum(v) AS DOUBLE) / count(*)))), 6) AS std_px
         | FROM px GROUP BY doc_id, channel
-        | ORDER BY doc_id, channel""".stripMargin.replaceAll("\n", " ")
+        | ORDER BY doc_id, channel""".stripMargin.replaceAll("\n", " "),
+    "q222_cluster_safe_split" -> {
+      val sh = graft.dedup.Dedup.Sql.shingles("text", 3)
+      val bucket = graft.aug.Sampling.Sql.keyBucket("root", 42L)
+      s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents),
+         | e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         | sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+         | i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |   FROM e x JOIN e y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         | p AS (SELECT a, b FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |   WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+         | ed AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+         | verts AS (SELECT DISTINCT src AS id FROM ed),
+         | reach AS (WITH RECURSIVE rr(id, r) AS (
+         |     SELECT id, id FROM verts
+         |     UNION
+         |     SELECT ed.src, rr.r FROM ed JOIN rr ON rr.id = ed.dst)
+         |   SELECT * FROM rr),
+         | comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         | r2 AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS root
+         |   FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         | sp AS (SELECT doc_id, root,
+         |   CASE WHEN $bucket < 900000 THEN 'train' ELSE 'test' END AS split FROM r2),
+         | st AS (SELECT count(*) = 0 AS no_leak FROM (
+         |   SELECT root FROM sp GROUP BY root HAVING count(DISTINCT split) > 1))
+         | SELECT split, count(*) AS n_docs,
+         |  CAST(count(DISTINCT root) AS BIGINT) AS n_clusters,
+         |  no_leak AS no_leakage
+         | FROM sp CROSS JOIN st GROUP BY split, no_leak
+         | ORDER BY split""".stripMargin.replaceAll("\n", " ")
+    },
+    "q223_token_budget" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      s"""WITH t AS (SELECT doc_id, source, $toks AS toks FROM documents),
+         | d AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok,
+         |   CAST(len(list_distinct(toks)) AS BIGINT) AS u
+         |  FROM t WHERE len(toks) > 0),
+         | k AS (SELECT *,
+         |   (1000000 - (u * 1000000) // n_tok) * 8589934592 + doc_id AS key FROM d),
+         | b AS (SELECT sum(n_tok) // 4 AS budget FROM d),
+         | c AS (SELECT *, sum(n_tok) OVER (ORDER BY key
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM k)
+         | SELECT source, count(*) AS n_selected,
+         |  CAST(sum(n_tok) AS BIGINT) AS tokens_selected
+         | FROM c CROSS JOIN b WHERE cum <= budget
+         | GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " ")
+    },
+    "q224_knn_join" -> {
+      import graft.sim.VectorMath.{Sql => V}
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec, ${V.norm2("embedding")} AS n2 FROM embeddings),
+         | p AS (SELECT x.id AS a, y.id AS b,
+         |   ${V.dot("x.vec", "y.vec")} / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+         |   FROM v x JOIN v y ON y.id >= 50 WHERE x.id < 50),
+         | r AS (SELECT a, b, cos, row_number() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS rank FROM p)
+         | SELECT a, b, rank, round(cos, 6) AS cos FROM r WHERE rank <= 3
+         | ORDER BY a, rank""".stripMargin.replaceAll("\n", " ")
+    },
+    "q225_domain_weights" -> {
+      val sc = graft.text.BigramLm.Sql.score("documents", "doc_id", "text")
+      s"""WITH sc AS ($sc),
+         | wl AS (SELECT sc.id, sc.avg_logp, d.lang
+         |   FROM sc JOIN documents d ON d.doc_id = sc.id),
+         | per AS (SELECT lang, count(*) AS n_docs,
+         |   ${Stats.Sql.dsum("avg_logp")} / count(*) AS m FROM wl GROUP BY lang),
+         | alla AS (SELECT ${Stats.Sql.dsum("avg_logp")} / count(*) AS m_all,
+         |   count(*) AS n_all FROM wl),
+         | j AS (SELECT lang, n_docs, m,
+         |   greatest(CAST(0 AS DOUBLE), m_all - m) AS excess,
+         |   round((CAST(n_docs AS DOUBLE) / CAST(n_all AS DOUBLE)) *
+         |     (1.0 + greatest(CAST(0 AS DOUBLE), m_all - m)), 6) AS wr
+         |  FROM per CROSS JOIN alla),
+         | z AS (SELECT ${Stats.Sql.dsum("wr")} AS z FROM j)
+         | SELECT lang, n_docs, round(m, 6) AS mean_logp,
+         |  round(excess, 6) AS excess_loss, round(wr / z, 6) AS weight
+         | FROM j CROSS JOIN z ORDER BY lang""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

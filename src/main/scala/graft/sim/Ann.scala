@@ -165,6 +165,26 @@ object Ann {
     topK(pairs, k)
   }
 
+  /** Two-table exact kNN JOIN: top-k corpus neighbors per query row by
+    * cosine (the retrieval shape — query set and corpus are different
+    * frames, unlike [[cosineTopK]]'s self-join). Brute-force baseline
+    * by design; the per-pair kernel is the same codegen'd dot product,
+    * and the output contract matches the self-join family
+    * (a, b, rank, cos).
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    def prep(df: DataFrame) =
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        .withColumn("n2", GraftFunctions.norm2(col("vec")))
+    val q = prep(queries)
+    val t = prep(corpus)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("ann.knnJoin", t)
+    rerank(q, t, k)
+  }
+
   // queryPred is written against column `id`
   private def queryPredOnId(p: Column): Column = p
 

@@ -405,6 +405,29 @@ class PlanAuditSpec extends SparkSpec {
       s"conformal plans a cartesian:\n$q219")
   }
 
+  test("round-10 query plans keep their scale shapes") {
+    // q222 cluster-safe split: the shingle pair stage is a banded
+    // equi-join, components are iterative equi-joins — no cartesian,
+    // no nested loop beyond the 1-row no-leakage scalar
+    val q222 = plan(SparkEntry.queries("q222_cluster_safe_split")(spark, sf))
+    assert(!q222.contains("CartesianProduct"),
+      s"cluster-safe split plans a cartesian:\n$q222")
+    // q223 token budget: the global running token total comes from the
+    // two-phase PrefixScan — never a single-partition window
+    val q223 = plan(SparkEntry.queries("q223_token_budget")(spark, sf))
+    assert(!q223.contains("Window"),
+      s"token budget regressed to a window:\n$q223")
+    assert(!q223.contains("Exchange SinglePartition"),
+      s"token budget plans a single-partition exchange:\n$q223")
+    // q225 domain weights: LM count tables join hash-wise; the only
+    // nested-loop joins are 1-row scalar (corpus mean, normalizer)
+    val q225 = plan(SparkEntry.queries("q225_domain_weights")(spark, sf))
+    assert(!q225.contains("CartesianProduct"),
+      s"domain weights plan a cartesian:\n$q225")
+    assert("HashAggregate".r.findAllIn(q225).size >= 2,
+      s"domain weights lost partial aggregation:\n$q225")
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
