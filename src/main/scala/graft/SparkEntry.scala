@@ -1582,6 +1582,111 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** N9 — matryoshka truncation audit (Kusupati et al. 2022): how well
+    * does the 16-dim PREFIX of the 64-dim embedding preserve the full
+    * similarity structure? Per query: Pearson correlation between
+    * full-dim and truncated-dim cosines over a fixed target set, plus
+    * whether the top-1 neighbor survives truncation — the measurement
+    * behind "store the short prefix hot, re-rank with the full vector"
+    * tiered vector storage (64→16 dims = 4× less hot storage/bandwidth
+    * at 100 TB). Both cosines are computed by the same deterministic
+    * kernel; the correlation runs over 6-dp-rounded cosines so the
+    * moment sums are decimal-exact cross-engine.
+    */
+  private def qMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    graft.sim.GraftFunctions.register(s)
+    import graft.sim.GraftFunctions.{dot, norm2}
+    val v = em(s, dir).select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("vec"))
+      .withColumn("v16", slice(col("vec"), 1, 16))
+      .withColumn("n2", norm2(col("vec")))
+      .withColumn("n2_16", norm2(col("v16")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q226", v)
+    val q = v.where(col("id") < 30).select(col("id").as("a"),
+      col("vec").as("qv"), col("v16").as("qv16"),
+      col("n2").as("qn2"), col("n2_16").as("qn2_16"))
+    val t = v.where(col("id") >= 30 && col("id") < 130)
+      .select(col("id").as("b"), col("vec").as("tv"), col("v16").as("tv16"),
+        col("n2").as("tn2"), col("n2_16").as("tn2_16"))
+    val pairs = q.join(t, col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("qv"), col("tv")) /
+          (sqrt(col("qn2")) * sqrt(col("tn2"))), 6).as("c64"),
+        round(dot(col("qv16"), col("tv16")) /
+          (sqrt(col("qn2_16")) * sqrt(col("tn2_16"))), 6).as("c16"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q226", pairs)
+    val n = count(lit(1)).cast("double")
+    val stats = pairs.groupBy("a").agg(
+      count(lit(1)).as("n_targets"),
+      ((n * Stats.dsum(col("c64") * col("c16")) -
+        Stats.dsum(col("c64")) * Stats.dsum(col("c16"))) /
+        (sqrt(n * Stats.dsum(col("c64") * col("c64")) -
+          Stats.dsum(col("c64")) * Stats.dsum(col("c64"))) *
+         sqrt(n * Stats.dsum(col("c16") * col("c16")) -
+           Stats.dsum(col("c16")) * Stats.dsum(col("c16"))))).as("corr"),
+      max(struct(col("c64"), (-col("b")).as("nb"))).getField("nb").as("t64n"),
+      max(struct(col("c16"), (-col("b")).as("nb"))).getField("nb").as("t16n"))
+    stats.select(col("a"), col("n_targets"),
+        round(col("corr"), 6).as("corr_64_16"),
+        (col("t64n") === col("t16n")).as("top1_match"))
+      .orderBy("a")
+  }
+
+  /** T29 — iterative BPE tokenizer TRAINING ([[graft.text.BpeTrainer]],
+    * 6 greedy merge rounds over the distinct-word table — the full
+    * trainer, vs q200's single-round pair statistics). Later rounds'
+    * argmax depends on merged state no SQL engine can replay without
+    * reimplementing the trainer, so the query is SELF-VERIFYING (the
+    * q190/q191 pattern): exact SQL anchors — n_words, total_tokens,
+    * total_chars, and the ROUND-1 merge (the weighted char-bigram
+    * argmax IS SQL-expressible, and single-char symbols make the
+    * (p1, p2) order identical to 2-char string order) — plus
+    * invariants the oracle pins TRUE:
+    *  - `symbols_decreasing`: the weighted symbol count strictly drops
+    *    every round (each applied merge removes ≥1 symbol occurrence);
+    *  - `merges_positive`: every selected pair had weighted count > 0;
+    *  - `merged_pairs_eliminated`: no trained merge's pair is adjacent
+    *    anywhere in the FINAL state (greedy left-to-right removes all
+    *    occurrences, and a merge can never re-create an eliminated
+    *    adjacency — it replaces two symbols with one, preserving
+    *    order);
+    *  - `concat_ok`: every word's final symbols concatenate back to
+    *    the original word (the trainer never loses or invents bytes).
+    */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.BpeTrainer
+    val trained = BpeTrainer.train(doc(s, dir), "text", k = 6)
+    val w = trained.words
+    val anchors = w.agg(count(lit(1)).as("n_words"),
+      sum("c").as("total_tokens"),
+      sum(length(col("w")).cast("long") * col("c")).as("total_chars"),
+      min(concat_ws("", col("syms")) === col("w")).as("concat_ok"))
+      .head()
+    val decreasing = {
+      val seq = anchors.getLong(2) +: trained.weightedSymbols
+      seq.zip(seq.tail).forall { case (a, b) => b < a }
+    }
+    val positive = trained.merges.forall(_.count > 0L)
+    val eliminated = trained.merges.forall { m =>
+      w.select(explode(
+          when(size(col("syms")) >= 2, transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => element_at(col("syms"), i) === lit(m.p1) &&
+              element_at(col("syms"), i + 1) === lit(m.p2)))
+            .otherwise(array().cast("array<boolean>"))).as("hit"))
+        .where(col("hit")).count() == 0L
+    }
+    import s.implicits._
+    Seq((anchors.getLong(0), anchors.getLong(1), anchors.getLong(2), 6L,
+        trained.merges.head.p1 + trained.merges.head.p2,
+        decreasing, positive, eliminated, anchors.getBoolean(3)))
+      .toDF("n_words", "total_tokens", "total_chars", "n_merges",
+        "first_merge", "symbols_decreasing", "merges_positive",
+        "merged_pairs_eliminated", "concat_ok")
+  }
+
   /** MM'' — REAL audio-container metadata decode (WAV RIFF-chunk walk +
     * FLAC STREAMINFO bit unpack → rate/channels/bits/frames/duration,
     * pure byte arithmetic, no codec): synthetic headers built from
@@ -5375,7 +5480,9 @@ object SparkEntry {
     "q222_cluster_safe_split" -> (qClusterSafeSplit _),
     "q223_token_budget" -> (qTokenBudget _),
     "q224_knn_join" -> (qKnnJoin _),
-    "q225_domain_weights" -> (qDomainWeights _)
+    "q225_domain_weights" -> (qDomainWeights _),
+    "q226_matryoshka" -> (qMatryoshka _),
+    "q227_bpe_train" -> (qBpeTrain _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -8519,6 +8626,52 @@ object SparkEntry {
          | SELECT lang, n_docs, round(m, 6) AS mean_logp,
          |  round(excess, 6) AS excess_loss, round(wr / z, 6) AS weight
          | FROM j CROSS JOIN z ORDER BY lang""".stripMargin.replaceAll("\n", " ")
+    },
+    "q226_matryoshka" -> {
+      import graft.sim.VectorMath.{Sql => V}
+      val ds = graft.core.Stats.Sql.dsum _
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec,
+         |   embedding[1:16] AS v16, ${V.norm2("embedding")} AS n2,
+         |   ${V.norm2("embedding[1:16]")} AS n2_16 FROM embeddings),
+         | p AS (SELECT x.id AS a, y.id AS b,
+         |   round(${V.dot("x.vec", "y.vec")} / (sqrt(x.n2) * sqrt(y.n2)), 6) AS c64,
+         |   round(${V.dot("x.v16", "y.v16")} / (sqrt(x.n2_16) * sqrt(y.n2_16)), 6) AS c16
+         |  FROM v x JOIN v y ON y.id >= 30 AND y.id < 130 AND x.id <> y.id
+         |  WHERE x.id < 30),
+         | top AS (SELECT a,
+         |   max(b) FILTER (WHERE r64 = 1) AS t64, max(b) FILTER (WHERE r16 = 1) AS t16
+         |  FROM (SELECT a, b,
+         |    row_number() OVER (PARTITION BY a ORDER BY c64 DESC, b ASC) AS r64,
+         |    row_number() OVER (PARTITION BY a ORDER BY c16 DESC, b ASC) AS r16 FROM p)
+         |  GROUP BY a),
+         | m AS (SELECT a, count(*) AS n_targets,
+         |   (CAST(count(*) AS DOUBLE) * ${ds("c64 * c16")} - ${ds("c64")} * ${ds("c16")}) /
+         |   (sqrt(CAST(count(*) AS DOUBLE) * ${ds("c64 * c64")} - ${ds("c64")} * ${ds("c64")}) *
+         |    sqrt(CAST(count(*) AS DOUBLE) * ${ds("c16 * c16")} - ${ds("c16")} * ${ds("c16")})) AS corr
+         |  FROM p GROUP BY a)
+         | SELECT m.a, m.n_targets, round(m.corr, 6) AS corr_64_16,
+         |  (top.t64 = top.t16) AS top1_match
+         | FROM m JOIN top ON top.a = m.a ORDER BY m.a""".stripMargin.replaceAll("\n", " ")
+    },
+    // BPE trainer audit: rounds ≥2 depend on merged state (not SQL-
+    // replayable), but round 1's argmax IS — plus the corpus anchors —
+    // and the oracle pins the trainer's invariant booleans TRUE
+    "q227_bpe_train" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      s"""WITH tk AS (SELECT unnest($toks) AS w FROM documents),
+         | wc AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
+         | bg AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, c FROM (
+         |   SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i FROM wc)),
+         | pc AS (SELECT pair, sum(c) AS cnt FROM bg GROUP BY pair),
+         | fm AS (SELECT pair FROM pc ORDER BY cnt DESC, pair ASC LIMIT 1)
+         | SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(c) AS BIGINT) AS total_tokens,
+         |  CAST(sum(length(w) * c) AS BIGINT) AS total_chars,
+         |  CAST(6 AS BIGINT) AS n_merges,
+         |  (SELECT pair FROM fm) AS first_merge,
+         |  TRUE AS symbols_decreasing, TRUE AS merges_positive,
+         |  TRUE AS merged_pairs_eliminated, TRUE AS concat_ok
+         | FROM wc""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

@@ -363,4 +363,36 @@ class TextSpec extends SparkSpec {
       (5L, "gamma oze", 10L, "gamma one", 1))
     assert(rows === sameText ++ crossText)
   }
+
+  test("BPE trainer: hand-computed greedy merges on a tiny corpus") {
+    import graft.text.BpeTrainer
+    // corpus: "abab abab abc" → words abab (c=2), abc (c=1)
+    // round 1: (a,b)=2·2+1=5 > (b,a)=2 > (b,c)=1 → merge (a,b)
+    // round 2: abab→[ab,ab], abc→[ab,c]: (ab,ab)=2 > (ab,c)=1 → (ab,ab)
+    // round 3: only (ab,c)=1 → merge (ab,c); round 4: nothing → stop
+    val df = Seq("abab abab abc").toDF("text")
+    val t = BpeTrainer.train(df, "text", k = 4)
+    assert(t.merges.map(m => (m.p1, m.p2, m.count)) ==
+      Seq(("a", "b", 5L), ("ab", "ab", 2L), ("ab", "c", 1L)))
+    val fin = t.words.select("w", "syms").as[(String, Seq[String])]
+      .collect().toMap
+    assert(fin("abab") == Seq("abab") && fin("abc") == Seq("abc"))
+    // weighted symbol counts after each round: start 2·4+3=11 →
+    // merge1 applied 2·2+1=5 times → 6 → merge2 2 → 4 → merge3 1 → 3
+    assert(t.weightedSymbols == Seq(6L, 4L, 3L))
+  }
+
+  test("BPE merge application is greedy left-to-right, never overlapping") {
+    import graft.text.BpeTrainer
+    val syms = split(col("t"), "")
+    def applied(word: String, p1: String, p2: String): Seq[String] =
+      Seq(word).toDF("t")
+        .select(BpeTrainer.applyMerge(
+          filter(syms, x => x =!= ""), p1, p2).as("s"))
+        .as[Seq[String]].head()
+    assert(applied("aaa", "a", "a") == Seq("aa", "a"))
+    assert(applied("aaaa", "a", "a") == Seq("aa", "aa"))
+    assert(applied("abab", "a", "b") == Seq("ab", "ab"))
+    assert(applied("ba", "a", "b") == Seq("b", "a"))
+  }
 }
