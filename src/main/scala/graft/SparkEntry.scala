@@ -1687,6 +1687,38 @@ object SparkEntry {
         "merged_pairs_eliminated", "concat_ok")
   }
 
+  /** T30 — Zipf's-law fit of the token frequency spectrum: ranks the
+    * vocabulary by count and fits ln(count) = a + s·ln(rank) by OLS —
+    * s ≈ −1 is the natural-language signature, and a corpus whose
+    * slope drifts (template spam: flat head; boilerplate: cliff) fails
+    * downstream quality assumptions. The ranking window runs over the
+    * VOCABULARY table (already aggregated, metadata-sized — the
+    * documented exemption class), with a (count desc, token asc) total
+    * order; ln values round at 6 before the exact decimal moment sums
+    * (the q96 pattern for transcendentals).
+    */
+  private def qZipfFit(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    import org.apache.spark.sql.expressions.Window
+    val vocab = par(doc(s, dir))
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val ranked = vocab.withColumn("rank",
+        row_number().over(Window.orderBy(desc("cnt"), asc("w"))))
+      .select(round(log(col("rank").cast("double")), 6).as("x"),
+        round(log(col("cnt").cast("double")), 6).as("y"))
+    val n = count(lit(1)).cast("double")
+    ranked.agg(count(lit(1)).as("n_vocab"),
+        ((n * Stats.dsum(col("x") * col("y")) -
+          Stats.dsum(col("x")) * Stats.dsum(col("y"))) /
+          (n * Stats.dsum(col("x") * col("x")) -
+            Stats.dsum(col("x")) * Stats.dsum(col("x")))).as("slope"),
+        (Stats.dsum(col("y")) / n).as("my"),
+        (Stats.dsum(col("x")) / n).as("mx"))
+      .select(col("n_vocab"), round(col("slope"), 6).as("zipf_slope"),
+        round(col("my") - col("slope") * col("mx"), 6).as("intercept"))
+  }
+
   /** MM'' — REAL audio-container metadata decode (WAV RIFF-chunk walk +
     * FLAC STREAMINFO bit unpack → rate/channels/bits/frames/duration,
     * pure byte arithmetic, no codec): synthetic headers built from
@@ -5482,7 +5514,8 @@ object SparkEntry {
     "q224_knn_join" -> (qKnnJoin _),
     "q225_domain_weights" -> (qDomainWeights _),
     "q226_matryoshka" -> (qMatryoshka _),
-    "q227_bpe_train" -> (qBpeTrain _)
+    "q227_bpe_train" -> (qBpeTrain _),
+    "q228_zipf_fit" -> (qZipfFit _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -8672,6 +8705,23 @@ object SparkEntry {
          |  TRUE AS symbols_decreasing, TRUE AS merges_positive,
          |  TRUE AS merged_pairs_eliminated, TRUE AS concat_ok
          | FROM wc""".stripMargin.replaceAll("\n", " ")
+    },
+    "q228_zipf_fit" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      val ds = graft.core.Stats.Sql.dsum _
+      s"""WITH tk AS (SELECT unnest($toks) AS w FROM documents),
+         | vc AS (SELECT w, count(*) AS cnt FROM tk GROUP BY w),
+         | rk AS (SELECT round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS DOUBLE)), 6) AS x,
+         |   round(ln(CAST(cnt AS DOUBLE)), 6) AS y FROM vc),
+         | m AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+         |   (CAST(count(*) AS DOUBLE) * ${ds("x * y")} - ${ds("x")} * ${ds("y")}) /
+         |   (CAST(count(*) AS DOUBLE) * ${ds("x * x")} - ${ds("x")} * ${ds("x")}) AS slope,
+         |   ${ds("y")} / CAST(count(*) AS DOUBLE) AS my,
+         |   ${ds("x")} / CAST(count(*) AS DOUBLE) AS mx
+         |  FROM rk)
+         | SELECT n_vocab, round(slope, 6) AS zipf_slope,
+         |  round(my - slope * mx, 6) AS intercept FROM m""".stripMargin
+        .replaceAll("\n", " ")
     }
   )
 }
