@@ -47,6 +47,28 @@ object StreamOps {
         col("window.end").as("window_end"),
         col(keyCol), col("n"), col("value_sum"), col("value_mean"))
 
+  /** Watermarked windowed DISTINCT cardinality via HyperLogLog++
+    * (`approx_count_distinct`): the sliding unique-actives metric
+    * (DAU/WAU) in streaming form. Exact COUNT(DISTINCT) is not
+    * streamable — it would buffer every key per window; HLL's
+    * fixed-size mergeable register state is precisely what makes the
+    * metric incremental, and the sketch is deterministic for fixed
+    * data, so stream and batch agree bit-for-bit on the same slice
+    * (StreamingSpec pins the parity).
+    */
+  def streamingWindowedDistinct(stream: DataFrame, tsCol: String,
+                                keyCol: String, windowDur: String,
+                                watermarkDelay: String,
+                                rsd: Double = 0.05): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(approx_count_distinct(col(keyCol), rsd).as("approx_distinct"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("approx_distinct"), col("n_events"))
+
   /** Threshold alert stream: rows whose score exceeds thr (the P9
     * anomaly-flag predicate, streaming form — pure stateless filter).
     */

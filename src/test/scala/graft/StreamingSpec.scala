@@ -34,6 +34,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingWindowedDistinct: HLL windowed uniques, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val out = StreamOps.streamingWindowedDistinct(
+      in.toDF.toDF("ts", "user"), "ts", "user", "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("swd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window [0,10): users 1,2,3 with a repeat; spread over batches
+      in.addData((ts(1), 1L), (ts(2), 2L), (ts(3), 1L))
+      q.processAllAvailable()
+      in.addData((ts(4), 3L), (ts(5), 2L))
+      q.processAllAvailable()
+      in.addData((ts(60), 9L)) // advance watermark, close the window
+      q.processAllAvailable()
+      val rows = spark.table("swd").collect()
+        .filter(_.getAs[Timestamp]("window_start").getTime == 0L)
+      assert(rows.length == 1)
+      val got = rows.head.getAs[Long]("approx_distinct")
+      assert(rows.head.getAs[Long]("n_events") == 5L)
+      // HLL++ is deterministic: the streamed estimate must equal the
+      // batch estimate on the same slice (merge order cannot matter)
+      val batch = Seq((ts(1), 1L), (ts(2), 2L), (ts(3), 1L), (ts(4), 3L),
+          (ts(5), 2L)).toDF("ts", "user")
+        .agg(approx_count_distinct(col("user"), 0.05)).head.getLong(0)
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got >= 2 && got <= 4, s"3 true uniques estimated as $got")
+    } finally q.stop()
+  }
+
   test("foreachBatchScorer applies a fitted batch model per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     // fit a linear AE on static rank-1 data, then score a stream with it
