@@ -1719,6 +1719,103 @@ object SparkEntry {
         round(col("my") - col("slope") * col("mx"), 6).as("intercept"))
   }
 
+  /** T31 — BPE ENCODE with the trained merges (q227's tokenizer put to
+    * work): every corpus word encoded by the trainer's final symbol
+    * state, fertility (BPE tokens per word) measured corpus-wide.
+    * Encoded state is merge-order-dependent (not SQL-replayable), so
+    * the audit is DUAL-PATH: a second, independent encoder — iterated
+    * separator-string `replace` (p1␟p2 → p1p2), which is also greedy
+    * left-to-right non-overlapping — re-encodes every word in pure
+    * column ops, and `dual_path_ok` pins both paths identical on every
+    * word. Anchors (n_words, total_tokens=chars-upper-bound pieces)
+    * are SQL-exact; fertility bounds pinned: 1 ≤ tokens/word and
+    * tokens < chars (6 positive merges must strictly compress).
+    */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.BpeTrainer
+    val sep = "\u0001"
+    val trained = BpeTrainer.train(doc(s, dir), "text", k = 6)
+    val w0 = trained.words
+    // independent path: symbols joined AND bracketed by the separator
+    // (\u2423a\u2423b\u2423 — brackets stop a pattern matching ACROSS symbol
+    // boundaries: merge (b,a) must not fire inside [ab, a]); each merge
+    // is a left-to-right regex replace whose trailing separator is a
+    // LOOKAHEAD, so adjacent matches don't consume each other's
+    // boundary ([a,b,a,b] under (a,b) must become [ab, ab], exactly as
+    // the trainer's fold does)
+    val init = concat(lit(sep),
+      concat_ws(sep, BpeTrainer.charSyms(col("w"))), lit(sep))
+    val viaReplace = trained.merges.foldLeft(init) {
+      case (acc, m) =>
+        regexp_replace(acc,
+          java.util.regex.Pattern.quote(sep + m.p1 + sep + m.p2) +
+            s"(?=${java.util.regex.Pattern.quote(sep)})",
+          java.util.regex.Matcher.quoteReplacement(sep + m.p1 + m.p2))
+    }
+    val audited = w0.withColumn("alt",
+      filter(split(viaReplace, java.util.regex.Pattern.quote(sep)),
+        x => x =!= ""))
+    val r = audited.agg(
+      count(lit(1)).as("n_words"),
+      sum("c").as("total_word_occurrences"),
+      sum(size(col("syms")).cast("long") * col("c")).as("total_bpe_tokens"),
+      sum(length(col("w")).cast("long") * col("c")).as("total_chars"),
+      min(col("alt") === col("syms")).as("dual_path_ok"),
+      min(size(col("syms")) >= 1).as("fert_ge_1")).head()
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(3), 6L,
+        r.getBoolean(4), r.getBoolean(5),
+        r.getLong(2) < r.getLong(3)))
+      .toDF("n_words", "total_word_occurrences", "total_chars", "n_merges",
+        "dual_path_ok", "fert_ge_1", "compressed")
+  }
+
+  /** K2 — key-skew diagnostic report: the partition-planning measurement
+    * behind the salting/AQE decisions (q43's salted aggregate, skew-join
+    * levers). Per key-column: distinct keys, max/mean key frequency,
+    * the skew ratio (hot key vs expected uniform share), and the exact
+    * Gini coefficient of the key-frequency distribution — rank-weighted
+    * via the distributed prefix scan over the (frequency, key) total
+    * order, no single-partition window on data. All integer arithmetic
+    * until the final ratios.
+    */
+  private def qSkewReport(s: SparkSession, dir: String): DataFrame = {
+    def report(df: DataFrame, keyCol: String, label: String): DataFrame = {
+      val freq = df.groupBy(col(keyCol).cast("long").as("k"))
+        .agg(count(lit(1)).as("f"))
+      // unique sort key (f, k): pack into one long (f < 2^31, k < 2^32)
+      val keyed = freq
+        .withColumn("sk", col("f") * lit(4294967296L) + col("k"))
+        .withColumn("one", lit(1L))
+      val (scanned, totals) = graft.core.PrefixScan.exclusive(
+        keyed, "sk", Seq("f", "one"), s"entry.q230.$label")
+      val total = totals(0)
+      val n = totals(1)
+      // Gini over key frequencies, rank-weighted with the ascending
+      // (f, k) rank recovered from the scan's exclusive ones-count:
+      // G = (2*SUM(rank_i * f_i) - (n+1)*F) / (n*F) — all integers
+      // until the final scaled division
+      val giniNum = scanned.agg(
+        sum((col("cum_one_below") + lit(1L)) * col("f"))).head().getLong(0)
+      val giniE6 = (BigInt(2) * BigInt(giniNum) -
+        BigInt(n + 1) * BigInt(total)) * BigInt(1000000) /
+        (BigInt(n) * BigInt(total))
+      val maxF = freq.agg(max("f")).head().getLong(0)
+      import s.implicits._
+      // every output is INTEGER-exact (scaled by 1e6 where fractional):
+      // no double rounding class anywhere in this query
+      Seq((label, n, total, maxF,
+          total * 1000000L / n,
+          maxF * n * 1000000L / total,
+          giniE6.toLong))
+        .toDF("key_col", "n_keys", "n_rows", "max_freq", "mean_freq_e6",
+          "skew_ratio_e6", "gini_e6")
+    }
+    report(li(s, dir), "l_orderkey", "lineitem.l_orderkey")
+      .union(report(ev(s, dir), "user_id", "events.user_id"))
+      .orderBy("key_col")
+  }
+
   /** MM'' — REAL audio-container metadata decode (WAV RIFF-chunk walk +
     * FLAC STREAMINFO bit unpack → rate/channels/bits/frames/duration,
     * pure byte arithmetic, no codec): synthetic headers built from
@@ -5515,7 +5612,9 @@ object SparkEntry {
     "q225_domain_weights" -> (qDomainWeights _),
     "q226_matryoshka" -> (qMatryoshka _),
     "q227_bpe_train" -> (qBpeTrain _),
-    "q228_zipf_fit" -> (qZipfFit _)
+    "q228_zipf_fit" -> (qZipfFit _),
+    "q229_bpe_encode" -> (qBpeEncode _),
+    "q230_skew_report" -> (qSkewReport _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -8722,6 +8821,34 @@ object SparkEntry {
          | SELECT n_vocab, round(slope, 6) AS zipf_slope,
          |  round(my - slope * mx, 6) AS intercept FROM m""".stripMargin
         .replaceAll("\n", " ")
+    },
+    // BPE encode audit: encoded state is merge-order-dependent; the
+    // oracle pins corpus anchors + the dual-path/fertility booleans
+    "q229_bpe_encode" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      s"""WITH tk AS (SELECT unnest($toks) AS w FROM documents),
+         | wc AS (SELECT w, count(*) AS c FROM tk GROUP BY w)
+         | SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(c) AS BIGINT) AS total_word_occurrences,
+         |  CAST(sum(length(w) * c) AS BIGINT) AS total_chars,
+         |  CAST(6 AS BIGINT) AS n_merges,
+         |  TRUE AS dual_path_ok, TRUE AS fert_ge_1, TRUE AS compressed
+         | FROM wc""".stripMargin.replaceAll("\n", " ")
+    },
+    "q230_skew_report" -> {
+      def leg(rel: String, key: String, label: String): String =
+        s"""SELECT '$label' AS key_col, CAST(n AS BIGINT) AS n_keys,
+           | CAST(total AS BIGINT) AS n_rows, CAST(maxf AS BIGINT) AS max_freq,
+           | CAST(total * 1000000 // n AS BIGINT) AS mean_freq_e6,
+           | CAST(maxf * n * 1000000 // total AS BIGINT) AS skew_ratio_e6,
+           | CAST((2 * gn - (n + 1) * total) * 1000000 // (n * total) AS BIGINT) AS gini_e6
+           | FROM (SELECT count(*) AS n, sum(f) AS total, max(f) AS maxf,
+           |   sum(rnk * f) AS gn FROM (
+           |   SELECT f, row_number() OVER (ORDER BY f, k) AS rnk FROM (
+           |     SELECT $key AS k, count(*) AS f FROM $rel GROUP BY 1)))""".stripMargin
+      (leg("lineitem", "l_orderkey", "lineitem.l_orderkey") +
+        " UNION ALL " + leg("events", "user_id", "events.user_id") +
+        " ORDER BY key_col").replaceAll("\n", " ")
     }
   )
 }

@@ -36,7 +36,7 @@ object BpeTrainer {
       weightedSymbols: Seq[Long]) // total symbol count after each round
 
   /** Split a word into single-character symbols. */
-  private def charSyms(w: Column): Column =
+  private[graft] def charSyms(w: Column): Column =
     filter(split(w, ""), x => x =!= "")
 
   private def adjacentPairs(syms: Column): Column =
