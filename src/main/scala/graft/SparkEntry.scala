@@ -1687,6 +1687,45 @@ object SparkEntry {
         "merged_pairs_eliminated", "concat_ok")
   }
 
+  /** D17 — n-gram NOVELTY scoring: per document, the fraction of its
+    * distinct 5-grams whose FIRST corpus occurrence (minimum doc_id
+    * over the ingestion order) is an earlier document — the
+    * attribution signal behind "keep the first, drop the rest" dedup
+    * policies and prefix-ordered decontamination. One shuffle: 5-grams
+    * group to their min owner (map-side combinable), join back
+    * per-doc; no pairwise stage at all — this is the linear-cost
+    * companion to the quadratic span/pair operators (q79's coverage
+    * uses cross-doc counts; novelty uses first-owner order).
+    * Summarized per source with exact integer ratios (scaled 1e6).
+    */
+  private def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val d = par(doc(s, dir))
+    // tokens hoisted into their own projection: referenced inside the
+    // transform lambda they would be re-split once per n-gram position
+    // (the documented HOF shared-subtree inlining trap)
+    val grams = d.select(col("doc_id"), col("source"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(when(size(col("toks")) >= 5,
+          transform(sequence(lit(1), size(col("toks")) - 4),
+            i => array_join(slice(col("toks"), i, lit(5)), " ")))
+          .otherwise(array().cast("array<string>")))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q231", grams)
+    val firstOwner = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    val perDoc = grams.join(firstOwner, "g")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_grams").as("n_grams"),
+        sum("n_novel").as("n_novel"))
+      .withColumn("novelty_e6", expr("n_novel * 1000000 div n_grams"))
+      .orderBy("source")
+  }
+
   /** T30 — Zipf's-law fit of the token frequency spectrum: ranks the
     * vocabulary by count and fits ln(count) = a + s·ln(rank) by OLS —
     * s ≈ −1 is the natural-language signature, and a corpus whose
@@ -5614,7 +5653,8 @@ object SparkEntry {
     "q227_bpe_train" -> (qBpeTrain _),
     "q228_zipf_fit" -> (qZipfFit _),
     "q229_bpe_encode" -> (qBpeEncode _),
-    "q230_skew_report" -> (qSkewReport _)
+    "q230_skew_report" -> (qSkewReport _),
+    "q231_ngram_novelty" -> (qNgramNovelty _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -8849,6 +8889,25 @@ object SparkEntry {
       (leg("lineitem", "l_orderkey", "lineitem.l_orderkey") +
         " UNION ALL " + leg("events", "user_id", "events.user_id") +
         " ORDER BY key_col").replaceAll("\n", " ")
+    },
+    "q231_ngram_novelty" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      s"""WITH t AS (SELECT doc_id, source, $toks AS toks FROM documents),
+         | g AS (SELECT doc_id, source, unnest(list_distinct(
+         |   CASE WHEN len(toks) >= 5 THEN list_transform(
+         |     generate_series(1, len(toks) - 4),
+         |     i -> array_to_string(toks[i:i+4], ' '))
+         |   ELSE [] END)) AS g FROM t),
+         | fo AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
+         | pd AS (SELECT doc_id, source, count(*) AS n_grams,
+         |   count(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel
+         |  FROM g JOIN fo USING (g) GROUP BY doc_id, source)
+         | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+         |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+         |  CAST(sum(n_novel) * 1000000 // sum(n_grams) AS BIGINT) AS novelty_e6
+         | FROM pd GROUP BY source ORDER BY source""".stripMargin
+        .replaceAll("\n", " ")
     }
   )
 }
