@@ -1464,6 +1464,89 @@ object SparkEntry {
       .orderBy("doc_id", "channel")
   }
 
+  /** MM-PCM — REAL WAV PCM decode, dependency-free (closes the sample
+    * half of the multimodal boundary for WAV): deterministic PCM WAVs
+    * are built per doc_id by [[graft.multimodal.Binary.synthWavPcm]]
+    * (real RIFF layout with an ancillary LIST chunk so chunk-skipping
+    * executes), then fully decoded back — word-aligned chunk walk, fmt
+    * validation, int16 LE sample decode — and reduced to per-channel
+    * sample statistics. Integer anchors (n_samp, sum_s, sum_sq,
+    * peak_abs) are exact longs; mean/RMS follow the repo's
+    * round-at-6 / sqrt-at-6 conventions. The oracle recomputes every
+    * sample from the closed-form formula in exact integer arithmetic —
+    * one wrong byte in the RIFF walk breaks sum_sq. Compressed audio
+    * (FLAC/MP3) stays behind the documented stub.
+    */
+  private def qWavDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 80).select(col("doc_id"))
+      .withColumn("wav", Binary.synthWavPcmCol(col("doc_id")))
+      .select(col("doc_id"),
+        explode(Binary.wavChannelStatsCol(col("wav"))).as("st"))
+      .select(col("doc_id"),
+        col("st._1").cast("long").as("channel"),
+        col("st._2").as("n_samp"),
+        col("st._3").as("sum_s"),
+        col("st._4").as("sum_sq"),
+        col("st._5").as("peak_abs"),
+        round(col("st._3").cast("double") / col("st._2"), 6).as("mean_s"),
+        round(sqrt(col("st._4").cast("double") / col("st._2")), 6).as("rms_s"))
+      .orderBy("doc_id", "channel")
+  }
+
+  /** MM-GIF — REAL GIF pixel decode, dependency-free (closes the pixel
+    * half of the multimodal boundary for GIF): deterministic 16-color
+    * GIFs are built per doc_id by [[graft.multimodal.Binary.synthGif]]
+    * (real LZW compression, sub-block framing, a graphic-control
+    * extension so the skip path executes), then fully decoded back —
+    * screen descriptor, global color table, extension skip, LZW decode
+    * with the cScSc case and code-width growth — and reduced through
+    * the palette to per-channel pixel statistics. The oracle
+    * recomputes the palette→pixel formula in exact integer arithmetic:
+    * a single wrong index anywhere in the LZW dictionary machinery
+    * breaks sum_px and hash-mismatches the row.
+    */
+  private def qGifDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 60).select(col("doc_id"))
+      .withColumn("gif", Binary.synthGifCol(col("doc_id")))
+      .select(col("doc_id"),
+        explode(Binary.gifChannelStatsCol(col("gif"))).as("st"))
+      .select(col("doc_id"),
+        col("st._1").cast("long").as("channel"),
+        col("st._2").as("n_px"),
+        col("st._3").as("sum_px"),
+        round(col("st._4"), 6).as("mean_px"),
+        round(col("st._5"), 6).as("std_px"))
+      .orderBy("doc_id", "channel")
+  }
+
+  /** MM-JPG — REAL baseline JPEG entropy decode (DC-exact profile):
+    * deterministic DC-only grayscale JPEGs are built per doc_id by
+    * [[graft.multimodal.Binary.synthJpeg]] (real Annex-K Huffman
+    * tables in DHT, category+EXTEND coding of the DC diff chain, EOB
+    * per block, 0xFF stuffing), then fully decoded back — marker walk,
+    * DHT canonical-code reconstruction, entropy decode, dequant, exact
+    * integer IDCT for flat blocks — and reduced to luma statistics.
+    * Because each block codes the DIFFERENCE from its predecessor, one
+    * wrong Huffman bit corrupts every later block: sum_px is a
+    * whole-stream integrity check the oracle recomputes from the
+    * closed-form clamp(dc·2+128) block values. General AC blocks run a
+    * float IDCT (tested in spec, not oracle-checked — lossy math).
+    */
+  private def qJpegDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 60).select(col("doc_id"))
+      .withColumn("jpg", Binary.synthJpegCol(col("doc_id")))
+      .select(col("doc_id"), Binary.jpegLumaStatsCol(col("jpg")).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("n_px"),
+        col("st._2").as("sum_px"),
+        round(col("st._3"), 6).as("mean_px"),
+        round(col("st._4"), 6).as("std_px"))
+      .orderBy("doc_id")
+  }
+
   /** D16 — cluster-safe train/test split: q98 DETECTS eval leakage;
     * this PREVENTS it. Near-dup clusters (connected components over
     * the Jaccard ≥ 0.5 pair graph, the q47 machinery) are collapsed to
@@ -5654,7 +5737,10 @@ object SparkEntry {
     "q228_zipf_fit" -> (qZipfFit _),
     "q229_bpe_encode" -> (qBpeEncode _),
     "q230_skew_report" -> (qSkewReport _),
-    "q231_ngram_novelty" -> (qNgramNovelty _)
+    "q231_ngram_novelty" -> (qNgramNovelty _),
+    "q232_wav_decode" -> (qWavDecode _),
+    "q233_gif_decode" -> (qGifDecode _),
+    "q234_jpeg_decode" -> (qJpegDecode _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -8908,6 +8994,70 @@ object SparkEntry {
          |  CAST(sum(n_novel) * 1000000 // sum(n_grams) AS BIGINT) AS novelty_e6
          | FROM pd GROUP BY source ORDER BY source""".stripMargin
         .replaceAll("\n", " ")
-    }
+    },
+    // the WAV sample formula mirrored in exact integer arithmetic: the
+    // Spark side must reproduce EVERY int16 sample (RIFF chunk walk →
+    // LE decode) for sum_sq to match
+    "q232_wav_decode" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 2 + 1 AS ch,
+        |   40 + (doc_id % 20) * 5 AS frames
+        |  FROM documents WHERE doc_id < 80),
+        | sm AS (SELECT i.doc_id, c.c AS channel,
+        |   ((s.i * 7 + c.c * 101 + i.doc_id * 31) % 4001) - 2000 AS v
+        |  FROM ids i, range(0, 135) s(i), range(0, 2) c(c)
+        |  WHERE s.i < i.frames AND c.c < i.ch)
+        | SELECT doc_id, CAST(channel AS BIGINT) AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_samp,
+        |  CAST(sum(v) AS BIGINT) AS sum_s,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_s,
+        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)), 6) AS rms_s
+        | FROM sm GROUP BY doc_id, channel
+        | ORDER BY doc_id, channel""".stripMargin.replaceAll("\n", " "),
+    // the GIF palette→pixel formula mirrored exactly: the Spark side
+    // must reproduce EVERY LZW-decoded index for sum_px to match
+    "q233_gif_decode" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 12 + 4 AS w,
+        |   doc_id % 9 + 4 AS h FROM documents WHERE doc_id < 60),
+        | px AS (SELECT i.doc_id, c.c AS channel,
+        |   (((x.x * 5 + y.y * 11 + i.doc_id) % 16) *
+        |     (CASE c.c WHEN 0 THEN 17 WHEN 1 THEN 29 ELSE 23 END) +
+        |    i.doc_id * (CASE c.c WHEN 0 THEN 7 WHEN 1 THEN 13 ELSE 3 END))
+        |    % 256 AS v
+        |  FROM ids i, range(0, 15) x(x), range(0, 12) y(y), range(0, 3) c(c)
+        |  WHERE x.x < i.w AND y.y < i.h)
+        | SELECT doc_id, CAST(channel AS BIGINT) AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(v) AS BIGINT) AS sum_px,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_px,
+        |  round(sqrt(greatest(CAST(0 AS DOUBLE),
+        |    CAST(sum(v * v) AS DOUBLE) / count(*) -
+        |    (CAST(sum(v) AS DOUBLE) / count(*)) *
+        |    (CAST(sum(v) AS DOUBLE) / count(*)))), 6) AS std_px
+        | FROM px GROUP BY doc_id, channel
+        | ORDER BY doc_id, channel""".stripMargin.replaceAll("\n", " "),
+    // the JPEG DC-block formula mirrored exactly: flat 8x8 blocks at
+    // quant 16 decode to clamp(dc*2 + 128); the DC diff chain means
+    // the Spark side must Huffman-decode the whole stream correctly
+    "q234_jpeg_decode" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 3 + 1 AS bw,
+        |   doc_id % 2 + 1 AS bh FROM documents WHERE doc_id < 60),
+        | blk AS (SELECT i.doc_id,
+        |   least(255, greatest(0,
+        |     ((x.x * 5 + y.y * 9 + i.doc_id * 13) % 200 - 100) * 2 + 128))
+        |   AS v
+        |  FROM ids i, range(0, 3) x(x), range(0, 2) y(y)
+        |  WHERE x.x < i.bw AND y.y < i.bh)
+        | SELECT doc_id,
+        |  CAST(64 * count(*) AS BIGINT) AS n_px,
+        |  CAST(64 * sum(v) AS BIGINT) AS sum_px,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_px,
+        |  round(sqrt(greatest(CAST(0 AS DOUBLE),
+        |    CAST(sum(v * v) AS DOUBLE) / count(*) -
+        |    (CAST(sum(v) AS DOUBLE) / count(*)) *
+        |    (CAST(sum(v) AS DOUBLE) / count(*)))), 6) AS std_px
+        | FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      .replaceAll("\n", " ")
   )
 }

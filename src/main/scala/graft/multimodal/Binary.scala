@@ -13,14 +13,17 @@ import org.apache.spark.sql.types._
   * operators here (length, hash, histogram, stride sampling) are real
   * and deterministic, and so is image-container METADATA decode
   * ([[parseImageMeta]]: PNG/JPEG/GIF dimensions + bit depth from pure
-  * header-byte arithmetic). PIXEL decode is REAL for PNG
-  * ([[pngDecode]]: chunk walk + CRC verify + JDK zlib inflate + full
-  * scanline defiltering — no codec library needed); JPEG/PCM/video
-  * payloads stay behind the clearly marked STUB ([[stubDecode]])
-  * because their entropy coders need codec libraries this environment
-  * doesn't ship — for those, the Spark-side plumbing (schema,
-  * batching, partition-level processing, UDF signature) is the
-  * deliverable and is fully tested.
+  * header-byte arithmetic). PAYLOAD decode is REAL and dependency-free
+  * for four formats: PNG pixels ([[pngDecode]]: chunk walk + CRC
+  * verify + JDK zlib inflate + full scanline defiltering), WAV PCM
+  * samples ([[wavPcmDecode]]: RIFF chunk walk + int16 LE), GIF pixels
+  * ([[gifDecode]]: full LZW + palette), and baseline grayscale JPEG
+  * ([[jpegDecode]]: Huffman entropy decode + dequant + IDCT, exact
+  * for DC-only blocks). Codec-library-bound payloads (FLAC/MP3/AAC
+  * frames, MP4 video tracks, color-subsampled JPEG) stay behind the
+  * clearly marked STUB ([[stubDecode]]) — for those, the Spark-side
+  * plumbing (schema, batching, partition-level processing, UDF
+  * signature) is the deliverable and is fully tested.
   *
   * Scale notes: byte ops are per-row map work with no shuffle. The batch
   * processor mirrors the `mapInPandas` pattern — partition iterators
@@ -688,4 +691,911 @@ object Binary {
       }
     }(enc)
   }
+
+  // ------------------------------------------------------------------ //
+  // REAL WAV PCM codec — dependency-free. PCM-in-RIFF is the one
+  // mainstream AUDIO format whose full sample path needs no entropy
+  // coder at all: the payload IS the samples (int16 little-endian,
+  // interleaved by channel). This closes the PCM half of the
+  // multimodal boundary for WAV the way [[pngDecode]] closes pixels
+  // for PNG; compressed audio (FLAC frames, MP3, AAC) stays behind
+  // [[stubDecode]] (those need real entropy decoders).
+  // ------------------------------------------------------------------ //
+
+  /** Decoded PCM audio: samples frame-major, interleaved by channel. */
+  final case class WavPcm(sampleRate: Int, channels: Int,
+                          samples: Array[Short])
+
+  /** REAL WAV encoder (PCM s16le): canonical RIFF layout — fmt chunk,
+    * one ancillary LIST/INFO chunk (so the decoder's chunk-skip path
+    * executes on every fixture), then the data chunk with the actual
+    * sample payload. Exists to make [[wavPcmDecode]] testable against
+    * a known-answer oracle.
+    */
+  def wavPcmEncode(sampleRate: Int, channels: Int,
+                   samples: Array[Short]): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+      s"samples (${samples.length}) must be a multiple of channels ($channels)")
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le32(v: Long) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    val blockAlign = channels * 2
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = samples(i).toByte
+      data(2 * i + 1) = (samples(i) >> 8).toByte
+      i += 1
+    }
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(channels) ++ le32(sampleRate.toLong) ++
+      le32(sampleRate.toLong * blockAlign) ++ le16(blockAlign) ++ le16(16)
+    // ancillary LIST/INFO chunk (ISFT = encoding software, NUL-padded
+    // to even length per the RIFF word-alignment rule)
+    val listBody = "INFO".getBytes("US-ASCII") ++
+      "ISFT".getBytes("US-ASCII") ++ le32(6) ++
+      "graft\u0000".getBytes("US-ASCII")
+    val list = "LIST".getBytes("US-ASCII") ++ le32(listBody.length.toLong) ++
+      listBody
+    val dataChunk = "data".getBytes("US-ASCII") ++
+      le32(data.length.toLong) ++ data
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ list ++ dataChunk
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  /** REAL WAV PCM decode, dependency-free: RIFF chunk walk (word-
+    * aligned — odd chunk sizes consume a pad byte), `fmt ` validation
+    * (PCM tag 1, 16-bit only), ancillary chunks skipped, `data`
+    * payload decoded to int16 LE samples. Anything unsupported
+    * (float/ADPCM tags, 8/24-bit, truncation, size overflow) returns
+    * None rather than junk samples. Cursors stay Long per the
+    * byte-walk discipline.
+    */
+  def wavPcmDecode(b: Array[Byte]): Option[WavPcm] = {
+    def u8(i: Long): Int = b(i.toInt) & 0xff
+    def le16(i: Long): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Long): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def fourcc(i: Long): String =
+      new String(b, i.toInt, 4, "US-ASCII")
+    val n = b.length.toLong
+    if (n < 44 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+    val riffEnd = math.min(n, 8L + le32(4))
+    var pos = 12L
+    var rate = -1; var ch = -1; var bits = -1; var fmtOk = false
+    var dataOff = -1L; var dataLen = -1L
+    while (pos + 8 <= riffEnd) {
+      val id = fourcc(pos)
+      val len = le32(pos + 4)
+      val body = pos + 8
+      if (body + len > n) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val tag = le16(body)
+          ch = le16(body + 2)
+          rate = le32(body + 4).toInt
+          bits = le16(body + 14)
+          fmtOk = tag == 1 // PCM only; float (3) / ADPCM (2) unsupported
+        case "data" => dataOff = body; dataLen = len
+        case _ => () // LIST/fact/cue: ancillary, skip
+      }
+      pos = body + len + (len & 1L) // RIFF chunks are word-aligned
+    }
+    if (!fmtOk || rate <= 0 || ch <= 0 || bits != 16 || dataOff < 0)
+      return None
+    if (dataLen % (2L * ch) != 0 || dataLen > 64L * 1024 * 1024) return None
+    val cnt = (dataLen / 2).toInt
+    val out = new Array[Short](cnt)
+    var i = 0
+    while (i < cnt) {
+      out(i) = le16(dataOff + 2L * i).toShort
+      i += 1
+    }
+    Some(WavPcm(rate, ch, out))
+  }
+
+  /** Deterministic synthetic PCM WAV per id: rate cycles the standard
+    * clock set, 1–2 channels, 40–135 frames, sample value
+    * (i·7 + c·101 + id·31) mod 4001 − 2000 — a closed form DuckDB
+    * reproduces exactly with integer arithmetic, so decoded-sample
+    * statistics get a full VALUE-checked oracle (the whole
+    * RIFF-walk→LE-decode path must reproduce every sample).
+    */
+  def synthWavPcm(id: Long): Array[Byte] = {
+    val rate = synthRates((id % 5).toInt)
+    val ch = (id % 2 + 1).toInt
+    val frames = (40 + (id % 20) * 5).toInt
+    val samples = new Array[Short](frames * ch)
+    var i = 0
+    while (i < frames) {
+      var c = 0
+      while (c < ch) {
+        samples(i * ch + c) =
+          ((i * 7 + c * 101 + id * 31) % 4001 - 2000).toShort
+        c += 1
+      }
+      i += 1
+    }
+    wavPcmEncode(rate, ch, samples)
+  }
+
+  def synthWavPcmCol(c: Column): Column =
+    udf { id: Long => synthWavPcm(id) }.apply(c)
+
+  /** Per-channel decoded-sample statistics: (channel, n, sum, sum_sq,
+    * peak_abs) — all exact longs (int16 samples; sums of ≤64 Mi
+    * squares fit comfortably), so the query layer derives mean/RMS as
+    * reproducible doubles and the integer anchors are exact.
+    */
+  def wavChannelStats(b: Array[Byte]): Option[Seq[(Int, Long, Long, Long, Long)]] =
+    wavPcmDecode(b).map { w =>
+      val frames = w.samples.length / w.channels
+      (0 until w.channels).map { c =>
+        var s = 0L; var ss = 0L; var peak = 0L
+        var i = c
+        while (i < w.samples.length) {
+          val v = w.samples(i).toLong
+          s += v; ss += v * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          i += w.channels
+        }
+        (c, frames.toLong, s, ss, peak)
+      }
+    }
+
+  def wavChannelStatsCol(c: Column): Column =
+    udf { b: Array[Byte] => wavChannelStats(b) }.apply(c)
+
+  // ------------------------------------------------------------------ //
+  // REAL GIF pixel codec — dependency-free. GIF's entropy coder is
+  // LZW, which (unlike JPEG's Huffman+DCT or FLAC's Rice coding)
+  // needs no external library and no floating point: a dictionary of
+  // byte strings and a little-endian bit reader. This closes the
+  // pixel half of the multimodal boundary for GIF alongside PNG.
+  // ------------------------------------------------------------------ //
+
+  /** Decoded paletted image: `indices` row-major, one byte per pixel;
+    * `palette` packs 0xRRGGBB ints.
+    */
+  final case class GifImage(width: Int, height: Int, palette: Array[Int],
+                            indices: Array[Byte])
+
+  /** GIF-variant LZW encoder (LSB-first bit packing, clear/EOI codes,
+    * code width grows from minCode+1 to 12, dictionary reset at 4096).
+    * The width-bump point is the classic off-by-one between encoder
+    * and decoder: the decoder learns each dictionary entry one code
+    * LATER than the encoder creates it, so the encoder bumps at
+    * nextCode == (1<<width)+1 where the decoder bumps at (1<<width) —
+    * the round-trip spec pins this on images big enough to cross the
+    * 2^width boundaries.
+    */
+  private[multimodal] def lzwEncode(indices: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var width = minCode + 1
+    def put(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    var nextCode = eoi + 1
+    val dict = new java.util.HashMap[Integer, Integer]()
+    put(clear)
+    var cur = indices(0) & 0xff
+    var i = 1
+    while (i < indices.length) {
+      val k = indices(i) & 0xff
+      val key = Integer.valueOf((cur << 8) | k)
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        put(cur)
+        if (nextCode < 4096) {
+          dict.put(key, Integer.valueOf(nextCode))
+          nextCode += 1
+          if (nextCode == (1 << width) + 1 && width < 12) width += 1
+        } else {
+          put(clear)
+          dict.clear(); nextCode = eoi + 1; width = minCode + 1
+        }
+        cur = k
+      }
+      i += 1
+    }
+    put(cur); put(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decoder: prefix-chain dictionary in flat arrays,
+    * the cScSc special case (code == nextCode references the entry
+    * being defined), width bump at nextCode == 1<<width, add-freeze at
+    * 4096 until a clear. Returns None (never junk) on out-of-range
+    * codes, truncated bitstreams, or output exceeding `maxPixels`.
+    */
+  private[multimodal] def lzwDecode(data: Array[Byte], minCode: Int,
+                                    maxPixels: Int): Option[Array[Byte]] = {
+    if (minCode < 2 || minCode > 8) return None
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    var width = minCode + 1
+    var bitPos = 0L
+    val nBits = data.length.toLong * 8
+    def read(): Int = {
+      if (bitPos + width > nBits) return -1
+      var v = 0; var i = 0
+      while (i < width) {
+        val bit = (data((bitPos >> 3).toInt) >> (bitPos & 7L).toInt) & 1
+        v |= bit << i
+        bitPos += 1; i += 1
+      }
+      v
+    }
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val csize = new Array[Int](4096)
+    var c = 0
+    while (c < clear) { prefix(c) = -1; suffix(c) = c.toByte; csize(c) = 1; c += 1 }
+    var nextCode = eoi + 1
+    val out = new java.io.ByteArrayOutputStream()
+    def firstOf(code: Int): Byte = {
+      var x = code
+      while (prefix(x) >= 0) x = prefix(x)
+      suffix(x)
+    }
+    def emit(code: Int): Unit = {
+      val buf = new Array[Byte](csize(code))
+      var x = code; var j = buf.length - 1
+      while (j >= 0) { buf(j) = suffix(x); x = prefix(x); j -= 1 }
+      out.write(buf, 0, buf.length)
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code < 0) return None // truncated before EOI
+      if (code == clear) { nextCode = eoi + 1; width = minCode + 1; prev = -1 }
+      else if (code == eoi) done = true
+      else if (prev < 0) {
+        if (code >= clear) return None // first code after clear must be literal
+        emit(code); prev = code
+      } else {
+        if (code > nextCode) return None // undefined code
+        val first = firstOf(if (code < nextCode) code else prev)
+        if (code == nextCode && nextCode >= 4096) return None
+        if (nextCode < 4096) {
+          prefix(nextCode) = prev; suffix(nextCode) = first
+          csize(nextCode) = csize(prev) + 1
+          nextCode += 1
+          if (nextCode == (1 << width) && width < 12) width += 1
+        }
+        emit(code)
+        if (out.size > maxPixels) return None
+        prev = code
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  /** REAL GIF encoder (89a, global color table, single image, no
+    * interlace): logical screen descriptor, GCT, one graphic-control
+    * extension (so the decoder's extension-skip path executes on every
+    * fixture), image descriptor, real LZW-compressed index stream in
+    * ≤255-byte sub-blocks, trailer.
+    */
+  def gifEncode(width: Int, height: Int, palette: Array[Int],
+                indices: Array[Byte]): Array[Byte] = {
+    require(indices.length == width * height,
+      s"need ${width * height} indices, got ${indices.length}")
+    val gctBits = 32 - Integer.numberOfLeadingZeros(palette.length - 1)
+    require(palette.length == (1 << gctBits) && gctBits >= 1 && gctBits <= 8,
+      s"palette size ${palette.length} must be a power of two in [2,256]")
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    val minCode = math.max(2, gctBits)
+    val gct = palette.flatMap(p => Array[Byte](
+      (p >>> 16).toByte, (p >>> 8).toByte, p.toByte))
+    val lzw = lzwEncode(indices, minCode)
+    val sub = new java.io.ByteArrayOutputStream()
+    var off = 0
+    while (off < lzw.length) {
+      val len = math.min(255, lzw.length - off)
+      sub.write(len)
+      sub.write(lzw, off, len)
+      off += len
+    }
+    sub.write(0) // block terminator
+    "GIF89a".getBytes("US-ASCII") ++
+      le16(width) ++ le16(height) ++
+      Array[Byte]((0x80 | ((gctBits - 1) << 4) | (gctBits - 1)).toByte,
+        0, 0) ++
+      gct ++
+      Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0) ++ // GCE (skipped)
+      Array[Byte](0x2c) ++ le16(0) ++ le16(0) ++ le16(width) ++
+      le16(height) ++ Array[Byte](0) ++ // no LCT, no interlace
+      Array[Byte](minCode.toByte) ++ sub.toByteArray ++
+      Array[Byte](0x3b)
+  }
+
+  /** REAL GIF pixel decode, dependency-free: header + logical screen
+    * descriptor, global color table, extension-block skipping, image
+    * descriptor, sub-block reassembly, full LZW decode. Supports the
+    * full-frame GCT profile ([[gifEncode]]'s output and the common
+    * single-image case); local color tables, interlace, and offset
+    * sub-frames return None rather than junk pixels.
+    */
+  def gifDecode(b: Array[Byte]): Option[GifImage] = {
+    def u8(i: Long): Int = b(i.toInt) & 0xff
+    def le16(i: Long): Int = u8(i) | (u8(i + 1) << 8)
+    val n = b.length.toLong
+    if (n < 14) return None
+    val magic = new String(b, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    val w = le16(6); val h = le16(8)
+    val packed = u8(10)
+    if ((packed & 0x80) == 0) return None // GCT required in this profile
+    val gctSize = 2 << (packed & 7)
+    var pos = 13L
+    if (pos + gctSize * 3L > n) return None
+    val palette = new Array[Int](gctSize)
+    var j = 0
+    while (j < gctSize) {
+      palette(j) = (u8(pos + 3L * j) << 16) | (u8(pos + 3L * j + 1) << 8) |
+        u8(pos + 3L * j + 2)
+      j += 1
+    }
+    pos += gctSize * 3L
+    if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+    while (pos < n) {
+      u8(pos) match {
+        case 0x21 => // extension: introducer + label, then sub-blocks
+          pos += 2
+          var bs = if (pos < n) u8(pos) else return None
+          while (bs != 0) {
+            pos += 1 + bs
+            if (pos >= n) return None
+            bs = u8(pos)
+          }
+          pos += 1
+        case 0x2c => // image descriptor
+          if (pos + 10 > n) return None
+          val left = le16(pos + 1); val top = le16(pos + 3)
+          val iw = le16(pos + 5); val ih = le16(pos + 7)
+          val ip = u8(pos + 9)
+          if (left != 0 || top != 0 || iw != w || ih != h) return None
+          if ((ip & 0x80) != 0 || (ip & 0x40) != 0) return None // LCT/interlace
+          pos += 10
+          if (pos >= n) return None
+          val minCode = u8(pos)
+          pos += 1
+          val lzw = new java.io.ByteArrayOutputStream()
+          var bs = if (pos < n) u8(pos) else return None
+          while (bs != 0) {
+            if (pos + 1 + bs > n) return None
+            lzw.write(b, pos.toInt + 1, bs)
+            pos += 1 + bs
+            if (pos >= n) return None
+            bs = u8(pos)
+          }
+          val idx = lzwDecode(lzw.toByteArray, minCode, w * h) match {
+            case Some(x) => x
+            case None => return None
+          }
+          if (idx.length != w * h) return None
+          var i = 0
+          while (i < idx.length) {
+            if ((idx(i) & 0xff) >= gctSize) return None
+            i += 1
+          }
+          return Some(GifImage(w, h, palette, idx))
+        case 0x3b => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** Deterministic synthetic GIF per id: dims (id%12+4) × (id%9+4),
+    * 16-color palette with channel formulas
+    * r=(j·17+id·7)%256, g=(j·29+id·13)%256, b=(j·23+id·3)%256,
+    * pixel index (x·5 + y·11 + id) mod 16 — closed forms DuckDB
+    * reproduces exactly, so decoded-pixel statistics get a full
+    * VALUE-checked oracle (the whole LZW encode→decode→palette path
+    * must reproduce every byte).
+    */
+  def synthGif(id: Long): Array[Byte] = {
+    val w = (id % 12 + 4).toInt
+    val h = (id % 9 + 4).toInt
+    val palette = Array.tabulate(16) { j =>
+      val r = ((j * 17 + id * 7) % 256).toInt
+      val g = ((j * 29 + id * 13) % 256).toInt
+      val bl = ((j * 23 + id * 3) % 256).toInt
+      (r << 16) | (g << 8) | bl
+    }
+    val idx = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        idx(y * w + x) = ((x * 5 + y * 11 + id) % 16).toByte
+        x += 1
+      }
+      y += 1
+    }
+    gifEncode(w, h, palette, idx)
+  }
+
+  def synthGifCol(c: Column): Column =
+    udf { id: Long => synthGif(id) }.apply(c)
+
+  /** Per-channel decoded-pixel statistics through the palette:
+    * (channel, n, sum, mean, std) rows per image — same shape as
+    * [[pngChannelStats]] (population std, exact integer sums).
+    */
+  def gifChannelStats(b: Array[Byte]): Option[Seq[(Int, Long, Long, Double, Double)]] =
+    gifDecode(b).map { img =>
+      val n = img.width.toLong * img.height
+      (0 until 3).map { c =>
+        val shift = (2 - c) * 8
+        var s = 0L; var ss = 0L
+        var i = 0
+        while (i < img.indices.length) {
+          val v = (img.palette(img.indices(i) & 0xff) >>> shift) & 0xff
+          s += v; ss += v.toLong * v
+          i += 1
+        }
+        val mean = s.toDouble / n
+        val variance = ss.toDouble / n - mean * mean
+        (c, n, s, mean, math.sqrt(math.max(0.0, variance)))
+      }
+    }
+
+  def gifChannelStatsCol(c: Column): Column =
+    udf { b: Array[Byte] => gifChannelStats(b) }.apply(c)
+
+  // ------------------------------------------------------------------ //
+  // REAL baseline JPEG entropy decoder — dependency-free. The layer
+  // that "needs a codec library" in JPEG is Huffman coding + the DCT;
+  // the Huffman layer needs nothing beyond bit arithmetic, and the
+  // DCT is exact in integers for flat (DC-only) blocks. This decoder
+  // implements the full baseline grayscale path — marker walk, DQT,
+  // DHT (canonical code reconstruction per T.81 C.2), SOS, byte
+  // unstuffing, DC-diff + AC run-length entropy decode, dequant,
+  // IDCT — with an exact integer fast path for DC-only blocks and a
+  // float IDCT for general ones. Fixtures are DC-only with q0=16 so
+  // every decoded sample is integer-exact and a SQL oracle can
+  // recompute the whole image; the entropy machinery exercised
+  // (category coding, EXTEND, diff chain, EOB) is the real thing.
+  // ------------------------------------------------------------------ //
+
+  /** Decoded grayscale image: one luma byte per pixel, row-major. */
+  final case class JpegImage(width: Int, height: Int, pixels: Array[Byte])
+
+  private val jpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // standard luminance Huffman tables (ITU T.81 Annex K.3) — carried
+  // in the DHT segment, so encoder and decoder are self-consistent by
+  // construction even though only DC categories + EOB are exercised
+  // by the DC-only fixtures
+  private val jpegDcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val jpegDcVals: Array[Byte] = (0 to 11).map(_.toByte).toArray
+  private val jpegAcBits: Array[Int] =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val jpegAcVals: Array[Byte] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+
+  /** Canonical Huffman codes from BITS/HUFFVAL (T.81 C.2): returns
+    * (code, length) per value index, in HUFFVAL order. */
+  private def jpegHuffCodes(bits: Array[Int]): (Array[Int], Array[Int]) = {
+    val total = bits.sum
+    val codes = new Array[Int](total)
+    val lens = new Array[Int](total)
+    var code = 0; var k = 0; var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) {
+        codes(k) = code; lens(k) = l; code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    (codes, lens)
+  }
+
+  /** MSB-first bit writer with 0xFF→0xFF00 byte stuffing; flush pads
+    * the final partial byte with 1-bits per the standard. */
+  private final class JpegBitWriter {
+    val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nb = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nb += 1
+        if (nb == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0)
+          acc = 0; nb = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = while (nb != 0) put(1, 1)
+  }
+
+  /** MSB-first bit reader over unstuffed entropy bytes. */
+  private final class JpegBitReader(data: Array[Byte]) {
+    private var pos = 0
+    private var acc = 0
+    private var nb = 0
+    def readBit(): Int = {
+      if (nb == 0) {
+        if (pos >= data.length) return -1
+        acc = data(pos) & 0xff; pos += 1; nb = 8
+      }
+      nb -= 1
+      (acc >> nb) & 1
+    }
+    def receive(s: Int): Int = {
+      var v = 0; var i = 0
+      while (i < s) {
+        val b = readBit()
+        if (b < 0) return Int.MinValue
+        v = (v << 1) | b
+        i += 1
+      }
+      v
+    }
+  }
+
+  private def jpegExtend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Sequential Huffman decode per T.81 F.16 (min/max-code tables). */
+  private final class JpegHuffDecoder(bits: Array[Int], vals: Array[Byte]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = code - 1
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(r: JpegBitReader): Int = {
+      var code = 0; var l = 0
+      while (l < 16) {
+        val bit = r.readBit()
+        if (bit < 0) return -1
+        code = (code << 1) | bit
+        l += 1
+        if (bits(l - 1) > 0 && code >= minCode(l) && code <= maxCode(l))
+          return vals(valPtr(l) + code - minCode(l)) & 0xff
+      }
+      -1
+    }
+  }
+
+  /** REAL baseline JPEG encoder (grayscale): JFIF APP0, DQT (flat
+    * q=16), SOF0, the standard Annex-K DHT pair, SOS, and a genuine
+    * entropy stream — Huffman-coded DC category + EXTEND bits on the
+    * DC DIFF CHAIN (each block codes its difference from the previous
+    * block's DC), AC run-length coding in zigzag order (ZRL for runs ≥
+    * 16, EOB for the zero tail), 0xFF byte stuffing, 1-padded flush.
+    * Dims must be multiples of 8; `blocks` are raster-ordered 64-entry
+    * QUANTIZED coefficient blocks in natural (row-major) order.
+    */
+  def jpegEncodeBlocks(width: Int, height: Int,
+                       blocks: Array[Array[Int]]): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0,
+      s"dims must be multiples of 8, got ${width}x$height")
+    val bw = width / 8; val bh = height / 8
+    require(blocks.length == bw * bh,
+      s"need ${bw * bh} blocks, got ${blocks.length}")
+    require(blocks.forall(blk => blk.length == 64 &&
+      blk.forall(c => c > -1024 && c < 1024)), "coef category must be <= 10")
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] =
+      Array[Byte](0xff.toByte, marker.toByte) ++ be16(body.length + 2) ++ body
+    val app0 = seg(0xe0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val dqt = seg(0xdb, Array[Byte](0) ++ Array.fill[Byte](64)(16))
+    val sof0 = seg(0xc0, Array[Byte](8) ++ be16(height) ++ be16(width) ++
+      Array[Byte](1, 1, 0x11, 0))
+    val dhtDc = seg(0xc4, Array[Byte](0x00) ++
+      jpegDcBits.map(_.toByte) ++ jpegDcVals)
+    val dhtAc = seg(0xc4, Array[Byte](0x10) ++
+      jpegAcBits.map(_.toByte) ++ jpegAcVals)
+    val sos = seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    val (dcCodes, dcLens) = jpegHuffCodes(jpegDcBits)
+    val (acCodes, acLens) = jpegHuffCodes(jpegAcBits)
+    // AC symbol byte (run<<4 | size) → index into the Annex-K HUFFVAL
+    val acIdx = new Array[Int](256)
+    java.util.Arrays.fill(acIdx, -1)
+    jpegAcVals.zipWithIndex.foreach { case (v, k) => acIdx(v & 0xff) = k }
+    def putAc(w: JpegBitWriter, sym: Int): Unit = {
+      val k = acIdx(sym)
+      require(k >= 0, f"AC symbol 0x$sym%02x not in the standard table")
+      w.put(acCodes(k), acLens(k))
+    }
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    val w = new JpegBitWriter
+    var prev = 0
+    blocks.foreach { blk =>
+      val diff = blk(0) - prev
+      prev = blk(0)
+      val s = category(diff)
+      w.put(dcCodes(s), dcLens(s)) // DC category symbol == value index
+      if (s > 0)
+        w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      val lastNz = (63 to 1 by -1).find(k => blk(jpegZigzag(k)) != 0).getOrElse(0)
+      var k = 1
+      var run = 0
+      while (k <= lastNz) {
+        val c = blk(jpegZigzag(k))
+        if (c == 0) run += 1
+        else {
+          while (run >= 16) { putAc(w, 0xf0); run -= 16 } // ZRL
+          val sz = category(c)
+          putAc(w, (run << 4) | sz)
+          w.put(if (c < 0) c + (1 << sz) - 1 else c, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (lastNz < 63) putAc(w, 0x00) // EOB
+    }
+    w.flush()
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ dqt ++ sof0 ++
+      dhtDc ++ dhtAc ++ sos ++ w.out.toByteArray ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+  }
+
+  /** DC-only convenience wrapper: flat blocks from raster-ordered DC
+    * values (all AC zero) — the integer-exact oracle profile. */
+  def jpegEncodeDc(width: Int, height: Int, dcs: Array[Int]): Array[Byte] =
+    jpegEncodeBlocks(width, height, dcs.map { dc =>
+      val blk = new Array[Int](64); blk(0) = dc; blk
+    })
+
+  /** REAL baseline JPEG decode (grayscale single-scan profile): marker
+    * walk, DQT (8-bit tables), DHT canonical-code reconstruction, SOF0
+    * (baseline only — progressive/arithmetic/multi-component return
+    * None), SOS, byte unstuffing, full entropy decode (DC diff chain,
+    * AC run-length with ZRL and EOB), dequantization, IDCT. Flat
+    * (DC-only) blocks take the exact integer path; blocks with AC
+    * coefficients go through a float IDCT. Returns None (never junk)
+    * on truncation, restart markers, undefined codes, or coefficient
+    * overruns.
+    */
+  def jpegDecode(b: Array[Byte]): Option[JpegImage] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val n = b.length
+    if (n < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    var w = -1; var h = -1
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuffDecoder](4)
+    val acTabs = new Array[JpegHuffDecoder](4)
+    var qSel = -1; var dcSel = -1; var acSel = -1
+    var entropy: Array[Byte] = null
+    while (entropy == null) {
+      if (i + 4 > n || u8(i) != 0xff) return None
+      val m = u8(i + 1)
+      if (m == 0xd9) return None // EOI before scan data
+      val len = be16(i + 2)
+      val body = i + 4
+      if (body + len - 2 > n || len < 2) return None
+      m match {
+        case 0xdb => // DQT: one or more tables
+          val segEnd = body + len - 2
+          var p = body
+          while (p < segEnd) {
+            val pq = u8(p) >> 4; val tq = u8(p) & 0x0f
+            if (pq != 0 || tq > 3 || p + 65 > segEnd) return None
+            quant(tq) = Array.tabulate(64)(k => u8(p + 1 + k))
+            p += 65
+          }
+        case 0xc4 => // DHT: one or more tables
+          val segEnd = body + len - 2
+          var p = body
+          while (p < segEnd) {
+            val tc = u8(p) >> 4; val th = u8(p) & 0x0f
+            if (tc > 1 || th > 3 || p + 17 > segEnd) return None
+            val bits = Array.tabulate(16)(k => u8(p + 1 + k))
+            val total = bits.sum
+            if (total > 256 || p + 17 + total > segEnd) return None
+            val vals = Array.tabulate(total)(k => b(p + 17 + k))
+            val dec = new JpegHuffDecoder(bits, vals)
+            if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
+            p += 17 + total
+          }
+        case 0xc0 => // SOF0 baseline
+          if (len < 11 || u8(body) != 8) return None
+          h = be16(body + 1); w = be16(body + 3)
+          if (u8(body + 5) != 1) return None // grayscale profile only
+          if (u8(body + 7) != 0x11) return None // no subsampling
+          qSel = u8(body + 8)
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+             0xcb | 0xcd | 0xce | 0xcf =>
+          return None // extended/progressive/arithmetic: not baseline
+        case 0xdd => return None // DRI: restart intervals unsupported
+        case 0xda => // SOS: header then entropy data to EOI
+          if (len < 8 || u8(body) != 1) return None
+          dcSel = u8(body + 2) >> 4; acSel = u8(body + 2) & 0x0f
+          var p = body + len - 2
+          val raw = new java.io.ByteArrayOutputStream()
+          var end = -1
+          while (end < 0) {
+            if (p >= n) return None
+            val c = u8(p)
+            if (c != 0xff) { raw.write(c); p += 1 }
+            else if (p + 1 < n && u8(p + 1) == 0x00) { raw.write(0xff); p += 2 }
+            else if (p + 1 < n && u8(p + 1) == 0xd9) end = p
+            else return None // restart marker / truncation mid-scan
+          }
+          entropy = raw.toByteArray
+        case _ => () // APPn/COM: skip
+      }
+      if (entropy == null) i = body + len - 2
+    }
+    if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0) return None
+    if (w.toLong * h > 64L * 1024 * 1024) return None
+    val q = if (qSel >= 0 && qSel < 4) quant(qSel) else null
+    val dcT = if (dcSel >= 0 && dcSel < 4) dcTabs(dcSel) else null
+    val acT = if (acSel >= 0 && acSel < 4) acTabs(acSel) else null
+    if (q == null || dcT == null || acT == null) return None
+    val bw = w / 8; val bh = h / 8
+    val px = new Array[Byte](w * h)
+    val r = new JpegBitReader(entropy)
+    val coef = new Array[Int](64)
+    var prev = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        java.util.Arrays.fill(coef, 0)
+        val s = dcT.decode(r)
+        if (s < 0 || s > 11) return None
+        val dv = r.receive(s)
+        if (dv == Int.MinValue) return None
+        prev += jpegExtend(dv, s)
+        coef(0) = prev * q(0)
+        var k = 1
+        var eob = false
+        var hasAc = false
+        while (!eob && k < 64) {
+          val sym = acT.decode(r)
+          if (sym < 0) return None
+          if (sym == 0x00) eob = true
+          else if (sym == 0xf0) k += 16 // ZRL: sixteen zeros
+          else {
+            val run = sym >> 4; val size = sym & 0x0f
+            if (size == 0) return None
+            k += run
+            if (k > 63) return None
+            val av = r.receive(size)
+            if (av == Int.MinValue) return None
+            coef(jpegZigzag(k)) = jpegExtend(av, size) * q(k)
+            hasAc = true
+            k += 1
+          }
+        }
+        if (!hasAc) {
+          // exact integer path: flat block = round(DC/8) + 128
+          val dcq = coef(0)
+          val v = math.max(0, math.min(255,
+            Math.floorDiv(2 * dcq + 8, 16) + 128)) // round-half-up of dcq/8
+          var yy = 0
+          while (yy < 8) {
+            java.util.Arrays.fill(px, (by * 8 + yy) * w + bx * 8,
+              (by * 8 + yy) * w + bx * 8 + 8, v.toByte)
+            yy += 1
+          }
+        } else {
+          // general float IDCT (T.81 A.3.3), clamped
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              var acc = 0.0
+              var v = 0
+              while (v < 8) {
+                var u = 0
+                while (u < 8) {
+                  val cu = if (u == 0) 0.7071067811865476 else 1.0
+                  val cv = if (v == 0) 0.7071067811865476 else 1.0
+                  acc += cu * cv * coef(v * 8 + u) *
+                    math.cos((2 * xx + 1) * u * math.Pi / 16) *
+                    math.cos((2 * yy + 1) * v * math.Pi / 16)
+                  u += 1
+                }
+                v += 1
+              }
+              val sv = math.max(0, math.min(255, math.round(acc / 4 + 128).toInt))
+              px((by * 8 + yy) * w + bx * 8 + xx) = sv.toByte
+              xx += 1
+            }
+            yy += 1
+          }
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    Some(JpegImage(w, h, px))
+  }
+
+  /** Deterministic synthetic DC-only JPEG per id: dims 8·(id%3+1) ×
+    * 8·(id%2+1), per-block DC value (bx·5 + by·9 + id·13) mod 200 −
+    * 100, flat quant 16 — so every decoded sample is exactly
+    * clamp(dc·2 + 128) and DuckDB recomputes the whole image in
+    * integer arithmetic (the clamp range [−72, 326] exercises both
+    * saturation ends). The DIFF chain across blocks means one wrong
+    * Huffman bit corrupts every subsequent block — sum_px is a
+    * whole-stream integrity check.
+    */
+  def synthJpeg(id: Long): Array[Byte] = {
+    val bw = (id % 3 + 1).toInt
+    val bh = (id % 2 + 1).toInt
+    val dcs = Array.tabulate(bw * bh) { k =>
+      val bx = k % bw; val by = k / bw
+      ((bx * 5 + by * 9 + id * 13) % 200 - 100).toInt
+    }
+    jpegEncodeDc(bw * 8, bh * 8, dcs)
+  }
+
+  def synthJpegCol(c: Column): Column =
+    udf { id: Long => synthJpeg(id) }.apply(c)
+
+  /** Decoded-luma statistics: (n, sum, mean, std) per image (exact
+    * integer sums; population std, same conventions as
+    * [[pngChannelStats]]). */
+  def jpegLumaStats(b: Array[Byte]): Option[(Long, Long, Double, Double)] =
+    jpegDecode(b).map { img =>
+      val n = img.width.toLong * img.height
+      var s = 0L; var ss = 0L
+      var i = 0
+      while (i < img.pixels.length) {
+        val v = img.pixels(i) & 0xff
+        s += v; ss += v.toLong * v
+        i += 1
+      }
+      val mean = s.toDouble / n
+      val variance = ss.toDouble / n - mean * mean
+      (n, s, mean, math.sqrt(math.max(0.0, variance)))
+    }
+
+  def jpegLumaStatsCol(c: Column): Column =
+    udf { b: Array[Byte] => jpegLumaStats(b) }.apply(c)
 }

@@ -239,4 +239,196 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(std - math.sqrt(v)) < 1e-12)
     }
   }
+
+  test("WAV PCM codec: exact sample round-trip incl. chunk skipping") {
+    val samples = Array.tabulate(200 * 2)(i => ((i * 37) % 4001 - 2000).toShort)
+    val wav = Binary.wavPcmEncode(44100, 2, samples)
+    val dec = Binary.wavPcmDecode(wav).get
+    assert(dec.sampleRate == 44100 && dec.channels == 2)
+    assert(dec.samples.toSeq == samples.toSeq,
+      "int16 samples must round-trip exactly through the RIFF walk")
+    // extremes survive (sign handling in the LE decode)
+    val edge = Binary.wavPcmDecode(Binary.wavPcmEncode(8000, 1,
+      Array(Short.MinValue, Short.MaxValue, 0, -1))).get
+    assert(edge.samples.toSeq == Seq(Short.MinValue, Short.MaxValue, 0.toShort, (-1).toShort))
+  }
+
+  test("WAV PCM decoder rejects unsupported/corrupt input, never junk") {
+    val wav = Binary.wavPcmEncode(16000, 1, Array.tabulate(50)(i => i.toShort))
+    assert(Binary.wavPcmDecode(wav).isDefined)
+    // non-PCM format tag → None
+    val fl = wav.clone(); fl(20) = 3 // fmt tag offset: 12+8
+    assert(Binary.wavPcmDecode(fl).isEmpty)
+    assert(Binary.wavPcmDecode(wav.take(30)).isEmpty)
+    assert(Binary.wavPcmDecode("definitely not a wav".getBytes).isEmpty)
+    // the header-only legacy fixture has a data SIZE but no payload →
+    // the chunk walk sees a body past EOF → None
+    assert(Binary.wavPcmDecode(Binary.wavHeader(8000, 1, 16, 100)).isEmpty)
+  }
+
+  test("WAV channel stats match the closed-form sample formula") {
+    val id = 37L
+    val ch = (id % 2 + 1).toInt
+    val frames = (40 + (id % 20) * 5).toInt
+    val stats = Binary.wavChannelStats(Binary.synthWavPcm(id)).get
+    assert(stats.length == ch)
+    (0 until ch).foreach { c =>
+      val vals = (0 until frames).map(i => (i * 7 + c * 101 + id * 31) % 4001 - 2000)
+      val (cc, n, s, ss, peak) = stats(c)
+      assert(cc == c && n == frames.toLong)
+      assert(s == vals.sum && ss == vals.map(v => v * v).sum)
+      assert(peak == vals.map(math.abs).max)
+    }
+  }
+
+  test("GIF LZW codec: exact round-trip across code-width boundaries") {
+    // big enough that nextCode crosses 2^5..2^9: pins the encoder/
+    // decoder width-bump off-by-one (encoder at (1<<w)+1, decoder at 1<<w)
+    val w = 60; val h = 40
+    val palette = Array.tabulate(16)(j => (j * 12 << 16) | (j * 7 << 8) | j)
+    val idx = Array.tabulate(w * h)(i => ((i * i + i / 3) % 16).toByte)
+    val gif = Binary.gifEncode(w, h, palette, idx)
+    val meta = Binary.parseImageMeta(gif).get
+    assert(meta.format == "gif" && meta.width == w && meta.height == h)
+    val dec = Binary.gifDecode(gif).get
+    assert(dec.width == w && dec.height == h)
+    assert(dec.palette.toSeq == palette.toSeq)
+    assert(dec.indices.toSeq == idx.toSeq, "LZW indices must round-trip exactly")
+  }
+
+  test("GIF LZW round-trip over the synthetic id range") {
+    (0L until 60L).foreach { id =>
+      val w = (id % 12 + 4).toInt; val h = (id % 9 + 4).toInt
+      val dec = Binary.gifDecode(Binary.synthGif(id)).get
+      assert(dec.width == w && dec.height == h)
+      (0 until w * h).foreach { i =>
+        val (x, y) = (i % w, i / w)
+        assert((dec.indices(i) & 0xff) == ((x * 5 + y * 11 + id) % 16).toInt)
+      }
+    }
+  }
+
+  test("GIF decoder rejects unsupported/corrupt input, never junk") {
+    val gif = Binary.synthGif(11)
+    assert(Binary.gifDecode(gif).isDefined)
+    assert(Binary.gifDecode(gif.take(25)).isEmpty)
+    assert(Binary.gifDecode("GIF89a then nonsense!".getBytes).isEmpty)
+    assert(Binary.gifDecode(Array.empty[Byte]).isEmpty)
+    // truncating the LZW payload (drop trailer + last sub-block bytes)
+    assert(Binary.gifDecode(gif.dropRight(8)).isEmpty)
+    // the metadata-only legacy fixture has no image data → None
+    assert(Binary.gifDecode(Binary.gifHeader(8, 8, 4)).isEmpty)
+  }
+
+  test("GIF channel stats match the closed-form palette formula") {
+    val id = 23L
+    val w = (id % 12 + 4).toInt; val h = (id % 9 + 4).toInt
+    val stats = Binary.gifChannelStats(Binary.synthGif(id)).get
+    val muls = Seq((17L, 7L), (29L, 13L), (23L, 3L))
+    (0 until 3).foreach { c =>
+      val (jm, im) = muls(c)
+      val vals = for { y <- 0 until h; x <- 0 until w }
+        yield (((x * 5 + y * 11 + id) % 16) * jm + id * im) % 256
+      val (ch, n, s, mean, std) = stats(c)
+      assert(ch == c && n == w.toLong * h && s == vals.sum)
+      assert(math.abs(mean - vals.sum.toDouble / (w * h)) < 1e-12)
+      val v = vals.map(v => v.toDouble * v).sum / (w * h) -
+        (vals.sum.toDouble / (w * h)) * (vals.sum.toDouble / (w * h))
+      assert(math.abs(std - math.sqrt(v)) < 1e-12)
+    }
+  }
+
+  test("JPEG DC-exact codec: decoded blocks match clamp(dc*2+128)") {
+    // 3x2 blocks, values spanning both clamp ends and the diff chain
+    val dcs = Array(-100, 0, 99, 50, -64, 17)
+    val jpg = Binary.jpegEncodeDc(24, 16, dcs)
+    val meta = Binary.parseImageMeta(jpg).get
+    assert(meta.format == "jpeg" && meta.width == 24 && meta.height == 16)
+    val img = Binary.jpegDecode(jpg).get
+    assert(img.width == 24 && img.height == 16)
+    for (by <- 0 until 2; bx <- 0 until 3) {
+      val want = math.max(0, math.min(255, dcs(by * 3 + bx) * 2 + 128))
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val got = img.pixels((by * 8 + y) * 24 + bx * 8 + x) & 0xff
+        assert(got == want, s"block ($bx,$by) pixel ($x,$y): $got != $want")
+      }
+    }
+  }
+
+  test("JPEG decode round-trips the synthetic id range exactly") {
+    (0L until 60L).foreach { id =>
+      val bw = (id % 3 + 1).toInt; val bh = (id % 2 + 1).toInt
+      val img = Binary.jpegDecode(Binary.synthJpeg(id)).get
+      assert(img.width == bw * 8 && img.height == bh * 8)
+      for (by <- 0 until bh; bx <- 0 until bw) {
+        val dc = ((bx * 5 + by * 9 + id * 13) % 200 - 100).toInt
+        val want = math.max(0, math.min(255, dc * 2 + 128))
+        assert((img.pixels(by * 8 * img.width + bx * 8) & 0xff) == want)
+      }
+    }
+  }
+
+  test("JPEG decoder rejects unsupported/corrupt input, never junk") {
+    val jpg = Binary.synthJpeg(7)
+    assert(Binary.jpegDecode(jpg).isDefined)
+    assert(Binary.jpegDecode(jpg.take(40)).isEmpty)
+    assert(Binary.jpegDecode("not a jpeg".getBytes).isEmpty)
+    assert(Binary.jpegDecode(Array.empty[Byte]).isEmpty)
+    // progressive SOF2 → None (metadata parser still reads dims)
+    val prog = jpg.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Binary.parseImageMeta(prog).isDefined)
+    assert(Binary.jpegDecode(prog).isEmpty)
+    // the header-only legacy fixture has no scan data → None
+    assert(Binary.jpegDecode(Binary.jpegHeader(16, 8)).isEmpty)
+  }
+
+  test("JPEG AC path: run-length/ZRL/EXTEND round-trip vs reference IDCT") {
+    // two blocks: one with scattered AC coefficients (exercising zero
+    // runs, a 16+ run needing ZRL, negative EXTEND values), one flat —
+    // the decode must match an independently computed float IDCT
+    val blk0 = new Array[Int](64)
+    blk0(0) = 12 // DC
+    blk0(1) = -7 // (0,1)
+    blk0(16) = 3 // (2,0)
+    blk0(34) = -2 // far coefficient → long zigzag zero run (ZRL)
+    blk0(63) = 1 // last position: lastNz == 63, no EOB
+    val blk1 = new Array[Int](64)
+    blk1(0) = -20
+    val jpg = Binary.jpegEncodeBlocks(16, 8, Array(blk0, blk1))
+    val img = Binary.jpegDecode(jpg).get
+    def refIdct(blk: Array[Int], x: Int, y: Int): Int = {
+      var acc = 0.0
+      for (v <- 0 until 8; u <- 0 until 8) {
+        val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+        acc += cu * cv * blk(v * 8 + u) * 16 *
+          math.cos((2 * x + 1) * u * math.Pi / 16) *
+          math.cos((2 * y + 1) * v * math.Pi / 16)
+      }
+      math.max(0, math.min(255, math.round(acc / 4 + 128).toInt))
+    }
+    for (y <- 0 until 8; x <- 0 until 8) {
+      assert((img.pixels(y * 16 + x) & 0xff) == refIdct(blk0, x, y),
+        s"AC block pixel ($x,$y)")
+      assert((img.pixels(y * 16 + 8 + x) & 0xff) == math.max(0, math.min(255, -20 * 2 + 128)),
+        s"flat block pixel ($x,$y)")
+    }
+  }
+
+  test("JPEG luma stats match the closed-form block formula") {
+    val id = 41L
+    val bw = (id % 3 + 1).toInt; val bh = (id % 2 + 1).toInt
+    val (n, s, mean, std) = Binary.jpegLumaStats(Binary.synthJpeg(id)).get
+    val blocks = for { by <- 0 until bh; bx <- 0 until bw }
+      yield math.max(0, math.min(255, ((bx * 5 + by * 9 + id * 13) % 200 - 100).toInt * 2 + 128))
+    assert(n == bw.toLong * bh * 64)
+    assert(s == 64L * blocks.sum)
+    assert(math.abs(mean - blocks.sum.toDouble / blocks.length) < 1e-12)
+    val v = blocks.map(b => b.toDouble * b).sum / blocks.length -
+      (blocks.sum.toDouble / blocks.length) * (blocks.sum.toDouble / blocks.length)
+    assert(math.abs(std - math.sqrt(v)) < 1e-12)
+  }
 }
