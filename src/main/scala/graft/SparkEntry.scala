@@ -1547,6 +1547,81 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** S9 — JSON round-trip surface: a JSONL corpus is the standard
+    * training-data interchange format, and the engine must serialize
+    * and re-parse it without loss. Each document becomes a nested JSON
+    * payload via `to_json(struct(...))` — including a `note` field
+    * deliberately stuffed with quote/newline/tab/backslash characters
+    * to exercise the escaper — then `from_json` parses it back against
+    * an explicit schema, and an in-query audit counts field-exact
+    * round-trips (id, nested meta, array length, long field): the
+    * oracle pins `json_ok` TRUE and recomputes the aggregates from the
+    * base columns, so any serialization loss flips the row. Both
+    * directions are codegen'd Catalyst expressions (JacksonGenerator/
+    * JacksonParser), not UDFs — per-row map work at any scale.
+    */
+  private def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val d = par(doc(s, dir))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        col("n_chars"))
+      .withColumn("quoted", concat(lit("\""), col("lang"), lit("\n\t"),
+        col("source"), lit("\\end\"")))
+    val payload = d.withColumn("payload", to_json(struct(
+      col("doc_id").as("id"),
+      struct(col("lang").as("lang"), col("quoted").as("note")).as("meta"),
+      split(col("text"), " ").as("words"),
+      col("n_chars").as("nc"))))
+    val sch = StructType(Seq(
+      StructField("id", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("lang", StringType), StructField("note", StringType)))),
+      StructField("words", ArrayType(StringType)),
+      StructField("nc", LongType)))
+    val p = payload.withColumn("r", from_json(col("payload"), sch))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q235", p)
+    val a = p.agg(
+      count(when(col("r.id") === col("doc_id") &&
+        col("r.meta.lang") === col("lang") &&
+        col("r.meta.note") === col("quoted") &&
+        col("r.nc") === col("n_chars") &&
+        size(col("r.words")) === size(split(col("text"), " ")), 1)).as("ok"),
+      count(lit(1)).as("n")).head()
+    val jsonOk = a.getLong(0) == a.getLong(1)
+    p.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("r.words")).cast("long")).as("sum_words"),
+        sum(col("r.nc")).as("sum_chars"))
+      .withColumn("json_ok", lit(jsonOk))
+      .orderBy("source")
+  }
+
+  /** D18 — winnowing substring fingerprints (MOSS): the
+    * guarantee-carrying local fingerprint scheme — any shared run of
+    * ≥ w+k−1 tokens yields a shared fingerprint (details and scale
+    * shape in [[graft.dedup.Winnowing]]). Emits the top shared-
+    * fingerprint document pairs plus corpus totals; the oracle replays
+    * gram hashing, the per-document window-min selection, and the
+    * inverted-index pair join end-to-end.
+    */
+  private def qWinnowing(s: SparkSession, dir: String): DataFrame = {
+    val d = par(doc(s, dir))
+    val fp = graft.dedup.Winnowing.fingerprints(d, "doc_id", "text",
+        k = 4, w = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q236", fp)
+    val st = fp.agg(countDistinct(col("doc_id")).as("corpus_docs"),
+      count(lit(1)).as("corpus_fps"))
+    val pairs = fp.as("x").join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared_fps"))
+    pairs.crossJoin(st) // 1-row aggregate: broadcast, not a pair blowup
+      .orderBy(desc("shared_fps"), asc("a"), asc("b"))
+      .limit(15)
+  }
+
   /** D16 — cluster-safe train/test split: q98 DETECTS eval leakage;
     * this PREVENTS it. Near-dup clusters (connected components over
     * the Jaccard ≥ 0.5 pair graph, the q47 machinery) are collapsed to
@@ -5740,7 +5815,9 @@ object SparkEntry {
     "q231_ngram_novelty" -> (qNgramNovelty _),
     "q232_wav_decode" -> (qWavDecode _),
     "q233_gif_decode" -> (qGifDecode _),
-    "q234_jpeg_decode" -> (qJpegDecode _)
+    "q234_jpeg_decode" -> (qJpegDecode _),
+    "q235_json_roundtrip" -> (qJsonRoundtrip _),
+    "q236_winnowing" -> (qWinnowing _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -9058,6 +9135,39 @@ object SparkEntry {
         |    (CAST(sum(v) AS DOUBLE) / count(*)) *
         |    (CAST(sum(v) AS DOUBLE) / count(*)))), 6) AS std_px
         | FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      .replaceAll("\n", " ")
+      .replaceAll("\n", " "),
+    // the oracle recomputes the aggregates from BASE columns and pins
+    // json_ok TRUE — any to_json/from_json loss flips the audit column
+    "q235_json_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | TRUE AS json_ok
+        | FROM documents GROUP BY source ORDER BY source""".stripMargin
+      .replaceAll("\n", " "),
+    "q236_winnowing" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      val h = graft.text.TextOps.Sql.strHash("array_to_string(toks[i:i+3], ' ')")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         | t2 AS (SELECT doc_id, list_transform(
+         |    generate_series(1, len(toks) - 3), i -> $h) AS hs
+         |  FROM t WHERE len(toks) >= 4),
+         | g AS (SELECT doc_id,
+         |   unnest(generate_series(1, len(hs))) - 1 AS pos,
+         |   unnest(hs) AS hh FROM t2),
+         | wmin AS (SELECT doc_id, pos, min(hh) OVER (PARTITION BY doc_id
+         |   ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+         |  FROM g),
+         | f AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos >= 3),
+         | st AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS corpus_docs,
+         |   CAST(count(*) AS BIGINT) AS corpus_fps FROM f),
+         | p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared_fps
+         |  FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         | SELECT a, b, shared_fps, corpus_docs, corpus_fps
+         | FROM p CROSS JOIN st
+         | ORDER BY shared_fps DESC, a, b LIMIT 15""".stripMargin
+        .replaceAll("\n", " ")
+    }
   )
 }

@@ -246,4 +246,31 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Boolean]("cos_bounded"))
     assert(r.getAs[Boolean]("pruned_frac_ok"))
   }
+
+  test("winnowing: detection guarantee and density bound") {
+    // k=4, w=4: any shared run of >= w+k-1 = 7 tokens must yield a
+    // shared fingerprint. Docs 1 and 2 share an 8-token run; doc 3 is
+    // disjoint vocabulary.
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta unique1 tail1 more1"),
+      (2L, "lead2 alpha beta gamma delta epsilon zeta eta theta other2"),
+      (3L, "completely different words entirely here now again further onwards")
+    ).toDF("doc_id", "text")
+    val fp = graft.dedup.Winnowing.fingerprints(d, "doc_id", "text", k = 4, w = 4)
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .map { case (k2, v) => k2 -> v.map(_.getLong(1)).toSet }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "shared 8-token run must produce a shared fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty,
+      "disjoint vocabularies share nothing")
+    // density: fingerprints <= full windows; >= ceil(grams / w) since
+    // a window min can persist at most w consecutive windows
+    val grams1 = 11 - 3 // n_tokens - (k-1)
+    val windows1 = grams1 - 3 // full windows
+    assert(byDoc(1L).size <= windows1)
+    assert(byDoc(1L).size >= (grams1 + 3) / 4)
+    // short doc: fewer tokens than k + w - 1 full window -> no panic
+    val short = Seq((9L, "one two three")).toDF("doc_id", "text")
+    assert(graft.dedup.Winnowing.fingerprints(short, "doc_id", "text").count() == 0L)
+  }
 }

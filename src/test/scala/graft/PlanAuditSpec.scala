@@ -428,6 +428,38 @@ class PlanAuditSpec extends SparkSpec {
       s"domain weights lost partial aggregation:\n$q225")
   }
 
+  test("round-10 codec and fingerprint plans keep their scale shapes") {
+    // q232-q234 media decodes: pure per-row map work — no join, no
+    // aggregation shuffle beyond the final orderBy, never a cartesian
+    Seq("q232_wav_decode", "q233_gif_decode", "q234_jpeg_decode").foreach { n =>
+      val p = plan(SparkEntry.queries(n)(spark, sf))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n plans a join it doesn't need:\n$p")
+      assert(!p.contains("Window"), s"$n plans a window:\n$p")
+    }
+    // q235 JSON round-trip: one partial-aggregated groupBy, no joins
+    val q235 = plan(SparkEntry.queries("q235_json_roundtrip")(spark, sf))
+    assert("HashAggregate".r.findAllIn(q235).size >= 2,
+      s"json roundtrip lost partial aggregation:\n$q235")
+    assert(!q235.contains("CartesianProduct"),
+      s"json roundtrip plans a cartesian:\n$q235")
+    // q236 winnowing: the window-min is PARTITIONED by doc (never a
+    // single-partition exchange); the pair stage is a hash equi-join
+    // on fp; top-15 is a distributed TakeOrderedAndProject; the only
+    // nested-loop join is the 1-row corpus-stats cross join
+    val q236 = plan(SparkEntry.queries("q236_winnowing")(spark, sf))
+    assert(!q236.contains("Exchange SinglePartition") ||
+      q236.contains("TakeOrderedAndProject"),
+      s"winnowing single-partition exchange outside the top-k:\n$q236")
+    assert(q236.contains("Window"), s"winnowing lost its window-min:\n$q236")
+    assert(!q236.contains("CartesianProduct"),
+      s"winnowing pair stage plans a cartesian:\n$q236")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(q236).size <= 1,
+      s"winnowing pair stage fell out of the equi join:\n$q236")
+    assert(q236.contains("HashJoin") || q236.contains("SortMergeJoin"),
+      s"no hash equi-join for the fingerprint pair stage:\n$q236")
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
