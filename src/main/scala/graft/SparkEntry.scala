@@ -1622,6 +1622,134 @@ object SparkEntry {
       .limit(15)
   }
 
+  /** J5 — blocking QUALITY report (Christen's record-linkage metrics):
+    * reduction ratio and pair completeness of the q129 prefix-blocking
+    * scheme, measured against exact all-pairs edit-distance ground
+    * truth on a deterministic eval subset (c_custkey &lt; 1500 — an
+    * ABSOLUTE cap, so the labeled baseline costs the same at every
+    * corpus scale, exactly how production ER evaluation samples its
+    * truth set; the operator under test, the blocked join, stays
+    * linear in the full corpus). ONE all-pairs pass computes distance
+    * and block agreement together — truth, candidates, and
+    * blocked-found counts come from the same levenshtein evaluation.
+    * Every metric is an exact scaled integer; the oracle replays
+    * subset → truth → candidates → blocked matches end-to-end (DuckDB
+    * `levenshtein` ≡ Spark's, q129-established).
+    */
+  private def qBlockingQuality(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .where(col("c_custkey") < 1500)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        substring(col("c_name"), 1, 16).as("blk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q237", c)
+    val m = c.count()
+    val a = c.as("x").crossJoin(c.as("y")) // labeled all-pairs baseline
+      .where(col("x.id") < col("y.id"))
+      .select((levenshtein(col("x.name"), col("y.name")) <= 1).as("is_match"),
+        (col("x.blk") === col("y.blk")).as("same_blk"))
+      .agg(count(when(col("is_match"), 1)).as("n_truth"),
+        count(when(col("same_blk"), 1)).as("n_cand"),
+        count(when(col("is_match") && col("same_blk"), 1)).as("n_found"))
+      .head()
+    val (nTruth, nCand, nFound) = (a.getLong(0), a.getLong(1), a.getLong(2))
+    val nAll = m * (m - 1) / 2
+    import s.implicits._
+    Seq((m, nAll, nTruth, nCand, nFound,
+        1000000L - (if (nAll > 0) nCand * 1000000L / nAll else 0L),
+        if (nTruth > 0) nFound * 1000000L / nTruth else 1000000L))
+      .toDF("n_eval", "n_allpairs", "n_truth", "n_candidates", "n_found",
+        "reduction_e6", "completeness_e6")
+  }
+
+  /** T31 — compression-ratio quality signal (deflate bytes per char,
+    * the Gopher/Dolma "too compressible = boilerplate" filter; module
+    * rationale in [[graft.text.Compress]]). zlib byte counts are not
+    * engine-mirrorable, so the registered query is a self-verifying
+    * audit (the q190 pattern): the oracle pins per-source doc counts
+    * plus three structural invariants that only hold if the
+    * measurement is real zlib output — ratios bounded by the
+    * stored-block worst case, text||text costing ≤ 64 bytes over text
+    * (the whole second copy is back-references), and repetition
+    * compressing strictly better than reversed-novelty at corpus
+    * level. Per-doc ratios remain available to library users via
+    * `Compress.withCompressionRatio`.
+    */
+  private def qCompressionSignal(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Compress
+    val d = par(doc(s, dir)).select(col("doc_id"), col("source"), col("text"))
+      .withColumn("raw_len", length(col("text")).cast("long"))
+      .withColumn("c_len", Compress.deflatedLenCol(col("text")).cast("long"))
+      .withColumn("c_dup",
+        Compress.deflatedLenCol(concat(col("text"), col("text"))).cast("long"))
+      .withColumn("c_rev",
+        Compress.deflatedLenCol(concat(col("text"), reverse(col("text")))).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q238", d)
+    val a = d.agg(
+      count(when(col("c_len") > 0 &&
+        col("c_len") <= col("raw_len") + col("raw_len") / 1000 + 64, 1)).as("nb"),
+      count(when(col("c_dup") <= col("c_len") + 64, 1)).as("nd"),
+      sum(col("c_dup")).as("sd"), sum(col("c_rev")).as("sr"),
+      count(lit(1)).as("n")).head()
+    val boundedOk = a.getLong(0) == a.getLong(4)
+    val dupOk = a.getLong(1) == a.getLong(4)
+    val repBeatsNovel = a.getLong(2) < a.getLong(3)
+    d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("ratio_bounded", lit(boundedOk))
+      .withColumn("dup_compresses", lit(dupOk))
+      .withColumn("repetition_beats_novelty", lit(repBeatsNovel))
+      .orderBy("source")
+  }
+
+  /** A24 — Local Outlier Factor (density-ratio anomaly score; math
+    * and engine-parity discipline in [[graft.sim.Lof]]): the LOCAL
+    * complement to the engine's global anomaly family (IF q35, AE
+    * q36/q53, Mahalanobis q132, HBOS q136). Eval subset vec_id < 250
+    * keeps the labeled all-pairs kNN baseline bounded (the 100 TB path
+    * feeds the same math from IVF/LSH candidates); every derived
+    * quantity is micro-unit integer so the oracle replays kNN →
+    * k-distance → reachability → lrd → LOF bitwise.
+    */
+  private def qLof(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings").where(col("vec_id") < 250)
+    graft.sim.Lof.scores(e, "vec_id", "embedding", k = 5)
+      .select(col("id"), col("k_dist_micro"), col("lrd_micro"),
+        round(col("lof"), 6).as("lof"))
+      .orderBy(desc("lof"), asc("id")).limit(10)
+  }
+
+  /** A25 — grid-blocked exact DBSCAN (cell completeness + scale story
+    * in [[graft.sim.Dbscan]]): density clustering with a noise class
+    * over a closed-form 2-D fixture — three planted 1×1 blobs 10
+    * units apart plus a sparse noise field, integer centi-unit
+    * coordinates so every distance predicate is exact. The oracle
+    * recomputes the SAME clustering from the O(n²) pair join (the
+    * grid is a complete candidate set, so both must agree exactly) and
+    * replays core/border/noise roles and min-id component labels.
+    */
+  private def qDbscan(s: SparkSession, dir: String): DataFrame = {
+    val pts = doc(s, dir).where(col("doc_id") < 400)
+      .select(col("doc_id").as("id"))
+      .withColumn("x", when(col("id") % 4 < 3,
+          (col("id") % 4) * 1000 + (col("id") * 7) % 100)
+        .otherwise(lit(3000) + (col("id") * 31) % 3000))
+      .withColumn("y", when(col("id") % 4 < 3,
+          (col("id") % 4) * 1000 + (col("id") * 13) % 100)
+        .otherwise((col("id") * 37) % 3000))
+    val labeled = graft.sim.Dbscan.cluster(pts, "id", "x", "y",
+      epsCenti = 50L, minPts = 5)
+    val st = labeled.agg(
+      count(when(col("role") === "noise", 1)).as("n_noise"),
+      count(lit(1)).as("n_points"))
+    labeled.where(col("role") =!= "noise")
+      .groupBy("cluster")
+      .agg(count(when(col("role") === "core", 1)).as("n_core"),
+        count(when(col("role") === "border", 1)).as("n_border"))
+      .crossJoin(st) // 1-row aggregate
+      .orderBy("cluster")
+  }
+
   /** D16 — cluster-safe train/test split: q98 DETECTS eval leakage;
     * this PREVENTS it. Near-dup clusters (connected components over
     * the Jaccard ≥ 0.5 pair graph, the q47 machinery) are collapsed to
@@ -5817,7 +5945,11 @@ object SparkEntry {
     "q233_gif_decode" -> (qGifDecode _),
     "q234_jpeg_decode" -> (qJpegDecode _),
     "q235_json_roundtrip" -> (qJsonRoundtrip _),
-    "q236_winnowing" -> (qWinnowing _)
+    "q236_winnowing" -> (qWinnowing _),
+    "q237_blocking_quality" -> (qBlockingQuality _),
+    "q238_compression_signal" -> (qCompressionSignal _),
+    "q239_lof" -> (qLof _),
+    "q240_dbscan" -> (qDbscan _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -9168,6 +9300,112 @@ object SparkEntry {
          | FROM p CROSS JOIN st
          | ORDER BY shared_fps DESC, a, b LIMIT 15""".stripMargin
         .replaceAll("\n", " ")
-    }
+    },
+    // subset -> truth -> candidates -> blocked matches, end-to-end;
+    // DuckDB levenshtein == Spark levenshtein (q129-established)
+    "q237_blocking_quality" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer
+        |   WHERE c_custkey < 1500),
+        | m AS (SELECT count(*) AS n_eval FROM c),
+        | tr AS (SELECT count(*) AS n_truth FROM c a JOIN c b
+        |   ON a.id < b.id AND levenshtein(a.name, b.name) <= 1),
+        | k AS (SELECT substr(name, 1, 16) AS blk, id FROM c),
+        | cd AS (SELECT count(*) AS n_cand FROM k x JOIN k y
+        |   ON x.blk = y.blk AND x.id < y.id),
+        | fd AS (SELECT count(*) AS n_found FROM c a JOIN c b
+        |   ON substr(a.name, 1, 16) = substr(b.name, 1, 16)
+        |   AND a.id < b.id AND levenshtein(a.name, b.name) <= 1)
+        | SELECT n_eval, n_eval * (n_eval - 1) // 2 AS n_allpairs,
+        |  n_truth, n_cand AS n_candidates, n_found,
+        |  1000000 - CASE WHEN n_eval > 1
+        |    THEN n_cand * 1000000 // (n_eval * (n_eval - 1) // 2)
+        |    ELSE 0 END AS reduction_e6,
+        |  CASE WHEN n_truth > 0 THEN n_found * 1000000 // n_truth
+        |    ELSE 1000000 END AS completeness_e6
+        | FROM m CROSS JOIN tr CROSS JOIN cd CROSS JOIN fd""".stripMargin
+      .replaceAll("\n", " "),
+    // self-verifying audit (zlib byte counts are not mirrorable): the
+    // oracle pins doc counts + the three structural invariants
+    "q238_compression_signal" ->
+      """SELECT source, count(*) AS n_docs, TRUE AS ratio_bounded,
+        | TRUE AS dup_compresses, TRUE AS repetition_beats_novelty
+        | FROM documents GROUP BY source ORDER BY source""".stripMargin
+      .replaceAll("\n", " "),
+    // full LOF replay: kNN -> k-distance -> reachability -> lrd -> LOF,
+    // every derived quantity in micro-unit integers
+    "q239_lof" -> {
+      import graft.sim.VectorMath.{Sql => V}
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec,
+         |   ${V.norm2("embedding")} AS n2 FROM embeddings WHERE vec_id < 250),
+         | p AS (SELECT x.id AS a, y.id AS b,
+         |   1.0 - ${V.dot("x.vec", "y.vec")} / (sqrt(x.n2) * sqrt(y.n2)) AS dist
+         |  FROM v x JOIN v y ON x.id <> y.id),
+         | r AS (SELECT a, b, dist, row_number() OVER (PARTITION BY a
+         |   ORDER BY dist ASC, b ASC) AS rank FROM p),
+         | knn AS (SELECT a, b, CAST(round(dist * 1e6) AS BIGINT) AS dm
+         |  FROM r WHERE rank <= 5),
+         | kd AS (SELECT a, max(dm) AS kdm FROM knn GROUP BY a),
+         | re AS (SELECT knn.a, knn.b, greatest(kd.kdm, knn.dm) AS rm
+         |  FROM knn JOIN kd ON kd.a = knn.b),
+         | lrd AS (SELECT a, CAST(round(5 * 1e12 /
+         |   CAST(sum(rm) AS DOUBLE)) AS BIGINT) AS lm FROM re GROUP BY a),
+         | sb AS (SELECT knn.a, sum(l2.lm) AS slb FROM knn
+         |  JOIN lrd l2 ON l2.a = knn.b GROUP BY knn.a)
+         | SELECT sb.a AS id, kd.kdm AS k_dist_micro, lrd.lm AS lrd_micro,
+         |  round(CAST(slb AS DOUBLE) / (5.0 * CAST(lrd.lm AS DOUBLE)), 6)
+         |   AS lof
+         | FROM sb JOIN lrd ON lrd.a = sb.a JOIN kd ON kd.a = sb.a
+         | ORDER BY lof DESC, id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+    },
+    // the oracle clusters from the O(n^2) pair join -- the grid-blocked
+    // candidate set is complete, so Spark must agree exactly
+    "q240_dbscan" ->
+      """WITH pts AS (SELECT doc_id AS id,
+        |   CASE WHEN doc_id % 4 < 3
+        |     THEN (doc_id % 4) * 1000 + (doc_id * 7) % 100
+        |     ELSE 3000 + (doc_id * 31) % 3000 END AS x,
+        |   CASE WHEN doc_id % 4 < 3
+        |     THEN (doc_id % 4) * 1000 + (doc_id * 13) % 100
+        |     ELSE (doc_id * 37) % 3000 END AS y
+        |  FROM documents WHERE doc_id < 400),
+        | nbr AS (SELECT p.id AS a, q.id AS b FROM pts p JOIN pts q
+        |  ON p.id <> q.id
+        |  AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= 2500),
+        | cnt AS (SELECT p.id, 1 + count(n.b) AS n_in_eps FROM pts p
+        |  LEFT JOIN nbr n ON n.a = p.id GROUP BY p.id),
+        | core AS (SELECT id FROM cnt WHERE n_in_eps >= 5),
+        | ce AS (SELECT a, b FROM nbr
+        |  WHERE a < b AND a IN (SELECT id FROM core)
+        |    AND b IN (SELECT id FROM core)),
+        | ed AS (SELECT a AS src, b AS dst FROM ce UNION SELECT b, a FROM ce),
+        | verts AS (SELECT DISTINCT src AS id FROM ed),
+        | reach AS (WITH RECURSIVE rr(id, r) AS (
+        |     SELECT id, id FROM verts
+        |     UNION
+        |     SELECT ed.src, rr.r FROM ed JOIN rr ON rr.id = ed.dst)
+        |   SELECT * FROM rr),
+        | comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        | corelab AS (SELECT c.id, coalesce(m.component, c.id) AS cluster
+        |  FROM core c LEFT JOIN comp m ON m.id = c.id),
+        | borderlab AS (SELECT n.a AS id, min(cl.cluster) AS cluster
+        |  FROM nbr n JOIN corelab cl ON cl.id = n.b
+        |  WHERE n.a NOT IN (SELECT id FROM core) GROUP BY n.a),
+        | lab AS (SELECT p.id,
+        |   CASE WHEN c.cluster IS NOT NULL THEN 'core'
+        |     WHEN b.cluster IS NOT NULL THEN 'border'
+        |     ELSE 'noise' END AS role,
+        |   coalesce(c.cluster, b.cluster) AS cluster
+        |  FROM pts p LEFT JOIN corelab c ON c.id = p.id
+        |   LEFT JOIN borderlab b ON b.id = p.id),
+        | st AS (SELECT CAST(count(CASE WHEN role = 'noise' THEN 1 END)
+        |    AS BIGINT) AS n_noise,
+        |   CAST(count(*) AS BIGINT) AS n_points FROM lab)
+        | SELECT cluster, CAST(count(CASE WHEN role = 'core' THEN 1 END)
+        |   AS BIGINT) AS n_core,
+        |  CAST(count(CASE WHEN role = 'border' THEN 1 END) AS BIGINT)
+        |   AS n_border, n_noise, n_points
+        | FROM lab CROSS JOIN st WHERE role <> 'noise'
+        | GROUP BY cluster, n_noise, n_points
+        | ORDER BY cluster""".stripMargin.replaceAll("\n", " ")
   )
 }

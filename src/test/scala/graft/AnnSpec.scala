@@ -202,4 +202,41 @@ class AnnSpec extends SparkSpec {
       .select(explode(col("q")).as("c")).collect().map(_.getLong(0))
     assert(codes.forall(c => c >= -127 && c <= 127))
   }
+
+  test("LOF: planted local outlier scores highest; inliers near 1") {
+    // 8 near-identical vectors + 1 isolated direction
+    val rows = (0 until 8).map { i =>
+      (i.toLong, Seq(1.0f, 0.001f * i, 0.0f, 0.0f))
+    } :+ (100L, Seq(0.0f, 1.0f, 0.0f, 0.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val r = graft.sim.Lof.scores(df, "vec_id", "embedding", k = 3)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Double]("lof")).toMap
+    assert(r(100L) > 2.0, s"outlier lof ${r(100L)} should be >> 1")
+    (0 until 8).foreach { i =>
+      assert(r(i.toLong) < 1.5, s"inlier $i lof ${r(i.toLong)} should be ~1")
+    }
+    assert(r(100L) > r.filterKeys(_ != 100L).values.max)
+  }
+
+  test("DBSCAN: planted blobs cluster, border attaches, noise isolated") {
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 10L, 0L), (3L, 0L, 10L), (4L, 10L, 10L), (5L, 5L, 5L),
+      (6L, 30L, 0L), // border: within eps of core 2 only
+      (11L, 1000L, 1000L), (12L, 1010L, 1000L), (13L, 1000L, 1010L),
+      (14L, 1010L, 1010L), (15L, 1005L, 1005L),
+      (20L, 500L, 500L) // noise
+    ).toDF("id", "x", "y")
+    val r = graft.sim.Dbscan.cluster(pts, "id", "x", "y",
+        epsCenti = 20L, minPts = 5)
+      .collect().map(x => x.getAs[Long]("id") ->
+        ((x.getAs[String]("role"), Option(x.getAs[java.lang.Long]("cluster"))))).toMap
+    Seq(1L, 2L, 3L, 4L, 5L).foreach { i =>
+      assert(r(i) == (("core", Some(1L))), s"$i: ${r(i)}")
+    }
+    assert(r(6L) == (("border", Some(1L))), s"border: ${r(6L)}")
+    Seq(11L, 12L, 13L, 14L, 15L).foreach { i =>
+      assert(r(i) == (("core", Some(11L))), s"$i: ${r(i)}")
+    }
+    assert(r(20L) == (("noise", None)), s"noise: ${r(20L)}")
+  }
 }

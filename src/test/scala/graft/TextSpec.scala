@@ -395,4 +395,27 @@ class TextSpec extends SparkSpec {
     assert(applied("abab", "a", "b") == Seq("ab", "ab"))
     assert(applied("ba", "a", "b") == Seq("b", "a"))
   }
+
+  test("compression signal: zlib invariants on known strings") {
+    import graft.text.Compress
+    val rep = "the cat sat on the mat " * 40 // highly repetitive
+    val mix = (0 until 920).map(i => ((i * 7919 + 13) % 93 + 33).toChar).mkString
+    val rRep = Compress.deflatedLen(rep)
+    val rMix = Compress.deflatedLen(mix)
+    // repetition compresses far better than pseudo-random printables
+    assert(rRep * 3 < rMix, s"repetitive $rRep should be << mixed $rMix")
+    // doubling repetitive text costs almost nothing (back-references)
+    assert(Compress.deflatedLen(rep + rep) <= rRep + 64)
+    // bounded by stored-block worst case
+    assert(rMix > 0 && rMix <= mix.length + mix.length / 1000 + 64)
+    // deterministic
+    assert(Compress.deflatedLen(mix) == rMix)
+    // column form: ratio_e6 is an exact scaled integer
+    val d = Seq((1L, rep), (2L, mix)).toDF("id", "t")
+    val rows = Compress.withCompressionRatio(d, "t")
+      .orderBy("id").collect()
+    assert(rows(0).getAs[Long]("ratio_e6") ==
+      rRep.toLong * 1000000L / rep.length)
+    assert(rows(0).getAs[Long]("ratio_e6") < rows(1).getAs[Long]("ratio_e6"))
+  }
 }
