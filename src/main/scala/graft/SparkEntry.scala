@@ -1637,8 +1637,8 @@ object SparkEntry {
     * `levenshtein` ≡ Spark's, q129-established).
     */
   private def qBlockingQuality(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.load(s, dir, "customer")
-      .where(col("c_custkey") < 1500)
+    val c = par(Tables.load(s, dir, "customer")
+        .where(col("c_custkey") < 1500))
       .select(col("c_custkey").as("id"), col("c_name").as("name"),
         substring(col("c_name"), 1, 16).as("blk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
