@@ -1750,6 +1750,112 @@ object SparkEntry {
       .orderBy("cluster")
   }
 
+  /** D19 — LSH dedup QUALITY evaluation (the q237 blocking-metrics
+    * story applied to the MinHash family): pair completeness and
+    * precision of the banded 16×4 candidate generation vs exact
+    * Jaccard ≥ 0.5 ground truth — the measurement that justifies
+    * trusting LSH dedup unmodified at corpus scale. Both sides are
+    * inverted-index equi-joins (truth via shared-shingle join, not
+    * all-pairs), so the eval itself is corpus-scalable; the oracle
+    * replays shingles → exact Jaccard AND signatures → bands →
+    * candidates end-to-end with the same hash family.
+    */
+  private def qLshQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = par(doc(s, dir))
+    val truth = graft.dedup.Dedup.jaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q241", truth)
+    val cand = graft.dedup.MinHashLSH.candidatePairs(d, "doc_id", "text",
+        n = 3, k = 16, bands = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q241", cand)
+    val nTruth = truth.count()
+    val nCand = cand.count()
+    val nFound = cand.join(truth, Seq("a", "b"), "left_semi").count()
+    import s.implicits._
+    Seq((nTruth, nCand, nFound,
+        if (nTruth > 0) nFound * 1000000L / nTruth else 1000000L,
+        if (nCand > 0) nFound * 1000000L / nCand else 0L))
+      .toDF("n_truth", "n_candidates", "n_found",
+        "completeness_e6", "precision_e6")
+  }
+
+  /** G1 — differentially-private-style noisy count release with
+    * DETERMINISTIC Laplace noise: per (source, lang) group, count +
+    * Laplace(1/ε) noise drawn by inverse CDF from the engine's
+    * hash-uniform (`Sampling.keyBucket` over the group-name hash — the
+    * same u the weighted sampler races on), plus k-anonymity-style
+    * suppression of groups below 5. Real DP would draw fresh
+    * randomness per release; the deterministic draw is what makes the
+    * mechanism TESTABLE (the oracle replays hash → uniform → inverse
+    * CDF exactly; ln rounds at 6 per the q96 transcendental rule).
+    * One map-side-combined aggregate; noise is per-GROUP map work.
+    */
+  private def qDpRelease(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val eps = 0.5
+    val g = doc(s, dir).groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("u",
+        (graft.aug.Sampling.keyBucket(
+          TextOps.strHash(concat_ws("|", col("source"), col("lang"))),
+          seed = 271L).cast("double") + lit(0.5)) / lit(1000000.0))
+      .withColumn("noise", round(
+        lit(-1.0 / eps) * signum(col("u") - lit(0.5)) *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5))), 6))
+      .withColumn("suppressed", col("n") < 5)
+      .withColumn("noisy_count",
+        when(col("suppressed"), lit(null).cast("double"))
+          .otherwise(round(col("n") + col("noise"), 6)))
+    g.select(col("source"), col("lang"), col("suppressed"),
+        col("noisy_count"))
+      .orderBy("source", "lang")
+  }
+
+  /** D20 — dup-cluster SURVIVORSHIP (canonical record selection): the
+    * step after dedup detection — each near-dup cluster (connected
+    * components over exact Jaccard ≥ 0.5 pairs, the q47/q222
+    * machinery) keeps its best member by lexical-diversity score
+    * (u·10⁶ div n_tok, the q223 integer-exact density), ties to the
+    * smallest doc_id via one packed integer argmax key (score·2³³ −
+    * doc_id — deterministic, no argmax ambiguity). Emits per-cluster
+    * keep/drop accounting; the oracle replays components, scoring,
+    * and the packed argmax end-to-end.
+    */
+  private def qSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val d = par(doc(s, dir))
+    val pairs = graft.dedup.Dedup.jaccardPairs(d, "doc_id", "text",
+      n = 3, threshold = 0.5)
+    val comp = graft.dedup.Components.connectedComponents(pairs, "a", "b")
+      .withColumnRenamed("id", "doc_id")
+    val toks = TextOps.tokens(col("text"))
+    val scored = d.select(col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("u"))
+      .where(col("n_tok") > 0)
+      .withColumn("score", expr("u * 1000000 div n_tok"))
+      .withColumn("pick", col("score") * lit(8589934592L) - col("doc_id"))
+    val rooted = scored.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q243", rooted)
+    val best = rooted.groupBy("cluster").agg(
+      count(lit(1)).as("n_members"),
+      sum("n_tok").as("total_tokens"),
+      max("pick").as("best_pick"))
+    best.where(col("n_members") >= 2)
+      .join(rooted.select(col("cluster"), col("pick").as("best_pick"),
+        col("doc_id").as("canonical_doc"), col("n_tok").as("kept_tokens")),
+        Seq("cluster", "best_pick"))
+      .select(col("cluster"), col("n_members"), col("canonical_doc"),
+        col("kept_tokens"),
+        (col("total_tokens") - col("kept_tokens")).as("dropped_tokens"))
+      .orderBy("cluster")
+  }
+
   /** D16 — cluster-safe train/test split: q98 DETECTS eval leakage;
     * this PREVENTS it. Near-dup clusters (connected components over
     * the Jaccard ≥ 0.5 pair graph, the q47 machinery) are collapsed to
@@ -5949,7 +6055,10 @@ object SparkEntry {
     "q237_blocking_quality" -> (qBlockingQuality _),
     "q238_compression_signal" -> (qCompressionSignal _),
     "q239_lof" -> (qLof _),
-    "q240_dbscan" -> (qDbscan _)
+    "q240_dbscan" -> (qDbscan _),
+    "q241_lsh_quality" -> (qLshQuality _),
+    "q242_dp_release" -> (qDpRelease _),
+    "q243_survivorship" -> (qSurvivorship _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -9406,6 +9515,94 @@ object SparkEntry {
         |   AS n_border, n_noise, n_points
         | FROM lab CROSS JOIN st WHERE role <> 'noise'
         | GROUP BY cluster, n_noise, n_points
-        | ORDER BY cluster""".stripMargin.replaceAll("\n", " ")
+        | ORDER BY cluster""".stripMargin.replaceAll("\n", " "),
+    // truth (shared-shingle exact Jaccard) and candidates (signatures
+    // -> bands) replayed with the same hash family, metrics exact
+    "q241_lsh_quality" -> {
+      import graft.dedup.MinHashLSH.{Sql => M}
+      val sh = graft.dedup.Dedup.Sql.shingles("text", 3)
+      s"""WITH s AS (SELECT doc_id AS id, $sh AS sh FROM documents),
+         | ne AS (SELECT id, sh FROM s WHERE len(sh) > 0),
+         | e AS (SELECT id, unnest(sh) AS shingle FROM ne),
+         | sz AS (SELECT id, len(sh) AS n_sh FROM ne),
+         | i AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+         |  FROM e x JOIN e y ON x.shingle = y.shingle AND x.id < y.id
+         |  GROUP BY 1, 2),
+         | tr AS (SELECT a, b FROM i JOIN sz sa ON sa.id = a
+         |  JOIN sz sb ON sb.id = b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+         | sg AS (SELECT id, ${M.signatureFromShingles("sh", 16)} AS sig FROM ne),
+         | bands AS (SELECT id, unnest(${M.bandKeyList("sig", 16, 4)}) AS band_key,
+         |  unnest(generate_series(0, 3)) AS band_idx FROM sg),
+         | cand AS (SELECT DISTINCT x.id AS a, y.id AS b FROM bands x
+         |  JOIN bands y ON x.band_idx = y.band_idx
+         |   AND x.band_key = y.band_key AND x.id < y.id),
+         | f AS (SELECT count(*) AS n_found FROM cand JOIN tr USING (a, b)),
+         | tc AS (SELECT count(*) AS n_truth FROM tr),
+         | cc AS (SELECT count(*) AS n_candidates FROM cand)
+         | SELECT n_truth, n_candidates, n_found,
+         |  CASE WHEN n_truth > 0 THEN n_found * 1000000 // n_truth
+         |   ELSE 1000000 END AS completeness_e6,
+         |  CASE WHEN n_candidates > 0 THEN n_found * 1000000 // n_candidates
+         |   ELSE 0 END AS precision_e6
+         | FROM tc CROSS JOIN cc CROSS JOIN f""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    // hash -> uniform -> inverse-CDF Laplace replayed exactly; ln
+    // rounds at 6 (the q96 transcendental rule)
+    "q242_dp_release" -> {
+      val h = graft.text.TextOps.Sql.strHash("concat(source, '|', lang)")
+      val bucket = graft.aug.Sampling.Sql.keyBucket(s"($h)", 271L)
+      s"""WITH g AS (SELECT source, lang, count(*) AS n FROM documents
+         |  GROUP BY source, lang),
+         | u AS (SELECT source, lang, n,
+         |  (CAST($bucket AS DOUBLE) + 0.5) / 1000000.0 AS u FROM g),
+         | z AS (SELECT source, lang, n,
+         |  round((0.0 - 2.0) * sign(u - 0.5) *
+         |    ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise FROM u)
+         | SELECT source, lang, n < 5 AS suppressed,
+         |  CASE WHEN n < 5 THEN NULL ELSE round(n + noise, 6) END
+         |   AS noisy_count
+         | FROM z ORDER BY source, lang""".stripMargin.replaceAll("\n", " ")
+    },
+    // components + density scoring + packed argmax replayed end-to-end
+    "q243_survivorship" -> {
+      val sh = graft.dedup.Dedup.Sql.shingles("text", 3)
+      val toks = graft.text.TextOps.Sql.toks("text")
+      s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents),
+         | e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         | sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+         | i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |  FROM e x JOIN e y ON x.shingle = y.shingle
+         |   AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         | p AS (SELECT a, b FROM i JOIN sz sa ON sa.doc_id = a
+         |  JOIN sz sb ON sb.doc_id = b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+         | ed AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+         | verts AS (SELECT DISTINCT src AS id FROM ed),
+         | reach AS (WITH RECURSIVE rr(id, r) AS (
+         |     SELECT id, id FROM verts
+         |     UNION
+         |     SELECT ed.src, rr.r FROM ed JOIN rr ON rr.id = ed.dst)
+         |   SELECT * FROM rr),
+         | comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         | t AS (SELECT doc_id, $toks AS toks FROM documents),
+         | sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS u FROM t
+         |  WHERE len(toks) > 0),
+         | r2 AS (SELECT sc.doc_id, sc.n_tok,
+         |  ((sc.u * 1000000) // sc.n_tok) * 8589934592 - sc.doc_id AS pick,
+         |  coalesce(c.component, sc.doc_id) AS cluster
+         |  FROM sc LEFT JOIN comp c ON c.id = sc.doc_id),
+         | b AS (SELECT cluster, count(*) AS n_members,
+         |  sum(n_tok) AS total_tokens, max(pick) AS best_pick
+         |  FROM r2 GROUP BY cluster)
+         | SELECT b.cluster, CAST(b.n_members AS BIGINT) AS n_members,
+         |  r2.doc_id AS canonical_doc, r2.n_tok AS kept_tokens,
+         |  CAST(b.total_tokens - r2.n_tok AS BIGINT) AS dropped_tokens
+         | FROM b JOIN r2 ON r2.cluster = b.cluster AND r2.pick = b.best_pick
+         | WHERE b.n_members >= 2 ORDER BY b.cluster""".stripMargin
+        .replaceAll("\n", " ")
+    }
   )
 }
