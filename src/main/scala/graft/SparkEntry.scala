@@ -1856,6 +1856,154 @@ object SparkEntry {
       .orderBy("cluster")
   }
 
+  /** SK5 — KMV (k-minimum-values / theta-style) set sketches with
+    * SET OPERATIONS: where HLL (q191) only unions, KMV estimates
+    * INTERSECTION too — k smallest value-hashes per set, estimate
+    * (k−1)·P/h₍k₎, Jaccard from the merged k-set (Beyer et al.,
+    * SIGMOD 2007). Fully deterministic (same hash family as MinHash),
+    * so unlike randomized sketches this one gets a FULL value oracle:
+    * exact cardinalities AND estimates are both replayed. Per-set
+    * k-smallest runs as a vocab-bound partitioned window; the merged
+    * top-k is a distributed TakeOrdered. Sets: the distinct token
+    * vocabularies of the even/odd document halves.
+    */
+  private def qKmvSets(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    import org.apache.spark.sql.expressions.Window
+    val k = 128
+    val P = 1000000007L
+    // set elements: distinct 3-gram shingles of the even/odd halves
+    // (the token vocabulary is only ~31 words on this corpus; shingles
+    // are the cardinality the sketch exists for)
+    val tok = par(doc(s, dir))
+      .select((col("doc_id") % 2).as("half"),
+        explode(graft.dedup.Dedup.shingles(col("text"), 3)).as("w"))
+      .distinct()
+      .withColumn("h", TextOps.strHash(col("w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q244", tok)
+    // per-half k smallest hashes: two shingle-vocab-sized partitions
+    // (bounded by vocabulary, not corpus — the BPE-trainer class)
+    val kth = tok.withColumn("rk", row_number().over(
+        Window.partitionBy("half").orderBy(asc("h"), asc("w"))))
+      .where(col("rk") === k)
+      .select(col("half"), col("h").as("hk"))
+    // merged k-set over the union vocabulary: distributed top-k
+    val membership = tok.groupBy("w", "h")
+      .agg(max(when(col("half") === 0, 1).otherwise(0)).as("in_a"),
+        max(when(col("half") === 1, 1).otherwise(0)).as("in_b"))
+    val mergedK = membership.orderBy(asc("h"), asc("w")).limit(k)
+    val mk = mergedK.agg(max("h").as("hu"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+        .as("n_both")).head()
+    val (hu, nBoth) = (mk.getLong(0), mk.getLong(1))
+    val exact = tok.agg(
+      countDistinct(when(col("half") === 0, col("w"))).as("ea"),
+      countDistinct(when(col("half") === 1, col("w"))).as("eb"),
+      countDistinct(col("w")).as("eu")).head()
+    val kths = kth.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import s.implicits._
+    Seq((k.toLong, exact.getLong(0), exact.getLong(1), exact.getLong(2),
+        exact.getLong(0) + exact.getLong(1) - exact.getLong(2),
+        kths(0L), kths(1L), hu, nBoth))
+      .toDF("k", "exact_a", "exact_b", "exact_union", "exact_inter",
+        "hk_a", "hk_b", "hk_u", "n_both")
+      // estimates derived in-plan so rounding is Spark's round(), the
+      // exact convention the oracle mirrors with DuckDB round()
+      .select(col("k"), col("exact_a"), col("exact_b"),
+        col("exact_union"), col("exact_inter"),
+        round(lit((k - 1).toDouble * P) / col("hk_a"), 6).as("est_a"),
+        round(lit((k - 1).toDouble * P) / col("hk_b"), 6).as("est_b"),
+        round(lit((k - 1).toDouble * P) / col("hk_u"), 6).as("est_union"),
+        round(col("n_both").cast("double") / lit(k.toDouble) *
+          (lit((k - 1).toDouble * P) / col("hk_u")), 6).as("est_inter"))
+  }
+
+  /** A26 — Weight-of-Evidence encoding + Information Value (the credit
+    * -scoring standard for categorical predictive power): per segment,
+    * WoE = ln(((good+0.5)·B)/((bad+0.5)·G)) (0.5 Laplace adjustment so
+    * empty cells stay finite), IV = Σ (gᵢ/G − bᵢ/B)·WoEᵢ. "Bad" =
+    * order status F on the customer's segment. ln rounds at 6 (the
+    * transcendental rule) and IV accumulates 6-dp terms through the
+    * exact decimal sum, so the whole thing value-oracles. One
+    * broadcast dim join + one map-side-combined aggregate.
+    */
+  private def qWoe(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val seg = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(when(col("o_orderstatus") =!= "F", 1)).as("n_good"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_bad"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q245", seg)
+    val t = seg.agg(sum("n_good"), sum("n_bad")).head()
+    val (g, b) = (t.getLong(0), t.getLong(1))
+    val woe = round(log(((col("n_good") + lit(0.5)) * lit(b.toDouble)) /
+      ((col("n_bad") + lit(0.5)) * lit(g.toDouble))), 6)
+    val scored = seg.withColumn("woe", woe)
+      .withColumn("term", round(
+        (col("n_good") / lit(g.toDouble) - col("n_bad") / lit(b.toDouble)) *
+          col("woe"), 6))
+    val iv = scored.agg(Stats.dsum(col("term")).as("iv")).head().getDouble(0)
+    scored.select(col("segment"), col("n_good"), col("n_bad"), col("woe"))
+      .withColumn("iv", round(lit(iv), 6))
+      .orderBy("segment")
+  }
+
+  /** G6 — k-core decomposition (R-round peeling) of the q156 brand
+    * co-occurrence graph: repeatedly drop vertices with in-survivor
+    * degree &lt; 3. Spam/bot rings and boilerplate hubs live in dense
+    * cores; peeling is the standard scale algorithm (each round one
+    * equi-join + grouped count — no global state). Both engines run
+    * exactly R=8 rounds and report `fixpoint_reached` (round 8 ==
+    * round 7) — TRUE here, making the fixed-R answer THE k-core; the
+    * oracle replays all 8 rounds as chained CTEs.
+    */
+  private def qKCore(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val ob = li(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+    val e = ob.toDF("ok", "b1")
+      .join(ob.toDF("ok2", "b2"), col("ok") === col("ok2") && col("b1") < col("b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("np"))
+      .where(col("np") >= 5).select("b1", "b2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q246", e)
+    val ed = e.select(col("b1").as("src"), col("b2").as("dst"))
+      .union(e.select(col("b2").as("src"), col("b1").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q246", ed)
+    val kk = 3
+    var surv = ed.select(col("src").as("v")).distinct()
+    var prevCount = -1L
+    var lastCount = -2L
+    (1 to 8).foreach { _ =>
+      prevCount = lastCount
+      val sv = surv
+      surv = ed
+        .join(sv.withColumnRenamed("v", "src"), "src")
+        .join(sv.withColumnRenamed("v", "dst"), "dst")
+        .groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+        .where(col("dg") >= kk).select("v")
+        .localCheckpoint(true)
+      lastCount = surv.count()
+    }
+    val fix = lastCount == prevCount
+    val coreDeg = ed
+      .join(surv.withColumnRenamed("v", "src"), "src")
+      .join(surv.withColumnRenamed("v", "dst"), "dst")
+      .groupBy(col("src").as("brand")).agg(count(lit(1)).as("core_degree"))
+    coreDeg.withColumn("k", lit(kk.toLong))
+      .withColumn("fixpoint_reached", lit(fix))
+      .select(col("brand"), col("k"), col("core_degree"),
+        col("fixpoint_reached"))
+      .orderBy("brand")
+  }
+
   /** D16 — cluster-safe train/test split: q98 DETECTS eval leakage;
     * this PREVENTS it. Near-dup clusters (connected components over
     * the Jaccard ≥ 0.5 pair graph, the q47 machinery) are collapsed to
@@ -6058,7 +6206,10 @@ object SparkEntry {
     "q240_dbscan" -> (qDbscan _),
     "q241_lsh_quality" -> (qLshQuality _),
     "q242_dp_release" -> (qDpRelease _),
-    "q243_survivorship" -> (qSurvivorship _)
+    "q243_survivorship" -> (qSurvivorship _),
+    "q244_kmv_sets" -> (qKmvSets _),
+    "q245_woe" -> (qWoe _),
+    "q246_kcore" -> (qKCore _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -9602,6 +9753,90 @@ object SparkEntry {
          |  CAST(b.total_tokens - r2.n_tok AS BIGINT) AS dropped_tokens
          | FROM b JOIN r2 ON r2.cluster = b.cluster AND r2.pick = b.best_pick
          | WHERE b.n_members >= 2 ORDER BY b.cluster""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    // KMV is deterministic, so exact cardinalities AND estimates are
+    // both replayed with the same hash family
+    "q244_kmv_sets" -> {
+      val sh = graft.dedup.Dedup.Sql.shingles("text", 3)
+      val h = graft.text.TextOps.Sql.strHash("w")
+      s"""WITH s AS (SELECT doc_id % 2 AS half, unnest($sh) AS w
+         |  FROM documents),
+         | d AS (SELECT DISTINCT half, w FROM s),
+         | hx AS (SELECT half, w, $h AS h FROM d),
+         | rk AS (SELECT half, h, w, row_number() OVER (PARTITION BY half
+         |   ORDER BY h, w) AS rk FROM hx),
+         | kt AS (SELECT half, h AS hk FROM rk WHERE rk = 128),
+         | mem AS (SELECT w, h,
+         |   max(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS in_a,
+         |   max(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS in_b
+         |  FROM hx GROUP BY w, h),
+         | mk AS (SELECT * FROM mem ORDER BY h, w LIMIT 128),
+         | mku AS (SELECT max(h) AS hu, sum(CASE WHEN in_a = 1 AND in_b = 1
+         |   THEN 1 ELSE 0 END) AS n_both FROM mk),
+         | ex AS (SELECT count(DISTINCT CASE WHEN half = 0 THEN w END) AS ea,
+         |  count(DISTINCT CASE WHEN half = 1 THEN w END) AS eb,
+         |  count(DISTINCT w) AS eu FROM hx),
+         | ka AS (SELECT hk FROM kt WHERE half = 0),
+         | kb AS (SELECT hk FROM kt WHERE half = 1)
+         | SELECT CAST(128 AS BIGINT) AS k, CAST(ea AS BIGINT) AS exact_a,
+         |  CAST(eb AS BIGINT) AS exact_b, CAST(eu AS BIGINT) AS exact_union,
+         |  CAST(ea + eb - eu AS BIGINT) AS exact_inter,
+         |  round(127.0 * 1000000007 / ka.hk, 6) AS est_a,
+         |  round(127.0 * 1000000007 / kb.hk, 6) AS est_b,
+         |  round(127.0 * 1000000007 / hu, 6) AS est_union,
+         |  round(CAST(n_both AS DOUBLE) / 128.0 *
+         |    (127.0 * 1000000007 / hu), 6) AS est_inter
+         | FROM ex CROSS JOIN ka CROSS JOIN kb CROSS JOIN mku""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q245_woe" -> {
+      val iv = dsumSql("term")
+      s"""WITH seg AS (SELECT c_mktsegment AS segment,
+         |  count(CASE WHEN o_orderstatus <> 'F' THEN 1 END) AS n_good,
+         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_bad
+         | FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+         | t AS (SELECT CAST(sum(n_good) AS DOUBLE) AS g,
+         |  CAST(sum(n_bad) AS DOUBLE) AS b FROM seg),
+         | w AS (SELECT segment, n_good, n_bad,
+         |  round(ln(((n_good + 0.5) * b) / ((n_bad + 0.5) * g)), 6) AS woe,
+         |  g, b FROM seg CROSS JOIN t),
+         | w2 AS (SELECT segment, n_good, n_bad, woe,
+         |  round((CAST(n_good AS DOUBLE) / g - CAST(n_bad AS DOUBLE) / b)
+         |    * woe, 6) AS term FROM w),
+         | ivv AS (SELECT round($iv, 6) AS iv FROM w2)
+         | SELECT segment, CAST(n_good AS BIGINT) AS n_good,
+         |  CAST(n_bad AS BIGINT) AS n_bad, woe, iv
+         | FROM w2 CROSS JOIN ivv ORDER BY segment""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    // all 8 peeling rounds replayed as chained CTEs; fixpoint flag
+    // compares rounds 7 and 8 on both engines
+    "q246_kcore" -> {
+      // MATERIALIZED: DuckDB inlines plain CTEs per reference — each
+      // round references its predecessor twice, so the un-materialized
+      // chain inlines 2^8 copies of the whole pipeline
+      val rounds = (1 to 8).map { r =>
+        val prev = if (r == 1) "verts" else s"s${r - 1}"
+        s"s$r AS MATERIALIZED (SELECT e.src AS v FROM ed e JOIN $prev a ON e.src = a.v" +
+          s" JOIN $prev b ON e.dst = b.v GROUP BY e.src HAVING count(*) >= 3)"
+      }.mkString(", ")
+      s"""WITH p0 AS MATERIALIZED (SELECT l_orderkey AS ok, p_brand AS b
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+         | e AS MATERIALIZED (SELECT x.b AS b1, y.b AS b2 FROM p0 x JOIN p0 y
+         |  ON x.ok = y.ok AND x.b < y.b GROUP BY 1, 2 HAVING count(*) >= 5),
+         | ed AS MATERIALIZED (SELECT b1 AS src, b2 AS dst FROM e
+         |  UNION ALL SELECT b2, b1 FROM e),
+         | verts AS (SELECT DISTINCT src AS v FROM ed),
+         | $rounds,
+         | fx AS (SELECT (SELECT count(*) FROM s8) = (SELECT count(*) FROM s7)
+         |   AS fixpoint_reached)
+         | SELECT e2.src AS brand, CAST(3 AS BIGINT) AS k,
+         |  CAST(count(*) AS BIGINT) AS core_degree, fixpoint_reached
+         | FROM ed e2 JOIN s8 a ON e2.src = a.v JOIN s8 b ON e2.dst = b.v
+         | CROSS JOIN fx
+         | GROUP BY e2.src, fixpoint_reached ORDER BY brand""".stripMargin
         .replaceAll("\n", " ")
     }
   )
