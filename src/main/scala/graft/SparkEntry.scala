@@ -2004,6 +2004,84 @@ object SparkEntry {
       .orderBy("brand")
   }
 
+  /** A27 — association RULES over the brand co-occurrence incidence
+    * (the step after q144's raw pair counts): directed X→Y with
+    * support, confidence = n(X,Y)/n(X), lift = n(X,Y)·N/(n(X)·n(Y)) —
+    * all exact scaled integers (zero rounding classes). The pair stage
+    * is the order-incidence self-join (bucket-confined by order);
+    * marginals broadcast. Top-15 by lift with a total (lift, X, Y)
+    * order, distributed TakeOrdered.
+    */
+  private def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val ob = li(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q247", ob)
+    val nOrders = ob.select("ok").distinct().count()
+    val supp = ob.groupBy("b").agg(count(lit(1)).as("nb"))
+    val pair = ob.toDF("ok", "x")
+      .join(ob.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") =!= col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("nxy"))
+      .where(col("nxy") >= 5)
+    pair
+      .join(supp.withColumnRenamed("b", "x").withColumnRenamed("nb", "nx"), "x")
+      .join(supp.withColumnRenamed("b", "y").withColumnRenamed("nb", "ny"), "y")
+      .withColumn("confidence_e6", expr("nxy * 1000000 div nx"))
+      .withColumn("lift_e6", expr(s"nxy * $nOrders * 1000000 div (nx * ny)"))
+      .select(col("x").as("antecedent"), col("y").as("consequent"),
+        col("nxy").as("support"), col("confidence_e6"), col("lift_e6"))
+      .orderBy(desc("lift_e6"), col("antecedent"), col("consequent"))
+      .limit(15)
+  }
+
+  /** A28 — rank-aggregated OUTLIER ENSEMBLE: three mirrorable robust
+    * scores on the same column (|z|, the 0.6745-scaled MAD score, IQR
+    * exceedance) are each converted to average ranks via the two-phase
+    * prefix-scan ranker ([[graft.core.Rank.avgRank]] — no global
+    * window), and the consensus is the mean rank: the standard
+    * rank-aggregation trick that makes incommensurable score scales
+    * combinable (and what production outlier ensembles do with
+    * IF/LOF/AE members — those live in q35/q239/q36; this query keeps
+    * the ensemble fully value-oracled by using SQL-mirrorable
+    * members). Exact decimal moments + exact-selection quantiles; the
+    * oracle replays scores → tie-corrected ranks → consensus.
+    */
+  private def qOutlierEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val base = par(li(s, dir)).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("double").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q248", base)
+    val stRow = base.agg(Stats.dmean(col("x")).as("mu"),
+      Stats.dstddevSamp(col("x")).as("sd")).head()
+    val (mu, sd) = (stRow.getDouble(0), stRow.getDouble(1))
+    val qs = graft.core.OrderStats.quantilesOf(base, "x", Seq(0.25, 0.5, 0.75))
+    val (q1v, medv, q3v) = (qs(0), qs(1), qs(2))
+    val dev = base.withColumn("d", abs(col("x") - lit(medv)))
+    val madv = graft.core.OrderStats.quantilesOf(dev, "d", Seq(0.5)).head
+    val scored = base
+      .withColumn("s1", abs((col("x") - lit(mu)) / lit(sd)))
+      .withColumn("s2", abs(lit(0.6745) * (col("x") - lit(medv)) / lit(madv)))
+      .withColumn("s3", greatest(lit(0.0), col("x") - lit(q3v),
+        lit(q1v) - col("x")) / (lit(q3v) - lit(q1v)))
+    val ranked = graft.core.Rank.avgRank(
+      graft.core.Rank.avgRank(
+        graft.core.Rank.avgRank(scored, "s1", "r1", "entry.q248.r1"),
+        "s2", "r2", "entry.q248.r2"),
+      "s3", "r3", "entry.q248.r3")
+    ranked
+      .withColumn("consensus",
+        round((col("r1") + col("r2") + col("r3")) / lit(3.0), 6))
+      .select(col("l_orderkey"), col("l_linenumber"), col("consensus"),
+        round(col("s1"), 6).as("z_score"),
+        round(col("s2"), 6).as("mad_score"),
+        round(col("s3"), 6).as("iqr_score"))
+      .orderBy(desc("consensus"), col("l_orderkey"), col("l_linenumber"))
+      .limit(15)
+  }
+
   /** D16 — cluster-safe train/test split: q98 DETECTS eval leakage;
     * this PREVENTS it. Near-dup clusters (connected components over
     * the Jaccard ≥ 0.5 pair graph, the q47 machinery) are collapsed to
@@ -6209,7 +6287,9 @@ object SparkEntry {
     "q243_survivorship" -> (qSurvivorship _),
     "q244_kmv_sets" -> (qKmvSets _),
     "q245_woe" -> (qWoe _),
-    "q246_kcore" -> (qKCore _)
+    "q246_kcore" -> (qKCore _),
+    "q247_assoc_rules" -> (qAssocRules _),
+    "q248_outlier_ensemble" -> (qOutlierEnsemble _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -9838,6 +9918,61 @@ object SparkEntry {
          | CROSS JOIN fx
          | GROUP BY e2.src, fixpoint_reached ORDER BY brand""".stripMargin
         .replaceAll("\n", " ")
+    },
+    "q247_assoc_rules" ->
+      """WITH p0 AS (SELECT l_orderkey AS ok, p_brand AS b FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        | n AS (SELECT count(DISTINCT ok) AS no FROM p0),
+        | s AS (SELECT b, count(*) AS nb FROM p0 GROUP BY b),
+        | pr AS (SELECT x.b AS x, y.b AS y, count(*) AS nxy FROM p0 x
+        |  JOIN p0 y ON x.ok = y.ok AND x.b <> y.b GROUP BY 1, 2
+        |  HAVING count(*) >= 5)
+        | SELECT pr.x AS antecedent, pr.y AS consequent,
+        |  CAST(nxy AS BIGINT) AS support,
+        |  CAST(nxy * 1000000 // sx.nb AS BIGINT) AS confidence_e6,
+        |  CAST(nxy * no * 1000000 // (sx.nb * sy.nb) AS BIGINT) AS lift_e6
+        | FROM pr JOIN s sx ON sx.b = pr.x JOIN s sy ON sy.b = pr.y
+        | CROSS JOIN n
+        | ORDER BY lift_e6 DESC, antecedent, consequent
+        | LIMIT 15""".stripMargin.replaceAll("\n", " "),
+    // scores -> tie-corrected average ranks -> consensus, replayed with
+    // the q120/q07-established stat mirrors
+    "q248_outlier_ensemble" -> {
+      val mu = s"${dsumSql("x")} / count(x)"
+      val sd = Stats.Sql.dstddevSamp("x")
+      s"""WITH d AS (SELECT l_orderkey, l_linenumber,
+         |  CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+         | st AS (SELECT $mu AS mu, $sd AS sd,
+         |  quantile_cont(x, 0.25) AS q1, quantile_cont(x, 0.5) AS med,
+         |  quantile_cont(x, 0.75) AS q3 FROM d),
+         | md AS (SELECT quantile_cont(abs(x - med), 0.5) AS mad FROM d, st),
+         | sc AS (SELECT l_orderkey, l_linenumber,
+         |  abs((x - mu) / sd) AS s1,
+         |  abs(0.6745 * (x - med) / mad) AS s2,
+         |  greatest(0.0, x - q3, q1 - x) / (q3 - q1) AS s3
+         |  FROM d, st, md),
+         | t1 AS (SELECT s1 AS v, count(*) AS ties FROM sc GROUP BY s1),
+         | m1 AS (SELECT v, coalesce(sum(ties) OVER (ORDER BY v
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   + (ties + 1) / 2.0 AS r FROM t1),
+         | t2 AS (SELECT s2 AS v, count(*) AS ties FROM sc GROUP BY s2),
+         | m2 AS (SELECT v, coalesce(sum(ties) OVER (ORDER BY v
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   + (ties + 1) / 2.0 AS r FROM t2),
+         | t3 AS (SELECT s3 AS v, count(*) AS ties FROM sc GROUP BY s3),
+         | m3 AS (SELECT v, coalesce(sum(ties) OVER (ORDER BY v
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   + (ties + 1) / 2.0 AS r FROM t3),
+         | j AS (SELECT sc.l_orderkey, sc.l_linenumber, sc.s1, sc.s2, sc.s3,
+         |  m1.r AS r1, m2.r AS r2, m3.r AS r3 FROM sc
+         |  JOIN m1 ON m1.v = sc.s1 JOIN m2 ON m2.v = sc.s2
+         |  JOIN m3 ON m3.v = sc.s3)
+         | SELECT l_orderkey, l_linenumber,
+         |  round((r1 + r2 + r3) / 3.0, 6) AS consensus,
+         |  round(s1, 6) AS z_score, round(s2, 6) AS mad_score,
+         |  round(s3, 6) AS iqr_score
+         | FROM j ORDER BY consensus DESC, l_orderkey, l_linenumber
+         | LIMIT 15""".stripMargin.replaceAll("\n", " ")
     }
   )
 }
