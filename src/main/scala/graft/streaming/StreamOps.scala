@@ -337,6 +337,45 @@ object StreamOps {
         .replaceAll("\n", " ")))
   }
 
+  /** Streaming NEAR-DUP candidate alerts — the incremental form of the
+    * MinHash-LSH banded dedup ([[graft.dedup.MinHashLSH]]): each
+    * arriving document's 16×4 band keys are checked against per-bucket
+    * keyed state holding the bucket's FIRST owner; any later arrival
+    * in an occupied bucket emits (band, bucket, first_id, dup_id).
+    * The alert stream IS the banded candidate stream — downstream
+    * consumers dedup/verify exactly as the batch path does after
+    * `candidatePairs` (the StreamingSpec parity assertion). State is
+    * one long per non-empty bucket — fixed-size and key-partitioned,
+    * the same scale envelope as the batch band table; arrivals are
+    * id-ordered within a batch so replays are deterministic.
+    */
+  def streamingNearDupAlerts(stream: DataFrame, idCol: String,
+                             textCol: String, n: Int = 3, k: Int = 16,
+                             bands: Int = 4): DataFrame = {
+    import stream.sparkSession.implicits._
+    graft.dedup.MinHashLSH.bandKeys(stream, idCol, textCol, n, k, bands)
+      .select(col("band_idx").cast("int").as("band_idx"),
+        col("band_key").cast("long").as("band_key"),
+        col("id").cast("long").as("id"))
+      .as[(Int, Long, Long)]
+      .groupByKey { case (bi, bkey, _) => (bi, bkey) }
+      .flatMapGroupsWithState[Long, (Int, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((bi, bkey), rows, state) =>
+          val ids = rows.map(_._3).toSeq.sorted
+          var first = state.getOption.getOrElse(Long.MaxValue)
+          val alerts =
+            scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+          ids.foreach { id =>
+            if (first == Long.MaxValue) first = id
+            else if (id != first) alerts += ((bi, bkey, first, id))
+          }
+          state.update(first)
+          alerts.iterator
+      }
+      .toDF("band_idx", "band_key", "first_id", "dup_id")
+  }
+
   /** Streaming twin of `seq.Rolling.ewmaByKey`: per-key EWMA carried as
     * explicit (ewma, n) state across micro-batches. Each batch's new
     * rows are sorted by (ts, value) and folded `s ← s·(1−α) + v·α` onto

@@ -238,6 +238,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDupAlerts matches batch banded candidates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingNearDupAlerts(
+      in.toDF.toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("nda")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val a = "the quick brown fox jumps over the lazy dog again and again today"
+      val c = "completely different content with nothing shared at all here now"
+      in.addData((1L, a), (3L, c))
+      q.processAllAvailable()
+      in.addData((2L, a)) // near-dup arriving in a LATER batch
+      q.processAllAvailable()
+      val alerts = spark.table("nda").collect()
+        .map(r => (r.getLong(2), r.getLong(3))).distinct.toSet
+      assert(alerts.contains((1L, 2L)), s"dup not flagged: $alerts")
+      assert(!alerts.exists(p => p._1 == 3L || p._2 == 3L),
+        "disjoint doc must not alert")
+      // parity: the batch banded candidate set is exactly the alert set
+      val batch = graft.dedup.MinHashLSH.candidatePairs(
+          Seq((1L, a), (2L, a), (3L, c)).toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, k = 16, bands = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(alerts.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        == batch, s"stream $alerts != batch $batch")
+    } finally q.stop()
+  }
+
   test("streamingEwma carries the fold across batches and matches batch ewmaByKey") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Double)]
