@@ -2082,6 +2082,56 @@ object SparkEntry {
       .limit(15)
   }
 
+  /** D21 — composed curation pipeline v2, the session-2 capstone
+    * (q102's sibling built from the NEW operators): winnowing
+    * substring fingerprints (q236) → near-dup graph (pairs sharing ≥ 2
+    * fingerprints) → connected components → survivorship (q243's
+    * packed argmax keeps the most diverse member per cluster) →
+    * cluster-safe split (q222's root-hash rule: every cluster member,
+    * kept or dropped, lands in the canonical root's split). One oracle
+    * replays the whole composition end-to-end — fingerprints,
+    * window-min, pair join, components, scoring, argmax, split hash —
+    * so a regression anywhere in five operators breaks this row.
+    */
+  private def qCurationV2(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val d = par(doc(s, dir))
+    val fp = graft.dedup.Winnowing.fingerprints(d, "doc_id", "text",
+        k = 4, w = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q249", fp)
+    val edges = fp.as("x").join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("nshared"))
+      .where(col("nshared") >= 2)
+      .select("a", "b")
+    val comp = graft.dedup.Components.connectedComponents(edges, "a", "b")
+      .withColumnRenamed("id", "doc_id")
+    val toks = TextOps.tokens(col("text"))
+    val scored = d.select(col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("u"))
+      .where(col("n_tok") > 0)
+      .withColumn("score", expr("u * 1000000 div n_tok"))
+      .withColumn("pick", col("score") * lit(8589934592L) - col("doc_id"))
+    val rooted = scored.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q249", rooted)
+    val best = rooted.groupBy("cluster").agg(max("pick").as("best_pick"))
+    val labeled = rooted.join(best, "cluster")
+      .withColumn("kept", col("pick") === col("best_pick"))
+    val split = graft.aug.Sampling.splitAssign(labeled, "cluster",
+      Seq("train" -> 0.9, "test" -> 0.1))
+    split.groupBy("split")
+      .agg(count(when(col("kept"), 1)).as("n_docs_kept"),
+        count(when(!col("kept"), 1)).as("n_docs_dropped"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tokens_kept"),
+        sum(when(!col("kept"), col("n_tok")).otherwise(0L)).as("tokens_dropped"))
+      .orderBy("split")
+  }
+
   /** D16 — cluster-safe train/test split: q98 DETECTS eval leakage;
     * this PREVENTS it. Near-dup clusters (connected components over
     * the Jaccard ≥ 0.5 pair graph, the q47 machinery) are collapsed to
@@ -6289,7 +6339,8 @@ object SparkEntry {
     "q245_woe" -> (qWoe _),
     "q246_kcore" -> (qKCore _),
     "q247_assoc_rules" -> (qAssocRules _),
-    "q248_outlier_ensemble" -> (qOutlierEnsemble _)
+    "q248_outlier_ensemble" -> (qOutlierEnsemble _),
+    "q249_curation_v2" -> (qCurationV2 _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -9973,6 +10024,63 @@ object SparkEntry {
          |  round(s3, 6) AS iqr_score
          | FROM j ORDER BY consensus DESC, l_orderkey, l_linenumber
          | LIMIT 15""".stripMargin.replaceAll("\n", " ")
+    },
+    // the whole five-operator composition replayed: fingerprints ->
+    // window-min -> pair join -> components -> argmax -> split hash
+    "q249_curation_v2" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      val h = graft.text.TextOps.Sql.strHash("array_to_string(toks[i:i+3], ' ')")
+      val bucket = graft.aug.Sampling.Sql.keyBucket("cluster", 42L)
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, $toks AS toks FROM documents),
+         | t2 AS (SELECT doc_id, list_transform(
+         |    generate_series(1, len(toks) - 3), i -> $h) AS hs
+         |  FROM t WHERE len(toks) >= 4),
+         | g AS (SELECT doc_id,
+         |   unnest(generate_series(1, len(hs))) - 1 AS pos,
+         |   unnest(hs) AS hh FROM t2),
+         | wmin AS (SELECT doc_id, pos, min(hh) OVER (PARTITION BY doc_id
+         |   ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+         |  FROM g),
+         | f AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM wmin
+         |  WHERE pos >= 3),
+         | pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ns
+         |  FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         | p AS MATERIALIZED (SELECT a, b FROM pr WHERE ns >= 2),
+         | ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM p
+         |  UNION SELECT b, a FROM p),
+         | verts AS (SELECT DISTINCT src AS id FROM ed),
+         | reach AS (WITH RECURSIVE rr(id, r) AS (
+         |     SELECT id, id FROM verts
+         |     UNION
+         |     SELECT ed.src, rr.r FROM ed JOIN rr ON rr.id = ed.dst)
+         |   SELECT * FROM rr),
+         | comp AS MATERIALIZED (SELECT id, min(r) AS component FROM reach
+         |  GROUP BY id),
+         | sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS u FROM t
+         |  WHERE len(toks) > 0),
+         | r2 AS MATERIALIZED (SELECT sc.doc_id, sc.n_tok,
+         |  ((sc.u * 1000000) // sc.n_tok) * 8589934592 - sc.doc_id AS pick,
+         |  coalesce(c.component, sc.doc_id) AS cluster
+         |  FROM sc LEFT JOIN comp c ON c.id = sc.doc_id),
+         | b AS (SELECT cluster, max(pick) AS best_pick FROM r2
+         |  GROUP BY cluster),
+         | lab AS (SELECT r2.cluster, r2.n_tok,
+         |  r2.pick = b.best_pick AS kept
+         |  FROM r2 JOIN b ON b.cluster = r2.cluster),
+         | sp AS (SELECT *, CASE WHEN $bucket < 900000 THEN 'train'
+         |   ELSE 'test' END AS split FROM lab)
+         | SELECT split,
+         |  CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_docs_kept,
+         |  CAST(count(CASE WHEN NOT kept THEN 1 END) AS BIGINT)
+         |   AS n_docs_dropped,
+         |  CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+         |   AS tokens_kept,
+         |  CAST(sum(CASE WHEN NOT kept THEN n_tok ELSE 0 END) AS BIGINT)
+         |   AS tokens_dropped
+         | FROM sp GROUP BY split ORDER BY split""".stripMargin
+        .replaceAll("\n", " ")
     }
   )
 }
