@@ -2132,6 +2132,56 @@ object SparkEntry {
       .orderBy("split")
   }
 
+  /** V9 — FILTERED vector search measurement: top-k under a metadata
+    * predicate is the production vector-DB problem (pre-filter = exact
+    * top-k over the predicate subset; post-filter = over-fetch the
+    * global top-k′ and filter, the cheap path every ANN index offers).
+    * This query MEASURES the recall cost of post-filtering at k′ = 4k
+    * under a 25%-selective predicate — the number that tells a user
+    * when the cheap path is safe. Both paths and the recall join are
+    * replayed exactly by the oracle (bitwise cosines via the fixed-
+    * order fold, per-query partitioned windows, id tie-breaks).
+    */
+  private def qFilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sim.VectorMath
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"),
+        col("label"))
+      .withColumn("n2", VectorMath.norm2(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q250", e)
+    val pairs = e.as("q").where(col("q.id") < 50)
+      .join(e.as("t"), col("q.id") =!= col("t.id"))
+      .select(col("q.id").as("qid"), col("t.id").as("tid"),
+        (col("t.label") % 4 === 1).as("ok"),
+        (VectorMath.dot(col("q.vec"), col("t.vec")) /
+          (sqrt(col("q.n2")) * sqrt(col("t.n2")))).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q250", pairs)
+    val wq = Window.partitionBy("qid").orderBy(desc("cos"), asc("tid"))
+    val exact = pairs.where(col("ok"))
+      .withColumn("rk", row_number().over(wq)).where(col("rk") <= 3)
+      .select(col("qid"), col("tid"))
+    val post = pairs.withColumn("gr", row_number().over(wq))
+      .where(col("gr") <= 12).where(col("ok"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("gr"))))
+      .where(col("rk") <= 3)
+      .select(col("qid"), col("tid"))
+    val m = exact.join(post, Seq("qid", "tid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("matched"))
+    val per = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(m, Seq("qid"), "left")
+      .withColumn("matched", coalesce(col("matched"), lit(0L)))
+    per.agg(count(lit(1)).as("n_queries"),
+        sum("n_exact").as("sum_exact"),
+        sum("matched").as("sum_matched"),
+        count(when(col("matched") < col("n_exact"), 1)).as("n_degraded"))
+      .withColumn("recall_e6",
+        expr("sum_matched * 1000000 div sum_exact"))
+  }
+
   /** D16 — cluster-safe train/test split: q98 DETECTS eval leakage;
     * this PREVENTS it. Near-dup clusters (connected components over
     * the Jaccard ≥ 0.5 pair graph, the q47 machinery) are collapsed to
@@ -6340,7 +6390,8 @@ object SparkEntry {
     "q246_kcore" -> (qKCore _),
     "q247_assoc_rules" -> (qAssocRules _),
     "q248_outlier_ensemble" -> (qOutlierEnsemble _),
-    "q249_curation_v2" -> (qCurationV2 _)
+    "q249_curation_v2" -> (qCurationV2 _),
+    "q250_filtered_ann" -> (qFilteredAnn _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -10081,6 +10132,37 @@ object SparkEntry {
          |   AS tokens_dropped
          | FROM sp GROUP BY split ORDER BY split""".stripMargin
         .replaceAll("\n", " ")
+    },
+    // both retrieval paths replayed: exact filtered top-3 vs
+    // post-filtered global top-12, then the recall join
+    "q250_filtered_ann" -> {
+      import graft.sim.VectorMath.{Sql => V}
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec, label,
+         |  ${V.norm2("embedding")} AS n2 FROM embeddings),
+         | p AS MATERIALIZED (SELECT q.id AS qid, t.id AS tid,
+         |  t.label % 4 = 1 AS ok,
+         |  ${V.dot("q.vec", "t.vec")} / (sqrt(q.n2) * sqrt(t.n2)) AS cos
+         |  FROM v q JOIN v t ON q.id <> t.id WHERE q.id < 50),
+         | ex AS (SELECT qid, tid FROM (SELECT qid, tid, row_number()
+         |   OVER (PARTITION BY qid ORDER BY cos DESC, tid) AS rk
+         |  FROM p WHERE ok) WHERE rk <= 3),
+         | gl AS (SELECT qid, tid, ok, row_number() OVER (PARTITION BY qid
+         |   ORDER BY cos DESC, tid) AS gr FROM p),
+         | po AS (SELECT qid, tid FROM (SELECT qid, tid, row_number()
+         |   OVER (PARTITION BY qid ORDER BY gr) AS rk
+         |  FROM gl WHERE gr <= 12 AND ok) WHERE rk <= 3),
+         | m AS (SELECT ex.qid, count(po.tid) AS matched,
+         |  count(*) AS n_exact
+         |  FROM ex LEFT JOIN po ON po.qid = ex.qid AND po.tid = ex.tid
+         |  GROUP BY ex.qid)
+         | SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(n_exact) AS BIGINT) AS sum_exact,
+         |  CAST(sum(matched) AS BIGINT) AS sum_matched,
+         |  CAST(count(CASE WHEN matched < n_exact THEN 1 END) AS BIGINT)
+         |   AS n_degraded,
+         |  CAST(sum(matched) * 1000000 // sum(n_exact) AS BIGINT)
+         |   AS recall_e6
+         | FROM m""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

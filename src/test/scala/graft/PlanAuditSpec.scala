@@ -460,6 +460,37 @@ class PlanAuditSpec extends SparkSpec {
       s"no hash equi-join for the fingerprint pair stage:\n$q236")
   }
 
+  test("round-10 session-2 plans keep their scale shapes") {
+    // q241 LSH quality: BOTH truth and candidate stages are equi-joins
+    // (shared-shingle / band-bucket inverted indexes), never cartesian
+    val q241 = plan(SparkEntry.queries("q241_lsh_quality")(spark, sf))
+    assert(!q241.contains("CartesianProduct"),
+      s"LSH quality eval plans a cartesian:\n$q241")
+    // q243/q249: components + argmax stay hash-join shaped
+    Seq("q243_survivorship", "q249_curation_v2").foreach { n =>
+      val p = plan(SparkEntry.queries(n)(spark, sf))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$n plans a cartesian:\n$p")
+    }
+    // q247 association rules: order-confined pair equi-join, partial
+    // aggregation, distributed top-15
+    val q247 = plan(SparkEntry.queries("q247_assoc_rules")(spark, sf))
+    assert(!q247.contains("CartesianProduct"),
+      s"assoc rules plan a cartesian:\n$q247")
+    assert(q247.contains("TakeOrderedAndProject"),
+      s"assoc top-15 is not a distributed top-k:\n$q247")
+    // q248 ensemble: rank maps join back by value — hash joins, and the
+    // rank derivation never plans a single-partition data window
+    val q248 = plan(SparkEntry.queries("q248_outlier_ensemble")(spark, sf))
+    assert(!q248.contains("CartesianProduct"),
+      s"ensemble plans a cartesian:\n$q248")
+    assert(!q248.contains("Window"),
+      s"ensemble ranks regressed to a window:\n$q248")
+    assert(q248.contains("TakeOrderedAndProject"),
+      s"ensemble top-15 is not a distributed top-k:\n$q248")
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
