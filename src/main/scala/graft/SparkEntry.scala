@@ -2182,6 +2182,89 @@ object SparkEntry {
         expr("sum_matched * 1000000 div sum_exact"))
   }
 
+  /** V10 — intrinsic-dimension estimate by the Two-NN method (Facco
+    * et al., Scientific Reports 2017): d ≈ 1/mean(ln(r₂/r₁)) over each
+    * point's two nearest neighbors — the standard measurement of how
+    * much of an embedding space's nominal dimensionality is actually
+    * used (collapsed representations ⇒ low d̂; d̂ drives PQ/IVF sizing
+    * decisions). Exact 2-NN on the eval subset (labeled baseline, the
+    * q29 pattern); ln terms round at 6 and accumulate through the
+    * exact decimal sum; zero-distance pairs (exact dups) are excluded
+    * and counted. Fully value-oracled.
+    */
+  private def qIntrinsicDim(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sim.VectorMath
+    val v = Tables.load(s, dir, "embeddings").where(col("vec_id") < 300)
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
+      .withColumn("n2", VectorMath.norm2(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q251", v)
+    val nn = v.as("x").join(v.as("y"), col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        (lit(1.0) - VectorMath.dot(col("x.vec"), col("y.vec")) /
+          (sqrt(col("x.n2")) * sqrt(col("y.n2")))).as("dist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("a").orderBy(asc("dist"), asc("b"))))
+      .where(col("rk") <= 2)
+    val rr = nn.groupBy("a").agg(
+        min(when(col("rk") === 1, col("dist"))).as("r1"),
+        min(when(col("rk") === 2, col("dist"))).as("r2"))
+    val terms = rr
+      .withColumn("usable", col("r1") > 0)
+      .withColumn("t", when(col("usable"), round(log(col("r2") / col("r1")), 6)))
+    terms.agg(count(when(col("usable"), 1)).as("n_used"),
+        count(when(!col("usable"), 1)).as("n_excluded"),
+        (Stats.dsum(col("t")) /
+          count(when(col("usable"), 1)).cast("double")).as("mu_raw"))
+      .select(col("n_used"), col("n_excluded"),
+        round(col("mu_raw"), 6).as("mu"),
+        round(lit(1.0) / col("mu_raw"), 6).as("d_hat"))
+  }
+
+  /** V11 — greedy k-center coreset selection (farthest-point
+    * traversal, the 2-approximation of the k-center objective): the
+    * DIVERSITY-maximizing data-selection step — where q223 selects by
+    * per-doc quality, k-center selects points that COVER the embedding
+    * space (max-min distance), the standard coreset/active-learning
+    * primitive. Deterministic: seeded at the minimum id, ties to the
+    * smaller id; each round is one map over the running min-distance
+    * column with the new center as a plan literal (the PQ typedlit
+    * lesson — never a 64-element expression tree per dimension) + one
+    * distributed argmax. Emits (round, center, coverage radius); the
+    * oracle replays all 8 rounds as chained MATERIALIZED CTEs.
+    */
+  private def qKCenter(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.VectorMath
+    val v = Tables.load(s, dir, "embeddings").where(col("vec_id") < 200)
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
+      .withColumn("n2", VectorMath.norm2(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q252", v)
+    def distTo(cvec: Seq[Float], cn2: Double) =
+      lit(1.0) - VectorMath.dot(col("vec"), typedlit(cvec)) /
+        (sqrt(col("n2")) * lit(math.sqrt(cn2)))
+    var cur = v.withColumn("md", lit(Double.MaxValue))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    (1 to 8).foreach { r =>
+      val pick =
+        if (r == 1) cur.orderBy(asc("id")).limit(1)
+        else cur.orderBy(desc("md"), asc("id")).limit(1)
+      val row = pick.select(col("id"), col("vec"), col("n2")).head()
+      val (cid, cvec, cn2) =
+        (row.getLong(0), row.getSeq[Float](1), row.getDouble(2))
+      cur = cur.withColumn("md", least(col("md"), distTo(cvec, cn2)))
+        .localCheckpoint(true)
+      val radius = cur.agg(max("md")).head().getDouble(0)
+      out += ((r.toLong, cid, radius))
+    }
+    import s.implicits._
+    out.toSeq.toDF("round", "center_id", "radius_raw")
+      .select(col("round"), col("center_id"),
+        round(col("radius_raw"), 6).as("coverage_radius"))
+      .orderBy("round")
+  }
+
   /** D16 — cluster-safe train/test split: q98 DETECTS eval leakage;
     * this PREVENTS it. Near-dup clusters (connected components over
     * the Jaccard ≥ 0.5 pair graph, the q47 machinery) are collapsed to
@@ -6391,7 +6474,9 @@ object SparkEntry {
     "q247_assoc_rules" -> (qAssocRules _),
     "q248_outlier_ensemble" -> (qOutlierEnsemble _),
     "q249_curation_v2" -> (qCurationV2 _),
-    "q250_filtered_ann" -> (qFilteredAnn _)
+    "q250_filtered_ann" -> (qFilteredAnn _),
+    "q251_intrinsic_dim" -> (qIntrinsicDim _),
+    "q252_kcenter" -> (qKCenter _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -10163,6 +10248,58 @@ object SparkEntry {
          |  CAST(sum(matched) * 1000000 // sum(n_exact) AS BIGINT)
          |   AS recall_e6
          | FROM m""".stripMargin.replaceAll("\n", " ")
+    },
+    // exact 2-NN -> ln(r2/r1) at 6 -> decimal-exact mean -> 1/mu
+    "q251_intrinsic_dim" -> {
+      import graft.sim.VectorMath.{Sql => V}
+      val mu = s"(${dsumSql("t")} / CAST(count(CASE WHEN usable THEN 1 END) AS DOUBLE))"
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec,
+         |  ${V.norm2("embedding")} AS n2 FROM embeddings WHERE vec_id < 300),
+         | p AS (SELECT x.id AS a, y.id AS b,
+         |  1.0 - ${V.dot("x.vec", "y.vec")} / (sqrt(x.n2) * sqrt(y.n2)) AS dist
+         |  FROM v x JOIN v y ON x.id <> y.id),
+         | r AS (SELECT a, b, dist, row_number() OVER (PARTITION BY a
+         |   ORDER BY dist, b) AS rk FROM p),
+         | rr AS (SELECT a, min(CASE WHEN rk = 1 THEN dist END) AS r1,
+         |  min(CASE WHEN rk = 2 THEN dist END) AS r2
+         |  FROM r WHERE rk <= 2 GROUP BY a),
+         | tt AS (SELECT r1 > 0 AS usable,
+         |  CASE WHEN r1 > 0 THEN round(ln(r2 / r1), 6) END AS t FROM rr)
+         | SELECT CAST(count(CASE WHEN usable THEN 1 END) AS BIGINT) AS n_used,
+         |  CAST(count(CASE WHEN NOT usable THEN 1 END) AS BIGINT)
+         |   AS n_excluded,
+         |  round($mu, 6) AS mu,
+         |  round(1.0 / $mu, 6) AS d_hat
+         | FROM tt""".stripMargin.replaceAll("\n", " ")
+    },
+    // all 8 farthest-point rounds replayed as chained MATERIALIZED CTEs
+    "q252_kcenter" -> {
+      import graft.sim.VectorMath.{Sql => V}
+      def dist(m: String) =
+        s"1.0 - ${V.dot(s"$m.vec", "c.vec")} / (sqrt($m.n2) * sqrt(c.n2))"
+      val ctes = (1 to 8).map { r =>
+        val pick =
+          if (r == 1) "(SELECT min(id) FROM v)"
+          else s"(SELECT id FROM m${r - 1} ORDER BY md DESC, id LIMIT 1)"
+        val md =
+          if (r == 1) s"${dist("v")}"
+          else s"least(m.md, ${dist("m")})"
+        val src = if (r == 1) "v" else s"m${r - 1} m"
+        val proj = if (r == 1) "v.id, v.vec, v.n2" else "m.id, m.vec, m.n2"
+        s"""c$r AS (SELECT id, vec, n2 FROM v WHERE id = $pick),
+           | m$r AS MATERIALIZED (SELECT $proj, $md AS md
+           |  FROM $src, c$r c)""".stripMargin
+      }.mkString(", ")
+      val rows = (1 to 8).map { r =>
+        s"""SELECT $r AS "round", (SELECT id FROM c$r) AS center_id,
+           | round((SELECT max(md) FROM m$r), 6) AS coverage_radius"""
+          .stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH v AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec,
+         |  ${V.norm2("embedding")} AS n2 FROM embeddings WHERE vec_id < 200),
+         | $ctes
+         | SELECT * FROM ($rows) ORDER BY "round"""".stripMargin
+        .replaceAll("\n", " ")
     }
   )
 }
