@@ -2265,6 +2265,95 @@ object SparkEntry {
       .orderBy("round")
   }
 
+  /** D22 — dedup FUNNEL report: the cumulative stage accounting every
+    * production pipeline publishes — exact text dedup, then MinHash-
+    * verified near-dup (Jaccard ≥ 0.5) components on the survivors,
+    * then winnowing substring overlap (≥ 2 shared fingerprints)
+    * components on THOSE survivors; each stage keeps the minimum-id
+    * root (keep-first policy, q231's attribution order). Per stage:
+    * docs in / removed / out and surviving tokens. The oracle replays
+    * the whole three-stage cascade — each stage's input is the
+    * previous stage's survivor set, so stage-2/3 counts are
+    * order-sensitive and pin the cascade, not just the parts.
+    */
+  private def qDedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val d = par(doc(s, dir)).select(col("doc_id"), col("text"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q253", d)
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum("n_tok")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (n0, _) = stats(d)
+    val surv1 = d.join(
+        d.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q253", surv1)
+    val (n1, t1) = stats(surv1)
+    val comp2 = graft.dedup.Components.connectedComponents(
+        graft.dedup.Dedup.jaccardPairs(surv1, "doc_id", "text", 3, 0.5),
+        "a", "b")
+      .withColumnRenamed("id", "doc_id")
+    val surv2 = surv1.join(comp2, Seq("doc_id"), "left")
+      .where(col("component").isNull || col("component") === col("doc_id"))
+      .drop("component")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q253", surv2)
+    val (n2, t2) = stats(surv2)
+    val fp = graft.dedup.Winnowing.fingerprints(surv2, "doc_id", "text", 4, 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q253", fp)
+    val pairs3 = fp.as("x").join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("ns")).where(col("ns") >= 2).select("a", "b")
+    val comp3 = graft.dedup.Components.connectedComponents(pairs3, "a", "b")
+      .withColumnRenamed("id", "doc_id")
+    val surv3 = surv2.join(comp3, Seq("doc_id"), "left")
+      .where(col("component").isNull || col("component") === col("doc_id"))
+    val (n3, t3) = stats(surv3)
+    import s.implicits._
+    Seq((1L, "exact", n0, n0 - n1, n1, t1),
+        (2L, "near_dup", n1, n1 - n2, n2, t2),
+        (3L, "substring", n2, n2 - n3, n3, t3))
+      .toDF("stage", "name", "n_in", "n_removed", "n_out", "tokens_out")
+  }
+
+  /** R6 — EPOCH-AWARE sampling plan: given a 4×-corpus token budget
+    * and sqrt-temperature source weights (α = 0.5 — sqrt is correctly-
+    * rounded IEEE, identical cross-engine, which is exactly why q92
+    * chose it over pow), compute each source's planned tokens and
+    * implied epochs, flagging anything over 4 epochs (the Muennighoff
+    * et al. repetition knee — data repeated beyond ~4 epochs stops
+    * helping). The weight normalizer sums sqrt terms in SOURCE ORDER
+    * on both engines (ordered fold ≡ ordered list_reduce). The
+    * planning table every budgeted pretraining run starts from.
+    */
+  private def qEpochPlan(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val perSource = doc(s, dir).groupBy("source")
+      .agg(sum(size(TextOps.tokens(col("text"))).cast("long")).as("tok"))
+      .orderBy("source")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = perSource.map(_._2).sum
+    val budget = 4L * total
+    // ordered fold, exactly mirrored by list_reduce(... ORDER BY source)
+    val sw = perSource.map(_._2.toDouble)
+      .foldLeft(0.0)((a, n) => a + math.sqrt(n))
+    import s.implicits._
+    perSource.toSeq.toDF("source", "tokens")
+      .withColumn("weight_e6",
+        expr(s"CAST(floor(sqrt(CAST(tokens AS DOUBLE)) / $sw * 1000000) AS BIGINT)"))
+      .withColumn("planned_tokens",
+        expr(s"CAST(floor($budget * sqrt(CAST(tokens AS DOUBLE)) / $sw) AS BIGINT)"))
+      .withColumn("epochs_e2", expr("planned_tokens * 100 div tokens"))
+      .withColumn("over_repetition_knee", col("epochs_e2") > 400)
+      .orderBy("source")
+  }
+
   /** D16 — cluster-safe train/test split: q98 DETECTS eval leakage;
     * this PREVENTS it. Near-dup clusters (connected components over
     * the Jaccard ≥ 0.5 pair graph, the q47 machinery) are collapsed to
@@ -6476,7 +6565,9 @@ object SparkEntry {
     "q249_curation_v2" -> (qCurationV2 _),
     "q250_filtered_ann" -> (qFilteredAnn _),
     "q251_intrinsic_dim" -> (qIntrinsicDim _),
-    "q252_kcenter" -> (qKCenter _)
+    "q252_kcenter" -> (qKCenter _),
+    "q253_dedup_funnel" -> (qDedupFunnel _),
+    "q254_epoch_plan" -> (qEpochPlan _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -10300,6 +10391,102 @@ object SparkEntry {
          | $ctes
          | SELECT * FROM ($rows) ORDER BY "round"""".stripMargin
         .replaceAll("\n", " ")
+    },
+    // the three-stage cascade replayed in sequence: each stage's input
+    // is the previous stage's survivor set
+    "q253_dedup_funnel" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      val sh = graft.dedup.Dedup.Sql.shingles("text", 3)
+      val h = graft.text.TextOps.Sql.strHash("array_to_string(toks[i:i+3], ' ')")
+      s"""WITH d AS MATERIALIZED (SELECT doc_id, text,
+         |  CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+         | k1 AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY text),
+         | s1 AS MATERIALIZED (SELECT d.* FROM d JOIN k1 USING (doc_id)),
+         | shg AS (SELECT doc_id, $sh AS sh FROM s1),
+         | e2 AS (SELECT doc_id, unnest(sh) AS shingle FROM shg),
+         | sz AS (SELECT doc_id, len(sh) AS n_sh FROM shg),
+         | i2 AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |  FROM e2 x JOIN e2 y ON x.shingle = y.shingle
+         |   AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         | p2 AS (SELECT a, b FROM i2 JOIN sz sa ON sa.doc_id = a
+         |  JOIN sz sb ON sb.doc_id = b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+         | ed2 AS MATERIALIZED (SELECT a AS src, b AS dst FROM p2
+         |  UNION SELECT b, a FROM p2),
+         | v2 AS (SELECT DISTINCT src AS id FROM ed2),
+         | r2c AS (WITH RECURSIVE rr(id, r) AS (
+         |     SELECT id, id FROM v2
+         |     UNION
+         |     SELECT ed2.src, rr.r FROM ed2 JOIN rr ON rr.id = ed2.dst)
+         |   SELECT * FROM rr),
+         | c2 AS MATERIALIZED (SELECT id, min(r) AS component FROM r2c
+         |  GROUP BY id),
+         | s2 AS MATERIALIZED (SELECT s1.* FROM s1 LEFT JOIN c2
+         |  ON c2.id = s1.doc_id
+         |  WHERE c2.component IS NULL OR c2.component = s1.doc_id),
+         | t3 AS (SELECT doc_id, $toks AS toks FROM s2),
+         | t32 AS (SELECT doc_id, list_transform(
+         |    generate_series(1, len(toks) - 3), i -> $h) AS hs
+         |  FROM t3 WHERE len(toks) >= 4),
+         | g3 AS (SELECT doc_id,
+         |   unnest(generate_series(1, len(hs))) - 1 AS pos,
+         |   unnest(hs) AS hh FROM t32),
+         | w3 AS (SELECT doc_id, pos, min(hh) OVER (PARTITION BY doc_id
+         |   ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+         |  FROM g3),
+         | f3 AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM w3
+         |  WHERE pos >= 3),
+         | pr3 AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ns
+         |  FROM f3 x JOIN f3 y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         | p3 AS (SELECT a, b FROM pr3 WHERE ns >= 2),
+         | ed3 AS MATERIALIZED (SELECT a AS src, b AS dst FROM p3
+         |  UNION SELECT b, a FROM p3),
+         | v3 AS (SELECT DISTINCT src AS id FROM ed3),
+         | r3c AS (WITH RECURSIVE rr(id, r) AS (
+         |     SELECT id, id FROM v3
+         |     UNION
+         |     SELECT ed3.src, rr.r FROM ed3 JOIN rr ON rr.id = ed3.dst)
+         |   SELECT * FROM rr),
+         | c3 AS MATERIALIZED (SELECT id, min(r) AS component FROM r3c
+         |  GROUP BY id),
+         | s3 AS MATERIALIZED (SELECT s2.* FROM s2 LEFT JOIN c3
+         |  ON c3.id = s2.doc_id
+         |  WHERE c3.component IS NULL OR c3.component = s2.doc_id),
+         | st AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM d) AS n0,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+         |  (SELECT CAST(sum(n_tok) AS BIGINT) FROM s1) AS t1,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+         |  (SELECT CAST(sum(n_tok) AS BIGINT) FROM s2) AS t2,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3,
+         |  (SELECT CAST(sum(n_tok) AS BIGINT) FROM s3) AS t3v)
+         | SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage, 'exact' AS name, n0 AS n_in,
+         |   n0 - n1 AS n_removed, n1 AS n_out, t1 AS tokens_out FROM st
+         |  UNION ALL SELECT 2, 'near_dup', n1, n1 - n2, n2, t2 FROM st
+         |  UNION ALL SELECT 3, 'substring', n2, n2 - n3, n3, t3v FROM st)
+         | ORDER BY stage""".stripMargin.replaceAll("\n", " ")
+    },
+    // sqrt-temperature weights with an ORDER-pinned normalizer fold
+    "q254_epoch_plan" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      s"""WITH cnt AS (SELECT source, CAST(sum(len($toks)) AS BIGINT)
+         |   AS tokens FROM documents GROUP BY source),
+         | tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list(sqrt(CAST(tokens AS DOUBLE)) ORDER BY source)),
+         |   (a, b) -> a + b) AS sw FROM cnt)
+         | SELECT source, tokens,
+         |  CAST(floor(sqrt(CAST(tokens AS DOUBLE)) / sw * 1000000)
+         |   AS BIGINT) AS weight_e6,
+         |  CAST(floor(4 * total * sqrt(CAST(tokens AS DOUBLE)) / sw)
+         |   AS BIGINT) AS planned_tokens,
+         |  CAST(floor(4 * total * sqrt(CAST(tokens AS DOUBLE)) / sw)
+         |   AS BIGINT) * 100 // tokens AS epochs_e2,
+         |  CAST(floor(4 * total * sqrt(CAST(tokens AS DOUBLE)) / sw)
+         |   AS BIGINT) * 100 // tokens > 400 AS over_repetition_knee
+         | FROM cnt, tot ORDER BY source""".stripMargin.replaceAll("\n", " ")
     }
   )
 }
