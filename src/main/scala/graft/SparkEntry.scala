@@ -2354,6 +2354,81 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** G7 — dataset CONTENT MANIFEST (Merkle-style chunked hash tree):
+    * the content-addressable integrity record a dataset release ships
+    * — change one byte anywhere and the root moves. Two levels:
+    * per-source chunks of 64 docs (chunk hash = doc-id-ordered fold of
+    * content hashes — bounded work per group), then a source root =
+    * chunk-id-ordered fold of chunk hashes. The tree shape is WHY this
+    * scales: a flat chain hash is inherently sequential over the whole
+    * corpus; the tree folds only within bounded chunks and over the
+    * (64×-smaller) chunk table — recursing levels keeps every fold
+    * bounded at any corpus size. Both folds replay in DuckDB as
+    * ORDER-pinned list_reduce.
+    */
+  private def qManifest(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val d = par(doc(s, dir)).select(col("doc_id"), col("source"),
+        col("n_chars"), TextOps.strHash(col("text")).as("h"))
+      .withColumn("chunk", expr("doc_id div 64"))
+    val P = 1000000007L
+    val R = 1000003L
+    val chunks = d.groupBy("source", "chunk")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        // bounded in-chunk ordered fold (<= 64 entries per group)
+        aggregate(
+          array_sort(collect_list(struct(col("doc_id"), col("h")))),
+          lit(13L),
+          (acc, e) => (acc * lit(R) + e.getField("h")) % lit(P))
+          .as("chunk_hash"))
+    chunks.groupBy("source")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_chars").as("sum_chars"),
+        aggregate(
+          array_sort(collect_list(struct(col("chunk"), col("chunk_hash")))),
+          lit(13L),
+          (acc, e) => (acc * lit(R) + e.getField("chunk_hash")) % lit(P))
+          .as("root_hash"))
+      .orderBy("source")
+  }
+
+  /** J6 — sorted-neighborhood (SNM) blocking quality: the OTHER
+    * classic ER blocking scheme — global sort by the key, compare only
+    * within a sliding window of w=10 ranks — measured with the SAME
+    * metrics, truth set, and eval subset as q237's prefix blocking, so
+    * the two rows are directly comparable (SNM catches prefix-straddling
+    * typos that prefix blocking misses; prefix blocking has no window
+    * cliff). The subset is an absolute cap (constant 1500), so the
+    * rank window runs over a bounded frame — the documented exemption
+    * class; at corpus scale SNM ranks come from the PrefixScan ranker.
+    */
+  private def qSnmQuality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = par(Tables.load(s, dir, "customer")
+        .where(col("c_custkey") < 1500))
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(asc("name"), asc("id")))) // bounded 1500-row frame
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q256", c)
+    val m = c.count()
+    val a = c.as("x").crossJoin(c.as("y")) // labeled all-pairs baseline
+      .where(col("x.id") < col("y.id"))
+      .select((levenshtein(col("x.name"), col("y.name")) <= 1).as("is_match"),
+        (abs(col("x.rk") - col("y.rk")) <= 10).as("in_window"))
+      .agg(count(when(col("is_match"), 1)).as("n_truth"),
+        count(when(col("in_window"), 1)).as("n_cand"),
+        count(when(col("is_match") && col("in_window"), 1)).as("n_found"))
+      .head()
+    val (nTruth, nCand, nFound) = (a.getLong(0), a.getLong(1), a.getLong(2))
+    val nAll = m * (m - 1) / 2
+    import s.implicits._
+    Seq((m, nAll, nTruth, nCand, nFound,
+        1000000L - (if (nAll > 0) nCand * 1000000L / nAll else 0L),
+        if (nTruth > 0) nFound * 1000000L / nTruth else 1000000L))
+      .toDF("n_eval", "n_allpairs", "n_truth", "n_candidates", "n_found",
+        "reduction_e6", "completeness_e6")
+  }
+
   /** D16 — cluster-safe train/test split: q98 DETECTS eval leakage;
     * this PREVENTS it. Near-dup clusters (connected components over
     * the Jaccard ≥ 0.5 pair graph, the q47 machinery) are collapsed to
@@ -6567,7 +6642,9 @@ object SparkEntry {
     "q251_intrinsic_dim" -> (qIntrinsicDim _),
     "q252_kcenter" -> (qKCenter _),
     "q253_dedup_funnel" -> (qDedupFunnel _),
-    "q254_epoch_plan" -> (qEpochPlan _)
+    "q254_epoch_plan" -> (qEpochPlan _),
+    "q255_manifest" -> (qManifest _),
+    "q256_snm_quality" -> (qSnmQuality _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -10487,6 +10564,47 @@ object SparkEntry {
          |  CAST(floor(4 * total * sqrt(CAST(tokens AS DOUBLE)) / sw)
          |   AS BIGINT) * 100 // tokens > 400 AS over_repetition_knee
          | FROM cnt, tot ORDER BY source""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    // both tree levels replayed as ORDER-pinned list_reduce folds
+    "q255_manifest" -> {
+      val h = graft.text.TextOps.Sql.strHash("text")
+      s"""WITH d AS (SELECT doc_id, source, n_chars, doc_id // 64 AS chunk,
+         |  $h AS h FROM documents),
+         | ck AS (SELECT source, chunk, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  list_reduce(list_prepend(13::BIGINT, list(h ORDER BY doc_id)),
+         |   (a, b) -> (a * 1000003 + b) % 1000000007) AS chunk_hash
+         |  FROM d GROUP BY source, chunk)
+         | SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
+         |  list_reduce(list_prepend(13::BIGINT,
+         |    list(chunk_hash ORDER BY chunk)),
+         |   (a, b) -> (a * 1000003 + b) % 1000000007) AS root_hash
+         | FROM ck GROUP BY source ORDER BY source""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    // same metrics/truth/subset as q237 -> the two blocking schemes
+    // are directly comparable
+    "q256_snm_quality" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer
+        |  WHERE c_custkey < 1500),
+        | r AS (SELECT id, name, row_number() OVER (ORDER BY name, id)
+        |  AS rk FROM c),
+        | m AS (SELECT count(*) AS n_eval FROM c),
+        | agg AS (SELECT
+        |  count(CASE WHEN levenshtein(x.name, y.name) <= 1 THEN 1 END)
+        |   AS n_truth,
+        |  count(CASE WHEN abs(x.rk - y.rk) <= 10 THEN 1 END) AS n_cand,
+        |  count(CASE WHEN levenshtein(x.name, y.name) <= 1
+        |   AND abs(x.rk - y.rk) <= 10 THEN 1 END) AS n_found
+        |  FROM r x JOIN r y ON x.id < y.id)
+        | SELECT n_eval, n_eval * (n_eval - 1) // 2 AS n_allpairs, n_truth,
+        |  n_cand AS n_candidates, n_found,
+        |  1000000 - CASE WHEN n_eval > 1
+        |   THEN n_cand * 1000000 // (n_eval * (n_eval - 1) // 2)
+        |   ELSE 0 END AS reduction_e6,
+        |  CASE WHEN n_truth > 0 THEN n_found * 1000000 // n_truth
+        |   ELSE 1000000 END AS completeness_e6
+        | FROM m CROSS JOIN agg""".stripMargin.replaceAll("\n", " ")
   )
 }
