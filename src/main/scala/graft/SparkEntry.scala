@@ -2429,6 +2429,69 @@ object SparkEntry {
         "reduction_e6", "completeness_e6")
   }
 
+  /** A29 — CUPED variance reduction (Deng et al., WSDM 2013): the
+    * industry-standard A/B trick — adjust the metric by a
+    * pre-experiment covariate, y′ = y − θ(x − x̄) with θ = cov(x,y)/
+    * var(x), shrinking variance by the squared correlation without
+    * biasing the treatment difference. Covariate: the customer's
+    * account balance (pre-dates the order); assignment: deterministic
+    * hash split. θ/x̄ come from decimal-exact moments (2-dp inputs ⇒
+    * 4-dp products, exactly castable); adjusted values round at 6
+    * BEFORE any decimal sum (the full-fraction-cast gotcha), and the
+    * variance-reduction ratio is floor-scaled. Fully value-oracled.
+    */
+  private def qCuped(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val d = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("y"),
+        col("c_acctbal").cast("double").as("x"))
+      .withColumn("grp", when(graft.aug.Sampling.keyBucket(
+        col("o_orderkey"), 1234L) < 500000, "A").otherwise("B"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q257", d)
+    val st = d.agg(Stats.dcovSamp(col("x"), col("y")).as("cov"),
+      Stats.dvarSamp(col("x")).as("vx"),
+      Stats.dmean(col("x")).as("mx")).head()
+    val theta = st.getDouble(0) / st.getDouble(1)
+    val mx = st.getDouble(2)
+    val adj = d.withColumn("ya",
+      round(col("y") - lit(theta) * (col("x") - lit(mx)), 6))
+    adj.groupBy("grp").agg(count(lit(1)).as("n"),
+        round(Stats.dmean(col("y")), 6).as("mean_y"),
+        round(Stats.dmean(col("ya")), 6).as("mean_y_adj"),
+        (floor(Stats.dvarSamp(col("ya")) / Stats.dvarSamp(col("y")) *
+          lit(1000000.0))).cast("long").as("var_ratio_e6"))
+      .orderBy("grp")
+  }
+
+  /** A30 — quantile treatment effects: per-quantile metric difference
+    * between the hash-split arms — the distributional view a mean
+    * comparison (q141 Welch) hides (an effect concentrated in the
+    * tail moves q90 and nothing else). Exact grouped quantiles via
+    * the distributed selection machinery; both engines interpolate
+    * identically (the q69-pinned quantile_cont parity).
+    */
+  private def qQte(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast("double").as("y"))
+      .withColumn("grp", when(graft.aug.Sampling.keyBucket(
+        col("o_orderkey"), 1234L) < 500000, "A").otherwise("B"))
+    val qs = graft.core.OrderStats.groupedQuantiles(d, "grp", "y",
+      Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+    val a = qs.where(col("grp") === "A")
+      .select(col("p"), col("value").as("va"))
+    val b = qs.where(col("grp") === "B")
+      .select(col("p"), col("value").as("vb"))
+    a.join(b, "p")
+      .select(col("p"), round(col("va"), 6).as("q_a"),
+        round(col("vb"), 6).as("q_b"),
+        round(col("vb") - col("va"), 6).as("qte"))
+      .orderBy("p")
+  }
+
   /** D16 — cluster-safe train/test split: q98 DETECTS eval leakage;
     * this PREVENTS it. Near-dup clusters (connected components over
     * the Jaccard ≥ 0.5 pair graph, the q47 machinery) are collapsed to
@@ -6644,7 +6707,9 @@ object SparkEntry {
     "q253_dedup_funnel" -> (qDedupFunnel _),
     "q254_epoch_plan" -> (qEpochPlan _),
     "q255_manifest" -> (qManifest _),
-    "q256_snm_quality" -> (qSnmQuality _)
+    "q256_snm_quality" -> (qSnmQuality _),
+    "q257_cuped" -> (qCuped _),
+    "q258_qte" -> (qQte _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -10605,6 +10670,44 @@ object SparkEntry {
         |   ELSE 0 END AS reduction_e6,
         |  CASE WHEN n_truth > 0 THEN n_found * 1000000 // n_truth
         |   ELSE 1000000 END AS completeness_e6
-        | FROM m CROSS JOIN agg""".stripMargin.replaceAll("\n", " ")
+        | FROM m CROSS JOIN agg""".stripMargin.replaceAll("\n", " "),
+    // theta/mean from decimal-exact moments; adjusted values rounded
+    // at 6 before their decimal sums (full-fraction-cast gotcha)
+    "q257_cuped" -> {
+      val bucket = graft.aug.Sampling.Sql.keyBucket("o_orderkey", 1234L)
+      val cov = Stats.Sql.dcovSamp("x", "y", "count(*)")
+      val vx = Stats.Sql.dvarSamp("x")
+      val mx = Stats.Sql.dmean("x")
+      s"""WITH d AS MATERIALIZED (SELECT o_orderkey,
+         |  CAST(o_totalprice AS DOUBLE) AS y, CAST(c_acctbal AS DOUBLE) AS x,
+         |  CASE WHEN $bucket < 500000 THEN 'A' ELSE 'B' END AS grp
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         | st AS (SELECT ($cov) / ($vx) AS theta, $mx AS mx FROM d),
+         | adj AS (SELECT grp, y,
+         |  round(y - theta * (x - mx), 6) AS ya FROM d, st)
+         | SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |  round(${Stats.Sql.dmean("y")}, 6) AS mean_y,
+         |  round(${Stats.Sql.dmean("ya")}, 6) AS mean_y_adj,
+         |  CAST(floor(${Stats.Sql.dvarSamp("ya")} /
+         |    ${Stats.Sql.dvarSamp("y")} * 1000000.0) AS BIGINT)
+         |   AS var_ratio_e6
+         | FROM adj GROUP BY grp ORDER BY grp""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q258_qte" -> {
+      val bucket = graft.aug.Sampling.Sql.keyBucket("o_orderkey", 1234L)
+      val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val parts = ps.map(p =>
+        s"SELECT grp, CAST($p AS DOUBLE) AS p, quantile_cont(y, $p) AS v" +
+          " FROM d GROUP BY grp").mkString(" UNION ALL ")
+      s"""WITH d AS MATERIALIZED (SELECT
+         |  CASE WHEN $bucket < 500000 THEN 'A' ELSE 'B' END AS grp,
+         |  CAST(o_totalprice AS DOUBLE) AS y FROM orders),
+         | q AS ($parts)
+         | SELECT a.p, round(a.v, 6) AS q_a, round(b.v, 6) AS q_b,
+         |  round(b.v - a.v, 6) AS qte
+         | FROM q a JOIN q b ON a.p = b.p AND a.grp = 'A' AND b.grp = 'B'
+         | ORDER BY a.p""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }
