@@ -2492,6 +2492,84 @@ object SparkEntry {
       .orderBy("p")
   }
 
+  /** A31 — sample-ratio-mismatch (SRM) guardrail: THE first check any
+    * A/B readout runs — χ² of observed arm counts against the design
+    * ratio; a mismatch means broken assignment/logging and invalidates
+    * everything downstream. Two rows: the healthy hash split (flag
+    * must be false) and a deliberately corrupted twin dropping ~3% of
+    * one arm (flag must be true — the q165 corrupted-twin pattern, so
+    * the check's DETECTION is itself verified). The statistic is
+    * closed-form (no CDF needed — compared against the 3.84 critical
+    * value for 1 dof); counts and χ² replay exactly.
+    */
+  private def qSrm(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "orders").select(col("o_orderkey"))
+      .withColumn("b", graft.aug.Sampling.keyBucket(col("o_orderkey"), 1234L))
+      .withColumn("grp", when(col("b") < 500000, "A").otherwise("B"))
+      .withColumn("drop2", col("grp") === "B" &&
+        graft.aug.Sampling.keyBucket(col("o_orderkey"), 99L) < 30000)
+    def row(name: String, df: DataFrame) = {
+      val r = df.agg(count(when(col("grp") === "A", 1)).as("na"),
+        count(when(col("grp") === "B", 1)).as("nb")).head()
+      val (na, nb) = (r.getLong(0), r.getLong(1))
+      val e = (na + nb).toDouble / 2.0
+      val chi2 = (na - e) * (na - e) / e + (nb - e) * (nb - e) / e
+      (name, na, nb, chi2)
+    }
+    val healthy = row("healthy", d)
+    val corrupted = row("corrupted", d.where(!col("drop2")))
+    import s.implicits._
+    Seq(healthy, corrupted).toDF("scenario", "n_a", "n_b", "chi2_raw")
+      .select(col("scenario"), col("n_a"), col("n_b"),
+        round(col("chi2_raw"), 6).as("chi2"),
+        (col("chi2_raw") > 3.841).as("srm_detected"))
+      .orderBy("scenario")
+  }
+
+  /** A32 — delta-method inference for a RATIO metric (revenue per
+    * order at the customer unit): the standard A/B pitfall — the unit
+    * of analysis (customer) differs from the unit of the ratio
+    * (order), so naive per-order variance is wrong; the delta method
+    * gives Var(ȳ/x̄) ≈ (Var y + R²·Var x − 2R·Cov)/(x̄²·n). Everything
+    * from decimal-exact per-customer moments (spend 2-dp, counts int),
+    * standard errors sqrt-at-6, and the two-arm z-score computed from
+    * the collected per-arm rows. Fully value-oracled.
+    */
+  private def qRatioDelta(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val per = o.groupBy("o_custkey")
+      .agg(count(lit(1)).cast("double").as("x"),
+        Stats.dsum(col("o_totalprice")).as("y")) // 2-dp: decimal-exact
+      .withColumn("grp", when(graft.aug.Sampling.keyBucket(
+        col("o_custkey"), 777L) < 500000, "A").otherwise("B"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q260", per)
+    val st = per.groupBy("grp").agg(
+        count(lit(1)).as("n"),
+        Stats.dmean(col("x")).as("mx"), Stats.dmean(col("y")).as("my"),
+        Stats.dvarSamp(col("x")).as("vx"), Stats.dvarSamp(col("y")).as("vy"),
+        Stats.dcovSamp(col("x"), col("y")).as("cxy"))
+      .orderBy("grp").collect()
+    def arm(r: org.apache.spark.sql.Row) = {
+      val (n, mx, my, vx, vy, cxy) = (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      val ratio = my / mx
+      val varR = (vy + ratio * ratio * vx - 2.0 * ratio * cxy) /
+        (mx * mx * n.toDouble)
+      (r.getString(0), n, ratio, varR)
+    }
+    val Array(a, b) = st.map(arm)
+    val z = (b._3 - a._3) / math.sqrt(a._4 + b._4)
+    import s.implicits._
+    Seq((a._1, a._2, a._3, a._4, z), (b._1, b._2, b._3, b._4, z))
+      .toDF("grp", "n_units", "ratio_raw", "var_raw", "z_raw")
+      .select(col("grp"), col("n_units"),
+        round(col("ratio_raw"), 6).as("revenue_per_order"),
+        round(sqrt(col("var_raw")), 6).as("se"),
+        round(col("z_raw"), 6).as("z_diff"))
+      .orderBy("grp")
+  }
+
   /** D16 — cluster-safe train/test split: q98 DETECTS eval leakage;
     * this PREVENTS it. Near-dup clusters (connected components over
     * the Jaccard ≥ 0.5 pair graph, the q47 machinery) are collapsed to
@@ -6709,7 +6787,9 @@ object SparkEntry {
     "q255_manifest" -> (qManifest _),
     "q256_snm_quality" -> (qSnmQuality _),
     "q257_cuped" -> (qCuped _),
-    "q258_qte" -> (qQte _)
+    "q258_qte" -> (qQte _),
+    "q259_srm" -> (qSrm _),
+    "q260_ratio_delta" -> (qRatioDelta _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -10708,6 +10788,53 @@ object SparkEntry {
          |  round(b.v - a.v, 6) AS qte
          | FROM q a JOIN q b ON a.p = b.p AND a.grp = 'A' AND b.grp = 'B'
          | ORDER BY a.p""".stripMargin.replaceAll("\n", " ")
+    },
+    "q259_srm" -> {
+      val b1 = graft.aug.Sampling.Sql.keyBucket("o_orderkey", 1234L)
+      val b2 = graft.aug.Sampling.Sql.keyBucket("o_orderkey", 99L)
+      s"""WITH d AS (SELECT CASE WHEN $b1 < 500000 THEN 'A' ELSE 'B' END
+         |   AS grp, $b2 AS b2 FROM orders),
+         | h AS (SELECT 'healthy' AS scenario,
+         |  count(CASE WHEN grp = 'A' THEN 1 END) AS na,
+         |  count(CASE WHEN grp = 'B' THEN 1 END) AS nb FROM d),
+         | c AS (SELECT 'corrupted' AS scenario,
+         |  count(CASE WHEN grp = 'A' THEN 1 END) AS na,
+         |  count(CASE WHEN grp = 'B' THEN 1 END) AS nb FROM d
+         |  WHERE NOT (grp = 'B' AND b2 < 30000)),
+         | u AS (SELECT scenario, na, nb, (na + nb) / 2.0 AS e
+         |  FROM (SELECT * FROM h UNION ALL SELECT * FROM c))
+         | SELECT scenario, CAST(na AS BIGINT) AS n_a,
+         |  CAST(nb AS BIGINT) AS n_b,
+         |  round((na - e) * (na - e) / e + (nb - e) * (nb - e) / e, 6)
+         |   AS chi2,
+         |  ((na - e) * (na - e) / e + (nb - e) * (nb - e) / e) > 3.841
+         |   AS srm_detected
+         | FROM u ORDER BY scenario""".stripMargin.replaceAll("\n", " ")
+    },
+    // delta-method pieces from decimal-exact per-customer moments; the
+    // two-arm z recomputed from the same per-arm quantities
+    "q260_ratio_delta" -> {
+      val bucket = graft.aug.Sampling.Sql.keyBucket("o_custkey", 777L)
+      val cov = Stats.Sql.dcovSamp("x", "y", "count(*)")
+      s"""WITH per AS MATERIALIZED (SELECT o_custkey,
+         |  CAST(count(*) AS DOUBLE) AS x,
+         |  ${Stats.Sql.dsum("o_totalprice")} AS y,
+         |  CASE WHEN $bucket < 500000 THEN 'A' ELSE 'B' END AS grp
+         |  FROM orders GROUP BY o_custkey),
+         | st AS MATERIALIZED (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |  ${Stats.Sql.dmean("x")} AS mx, ${Stats.Sql.dmean("y")} AS my,
+         |  ${Stats.Sql.dvarSamp("x")} AS vx, ${Stats.Sql.dvarSamp("y")} AS vy,
+         |  $cov AS cxy
+         |  FROM per GROUP BY grp),
+         | ar AS (SELECT grp, n, my / mx AS ratio,
+         |  (vy + (my / mx) * (my / mx) * vx - 2.0 * (my / mx) * cxy) /
+         |   (mx * mx * CAST(n AS DOUBLE)) AS var_r FROM st),
+         | z AS (SELECT (b.ratio - a.ratio) / sqrt(a.var_r + b.var_r) AS zz
+         |  FROM ar a, ar b WHERE a.grp = 'A' AND b.grp = 'B')
+         | SELECT grp, n AS n_units, round(ratio, 6) AS revenue_per_order,
+         |  round(sqrt(var_r), 6) AS se, round(zz, 6) AS z_diff
+         | FROM ar CROSS JOIN z ORDER BY grp""".stripMargin
+        .replaceAll("\n", " ")
     }
   )
 }
