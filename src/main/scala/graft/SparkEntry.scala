@@ -2403,11 +2403,14 @@ object SparkEntry {
     */
   private def qSnmQuality(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the bounded-frame rank window coalesces to ONE partition — the
+    // pair stage must re-spread or the BNLJ runs on a single task
+    // (the q237 lesson, reintroduced by the window)
     val c = par(Tables.load(s, dir, "customer")
-        .where(col("c_custkey") < 1500))
-      .select(col("c_custkey").as("id"), col("c_name").as("name"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(asc("name"), asc("id")))) // bounded 1500-row frame
+        .where(col("c_custkey") < 1500)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(asc("name"), asc("id"))))) // bounded 1500-row frame
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.Caches.retain("entry.q256", c)
     val m = c.count()
