@@ -6521,6 +6521,614 @@ object SparkEntry {
       .orderBy("n_name")
   }
 
+  /** D24 — PARAGRAPH-level exact dedup (the CCNet/RefinedWeb
+    * "hash each paragraph, keep the first occurrence" pass — Wenzek
+    * et al. 2020 §3.1): documents segment into NON-overlapping
+    * 10-token blocks (the corpus has no newlines, so fixed-width
+    * blocks stand in for paragraphs), each block hashes once, and a
+    * block instance survives iff it is the global first occurrence of
+    * its hash (min packed (doc_id, pos) — the integer-argmax
+    * tie-break pattern). Complements q79 (OVERLAPPING spans →
+    * coverage) and q23 (whole-doc dedup): this is the granularity
+    * that strips shared boilerplate without dropping whole documents.
+    * Cost is linear: one explode (n/10 blocks per doc — 10× CHEAPER
+    * than a shingle explode), one map-combinable groupBy(hash), one
+    * hash-keyed join back; per-source rollup with exact scaled-integer
+    * retention fractions.
+    */
+  private def qParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val B = 10
+    val paras = par(doc(s, dir))
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), posexplode(
+        transform(sequence(lit(0), ((size(col("toks")) - 1) / B).cast("int")),
+          i => struct(
+            TextOps.strHash(array_join(slice(col("toks"), i * B + 1, lit(B)), " ")).as("h"),
+            least(lit(B), size(col("toks")) - i * B).cast("long").as("ntok")))))
+      .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"),
+        col("col.h").as("h"), col("col.ntok").as("ntok"))
+    val byHash = paras.groupBy("h").agg(count(lit(1)).as("n_inst"),
+      min(col("doc_id") * lit(1000000L) + col("pos")).as("fo"))
+    paras.join(byHash, "h")
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_paras"),
+        count(when(col("n_inst") > 1, 1)).as("n_dup_paras"),
+        sum("ntok").as("n_tokens"),
+        sum(when(col("n_inst") > 1, col("ntok")).otherwise(lit(0L)))
+          .as("dup_tokens"),
+        sum(when(col("doc_id") * lit(1000000L) + col("pos") === col("fo"),
+          col("ntok")).otherwise(lit(0L))).as("kept_tokens"))
+      .withColumn("kept_e6", expr("kept_tokens * 1000000 div n_tokens"))
+      .orderBy("source")
+  }
+
+  /** D25 — DSIR-style importance weighting for data selection (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): hashed-bigram bag-of-features, target = the English
+    * slice, raw = the whole corpus; per-document weight is the mean
+    * Laplace-smoothed log-likelihood ratio of its bigram buckets.
+    * Scale shape: bigrams hash into a FIXED 1024-bucket feature space,
+    * so both distribution fits are map-combinable aggregates to 1024
+    * rows, the fitted log-ratio table broadcasts, and scoring is a
+    * broadcast-join map pass — no shuffle grows with the corpus.
+    * Determinism: ln rounds at 6 per bucket (the q96 transcendental
+    * pattern), per-doc means are decimal-exact sums of those rounded
+    * values; selection = weight > 0 (more target-like than raw).
+    */
+  private def qDsir(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val NB = 1024
+    val d = par(doc(s, dir))
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextOps.tokens(col("text")).as("toks"))
+    val inst = d.select(col("doc_id"), col("source"), col("lang"),
+        explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => TextOps.strHash(concat(
+              element_at(col("toks"), i), lit(" "),
+              element_at(col("toks"), i + 1))) % NB))
+          .otherwise(array().cast("array<long>"))).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q262", inst)
+    val tgt = inst.where(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val raw = inst.groupBy("b").agg(count(lit(1)).as("cr"))
+    val nT = inst.where(col("lang") === "en").count()
+    val nR = inst.count()
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), round(
+        log((coalesce(col("ct"), lit(0L)) + lit(1)).cast(DoubleType) /
+          lit((nT + NB).toDouble)) -
+        log((col("cr") + lit(1)).cast(DoubleType) / lit((nR + NB).toDouble)),
+        6).as("lr"))
+    inst.join(broadcast(lr), "b")
+      .groupBy("doc_id", "source")
+      .agg(round(Stats.dsum(col("lr")) / count(lit(1)), 6).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(Stats.dsum(col("w")) / count(lit(1)), 6).as("mean_w"),
+        count(when(col("w") > 0, 1)).as("n_selected"))
+      .orderBy("source")
+  }
+
+  /** C7 — simplified SILHOUETTE score per label cluster (Rousseeuw
+    * 1987; the "simplified" centroid form — a = distance to own
+    * centroid, b = nearest other centroid — is the linear-cost variant
+    * every large-scale library ships, vs the O(n²) exact form): the
+    * cluster-quality measurement missing from the k-means/gap-stats
+    * family (q197 measures k-selection, this measures assignment
+    * quality). Two-phase: per-(label, dim) exact means (map-combinable
+    * aggregate to k×64 rows, driver-collected under a loud bound),
+    * then ONE codegen'd map pass with the centroids as plan literals —
+    * the q211 typedlit lesson; no join, no shuffle beyond the final
+    * k-row rollup. Determinism: centroid means are dsum/count (bit
+    * identical cross-engine), distances fold per-dim squares in fixed
+    * 1..64 order exactly like the oracle's list_reduce (the q29 dot
+    * pattern), so a, b, s are bitwise reproducible; rounding happens
+    * only at the output.
+    */
+  private def qSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = em(s, dir).select(col("vec_id"),
+      col("label").cast("long").as("label"), col("embedding"))
+    val cent = graft.sim.Centroids.labelCentroids(e, "label", "embedding")
+      .select(col("group").cast("long").as("label"), col("dim"), col("mean"))
+      .collect()
+    require(cent.length <= 4096,
+      s"silhouette centroid collect guard: ${cent.length} (k*dims) > 4096")
+    val byLabel: Seq[(Long, Array[Double])] =
+      cent.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (l, rows) =>
+        l -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray
+      }
+    val dims = byLabel.head._2.length
+    def d2To(c: Array[Double]): Column =
+      aggregate(sequence(lit(1), lit(dims)), lit(0.0), (acc, i) => {
+        val d = element_at(col("embedding"), i.cast("int")).cast(DoubleType) -
+          element_at(typedlit(c.toSeq), i.cast("int"))
+        acc + d * d
+      })
+    val withD = byLabel.foldLeft(e) { case (df, (l, c)) =>
+      df.withColumn(s"d2_$l", d2To(c))
+    }
+    val aCol = sqrt(coalesce(byLabel.map { case (l, _) =>
+      when(col("label") === l, col(s"d2_$l")) }: _*))
+    val bCol = sqrt(least(byLabel.map { case (l, _) =>
+      when(col("label") =!= l, col(s"d2_$l")) }: _*))
+    withD.select(col("label"), aCol.as("a"), bCol.as("b"),
+        ((col("b") - col("a")) / greatest(col("a"), col("b"))).as("sil"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(Stats.dsum(col("a")) / count(lit(1)), 6).as("mean_a"),
+        round(Stats.dsum(col("b")) / count(lit(1)), 6).as("mean_b"),
+        round(Stats.dsum(col("sil")) / count(lit(1)), 6).as("mean_sil"))
+      .orderBy("label")
+  }
+
+  /** C8 — Johnson–Lindenstrauss random projection with a measured
+    * distortion audit: embeddings project 64→16 dims through a
+    * deterministic ±1 sign matrix (sign(i,j) from a closed-form parity
+    * — reproducible anywhere, nothing to store or broadcast), scaled
+    * by 1/√16 (exact: division by 4). Distortion = ‖p(a)−p(b)‖²/‖a−b‖²
+    * over a hash-sampled set of adjacent-id pairs (equi-join, never a
+    * cross product). This is the cheap-projection leg of the ANN
+    * family: JL says pairwise geometry survives a 4× dim cut, and this
+    * query MEASURES it (mean/min/max ratio + the fraction inside the
+    * [0.5, 1.5] band) instead of assuming it. Projection and distance
+    * folds run in fixed dim order (the q29 pattern) so every ratio is
+    * bitwise reproducible; rounding only at the output.
+    */
+  private def qJlProjection(s: SparkSession, dir: String): DataFrame = {
+    val dIn = 64
+    val dOut = 16
+    // sign(i,j): parity of (131i+137j)² mod 1000003 — the SQUARE is
+    // load-bearing. A LINEAR parity ((31i+17j)%2 = (-1)^(i+j)) is a
+    // rank-1 matrix that collapses every output dim onto one
+    // projection (measured band coverage 0.25), and a multiply-mod
+    // Knuth hash alternates parity between adjacent cells (columns
+    // pairwise anticorrelated, band 0.39–0.48). The quadratic-residue
+    // parity measures rank 16, mean |column corr| 0.085, band 0.88 on
+    // both Gaussian and the harness embeddings — matching the JL
+    // prediction sd ≈ √(2/16) ≈ 0.35.
+    val proj: Column = transform(sequence(lit(1), lit(dOut)), j =>
+      aggregate(sequence(lit(1), lit(dIn)), lit(0.0), (acc, i) => {
+        val v = element_at(col("embedding"), i.cast("int")).cast(DoubleType)
+        val x = i.cast("long") * 131L + j.cast("long") * 137L
+        acc + when((x * x) % 1000003L % 2 === 0, v).otherwise(-v)
+      }) / lit(4.0))
+    val e = em(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("p", proj)
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
+      col("p").as("pa"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+      col("p").as("pb"))
+    def fold2(x: String, y: String, n: Int): Column =
+      aggregate(sequence(lit(1), lit(n)), lit(0.0), (acc, i) => {
+        val d = element_at(col(x), i.cast("int")).cast(DoubleType) -
+          element_at(col(y), i.cast("int")).cast(DoubleType)
+        acc + d * d
+      })
+    val pairs = a.where(graft.aug.Sampling.keyBucket(col("ida"), 5151L) <
+        lit(200000L))
+      .join(b, col("idb") === col("ida") + 1)
+      .select(fold2("va", "vb", dIn).as("od2"), fold2("pa", "pb", dOut).as("pd2"))
+      .where(col("od2") > 0)
+      .withColumn("ratio", col("pd2") / col("od2"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+      round(Stats.dsum(col("ratio")) / count(lit(1)), 6).as("mean_ratio"),
+      round(min("ratio"), 6).as("min_ratio"),
+      round(max("ratio"), 6).as("max_ratio"),
+      count(when(col("ratio") >= 0.5 && col("ratio") <= 1.5, 1))
+        .as("n_in_band"))
+  }
+
+  /** X7 — POWER ANALYSIS / minimum-detectable-effect planning (the
+    * step BEFORE every experiment the q141/q257–q260 family analyzes):
+    * per metric (event_type), given the realized arm sizes under the
+    * hash assignment and the metric's exact-decimal sd, the absolute
+    * and relative MDE at alpha=0.05 two-sided / 80% power —
+    * (z_{0.975}+z_{0.80})·sd·√(1/n_a+1/n_b) with the z constants as
+    * plan literals. One map-combinable aggregate to k metric rows; the
+    * relative MDE ships as an exact floor-scaled integer.
+    */
+  private def qPowerMde(s: SparkSession, dir: String): DataFrame = {
+    val zsum = lit(1.959964 + 0.841621)
+    val ev = Tables.load(s, dir, "events")
+    val arm = graft.aug.Sampling.keyBucket(col("user_id"), 31L) < lit(500000L)
+    ev.groupBy("event_type")
+      .agg(count(when(arm, 1)).as("n_a"),
+        count(when(!arm, 1)).as("n_b"),
+        Stats.dmean(col("value")).as("mean_raw"),
+        Stats.dstddevSamp(col("value")).as("sd_raw"))
+      .withColumn("mde_abs_raw", zsum * col("sd_raw") *
+        sqrt(lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("mean_raw"), 6).as("mean_value"),
+        round(col("sd_raw"), 6).as("sd_value"),
+        round(col("mde_abs_raw"), 6).as("mde_abs"),
+        floor(col("mde_abs_raw") / col("mean_raw") * 1e6).cast("long")
+          .as("mde_rel_e6"))
+      .orderBy("event_type")
+  }
+
+  /** X8 — mSPRT always-valid sequential test (Johari, Pekelis &
+    * Walsh 2017 — the "peeking problem" fix): the event stream in
+    * arrival (event_id) order, a checkpoint every 500 events, and at
+    * each checkpoint the two-sample mixture-SPRT log-likelihood ratio
+    * for the arm mean difference under known variance —
+    * logΛ = ½ln(V/(V+τ²)) + δ²τ²/(2V(V+τ²)), V = σ²(1/n_a+1/n_b),
+    * τ² = σ²/4; reject when logΛ > ln(1/α) (α=0.05, literal
+    * 2.995732). Scale shape: the running per-arm counts/sums come from
+    * the two-phase distributed PrefixScan (the W4 machinery — NO
+    * single-partition window over the stream); arm sums accumulate in
+    * exact integer cents, σ² is the decimal-exact population variance
+    * broadcast from a 1-row frame, and only ln rounds at the output
+    * (the q96 transcendental pattern).
+    */
+  private def qMsprt(s: SparkSession, dir: String): DataFrame = {
+    val isA = graft.aug.Sampling.keyBucket(col("user_id"), 31L) < lit(500000L)
+    // detection-proof pair (the q259 pattern): the HEALTHY stream has
+    // identical arms (the test must NOT reject — always-validity in
+    // action), the SHIFTED twin bumps arm B values ×1.25 in exact
+    // cents (the test MUST cross the boundary) — both scenarios run
+    // through the same scan
+    def stream(shifted: Boolean): DataFrame = {
+      val vc = round(col("value") * 100).cast("long")
+      // /4 of a small int is exact in double; cast back restores LONG
+      // (a bare Column `/` is double division — PrefixScan needs longs)
+      val vcB = if (shifted) ((vc * 5L) / lit(4)).cast("long") else vc
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("value"),
+          when(isA, 1L).otherwise(0L).as("cnt_a"),
+          when(isA, vc).otherwise(0L).as("sum_a_c"),
+          when(!isA, 1L).otherwise(0L).as("cnt_b"),
+          when(!isA, vcB).otherwise(0L).as("sum_b_c"))
+      val tag = if (shifted) "shifted" else "healthy"
+      val (scanned, _) = PrefixScan.exclusive(ev, "event_id",
+        Seq("cnt_a", "sum_a_c", "cnt_b", "sum_b_c"), s"entry.q266.$tag")
+      // sigma^2 stays the HEALTHY-stream variance in both scenarios
+      // (the planning constant of the known-variance mSPRT)
+      val sig = Tables.load(s, dir, "events")
+        .agg(Stats.dvarPop(col("value")).as("sig2"))
+      scanned
+        .select((col("cum_cnt_a_below") + col("cnt_a") +
+            col("cum_cnt_b_below") + col("cnt_b")).as("n"),
+          (col("cum_cnt_a_below") + col("cnt_a")).as("n_a"),
+          (col("cum_cnt_b_below") + col("cnt_b")).as("n_b"),
+          (col("cum_sum_a_c_below") + col("sum_a_c")).as("sa_c"),
+          (col("cum_sum_b_c_below") + col("sum_b_c")).as("sb_c"))
+        .where(col("n") % 500 === 0 && col("n_a") > 0 && col("n_b") > 0)
+        .crossJoin(broadcast(sig))
+        .withColumn("scenario", lit(tag))
+    }
+    val cp = stream(shifted = false).unionByName(stream(shifted = true))
+    val delta = (col("sa_c").cast(DoubleType) / col("n_a") -
+      col("sb_c").cast(DoubleType) / col("n_b")) / lit(100.0)
+    val tau2 = col("sig2") / lit(4.0)
+    val vv = col("sig2") * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))
+    val logLam = lit(0.5) * log(vv / (vv + tau2)) +
+      delta * delta * tau2 / (lit(2.0) * vv * (vv + tau2))
+    cp.select(col("scenario"), col("n"), col("n_a"), col("n_b"),
+        round(delta, 6).as("delta"),
+        round(logLam, 6).as("log_lambda"),
+        (logLam > lit(2.995732)).as("rejected"))
+      .orderBy("scenario", "n")
+  }
+
+  /** M9 — TEMPERATURE SCALING calibration (Guo et al. 2017 — the
+    * one-parameter post-hoc calibrator every model-serving pipeline
+    * runs): standardized-price logits z against the return flag, NLL(θ)
+    * = Σ softplus(θz) − yθz minimized by three unrolled NEWTON steps on
+    * θ = 1/T — gradient Σ z(p−y) and curvature Σ z²p(1−p) are ONE
+    * map-combinable aggregate per step (distributed second-order
+    * optimization with driver-side scalar state, the k-means shape).
+    * Determinism: per-row transcendentals (softplus with the u>30
+    * linear guard, sigmoid) round at 6 BEFORE their exact decimal
+    * sums; θ rounds at 6 between steps (HALF_UP, mirroring round());
+    * the oracle replays all three steps in MATERIALIZED CTE stages.
+    * Each row reports the θ entering the step, its NLL, and the θ the
+    * Newton update produced (raw Newton can overshoot before settling
+    * — the trace shows it honestly; NLL at the final θ is the lowest).
+    */
+  private def qTempScaling(s: SparkSession, dir: String): DataFrame = {
+    val base0 = li(s, dir).select(col("l_extendedprice").cast(DoubleType)
+      .as("x"), when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+    val mo = base0.agg(Stats.dmean(col("x")).as("mu"),
+      Stats.dstddevSamp(col("x")).as("sd")).head()
+    val (mu, sd) = (mo.getDouble(0), mo.getDouble(1))
+    val base = par(base0).withColumn("z", (col("x") - lit(mu)) / lit(sd))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q267", base)
+    def softplus(u: Column): Column =
+      when(u > 30.0, u).otherwise(log(lit(1.0) + exp(u)))
+    def step(theta: Double): (Double, Double, Double) = {
+      val u = lit(theta) * col("z")
+      val p = lit(1.0) / (lit(1.0) + exp(-u))
+      val r = base.agg(
+        Stats.dsum(round(softplus(u) - col("y") * u, 6)).as("nll"),
+        Stats.dsum(round(col("z") * (p - col("y")), 6)).as("g"),
+        Stats.dsum(round(col("z") * col("z") * p * (lit(1.0) - p), 6))
+          .as("h")).head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var theta = 1.0
+    val rows = (1 to 3).map { k =>
+      val (nll, g, h) = step(theta)
+      val next = r6(theta - g / h)
+      val row = (k.toLong, theta, r6(nll), next)
+      theta = next
+      row
+    }
+    import s.implicits._
+    rows.toDF("iter", "theta_in", "nll", "theta_out")
+  }
+
+  /** X9 — exact ENERGY DISTANCE between two value distributions
+    * (Székely & Rizzo; the metric two-sample test that sees ANY
+    * distributional difference, not just location like q64's KS or
+    * q141's t): D² = 2E|X−Y| − E|X−X′| − E|Y−Y′|. The textbook form is
+    * O(n²) pairwise; here every pairwise |x−y| sum collapses to ONE
+    * distributed prefix scan over the merged value order — for each
+    * element, (v·cnt_below − sum_below) against each group's running
+    * totals sums exactly the cross-pair absolute differences (each
+    * unequal pair counted once at its larger element; ties contribute
+    * v−v = 0 wherever they land). Values are exact integer CENTS, so
+    * all three pair-sums are overflow-checked BIGINTs with ZERO float
+    * divergence — the U-statistic expectations and D² are the only
+    * doubles, derived at the end. O(n log n) via the two-phase
+    * PrefixScan (W4 machinery), no window, no pair join.
+    */
+  private def qEnergyDistance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .where(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("key", col("vc") * lit(10000000L) + col("event_id"))
+      .withColumn("ca", when(col("event_type") === "click", 1L).otherwise(0L))
+      .withColumn("sa", when(col("event_type") === "click", col("vc"))
+        .otherwise(0L))
+      .withColumn("cb", when(col("event_type") === "view", 1L).otherwise(0L))
+      .withColumn("sb", when(col("event_type") === "view", col("vc"))
+        .otherwise(0L))
+    val (sc, _) = PrefixScan.exclusive(ev, "key",
+      Seq("ca", "sa", "cb", "sb"), "entry.q268")
+    val agg = sc.select(col("ca"), col("cb"),
+        (col("vc") * col("cum_ca_below") - col("cum_sa_below")).as("dA"),
+        (col("vc") * col("cum_cb_below") - col("cum_sb_below")).as("dB"))
+      .agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
+        sum(when(col("ca") === 1, col("dB")).otherwise(0L)
+          + when(col("cb") === 1, col("dA")).otherwise(0L)).as("sxy"),
+        sum(when(col("ca") === 1, col("dA")).otherwise(0L)).as("sxx"),
+        sum(when(col("cb") === 1, col("dB")).otherwise(0L)).as("syy"))
+    agg.select(col("n_a"), col("n_b"), col("sxy"), col("sxx"), col("syy"),
+        (col("sxy").cast(DoubleType) /
+          (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)))
+          .as("exy_c"),
+        (lit(2.0) * col("sxx").cast(DoubleType) /
+          (col("n_a").cast(DoubleType) * (col("n_a").cast(DoubleType) - 1.0)))
+          .as("exx_c"),
+        (lit(2.0) * col("syy").cast(DoubleType) /
+          (col("n_b").cast(DoubleType) * (col("n_b").cast(DoubleType) - 1.0)))
+          .as("eyy_c"))
+      .select(col("n_a"), col("n_b"), col("sxy"), col("sxx"), col("syy"),
+        round(col("exy_c") / 100.0, 6).as("e_xy"),
+        round(col("exx_c") / 100.0, 6).as("e_xx"),
+        round(col("eyy_c") / 100.0, 6).as("e_yy"),
+        round((lit(2.0) * col("exy_c") - col("exx_c") - col("eyy_c")) / 100.0,
+          6).as("energy_d2"))
+  }
+
+  /** X10 — NEYMAN ALLOCATION for stratified sampling design (Neyman
+    * 1934; the budget-split answer to "how many rows per stratum"):
+    * per stratum h, allocate n·N_h·σ_h / Σ N_hσ_h — strata that are
+    * big AND noisy get the samples. Complements q72/q113 (which
+    * EXECUTE samples) with the DESIGN step, and reports proportional
+    * allocation beside it so the design delta is visible. One
+    * map-combinable aggregate to k strata + a broadcast total; exact
+    * decimal σ, share as floor-scaled integers.
+    */
+  private def qNeyman(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000.0
+    val st = Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pop"),
+        Stats.dstddevSamp(col("value")).as("sd_raw"))
+      .withColumn("ns", col("n_pop").cast(DoubleType) * col("sd_raw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q269", st)
+    val tot = st.agg(Stats.dsum(round(col("ns"), 6)).as("tot_ns"),
+      sum("n_pop").as("n_tot"))
+    st.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_pop"),
+        round(col("sd_raw"), 6).as("sd_value"),
+        floor(round(col("ns"), 6) / col("tot_ns") * 1e6).cast("long")
+          .as("share_e6"),
+        floor(round(col("ns"), 6) / col("tot_ns") * budget).cast("long")
+          .as("neyman_n"),
+        floor(col("n_pop").cast(DoubleType) / col("n_tot").cast(DoubleType)
+          * budget).cast("long").as("prop_n"))
+      .orderBy("event_type")
+  }
+
+  /** G5 — label-propagation COMMUNITIES ([[graft.core.LabelProp]])
+    * over the brand co-occurrence graph (same ≥5-support edges as
+    * q246's k-core): 4 synchronous rounds with the deterministic
+    * (max count, then min label) update, then community rollup with a
+    * sorted member list. The deterministic tie-break makes classic
+    * LPA — usually randomized — exactly SQL-replayable: the oracle
+    * unrolls all 4 rounds as MATERIALIZED CTE stages.
+    */
+  private def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val ob = li(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+    val e = ob.toDF("ok", "b1")
+      .join(ob.toDF("ok2", "b2"), col("ok") === col("ok2") && col("b1") < col("b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("np"))
+      .where(col("np") >= 5).select("b1", "b2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q270", e)
+    graft.core.LabelProp.run(e, "b1", "b2", rounds = 4)
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("n_members"),
+        concat_ws(",", sort_array(collect_list(col("v")))).as("members"))
+      .select(col("lbl").as("community"), col("n_members"), col("members"))
+      .orderBy("community")
+  }
+
+  /** D26 — FELLEGI–SUNTER probabilistic record linkage (Fellegi &
+    * Sunter 1969 — the decision-theoretic scoring layer the blocking
+    * family q237/q241/q256 feeds): a corrupted twin of customer
+    * (name digit bumped 1-in-7, segment rotated 1-in-11, balance
+    * shifted 1-in-5 — the q259 detection-proof pattern) links back via
+    * a (nation, name-prefix) BLOCK equi-join; each candidate pair
+    * scores Σ of per-field agreement log-weights ln(m/u) /
+    * ln((1−m)/(1−u)) with the m/u literals in the plan, and the
+    * link / possible / non-link decision bands are evaluated against
+    * ground truth (same custkey), so the output MEASURES the
+    * operating points (true/false links per band) instead of assuming
+    * them. Quadratic work stays block-confined; weights round at 6
+    * per field before exact decimal pair sums.
+    */
+  private def qFellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    def w(m: Double, u: Double): (Double, Double) =
+      (math.log(m / u), math.log((1.0 - m) / (1.0 - u)))
+    val (wnA, wnD) = w(0.95, 0.001) // name
+    val (wsA, wsD) = w(0.95, 0.2) // segment
+    val (wbA, wbD) = w(0.98, 0.01) // balance-within-1
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"))
+    val twin = c.select(col("c_custkey").as("t_custkey"),
+      col("c_nationkey").as("t_nationkey"),
+      when(col("c_custkey") % 7 === 0,
+        concat(substring(col("c_name"), 1, 16),
+          lit("9"), substring(col("c_name"), 18, 99)))
+        .otherwise(col("c_name")).as("t_name"),
+      when(col("c_custkey") % 5 === 0, col("c_acctbal") + lit(1.5))
+        .otherwise(col("c_acctbal")).as("t_acctbal"),
+      when(col("c_custkey") % 11 === 0, lit("ROTATED"))
+        .otherwise(col("c_mktsegment")).as("t_mktsegment"))
+    val pairs = c.join(twin,
+      col("c_nationkey") === col("t_nationkey") &&
+        substring(col("c_name"), 1, 12) === substring(col("t_name"), 1, 12))
+    val weight =
+      round(when(col("c_name") === col("t_name"), wnA).otherwise(wnD), 6) +
+      round(when(col("c_mktsegment") === col("t_mktsegment"), wsA)
+        .otherwise(wsD), 6) +
+      round(when(abs(col("c_acctbal") - col("t_acctbal")) <= 1.0, wbA)
+        .otherwise(wbD), 6)
+    pairs.select(weight.as("fs_w"),
+        (col("c_custkey") === col("t_custkey")).as("is_true"))
+      .withColumn("decision",
+        when(col("fs_w") > 5.0, "link")
+          .when(col("fs_w") < 0.0, "non_link").otherwise("possible"))
+      .groupBy("decision")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("is_true"), 1)).as("n_true"),
+        round(Stats.dsum(col("fs_w")) / count(lit(1)), 6).as("mean_w"))
+      .orderBy("decision")
+  }
+
+  /** X11 — exact SHAPLEY channel attribution (Shapley 1953 applied to
+    * marketing response — the game-theoretic upgrade of q217's
+    * first/last/linear heuristics): players = the four non-purchase
+    * event channels, v(S) = observed conversion rate of users whose
+    * exposure set is exactly S. The corpus-sized work is ONE user
+    * rollup to a 4-bit exposure mask + purchase flag and ONE 16-row
+    * coalition aggregate; the exponential Shapley lattice lives
+    * entirely on metadata (16 coalitions, driver-enumerated exactly
+    * like the oracle's bitmask joins). Exactness: v scales to
+    * integer-e6 conversion rates, the |S|!(n−|S|−1)! weights are the
+    * integers {6,2,2,6} (×24 = 4!), so every marginal-contribution sum
+    * is INTEGER arithmetic — the only double is the final /24e6
+    * display division.
+    */
+  private def qShapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    val channels = Seq("click" -> 1, "view" -> 2, "signup" -> 4, "error" -> 8)
+    val ev = Tables.load(s, dir, "events")
+    // exposure uses a SPARSIFIED stream (event_id % 13 < 4) so masks
+    // actually vary — on the full stream every active user touches
+    // every channel and Shapley degenerates to the uniform 1/4 split
+    // (measured); conversion stays on the full stream
+    val mask = channels.map { case (c, b) =>
+      max(when(col("event_type") === c && col("event_id") % 13 < 4, b)
+        .otherwise(0)) }.reduce(_ + _)
+    val perUser = ev.groupBy("user_id")
+      .agg(mask.as("mask"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+    val coal = perUser.groupBy("mask")
+      .agg(count(lit(1)).as("n"), sum("conv").as("nc"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val v6 = (0 until 16).map { m =>
+      m -> coal.get(m).map { case (n, nc) => nc * 1000000L / n }.getOrElse(0L)
+    }.toMap
+    val wFac = Map(0 -> 6L, 1 -> 2L, 2 -> 2L, 3 -> 6L)
+    import s.implicits._
+    channels.map { case (name, bit) =>
+      val phiX = (0 until 16).filter(m => (m & bit) == 0).map { m =>
+        wFac(Integer.bitCount(m)) * (v6(m | bit) - v6(m))
+      }.sum
+      val nExposed = coal.collect {
+        case (m, (n, _)) if (m & bit) != 0 => n }.sum
+      (name, nExposed, phiX,
+        BigDecimal(phiX.toDouble / 24.0 / 1000000.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("channel", "n_exposed_users", "phi_x24e6", "shapley_value")
+      .orderBy("channel")
+  }
+
+  /** X12 — stratified IPW-free ATE (the causal-inference composition of
+    * the experimentation family: q257 reduces variance WITHIN an
+    * experiment, this estimates the effect when assignment is only
+    * conditionally balanced): strata = order priority, treatment = the
+    * hash arm, ATE = Σ_h (N_h/N)(ȳ_hT − ȳ_hC) with the conservative
+    * two-sample SE² = Σ_h (N_h/N)²(s²_hT/n_hT + s²_hC/n_hC) — the
+    * blocked-difference estimator (Imbens & Rubin ch. 9). One grouped
+    * decimal-exact aggregate per stratum + a broadcast total; every
+    * moment mirrors in SQL.
+    */
+  private def qStratifiedAte(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("stratum"),
+        col("o_totalprice").cast(DoubleType).as("y"),
+        (graft.aug.Sampling.keyBucket(col("o_orderkey"), 1234L) <
+          lit(500000L)).as("t"))
+    val st = o.groupBy("stratum")
+      .agg(count(lit(1)).as("n_h"),
+        count(when(col("t"), 1)).as("n_t"),
+        count(when(!col("t"), 1)).as("n_c"),
+        Stats.dmean(when(col("t"), col("y"))).as("my_t"),
+        Stats.dmean(when(!col("t"), col("y"))).as("my_c"),
+        Stats.dvarSamp(when(col("t"), col("y"))).as("v_t"),
+        Stats.dvarSamp(when(!col("t"), col("y"))).as("v_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q273", st)
+    val tot = st.agg(sum("n_h").as("n_tot"))
+    val wgt = col("n_h").cast(DoubleType) / col("n_tot").cast(DoubleType)
+    val per = st.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_h"), col("n_t"), col("n_c"),
+        round(col("my_t") - col("my_c"), 6).as("diff_h"),
+        (wgt * (col("my_t") - col("my_c"))).as("wdiff_raw"),
+        (wgt * wgt * (col("v_t") / col("n_t") + col("v_c") / col("n_c")))
+          .as("wvar_raw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q273", per)
+    val ate = per.agg(
+      Stats.dsum(round(col("wdiff_raw"), 6)).as("ate"),
+      Stats.dsum(round(col("wvar_raw"), 6)).as("var_ate")).head()
+    per.select(col("stratum"), col("n_h"), col("n_t"), col("n_c"),
+        col("diff_h"))
+      .withColumn("ate", round(lit(ate.getDouble(0)), 6))
+      .withColumn("se_ate", round(sqrt(lit(ate.getDouble(1))), 6))
+      .orderBy("stratum")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -6792,7 +7400,20 @@ object SparkEntry {
     "q257_cuped" -> (qCuped _),
     "q258_qte" -> (qQte _),
     "q259_srm" -> (qSrm _),
-    "q260_ratio_delta" -> (qRatioDelta _)
+    "q260_ratio_delta" -> (qRatioDelta _),
+    "q261_paragraph_dedup" -> (qParagraphDedup _),
+    "q262_dsir" -> (qDsir _),
+    "q263_silhouette" -> (qSilhouette _),
+    "q264_jl_projection" -> (qJlProjection _),
+    "q265_power_mde" -> (qPowerMde _),
+    "q266_msprt" -> (qMsprt _),
+    "q267_temp_scaling" -> (qTempScaling _),
+    "q268_energy_distance" -> (qEnergyDistance _),
+    "q269_neyman" -> (qNeyman _),
+    "q270_label_prop" -> (qLabelProp _),
+    "q271_fellegi_sunter" -> (qFellegiSunter _),
+    "q272_shapley_attribution" -> (qShapleyAttribution _),
+    "q273_stratified_ate" -> (qStratifiedAte _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -10838,6 +11459,394 @@ object SparkEntry {
          |  round(sqrt(var_r), 6) AS se, round(zz, 6) AS z_diff
          | FROM ar CROSS JOIN z ORDER BY grp""".stripMargin
         .replaceAll("\n", " ")
+    },
+    "q261_paragraph_dedup" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      val hash = graft.text.TextOps.Sql.strHash(
+        "array_to_string(toks[((i-1)*10+1):((i-1)*10+10)], ' ')")
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, source, $toks AS toks
+         |  FROM documents),
+         | p AS MATERIALIZED (SELECT doc_id, source,
+         |   s['pos'] AS pos, s['h'] AS h, s['ntok'] AS ntok FROM (
+         |  SELECT doc_id, source,
+         |   unnest(list_transform(generate_series(1, (len(toks)-1)//10 + 1),
+         |    i -> {'pos': CAST(i-1 AS BIGINT), 'h': $hash,
+         |     'ntok': CAST(least(10, len(toks)-(i-1)*10) AS BIGINT)})) AS s
+         |  FROM t)),
+         | f AS (SELECT h, count(*) AS n_inst,
+         |   min(doc_id*1000000 + pos) AS fo FROM p GROUP BY h)
+         | SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_paras,
+         |  CAST(count(CASE WHEN n_inst > 1 THEN 1 END) AS BIGINT)
+         |   AS n_dup_paras,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN n_inst > 1 THEN ntok ELSE 0 END) AS BIGINT)
+         |   AS dup_tokens,
+         |  CAST(sum(CASE WHEN doc_id*1000000+pos = fo THEN ntok ELSE 0 END)
+         |   AS BIGINT) AS kept_tokens,
+         |  CAST(sum(CASE WHEN doc_id*1000000+pos = fo THEN ntok ELSE 0 END)
+         |   * 1000000 // sum(ntok) AS BIGINT) AS kept_e6
+         | FROM p JOIN f USING (h) GROUP BY source ORDER BY source"""
+        .stripMargin.replaceAll("\n", " ")
+    },
+    "q262_dsir" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      val bh = graft.text.TextOps.Sql.strHash("toks[i] || ' ' || toks[i+1]")
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, source, lang, $toks AS toks
+         |  FROM documents),
+         | inst AS MATERIALIZED (SELECT doc_id, source, lang,
+         |   unnest(CASE WHEN len(toks) >= 2 THEN
+         |    list_transform(generate_series(1, len(toks)-1),
+         |     i -> ($bh) % 1024) ELSE [] END) AS b FROM t),
+         | nt AS (SELECT count(*) AS n FROM inst WHERE lang = 'en'),
+         | nr AS (SELECT count(*) AS n FROM inst),
+         | tgt AS (SELECT b, count(*) AS ct FROM inst WHERE lang = 'en'
+         |  GROUP BY b),
+         | raw AS (SELECT b, count(*) AS cr FROM inst GROUP BY b),
+         | lr AS (SELECT raw.b AS b,
+         |   round(ln((coalesce(ct, 0)+1) / CAST(nt.n + 1024 AS DOUBLE))
+         |    - ln((cr+1) / CAST(nr.n + 1024 AS DOUBLE)), 6) AS lr
+         |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, nt, nr),
+         | pd AS (SELECT doc_id, source,
+         |   round(${Stats.Sql.dsum("lr")} / count(*), 6) AS w
+         |  FROM inst JOIN lr USING (b) GROUP BY doc_id, source)
+         | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(${Stats.Sql.dsum("w")} / count(*), 6) AS mean_w,
+         |  CAST(count(CASE WHEN w > 0 THEN 1 END) AS BIGINT) AS n_selected
+         | FROM pd GROUP BY source ORDER BY source""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    // centroid means are UNROUNDED dsum/count (bit-identical); per-dim
+    // squared diffs fold in fixed 1..64 order both sides
+    "q263_silhouette" -> {
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
+         |  CAST(label AS BIGINT) AS label, embedding FROM embeddings),
+         | cd AS (SELECT label, dim,
+         |   ${Stats.Sql.dsum("CAST(embedding[dim] AS DOUBLE)")} / count(*)
+         |    AS mean
+         |  FROM (SELECT label, unnest(generate_series(1, len(embedding)))
+         |    AS dim, embedding FROM e) GROUP BY label, dim),
+         | c AS MATERIALIZED (SELECT label AS cl,
+         |   list(mean ORDER BY dim) AS cv FROM cd GROUP BY label),
+         | d AS MATERIALIZED (SELECT e.vec_id, e.label, c.cl,
+         |   list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(generate_series(1, len(e.embedding)),
+         |     i -> (CAST(e.embedding[i] AS DOUBLE) - cv[i]) *
+         |          (CAST(e.embedding[i] AS DOUBLE) - cv[i]))),
+         |    (acc, x) -> acc + x) AS d2
+         |  FROM e CROSS JOIN c),
+         | ab AS (SELECT vec_id, label,
+         |   sqrt(max(CASE WHEN cl = label THEN d2 END)) AS a,
+         |   sqrt(min(CASE WHEN cl <> label THEN d2 END)) AS b
+         |  FROM d GROUP BY vec_id, label),
+         | sv AS (SELECT label, a, b, (b - a) / greatest(a, b) AS sil
+         |  FROM ab)
+         | SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |  round(${Stats.Sql.dsum("a")} / count(*), 6) AS mean_a,
+         |  round(${Stats.Sql.dsum("b")} / count(*), 6) AS mean_b,
+         |  round(${Stats.Sql.dsum("sil")} / count(*), 6) AS mean_sil
+         | FROM sv GROUP BY label ORDER BY label""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q264_jl_projection" -> {
+      val bucket = graft.aug.Sampling.Sql.keyBucket("ida", 5151L)
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding,
+         |  list_transform(generate_series(1, 16), j ->
+         |   list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(generate_series(1, 64), i ->
+         |     CASE WHEN ((i*131 + j*137) * (i*131 + j*137)) % 1000003 % 2 = 0
+         |      THEN CAST(embedding[i] AS DOUBLE)
+         |      ELSE -CAST(embedding[i] AS DOUBLE) END)),
+         |    (acc, x) -> acc + x) / 4.0) AS p FROM embeddings),
+         | pr AS (SELECT a.vec_id AS ida,
+         |   list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(generate_series(1, 64), i ->
+         |     (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) *
+         |     (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))),
+         |    (acc, x) -> acc + x) AS od2,
+         |   list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(generate_series(1, 16), i ->
+         |     (a.p[i] - b.p[i]) * (a.p[i] - b.p[i]))),
+         |    (acc, x) -> acc + x) AS pd2
+         |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+         | r AS (SELECT pd2 / od2 AS ratio FROM pr
+         |  WHERE $bucket < 200000 AND od2 > 0)
+         | SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(${Stats.Sql.dsum("ratio")} / count(*), 6) AS mean_ratio,
+         |  round(min(ratio), 6) AS min_ratio,
+         |  round(max(ratio), 6) AS max_ratio,
+         |  CAST(count(CASE WHEN ratio >= 0.5 AND ratio <= 1.5 THEN 1 END)
+         |   AS BIGINT) AS n_in_band
+         | FROM r""".stripMargin.replaceAll("\n", " ")
+    },
+    "q265_power_mde" -> {
+      val arm = s"(${graft.aug.Sampling.Sql.keyBucket("user_id", 31L)}) < 500000"
+      s"""WITH g AS (SELECT event_type,
+         |  count(CASE WHEN $arm THEN 1 END) AS n_a,
+         |  count(CASE WHEN NOT ($arm) THEN 1 END) AS n_b,
+         |  ${Stats.Sql.dmean("value")} AS mean_raw,
+         |  ${Stats.Sql.dstddevSamp("value")} AS sd_raw
+         |  FROM events GROUP BY event_type),
+         | m AS (SELECT *, (1.959964 + 0.841621) * sd_raw *
+         |   sqrt(1.0/n_a + 1.0/n_b) AS mde_raw FROM g)
+         | SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+         |  CAST(n_b AS BIGINT) AS n_b,
+         |  round(mean_raw, 6) AS mean_value, round(sd_raw, 6) AS sd_value,
+         |  round(mde_raw, 6) AS mde_abs,
+         |  CAST(floor(mde_raw / mean_raw * 1e6) AS BIGINT) AS mde_rel_e6
+         | FROM m ORDER BY event_type""".stripMargin.replaceAll("\n", " ")
+    },
+    "q266_msprt" -> {
+      val arm = s"(${graft.aug.Sampling.Sql.keyBucket("user_id", 31L)}) < 500000"
+      s"""WITH base AS MATERIALIZED (SELECT event_id, value, ($arm) AS arm,
+         |  CAST(round(value*100) AS BIGINT) AS vc FROM events),
+         | s2 AS MATERIALIZED (SELECT ${Stats.Sql.dvarPop("value")} AS sig2
+         |  FROM base),
+         | ev AS MATERIALIZED (
+         |  SELECT 'healthy' AS scenario, event_id,
+         |   CASE WHEN arm THEN 1 ELSE 0 END AS ca,
+         |   CASE WHEN arm THEN vc ELSE 0 END AS sa,
+         |   CASE WHEN NOT arm THEN 1 ELSE 0 END AS cb,
+         |   CASE WHEN NOT arm THEN vc ELSE 0 END AS sb FROM base
+         |  UNION ALL
+         |  SELECT 'shifted', event_id,
+         |   CASE WHEN arm THEN 1 ELSE 0 END,
+         |   CASE WHEN arm THEN vc ELSE 0 END,
+         |   CASE WHEN NOT arm THEN 1 ELSE 0 END,
+         |   CASE WHEN NOT arm THEN (vc*5)//4 ELSE 0 END FROM base),
+         | c AS (SELECT scenario,
+         |   row_number() OVER (PARTITION BY scenario ORDER BY event_id)
+         |    AS n,
+         |   sum(ca) OVER w AS n_a, sum(sa) OVER w AS sa_c,
+         |   sum(cb) OVER w AS n_b, sum(sb) OVER w AS sb_c
+         |  FROM ev WINDOW w AS (PARTITION BY scenario ORDER BY event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         | k AS (SELECT * FROM c WHERE n % 500 = 0 AND n_a > 0 AND n_b > 0),
+         | x AS (SELECT scenario, n, n_a, n_b,
+         |   (CAST(sa_c AS DOUBLE)/n_a - CAST(sb_c AS DOUBLE)/n_b)/100.0
+         |    AS delta,
+         |   sig2/4.0 AS t2, sig2*(1.0/n_a + 1.0/n_b) AS vv FROM k, s2),
+         | y AS (SELECT scenario, n, n_a, n_b, delta,
+         |   0.5*ln(vv/(vv+t2)) + delta*delta*t2/(2.0*vv*(vv+t2)) AS ll
+         |  FROM x)
+         | SELECT scenario, CAST(n AS BIGINT) AS n, CAST(n_a AS BIGINT)
+         |  AS n_a, CAST(n_b AS BIGINT) AS n_b, round(delta, 6) AS delta,
+         |  round(ll, 6) AS log_lambda, ll > 2.995732 AS rejected
+         | FROM y ORDER BY scenario, n""".stripMargin.replaceAll("\n", " ")
+    },
+    "q267_temp_scaling" -> {
+      def sp(u: String) =
+        s"(CASE WHEN ($u) > 30 THEN ($u) ELSE ln(1.0 + exp($u)) END)"
+      def sums(th: String, tag: String) = {
+        val u = s"($th * z)"
+        val p = s"(1.0/(1.0 + exp(-$u)))"
+        s"""i$tag AS MATERIALIZED (SELECT
+           |  ${Stats.Sql.dsum(s"round(${sp(u)} - y * $u, 6)")} AS nll,
+           |  ${Stats.Sql.dsum(s"round(z * ($p - y), 6)")} AS g,
+           |  ${Stats.Sql.dsum(s"round(z * z * $p * (1.0 - $p), 6)")} AS h
+           |  FROM b${if (tag == "1") "" else s", t${tag.toInt - 1}"})"""
+          .stripMargin
+      }
+      val thPrev = Map("1" -> "1.0", "2" -> "t1.th", "3" -> "t2.th")
+      val chain = (1 to 3).map { k =>
+        val tag = k.toString
+        val tDef = s"""t$tag AS MATERIALIZED (SELECT
+           |  round(${thPrev(tag)} - i$tag.g/i$tag.h, 6) AS th,
+           |  round(i$tag.nll, 6) AS nll
+           |  FROM i$tag${if (k == 1) "" else s", t${k - 1}"})""".stripMargin
+        s"${sums(thPrev(tag), tag)}, $tDef"
+      }.mkString(", ")
+      s"""WITH st AS MATERIALIZED (SELECT
+         |  ${Stats.Sql.dmean("CAST(l_extendedprice AS DOUBLE)")} AS mu,
+         |  ${Stats.Sql.dstddevSamp("CAST(l_extendedprice AS DOUBLE)")} AS sd
+         |  FROM lineitem),
+         | b AS MATERIALIZED (SELECT
+         |  (CAST(l_extendedprice AS DOUBLE) - mu)/sd AS z,
+         |  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM lineitem, st),
+         | $chain
+         | SELECT CAST(1 AS BIGINT) AS iter, 1.0 AS theta_in,
+         |  t1.nll AS nll, t1.th AS theta_out FROM t1
+         | UNION ALL SELECT CAST(2 AS BIGINT), t1.th, t2.nll, t2.th
+         |  FROM t1, t2
+         | UNION ALL SELECT CAST(3 AS BIGINT), t2.th, t3.nll, t3.th
+         |  FROM t2, t3
+         | ORDER BY iter""".stripMargin.replaceAll("\n", " ")
+    },
+    "q268_energy_distance" ->
+      """WITH ev AS MATERIALIZED (SELECT event_id, event_type,
+        |  CAST(round(value*100) AS BIGINT) AS vc FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        | w AS (SELECT event_type, vc,
+        |  coalesce(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+        |   OVER wb, 0) AS cca,
+        |  coalesce(sum(CASE WHEN event_type='click' THEN vc ELSE 0 END)
+        |   OVER wb, 0) AS csa,
+        |  coalesce(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)
+        |   OVER wb, 0) AS ccb,
+        |  coalesce(sum(CASE WHEN event_type='view' THEN vc ELSE 0 END)
+        |   OVER wb, 0) AS csb
+        |  FROM ev WINDOW wb AS (ORDER BY vc*10000000 + event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        | d AS (SELECT event_type, vc*cca - csa AS da, vc*ccb - csb AS db
+        |  FROM w),
+        | a AS (SELECT
+        |  count(CASE WHEN event_type='click' THEN 1 END) AS n_a,
+        |  count(CASE WHEN event_type='view' THEN 1 END) AS n_b,
+        |  sum((CASE WHEN event_type='click' THEN db ELSE 0 END) +
+        |      (CASE WHEN event_type='view' THEN da ELSE 0 END)) AS sxy,
+        |  sum(CASE WHEN event_type='click' THEN da ELSE 0 END) AS sxx,
+        |  sum(CASE WHEN event_type='view' THEN db ELSE 0 END) AS syy
+        |  FROM d),
+        | x AS (SELECT n_a, n_b, sxy, sxx, syy,
+        |  CAST(sxy AS DOUBLE)/(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE))
+        |   AS exy,
+        |  2.0*CAST(sxx AS DOUBLE)/(CAST(n_a AS DOUBLE)*(CAST(n_a AS DOUBLE)-1.0))
+        |   AS exx,
+        |  2.0*CAST(syy AS DOUBLE)/(CAST(n_b AS DOUBLE)*(CAST(n_b AS DOUBLE)-1.0))
+        |   AS eyy FROM a)
+        | SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
+        |  CAST(syy AS BIGINT) AS syy,
+        |  round(exy/100.0, 6) AS e_xy, round(exx/100.0, 6) AS e_xx,
+        |  round(eyy/100.0, 6) AS e_yy,
+        |  round((2.0*exy - exx - eyy)/100.0, 6) AS energy_d2
+        | FROM x""".stripMargin.replaceAll("\n", " "),
+    "q269_neyman" -> {
+      val ns = "round(CAST(n_pop AS DOUBLE)*sd_raw, 6)"
+      s"""WITH st AS MATERIALIZED (SELECT event_type, count(*) AS n_pop,
+         |  ${Stats.Sql.dstddevSamp("value")} AS sd_raw
+         |  FROM events GROUP BY event_type),
+         | t AS (SELECT ${Stats.Sql.dsum(ns)} AS tot_ns,
+         |  sum(n_pop) AS n_tot FROM st)
+         | SELECT event_type, CAST(n_pop AS BIGINT) AS n_pop,
+         |  round(sd_raw, 6) AS sd_value,
+         |  CAST(floor($ns/tot_ns*1e6) AS BIGINT) AS share_e6,
+         |  CAST(floor($ns/tot_ns*1000.0) AS BIGINT) AS neyman_n,
+         |  CAST(floor(CAST(n_pop AS DOUBLE)/CAST(n_tot AS DOUBLE)*1000.0)
+         |   AS BIGINT) AS prop_n
+         | FROM st, t ORDER BY event_type""".stripMargin.replaceAll("\n", " ")
+    },
+    "q270_label_prop" -> {
+      // MATERIALIZED chain: each round references its predecessor
+      // (q246's 2^R inlining lesson)
+      val rounds = (1 to 4).map { r =>
+        val prev = if (r == 1) "l0" else s"l${r - 1}"
+        s"c$r AS MATERIALIZED (SELECT ed.dst AS v, p.lbl AS nl, count(*) AS c" +
+          s" FROM ed JOIN $prev p ON ed.src = p.v GROUP BY 1, 2), " +
+          s"l$r AS MATERIALIZED (SELECT c$r.v AS v, min(nl) AS lbl FROM c$r" +
+          s" JOIN (SELECT v, max(c) AS mc FROM c$r GROUP BY v) m" +
+          s" ON c$r.v = m.v AND c$r.c = m.mc GROUP BY c$r.v)"
+      }.mkString(", ")
+      s"""WITH p0 AS MATERIALIZED (SELECT l_orderkey AS ok, p_brand AS b
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+         | e AS MATERIALIZED (SELECT x.b AS b1, y.b AS b2 FROM p0 x JOIN p0 y
+         |  ON x.ok = y.ok AND x.b < y.b GROUP BY 1, 2 HAVING count(*) >= 5),
+         | ed AS MATERIALIZED (SELECT b1 AS src, b2 AS dst FROM e
+         |  UNION ALL SELECT b2, b1 FROM e),
+         | l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM ed),
+         | $rounds
+         | SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+         |  string_agg(v, ',' ORDER BY v) AS members
+         | FROM l4 GROUP BY lbl ORDER BY community""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q271_fellegi_sunter" ->
+      """WITH t AS MATERIALIZED (SELECT c_custkey AS t_custkey,
+        |  c_nationkey AS t_nationkey,
+        |  CASE WHEN c_custkey % 7 = 0 THEN
+        |   substr(c_name, 1, 16) || '9' || substr(c_name, 18)
+        |   ELSE c_name END AS t_name,
+        |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1.5
+        |   ELSE c_acctbal END AS t_acctbal,
+        |  CASE WHEN c_custkey % 11 = 0 THEN 'ROTATED'
+        |   ELSE c_mktsegment END AS t_mktsegment
+        |  FROM customer),
+        | p AS (SELECT
+        |  round(CASE WHEN c_name = t_name THEN ln(0.95/0.001)
+        |   ELSE ln((1.0-0.95)/(1.0-0.001)) END, 6)
+        |  + round(CASE WHEN c_mktsegment = t_mktsegment THEN ln(0.95/0.2)
+        |   ELSE ln((1.0-0.95)/(1.0-0.2)) END, 6)
+        |  + round(CASE WHEN abs(c_acctbal - t_acctbal) <= 1.0
+        |   THEN ln(0.98/0.01) ELSE ln((1.0-0.98)/(1.0-0.01)) END, 6)
+        |   AS fs_w,
+        |  (c_custkey = t_custkey) AS is_true
+        |  FROM customer JOIN t ON c_nationkey = t_nationkey
+        |   AND substr(c_name, 1, 12) = substr(t_name, 1, 12))
+        | SELECT CASE WHEN fs_w > 5.0 THEN 'link'
+        |   WHEN fs_w < 0.0 THEN 'non_link' ELSE 'possible' END AS decision,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(CASE WHEN is_true THEN 1 END) AS BIGINT) AS n_true,
+        |  round(CAST(sum(CAST(fs_w AS DECIMAL(38,10))) AS DOUBLE)
+        |   / count(*), 6) AS mean_w
+        | FROM p GROUP BY 1 ORDER BY decision""".stripMargin
+        .replaceAll("\n", " "),
+    "q272_shapley_attribution" ->
+      """WITH pu AS MATERIALIZED (SELECT user_id,
+        |  max(CASE WHEN event_type='click' AND event_id % 13 < 4
+        |   THEN 1 ELSE 0 END) +
+        |  max(CASE WHEN event_type='view' AND event_id % 13 < 4
+        |   THEN 2 ELSE 0 END) +
+        |  max(CASE WHEN event_type='signup' AND event_id % 13 < 4
+        |   THEN 4 ELSE 0 END) +
+        |  max(CASE WHEN event_type='error' AND event_id % 13 < 4
+        |   THEN 8 ELSE 0 END) AS mask,
+        |  max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        | coal AS MATERIALIZED (SELECT mask, count(*) AS n, sum(conv) AS nc
+        |  FROM pu GROUP BY mask),
+        | allm AS (SELECT unnest(generate_series(0, 15)) AS mask),
+        | vv AS MATERIALIZED (SELECT a.mask AS mask,
+        |   coalesce(nc * 1000000 // n, 0) AS v6
+        |  FROM allm a LEFT JOIN coal c ON a.mask = c.mask),
+        | ch AS (SELECT 'click' AS channel, 1 AS bit
+        |  UNION ALL SELECT 'view', 2 UNION ALL SELECT 'signup', 4
+        |  UNION ALL SELECT 'error', 8),
+        | t AS (SELECT ch.channel, sum(
+        |   (CASE ((vs.mask & 1) + ((vs.mask >> 1) & 1) +
+        |          ((vs.mask >> 2) & 1) + ((vs.mask >> 3) & 1))
+        |    WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+        |   * (vb.v6 - vs.v6)) AS phi_x
+        |  FROM ch JOIN vv vs ON (vs.mask & ch.bit) = 0
+        |   JOIN vv vb ON vb.mask = vs.mask + ch.bit
+        |  GROUP BY ch.channel),
+        | ex AS (SELECT ch.channel, sum(c.n) AS n_exposed FROM ch
+        |  JOIN coal c ON (c.mask & ch.bit) <> 0 GROUP BY ch.channel)
+        | SELECT t.channel AS channel,
+        |  CAST(coalesce(ex.n_exposed, 0) AS BIGINT) AS n_exposed_users,
+        |  CAST(phi_x AS BIGINT) AS phi_x24e6,
+        |  round(CAST(phi_x AS DOUBLE)/24.0/1000000.0, 6) AS shapley_value
+        | FROM t LEFT JOIN ex ON t.channel = ex.channel
+        | ORDER BY channel""".stripMargin.replaceAll("\n", " "),
+    "q273_stratified_ate" -> {
+      val bucket = graft.aug.Sampling.Sql.keyBucket("o_orderkey", 1234L)
+      val yt = "(CASE WHEN t THEN y END)"
+      val yc = "(CASE WHEN NOT t THEN y END)"
+      s"""WITH o AS MATERIALIZED (SELECT o_orderpriority AS stratum,
+         |  CAST(o_totalprice AS DOUBLE) AS y, ($bucket) < 500000 AS t
+         |  FROM orders),
+         | st AS MATERIALIZED (SELECT stratum, count(*) AS n_h,
+         |  count(CASE WHEN t THEN 1 END) AS n_t,
+         |  count(CASE WHEN NOT t THEN 1 END) AS n_c,
+         |  ${Stats.Sql.dmean(yt)} AS my_t, ${Stats.Sql.dmean(yc)} AS my_c,
+         |  ${Stats.Sql.dvarSamp(yt)} AS v_t, ${Stats.Sql.dvarSamp(yc)} AS v_c
+         |  FROM o GROUP BY stratum),
+         | tt AS (SELECT sum(n_h) AS n_tot FROM st),
+         | per AS MATERIALIZED (SELECT stratum, n_h, n_t, n_c,
+         |  round(my_t - my_c, 6) AS diff_h,
+         |  (CAST(n_h AS DOUBLE)/CAST(n_tot AS DOUBLE)) * (my_t - my_c)
+         |   AS wdiff_raw,
+         |  (CAST(n_h AS DOUBLE)/CAST(n_tot AS DOUBLE)) *
+         |  (CAST(n_h AS DOUBLE)/CAST(n_tot AS DOUBLE)) *
+         |  (v_t/n_t + v_c/n_c) AS wvar_raw
+         |  FROM st, tt),
+         | a AS (SELECT ${Stats.Sql.dsum("round(wdiff_raw, 6)")} AS ate,
+         |  ${Stats.Sql.dsum("round(wvar_raw, 6)")} AS var_ate FROM per)
+         | SELECT stratum, CAST(n_h AS BIGINT) AS n_h,
+         |  CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+         |  diff_h, round(ate, 6) AS ate, round(sqrt(var_ate), 6) AS se_ate
+         | FROM per, a ORDER BY stratum""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

@@ -491,6 +491,54 @@ class PlanAuditSpec extends SparkSpec {
       s"ensemble top-15 is not a distributed top-k:\n$q248")
   }
 
+  test("round-10 session-3 plans keep their scale shapes") {
+    // q261 paragraph dedup: instances join their hash-group stats by an
+    // EQUI join; partial aggregation before the hash shuffle
+    val q261 = plan(SparkEntry.queries("q261_paragraph_dedup")(spark, sf))
+    assert(!q261.contains("CartesianProduct") &&
+      !q261.contains("BroadcastNestedLoopJoin"),
+      s"paragraph dedup plans a cartesian:\n$q261")
+    assert(q261.contains("HashJoin") || q261.contains("SortMergeJoin"),
+      s"paragraph-hash join lost its equi shape:\n$q261")
+    assert("HashAggregate".r.findAllIn(q261).size >= 2,
+      s"paragraph stats lost partial aggregation:\n$q261")
+    // q262 DSIR: the 1024-bucket log-ratio table must BROADCAST — the
+    // corpus-side stream is never shuffled for the scoring join
+    val q262 = plan(SparkEntry.queries("q262_dsir")(spark, sf))
+    assert(q262.contains("BroadcastHashJoin"),
+      s"DSIR log-ratio table not broadcast:\n$q262")
+    assert(!q262.contains("CartesianProduct"),
+      s"DSIR plans a cartesian:\n$q262")
+    // q263 silhouette: centroids are PLAN LITERALS — the scoring pass
+    // has no join at all (the q211 typedlit shape)
+    val q263 = plan(SparkEntry.queries("q263_silhouette")(spark, sf))
+    assert(!q263.contains("Join"),
+      s"silhouette scoring re-grew a join (centroids must be literals):\n$q263")
+    // q264 JL: the pair stage is an adjacent-id EQUI join
+    val q264 = plan(SparkEntry.queries("q264_jl_projection")(spark, sf))
+    assert(!q264.contains("CartesianProduct") &&
+      !q264.contains("BroadcastNestedLoopJoin"),
+      s"JL pair stage plans a cartesian:\n$q264")
+    // q266/q268: running totals come from the two-phase PrefixScan —
+    // NO window operator anywhere (the W4 invariant)
+    Seq("q266_msprt", "q268_energy_distance").foreach { n =>
+      val p = plan(SparkEntry.queries(n)(spark, sf))
+      assert(!p.contains("Window"),
+        s"$n regressed to a window for its running sums:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+    }
+    // q265/q269: one map-combinable aggregate to k metric rows; the
+    // only nested loop is the 1-row total/variance broadcast
+    Seq("q265_power_mde", "q269_neyman").foreach { n =>
+      val p = plan(SparkEntry.queries(n)(spark, sf))
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$n lost partial aggregation:\n$p")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 &&
+        !p.contains("CartesianProduct"),
+        s"$n plans a data-sized nested loop:\n$p")
+    }
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
