@@ -7013,9 +7013,18 @@ object SparkEntry {
         .otherwise(col("c_acctbal")).as("t_acctbal"),
       when(col("c_custkey") % 11 === 0, lit("ROTATED"))
         .otherwise(col("c_mktsegment")).as("t_mktsegment"))
+    // block on (nation, name-prefix-15): the 9-digit zero-padded id
+    // means chars 10..15 are the HIGH six digits, i.e. the key/1000
+    // range — block sizes stay BOUNDED as the corpus grows (new
+    // customers mint new ranges). A 12-char prefix only reaches the
+    // top-3 digits — constant "000" below key 1e6, which silently
+    // degenerates to nation-only blocking: ScaleAb measured exponent
+    // 1.78 (1.5 s → 92 s at 10×) before this fix, 0.0x after. The
+    // 1-in-7 corruption sits at char 17 (inside the last-3 digits),
+    // safely OUTSIDE the blocking prefix.
     val pairs = c.join(twin,
       col("c_nationkey") === col("t_nationkey") &&
-        substring(col("c_name"), 1, 12) === substring(col("t_name"), 1, 12))
+        substring(col("c_name"), 1, 15) === substring(col("t_name"), 1, 15))
     val weight =
       round(when(col("c_name") === col("t_name"), wnA).otherwise(wnD), 6) +
       round(when(col("c_mktsegment") === col("t_mktsegment"), wsA)
@@ -7127,6 +7136,353 @@ object SparkEntry {
       .withColumn("ate", round(lit(ate.getDouble(0)), 6))
       .withColumn("se_ate", round(sqrt(lit(ate.getDouble(1))), 6))
       .orderBy("stratum")
+  }
+
+  /** SK5 — AMS F₂ sketch (Alon–Matias–Szegedy 1996, the second
+    * frequency moment = self-join size / repeat rate of the bigram
+    * stream): 16 ±1 counters, each ONE map-combinable sum — the
+    * streaming-friendly estimator beside the exact Σc² pass it is
+    * verified against (the q190/q214 sketch-audit pattern, except here
+    * BOTH the estimate and the truth are exact integers, so the oracle
+    * value-checks the estimator itself, not just an invariant). Signs
+    * come from the quadratic-residue parity of (h + j·1000003)² mod P
+    * — the q264 lesson: affine/multiplicative parities are correlated
+    * across counters (measured rel-err −0.70 to −0.82 on this corpus);
+    * the squared form measures −0.10 (mean-of-16) as AMS variance
+    * predicts. The bigram hash is HOISTED into its own projection
+    * (the HOF inlining trap — 16 counter lambdas would otherwise
+    * re-hash per counter). Everything is integer arithmetic; the only
+    * divisions are by powers of two (exact in double).
+    */
+  private def qAmsF2(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val P = 1000000007L
+    val inst = par(doc(s, dir))
+      .select(TextOps.tokens(col("text")).as("toks"))
+      .select(explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => TextOps.strHash(concat(
+            element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1)))))
+        .otherwise(array().cast("array<long>"))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q274", inst)
+    val sums = (1 to 16).map { j =>
+      val t = col("h") + lit(j * 1000003L)
+      sum(when((t * t) % P % 2 === 0, 1L).otherwise(-1L)).as(s"s$j")
+    }
+    val sk = inst.agg(sums.head, sums.tail: _*).head()
+    val ss = (0 until 16).map(sk.getLong)
+    val ex = inst.groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("c") * col("c")).as("f2"),
+        sum("c").as("n_inst")).head()
+    val (nDistinct, f2, nInst) = (ex.getLong(0), ex.getLong(1), ex.getLong(2))
+    val sq = ss.map(v => v * v)
+    val estMean = sq.sum / 16.0
+    val groupMeans = sq.grouped(4).map(g => g.sum / 4.0).toSeq.sorted
+    val estMom = (groupMeans(1) + groupMeans(2)) / 2.0
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import s.implicits._
+    Seq((nInst, nDistinct, f2, r6(estMean), r6(estMom),
+        r6((estMean - f2) / f2), r6((estMom - f2) / f2)))
+      .toDF("n_inst", "n_distinct", "f2_exact", "f2_est_mean", "f2_est_mom",
+        "rel_err_mean", "rel_err_mom")
+  }
+
+  /** X13 — instrumental-variables LATE via the WALD estimator (Imbens
+    * & Angrist 1994 — the encouragement-design answer when uptake is
+    * voluntary): Z = the hash assignment, D = deterministic uptake
+    * (2/3 of encouraged comply, 1/7 of control always-take), LATE =
+    * ITT / compliance-difference. Scenario pair: the NULL stream is
+    * raw revenue, the INJECTED twin adds exactly +500 to every taker.
+    * Because both scenarios share the identical draw, the noise
+    * CANCELS in the twin difference: late(injected) − late(null) =
+    * 500.000000 exactly (ITT shifts by exactly 500·compliance over
+    * the same compliance) — the q259/q266 detection-proof pattern
+    * applied to identification, with an EXACT recovery identity
+    * instead of a statistical one. The per-scenario point estimates
+    * honestly carry the small-sample noise their SE reports. One
+    * grouped decimal-exact aggregate per scenario; delta-method SE =
+    * SE(ITT)/|compliance|.
+    */
+  private def qIvLate(s: SparkSession, dir: String): DataFrame = {
+    val z = graft.aug.Sampling.keyBucket(col("o_orderkey"), 777L) <
+      lit(500000L)
+    val d = (z && col("o_custkey") % 3 =!= 0) ||
+      (!z && col("o_custkey") % 7 === 0)
+    val base = Tables.load(s, dir, "orders")
+      .select(z.as("z"), d.as("d"), col("o_totalprice").cast(DoubleType)
+        .as("y0"))
+    def arm(df: DataFrame, scenario: String): DataFrame = {
+      val y = if (scenario == "injected")
+        col("y0") + when(col("d"), 500.0).otherwise(0.0)
+      else col("y0")
+      df.withColumn("y", y)
+        .groupBy("z")
+        .agg(count(lit(1)).as("n"),
+          Stats.dmean(col("y")).as("my"),
+          Stats.dvarSamp(col("y")).as("vy"),
+          count(when(col("d"), 1)).as("n_d"))
+        .withColumn("scenario", lit(scenario))
+    }
+    val g = arm(base, "null").unionByName(arm(base, "injected"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q275", g)
+    val z1 = g.where(col("z")).select(col("scenario"), col("n").as("n1"),
+      col("my").as("my1"), col("vy").as("vy1"), col("n_d").as("nd1"))
+    val z0 = g.where(!col("z")).select(col("scenario"), col("n").as("n0"),
+      col("my").as("my0"), col("vy").as("vy0"), col("n_d").as("nd0"))
+    val itt = col("my1") - col("my0")
+    val comp = col("nd1").cast(DoubleType) / col("n1") -
+      col("nd0").cast(DoubleType) / col("n0")
+    val seItt = sqrt(col("vy1") / col("n1") + col("vy0") / col("n0"))
+    z1.join(z0, "scenario")
+      .select(col("scenario"), (col("n1") + col("n0")).as("n"),
+        round(itt, 6).as("itt"),
+        round(comp, 6).as("compliance_diff"),
+        round(itt / comp, 6).as("late"),
+        round(seItt / abs(comp), 6).as("se_late"))
+      .orderBy("scenario")
+  }
+
+  /** X14 — difference-in-differences with a PLACEBO pre-trend check
+    * (Card & Krueger shape): treated = the user hash arm, period =
+    * a deterministic event-id phase, DiD = (ΔT) − (ΔC). Scenario
+    * pair on the identical draw: the injected twin adds exactly +25
+    * to treated-post values, so did(injected) − did(null) = 25.000000
+    * EXACTLY (shared noise cancels); the placebo contrast (two PRE
+    * sub-periods) is by construction identical across scenarios — the
+    * parallel-trends diagnostic that separates a real design from a
+    * trend artifact. One grouped aggregate per scenario over
+    * (treated, phase) cells; exact decimal moments, closed-form SE
+    * from the four cell variances.
+    */
+  private def qDid(s: SparkSession, dir: String): DataFrame = {
+    val treated = graft.aug.Sampling.keyBucket(col("user_id"), 31L) <
+      lit(500000L)
+    val base = Tables.load(s, dir, "events")
+      .select(treated.as("t"), (col("event_id") % 10).as("phase"),
+        col("value").cast(DoubleType).as("y0"))
+    def cells(scenario: String): DataFrame = {
+      val post = col("phase") >= 5
+      val y = if (scenario == "injected")
+        col("y0") + when(col("t") && post, 25.0).otherwise(0.0)
+      else col("y0")
+      base.withColumn("y", y)
+        .withColumn("grp",
+          when(post, "post").when(col("phase") < 2, "pre_a")
+            .otherwise("pre_b"))
+        .groupBy("t", "grp")
+        .agg(count(lit(1)).as("n"), Stats.dmean(col("y")).as("my"),
+          Stats.dvarSamp(col("y")).as("vy"))
+        .withColumn("scenario", lit(scenario))
+    }
+    val g = cells("null").unionByName(cells("injected"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q276", g)
+    def cell(t: Boolean, grp: String, suffix: String): DataFrame =
+      g.where(col("t") === t && col("grp") === grp)
+        .select(col("scenario"), col("n").as(s"n_$suffix"),
+          col("my").as(s"my_$suffix"), col("vy").as(s"vy_$suffix"))
+    val j = cell(true, "post", "tp").join(cell(true, "pre_a", "ta"), "scenario")
+      .join(cell(true, "pre_b", "tb"), "scenario")
+      .join(cell(false, "post", "cp"), "scenario")
+      .join(cell(false, "pre_a", "ca"), "scenario")
+      .join(cell(false, "pre_b", "cb"), "scenario")
+    // pre = both pre sub-periods pooled by exact-count weighting
+    val preT = (col("my_ta") * col("n_ta") + col("my_tb") * col("n_tb")) /
+      (col("n_ta") + col("n_tb"))
+    val preC = (col("my_ca") * col("n_ca") + col("my_cb") * col("n_cb")) /
+      (col("n_ca") + col("n_cb"))
+    val did = (col("my_tp") - preT) - (col("my_cp") - preC)
+    val placebo = (col("my_tb") - col("my_ta")) -
+      (col("my_cb") - col("my_ca"))
+    val seDid = sqrt(col("vy_tp") / col("n_tp") + col("vy_cp") / col("n_cp") +
+      col("vy_ta") / col("n_ta") + col("vy_ca") / col("n_ca"))
+    j.select(col("scenario"),
+        (col("n_tp") + col("n_ta") + col("n_tb") + col("n_cp") +
+          col("n_ca") + col("n_cb")).as("n"),
+        round(did, 6).as("did"),
+        round(seDid, 6).as("se_did"),
+        round(placebo, 6).as("placebo_pre_trend"))
+      .orderBy("scenario")
+  }
+
+  /** X15 — regression discontinuity (sharp RDD, Thistlethwaite &
+    * Campbell 1960): running variable = account balance, cutoff 5000,
+    * bandwidth ±2000; per side, a closed-form local LINEAR fit of
+    * customer revenue on the centered running variable (the q173 OLS
+    * moments, decimal-exact), jump = the difference of the two
+    * intercepts AT the cutoff. The injected twin adds exactly +300
+    * above the cutoff; on the shared draw the twin difference
+    * jump(injected) − jump(null) = 300.000000 EXACTLY, while the
+    * per-scenario jumps honestly carry the local-linear small-sample
+    * noise (tens of thousands at n≈25/side — RDD needs bandwidth-
+    * scaled data, and the output shows why).
+    * The fit is one grouped aggregate over (scenario, side) — four
+    * rows of sufficient statistics, everything else is driver-free
+    * column arithmetic.
+    */
+  private def qRdd(s: SparkSession, dir: String): DataFrame = {
+    val cut = 5000.0
+    val bw = 2000.0
+    val o = Tables.load(s, dir, "orders")
+      .groupBy("o_custkey").agg(Stats.dsum(col("o_totalprice")).as("rev"))
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal").cast(DoubleType).as("x"))
+    val base = c.join(o, col("c_custkey") === col("o_custkey"))
+      .where(abs(col("x") - cut) <= bw)
+      .select((col("x") - cut).as("xc"), (col("x") >= cut).as("right"),
+        col("rev").as("y0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q277", base)
+    def fits(scenario: String): DataFrame = {
+      val y = if (scenario == "injected")
+        col("y0") + when(col("right"), 300.0).otherwise(0.0)
+      else col("y0")
+      val n = count(lit(1)).cast(DoubleType)
+      base.withColumn("y", y)
+        .groupBy("right")
+        .agg(count(lit(1)).as("n"),
+          ((n * Stats.dsum(col("xc") * col("y")) -
+            Stats.dsum(col("xc")) * Stats.dsum(col("y"))) /
+            (n * Stats.dsum(col("xc") * col("xc")) -
+              Stats.dsum(col("xc")) * Stats.dsum(col("xc")))).as("b"),
+          (Stats.dsum(col("y")) / n).as("my"),
+          (Stats.dsum(col("xc")) / n).as("mx"))
+        .select(col("right"), col("n"), col("b"),
+          (col("my") - col("b") * col("mx")).as("a"))
+        .withColumn("scenario", lit(scenario))
+    }
+    val g = fits("null").unionByName(fits("injected"))
+    val l = g.where(!col("right")).select(col("scenario"),
+      col("n").as("n_left"), col("a").as("a_l"), col("b").as("b_l"))
+    val r = g.where(col("right")).select(col("scenario"),
+      col("n").as("n_right"), col("a").as("a_r"), col("b").as("b_r"))
+    l.join(r, "scenario")
+      .select(col("scenario"), col("n_left"), col("n_right"),
+        round(col("a_l"), 6).as("intercept_left"),
+        round(col("a_r"), 6).as("intercept_right"),
+        round(col("b_l"), 6).as("slope_left"),
+        round(col("b_r"), 6).as("slope_right"),
+        round(col("a_r") - col("a_l"), 6).as("jump"))
+      .orderBy("scenario")
+  }
+
+  /** X16 — RAKING / iterative proportional fitting (Deming & Stephan
+    * 1940 — the survey-weighting workhorse; completes the weighting
+    * family beside q269's Neyman DESIGN and q113's weighted
+    * EXECUTION): a 30% hash sample of events is re-weighted so its
+    * (event_type × value-band) margins match the full population's.
+    * The corpus-sized work is exactly TWO map-combinable cell
+    * aggregates (population and sample); the IPF loop runs on the
+    * 15-cell metadata frame as driver scalar state (the k-means/q267
+    * shape) — 3 rounds × (row-fit, column-fit). Determinism: cell
+    * weights round at 6 after every multiplicative update and the
+    * margin sums are decimal-exact over those rounded values, so the
+    * oracle replays all 6 half-rounds in MATERIALIZED CTE stages.
+    */
+  private def qRaking(s: SparkSession, dir: String): DataFrame = {
+    val band = when(col("value") < 50, "lo")
+      .when(col("value") < 200, "mid").otherwise("hi")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type").as("r"), band.as("c"))
+    val pop = ev.groupBy("r", "c").agg(count(lit(1)).as("n_pop"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    val samp = graft.aug.Sampling.hashSample(ev, "event_id", 0.3, seed = 99L)
+      .groupBy("r", "c").agg(count(lit(1)).as("n_samp"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    val cells = pop.keySet.toSeq.sorted
+    val rows = cells.map(_._1).distinct.sorted
+    val colsB = cells.map(_._2).distinct.sorted
+    val nPopTot = pop.values.sum
+    val nSampTot = samp.values.sum
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // w starts uniform N/n; each half-round scales by target/achieved
+    // margin; sums accumulate over ROUNDED per-cell products so the
+    // fold is order-free (decimal-sum semantics, mirrored in SQL)
+    var w = cells.map(k => k -> r6(nPopTot.toDouble / nSampTot)).toMap
+    def dsumLocal(vs: Seq[Double]): Double =
+      vs.map(v => BigDecimal.valueOf(v)).sum.toDouble
+    (1 to 3).foreach { _ =>
+      val rowFac = rows.map { r =>
+        val target = cells.filter(_._1 == r).map(k => pop(k)).sum.toDouble
+        val got = dsumLocal(cells.filter(_._1 == r).map(k =>
+          r6(w(k) * samp.getOrElse(k, 0L).toDouble)))
+        r -> (if (got > 0) target / got else 1.0)
+      }.toMap
+      w = w.map { case (k, v) => k -> r6(v * rowFac(k._1)) }
+      val colFac = colsB.map { c =>
+        val target = cells.filter(_._2 == c).map(k => pop(k)).sum.toDouble
+        val got = dsumLocal(cells.filter(_._2 == c).map(k =>
+          r6(w(k) * samp.getOrElse(k, 0L).toDouble)))
+        c -> (if (got > 0) target / got else 1.0)
+      }.toMap
+      w = w.map { case (k, v) => k -> r6(v * colFac(k._2)) }
+    }
+    import s.implicits._
+    cells.map { k =>
+      (k._1, k._2, pop(k), samp.getOrElse(k, 0L), w(k),
+        r6(w(k) * samp.getOrElse(k, 0L).toDouble))
+    }.toDF("event_type", "band", "n_pop", "n_samp", "weight", "w_mass")
+      .orderBy("event_type", "band")
+  }
+
+  /** X17 — exact WASSERSTEIN-1 drift (earth-mover distance, THE
+    * distribution-shift metric of ML monitoring — companion to q268's
+    * energy distance and q64's KS): W₁ = ∫|F_A − F_B| dx computed
+    * EXACTLY as Σ |cumA·n_B − cumB·n_A|·gap over distinct cent values
+    * — an integer numerator, one division at the end. The window runs
+    * over the PRE-AGGREGATED distinct-value frame (the documented
+    * rocPoints exemption class: #distinct cents, not #events, and
+    * partitioned by scenario). Healthy/shifted scenario pair (the
+    * q266 pattern): identical arms must read ≈0 dollars, the ×1.25
+    * arm-B twin must read the planted shift.
+    */
+  private def qW1Drift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isA = graft.aug.Sampling.keyBucket(col("user_id"), 31L) < lit(500000L)
+    val base = Tables.load(s, dir, "events")
+      .select(isA.as("a"), round(col("value") * 100).cast("long").as("vc"))
+    def scen(shifted: Boolean): DataFrame = {
+      val vc = if (shifted)
+        when(col("a"), col("vc")).otherwise((col("vc") * 5L / lit(4)).cast("long"))
+      else col("vc")
+      base.select(col("a"), vc.as("v"))
+        .groupBy("v")
+        .agg(count(when(col("a"), 1)).as("ca"),
+          count(when(!col("a"), 1)).as("cb"))
+        .withColumn("scenario", lit(if (shifted) "shifted" else "healthy"))
+    }
+    val g = scen(false).unionByName(scen(true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q279", g)
+    val tot = g.groupBy("scenario")
+      .agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    val wsp = Window.partitionBy("scenario").orderBy("v")
+    val cum = g.select(col("scenario"), col("v"),
+        sum("ca").over(wsp.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("cuma"),
+        sum("cb").over(wsp.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("cumb"),
+        (lead("v", 1).over(wsp) - col("v")).as("gap"))
+      .join(broadcast(tot), "scenario")
+    cum.groupBy("scenario")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("gap").isNotNull,
+          abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")) *
+            col("gap")).otherwise(0L)).as("w1_num"))
+      .select(col("scenario"), col("n_a"), col("n_b"), col("n_distinct"),
+        col("w1_num"),
+        round(col("w1_num").cast(DoubleType) /
+          (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)) /
+          lit(100.0), 6).as("w1_dollars"))
+      .orderBy("scenario")
   }
 
   // ----------------------------------------------------------------- //
@@ -7413,7 +7769,13 @@ object SparkEntry {
     "q270_label_prop" -> (qLabelProp _),
     "q271_fellegi_sunter" -> (qFellegiSunter _),
     "q272_shapley_attribution" -> (qShapleyAttribution _),
-    "q273_stratified_ate" -> (qStratifiedAte _)
+    "q273_stratified_ate" -> (qStratifiedAte _),
+    "q274_ams_f2" -> (qAmsF2 _),
+    "q275_iv_late" -> (qIvLate _),
+    "q276_did" -> (qDid _),
+    "q277_rdd" -> (qRdd _),
+    "q278_raking" -> (qRaking _),
+    "q279_w1_drift" -> (qW1Drift _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -11773,7 +12135,7 @@ object SparkEntry {
         |   AS fs_w,
         |  (c_custkey = t_custkey) AS is_true
         |  FROM customer JOIN t ON c_nationkey = t_nationkey
-        |   AND substr(c_name, 1, 12) = substr(t_name, 1, 12))
+        |   AND substr(c_name, 1, 15) = substr(t_name, 1, 15))
         | SELECT CASE WHEN fs_w > 5.0 THEN 'link'
         |   WHEN fs_w < 0.0 THEN 'non_link' ELSE 'possible' END AS decision,
         |  CAST(count(*) AS BIGINT) AS n_pairs,
@@ -11847,6 +12209,219 @@ object SparkEntry {
          |  CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
          |  diff_h, round(ate, 6) AS ate, round(sqrt(var_ate), 6) AS se_ate
          | FROM per, a ORDER BY stratum""".stripMargin.replaceAll("\n", " ")
+    },
+    "q274_ams_f2" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      val bh = graft.text.TextOps.Sql.strHash("toks[i] || ' ' || toks[i+1]")
+      val sums = (1 to 16).map { j =>
+        val t = s"(h + ${j * 1000003L})"
+        s"sum(CASE WHEN ($t*$t) % 1000000007 % 2 = 0 THEN 1 ELSE -1 END)" +
+          s" AS s$j"
+      }.mkString(", ")
+      val sqsum = (1 to 16).map(j => s"s$j*s$j").mkString(" + ")
+      val moms = (0 until 4).map { g =>
+        val t = (1 to 4).map(k => s"s${g * 4 + k}*s${g * 4 + k}")
+          .mkString(" + ")
+        s"($t)/4.0"
+      }.mkString(", ")
+      s"""WITH tk AS MATERIALIZED (SELECT $toks AS toks FROM documents),
+         | inst AS MATERIALIZED (SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+         |   list_transform(generate_series(1, len(toks)-1), i -> $bh)
+         |   ELSE [] END) AS h FROM tk),
+         | sk AS MATERIALIZED (SELECT $sums FROM inst),
+         | ex AS (SELECT count(*) AS n_distinct, sum(c*c) AS f2,
+         |   sum(c) AS n_inst
+         |  FROM (SELECT h, count(*) AS c FROM inst GROUP BY h)),
+         | es AS (SELECT CAST(($sqsum) AS DOUBLE)/16.0 AS est_mean,
+         |  (SELECT (l[2] + l[3])/2.0 FROM
+         |   (SELECT list_sort([$moms]) AS l)) AS est_mom
+         |  FROM sk)
+         | SELECT CAST(n_inst AS BIGINT) AS n_inst,
+         |  CAST(n_distinct AS BIGINT) AS n_distinct,
+         |  CAST(f2 AS BIGINT) AS f2_exact,
+         |  round(est_mean, 6) AS f2_est_mean, round(est_mom, 6) AS f2_est_mom,
+         |  round((est_mean - CAST(f2 AS DOUBLE))/CAST(f2 AS DOUBLE), 6)
+         |   AS rel_err_mean,
+         |  round((est_mom - CAST(f2 AS DOUBLE))/CAST(f2 AS DOUBLE), 6)
+         |   AS rel_err_mom
+         | FROM ex, es""".stripMargin.replaceAll("\n", " ")
+    },
+    "q275_iv_late" -> {
+      val z = s"(${graft.aug.Sampling.Sql.keyBucket("o_orderkey", 777L)}) < 500000"
+      val comp = "(CAST(nd1 AS DOUBLE)/n1 - CAST(nd0 AS DOUBLE)/n0)"
+      s"""WITH o AS MATERIALIZED (SELECT ($z) AS z,
+         |  ((($z) AND o_custkey % 3 <> 0) OR
+         |   (NOT ($z) AND o_custkey % 7 = 0)) AS d,
+         |  CAST(o_totalprice AS DOUBLE) AS y0 FROM orders),
+         | sc AS MATERIALIZED (
+         |  SELECT 'null' AS scenario, z, d, y0 AS y FROM o
+         |  UNION ALL SELECT 'injected', z, d,
+         |   y0 + CASE WHEN d THEN 500.0 ELSE 0.0 END FROM o),
+         | g AS MATERIALIZED (SELECT scenario, z, count(*) AS n,
+         |  ${Stats.Sql.dmean("y")} AS my, ${Stats.Sql.dvarSamp("y")} AS vy,
+         |  count(CASE WHEN d THEN 1 END) AS n_d
+         |  FROM sc GROUP BY scenario, z),
+         | j AS (SELECT a.scenario AS scenario, a.n AS n1, a.my AS my1,
+         |   a.vy AS vy1, a.n_d AS nd1, b.n AS n0, b.my AS my0,
+         |   b.vy AS vy0, b.n_d AS nd0
+         |  FROM g a JOIN g b ON a.scenario = b.scenario
+         |   AND a.z AND NOT b.z)
+         | SELECT scenario, CAST(n1 + n0 AS BIGINT) AS n,
+         |  round(my1 - my0, 6) AS itt,
+         |  round($comp, 6) AS compliance_diff,
+         |  round((my1 - my0) / $comp, 6) AS late,
+         |  round(sqrt(vy1/n1 + vy0/n0) / abs($comp), 6) AS se_late
+         | FROM j ORDER BY scenario""".stripMargin.replaceAll("\n", " ")
+    },
+    "q276_did" -> {
+      val treated =
+        s"(${graft.aug.Sampling.Sql.keyBucket("user_id", 31L)}) < 500000"
+      s"""WITH e AS MATERIALIZED (SELECT ($treated) AS t,
+         |  event_id % 10 AS phase, CAST(value AS DOUBLE) AS y0 FROM events),
+         | sc AS MATERIALIZED (
+         |  SELECT 'null' AS scenario, t, phase, y0 AS y FROM e
+         |  UNION ALL SELECT 'injected', t, phase,
+         |   y0 + CASE WHEN t AND phase >= 5 THEN 25.0 ELSE 0.0 END FROM e),
+         | g AS MATERIALIZED (SELECT scenario, t,
+         |  CASE WHEN phase >= 5 THEN 'post' WHEN phase < 2 THEN 'pre_a'
+         |   ELSE 'pre_b' END AS grp,
+         |  count(*) AS n, ${Stats.Sql.dmean("y")} AS my,
+         |  ${Stats.Sql.dvarSamp("y")} AS vy
+         |  FROM sc GROUP BY 1, 2, 3),
+         | j AS (SELECT tp.scenario AS scenario,
+         |  tp.n AS n_tp, tp.my AS my_tp, tp.vy AS vy_tp,
+         |  ta.n AS n_ta, ta.my AS my_ta, ta.vy AS vy_ta,
+         |  tb.n AS n_tb, tb.my AS my_tb,
+         |  cp.n AS n_cp, cp.my AS my_cp, cp.vy AS vy_cp,
+         |  ca.n AS n_ca, ca.my AS my_ca, ca.vy AS vy_ca,
+         |  cb.n AS n_cb, cb.my AS my_cb
+         |  FROM g tp, g ta, g tb, g cp, g ca, g cb
+         |  WHERE tp.scenario = ta.scenario AND tp.scenario = tb.scenario
+         |   AND tp.scenario = cp.scenario AND tp.scenario = ca.scenario
+         |   AND tp.scenario = cb.scenario
+         |   AND tp.t AND tp.grp = 'post' AND ta.t AND ta.grp = 'pre_a'
+         |   AND tb.t AND tb.grp = 'pre_b'
+         |   AND NOT cp.t AND cp.grp = 'post'
+         |   AND NOT ca.t AND ca.grp = 'pre_a'
+         |   AND NOT cb.t AND cb.grp = 'pre_b'),
+         | x AS (SELECT scenario,
+         |  n_tp + n_ta + n_tb + n_cp + n_ca + n_cb AS n,
+         |  (my_tp - (my_ta*n_ta + my_tb*n_tb)/(n_ta + n_tb)) -
+         |  (my_cp - (my_ca*n_ca + my_cb*n_cb)/(n_ca + n_cb)) AS did,
+         |  sqrt(vy_tp/n_tp + vy_cp/n_cp + vy_ta/n_ta + vy_ca/n_ca)
+         |   AS se_did,
+         |  (my_tb - my_ta) - (my_cb - my_ca) AS placebo FROM j)
+         | SELECT scenario, CAST(n AS BIGINT) AS n, round(did, 6) AS did,
+         |  round(se_did, 6) AS se_did,
+         |  round(placebo, 6) AS placebo_pre_trend
+         | FROM x ORDER BY scenario""".stripMargin.replaceAll("\n", " ")
+    },
+    "q277_rdd" -> {
+      val nD = "CAST(count(*) AS DOUBLE)"
+      s"""WITH o AS MATERIALIZED (SELECT o_custkey,
+         |  ${Stats.Sql.dsum("o_totalprice")} AS rev FROM orders
+         |  GROUP BY o_custkey),
+         | b AS MATERIALIZED (SELECT
+         |  CAST(c_acctbal AS DOUBLE) - 5000.0 AS xc,
+         |  CAST(c_acctbal AS DOUBLE) >= 5000.0 AS rgt, rev AS y0
+         |  FROM customer JOIN o ON c_custkey = o_custkey
+         |  WHERE abs(CAST(c_acctbal AS DOUBLE) - 5000.0) <= 2000.0),
+         | sc AS MATERIALIZED (
+         |  SELECT 'null' AS scenario, xc, rgt, y0 AS y FROM b
+         |  UNION ALL SELECT 'injected', xc, rgt,
+         |   y0 + CASE WHEN rgt THEN 300.0 ELSE 0.0 END FROM b),
+         | g AS MATERIALIZED (SELECT scenario, rgt, count(*) AS n,
+         |  ($nD * ${Stats.Sql.dsum("xc*y")} -
+         |   ${Stats.Sql.dsum("xc")} * ${Stats.Sql.dsum("y")}) /
+         |  ($nD * ${Stats.Sql.dsum("xc*xc")} -
+         |   ${Stats.Sql.dsum("xc")} * ${Stats.Sql.dsum("xc")}) AS slope,
+         |  ${Stats.Sql.dsum("y")} / $nD AS my,
+         |  ${Stats.Sql.dsum("xc")} / $nD AS mx
+         |  FROM sc GROUP BY 1, 2),
+         | g2 AS (SELECT scenario, rgt, n, slope, my - slope*mx AS a FROM g),
+         | f AS (SELECT l.scenario AS scenario, l.n AS n_left,
+         |   r.n AS n_right, l.a AS a_l, r.a AS a_r, l.slope AS b_l,
+         |   r.slope AS b_r
+         |  FROM g2 l JOIN g2 r ON l.scenario = r.scenario
+         |   AND NOT l.rgt AND r.rgt)
+         | SELECT scenario, CAST(n_left AS BIGINT) AS n_left,
+         |  CAST(n_right AS BIGINT) AS n_right,
+         |  round(a_l, 6) AS intercept_left, round(a_r, 6) AS intercept_right,
+         |  round(b_l, 6) AS slope_left, round(b_r, 6) AS slope_right,
+         |  round(a_r - a_l, 6) AS jump
+         | FROM f ORDER BY scenario""".stripMargin.replaceAll("\n", " ")
+    },
+    "q278_raking" -> {
+      val pred = graft.aug.Sampling.Sql.samplePred("event_id", 0.3, 99L)
+      def half(prev: String, out: String, margin: String) = {
+        val fTab = s"f_$out"
+        s"""$fTab AS MATERIALIZED (SELECT $margin,
+           | CAST(sum(n_pop) AS DOUBLE) AS target,
+           | ${Stats.Sql.dsum("round(w * n_samp, 6)")} AS got
+           | FROM $prev GROUP BY $margin),
+           |$out AS MATERIALIZED (SELECT p.r AS r, p.c AS c, p.n_pop AS n_pop,
+           | p.n_samp AS n_samp,
+           | round(p.w * (CASE WHEN f.got > 0 THEN f.target/f.got
+           |  ELSE 1.0 END), 6) AS w
+           | FROM $prev p JOIN $fTab f ON p.$margin = f.$margin)"""
+          .stripMargin
+      }
+      val chain = (1 to 3).flatMap { k =>
+        Seq(half(if (k == 1) "w0" else s"w${2 * k - 2}", s"w${2 * k - 1}", "r"),
+          half(s"w${2 * k - 1}", s"w${2 * k}", "c"))
+      }.mkString(", ")
+      s"""WITH ev AS MATERIALIZED (SELECT event_id, event_type AS r,
+         |  CASE WHEN value < 50 THEN 'lo' WHEN value < 200 THEN 'mid'
+         |   ELSE 'hi' END AS c FROM events),
+         | popc AS MATERIALIZED (SELECT r, c, count(*) AS n_pop FROM ev
+         |  GROUP BY r, c),
+         | sampc AS MATERIALIZED (SELECT r, c, count(*) AS n_samp FROM ev
+         |  WHERE $pred GROUP BY r, c),
+         | cells AS MATERIALIZED (SELECT p.r AS r, p.c AS c, p.n_pop AS n_pop,
+         |  coalesce(s.n_samp, 0) AS n_samp
+         |  FROM popc p LEFT JOIN sampc s ON p.r = s.r AND p.c = s.c),
+         | tot AS (SELECT sum(n_pop) AS np, sum(n_samp) AS ns FROM cells),
+         | w0 AS MATERIALIZED (SELECT r, c, n_pop, n_samp,
+         |  round(CAST(np AS DOUBLE)/ns, 6) AS w FROM cells, tot),
+         | $chain
+         | SELECT r AS event_type, c AS band, CAST(n_pop AS BIGINT) AS n_pop,
+         |  CAST(n_samp AS BIGINT) AS n_samp, w AS weight,
+         |  round(w * n_samp, 6) AS w_mass
+         | FROM w6 ORDER BY event_type, band""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q279_w1_drift" -> {
+      val arm = s"(${graft.aug.Sampling.Sql.keyBucket("user_id", 31L)}) < 500000"
+      s"""WITH base AS MATERIALIZED (SELECT ($arm) AS a,
+         |  CAST(round(value*100) AS BIGINT) AS vc FROM events),
+         | sc AS MATERIALIZED (
+         |  SELECT 'healthy' AS scenario, a, vc AS v FROM base
+         |  UNION ALL SELECT 'shifted', a,
+         |   CASE WHEN a THEN vc ELSE (vc*5)//4 END FROM base),
+         | g AS MATERIALIZED (SELECT scenario, v,
+         |  count(CASE WHEN a THEN 1 END) AS ca,
+         |  count(CASE WHEN NOT a THEN 1 END) AS cb
+         |  FROM sc GROUP BY scenario, v),
+         | t AS (SELECT scenario, sum(ca) AS n_a, sum(cb) AS n_b FROM g
+         |  GROUP BY scenario),
+         | c AS (SELECT scenario, v, sum(ca) OVER w AS cuma,
+         |  sum(cb) OVER w AS cumb,
+         |  lead(v) OVER (PARTITION BY scenario ORDER BY v) - v AS gap
+         |  FROM g WINDOW w AS (PARTITION BY scenario ORDER BY v
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         | x AS (SELECT c.scenario AS scenario, count(*) AS n_distinct,
+         |  sum(CASE WHEN gap IS NOT NULL
+         |   THEN abs(cuma*n_b - cumb*n_a)*gap ELSE 0 END) AS w1_num,
+         |  max(n_a) AS n_a, max(n_b) AS n_b
+         |  FROM c JOIN t ON c.scenario = t.scenario GROUP BY c.scenario)
+         | SELECT scenario, CAST(n_a AS BIGINT) AS n_a,
+         |  CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(n_distinct AS BIGINT) AS n_distinct,
+         |  CAST(w1_num AS BIGINT) AS w1_num,
+         |  round(CAST(w1_num AS DOUBLE) /
+         |   (CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)) / 100.0, 6)
+         |   AS w1_dollars
+         | FROM x ORDER BY scenario""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

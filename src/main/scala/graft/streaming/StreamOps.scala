@@ -69,6 +69,36 @@ object StreamOps {
         col("window.end").as("window_end"),
         col("approx_distinct"), col("n_events"))
 
+  /** Watermarked windowed AMS F₂ sketch — the streaming form of the
+    * q274 batch estimator (self-join size / repeat rate of the keyed
+    * stream per window). Each of the 16 ±1 counters is a plain
+    * associative SUM, which is exactly why AMS streams: the state per
+    * window is 16 longs regardless of volume, merges across
+    * micro-batches by addition, and is bit-deterministic for fixed
+    * data (StreamingSpec pins exact stream/batch parity — integers,
+    * not approximate agreement). Signs use the quadratic-residue
+    * parity of (h + j·1000003)² mod P (the q264/q274 measured-full-rank
+    * formula). `hashCol` must already carry the item hash (one hash
+    * per row, not one per counter — the HOF re-hash trap).
+    */
+  def streamingAmsF2(stream: DataFrame, tsCol: String, hashCol: String,
+                     windowDur: String, watermarkDelay: String): DataFrame = {
+    val P = 1000000007L
+    val sums = (1 to 16).map { j =>
+      val t = col(hashCol) + lit(j * 1000003L)
+      sum(when((t * t) % P % 2 === 0, 1L).otherwise(-1L)).as(s"s$j")
+    } :+ count(lit(1)).as("n_events")
+    val sq = (1 to 16).map(j => col(s"s$j") * col(s"s$j")).reduce(_ + _)
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(sums.head, sums.tail: _*)
+      .select(Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_events"),
+        (sq.cast("double") / lit(16.0)).as("f2_est")) ++
+        (1 to 16).map(j => col(s"s$j")): _*)
+  }
+
   /** Threshold alert stream: rows whose score exceeds thr (the P9
     * anomaly-flag predicate, streaming form — pure stateless filter).
     */

@@ -53,6 +53,15 @@ object ScaleAb {
     // customer: salt c_custkey (orders salts o_custkey identically)
     write(read("customer").crossJoin(reps)
       .withColumn("c_custkey", col("c_custkey") * factor + col("__rep"))
+      // rebuild the name from the SALTED key (same policy as the
+      // per-rep document-text suffix): 10 verbatim copies of one name
+      // would inflate every name-prefix block 10× (100× the pairs) —
+      // a pathological-corpus artifact, not real growth, which mints
+      // NEW ids that land in NEW prefix blocks (q271 measured 1.80
+      // before this fix, 10×-same-name pair blowup; real-data blocks
+      // are bounded key ranges)
+      .withColumn("c_name", concat(lit("Customer#"),
+        lpad(col("c_custkey").cast("string"), 9, "0")))
       .drop("__rep"), "customer")
     write(read("orders").crossJoin(reps)
       .withColumn("o_orderkey", col("o_orderkey") * factor + col("__rep"))
@@ -65,6 +74,9 @@ object ScaleAb {
       .drop("__rep"), "lineitem")
     write(read("events").crossJoin(reps)
       .withColumn("user_id", col("user_id") * factor + col("__rep"))
+      // event_id salts too: it is the arrival-order / prefix-scan sort
+      // key (q266/q268) — 10 verbatim copies would make it non-unique
+      .withColumn("event_id", col("event_id") * factor + col("__rep"))
       .drop("__rep"), "events")
     write(read("documents").crossJoin(reps)
       .withColumn("doc_id", col("doc_id") * factor + col("__rep"))

@@ -537,6 +537,46 @@ class PlanAuditSpec extends SparkSpec {
         !p.contains("CartesianProduct"),
         s"$n plans a data-sized nested loop:\n$p")
     }
+    // q271 FS linkage: the candidate stage is the (nation, prefix)
+    // BLOCK equi-join — never a cartesian (the prefix-12 degeneration
+    // measured exponent 1.78; the plan shape pin is the regression
+    // guard's first line of defense)
+    val q271 = plan(SparkEntry.queries("q271_fellegi_sunter")(spark, sf))
+    assert(!q271.contains("CartesianProduct") &&
+      !q271.contains("BroadcastNestedLoopJoin"),
+      s"FS linkage pair stage plans a cartesian:\n$q271")
+    assert(q271.contains("HashJoin") || q271.contains("SortMergeJoin"),
+      s"FS blocking lost its equi join:\n$q271")
+    // q274 AMS: the returned frame is a driver-assembled literal (the
+    // sketch and exact aggregates run as separate bounded actions
+    // inside), so there is no final plan to pin — the aggregate shape
+    // is pinned on the STREAMING twin instead, whose lazy plan carries
+    // the same 16-sum aggregate
+    val sams = graft.streaming.StreamOps.streamingAmsF2(
+      spark.read.parquet(s"$sf/events.parquet")
+        .select(col("ts"), col("event_id").as("h")),
+      "ts", "h", "10 minutes", "5 minutes")
+    val pSams = sams.queryExecution.optimizedPlan.toString
+    assert(pSams.contains("Aggregate"),
+      s"streaming AMS lost its grouped aggregate:\n$pSams")
+    assert(!pSams.contains("Window"), s"AMS sketch grew a window:\n$pSams")
+    // causal trio: grouped decimal aggregates + metadata-sized scenario
+    // joins — no data-sized cartesian anywhere
+    Seq("q275_iv_late", "q276_did", "q277_rdd").foreach { n =>
+      val p = plan(SparkEntry.queries(n)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$n lost partial aggregation:\n$p")
+    }
+    // q279 W1: the window runs over the PRE-AGGREGATED distinct-value
+    // frame (rocPoints exemption), partitioned by scenario — the
+    // grouping aggregate must sit BELOW the window in the plan
+    val q279 = plan(SparkEntry.queries("q279_w1_drift")(spark, sf))
+    assert(!q279.contains("CartesianProduct"),
+      s"W1 plans a cartesian:\n$q279")
+    assert(q279.contains("Window"), s"W1 lost its distinct-value window:\n$q279")
+    assert("HashAggregate".r.findAllIn(q279).size >= 2,
+      s"W1 lost the pre-aggregation below its window:\n$q279")
   }
 
   test("forest scoring stays inside whole-stage codegen") {

