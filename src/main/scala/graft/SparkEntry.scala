@@ -7485,6 +7485,144 @@ object SparkEntry {
       .orderBy("scenario")
   }
 
+  /** D27 — greedy MAX-COVERAGE corpus selection (the facility-location
+    * / submodular objective behind "pick the subset that covers the
+    * most content" data-selection recipes — Nemhauser's greedy carries
+    * the (1−1/e) guarantee): 8 rounds, each picking the document whose
+    * shingle set adds the most UNCOVERED 3-grams (tie-break min
+    * doc_id), then folding its shingles into the covered set.
+    * Complements q252's k-center (geometric diversity) with the
+    * set-coverage view. Per round: one anti-join against the covered
+    * set + one grouped count + a 1-row driver argmax (the k-center
+    * shape); `localCheckpoint` truncates the growing covered-set
+    * lineage. The oracle unrolls all 8 rounds as MATERIALIZED stages.
+    */
+  private def qCoverageSelect(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val grams = par(doc(s, dir))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(1), size(col("toks")) - 2),
+            i => TextOps.strHash(array_join(slice(col("toks"), i, lit(3)), " "))))
+          .otherwise(array().cast("array<long>")))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q280", grams)
+    val total = grams.select("g").distinct().count()
+    var covered = s.range(0).select(col("id").as("g"))
+    var cum = 0L
+    val picks = (1 to 8).map { k =>
+      val gain = grams.join(covered, Seq("g"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("new_g"))
+        .orderBy(desc("new_g"), asc("doc_id")).limit(1).head()
+      val (docId, g) = (gain.getLong(0), gain.getLong(1))
+      covered = covered
+        .union(grams.where(col("doc_id") === docId).select("g"))
+        .distinct()
+        .localCheckpoint(true)
+      cum += g
+      (k.toLong, docId, g, cum, cum * 1000000L / total)
+    }
+    import s.implicits._
+    picks.toDF("rank", "doc_id", "gain", "cum_covered", "coverage_e6")
+  }
+
+  /** A39 — BRIER SCORE with the Murphy decomposition (Murphy 1973):
+    * brier = reliability − resolution + uncertainty — the calibration
+    * summary behind q90's reliability diagram (q90 shows the bins,
+    * this reduces them to the three decision-theoretic components and
+    * CHECKS the identity, reporting the rounding residual honestly).
+    * Probabilities come from a fixed-θ logistic on the standardized
+    * price (θ = q267's converged operating point); per-row and per-bin
+    * terms round at 6 before their exact decimal sums, two
+    * map-combinable aggregate levels (rows → 10 bins → 1).
+    */
+  private def qBrier(s: SparkSession, dir: String): DataFrame = {
+    val mo = li(s, dir).agg(
+      Stats.dmean(col("l_extendedprice")).as("mu"),
+      Stats.dstddevSamp(col("l_extendedprice")).as("sd")).head()
+    val (mu, sd) = (mo.getDouble(0), mo.getDouble(1))
+    val theta = 0.025
+    val base = par(li(s, dir)).select(
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(lit(theta) * ((col("l_extendedprice") - lit(mu)) / lit(sd))))),
+          6).as("p"))
+      .withColumn("bin", least(lit(9L), floor(col("p") * 10).cast("long")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q281", base)
+    val glob = base.agg(count(lit(1)).as("n_tot"),
+      (Stats.dsum(col("y")) / count(lit(1))).as("ybar"),
+      round(Stats.dsum(round((col("p") - col("y")) * (col("p") - col("y")),
+        6)) / count(lit(1)), 6).as("brier"))
+    val bins = base.groupBy("bin")
+      .agg(count(lit(1)).as("nk"),
+        (Stats.dsum(col("p")) / count(lit(1))).as("pk"),
+        (Stats.dsum(col("y")) / count(lit(1))).as("yk"))
+    bins.crossJoin(broadcast(glob))
+      .select(col("n_tot"), col("ybar"), col("brier"),
+        round(col("nk") * (col("pk") - col("yk")) * (col("pk") - col("yk")),
+          6).as("rel_t"),
+        round(col("nk") * (col("yk") - col("ybar")) * (col("yk") - col("ybar")),
+          6).as("res_t"))
+      .groupBy("n_tot", "ybar", "brier")
+      .agg(round(Stats.dsum(col("rel_t")) / col("n_tot"), 6).as("reliability"),
+        round(Stats.dsum(col("res_t")) / col("n_tot"), 6).as("resolution"))
+      .select(col("n_tot"), col("brier"), col("reliability"),
+        col("resolution"),
+        round(col("ybar") * (lit(1.0) - col("ybar")), 6).as("uncertainty"),
+        round(col("brier") - (col("reliability") - col("resolution") +
+          col("ybar") * (lit(1.0) - col("ybar"))), 6).as("identity_gap"))
+  }
+
+  /** T32 — COLLOCATION detection by Dunning's log-likelihood ratio
+    * (Dunning 1993 — the statistically sound cousin of q159's PMI,
+    * which overweights rare pairs): adjacent bigrams scored by the
+    * 2×2 G² statistic of (bigram count vs first/second-position
+    * unigram margins). Counts are exact corpus aggregates; each of
+    * the four k·ln(kN/(RC)) terms rounds at 6 before the fixed-order
+    * sum (the q96 transcendental pattern); top-20 by (G², pair) via
+    * the distributed top-k. Margin joins are vocabulary-sized →
+    * broadcast.
+    */
+  private def qCollocations(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val bi = par(doc(s, dir))
+      .select(TextOps.tokens(col("text")).as("toks"))
+      .select(explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q282", bi)
+    val pair = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= 5)
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c2 = bi.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val nTot = bi.count()
+    def term(k: Column, r: Column, c: Column): Column =
+      round(when(k > 0, k.cast(DoubleType) *
+        log(k.cast(DoubleType) * lit(nTot.toDouble) /
+          (r.cast(DoubleType) * c.cast(DoubleType)))).otherwise(0.0), 6)
+    val k11 = col("cab")
+    val k12 = col("c1") - col("cab")
+    val k21 = col("c2") - col("cab")
+    val k22 = lit(nTot) - col("c1") - col("c2") + col("cab")
+    val r2 = lit(nTot) - col("c1")
+    val cc2 = lit(nTot) - col("c2")
+    val g2 = lit(2.0) * (term(k11, col("c1"), col("c2")) +
+      term(k12, col("c1"), cc2) + term(k21, r2, col("c2")) +
+      term(k22, r2, cc2))
+    pair.join(broadcast(c1), "w1").join(broadcast(c2), "w2")
+      .select(col("w1"), col("w2"), col("cab"), col("c1"), col("c2"),
+        round(g2, 6).as("llr"))
+      .orderBy(desc("llr"), asc("w1"), asc("w2"))
+      .limit(20)
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -7775,7 +7913,10 @@ object SparkEntry {
     "q276_did" -> (qDid _),
     "q277_rdd" -> (qRdd _),
     "q278_raking" -> (qRaking _),
-    "q279_w1_drift" -> (qW1Drift _)
+    "q279_w1_drift" -> (qW1Drift _),
+    "q280_coverage_select" -> (qCoverageSelect _),
+    "q281_brier" -> (qBrier _),
+    "q282_collocations" -> (qCollocations _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -12422,6 +12563,100 @@ object SparkEntry {
          |   (CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)) / 100.0, 6)
          |   AS w1_dollars
          | FROM x ORDER BY scenario""".stripMargin.replaceAll("\n", " ")
+    },
+    "q280_coverage_select" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      val hash = graft.text.TextOps.Sql.strHash(
+        "array_to_string(toks[i:i+2], ' ')")
+      val rounds = (1 to 8).map { k =>
+        val notCov = if (k == 1) ""
+        else s" LEFT JOIN c${k - 1} ON gr.g = c${k - 1}.g" +
+          s" WHERE c${k - 1}.g IS NULL"
+        val pick = s"p$k AS MATERIALIZED (SELECT gr.doc_id AS doc_id," +
+          s" count(*) AS gain FROM gr$notCov GROUP BY gr.doc_id" +
+          s" ORDER BY gain DESC, gr.doc_id LIMIT 1)"
+        val cov = if (k == 1)
+          s"c1 AS MATERIALIZED (SELECT DISTINCT g FROM gr JOIN p1 USING (doc_id))"
+        else
+          s"c$k AS MATERIALIZED (SELECT g FROM c${k - 1} UNION" +
+            s" SELECT g FROM gr JOIN p$k USING (doc_id))"
+        s"$pick, $cov"
+      }.mkString(", ")
+      val out = (1 to 8).map { k =>
+        s"SELECT CAST($k AS BIGINT) AS rank, doc_id, CAST(gain AS BIGINT)" +
+          s" AS gain, CAST((SELECT count(*) FROM c$k) AS BIGINT)" +
+          s" AS cum_covered, CAST((SELECT count(*) FROM c$k) * 1000000" +
+          s" // (SELECT u FROM tot) AS BIGINT) AS coverage_e6 FROM p$k"
+      }.mkString(" UNION ALL ")
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, $toks AS toks
+         |  FROM documents),
+         | gr AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+         |   list_transform(generate_series(1, len(toks)-2), i -> $hash)
+         |   ELSE [] END) AS g FROM t)),
+         | tot AS (SELECT count(DISTINCT g) AS u FROM gr),
+         | $rounds
+         | $out ORDER BY rank""".stripMargin.replaceAll("\n", " ")
+    },
+    "q281_brier" -> {
+      val mu = Stats.Sql.dmean("CAST(l_extendedprice AS DOUBLE)")
+      val sd = Stats.Sql.dstddevSamp("CAST(l_extendedprice AS DOUBLE)")
+      s"""WITH st AS MATERIALIZED (SELECT $mu AS mu, $sd AS sd
+         |  FROM lineitem),
+         | b AS MATERIALIZED (SELECT
+         |  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+         |  round(1.0/(1.0 + exp(-(0.025 *
+         |   ((CAST(l_extendedprice AS DOUBLE) - mu)/sd)))), 6) AS p
+         |  FROM lineitem, st),
+         | b2 AS MATERIALIZED (SELECT y, p,
+         |  least(9, CAST(floor(p*10) AS BIGINT)) AS bin FROM b),
+         | g AS MATERIALIZED (SELECT count(*) AS n_tot,
+         |  ${Stats.Sql.dsum("y")}/count(*) AS ybar,
+         |  round(${Stats.Sql.dsum("round((p - y)*(p - y), 6)")}/count(*), 6)
+         |   AS brier FROM b2),
+         | k AS MATERIALIZED (SELECT bin, count(*) AS nk,
+         |  ${Stats.Sql.dsum("p")}/count(*) AS pk,
+         |  ${Stats.Sql.dsum("y")}/count(*) AS yk FROM b2 GROUP BY bin),
+         | r AS (SELECT n_tot, ybar, brier,
+         |  round(${Stats.Sql.dsum("round(nk*(pk - yk)*(pk - yk), 6)")}
+         |   / n_tot, 6) AS reliability,
+         |  round(${Stats.Sql.dsum("round(nk*(yk - ybar)*(yk - ybar), 6)")}
+         |   / n_tot, 6) AS resolution
+         |  FROM k CROSS JOIN g GROUP BY n_tot, ybar, brier)
+         | SELECT CAST(n_tot AS BIGINT) AS n_tot, brier, reliability,
+         |  resolution, round(ybar*(1.0 - ybar), 6) AS uncertainty,
+         |  round(brier - (reliability - resolution + ybar*(1.0 - ybar)), 6)
+         |   AS identity_gap
+         | FROM r""".stripMargin.replaceAll("\n", " ")
+    },
+    "q282_collocations" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      def t(k: String, r: String, c: String) =
+        s"round(CASE WHEN ($k) > 0 THEN CAST($k AS DOUBLE) * " +
+          s"ln(CAST($k AS DOUBLE) * CAST(nt AS DOUBLE) / " +
+          s"(CAST($r AS DOUBLE) * CAST($c AS DOUBLE))) ELSE 0.0 END, 6)"
+      val g2 = s"2.0 * (${t("cab", "c1", "c2")} + " +
+        s"${t("c1 - cab", "c1", "nt - c2")} + " +
+        s"${t("c2 - cab", "nt - c1", "c2")} + " +
+        s"${t("nt - c1 - c2 + cab", "nt - c1", "nt - c2")})"
+      s"""WITH tk AS MATERIALIZED (SELECT $toks AS toks FROM documents),
+         | bi AS MATERIALIZED (SELECT b['w1'] AS w1, b['w2'] AS w2 FROM (
+         |  SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+         |   list_transform(generate_series(1, len(toks)-1),
+         |    i -> {'w1': toks[i], 'w2': toks[i+1]}) ELSE [] END) AS b
+         |  FROM tk)),
+         | n AS (SELECT count(*) AS nt FROM bi),
+         | pr AS (SELECT w1, w2, count(*) AS cab FROM bi GROUP BY w1, w2
+         |  HAVING count(*) >= 5),
+         | m1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+         | m2 AS (SELECT w2, count(*) AS c2 FROM bi GROUP BY w2),
+         | x AS (SELECT pr.w1 AS w1, pr.w2 AS w2, cab, c1, c2, nt
+         |  FROM pr JOIN m1 ON pr.w1 = m1.w1 JOIN m2 ON pr.w2 = m2.w2, n)
+         | SELECT w1, w2, CAST(cab AS BIGINT) AS cab,
+         |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+         |  round($g2, 6) AS llr
+         | FROM x ORDER BY llr DESC, w1, w2 LIMIT 20""".stripMargin
+        .replaceAll("\n", " ")
     }
   )
 }

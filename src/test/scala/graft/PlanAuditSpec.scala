@@ -577,6 +577,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(q279.contains("Window"), s"W1 lost its distinct-value window:\n$q279")
     assert("HashAggregate".r.findAllIn(q279).size >= 2,
       s"W1 lost the pre-aggregation below its window:\n$q279")
+    // q281/q282: partial aggregation; q282's vocabulary-sized margin
+    // tables must BROADCAST (never shuffle the bigram stream twice)
+    val q281 = plan(SparkEntry.queries("q281_brier")(spark, sf))
+    assert("HashAggregate".r.findAllIn(q281).size >= 2,
+      s"Brier lost partial aggregation:\n$q281")
+    assert(!q281.contains("CartesianProduct") ||
+      q281.contains("BroadcastNestedLoopJoin"),
+      s"Brier plans a data-sized cartesian:\n$q281")
+    val q282 = plan(SparkEntry.queries("q282_collocations")(spark, sf))
+    assert(q282.contains("BroadcastHashJoin"),
+      s"collocation margins not broadcast:\n$q282")
+    assert(!q282.contains("CartesianProduct"),
+      s"collocations plan a cartesian:\n$q282")
+    assert(q282.contains("TakeOrderedAndProject"),
+      s"collocation top-20 is not a distributed top-k:\n$q282")
   }
 
   test("forest scoring stays inside whole-stage codegen") {
