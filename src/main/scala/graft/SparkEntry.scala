@@ -7623,6 +7623,82 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** A40 — PINBALL (quantile) LOSS evaluation (Koenker & Bassett
+    * 1978's check function — the proper scoring rule for quantile
+    * forecasts, completing the q219/q220 forecast-evaluation family):
+    * a hash-split train half fits per-segment means, the held-out
+    * half scores them at τ ∈ {0.1, 0.5, 0.9}. Per-row losses round at
+    * 6 before exact decimal means; the asymmetry constants are
+    * COMPUTED (τ − 1.0) on both engines — the parsed literal "-0.9"
+    * is a DIFFERENT double than 0.1 − 1.0, the documented
+    * cross-engine literal trap.
+    */
+  private def qPinball(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority").as("seg"),
+        col("o_totalprice").cast(DoubleType).as("y"))
+    val isTrain = graft.aug.Sampling.keyBucket(col("o_orderkey"), 17L) <
+      lit(500000L)
+    val base = o.withColumn("train", isTrain)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q283", base)
+    val means = base.where(col("train"))
+      .groupBy("seg").agg(Stats.dmean(col("y")).as("yhat"))
+    val test = base.where(!col("train"))
+      .join(broadcast(means), "seg")
+      .withColumn("e", col("y") - col("yhat"))
+    import s.implicits._
+    val taus = Seq(0.1, 0.5, 0.9).toDF("tau")
+    test.crossJoin(broadcast(taus))
+      .groupBy("tau")
+      .agg(count(lit(1)).as("n_test"),
+        round(Stats.dsum(round(greatest(col("tau") * col("e"),
+          (col("tau") - lit(1.0)) * col("e")), 6)) / count(lit(1)), 6)
+          .as("pinball"))
+      .orderBy("tau")
+  }
+
+  /** A41 — HORVITZ–THOMPSON estimation from the unequal-probability
+    * stratified sample (Horvitz & Thompson 1952 — the estimator that
+    * makes q72's designs USABLE: every weighted-sample consumer
+    * implicitly runs it): per-class inclusion probabilities with
+    * exact INTEGER inverse weights (1/0.2, 1/0.05, 1/0.5 → 5, 20, 2 —
+    * so Σw·y is pure 2-dp decimal arithmetic, zero float classes),
+    * estimate vs the KNOWN per-class population total, plus the
+    * stratified SE √(N²(1−f)s²/n). The output is the
+    * estimate-vs-truth measurement itself — the q259 philosophy:
+    * don't assume the estimator works, show it.
+    */
+  private def qHtTotal(s: SparkSession, dir: String): DataFrame = {
+    val fr = Map("A" -> 0.2, "N" -> 0.05, "R" -> 0.5)
+    val base = li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag").as("cls"),
+      col("l_extendedprice").cast(DoubleType).as("y"))
+    val pop = base.groupBy("cls")
+      .agg(count(lit(1)).as("n_pop"),
+        round(Stats.dsum(col("y")), 4).as("t_true"))
+    val samp = graft.aug.Sampling.hashStratifiedSample(
+        base.withColumn("k", col("l_orderkey") * 10 + col("l_linenumber")),
+        "cls", "k", fr, seed = 7L)
+      .withColumn("w", when(col("cls") === "A", 5L)
+        .when(col("cls") === "N", 20L).otherwise(2L))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_samp"),
+        max("w").as("inv_pi"),
+        round(Stats.dsum(col("w") * col("y")), 4).as("t_hat"),
+        Stats.dvarSamp(col("y")).as("s2"))
+    pop.join(samp, "cls")
+      .select(col("cls"), col("n_pop"), col("n_samp"), col("inv_pi"),
+        col("t_hat"), col("t_true"),
+        round(col("t_hat") / col("t_true"), 6).as("ratio"),
+        round(sqrt(col("n_pop").cast(DoubleType) *
+          col("n_pop").cast(DoubleType) *
+          (lit(1.0) - col("n_samp").cast(DoubleType) /
+            col("n_pop").cast(DoubleType)) *
+          col("s2") / col("n_samp").cast(DoubleType)), 4).as("se_t"))
+      .orderBy("cls")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -7916,7 +7992,9 @@ object SparkEntry {
     "q279_w1_drift" -> (qW1Drift _),
     "q280_coverage_select" -> (qCoverageSelect _),
     "q281_brier" -> (qBrier _),
-    "q282_collocations" -> (qCollocations _)
+    "q282_collocations" -> (qCollocations _),
+    "q283_pinball" -> (qPinball _),
+    "q284_ht_total" -> (qHtTotal _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -12656,6 +12734,49 @@ object SparkEntry {
          |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
          |  round($g2, 6) AS llr
          | FROM x ORDER BY llr DESC, w1, w2 LIMIT 20""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q283_pinball" -> {
+      val train =
+        s"(${graft.aug.Sampling.Sql.keyBucket("o_orderkey", 17L)}) < 500000"
+      s"""WITH b AS MATERIALIZED (SELECT o_orderkey,
+         |  o_orderpriority AS seg, CAST(o_totalprice AS DOUBLE) AS y,
+         |  ($train) AS train FROM orders),
+         | m AS MATERIALIZED (SELECT seg, ${Stats.Sql.dmean("y")} AS yhat
+         |  FROM b WHERE train GROUP BY seg),
+         | t AS MATERIALIZED (SELECT tau, y - yhat AS e
+         |  FROM b JOIN m USING (seg),
+         |   (SELECT unnest([0.1::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE]) AS tau)
+         |  WHERE NOT train)
+         | SELECT tau, CAST(count(*) AS BIGINT) AS n_test,
+         |  round(${Stats.Sql.dsum(
+               "round(greatest(tau*e, (tau - CAST(1.0 AS DOUBLE))*e), 6)")}
+         |   / count(*), 6) AS pinball
+         | FROM t GROUP BY tau ORDER BY tau""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q284_ht_total" -> {
+      val pred = graft.aug.Sampling.Sql.stratPred("k", "cls",
+        Map("A" -> 0.2, "N" -> 0.05, "R" -> 0.5), 7L)
+      s"""WITH b AS MATERIALIZED (SELECT
+         |  l_orderkey*10 + l_linenumber AS k, l_returnflag AS cls,
+         |  CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+         | pop AS (SELECT cls, count(*) AS n_pop,
+         |  round(${Stats.Sql.dsum("y")}, 4) AS t_true FROM b GROUP BY cls),
+         | s AS MATERIALIZED (SELECT cls, y,
+         |  CASE cls WHEN 'A' THEN 5 WHEN 'N' THEN 20 ELSE 2 END AS w
+         |  FROM b WHERE $pred),
+         | sa AS (SELECT cls, count(*) AS n_samp, max(w) AS inv_pi,
+         |  round(${Stats.Sql.dsum("w*y")}, 4) AS t_hat,
+         |  ${Stats.Sql.dvarSamp("y")} AS s2 FROM s GROUP BY cls)
+         | SELECT cls, CAST(n_pop AS BIGINT) AS n_pop,
+         |  CAST(n_samp AS BIGINT) AS n_samp,
+         |  CAST(inv_pi AS BIGINT) AS inv_pi, t_hat, t_true,
+         |  round(t_hat/t_true, 6) AS ratio,
+         |  round(sqrt(CAST(n_pop AS DOUBLE)*CAST(n_pop AS DOUBLE)*
+         |   (1.0 - CAST(n_samp AS DOUBLE)/CAST(n_pop AS DOUBLE))*s2
+         |   /CAST(n_samp AS DOUBLE)), 4) AS se_t
+         | FROM pop JOIN sa USING (cls) ORDER BY cls""".stripMargin
         .replaceAll("\n", " ")
     }
   )

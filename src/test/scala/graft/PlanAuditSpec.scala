@@ -592,6 +592,17 @@ class PlanAuditSpec extends SparkSpec {
       s"collocations plan a cartesian:\n$q282")
     assert(q282.contains("TakeOrderedAndProject"),
       s"collocation top-20 is not a distributed top-k:\n$q282")
+    // q283/q284: the per-segment means / class margins broadcast, and
+    // the scoring aggregates keep their map-side combine
+    Seq("q283_pinball", "q284_ht_total").foreach { n =>
+      val p = plan(SparkEntry.queries(n)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$n lost partial aggregation:\n$p")
+    }
+    val q283 = plan(SparkEntry.queries("q283_pinball")(spark, sf))
+    assert(q283.contains("BroadcastHashJoin"),
+      s"pinball per-segment means not broadcast:\n$q283")
   }
 
   test("forest scoring stays inside whole-stage codegen") {
