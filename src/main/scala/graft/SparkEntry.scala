@@ -7699,6 +7699,192 @@ object SparkEntry {
       .orderBy("cls")
   }
 
+  /** X20 — UPLIFT deciles + Qini accumulation (Radcliffe 2007 — the
+    * heterogeneous-treatment-effect view the ATE family q273/q257
+    * averages away): customers hash-assigned to arms, scored by
+    * account balance, cut into exact OrderStats deciles; per decile
+    * the treated-vs-control conversion gap, plus the Qini-style
+    * cumulative incremental-conversion curve walked from the top
+    * decile down. Ships the q259 detection-proof twin: a `healthy`
+    * scenario (no effect — uplift reads ≈0 noise) beside an
+    * `injected` one whose planted lift GROWS with the score decile
+    * (hash-drawn extra conversions at decile·2pp among treated), so
+    * the decile table visibly recovers the planted heterogeneity.
+    * Conversion is data-driven (any order > 480k); Qini terms round
+    * at 6 then accumulate as DECIMAL window sums over the 10-row
+    * pre-aggregated decile frame (the rocPoints exemption class).
+    */
+  private def qUplift(s: SparkSession, dir: String): DataFrame = {
+    import graft.aug.Sampling.keyBucket
+    val conv = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max(when(col("o_totalprice") > 480000.0, 1).otherwise(0))
+        .as("base_conv"))
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val edges = graft.core.OrderStats.quantilesOf(
+      cust, "c_acctbal", (1 until 10).map(_.toDouble / 10)).distinct.sorted
+    val bin = edges.map(e => when(col("c_acctbal") > lit(e), 1).otherwise(0))
+      .reduce(_ + _)
+    val base = cust.join(conv, Seq("c_custkey"), "left")
+      .na.fill(0, Seq("base_conv"))
+      .withColumn("decile", bin.cast("long"))
+      .withColumn("treated", keyBucket(col("c_custkey"), 23L) < lit(500000L))
+      .withColumn("lift_draw", keyBucket(col("c_custkey"), 97L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q285", base)
+    val injectedConv = greatest(col("base_conv"),
+      when(col("treated") && col("lift_draw") < col("decile") * lit(20000L),
+        1).otherwise(0))
+    val scen = base.withColumn("scenario", lit("healthy"))
+        .withColumn("conv", col("base_conv"))
+      .unionByName(base.withColumn("scenario", lit("injected"))
+        .withColumn("conv", injectedConv))
+    val per = scen.groupBy("scenario", "decile")
+      .agg(count(when(col("treated"), 1)).as("n_t"),
+        count(when(!col("treated"), 1)).as("n_c"),
+        sum(when(col("treated"), col("conv"))).as("conv_t"),
+        sum(when(!col("treated"), col("conv"))).as("conv_c"))
+    val term = round(col("conv_t").cast(DoubleType) -
+      col("conv_c").cast(DoubleType) * col("n_t").cast(DoubleType) /
+        col("n_c").cast(DoubleType), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("scenario").orderBy(desc("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    per.withColumn("qini_cum",
+        round(sum(term.cast("decimal(38,10)")).over(w).cast(DoubleType), 6))
+      .select(col("scenario"), col("decile"), col("n_t"), col("n_c"),
+        round(col("conv_t").cast(DoubleType) / col("n_t").cast(DoubleType), 6)
+          .as("rate_t"),
+        round(col("conv_c").cast(DoubleType) / col("n_c").cast(DoubleType), 6)
+          .as("rate_c"),
+        round(col("conv_t").cast(DoubleType) / col("n_t").cast(DoubleType) -
+          col("conv_c").cast(DoubleType) / col("n_c").cast(DoubleType), 6)
+          .as("uplift"),
+        col("qini_cum"))
+      .orderBy("scenario", "decile")
+  }
+
+  /** X21 — retrieval-quality metrics (MRR / MAP@10 / P@10 / hit@10)
+    * over the exact cosine top-10 of q224's kNN-join shape, with
+    * label-match relevance: the RAG/IR evaluation layer that turns the
+    * retrieval operators (q212 fusion, q224 ground truth, q30/q45/q215
+    * sublinear paths) into MEASURED search quality. AP@10 normalizes
+    * by min(R, 10) with R = the label's corpus frequency (broadcast
+    * margin join); precision terms are exact small-integer ratios
+    * computed inside the per-query ≤10-row rank frame (bounded window,
+    * partitioned by query), rounded at 6 before their decimal means.
+    */
+  private def qRetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val e = em(s, dir)
+    val labels = e.select(col("vec_id").cast("long").as("id"),
+      col("label").cast("long").as("lbl"))
+    val top = graft.sim.Ann.knnJoin(
+      e.where(col("vec_id") < 50), e.where(col("vec_id") >= 50),
+      "vec_id", "embedding", k = 10)
+    val rels = labels.groupBy("lbl").agg(count(lit(1)).as("r_all"))
+      .join(labels.where(col("id") >= 50).groupBy("lbl")
+        .agg(count(lit(1)).as("r_corpus")), "lbl")
+    val t = top
+      .join(broadcast(labels.withColumnRenamed("id", "a")
+        .withColumnRenamed("lbl", "la")), "a")
+      .join(broadcast(labels.withColumnRenamed("id", "b")
+        .withColumnRenamed("lbl", "lb")), "b")
+      .withColumn("rel", when(col("la") === col("lb"), 1).otherwise(0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy("rank")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val scored = t.withColumn("cum_rel", sum("rel").over(w))
+      .withColumn("ap_term", round(col("rel").cast(DoubleType) *
+        col("cum_rel").cast(DoubleType) / col("rank").cast(DoubleType), 6))
+    val perQ = scored.groupBy("a", "la")
+      .agg(Stats.dsum(col("ap_term")).as("ap_num"),
+        sum("rel").as("n_rel_found"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+      .join(broadcast(rels.withColumnRenamed("lbl", "la")), "la")
+      .withColumn("ap", round(col("ap_num") /
+        least(col("r_corpus"), lit(10L)).cast(DoubleType), 6))
+      .withColumn("rr", round(coalesce(lit(1.0) /
+        col("first_rel").cast(DoubleType), lit(0.0)), 6))
+    perQ.agg(count(lit(1)).as("n_queries"),
+        round(Stats.dsum(col("rr")) / count(lit(1)), 6).as("mrr"),
+        round(Stats.dsum(col("ap")) / count(lit(1)), 6).as("map10"),
+        round(sum("n_rel_found").cast(DoubleType) /
+          (count(lit(1)) * lit(10L)).cast(DoubleType), 6).as("p10"),
+        round(count(when(col("n_rel_found") > 0, 1)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 6).as("hit10"))
+  }
+
+  /** X22 — multiclass nearest-centroid classification with the FULL
+    * confusion-derived metric sheet (per-class precision/recall/F1 +
+    * macro-F1 + accuracy): the k>2 generalization of the binary
+    * A11/A12 family (q09), evaluated honestly on a hash-split holdout
+    * (centroids fit on ~60% of vectors, scored on the rest). Per-test
+    * distances reuse the q263 plan-literal centroid fold (no join in
+    * the scoring pass); argmin label = min label attaining the exact
+    * minimum distance (same arithmetic both engines, so the tie rule
+    * is engine-stable). Class margins and the two 1-row overall
+    * aggregates broadcast.
+    */
+  private def qCentroidClassifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.aug.Sampling.keyBucket
+    val e = em(s, dir).select(col("vec_id").cast("long").as("id"),
+        col("label").cast("long").as("label"), col("embedding"))
+      .withColumn("train", keyBucket(col("id"), 31L) < lit(600000L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q287", e)
+    val cent = graft.sim.Centroids.labelCentroids(
+        e.where(col("train")), "label", "embedding")
+      .select(col("group").cast("long").as("label"), col("dim"), col("mean"))
+      .collect()
+    require(cent.length <= 4096,
+      s"centroid classifier collect guard: ${cent.length} (k*dims) > 4096")
+    val byLabel: Seq[(Long, Array[Double])] =
+      cent.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (l, rows) =>
+        l -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray
+      }
+    val dims = byLabel.head._2.length
+    def d2To(c: Array[Double]): Column =
+      aggregate(sequence(lit(1), lit(dims)), lit(0.0), (acc, i) => {
+        val d = element_at(col("embedding"), i.cast("int")).cast(DoubleType) -
+          element_at(typedlit(c.toSeq), i.cast("int"))
+        acc + d * d
+      })
+    val withD = byLabel.foldLeft(e.where(!col("train"))) {
+      case (df, (l, c)) => df.withColumn(s"d2_$l", d2To(c))
+    }
+    val dmin = least(byLabel.map { case (l, _) => col(s"d2_$l") }: _*)
+    val pred = least(byLabel.map { case (l, _) =>
+      when(col(s"d2_$l") === dmin, lit(l)) }: _*)
+    val scored = withD.select(col("id"), col("label"), pred.as("pred"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q287.scored", scored)
+    val byTrue = scored.groupBy("label")
+      .agg(count(lit(1)).as("n_true"),
+        count(when(col("pred") === col("label"), 1)).as("tp"))
+    val byPred = scored.groupBy(col("pred").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val cls = byTrue.join(byPred, Seq("label"), "left")
+      .na.fill(0L, Seq("n_pred"))
+      .withColumn("precision", round(when(col("n_pred") > 0,
+        col("tp").cast(DoubleType) / col("n_pred").cast(DoubleType))
+        .otherwise(0.0), 6))
+      .withColumn("recall", round(col("tp").cast(DoubleType) /
+        col("n_true").cast(DoubleType), 6))
+      .withColumn("f1", round(when(col("precision") + col("recall") > 0,
+        lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall"))).otherwise(0.0), 6))
+    val overall = cls.agg(
+      round(Stats.dsum(col("f1")) / count(lit(1)), 6).as("macro_f1"),
+      round(sum("tp").cast(DoubleType) / sum("n_true").cast(DoubleType), 6)
+        .as("accuracy"))
+    cls.crossJoin(broadcast(overall))
+      .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+        col("precision"), col("recall"), col("f1"),
+        col("macro_f1"), col("accuracy"))
+      .orderBy("label")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -7994,7 +8180,10 @@ object SparkEntry {
     "q281_brier" -> (qBrier _),
     "q282_collocations" -> (qCollocations _),
     "q283_pinball" -> (qPinball _),
-    "q284_ht_total" -> (qHtTotal _)
+    "q284_ht_total" -> (qHtTotal _),
+    "q285_uplift" -> (qUplift _),
+    "q286_retrieval_eval" -> (qRetrievalEval _),
+    "q287_centroid_classifier" -> (qCentroidClassifier _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -12777,6 +12966,132 @@ object SparkEntry {
          |   (1.0 - CAST(n_samp AS DOUBLE)/CAST(n_pop AS DOUBLE))*s2
          |   /CAST(n_samp AS DOUBLE)), 4) AS se_t
          | FROM pop JOIN sa USING (cls) ORDER BY cls""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q285_uplift" -> {
+      val treat = graft.aug.Sampling.Sql.keyBucket("c_custkey", 23L)
+      val draw = graft.aug.Sampling.Sql.keyBucket("c_custkey", 97L)
+      s"""WITH conv AS (SELECT o_custkey AS c_custkey,
+         |  max(CASE WHEN o_totalprice > 480000.0 THEN 1 ELSE 0 END)
+         |   AS base_conv FROM orders GROUP BY o_custkey),
+         | ed AS (SELECT DISTINCT edge FROM (SELECT unnest(
+         |   quantile_cont(c_acctbal, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6,
+         |    0.7, 0.8, 0.9])) AS edge FROM customer)),
+         | b AS MATERIALIZED (SELECT c.c_custkey,
+         |  COALESCE(v.base_conv, 0) AS base_conv,
+         |  (SELECT count(*) FROM ed WHERE c.c_acctbal > ed.edge) AS decile,
+         |  ($treat) < 500000 AS treated, ($draw) AS lift_draw
+         |  FROM customer c LEFT JOIN conv v USING (c_custkey)),
+         | sc AS (SELECT 'healthy' AS scenario, decile, treated,
+         |   base_conv AS conv FROM b
+         |  UNION ALL SELECT 'injected', decile, treated,
+         |   greatest(base_conv, CASE WHEN treated AND
+         |    lift_draw < decile * 20000 THEN 1 ELSE 0 END) FROM b),
+         | per AS (SELECT scenario, decile,
+         |   count(*) FILTER (WHERE treated) AS n_t,
+         |   count(*) FILTER (WHERE NOT treated) AS n_c,
+         |   sum(conv) FILTER (WHERE treated) AS conv_t,
+         |   sum(conv) FILTER (WHERE NOT treated) AS conv_c
+         |  FROM sc GROUP BY scenario, decile)
+         | SELECT scenario, CAST(decile AS BIGINT) AS decile,
+         |  CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+         |  round(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE), 6) AS rate_t,
+         |  round(CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS rate_c,
+         |  round(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+         |   CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS uplift,
+         |  round(CAST(sum(CAST(round(CAST(conv_t AS DOUBLE) -
+         |    CAST(conv_c AS DOUBLE) * CAST(n_t AS DOUBLE) /
+         |    CAST(n_c AS DOUBLE), 6) AS DECIMAL(38,10)))
+         |   OVER (PARTITION BY scenario ORDER BY decile DESC
+         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS qini_cum
+         | FROM per ORDER BY scenario, decile""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q286_retrieval_eval" -> {
+      import graft.sim.VectorMath.{Sql => V}
+      s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+         |  CAST(label AS BIGINT) AS lbl, embedding AS vec,
+         |  ${V.norm2("embedding")} AS n2 FROM embeddings),
+         | rc AS (SELECT lbl, count(*) AS r_corpus FROM v
+         |  WHERE id >= 50 GROUP BY lbl),
+         | p AS (SELECT x.id AS a, x.lbl AS la, y.id AS b, y.lbl AS lb,
+         |   ${V.dot("x.vec", "y.vec")} / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+         |  FROM v x JOIN v y ON y.id >= 50 WHERE x.id < 50),
+         | r AS (SELECT a, la, b, lb, CASE WHEN la = lb THEN 1 ELSE 0 END
+         |   AS rel, row_number() OVER (PARTITION BY a
+         |    ORDER BY cos DESC, b ASC) AS rank FROM p),
+         | t AS (SELECT a, la, rel, rank,
+         |   CAST(sum(rel) OVER (PARTITION BY a ORDER BY rank
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rel
+         |  FROM r WHERE rank <= 10),
+         | pq AS (SELECT a, la,
+         |   ${Stats.Sql.dsum(
+             "round(CAST(rel AS DOUBLE) * CAST(cum_rel AS DOUBLE) / CAST(rank AS DOUBLE), 6)")}
+         |    AS ap_num,
+         |   CAST(sum(rel) AS BIGINT) AS n_rel_found,
+         |   min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+         |  FROM t GROUP BY a, la),
+         | pj AS (SELECT pq.*, round(ap_num / CAST(least(rc.r_corpus,
+         |    10) AS DOUBLE), 6) AS ap,
+         |   round(COALESCE(CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE),
+         |    CAST(0 AS DOUBLE)), 6) AS rr
+         |  FROM pq JOIN rc ON rc.lbl = pq.la)
+         | SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(${Stats.Sql.dsum("rr")} / count(*), 6) AS mrr,
+         |  round(${Stats.Sql.dsum("ap")} / count(*), 6) AS map10,
+         |  round(CAST(sum(n_rel_found) AS DOUBLE) /
+         |   CAST(count(*) * 10 AS DOUBLE), 6) AS p10,
+         |  round(CAST(count(*) FILTER (WHERE n_rel_found > 0) AS DOUBLE) /
+         |   CAST(count(*) AS DOUBLE), 6) AS hit10
+         | FROM pj""".stripMargin.replaceAll("\n", " ")
+    },
+    "q287_centroid_classifier" -> {
+      val train = graft.aug.Sampling.Sql.keyBucket("vec_id", 31L)
+      s"""WITH e AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS id,
+         |  CAST(label AS BIGINT) AS label, embedding,
+         |  ($train) < 600000 AS train FROM embeddings),
+         | cd AS (SELECT label, dim,
+         |   ${Stats.Sql.dsum("CAST(embedding[dim] AS DOUBLE)")} / count(*)
+         |    AS mean
+         |  FROM (SELECT label, unnest(generate_series(1, len(embedding)))
+         |    AS dim, embedding FROM e WHERE train) GROUP BY label, dim),
+         | c AS MATERIALIZED (SELECT label AS cl,
+         |   list(mean ORDER BY dim) AS cv FROM cd GROUP BY label),
+         | d AS MATERIALIZED (SELECT e.id, e.label, c.cl,
+         |   list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(generate_series(1, len(e.embedding)),
+         |     i -> (CAST(e.embedding[i] AS DOUBLE) - cv[i]) *
+         |          (CAST(e.embedding[i] AS DOUBLE) - cv[i]))),
+         |    (acc, x) -> acc + x) AS d2
+         |  FROM e CROSS JOIN c WHERE NOT e.train),
+         | pr AS (SELECT id, label, min(cl) FILTER (WHERE d2 = md) AS pred
+         |  FROM (SELECT id, label, cl, d2,
+         |    min(d2) OVER (PARTITION BY id) AS md FROM d)
+         |  GROUP BY id, label),
+         | bt AS (SELECT label, count(*) AS n_true,
+         |   count(*) FILTER (WHERE pred = label) AS tp
+         |  FROM pr GROUP BY label),
+         | bp AS (SELECT pred AS label, count(*) AS n_pred
+         |  FROM pr GROUP BY pred),
+         | cls AS (SELECT bt.label, bt.n_true,
+         |   COALESCE(bp.n_pred, 0) AS n_pred, bt.tp,
+         |   round(CASE WHEN COALESCE(bp.n_pred, 0) > 0 THEN
+         |    CAST(bt.tp AS DOUBLE) / CAST(bp.n_pred AS DOUBLE)
+         |    ELSE CAST(0 AS DOUBLE) END, 6) AS precision,
+         |   round(CAST(bt.tp AS DOUBLE) / CAST(bt.n_true AS DOUBLE), 6)
+         |    AS recall
+         |  FROM bt LEFT JOIN bp ON bp.label = bt.label),
+         | cf AS (SELECT *, round(CASE WHEN precision + recall > 0 THEN
+         |    CAST(2 AS DOUBLE) * precision * recall / (precision + recall)
+         |    ELSE CAST(0 AS DOUBLE) END, 6) AS f1 FROM cls),
+         | o AS (SELECT round(${Stats.Sql.dsum("f1")} / count(*), 6)
+         |    AS macro_f1,
+         |   round(CAST(sum(tp) AS DOUBLE) / CAST(sum(n_true) AS DOUBLE), 6)
+         |    AS accuracy FROM cf)
+         | SELECT label, CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+         |  precision, recall, f1, macro_f1, accuracy
+         | FROM cf CROSS JOIN o ORDER BY label""".stripMargin
         .replaceAll("\n", " ")
     }
   )

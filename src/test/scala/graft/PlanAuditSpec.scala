@@ -603,6 +603,27 @@ class PlanAuditSpec extends SparkSpec {
     val q283 = plan(SparkEntry.queries("q283_pinball")(spark, sf))
     assert(q283.contains("BroadcastHashJoin"),
       s"pinball per-segment means not broadcast:\n$q283")
+    // q285 uplift: no cartesian; the Qini window runs over the 10-row
+    // pre-aggregated decile frame only (partitioned by scenario)
+    val q285 = plan(SparkEntry.queries("q285_uplift")(spark, sf))
+    assert(!q285.contains("CartesianProduct"),
+      s"uplift plans a cartesian:\n$q285")
+    assert("HashAggregate".r.findAllIn(q285).size >= 2,
+      s"uplift lost partial aggregation:\n$q285")
+    // q286 retrieval eval: label margins broadcast onto the top-k frame
+    val q286 = plan(SparkEntry.queries("q286_retrieval_eval")(spark, sf))
+    assert(!q286.contains("CartesianProduct"),
+      s"retrieval eval plans a cartesian:\n$q286")
+    assert(q286.contains("BroadcastHashJoin"),
+      s"retrieval-eval label margins not broadcast:\n$q286")
+    // q287 centroid classifier: centroids are plan literals — the
+    // scoring projection (up to the confusion rollup) must not re-grow
+    // a per-row join against a centroid table
+    val q287 = plan(SparkEntry.queries("q287_centroid_classifier")(spark, sf))
+    assert(!q287.contains("CartesianProduct"),
+      s"centroid classifier plans a cartesian:\n$q287")
+    assert(!q287.contains("SortMergeJoin"),
+      s"centroid classifier shuffles a join (metadata joins must broadcast):\n$q287")
   }
 
   test("forest scoring stays inside whole-stage codegen") {
