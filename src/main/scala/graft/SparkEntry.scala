@@ -7885,6 +7885,317 @@ object SparkEntry {
       .orderBy("label")
   }
 
+  /** X23 — interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; the
+    * smoothing KenLM ships as its default — the CCNet filter's actual
+    * LM family, where q96's add-one is the classroom baseline): fit on
+    * a 90% hash split of documents, scored on the 10% holdout, so the
+    * discount/backoff machinery is exercised by genuinely UNSEEN
+    * bigrams. Singleton train tokens (and all OOV test tokens) map to
+    * `<unk>`; P(w2|w1) = max(c12−D,0)/c1 + (D·N1+(w1·)/c1)·Pcont(w2)
+    * with D = 0.75 and the CONTINUATION unigram Pcont(w2) =
+    * N1+(·w2)/T — the Kneser–Ney insight that backoff mass should
+    * follow how many contexts a word completes, not how often it
+    * occurs. Unseen-context (c1 or N1+fw null) backs off to Pcont
+    * alone; a 0.5/T floor guards the (never-observed-in-practice)
+    * unseen-continuation case deterministically on both engines.
+    * Scale shape: count tables stay distributed (vocab² keys), scoring
+    * is hash equi-joins on token keys, bigrams form via a positional
+    * self-join (linear shuffle), and per-doc reduction sums ln terms
+    * in DECIMAL(38,18) (the q96/PSI order-free convention).
+    */
+  private def qKneserNey(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    import graft.aug.Sampling.keyBucket
+    val t = par(doc(s, dir)).select(col("doc_id"),
+      TextOps.tokens(col("text")).as("toks"),
+      (keyBucket(col("doc_id"), 71L) < lit(900000L)).as("train"))
+    val tok = t.select(col("doc_id"), col("train"),
+        posexplode(col("toks")).as(Seq("i", "w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = tok.where(col("train")).groupBy("w")
+      .agg(count(lit(1)).as("c_raw")).where(col("c_raw") >= 2)
+      .select(col("w"), lit(1).as("inv"))
+    val mapped = tok.join(vocab, Seq("w"), "left")
+      .select(col("doc_id"), col("train"), col("i"),
+        when(col("inv").isNotNull, col("w")).otherwise(lit("<unk>")).as("mw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bg = mapped
+      .select(col("doc_id"), col("train"), col("i"), col("mw").as("w1"))
+      .join(mapped.select(col("doc_id"), (col("i") - 1).as("i"),
+        col("mw").as("w2")), Seq("doc_id", "i"))
+      .select(col("doc_id"), col("train"), col("w1"), col("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q288", tok, mapped, bg)
+    val c12 = bg.where(col("train")).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q288.c12", c12)
+    val c1 = mapped.where(col("train")).groupBy(col("mw").as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val fw = c12.groupBy("w1").agg(count(lit(1)).as("n1fw"))
+    val bw = c12.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+    val tt = c12.agg(count(lit(1)).as("tbig"))
+    val d = lit(0.75)
+    val tD = col("tbig").cast(DoubleType)
+    val pcont = coalesce(col("n1bw").cast(DoubleType) / tD, lit(0.5) / tD)
+    val p = when(col("c1").isNotNull && col("n1fw").isNotNull,
+      greatest(coalesce(col("c12").cast(DoubleType), lit(0.0)) - d, lit(0.0)) /
+        col("c1").cast(DoubleType) +
+        ((d * col("n1fw").cast(DoubleType)) / col("c1").cast(DoubleType)) *
+          pcont).otherwise(pcont)
+    bg.where(!col("train"))
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(fw, Seq("w1"), "left")
+      .join(bw, Seq("w2"), "left")
+      .crossJoin(broadcast(tt))
+      .select(col("doc_id"), log(p).cast(DecimalType(38, 18)).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("lp").cast(DoubleType) / count(lit(1)), 6).as("avg_logp"))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 6))
+      .orderBy("doc_id")
+  }
+
+  /** X24 — Good–Turing frequency-of-frequencies estimation (Good 1953;
+    * the unseen-mass machinery under Katz backoff and every corpus
+    * coverage claim), computed over token TRIGRAM types — the corpus's
+    * unigram vocabulary is a closed ~31-word set with no rare types
+    * (min count 26 even at sf0.001), so unigram GT would be vacuous;
+    * trigrams have a real Zipf tail (~9.4k singletons). Reports the
+    * train-split frequency-of-frequencies table N_r, the Turing
+    * estimate r* = (r+1)·N_{r+1}/N_r for r ≤ 5, and the headline
+    * prediction — unseen-type mass p0 = N_1/N — put to an EMPIRICAL
+    * test against the holdout's measured OOV trigram rate (the
+    * validation most GT write-ups skip). One distributed trigram
+    * count; the FoF rollup and r* self-join run on the tiny
+    * count-of-counts frame; the OOV probe is one hash anti-join shape
+    * (left join + null filter) on trigram keys.
+    */
+  private def qGoodTuring(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    import graft.aug.Sampling.keyBucket
+    val tok = par(doc(s, dir)).select(col("doc_id"),
+        TextOps.tokens(col("text")).as("toks"),
+        (keyBucket(col("doc_id"), 73L) < lit(900000L)).as("train"))
+      .where(size(col("toks")) >= 3)
+      .select(col("train"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = tok.where(col("train")).groupBy("w")
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q289", tok, uni)
+    val fof = uni.groupBy("c").agg(count(lit(1)).as("n_r"))
+    val totals = uni.agg(sum("c").as("n_train_tokens"))
+    val n1 = fof.agg(coalesce(sum(when(col("c") === 1, col("n_r"))), lit(0L))
+      .as("n1"))
+    val oov = tok.where(!col("train"))
+      .join(uni.select(col("w"), lit(1).as("inv")), Seq("w"), "left")
+      .agg(count(lit(1)).as("n_test_tokens"),
+        count(when(col("inv").isNull, 1)).as("n_oov"))
+    val rows = fof.select(col("c").as("r"), col("n_r"))
+      .join(fof.select((col("c") - 1).as("r"), col("n_r").as("n_r1")),
+        Seq("r"), "left")
+      .where(col("r") >= 1 && col("r") <= 5)
+      .withColumn("r_star", round((col("r").cast(DoubleType) + lit(1.0)) *
+        coalesce(col("n_r1").cast(DoubleType), lit(0.0)) /
+        col("n_r").cast(DoubleType), 6))
+    rows.crossJoin(broadcast(totals)).crossJoin(broadcast(n1))
+      .crossJoin(broadcast(oov))
+      .select(col("r"), col("n_r"), col("r_star"), col("n_train_tokens"),
+        round(col("n1").cast(DoubleType) /
+          col("n_train_tokens").cast(DoubleType), 6).as("p0_pred"),
+        col("n_test_tokens"), col("n_oov"),
+        round(col("n_oov").cast(DoubleType) /
+          col("n_test_tokens").cast(DoubleType), 6).as("oov_rate"))
+      .orderBy("r")
+  }
+
+  /** X25 — link prediction on the part co-purchase graph (Liben-Nowell
+    * & Kleinberg 2003): hold out a 20% hash split of edges, score
+    * distance-2 non-edge candidates on the training graph with the
+    * three classical indices — common neighbors, Jaccard, Adamic–Adar
+    * (Σ 1/ln deg(m), the inverse-log damping of promiscuous middles) —
+    * and report each index's exact tie-aware AUC at recovering the
+    * held-out edges against true non-edges. The graph is q156's
+    * co-occurrence construction at part grain (co-ordered ≥ 2 times);
+    * candidate generation is the adjacency self-join (quadratic work
+    * confined to per-node neighborhoods, the triangle-count shape);
+    * AUC runs as integer pair-counting over the per-method
+    * distinct-score frame (no per-pair window). Test edges outside
+    * distance 2 are unreachable by ANY common-neighbor index —
+    * n_test_total vs n_pos makes that coverage limit explicit.
+    * Node grain: parts are folded onto K = 6·⌈√(#orders)⌉ supernodes
+    * (pk % K) so co-occurrence density stays SF-INVARIANT — at raw
+    * part grain instances grow ∝ SF but candidate pairs ∝ SF², so the
+    * npair ≥ 2 graph empties out by sf0.1 (zero reachable positives →
+    * AUC div/0; the q271 blocking-degeneration class). On a real
+    * corpus you'd keep the natural item grain; the √n fold is the
+    * fixture-density recipe, documented here as such.
+    */
+  private def qLinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.aug.Sampling.keyBucket
+    val raw = li(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+    val kk = raw.agg(
+      (ceil(sqrt(countDistinct(col("ok")))).cast("long") * lit(6L)).as("k"))
+    val ob = raw.crossJoin(broadcast(kk))
+      .select(col("ok"), (col("pk") % col("k")).as("pk"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val co = ob.toDF("ok", "p1")
+      .join(ob.toDF("ok2", "p2"), col("ok") === col("ok2") && col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("npair"))
+      .where(col("npair") >= 2)
+      // pre-mod the combined pair key: p1·1000003+p2 reaches ~2e10 at
+      // sf0.1 and keyBucket's 2654435761 multiplier would overflow Long
+      .withColumn("test",
+        keyBucket((col("p1") * lit(1000003L) + col("p2")) % lit(1000000007L),
+          83L) < lit(200000L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainE = co.where(!col("test")).select("p1", "p2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = trainE.union(trainE.select(col("p2"), col("p1"))).toDF("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q290", ob, co, trainE, adj)
+    val deg = adj.groupBy("a").agg(count(lit(1)).as("dg"))
+    val mids = adj.toDF("x", "m")
+      .join(adj.toDF("mm", "y"), col("m") === col("mm"))
+      .where(col("x") < col("y")).select("x", "m", "y")
+      .join(deg.select(col("a").as("m"), col("dg").as("dgm")), Seq("m"))
+    val pairScores = mids.groupBy("x", "y").agg(
+      count(lit(1)).as("cn"),
+      round(Stats.dsum(lit(1.0) / log(col("dgm").cast(DoubleType))), 6).as("aa"))
+    val scored = pairScores
+      .join(trainE.select(col("p1").as("x"), col("p2").as("y"),
+        lit(1).as("istr")), Seq("x", "y"), "left")
+      .where(col("istr").isNull).drop("istr")
+      .join(co.where(col("test")).select(col("p1").as("x"), col("p2").as("y"),
+        lit(1).as("pos")), Seq("x", "y"), "left")
+      .na.fill(0, Seq("pos"))
+      .join(deg.select(col("a").as("x"), col("dg").as("dgx")), Seq("x"))
+      .join(deg.select(col("a").as("y"), col("dg").as("dgy")), Seq("y"))
+      .withColumn("jac", round(col("cn").cast(DoubleType) /
+        (col("dgx") + col("dgy") - col("cn")).cast(DoubleType), 6))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q290.scored", scored)
+    val long = scored.select(lit("cn").as("method"),
+        col("cn").cast(DoubleType).as("score"), col("pos"))
+      .unionByName(scored.select(lit("jaccard").as("method"),
+        col("jac").as("score"), col("pos")))
+      .unionByName(scored.select(lit("adamic_adar").as("method"),
+        col("aa").as("score"), col("pos")))
+    // tie-aware Mann–Whitney AUC via integer pair counting over the
+    // per-method DISTINCT-SCORE frame (the rocPoints exemption class)
+    val byScore = long.groupBy("method", "score").agg(
+      sum(col("pos")).cast("long").as("np"),
+      sum(lit(1) - col("pos")).cast("long").as("nn"))
+    val w = Window.partitionBy("method").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val won = byScore
+      .withColumn("cum_nn", coalesce(sum("nn").over(w), lit(0L)))
+      .withColumn("won2",
+        lit(2L) * col("np") * col("cum_nn") + col("np") * col("nn"))
+    val agg = won.groupBy("method").agg(sum("np").as("n_pos"),
+      sum("nn").as("n_neg"), sum("won2").as("won2"))
+    val testTotal = co.where(col("test")).agg(count(lit(1)).as("n_test_total"))
+    agg.crossJoin(broadcast(testTotal))
+      .select(col("method"), col("n_pos"), col("n_neg"), col("n_test_total"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("won2").cast(DoubleType) /
+            (lit(2.0) * col("n_pos").cast(DoubleType) *
+              col("n_neg").cast(DoubleType)), 6)).as("auc"))
+      .orderBy("method")
+  }
+
+  /** X26 — Hill tail-index estimation (Hill 1975; the heavy-tail
+    * exponent behind every "is this power-law?" claim about document
+    * lengths, degree distributions, and revenue concentration):
+    * α̂(k) = k / Σ_{i≤k}(ln x_(i) − ln x_(k+1)) over the top-k order
+    * statistics, swept at k ∈ {50, 100, 200}. Detection-proof twin:
+    * the `healthy` arm runs on raw o_totalprice (a sum of bounded
+    * uniforms — NO power tail, so α̂ drifts upward with k and the
+    * sweep visibly disagrees with itself), while `pareto_injected`
+    * transforms the same keys through an exact inverse-CDF Pareto
+    * (α = 2.5, x_m = 100) built from the deterministic hash uniform —
+    * the estimator recovers ≈ 2.5 STABLY across the k sweep. The
+    * distributed stage is two TakeOrdered top-201 cuts; everything
+    * after runs on the bounded pooled frame.
+    */
+  private def qHillTail(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.aug.Sampling.keyBucket
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val healthy = o.select(lit("healthy").as("scenario"),
+      col("o_totalprice").cast(DoubleType).as("v"))
+    val u = (keyBucket(col("o_orderkey"), 131L).cast(DoubleType) + lit(0.5)) /
+      lit(1000000.0)
+    val injected = o.select(lit("pareto_injected").as("scenario"),
+      (lit(100.0) * exp(log(lit(1.0) / u) / lit(2.5))).as("v"))
+    def top(df: DataFrame) = df.orderBy(desc("v")).limit(201)
+    val pool = top(healthy).unionByName(top(injected))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q291", pool)
+    val ranked = pool
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("scenario").orderBy(desc("v"))))
+      .withColumn("lnv", log(col("v")))
+    Seq(50, 100, 200).map { k =>
+      val thr = ranked.where(col("rk") === k + 1)
+        .select(col("scenario"), col("lnv").as("ln_thr"), col("v").as("x_k1"))
+      ranked.where(col("rk") <= k)
+        .groupBy("scenario").agg(Stats.dsum(col("lnv")).as("sum_ln"))
+        .join(thr, Seq("scenario"))
+        .select(col("scenario"), lit(k).as("k"),
+          round(col("x_k1"), 6).as("x_threshold"),
+          round(lit(k.toDouble) /
+            (col("sum_ln") - lit(k.toDouble) * col("ln_thr")), 6)
+            .as("alpha_hat"))
+    }.reduce(_ unionByName _).orderBy("scenario", "k")
+  }
+
+  /** X27 — McNemar's paired test (McNemar 1947; the CORRECT way to
+    * compare two classifiers evaluated on the SAME examples — marginal
+    * accuracies hide that errors are paired): language-ID task
+    * (is-English vs the `lang` column) comparing the lexicon-argmax
+    * detector (q21's langId) against an intentionally crude
+    * contains-"the" heuristic. Continuity-corrected
+    * χ² = (max(|b−c|−1,0))²/(b+c) over the discordant counts b
+    * (A right, B wrong) and c (A wrong, B right) — the only cells the
+    * hypothesis touches. One conditional aggregate over documents;
+    * complements q174 (kappa measures AGREEMENT between raters,
+    * McNemar tests ACCURACY difference against truth).
+    */
+  private def qMcnemar(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val d = doc(s, dir).select(
+      (col("lang") === "en").as("truth"),
+      (TextOps.langId(col("text")) === "en").as("pa"),
+      array_contains(TextOps.tokens(col("text")), "the").as("pb"))
+    val m = d.agg(count(lit(1)).as("n"),
+      count(when(col("pa") === col("truth"), 1)).as("ok_a"),
+      count(when(col("pb") === col("truth"), 1)).as("ok_b"),
+      count(when(col("pa") === col("truth") && col("pb") =!= col("truth"), 1))
+        .as("b"),
+      count(when(col("pa") =!= col("truth") && col("pb") === col("truth"), 1))
+        .as("c"))
+    val cc = greatest(abs(col("b") - col("c")).cast(DoubleType) - lit(1.0),
+      lit(0.0))
+    m.select(col("n"),
+      round(col("ok_a").cast(DoubleType) / col("n").cast(DoubleType), 6)
+        .as("acc_a"),
+      round(col("ok_b").cast(DoubleType) / col("n").cast(DoubleType), 6)
+        .as("acc_b"),
+      col("b"), col("c"),
+      round(when(col("b") + col("c") > 0,
+        (cc * cc) / (col("b") + col("c")).cast(DoubleType))
+        .otherwise(lit(0.0)), 6).as("mcnemar_chi2"))
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -8183,7 +8494,12 @@ object SparkEntry {
     "q284_ht_total" -> (qHtTotal _),
     "q285_uplift" -> (qUplift _),
     "q286_retrieval_eval" -> (qRetrievalEval _),
-    "q287_centroid_classifier" -> (qCentroidClassifier _)
+    "q287_centroid_classifier" -> (qCentroidClassifier _),
+    "q288_kneser_ney" -> (qKneserNey _),
+    "q289_good_turing" -> (qGoodTuring _),
+    "q290_link_prediction" -> (qLinkPrediction _),
+    "q291_hill_tail" -> (qHillTail _),
+    "q292_mcnemar" -> (qMcnemar _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -13093,6 +13409,193 @@ object SparkEntry {
          |  precision, recall, f1, macro_f1, accuracy
          | FROM cf CROSS JOIN o ORDER BY label""".stripMargin
         .replaceAll("\n", " ")
+    },
+    "q288_kneser_ney" -> {
+      import graft.text.TextOps.{Sql => T}
+      val split = graft.aug.Sampling.Sql.keyBucket("doc_id", 71L)
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, ${T.toks("text")} AS toks,
+         |  ($split) < 900000 AS train FROM documents),
+         | tp AS (SELECT doc_id, train, toks,
+         |  unnest(generate_series(1, len(toks))) AS i FROM t),
+         | tok AS MATERIALIZED (SELECT doc_id, train, i, (toks)[i] AS w
+         |  FROM tp),
+         | vocab AS MATERIALIZED (SELECT w FROM tok WHERE train
+         |  GROUP BY w HAVING count(*) >= 2),
+         | mapped AS MATERIALIZED (SELECT tok.doc_id, tok.train, tok.i,
+         |  CASE WHEN vocab.w IS NOT NULL THEN tok.w ELSE '<unk>' END AS mw
+         |  FROM tok LEFT JOIN vocab ON vocab.w = tok.w),
+         | bg AS MATERIALIZED (SELECT a.doc_id, a.train, a.mw AS w1,
+         |  b.mw AS w2 FROM mapped a JOIN mapped b
+         |  ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+         | c12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM bg
+         |  WHERE train GROUP BY w1, w2),
+         | c1 AS (SELECT mw AS w1, count(*) AS c1 FROM mapped WHERE train
+         |  GROUP BY mw),
+         | fw AS (SELECT w1, count(*) AS n1fw FROM c12 GROUP BY w1),
+         | bw AS (SELECT w2, count(*) AS n1bw FROM c12 GROUP BY w2),
+         | tt AS (SELECT count(*) AS tbig FROM c12),
+         | sc AS (SELECT g.doc_id, CAST(ln(
+         |   CASE WHEN c1.c1 IS NOT NULL AND fw.n1fw IS NOT NULL THEN
+         |    greatest(COALESCE(CAST(c12.c12 AS DOUBLE), 0.0) - 0.75, 0.0)
+         |     / CAST(c1.c1 AS DOUBLE)
+         |    + ((0.75 * CAST(fw.n1fw AS DOUBLE)) / CAST(c1.c1 AS DOUBLE))
+         |     * (COALESCE(CAST(bw.n1bw AS DOUBLE) / CAST(tbig AS DOUBLE),
+         |        0.5 / CAST(tbig AS DOUBLE)))
+         |   ELSE COALESCE(CAST(bw.n1bw AS DOUBLE) / CAST(tbig AS DOUBLE),
+         |    0.5 / CAST(tbig AS DOUBLE)) END) AS DECIMAL(38,18)) AS lp
+         |  FROM bg g LEFT JOIN c12 ON c12.w1 = g.w1 AND c12.w2 = g.w2
+         |  LEFT JOIN c1 ON c1.w1 = g.w1 LEFT JOIN fw ON fw.w1 = g.w1
+         |  LEFT JOIN bw ON bw.w2 = g.w2 CROSS JOIN tt WHERE NOT g.train)
+         | SELECT doc_id, count(*) AS n_bigrams,
+         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp,
+         |  round(exp(-round(CAST(sum(lp) AS DOUBLE) / count(*), 6)), 6)
+         |   AS ppl
+         | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q289_good_turing" -> {
+      import graft.text.TextOps.{Sql => T}
+      val split = graft.aug.Sampling.Sql.keyBucket("doc_id", 73L)
+      s"""WITH t0 AS (SELECT doc_id, ${T.toks("text")} AS toks,
+         |  ($split) < 900000 AS train FROM documents),
+         | tk AS MATERIALIZED (SELECT train,
+         |  toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS w
+         |  FROM t0, unnest(generate_series(0, len(toks) - 3)) AS u(i)
+         |  WHERE len(toks) >= 3),
+         | uni AS MATERIALIZED (SELECT w, count(*) AS c FROM tk WHERE train
+         |  GROUP BY w),
+         | fof AS MATERIALIZED (SELECT c, count(*) AS n_r FROM uni
+         |  GROUP BY c),
+         | tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_train_tokens FROM uni),
+         | none AS (SELECT COALESCE(CAST(sum(CASE WHEN c = 1 THEN n_r END)
+         |   AS BIGINT), 0) AS n1 FROM fof),
+         | ov AS (SELECT CAST(count(*) AS BIGINT) AS n_test_tokens,
+         |  CAST(count(*) FILTER (WHERE uni.w IS NULL) AS BIGINT) AS n_oov
+         |  FROM tk LEFT JOIN uni ON uni.w = tk.w WHERE NOT tk.train),
+         | rr AS (SELECT f.c AS r, CAST(f.n_r AS BIGINT) AS n_r,
+         |  round((CAST(f.c AS DOUBLE) + 1.0) *
+         |   COALESCE(CAST(g.n_r AS DOUBLE), 0.0) / CAST(f.n_r AS DOUBLE), 6)
+         |   AS r_star
+         |  FROM fof f LEFT JOIN fof g ON g.c = f.c + 1
+         |  WHERE f.c BETWEEN 1 AND 5)
+         | SELECT r, n_r, r_star, n_train_tokens,
+         |  round(CAST(n1 AS DOUBLE) / CAST(n_train_tokens AS DOUBLE), 6)
+         |   AS p0_pred,
+         |  n_test_tokens, n_oov,
+         |  round(CAST(n_oov AS DOUBLE) / CAST(n_test_tokens AS DOUBLE), 6)
+         |   AS oov_rate
+         | FROM rr CROSS JOIN tot CROSS JOIN none CROSS JOIN ov
+         | ORDER BY r""".stripMargin.replaceAll("\n", " ")
+    },
+    "q290_link_prediction" -> {
+      val split = graft.aug.Sampling.Sql.keyBucket(
+        "((CAST(p1 AS BIGINT) * 1000003 + p2) % 1000000007)", 83L)
+      s"""WITH kk AS (SELECT CAST(ceil(sqrt(count(DISTINCT l_orderkey)))
+         |   AS BIGINT) * 6 AS k FROM lineitem),
+         | ob AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+         |  CAST(l_partkey AS BIGINT) % k AS pk
+         |  FROM lineitem CROSS JOIN kk),
+         | co AS MATERIALIZED (SELECT p1, p2, ($split) < 200000 AS test
+         |  FROM (SELECT a.pk AS p1, b.pk AS p2, count(*) AS npair
+         |   FROM ob a JOIN ob b ON b.ok = a.ok AND a.pk < b.pk
+         |   GROUP BY a.pk, b.pk) WHERE npair >= 2),
+         | tre AS MATERIALIZED (SELECT p1, p2 FROM co WHERE NOT test),
+         | adj AS MATERIALIZED (SELECT p1 AS a, p2 AS b FROM tre
+         |  UNION ALL SELECT p2, p1 FROM tre),
+         | deg AS MATERIALIZED (SELECT a, count(*) AS dg FROM adj
+         |  GROUP BY a),
+         | mids AS (SELECT e1.a AS x, e1.b AS m, e2.b AS y, deg.dg AS dgm
+         |  FROM adj e1 JOIN adj e2 ON e2.a = e1.b AND e1.a < e2.b
+         |  JOIN deg ON deg.a = e1.b),
+         | ps AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cn,
+         |  round(${graft.core.Stats.Sql.dsum(
+               "(1.0 / ln(CAST(dgm AS DOUBLE)))")}, 6) AS aa
+         |  FROM mids GROUP BY x, y),
+         | sc AS MATERIALIZED (SELECT ps.x, ps.y, ps.cn, ps.aa,
+         |  CASE WHEN te.p1 IS NOT NULL THEN 1 ELSE 0 END AS pos,
+         |  dx.dg AS dgx, dy.dg AS dgy,
+         |  round(CAST(ps.cn AS DOUBLE) /
+         |   CAST(dx.dg + dy.dg - ps.cn AS DOUBLE), 6) AS jac
+         |  FROM ps LEFT JOIN tre ON tre.p1 = ps.x AND tre.p2 = ps.y
+         |  LEFT JOIN (SELECT p1, p2 FROM co WHERE test) te
+         |   ON te.p1 = ps.x AND te.p2 = ps.y
+         |  JOIN deg dx ON dx.a = ps.x JOIN deg dy ON dy.a = ps.y
+         |  WHERE tre.p1 IS NULL),
+         | lng AS (SELECT 'cn' AS method, CAST(cn AS DOUBLE) AS score, pos
+         |   FROM sc
+         |  UNION ALL SELECT 'jaccard', jac, pos FROM sc
+         |  UNION ALL SELECT 'adamic_adar', aa, pos FROM sc),
+         | bys AS (SELECT method, score, CAST(sum(pos) AS BIGINT) AS np,
+         |  CAST(sum(1 - pos) AS BIGINT) AS nn FROM lng
+         |  GROUP BY method, score),
+         | won AS (SELECT method, np, nn, COALESCE(CAST(sum(nn) OVER
+         |   (PARTITION BY method ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |   AS BIGINT), 0) AS cum_nn FROM bys),
+         | ag AS (SELECT method, CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  CAST(sum(2 * np * cum_nn + np * nn) AS BIGINT) AS won2
+         |  FROM won GROUP BY method),
+         | ttl AS (SELECT CAST(count(*) AS BIGINT) AS n_test_total FROM co
+         |  WHERE test)
+         | SELECT method, n_pos, n_neg, n_test_total,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |   round(CAST(won2 AS DOUBLE) /
+         |    (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+         |  END AS auc
+         | FROM ag CROSS JOIN ttl ORDER BY method""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q291_hill_tail" -> {
+      val bucket = graft.aug.Sampling.Sql.keyBucket("o_orderkey", 131L)
+      s"""WITH h AS (SELECT 'healthy' AS scenario,
+         |  CAST(o_totalprice AS DOUBLE) AS v FROM orders
+         |  ORDER BY v DESC LIMIT 201),
+         | i AS (SELECT 'pareto_injected' AS scenario,
+         |  100.0 * exp(ln(1.0 / ((CAST(($bucket) AS DOUBLE) + 0.5)
+         |   / 1000000.0)) / 2.5) AS v FROM orders
+         |  ORDER BY v DESC LIMIT 201),
+         | pool AS MATERIALIZED (SELECT * FROM h UNION ALL
+         |  SELECT * FROM i),
+         | rk AS MATERIALIZED (SELECT scenario, v, ln(v) AS lnv,
+         |  row_number() OVER (PARTITION BY scenario ORDER BY v DESC)
+         |   AS rk FROM pool),
+         | ks AS (SELECT unnest([50, 100, 200]) AS k),
+         | su AS (SELECT ks.k, rk.scenario,
+         |  ${graft.core.Stats.Sql.dsum("lnv")} AS sum_ln
+         |  FROM rk CROSS JOIN ks WHERE rk.rk <= ks.k
+         |  GROUP BY ks.k, rk.scenario),
+         | th AS (SELECT ks.k, rk.scenario, rk.lnv AS ln_thr, rk.v AS x_k1
+         |  FROM rk JOIN ks ON rk.rk = ks.k + 1)
+         | SELECT su.scenario, su.k, round(th.x_k1, 6) AS x_threshold,
+         |  round(CAST(su.k AS DOUBLE) /
+         |   (su.sum_ln - CAST(su.k AS DOUBLE) * th.ln_thr), 6)
+         |   AS alpha_hat
+         | FROM su JOIN th ON th.k = su.k AND th.scenario = su.scenario
+         | ORDER BY su.scenario, su.k""".stripMargin.replaceAll("\n", " ")
+    },
+    "q292_mcnemar" -> {
+      import graft.text.TextOps.{Sql => T}
+      s"""WITH d AS (SELECT (lang = 'en') AS truth,
+         |  (${T.langId("text")}) = 'en' AS pa,
+         |  list_contains(${T.toks("text")}, 'the') AS pb FROM documents),
+         | m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) FILTER (WHERE pa = truth) AS BIGINT) AS ok_a,
+         |  CAST(count(*) FILTER (WHERE pb = truth) AS BIGINT) AS ok_b,
+         |  CAST(count(*) FILTER (WHERE pa = truth AND pb <> truth)
+         |   AS BIGINT) AS b,
+         |  CAST(count(*) FILTER (WHERE pa <> truth AND pb = truth)
+         |   AS BIGINT) AS c FROM d)
+         | SELECT n, round(CAST(ok_a AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |   AS acc_a,
+         |  round(CAST(ok_b AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc_b,
+         |  b, c,
+         |  round(CASE WHEN b + c > 0 THEN
+         |   (greatest(CAST(abs(b - c) AS DOUBLE) - 1.0, 0.0) *
+         |    greatest(CAST(abs(b - c) AS DOUBLE) - 1.0, 0.0))
+         |    / CAST(b + c AS DOUBLE)
+         |   ELSE 0.0 END, 6) AS mcnemar_chi2
+         | FROM m""".stripMargin.replaceAll("\n", " ")
     }
   )
 }
