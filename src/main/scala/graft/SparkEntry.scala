@@ -8196,6 +8196,251 @@ object SparkEntry {
         .otherwise(lit(0.0)), 6).as("mcnemar_chi2"))
   }
 
+  /** X28 — HITS hubs/authorities ([[graft.core.Hits]], Kleinberg 1999)
+    * on the supplier→part supply bipartite graph (distinct
+    * (l_suppkey, l_partkey) edges): hubs = suppliers whose catalog
+    * concentrates on widely-supplied parts, authorities = parts
+    * carried by the strongest hubs — the mutual-reinforcement ranking
+    * PageRank (q148) can't express (PageRank needs a stochastic walk;
+    * HITS is the adjacency's principal singular pair). Six power
+    * iterations, L2-normalized per half-step via 1-row broadcast
+    * margins, decimal-summed contributions; output is the top-10 per
+    * side ordered by rounded score with id tie-break.
+    */
+  private def qHits(s: SparkSession, dir: String): DataFrame = {
+    val edges = li(s, dir).select(col("l_suppkey").cast("long").as("hub"),
+      col("l_partkey").cast("long").as("auth"))
+    val (h, a) = graft.core.Hits.run(edges, iters = 6, cacheKey = "q293")
+    val topH = h.select(lit("hub").as("side"), col("hub").as("node"),
+        round(col("h"), 6).as("score"))
+      .orderBy(desc("score"), col("node")).limit(10)
+    val topA = a.select(lit("authority").as("side"), col("auth").as("node"),
+        round(col("a"), 6).as("score"))
+      .orderBy(desc("score"), col("node")).limit(10)
+    topA.unionByName(topH).orderBy(col("side"), desc("score"), col("node"))
+  }
+
+  /** X29 — Bloom-filter false-positive-rate audit: build a
+    * double-hashed Bloom filter (k = 5, m = 8n bits; Kirsch &
+    * Mitzenmacher 2006's h1 + i·h2 scheme in pure integer arithmetic)
+    * over a 90% hash split of order keys, probe it with the DISJOINT
+    * 10% holdout — every hit is a false positive by construction — and
+    * report the measured FPR beside the (1 − e^(−kn/m))^k theory the
+    * q78 delta-dedup bloom prepass relies on. Fully relational: the
+    * bit array is a DISTINCT bit-position table, membership is "all k
+    * positions present" counted per probe key via one hash equi-join —
+    * no bitmap state, so the construction shuffles O(kn) fixed-width
+    * longs and scales like any aggregation.
+    */
+  private def qBloomFpr(s: SparkSession, dir: String): DataFrame = {
+    import graft.aug.Sampling.keyBucket
+    val P = 1000000007L
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").cast("long").as("key"),
+        (keyBucket(col("o_orderkey"), 11L) < lit(900000L)).as("train"))
+    val mrow = o.where(col("train")).agg(count(lit(1)).as("n_train"),
+      (count(lit(1)) * lit(8L)).as("m"))
+    val h1 = ((col("key") * lit(2654435761L) + lit(40503L)) % lit(P)
+      + lit(P)) % lit(P)
+    val h2 = (((col("key") * lit(40503L) + lit(2654435761L)) % lit(P)
+      + lit(P)) % lit(P)) + lit(1L)
+    val pos = o.crossJoin(broadcast(mrow))
+      .select(col("key"), col("train"), col("m"),
+        explode(expr("sequence(0, 4)")).as("i"), h1.as("h1"), h2.as("h2"))
+      .select(col("key"), col("train"), col("m"),
+        ((col("h1") + col("i") * col("h2")) % col("m")).as("pos"))
+    val bits = pos.where(col("train")).select(col("pos")).distinct()
+      .withColumn("hit", lit(1))
+    val probe = pos.where(!col("train")).join(bits, Seq("pos"), "left")
+      .groupBy("key").agg((count(col("hit")) === 5).as("fp"))
+    probe.agg(count(lit(1)).as("n_test"),
+        count(when(col("fp"), 1)).as("fp_count"))
+      .crossJoin(broadcast(mrow))
+      .select(col("n_train"), col("n_test"), col("m").as("m_bits"),
+        lit(5).as("k_hashes"), col("fp_count"),
+        round(col("fp_count").cast(DoubleType) /
+          col("n_test").cast(DoubleType), 6).as("fpr_measured"),
+        round(pow(lit(1.0) - exp(lit(-5.0) *
+          col("n_train").cast(DoubleType) / col("m").cast(DoubleType)),
+          5.0), 6).as("fpr_theory"))
+  }
+
+  /** X30 — Heaps' law fit (Heaps 1978; vocabulary growth V(n) ≈ K·n^β,
+    * the planning curve behind "how big must the tokenizer vocab be at
+    * 100 TB"): cumulative trigram-type counts at ten document-prefix
+    * checkpoints (doc_ids are dense 0..N−1, so prefix d = doc_id <
+    * ⌊N·d/10⌋ exactly), fit by log-log OLS over the 10-point frame.
+    * The distributed stages are one first-occurrence aggregate
+    * (min doc_id per type) and one per-doc token count; each joins a
+    * broadcast 10-row checkpoint frame on a range predicate — a
+    * constant ×10 linear blowup, never quadratic. The OLS runs on 10
+    * rows. Trigram types, not unigrams, for the same reason as q289:
+    * the unigram vocab is closed at ~31 words.
+    */
+  private def qHeaps(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val t = par(doc(s, dir)).select(col("doc_id"),
+        TextOps.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q295", t)
+    val nd = doc(s, dir).agg(count(lit(1)).as("nd"))
+    val cp = s.range(1, 11).toDF("d").crossJoin(broadcast(nd))
+      .select(col("d"), floor(col("nd") * col("d") / lit(10)).as("cut"))
+    val first = t.groupBy("w").agg(min("doc_id").as("fd"))
+    val vd = first.join(broadcast(cp), col("fd") < col("cut"))
+      .groupBy("d", "cut").agg(count(lit(1)).as("v_types"))
+    val tc = t.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val ntok = tc.join(broadcast(cp), col("doc_id") < col("cut"))
+      .groupBy(col("d").as("d2")).agg(sum("c").as("n_tokens"))
+    val pts = vd.join(ntok, col("d") === col("d2")).drop("d2")
+      .withColumn("x", log(col("n_tokens").cast(DoubleType)))
+      .withColumn("y", log(col("v_types").cast(DoubleType)))
+    val fit = pts.agg(Stats.dsum(col("x")).as("sx"),
+        Stats.dsum(col("y")).as("sy"),
+        Stats.dsum(col("x") * col("y")).as("sxy"),
+        Stats.dsum(col("x") * col("x")).as("sxx"),
+        count(lit(1)).cast(DoubleType).as("n"))
+      .select(((col("sxy") - col("sx") * col("sy") / col("n")) /
+        (col("sxx") - col("sx") * col("sx") / col("n"))).as("beta_raw"),
+        col("sx"), col("sy"), col("n"))
+      .select(round(col("beta_raw"), 6).as("heaps_beta"),
+        round(exp(col("sy") / col("n") -
+          col("beta_raw") * col("sx") / col("n")), 6).as("heaps_k"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("d").cast("int").as("decile"), col("cut"),
+        col("n_tokens"), col("v_types"), col("heaps_beta"), col("heaps_k"))
+      .orderBy("decile")
+  }
+
+  /** X31 — TextRank keyword extraction (Mihalcea & Tarau 2004):
+    * weighted PageRank over the word co-occurrence graph (±2-token
+    * window within a document, symmetrized, weight = co-occurrence
+    * count), reusing [[graft.core.PageRank]] verbatim — the graph
+    * CONSTRUCTION is the corpus-sized stage (positional equi-self-joins
+    * at offsets 1 and 2, one grouped count), while the power iteration
+    * runs on the ≤|vocab|² metadata frame. The corpus-level analog of
+    * per-document TextRank: which words sit at the densest
+    * co-occurrence crossroads.
+    */
+  private def qTextRank(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val tok = par(doc(s, dir)).select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("i", "w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q296", tok)
+    val pairs = Seq(1, 2).map { o =>
+      tok.select(col("doc_id"), col("i"), col("w").as("wa"))
+        .join(tok.select(col("doc_id"), (col("i") - o).as("i"),
+          col("w").as("wb")), Seq("doc_id", "i"))
+        .select(col("wa"), col("wb"))
+    }.reduce(_ unionByName _)
+    // one distributed grouped count on the canonical orientation, then
+    // symmetrize the vocab-sized frame (not the corpus-sized pairs)
+    val cnt = pairs.where(col("wa") =!= col("wb"))
+      .groupBy(least(col("wa"), col("wb")).as("a"),
+        greatest(col("wa"), col("wb")).as("b"))
+      .agg(count(lit(1)).as("w"))
+    val edges = cnt.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(cnt.select(col("b").as("src"), col("a").as("dst"),
+        col("w")))
+    val r = graft.core.PageRank.run(edges, d = 0.85, iters = 10,
+      cacheKey = "q296.pr")
+    r.select(col("node").as("word"), round(col("r"), 6).as("textrank"))
+      .orderBy(desc("textrank"), col("word"))
+  }
+
+  /** X32 — Durbin–Watson autocorrelation diagnostic (Durbin & Watson
+    * 1950) on the residuals of the daily-revenue trend OLS: the
+    * standard "is the regression error serially correlated" check that
+    * q173's OLS sheet omits. Daily sums are exact decimal; the trend
+    * fit uses the exact-moment aggregates; residuals are rounded to
+    * 6 dp and squared in integer micro-units (DECIMAL(38,0) — the
+    * engine-exact sums-of-squares recipe), so DW is bitwise
+    * cross-engine. The lag window runs over the bounded ~30-row daily
+    * frame (rocPoints exemption class); the only corpus-sized stage is
+    * the daily aggregate. Reports DW ∈ [0,4] and ρ̂ ≈ 1 − DW/2.
+    */
+  private def qDurbinWatson(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.load(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("value"))
+      .groupBy("day").agg(Stats.dsum(col("value")).as("y"))
+    val m0 = daily.agg(min("day").as("d0"))
+    val pts = daily.crossJoin(broadcast(m0))
+      .select(col("day"), datediff(col("day"), col("d0"))
+        .cast(DoubleType).as("x"), col("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q297", pts)
+    val fit = pts.agg(Stats.dsum(col("x")).as("sx"),
+        Stats.dsum(col("y")).as("sy"),
+        Stats.dsum(col("x") * col("y")).as("sxy"),
+        Stats.dsum(col("x") * col("x")).as("sxx"),
+        count(lit(1)).cast(DoubleType).as("nn"))
+      .select(((col("sxy") - col("sx") * col("sy") / col("nn")) /
+        (col("sxx") - col("sx") * col("sx") / col("nn"))).as("b"),
+        col("sx"), col("sy"), col("nn"))
+      .select(col("b"), ((col("sy") - col("b") * col("sx")) / col("nn"))
+        .as("a"), col("nn"))
+    val e6 = pts.crossJoin(broadcast(fit))
+      .select(col("day"), col("nn"),
+        round(round(col("y") - col("a") - col("b") * col("x"), 6) *
+          lit(1e6)).cast(DecimalType(38, 0)).as("e6"))
+    val w = Window.orderBy("day")
+    val dd = e6.withColumn("p6", lag("e6", 1).over(w))
+    dd.agg(max(col("nn")).as("n_days"),
+        sum(when(col("p6").isNotNull,
+          (col("e6") - col("p6")) * (col("e6") - col("p6")))).as("num"),
+        sum(col("e6") * col("e6")).as("den"))
+      .select(col("n_days").cast("long").as("n_days"),
+        round(col("num").cast(DoubleType) / col("den").cast(DoubleType), 6)
+          .as("dw"),
+        round(lit(1.0) - col("num").cast(DoubleType) /
+          col("den").cast(DoubleType) / lit(2.0), 6).as("rho_hat"))
+  }
+
+  /** X33 — cross-source token-distribution JS divergence matrix: the
+    * LM-level answer to "which corpus sources are linguistically
+    * close" (q187 asks it at the duplicate level, q183 at the language
+    * level). Per-source unigram distributions with add-0.5 smoothing
+    * over the shared vocab, JS(p,q) in nats for every source pair.
+    * The only corpus-sized stage is one (source, word) grouped count;
+    * the grid, the pair self-join, and the divergence sums all run on
+    * the ≤ sources×vocab metadata frame. At 100 TB the same plan holds:
+    * the count output is #sources·|vocab| rows regardless of corpus
+    * size.
+    */
+  private def qSourceJs(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val cnt = par(doc(s, dir)).select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q298", cnt)
+    val vocab = cnt.select("w").distinct()
+    val tot = cnt.groupBy("source").agg(sum("c").as("n"))
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val grid = tot.crossJoin(broadcast(vocab))
+      .join(cnt, Seq("source", "w"), "left").na.fill(0, Seq("c"))
+      .crossJoin(broadcast(vsize))
+      .select(col("source"), col("w"),
+        ((col("c").cast(DoubleType) + lit(0.5)) /
+          (col("n").cast(DoubleType) + lit(0.5) *
+            col("v").cast(DoubleType))).as("p"))
+    val pairs = grid.toDF("s1", "w", "p1")
+      .join(grid.toDF("s2", "w2", "p2"),
+        col("w") === col("w2") && col("s1") < col("s2"))
+    pairs.select(col("s1"), col("s2"),
+        (col("p1") * log(col("p1") / ((col("p1") + col("p2")) / 2)) +
+          col("p2") * log(col("p2") / ((col("p1") + col("p2")) / 2))).as("t"))
+      .groupBy("s1", "s2")
+      .agg(round(Stats.dsum(col("t")) * 0.5, 6).as("js_divergence"))
+      .orderBy("s1", "s2")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -8499,7 +8744,13 @@ object SparkEntry {
     "q289_good_turing" -> (qGoodTuring _),
     "q290_link_prediction" -> (qLinkPrediction _),
     "q291_hill_tail" -> (qHillTail _),
-    "q292_mcnemar" -> (qMcnemar _)
+    "q292_mcnemar" -> (qMcnemar _),
+    "q293_hits" -> (qHits _),
+    "q294_bloom_fpr" -> (qBloomFpr _),
+    "q295_heaps" -> (qHeaps _),
+    "q296_textrank" -> (qTextRank _),
+    "q297_durbin_watson" -> (qDurbinWatson _),
+    "q298_source_js" -> (qSourceJs _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -13596,6 +13847,186 @@ object SparkEntry {
          |    / CAST(b + c AS DOUBLE)
          |   ELSE 0.0 END, 6) AS mcnemar_chi2
          | FROM m""".stripMargin.replaceAll("\n", " ")
+    },
+    "q293_hits" -> {
+      val iterCtes = (1 to 6).map { t =>
+        s"""ar$t AS MATERIALIZED (SELECT auth, ${dsumSql("h")} AS ar
+           | FROM e JOIN h${t - 1} USING (hub) GROUP BY auth),
+           | an$t AS (SELECT ${dsumSql("ar * ar")} AS an2 FROM ar$t),
+           | a$t AS MATERIALIZED (SELECT auth, ar / sqrt(an2) AS a
+           | FROM ar$t CROSS JOIN an$t),
+           | hr$t AS MATERIALIZED (SELECT hub, ${dsumSql("a")} AS hr
+           | FROM e JOIN a$t USING (auth) GROUP BY hub),
+           | hn$t AS (SELECT ${dsumSql("hr * hr")} AS hn2 FROM hr$t),
+           | h$t AS MATERIALIZED (SELECT hub, hr / sqrt(hn2) AS h
+           | FROM hr$t CROSS JOIN hn$t)""".stripMargin
+      }
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT
+         |  CAST(l_suppkey AS BIGINT) AS hub,
+         |  CAST(l_partkey AS BIGINT) AS auth FROM lineitem),
+         | nh AS (SELECT CAST(count(DISTINCT hub) AS DOUBLE) AS n FROM e),
+         | h0 AS (SELECT DISTINCT hub, CAST(1.0 AS DOUBLE) / sqrt(n) AS h
+         |  FROM e CROSS JOIN nh),
+         | ${iterCtes.mkString(", ")}
+         | SELECT side, node, score FROM (
+         |  (SELECT 'authority' AS side, auth AS node, round(a, 6) AS score
+         |   FROM a6 ORDER BY round(a, 6) DESC, auth LIMIT 10)
+         |  UNION ALL
+         |  (SELECT 'hub', hub, round(h, 6) FROM h6
+         |   ORDER BY round(h, 6) DESC, hub LIMIT 10))
+         | ORDER BY side, score DESC, node""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q294_bloom_fpr" -> {
+      val split = graft.aug.Sampling.Sql.keyBucket("o_orderkey", 11L)
+      s"""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS key,
+         |  ($split) < 900000 AS train FROM orders),
+         | mr AS (SELECT CAST(count(*) AS BIGINT) AS n_train,
+         |  CAST(count(*) AS BIGINT) * 8 AS m FROM o WHERE train),
+         | pos AS (SELECT key, train, m,
+         |  ((((key * 2654435761 + 40503) % 1000000007) + 1000000007)
+         |    % 1000000007
+         |   + i * (((((key * 40503 + 2654435761) % 1000000007)
+         |    + 1000000007) % 1000000007) + 1)) % m AS pos
+         |  FROM o CROSS JOIN mr, unnest(generate_series(0, 4)) AS u(i)),
+         | bits AS MATERIALIZED (SELECT DISTINCT pos FROM pos
+         |  WHERE train),
+         | probe AS (SELECT p.key, count(b.pos) = 5 AS fp
+         |  FROM pos p LEFT JOIN bits b ON b.pos = p.pos
+         |  WHERE NOT p.train GROUP BY p.key),
+         | ag AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+         |  CAST(count(*) FILTER (WHERE fp) AS BIGINT) AS fp_count
+         |  FROM probe)
+         | SELECT n_train, n_test, m AS m_bits, 5 AS k_hashes, fp_count,
+         |  round(CAST(fp_count AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+         |   AS fpr_measured,
+         |  round(pow(1.0 - exp(-5.0 * CAST(n_train AS DOUBLE) /
+         |   CAST(m AS DOUBLE)), 5.0), 6) AS fpr_theory
+         | FROM ag CROSS JOIN mr""".stripMargin.replaceAll("\n", " ")
+    },
+    "q295_heaps" -> {
+      import graft.text.TextOps.{Sql => T}
+      s"""WITH t0 AS (SELECT doc_id, ${T.toks("text")} AS toks
+         |  FROM documents),
+         | t AS MATERIALIZED (SELECT doc_id,
+         |  toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS w
+         |  FROM t0, unnest(generate_series(0, len(toks) - 3)) AS u(i)
+         |  WHERE len(toks) >= 3),
+         | nd AS (SELECT count(*) AS nd FROM documents),
+         | cp AS (SELECT i AS d, CAST(floor(CAST(nd * i AS DOUBLE) / 10)
+         |   AS BIGINT) AS cut
+         |  FROM nd, unnest(generate_series(1, 10)) AS u(i)),
+         | fst AS MATERIALIZED (SELECT w, min(doc_id) AS fd FROM t
+         |  GROUP BY w),
+         | vd AS (SELECT d, cut, CAST(count(*) AS BIGINT) AS v_types
+         |  FROM fst JOIN cp ON fst.fd < cp.cut GROUP BY d, cut),
+         | tc AS (SELECT doc_id, count(*) AS c FROM t GROUP BY doc_id),
+         | ntok AS (SELECT d AS d2, CAST(sum(c) AS BIGINT) AS n_tokens
+         |  FROM tc JOIN cp ON tc.doc_id < cp.cut GROUP BY d),
+         | pts AS MATERIALIZED (SELECT d, cut, n_tokens, v_types,
+         |  ln(CAST(n_tokens AS DOUBLE)) AS x,
+         |  ln(CAST(v_types AS DOUBLE)) AS y
+         |  FROM vd JOIN ntok ON vd.d = ntok.d2),
+         | ft AS (SELECT (${dsumSql("x * y")} - ${dsumSql("x")} *
+         |   ${dsumSql("y")} / CAST(count(*) AS DOUBLE)) /
+         |  (${dsumSql("x * x")} - ${dsumSql("x")} * ${dsumSql("x")} /
+         |   CAST(count(*) AS DOUBLE)) AS beta_raw,
+         |  ${dsumSql("x")} AS sx, ${dsumSql("y")} AS sy,
+         |  CAST(count(*) AS DOUBLE) AS n FROM pts),
+         | fit AS (SELECT round(beta_raw, 6) AS heaps_beta,
+         |  round(exp(sy / n - beta_raw * sx / n), 6) AS heaps_k FROM ft)
+         | SELECT CAST(d AS INT) AS decile, cut, n_tokens, v_types,
+         |  heaps_beta, heaps_k
+         | FROM pts CROSS JOIN fit ORDER BY decile""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q296_textrank" -> {
+      import graft.text.TextOps.{Sql => T}
+      val d = "CAST(0.85 AS DOUBLE)"
+      val iterCtes = (1 to 10).map { t =>
+        s"""r$t AS MATERIALIZED (SELECT n.node,
+           | (CAST(1.0 AS DOUBLE) - $d) / nn +
+           | $d * coalesce(c.s, CAST(0.0 AS DOUBLE)) AS r
+           | FROM nodes n CROSS JOIN nc LEFT JOIN (SELECT e.dst AS cnode,
+           |  ${dsumSql("r.r * CAST(e.w AS DOUBLE) / CAST(e.outw AS DOUBLE)")}
+           |  AS s FROM e JOIN r${t - 1} r ON e.src = r.node
+           |  GROUP BY e.dst) c ON n.node = c.cnode)""".stripMargin
+      }
+      s"""WITH t0 AS (SELECT doc_id, ${T.toks("text")} AS toks
+         |  FROM documents),
+         | tok AS MATERIALIZED (SELECT doc_id, i, (toks)[i] AS w
+         |  FROM t0, unnest(generate_series(1, len(toks))) AS u(i)),
+         | pr AS (SELECT a.w AS wa, b.w AS wb FROM tok a JOIN tok b
+         |   ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |  UNION ALL SELECT a.w, b.w FROM tok a JOIN tok b
+         |   ON b.doc_id = a.doc_id AND b.i = a.i + 2),
+         | cnt AS MATERIALIZED (SELECT least(wa, wb) AS a,
+         |  greatest(wa, wb) AS b, count(*) AS w FROM pr
+         |  WHERE wa <> wb GROUP BY least(wa, wb), greatest(wa, wb)),
+         | base AS (SELECT a AS src, b AS dst, w FROM cnt
+         |  UNION ALL SELECT b, a, w FROM cnt),
+         | ow AS (SELECT src, sum(w) AS outw FROM base GROUP BY src),
+         | e AS MATERIALIZED (SELECT base.src, base.dst, base.w, ow.outw
+         |  FROM base JOIN ow ON base.src = ow.src),
+         | nodes AS (SELECT src AS node FROM base UNION SELECT dst
+         |  FROM base),
+         | nc AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+         | r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn AS r
+         |  FROM nodes CROSS JOIN nc),
+         | ${iterCtes.mkString(", ")}
+         | SELECT node AS word, round(r, 6) AS textrank FROM r10
+         | ORDER BY textrank DESC, word""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q297_durbin_watson" -> {
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+         |  ${dsumSql("value")} AS y FROM events GROUP BY day),
+         | m0 AS (SELECT min(day) AS d0 FROM daily),
+         | pts AS MATERIALIZED (SELECT day,
+         |  CAST(day - d0 AS DOUBLE) AS x, y FROM daily CROSS JOIN m0),
+         | ft AS (SELECT (${dsumSql("x * y")} - ${dsumSql("x")} *
+         |   ${dsumSql("y")} / CAST(count(*) AS DOUBLE)) /
+         |  (${dsumSql("x * x")} - ${dsumSql("x")} * ${dsumSql("x")} /
+         |   CAST(count(*) AS DOUBLE)) AS b,
+         |  ${dsumSql("x")} AS sx, ${dsumSql("y")} AS sy,
+         |  CAST(count(*) AS DOUBLE) AS nn FROM pts),
+         | fit AS (SELECT b, (sy - b * sx) / nn AS a, nn FROM ft),
+         | e6 AS MATERIALIZED (SELECT day, nn,
+         |  CAST(round(round(y - a - b * x, 6) * 1e6) AS HUGEINT) AS e6
+         |  FROM pts CROSS JOIN fit),
+         | dd AS (SELECT nn, e6,
+         |  lag(e6) OVER (ORDER BY day) AS p6 FROM e6),
+         | ag AS (SELECT max(nn) AS n_days,
+         |  sum(CASE WHEN p6 IS NOT NULL
+         |   THEN (e6 - p6) * (e6 - p6) END) AS num,
+         |  sum(e6 * e6) AS den FROM dd)
+         | SELECT CAST(n_days AS BIGINT) AS n_days,
+         |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS dw,
+         |  round(1.0 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 2.0, 6)
+         |   AS rho_hat
+         | FROM ag""".stripMargin.replaceAll("\n", " ")
+    },
+    "q298_source_js" -> {
+      import graft.text.TextOps.{Sql => T}
+      s"""WITH cnt AS MATERIALIZED (SELECT source, w, count(*) AS c
+         |  FROM (SELECT source, unnest(${T.toks("text")}) AS w
+         |   FROM documents) GROUP BY source, w),
+         | vocab AS (SELECT DISTINCT w FROM cnt),
+         | tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY source),
+         | vs AS (SELECT count(*) AS v FROM vocab),
+         | grid AS MATERIALIZED (SELECT t.source, vo.w,
+         |  (COALESCE(CAST(c.c AS DOUBLE), 0.0) + 0.5) /
+         |  (CAST(t.n AS DOUBLE) + 0.5 * CAST(vs.v AS DOUBLE)) AS p
+         |  FROM tot t CROSS JOIN vocab vo CROSS JOIN vs
+         |  LEFT JOIN cnt c ON c.source = t.source AND c.w = vo.w),
+         | pr AS (SELECT g1.source AS s1, g2.source AS s2,
+         |  g1.p * ln(g1.p / ((g1.p + g2.p) / 2)) +
+         |  g2.p * ln(g2.p / ((g1.p + g2.p) / 2)) AS t
+         |  FROM grid g1 JOIN grid g2
+         |   ON g1.w = g2.w AND g1.source < g2.source)
+         | SELECT s1, s2, round(${dsumSql("t")} * 0.5, 6) AS js_divergence
+         | FROM pr GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
+        .replaceAll("\n", " ")
     }
   )
 }

@@ -626,6 +626,54 @@ class PlanAuditSpec extends SparkSpec {
       s"centroid classifier shuffles a join (metadata joins must broadcast):\n$q287")
   }
 
+  test("round-10 session-5/6 additions keep their scale shapes (q288-q295)") {
+    // q288 Kneser-Ney: bigram formation and count joins are all equi;
+    // the only 1-row frame (total bigram types) broadcasts
+    val q288 = plan(SparkEntry.queries("q288_kneser_ney")(spark, sf))
+    assert(!q288.contains("CartesianProduct"),
+      s"Kneser-Ney plans a data-sized cartesian:\n$q288")
+    assert("HashAggregate".r.findAllIn(q288).size >= 2,
+      s"Kneser-Ney lost partial aggregation:\n$q288")
+    // q289 Good-Turing: FoF rollup keeps map-side combine; OOV probe
+    // is a hash join, not a nested loop over trigram keys
+    val q289 = plan(SparkEntry.queries("q289_good_turing")(spark, sf))
+    assert(!q289.contains("CartesianProduct"),
+      s"Good-Turing plans a cartesian:\n$q289")
+    // q290 link prediction: the distance-2 candidate stage is the
+    // adjacency equi-self-join (triangle shape), never a cartesian
+    val q290 = plan(SparkEntry.queries("q290_link_prediction")(spark, sf))
+    assert(!q290.contains("CartesianProduct"),
+      s"link prediction plans a cartesian:\n$q290")
+    assert("HashAggregate".r.findAllIn(q290).size >= 2,
+      s"link prediction lost partial aggregation:\n$q290")
+    // q291 Hill: the distributed stage is two top-201 cuts
+    val q291 = plan(SparkEntry.queries("q291_hill_tail")(spark, sf))
+    assert(q291.contains("TakeOrderedAndProject"),
+      s"Hill top-k cut is not a distributed top-k:\n$q291")
+    // q292 McNemar: one conditional aggregate with map-side combine
+    val q292 = plan(SparkEntry.queries("q292_mcnemar")(spark, sf))
+    assert("HashAggregate".r.findAllIn(q292).size >= 2,
+      s"McNemar lost partial aggregation:\n$q292")
+    // q293 HITS: edge-score joins are equi; normalizers are 1-row
+    // broadcast margins; top-10 per side is a distributed top-k
+    val q293 = plan(SparkEntry.queries("q293_hits")(spark, sf))
+    assert(!q293.contains("CartesianProduct"),
+      s"HITS plans a cartesian:\n$q293")
+    assert(q293.contains("TakeOrderedAndProject"),
+      s"HITS top-10 is not a distributed top-k:\n$q293")
+    // q294 bloom FPR: membership is a hash equi-join on bit positions
+    val q294 = plan(SparkEntry.queries("q294_bloom_fpr")(spark, sf))
+    assert(!q294.contains("CartesianProduct"),
+      s"bloom FPR plans a cartesian:\n$q294")
+    // q295 Heaps: the checkpoint range joins must broadcast the 10-row
+    // side (BNLJ with broadcast small side is the intended shape for a
+    // range predicate; a CartesianProduct would mean the broadcast hint
+    // was lost)
+    val q295 = plan(SparkEntry.queries("q295_heaps")(spark, sf))
+    assert(!q295.contains("CartesianProduct"),
+      s"Heaps checkpoint join lost its broadcast:\n$q295")
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
