@@ -8366,12 +8366,12 @@ object SparkEntry {
     */
   private def qDurbinWatson(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables.load(s, dir, "events")
-      .select(to_date(col("ts")).as("day"), col("value"))
+    val daily = ev(s, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"), col("value"))
       .groupBy("day").agg(Stats.dsum(col("value")).as("y"))
     val m0 = daily.agg(min("day").as("d0"))
     val pts = daily.crossJoin(broadcast(m0))
-      .select(col("day"), datediff(col("day"), col("d0"))
+      .select(col("day"), (col("day") - col("d0"))
         .cast(DoubleType).as("x"), col("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.Caches.retain("q297", pts)
@@ -8439,6 +8439,317 @@ object SparkEntry {
       .groupBy("s1", "s2")
       .agg(round(Stats.dsum(col("t")) * 0.5, 6).as("js_divergence"))
       .orderBy("s1", "s2")
+  }
+
+  /** X34 — Maximal Marginal Relevance diversified retrieval (Carbonell
+    * & Goldstein 1998): for 20 query vectors, take the exact top-20
+    * cosine candidates, then greedily pick 5 results maximizing
+    * λ·rel − (1−λ)·max-sim-to-already-picked (λ = 0.7) — the standard
+    * redundancy-pruning rerank behind "diverse top-k" product
+    * surfaces. The distributed stage is the brute-force candidate
+    * scoring (the q29 labeled-baseline shape, broadcast query side);
+    * the candidate-pair similarity grid and all five greedy rounds run
+    * on the bounded ≤20×20-per-query frame (rocPoints exemption
+    * class). Dot products use the codegen'd sequential-loop kernel
+    * ([[graft.sim.DotProductExpr]]) — same fold order as the oracle's
+    * list_reduce, so similarities are bitwise cross-engine.
+    */
+  private def qMmr(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.GraftFunctions
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    // both weights as EXPLICIT literals: 1.0 − 0.7 in IEEE is
+    // 0.30000000000000004, which would diverge from the oracle's 0.3
+    val lam = 0.7
+    val oneMinusLam = 0.3
+    val v = em(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"),
+        GraftFunctions.norm2(col("embedding")).as("n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = v.where(col("id") < 20).toDF("qid", "qv", "qn2")
+    val rel0 = v.toDF("cid", "cv", "cn2").join(broadcast(q),
+        col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("cv"), col("cn2"),
+        (GraftFunctions.dot(col("qv"), col("cv")) /
+          (sqrt(col("qn2")) * sqrt(col("cn2")))).as("rel"))
+    val wTop = Window.partitionBy("qid").orderBy(desc("rel"), col("cid"))
+    val cand = rel0.withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= 20).drop("rk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q299", v, cand)
+    // candidate-pair cosine grid, bounded 20×20 per query
+    val pairs = cand.select(col("qid"), col("cid").as("pa"),
+        col("cv").as("va"), col("cn2").as("na"))
+      .join(cand.select(col("qid"), col("cid").as("pb"),
+        col("cv").as("vb"), col("cn2").as("nb")), Seq("qid"))
+      .where(col("pa") =!= col("pb"))
+      .select(col("qid"), col("pa"), col("pb"),
+        (GraftFunctions.dot(col("va"), col("vb")) /
+          (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q299.pairs", pairs)
+    val slim = cand.select(col("qid"), col("cid"), col("rel"))
+    val wPick = Window.partitionBy("qid").orderBy(desc("score"), col("cid"))
+    var picked = slim.withColumn("score", col("rel"))
+      .withColumn("rk", row_number().over(wPick)).where(col("rk") === 1)
+      .select(col("qid"), col("cid"), lit(1).as("pick"), col("score"))
+      .localCheckpoint(true)
+    for (r <- 2 to 5) {
+      val ms = pairs.join(picked.select(col("qid"),
+          col("cid").as("pb")), Seq("qid", "pb"))
+        .groupBy(col("qid"), col("pa").as("cid"))
+        .agg(max(col("sim")).as("msim"))
+      val scored = slim.join(picked.select(col("qid"), col("cid"),
+          lit(1).as("sel")), Seq("qid", "cid"), "left")
+        .where(col("sel").isNull).drop("sel")
+        .join(ms, Seq("qid", "cid"))
+        .withColumn("score", lit(lam) * col("rel") -
+          lit(oneMinusLam) * col("msim"))
+      val next = scored.withColumn("rk", row_number().over(wPick))
+        .where(col("rk") === 1)
+        .select(col("qid"), col("cid"), lit(r).as("pick"), col("score"))
+      picked = picked.unionByName(next).localCheckpoint(true)
+    }
+    picked.select(col("qid"), col("pick"), col("cid"),
+        round(col("score"), 6).as("score"))
+      .orderBy("qid", "pick")
+  }
+
+  /** X35 — Ljung–Box portmanteau test (Ljung & Box 1978) on the q297
+    * daily-trend residuals: Q = n(n+2)·Σ_{k≤10} ρ̂_k²/(n−k), the
+    * "is there ANY autocorrelation up to lag 10" companion to q297's
+    * lag-1 Durbin–Watson. Residuals quantize to exact integer
+    * micro-units; every lag-k product and the denominator are exact
+    * decimal sums over the bounded ~30-row daily frame (lag via
+    * day+k self-join, no data-sized window), so ρ̂_k and Q are
+    * bitwise cross-engine.
+    */
+  private def qLjungBox(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"), col("value"))
+      .groupBy("day").agg(Stats.dsum(col("value")).as("y"))
+    val m0 = daily.agg(min("day").as("d0"))
+    val pts = daily.crossJoin(broadcast(m0))
+      .select(col("day"), (col("day") - col("d0"))
+        .cast(DoubleType).as("x"), col("y"))
+    val fit = pts.agg(Stats.dsum(col("x")).as("sx"),
+        Stats.dsum(col("y")).as("sy"),
+        Stats.dsum(col("x") * col("y")).as("sxy"),
+        Stats.dsum(col("x") * col("x")).as("sxx"),
+        count(lit(1)).cast(DoubleType).as("nn"))
+      .select(((col("sxy") - col("sx") * col("sy") / col("nn")) /
+        (col("sxx") - col("sx") * col("sx") / col("nn"))).as("b"),
+        col("sx"), col("sy"), col("nn"))
+      .select(col("b"), ((col("sy") - col("b") * col("sx")) / col("nn"))
+        .as("a"), col("nn"))
+    val e6 = pts.crossJoin(broadcast(fit))
+      .select(col("day"), col("nn"),
+        round(round(col("y") - col("a") - col("b") * col("x"), 6) *
+          lit(1e6)).cast(DecimalType(38, 0)).as("e6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q300", e6)
+    val den = e6.agg(sum(col("e6") * col("e6")).as("den"),
+      max("nn").as("n"))
+    val ks = s.range(1, 11).toDF("k")
+    // lag-k pairs explicitly: t and t+k rows joined on day+k
+    val pr = e6.select(col("day"), col("e6")).crossJoin(broadcast(ks))
+      .join(e6.select(col("day").as("dk"), col("e6").as("f6")),
+        col("dk") === col("day") + col("k"))
+      .groupBy("k").agg(sum(col("e6") * col("f6")).as("num"))
+    val rho = pr.crossJoin(broadcast(den))
+      .select(col("k"), col("n"),
+        (col("num").cast(DoubleType) / col("den").cast(DoubleType))
+          .as("rho_raw"))
+    val qstat = rho.agg(max(col("n")).as("n2"),
+        Stats.dsum(col("rho_raw") * col("rho_raw") /
+          (col("n") - col("k").cast(DoubleType))).as("srho"))
+      .select(round(col("n2") * (col("n2") + 2.0) * col("srho"), 6)
+        .as("q_stat"), lit(10).as("df"))
+    rho.crossJoin(broadcast(qstat))
+      .select(col("k").cast("int").as("lag"),
+        round(col("rho_raw"), 6).as("rho"), col("q_stat"), col("df"))
+      .orderBy("lag")
+  }
+
+  /** X36 — 1-D two-component Gaussian-mixture EM (Dempster et al.
+    * 1977) with a QUANTIZED E-step: responsibilities round to integer
+    * micro-units before the M-step sums, so every iteration's
+    * sufficient statistics are exact integer decimals (ΣR, ΣR·X,
+    * ΣR·X², with X = exact centi-units of the 2-dp money value) and
+    * the whole 6-iteration trajectory is bitwise cross-engine — the
+    * same determinism trick as the q297 residual recipe, applied to an
+    * iterative fit. Detection-proof twin: `healthy` runs on raw
+    * events.value (unimodal — components collapse toward each other),
+    * `bimodal_injected` adds 400.00 to a deterministic half of the
+    * keys and EM recovers the two planted means and the 50/50 mixing
+    * weight. Params stay in 1-row-per-scenario broadcast frames
+    * (never collected); each iteration is one scan + one grouped
+    * aggregate, localCheckpointed to keep lineage flat.
+    */
+  private def qGmmEm(s: SparkSession, dir: String): DataFrame = {
+    import graft.aug.Sampling.keyBucket
+    val base = ev(s, dir).select(col("event_id"), col("value"))
+    val x = base.select(lit("healthy").as("scenario"),
+        round(col("value") * 100).cast(DecimalType(38, 0)).as("xc"))
+      .unionByName(base.select(lit("bimodal_injected").as("scenario"),
+        (round(col("value") * 100) +
+          when(keyBucket(col("event_id"), 17L) < lit(500000L), lit(40000L))
+            .otherwise(lit(0L))).cast(DecimalType(38, 0)).as("xc")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q301", x)
+    val xd = col("xc").cast(DoubleType) / lit(100.0)
+    // init: quartile-spread means from exact min/max, pooled sd, pi=.5
+    var par = x.groupBy("scenario").agg(
+        min(col("xc")).cast(DoubleType).as("mn"),
+        max(col("xc")).cast(DoubleType).as("mx"),
+        Stats.dsum(xd).as("sx"), Stats.dsum(xd * xd).as("sxx"),
+        count(lit(1)).cast(DoubleType).as("n"))
+      .select(col("scenario"),
+        (col("mn") / 100.0 + (col("mx") - col("mn")) / 100.0 / 4.0).as("mu1"),
+        (col("mn") / 100.0 + (col("mx") - col("mn")) / 100.0 * 3.0 / 4.0)
+          .as("mu2"),
+        sqrt(greatest(col("sxx") / col("n") -
+          (col("sx") / col("n")) * (col("sx") / col("n")), lit(1e-6)))
+          .as("s1"),
+        sqrt(greatest(col("sxx") / col("n") -
+          (col("sx") / col("n")) * (col("sx") / col("n")), lit(1e-6)))
+          .as("s2"),
+        lit(0.5).as("p1"))
+      .localCheckpoint(true)
+    def phi(mu: Column, sd: Column) =
+      exp(lit(-0.5) * ((xd - mu) / sd) * ((xd - mu) / sd)) /
+        (sd * math.sqrt(2.0 * math.Pi))
+    for (_ <- 1 to 6) {
+      val g1 = col("p1") * phi(col("mu1"), col("s1"))
+      val g2 = (lit(1.0) - col("p1")) * phi(col("mu2"), col("s2"))
+      val resp = x.join(broadcast(par), Seq("scenario"))
+        .select(col("scenario"), col("xc"),
+          round(g1 / (g1 + g2) * lit(1e6)).cast(DecimalType(38, 0)).as("r1"))
+      val mstep = resp.groupBy("scenario").agg(
+        sum(col("r1")).as("sr1"),
+        sum(col("r1") * col("xc")).as("srx1"),
+        sum(col("r1") * col("xc") * col("xc")).as("srxx1"),
+        sum(lit(1000000L).cast(DecimalType(38, 0)) - col("r1")).as("sr2"),
+        sum((lit(1000000L).cast(DecimalType(38, 0)) - col("r1")) *
+          col("xc")).as("srx2"),
+        sum((lit(1000000L).cast(DecimalType(38, 0)) - col("r1")) *
+          col("xc") * col("xc")).as("srxx2"),
+        count(lit(1)).cast(DoubleType).as("n"))
+      par = mstep.select(col("scenario"),
+        (col("srx1").cast(DoubleType) / col("sr1").cast(DoubleType) /
+          lit(100.0)).as("mu1"),
+        (col("srx2").cast(DoubleType) / col("sr2").cast(DoubleType) /
+          lit(100.0)).as("mu2"),
+        sqrt(greatest(col("srxx1").cast(DoubleType) /
+          col("sr1").cast(DoubleType) / lit(10000.0) -
+          (col("srx1").cast(DoubleType) / col("sr1").cast(DoubleType) /
+            lit(100.0)) * (col("srx1").cast(DoubleType) /
+            col("sr1").cast(DoubleType) / lit(100.0)), lit(1e-6))).as("s1"),
+        sqrt(greatest(col("srxx2").cast(DoubleType) /
+          col("sr2").cast(DoubleType) / lit(10000.0) -
+          (col("srx2").cast(DoubleType) / col("sr2").cast(DoubleType) /
+            lit(100.0)) * (col("srx2").cast(DoubleType) /
+            col("sr2").cast(DoubleType) / lit(100.0)), lit(1e-6))).as("s2"),
+        (col("sr1").cast(DoubleType) / lit(1e6) / col("n")).as("p1"))
+        .localCheckpoint(true)
+    }
+    par.select(col("scenario"), round(col("p1"), 6).as("pi1"),
+        round(col("mu1"), 6).as("mu1"), round(col("s1"), 6).as("sigma1"),
+        round(col("mu2"), 6).as("mu2"), round(col("s2"), 6).as("sigma2"),
+        round(col("mu2") - col("mu1"), 6).as("mean_gap"))
+      .orderBy("scenario")
+  }
+
+  /** X37 — Friedman rank test (Friedman 1937): the repeated-measures
+    * companion to q161's Kruskal–Wallis — daily revenue by event type
+    * forms a (day × type) block design; types are ranked WITHIN each
+    * day (row_number over the bounded ~30×5 daily frame; exact decimal
+    * sums make ties practically impossible and the type-name tiebreak
+    * keeps both engines identical if one occurs), and
+    * χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) is exact integer arithmetic
+    * until the final division. One corpus-sized grouped aggregate.
+    */
+  private def qFriedman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev(s, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        col("event_type"), col("value"))
+      .groupBy("day", "event_type").agg(Stats.dsum(col("value")).as("y"))
+    val w = Window.partitionBy("day").orderBy(desc("y"), col("event_type"))
+    val ranked = daily.withColumn("rk", row_number().over(w))
+    val rj = ranked.groupBy("event_type")
+      .agg(sum("rk").as("r_sum"), count(lit(1)).as("n_days"))
+    val tot = rj.agg(sum(col("r_sum") * col("r_sum")).as("ssr"),
+        max("n_days").as("n"), count(lit(1)).as("k"))
+      .select(round(lit(12.0) /
+        (col("n").cast(DoubleType) * col("k").cast(DoubleType) *
+          (col("k").cast(DoubleType) + 1.0)) * col("ssr").cast(DoubleType) -
+        lit(3.0) * col("n").cast(DoubleType) *
+          (col("k").cast(DoubleType) + 1.0), 6).as("friedman_chi2"),
+        (col("k") - 1).cast("int").as("df"))
+    rj.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("r_sum"),
+        round(col("r_sum").cast(DoubleType) /
+          col("n_days").cast(DoubleType), 6).as("mean_rank"),
+        col("friedman_chi2"), col("df"))
+      .orderBy("event_type")
+  }
+
+  /** X38 — single change-point by binary segmentation (Scott & Knott
+    * 1974 / the CUSUM-fit alternative to q158's Pettitt): over the
+    * daily-revenue series, pick the split t maximizing the
+    * between-segment fit g(t) = (Σ_L x)²/n_L + (Σ_R x)²/n_R — exactly
+    * equivalent to minimizing SSE_L + SSE_R. Prefix sums run over the
+    * bounded ~30-row daily frame; all Σx terms are exact centi-unit
+    * decimals so g's components are identical doubles cross-engine and
+    * the argmax is deterministic. Detection-proof twin: `healthy` =
+    * raw series (split explains ~nothing); `shift_injected` adds
+    * 5000.00/day from day 20 on — the argmax recovers day 20 and the
+    * variance-explained ratio jumps.
+    */
+  private def qBinseg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily0 = ev(s, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"), col("value"))
+      .groupBy("day")
+      .agg(sum(round(col("value") * 100).cast(DecimalType(38, 0))).as("xc"))
+    val m0 = daily0.agg(min("day").as("d0"))
+    val daily = daily0.crossJoin(broadcast(m0))
+      .select((col("day") - col("d0")).as("t"), col("xc"))
+    val series = daily.select(lit("healthy").as("scenario"), col("t"),
+        col("xc"))
+      .unionByName(daily.select(lit("shift_injected").as("scenario"),
+        col("t"), (col("xc") + when(col("t") >= 20, lit(500000L))
+          .otherwise(lit(0L)).cast(DecimalType(38, 0))).as("xc")))
+    val w = Window.partitionBy("scenario").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = series.withColumn("cx", sum("xc").over(w))
+      .withColumn("ct", count(lit(1)).over(w))
+    val tot = series.groupBy("scenario").agg(sum("xc").as("tx"),
+      count(lit(1)).as("tn"),
+      sum(col("xc") * col("xc")).as("txx"))
+    val g = pre.join(tot, Seq("scenario"))
+      .where(col("ct") >= 2 && col("tn") - col("ct") >= 2)
+      .select(col("scenario"), col("t"),
+        ((col("cx") * col("cx")).cast(DoubleType) /
+          col("ct").cast(DoubleType) +
+          ((col("tx") - col("cx")) * (col("tx") - col("cx")))
+            .cast(DoubleType) /
+            (col("tn") - col("ct")).cast(DoubleType)).as("gg"),
+        (col("txx").cast(DoubleType) -
+          (col("tx") * col("tx")).cast(DoubleType) /
+            col("tn").cast(DoubleType)).as("sse_tot"))
+    val wPick = Window.partitionBy("scenario").orderBy(desc("gg"), col("t"))
+    // var_explained = (g(t) − (Σx)²/n) / SSE_tot — both terms from
+    // exact decimal components, so the ratio is engine-identical
+    g.join(tot.select(col("scenario"),
+        ((col("tx") * col("tx")).cast(DoubleType) /
+          col("tn").cast(DoubleType)).as("gm")), Seq("scenario"))
+      .withColumn("rk", row_number().over(wPick)).where(col("rk") === 1)
+      .select(col("scenario"), (col("t") + 1).as("split_day"),
+        round((col("gg") - col("gm")) / col("sse_tot"), 6)
+          .as("var_explained"))
+      .orderBy("scenario")
   }
 
   // ----------------------------------------------------------------- //
@@ -8750,7 +9061,12 @@ object SparkEntry {
     "q295_heaps" -> (qHeaps _),
     "q296_textrank" -> (qTextRank _),
     "q297_durbin_watson" -> (qDurbinWatson _),
-    "q298_source_js" -> (qSourceJs _)
+    "q298_source_js" -> (qSourceJs _),
+    "q299_mmr" -> (qMmr _),
+    "q300_ljung_box" -> (qLjungBox _),
+    "q301_gmm_em" -> (qGmmEm _),
+    "q302_friedman" -> (qFriedman _),
+    "q303_binseg" -> (qBinseg _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -13979,7 +14295,7 @@ object SparkEntry {
         .replaceAll("\n", " ")
     },
     "q297_durbin_watson" -> {
-      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
          |  ${dsumSql("value")} AS y FROM events GROUP BY day),
          | m0 AS (SELECT min(day) AS d0 FROM daily),
          | pts AS MATERIALIZED (SELECT day,
@@ -14026,6 +14342,205 @@ object SparkEntry {
          |   ON g1.w = g2.w AND g1.source < g2.source)
          | SELECT s1, s2, round(${dsumSql("t")} * 0.5, 6) AS js_divergence
          | FROM pr GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q299_mmr" -> {
+      import graft.sim.VectorMath.{Sql => V}
+      val rounds = (2 to 5).map { r =>
+        s"""ms$r AS (SELECT p.qid, p.pa AS cid, max(p.sim) AS msim
+           | FROM pairs p JOIN sel${r - 1} s
+           |  ON s.qid = p.qid AND s.cid = p.pb GROUP BY p.qid, p.pa),
+           | pick$r AS MATERIALIZED (SELECT qid, cid, $r AS pick, score
+           | FROM (SELECT c.qid, c.cid,
+           |   0.7 * c.rel - 0.3 * m.msim AS score,
+           |   row_number() OVER (PARTITION BY c.qid
+           |    ORDER BY (0.7 * c.rel - 0.3 * m.msim) DESC, c.cid) AS rk
+           |  FROM cand c JOIN ms$r m ON m.qid = c.qid AND m.cid = c.cid
+           |  LEFT JOIN sel${r - 1} s ON s.qid = c.qid AND s.cid = c.cid
+           |  WHERE s.cid IS NULL) WHERE rk = 1),
+           | sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1}
+           | UNION ALL SELECT * FROM pick$r)""".stripMargin
+      }
+      s"""WITH v AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec,
+         |  ${V.norm2("embedding")} AS n2 FROM embeddings),
+         | q AS (SELECT id AS qid, vec AS qv, n2 AS qn2 FROM v
+         |  WHERE id < 20),
+         | rel0 AS (SELECT q.qid, c.id AS cid,
+         |  ${V.dot("q.qv", "c.vec")} / (sqrt(q.qn2) * sqrt(c.n2)) AS rel
+         |  FROM v c JOIN q ON q.qid <> c.id),
+         | cand AS MATERIALIZED (SELECT qid, cid, rel FROM
+         |  (SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
+         |    ORDER BY rel DESC, cid) AS rk FROM rel0) WHERE rk <= 20),
+         | pairs AS MATERIALIZED (SELECT a.qid, a.cid AS pa, b.cid AS pb,
+         |  ${V.dot("va.vec", "vb.vec")} / (sqrt(va.n2) * sqrt(vb.n2))
+         |   AS sim
+         |  FROM cand a JOIN cand b ON b.qid = a.qid AND b.cid <> a.cid
+         |  JOIN v va ON va.id = a.cid JOIN v vb ON vb.id = b.cid),
+         | sel1 AS MATERIALIZED (SELECT qid, cid, 1 AS pick, rel AS score
+         |  FROM (SELECT qid, cid, rel, row_number() OVER
+         |   (PARTITION BY qid ORDER BY rel DESC, cid) AS rk FROM cand)
+         |  WHERE rk = 1),
+         | ${rounds.mkString(", ")}
+         | SELECT qid, pick, cid, round(score, 6) AS score FROM sel5
+         | ORDER BY qid, pick""".stripMargin.replaceAll("\n", " ")
+    },
+    "q300_ljung_box" -> {
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |  ${dsumSql("value")} AS y FROM events GROUP BY day),
+         | m0 AS (SELECT min(day) AS d0 FROM daily),
+         | pts AS MATERIALIZED (SELECT day,
+         |  CAST(day - d0 AS DOUBLE) AS x, y FROM daily CROSS JOIN m0),
+         | ft AS (SELECT (${dsumSql("x * y")} - ${dsumSql("x")} *
+         |   ${dsumSql("y")} / CAST(count(*) AS DOUBLE)) /
+         |  (${dsumSql("x * x")} - ${dsumSql("x")} * ${dsumSql("x")} /
+         |   CAST(count(*) AS DOUBLE)) AS b,
+         |  ${dsumSql("x")} AS sx, ${dsumSql("y")} AS sy,
+         |  CAST(count(*) AS DOUBLE) AS nn FROM pts),
+         | fit AS (SELECT b, (sy - b * sx) / nn AS a, nn FROM ft),
+         | e6 AS MATERIALIZED (SELECT day, nn,
+         |  CAST(round(round(y - a - b * x, 6) * 1e6) AS HUGEINT) AS e6
+         |  FROM pts CROSS JOIN fit),
+         | den AS (SELECT sum(e6 * e6) AS den, max(nn) AS n FROM e6),
+         | ks AS (SELECT unnest(generate_series(1, 10)) AS k),
+         | pr AS (SELECT ks.k, sum(a.e6 * b.e6) AS num
+         |  FROM e6 a CROSS JOIN ks JOIN e6 b ON b.day = a.day + ks.k
+         |  GROUP BY ks.k),
+         | rho AS MATERIALIZED (SELECT k, n,
+         |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS rho_raw
+         |  FROM pr CROSS JOIN den),
+         | qs AS (SELECT max(n) AS n2, ${dsumSql(
+             "rho_raw * rho_raw / (n - CAST(k AS DOUBLE))")} AS srho
+         |  FROM rho),
+         | qstat AS (SELECT round(n2 * (n2 + 2.0) * srho, 6) AS q_stat,
+         |  10 AS df FROM qs)
+         | SELECT CAST(k AS INT) AS lag, round(rho_raw, 6) AS rho,
+         |  q_stat, df
+         | FROM rho CROSS JOIN qstat ORDER BY lag""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q301_gmm_em" -> {
+      val split = graft.aug.Sampling.Sql.keyBucket("event_id", 17L)
+      val xd = "CAST(xc AS DOUBLE) / 100.0"
+      def phi(mu: String, sd: String) =
+        s"exp(-0.5 * (($xd - $mu) / $sd) * (($xd - $mu) / $sd)) / " +
+          s"($sd * sqrt(2 * pi()))"
+      val iters = (1 to 6).map { t =>
+        val g1 = s"(p1 * ${phi("mu1", "s1")})"
+        val g2 = s"((1.0 - p1) * ${phi("mu2", "s2")})"
+        s"""resp$t AS MATERIALIZED (SELECT x.scenario, x.xc,
+           | CAST(round($g1 / ($g1 + $g2) * 1e6) AS HUGEINT) AS r1
+           | FROM x JOIN p${t - 1} USING (scenario)),
+           | ms$t AS MATERIALIZED (SELECT scenario,
+           |  sum(r1) AS sr1, sum(r1 * xc) AS srx1,
+           |  sum(r1 * xc * xc) AS srxx1,
+           |  sum(1000000 - r1) AS sr2, sum((1000000 - r1) * xc) AS srx2,
+           |  sum((1000000 - r1) * xc * xc) AS srxx2,
+           |  CAST(count(*) AS DOUBLE) AS n
+           | FROM resp$t GROUP BY scenario),
+           | p$t AS MATERIALIZED (SELECT scenario,
+           |  CAST(srx1 AS DOUBLE) / CAST(sr1 AS DOUBLE) / 100.0 AS mu1,
+           |  CAST(srx2 AS DOUBLE) / CAST(sr2 AS DOUBLE) / 100.0 AS mu2,
+           |  sqrt(greatest(CAST(srxx1 AS DOUBLE) / CAST(sr1 AS DOUBLE)
+           |    / 10000.0 -
+           |   (CAST(srx1 AS DOUBLE) / CAST(sr1 AS DOUBLE) / 100.0) *
+           |   (CAST(srx1 AS DOUBLE) / CAST(sr1 AS DOUBLE) / 100.0),
+           |   0.000001)) AS s1,
+           |  sqrt(greatest(CAST(srxx2 AS DOUBLE) / CAST(sr2 AS DOUBLE)
+           |    / 10000.0 -
+           |   (CAST(srx2 AS DOUBLE) / CAST(sr2 AS DOUBLE) / 100.0) *
+           |   (CAST(srx2 AS DOUBLE) / CAST(sr2 AS DOUBLE) / 100.0),
+           |   0.000001)) AS s2,
+           |  CAST(sr1 AS DOUBLE) / 1e6 / n AS p1
+           | FROM ms$t)""".stripMargin
+      }
+      s"""WITH x AS MATERIALIZED (
+         | SELECT 'healthy' AS scenario,
+         |  CAST(round(value * 100) AS HUGEINT) AS xc FROM events
+         | UNION ALL
+         | SELECT 'bimodal_injected',
+         |  CAST(round(value * 100) + (CASE WHEN ($split) < 500000
+         |   THEN 40000 ELSE 0 END) AS HUGEINT) FROM events),
+         | p0 AS MATERIALIZED (SELECT scenario,
+         |  CAST(min(xc) AS DOUBLE) / 100.0 +
+         |   (CAST(max(xc) AS DOUBLE) - CAST(min(xc) AS DOUBLE))
+         |    / 100.0 / 4.0 AS mu1,
+         |  CAST(min(xc) AS DOUBLE) / 100.0 +
+         |   (CAST(max(xc) AS DOUBLE) - CAST(min(xc) AS DOUBLE))
+         |    / 100.0 * 3.0 / 4.0 AS mu2,
+         |  sqrt(greatest(${dsumSql(s"($xd) * ($xd)")} /
+         |    CAST(count(*) AS DOUBLE) -
+         |   (${dsumSql(xd)} / CAST(count(*) AS DOUBLE)) *
+         |   (${dsumSql(xd)} / CAST(count(*) AS DOUBLE)), 0.000001)) AS s1,
+         |  sqrt(greatest(${dsumSql(s"($xd) * ($xd)")} /
+         |    CAST(count(*) AS DOUBLE) -
+         |   (${dsumSql(xd)} / CAST(count(*) AS DOUBLE)) *
+         |   (${dsumSql(xd)} / CAST(count(*) AS DOUBLE)), 0.000001)) AS s2,
+         |  CAST(0.5 AS DOUBLE) AS p1
+         | FROM x GROUP BY scenario),
+         | ${iters.mkString(", ")}
+         | SELECT scenario, round(p1, 6) AS pi1, round(mu1, 6) AS mu1,
+         |  round(s1, 6) AS sigma1, round(mu2, 6) AS mu2,
+         |  round(s2, 6) AS sigma2, round(mu2 - mu1, 6) AS mean_gap
+         | FROM p6 ORDER BY scenario""".stripMargin.replaceAll("\n", " ")
+    },
+    "q302_friedman" -> {
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |  event_type, ${dsumSql("value")} AS y FROM events
+         |  GROUP BY day, event_type),
+         | ranked AS (SELECT event_type, row_number() OVER
+         |  (PARTITION BY day ORDER BY y DESC, event_type) AS rk
+         |  FROM daily),
+         | rj AS MATERIALIZED (SELECT event_type,
+         |  CAST(sum(rk) AS BIGINT) AS r_sum,
+         |  CAST(count(*) AS BIGINT) AS n_days FROM ranked
+         |  GROUP BY event_type),
+         | tot AS (SELECT CAST(sum(r_sum * r_sum) AS BIGINT) AS ssr,
+         |  max(n_days) AS n, CAST(count(*) AS BIGINT) AS k FROM rj),
+         | f AS (SELECT round(12.0 / (CAST(n AS DOUBLE) *
+         |   CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)) *
+         |   CAST(ssr AS DOUBLE) - 3.0 * CAST(n AS DOUBLE) *
+         |   (CAST(k AS DOUBLE) + 1.0), 6) AS friedman_chi2,
+         |  CAST(k - 1 AS INT) AS df FROM tot)
+         | SELECT event_type, r_sum,
+         |  round(CAST(r_sum AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+         |   AS mean_rank, friedman_chi2, df
+         | FROM rj CROSS JOIN f ORDER BY event_type""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q303_binseg" -> {
+      s"""WITH daily0 AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |  sum(CAST(round(value * 100) AS HUGEINT)) AS xc FROM events
+         |  GROUP BY day),
+         | m0 AS (SELECT min(day) AS d0 FROM daily0),
+         | daily AS (SELECT day - d0 AS t, xc FROM daily0 CROSS JOIN m0),
+         | series AS MATERIALIZED (
+         |  SELECT 'healthy' AS scenario, t, xc FROM daily
+         |  UNION ALL
+         |  SELECT 'shift_injected', t,
+         |   xc + (CASE WHEN t >= 20 THEN 500000 ELSE 0 END) FROM daily),
+         | pre AS (SELECT scenario, t,
+         |  sum(xc) OVER (PARTITION BY scenario ORDER BY t
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx,
+         |  count(*) OVER (PARTITION BY scenario ORDER BY t
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+         |  FROM series),
+         | tot AS (SELECT scenario, sum(xc) AS tx,
+         |  CAST(count(*) AS BIGINT) AS tn, sum(xc * xc) AS txx
+         |  FROM series GROUP BY scenario),
+         | g AS MATERIALIZED (SELECT pre.scenario, pre.t,
+         |  CAST(cx * cx AS DOUBLE) / CAST(ct AS DOUBLE) +
+         |   CAST((tx - cx) * (tx - cx) AS DOUBLE) /
+         |   CAST(tn - ct AS DOUBLE) AS gg,
+         |  CAST(txx AS DOUBLE) - CAST(tx * tx AS DOUBLE) /
+         |   CAST(tn AS DOUBLE) AS sse_tot,
+         |  CAST(tx * tx AS DOUBLE) / CAST(tn AS DOUBLE) AS gm
+         |  FROM pre JOIN tot ON tot.scenario = pre.scenario
+         |  WHERE ct >= 2 AND tn - ct >= 2)
+         | SELECT scenario, t + 1 AS split_day,
+         |  round((gg - gm) / sse_tot, 6) AS var_explained
+         | FROM (SELECT scenario, t, gg, gm, sse_tot, row_number() OVER
+         |  (PARTITION BY scenario ORDER BY gg DESC, t) AS rk FROM g)
+         | WHERE rk = 1 ORDER BY scenario""".stripMargin
         .replaceAll("\n", " ")
     }
   )

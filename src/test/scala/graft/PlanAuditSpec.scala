@@ -674,6 +674,60 @@ class PlanAuditSpec extends SparkSpec {
       s"Heaps checkpoint join lost its broadcast:\n$q295")
   }
 
+  test("round-10 session-5 batch-3 additions keep their scale shapes (q296-q298)") {
+    // q296 TextRank: graph construction is positional equi-self-joins;
+    // the grouped count keeps map-side combine
+    val q296 = plan(SparkEntry.queries("q296_textrank")(spark, sf))
+    assert(!q296.contains("CartesianProduct"),
+      s"TextRank plans a cartesian:\n$q296")
+    // q297 DW: one corpus-sized daily aggregate; margins broadcast
+    val q297 = plan(SparkEntry.queries("q297_durbin_watson")(spark, sf))
+    assert(!q297.contains("CartesianProduct"),
+      s"Durbin-Watson plans a cartesian:\n$q297")
+    assert("HashAggregate".r.findAllIn(q297).size >= 2,
+      s"Durbin-Watson lost partial aggregation:\n$q297")
+    // q298 source JS: the only corpus-sized stage is the (source, word)
+    // count; the pair stage is an equi-join on the vocab key
+    val q298 = plan(SparkEntry.queries("q298_source_js")(spark, sf))
+    assert(!q298.contains("CartesianProduct"),
+      s"source-JS plans a data-sized cartesian:\n$q298")
+    assert("HashAggregate".r.findAllIn(q298).size >= 2,
+      s"source-JS lost partial aggregation:\n$q298")
+  }
+
+  test("round-10 session-6 additions keep their scale shapes (q299-q303)") {
+    // q299 MMR: candidate scoring broadcasts the 20-query side (BNLJ
+    // with broadcast is the labeled brute-force baseline shape); the
+    // greedy rounds run on bounded frames
+    val q299 = plan(SparkEntry.queries("q299_mmr")(spark, sf))
+    assert(!q299.contains("CartesianProduct"),
+      s"MMR plans a data-sized cartesian:\n$q299")
+    // q300 Ljung-Box / q302 Friedman / q303 binseg: one corpus-sized
+    // daily aggregate each; everything downstream is metadata-sized
+    Seq("q300_ljung_box", "q302_friedman", "q303_binseg").foreach { n =>
+      val p = plan(SparkEntry.queries(n)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$n lost partial aggregation:\n$p")
+    }
+    // q301 GMM-EM: the per-iteration plans sit behind localCheckpoint
+    // boundaries (the iterative-lineage rule), so the observable final
+    // plan is just the projection over the checkpointed param frame —
+    // pin the E-step join shape on a manually built first iteration
+    val q301 = plan(SparkEntry.queries("q301_gmm_em")(spark, sf))
+    assert(!q301.contains("CartesianProduct"),
+      s"GMM-EM plans a cartesian:\n$q301")
+    val x = spark.read.parquet(s"$sf/events.parquet")
+      .select(org.apache.spark.sql.functions.lit("h").as("scenario"),
+        col("value").as("xc"))
+    val par1 = x.groupBy("scenario").agg(
+      org.apache.spark.sql.functions.avg("xc").as("mu1"))
+    val estep = plan(x.join(
+      org.apache.spark.sql.functions.broadcast(par1), Seq("scenario")))
+    assert(estep.contains("BroadcastExchange"),
+      s"GMM-EM E-step param join shape would not broadcast:\n$estep")
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
