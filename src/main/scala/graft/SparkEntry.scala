@@ -8752,6 +8752,230 @@ object SparkEntry {
       .orderBy("scenario")
   }
 
+  /** X39 — Chow structural-break test (Chow 1960) on the daily-revenue
+    * trend: fit OLS pooled and on the two halves split at day 15,
+    * F = ((SSE_p − SSE_1 − SSE_2)/k) / ((SSE_1 + SSE_2)/(n − 2k)) with
+    * k = 2 — the parametric companion to q303's binseg and q158's
+    * Pettitt (those find WHERE; Chow tests WHETHER a given split's
+    * regimes differ). Every moment enters as an exact centi-unit
+    * integer decimal; centered sums form as exact decimal numerators
+    * (n·Σxy − Σx·Σy) before ONE cast to double, so SSEs and F are
+    * bitwise cross-engine. Detection twin: `slope_injected` adds a
+    * +2000.00/day kink from day 15 — F explodes; `healthy` stays
+    * small. One corpus-sized daily aggregate; the rest is the bounded
+    * 30-row frame.
+    */
+  private def qChow(s: SparkSession, dir: String): DataFrame = {
+    val daily0 = ev(s, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"), col("value"))
+      .groupBy("day")
+      .agg(sum(round(col("value") * 100).cast(DecimalType(38, 0))).as("yc"))
+    val m0 = daily0.agg(min("day").as("d0"))
+    val daily = daily0.crossJoin(broadcast(m0))
+      .select((col("day") - col("d0")).as("t"), col("yc"))
+    val series = daily.select(lit("healthy").as("scenario"), col("t"),
+        col("yc"))
+      .unionByName(daily.select(lit("slope_injected").as("scenario"),
+        col("t"), (col("yc") + when(col("t") >= 15,
+          (col("t") - lit(14)) * lit(200000L)).otherwise(lit(0L))
+          .cast(DecimalType(38, 0))).as("yc")))
+      .withColumn("seg", when(col("t") < 15, lit(1)).otherwise(lit(2)))
+    def sse(grouped: DataFrame): DataFrame =
+      // exact decimal numerators, ONE cast to double per centered sum
+      grouped.select(col("scenario"), col("grp"),
+        ((col("n") * col("syy") - col("sy") * col("sy"))
+          .cast(DoubleType) / col("n").cast(DoubleType)).as("cyy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast(DoubleType) / col("n").cast(DoubleType)).as("cxy"),
+        ((col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast(DoubleType) / col("n").cast(DoubleType)).as("cxx"),
+        col("n"))
+        .select(col("scenario"), col("grp"), col("n"),
+          (col("cyy") - col("cxy") * col("cxy") / col("cxx")).as("sse"))
+    val d0 = lit(0L).cast(DecimalType(38, 0))
+    def moments(df: DataFrame, grp: Column): DataFrame =
+      df.groupBy(col("scenario"), grp.as("grp")).agg(
+        count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(col("t").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("yc")).as("sy"),
+        sum(col("t").cast(DecimalType(38, 0)) *
+          col("t").cast(DecimalType(38, 0))).as("sxx"),
+        sum(col("t").cast(DecimalType(38, 0)) * col("yc")).as("sxy"),
+        sum(col("yc") * col("yc")).as("syy"))
+    val pooled = sse(moments(series, lit(0)))
+      .select(col("scenario"), col("sse").as("sse_p"),
+        col("n").cast(DoubleType).as("nn"))
+    val segs = sse(moments(series, col("seg")))
+      .groupBy("scenario").agg(Stats.dsum(col("sse")).as("sse_12"))
+    pooled.join(segs, Seq("scenario"))
+      .select(col("scenario"), col("nn").cast("long").as("n_days"),
+        round(((col("sse_p") - col("sse_12")) / lit(2.0)) /
+          (col("sse_12") / (col("nn") - lit(4.0))), 6).as("f_chow"))
+      .orderBy("scenario")
+  }
+
+  /** X40 — shingle containment (Broder 1997's asymmetric resemblance):
+    * containment(A→B) = |S(A)∩S(B)| / |S(A)| over 3-token shingle
+    * SETS — the quote/excerpt detector Jaccard misses (a short doc
+    * fully contained in a long one has high containment but low
+    * Jaccard; q24/q25 only measure the symmetric kind). Pair
+    * generation is the inverted-index shape: join docs on shared
+    * shingle, grouped count = the intersection size directly — with a
+    * document-frequency cap (shingles in > 50 docs dropped, the
+    * stopword-shingle guard) bounding the per-key fan-out exactly like
+    * the q129 prefix-blocking rule. Output: pairs with containment
+    * ≥ 0.5 plus their Jaccard for contrast, top-20.
+    */
+  private def qContainment(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val sh = par(doc(s, dir)).select(col("doc_id"),
+        TextOps.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("w"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q305", sh)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfCap = sh.groupBy("w").agg(count(lit(1)).as("df"))
+      .where(col("df") <= 50).select("w")
+    val inter = sh.join(dfCap, Seq("w"))
+      .select(col("doc_id").as("a"), col("w"))
+      .join(sh.join(dfCap, Seq("w")).select(col("doc_id").as("b"), col("w")),
+        Seq("w"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter.join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")),
+        Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")),
+        Seq("b"))
+      .select(col("a"), col("b"), col("inter"), col("sza"), col("szb"),
+        round(col("inter").cast(DoubleType) /
+          col("sza").cast(DoubleType), 6).as("containment"),
+        round(col("inter").cast(DoubleType) /
+          (col("sza") + col("szb") - col("inter")).cast(DoubleType), 6)
+          .as("jaccard"))
+      .where(col("containment") >= 0.5)
+      .orderBy(desc("containment"), col("a"), col("b"))
+      .limit(20)
+  }
+
+  /** X41 — Lincoln–Petersen capture–recapture (Petersen 1896) put to a
+    * test it can't cheat: estimate the trigram-type population from
+    * two overlapping document samples (disjoint hash splits A and B of
+    * the corpus, "capture" = type appears in the sample), N̂ =
+    * n_A·n_B/m — then report it against the EXACT type count the
+    * engine can compute anyway. The honest twist: types are NOT
+    * equal-catchability — a singleton trigram lives in exactly one
+    * document and can be caught by at most ONE sample, deflating the
+    * overlap m, so N̂ = n_A·n_B/m OVERestimates (measured +51% at
+    * sf0.001) — the rel_err column quantifies the classic
+    * heterogeneous-catchability bias instead of hiding it. One
+    * distributed type-per-sample aggregate; the LP arithmetic is a
+    * 1-row frame.
+    */
+  private def qCaptureRecapture(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    import graft.aug.Sampling.keyBucket
+    val tri = par(doc(s, dir)).select(col("doc_id"),
+        TextOps.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("w"))
+    val marked = tri.select(col("w"),
+        (keyBucket(col("doc_id"), 29L) < lit(500000L)).as("in_a"))
+      .groupBy("w").agg(max(when(col("in_a"), 1).otherwise(0)).as("ca"),
+        max(when(!col("in_a"), 1).otherwise(0)).as("cb"))
+    marked.agg(sum(col("ca")).cast("long").as("n_a"),
+        sum(col("cb")).cast("long").as("n_b"),
+        sum(col("ca") * col("cb")).cast("long").as("m_both"),
+        count(lit(1)).as("n_true"))
+      .select(col("n_a"), col("n_b"), col("m_both"), col("n_true"),
+        round(col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType) /
+          col("m_both").cast(DoubleType), 2).as("n_hat"),
+        round((col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType) /
+          col("m_both").cast(DoubleType) -
+          col("n_true").cast(DoubleType)) /
+          col("n_true").cast(DoubleType), 6).as("rel_err"))
+  }
+
+  /** X42 — Cochran's Q test (Cochran 1950): the k-classifier
+    * generalization of q292's McNemar — three binary language
+    * detectors (lexicon argmax, contains-"the", contains-"and")
+    * scored against the lang column on the SAME documents;
+    * Q = (k−1)·[k·ΣC_j² − (ΣC_j)²] / [k·ΣR_i − ΣR_i²] over
+    * per-classifier correct totals C_j and per-document correct
+    * counts R_i. Pure integer arithmetic until the final division —
+    * one conditional aggregate over the corpus.
+    */
+  private def qCochranQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val d = doc(s, dir).select(
+      (col("lang") === "en").as("truth"),
+      (TextOps.langId(col("text")) === "en").as("pa"),
+      array_contains(TextOps.tokens(col("text")), "the").as("pb"),
+      array_contains(TextOps.tokens(col("text")), "and").as("pc"))
+    val rows = d.select(
+      when(col("pa") === col("truth"), 1L).otherwise(0L).as("xa"),
+      when(col("pb") === col("truth"), 1L).otherwise(0L).as("xb"),
+      when(col("pc") === col("truth"), 1L).otherwise(0L).as("xc"))
+      .withColumn("ri", col("xa") + col("xb") + col("xc"))
+    rows.agg(count(lit(1)).as("n"), sum("xa").as("ca"),
+        sum("xb").as("cb"), sum("xc").as("cc"),
+        sum("ri").as("sr"), sum(col("ri") * col("ri")).as("srr"))
+      .select(col("n"), col("ca"), col("cb"), col("cc"),
+        round(lit(2.0) * (lit(3.0) *
+          (col("ca") * col("ca") + col("cb") * col("cb") +
+            col("cc") * col("cc")).cast(DoubleType) -
+          ((col("ca") + col("cb") + col("cc")) *
+            (col("ca") + col("cb") + col("cc"))).cast(DoubleType)) /
+          (lit(3.0) * col("sr").cast(DoubleType) -
+            col("srr").cast(DoubleType)), 6).as("cochran_q"),
+        lit(2).as("df"))
+  }
+
+  /** X43 — Page's L trend test (Page 1963): ordered-alternatives rank
+    * test over the q302 block design — where Friedman asks "do the
+    * event types differ at all", Page asks "do they follow THIS
+    * order" (alphabetical type order as the registered hypothesis;
+    * the statistic is demonstrative on label-ordered data).
+    * L = Σ_j j·R_j with exact integer ranks; the standardization
+    * μ_L = n·k(k+1)²/4, σ_L² = n·k²(k+1)(k²−1)/144 is closed-form
+    * integer arithmetic until the final z.
+    */
+  private def qPageTrend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev(s, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        col("event_type"), col("value"))
+      .groupBy("day", "event_type").agg(Stats.dsum(col("value")).as("y"))
+    val w = Window.partitionBy("day").orderBy(desc("y"), col("event_type"))
+    val ranked = daily.withColumn("rk", row_number().over(w))
+    val wj = Window.orderBy("event_type")
+    val rj = ranked.groupBy("event_type")
+      .agg(sum("rk").as("r_sum"), count(lit(1)).as("n_days"))
+      .withColumn("j", row_number().over(wj))
+    val tot = rj.agg(sum(col("j") * col("r_sum")).as("l_stat"),
+        max("n_days").as("n"), count(lit(1)).as("k"))
+      .select(col("l_stat").cast("long").as("page_l"),
+        col("n"), col("k"),
+        (col("n").cast(DoubleType) * col("k").cast(DoubleType) *
+          (col("k") + 1).cast(DoubleType) *
+          (col("k") + 1).cast(DoubleType) / lit(4.0)).as("mu_l"),
+        sqrt(col("n").cast(DoubleType) *
+          col("k").cast(DoubleType) * col("k").cast(DoubleType) *
+          (col("k") + 1).cast(DoubleType) *
+          (col("k") * col("k") - 1).cast(DoubleType) / lit(144.0))
+          .as("sd_l"))
+    rj.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("j"), col("r_sum"), col("page_l"),
+        round((col("page_l").cast(DoubleType) - col("mu_l")) /
+          col("sd_l"), 6).as("z"))
+      .orderBy("j")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -9066,7 +9290,12 @@ object SparkEntry {
     "q300_ljung_box" -> (qLjungBox _),
     "q301_gmm_em" -> (qGmmEm _),
     "q302_friedman" -> (qFriedman _),
-    "q303_binseg" -> (qBinseg _)
+    "q303_binseg" -> (qBinseg _),
+    "q304_chow" -> (qChow _),
+    "q305_containment" -> (qContainment _),
+    "q306_capture_recapture" -> (qCaptureRecapture _),
+    "q307_cochran_q" -> (qCochranQ _),
+    "q308_page_trend" -> (qPageTrend _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -14541,6 +14770,145 @@ object SparkEntry {
          | FROM (SELECT scenario, t, gg, gm, sse_tot, row_number() OVER
          |  (PARTITION BY scenario ORDER BY gg DESC, t) AS rk FROM g)
          | WHERE rk = 1 ORDER BY scenario""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q304_chow" -> {
+      s"""WITH daily0 AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |  sum(CAST(round(value * 100) AS HUGEINT)) AS yc FROM events
+         |  GROUP BY day),
+         | m0 AS (SELECT min(day) AS d0 FROM daily0),
+         | daily AS (SELECT day - d0 AS t, yc FROM daily0 CROSS JOIN m0),
+         | series AS MATERIALIZED (
+         |  SELECT 'healthy' AS scenario, t, yc,
+         |   CASE WHEN t < 15 THEN 1 ELSE 2 END AS seg FROM daily
+         |  UNION ALL
+         |  SELECT 'slope_injected', t,
+         |   yc + (CASE WHEN t >= 15 THEN (t - 14) * 200000 ELSE 0 END),
+         |   CASE WHEN t < 15 THEN 1 ELSE 2 END FROM daily),
+         | mo AS (SELECT scenario, grp,
+         |  CAST(count(*) AS HUGEINT) AS n,
+         |  sum(CAST(t AS HUGEINT)) AS sx, sum(yc) AS sy,
+         |  sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS sxx,
+         |  sum(CAST(t AS HUGEINT) * yc) AS sxy,
+         |  sum(yc * yc) AS syy
+         |  FROM (SELECT scenario, t, yc, 0 AS grp FROM series
+         |   UNION ALL SELECT scenario, t, yc, seg FROM series)
+         |  GROUP BY scenario, grp),
+         | ss AS MATERIALIZED (SELECT scenario, grp, n,
+         |  (CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE)) -
+         |  (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |  (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |  (CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n AS DOUBLE)) AS sse
+         |  FROM mo),
+         | pooled AS (SELECT scenario, sse AS sse_p,
+         |  CAST(n AS DOUBLE) AS nn FROM ss WHERE grp = 0),
+         | segs AS (SELECT scenario, ${dsumSql("sse")} AS sse_12 FROM ss
+         |  WHERE grp <> 0 GROUP BY scenario)
+         | SELECT p.scenario, CAST(nn AS BIGINT) AS n_days,
+         |  round(((sse_p - sse_12) / 2.0) / (sse_12 / (nn - 4.0)), 6)
+         |   AS f_chow
+         | FROM pooled p JOIN segs s ON s.scenario = p.scenario
+         | ORDER BY p.scenario""".stripMargin.replaceAll("\n", " ")
+    },
+    "q305_containment" -> {
+      import graft.text.TextOps.{Sql => T}
+      s"""WITH t0 AS (SELECT doc_id, ${T.toks("text")} AS toks
+         |  FROM documents),
+         | sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |  toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS w
+         |  FROM t0, unnest(generate_series(0, len(toks) - 3)) AS u(i)
+         |  WHERE len(toks) >= 3),
+         | sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+         | cap AS MATERIALIZED (SELECT w FROM sh GROUP BY w
+         |  HAVING count(*) <= 50),
+         | it AS (SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(count(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN cap ON cap.w = a.w
+         |  JOIN sh b ON b.w = a.w AND b.doc_id <> a.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         | SELECT a, b, inter, CAST(sa.s AS BIGINT) AS sza,
+         |  CAST(sb.s AS BIGINT) AS szb,
+         |  round(CAST(inter AS DOUBLE) / CAST(sa.s AS DOUBLE), 6)
+         |   AS containment,
+         |  round(CAST(inter AS DOUBLE) /
+         |   CAST(sa.s + sb.s - inter AS DOUBLE), 6) AS jaccard
+         | FROM it JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         | WHERE round(CAST(inter AS DOUBLE) / CAST(sa.s AS DOUBLE), 6)
+         |  >= 0.5
+         | ORDER BY containment DESC, a, b LIMIT 20""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q306_capture_recapture" -> {
+      import graft.text.TextOps.{Sql => T}
+      val split = graft.aug.Sampling.Sql.keyBucket("doc_id", 29L)
+      s"""WITH t0 AS (SELECT doc_id, ${T.toks("text")} AS toks
+         |  FROM documents),
+         | tri AS (SELECT doc_id,
+         |  toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS w
+         |  FROM t0, unnest(generate_series(0, len(toks) - 3)) AS u(i)
+         |  WHERE len(toks) >= 3),
+         | mk AS MATERIALIZED (SELECT w,
+         |  max(CASE WHEN ($split) < 500000 THEN 1 ELSE 0 END) AS ca,
+         |  max(CASE WHEN ($split) < 500000 THEN 0 ELSE 1 END) AS cb
+         |  FROM tri GROUP BY w),
+         | ag AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         |  CAST(sum(cb) AS BIGINT) AS n_b,
+         |  CAST(sum(ca * cb) AS BIGINT) AS m_both,
+         |  CAST(count(*) AS BIGINT) AS n_true FROM mk)
+         | SELECT n_a, n_b, m_both, n_true,
+         |  round(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
+         |   CAST(m_both AS DOUBLE), 2) AS n_hat,
+         |  round((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
+         |   CAST(m_both AS DOUBLE) - CAST(n_true AS DOUBLE)) /
+         |   CAST(n_true AS DOUBLE), 6) AS rel_err
+         | FROM ag""".stripMargin.replaceAll("\n", " ")
+    },
+    "q307_cochran_q" -> {
+      import graft.text.TextOps.{Sql => T}
+      s"""WITH d AS (SELECT (lang = 'en') AS truth,
+         |  (${T.langId("text")}) = 'en' AS pa,
+         |  list_contains(${T.toks("text")}, 'the') AS pb,
+         |  list_contains(${T.toks("text")}, 'and') AS pc
+         |  FROM documents),
+         | r AS (SELECT CASE WHEN pa = truth THEN 1 ELSE 0 END AS xa,
+         |  CASE WHEN pb = truth THEN 1 ELSE 0 END AS xb,
+         |  CASE WHEN pc = truth THEN 1 ELSE 0 END AS xc FROM d),
+         | ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(xa) AS BIGINT) AS ca, CAST(sum(xb) AS BIGINT) AS cb,
+         |  CAST(sum(xc) AS BIGINT) AS cc,
+         |  CAST(sum(xa + xb + xc) AS BIGINT) AS sr,
+         |  CAST(sum((xa + xb + xc) * (xa + xb + xc)) AS BIGINT) AS srr
+         |  FROM r)
+         | SELECT n, ca, cb, cc,
+         |  round(2.0 * (3.0 * CAST(ca * ca + cb * cb + cc * cc AS DOUBLE)
+         |   - CAST((ca + cb + cc) * (ca + cb + cc) AS DOUBLE)) /
+         |   (3.0 * CAST(sr AS DOUBLE) - CAST(srr AS DOUBLE)), 6)
+         |   AS cochran_q, 2 AS df
+         | FROM ag""".stripMargin.replaceAll("\n", " ")
+    },
+    "q308_page_trend" -> {
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |  event_type, ${dsumSql("value")} AS y FROM events
+         |  GROUP BY day, event_type),
+         | ranked AS (SELECT event_type, row_number() OVER
+         |  (PARTITION BY day ORDER BY y DESC, event_type) AS rk
+         |  FROM daily),
+         | rj AS MATERIALIZED (SELECT event_type,
+         |  CAST(sum(rk) AS BIGINT) AS r_sum,
+         |  CAST(count(*) AS BIGINT) AS n_days,
+         |  row_number() OVER (ORDER BY event_type) AS j
+         |  FROM ranked GROUP BY event_type),
+         | tot AS (SELECT CAST(sum(j * r_sum) AS BIGINT) AS page_l,
+         |  max(n_days) AS n, CAST(count(*) AS BIGINT) AS k FROM rj),
+         | st AS (SELECT page_l,
+         |  CAST(n AS DOUBLE) * CAST(k AS DOUBLE) *
+         |   CAST(k + 1 AS DOUBLE) * CAST(k + 1 AS DOUBLE) / 4.0 AS mu_l,
+         |  sqrt(CAST(n AS DOUBLE) * CAST(k AS DOUBLE) *
+         |   CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE) *
+         |   CAST(k * k - 1 AS DOUBLE) / 144.0) AS sd_l FROM tot)
+         | SELECT event_type, CAST(j AS BIGINT) AS j, r_sum, page_l,
+         |  round((CAST(page_l AS DOUBLE) - mu_l) / sd_l, 6) AS z
+         | FROM rj CROSS JOIN st ORDER BY j""".stripMargin
         .replaceAll("\n", " ")
     }
   )

@@ -728,6 +728,31 @@ class PlanAuditSpec extends SparkSpec {
       s"GMM-EM E-step param join shape would not broadcast:\n$estep")
   }
 
+  test("round-10 session-6 batch-2 additions keep their scale shapes (q304-q308)") {
+    // q304 Chow / q308 Page: one corpus-sized daily aggregate each
+    Seq("q304_chow", "q308_page_trend").foreach { n =>
+      val p = plan(SparkEntry.queries(n)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$n lost partial aggregation:\n$p")
+    }
+    // q305 containment: pair generation is the df-capped inverted-index
+    // equi-join; the top-20 cut is a distributed top-k
+    val q305 = plan(SparkEntry.queries("q305_containment")(spark, sf))
+    assert(!q305.contains("CartesianProduct"),
+      s"containment plans a cartesian:\n$q305")
+    assert(q305.contains("TakeOrderedAndProject"),
+      s"containment top-20 is not a distributed top-k:\n$q305")
+    // q306 capture-recapture / q307 Cochran Q: single-pass conditional
+    // aggregates with map-side combine
+    Seq("q306_capture_recapture", "q307_cochran_q").foreach { n =>
+      val p = plan(SparkEntry.queries(n)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$n lost partial aggregation:\n$p")
+    }
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
