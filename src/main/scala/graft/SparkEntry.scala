@@ -8202,15 +8202,18 @@ object SparkEntry {
     * concentrates on widely-supplied parts, authorities = parts
     * carried by the strongest hubs — the mutual-reinforcement ranking
     * PageRank (q148) can't express (PageRank needs a stochastic walk;
-    * HITS is the adjacency's principal singular pair). Six power
-    * iterations, L2-normalized per half-step via 1-row broadcast
-    * margins, decimal-summed contributions; output is the top-10 per
-    * side ordered by rounded score with id tie-break.
+    * HITS is the adjacency's principal singular pair). Four power
+    * iterations (each is two full passes over the edge table — the
+    * top-10 ranking is stable well before that on this graph, and
+    * every extra iteration costs two 590k-row aggregates at sf0.1),
+    * L2-normalized per half-step, decimal-summed contributions;
+    * output is the top-10 per side ordered by rounded score with id
+    * tie-break.
     */
   private def qHits(s: SparkSession, dir: String): DataFrame = {
     val edges = li(s, dir).select(col("l_suppkey").cast("long").as("hub"),
       col("l_partkey").cast("long").as("auth"))
-    val (h, a) = graft.core.Hits.run(edges, iters = 6, cacheKey = "q293")
+    val (h, a) = graft.core.Hits.run(edges, iters = 4, cacheKey = "q293")
     val topH = h.select(lit("hub").as("side"), col("hub").as("node"),
         round(col("h"), 6).as("score"))
       .orderBy(desc("score"), col("node")).limit(10)
@@ -14394,7 +14397,7 @@ object SparkEntry {
          | FROM m""".stripMargin.replaceAll("\n", " ")
     },
     "q293_hits" -> {
-      val iterCtes = (1 to 6).map { t =>
+      val iterCtes = (1 to 4).map { t =>
         s"""ar$t AS MATERIALIZED (SELECT auth, ${dsumSql("h")} AS ar
            | FROM e JOIN h${t - 1} USING (hub) GROUP BY auth),
            | an$t AS (SELECT ${dsumSql("ar * ar")} AS an2 FROM ar$t),
@@ -14415,9 +14418,9 @@ object SparkEntry {
          | ${iterCtes.mkString(", ")}
          | SELECT side, node, score FROM (
          |  (SELECT 'authority' AS side, auth AS node, round(a, 6) AS score
-         |   FROM a6 ORDER BY round(a, 6) DESC, auth LIMIT 10)
+         |   FROM a4 ORDER BY round(a, 6) DESC, auth LIMIT 10)
          |  UNION ALL
-         |  (SELECT 'hub', hub, round(h, 6) FROM h6
+         |  (SELECT 'hub', hub, round(h, 6) FROM h4
          |   ORDER BY round(h, 6) DESC, hub LIMIT 10))
          | ORDER BY side, score DESC, node""".stripMargin
         .replaceAll("\n", " ")
