@@ -8979,6 +8979,163 @@ object SparkEntry {
       .orderBy("j")
   }
 
+  /** X44 — entropy rate of the event stream (Shannon 1948; the
+    * information-gain companion to q138's transition matrix):
+    * H(next|cur) = −Σ p(cur,next)·ln p(next|cur) vs the memoryless
+    * H(next), with the difference = the mutual information one step of
+    * memory buys. Transition pairs form per user via the q138 lead
+    * shape; the entropy arithmetic runs on the 25-cell transition
+    * frame in exact-count ratios (ln of identical doubles).
+    */
+  private def qEntropyRate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, dir).select(col("user_id"), col("event_id"),
+      expr("ts div 1000").as("us"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val cells = e.withColumn("next", lead(col("event_type"), 1).over(w))
+      .where(col("next").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("next"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q309", cells)
+    val curTot = cells.groupBy("cur").agg(sum("n").as("nc"))
+    val nextTot = cells.groupBy("next").agg(sum("n").as("nx"))
+    val tot = cells.agg(sum("n").as("nt"))
+    val hCond = cells.join(curTot, Seq("cur")).crossJoin(broadcast(tot))
+      .select(((col("n").cast(DoubleType) / col("nt").cast(DoubleType)) *
+        (lit(0.0) - log(col("n").cast(DoubleType) /
+          col("nc").cast(DoubleType)))).as("t"))
+      .agg(Stats.dsum(col("t")).as("h_cond"))
+    val hMarg = nextTot.crossJoin(broadcast(tot))
+      .select(((col("nx").cast(DoubleType) / col("nt").cast(DoubleType)) *
+        (lit(0.0) - log(col("nx").cast(DoubleType) /
+          col("nt").cast(DoubleType)))).as("t"))
+      .agg(Stats.dsum(col("t")).as("h_marg"))
+    hCond.crossJoin(broadcast(hMarg)).crossJoin(broadcast(tot))
+      .select(col("nt").as("n_transitions"),
+        round(col("h_cond"), 6).as("entropy_rate"),
+        round(col("h_marg"), 6).as("entropy_marginal"),
+        round(col("h_marg") - col("h_cond"), 6).as("memory_gain"))
+  }
+
+  /** X45 — sequential pattern support ("A then B", existential per
+    * user) with lift against order-blind co-occurrence: the
+    * sequence-mining primitive under funnel analysis that q150's
+    * prefix paths and q134's fixed funnel don't cover. The classic
+    * trap is the per-user event self-join (66² pairs/user); the
+    * existential semantics collapse it — "some A before some B" ⇔
+    * min_ts(A) < max_ts(B) — so one (user, type) min/max aggregate
+    * plus a per-user 5×5 type join (bounded by the type-vocabulary,
+    * not the event count) computes exact support at ANY corpus size.
+    * Semantics: FIRST occurrence of A before FIRST occurrence of B
+    * (funnel order) — unconstrained "some A before some B" saturates
+    * at support 1.0 on this stream (66 events/user over 5 types),
+    * which reads as broken rather than measured; the first-vs-first
+    * fraction sits near 0.5 on iid data and its deviation IS the
+    * order-bias measurement. Microsecond ties count as not-before
+    * (strict <) on both engines.
+    */
+  private def qSeqPatterns(s: SparkSession, dir: String): DataFrame = {
+    val spans = ev(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .groupBy("user_id", "event_type")
+      .agg(min("us").as("mn"), max("us").as("mx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q310", spans)
+    val users = spans.select("user_id").distinct()
+      .agg(count(lit(1)).as("nu"))
+    val pats = spans.toDF("user_id", "ta", "mna", "mxa")
+      .join(spans.toDF("uid2", "tb", "mnb", "mxb"),
+        col("user_id") === col("uid2") && col("ta") =!= col("tb"))
+      .groupBy(col("ta").as("antecedent"), col("tb").as("consequent"))
+      .agg(count(when(col("mna") < col("mnb"), 1)).as("n_seq"),
+        count(lit(1)).as("n_both"))
+    val single = spans.groupBy("event_type")
+      .agg(count(lit(1)).as("n_has"))
+    pats.join(single.select(col("event_type").as("antecedent"),
+        col("n_has").as("na")), Seq("antecedent"))
+      .join(single.select(col("event_type").as("consequent"),
+        col("n_has").as("nb")), Seq("consequent"))
+      .crossJoin(broadcast(users))
+      .select(col("antecedent"), col("consequent"), col("n_seq"),
+        round(col("n_seq").cast(DoubleType) /
+          col("nu").cast(DoubleType), 6).as("support"),
+        round(col("n_seq").cast(DoubleType) * col("nu").cast(DoubleType) /
+          (col("na").cast(DoubleType) * col("nb").cast(DoubleType)), 6)
+          .as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  /** X46 — overdispersion diagnostic + negative-binomial fit for
+    * events-per-user counts (the "is Poisson good enough" gate every
+    * count model needs): dispersion index D = s²/x̄, the Poisson
+    * dispersion test χ² = (n−1)·D with its normal approximation
+    * z = √(2χ²) − √(2df−1), and the method-of-moments NB parameters
+    * r = x̄²/(s²−x̄), p = x̄/s². Counts are exact integers; variance
+    * uses the exact-decimal moment recipe, so every statistic is
+    * engine-identical. One grouped count + one moment aggregate.
+    */
+  private def qOverdispersion(s: SparkSession, dir: String): DataFrame = {
+    val per = ev(s, dir).groupBy("user_id")
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("c"))
+    val m = per.agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(col("c")).as("sc"), sum(col("c") * col("c")).as("scc"))
+      .select(col("n").cast(DoubleType).as("n"),
+        (col("sc").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"),
+        (((col("n") * col("scc") - col("sc") * col("sc"))
+          .cast(DoubleType)) /
+          (col("n").cast(DoubleType) * (col("n").cast(DoubleType) - 1.0)))
+          .as("variance"))
+    m.select(col("n").cast("long").as("n_users"),
+        round(col("mean"), 6).as("mean"),
+        round(col("variance"), 6).as("variance"),
+        round(col("variance") / col("mean"), 6).as("dispersion"),
+        round(sqrt(lit(2.0) * (col("n") - 1.0) * col("variance") /
+          col("mean")) - sqrt(lit(2.0) * (col("n") - 1.0) - 1.0), 6)
+          .as("poisson_z"),
+        round(col("mean") * col("mean") /
+          (col("variance") - col("mean")), 6).as("nb_r"),
+        round(col("mean") / col("variance"), 6).as("nb_p"))
+  }
+
+  /** X47 — effective sample size of temperature-mix importance weights
+    * (Kong 1992; the "did re-weighting waste my corpus" diagnostic for
+    * the q92/q225 mixing family): target q_d ∝ p_d^τ (τ = 0.5) over
+    * document LANGUAGES (the skewed dimension — en is ~44% of the
+    * corpus; sources are uniform and would make the diagnostic
+    * vacuous), per-doc weight w_d = q_d/p_d, ESS = (Σw)²/Σw² — equal
+    * to n only when weights are uniform; the ess_fraction column is
+    * the usable-corpus fraction after re-weighting. Everything reduces
+    * on the per-language count frame (Σ over docs of a per-language
+    * weight = n_d·w_d in closed form).
+    */
+  private def qEssWeights(s: SparkSession, dir: String): DataFrame = {
+    val cnt = doc(s, dir).groupBy("lang").agg(count(lit(1)).as("nd"))
+    val tot = cnt.agg(sum("nd").as("n"))
+    val g = cnt.crossJoin(broadcast(tot))
+      .select(col("lang"), col("nd"), col("n"),
+        (col("nd").cast(DoubleType) / col("n").cast(DoubleType)).as("p"))
+      .withColumn("q_raw", sqrt(col("p")))
+    val z = g.agg(Stats.dsum(col("q_raw")).as("zq"))
+    val w = g.crossJoin(broadcast(z))
+      .select(col("lang"), col("nd"), col("n"),
+        ((col("q_raw") / col("zq")) / col("p")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q311", w)
+    val ess = w.agg(
+        Stats.dsum(col("nd").cast(DoubleType) * col("w")).as("sw"),
+        Stats.dsum(col("nd").cast(DoubleType) * col("w") * col("w"))
+          .as("sww"), max("n").as("n"))
+      .select(round(col("sw") * col("sw") / col("sww"), 2).as("ess"),
+        round(col("sw") * col("sw") / col("sww") /
+          col("n").cast(DoubleType), 6).as("ess_fraction"))
+    w.crossJoin(broadcast(ess))
+      .select(col("lang"), col("nd").as("n_docs"),
+        round(col("w"), 6).as("weight"), col("ess"), col("ess_fraction"))
+      .orderBy("lang")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -9298,7 +9455,11 @@ object SparkEntry {
     "q305_containment" -> (qContainment _),
     "q306_capture_recapture" -> (qCaptureRecapture _),
     "q307_cochran_q" -> (qCochranQ _),
-    "q308_page_trend" -> (qPageTrend _)
+    "q308_page_trend" -> (qPageTrend _),
+    "q309_entropy_rate" -> (qEntropyRate _),
+    "q310_seq_patterns" -> (qSeqPatterns _),
+    "q311_overdispersion" -> (qOverdispersion _),
+    "q312_ess_weights" -> (qEssWeights _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -14912,6 +15073,99 @@ object SparkEntry {
          | SELECT event_type, CAST(j AS BIGINT) AS j, r_sum, page_l,
          |  round((CAST(page_l AS DOUBLE) - mu_l) / sd_l, 6) AS z
          | FROM rj CROSS JOIN st ORDER BY j""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q309_entropy_rate" -> {
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+         |  event_type FROM events),
+         | pr AS (SELECT event_type AS cur, lead(event_type) OVER
+         |  (PARTITION BY user_id ORDER BY us, event_id) AS next FROM e),
+         | cells AS MATERIALIZED (SELECT cur, next, count(*) AS n
+         |  FROM pr WHERE next IS NOT NULL GROUP BY cur, next),
+         | ct AS (SELECT cur, sum(n) AS nc FROM cells GROUP BY cur),
+         | nt AS (SELECT next, sum(n) AS nx FROM cells GROUP BY next),
+         | tt AS (SELECT CAST(sum(n) AS BIGINT) AS ntr FROM cells),
+         | hc AS (SELECT ${dsumSql(
+           "(CAST(n AS DOUBLE) / CAST(ntr AS DOUBLE)) * " +
+             "(0.0 - ln(CAST(n AS DOUBLE) / CAST(nc AS DOUBLE)))")}
+         |   AS h_cond
+         |  FROM cells JOIN ct USING (cur) CROSS JOIN tt),
+         | hm AS (SELECT ${dsumSql(
+           "(CAST(nx AS DOUBLE) / CAST(ntr AS DOUBLE)) * " +
+             "(0.0 - ln(CAST(nx AS DOUBLE) / CAST(ntr AS DOUBLE)))")}
+         |   AS h_marg
+         |  FROM nt CROSS JOIN tt)
+         | SELECT ntr AS n_transitions, round(h_cond, 6) AS entropy_rate,
+         |  round(h_marg, 6) AS entropy_marginal,
+         |  round(h_marg - h_cond, 6) AS memory_gain
+         | FROM hc CROSS JOIN hm CROSS JOIN tt""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q310_seq_patterns" -> {
+      s"""WITH spans AS MATERIALIZED (SELECT user_id, event_type,
+         |  min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+         |  GROUP BY user_id, event_type),
+         | u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+         |  FROM spans),
+         | pats AS (SELECT a.event_type AS antecedent,
+         |  b.event_type AS consequent,
+         |  CAST(count(*) FILTER (WHERE a.mn < b.mn) AS BIGINT) AS n_seq
+         |  FROM spans a JOIN spans b ON b.user_id = a.user_id
+         |   AND b.event_type <> a.event_type
+         |  GROUP BY a.event_type, b.event_type),
+         | sg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_has
+         |  FROM spans GROUP BY event_type)
+         | SELECT antecedent, consequent, n_seq,
+         |  round(CAST(n_seq AS DOUBLE) / CAST(nu AS DOUBLE), 6)
+         |   AS support,
+         |  round(CAST(n_seq AS DOUBLE) * CAST(nu AS DOUBLE) /
+         |   (CAST(sa.n_has AS DOUBLE) * CAST(sb.n_has AS DOUBLE)), 6)
+         |   AS lift
+         | FROM pats JOIN sg sa ON sa.event_type = antecedent
+         | JOIN sg sb ON sb.event_type = consequent CROSS JOIN u
+         | ORDER BY antecedent, consequent""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q311_overdispersion" -> {
+      s"""WITH per AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS c
+         |  FROM events GROUP BY user_id),
+         | mo AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(c) AS sc,
+         |  sum(c * c) AS scc FROM per),
+         | m AS (SELECT CAST(n AS DOUBLE) AS n,
+         |  CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         |  CAST(n * scc - sc * sc AS DOUBLE) /
+         |   (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS variance
+         |  FROM mo)
+         | SELECT CAST(n AS BIGINT) AS n_users, round(mean, 6) AS mean,
+         |  round(variance, 6) AS variance,
+         |  round(variance / mean, 6) AS dispersion,
+         |  round(sqrt(2.0 * (n - 1.0) * variance / mean) -
+         |   sqrt(2.0 * (n - 1.0) - 1.0), 6) AS poisson_z,
+         |  round(mean * mean / (variance - mean), 6) AS nb_r,
+         |  round(mean / variance, 6) AS nb_p
+         | FROM m""".stripMargin.replaceAll("\n", " ")
+    },
+    "q312_ess_weights" -> {
+      s"""WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd
+         |  FROM documents GROUP BY lang),
+         | tot AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM cnt),
+         | g AS MATERIALIZED (SELECT lang, nd, n,
+         |  CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         |  sqrt(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)) AS q_raw
+         |  FROM cnt CROSS JOIN tot),
+         | z AS (SELECT ${dsumSql("q_raw")} AS zq FROM g),
+         | w AS MATERIALIZED (SELECT lang, nd, n,
+         |  (q_raw / zq) / p AS w FROM g CROSS JOIN z),
+         | ess AS (SELECT round(${dsumSql("CAST(nd AS DOUBLE) * w")} *
+         |   ${dsumSql("CAST(nd AS DOUBLE) * w")} /
+         |   ${dsumSql("CAST(nd AS DOUBLE) * w * w")}, 2) AS ess,
+         |  round(${dsumSql("CAST(nd AS DOUBLE) * w")} *
+         |   ${dsumSql("CAST(nd AS DOUBLE) * w")} /
+         |   ${dsumSql("CAST(nd AS DOUBLE) * w * w")} /
+         |   CAST(max(n) AS DOUBLE), 6) AS ess_fraction FROM w)
+         | SELECT lang, nd AS n_docs, round(w, 6) AS weight, ess,
+         |  ess_fraction
+         | FROM w CROSS JOIN ess ORDER BY lang""".stripMargin
         .replaceAll("\n", " ")
     }
   )

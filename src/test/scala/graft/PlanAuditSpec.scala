@@ -753,6 +753,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-10 session-6 batch-3 additions keep their scale shapes (q309-q312)") {
+    // q309 entropy rate / q311 overdispersion: corpus-sized grouped
+    // aggregates with map-side combine; margins broadcast
+    Seq("q309_entropy_rate", "q311_overdispersion").foreach { n =>
+      val p = plan(SparkEntry.queries(n)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$n lost partial aggregation:\n$p")
+    }
+    // q310 seq patterns: the (user, type) span aggregate bounds the
+    // self-join at 5x5 per user — no event-level pair join
+    val q310 = plan(SparkEntry.queries("q310_seq_patterns")(spark, sf))
+    assert(!q310.contains("CartesianProduct"),
+      s"seq patterns plan a cartesian:\n$q310")
+    assert("HashAggregate".r.findAllIn(q310).size >= 2,
+      s"seq patterns lost partial aggregation:\n$q310")
+    // q312 ESS: one per-language count; everything else metadata-sized
+    val q312 = plan(SparkEntry.queries("q312_ess_weights")(spark, sf))
+    assert(!q312.contains("CartesianProduct"),
+      s"ESS plans a cartesian:\n$q312")
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
