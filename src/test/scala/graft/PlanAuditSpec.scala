@@ -775,6 +775,26 @@ class PlanAuditSpec extends SparkSpec {
       s"ESS plans a cartesian:\n$q312")
   }
 
+  test("round-10 session-6 batch-4 additions keep their scale shapes (q313-q315)") {
+    // q313 graph stats: pair/wedge generation is the bucket-confined
+    // equi-self-join family (q156/q290 shape), never a cartesian
+    val q313 = plan(SparkEntry.queries("q313_graph_stats")(spark, sf))
+    assert(!q313.contains("CartesianProduct"),
+      s"graph stats plan a cartesian:\n$q313")
+    assert("HashAggregate".r.findAllIn(q313).size >= 2,
+      s"graph stats lost partial aggregation:\n$q313")
+    // q314 runs test: one daily aggregate; bounded-frame lag
+    val q314 = plan(SparkEntry.queries("q314_runs_test")(spark, sf))
+    assert(!q314.contains("CartesianProduct"),
+      s"runs test plans a cartesian:\n$q314")
+    // q315 Theil: per-customer aggregate + broadcast nation margins
+    val q315 = plan(SparkEntry.queries("q315_theil")(spark, sf))
+    assert(!q315.contains("CartesianProduct"),
+      s"Theil plans a cartesian:\n$q315")
+    assert(q315.contains("BroadcastHashJoin"),
+      s"Theil nation margins not broadcast:\n$q315")
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
