@@ -9309,6 +9309,64 @@ object SparkEntry {
           lit(1e-7)).as("decomposition_ok"))
   }
 
+  /** X51 — Bradley–Terry pairwise-preference ratings via the MM
+    * algorithm (Bradley & Terry 1952; Hunter 2004's minorization
+    * update θ_i ← W_i / Σ_j n_ij/(θ_i+θ_j)) — the model behind Elo,
+    * arena-style LLM eval leaderboards, and every "A beats B" rating.
+    * Comparisons: within an order, supplier a beats supplier b when
+    * a's extendedprice total for that order exceeds b's (exact 2-dp
+    * decimals; ties are no-games, documented). The pair aggregate is
+    * the only corpus-sized stage; eight MM iterations run on the
+    * bounded supplier-pair frame (five registered iterations — MM converges geometrically and each costs a full pair-frame pass) with the q301 determinism recipe —
+    * ratings quantize to 1e-9 after each update, so the whole
+    * trajectory is bitwise cross-engine. Mean-normalized; top-20.
+    */
+  private def qBradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val perOs = li(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        round(col("l_extendedprice") * 100).cast(DecimalType(38, 0))
+          .as("pc"))
+      .groupBy("ok", "sk").agg(sum("pc").as("pc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q316.perOs", perOs)
+    val games = perOs.toDF("ok", "sa", "pa")
+      .join(perOs.toDF("ok2", "sb", "pb"),
+        col("ok") === col("ok2") && col("sa") =!= col("sb"))
+      .where(col("pa") =!= col("pb"))
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("n_ij"),
+        count(when(col("pa") > col("pb"), 1)).as("w_ij"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q316", games)
+    val wins = games.groupBy(col("sa").as("i"))
+      .agg(sum("w_ij").cast(DoubleType).as("wi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q316.wins", wins)
+    var theta = wins.select(col("i"), lit(1.0).as("th"))
+      .coalesce(1).localCheckpoint(true)
+    for (_ <- 1 to 5) {
+      val denom = games
+        .join(broadcast(theta.toDF("i", "thi")), col("sa") === col("i"))
+        .join(broadcast(theta.toDF("j", "thj")), col("sb") === col("j"))
+        .groupBy(col("sa"))
+        .agg(Stats.dsum(col("n_ij").cast(DoubleType) /
+          (col("thi") + col("thj"))).as("dn"))
+      val raw = wins.join(denom, col("i") === col("sa"))
+        .select(col("i"), (col("wi") / col("dn")).as("tr"))
+      val mean = raw.agg(Stats.dsum(col("tr")).as("st"),
+        count(lit(1)).cast(DoubleType).as("nn"))
+      theta = raw.crossJoin(broadcast(mean))
+        .select(col("i"),
+          (round(col("tr") / (col("st") / col("nn")) * lit(1e9)) /
+            lit(1e9)).as("th"))
+        .coalesce(1).localCheckpoint(true)
+    }
+    theta.join(wins, Seq("i"))
+      .select(col("i").as("supplier"), col("wi").cast("long").as("wins"),
+        round(col("th"), 6).as("rating"))
+      .orderBy(desc("rating"), col("supplier")).limit(20)
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -9635,7 +9693,8 @@ object SparkEntry {
     "q312_ess_weights" -> (qEssWeights _),
     "q313_graph_stats" -> (qGraphStats _),
     "q314_runs_test" -> (qRunsTest _),
-    "q315_theil" -> (qTheil _)
+    "q315_theil" -> (qTheil _),
+    "q316_bradley_terry" -> (qBradleyTerry _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -15450,6 +15509,40 @@ object SparkEntry {
          |  (abs(t_total - t_within - t_between) < 0.0000001)
          |   AS decomposition_ok
          | FROM tt CROSS JOIN tw CROSS JOIN tb""".stripMargin
+        .replaceAll("\n", " ")
+    },
+    "q316_bradley_terry" -> {
+      val iters = (1 to 5).map { t =>
+        s"""dn$t AS (SELECT sa, ${dsumSql(
+             "CAST(n_ij AS DOUBLE) / (ti.th + tj.th)")} AS dn
+           | FROM games JOIN t${t - 1} ti ON ti.i = games.sa
+           | JOIN t${t - 1} tj ON tj.i = games.sb GROUP BY sa),
+           | raw$t AS MATERIALIZED (SELECT wins.i, wi / dn AS tr
+           | FROM wins JOIN dn$t ON dn$t.sa = wins.i),
+           | mn$t AS (SELECT ${dsumSql("tr")} AS st,
+           |  CAST(count(*) AS DOUBLE) AS nn FROM raw$t),
+           | t$t AS MATERIALIZED (SELECT i,
+           |  round(tr / (st / nn) * 1e9) / 1e9 AS th
+           | FROM raw$t CROSS JOIN mn$t)""".stripMargin
+      }
+      s"""WITH perOs AS MATERIALIZED (SELECT l_orderkey AS ok,
+         |  l_suppkey AS sk,
+         |  sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS pc
+         |  FROM lineitem GROUP BY l_orderkey, l_suppkey),
+         | games AS MATERIALIZED (SELECT a.sk AS sa, b.sk AS sb,
+         |  CAST(count(*) AS BIGINT) AS n_ij,
+         |  CAST(count(*) FILTER (WHERE a.pc > b.pc) AS BIGINT) AS w_ij
+         |  FROM perOs a JOIN perOs b ON b.ok = a.ok AND a.sk <> b.sk
+         |  WHERE a.pc <> b.pc GROUP BY a.sk, b.sk),
+         | wins AS MATERIALIZED (SELECT sa AS i,
+         |  CAST(sum(w_ij) AS DOUBLE) AS wi FROM games GROUP BY sa),
+         | t0 AS MATERIALIZED (SELECT i, CAST(1.0 AS DOUBLE) AS th
+         |  FROM wins),
+         | ${iters.mkString(", ")}
+         | SELECT t5.i AS supplier, CAST(wi AS BIGINT) AS wins,
+         |  round(th, 6) AS rating
+         | FROM t5 JOIN wins ON wins.i = t5.i
+         | ORDER BY rating DESC, supplier LIMIT 20""".stripMargin
         .replaceAll("\n", " ")
     }
   )

@@ -795,6 +795,17 @@ class PlanAuditSpec extends SparkSpec {
       s"Theil nation margins not broadcast:\n$q315")
   }
 
+  test("q316 Bradley-Terry keeps its scale shape") {
+    // comparison-pair generation is the per-order equi-self-join; the
+    // MM iterations sit behind checkpoints, so pin the observable
+    // final plan for no cartesian and a distributed top-k
+    val q316 = plan(SparkEntry.queries("q316_bradley_terry")(spark, sf))
+    assert(!q316.contains("CartesianProduct"),
+      s"Bradley-Terry plans a cartesian:\n$q316")
+    assert(q316.contains("TakeOrderedAndProject"),
+      s"Bradley-Terry top-20 is not a distributed top-k:\n$q316")
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
