@@ -9454,6 +9454,156 @@ object SparkEntry {
           col("n_classes").cast(DoubleType), 6).as("pct_classes_l_lt_3"))
   }
 
+  /** X54 — Mann–Kendall trend test + Sen's slope (Mann 1945; Sen
+    * 1968): the nonparametric trend battery beside q133's Theil–Sen
+    * regression — S = Σ_{i<j} sign(x_j − x_i) with the no-ties
+    * variance n(n−1)(2n+5)/18 and continuity-corrected z, plus Sen's
+    * slope as the exact median of the 435 pairwise slopes (avg of the
+    * two middle order statistics on the bounded pair frame).
+    * Detection twin: `trend_injected` adds +2000.00·t — Sen's slope
+    * recovers ≈2000 and z leaves the null band; `healthy` stays
+    * inside it. Daily sums exact centi-units; the pair join is the
+    * bounded ~30-row frame against itself.
+    */
+  private def qMannKendall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily0 = ev(s, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"), col("value"))
+      .groupBy("day")
+      .agg(sum(round(col("value") * 100).cast(DecimalType(38, 0))).as("xc"))
+    val m0 = daily0.agg(min("day").as("d0"))
+    val daily = daily0.crossJoin(broadcast(m0))
+      .select((col("day") - col("d0")).as("t"), col("xc"))
+    val series = daily.select(lit("healthy").as("scenario"), col("t"),
+        col("xc"))
+      .unionByName(daily.select(lit("trend_injected").as("scenario"),
+        col("t"), (col("xc") + col("t") * lit(200000L))
+          .cast(DecimalType(38, 0)).as("xc")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q319", series)
+    val pairs = series.toDF("scenario", "ti", "xi")
+      .join(series.toDF("sc2", "tj", "xj"),
+        col("scenario") === col("sc2") && col("ti") < col("tj"))
+      .select(col("scenario"),
+        signum((col("xj") - col("xi")).cast(DoubleType)).as("sg"),
+        ((col("xj") - col("xi")).cast(DoubleType) / lit(100.0) /
+          (col("tj") - col("ti")).cast(DoubleType)).as("slope"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q319.pairs", pairs)
+    val wS = Window.partitionBy("scenario").orderBy("slope")
+    val med = pairs
+      .withColumn("rk", row_number().over(wS))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("scenario")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .where(col("rk") === expr("(np + 1) div 2") ||
+        col("rk") === expr("np div 2 + 1"))
+      .groupBy("scenario").agg(Stats.dsum(col("slope")).as("msum"),
+        count(lit(1)).cast(DoubleType).as("mc"))
+      .select(col("scenario"), (col("msum") / col("mc")).as("sen"))
+    val st = pairs.groupBy("scenario")
+      .agg(sum(col("sg").cast(DecimalType(38, 0))).cast("long").as("s_mk"))
+    val n = series.groupBy("scenario").agg(count(lit(1)).as("n"))
+    st.join(n, Seq("scenario")).join(med, Seq("scenario"))
+      .select(col("scenario"), col("n"), col("s_mk"),
+        round(when(col("s_mk") > 0,
+          (col("s_mk").cast(DoubleType) - 1.0)).otherwise(
+          when(col("s_mk") < 0, col("s_mk").cast(DoubleType) + 1.0)
+            .otherwise(lit(0.0))) /
+          sqrt(col("n").cast(DoubleType) * (col("n").cast(DoubleType) - 1.0) *
+            (lit(2.0) * col("n").cast(DoubleType) + 5.0) / lit(18.0)), 6)
+          .as("z"),
+        round(col("sen"), 6).as("sen_slope"))
+      .orderBy("scenario")
+  }
+
+  /** X55 — Hurst exponent by rescaled-range analysis (Hurst 1951;
+    * Mandelbrot & Wallis 1969): log(R/S) vs log(n) over block sizes
+    * n ∈ {8, 16, 24} on the daily series. Detection twin: `healthy`
+    * is the (near-iid) daily revenue — H̄ hovers near the 0.5 noise
+    * band; `walk_injected` REPLACES the series with a deterministic
+    * hash-sign random walk (cumulative ±1000.00 steps), whose R/S
+    * slope runs near 1 — the long-memory signature R/S exists to
+    * detect. Block R and S come from exact centi-unit cumulative
+    * sums and moments over the bounded ~30-row frame; the final OLS
+    * runs on 3 points per scenario. Caveat carried in the numbers:
+    * plain R/S overestimates H at small n (the Anis–Lloyd bias —
+    * healthy reads ≈0.72, not 0.5, on 30 points); the registered
+    * measurement is the healthy-vs-walk CONTRAST (0.72 vs 1.02),
+    * not an absolute H estimate.
+    */
+  private def qHurst(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.aug.Sampling.keyBucket
+    val daily0 = ev(s, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"), col("value"))
+      .groupBy("day")
+      .agg(sum(round(col("value") * 100).cast(DecimalType(38, 0))).as("xc"))
+    val m0 = daily0.agg(min("day").as("d0"))
+    val base = daily0.crossJoin(broadcast(m0))
+      .select((col("day") - col("d0")).as("t"), col("xc"))
+    val wWalk = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = base.select(col("t"),
+        when(keyBucket(col("t") + lit(7700L), 37L) < lit(500000L),
+          lit(100000L)).otherwise(lit(-100000L))
+          .cast(DecimalType(38, 0)).as("step"))
+      .withColumn("xc", sum("step").over(wWalk)).drop("step")
+    val series = base.select(lit("healthy").as("scenario"), col("t"),
+        col("xc"))
+      .unionByName(walk.select(lit("walk_injected").as("scenario"),
+        col("t"), col("xc")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q320", series)
+    val sizes = Seq(8, 16, 24)
+    val rs = sizes.map { bn =>
+      val blk = series.select(col("scenario"), col("t"), col("xc"),
+          expr(s"t div $bn").as("blk"))
+      // block mean from exact sums; per-row deviation; cumulative
+      // deviation range R and block sd S over the bounded frame
+      val bm = blk.groupBy("scenario", "blk")
+        .agg(sum("xc").as("sxc"), count(lit(1)).as("bc"))
+        .where(col("bc") === bn)
+      val dev = blk.join(bm, Seq("scenario", "blk"))
+        .select(col("scenario"), col("blk"), col("t"),
+          (col("xc").cast(DoubleType) -
+            col("sxc").cast(DoubleType) / col("bc").cast(DoubleType))
+            .as("d"),
+          col("bc"))
+      val wCum = Window.partitionBy("scenario", "blk").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = dev.withColumn("cd",
+        sum(col("d").cast(DecimalType(38, 10))).over(wCum)
+          .cast(DoubleType))
+      cum.groupBy("scenario", "blk")
+        .agg((greatest(max("cd"), lit(0.0)) -
+          least(min("cd"), lit(0.0))).as("r"),
+          sqrt(Stats.dsum(col("d") * col("d")) /
+            max(col("bc")).cast(DoubleType)).as("sd"))
+        .where(col("sd") > 0)
+        .select(col("scenario"), lit(bn).as("n"),
+          (col("r") / col("sd")).as("rs"))
+    }.reduce(_ unionByName _)
+    val pts = rs.groupBy("scenario", "n")
+      .agg(Stats.dsum(col("rs")).as("srs"),
+        count(lit(1)).cast(DoubleType).as("nb"))
+      .select(col("scenario"), col("n"),
+        log(col("srs") / col("nb")).as("y"),
+        log(col("n").cast(DoubleType)).as("x"))
+    val fit = pts.groupBy("scenario").agg(
+        Stats.dsum(col("x")).as("sx"), Stats.dsum(col("y")).as("sy"),
+        Stats.dsum(col("x") * col("y")).as("sxy"),
+        Stats.dsum(col("x") * col("x")).as("sxx"),
+        count(lit(1)).cast(DoubleType).as("np"))
+      .select(col("scenario"),
+        round((col("sxy") - col("sx") * col("sy") / col("np")) /
+          (col("sxx") - col("sx") * col("sx") / col("np")), 6)
+          .as("hurst_h"))
+    pts.select(col("scenario"), col("n"),
+        round(exp(col("y")), 6).as("rs_mean"))
+      .join(fit, Seq("scenario"))
+      .orderBy("scenario", "n")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -9783,7 +9933,9 @@ object SparkEntry {
     "q315_theil" -> (qTheil _),
     "q316_bradley_terry" -> (qBradleyTerry _),
     "q317_join_size_ams" -> (qJoinSizeAms _),
-    "q318_k_anonymity" -> (qKAnonymity _)
+    "q318_k_anonymity" -> (qKAnonymity _),
+    "q319_mann_kendall" -> (qMannKendall _),
+    "q320_hurst" -> (qHurst _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -15695,6 +15847,99 @@ object SparkEntry {
          |  round(CAST(cl3 AS DOUBLE) / CAST(n_classes AS DOUBLE), 6)
          |   AS pct_classes_l_lt_3
          | FROM ag""".stripMargin.replaceAll("\n", " ")
+    },
+    "q319_mann_kendall" -> {
+      s"""WITH daily0 AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |  sum(CAST(round(value * 100) AS HUGEINT)) AS xc FROM events
+         |  GROUP BY day),
+         | m0 AS (SELECT min(day) AS d0 FROM daily0),
+         | daily AS (SELECT day - d0 AS t, xc FROM daily0 CROSS JOIN m0),
+         | series AS MATERIALIZED (
+         |  SELECT 'healthy' AS scenario, t, xc FROM daily
+         |  UNION ALL SELECT 'trend_injected', t, xc + t * 200000
+         |  FROM daily),
+         | pairs AS MATERIALIZED (SELECT a.scenario,
+         |  sign(CAST(b.xc - a.xc AS DOUBLE)) AS sg,
+         |  CAST(b.xc - a.xc AS DOUBLE) / 100.0 /
+         |   CAST(b.t - a.t AS DOUBLE) AS slope
+         |  FROM series a JOIN series b
+         |   ON b.scenario = a.scenario AND a.t < b.t),
+         | rkd AS (SELECT scenario, slope, row_number() OVER
+         |  (PARTITION BY scenario ORDER BY slope) AS rk,
+         |  count(*) OVER (PARTITION BY scenario) AS np FROM pairs),
+         | med AS (SELECT scenario,
+         |  ${dsumSql("slope")} / CAST(count(*) AS DOUBLE) AS sen
+         |  FROM rkd WHERE rk = (np + 1) // 2 OR rk = np // 2 + 1
+         |  GROUP BY scenario),
+         | st AS (SELECT scenario,
+         |  CAST(sum(CAST(sg AS HUGEINT)) AS BIGINT) AS s_mk FROM pairs
+         |  GROUP BY scenario),
+         | nn AS (SELECT scenario, CAST(count(*) AS BIGINT) AS n
+         |  FROM series GROUP BY scenario)
+         | SELECT st.scenario, n, s_mk,
+         |  round((CASE WHEN s_mk > 0 THEN CAST(s_mk AS DOUBLE) - 1.0
+         |   WHEN s_mk < 0 THEN CAST(s_mk AS DOUBLE) + 1.0
+         |   ELSE 0.0 END) /
+         |   sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) *
+         |    (2.0 * CAST(n AS DOUBLE) + 5.0) / 18.0), 6) AS z,
+         |  round(sen, 6) AS sen_slope
+         | FROM st JOIN nn ON nn.scenario = st.scenario
+         | JOIN med ON med.scenario = st.scenario
+         | ORDER BY st.scenario""".stripMargin.replaceAll("\n", " ")
+    },
+    "q320_hurst" -> {
+      val wk = graft.aug.Sampling.Sql.keyBucket("(t + 7700)", 37L)
+      val perSize = Seq(8, 16, 24).map { bn =>
+        s"""blk$bn AS (SELECT scenario, t, xc, t // $bn AS blk
+           | FROM series),
+           | bm$bn AS (SELECT scenario, blk, sum(xc) AS sxc,
+           |  CAST(count(*) AS BIGINT) AS bc FROM blk$bn
+           |  GROUP BY scenario, blk HAVING count(*) = $bn),
+           | dev$bn AS (SELECT b.scenario, b.blk, b.t,
+           |  CAST(b.xc AS DOUBLE) -
+           |   CAST(m.sxc AS DOUBLE) / CAST(m.bc AS DOUBLE) AS d, m.bc
+           |  FROM blk$bn b JOIN bm$bn m
+           |   ON m.scenario = b.scenario AND m.blk = b.blk),
+           | cum$bn AS (SELECT scenario, blk, d, bc,
+           |  CAST(sum(CAST(d AS DECIMAL(38,10))) OVER
+           |   (PARTITION BY scenario, blk ORDER BY t
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |   AS DOUBLE) AS cd FROM dev$bn),
+           | rs$bn AS (SELECT scenario, $bn AS n,
+           |  (greatest(max(cd), 0.0) - least(min(cd), 0.0)) /
+           |   sqrt(${dsumSql("d * d")} / CAST(max(bc) AS DOUBLE)) AS rs
+           |  FROM cum$bn GROUP BY scenario, blk
+           |  HAVING sqrt(${dsumSql("d * d")} / CAST(max(bc) AS DOUBLE))
+           |   > 0)""".stripMargin
+      }
+      s"""WITH daily0 AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |  sum(CAST(round(value * 100) AS HUGEINT)) AS xc FROM events
+         |  GROUP BY day),
+         | m0 AS (SELECT min(day) AS d0 FROM daily0),
+         | base AS (SELECT day - d0 AS t, xc FROM daily0 CROSS JOIN m0),
+         | walk AS (SELECT t, sum(CASE WHEN ($wk) < 500000
+         |   THEN 100000 ELSE -100000 END) OVER (ORDER BY t
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xc
+         |  FROM base),
+         | series AS MATERIALIZED (
+         |  SELECT 'healthy' AS scenario, t, xc FROM base
+         |  UNION ALL SELECT 'walk_injected', t, CAST(xc AS HUGEINT)
+         |  FROM walk),
+         | ${perSize.mkString(", ")},
+         | rs AS (SELECT * FROM rs8 UNION ALL SELECT * FROM rs16
+         |  UNION ALL SELECT * FROM rs24),
+         | pts AS MATERIALIZED (SELECT scenario, n,
+         |  ln(${dsumSql("rs")} / CAST(count(*) AS DOUBLE)) AS y,
+         |  ln(CAST(n AS DOUBLE)) AS x FROM rs GROUP BY scenario, n),
+         | fit AS (SELECT scenario,
+         |  round((${dsumSql("x * y")} - ${dsumSql("x")} * ${dsumSql("y")}
+         |    / CAST(count(*) AS DOUBLE)) /
+         |   (${dsumSql("x * x")} - ${dsumSql("x")} * ${dsumSql("x")}
+         |    / CAST(count(*) AS DOUBLE)), 6) AS hurst_h
+         |  FROM pts GROUP BY scenario)
+         | SELECT pts.scenario, n, round(exp(y), 6) AS rs_mean, hurst_h
+         | FROM pts JOIN fit ON fit.scenario = pts.scenario
+         | ORDER BY pts.scenario, n""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

@@ -819,6 +819,17 @@ class PlanAuditSpec extends SparkSpec {
       s"k-anonymity lost partial aggregation:\n$q318")
   }
 
+  test("q319/q320 additions keep their scale shapes") {
+    // both: one corpus-sized daily aggregate; pair/block work runs on
+    // the bounded ~30-row daily frame
+    Seq("q319_mann_kendall", "q320_hurst").foreach { n =>
+      val p = plan(SparkEntry.queries(n)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$n lost partial aggregation:\n$p")
+    }
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
