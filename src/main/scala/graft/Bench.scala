@@ -9,6 +9,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the status store retains per-execution plan strings + metrics
+      // even with the UI off; at 320 queries × 3-4 executions each the
+      // defaults (1000 executions / jobs / stages) hold full physical
+      // plans — typedlit codebooks included — for the whole sweep.
+      // Bound them so sweep position N costs the same heap as position 1.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: session/codegen/readers init so the first timed query
@@ -37,7 +46,20 @@ object Bench {
       // retained caches like a real composite session (the SharedScanAb
       // scheduler story) — the close-out reports BOTH totals.
       val composite = sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPOSITE", "0") == "1"
-      if (!composite) { graft.core.Caches.releaseAll(); System.gc() }
+      // releaseAll now ALSO unpersists every persistent RDD the registry
+      // can't see (localCheckpoint blocks, unregistered persists) — the
+      // r10 official sweep showed those residues squeezing execution
+      // memory until the heavy joins spilled (q290 13-30s vs 2.2s
+      // isolated). CLEAR CACHE drops any CacheManager entries left
+      // behind; the gc + short drain window lets the async
+      // ContextCleaner reap dead broadcast blocks (they only free on
+      // GC, and a big-heap sweep may otherwise never collect).
+      if (!composite) {
+        graft.core.Caches.releaseAll()
+        spark.sql("CLEAR CACHE")
+        System.gc()
+        Thread.sleep(150)
+      }
       // one untimed warmup execution: codegen compilation + JIT of the
       // query's operators land here, so the timed runs measure steady-
       // state throughput (the advisory's <2× per-run spread criterion).
@@ -60,7 +82,15 @@ object Bench {
       }
       val gcSecs = scala.collection.mutable.ListBuffer.empty[Double]
       val heapGb = scala.collection.mutable.ListBuffer.empty[Double]
-      val times = (1 to runs).flatMap { _ =>
+      // reps: arrays stay INDEX-ALIGNED — a failed rep records -1 in the
+      // times array (never a fast failure wall time) alongside its own
+      // gc/heap entries, so bench_detail telemetry always attributes to
+      // the right rep (r10 advisory: flatMap-dropped failures skewed it)
+      val times = (1 to runs).map { _ =>
+        // untimed inter-rep gc: reaps the PREVIOUS rep's dead broadcast
+        // blocks (ContextCleaner only fires on GC) and makes the per-rep
+        // heap sample mean live-set, not allocation-since-last-collect
+        System.gc()
         val g0 = gcMs
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -72,12 +102,13 @@ object Bench {
         gcSecs += (gcMs - g0) / 1e3
         val rt = Runtime.getRuntime
         heapGb += (rt.totalMemory - rt.freeMemory) / 1e9
-        if (ok) Some(dt) else None
+        if (ok) dt else -1.0
       }
+      val okTimes = times.filter(_ >= 0)
       // a query with no successful run is reported as -1, never as a
       // (fast) failure wall time, and lands in the `failed` list
-      if (times.isEmpty) { failed += name; name -> (-1.0, times, gcSecs.toSeq, heapGb.toSeq) }
-      else name -> (times.min, times, gcSecs.toSeq, heapGb.toSeq)
+      if (okTimes.isEmpty) { failed += name; name -> (-1.0, times, gcSecs.toSeq, heapGb.toSeq) }
+      else name -> (okTimes.min, times, gcSecs.toSeq, heapGb.toSeq)
     }.toMap
     // times rounded to ms and the headline total emitted BEFORE the
     // per-query map: the driver's capture window can truncate the tail

@@ -691,14 +691,25 @@ object SparkEntry {
       .join(base.groupBy("l_orderkey", "l_linenumber")
         .agg(count(lit(1)).as("bn")), Seq("l_orderkey", "l_linenumber"))
       .where(col("sn") > col("bn")).count() == 0L
-    // permutation check: index the sorted order itself
-    val idx = graft.aug.Sampling.shuffle(sampled, seed = 42L)
-      .select("l_orderkey").rdd.zipWithIndex().map(_._2)
-    val (permCnt, permMax) = idx.aggregate((0L, -1L))(
-      (a, i) => (a._1 + 1, math.max(a._2, i)),
-      (a, b) => (a._1 + b._1, math.max(a._2, b._2)))
+    // permutation check, two halves: (a) zipWithIndex over the sorted
+    // frame still forces the shuffle's sort to MATERIALIZE (an
+    // aggregate-only form would let Catalyst drop it) and pins the row
+    // count; (b) a key-multiset signature — count + Σ xxhash64(key) as
+    // exact decimal — compared between sampled and shuffled pins that
+    // the shuffle is a PERMUTATION of the sample (zipWithIndex indices
+    // are 0..n−1 by construction, so the old max-index check could not
+    // catch a shuffle that dropped one row and duplicated another)
+    val shuffled = graft.aug.Sampling.shuffle(sampled, seed = 42L)
+    val permCnt = shuffled.select("l_orderkey").rdd
+      .zipWithIndex().map(_._2).count()
+    def keySig(df: DataFrame) = df.agg(
+      count(lit(1)),
+      sum(xxhash64(col("l_orderkey"), col("l_linenumber"))
+        .cast(DecimalType(38, 0)))).head()
+    val (sigS, sigH) = (keySig(sampled), keySig(shuffled))
     sampled.unpersist()
-    val permOk = permCnt == nSamp && permMax == nSamp - 1
+    val permOk = permCnt == nSamp && sigS.getLong(0) == sigH.getLong(0) &&
+      sigS.getDecimal(1) == sigH.getDecimal(1)
     s.range(1).select(
       lit(nTotal).as("n_rows"),
       lit(totals.size.toLong).as("n_classes"),
@@ -1984,12 +1995,11 @@ object SparkEntry {
     (1 to 8).foreach { _ =>
       prevCount = lastCount
       val sv = surv
-      surv = ed
+      surv = graft.core.Caches.checkpointOnce("entry.q246", ed
         .join(sv.withColumnRenamed("v", "src"), "src")
         .join(sv.withColumnRenamed("v", "dst"), "dst")
         .groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
-        .where(col("dg") >= kk).select("v")
-        .localCheckpoint(true)
+        .where(col("dg") >= kk).select("v"))
       lastCount = surv.count()
     }
     val fix = lastCount == prevCount
@@ -2253,8 +2263,8 @@ object SparkEntry {
       val row = pick.select(col("id"), col("vec"), col("n2")).head()
       val (cid, cvec, cn2) =
         (row.getLong(0), row.getSeq[Float](1), row.getDouble(2))
-      cur = cur.withColumn("md", least(col("md"), distTo(cvec, cn2)))
-        .localCheckpoint(true)
+      cur = graft.core.Caches.checkpointOnce("entry.q252",
+        cur.withColumn("md", least(col("md"), distTo(cvec, cn2))))
       val radius = cur.agg(max("md")).head().getDouble(0)
       out += ((r.toLong, cid, radius))
     }
@@ -2588,8 +2598,17 @@ object SparkEntry {
     */
   private def qClusterSafeSplit(s: SparkSession, dir: String): DataFrame = {
     val d = par(doc(s, dir))
+    // maxShingleDocFreq = 256: hot-shingle cap on the pair stage — a
+    // single boilerplate shingle (header, stop phrase) makes the
+    // per-shingle self-join quadratic in its doc frequency on a real
+    // crawl. The fixture's max 3-gram df is 25 at sf0.1 (measured), so
+    // the cap changes nothing here while pinning the scale-safe
+    // candidate rule; the oracle replays the identical exclusion.
+    // Dropping hot shingles from INTERSECTIONS only (sizes stay full)
+    // biases boilerplate-heavy pairs BELOW the 0.5 threshold — the
+    // conservative direction for leakage prevention's candidate graph.
     val pairs = graft.dedup.Dedup.jaccardPairs(d, "doc_id", "text",
-      n = 3, threshold = 0.5)
+      n = 3, threshold = 0.5, maxShingleDocFreq = 256L)
     val comp = graft.dedup.Components.connectedComponents(pairs, "a", "b")
       .withColumnRenamed("id", "doc_id")
     val rooted = d.select(col("doc_id"))
@@ -7516,10 +7535,9 @@ object SparkEntry {
         .groupBy("doc_id").agg(count(lit(1)).as("new_g"))
         .orderBy(desc("new_g"), asc("doc_id")).limit(1).head()
       val (docId, g) = (gain.getLong(0), gain.getLong(1))
-      covered = covered
+      covered = graft.core.Caches.checkpointOnce("entry.q280", covered
         .union(grams.where(col("doc_id") === docId).select("g"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       cum += g
       (k.toLong, docId, g, cum, cum * 1000000L / total)
     }
@@ -8493,10 +8511,10 @@ object SparkEntry {
     graft.core.Caches.retain("q299.pairs", pairs)
     val slim = cand.select(col("qid"), col("cid"), col("rel"))
     val wPick = Window.partitionBy("qid").orderBy(desc("score"), col("cid"))
-    var picked = slim.withColumn("score", col("rel"))
-      .withColumn("rk", row_number().over(wPick)).where(col("rk") === 1)
-      .select(col("qid"), col("cid"), lit(1).as("pick"), col("score"))
-      .localCheckpoint(true)
+    var picked = graft.core.Caches.checkpointOnce("q299.pairs",
+      slim.withColumn("score", col("rel"))
+        .withColumn("rk", row_number().over(wPick)).where(col("rk") === 1)
+        .select(col("qid"), col("cid"), lit(1).as("pick"), col("score")))
     for (r <- 2 to 5) {
       val ms = pairs.join(picked.select(col("qid"),
           col("cid").as("pb")), Seq("qid", "pb"))
@@ -8511,7 +8529,8 @@ object SparkEntry {
       val next = scored.withColumn("rk", row_number().over(wPick))
         .where(col("rk") === 1)
         .select(col("qid"), col("cid"), lit(r).as("pick"), col("score"))
-      picked = picked.unionByName(next).localCheckpoint(true)
+      picked = graft.core.Caches.checkpointOnce("q299.pairs",
+        picked.unionByName(next))
     }
     picked.select(col("qid"), col("pick"), col("cid"),
         round(col("score"), 6).as("score"))
@@ -8618,7 +8637,7 @@ object SparkEntry {
           (col("sx") / col("n")) * (col("sx") / col("n")), lit(1e-6)))
           .as("s2"),
         lit(0.5).as("p1"))
-      .localCheckpoint(true)
+    par = graft.core.Caches.checkpointOnce("entry.q301", par)
     def phi(mu: Column, sd: Column) =
       exp(lit(-0.5) * ((xd - mu) / sd) * ((xd - mu) / sd)) /
         (sd * math.sqrt(2.0 * math.Pi))
@@ -8654,7 +8673,7 @@ object SparkEntry {
             lit(100.0)) * (col("srx2").cast(DoubleType) /
             col("sr2").cast(DoubleType) / lit(100.0)), lit(1e-6))).as("s2"),
         (col("sr1").cast(DoubleType) / lit(1e6) / col("n")).as("p1"))
-        .localCheckpoint(true)
+      par = graft.core.Caches.checkpointOnce("entry.q301", par)
     }
     par.select(col("scenario"), round(col("p1"), 6).as("pi1"),
         round(col("mu1"), 6).as("mu1"), round(col("s1"), 6).as("sigma1"),
@@ -9342,8 +9361,8 @@ object SparkEntry {
       .agg(sum("w_ij").cast(DoubleType).as("wi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.Caches.retain("q316.wins", wins)
-    var theta = wins.select(col("i"), lit(1.0).as("th"))
-      .coalesce(1).localCheckpoint(true)
+    var theta = graft.core.Caches.checkpointOnce("q316",
+      wins.select(col("i"), lit(1.0).as("th")).coalesce(1))
     for (_ <- 1 to 5) {
       val denom = games
         .join(broadcast(theta.toDF("i", "thi")), col("sa") === col("i"))
@@ -9355,11 +9374,12 @@ object SparkEntry {
         .select(col("i"), (col("wi") / col("dn")).as("tr"))
       val mean = raw.agg(Stats.dsum(col("tr")).as("st"),
         count(lit(1)).cast(DoubleType).as("nn"))
-      theta = raw.crossJoin(broadcast(mean))
-        .select(col("i"),
-          (round(col("tr") / (col("st") / col("nn")) * lit(1e9)) /
-            lit(1e9)).as("th"))
-        .coalesce(1).localCheckpoint(true)
+      theta = graft.core.Caches.checkpointOnce("q316",
+        raw.crossJoin(broadcast(mean))
+          .select(col("i"),
+            (round(col("tr") / (col("st") / col("nn")) * lit(1e9)) /
+              lit(1e9)).as("th"))
+          .coalesce(1))
     }
     theta.join(wins, Seq("i"))
       .select(col("i").as("supplier"), col("wi").cast("long").as("wins"),
@@ -13010,9 +13030,11 @@ object SparkEntry {
       val bucket = graft.aug.Sampling.Sql.keyBucket("root", 42L)
       s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents),
          | e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         | ep AS (SELECT doc_id, shingle FROM e WHERE shingle NOT IN (
+         |   SELECT shingle FROM e GROUP BY shingle HAVING count(*) > 256)),
          | sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
          | i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-         |   FROM e x JOIN e y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |   FROM ep x JOIN ep y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2),
          | p AS (SELECT a, b FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
          |   WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
          | ed AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
@@ -13333,12 +13355,12 @@ object SparkEntry {
          | kd AS (SELECT a, max(dm) AS kdm FROM knn GROUP BY a),
          | re AS (SELECT knn.a, knn.b, greatest(kd.kdm, knn.dm) AS rm
          |  FROM knn JOIN kd ON kd.a = knn.b),
-         | lrd AS (SELECT a, CAST(round(5 * 1e12 /
+         | lrd AS (SELECT a, CAST(round(count(*) * 1e12 /
          |   CAST(sum(rm) AS DOUBLE)) AS BIGINT) AS lm FROM re GROUP BY a),
-         | sb AS (SELECT knn.a, sum(l2.lm) AS slb FROM knn
+         | sb AS (SELECT knn.a, sum(l2.lm) AS slb, count(*) AS nb FROM knn
          |  JOIN lrd l2 ON l2.a = knn.b GROUP BY knn.a)
          | SELECT sb.a AS id, kd.kdm AS k_dist_micro, lrd.lm AS lrd_micro,
-         |  round(CAST(slb AS DOUBLE) / (5.0 * CAST(lrd.lm AS DOUBLE)), 6)
+         |  round(CAST(slb AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(lrd.lm AS DOUBLE)), 6)
          |   AS lof
          | FROM sb JOIN lrd ON lrd.a = sb.a JOIN kd ON kd.a = sb.a
          | ORDER BY lof DESC, id LIMIT 10""".stripMargin.replaceAll("\n", " ")

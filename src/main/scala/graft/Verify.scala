@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -28,6 +31,11 @@ object Verify {
           e.getStackTrace.take(12).foreach(f =>
             System.err.println(s"[verify]   at $f"))
         }
+        // 320 single-pass queries: without a per-query teardown the
+        // unregistered persists + checkpoint blocks accumulate for the
+        // whole run (same storage-residue class the bench fixed in r11)
+        graft.core.Caches.releaseAll()
+        spark.sql("CLEAR CACHE")
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

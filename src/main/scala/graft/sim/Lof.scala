@@ -62,19 +62,27 @@ object Lof {
     val reach = knn.join(kdist.select(col("a").as("b"),
         col("k_dist_micro").as("kd_b")), "b")
       .withColumn("reach_micro", greatest(col("kd_b"), col("dist_micro")))
+    // |N_k| counted, not assumed: with n ≤ k rows (or pre-filtered
+    // candidate lists shorter than k) the literal k would silently bias
+    // every lrd/LOF; on a full fixture count(*) == k and the outputs —
+    // and the SQL oracle, which divides by its own per-group counts the
+    // same way — are unchanged
     val lrd = reach.groupBy("a")
-      .agg(sum("reach_micro").as("sum_reach_micro"))
-      // lrd = k / (sum_reach/1e6); store micro-scaled: round(k*1e12/sum)
+      .agg(sum("reach_micro").as("sum_reach_micro"),
+        count(lit(1)).as("n_nbr"))
+      // lrd = |N_k| / (sum_reach/1e6); micro-scaled: round(n*1e12/sum)
       .withColumn("lrd_micro",
-        round(lit(k) * lit(1e12) / col("sum_reach_micro")).cast("long"))
+        round(col("n_nbr") * lit(1e12) / col("sum_reach_micro")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.Caches.retain("lof.lrd", lrd)
     val sumLrdB = knn.join(lrd.select(col("a").as("b"),
         col("lrd_micro").as("lrd_b")), "b")
-      .groupBy("a").agg(sum("lrd_b").as("sum_lrd_b"))
+      .groupBy("a").agg(sum("lrd_b").as("sum_lrd_b"),
+        count(lit(1)).as("n_nbr_b"))
     sumLrdB.join(lrd, "a").join(kdist, "a")
       .select(col("a").as("id"), col("k_dist_micro"), col("lrd_micro"),
         (col("sum_lrd_b").cast("double") /
-          (lit(k.toDouble) * col("lrd_micro").cast("double"))).as("lof"))
+          (col("n_nbr_b").cast("double") * col("lrd_micro").cast("double")))
+          .as("lof"))
   }
 }

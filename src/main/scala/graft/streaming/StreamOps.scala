@@ -85,7 +85,11 @@ object StreamOps {
                      windowDur: String, watermarkDelay: String): DataFrame = {
     val P = 1000000007L
     val sums = (1 to 16).map { j =>
-      val t = col(hashCol) + lit(j * 1000003L)
+      // pre-reduce the item hash into [0, P) before squaring (the batch
+      // q317 estimator's rule): a full-range 64-bit hash would make t*t
+      // wrap Long and void the quadratic-residue balance of the ±1
+      // signs. t ≤ P + 16·1000003 < 2^31, so t*t stays well inside Long.
+      val t = pmod(col(hashCol), lit(P)) + lit(j * 1000003L)
       sum(when((t * t) % P % 2 === 0, 1L).otherwise(-1L)).as(s"s$j")
     } :+ count(lit(1)).as("n_events")
     val sq = (1 to 16).map(j => col(s"s$j") * col(s"s$j")).reduce(_ + _)
