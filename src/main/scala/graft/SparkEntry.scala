@@ -9624,6 +9624,92 @@ object SparkEntry {
       .orderBy("scenario", "n")
   }
 
+  /** MM-JPG-COLOR — REAL baseline COLOR JPEG decode (3-component YCbCr
+    * 4:2:0, the dominant in-the-wild profile; closes the r10 verdict's
+    * "missing #2" color gap over the Huffman/IDCT machinery already
+    * built for q234): deterministic DC-only color JPEGs per doc_id
+    * ([[graft.multimodal.Binary.synthColorJpeg]] — two quant tables,
+    * two Huffman table PAIRS so table selection is exercised, MCU-
+    * interleaved scan with three independent DC difference chains),
+    * fully decoded back — marker walk, SOF0 sampling validation, MCU
+    * entropy decode, dequant, exact integer path for flat blocks — and
+    * reduced to per-plane integer sums. One wrong bit in ANY of the
+    * three chains corrupts every later block of that component and
+    * flips that plane's sum; the oracle recomputes all three planes
+    * from the closed-form clamp(dc·2+128) block values. stubDecode's
+    * boundary shrinks to progressive JPEG / FLAC / MP4 frames.
+    */
+  private def qColorJpeg(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 60).select(col("doc_id"))
+      .withColumn("jpg", Binary.synthColorJpegCol(col("doc_id")))
+      .select(col("doc_id"), Binary.jpegColorStatsCol(col("jpg")).as("st"))
+      .select(col("doc_id"),
+        col("st._1").cast("long").as("width"),
+        col("st._2").cast("long").as("height"),
+        col("st._3").as("sum_y"),
+        col("st._4").as("sum_cb"),
+        col("st._5").as("sum_cr"))
+      .orderBy("doc_id")
+  }
+
+  /** ST-E2E — the streaming surface's oracle-checked BATCH TWIN
+    * (r10 verdict item 7): sessionize → daily session-length
+    * distribution → PSI drift alert, the exact composition the
+    * incremental path runs as streamingSessionize → streamingPsi with
+    * a fitPsiBaseline literal. Conventions are the streaming ops' own:
+    * 30-min gap on micro timestamps, fixed bin edges as x.5 literals
+    * (integer session lengths can never sit ON an edge), baseline
+    * proportions frozen from the first 15 days and carried as driver
+    * literals (the PsiBaseline shape), per-bin eps=1e-6 smoothing on
+    * BOTH sides, psi summed in fixed bin order 0..3 (the oracle chains
+    * the same left-associated expression), alert at psi > 0.2 on the
+    * ROUNDED value. StreamingSpec/StreamParity pin stream == batch per
+    * stage on the same slice; this row documents end-to-end what the
+    * stream computes, inside the hard correctness gate.
+    */
+  private def qStreamPipelineTwin(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val eps = 1e-6
+    val base = ev(s, dir).withColumn("ts_us", expr("ts div 1000"))
+    val sess = graft.seq.Sessionizer.sessionStats(base, Seq("user_id"),
+        col("ts_us"), Seq(col("event_id")), gapUs, col("value"))
+      .select(col("n_events"),
+        expr("CAST(start_ts AS BIGINT) div 86400000000").as("day"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q322", sess)
+    val edges = Seq(1.5, 3.5, 6.5)
+    val binned = sess.withColumn("bin",
+      graft.drift.Drift.binIndex(col("n_events").cast("double"), edges))
+    val minDay = sess.agg(min("day")).head().getLong(0)
+    // frozen baseline: first 15 days' bin proportions, eps-smoothed —
+    // collected to ≤4 rows and carried as literals, the PsiBaseline
+    // contract streamingPsi consumes
+    val baseRows = binned.where(col("day") < minDay + 15)
+      .groupBy("bin").agg(count(lit(1)).as("nb")).collect()
+    val baseTot = baseRows.map(_.getLong(1)).sum.toDouble
+    val pb = Array.tabulate(4) { bI =>
+      val nb = baseRows.find(_.getInt(0) == bI).map(_.getLong(1)).getOrElse(0L)
+      math.max(nb.toDouble / baseTot, eps)
+    }
+    val dayAgg = binned.groupBy("day").agg(
+      count(lit(1)).as("n_sessions"),
+      count(when(col("bin") === 0, 1)).as("c0"),
+      count(when(col("bin") === 1, 1)).as("c1"),
+      count(when(col("bin") === 2, 1)).as("c2"),
+      count(when(col("bin") === 3, 1)).as("c3"))
+    def term(bI: Int): Column = {
+      val pc = greatest(col(s"c$bI").cast("double") /
+        col("n_sessions").cast("double"), lit(eps))
+      (pc - lit(pb(bI))) * log(pc / lit(pb(bI)))
+    }
+    dayAgg
+      .withColumn("psi", round((0 to 3).map(term).reduce(_ + _), 6))
+      .select(col("day"), col("n_sessions"), col("psi"),
+        (col("psi") > lit(0.2)).as("alert"))
+      .orderBy("day")
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Queries deliberately registered without an oracle — the driver
@@ -9955,7 +10041,9 @@ object SparkEntry {
     "q317_join_size_ams" -> (qJoinSizeAms _),
     "q318_k_anonymity" -> (qKAnonymity _),
     "q319_mann_kendall" -> (qMannKendall _),
-    "q320_hurst" -> (qHurst _)
+    "q320_hurst" -> (qHurst _),
+    "q321_color_jpeg" -> (qColorJpeg _),
+    "q322_stream_pipeline" -> (qStreamPipelineTwin _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -15962,6 +16050,68 @@ object SparkEntry {
          | SELECT pts.scenario, n, round(exp(y), 6) AS rs_mean, hurst_h
          | FROM pts JOIN fit ON fit.scenario = pts.scenario
          | ORDER BY pts.scenario, n""".stripMargin.replaceAll("\n", " ")
+    },
+    // all three YCbCr planes recomputed from the closed-form DC
+    // formulas — clamp(dc·2+128) per flat block, 64 samples each
+    "q321_color_jpeg" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 2 + 1 AS mcus
+        |   FROM documents WHERE doc_id < 60),
+        | yb AS (SELECT i.doc_id, least(255, greatest(0,
+        |     ((x.x * 7 + y.y * 11 + i.doc_id * 13) % 200 - 100) * 2 + 128)) AS v
+        |  FROM ids i, range(0, 4) x(x), range(0, 2) y(y)
+        |  WHERE x.x < i.mcus * 2),
+        | cbb AS (SELECT i.doc_id, least(255, greatest(0,
+        |     ((x.x * 5 + i.doc_id * 17) % 160 - 80) * 2 + 128)) AS v
+        |  FROM ids i, range(0, 2) x(x) WHERE x.x < i.mcus),
+        | crb AS (SELECT i.doc_id, least(255, greatest(0,
+        |     ((x.x * 3 + i.doc_id * 19) % 160 - 80) * 2 + 128)) AS v
+        |  FROM ids i, range(0, 2) x(x) WHERE x.x < i.mcus),
+        | ys AS (SELECT doc_id, CAST(64 * sum(v) AS BIGINT) AS sum_y FROM yb GROUP BY doc_id),
+        | cbs AS (SELECT doc_id, CAST(64 * sum(v) AS BIGINT) AS sum_cb FROM cbb GROUP BY doc_id),
+        | crs AS (SELECT doc_id, CAST(64 * sum(v) AS BIGINT) AS sum_cr FROM crb GROUP BY doc_id)
+        | SELECT i.doc_id, CAST(i.mcus * 16 AS BIGINT) AS width,
+        |  CAST(16 AS BIGINT) AS height, sum_y, sum_cb, sum_cr
+        | FROM ids i JOIN ys USING (doc_id) JOIN cbs USING (doc_id)
+        |  JOIN crs USING (doc_id)
+        | ORDER BY i.doc_id""".stripMargin.replaceAll("\n", " "),
+    // full pipeline replay: sessionize (q58's machinery) -> day bins ->
+    // frozen first-15-day baseline -> psi in the SAME left-associated
+    // bin order 0..3 the Spark reduce chains -> alert on the rounded psi
+    "q322_stream_pipeline" -> {
+      val gapUs = 30L * 60 * 1000 * 1000
+      def pcT(b: Int) = s"greatest(CAST(c$b AS DOUBLE) / CAST(n_sessions AS DOUBLE), 1e-6)"
+      def t(b: Int) = s"(${pcT(b)} - pb$b) * ln(${pcT(b)} / pb$b)"
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events),
+         | s AS (SELECT user_id, tsn, event_id,
+         |   CASE WHEN lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > $gapUs THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+         | t AS (SELECT user_id, tsn,
+         |   sum(is_new) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+         |  FROM s),
+         | sess AS (SELECT count(*) AS ne, min(tsn) // 86400000000 AS day
+         |  FROM t GROUP BY user_id, session_seq),
+         | b AS (SELECT day, CAST(ne > 1.5 AS INT) + CAST(ne > 3.5 AS INT)
+         |   + CAST(ne > 6.5 AS INT) AS bin FROM sess),
+         | d0 AS (SELECT min(day) AS d0 FROM b),
+         | bl AS (SELECT bin, count(*) AS nb FROM b, d0 WHERE day < d0 + 15 GROUP BY bin),
+         | blt AS (SELECT count(*) AS tb FROM b, d0 WHERE day < d0 + 15),
+         | pb AS (SELECT
+         |   greatest(coalesce(max(CASE WHEN bin = 0 THEN nb END), 0) / CAST(tb AS DOUBLE), 1e-6) AS pb0,
+         |   greatest(coalesce(max(CASE WHEN bin = 1 THEN nb END), 0) / CAST(tb AS DOUBLE), 1e-6) AS pb1,
+         |   greatest(coalesce(max(CASE WHEN bin = 2 THEN nb END), 0) / CAST(tb AS DOUBLE), 1e-6) AS pb2,
+         |   greatest(coalesce(max(CASE WHEN bin = 3 THEN nb END), 0) / CAST(tb AS DOUBLE), 1e-6) AS pb3
+         |  FROM bl, blt GROUP BY tb),
+         | dc AS (SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+         |   count(*) FILTER (WHERE bin = 0) AS c0,
+         |   count(*) FILTER (WHERE bin = 1) AS c1,
+         |   count(*) FILTER (WHERE bin = 2) AS c2,
+         |   count(*) FILTER (WHERE bin = 3) AS c3
+         |  FROM b GROUP BY day),
+         | p AS (SELECT day, n_sessions,
+         |   round(${t(0)} + ${t(1)} + ${t(2)} + ${t(3)}, 6) AS psi
+         |  FROM dc, pb)
+         | SELECT day, n_sessions, psi, psi > 0.2 AS alert
+         | FROM p ORDER BY day""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

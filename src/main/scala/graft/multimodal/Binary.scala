@@ -1598,4 +1598,362 @@ object Binary {
 
   def jpegLumaStatsCol(c: Column): Column =
     udf { b: Array[Byte] => jpegLumaStats(b) }.apply(c)
+
+  // ---- baseline COLOR JPEG (3-component YCbCr, 4:2:0) --------------- //
+
+  /** Decoded color image: full-resolution luma plane + quarter-size
+    * (w/2 × h/2) chroma planes, exactly as they sit in the codestream —
+    * no upsampling, so every sample is decoder output, not interpolator
+    * output, and per-plane statistics are integer-exact.
+    */
+  final case class JpegYCbCr(width: Int, height: Int, y: Array[Byte],
+                             cb: Array[Byte], cr: Array[Byte])
+
+  /** REAL baseline color JPEG encoder — 3-component YCbCr with 4:2:0
+    * subsampling (the overwhelmingly dominant profile in the wild):
+    * two DQT tables (flat q=16 luma + chroma), TWO DHT pairs (the
+    * Annex-K code lengths registered at table ids 0 and 1, so the
+    * decoder's table SELECTION logic is exercised, not just one shared
+    * table), SOF0 with sampling factors Y=2x2 / Cb=Cr=1x1, and an MCU-
+    * interleaved entropy stream: per 16x16 MCU four Y blocks (left-
+    * right, top-bottom) then Cb then Cr, each component carrying its
+    * OWN DC difference chain (T.81 E.2.4). Dims must be multiples of
+    * 16. `yBlocks` are raster-ordered (w/8 x h/8) quantized blocks;
+    * `cbBlocks`/`crBlocks` raster-ordered (w/16 x h/16).
+    */
+  def jpegEncodeColor420(width: Int, height: Int,
+                         yBlocks: Array[Array[Int]],
+                         cbBlocks: Array[Array[Int]],
+                         crBlocks: Array[Array[Int]]): Array[Byte] = {
+    require(width % 16 == 0 && height % 16 == 0,
+      s"dims must be multiples of 16, got ${width}x$height")
+    val bw = width / 8; val bh = height / 8
+    val cw = width / 16; val ch = height / 16
+    require(yBlocks.length == bw * bh && cbBlocks.length == cw * ch &&
+      crBlocks.length == cw * ch, "block counts must match dims")
+    require((yBlocks ++ cbBlocks ++ crBlocks).forall(blk =>
+      blk.length == 64 && blk.forall(c => c > -1024 && c < 1024)),
+      "coef category must be <= 10")
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] =
+      Array[Byte](0xff.toByte, marker.toByte) ++ be16(body.length + 2) ++ body
+    val app0 = seg(0xe0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val dqt = seg(0xdb, Array[Byte](0x00) ++ Array.fill[Byte](64)(16) ++
+      Array[Byte](0x01) ++ Array.fill[Byte](64)(16))
+    val sof0 = seg(0xc0, Array[Byte](8) ++ be16(height) ++ be16(width) ++
+      Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val dht = seg(0xc4,
+      Array[Byte](0x00) ++ jpegDcBits.map(_.toByte) ++ jpegDcVals ++
+      Array[Byte](0x10) ++ jpegAcBits.map(_.toByte) ++ jpegAcVals ++
+      Array[Byte](0x01) ++ jpegDcBits.map(_.toByte) ++ jpegDcVals ++
+      Array[Byte](0x11) ++ jpegAcBits.map(_.toByte) ++ jpegAcVals)
+    val sos = seg(0xda,
+      Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    val (dcCodes, dcLens) = jpegHuffCodes(jpegDcBits)
+    val (acCodes, acLens) = jpegHuffCodes(jpegAcBits)
+    val acIdx = new Array[Int](256)
+    java.util.Arrays.fill(acIdx, -1)
+    jpegAcVals.zipWithIndex.foreach { case (v, k) => acIdx(v & 0xff) = k }
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    val w = new JpegBitWriter
+    val prev = new Array[Int](3) // per-component DC predictor
+    def putBlock(blk: Array[Int], comp: Int): Unit = {
+      val diff = blk(0) - prev(comp)
+      prev(comp) = blk(0)
+      val s = category(diff)
+      w.put(dcCodes(s), dcLens(s))
+      if (s > 0)
+        w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      val lastNz = (63 to 1 by -1).find(k => blk(jpegZigzag(k)) != 0).getOrElse(0)
+      var k = 1
+      var run = 0
+      while (k <= lastNz) {
+        val c = blk(jpegZigzag(k))
+        if (c == 0) run += 1
+        else {
+          while (run >= 16) {
+            w.put(acCodes(acIdx(0xf0)), acLens(acIdx(0xf0))); run -= 16
+          }
+          val sz = category(c)
+          w.put(acCodes(acIdx((run << 4) | sz)), acLens(acIdx((run << 4) | sz)))
+          w.put(if (c < 0) c + (1 << sz) - 1 else c, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (lastNz < 63) w.put(acCodes(acIdx(0x00)), acLens(acIdx(0x00))) // EOB
+    }
+    var my = 0
+    while (my < ch) {
+      var mx = 0
+      while (mx < cw) {
+        putBlock(yBlocks((my * 2) * bw + mx * 2), 0)
+        putBlock(yBlocks((my * 2) * bw + mx * 2 + 1), 0)
+        putBlock(yBlocks((my * 2 + 1) * bw + mx * 2), 0)
+        putBlock(yBlocks((my * 2 + 1) * bw + mx * 2 + 1), 0)
+        putBlock(cbBlocks(my * cw + mx), 1)
+        putBlock(crBlocks(my * cw + mx), 2)
+        mx += 1
+      }
+      my += 1
+    }
+    w.flush()
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ dqt ++ sof0 ++
+      dht ++ sos ++ w.out.toByteArray ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+  }
+
+  /** REAL baseline color JPEG decode (3-component YCbCr 4:2:0 single
+    * interleaved scan — the profile [[jpegEncodeColor420]] emits and
+    * the one phone cameras and web encoders emit): marker walk, up to
+    * four DQT/DHT tables, SOF0 with sampling validation (Y 2x2, chroma
+    * 1x1; anything else → None), SOS component→table binding, MCU-
+    * interleaved entropy decode with per-component DC chains, dequant,
+    * exact integer path for flat blocks / float IDCT otherwise —
+    * sharing the grayscale decoder's primitives ([[JpegBitReader]],
+    * [[JpegHuffDecoder]], EXTEND). Progressive/arithmetic/restart
+    * markers return None, never junk. The grayscale entry point
+    * [[jpegDecode]] is untouched: separate profiles, separately pinned
+    * oracles.
+    */
+  def jpegDecodeColor420(b: Array[Byte]): Option[JpegYCbCr] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val n = b.length
+    if (n < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    var w = -1; var h = -1
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuffDecoder](4)
+    val acTabs = new Array[JpegHuffDecoder](4)
+    val qSel = new Array[Int](3)   // per-component quant table id
+    val dcSel = new Array[Int](3)  // per-component DC table id (from SOS)
+    val acSel = new Array[Int](3)
+    var entropy: Array[Byte] = null
+    while (entropy == null) {
+      if (i + 4 > n || u8(i) != 0xff) return None
+      val m = u8(i + 1)
+      if (m == 0xd9) return None
+      val len = be16(i + 2)
+      val body = i + 4
+      if (body + len - 2 > n || len < 2) return None
+      m match {
+        case 0xdb =>
+          val segEnd = body + len - 2
+          var p = body
+          while (p < segEnd) {
+            val pq = u8(p) >> 4; val tq = u8(p) & 0x0f
+            if (pq != 0 || tq > 3 || p + 65 > segEnd) return None
+            quant(tq) = Array.tabulate(64)(k => u8(p + 1 + k))
+            p += 65
+          }
+        case 0xc4 =>
+          val segEnd = body + len - 2
+          var p = body
+          while (p < segEnd) {
+            val tc = u8(p) >> 4; val th = u8(p) & 0x0f
+            if (tc > 1 || th > 3 || p + 17 > segEnd) return None
+            val bits = Array.tabulate(16)(k => u8(p + 1 + k))
+            val total = bits.sum
+            if (total > 256 || p + 17 + total > segEnd) return None
+            val vals = Array.tabulate(total)(k => b(p + 17 + k))
+            val dec = new JpegHuffDecoder(bits, vals)
+            if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
+            p += 17 + total
+          }
+        case 0xc0 =>
+          if (len < 17 || u8(body) != 8) return None
+          h = be16(body + 1); w = be16(body + 3)
+          if (u8(body + 5) != 3) return None // color profile only here
+          var c = 0
+          while (c < 3) {
+            val cid = u8(body + 6 + 3 * c)
+            val samp = u8(body + 7 + 3 * c)
+            if (cid != c + 1) return None
+            if (c == 0 && samp != 0x22) return None
+            if (c > 0 && samp != 0x11) return None
+            qSel(c) = u8(body + 8 + 3 * c)
+            c += 1
+          }
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+             0xcb | 0xcd | 0xce | 0xcf =>
+          return None
+        case 0xdd => return None
+        case 0xda =>
+          if (len < 12 || u8(body) != 3) return None
+          var c = 0
+          while (c < 3) {
+            if (u8(body + 1 + 2 * c) != c + 1) return None
+            dcSel(c) = u8(body + 2 + 2 * c) >> 4
+            acSel(c) = u8(body + 2 + 2 * c) & 0x0f
+            c += 1
+          }
+          var p = body + len - 2
+          val raw = new java.io.ByteArrayOutputStream()
+          var end = -1
+          while (end < 0) {
+            if (p >= n) return None
+            val cc = u8(p)
+            if (cc != 0xff) { raw.write(cc); p += 1 }
+            else if (p + 1 < n && u8(p + 1) == 0x00) { raw.write(0xff); p += 2 }
+            else if (p + 1 < n && u8(p + 1) == 0xd9) end = p
+            else return None
+          }
+          entropy = raw.toByteArray
+        case _ => ()
+      }
+      if (entropy == null) i = body + len - 2
+    }
+    if (w <= 0 || h <= 0 || w % 16 != 0 || h % 16 != 0) return None
+    if (w.toLong * h > 64L * 1024 * 1024) return None
+    val qs = Array.tabulate(3) { c =>
+      if (qSel(c) < 0 || qSel(c) > 3) return None
+      quant(qSel(c))
+    }
+    val dcs = Array.tabulate(3)(c => dcTabs(dcSel(c)))
+    val acs = Array.tabulate(3)(c => acTabs(acSel(c)))
+    if (qs.exists(_ == null) || dcs.exists(_ == null) || acs.exists(_ == null))
+      return None
+    val cw = w / 16; val chh = h / 16
+    val py = new Array[Byte](w * h)
+    val pcb = new Array[Byte]((w / 2) * (h / 2))
+    val pcr = new Array[Byte]((w / 2) * (h / 2))
+    val r = new JpegBitReader(entropy)
+    val coef = new Array[Int](64)
+    val prev = new Array[Int](3)
+    // decode one block of component `comp` into plane at block (bx, by)
+    def block(comp: Int, plane: Array[Byte], planeW: Int,
+              bx: Int, by: Int): Boolean = {
+      java.util.Arrays.fill(coef, 0)
+      val s = dcs(comp).decode(r)
+      if (s < 0 || s > 11) return false
+      val dv = r.receive(s)
+      if (dv == Int.MinValue) return false
+      prev(comp) += jpegExtend(dv, s)
+      coef(0) = prev(comp) * qs(comp)(0)
+      var k = 1
+      var eob = false
+      var hasAc = false
+      while (!eob && k < 64) {
+        val sym = acs(comp).decode(r)
+        if (sym < 0) return false
+        if (sym == 0x00) eob = true
+        else if (sym == 0xf0) k += 16
+        else {
+          val run = sym >> 4; val size = sym & 0x0f
+          if (size == 0) return false
+          k += run
+          if (k > 63) return false
+          val av = r.receive(size)
+          if (av == Int.MinValue) return false
+          coef(jpegZigzag(k)) = jpegExtend(av, size) * qs(comp)(k)
+          hasAc = true
+          k += 1
+        }
+      }
+      if (!hasAc) {
+        val v = math.max(0, math.min(255,
+          Math.floorDiv(2 * coef(0) + 8, 16) + 128))
+        var yy = 0
+        while (yy < 8) {
+          java.util.Arrays.fill(plane, (by * 8 + yy) * planeW + bx * 8,
+            (by * 8 + yy) * planeW + bx * 8 + 8, v.toByte)
+          yy += 1
+        }
+      } else {
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            var acc = 0.0
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                val cu = if (u == 0) 0.7071067811865476 else 1.0
+                val cv = if (v == 0) 0.7071067811865476 else 1.0
+                acc += cu * cv * coef(v * 8 + u) *
+                  math.cos((2 * xx + 1) * u * math.Pi / 16) *
+                  math.cos((2 * yy + 1) * v * math.Pi / 16)
+                u += 1
+              }
+              v += 1
+            }
+            val sv = math.max(0, math.min(255, math.round(acc / 4 + 128).toInt))
+            plane((by * 8 + yy) * planeW + bx * 8 + xx) = sv.toByte
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+      true
+    }
+    var my = 0
+    while (my < chh) {
+      var mx = 0
+      while (mx < cw) {
+        if (!block(0, py, w, mx * 2, my * 2)) return None
+        if (!block(0, py, w, mx * 2 + 1, my * 2)) return None
+        if (!block(0, py, w, mx * 2, my * 2 + 1)) return None
+        if (!block(0, py, w, mx * 2 + 1, my * 2 + 1)) return None
+        if (!block(1, pcb, w / 2, mx, my)) return None
+        if (!block(2, pcr, w / 2, mx, my)) return None
+        mx += 1
+      }
+      my += 1
+    }
+    Some(JpegYCbCr(w, h, py, pcb, pcr))
+  }
+
+  /** Deterministic synthetic DC-only COLOR JPEG per id: (id%2+1) MCUs
+    * wide x 1 MCU tall (16 or 32 x 16 px). Per-block DC values by
+    * closed integer formulas (below), flat quant 16 everywhere — every
+    * decoded sample is exactly clamp(dc·2 + 128) on its own plane, so
+    * DuckDB recomputes all three planes in integer arithmetic. Three
+    * interleaved DC chains cross 4 or 10 blocks per image — one wrong
+    * bit in any chain corrupts every later block of that component and
+    * flips that plane's sum.
+    */
+  def synthColorJpeg(id: Long): Array[Byte] = {
+    val mcus = (id % 2 + 1).toInt
+    val bw = mcus * 2
+    val yB = Array.tabulate(bw * 2) { k =>
+      val bx = k % bw; val by = k / bw
+      val blk = new Array[Int](64)
+      blk(0) = ((bx * 7 + by * 11 + id * 13) % 200 - 100).toInt
+      blk
+    }
+    val cbB = Array.tabulate(mcus) { bx =>
+      val blk = new Array[Int](64)
+      blk(0) = ((bx * 5 + id * 17) % 160 - 80).toInt
+      blk
+    }
+    val crB = Array.tabulate(mcus) { bx =>
+      val blk = new Array[Int](64)
+      blk(0) = ((bx * 3 + id * 19) % 160 - 80).toInt
+      blk
+    }
+    jpegEncodeColor420(mcus * 16, 16, yB, cbB, crB)
+  }
+
+  def synthColorJpegCol(c: Column): Column =
+    udf { id: Long => synthColorJpeg(id) }.apply(c)
+
+  /** Per-plane statistics of a decoded color JPEG: (width, height,
+    * sum_y, sum_cb, sum_cr) with exact integer sums — the whole-stream
+    * integrity profile (three DC chains must all decode exactly).
+    */
+  def jpegColorStats(b: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    jpegDecodeColor420(b).map { img =>
+      def psum(p: Array[Byte]): Long = {
+        var s = 0L; var i = 0
+        while (i < p.length) { s += p(i) & 0xff; i += 1 }
+        s
+      }
+      (img.width, img.height, psum(img.y), psum(img.cb), psum(img.cr))
+    }
+
+  def jpegColorStatsCol(c: Column): Column =
+    udf { b: Array[Byte] => jpegColorStats(b) }.apply(c)
 }

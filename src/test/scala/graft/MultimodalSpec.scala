@@ -431,4 +431,82 @@ class MultimodalSpec extends SparkSpec {
       (blocks.sum.toDouble / blocks.length) * (blocks.sum.toDouble / blocks.length)
     assert(math.abs(std - math.sqrt(v)) < 1e-12)
   }
+
+  test("color JPEG 4:2:0: DC-exact round-trip across all three planes") {
+    // 32x16: two MCUs — exercises the MCU walk, per-component DC
+    // chains crossing MCU boundaries, and the two-table-pair selection
+    def flat(dc: Int) = { val b = new Array[Int](64); b(0) = dc; b }
+    val y = Array(flat(-100), flat(-50), flat(0), flat(40),
+      flat(63), flat(99), flat(-1), flat(7))
+    val cb = Array(flat(-80), flat(30))
+    val cr = Array(flat(79), flat(-2))
+    val img = Binary.jpegDecodeColor420(
+      Binary.jpegEncodeColor420(32, 16, y, cb, cr)).get
+    assert(img.width == 32 && img.height == 16)
+    def v(dc: Int) = math.max(0, math.min(255, dc * 2 + 128))
+    // Y raster blocks (bw=4, bh=2)
+    for (by <- 0 until 2; bx <- 0 until 4; py <- 0 until 8; px <- 0 until 8)
+      assert((img.y((by * 8 + py) * 32 + bx * 8 + px) & 0xff) ==
+        v(y(by * 4 + bx)(0)), s"Y block ($bx,$by)")
+    for (bx <- 0 until 2; py <- 0 until 8; px <- 0 until 8) {
+      assert((img.cb(py * 16 + bx * 8 + px) & 0xff) == v(cb(bx)(0)), s"Cb $bx")
+      assert((img.cr(py * 16 + bx * 8 + px) & 0xff) == v(cr(bx)(0)), s"Cr $bx")
+    }
+  }
+
+  test("color JPEG AC path: chroma block with AC coeffs matches reference IDCT") {
+    def flat(dc: Int) = { val b = new Array[Int](64); b(0) = dc; b }
+    val acB = new Array[Int](64)
+    acB(0) = 10; acB(1) = -5; acB(9) = 3; acB(40) = -1
+    val img = Binary.jpegDecodeColor420(Binary.jpegEncodeColor420(16, 16,
+      Array(flat(1), flat(2), flat(3), flat(4)), Array(acB), Array(flat(0)))).get
+    def refIdct(blk: Array[Int], x: Int, y: Int): Int = {
+      var acc = 0.0
+      for (v <- 0 until 8; u <- 0 until 8) {
+        val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+        acc += cu * cv * blk(v * 8 + u) * 16 *
+          math.cos((2 * x + 1) * u * math.Pi / 16) *
+          math.cos((2 * y + 1) * v * math.Pi / 16)
+      }
+      math.max(0, math.min(255, math.round(acc / 4 + 128).toInt))
+    }
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((img.cb(y * 8 + x) & 0xff) == refIdct(acB, x, y), s"Cb ($x,$y)")
+    // Y planes stay DC-exact around it
+    assert((img.y(0) & 0xff) == 130 && (img.y(8) & 0xff) == 132)
+  }
+
+  test("color JPEG decoder rejects unsupported/corrupt input, never junk") {
+    def flat(dc: Int) = { val b = new Array[Int](64); b(0) = dc; b }
+    val ok = Binary.jpegEncodeColor420(16, 16,
+      Array(flat(1), flat(2), flat(3), flat(4)), Array(flat(5)), Array(flat(6)))
+    assert(Binary.jpegDecodeColor420(ok).isDefined)
+    assert(Binary.jpegDecodeColor420(ok.take(60)).isEmpty)   // truncated
+    assert(Binary.jpegDecodeColor420(Array.empty[Byte]).isEmpty)
+    // grayscale stream is a different profile: color decoder rejects it
+    assert(Binary.jpegDecodeColor420(Binary.synthJpeg(3L)).isEmpty)
+    // and the grayscale decoder rejects color streams (3 components)
+    assert(Binary.jpegDecode(ok).isEmpty)
+    // entropy corruption: flip a bit mid-scan → some block fails loudly
+    val bad = ok.clone
+    bad(bad.length - 6) = (bad(bad.length - 6) ^ 0x40).toByte
+    val r = Binary.jpegDecodeColor420(bad)
+    assert(r.isEmpty || r.get.y.length == 256) // None or structurally sane
+  }
+
+  test("color JPEG stats match the closed-form three-plane formulas") {
+    for (id <- Seq(0L, 1L, 7L, 42L, 59L)) {
+      val mcus = (id % 2 + 1).toInt
+      val (w, h, sy, scb, scr) =
+        Binary.jpegColorStats(Binary.synthColorJpeg(id)).get
+      assert(w == mcus * 16 && h == 16)
+      def cl(dc: Long) = math.max(0L, math.min(255L, dc * 2 + 128))
+      val ey = 64L * (for { by <- 0 until 2; bx <- 0 until mcus * 2 }
+        yield cl((bx * 7 + by * 11 + id * 13) % 200 - 100)).sum
+      val ecb = 64L * (0 until mcus).map(bx => cl((bx * 5 + id * 17) % 160 - 80)).sum
+      val ecr = 64L * (0 until mcus).map(bx => cl((bx * 3 + id * 19) % 160 - 80)).sum
+      assert(sy == ey && scb == ecb && scr == ecr, s"id=$id")
+    }
+  }
 }

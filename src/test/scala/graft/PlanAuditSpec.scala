@@ -830,6 +830,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q321/q322 additions keep their scale shapes") {
+    // q321 color JPEG: pure per-row map (encode UDF -> decode UDF) —
+    // no join of any kind may appear
+    val q321 = plan(SparkEntry.queries("q321_color_jpeg")(spark, sf))
+    assert(!q321.contains("Join"), s"color JPEG decode plans a join:\n$q321")
+    // q322 stream twin: sessionize windows partition BY USER (never a
+    // single-partition global window); daily PSI is one grouped agg
+    val q322 = plan(SparkEntry.queries("q322_stream_pipeline")(spark, sf))
+    assert(!q322.contains("CartesianProduct"),
+      s"stream twin plans a cartesian:\n$q322")
+    assert(!q322.contains("SinglePartition"),
+      s"stream twin collapsed to a single partition:\n$q322")
+    assert("HashAggregate".r.findAllIn(q322).size >= 2,
+      s"stream twin lost partial aggregation:\n$q322")
+  }
+
   test("forest scoring stays inside whole-stage codegen") {
     // parquet-backed: a local relation would be constant-folded away
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
