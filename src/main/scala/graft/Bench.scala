@@ -82,6 +82,12 @@ object Bench {
       }
       val gcSecs = scala.collection.mutable.ListBuffer.empty[Double]
       val heapGb = scala.collection.mutable.ListBuffer.empty[Double]
+      // per-rep STORAGE telemetry (r11 brief item 5): reps that rise
+      // within one query mean something accumulates that the per-query
+      // teardown never sees — count of persistent RDDs and cached bytes
+      // after each rep make the grower visible in the artifact itself
+      val rddN = scala.collection.mutable.ListBuffer.empty[Int]
+      val storGb = scala.collection.mutable.ListBuffer.empty[Double]
       // reps: arrays stay INDEX-ALIGNED — a failed rep records -1 in the
       // times array (never a fast failure wall time) alongside its own
       // gc/heap entries, so bench_detail telemetry always attributes to
@@ -102,36 +108,50 @@ object Bench {
         gcSecs += (gcMs - g0) / 1e3
         val rt = Runtime.getRuntime
         heapGb += (rt.totalMemory - rt.freeMemory) / 1e9
+        rddN += spark.sparkContext.getPersistentRDDs.size
+        storGb += spark.sparkContext.getRDDStorageInfo
+          .map(i => i.memSize + i.diskSize).sum / 1e9
         if (ok) dt else -1.0
       }
       val okTimes = times.filter(_ >= 0)
       // a query with no successful run is reported as -1, never as a
       // (fast) failure wall time, and lands in the `failed` list
-      if (okTimes.isEmpty) { failed += name; name -> (-1.0, times, gcSecs.toSeq, heapGb.toSeq) }
-      else name -> (okTimes.min, times, gcSecs.toSeq, heapGb.toSeq)
+      if (okTimes.isEmpty) { failed += name; name -> (-1.0, times, gcSecs.toSeq, heapGb.toSeq, rddN.toSeq, storGb.toSeq) }
+      else name -> (okTimes.min, times, gcSecs.toSeq, heapGb.toSeq, rddN.toSeq, storGb.toSeq)
     }.toMap
     // times rounded to ms and the headline total emitted BEFORE the
     // per-query map: the driver's capture window can truncate the tail
     // of a long line, and the total must survive truncation
     def ms(v: Double): Double = math.round(v * 1000) / 1000.0
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, (v, _, _, _)) => s"\"" + k + "\":" + ms(v) }
+      .map { case (k, (v, _, _, _, _, _)) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val runsJson = results.toSeq.sortBy(_._1)
-      .map { case (k, (_, ts, _, _)) =>
+      .map { case (k, (_, ts, _, _, _, _)) =>
         s"\"" + k + "\":" + ts.map(ms).mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
     // telemetry maps land only in the on-disk detail artifact (the
     // stdout contract line keeps its driver-parsed shape)
     val gcJson = results.toSeq.sortBy(_._1)
-      .map { case (k, (_, _, gs, _)) =>
+      .map { case (k, (_, _, gs, _, _, _)) =>
         s"\"" + k + "\":" + gs.map(ms).mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
     val heapJson = results.toSeq.sortBy(_._1)
-      .map { case (k, (_, _, _, hs)) =>
+      .map { case (k, (_, _, _, hs, _, _)) =>
         s"\"" + k + "\":" + hs.map(h => math.round(h * 100) / 100.0)
+          .mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
+    val rddJson = results.toSeq.sortBy(_._1)
+      .map { case (k, (_, _, _, _, rs, _)) =>
+        s"\"" + k + "\":" + rs.mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
+    val storJson = results.toSeq.sortBy(_._1)
+      .map { case (k, (_, _, _, _, _, ss)) =>
+        s"\"" + k + "\":" + ss.map(v => math.round(v * 100) / 100.0)
           .mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
@@ -152,7 +172,7 @@ object Bench {
       "bench_detail.json")
     try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(detailPath),
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs,"runs":$runsJson,"gc_sec":$gcJson,"heap_gb":$heapJson}""" + "\n")
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs,"runs":$runsJson,"gc_sec":$gcJson,"heap_gb":$heapJson,"persist_rdds":$rddJson,"storage_gb":$storJson}""" + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench_detail write failed: $e") }
     spark.stop()

@@ -94,6 +94,15 @@ object Caches {
     * [[retain]] stays async — an operator should not stall on its
     * neighbor's cleanup.
     *
+    * CONCURRENCY CONTRACT: call only at a single-threaded session
+    * boundary — no query in flight on any thread. The sweep below
+    * unpersists every persistent RDD the SparkContext knows about,
+    * including caches and localCheckpoint blocks owned by OTHER code
+    * (parallel suites, a second thread mid-query); yanking a foreign
+    * localCheckpoint's blocks mid-action is an error (truncated
+    * lineage cannot recompute), not a slow path. All in-repo callers
+    * (Bench/Verify per-query teardown, suite afterAll) satisfy this.
+    *
     * Also drops the [[checkpointOnce]] memo and — because checkpoint
     * blocks, unregistered persists, and dead broadcast blocks are
     * exactly the storage residue the registry CANNOT see — unpersists
@@ -135,13 +144,19 @@ object Caches {
     * Without this, every rerun of a checkpoint-using operator leaks one
     * full copy of its checkpoint blocks into protected storage memory
     * until a GC + async ContextCleaner pass happens to reap it — the
-    * r10 official-bench heavy-tail mechanism. Memoized frames are
-    * dropped (reference only — blocks are reclaimed by the cleaner once
-    * downstream caches release them, or synchronously by [[releaseAll]])
-    * when the per-key bound is exceeded; they are NOT eagerly
-    * unpersisted on LRU trim, because a surviving key's cached frame
-    * may recompute through a truncated checkpoint lineage, and a
-    * truncated lineage without blocks is an error, not a recompute.
+    * r10 official-bench heavy-tail mechanism. When the per-key bound is
+    * exceeded, the oldest entry is dropped AND its checkpoint blocks
+    * are unpersisted (unless another surviving memo entry still holds
+    * the same frame) — otherwise a >64-iteration operator, or a long
+    * composite sweep that never reaches [[releaseAll]], re-accumulates
+    * exactly the unbounded protected-storage residue this memo exists
+    * to prevent. Consequence of the trim contract: a frame returned by
+    * checkpointOnce becomes DEAD once `maxCkPerKey` newer distinct
+    * plans have been checkpointed under the same key (a localCheckpoint
+    * whose blocks are gone cannot recompute). Iterative operators
+    * satisfy this by construction — iteration k's checkpoint is never
+    * re-actioned after iteration k+1 materializes — and non-iterative
+    * callers never approach the bound.
     *
     * Correctness contract: the input plan must be deterministic (every
     * graft operator's plans are — hash-seeded randomness only), so
@@ -160,14 +175,36 @@ object Caches {
       lock.synchronized {
         val cur = ckMemo.getOrElse(key, Nil)
         cur.collectFirst { case (p, f) if p.sameResult(plan) => f } match {
-          case Some(winner) => // racing builder won; ours is redundant
-            ckMemo = ckMemo.updated(key, cur)
+          case Some(winner) => // racing builder won; ours is redundant —
+            // release its freshly materialized blocks, or they linger in
+            // protected storage until releaseAll
+            unpersistCheckpoint(ck)
             winner
           case None =>
-            ckMemo = ckMemo.updated(key, ((plan, ck) :: cur).take(maxCkPerKey))
+            val next = (plan, ck) :: cur
+            val (kept, trimmed) = next.splitAt(maxCkPerKey)
+            ckMemo = ckMemo.updated(key, kept)
+            // see scaladoc: trimmed entries' blocks are dead residue
+            // unless some surviving entry (any key) holds the same frame
+            trimmed.foreach { case (_, old) =>
+              val live = ckMemo.valuesIterator.exists(_.exists(_._2 eq old))
+              if (!live) unpersistCheckpoint(old)
+            }
             ck
         }
       }
     }
   }
+
+  /** Release a localCheckpoint's backing blocks: the checkpointed
+    * frame's plan is a `LogicalRDD` over the persisted internal-row
+    * RDD; unpersist that RDD directly (async — callers are on query
+    * hot paths). After this the frame cannot be re-actioned (truncated
+    * lineage without blocks), which both call sites guarantee.
+    */
+  private def unpersistCheckpoint(ck: DataFrame): Unit =
+    ck.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 }

@@ -52,6 +52,29 @@ object Rank {
     df.join(ranks, v <=> col("__rk_value"), "left").drop("__rk_value")
   }
 
+  /** Average-tie rank map (`valueCol` → `rankCol`) from a PRECOMPUTED
+    * weighted tie table — for callers that already hold per-value row
+    * counts (e.g. several derived scores of one column sharing a
+    * single `groupBy` of the raw value: re-aggregate the raw-value
+    * counts per score value and rank each score WITHOUT another
+    * corpus-sized scan). Bitwise-identical ranks to [[avgRank]]'s
+    * internal tie table: same cast, same invalid-value exclusion, same
+    * [[PrefixScan]] and rank formula. The caller joins the map back to
+    * rows itself (which is the point — once, not once per score).
+    */
+  def rankMap(ties: DataFrame, valueCol: String, tiesCol: String,
+              rankCol: String, cacheKey: String): DataFrame = {
+    val v = col(valueCol).cast(DoubleType)
+    val t = ties.where(v.isNotNull && !isnan(v))
+      .select(v.as("__rk_value"), col(tiesCol).cast("long").as("__rk_ties"))
+    val (scanned, _) = PrefixScan.exclusive(
+      t, "__rk_value", Seq("__rk_ties"), cacheKey)
+    scanned.select(col("__rk_value").as(valueCol),
+      (col("cum___rk_ties_below").cast(DoubleType) +
+        (col("__rk_ties").cast(DoubleType) + lit(1.0)) / lit(2.0))
+        .as(rankCol))
+  }
+
   /** Spearman rank correlation of each unordered column pair, long
     * form (col_x, col_y, rho). Each pair is ranked within its own
     * pairwise-complete subset (both values valid), then Pearson via
@@ -141,9 +164,15 @@ object Rank {
       ranked = ranked.join(mh, col(c) <=> col(s"__v_$c"), "left")
         .drop(s"__v_$c")
     }
-    ranked = ranked
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Caches.retain(cacheKey, ranked)
+    // Pin the k-way rank-joined frame ONCE per plan: a MEMORY_AND_DISK
+    // persist can be evicted mid-sweep under storage pressure, forcing
+    // a full re-derivation (k PrefixScan tie scans + k shuffled
+    // join-backs) inside a single timed action — the r11 official bench
+    // measured q121 reps of [14.8, 2.3, 6.7] s from exactly this. A
+    // memoized localCheckpoint is disk-backed (never silently evicted)
+    // and identical re-derivations reuse the blocks instead of
+    // re-joining.
+    ranked = Caches.checkpointOnce(cacheKey + ":ranked", ranked)
     val aggs = cols.flatMap { c =>
       Seq(Stats.dsum(col(rk(c))).as(s"s_$c"),
         Stats.dsum(col(rk(c)) * col(rk(c))).as(s"ss_$c"))

@@ -14,16 +14,20 @@ import org.apache.spark.sql.types._
   * and deterministic, and so is image-container METADATA decode
   * ([[parseImageMeta]]: PNG/JPEG/GIF dimensions + bit depth from pure
   * header-byte arithmetic). PAYLOAD decode is REAL and dependency-free
-  * for four formats: PNG pixels ([[pngDecode]]: chunk walk + CRC
+  * for six profiles: PNG pixels ([[pngDecode]]: chunk walk + CRC
   * verify + JDK zlib inflate + full scanline defiltering), WAV PCM
   * samples ([[wavPcmDecode]]: RIFF chunk walk + int16 LE), GIF pixels
-  * ([[gifDecode]]: full LZW + palette), and baseline grayscale JPEG
+  * ([[gifDecode]]: full LZW + palette), baseline grayscale JPEG
   * ([[jpegDecode]]: Huffman entropy decode + dequant + IDCT, exact
-  * for DC-only blocks). Codec-library-bound payloads (FLAC/MP3/AAC
-  * frames, MP4 video tracks, color-subsampled JPEG) stay behind the
-  * clearly marked STUB ([[stubDecode]]) — for those, the Spark-side
-  * plumbing (schema, batching, partition-level processing, UDF
-  * signature) is the deliverable and is fully tested.
+  * for DC-only blocks), 4:2:0 color JPEG ([[jpegDecodeColor420]]:
+  * three interleaved DC chains over two Huffman table pairs), and
+  * progressive grayscale JPEG ([[jpegDecodeProgressive]]: spectral
+  * selection + successive approximation, EOBn runs, AC correction
+  * bits). Codec-library-bound payloads (FLAC/MP3/AAC frames, MP4
+  * video tracks) stay behind the clearly marked STUB ([[stubDecode]])
+  * — for those, the Spark-side plumbing (schema, batching,
+  * partition-level processing, UDF signature) is the deliverable and
+  * is fully tested.
   *
   * Scale notes: byte ops are per-row map work with no shuffle. The batch
   * processor mirrors the `mapInPandas` pattern — partition iterators
@@ -1811,8 +1815,14 @@ object Binary {
       if (qSel(c) < 0 || qSel(c) > 3) return None
       quant(qSel(c))
     }
-    val dcs = Array.tabulate(3)(c => dcTabs(dcSel(c)))
-    val acs = Array.tabulate(3)(c => acTabs(acSel(c)))
+    val dcs = Array.tabulate(3) { c =>
+      if (dcSel(c) < 0 || dcSel(c) > 3) return None
+      dcTabs(dcSel(c))
+    }
+    val acs = Array.tabulate(3) { c =>
+      if (acSel(c) < 0 || acSel(c) > 3) return None
+      acTabs(acSel(c))
+    }
     if (qs.exists(_ == null) || dcs.exists(_ == null) || acs.exists(_ == null))
       return None
     val cw = w / 16; val chh = h / 16
@@ -1956,4 +1966,551 @@ object Binary {
 
   def jpegColorStatsCol(c: Column): Column =
     udf { b: Array[Byte] => jpegColorStats(b) }.apply(c)
+
+  // ------------------------------------------------------------------ //
+  // REAL PROGRESSIVE JPEG codec (grayscale SOF2) — the last media
+  // profile a crawl-scale pipeline hits at frequency (r11 brief item
+  // 8). Spectral selection + successive approximation per ITU T.81
+  // G.1/G.2: DC first/refine scans (point transform = arithmetic
+  // shift), AC first scans per spectral band with EOBn run coding, and
+  // AC refinement scans with correction bits (the G.1.2.3 algorithm).
+  // The encoder emits the libjpeg-style six-scan script, so the
+  // decoder's every path — band placement, EOBRUN absorption, ZRL in
+  // refinement, correction-bit ordering — is exercised by the
+  // round-trip spec against the BASELINE decoder's pixels (same
+  // coefficients, two codings, one rendering). The reference keeps all
+  // media handling out of engine scope (no codec anywhere in
+  // francesco-camaione/dataquality_ML); this closes the progressive
+  // half of the boundary the way q234/q321 closed baseline/color.
+  // After this, [[stubDecode]] stands in only for FLAC subframe
+  // samples and MP4 video frames.
+  // ------------------------------------------------------------------ //
+
+  /** Custom AC Huffman table covering ALL 256 symbols (255 at 9 bits,
+    * one at 10): progressive AC scans emit EOBn symbols (r<<4, r ≥ 1)
+    * that the Annex-K baseline table does not contain. Compression is
+    * irrelevant here; exercising the decoder's full symbol space is
+    * the point.
+    */
+  private val jpegProgAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0)
+  private val jpegProgAcVals: Array[Byte] = (0 to 255).map(_.toByte).toArray
+
+  /** The fixed scan script (Ss, Se, Ah, Al) — libjpeg's default
+    * grayscale progression: DC approximation, two AC bands at Al=2,
+    * one AC refinement step to Al=1, the DC bit, the final AC
+    * refinement to Al=0. Completing all scans reconstructs every
+    * coefficient EXACTLY (each refinement step restores one bit).
+    */
+  private val jpegProgScript: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 0, 1), (1, 5, 0, 2), (6, 63, 0, 2),
+    (1, 63, 2, 1), (0, 0, 1, 0), (1, 63, 1, 0))
+
+  /** REAL progressive JPEG encoder (grayscale): SOI, APP0, DQT (flat
+    * q=16), SOF2, DHT (standard DC + full-symbol AC), then one
+    * SOS + entropy segment per script scan. `blocks` are raster-order
+    * 64-entry QUANTIZED coefficient blocks in natural order, as in
+    * [[jpegEncodeBlocks]].
+    */
+  def jpegEncodeProgressive(width: Int, height: Int,
+                            blocks: Array[Array[Int]]): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0,
+      s"dims must be multiples of 8, got ${width}x$height")
+    val bw = width / 8; val bh = height / 8
+    require(blocks.length == bw * bh,
+      s"need ${bw * bh} blocks, got ${blocks.length}")
+    require(blocks.forall(blk => blk.length == 64 &&
+      blk.forall(c => c > -1024 && c < 1024)), "coef category must be <= 10")
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] =
+      Array[Byte](0xff.toByte, marker.toByte) ++ be16(body.length + 2) ++ body
+    val app0 = seg(0xe0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val dqt = seg(0xdb, Array[Byte](0) ++ Array.fill[Byte](64)(16))
+    val sof2 = seg(0xc2, Array[Byte](8) ++ be16(height) ++ be16(width) ++
+      Array[Byte](1, 1, 0x11, 0))
+    val dhtDc = seg(0xc4, Array[Byte](0x00) ++
+      jpegDcBits.map(_.toByte) ++ jpegDcVals)
+    val dhtAc = seg(0xc4, Array[Byte](0x10) ++
+      jpegProgAcBits.map(_.toByte) ++ jpegProgAcVals)
+    val (dcCodes, dcLens) = jpegHuffCodes(jpegDcBits)
+    val (acCodes, acLens) = jpegHuffCodes(jpegProgAcBits) // HUFFVAL = 0..255
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0xff.toByte, 0xd8.toByte)); out.write(app0)
+    out.write(dqt); out.write(sof2); out.write(dhtDc); out.write(dhtAc)
+    jpegProgScript.foreach { case (ss, se, ah, al) =>
+      out.write(seg(0xda,
+        Array[Byte](1, 1, 0x00, ss.toByte, se.toByte, ((ah << 4) | al).toByte)))
+      val w = new JpegBitWriter
+      if (ss == 0 && ah == 0) {
+        // DC first: diff chain on the point-transformed values
+        var prev = 0
+        blocks.foreach { blk =>
+          val t = blk(0) >> al // arithmetic shift = T.81 DC point transform
+          val diff = t - prev; prev = t
+          val s = category(diff)
+          w.put(dcCodes(s), dcLens(s))
+          if (s > 0)
+            w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        }
+      } else if (ss == 0) {
+        // DC refinement: one raw bit per block
+        blocks.foreach(blk => w.put((blk(0) >> al) & 1, 1))
+      } else if (ah == 0) {
+        // AC first scan of band [ss, se] at Al=al, EOBn run coding
+        var eobrun = 0
+        def flushEob(): Unit = if (eobrun > 0) {
+          val rb = 31 - Integer.numberOfLeadingZeros(eobrun)
+          w.put(acCodes(rb << 4), acLens(rb << 4))
+          if (rb > 0) w.put(eobrun - (1 << rb), rb)
+          eobrun = 0
+        }
+        def pt(v: Int): Int = if (v >= 0) v >> al else -((-v) >> al)
+        blocks.foreach { blk =>
+          val t = Array.tabulate(se - ss + 1)(j => pt(blk(jpegZigzag(ss + j))))
+          val lastNz = t.lastIndexWhere(_ != 0)
+          if (lastNz < 0) {
+            eobrun += 1; if (eobrun == 0x7fff) flushEob()
+          } else {
+            flushEob()
+            var r = 0
+            var j = 0
+            while (j <= lastNz) {
+              val v = t(j)
+              if (v == 0) r += 1
+              else {
+                while (r >= 16) { w.put(acCodes(0xf0), acLens(0xf0)); r -= 16 }
+                val sz = category(v)
+                val sym = (r << 4) | sz
+                w.put(acCodes(sym), acLens(sym))
+                w.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+                r = 0
+              }
+              j += 1
+            }
+            if (lastNz < se - ss) { eobrun += 1; if (eobrun == 0x7fff) flushEob() }
+          }
+        }
+        flushEob()
+      } else {
+        // AC refinement scan (T.81 G.1.2.3, mirroring libjpeg's
+        // encode_mcu_AC_refine control flow exactly): newly-significant
+        // coefficients code as (run-of-zero-history<<4)|1 + sign bit;
+        // already-significant ones contribute one correction bit each.
+        // TWO bit buffers, like libjpeg's BE/BR split: `eobBits` ride
+        // with the deferred EOBn (bits of blocks absorbed into the EOB
+        // run, in block order), `runBits` belong to the current
+        // intra-block run and are emitted after the ZRL or significance
+        // symbol whose advance crosses their positions. The ZRL check
+        // runs at EVERY nonzero position (not only newly-significant
+        // ones) — that placement is what keeps the decoder's
+        // advance-and-correct loop bit-synchronized.
+        var eobrun = 0
+        val eobBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val runBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def emitRunBits(): Unit = { runBits.foreach(w.put(_, 1)); runBits.clear() }
+        def flushEob(): Unit = if (eobrun > 0) {
+          val rb = 31 - Integer.numberOfLeadingZeros(eobrun)
+          w.put(acCodes(rb << 4), acLens(rb << 4))
+          if (rb > 0) w.put(eobrun - (1 << rb), rb)
+          eobrun = 0
+          eobBits.foreach(w.put(_, 1)); eobBits.clear()
+        }
+        blocks.foreach { blk =>
+          val band = Array.tabulate(se - ss + 1)(j => blk(jpegZigzag(ss + j)))
+          val temp = band.map(v => math.abs(v) >> al)
+          val eobIdx = temp.lastIndexWhere(_ == 1)
+          var r = 0
+          var j = 0
+          while (j < temp.length) {
+            if (temp(j) == 0) r += 1
+            else {
+              while (r > 15 && j <= eobIdx) {
+                flushEob()
+                w.put(acCodes(0xf0), acLens(0xf0)); r -= 16
+                emitRunBits()
+              }
+              if (temp(j) > 1) runBits += (temp(j) & 1)
+              else { // newly significant
+                flushEob()
+                w.put(acCodes((r << 4) | 1), acLens((r << 4) | 1))
+                w.put(if (band(j) > 0) 1 else 0, 1)
+                emitRunBits()
+                r = 0
+              }
+            }
+            j += 1
+          }
+          if (r > 0 || runBits.nonEmpty) {
+            eobrun += 1
+            eobBits ++= runBits; runBits.clear()
+            if (eobrun == 0x7fff) flushEob()
+          }
+        }
+        flushEob()
+      }
+      w.flush()
+      out.write(w.out.toByteArray)
+    }
+    out.write(Array[Byte](0xff.toByte, 0xd9.toByte))
+    out.toByteArray
+  }
+
+  /** REAL progressive JPEG decode (grayscale SOF2 single-component
+    * profile): multi-scan marker walk (tables may be redefined between
+    * scans), per-scan dispatch on (Ss, Se, Ah, Al) — DC first/refine,
+    * AC first with EOBn runs and ZRL, AC refinement with correction
+    * bits — then dequantization and the same rendering as the baseline
+    * path (exact integer flat blocks, float IDCT otherwise). Returns
+    * None (never junk) on restart markers, truncation, undefined
+    * codes, band violations, or coefficient overruns.
+    */
+  def jpegDecodeProgressive(b: Array[Byte]): Option[JpegImage] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val n = b.length
+    if (n < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    var w = -1; var h = -1
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuffDecoder](4)
+    val acTabs = new Array[JpegHuffDecoder](4)
+    var qSel = -1
+    var coefs: Array[Int] = null // bw*bh*64, QUANTIZED, natural order
+    var nBlocks = 0
+    var sawScan = false
+    var done = false
+    while (!done) {
+      if (i + 2 > n || u8(i) != 0xff) return None
+      val m = u8(i + 1)
+      if (m == 0xd9) { done = true } // EOI
+      else {
+        if (i + 4 > n) return None
+        val len = be16(i + 2)
+        val body = i + 4
+        if (body + len - 2 > n || len < 2) return None
+        m match {
+          case 0xdb =>
+            val segEnd = body + len - 2
+            var p = body
+            while (p < segEnd) {
+              val pq = u8(p) >> 4; val tq = u8(p) & 0x0f
+              if (pq != 0 || tq > 3 || p + 65 > segEnd) return None
+              quant(tq) = Array.tabulate(64)(k => u8(p + 1 + k))
+              p += 65
+            }
+            i = body + len - 2
+          case 0xc4 =>
+            val segEnd = body + len - 2
+            var p = body
+            while (p < segEnd) {
+              val tc = u8(p) >> 4; val th = u8(p) & 0x0f
+              if (tc > 1 || th > 3 || p + 17 > segEnd) return None
+              val bits = Array.tabulate(16)(k => u8(p + 1 + k))
+              val total = bits.sum
+              if (total > 256 || p + 17 + total > segEnd) return None
+              val vals = Array.tabulate(total)(k => b(p + 17 + k))
+              val dec = new JpegHuffDecoder(bits, vals)
+              if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
+              p += 17 + total
+            }
+            i = body + len - 2
+          case 0xc2 => // SOF2 progressive
+            if (coefs != null) return None // one frame header only
+            if (len < 11 || u8(body) != 8) return None
+            h = be16(body + 1); w = be16(body + 3)
+            if (u8(body + 5) != 1) return None // grayscale profile only
+            if (u8(body + 7) != 0x11) return None
+            qSel = u8(body + 8)
+            if (qSel > 3) return None
+            if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0) return None
+            if (w.toLong * h > 64L * 1024 * 1024) return None
+            nBlocks = (w / 8) * (h / 8)
+            coefs = new Array[Int](nBlocks * 64)
+            i = body + len - 2
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+               0xcb | 0xcd | 0xce | 0xcf =>
+            return None // any other SOF: not this profile
+          case 0xdd => return None // DRI unsupported
+          case 0xda =>
+            if (coefs == null) return None // SOS before SOF2
+            if (len < 8 || u8(body) != 1) return None
+            val dcSel = u8(body + 2) >> 4; val acSel = u8(body + 2) & 0x0f
+            val ss = u8(body + 3); val se = u8(body + 4)
+            val ah = u8(body + 5) >> 4; val al = u8(body + 5) & 0x0f
+            if (dcSel > 3 || acSel > 3) return None
+            // entropy data: unstuff to the next marker
+            var p = body + len - 2
+            val raw = new java.io.ByteArrayOutputStream()
+            var endMark = -1
+            while (endMark < 0) {
+              if (p + 1 >= n) return None
+              val c = u8(p)
+              if (c != 0xff) { raw.write(c); p += 1 }
+              else if (u8(p + 1) == 0x00) { raw.write(0xff); p += 2 }
+              else endMark = p
+            }
+            if (!decodeProgScan(raw.toByteArray, coefs, nBlocks, ss, se,
+                ah, al, dcTabs(dcSel), acTabs(acSel))) return None
+            sawScan = true
+            i = endMark
+          case _ => i = body + len - 2 // APPn/COM
+        }
+      }
+    }
+    if (coefs == null || !sawScan) return None
+    val q = quant(qSel)
+    if (q == null) return None
+    val bw = w / 8; val bh = h / 8
+    val px = new Array[Byte](w * h)
+    val deq = new Array[Int](64)
+    var bi = 0
+    while (bi < nBlocks) {
+      var k = 0
+      var hasAc = false
+      while (k < 64) {
+        val c = coefs(bi * 64 + jpegZigzag(k))
+        // a crafted stream can shift a 15-bit magnitude up 13 bits;
+        // bound what reaches the multiply so dequantization can't wrap
+        if (c > 32767 || c < -32768) return None
+        deq(jpegZigzag(k)) = c * q(k)
+        if (k > 0 && deq(jpegZigzag(k)) != 0) hasAc = true
+        k += 1
+      }
+      renderJpegBlock(deq, hasAc, px, w, bi % bw, bi / bw)
+      bi += 1
+    }
+    Some(JpegImage(w, h, px))
+  }
+
+  /** One progressive scan over the (quantized, natural-order) shared
+    * coefficient array. Returns false on any stream violation. */
+  private def decodeProgScan(data: Array[Byte], coefs: Array[Int],
+                             nBlocks: Int, ss: Int, se: Int, ah: Int,
+                             al: Int, dcT: JpegHuffDecoder,
+                             acT: JpegHuffDecoder): Boolean = {
+    if (ss < 0 || se > 63 || ss > se || al > 13) return false
+    if (ss == 0 && se != 0) return false // this profile: DC scans are DC-only
+    val r = new JpegBitReader(data)
+    if (ss == 0 && ah == 0) {
+      if (dcT == null) return false
+      var pred = 0
+      var bi = 0
+      while (bi < nBlocks) {
+        val s = dcT.decode(r)
+        if (s < 0 || s > 11) return false
+        val dv = r.receive(s)
+        if (dv == Int.MinValue) return false
+        pred += jpegExtend(dv, s)
+        coefs(bi * 64) = pred << al
+        bi += 1
+      }
+      true
+    } else if (ss == 0) {
+      var bi = 0
+      while (bi < nBlocks) {
+        val bit = r.readBit()
+        if (bit < 0) return false
+        if (bit == 1) coefs(bi * 64) |= (1 << al)
+        bi += 1
+      }
+      true
+    } else if (ah == 0) {
+      if (acT == null) return false
+      var eobrun = 0
+      var bi = 0
+      while (bi < nBlocks) {
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          var break = false
+          while (k <= se && !break) {
+            val sym = acT.decode(r)
+            if (sym < 0) return false
+            val run = sym >> 4; val sz = sym & 0x0f
+            if (sz == 0) {
+              if (run < 15) {
+                eobrun = (1 << run) - 1
+                if (run > 0) {
+                  val extra = r.receive(run)
+                  if (extra == Int.MinValue) return false
+                  eobrun += extra
+                }
+                break = true
+              } else k += 16 // ZRL
+            } else {
+              k += run
+              if (k > se) return false
+              val av = r.receive(sz)
+              if (av == Int.MinValue) return false
+              coefs(bi * 64 + jpegZigzag(k)) = jpegExtend(av, sz) << al
+              k += 1
+            }
+          }
+        }
+        bi += 1
+      }
+      true
+    } else {
+      // AC refinement (T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine)
+      if (acT == null) return false
+      val p1 = 1 << al; val m1 = -1 << al
+      var eobrun = 0
+      var bi = 0
+      def correct(bi: Int, k: Int): Boolean = {
+        val idx = bi * 64 + jpegZigzag(k)
+        if (coefs(idx) != 0) {
+          val bit = r.readBit()
+          if (bit < 0) return false
+          if (bit == 1 && (coefs(idx) & p1) == 0)
+            coefs(idx) += (if (coefs(idx) >= 0) p1 else m1)
+        }
+        true
+      }
+      while (bi < nBlocks) {
+        var k = ss
+        if (eobrun == 0) {
+          var break = false
+          while (k <= se && !break) {
+            val sym = acT.decode(r)
+            if (sym < 0) return false
+            var run = sym >> 4; val sz = sym & 0x0f
+            var placed = 0
+            if (sz != 0) {
+              if (sz != 1) return false
+              val sb = r.readBit()
+              if (sb < 0) return false
+              placed = if (sb == 1) p1 else m1
+            } else if (run < 15) {
+              eobrun = 1 << run
+              if (run > 0) {
+                val extra = r.receive(run)
+                if (extra == Int.MinValue) return false
+                eobrun += extra
+              }
+              break = true
+            }
+            if (!break) {
+              // advance over `run` zero-history positions, correcting
+              // nonzero-history ones crossed on the way
+              var adv = true
+              while (adv && k <= se) {
+                val idx = bi * 64 + jpegZigzag(k)
+                if (coefs(idx) != 0) {
+                  if (!correct(bi, k)) return false
+                  k += 1
+                } else if (run == 0) adv = false
+                else { run -= 1; k += 1 }
+              }
+              if (placed != 0) {
+                if (k > se) return false
+                coefs(bi * 64 + jpegZigzag(k)) = placed
+              }
+              k += 1
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // correction bits for the rest of the band (and, for absorbed
+          // blocks, the whole band)
+          while (k <= se) {
+            if (!correct(bi, k)) return false
+            k += 1
+          }
+          eobrun -= 1
+        }
+        bi += 1
+      }
+      true
+    }
+  }
+
+  /** Shared block rendering (baseline semantics): exact integer path
+    * for flat blocks, T.81 A.3.3 float IDCT otherwise. `deq` is the
+    * DEQUANTIZED natural-order block. */
+  private def renderJpegBlock(deq: Array[Int], hasAc: Boolean,
+                              px: Array[Byte], w: Int,
+                              bx: Int, by: Int): Unit = {
+    if (!hasAc) {
+      val v = math.max(0, math.min(255,
+        Math.floorDiv(2 * deq(0) + 8, 16) + 128))
+      var yy = 0
+      while (yy < 8) {
+        java.util.Arrays.fill(px, (by * 8 + yy) * w + bx * 8,
+          (by * 8 + yy) * w + bx * 8 + 8, v.toByte)
+        yy += 1
+      }
+    } else {
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          var acc = 0.0
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              val cu = if (u == 0) 0.7071067811865476 else 1.0
+              val cv = if (v == 0) 0.7071067811865476 else 1.0
+              acc += cu * cv * deq(v * 8 + u) *
+                math.cos((2 * xx + 1) * u * math.Pi / 16) *
+                math.cos((2 * yy + 1) * v * math.Pi / 16)
+              u += 1
+            }
+            v += 1
+          }
+          val sv = math.max(0, math.min(255, math.round(acc / 4 + 128).toInt))
+          px((by * 8 + yy) * w + bx * 8 + xx) = sv.toByte
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+  }
+
+  /** Deterministic synthetic DC-only PROGRESSIVE JPEG per id — the
+    * same closed-form profile as [[synthJpeg]] (per-block DC
+    * (bx·5 + by·9 + id·13) mod 200 − 100, flat quant 16, every decoded
+    * sample exactly clamp(dc·2 + 128)) coded through the full six-scan
+    * progressive script: the DC value arrives over THREE scans (high
+    * bits, diff-chained; the low bit; nothing from the AC scans but
+    * their EOBn runs still cover every block), so one wrong bit in any
+    * scan corrupts the image and sum_px is a whole-script integrity
+    * check that DuckDB replays in integer arithmetic.
+    */
+  def synthJpegProg(id: Long): Array[Byte] = {
+    val bw = (id % 3 + 1).toInt
+    val bh = (id % 2 + 1).toInt
+    val blocks = Array.tabulate(bw * bh) { k =>
+      val bx = k % bw; val by = k / bw
+      val blk = new Array[Int](64)
+      blk(0) = ((bx * 5 + by * 9 + id * 13) % 200 - 100).toInt
+      blk
+    }
+    jpegEncodeProgressive(bw * 8, bh * 8, blocks)
+  }
+
+  def synthJpegProgCol(c: Column): Column =
+    udf { id: Long => synthJpegProg(id) }.apply(c)
+
+  /** Decoded-luma statistics of a progressive JPEG: (n, sum, mean,
+    * std), same conventions as [[jpegLumaStats]]. */
+  def jpegProgLumaStats(b: Array[Byte]): Option[(Long, Long, Double, Double)] =
+    jpegDecodeProgressive(b).map { img =>
+      val n = img.width.toLong * img.height
+      var s = 0L; var ss = 0L
+      var i = 0
+      while (i < img.pixels.length) {
+        val v = img.pixels(i) & 0xff
+        s += v; ss += v.toLong * v
+        i += 1
+      }
+      val mean = s.toDouble / n
+      val variance = ss.toDouble / n - mean * mean
+      (n, s, mean, math.sqrt(math.max(0.0, variance)))
+    }
+
+  def jpegProgLumaStatsCol(c: Column): Column =
+    udf { b: Array[Byte] => jpegProgLumaStats(b) }.apply(c)
 }

@@ -64,6 +64,20 @@ object RecallCheck {
     val ivfPqReg = recallOf(pairs(graft.sim.Pq.ivfPqTopK(emb, "vec_id",
       "embedding", k, pqModel, nCells = 16, nprobe = 8, rerankFactor = 32,
       queryPred = pred)))
+    // recall-vs-scanned CURVE (r11 brief item 4): nprobe of 16 cells is
+    // the scanned-fraction knob — the curve shows where the recall knee
+    // sits at this scale, so a knee that moves as the corpus grows is
+    // visible as data, not argument
+    val ivfCurve = Seq(2, 4, 8, 12).map { np =>
+      np -> r(recallOf(pairs(Ann.ivfTopK(emb, "vec_id", "embedding", k,
+        nCells = 16, nprobe = np, queryPred = pred))))
+    }
+    val ivfPqCurve = Seq((2, 16), (4, 16), (8, 32), (12, 32)).map {
+      case (np, rr) =>
+        (np, rr) -> r(recallOf(pairs(graft.sim.Pq.ivfPqTopK(emb, "vec_id",
+          "embedding", k, pqModel, nCells = 16, nprobe = np,
+          rerankFactor = rr, queryPred = pred))))
+    }
     // "registered" = the operating points q30/q45/q215 actually ship
     // (16×4 banding; nprobe=8 of 16 cells — re-registered in r10 at
     // the measured recall knee); "legacy" = prior points kept for
@@ -71,7 +85,9 @@ object RecallCheck {
     println(s"""{"sf":"$sfDir","n":$nQueries,"k":$k,""" +
       s""""lsh_legacy_4x8":${r(lsh)},"lsh_registered_16x4":${r(lshTuned)},""" +
       s""""ivf_legacy_np4":${r(ivfLegacy)},"ivf_registered_np8":${r(ivfReg)},""" +
-      s""""ivfpq_legacy_np4_rr16":${r(ivfPqLegacy)},"ivfpq_registered_np8_rr32":${r(ivfPqReg)}}""")
+      s""""ivfpq_legacy_np4_rr16":${r(ivfPqLegacy)},"ivfpq_registered_np8_rr32":${r(ivfPqReg)},""" +
+      s""""ivf_curve_np":{${ivfCurve.map { case (np, v) => s"\"$np\":$v" }.mkString(",")}},""" +
+      s""""ivfpq_curve_np_rr":{${ivfPqCurve.map { case ((np, rr), v) => s"\"${np}_$rr\":$v" }.mkString(",")}}}""")
     spark.stop()
   }
 }

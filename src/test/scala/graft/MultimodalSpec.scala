@@ -509,4 +509,100 @@ class MultimodalSpec extends SparkSpec {
       assert(sy == ey && scb == ecb && scr == ecr, s"id=$id")
     }
   }
+
+  test("progressive JPEG: DC-only decode matches clamp(dc*2+128) exactly") {
+    val dcs = Array(-100, 0, 99, 50, -64, 17)
+    val blocks = dcs.map { dc => val b = new Array[Int](64); b(0) = dc; b }
+    val jpg = Binary.jpegEncodeProgressive(24, 16, blocks)
+    val meta = Binary.parseImageMeta(jpg).get
+    assert(meta.format == "jpeg" && meta.width == 24 && meta.height == 16)
+    val img = Binary.jpegDecodeProgressive(jpg).get
+    assert(img.width == 24 && img.height == 16)
+    for (by <- 0 until 2; bx <- 0 until 3) {
+      val want = math.max(0, math.min(255, dcs(by * 3 + bx) * 2 + 128))
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val got = img.pixels((by * 8 + y) * 24 + bx * 8 + x) & 0xff
+        assert(got == want, s"block ($bx,$by) pixel ($x,$y): $got != $want")
+      }
+    }
+  }
+
+  test("progressive JPEG: pixels equal the BASELINE coding of the same blocks") {
+    // The strongest cross-check available without an external library:
+    // the same quantized coefficients coded two ways (sequential Annex-K
+    // stream vs the six-scan progressive script with EOBn runs, ZRL in
+    // refinement, correction bits) must reconstruct bit-identical
+    // coefficient arrays, hence bit-identical rendered pixels. Blocks
+    // are seeded to hit each successive-approximation regime: values
+    // ±1 (significant only in the final scan), ±2/±3 (newly significant
+    // at Al=1), dense mid-band, far-position ZRL runs, and consecutive
+    // empty-band blocks so EOBRUN spans blocks with pending correction
+    // bits.
+    def lcg(s0: Long): Iterator[Long] =
+      Iterator.iterate(s0)(s => s * 6364136223846793005L + 1442695040888963407L)
+    (0 until 8).foreach { trial =>
+      val bw = 4; val bh = 3
+      val rnd = lcg(trial * 7919L + 1).map(v => math.abs(v >>> 16))
+      val blocks = Array.fill(bw * bh) {
+        val blk = new Array[Int](64)
+        val mode = rnd.next() % 5
+        blk(0) = (rnd.next() % 200 - 100).toInt
+        if (mode != 0) { // mode 0: flat (EOBRUN member)
+          val nAc = (1 + rnd.next() % (if (mode == 1) 3 else 12)).toInt
+          (0 until nAc).foreach { _ =>
+            val k = (1 + rnd.next() % 63).toInt
+            val mag = (1 + rnd.next() % (if (mode == 2) 3 else 40)).toInt
+            blk(Array(0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+              12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+              35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+              58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62,
+              63)(k)) = (if (rnd.next() % 2 == 0) mag else -mag)
+          }
+        }
+        blk
+      }
+      val base = Binary.jpegDecode(
+        Binary.jpegEncodeBlocks(bw * 8, bh * 8, blocks)).get
+      val prog = Binary.jpegDecodeProgressive(
+        Binary.jpegEncodeProgressive(bw * 8, bh * 8, blocks)).get
+      assert(prog.width == base.width && prog.height == base.height)
+      assert(java.util.Arrays.equals(prog.pixels, base.pixels),
+        s"trial $trial: progressive decode diverges from baseline")
+    }
+  }
+
+  test("progressive JPEG round-trips the synthetic id range exactly") {
+    (0L until 60L).foreach { id =>
+      val bw = (id % 3 + 1).toInt; val bh = (id % 2 + 1).toInt
+      val img = Binary.jpegDecodeProgressive(Binary.synthJpegProg(id)).get
+      assert(img.width == bw * 8 && img.height == bh * 8)
+      for (by <- 0 until bh; bx <- 0 until bw) {
+        val dc = ((bx * 5 + by * 9 + id * 13) % 200 - 100).toInt
+        val want = math.max(0, math.min(255, dc * 2 + 128))
+        assert((img.pixels(by * 8 * img.width + bx * 8) & 0xff) == want)
+      }
+    }
+  }
+
+  test("progressive JPEG decoder rejects unsupported/corrupt input, never junk") {
+    val jpg = Binary.synthJpegProg(7)
+    assert(Binary.jpegDecodeProgressive(jpg).isDefined)
+    assert(Binary.jpegDecodeProgressive(jpg.take(40)).isEmpty)
+    assert(Binary.jpegDecodeProgressive(jpg.dropRight(3)).isEmpty)
+    assert(Binary.jpegDecodeProgressive("not a jpeg".getBytes).isEmpty)
+    assert(Binary.jpegDecodeProgressive(Array.empty[Byte]).isEmpty)
+    // a BASELINE (SOF0) file is not this profile — and vice versa
+    assert(Binary.jpegDecodeProgressive(Binary.synthJpeg(7)).isEmpty)
+    assert(Binary.jpegDecode(jpg).isEmpty)
+    // truncating mid-entropy (kill the EOI) must not loop or throw
+    val noEoi = jpg.dropRight(2)
+    assert(Binary.jpegDecodeProgressive(noEoi).isEmpty)
+    // flipping a bit in each scan's entropy data must never produce an
+    // exception — None or a decoded (different) image are both
+    // acceptable, junk crashes are not
+    (jpg.length - 40 until jpg.length - 2).foreach { at =>
+      val mut = jpg.clone(); mut(at) = (mut(at) ^ 0x40).toByte
+      Binary.jpegDecodeProgressive(mut) // must not throw
+    }
+  }
 }

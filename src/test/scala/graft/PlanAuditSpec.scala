@@ -480,8 +480,10 @@ class PlanAuditSpec extends SparkSpec {
       s"assoc rules plan a cartesian:\n$q247")
     assert(q247.contains("TakeOrderedAndProject"),
       s"assoc top-15 is not a distributed top-k:\n$q247")
-    // q248 ensemble: rank maps join back by value — hash joins, and the
-    // rank derivation never plans a single-partition data window
+    // q248 ensemble (r12 shape): all three score ranks derive from ONE
+    // groupBy(x) and join back to rows ONCE — the final plan holds
+    // exactly one join (rows × checkpointed per-x rank map) and never a
+    // single-partition data window
     val q248 = plan(SparkEntry.queries("q248_outlier_ensemble")(spark, sf))
     assert(!q248.contains("CartesianProduct"),
       s"ensemble plans a cartesian:\n$q248")
@@ -489,6 +491,9 @@ class PlanAuditSpec extends SparkSpec {
       s"ensemble ranks regressed to a window:\n$q248")
     assert(q248.contains("TakeOrderedAndProject"),
       s"ensemble top-15 is not a distributed top-k:\n$q248")
+    val q248Joins = "Join".r.findAllIn(q248).length
+    assert(q248Joins <= 1,
+      s"ensemble regressed to >1 corpus join-back ($q248Joins):\n$q248")
   }
 
   test("round-10 session-3 plans keep their scale shapes") {
@@ -842,6 +847,11 @@ class PlanAuditSpec extends SparkSpec {
       s"stream twin plans a cartesian:\n$q322")
     assert(!q322.contains("SinglePartition"),
       s"stream twin collapsed to a single partition:\n$q322")
+    // q323 progressive JPEG: pure per-row map (encode UDF -> decode
+    // UDF), no join, no window — embarrassingly parallel at any scale
+    val q323 = plan(SparkEntry.queries("q323_jpeg_progressive")(spark, sf))
+    assert(!q323.contains("Join"), s"progressive JPEG decode plans a join:\n$q323")
+    assert(!q323.contains("Window"), s"progressive JPEG decode plans a window:\n$q323")
     assert("HashAggregate".r.findAllIn(q322).size >= 2,
       s"stream twin lost partial aggregation:\n$q322")
   }
