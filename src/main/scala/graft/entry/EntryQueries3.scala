@@ -3287,4 +3287,31 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** MM-JPGR — baseline JPEG with RESTART MARKERS (DRI/RSTn), the
+    * error-resilience machinery real crawl JPEGs carry (cameras and
+    * encoders emit DRI so a corrupted byte loses one restart segment,
+    * not the image): deterministic DC-only JPEGs per doc_id are coded
+    * with DRI = doc_id%3+1 blocks
+    * ([[graft.multimodal.Binary.synthJpegRst]]) — RST0..RST7 cycle
+    * through the scan, each segment byte-aligns and restarts the DC
+    * diff chain from zero — and decoded by the extended
+    * [[graft.multimodal.Binary.jpegDecode]] (sequence-number
+    * validation, segment-count check, per-segment predictor reset).
+    * Same clamp(dc·2+128) closed form as q234, so the oracle is
+    * identical SQL over a third coding; a missed reset shifts whole
+    * segments and breaks sum_px.
+    */
+  private[graft] def qJpegRestart(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 60).select(col("doc_id"))
+      .withColumn("jpg", Binary.synthJpegRstCol(col("doc_id")))
+      .select(col("doc_id"), Binary.jpegLumaStatsCol(col("jpg")).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("n_px"),
+        col("st._2").as("sum_px"),
+        round(col("st._3"), 6).as("mean_px"),
+        round(col("st._4"), 6).as("std_px"))
+      .orderBy("doc_id")
+  }
+
 }

@@ -2028,6 +2028,27 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |    (CAST(sum(v) AS DOUBLE) / count(*)) *
         |    (CAST(sum(v) AS DOUBLE) / count(*)))), 6) AS std_px
         | FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      .replaceAll("\n", " "),
+    // q324: the q234 closed form a third time — the Spark side decodes
+    // a RESTART-marker coding (DRI/RSTn segments, per-segment DC chain)
+    "q324_jpeg_restart" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 3 + 1 AS bw,
+        |   doc_id % 2 + 1 AS bh FROM documents WHERE doc_id < 60),
+        | blk AS (SELECT i.doc_id,
+        |   least(255, greatest(0,
+        |     ((x.x * 5 + y.y * 9 + i.doc_id * 13) % 200 - 100) * 2 + 128))
+        |   AS v
+        |  FROM ids i, range(0, 3) x(x), range(0, 2) y(y)
+        |  WHERE x.x < i.bw AND y.y < i.bh)
+        | SELECT doc_id,
+        |  CAST(64 * count(*) AS BIGINT) AS n_px,
+        |  CAST(64 * sum(v) AS BIGINT) AS sum_px,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_px,
+        |  round(sqrt(greatest(CAST(0 AS DOUBLE),
+        |    CAST(sum(v * v) AS DOUBLE) / count(*) -
+        |    (CAST(sum(v) AS DOUBLE) / count(*)) *
+        |    (CAST(sum(v) AS DOUBLE) / count(*)))), 6) AS std_px
+        | FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin
       .replaceAll("\n", " ")
   )
 }

@@ -1317,9 +1317,14 @@ object Binary {
     * 16, EOB for the zero tail), 0xFF byte stuffing, 1-padded flush.
     * Dims must be multiples of 8; `blocks` are raster-ordered 64-entry
     * QUANTIZED coefficient blocks in natural (row-major) order.
+    * `restartInterval` > 0 emits a DRI segment and RST0–RST7 markers
+    * every that-many blocks (byte-aligned flush, DC predictor reset,
+    * cycling sequence numbers) — the error-resilience machinery real
+    * crawl JPEGs carry.
     */
   def jpegEncodeBlocks(width: Int, height: Int,
-                       blocks: Array[Array[Int]]): Array[Byte] = {
+                       blocks: Array[Array[Int]],
+                       restartInterval: Int = 0): Array[Byte] = {
     require(width % 8 == 0 && height % 8 == 0,
       s"dims must be multiples of 8, got ${width}x$height")
     val bw = width / 8; val bh = height / 8
@@ -1352,9 +1357,19 @@ object Binary {
       w.put(acCodes(k), acLens(k))
     }
     def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
-    val w = new JpegBitWriter
+    val dri = if (restartInterval > 0)
+      seg(0xdd, be16(restartInterval)) else Array.empty[Byte]
+    val entropyOut = new java.io.ByteArrayOutputStream()
+    var w = new JpegBitWriter
     var prev = 0
-    blocks.foreach { blk =>
+    blocks.zipWithIndex.foreach { case (blk, bi) =>
+      if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+        w.flush(); entropyOut.write(w.out.toByteArray)
+        entropyOut.write(0xff)
+        entropyOut.write(0xd0 + ((bi / restartInterval - 1) % 8))
+        w = new JpegBitWriter
+        prev = 0
+      }
       val diff = blk(0) - prev
       prev = blk(0)
       val s = category(diff)
@@ -1378,9 +1393,9 @@ object Binary {
       }
       if (lastNz < 63) putAc(w, 0x00) // EOB
     }
-    w.flush()
+    w.flush(); entropyOut.write(w.out.toByteArray)
     Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ dqt ++ sof0 ++
-      dhtDc ++ dhtAc ++ sos ++ w.out.toByteArray ++
+      dri ++ dhtDc ++ dhtAc ++ sos ++ entropyOut.toByteArray ++
       Array[Byte](0xff.toByte, 0xd9.toByte)
   }
 
@@ -1395,10 +1410,13 @@ object Binary {
     * walk, DQT (8-bit tables), DHT canonical-code reconstruction, SOF0
     * (baseline only — progressive/arithmetic/multi-component return
     * None), SOS, byte unstuffing, full entropy decode (DC diff chain,
-    * AC run-length with ZRL and EOB), dequantization, IDCT. Flat
-    * (DC-only) blocks take the exact integer path; blocks with AC
+    * AC run-length with ZRL and EOB), dequantization, IDCT, and
+    * RESTART intervals (DRI + RST0–RST7: byte-aligned segments with
+    * cycling sequence numbers; each segment restarts the DC chain).
+    * Flat (DC-only) blocks take the exact integer path; blocks with AC
     * coefficients go through a float IDCT. Returns None (never junk)
-    * on truncation, restart markers, undefined codes, or coefficient
+    * on truncation, undeclared or out-of-sequence restart markers,
+    * segment-count mismatches, undefined codes, or coefficient
     * overruns.
     */
   def jpegDecode(b: Array[Byte]): Option[JpegImage] = {
@@ -1412,8 +1430,9 @@ object Binary {
     val dcTabs = new Array[JpegHuffDecoder](4)
     val acTabs = new Array[JpegHuffDecoder](4)
     var qSel = -1; var dcSel = -1; var acSel = -1
-    var entropy: Array[Byte] = null
-    while (entropy == null) {
+    var restartInt = 0
+    var segments: Array[Array[Byte]] = null
+    while (segments == null) {
       if (i + 4 > n || u8(i) != 0xff) return None
       val m = u8(i + 1)
       if (m == 0xd9) return None // EOI before scan data
@@ -1453,25 +1472,40 @@ object Binary {
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
              0xcb | 0xcd | 0xce | 0xcf =>
           return None // extended/progressive/arithmetic: not baseline
-        case 0xdd => return None // DRI: restart intervals unsupported
-        case 0xda => // SOS: header then entropy data to EOI
+        case 0xdd => // DRI: restart interval in MCUs (= blocks here)
+          if (len != 4) return None
+          restartInt = be16(body)
+        case 0xda => // SOS: header then entropy data (split at RSTn) to EOI
           if (len < 8 || u8(body) != 1) return None
           dcSel = u8(body + 2) >> 4; acSel = u8(body + 2) & 0x0f
           var p = body + len - 2
-          val raw = new java.io.ByteArrayOutputStream()
+          val segs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          var raw = new java.io.ByteArrayOutputStream()
           var end = -1
+          var nRst = 0
           while (end < 0) {
             if (p >= n) return None
             val c = u8(p)
             if (c != 0xff) { raw.write(c); p += 1 }
             else if (p + 1 < n && u8(p + 1) == 0x00) { raw.write(0xff); p += 2 }
             else if (p + 1 < n && u8(p + 1) == 0xd9) end = p
-            else return None // restart marker / truncation mid-scan
+            else if (p + 1 < n && (u8(p + 1) & 0xf8) == 0xd0) {
+              // RSTn: valid only under a declared interval, and the
+              // 3-bit sequence number must cycle in order — an
+              // out-of-sequence marker means dropped data, not junk out
+              if (restartInt == 0) return None
+              if ((u8(p + 1) & 0x07) != (nRst % 8)) return None
+              segs += raw.toByteArray
+              raw = new java.io.ByteArrayOutputStream()
+              nRst += 1; p += 2
+            }
+            else return None // truncation mid-scan
           }
-          entropy = raw.toByteArray
+          segs += raw.toByteArray
+          segments = segs.toArray
         case _ => () // APPn/COM: skip
       }
-      if (entropy == null) i = body + len - 2
+      if (segments == null) i = body + len - 2
     }
     if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0) return None
     if (w.toLong * h > 64L * 1024 * 1024) return None
@@ -1480,14 +1514,28 @@ object Binary {
     val acT = if (acSel >= 0 && acSel < 4) acTabs(acSel) else null
     if (q == null || dcT == null || acT == null) return None
     val bw = w / 8; val bh = h / 8
+    // restart discipline: segment count must match the declared
+    // interval exactly (extra/missing RSTn = dropped data)
+    val expectSegs =
+      if (restartInt > 0) (bw * bh + restartInt - 1) / restartInt else 1
+    if (segments.length != expectSegs) return None
     val px = new Array[Byte](w * h)
-    val r = new JpegBitReader(entropy)
+    var r = new JpegBitReader(segments(0))
+    var segIdx = 0
+    var blockNo = 0
     val coef = new Array[Int](64)
     var prev = 0
     var by = 0
     while (by < bh) {
       var bx = 0
       while (bx < bw) {
+        if (restartInt > 0 && blockNo > 0 && blockNo % restartInt == 0) {
+          // restart boundary: byte-aligned new segment, DC chain resets
+          segIdx += 1
+          r = new JpegBitReader(segments(segIdx))
+          prev = 0
+        }
+        blockNo += 1
         java.util.Arrays.fill(coef, 0)
         val s = dcT.decode(r)
         if (s < 0 || s > 11) return None
@@ -1581,6 +1629,29 @@ object Binary {
 
   def synthJpegCol(c: Column): Column =
     udf { id: Long => synthJpeg(id) }.apply(c)
+
+  /** Deterministic synthetic DC-only JPEG WITH RESTART MARKERS per id:
+    * the [[synthJpeg]] layout (same clamp(dc·2+128) closed form) coded
+    * with DRI = id%3+1 blocks, so RST0.. markers cycle through the
+    * scan and every segment restarts the DC diff chain from zero — a
+    * missed predictor reset, a swallowed marker, or a mis-aligned
+    * segment boundary shifts every block of a whole segment.
+    */
+  def synthJpegRst(id: Long): Array[Byte] = {
+    val bw = (id % 3 + 1).toInt
+    val bh = (id % 2 + 1).toInt
+    val blocks = Array.tabulate(bw * bh) { k =>
+      val bx = k % bw; val by = k / bw
+      val blk = new Array[Int](64)
+      blk(0) = ((bx * 5 + by * 9 + id * 13) % 200 - 100).toInt
+      blk
+    }
+    jpegEncodeBlocks(bw * 8, bh * 8, blocks,
+      restartInterval = (id % 3 + 1).toInt)
+  }
+
+  def synthJpegRstCol(c: Column): Column =
+    udf { id: Long => synthJpegRst(id) }.apply(c)
 
   /** Decoded-luma statistics: (n, sum, mean, std) per image (exact
     * integer sums; population std, same conventions as

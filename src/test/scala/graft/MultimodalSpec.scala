@@ -510,6 +510,53 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JPEG restart markers: round-trip with per-segment DC chain resets") {
+    // DRI=2 over 6 blocks: segments [b0 b1][b2 b3][b4 b5], RST0 RST1
+    // between them; each segment's first block codes its DC from 0
+    val dcs = Array(-100, 0, 99, 50, -64, 17)
+    val blocks = dcs.map { dc => val b = new Array[Int](64); b(0) = dc; b }
+    val jpg = Binary.jpegEncodeBlocks(24, 16, blocks, restartInterval = 2)
+    assert((0 until jpg.length - 1).exists(i =>
+      (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xd0),
+      "no RST0 marker emitted")
+    val img = Binary.jpegDecode(jpg).get
+    for (by <- 0 until 2; bx <- 0 until 3) {
+      val want = math.max(0, math.min(255, dcs(by * 3 + bx) * 2 + 128))
+      assert((img.pixels(by * 8 * 24 + bx * 8) & 0xff) == want,
+        s"block ($bx,$by)")
+    }
+    // the synthetic id range: DRI cycles 1..3, dims cycle with it
+    (0L until 60L).foreach { id =>
+      val bw = (id % 3 + 1).toInt; val bh = (id % 2 + 1).toInt
+      val rimg = Binary.jpegDecode(Binary.synthJpegRst(id)).get
+      assert(rimg.width == bw * 8 && rimg.height == bh * 8)
+      for (by <- 0 until bh; bx <- 0 until bw) {
+        val dc = ((bx * 5 + by * 9 + id * 13) % 200 - 100).toInt
+        val want = math.max(0, math.min(255, dc * 2 + 128))
+        assert((rimg.pixels(by * 8 * rimg.width + bx * 8) & 0xff) == want,
+          s"id=$id block ($bx,$by)")
+      }
+    }
+  }
+
+  test("JPEG restart markers: rejects undeclared/out-of-sequence RSTn") {
+    val dcs = Array(-100, 0, 99, 50, -64, 17)
+    val blocks = dcs.map { dc => val b = new Array[Int](64); b(0) = dc; b }
+    val jpg = Binary.jpegEncodeBlocks(24, 16, blocks, restartInterval = 2)
+    // find the RST0 marker and corrupt its sequence number -> None
+    val at = (0 until jpg.length - 1).find(i =>
+      (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xd0).get
+    val outOfSeq = jpg.clone(); outOfSeq(at + 1) = 0xd5.toByte
+    assert(Binary.jpegDecode(outOfSeq).isEmpty)
+    // strip the DRI segment but keep the RSTn markers -> undeclared -> None
+    val driAt = (0 until jpg.length - 1).find(i =>
+      (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xdd).get
+    val noDri = jpg.take(driAt) ++ jpg.drop(driAt + 6)
+    assert(Binary.jpegDecode(noDri).isEmpty)
+    // plain non-restart files still decode (no regression)
+    assert(Binary.jpegDecode(Binary.synthJpeg(7)).isDefined)
+  }
+
   test("progressive JPEG: DC-only decode matches clamp(dc*2+128) exactly") {
     val dcs = Array(-100, 0, 99, 50, -64, 17)
     val blocks = dcs.map { dc => val b = new Array[Int](64); b(0) = dc; b }

@@ -852,6 +852,9 @@ class PlanAuditSpec extends SparkSpec {
     val q323 = plan(SparkEntry.queries("q323_jpeg_progressive")(spark, sf))
     assert(!q323.contains("Join"), s"progressive JPEG decode plans a join:\n$q323")
     assert(!q323.contains("Window"), s"progressive JPEG decode plans a window:\n$q323")
+    val q324 = plan(SparkEntry.queries("q324_jpeg_restart")(spark, sf))
+    assert(!q324.contains("Join"), s"restart JPEG decode plans a join:\n$q324")
+    assert(!q324.contains("Window"), s"restart JPEG decode plans a window:\n$q324")
     assert("HashAggregate".r.findAllIn(q322).size >= 2,
       s"stream twin lost partial aggregation:\n$q322")
   }
