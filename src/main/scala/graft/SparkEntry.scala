@@ -370,7 +370,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q321_color_jpeg" -> (qColorJpeg _),
     "q322_stream_pipeline" -> (qStreamPipelineTwin _),
     "q323_jpeg_progressive" -> (qJpegProgressive _),
-    "q324_jpeg_restart" -> (qJpegRestart _)
+    "q324_jpeg_restart" -> (qJpegRestart _),
+    "q325_flac_decode" -> (qFlacDecode _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

@@ -3314,4 +3314,33 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** MM-FLAC — REAL compressed-audio entropy decode
+    * ([[graft.multimodal.Binary.flacDecode]], r12: Rice-coded
+    * residuals over fixed/LPC integer predictors, CRC-8/CRC-16
+    * framing, stereo decorrelation — FLAC is the one mainstream
+    * compressed audio format that is pure integer math, so the sample
+    * path is dependency-free the way the JPEG family is).
+    * Deterministic CONSTANT-subframe fixtures per doc_id
+    * ([[graft.multimodal.Binary.synthFlac]]): (id%3+1) frames of 192
+    * samples, block j holding (id·31+j·17) mod 1000 − 500 — every
+    * decoded sample is a closed form, and the Spark side must walk
+    * real frames (sync codes, UTF-8 frame numbers, both CRCs) to
+    * reach them; a single bad bit fails a CRC and nulls the row. The
+    * general paths (FIXED/LPC predictors, Rice escape, wasted bits,
+    * stereo modes) are pinned by MultimodalSpec exact round-trips,
+    * which no SQL oracle can replay.
+    */
+  private[graft] def qFlacDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 60).select(col("doc_id"))
+      .withColumn("fl", Binary.synthFlacCol(col("doc_id")))
+      .select(col("doc_id"), Binary.flacSampleStatsCol(col("fl")).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("n_samples"),
+        col("st._2").as("sum_samples"),
+        round(col("st._3"), 6).as("mean_s"),
+        round(col("st._4"), 6).as("std_s"))
+      .orderBy("doc_id")
+  }
+
 }

@@ -2049,6 +2049,26 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |    (CAST(sum(v) AS DOUBLE) / count(*)) *
         |    (CAST(sum(v) AS DOUBLE) / count(*)))), 6) AS std_px
         | FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      .replaceAll("\n", " "),
+    // q325: each FLAC block is a 192-sample CONSTANT subframe of
+    // (id*31 + j*17) % 1000 - 500 — n/sum scale by 192, mean/std are
+    // the block-value moments (equal block sizes), all exact-rational
+    // on both sides
+    "q325_flac_decode" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 3 + 1 AS nb
+        |   FROM documents WHERE doc_id < 60),
+        | blk AS (SELECT i.doc_id,
+        |   (i.doc_id * 31 + j.j * 17) % 1000 - 500 AS v
+        |  FROM ids i, range(0, 3) j(j) WHERE j.j < i.nb)
+        | SELECT doc_id,
+        |  CAST(192 * count(*) AS BIGINT) AS n_samples,
+        |  CAST(192 * sum(v) AS BIGINT) AS sum_samples,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_s,
+        |  round(sqrt(greatest(CAST(0 AS DOUBLE),
+        |    CAST(sum(v * v) AS DOUBLE) / count(*) -
+        |    (CAST(sum(v) AS DOUBLE) / count(*)) *
+        |    (CAST(sum(v) AS DOUBLE) / count(*)))), 6) AS std_s
+        | FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin
       .replaceAll("\n", " ")
   )
 }

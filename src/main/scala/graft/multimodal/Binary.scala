@@ -23,9 +23,11 @@ import org.apache.spark.sql.types._
   * three interleaved DC chains over two Huffman table pairs), and
   * progressive grayscale JPEG ([[jpegDecodeProgressive]]: spectral
   * selection + successive approximation, EOBn runs, AC correction
-  * bits). Codec-library-bound payloads (FLAC/MP3/AAC frames, MP4
-  * video tracks) stay behind the clearly marked STUB ([[stubDecode]])
-  * — for those, the Spark-side plumbing (schema, batching,
+  * bits), and FLAC ([[flacDecode]]: Rice-coded residuals over
+  * fixed/LPC integer predictors, stereo decorrelation, CRC-8/16
+  * framing). Codec-library-bound payloads (MP3/AAC frames, MP4 video
+  * tracks) stay behind the clearly marked STUB ([[stubDecode]]) —
+  * for those, the Spark-side plumbing (schema, batching,
   * partition-level processing, UDF signature) is the deliverable and
   * is fully tested.
   *
@@ -198,8 +200,9 @@ object Binary {
     * `fmt ` for rate/channels/bits and `data` for the frame count —
     * skips any interleaved LIST/fact chunks) and FLAC ("fLaC" +
     * STREAMINFO bit-packed sample rate / channels / bit depth / total
-    * samples). Returns None for unrecognized/truncated bytes. PCM
-    * decode stays behind [[stubDecode]]; rate/channel/duration — the
+    * samples). Returns None for unrecognized/truncated bytes. WAV PCM
+    * payload decode is [[wavPcmDecode]]; FLAC sample decode is
+    * [[flacDecode]]; rate/channel/duration — the
     * metadata a 100 TB multimodal pipeline filters and partitions
     * on — needs only these first bytes, so it runs as cheap per-row
     * map work.
@@ -657,11 +660,14 @@ object Binary {
     udf { b: Array[Byte] => pngChannelStats(b) }.apply(c)
 
   /** STUB — media decode. A real deployment plugs a codec here (e.g.
-    * JAI/ffmpeg bindings) returning pixel/PCM tensors; this container
-    * has none, so the stub emits a deterministic 8-dim pseudo-feature
+    * ffmpeg bindings) returning pixel/PCM tensors; this container has
+    * none, so the stub emits a deterministic 8-dim pseudo-feature
     * derived from the byte stream (stride-sampled rolling hashes scaled
     * to [0,1)). Signature and batching are what a real decoder uses.
-    * (PNG is the exception: [[pngDecode]] above is a REAL pixel path.)
+    * The stub's remaining territory is MP3/AAC frames and MP4 VIDEO
+    * frames only — PNG/GIF/WAV/JPEG (baseline, color 4:2:0,
+    * progressive, restart-interval) and FLAC all have REAL
+    * dependency-free payload decoders in this file.
     */
   def stubDecode(bytes: Array[Byte]): Array[Float] = {
     val f = new Array[Float](8)
@@ -2584,4 +2590,628 @@ object Binary {
 
   def jpegProgLumaStatsCol(c: Column): Column =
     udf { b: Array[Byte] => jpegProgLumaStats(b) }.apply(c)
+
+  // ------------------------------------------------------------------ //
+  // REAL FLAC codec — dependency-free, pure integer math (RFC 9639).
+  // FLAC is the one mainstream COMPRESSED audio format whose full
+  // sample path needs no float transform at all: Rice-coded residuals
+  // over fixed/LPC integer predictors, CRC-8/CRC-16 framing. This
+  // closes the compressed-audio half of the multimodal boundary the
+  // way the JPEG family closed pixels; [[stubDecode]] now stands in
+  // only for MP4 video frames (H.264 entropy decode + motion
+  // compensation is a codec library, not an afternoon of integer
+  // arithmetic — documented out). Coverage: CONSTANT / VERBATIM /
+  // FIXED orders 0-4 / LPC subframes, Rice partitions with the
+  // 5-bit escape, wasted bits, left-side / right-side / mid-side
+  // stereo decorrelation, UTF-8 frame numbers, both CRCs validated.
+  // The reference keeps all media out of engine scope (no codec in
+  // francesco-camaione/dataquality_ML).
+  // ------------------------------------------------------------------ //
+
+  /** Decoded FLAC audio: per-channel sample arrays (channel-major). */
+  final case class FlacAudio(sampleRate: Int, channels: Int, bits: Int,
+                             samples: Array[Array[Int]])
+
+  private def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xff
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+        else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** MSB-first bit writer without byte stuffing (FLAC framing). */
+  private final class FlacBitWriter {
+    val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nb = 0
+    def put(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >>> i) & 1L).toInt
+        nb += 1
+        if (nb == 8) { out.write(acc); acc = 0; nb = 0 }
+        i -= 1
+      }
+    }
+    def putUnary(q: Int): Unit = { put(0L, q); put(1L, 1) }
+    def alignZero(): Unit = if (nb != 0) put(0L, 8 - nb)
+    def toBytes: Array[Byte] = { alignZero(); out.toByteArray }
+  }
+
+  /** MSB-first bit reader with byte-align (FLAC framing). Returns -1
+    * sentinels on exhaustion — callers bail to None. */
+  private final class FlacBitReader(data: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nb = 0
+    def readBit(): Int = {
+      if (nb == 0) {
+        if (pos >= data.length) return -1
+        acc = data(pos) & 0xff; pos += 1; nb = 8
+      }
+      nb -= 1
+      (acc >> nb) & 1
+    }
+    def readBits(n: Int): Long = { // n <= 32, -1L on EOF
+      var v = 0L
+      var i = 0
+      while (i < n) {
+        val b = readBit()
+        if (b < 0) return -1L
+        v = (v << 1) | b
+        i += 1
+      }
+      v
+    }
+    def readUnary(max: Int): Int = { // zeros before a 1; -1 on EOF/overrun
+      var q = 0
+      while (q <= max) {
+        val b = readBit()
+        if (b < 0) return -1
+        if (b == 1) return q
+        q += 1
+      }
+      -1
+    }
+    def alignToByte(): Unit = { nb = 0 }
+    def bytePos: Int = pos - (nb + 7) / 8 // position of next unread byte
+  }
+
+  private def signExtend(v: Long, n: Int): Int =
+    if (n == 0) 0
+    else if ((v & (1L << (n - 1))) != 0) (v - (1L << n)).toInt else v.toInt
+
+  private def zigzagDec(u: Long): Int = (((u >>> 1) ^ -(u & 1L))).toInt
+
+  private val flacBlockSizes = Array(-1, 192, 576, 1152, 2304, 4608, -6, -7,
+    256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+
+  private def flacFixedResiduals(xs: Array[Int], order: Int): Array[Long] = {
+    val n = xs.length
+    val r = new Array[Long](n - order)
+    var i = order
+    while (i < n) {
+      val p: Long = order match {
+        case 0 => 0L
+        case 1 => xs(i - 1).toLong
+        case 2 => 2L * xs(i - 1) - xs(i - 2)
+        case 3 => 3L * xs(i - 1) - 3L * xs(i - 2) + xs(i - 3)
+        case _ => 4L * xs(i - 1) - 6L * xs(i - 2) + 4L * xs(i - 3) - xs(i - 4)
+      }
+      r(i - order) = xs(i) - p
+      i += 1
+    }
+    r
+  }
+
+  /** One subframe into `w`. `mode`: -1 auto (CONSTANT if flat, else
+    * best FIXED 0-2), -2 VERBATIM, -3 LPC order-2 test form (qlp
+    * [2,-1], shift 0 — the fixed-order-2 predictor routed through the
+    * general LPC path), 0..4 forced FIXED order. */
+  private def flacWriteSubframe(w: FlacBitWriter, xs0: Array[Int], bps0: Int,
+                                mode: Int): Unit = {
+    // wasted bits: shared trailing zeros move into the subframe header
+    // (flag + unary count-1) and samples code at the reduced width
+    val tz = xs0.foldLeft(32)((m, v) =>
+      if (v == 0) m else math.min(m, Integer.numberOfTrailingZeros(v)))
+    val wasted = if (tz == 32 || tz == 0) 0 else math.min(tz, bps0 - 1)
+    val xs = if (wasted > 0) xs0.map(_ >> wasted) else xs0
+    val bps = bps0 - wasted
+    def putHeader(typeBits: Long): Unit = {
+      w.put(0L, 1); w.put(typeBits, 6)
+      if (wasted == 0) w.put(0L, 1)
+      else { w.put(1L, 1); w.putUnary(wasted - 1) }
+    }
+    def writeResiduals(res: Array[Long], order: Int): Unit = {
+      // rice method 0, partition order 0, one partition
+      w.put(0L, 2); w.put(0L, 4)
+      val maxAbs = res.foldLeft(0L)((m, v) => math.max(m, math.abs(v)))
+      // pick the rice param so quotients stay small; escape to raw for
+      // the occasional pathological block
+      var p = 0
+      while (p < 14 && (maxAbs >> p) > 8) p += 1
+      if (p >= 14) { // escape: raw n-bit residuals (5-bit count field)
+        w.put(0x0fL, 4)
+        val nbits = 31
+        w.put(nbits.toLong, 5)
+        res.foreach(v => w.put(v & 0x7fffffffL, nbits))
+      } else {
+        w.put(p.toLong, 4)
+        res.foreach { v =>
+          val u = (v << 1) ^ (v >> 63) // zigzag
+          w.putUnary((u >>> p).toInt)
+          w.put(u & ((1L << p) - 1), p)
+        }
+      }
+    }
+    if (mode == -2) {
+      putHeader(1L) // VERBATIM
+      xs.foreach(v => w.put(v.toLong & ((1L << bps) - 1), bps))
+    } else if (mode == -3) {
+      val order = 2
+      putHeader(32L | (order - 1).toLong) // LPC
+      xs.take(order).foreach(v => w.put(v.toLong & ((1L << bps) - 1), bps))
+      w.put(14L, 4) // qlp precision 15 (-1 coded)
+      w.put(0L, 5)  // shift 0
+      w.put(2L & 0x7fffL, 15)  // coef a1 = 2
+      w.put((-1L) & 0x7fffL, 15) // coef a2 = -1
+      writeResiduals(flacFixedResiduals(xs, 2), order)
+    } else if (mode == -1 && xs.forall(_ == xs(0))) {
+      putHeader(0L) // CONSTANT
+      w.put(xs(0).toLong & ((1L << bps) - 1), bps)
+    } else {
+      val order =
+        if (mode >= 0) mode
+        else (0 to 2).minBy { o =>
+          if (xs.length <= o) Long.MaxValue
+          else flacFixedResiduals(xs, o).foldLeft(0L)((s, v) => s + math.abs(v))
+        }
+      putHeader(8L | order.toLong) // FIXED
+      xs.take(order).foreach(v => w.put(v.toLong & ((1L << bps) - 1), bps))
+      writeResiduals(flacFixedResiduals(xs, order), order)
+    }
+  }
+
+  /** REAL FLAC encoder (16-bit, fixed 192-multiple block sizes):
+    * STREAMINFO + frames with genuine Rice-coded entropy. `stereo`:
+    * -1 independent channels, 8 left/side, 9 right/side, 10 mid/side
+    * (2-channel input only). `mode` as in [[flacWriteSubframe]].
+    */
+  def flacEncode(rate: Int, samplesByCh: Array[Array[Int]],
+                 blockSize: Int, mode: Int = -1,
+                 stereo: Int = -1): Array[Byte] = {
+    val ch = samplesByCh.length
+    require(ch >= 1 && ch <= 8, s"channels: $ch")
+    require(blockSize >= 1 && blockSize <= 256,
+      s"8-bit block-size coding: $blockSize") // header uses code 6
+    require(samplesByCh.forall(_.length == samplesByCh(0).length),
+      "ragged channels")
+    require(stereo == -1 || ch == 2, "stereo modes need 2 channels")
+    val bps = 16
+    require(samplesByCh.forall(_.forall(v => v >= -32768 && v <= 32767)),
+      "16-bit samples only")
+    val total = samplesByCh(0).length.toLong
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(flacHeader(rate, ch, bps, total), 0, 42)
+    var start = 0
+    var frameNo = 0L
+    while (start < samplesByCh(0).length) {
+      val bs = math.min(blockSize, samplesByCh(0).length - start)
+      val hdr = new FlacBitWriter
+      hdr.put(0x3ffeL, 14); hdr.put(0L, 1); hdr.put(0L, 1) // sync, rsvd, fixed-bs
+      // block size: code 6 (8-bit value-1) keeps arbitrary tails legal
+      hdr.put(6L, 4)
+      hdr.put(0L, 4) // sample rate: from STREAMINFO
+      val chAssign = if (stereo >= 0) stereo else ch - 1
+      hdr.put(chAssign.toLong, 4)
+      hdr.put(4L, 3) // sample size: 16-bit
+      hdr.put(0L, 1)
+      // UTF-8 frame number (same scheme as codepoints)
+      if (frameNo < 0x80) hdr.put(frameNo, 8)
+      else {
+        hdr.put(0xc0L | (frameNo >> 6), 8)
+        hdr.put(0x80L | (frameNo & 0x3f), 8)
+      }
+      hdr.put((bs - 1).toLong, 8)
+      val hb = hdr.toBytes
+      val fw = new FlacBitWriter
+      hb.foreach(b => fw.put(b.toLong & 0xff, 8))
+      fw.put(crc8(hb, 0, hb.length).toLong, 8)
+      // subframes (stereo decorrelation on the coded channels)
+      val coded: Array[(Array[Int], Int)] = // (samples, bps)
+        if (stereo < 0) samplesByCh.map(a =>
+          (a.slice(start, start + bs), bps))
+        else {
+          val l = samplesByCh(0).slice(start, start + bs)
+          val r = samplesByCh(1).slice(start, start + bs)
+          val side = Array.tabulate(bs)(i => l(i) - r(i))
+          stereo match {
+            case 8 => Array((l, bps), (side, bps + 1))
+            case 9 => Array((side, bps + 1), (r, bps))
+            case _ =>
+              val mid = Array.tabulate(bs)(i => (l(i) + r(i)) >> 1)
+              Array((mid, bps), (side, bps + 1))
+          }
+        }
+      coded.foreach { case (xs, b) => flacWriteSubframe(fw, xs, b, mode) }
+      fw.alignZero()
+      val body = fw.toBytes
+      out.write(body, 0, body.length)
+      val c16 = crc16(body, 0, body.length)
+      out.write(c16 >> 8); out.write(c16 & 0xff)
+      start += bs
+      frameNo += 1
+    }
+    out.toByteArray
+  }
+
+  /** REAL FLAC decode: STREAMINFO, then every frame — sync + header
+    * with CRC-8, UTF-8 frame number, subframe dispatch (CONSTANT /
+    * VERBATIM / FIXED 0-4 / LPC with quantized coefficients and
+    * arithmetic-shift prediction), Rice partitions (both 4- and 5-bit
+    * param widths, escape-to-raw), wasted bits, stereo
+    * undecorrelation, frame CRC-16. Returns None (never junk) on any
+    * CRC mismatch, sync loss, reserved code, truncation, or
+    * sample-count mismatch.
+    */
+  def flacDecode(b: Array[Byte]): Option[FlacAudio] = {
+    if (b.length < 42 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' ||
+      b(3) != 'C') return None
+    def u8(i: Int): Int = b(i) & 0xff
+    // metadata walk: STREAMINFO must be first; skip to last block
+    var i = 4
+    var rate = -1; var ch = -1; var bits = -1; var total = -1L
+    var last = false
+    var first = true
+    while (!last) {
+      if (i + 4 > b.length) return None
+      last = (u8(i) & 0x80) != 0
+      val btype = u8(i) & 0x7f
+      val len = (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      if (first) {
+        if (btype != 0 || len != 34) return None
+        val p = i + 4
+        if (p + 34 > b.length) return None
+        rate = (u8(p + 10) << 12) | (u8(p + 11) << 4) | (u8(p + 12) >> 4)
+        ch = ((u8(p + 12) >> 1) & 7) + 1
+        bits = (((u8(p + 12) & 1) << 4) | (u8(p + 13) >> 4)) + 1
+        total = ((u8(p + 13) & 0xf).toLong << 32) | (u8(p + 14).toLong << 24) |
+          (u8(p + 15).toLong << 16) | (u8(p + 16).toLong << 8) | u8(p + 17)
+        first = false
+      }
+      i += 4 + len
+    }
+    if (rate <= 0 || ch < 1 || ch > 8 || bits < 4 || bits > 32) return None
+    if (total < 0 || total > 64L * 1024 * 1024) return None
+    val outCh = Array.fill(ch)(new Array[Int](total.toInt))
+    var got = 0L
+    while (got < total) {
+      if (i + 5 > b.length) return None
+      val frameStart = i
+      val r = new FlacBitReader(b, i)
+      if (r.readBits(14) != 0x3ffe) return None
+      if (r.readBit() != 0) return None
+      val blockingStrategy = r.readBit()
+      if (blockingStrategy < 0) return None
+      val bsCode = r.readBits(4).toInt
+      val srCode = r.readBits(4).toInt
+      val chAssign = r.readBits(4).toInt
+      val ssCode = r.readBits(3).toInt
+      if (r.readBit() != 0) return None
+      if (bsCode < 0 || srCode < 0 || chAssign < 0 || ssCode < 0) return None
+      // UTF-8 coded number (frame or sample): 1-7 bytes
+      val lead = r.readBits(8).toInt
+      if (lead < 0) return None
+      var extra = 0
+      var tmp = lead
+      if (lead >= 0x80) {
+        var mask = 0x40
+        while ((tmp & mask) != 0) { extra += 1; mask >>= 1 }
+        if (extra < 1 || extra > 6) return None
+        var k = 0
+        while (k < extra) {
+          val c = r.readBits(8).toInt
+          if (c < 0 || (c & 0xc0) != 0x80) return None
+          k += 1
+        }
+      }
+      val bs = bsCode match {
+        case 0 => return None
+        case 6 => val v = r.readBits(8); if (v < 0) return None else v.toInt + 1
+        case 7 => val v = r.readBits(16); if (v < 0) return None else v.toInt + 1
+        case c => flacBlockSizes(c)
+      }
+      srCode match { // explicit-rate codes carry extra header bytes
+        case 12 => if (r.readBits(8) < 0) return None
+        case 13 | 14 => if (r.readBits(16) < 0) return None
+        case 15 => return None
+        case _ => ()
+      }
+      val frameBps = ssCode match {
+        case 0 => bits
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case 7 => 32
+        case _ => return None
+      }
+      val nCh = if (chAssign <= 7) chAssign + 1 else 2
+      if (chAssign > 10) return None
+      if (nCh != ch) return None
+      if (bs <= 0 || got + bs > total) return None
+      // header CRC-8: bytes from frameStart up to reader position
+      val hdrEnd = r.pos
+      val crcH = r.readBits(8).toInt
+      if (crcH < 0 || crcH != crc8(b, frameStart, hdrEnd)) return None
+      // subframes
+      val sub = new Array[Array[Int]](nCh)
+      var c = 0
+      while (c < nCh) {
+        val sbps = frameBps + (chAssign match {
+          case 8 => if (c == 1) 1 else 0 // left/side
+          case 9 => if (c == 0) 1 else 0 // side/right
+          case 10 => if (c == 1) 1 else 0 // mid/side
+          case _ => 0
+        })
+        sub(c) = flacReadSubframe(r, bs, sbps)
+        if (sub(c) == null) return None
+        c += 1
+      }
+      r.alignToByte()
+      val bodyEnd = r.pos
+      val crcF = r.readBits(16).toInt
+      if (crcF < 0 || crcF != crc16(b, frameStart, bodyEnd)) return None
+      // undecorrelate + copy out
+      val off = got.toInt
+      chAssign match {
+        case 8 => // left/side: R = L - side
+          var k = 0
+          while (k < bs) {
+            outCh(0)(off + k) = sub(0)(k)
+            outCh(1)(off + k) = sub(0)(k) - sub(1)(k)
+            k += 1
+          }
+        case 9 => // side/right: L = R + side
+          var k = 0
+          while (k < bs) {
+            outCh(0)(off + k) = sub(1)(k) + sub(0)(k)
+            outCh(1)(off + k) = sub(1)(k)
+            k += 1
+          }
+        case 10 => // mid/side
+          var k = 0
+          while (k < bs) {
+            var mid = sub(0)(k) << 1
+            val side = sub(1)(k)
+            mid |= (side & 1)
+            outCh(0)(off + k) = (mid + side) >> 1
+            outCh(1)(off + k) = (mid - side) >> 1
+            k += 1
+          }
+        case _ =>
+          var cc = 0
+          while (cc < nCh) {
+            System.arraycopy(sub(cc), 0, outCh(cc), off, bs)
+            cc += 1
+          }
+      }
+      got += bs
+      i = r.pos
+    }
+    // nothing but padding may follow the last frame
+    while (i < b.length) { if (b(i) != 0) return None; i += 1 }
+    Some(FlacAudio(rate, ch, bits, outCh))
+  }
+
+  /** One subframe: returns the reconstructed samples or null on any
+    * stream violation. */
+  private def flacReadSubframe(r: FlacBitReader, bs: Int,
+                               bps: Int): Array[Int] = {
+    if (r.readBit() != 0) return null
+    val t = r.readBits(6).toInt
+    if (t < 0) return null
+    val wastedFlag = r.readBit()
+    if (wastedFlag < 0) return null
+    var wasted = 0
+    if (wastedFlag == 1) {
+      val q = r.readUnary(32)
+      if (q < 0) return null
+      wasted = q + 1
+    }
+    val eb = bps - wasted
+    if (eb <= 0 || eb > 33) return null
+    val xs = new Array[Int](bs)
+    def readResiduals(order: Int): Boolean = {
+      val method = r.readBits(2).toInt
+      if (method < 0 || method > 1) return false
+      val pWidth = if (method == 0) 4 else 5
+      val escape = if (method == 0) 0xf else 0x1f
+      val pOrder = r.readBits(4).toInt
+      if (pOrder < 0) return false
+      val nPart = 1 << pOrder
+      if (bs % nPart != 0) return false
+      var idx = order
+      var part = 0
+      while (part < nPart) {
+        val cnt = (bs >> pOrder) - (if (part == 0) order else 0)
+        if (cnt < 0) return false
+        val prm = r.readBits(pWidth).toInt
+        if (prm < 0) return false
+        if (prm == escape) {
+          val nb = r.readBits(5).toInt
+          if (nb < 0) return false
+          var k = 0
+          while (k < cnt) {
+            val v = r.readBits(nb)
+            if (nb > 0 && v < 0) return false
+            xs(idx) = signExtend(v, nb); idx += 1; k += 1
+          }
+        } else {
+          var k = 0
+          while (k < cnt) {
+            val q = r.readUnary(1 << 24)
+            if (q < 0) return false
+            val rem = r.readBits(prm)
+            if (prm > 0 && rem < 0) return false
+            xs(idx) = zigzagDec((q.toLong << prm) | (if (prm > 0) rem else 0L))
+            idx += 1; k += 1
+          }
+        }
+        part += 1
+      }
+      true
+    }
+    val ok: Boolean =
+      if (t == 0) { // CONSTANT
+        val v = r.readBits(eb)
+        if (v < 0 && eb > 0) false
+        else { java.util.Arrays.fill(xs, signExtend(v, eb)); true }
+      } else if (t == 1) { // VERBATIM
+        var k = 0
+        var good = true
+        while (good && k < bs) {
+          val v = r.readBits(eb)
+          if (v < 0) good = false else { xs(k) = signExtend(v, eb); k += 1 }
+        }
+        good
+      } else if (t >= 8 && t <= 12) { // FIXED
+        val order = t - 8
+        if (order > bs) false
+        else {
+          var k = 0
+          var good = true
+          while (good && k < order) {
+            val v = r.readBits(eb)
+            if (v < 0) good = false else { xs(k) = signExtend(v, eb); k += 1 }
+          }
+          good && readResiduals(order) && {
+            var i2 = order
+            while (i2 < bs) {
+              val p: Long = order match {
+                case 0 => 0L
+                case 1 => xs(i2 - 1).toLong
+                case 2 => 2L * xs(i2 - 1) - xs(i2 - 2)
+                case 3 => 3L * xs(i2 - 1) - 3L * xs(i2 - 2) + xs(i2 - 3)
+                case _ =>
+                  4L * xs(i2 - 1) - 6L * xs(i2 - 2) + 4L * xs(i2 - 3) - xs(i2 - 4)
+              }
+              val v = p + xs(i2)
+              if (v < Int.MinValue || v > Int.MaxValue) return null
+              xs(i2) = v.toInt
+              i2 += 1
+            }
+            true
+          }
+        }
+      } else if (t >= 32) { // LPC, order (t & 31) + 1
+        val order = (t & 31) + 1
+        if (order > bs) false
+        else {
+          var k = 0
+          var good = true
+          while (good && k < order) {
+            val v = r.readBits(eb)
+            if (v < 0) good = false else { xs(k) = signExtend(v, eb); k += 1 }
+          }
+          val precM1 = r.readBits(4).toInt
+          if (precM1 < 0 || precM1 == 15) good = false
+          val prec = precM1 + 1
+          val shiftRaw = if (good) r.readBits(5).toInt else -1
+          if (shiftRaw < 0) good = false
+          val shift = signExtend(shiftRaw.toLong, 5)
+          if (shift < 0) good = false
+          val coefs = new Array[Int](order)
+          var j = 0
+          while (good && j < order) {
+            val cv = r.readBits(prec)
+            if (cv < 0) good = false else { coefs(j) = signExtend(cv, prec); j += 1 }
+          }
+          good && readResiduals(order) && {
+            var i2 = order
+            while (i2 < bs) {
+              var acc = 0L
+              var jj = 0
+              while (jj < order) { acc += coefs(jj).toLong * xs(i2 - 1 - jj); jj += 1 }
+              val v = (acc >> shift) + xs(i2)
+              if (v < Int.MinValue || v > Int.MaxValue) return null
+              xs(i2) = v.toInt
+              i2 += 1
+            }
+            true
+          }
+        }
+      } else false // reserved types
+    if (!ok) return null
+    if (wasted > 0) {
+      var k = 0
+      while (k < bs) { xs(k) = xs(k) << wasted; k += 1 }
+    }
+    xs
+  }
+
+  /** Deterministic synthetic CONSTANT-subframe FLAC per id: mono
+    * 16-bit, rate from [[synthRates]], (id%3+1) blocks of 192 samples,
+    * block j holding the constant (id·31 + j·17) mod 1000 − 500 — so
+    * every decoded sample, and therefore n/sum/mean, is a closed form
+    * DuckDB replays in integer arithmetic, while the Spark side must
+    * walk real frames (sync, UTF-8 numbers, CRC-8, CRC-16) to get
+    * them.
+    */
+  def synthFlac(id: Long): Array[Byte] = {
+    val rate = synthRates((id % 5).toInt)
+    val nb = (id % 3 + 1).toInt
+    val xs = Array.tabulate(nb * 192) { k =>
+      val j = k / 192
+      ((id * 31 + j * 17) % 1000 - 500).toInt
+    }
+    flacEncode(rate, Array(xs), 192)
+  }
+
+  def synthFlacCol(c: Column): Column =
+    udf { id: Long => synthFlac(id) }.apply(c)
+
+  /** Decoded-sample statistics of a FLAC stream: (n, sum, mean, std)
+    * over all channels, same conventions as [[wavChannelStats]]'
+    * aggregate profile. */
+  def flacSampleStats(b: Array[Byte]): Option[(Long, Long, Double, Double)] =
+    flacDecode(b).map { a =>
+      var n = 0L; var s = 0L; var ss = 0L
+      a.samples.foreach { chs =>
+        var k = 0
+        while (k < chs.length) {
+          n += 1; s += chs(k); ss += chs(k).toLong * chs(k); k += 1
+        }
+      }
+      val mean = if (n == 0) 0.0 else s.toDouble / n
+      val variance = if (n == 0) 0.0 else ss.toDouble / n - mean * mean
+      (n, s, mean, math.sqrt(math.max(0.0, variance)))
+    }
+
+  def flacSampleStatsCol(c: Column): Column =
+    udf { b: Array[Byte] => flacSampleStats(b) }.apply(c)
 }

@@ -510,6 +510,86 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("FLAC codec: exact round-trip across subframe types") {
+    // a smooth-ish deterministic 16-bit signal: FIXED predictors bite,
+    // residuals stay small, and the tail block is shorter than 192
+    val n = 500
+    val xs = Array.tabulate(n)(i =>
+      (2000 * math.sin(i / 7.0)).toInt + (i % 13) - 6)
+    for (mode <- Seq(-1, -2, -3, 0, 1, 2, 3, 4)) {
+      val enc = Binary.flacEncode(16000, Array(xs), 192, mode = mode)
+      val dec = Binary.flacDecode(enc)
+      assert(dec.isDefined, s"mode $mode failed to decode")
+      val a = dec.get
+      assert(a.sampleRate == 16000 && a.channels == 1 && a.bits == 16)
+      assert(a.samples(0).sameElements(xs), s"mode $mode sample mismatch")
+    }
+    // metadata parser agrees with the full decoder on the header
+    val meta = Binary.parseAudioMeta(Binary.flacEncode(16000, Array(xs), 192)).get
+    assert(meta.format == "flac" && meta.sample_rate == 16000 &&
+      meta.channels == 1)
+  }
+
+  test("FLAC codec: stereo decorrelation modes reconstruct exactly") {
+    val n = 300
+    val l = Array.tabulate(n)(i => (1500 * math.sin(i / 9.0)).toInt + (i % 7))
+    val r = Array.tabulate(n)(i => (1200 * math.cos(i / 11.0)).toInt - (i % 5))
+    for (stereo <- Seq(-1, 8, 9, 10)) {
+      val enc = Binary.flacEncode(8000, Array(l, r), 192, stereo = stereo)
+      val a = Binary.flacDecode(enc).get
+      assert(a.channels == 2)
+      assert(a.samples(0).sameElements(l), s"stereo $stereo left mismatch")
+      assert(a.samples(1).sameElements(r), s"stereo $stereo right mismatch")
+    }
+  }
+
+  test("FLAC codec: wasted bits and the Rice escape round-trip") {
+    // all samples share 3 trailing zero bits -> wasted-bits header path
+    val xs = Array.tabulate(256)(i => ((800 * math.sin(i / 5.0)).toInt) << 3)
+    val enc = Binary.flacEncode(24000, Array(xs), 128)
+    assert(Binary.flacDecode(enc).get.samples(0).sameElements(xs))
+    // a wild high-variance signal at VERBATIM and FIXED (escape likely)
+    val wild = Array.tabulate(200)(i =>
+      (((i * 2654435761L) >> 7) % 65536L - 32768L).toInt)
+    for (mode <- Seq(-2, 0)) {
+      val e2 = Binary.flacEncode(48000, Array(wild), 192, mode = mode)
+      assert(Binary.flacDecode(e2).get.samples(0).sameElements(wild),
+        s"mode $mode wild mismatch")
+    }
+  }
+
+  test("FLAC round-trips the synthetic id range exactly") {
+    (0L until 60L).foreach { id =>
+      val nb = (id % 3 + 1).toInt
+      val a = Binary.flacDecode(Binary.synthFlac(id)).get
+      assert(a.channels == 1 && a.samples(0).length == nb * 192)
+      (0 until nb).foreach { j =>
+        val want = ((id * 31 + j * 17) % 1000 - 500).toInt
+        assert(a.samples(0)(j * 192) == want, s"id=$id block $j")
+        assert(a.samples(0)(j * 192 + 191) == want, s"id=$id block $j end")
+      }
+    }
+  }
+
+  test("FLAC decoder rejects corrupt input, never junk") {
+    val enc = Binary.flacEncode(16000,
+      Array(Array.tabulate(300)(i => (1000 * math.sin(i / 8.0)).toInt)), 192)
+    assert(Binary.flacDecode(enc).isDefined)
+    assert(Binary.flacDecode(enc.take(30)).isEmpty)
+    assert(Binary.flacDecode(enc.dropRight(1)).isEmpty)
+    assert(Binary.flacDecode("not a flac".getBytes).isEmpty)
+    assert(Binary.flacDecode(Array.empty[Byte]).isEmpty)
+    // flip one byte anywhere in the frame region: CRC-8 or CRC-16 must
+    // catch it (None), never a junk decode that silently differs
+    (42 until enc.length).foreach { at =>
+      val mut = enc.clone(); mut(at) = (mut(at) ^ 0x2a).toByte
+      val d = Binary.flacDecode(mut)
+      assert(d.isEmpty, s"byte $at: corruption escaped both CRCs")
+    }
+    // a WAV header is not a FLAC stream
+    assert(Binary.flacDecode(Binary.wavHeader(8000, 1, 16, 100)).isEmpty)
+  }
+
   test("JPEG restart markers: round-trip with per-segment DC chain resets") {
     // DRI=2 over 6 blocks: segments [b0 b1][b2 b3][b4 b5], RST0 RST1
     // between them; each segment's first block codes its DC from 0

@@ -855,6 +855,9 @@ class PlanAuditSpec extends SparkSpec {
     val q324 = plan(SparkEntry.queries("q324_jpeg_restart")(spark, sf))
     assert(!q324.contains("Join"), s"restart JPEG decode plans a join:\n$q324")
     assert(!q324.contains("Window"), s"restart JPEG decode plans a window:\n$q324")
+    val q325 = plan(SparkEntry.queries("q325_flac_decode")(spark, sf))
+    assert(!q325.contains("Join"), s"FLAC decode plans a join:\n$q325")
+    assert(!q325.contains("Window"), s"FLAC decode plans a window:\n$q325")
     assert("HashAggregate".r.findAllIn(q322).size >= 2,
       s"stream twin lost partial aggregation:\n$q322")
   }
