@@ -3343,4 +3343,42 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** S10 — WARC/WET ingestion round-trip
+    * ([[graft.sources.Warc]], r12): documents are packed into
+    * spec-shaped WET files — a warcinfo record plus one conversion
+    * record per document, EACH record an independently-gzipped member
+    * (the Common Crawl layout) — then read back through the full
+    * ingestion path: multi-member gunzip, strict WARC 1.0 record walk
+    * (version line, headers, Content-Length-framed payload that may
+    * itself contain CRLF, terminating CRLFCRLF), conversion-record
+    * explode. The oracle recomputes per-bucket record counts, decoded
+    * character sums, and the polynomial content hash of every decoded
+    * text from the RAW documents table — so any byte lost or mangled
+    * anywhere in gzip framing, record framing, or UTF-8 round-trip
+    * breaks sum_hash. Scale shape: `collect_list` groups are bounded
+    * by construction (doc_id < 240 over 24 buckets ⇒ ≤ 10 docs/WET);
+    * at corpus scale the same pipeline runs with bounded WET shard
+    * sizes, parse stays per-row map work, records explode to rows.
+    */
+  private[graft] def qWarcIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val d = par(doc(s, dir)).where(col("doc_id") < 240)
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") % lit(24L)).as("bucket"))
+    val wet = d.groupBy("bucket").agg(
+        sort_array(collect_list(struct(
+          concat(lit("urn:graft:doc:"), col("doc_id")).as("uri"),
+          col("text").as("text")))).as("docs"))
+      .select(col("bucket"), Warc.buildWetCol(col("docs")).as("wet"))
+    val parsed = wet.select(col("bucket"),
+        explode(Warc.parseWetCol(col("wet"))).as("r"))
+      .select(col("bucket"), col("r._2").as("rtext"))
+    parsed.groupBy("bucket").agg(
+        count(lit(1)).as("n_records"),
+        sum(length(col("rtext"))).cast("long").as("sum_chars"),
+        sum(graft.text.TextOps.strHash(col("rtext"))).cast("long")
+          .as("sum_hash"))
+      .orderBy("bucket")
+  }
+
 }

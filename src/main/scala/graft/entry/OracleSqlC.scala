@@ -2069,6 +2069,19 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |    (CAST(sum(v) AS DOUBLE) / count(*)) *
         |    (CAST(sum(v) AS DOUBLE) / count(*)))), 6) AS std_s
         | FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      .replaceAll("\n", " ")
+      .replaceAll("\n", " "),
+    // q326: the oracle recomputes per-bucket counts / char sums / the
+    // polynomial content hash from the RAW documents table — the Spark
+    // side must round-trip every byte through gzip members + WARC
+    // framing + UTF-8 to match sum_hash
+    "q326_warc_ingest" -> {
+      val h = graft.text.TextOps.Sql.strHash("text")
+      s"""SELECT doc_id % 24 AS bucket,
+         | count(*) AS n_records,
+         | CAST(sum(len(text)) AS BIGINT) AS sum_chars,
+         | CAST(sum($h) AS BIGINT) AS sum_hash
+         | FROM documents WHERE doc_id < 240
+         | GROUP BY 1 ORDER BY bucket""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

@@ -858,6 +858,13 @@ class PlanAuditSpec extends SparkSpec {
     val q325 = plan(SparkEntry.queries("q325_flac_decode")(spark, sf))
     assert(!q325.contains("Join"), s"FLAC decode plans a join:\n$q325")
     assert(!q325.contains("Window"), s"FLAC decode plans a window:\n$q325")
+    // q326 WARC ingest: bucket-grouped pack + per-row parse + explode —
+    // no join, no window, partial aggregation on the final rollup
+    val q326 = plan(SparkEntry.queries("q326_warc_ingest")(spark, sf))
+    assert(!q326.contains("Join"), s"WARC ingest plans a join:\n$q326")
+    assert(!q326.contains("Window"), s"WARC ingest plans a window:\n$q326")
+    assert(!q326.contains("CartesianProduct"),
+      s"WARC ingest plans a cartesian:\n$q326")
     assert("HashAggregate".r.findAllIn(q322).size >= 2,
       s"stream twin lost partial aggregation:\n$q322")
   }

@@ -192,4 +192,42 @@ class SourcesSpec extends SparkSpec {
     val sn = Skew.saltedJoin(fWithNull, dim, Seq("k"), col("payload"), 8).count()
     assert(sn == pn && sn == 3L)
   }
+
+  test("WARC/WET: build and parse round-trip every byte") {
+    import graft.sources.Warc
+    // payloads with embedded CRLF, unicode, and an empty text — the
+    // Content-Length framing must carry them all
+    val docs = Seq(
+      "urn:d:1" -> "plain ascii text",
+      "urn:d:2" -> "line one\r\nline two\r\n\r\nlooks like a record break",
+      "urn:d:3" -> "unicode: déjà vu — 校正 ✓",
+      "urn:d:4" -> "")
+    val wet = Warc.buildWet(docs)
+    // multi-member: one gzip member per record (warcinfo + 4)
+    val members = wet.sliding(2).count(p =>
+      (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
+    assert(members == 5, s"expected 5 gzip members, found $members")
+    val back = Warc.parseWet(wet).get
+    assert(back.map(r => r.targetUri -> r.text) == docs)
+  }
+
+  test("WARC/WET: strict rejection of malformed streams") {
+    import graft.sources.Warc
+    val wet = Warc.buildWet(Seq("urn:d:1" -> "hello", "urn:d:2" -> "world"))
+    assert(Warc.parseWet(wet).isDefined)
+    assert(Warc.parseWet(wet.take(20)).isEmpty) // truncated member
+    assert(Warc.parseWet(Array.empty[Byte]).isEmpty)
+    assert(Warc.parseWet("no gzip here".getBytes).isEmpty)
+    // valid gzip of garbage: gunzip fine, record walk must reject
+    assert(Warc.parseWet(Warc.gzipMember("HTTP/1.1 200 OK\r\n".getBytes)).isEmpty)
+    // a conversion stream WITHOUT a leading warcinfo is rejected
+    val inflated = Warc.gunzipAll(wet).get
+    val recs = Warc.parseWarc(inflated).get
+    assert(recs.length == 3 && recs.head._1("WARC-Type") == "warcinfo")
+    // corrupt the Content-Length framing: flip a payload byte count
+    val s = new String(inflated, "ISO-8859-1")
+    val bad = s.replaceFirst("Content-Length: 5", "Content-Length: 4")
+      .getBytes("ISO-8859-1")
+    assert(Warc.parseWarc(bad).isEmpty)
+  }
 }
