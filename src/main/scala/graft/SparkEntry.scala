@@ -372,7 +372,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q323_jpeg_progressive" -> (qJpegProgressive _),
     "q324_jpeg_restart" -> (qJpegRestart _),
     "q325_flac_decode" -> (qFlacDecode _),
-    "q326_warc_ingest" -> (qWarcIngest _)
+    "q326_warc_ingest" -> (qWarcIngest _),
+    "q327_crawl_capstone" -> (qCrawlCapstone _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

@@ -3381,4 +3381,84 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("bucket")
   }
 
+  /** D22 — CRAWL-TO-CORPUS CAPSTONE: the end-to-end path a 100 TB
+    * pretraining corpus actually takes, as ONE oracle-checked
+    * composition over this round's and prior rounds' operators —
+    * documents packed into WET shards and read back through the REAL
+    * ingestion boundary ([[graft.sources.Warc]]: multi-member gunzip +
+    * strict WARC walk; source and doc id recovered from the
+    * WARC-Target-URI, text from the payload), then quality filtering
+    * (token count in [5, 2000], integer-exact distinct-token ratio ≥
+    * 0.30 — the C4-style rule shape), exact content dedup (polynomial
+    * text hash, keep-first by doc id), and q223's token-budget greedy
+    * selection (density-packed integer sort key, running totals via
+    * the two-phase [[graft.core.PrefixScan]], budget = 25% of
+    * surviving tokens). Output is the per-source FUNNEL — parsed /
+    * quality-kept / unique / selected counts + selected tokens — so a
+    * regression anywhere in five stages (ingestion bytes, filter
+    * arithmetic, hash, dedup rule, budget scan) breaks a row. The
+    * oracle replays every stage from the raw documents table in SQL.
+    * Scale shape: WET groups bounded by construction (96 buckets over
+    * doc_id < 960); the hash-dedup join and budget scan are the
+    * q23/q223 shapes already pinned scale-safe.
+    */
+  private[graft] def qCrawlCapstone(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    import graft.text.TextOps
+    val d0 = par(doc(s, dir)).where(col("doc_id") < 960)
+      .select(col("doc_id"), col("source"), col("text"),
+        (col("doc_id") % lit(96L)).as("bucket"))
+    // 1. ingestion boundary: pack to WET shards, read back
+    val wet = d0.groupBy("bucket").agg(
+        sort_array(collect_list(struct(
+          concat(lit("urn:graft:"), col("source"), lit(":"),
+            col("doc_id")).as("uri"),
+          col("text").as("text")))).as("docs"))
+      .select(Warc.buildWetCol(col("docs")).as("wet"))
+    val parsed = wet.select(explode(Warc.parseWetCol(col("wet"))).as("r"))
+      .select(split(col("r._1"), ":").getItem(2).as("source"),
+        split(col("r._1"), ":").getItem(3).cast("long").as("doc_id"),
+        col("r._2").as("text"))
+    // 2. quality rules (integer-exact, SQL-mirrorable)
+    val toks = TextOps.tokens(col("text"))
+    val scored = parsed
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("u", size(array_distinct(toks)).cast("long"))
+      // division-free ratio rule (u/n_tok >= 0.30): n_tok = 0 rows must
+      // yield FALSE, not a null/err from the division, on BOTH engines
+      .withColumn("quality", col("n_tok") >= 5 && col("n_tok") <= 2000 &&
+        col("u") * lit(1000000L) >= col("n_tok") * lit(300000L))
+      .withColumn("h", TextOps.strHash(col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q327", scored)
+    // 3. exact content dedup among quality survivors: keep-first by id
+    val firstIds = scored.where(col("quality"))
+      .groupBy("h").agg(min("doc_id").as("first_id"))
+    val flagged = scored
+      .join(firstIds, scored("h") === firstIds("h"), "left")
+      .drop(firstIds("h"))
+      .withColumn("kept", col("quality") && col("doc_id") === col("first_id"))
+    // 4. token-budget greedy selection over the kept set (q223 machinery)
+    val kept = flagged.where(col("kept"))
+      .withColumn("key",
+        (lit(1000000L) - expr("u * 1000000 div n_tok")) * lit(8589934592L) +
+          col("doc_id"))
+    val budget = kept.agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0) / 4
+    val (scanned, _) = graft.core.PrefixScan.exclusive(
+      kept.select("source", "doc_id", "n_tok", "key"),
+      "key", Seq("n_tok"), "entry.q327")
+    val selected = scanned
+      .where(col("cum_n_tok_below") + col("n_tok") <= budget)
+      .groupBy("source").agg(count(lit(1)).as("n_selected"),
+        sum("n_tok").as("tokens_selected"))
+    // 5. per-source funnel
+    flagged.groupBy("source").agg(
+        count(lit(1)).as("n_parsed"),
+        count(when(col("quality"), 1)).as("n_quality"),
+        count(when(col("kept"), 1)).as("n_unique"))
+      .join(selected, Seq("source"), "left")
+      .na.fill(0L, Seq("n_selected", "tokens_selected"))
+      .orderBy("source")
+  }
+
 }

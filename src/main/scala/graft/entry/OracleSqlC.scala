@@ -2082,6 +2082,48 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
          | CAST(sum($h) AS BIGINT) AS sum_hash
          | FROM documents WHERE doc_id < 240
          | GROUP BY 1 ORDER BY bucket""".stripMargin.replaceAll("\n", " ")
+    },
+    // q327: replays the whole crawl-to-corpus funnel from the raw table
+    // — quality rules, content-hash keep-first dedup among quality
+    // survivors, q223's integer key + running-total budget selection
+    "q327_crawl_capstone" -> {
+      val toks = graft.text.TextOps.Sql.toks("text")
+      val h = graft.text.TextOps.Sql.strHash("text")
+      s"""WITH t AS (SELECT doc_id, source, $toks AS toks, $h AS h
+         |   FROM documents WHERE doc_id < 960),
+         | f AS (SELECT doc_id, source, h,
+         |   CAST(len(toks) AS BIGINT) AS n_tok,
+         |   CAST(len(list_distinct(toks)) AS BIGINT) AS u,
+         |   (CAST(len(toks) AS BIGINT) >= 5 AND
+         |    CAST(len(toks) AS BIGINT) <= 2000 AND
+         |    CAST(len(list_distinct(toks)) AS BIGINT) * 1000000 >=
+         |      CAST(len(toks) AS BIGINT) * 300000) AS quality
+         |  FROM t),
+         | fi AS (SELECT h, min(doc_id) AS first_id FROM f WHERE quality
+         |   GROUP BY h),
+         | k AS (SELECT f.*,
+         |   (f.quality AND f.doc_id = fi.first_id) AS kept
+         |  FROM f LEFT JOIN fi ON f.h = fi.h),
+         | b AS (SELECT COALESCE(sum(n_tok), 0) // 4 AS budget
+         |   FROM k WHERE kept),
+         | c AS (SELECT source, n_tok,
+         |   sum(n_tok) OVER (ORDER BY
+         |     (1000000 - (u * 1000000) // n_tok) * 8589934592 + doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM k WHERE kept),
+         | sel AS (SELECT source, count(*) AS n_selected,
+         |   CAST(sum(n_tok) AS BIGINT) AS tokens_selected
+         |  FROM c CROSS JOIN b WHERE cum <= budget GROUP BY source),
+         | fun AS (SELECT source, count(*) AS n_parsed,
+         |   count(*) FILTER (WHERE quality) AS n_quality,
+         |   count(*) FILTER (WHERE kept) AS n_unique
+         |  FROM k GROUP BY source)
+         | SELECT fun.source, fun.n_parsed, fun.n_quality, fun.n_unique,
+         |  CAST(COALESCE(sel.n_selected, 0) AS BIGINT) AS n_selected,
+         |  CAST(COALESCE(sel.tokens_selected, 0) AS BIGINT)
+         |    AS tokens_selected
+         | FROM fun LEFT JOIN sel ON fun.source = sel.source
+         | ORDER BY fun.source""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

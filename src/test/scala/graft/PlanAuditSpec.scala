@@ -865,6 +865,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!q326.contains("Window"), s"WARC ingest plans a window:\n$q326")
     assert(!q326.contains("CartesianProduct"),
       s"WARC ingest plans a cartesian:\n$q326")
+    // q327 capstone: hash-dedup equi-join + prefix-scan budget — never a
+    // cartesian, a nested loop, or a single-partition data window
+    val q327 = plan(SparkEntry.queries("q327_crawl_capstone")(spark, sf))
+    assert(!q327.contains("CartesianProduct"),
+      s"capstone plans a cartesian:\n$q327")
+    assert(!q327.contains("BroadcastNestedLoopJoin"),
+      s"capstone plans a nested loop:\n$q327")
+    assert(!q327.contains("Window"),
+      s"capstone budget regressed to a window:\n$q327")
     assert("HashAggregate".r.findAllIn(q322).size >= 2,
       s"stream twin lost partial aggregation:\n$q322")
   }
