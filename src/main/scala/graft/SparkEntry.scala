@@ -373,7 +373,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q324_jpeg_restart" -> (qJpegRestart _),
     "q325_flac_decode" -> (qFlacDecode _),
     "q326_warc_ingest" -> (qWarcIngest _),
-    "q327_crawl_capstone" -> (qCrawlCapstone _)
+    "q327_crawl_capstone" -> (qCrawlCapstone _),
+    "q328_mp3_meta" -> (qMp3Meta _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

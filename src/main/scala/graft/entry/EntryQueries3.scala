@@ -3461,4 +3461,32 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("source")
   }
 
+  /** MM-MP3 — MP3 metadata via the full frame-header walk
+    * ([[graft.multimodal.Binary.parseMp3Meta]] through
+    * [[graft.multimodal.Binary.parseAudioMeta]]): the most common
+    * crawl audio format has no self-describing container, so
+    * rate/channels/duration require validating EVERY frame header in
+    * the chain (sync bits, bitrate/rate table lookups, padding-aware
+    * frame length) and counting frames — a single malformed header
+    * nulls the row. Fixtures are closed forms of doc_id (bitrate index
+    * id%5+9, rate {44100,48000,32000}[id%3], id%10+1 frames, mono iff
+    * even), so the oracle recomputes every column with the same
+    * integer arithmetic, including the 144000·br/sr frame-length and
+    * samples·1000/rate duration divisions. Sample decode (IMDCT +
+    * synthesis filterbank) stays documented-out as codec-library
+    * territory.
+    */
+  private[graft] def qMp3Meta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 120).select(col("doc_id"))
+      .withColumn("au", Binary.synthMp3Col(col("doc_id")))
+      .select(col("doc_id"), Binary.audioMetaCol(col("au")).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.sample_rate").cast("long").as("sample_rate"),
+        col("m.channels").cast("long").as("channels"),
+        col("m.n_frames").as("n_samples"),
+        col("m.duration_ms").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
 }

@@ -2124,6 +2124,21 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
          |    AS tokens_selected
          | FROM fun LEFT JOIN sel ON fun.source = sel.source
          | ORDER BY fun.source""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    // q328: every MP3 header field is a closed form of doc_id; the
+    // Spark side must frame-walk the real byte chain to recover them
+    "q328_mp3_meta" ->
+      """WITH d AS (SELECT doc_id,
+        |   CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |     ELSE 32000 END AS sample_rate,
+        |   CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS channels,
+        |   (doc_id % 10 + 1) * 1152 AS n_samples
+        |  FROM documents WHERE doc_id < 120)
+        | SELECT doc_id, 'mp3' AS format,
+        |  CAST(sample_rate AS BIGINT) AS sample_rate,
+        |  CAST(channels AS BIGINT) AS channels,
+        |  CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms
+        | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

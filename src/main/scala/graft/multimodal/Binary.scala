@@ -250,8 +250,83 @@ object Binary {
         (u8(23).toLong << 16) | (u8(24).toLong << 8) | u8(25).toLong
       if (rate <= 0) None
       else Some(AudioMeta("flac", rate, ch, bits, frames, frames * 1000L / rate))
-    } else None
+    } else parseMp3Meta(b)
   }
+
+  /** MP3 (MPEG-1 Layer III) metadata via a FULL frame-header walk —
+    * the most common crawl audio format has no self-describing
+    * container, so rate/channels/duration come from validating every
+    * frame header in the chain (sync, version/layer bits, bitrate and
+    * sample-rate table lookups, padding-aware frame length
+    * 144000·bitrate/rate + pad) and counting frames; a leading ID3v2
+    * tag (syncsafe 28-bit size) is skipped. Strict: a broken sync, a
+    * reserved bitrate/rate code, an inconsistent rate/mode mid-chain,
+    * or trailing garbage is None — never a junk duration. (Layer III
+    * SAMPLE decode — IMDCT + synthesis filterbank — is codec-library
+    * territory and stays behind [[stubDecode]].)
+    */
+  private def parseMp3Meta(b: Array[Byte]): Option[AudioMeta] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    var i = 0L
+    if (b.length >= 10 && u8(0) == 'I' && u8(1) == 'D' && u8(2) == '3') {
+      val sz = ((u8(6) & 0x7f) << 21) | ((u8(7) & 0x7f) << 14) |
+        ((u8(8) & 0x7f) << 7) | (u8(9) & 0x7f)
+      i = 10L + sz
+    }
+    val bitrates = Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+      192, 224, 256, 320, -1)
+    val srates = Array(44100, 48000, 32000, -1)
+    var frames = 0L
+    var rate = -1
+    var ch = -1
+    while (i < b.length) {
+      if (i + 4 > b.length) return None // partial trailing header
+      val p = i.toInt
+      if (u8(p) != 0xff || (u8(p + 1) & 0xfe) != 0xfa) return None
+      val br = bitrates(u8(p + 2) >> 4)
+      val sr = srates((u8(p + 2) >> 2) & 3)
+      val pad = (u8(p + 2) >> 1) & 1
+      if (br <= 0 || sr <= 0) return None
+      val c = if ((u8(p + 3) >> 6) == 3) 1 else 2
+      if (rate < 0) { rate = sr; ch = c }
+      else if (rate != sr || ch != c) return None
+      i += 144000L * br / sr + pad
+      frames += 1
+    }
+    if (frames == 0 || i != b.length) return None
+    val samples = frames * 1152L
+    Some(AudioMeta("mp3", rate, ch, 0, samples, samples * 1000L / rate))
+  }
+
+  /** Deterministic synthetic MP3 per id: (id%10+1) MPEG-1 Layer III
+    * frames at bitrate table index (id%5+9) (128–256 kbps) and rate
+    * {44100, 48000, 32000}[id%3], mono iff id even, zero padding —
+    * every header field and the frame count are closed forms of the
+    * id, so the SQL oracle recomputes the whole metadata row. Payload
+    * bytes are zeros (metadata walk never reads them).
+    */
+  def synthMp3(id: Long): Array[Byte] = {
+    val bitrates = Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+      192, 224, 256, 320, -1)
+    val srates = Array(44100, 48000, 32000)
+    val brIdx = (id % 5 + 9).toInt
+    val srIdx = (id % 3).toInt
+    val sr = srates(srIdx)
+    val n = (id % 10 + 1).toInt
+    val flen = (144000L * bitrates(brIdx) / sr).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until n).foreach { _ =>
+      out.write(0xff); out.write(0xfb)
+      out.write((brIdx << 4) | (srIdx << 2))
+      out.write(if (id % 2 == 0) 0xc0 else 0x00)
+      var k = 4
+      while (k < flen) { out.write(0); k += 1 }
+    }
+    out.toByteArray
+  }
+
+  def synthMp3Col(c: Column): Column =
+    udf { id: Long => synthMp3(id) }.apply(c)
 
   /** Minimal VALID audio headers (container + format fields, no PCM
     * payload) — deterministic fixtures for codec-less environments:

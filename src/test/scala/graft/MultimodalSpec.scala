@@ -510,6 +510,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("MP3 metadata: frame walk recovers rate/channels/duration") {
+    (0L until 60L).foreach { id =>
+      val m = Binary.parseAudioMeta(Binary.synthMp3(id)).get
+      assert(m.format == "mp3")
+      assert(m.sample_rate == Seq(44100, 48000, 32000)((id % 3).toInt))
+      assert(m.channels == (if (id % 2 == 0) 1 else 2))
+      assert(m.n_frames == (id % 10 + 1) * 1152)
+      assert(m.duration_ms == m.n_frames * 1000 / m.sample_rate)
+    }
+    // an ID3v2 tag in front is skipped (syncsafe size)
+    val mp3 = Binary.synthMp3(5)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 5) ++
+      Array.fill[Byte](5)(0x41)
+    assert(Binary.parseAudioMeta(id3 ++ mp3).get.format == "mp3")
+  }
+
+  test("MP3 metadata: rejects broken chains, never junk") {
+    val mp3 = Binary.synthMp3(7)
+    assert(Binary.parseAudioMeta(mp3.dropRight(1)).isEmpty) // short tail
+    assert(Binary.parseAudioMeta(mp3 ++ Array[Byte](0)).isEmpty) // garbage
+    val badSync = mp3.clone(); badSync(0) = 0x7f
+    assert(Binary.parseAudioMeta(badSync).isEmpty)
+    // reserved bitrate code mid-chain (frame 2's header byte 2 -> 0xF*)
+    val m2 = mp3.clone()
+    val flen = 144000 * 192 / 48000 // id=7: brIdx 11 (192), rate 48000
+    m2(flen + 2) = 0xf0.toByte
+    assert(Binary.parseAudioMeta(m2).isEmpty)
+    // a rate change mid-chain is an inconsistent file
+    val m3 = mp3.clone()
+    m3(flen + 2) = (m3(flen + 2) ^ 0x04).toByte // flip sample-rate index
+    assert(Binary.parseAudioMeta(m3).isEmpty)
+  }
+
   test("FLAC codec: exact round-trip across subframe types") {
     // a smooth-ish deterministic 16-bit signal: FIXED predictors bite,
     // residuals stay small, and the tail block is shorter than 192

@@ -874,6 +874,9 @@ class PlanAuditSpec extends SparkSpec {
       s"capstone plans a nested loop:\n$q327")
     assert(!q327.contains("Window"),
       s"capstone budget regressed to a window:\n$q327")
+    val q328 = plan(SparkEntry.queries("q328_mp3_meta")(spark, sf))
+    assert(!q328.contains("Join"), s"MP3 meta plans a join:\n$q328")
+    assert(!q328.contains("Window"), s"MP3 meta plans a window:\n$q328")
     assert("HashAggregate".r.findAllIn(q322).size >= 2,
       s"stream twin lost partial aggregation:\n$q322")
   }
