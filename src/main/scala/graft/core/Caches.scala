@@ -120,6 +120,7 @@ object Caches {
     sets.foreach(_._2.foreach(_.unpersist(blocking = true)))
     sets = Vector.empty
     ckMemo = Map.empty
+    PrefixScan.reset() // same lifecycle: memoized frames die with the session
     SparkSession.getActiveSession.foreach { s =>
       s.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = true))

@@ -88,6 +88,13 @@ object PrefixScan {
   private val maxMemoPerKey = 8
   private var memo: Map[String, List[Entry]] = Map.empty
 
+  /** Drop every memo entry. Called from [[Caches.releaseAll]] so a
+    * session boundary does not leave analyzed plans (and frames bound
+    * to a possibly-dead SparkSession) pinned forever; a cleared memo
+    * just rebuilds cold on the next call.
+    */
+  private[core] def reset(): Unit = memoLock.synchronized { memo = Map.empty }
+
   private def build(df: DataFrame, sortCol: String, weightCols: Seq[String],
                     cacheKey: String): (DataFrame, Array[Long], DataFrame) = {
     val spark = df.sparkSession

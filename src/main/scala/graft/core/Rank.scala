@@ -125,6 +125,13 @@ object Rank {
   /** Fully-valid fast path: rank each column once over the whole
     * frame, then compute every pair's Spearman from ONE mergeable
     * moment aggregate (2k + k(k−1)/2 + 1 buffer slots).
+    *
+    * LIFETIME: the returned lazy frame aggregates a
+    * [[Caches.checkpointOnce]]-pinned intermediate, so it inherits the
+    * memo's trim contract — re-actioning it after 64 newer DISTINCT
+    * plans have been checkpointed under the same `cacheKey`, or after
+    * [[Caches.releaseAll]], fails (truncated lineage, blocks gone).
+    * Action it promptly; don't stash it across other operators' runs.
     */
   private def spearmanAllValid(df: DataFrame, cols: Seq[String],
                                pairs: Seq[(String, String)],

@@ -2938,11 +2938,11 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
     * exists FOR in a query optimizer (join cardinality from one pass
     * per side, no key-level statistics). A = lineitem part keys, B =
     * part keys restricted to a 20% order hash split (real skewed
-    * multiplicities on both sides). 16 counters per side computed in
-    * ONE conditional aggregate pass; estimator = mean and
-    * median-of-4-group-means of the counter products, reported beside
-    * the EXACT join size (one grouped-count pass) with relative
-    * errors. Same sign-hash family and driver-side median as q274,
+    * multiplicities on both sides). Sketch counters and the EXACT join
+    * size both derive from ONE groupBy(key) pass (ξ is a function of
+    * the key, so Σ_rows ξ ≡ Σ_key ξ·count); estimator = mean and
+    * median-of-4-group-means of the counter products, reported with
+    * relative errors. Same sign-hash family and driver-side median as q274,
     * widened to 64 counters: the estimator variance is ~F2(A)·F2(B)
     * per counter and this join is dense (every key matches), so 16
     * counters sat at ±50% — 64 lands within a few percent (measured
@@ -2951,31 +2951,36 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
   private[graft] def qJoinSizeAms(s: SparkSession, dir: String): DataFrame = {
     import graft.aug.Sampling.keyBucket
     val P = 1000000007L
-    val base = li(s, dir).select(
+    // Fused single pass (r13): ξ_j depends only on h, so the sketch
+    // counter Σ_rows ξ_j(h) ≡ Σ_h ξ_j(h)·count(h). One groupBy(h) over
+    // the corpus yields per-key multiplicities (a, b); the exact join
+    // size AND all 128 sketch sums then come from ONE aggregate over
+    // the distinct-key frame (~|parts| rows, not |lineitem|) — same
+    // longs bit-for-bit as the former two-pass form, one scan fewer,
+    // no persist needed.
+    val keyed = li(s, dir).select(
         ((col("l_partkey").cast("long") * lit(2654435761L)) % lit(P))
           .as("h"),
         (keyBucket(col("l_orderkey"), 41L) < lit(200000L)).as("in_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.core.Caches.retain("q317", base)
+      .groupBy("h")
+      .agg(count(lit(1)).as("a"), count(when(col("in_b"), 1)).as("b"))
     val xi = (1 to 64).map { j =>
       val t = col("h") + lit(j * 1000003L)
       when((t * t) % lit(P) % 2 === 0, 1L).otherwise(-1L)
     }
-    val aggs = xi.zipWithIndex.flatMap { case (x, i) =>
-      Seq(sum(x).as(s"a${i + 1}"),
-        sum(when(col("in_b"), x).otherwise(lit(0L))).as(s"b${i + 1}"))
-    }
-    val sk = base.agg(aggs.head, aggs.tail: _*).head()
+    val aggs = Seq(sum("a").as("n_a"), sum("b").as("n_b"),
+        sum(col("a") * col("b")).as("jx")) ++
+      xi.zipWithIndex.flatMap { case (x, i) =>
+        Seq(sum(x * col("a")).as(s"a${i + 1}"),
+          sum(x * col("b")).as(s"b${i + 1}"))
+      }
+    val sk = keyed.agg(aggs.head, aggs.tail: _*).head()
     val prods = (0 until 64).map(i =>
-      sk.getLong(2 * i).toDouble * sk.getLong(2 * i + 1).toDouble)
+      sk.getLong(3 + 2 * i).toDouble * sk.getLong(4 + 2 * i).toDouble)
     val estMean = prods.sum / 64.0
     val groupMeans = prods.grouped(8).map(_.sum / 8.0).toSeq.sorted
     val estMom = (groupMeans(3) + groupMeans(4)) / 2.0
-    val ex = base.groupBy("h")
-      .agg(count(lit(1)).as("a"), count(when(col("in_b"), 1)).as("b"))
-      .agg(sum("a").as("n_a"), sum("b").as("n_b"),
-        sum(col("a") * col("b")).as("jx")).head()
-    val (nA, nB, jx) = (ex.getLong(0), ex.getLong(1), ex.getLong(2))
+    val (nA, nB, jx) = (sk.getLong(0), sk.getLong(1), sk.getLong(2))
     def r6(v: Double) = BigDecimal(v)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     import s.implicits._
