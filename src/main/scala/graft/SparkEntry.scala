@@ -374,7 +374,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q325_flac_decode" -> (qFlacDecode _),
     "q326_warc_ingest" -> (qWarcIngest _),
     "q327_crawl_capstone" -> (qCrawlCapstone _),
-    "q328_mp3_meta" -> (qMp3Meta _)
+    "q328_mp3_meta" -> (qMp3Meta _),
+    "q329_warc_responses" -> (qWarcResponses _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

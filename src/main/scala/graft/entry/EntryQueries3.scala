@@ -3494,4 +3494,72 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** S11 — raw-crawl `response` ingestion with splittable member
+    * offsets ([[graft.sources.Warc.parseCrawl]], r13): documents are
+    * packed into MIXED WARC shards — warcinfo + alternating `response`
+    * captures (full HTTP/1.1 blocks: status line, Content-Type with
+    * charset, Content-Length-framed body) and WET `conversion` records,
+    * each record its own gzip member — then read back through the
+    * response-aware path: the manual RFC 1952 member walk (header
+    * flags, CRC32, ISIZE verified per member), the strict WARC record
+    * walk, and the HTTP parse with charset-aware body decode. Ingest
+    * policy mirrors a crawl pipeline: conversions and 2xx responses
+    * are kept; 404 captures (whose bodies are error junk, not the
+    * document) are dropped. The oracle recomputes every count and the
+    * polynomial content hash of the KEPT texts from the raw documents
+    * table — a byte lost in gzip framing, HTTP framing, or charset
+    * decode breaks sum_hash; keeping a 404 breaks sum_chars.
+    * `offsets_ok` pins the split-index property the 100 TB reader
+    * needs: per-record member offsets strictly positive (warcinfo owns
+    * offset 0), one member per record, and the last member tiling
+    * exactly to the file end — Spark-checked structurally, oracle
+    * expects TRUE. Scale shape: `collect_list` groups bounded by
+    * construction (doc_id < 480 over 48 buckets ⇒ 10 docs/shard);
+    * parse is per-row map work, records explode to rows.
+    */
+  private[graft] def qWarcResponses(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val d = par(doc(s, dir)).where(col("doc_id") < 480)
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") % lit(48L)).as("bucket"),
+        when(col("doc_id") % 2 === 0, lit("response"))
+          .otherwise(lit("conversion")).as("rec_type"),
+        when(col("doc_id") % 10 === 4, lit(404)).otherwise(lit(200))
+          .as("status"),
+        when(col("doc_id") % 3 === 0, lit("text/html"))
+          .otherwise(lit("text/plain")).as("ctype"))
+      // a 404 capture carries an error page, not the document
+      .withColumn("body", when(col("rec_type") === "response" &&
+        col("status") === 404, lit("gone")).otherwise(col("text")))
+    val shards = d.groupBy("bucket").agg(
+        sort_array(collect_list(struct(
+          concat(lit("urn:graft:doc:"), col("doc_id")).as("uri"),
+          col("body").as("text"), col("rec_type").as("rec_type"),
+          col("status").as("status"), col("ctype").as("ctype")))).as("docs"))
+      .select(col("bucket"), Warc.buildCrawlCol(col("docs")).as("wrc"))
+    val parsed = shards.select(col("bucket"),
+        length(col("wrc")).cast("long").as("file_len"),
+        explode(Warc.parseCrawlCol(col("wrc"))).as("r"))
+    val keep = col("r._1") === "conversion" ||
+      (col("r._3") >= 200 && col("r._3") <= 299)
+    parsed.groupBy("bucket").agg(
+        count(lit(1)).as("n_records"),
+        count(when(col("r._1") === "response", 1)).as("n_response"),
+        count(when(col("r._3") === 404, 1)).as("n_404"),
+        count(when(keep, 1)).as("n_kept"),
+        sum(when(keep, length(col("r._5")).cast("long"))
+          .otherwise(lit(0L))).cast("long").as("sum_chars"),
+        sum(when(keep, graft.text.TextOps.strHash(col("r._5")))
+          .otherwise(lit(0L))).cast("long").as("sum_hash"),
+        countDistinct(col("r._6")).as("__n_members"),
+        min(col("r._6")).as("__min_off"),
+        max(col("r._6") + col("r._7")).as("__max_end"),
+        max(col("file_len")).as("__flen"))
+      .select(col("bucket"), col("n_records"), col("n_response"),
+        col("n_404"), col("n_kept"), col("sum_chars"), col("sum_hash"),
+        (col("__n_members") === col("n_records") && col("__min_off") > 0 &&
+          col("__max_end") === col("__flen")).as("offsets_ok"))
+      .orderBy("bucket")
+  }
+
 }

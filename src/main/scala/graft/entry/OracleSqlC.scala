@@ -2139,6 +2139,28 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  CAST(channels AS BIGINT) AS channels,
         |  CAST(n_samples AS BIGINT) AS n_samples,
         |  CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms
-        | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+        | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // q329: the oracle replays the ingest policy (conversions + 2xx
+    // responses kept, 404 captures dropped) and recomputes counts and
+    // the content hash of kept texts from the RAW documents table — the
+    // Spark side must round-trip bytes through gzip members + WARC +
+    // HTTP framing + charset decode to match; offsets_ok is the
+    // Spark-checked split-index invariant, TRUE by construction
+    "q329_warc_responses" -> {
+      val h = graft.text.TextOps.Sql.strHash("text")
+      s"""SELECT doc_id % 48 AS bucket,
+         | count(*) AS n_records,
+         | count(*) FILTER (WHERE doc_id % 2 = 0) AS n_response,
+         | count(*) FILTER (WHERE doc_id % 10 = 4) AS n_404,
+         | count(*) FILTER (WHERE doc_id % 2 = 1 OR doc_id % 10 <> 4)
+         |   AS n_kept,
+         | CAST(COALESCE(sum(len(text)) FILTER (WHERE doc_id % 2 = 1
+         |   OR doc_id % 10 <> 4), 0) AS BIGINT) AS sum_chars,
+         | CAST(COALESCE(sum($h) FILTER (WHERE doc_id % 2 = 1
+         |   OR doc_id % 10 <> 4), 0) AS BIGINT) AS sum_hash,
+         | TRUE AS offsets_ok
+         | FROM documents WHERE doc_id < 480
+         | GROUP BY 1 ORDER BY bucket""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

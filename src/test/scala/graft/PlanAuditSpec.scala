@@ -877,6 +877,13 @@ class PlanAuditSpec extends SparkSpec {
     val q328 = plan(SparkEntry.queries("q328_mp3_meta")(spark, sf))
     assert(!q328.contains("Join"), s"MP3 meta plans a join:\n$q328")
     assert(!q328.contains("Window"), s"MP3 meta plans a window:\n$q328")
+    // q329 mixed-shard response ingest: same shape as q326 — bucketed
+    // pack + per-row member/HTTP parse + explode, no join anywhere
+    val q329 = plan(SparkEntry.queries("q329_warc_responses")(spark, sf))
+    assert(!q329.contains("Join"), s"WARC response ingest plans a join:\n$q329")
+    assert(!q329.contains("Window"), s"WARC response ingest plans a window:\n$q329")
+    assert(!q329.contains("CartesianProduct"),
+      s"WARC response ingest plans a cartesian:\n$q329")
     assert("HashAggregate".r.findAllIn(q322).size >= 2,
       s"stream twin lost partial aggregation:\n$q322")
   }

@@ -230,4 +230,95 @@ class SourcesSpec extends SparkSpec {
       .getBytes("ISO-8859-1")
     assert(Warc.parseWarc(bad).isEmpty)
   }
+
+  test("WARC: member walk yields exact split offsets and rejects trailing garbage") {
+    import graft.sources.Warc
+    val wet = Warc.buildWet(Seq("urn:d:1" -> "hello", "urn:d:2" -> "wörld"))
+    val ms = Warc.gunzipMembers(wet).get
+    assert(ms.length == 3)
+    // offsets tile the file exactly: fencepost-perfect split index
+    assert(ms.head.offset == 0L)
+    ms.sliding(2).foreach { case Vector(a, b) =>
+      assert(a.offset + a.compLen == b.offset); case _ => () }
+    assert(ms.last.offset + ms.last.compLen == wet.length)
+    // a member re-inflated FROM ITS OFFSET alone decodes that record:
+    // the property that makes 100 TB shards splittable mid-file
+    val slice = java.util.Arrays.copyOfRange(wet,
+      ms(2).offset.toInt, (ms(2).offset + ms(2).compLen).toInt)
+    val rec = Warc.parseWarc(Warc.gunzipAll(slice).get).get.head
+    assert(rec._1("WARC-Target-URI") == "urn:d:2" &&
+      new String(rec._2, "UTF-8") == "wörld")
+    // trailing garbage after the last complete member: None, not the
+    // clean prefix (GZIPInputStream would silently swallow it)
+    assert(Warc.gunzipAll(wet ++ "junk".getBytes).isEmpty)
+    assert(Warc.gunzipAll(wet ++ Array[Byte](0x1f)).isEmpty)
+    // corrupt trailer CRC of the last member
+    val crcBad = wet.clone(); crcBad(wet.length - 5) =
+      (crcBad(wet.length - 5) ^ 0x01).toByte
+    assert(Warc.gunzipAll(crcBad).isEmpty)
+    // corrupt ISIZE
+    val szBad = wet.clone(); szBad(wet.length - 1) =
+      (szBad(wet.length - 1) ^ 0x01).toByte
+    assert(Warc.gunzipAll(szBad).isEmpty)
+  }
+
+  test("WARC: response records parse HTTP blocks with charset handling") {
+    import graft.sources.Warc
+    // declared utf-8
+    val p1 = Warc.httpResponse(200, "OK", "text/html; charset=utf-8",
+      "déjà ✓".getBytes("UTF-8"))
+    assert(Warc.parseHttpResponse(p1).contains((200, "text/html", "déjà ✓")))
+    // declared latin-1
+    val p2 = Warc.httpResponse(200, "OK", "text/plain; charset=iso-8859-1",
+      "café".getBytes("ISO-8859-1"))
+    assert(Warc.parseHttpResponse(p2).contains((200, "text/plain", "café")))
+    // NO charset declared: sniff — valid UTF-8 bytes decode as UTF-8...
+    val p3 = Warc.httpResponse(404, "Error", "text/plain",
+      "gønε".getBytes("UTF-8"))
+    assert(Warc.parseHttpResponse(p3).contains((404, "text/plain", "gønε")))
+    // ...and invalid UTF-8 falls back to ISO-8859-1 (never an exception)
+    val p4 = Warc.httpResponse(200, "OK", "text/plain",
+      Array[Byte]('a', 0xe9.toByte, 'b')) // lone 0xE9 is invalid UTF-8
+    assert(Warc.parseHttpResponse(p4).contains((200, "text/plain", "aéb")))
+    // strictness: bad status line, bad Content-Length
+    assert(Warc.parseHttpResponse("FTP/1.0 200 OK\r\n\r\n".getBytes).isEmpty)
+    val clBad = Warc.httpResponse(200, "OK", "text/plain", "abc".getBytes)
+    val clStr = new String(clBad, "ISO-8859-1")
+      .replaceFirst("Content-Length: 3", "Content-Length: 7")
+    assert(Warc.parseHttpResponse(clStr.getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("WARC: mixed crawl shard round-trips with member offsets, skips non-ingest types") {
+    import graft.sources.Warc
+    val shard = Warc.buildCrawl(Seq(
+      ("urn:c:1", "first page", "response", 200, "text/html"),
+      ("urn:c:2", "gone", "response", 404, "text/plain"),
+      ("urn:c:3", "wet text\r\nwith breaks", "conversion", -1, ""),
+      ("urn:c:4", "víα ütf-8", "response", 200, "text/plain")))
+    val recs = Warc.parseCrawl(shard).get
+    assert(recs.length == 4) // warcinfo skipped, not emitted
+    assert(recs.map(_.recType) == Seq("response", "response", "conversion",
+      "response"))
+    assert(recs.map(_.status) == Seq(200, 404, -1, 200))
+    assert(recs.map(_.text) == Seq("first page", "gone",
+      "wet text\r\nwith breaks", "víα ütf-8"))
+    assert(recs(0).contentType == "text/html" &&
+      recs(2).contentType == "text/plain")
+    // member offsets: strictly increasing, tile to file end, first
+    // record's member starts AFTER the warcinfo member
+    assert(recs.head.memberOffset > 0)
+    assert(recs.map(_.memberOffset) == recs.map(_.memberOffset).sorted)
+    assert(recs.last.memberOffset + recs.last.memberLen == shard.length)
+    // strictness: a response record whose payload is not HTTP → None
+    val badShard = Warc.buildWet(Seq("u" -> "x")) // conversion-shaped
+    val infl = Warc.gunzipAll(badShard).get
+    val asResp = new String(infl, "ISO-8859-1")
+      .replace("WARC-Type: conversion", "WARC-Type: response  ")
+    assert(Warc.parseCrawl(Warc.gzipMember(
+      asResp.getBytes("ISO-8859-1"))).isEmpty)
+    // no leading warcinfo → None
+    val noInfo = Warc.parseCrawl(java.util.Arrays.copyOfRange(shard,
+      Warc.gunzipMembers(shard).get(1).offset.toInt, shard.length))
+    assert(noInfo.isEmpty)
+  }
 }
