@@ -375,7 +375,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q326_warc_ingest" -> (qWarcIngest _),
     "q327_crawl_capstone" -> (qCrawlCapstone _),
     "q328_mp3_meta" -> (qMp3Meta _),
-    "q329_warc_responses" -> (qWarcResponses _)
+    "q329_warc_responses" -> (qWarcResponses _),
+    "q330_webp_meta" -> (qWebpMeta _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

@@ -3562,4 +3562,30 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("bucket")
   }
 
+  /** MM-WEBP — WebP metadata via the RIFF + stream-header walk
+    * ([[graft.multimodal.Binary.parseWebpMeta]]): the most common
+    * crawl image format after JPEG/PNG, in all three spec stream
+    * forms — `VP8 ` lossy (frame tag + start code + 14-bit dims),
+    * `VP8L` lossless (signature + bit-packed dims/alpha/version),
+    * `VP8X` extended (feature flags + 24-bit canvas dims). Fixtures
+    * are closed forms of doc_id (variant id%3, dims id%1920+1 ×
+    * id%1080+1, alpha iff even for the forms that carry it), so the
+    * oracle recomputes every column with the same integer arithmetic;
+    * the Spark side must walk real RIFF framing (size-tiles-file
+    * check, start codes, version bits) to recover them. Pixel decode
+    * stays documented-out as codec-library territory
+    * ([[graft.multimodal.Binary.stubDecode]]).
+    */
+  private[graft] def qWebpMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 120).select(col("doc_id"))
+      .withColumn("wp", Binary.synthWebpCol(col("doc_id")))
+      .select(col("doc_id"), Binary.webpMetaCol(col("wp")).as("m"))
+      .select(col("doc_id"), col("m.variant").as("variant"),
+        col("m.width").cast("long").as("width"),
+        col("m.height").cast("long").as("height"),
+        col("m.has_alpha").as("has_alpha"))
+      .orderBy("doc_id")
+  }
+
 }

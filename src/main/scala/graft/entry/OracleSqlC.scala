@@ -2161,6 +2161,18 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
          | TRUE AS offsets_ok
          | FROM documents WHERE doc_id < 480
          | GROUP BY 1 ORDER BY bucket""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    // q330: every WebP header field is a closed form of doc_id; the
+    // Spark side must walk real RIFF framing + stream headers (start
+    // codes, bit-packed dims, version/flag bits) to recover them
+    "q330_webp_meta" ->
+      """SELECT doc_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+        |   ELSE 'vp8x' END AS variant,
+        | CAST(doc_id % 1920 + 1 AS BIGINT) AS width,
+        | CAST(doc_id % 1080 + 1 AS BIGINT) AS height,
+        | (doc_id % 3 <> 0 AND doc_id % 2 = 0) AS has_alpha
+        | FROM documents WHERE doc_id < 120
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

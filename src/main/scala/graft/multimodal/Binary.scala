@@ -106,7 +106,8 @@ object Binary {
     * width/height/bit-depth), JPEG (marker walk to the first SOFn
     * frame header: precision/height/width, skipping APP/COM/quant
     * segments), GIF (87a/89a logical screen descriptor,
-    * little-endian dims + color-resolution bits). Returns None for
+    * little-endian dims + color-resolution bits), WebP (RIFF walk,
+    * delegated to [[parseWebpMeta]]). Returns None for
     * unrecognized/truncated bytes. Pixel-data decode stays behind
     * [[stubDecode]]; dimension/bit-depth extraction — the metadata a
     * 100 TB multimodal pipeline filters and partitions on — needs
@@ -140,6 +141,10 @@ object Binary {
     } else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
                b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       Some(ImageMeta("gif", le16(6), le16(8), ((u8(10) >> 4) & 7) + 1))
+    else if (b.length >= 20 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+             b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+             b(11) == 'P') // WebP is always 8-bit-per-channel
+      parseWebpMeta(b).map(m => ImageMeta("webp", m.width, m.height, 8))
     else None
   }
 
@@ -186,6 +191,123 @@ object Binary {
     udf { id: Long => synthHeader(id) }.apply(c)
   def imageMetaCol(c: Column): Column =
     udf { b: Array[Byte] => parseImageMeta(b) }.apply(c)
+
+  /** Parsed WebP container metadata — the most common image format in
+    * a modern crawl after JPEG/PNG. `variant` is the coded stream kind
+    * (vp8 lossy / vp8l lossless / vp8x extended). */
+  final case class WebpMeta(variant: String, width: Int, height: Int,
+                            has_alpha: Boolean)
+
+  /** REAL WebP metadata decode from HEADER BYTES — RIFF framing plus
+    * the three first-chunk forms the spec allows:
+    *
+    *  - `VP8 ` (lossy): 3-byte LE frame tag (keyframe bit must be 0 =
+    *    keyframe), the 0x9D 0x01 0x2A start code, then 14-bit LE
+    *    width/height (scale bits masked off); never carries alpha.
+    *  - `VP8L` (lossless): 0x2F signature, then one LE u32 packing
+    *    width-1 (14 bits), height-1 (14 bits), the alpha-is-used bit,
+    *    and a 3-bit version that must be 0.
+    *  - `VP8X` (extended): 10-byte payload — feature flags (bit 4 =
+    *    alpha) and 24-bit LE canvas width-1 / height-1.
+    *
+    * Strict: the RIFF size must account exactly for the file tail,
+    * the first chunk must be one of the three stream forms (per spec
+    * ordering), dimensions must be nonzero. Returns None otherwise —
+    * truncation, bad start code, nonzero VP8L version bits, a VP8X
+    * payload that is not exactly 10 bytes. Pixel decode (VP8 DCT /
+    * VP8L LZ77+Huffman) stays behind [[stubDecode]]; dimensions and
+    * the alpha flag — what a 100 TB pipeline filters and partitions
+    * on — need only these bytes, so it runs as cheap per-row map work.
+    */
+  def parseWebpMeta(b: Array[Byte]): Option[WebpMeta] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le24(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+    def le32(i: Int): Long = le24(i).toLong | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      i + s.length <= b.length && s.indices.forall(k => b(i + k) == s(k).toByte)
+    if (b.length < 20 || !tag(0, "RIFF") || !tag(8, "WEBP")) return None
+    if (le32(4) != b.length - 8L) return None // RIFF size must tile the file
+    val size = le32(16) // first chunk's payload size (unsigned, kept Long)
+    val p = 20
+    if (tag(12, "VP8 ")) {
+      if (size < 10 || p + 10 > b.length) return None
+      val frameTag = le24(p)
+      if ((frameTag & 1) != 0) return None // interframe cannot lead a file
+      if (u8(p + 3) != 0x9d || u8(p + 4) != 0x01 || u8(p + 5) != 0x2a)
+        return None
+      val w = le16(p + 6) & 0x3fff
+      val h = le16(p + 8) & 0x3fff
+      if (w == 0 || h == 0) return None
+      Some(WebpMeta("vp8", w, h, has_alpha = false))
+    } else if (tag(12, "VP8L")) {
+      if (size < 5 || p + 5 > b.length) return None
+      if (u8(p) != 0x2f) return None
+      val bits = le32(p + 1)
+      if (((bits >> 29) & 0x7L) != 0L) return None // version must be 0
+      val w = ((bits & 0x3fffL) + 1L).toInt
+      val h = (((bits >> 14) & 0x3fffL) + 1L).toInt
+      Some(WebpMeta("vp8l", w, h, ((bits >> 28) & 1L) == 1L))
+    } else if (tag(12, "VP8X")) {
+      if (size != 10 || p + 10 > b.length) return None
+      if ((u8(p) & 0xc1) != 0) return None // reserved flag bits must be 0
+      val w = le24(p + 4) + 1
+      val h = le24(p + 7) + 1
+      Some(WebpMeta("vp8x", w, h, (u8(p) & 0x10) != 0))
+    } else None
+  }
+
+  private def riffWebp(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    val padded = if (payload.length % 2 == 1) payload :+ 0.toByte else payload
+    val body = "WEBP".getBytes("US-ASCII") ++ fourcc.getBytes("US-ASCII") ++
+      le32(payload.length) ++ padded
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  /** Minimal VALID WebP headers for each stream form — deterministic
+    * fixtures for codec-less environments (the [[pngHeader]] pattern).
+    */
+  def webpLossy(width: Int, height: Int): Array[Byte] = {
+    // keyframe (bit 0 = 0), version 0, show_frame (bit 4)
+    val frameTag = 0x10
+    riffWebp("VP8 ", Array[Byte](frameTag.toByte, 0, 0,
+      0x9d.toByte, 0x01, 0x2a,
+      width.toByte, (width >>> 8).toByte,
+      height.toByte, (height >>> 8).toByte))
+  }
+
+  def webpLossless(width: Int, height: Int, alpha: Boolean): Array[Byte] = {
+    val bits = (width - 1).toLong | ((height - 1).toLong << 14) |
+      (if (alpha) 1L << 28 else 0L)
+    riffWebp("VP8L", Array[Byte](0x2f,
+      bits.toByte, (bits >>> 8).toByte, (bits >>> 16).toByte,
+      (bits >>> 24).toByte))
+  }
+
+  def webpExtended(width: Int, height: Int, alpha: Boolean): Array[Byte] = {
+    def le24(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte)
+    riffWebp("VP8X", Array[Byte](if (alpha) 0x10 else 0, 0, 0, 0) ++
+      le24(width - 1) ++ le24(height - 1))
+  }
+
+  /** Deterministic per-id synthetic WebP (variant cycles
+    * vp8/vp8l/vp8x) — the query-able fixture column for
+    * [[parseWebpMeta]]. */
+  def synthWebp(id: Long): Array[Byte] = (id % 3) match {
+    case 0 => webpLossy((id % 1920 + 1).toInt, (id % 1080 + 1).toInt)
+    case 1 => webpLossless((id % 1920 + 1).toInt, (id % 1080 + 1).toInt,
+      id % 2 == 0)
+    case _ => webpExtended((id % 1920 + 1).toInt, (id % 1080 + 1).toInt,
+      id % 2 == 0)
+  }
+
+  def synthWebpCol(c: Column): Column =
+    udf { id: Long => synthWebp(id) }.apply(c)
+  def webpMetaCol(c: Column): Column =
+    udf { b: Array[Byte] => parseWebpMeta(b) }.apply(c)
 
   /** Parsed audio-container metadata (header fields only — no PCM
     * decode, no codec library). `duration_ms` is derived from the

@@ -89,6 +89,39 @@ class MultimodalSpec extends SparkSpec {
     assert(Binary.parseImageMeta(j.take(20)).isEmpty)
   }
 
+  test("parseWebpMeta round-trips all three stream forms, rejects malformations") {
+    // round-trips, including the 14-bit dim ceiling and alpha bit
+    assert(Binary.parseWebpMeta(Binary.webpLossy(640, 480))
+      .contains(Binary.WebpMeta("vp8", 640, 480, has_alpha = false)))
+    assert(Binary.parseWebpMeta(Binary.webpLossless(16383, 1, alpha = true))
+      .contains(Binary.WebpMeta("vp8l", 16383, 1, has_alpha = true)))
+    assert(Binary.parseWebpMeta(Binary.webpLossless(1, 16384, alpha = false))
+      .contains(Binary.WebpMeta("vp8l", 1, 16384, has_alpha = false)))
+    assert(Binary.parseWebpMeta(Binary.webpExtended(1920, 1080, alpha = true))
+      .contains(Binary.WebpMeta("vp8x", 1920, 1080, has_alpha = true)))
+    // generic dispatch: WebP is always 8-bit per channel
+    assert(Binary.parseImageMeta(Binary.webpLossy(320, 200))
+      .contains(Binary.ImageMeta("webp", 320, 200, 8)))
+    // malformations — every one None, never a crash
+    val ok = Binary.webpLossy(640, 480)
+    assert(Binary.parseWebpMeta(ok.take(19)).isEmpty)      // truncated
+    assert(Binary.parseWebpMeta(ok ++ Array[Byte](0)).isEmpty) // RIFF size lies
+    val badStart = ok.clone(); badStart(23) = 0x00         // start code
+    assert(Binary.parseWebpMeta(badStart).isEmpty)
+    val inter = ok.clone(); inter(20) = (inter(20) | 1).toByte // interframe
+    assert(Binary.parseWebpMeta(inter).isEmpty)
+    val l = Binary.webpLossless(10, 10, alpha = false)
+    val badVer = l.clone(); badVer(24) = (badVer(24) | 0x20).toByte // version!=0
+    assert(Binary.parseWebpMeta(badVer).isEmpty)
+    val badSig = l.clone(); badSig(20) = 0x30 // VP8L signature byte
+    assert(Binary.parseWebpMeta(badSig).isEmpty)
+    val x = Binary.webpExtended(10, 10, alpha = false)
+    val badRsv = x.clone(); badRsv(20) = (badRsv(20) | 0x40).toByte // reserved
+    assert(Binary.parseWebpMeta(badRsv).isEmpty)
+    assert(Binary.parseWebpMeta("RIFFxxxxWEBPLIST".getBytes ++
+      Array[Byte](0, 0, 0, 0)).isEmpty) // non-stream first chunk
+  }
+
   test("parseAudioMeta round-trips wav/flac headers, rejects garbage") {
     assert(Binary.parseAudioMeta(Binary.wavHeader(44100, 2, 16, 44100L))
       .contains(Binary.AudioMeta("wav", 44100, 2, 16, 44100L, 1000L)))

@@ -884,6 +884,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(!q329.contains("Window"), s"WARC response ingest plans a window:\n$q329")
     assert(!q329.contains("CartesianProduct"),
       s"WARC response ingest plans a cartesian:\n$q329")
+    // q330 WebP meta: pure per-row map work, embarrassingly parallel
+    val q330 = plan(SparkEntry.queries("q330_webp_meta")(spark, sf))
+    assert(!q330.contains("Join"), s"WebP meta plans a join:\n$q330")
+    assert(!q330.contains("Window"), s"WebP meta plans a window:\n$q330")
     assert("HashAggregate".r.findAllIn(q322).size >= 2,
       s"stream twin lost partial aggregation:\n$q322")
   }
