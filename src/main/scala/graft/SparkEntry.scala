@@ -376,7 +376,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q327_crawl_capstone" -> (qCrawlCapstone _),
     "q328_mp3_meta" -> (qMp3Meta _),
     "q329_warc_responses" -> (qWarcResponses _),
-    "q330_webp_meta" -> (qWebpMeta _)
+    "q330_webp_meta" -> (qWebpMeta _),
+    "q331_opus_meta" -> (qOpusMeta _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

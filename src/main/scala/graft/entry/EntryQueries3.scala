@@ -3588,4 +3588,32 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** MM-OPUS — Opus-in-Ogg metadata via the full page walk
+    * ([[graft.multimodal.Binary.parseOggOpusMeta]] through
+    * [[graft.multimodal.Binary.parseAudioMeta]]): closes the audio
+    * container family (WAV/FLAC/MP3 already oracle-gated). Every
+    * field requires REAL framing work — page capture patterns,
+    * segment-lacing payload lengths, Ogg's own non-zlib CRC on every
+    * page, the RFC 7845 OpusHead (channels, pre-skip, informational
+    * input rate), and the duration from the EOS page's 48 kHz granule
+    * minus pre-skip. Fixtures are closed forms of doc_id (channels
+    * id%2+1, rate {48000,44100,16000}[id%3], (id%10+1)·960 samples ⇒
+    * exactly (id%10+1)·20 ms), so the oracle recomputes every column;
+    * a single flipped bit anywhere fails a page CRC and nulls the
+    * row. Sample decode (SILK/CELT) stays documented-out as
+    * codec-library territory.
+    */
+  private[graft] def qOpusMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 120).select(col("doc_id"))
+      .withColumn("au", Binary.synthOggOpusCol(col("doc_id")))
+      .select(col("doc_id"), Binary.audioMetaCol(col("au")).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.sample_rate").cast("long").as("sample_rate"),
+        col("m.channels").cast("long").as("channels"),
+        col("m.n_frames").as("n_samples_48k"),
+        col("m.duration_ms").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
 }

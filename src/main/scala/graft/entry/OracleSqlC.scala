@@ -2173,6 +2173,19 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         | CAST(doc_id % 1080 + 1 AS BIGINT) AS height,
         | (doc_id % 3 <> 0 AND doc_id % 2 = 0) AS has_alpha
         | FROM documents WHERE doc_id < 120
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // q331: every Opus field is a closed form of doc_id; the Spark side
+    // must walk real Ogg pages (lacing, per-page CRC, OpusHead, EOS
+    // granule arithmetic) to recover them
+    "q331_opus_meta" ->
+      """SELECT doc_id, 'opus' AS format,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+        |   ELSE 16000 END AS BIGINT) AS sample_rate,
+        | CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        | CAST((doc_id % 10 + 1) * 960 AS BIGINT) AS n_samples_48k,
+        | CAST((doc_id % 10 + 1) * 960 * 1000 // 48000 AS BIGINT)
+        |   AS duration_ms
+        | FROM documents WHERE doc_id < 120
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

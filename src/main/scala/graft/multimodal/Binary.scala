@@ -320,9 +320,12 @@ object Binary {
   /** REAL audio metadata decode from HEADER BYTES — pure byte
     * arithmetic, no codec dependency: WAV (RIFF/WAVE chunk walk to
     * `fmt ` for rate/channels/bits and `data` for the frame count —
-    * skips any interleaved LIST/fact chunks) and FLAC ("fLaC" +
+    * skips any interleaved LIST/fact chunks), FLAC ("fLaC" +
     * STREAMINFO bit-packed sample rate / channels / bit depth / total
-    * samples). Returns None for unrecognized/truncated bytes. WAV PCM
+    * samples), Opus-in-Ogg ("OggS", delegated to
+    * [[parseOggOpusMeta]]), and MP3 (frame-header walk,
+    * [[parseMp3Meta]]). Returns None for unrecognized/truncated
+    * bytes. WAV PCM
     * payload decode is [[wavPcmDecode]]; FLAC sample decode is
     * [[flacDecode]]; rate/channel/duration — the
     * metadata a 100 TB multimodal pipeline filters and partitions
@@ -372,20 +375,25 @@ object Binary {
         (u8(23).toLong << 16) | (u8(24).toLong << 8) | u8(25).toLong
       if (rate <= 0) None
       else Some(AudioMeta("flac", rate, ch, bits, frames, frames * 1000L / rate))
-    } else parseMp3Meta(b)
+    } else if (tag(0, "OggS")) parseOggOpusMeta(b)
+    else parseMp3Meta(b)
   }
 
-  /** MP3 (MPEG-1 Layer III) metadata via a FULL frame-header walk —
-    * the most common crawl audio format has no self-describing
+  /** MP3 (MPEG-1/2/2.5 Layer III) metadata via a FULL frame-header
+    * walk — the most common crawl audio format has no self-describing
     * container, so rate/channels/duration come from validating every
-    * frame header in the chain (sync, version/layer bits, bitrate and
-    * sample-rate table lookups, padding-aware frame length
-    * 144000·bitrate/rate + pad) and counting frames; a leading ID3v2
-    * tag (syncsafe 28-bit size) is skipped. Strict: a broken sync, a
-    * reserved bitrate/rate code, an inconsistent rate/mode mid-chain,
-    * or trailing garbage is None — never a junk duration. (Layer III
-    * SAMPLE decode — IMDCT + synthesis filterbank — is codec-library
-    * territory and stays behind [[stubDecode]].)
+    * frame header in the chain (sync, version/layer bits, per-version
+    * bitrate and sample-rate table lookups, padding-aware frame
+    * length coef·bitrate/rate + pad with coef 144000 for MPEG-1 and
+    * 72000 for MPEG-2/2.5, whose Layer III frames carry 576 samples,
+    * not 1152) and counting frames; a leading ID3v2 tag (syncsafe
+    * 28-bit size) is skipped and a trailing 128-byte ID3v1 'TAG'
+    * block is tolerated — both are standard crawl-file furniture.
+    * Strict: a broken sync, a reserved version/bitrate/rate code, an
+    * inconsistent version/rate/mode mid-chain, or trailing garbage is
+    * None — never a junk duration. (Layer III SAMPLE decode — IMDCT +
+    * synthesis filterbank — is codec-library territory and stays
+    * behind [[stubDecode]].)
     */
   private def parseMp3Meta(b: Array[Byte]): Option[AudioMeta] = {
     def u8(i: Int): Int = b(i) & 0xff
@@ -395,28 +403,43 @@ object Binary {
         ((u8(8) & 0x7f) << 7) | (u8(9) & 0x7f)
       i = 10L + sz
     }
-    val bitrates = Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+    val brV1 = Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
       192, 224, 256, 320, -1)
-    val srates = Array(44100, 48000, 32000, -1)
+    val brV2 = Array(-1, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96,
+      112, 128, 144, 160, -1) // MPEG-2/2.5 Layer III
+    val srV1 = Array(44100, 48000, 32000, -1)
+    val srV2 = Array(22050, 24000, 16000, -1)
+    val srV25 = Array(11025, 12000, 8000, -1)
     var frames = 0L
     var rate = -1
     var ch = -1
+    var ver = -1 // header version bits: 0 = 2.5, 2 = MPEG-2, 3 = MPEG-1
     while (i < b.length) {
-      if (i + 4 > b.length) return None // partial trailing header
       val p = i.toInt
-      if (u8(p) != 0xff || (u8(p + 1) & 0xfe) != 0xfa) return None
-      val br = bitrates(u8(p + 2) >> 4)
-      val sr = srates((u8(p + 2) >> 2) & 3)
-      val pad = (u8(p + 2) >> 1) & 1
-      if (br <= 0 || sr <= 0) return None
-      val c = if ((u8(p + 3) >> 6) == 3) 1 else 2
-      if (rate < 0) { rate = sr; ch = c }
-      else if (rate != sr || ch != c) return None
-      i += 144000L * br / sr + pad
-      frames += 1
+      // tolerate EXACTLY a trailing ID3v1 block (fixed 128 bytes)
+      if (b.length - i == 128L && u8(p) == 'T' && u8(p + 1) == 'A' &&
+        u8(p + 2) == 'G') {
+        i = b.length.toLong
+      } else {
+        if (i + 4 > b.length) return None // partial trailing header
+        // sync = 11 set bits; version 01 is reserved; layer must be III
+        if (u8(p) != 0xff || (u8(p + 1) & 0xe0) != 0xe0) return None
+        val v = (u8(p + 1) >> 3) & 3
+        if (v == 1 || ((u8(p + 1) >> 1) & 3) != 1) return None
+        val br = (if (v == 3) brV1 else brV2)(u8(p + 2) >> 4)
+        val sr = (if (v == 3) srV1 else if (v == 2) srV2 else srV25)(
+          (u8(p + 2) >> 2) & 3)
+        val pad = (u8(p + 2) >> 1) & 1
+        if (br <= 0 || sr <= 0) return None
+        val c = if ((u8(p + 3) >> 6) == 3) 1 else 2
+        if (rate < 0) { rate = sr; ch = c; ver = v }
+        else if (rate != sr || ch != c || ver != v) return None
+        i += (if (v == 3) 144000L else 72000L) * br / sr + pad
+        frames += 1
+      }
     }
     if (frames == 0 || i != b.length) return None
-    val samples = frames * 1152L
+    val samples = frames * (if (ver == 3) 1152L else 576L)
     Some(AudioMeta("mp3", rate, ch, 0, samples, samples * 1000L / rate))
   }
 
@@ -449,6 +472,156 @@ object Binary {
 
   def synthMp3Col(c: Column): Column =
     udf { id: Long => synthMp3(id) }.apply(c)
+
+  // ---- Ogg/Opus --------------------------------------------------------
+
+  /** Ogg's page CRC: 32-bit, polynomial 0x04C11DB7, no reflection, no
+    * init, no final xor — NOT the zlib CRC32, so it must be hand-rolled
+    * (RFC 3533 §6). */
+  private lazy val oggCrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var k = 0
+      while (k < 8) {
+        r = (r << 1) ^ (if ((r & 0x80000000) != 0) 0x04c11db7 else 0)
+        k += 1
+      }
+      t(i) = r; i += 1
+    }
+    t
+  }
+
+  /** Opus-in-Ogg metadata via the full page walk (RFC 3533 framing +
+    * RFC 7845 OpusHead): every page's capture pattern, version byte,
+    * segment-lacing payload length, and CRC (computed with the CRC
+    * field zeroed, Ogg's own polynomial) are verified; the first page
+    * must be BOS and begin with an OpusHead packet (version 1 →
+    * channels, pre-skip, input sample rate); the stream must end with
+    * an EOS page whose granule position — Opus granules are ALWAYS
+    * 48 kHz sample counts regardless of input rate — gives the
+    * duration after pre-skip subtraction. Strict: a flipped bit
+    * anywhere in a page fails its CRC; pages after EOS, a granule
+    * below pre-skip, or a truncated lacing table are None — never a
+    * junk duration. `sample_rate` reports OpusHead's informational
+    * input rate; `n_frames` is the 48 kHz sample count.
+    */
+  def parseOggOpusMeta(b: Array[Byte]): Option[AudioMeta] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    def le64(i: Int): Long = le32(i) | (le32(i + 4) << 32)
+    var i = 0L
+    var first = true
+    var channels = -1; var preskip = -1; var rate = -1L
+    var lastGranule = 0L; var sawEos = false
+    while (i < b.length) {
+      if (sawEos) return None // bytes after the EOS page: trailing garbage
+      if (i + 27 > b.length) return None
+      val p = i.toInt
+      if (u8(p) != 'O' || u8(p + 1) != 'g' || u8(p + 2) != 'g' ||
+        u8(p + 3) != 'S' || u8(p + 4) != 0) return None
+      val flags = u8(p + 5)
+      val granule = le64(p + 6)
+      val nseg = u8(p + 26)
+      if (i + 27 + nseg > b.length) return None
+      var payLen = 0L
+      var k = 0
+      while (k < nseg) { payLen += u8(p + 27 + k); k += 1 }
+      val total = 27L + nseg + payLen
+      if (i + total > b.length) return None
+      // page CRC with the stored CRC field (bytes 22-25) read as zero
+      var crc = 0
+      var j = 0
+      while (j < total) {
+        val byt = if (j >= 22 && j < 26) 0 else u8(p + j)
+        crc = (crc << 8) ^ oggCrcTable(((crc >>> 24) ^ byt) & 0xff)
+        j += 1
+      }
+      if ((crc.toLong & 0xffffffffL) != le32(p + 22)) return None
+      if (first) {
+        if ((flags & 2) == 0) return None // stream must open with BOS
+        val h = p + 27 + nseg
+        if (payLen < 19 || !"OpusHead".indices.forall(k =>
+          b(h + k) == "OpusHead"(k).toByte)) return None
+        if (u8(h + 8) != 1) return None // OpusHead version
+        channels = u8(h + 9)
+        preskip = le16(h + 10)
+        rate = le32(h + 12)
+        if (channels < 1) return None
+        first = false
+      }
+      if ((flags & 4) != 0) { sawEos = true; lastGranule = granule }
+      i += total
+    }
+    if (first || !sawEos) return None
+    val n = lastGranule - preskip
+    if (n < 0) return None
+    Some(AudioMeta("opus", rate.toInt, channels, 0, n, n * 1000L / 48000L))
+  }
+
+  /** One Ogg page with a correct CRC (general lacing: 255-runs + the
+    * <255 terminator, including the 0 lacing a 255-multiple needs). */
+  def oggPage(flags: Int, granule: Long, serial: Int, seq: Int,
+              payload: Array[Byte]): Array[Byte] = {
+    val lacing = new java.io.ByteArrayOutputStream()
+    var rem = payload.length
+    while (rem >= 255) { lacing.write(255); rem -= 255 }
+    lacing.write(rem) // 0 terminator when length is a 255-multiple
+    val segs = lacing.toByteArray
+    def le32(v: Long) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    val page = "OggS".getBytes("US-ASCII") ++
+      Array[Byte](0, flags.toByte) ++
+      le32(granule) ++ le32(granule >>> 32) ++
+      le32(serial.toLong & 0xffffffffL) ++ le32(seq.toLong & 0xffffffffL) ++
+      Array[Byte](0, 0, 0, 0) ++ // CRC placeholder
+      Array[Byte](segs.length.toByte) ++ segs ++ payload
+    var crc = 0
+    page.foreach { byt =>
+      crc = (crc << 8) ^ oggCrcTable(((crc >>> 24) ^ (byt & 0xff)) & 0xff)
+    }
+    val out = page.clone()
+    out(22) = crc.toByte; out(23) = (crc >>> 8).toByte
+    out(24) = (crc >>> 16).toByte; out(25) = (crc >>> 24).toByte
+    out
+  }
+
+  /** Minimal VALID Opus-in-Ogg stream: BOS page with OpusHead, an
+    * OpusTags page, one audio data page with EOS + final granule. */
+  def oggOpus(channels: Int, preskip: Int, inputRate: Long,
+              nSamples48k: Long, dataBytes: Array[Byte]): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le32(v: Long) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    val head = "OpusHead".getBytes("US-ASCII") ++ Array[Byte](1,
+      channels.toByte) ++ le16(preskip) ++ le32(inputRate) ++
+      le16(0) ++ Array[Byte](0) // gain 0, mapping family 0
+    val tags = "OpusTags".getBytes("US-ASCII") ++ le32(5) ++
+      "graft".getBytes("US-ASCII") ++ le32(0)
+    oggPage(2, 0L, 0x6772, 0, head) ++
+      oggPage(0, 0L, 0x6772, 1, tags) ++
+      oggPage(4, preskip.toLong + nSamples48k, 0x6772, 2, dataBytes)
+  }
+
+  /** Deterministic synthetic Opus file per id: channels id%2+1,
+    * pre-skip 312, informational input rate {48000, 44100, 16000}[id%3],
+    * (id%10+1)·960 samples at 48 kHz (so duration is exactly
+    * (id%10+1)·20 ms), and a deterministic fake audio payload (the
+    * metadata walk never decodes it). */
+  def synthOggOpus(id: Long): Array[Byte] = {
+    val rates = Array(48000L, 44100L, 16000L)
+    val data = Array.tabulate(((id % 50) + 40).toInt)(j =>
+      ((id * 7 + j * 13) % 256).toByte)
+    oggOpus((id % 2 + 1).toInt, 312, rates((id % 3).toInt),
+      (id % 10 + 1) * 960L, data)
+  }
+
+  def synthOggOpusCol(c: Column): Column =
+    udf { id: Long => synthOggOpus(id) }.apply(c)
 
   /** Minimal VALID audio headers (container + format fields, no PCM
     * payload) — deterministic fixtures for codec-less environments:

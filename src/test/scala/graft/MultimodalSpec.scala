@@ -576,6 +576,89 @@ class MultimodalSpec extends SparkSpec {
     assert(Binary.parseAudioMeta(m3).isEmpty)
   }
 
+  test("MP3 metadata: ID3v1 trailer tolerated, MPEG-2/2.5 frames walk") {
+    val mp3 = Binary.synthMp3(7)
+    // a trailing 128-byte ID3v1 'TAG' block is standard crawl furniture
+    val id3v1 = "TAG".getBytes("US-ASCII") ++ Array.fill[Byte](125)(0x20)
+    val m = Binary.parseAudioMeta(mp3 ++ id3v1).get
+    assert(m.n_frames == Binary.parseAudioMeta(mp3).get.n_frames)
+    // ...but only EXACTLY at the tail: a TAG block mid-file is garbage
+    assert(Binary.parseAudioMeta(mp3 ++ id3v1 ++
+      Array[Byte](0)).isEmpty)
+    // a 2-frame MPEG-2 Layer III chain: version bits 10, 64 kbps (V2
+    // table idx 8) at 22050 Hz idx 0 -> frame length
+    // 72000*64/22050 = 208, 576 samples per frame
+    def v2frame(ch2: Boolean): Array[Byte] = {
+      val f = new Array[Byte](208)
+      f(0) = 0xff.toByte; f(1) = 0xf3.toByte // sync + MPEG-2 + layer III
+      f(2) = 0x80.toByte // bitrate idx 8 (64 kbps), rate idx 0, no pad
+      f(3) = if (ch2) 0x00 else 0xc0.toByte
+      f
+    }
+    val v2 = v2frame(false) ++ v2frame(false)
+    val m2 = Binary.parseAudioMeta(v2).get
+    assert(m2.sample_rate == 22050 && m2.channels == 1 &&
+      m2.n_frames == 2 * 576 &&
+      m2.duration_ms == 2 * 576 * 1000L / 22050)
+    // MPEG-2.5 (version bits 00, sync low bit clear): 8000 Hz idx 2,
+    // 64 kbps -> frame length 72000*64/8000 = 576
+    val v25 = v2frame(false)
+    v25(1) = 0xe3.toByte; v25(2) = 0x88.toByte // 64 kbps, 8000 Hz
+    val f25 = java.util.Arrays.copyOf(v25, 72000 * 64 / 8000)
+    val m25 = Binary.parseAudioMeta(f25).get
+    assert(m25.sample_rate == 8000 && m25.n_frames == 576)
+    // a version change mid-chain is an inconsistent file
+    assert(Binary.parseAudioMeta(v2frame(false) ++ f25).isEmpty)
+    // reserved version bits (01) rejected
+    val rv = v2frame(false); rv(1) = 0xeb.toByte
+    assert(Binary.parseAudioMeta(rv).isEmpty)
+  }
+
+  test("Opus/Ogg: page walk recovers channels/rate/duration, CRC gates every bit") {
+    (0L until 60L).foreach { id =>
+      val m = Binary.parseAudioMeta(Binary.synthOggOpus(id)).get
+      assert(m.format == "opus")
+      assert(m.sample_rate == Seq(48000, 44100, 16000)((id % 3).toInt))
+      assert(m.channels == (id % 2 + 1))
+      assert(m.n_frames == (id % 10 + 1) * 960)
+      assert(m.duration_ms == (id % 10 + 1) * 20)
+    }
+    // a payload longer than 255 bytes exercises multi-lacing; an exact
+    // 255-multiple needs the 0 terminator lacing
+    for (len <- Seq(255, 510, 300, 1024)) {
+      val au = Binary.oggOpus(2, 312, 48000L, 960L,
+        Array.tabulate(len)(_.toByte))
+      assert(Binary.parseAudioMeta(au).get.n_frames == 960L, s"len=$len")
+    }
+  }
+
+  test("Opus/Ogg: strict rejection — flipped bits, truncation, framing abuse") {
+    val au = Binary.synthOggOpus(9)
+    assert(Binary.parseAudioMeta(au).isDefined)
+    // EVERY byte is CRC-protected: flip a sweep of bits -> None or a
+    // different-but-valid file, never a crash (here: always None)
+    (0 until au.length by 7).foreach { i =>
+      val bad = au.clone(); bad(i) = (bad(i) ^ 0x01).toByte
+      assert(Binary.parseAudioMeta(bad).isEmpty, s"flip at $i survived")
+    }
+    assert(Binary.parseAudioMeta(au.take(26)).isEmpty)  // truncated header
+    assert(Binary.parseAudioMeta(au.dropRight(1)).isEmpty) // truncated page
+    assert(Binary.parseAudioMeta(au ++ Array[Byte](0)).isEmpty) // post-EOS
+    // no EOS page at all
+    val noEos = Binary.oggPage(2, 0L, 1, 0,
+      "OpusHead".getBytes ++ Array[Byte](1, 1, 0, 0) ++
+        Array[Byte](0x80.toByte, 0xbb.toByte, 0, 0) ++ Array[Byte](0, 0, 0))
+    assert(Binary.parseAudioMeta(noEos).isEmpty)
+    // granule below pre-skip
+    assert(Binary.parseAudioMeta(Binary.oggOpus(1, 312, 48000L, -100L,
+      Array[Byte](1, 2, 3))).isEmpty)
+    // first page not BOS
+    val pages = Binary.oggOpus(1, 0, 48000L, 960L, Array[Byte](1))
+    val bosOff = 5 // flags byte of page 0
+    val nb = pages.clone(); nb(bosOff) = 0
+    assert(Binary.parseAudioMeta(nb).isEmpty) // (also fails CRC — still None)
+  }
+
   test("FLAC codec: exact round-trip across subframe types") {
     // a smooth-ish deterministic 16-bit signal: FIXED predictors bite,
     // residuals stay small, and the tail block is shorter than 192

@@ -888,6 +888,9 @@ class PlanAuditSpec extends SparkSpec {
     val q330 = plan(SparkEntry.queries("q330_webp_meta")(spark, sf))
     assert(!q330.contains("Join"), s"WebP meta plans a join:\n$q330")
     assert(!q330.contains("Window"), s"WebP meta plans a window:\n$q330")
+    val q331 = plan(SparkEntry.queries("q331_opus_meta")(spark, sf))
+    assert(!q331.contains("Join"), s"Opus meta plans a join:\n$q331")
+    assert(!q331.contains("Window"), s"Opus meta plans a window:\n$q331")
     assert("HashAggregate".r.findAllIn(q322).size >= 2,
       s"stream twin lost partial aggregation:\n$q322")
   }
