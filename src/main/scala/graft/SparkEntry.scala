@@ -377,7 +377,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q328_mp3_meta" -> (qMp3Meta _),
     "q329_warc_responses" -> (qWarcResponses _),
     "q330_webp_meta" -> (qWebpMeta _),
-    "q331_opus_meta" -> (qOpusMeta _)
+    "q331_opus_meta" -> (qOpusMeta _),
+    "q332_stream_neardup_twin" -> (qStreamNearDupTwin _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

@@ -3616,4 +3616,40 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** ST-NDUP — the streaming near-dup alert path's oracle-checked
+    * BATCH TWIN (the second streaming foothold in the hard gate
+    * beside q322's sessionize→PSI): what
+    * [[graft.streaming.StreamOps.streamingNearDupAlerts]] emits —
+    * per LSH bucket, the first-seen id alerts every later arrival —
+    * restated as batch algebra over the SAME
+    * [[graft.dedup.MinHashLSH.bandKeys]] bucket coordinates (per
+    * bucket: first = min id, since stream arrivals are id-ordered;
+    * alert = every other id), aggregated to distinct (first_id,
+    * dup_id) pairs with the number of bands that fired. StreamingSpec
+    * pins stream == batch on the alert set; this row pins the batch
+    * side to a full SQL re-derivation of shingles → minhash
+    * signatures → band keys → bucket-min alerts, so the signature
+    * arithmetic itself sits inside CORRECTNESS. Corpus is documents
+    * plus exact clones of every 10th doc under shifted ids — the
+    * known-dup injection q23 uses. Scale shape: equi-join of the band
+    * table against its grouped bucket-min (the candidate-generation
+    * join), strings never shuffle.
+    */
+  private[graft] def qStreamNearDupTwin(s: SparkSession, dir: String): DataFrame = {
+    val d = doc(s, dir).select(col("doc_id"), col("text"))
+    val base = d.unionByName(d.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+    val bands = graft.dedup.MinHashLSH.bandKeys(base, "doc_id", "text",
+        n = 3, k = 16, bands = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q332", bands)
+    val firsts = bands.groupBy("band_idx", "band_key")
+      .agg(min("id").as("first_id"))
+    bands.join(firsts, Seq("band_idx", "band_key"))
+      .where(col("id") =!= col("first_id"))
+      .groupBy(col("first_id"), col("id").as("dup_id"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("first_id", "dup_id")
+  }
+
 }

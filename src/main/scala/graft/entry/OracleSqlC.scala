@@ -2186,6 +2186,31 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         | CAST((doc_id % 10 + 1) * 960 * 1000 // 48000 AS BIGINT)
         |   AS duration_ms
         | FROM documents WHERE doc_id < 120
-        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // q332: full SQL re-derivation of the streaming near-dup alert
+    // semantics — shingles -> minhash signatures -> band keys ->
+    // per-bucket min-id alerts — over the q23-style clone injection
+    "q332_stream_neardup_twin" -> {
+      import graft.dedup.MinHashLSH.{Sql => M}
+      val sh = graft.dedup.Dedup.Sql.shingles("text", 3)
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents
+         |    WHERE doc_id % 10 = 0),
+         | s AS (SELECT doc_id, $sh AS sh FROM base),
+         | ne AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+         | sg AS (SELECT doc_id,
+         |   ${M.signatureFromShingles("sh", 16)} AS sig FROM ne),
+         | bands AS (SELECT doc_id,
+         |   unnest(${M.bandKeyList("sig", 16, 4)}) AS band_key,
+         |   unnest(generate_series(0, 3)) AS band_idx FROM sg),
+         | f AS (SELECT band_idx, band_key, min(doc_id) AS first_id
+         |   FROM bands GROUP BY 1, 2),
+         | a AS (SELECT f.first_id, b.doc_id AS dup_id FROM bands b
+         |   JOIN f ON b.band_idx = f.band_idx AND b.band_key = f.band_key
+         |   WHERE b.doc_id <> f.first_id)
+         | SELECT first_id, dup_id, count(*) AS n_bands FROM a
+         | GROUP BY 1, 2 ORDER BY first_id, dup_id"""
+        .stripMargin.replaceAll("\n", " ")
+    }
   )
 }

@@ -891,6 +891,14 @@ class PlanAuditSpec extends SparkSpec {
     val q331 = plan(SparkEntry.queries("q331_opus_meta")(spark, sf))
     assert(!q331.contains("Join"), s"Opus meta plans a join:\n$q331")
     assert(!q331.contains("Window"), s"Opus meta plans a window:\n$q331")
+    // q332 stream near-dup twin: band-table equi-join against its
+    // bucket-min — never a cartesian/BNLJ, never single-partition
+    val q332 = plan(SparkEntry.queries("q332_stream_neardup_twin")(spark, sf))
+    assert(!q332.contains("CartesianProduct"),
+      s"near-dup twin plans a cartesian:\n$q332")
+    assert(!q332.contains("BroadcastNestedLoopJoin"),
+      s"near-dup twin plans a nested loop:\n$q332")
+    assert(!q332.contains("Window"), s"near-dup twin plans a window:\n$q332")
     assert("HashAggregate".r.findAllIn(q322).size >= 2,
       s"stream twin lost partial aggregation:\n$q322")
   }
