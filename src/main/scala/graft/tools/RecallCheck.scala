@@ -78,6 +78,22 @@ object RecallCheck {
           "embedding", k, pqModel, nCells = 16, nprobe = np,
           rerankFactor = rr, queryPred = pred))))
     }
+    // GROWTH-SCALED index (r13): a fixed cell count is not how IVF
+    // scales — per-cell occupancy must stay bounded, so the cell count
+    // grows with the corpus (the √n family; 16 cells were registered
+    // at the 2000-vector test scale). This curve measures recall at
+    // nCells = 16·√(n/2000) with nprobe swept at the same FRACTIONS as
+    // the fixed-16 curve, so 1× and 10× runs are comparable per
+    // scanned fraction rather than per absolute nprobe.
+    val nRows = emb.count()
+    val cellsScaled = math.max(16,
+      math.round(16.0 * math.sqrt(nRows / 2000.0)).toInt)
+    val scaledProbes = Seq(2, 4, 8, 12).map(np =>
+      math.max(1, math.round(np.toDouble * cellsScaled / 16.0).toInt))
+    val ivfScaledCurve = scaledProbes.map { np =>
+      np -> r(recallOf(pairs(Ann.ivfTopK(emb, "vec_id", "embedding", k,
+        nCells = cellsScaled, nprobe = np, queryPred = pred))))
+    }
     // "registered" = the operating points q30/q45/q215 actually ship
     // (16×4 banding; nprobe=8 of 16 cells — re-registered in r10 at
     // the measured recall knee); "legacy" = prior points kept for
@@ -87,7 +103,9 @@ object RecallCheck {
       s""""ivf_legacy_np4":${r(ivfLegacy)},"ivf_registered_np8":${r(ivfReg)},""" +
       s""""ivfpq_legacy_np4_rr16":${r(ivfPqLegacy)},"ivfpq_registered_np8_rr32":${r(ivfPqReg)},""" +
       s""""ivf_curve_np":{${ivfCurve.map { case (np, v) => s"\"$np\":$v" }.mkString(",")}},""" +
-      s""""ivfpq_curve_np_rr":{${ivfPqCurve.map { case ((np, rr), v) => s"\"${np}_$rr\":$v" }.mkString(",")}}}""")
+      s""""ivfpq_curve_np_rr":{${ivfPqCurve.map { case ((np, rr), v) => s"\"${np}_$rr\":$v" }.mkString(",")}},""" +
+      s""""ivf_scaled_cells":$cellsScaled,""" +
+      s""""ivf_scaled_curve_np":{${ivfScaledCurve.map { case (np, v) => s"\"$np\":$v" }.mkString(",")}}}""")
     spark.stop()
   }
 }

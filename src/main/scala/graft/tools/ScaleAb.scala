@@ -18,11 +18,21 @@ import org.apache.spark.sql.functions._
   *    exactly their 1× fan-out;
   *  - foreign keys into UN-inflated dimension tables (part, supplier,
   *    nation) are left unsalted, so dimension joins stay valid;
-  *  - document text gets a per-rep suffix token and embeddings a
-  *    per-rep first-component nudge: verbatim 10× duplication would
-  *    hand the dedup/clustering family artificial 100× in-bucket pair
-  *    blowups (they exist to FIND duplicates) — the audit measures
-  *    scaling on 10× genuine content, not on a pathological corpus.
+  *  - document text gets a per-rep suffix token: verbatim 10×
+  *    duplication would hand the dedup/clustering family artificial
+  *    100× in-bucket pair blowups (they exist to FIND duplicates) —
+  *    the audit measures scaling on 10× genuine content, not on a
+  *    pathological corpus;
+  *  - embeddings get a per-replica DISPERSAL perturbation (r13):
+  *    deterministic pseudo-uniform offsets on EVERY dimension with
+  *    expected norm ≈ 0.4 of the vector's own norm — the
+  *    inter-centroid distance scale at 16 IVF cells on the unit
+  *    sphere — so a vector's replicas scatter across cells instead of
+  *    collapsing into one. The r12 first-component 1e-3 nudge minted
+  *    10 near-copies per vector, clustering each query's true top-10
+  *    into a single cell and making 10× ANN recall structurally
+  *    optimistic (the r12 verdict's weakest-claim call-out); rep 0
+  *    keeps the original vector, so the 1× corpus embeds in the 10×.
   *
   * Output: one JSON line per query with t(1×), t(10×) (best of
   * `reps`), and the fitted scaling exponent log10(t10/t1) — 1.0 =
@@ -82,12 +92,25 @@ object ScaleAb {
       .withColumn("doc_id", col("doc_id") * factor + col("__rep"))
       .withColumn("text", concat(col("text"), lit(" zrep"), col("__rep")))
       .drop("__rep"), "documents")
+    // dispersal amplitude: per-dim uniform[-a, a] has E||δ||² = a²·d/3,
+    // so a = ρ·√(3/d)·||v|| gives expected offset norm ρ·||v||; ρ = 0.4
+    val dim = size(col("embedding")).cast("double")
+    val amp = lit(0.4) * sqrt(lit(3.0) / dim) *
+      sqrt(aggregate(transform(col("embedding"),
+        x => x.cast("double") * x.cast("double")), lit(0.0), _ + _))
     write(read("embeddings").crossJoin(reps)
       .withColumn("vec_id", col("vec_id") * factor + col("__rep"))
-      .withColumn("embedding", concat(
-        array((col("embedding").getItem(0) +
-          col("__rep").cast("double") * lit(1e-3)).cast("float")),
-        slice(col("embedding"), 2, 10000)))
+      .withColumn("embedding",
+        when(col("__rep") === 0, col("embedding")).otherwise(
+          zip_with(col("embedding"),
+            sequence(lit(0L), size(col("embedding")).cast("long") - 1L),
+            (x, j) => {
+              // deterministic pseudo-uniform in [-1, 1) per (vec, rep, dim)
+              val h = pmod(col("vec_id") * lit(1000003L) +
+                col("__rep") * lit(7919L) + j * lit(104729L), lit(2000003L))
+              (x + (h.cast("double") / lit(1000001.0) - lit(1.0)) * amp)
+                .cast("float")
+            })))
       .drop("__rep"), "embeddings")
   }
 
