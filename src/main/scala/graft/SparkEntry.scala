@@ -378,7 +378,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q329_warc_responses" -> (qWarcResponses _),
     "q330_webp_meta" -> (qWebpMeta _),
     "q331_opus_meta" -> (qOpusMeta _),
-    "q332_stream_neardup_twin" -> (qStreamNearDupTwin _)
+    "q332_stream_neardup_twin" -> (qStreamNearDupTwin _),
+    "q333_vp8l_decode" -> (qVp8lDecode _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

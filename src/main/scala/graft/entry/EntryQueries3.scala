@@ -3652,4 +3652,33 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("first_id", "dup_id")
   }
 
+  /** MM-VP8L — REAL WebP lossless pixel decode
+    * ([[graft.multimodal.Vp8l]], r13): the last major crawl image
+    * format without a pixel path (PNG/GIF/JPEG all have real codecs).
+    * Fixtures are 5-color closed-form palette images per doc_id,
+    * encoded through the full VP8L machinery with the coding path
+    * CYCLING by id — subtract-green transform iff even, color cache
+    * iff id%3=0 — and decoded back through canonical Huffman groups
+    * (simple + full forms, repeat-coded lengths), LZ77 copies with
+    * plane-coded distances, and the multiplicative color cache; the
+    * per-channel sums only match if every pixel survives whichever
+    * coding path its id took. The oracle replays the palette closed
+    * form over an (x, y) grid. PREDICTOR/COLOR/COLOR_INDEXING
+    * transforms stay documented-out (recursive sub-resolution images —
+    * codec-library territory; the decoder rejects them, never junk).
+    */
+  private[graft] def qVp8lDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Vp8l
+    doc(s, dir).where(col("doc_id") < 90).select(col("doc_id"))
+      .withColumn("wp", Vp8l.synthVp8lCol(col("doc_id")))
+      .select(col("doc_id"), Vp8l.statsCol(col("wp")).as("st"))
+      .select(col("doc_id"),
+        col("st._1").cast("long").as("width"),
+        col("st._2").cast("long").as("height"),
+        col("st._3").as("sum_r"),
+        col("st._4").as("sum_g"),
+        col("st._5").as("sum_b"))
+      .orderBy("doc_id")
+  }
+
 }

@@ -2211,6 +2211,24 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
          | SELECT first_id, dup_id, count(*) AS n_bands FROM a
          | GROUP BY 1, 2 ORDER BY first_id, dup_id"""
         .stripMargin.replaceAll("\n", " ")
-    }
+    },
+    // q333: the oracle replays the closed-form 5-color palette over an
+    // (x, y) grid; the Spark side must survive the full VP8L coding
+    // path (Huffman groups, LZ77, color cache, subtract-green) to
+    // reproduce the channel sums
+    "q333_vp8l_decode" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w,
+        |   16 + doc_id % 13 AS h FROM documents WHERE doc_id < 90),
+        | g AS (SELECT d.doc_id, d.w, d.h,
+        |   ((x.x // 4 + y.y + d.doc_id) % 5) AS c
+        |  FROM d, range(0, 33) x(x), range(0, 29) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h)
+        | SELECT doc_id, CAST(max(w) AS BIGINT) AS width,
+        |  CAST(max(h) AS BIGINT) AS height,
+        |  CAST(sum((c * 50 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((c * 33 + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((c * 77 + 3 * doc_id) % 256) AS BIGINT) AS sum_b
+        | FROM g GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " ")
   )
 }

@@ -257,7 +257,7 @@ object Binary {
     } else None
   }
 
-  private def riffWebp(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+  private[multimodal] def riffWebp(fourcc: String, payload: Array[Byte]): Array[Byte] = {
     def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
       (v >>> 16).toByte, (v >>> 24).toByte)
     val padded = if (payload.length % 2 == 1) payload :+ 0.toByte else payload

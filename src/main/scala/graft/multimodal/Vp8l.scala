@@ -1,0 +1,554 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** WebP lossless (VP8L) pixel codec — dependency-free, spec-derived
+  * (the "WebP Lossless Bitstream Specification": LSB-first bitstream,
+  * canonical Huffman code groups with the code-length-code machinery,
+  * LZ77 backward references with 2-D distance plane codes, the
+  * multiplicative color cache). Completes the crawl image family's
+  * real-decode story beside PNG inflate (q221) and baseline /
+  * progressive / restart-marker JPEG (q234/q323/q324); header-only
+  * metadata stays in [[Binary.parseWebpMeta]].
+  *
+  * Scope (documented subset, not a stub): the decoder handles
+  * transform-free and SUBTRACT_GREEN streams with a single Huffman
+  * group (meta-Huffman bit 0) — the PREDICTOR / COLOR / COLOR_INDEXING
+  * transforms carry recursive sub-resolution images and sit behind the
+  * same codec-library boundary as progressive-everything; a stream
+  * using them returns None, never junk pixels. Within scope the decode
+  * is COMPLETE: simple and full Huffman code forms, zero-run /
+  * repeat-coded code lengths, color-cache hits, LZ77 copies crossing
+  * row boundaries, and the full 120-entry distance plane-code table.
+  * The encoder exists to mint valid fixtures (balanced complete codes,
+  * greedy horizontal/vertical run LZ77, optional cache) — ratio is a
+  * non-goal; validity and determinism are the contract.
+  */
+object Vp8l {
+
+  // ---- bit IO (LSB-first, per spec) ------------------------------------
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def writeBit(b: Int): Unit = {
+      cur |= (b & 1) << nBits
+      nBits += 1
+      if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+    }
+    /** `n` bits of `v`, least-significant first (ReadBits mirror). */
+    def writeBits(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) { writeBit((v >>> i) & 1); i += 1 }
+    }
+    /** A Huffman code's bits, MSB of the code first. */
+    def writeCode(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { writeBit((code >>> i) & 1); i -= 1 }
+    }
+    def toBytes: Array[Byte] = {
+      if (nBits > 0) { out.write(cur); cur = 0; nBits = 0 }
+      out.toByteArray
+    }
+  }
+
+  private final class BitReader(b: Array[Byte], from: Int) {
+    private var pos = from
+    private var bit = 0
+    var bad = false
+    def readBit(): Int = {
+      if (pos >= b.length) { bad = true; 0 }
+      else {
+        val v = (b(pos) >> bit) & 1
+        bit += 1
+        if (bit == 8) { bit = 0; pos += 1 }
+        v
+      }
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v |= readBit() << i; i += 1 }
+      v
+    }
+  }
+
+  // ---- canonical Huffman -----------------------------------------------
+
+  /** Canonical codes from lengths (RFC 1951 assignment: by (length,
+    * symbol)); returns code per symbol, -1 for unused. */
+  private def canonicalCodes(lengths: Array[Int]): Array[Int] = {
+    val maxLen = if (lengths.isEmpty) 0 else lengths.max
+    val codes = Array.fill(lengths.length)(-1)
+    var code = 0
+    var len = 1
+    while (len <= maxLen) {
+      var s = 0
+      while (s < lengths.length) {
+        if (lengths(s) == len) { codes(s) = code; code += 1 }
+        s += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    codes
+  }
+
+  /** Bit-at-a-time canonical decoder: (len, code) → symbol. */
+  private final class HuffDecoder(lengths: Array[Int]) {
+    private val single: Int = {
+      val used = lengths.indices.filter(lengths(_) > 0)
+      if (used.length == 1) used.head else -1
+    }
+    val singleSymbol: Int = single // codes of one symbol consume 0 bits
+    private val table: Map[(Int, Int), Int] = {
+      val codes = canonicalCodes(lengths)
+      lengths.indices.collect {
+        case s if lengths(s) > 0 => (lengths(s), codes(s)) -> s
+      }.toMap
+    }
+    def read(br: BitReader): Int = {
+      if (single >= 0) return single
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        code = (code << 1) | br.readBit()
+        len += 1
+        table.get((len, code)) match {
+          case Some(s) => return s
+          case None => ()
+        }
+      }
+      br.bad = true
+      0
+    }
+  }
+
+  /** Balanced COMPLETE code over the used symbols (Kraft = 1): with k
+    * used symbols and L = ⌈log₂ k⌉, the first 2^L − k get length L−1,
+    * the rest L. Any complete code is valid — fixtures trade ratio for
+    * simplicity. Requires k ≥ 2 (k ≤ 1 goes through the simple form).
+    */
+  private def balancedLengths(alphabet: Int, used: Seq[Int]): Array[Int] = {
+    val k = used.length
+    require(k >= 2, "balanced code needs >= 2 symbols")
+    val L = math.max(1, 32 - Integer.numberOfLeadingZeros(k - 1)) // ceil log2
+    val nShort = (1 << L) - k
+    val lengths = Array.fill(alphabet)(0)
+    used.zipWithIndex.foreach { case (s, i) =>
+      lengths(s) = if (i < nShort) L - 1 else L
+    }
+    // L-1 can be 0 only when k == 1, excluded above
+    lengths
+  }
+
+  // ---- spec tables -----------------------------------------------------
+
+  /** Code-length-code transmission order (spec §"Huffman code
+    * lengths"). */
+  private val ClOrder =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** 2-D distance map: plane codes 1..120 address a (Δx, Δy)
+    * neighborhood around the pixel; the table packs (Δy+8, Δx+8)
+    * nibbles (spec §"Decoding the distance"). */
+  private val CodeToPlane: Array[Int] = Array(
+    0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1a,
+    0x26, 0x2a, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1b, 0x36, 0x3a,
+    0x25, 0x2b, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1c, 0x35, 0x3b,
+    0x46, 0x4a, 0x24, 0x2c, 0x58, 0x45, 0x4b, 0x34, 0x3c, 0x03,
+    0x57, 0x59, 0x13, 0x1d, 0x56, 0x5a, 0x23, 0x2d, 0x44, 0x4c,
+    0x55, 0x5b, 0x33, 0x3d, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1e,
+    0x66, 0x6a, 0x22, 0x2e, 0x54, 0x5c, 0x43, 0x4d, 0x65, 0x6b,
+    0x32, 0x3e, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5d, 0x11, 0x1f,
+    0x64, 0x6c, 0x42, 0x4e, 0x76, 0x7a, 0x21, 0x2f, 0x75, 0x7b,
+    0x31, 0x3f, 0x63, 0x6d, 0x52, 0x5e, 0x00, 0x74, 0x7c, 0x41,
+    0x4f, 0x10, 0x20, 0x62, 0x6e, 0x30, 0x73, 0x7d, 0x51, 0x5f,
+    0x40, 0x72, 0x7e, 0x61, 0x6f, 0x50, 0x71, 0x7f, 0x60, 0x70)
+
+  private def planeCodeToDistance(xsize: Int, planeCode: Int): Int =
+    if (planeCode > 120) planeCode - 120
+    else {
+      val d = CodeToPlane(planeCode - 1)
+      val yoff = (d >> 4) - 8
+      val xoff = (d & 0xf) - 8
+      val dist = yoff * xsize + xoff
+      if (dist >= 1) dist else 1
+    }
+
+  /** LZ77 prefix coding: value ≥ 1 → (code, extraBits, extraValue);
+    * decode mirror below. */
+  private def prefixEncode(v: Int): (Int, Int, Int) =
+    if (v <= 4) (v - 1, 0, 0)
+    else {
+      val x = v - 1
+      val log = 31 - Integer.numberOfLeadingZeros(x)
+      val code = 2 * log + ((x >> (log - 1)) & 1)
+      (code, log - 1, x & ((1 << (log - 1)) - 1))
+    }
+
+  private def prefixDecode(code: Int, br: BitReader): Int =
+    if (code < 4) code + 1
+    else {
+      val extraBits = (code - 2) >> 1
+      val offset = (2 + (code & 1)) << extraBits
+      offset + br.readBits(extraBits) + 1
+    }
+
+  private def cacheIndex(argb: Int, bits: Int): Int =
+    (0x1e35a7bd * argb) >>> (32 - bits)
+
+  // ---- encoder ---------------------------------------------------------
+
+  private val MaxCopy = 4096 // longest length the 24 length codes reach
+
+  /** Encode ARGB pixels (row-major 0xAARRGGBB) into a complete WebP
+    * file (RIFF + VP8L). `subtractGreen` emits the one in-scope
+    * transform; `cacheBits` > 0 enables the color cache. */
+  def encode(width: Int, height: Int, argb: Array[Int],
+             subtractGreen: Boolean = false, cacheBits: Int = 0): Array[Byte] = {
+    require(width >= 1 && width <= 16384 && height >= 1 && height <= 16384)
+    require(argb.length == width * height)
+    require(cacheBits >= 0 && cacheBits <= 11)
+    val hasAlpha = argb.exists(p => (p >>> 24) != 0xff)
+    val w = new BitWriter
+    // header: signature byte is written by the byte assembler below
+    w.writeBits(width - 1, 14)
+    w.writeBits(height - 1, 14)
+    w.writeBits(if (hasAlpha) 1 else 0, 1)
+    w.writeBits(0, 3) // version
+    if (subtractGreen) { w.writeBit(1); w.writeBits(2, 2) }
+    w.writeBit(0) // end of transforms
+    if (cacheBits > 0) { w.writeBit(1); w.writeBits(cacheBits, 4) }
+    else w.writeBit(0)
+    w.writeBit(0) // no meta-Huffman
+    // coded pixels (transform applied)
+    val coded = argb.map { p =>
+      if (!subtractGreen) p
+      else {
+        val a = p >>> 24; val r = (p >> 16) & 0xff
+        val g = (p >> 8) & 0xff; val b = p & 0xff
+        (a << 24) | (((r - g) & 0xff) << 16) | (g << 8) | ((b - g) & 0xff)
+      }
+    }
+    // token stream: Literal(argb) | Copy(len, dist) | CacheHit(idx)
+    sealed trait Tok
+    case class Lit(p: Int) extends Tok
+    case class Copy(len: Int, dist: Int) extends Tok
+    case class Hit(idx: Int) extends Tok
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val cache = new Array[Int](math.max(cacheSize, 1))
+    val cacheSet = new Array[Boolean](math.max(cacheSize, 1))
+    def insert(p: Int): Unit = if (cacheBits > 0) {
+      val i = cacheIndex(p, cacheBits); cache(i) = p; cacheSet(i) = true
+    }
+    val toks = scala.collection.mutable.ArrayBuffer[Tok]()
+    var pos = 0
+    val n = coded.length
+    while (pos < n) {
+      // greedy: longest of a dist-1 or dist-width run (min useful 3)
+      def runLen(dist: Int): Int = {
+        if (pos < dist) 0
+        else {
+          var l = 0
+          while (pos + l < n && l < MaxCopy &&
+            coded(pos + l) == coded(pos + l - dist)) l += 1
+          l
+        }
+      }
+      val h = runLen(1)
+      val v = runLen(width)
+      val (len, dist) = if (h >= v) (h, 1) else (v, width)
+      if (len >= 3) {
+        toks += Copy(len, dist)
+        var i = 0
+        while (i < len) { insert(coded(pos + i)); i += 1 }
+        pos += len
+      } else {
+        val p = coded(pos)
+        if (cacheBits > 0 && cacheSet(cacheIndex(p, cacheBits)) &&
+          cache(cacheIndex(p, cacheBits)) == p) {
+          toks += Hit(cacheIndex(p, cacheBits))
+        } else {
+          toks += Lit(p)
+        }
+        insert(p)
+        pos += 1
+      }
+    }
+    // channel alphabets + used-symbol sets
+    val greenAlpha = 256 + 24 + cacheSize
+    val usedG = scala.collection.mutable.SortedSet[Int]()
+    val usedR = scala.collection.mutable.SortedSet[Int]()
+    val usedB = scala.collection.mutable.SortedSet[Int]()
+    val usedA = scala.collection.mutable.SortedSet[Int]()
+    val usedD = scala.collection.mutable.SortedSet[Int]()
+    toks.foreach {
+      case Lit(p) =>
+        usedG += (p >> 8) & 0xff; usedR += (p >> 16) & 0xff
+        usedB += p & 0xff; usedA += p >>> 24
+      case Copy(len, dist) =>
+        usedG += 256 + prefixEncode(len)._1
+        usedD += prefixEncode(dist + 120)._1
+      case Hit(idx) => usedG += 256 + 24 + idx
+    }
+    // every channel needs a readable code even if unused
+    def writeChannelCode(alphabet: Int,
+                         used: Seq[Int]): Array[Int] = {
+      val syms = if (used.isEmpty) Seq(0) else used
+      if (syms.length <= 2 && syms.max <= 255) {
+        // simple form
+        w.writeBit(1)
+        w.writeBits(syms.length - 1, 1)
+        val is8 = if (syms.head > 1) 1 else 0
+        w.writeBits(is8, 1)
+        w.writeBits(syms.head, if (is8 == 1) 8 else 1)
+        if (syms.length == 2) w.writeBits(syms(1), 8)
+        val lengths = Array.fill(alphabet)(0)
+        if (syms.length == 1) lengths(syms.head) = 1 // marker; 0-bit read
+        else { lengths(syms.head) = 1; lengths(syms(1)) = 1 }
+        lengths
+      } else {
+        w.writeBit(0) // full form
+        val lengths = balancedLengths(alphabet, syms)
+        // code-length code: balanced over the used CL symbols
+        val runsEncoded = encodeLengthRuns(lengths)
+        val usedCl = runsEncoded.map(_._1).distinct.sorted
+        val clLengths = Array.fill(19)(0)
+        if (usedCl.length == 1) clLengths(usedCl.head) = 1
+        else balancedLengths(19, usedCl).copyToArray(clLengths)
+        w.writeBits(15, 4) // num_code_lengths = 4 + 15 = 19
+        ClOrder.foreach(s => w.writeBits(clLengths(s), 3))
+        w.writeBit(0) // no max_symbol cap: lengths cover the alphabet
+        val clCodes = canonicalCodes(clLengths)
+        runsEncoded.foreach { case (sym, extraBits, extraVal) =>
+          if (usedCl.length > 1) w.writeCode(clCodes(sym), clLengths(sym))
+          // single-CL-symbol code consumes 0 bits on read
+          if (extraBits > 0) w.writeBits(extraVal, extraBits)
+        }
+        lengths
+      }
+    }
+    val gLen = writeChannelCode(greenAlpha, usedG.toSeq)
+    val rLen = writeChannelCode(256, usedR.toSeq)
+    val bLen = writeChannelCode(256, usedB.toSeq)
+    val aLen = writeChannelCode(256, usedA.toSeq)
+    val dLen = writeChannelCode(40, usedD.toSeq)
+    val gC = canonicalCodes(gLen); val rC = canonicalCodes(rLen)
+    val bC = canonicalCodes(bLen); val aC = canonicalCodes(aLen)
+    val dC = canonicalCodes(dLen)
+    def emit(codes: Array[Int], lengths: Array[Int], used: Int,
+             sym: Int): Unit =
+      if (used > 1) w.writeCode(codes(sym), lengths(sym))
+    val (nG, nR, nB, nA, nD) =
+      (math.max(usedG.size, 1), math.max(usedR.size, 1),
+        math.max(usedB.size, 1), math.max(usedA.size, 1),
+        math.max(usedD.size, 1))
+    toks.foreach {
+      case Lit(p) =>
+        emit(gC, gLen, nG, (p >> 8) & 0xff)
+        emit(rC, rLen, nR, (p >> 16) & 0xff)
+        emit(bC, bLen, nB, p & 0xff)
+        emit(aC, aLen, nA, p >>> 24)
+      case Copy(len, dist) =>
+        val (lc, lb, lv) = prefixEncode(len)
+        emit(gC, gLen, nG, 256 + lc)
+        w.writeBits(lv, lb)
+        val (dc, db, dv) = prefixEncode(dist + 120)
+        emit(dC, dLen, nD, dc)
+        w.writeBits(dv, db)
+      case Hit(idx) =>
+        emit(gC, gLen, nG, 256 + 24 + idx)
+    }
+    Binary.riffWebp("VP8L", Array[Byte](0x2f) ++ w.toBytes)
+  }
+
+  /** Lengths array → (CL symbol, extraBits, extraValue) emissions with
+    * zero-run codes 17 (3–10) and 18 (11–138). */
+  private def encodeLengthRuns(lengths: Array[Int]): Seq[(Int, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+    var i = 0
+    while (i < lengths.length) {
+      if (lengths(i) == 0) {
+        var run = 0
+        while (i + run < lengths.length && lengths(i + run) == 0) run += 1
+        var rem = run
+        while (rem >= 11) {
+          val take = math.min(rem, 138)
+          out += ((18, 7, take - 11)); rem -= take
+        }
+        if (rem >= 3) { out += ((17, 3, rem - 3)); rem = 0 }
+        while (rem > 0) { out += ((0, 0, 0)); rem -= 1 }
+        i += run
+      } else {
+        out += ((lengths(i), 0, 0))
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  // ---- decoder ---------------------------------------------------------
+
+  /** Decode a WebP VP8L file → (width, height, ARGB row-major). None on
+    * malformation or an out-of-scope transform — never junk pixels. */
+  def decode(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val meta = Binary.parseWebpMeta(b)
+    if (!meta.exists(_.variant == "vp8l")) return None
+    // payload begins after RIFF(12) + chunk header(8) + signature(1)
+    val br = new BitReader(b, 21)
+    val width = br.readBits(14) + 1
+    val height = br.readBits(14) + 1
+    br.readBits(1 + 3) // alpha hint + version (validated by parseWebpMeta)
+    var subtractGreen = false
+    while (br.readBit() == 1) { // transform list
+      br.readBits(2) match {
+        case 2 => if (subtractGreen) return None else subtractGreen = true
+        case _ => return None // PREDICTOR/COLOR/COLOR_INDEXING: out of scope
+      }
+    }
+    val cacheBits = if (br.readBit() == 1) br.readBits(4) else 0
+    if (cacheBits > 11) return None
+    if (br.readBit() == 1) return None // meta-Huffman: out of scope
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    def readCode(alphabet: Int): HuffDecoder = {
+      if (br.readBit() == 1) { // simple
+        val numSym = br.readBits(1) + 1
+        val is8 = br.readBits(1)
+        val s0 = br.readBits(if (is8 == 1) 8 else 1)
+        val lengths = Array.fill(alphabet)(0)
+        if (s0 >= alphabet) { br.bad = true; return new HuffDecoder(lengths) }
+        lengths(s0) = 1
+        if (numSym == 2) {
+          val s1 = br.readBits(8)
+          if (s1 >= alphabet) { br.bad = true; return new HuffDecoder(lengths) }
+          lengths(s1) = 1
+        }
+        new HuffDecoder(lengths)
+      } else {
+        val numCl = 4 + br.readBits(4)
+        val clLengths = Array.fill(19)(0)
+        var i = 0
+        while (i < numCl) { clLengths(ClOrder(i)) = br.readBits(3); i += 1 }
+        val cl = new HuffDecoder(clLengths)
+        var maxSymbol =
+          if (br.readBit() == 1) {
+            val nbits = 2 + 2 * br.readBits(3)
+            2 + br.readBits(nbits)
+          } else alphabet
+        val lengths = Array.fill(alphabet)(0)
+        var sym = 0
+        var prev = 8
+        while (sym < alphabet && maxSymbol > 0 && !br.bad) {
+          maxSymbol -= 1
+          val c = cl.read(br)
+          if (c < 16) {
+            lengths(sym) = c; sym += 1
+            if (c != 0) prev = c
+          } else {
+            val (repeat, fill) = c match {
+              case 16 => (3 + br.readBits(2), prev)
+              case 17 => (3 + br.readBits(3), 0)
+              case 18 => (11 + br.readBits(7), 0)
+              case _ => return new HuffDecoder(Array.fill(alphabet)(0))
+            }
+            if (sym + repeat > alphabet) { br.bad = true }
+            else {
+              var k = 0
+              while (k < repeat) { lengths(sym) = fill; sym += 1; k += 1 }
+            }
+          }
+        }
+        new HuffDecoder(lengths)
+      }
+    }
+    val gD = readCode(256 + 24 + cacheSize)
+    val rD = readCode(256)
+    val bD = readCode(256)
+    val aD = readCode(256)
+    val dD = readCode(40)
+    if (br.bad) return None
+    val n = width * height
+    if (n > 64 * 1024 * 1024) return None
+    val px = new Array[Int](n)
+    val cache = new Array[Int](math.max(cacheSize, 1))
+    def insert(p: Int): Unit =
+      if (cacheBits > 0) cache(cacheIndex(p, cacheBits)) = p
+    var pos = 0
+    while (pos < n && !br.bad) {
+      val g = gD.read(br)
+      if (g < 256) {
+        val r = rD.read(br); val bl = bD.read(br); val a = aD.read(br)
+        val p = (a << 24) | (r << 16) | (g << 8) | bl
+        px(pos) = p; insert(p); pos += 1
+      } else if (g < 256 + 24) {
+        val len = prefixDecode(g - 256, br)
+        val dist = planeCodeToDistance(width,
+          prefixDecode(dD.read(br), br))
+        if (dist > pos || pos + len > n) return None
+        var k = 0
+        while (k < len) {
+          val p = px(pos - dist)
+          px(pos) = p; insert(p); pos += 1; k += 1
+        }
+      } else {
+        val idx = g - 256 - 24
+        if (cacheBits == 0 || idx >= cacheSize) return None
+        val p = cache(idx)
+        px(pos) = p; insert(p); pos += 1
+      }
+    }
+    if (br.bad || pos < n) return None
+    if (subtractGreen) {
+      var i = 0
+      while (i < n) {
+        val p = px(i)
+        val gch = (p >> 8) & 0xff
+        val r = (((p >> 16) & 0xff) + gch) & 0xff
+        val bl = ((p & 0xff) + gch) & 0xff
+        px(i) = (p & 0xff00ff00) | (r << 16) | bl
+        i += 1
+      }
+    }
+    Some((width, height, px))
+  }
+
+  // ---- fixtures + column wrappers ---------------------------------------
+
+  /** Deterministic synthetic image per id: a 5-color closed-form
+    * palette over 4-pixel horizontal cells (so LZ77 runs and cache
+    * hits both bite), dims 16+id%17 × 16+id%13, with the encoder path
+    * cycling transform/cache settings by id — every decoded channel
+    * sum is a closed form of (id, x, y) the SQL oracle can replay. */
+  def synthVp8l(id: Long): Array[Byte] = {
+    val w = (16 + id % 17).toInt
+    val h = (16 + id % 13).toInt
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val c = (x / 4 + y + id) % 5
+      val r = ((c * 50 + id) % 256).toInt
+      val g = ((c * 33 + 2 * id) % 256).toInt
+      val b = ((c * 77 + 3 * id) % 256).toInt
+      (0xff << 24) | (r << 16) | (g << 8) | b
+    }
+    encode(w, h, px, subtractGreen = id % 2 == 0,
+      cacheBits = if (id % 3 == 0) 6 else 0)
+  }
+
+  def synthVp8lCol(c: Column): Column =
+    udf { id: Long => synthVp8l(id) }.apply(c)
+
+  /** Decode → (width, height, Σr, Σg, Σb) for the oracle row. */
+  def statsCol(c: Column): Column =
+    udf { b: Array[Byte] =>
+      decode(b).map { case (w, h, px) =>
+        var sr = 0L; var sg = 0L; var sb = 0L
+        px.foreach { p =>
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        }
+        (w, h, sr, sg, sb)
+      }
+    }.apply(c)
+}

@@ -122,6 +122,76 @@ class MultimodalSpec extends SparkSpec {
       Array[Byte](0, 0, 0, 0)).isEmpty) // non-stream first chunk
   }
 
+  test("VP8L codec: exact round-trip across all coding variants") {
+    import graft.multimodal.Vp8l
+    // a structured image: runs (LZ77), repeated colors (cache), plus a
+    // noisy strip (literal-dense, exercises the full Huffman form)
+    val w = 37; val h = 23
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      if (y < 4) (0xff << 24) | ((x * 53 + y * 91) % 256 << 16) |
+        ((x * 7 + y * 3) % 256 << 8) | ((x * 31 + y * 17) % 256)
+      else {
+        val c = (x / 5 + y) % 4
+        (0xff << 24) | (c * 60 << 16) | (c * 40 << 8) | (c * 20)
+      }
+    }
+    // the cross-check that catches coding bugs closed-form tests miss:
+    // the same content through every coding path must decode identically
+    for ((sg, cb) <- Seq((false, 0), (true, 0), (false, 6), (true, 4))) {
+      val enc = Vp8l.encode(w, h, px, subtractGreen = sg, cacheBits = cb)
+      val (dw, dh, dec) = Vp8l.decode(enc).getOrElse(
+        fail(s"decode failed sg=$sg cb=$cb"))
+      assert(dw == w && dh == h)
+      assert(dec.sameElements(px), s"pixel mismatch sg=$sg cb=$cb")
+      // header metadata agrees with the generic parser
+      assert(Binary.parseWebpMeta(enc)
+        .contains(Binary.WebpMeta("vp8l", w, h, has_alpha = false)))
+    }
+    // alpha channel carried and flagged
+    val pa = px.clone(); pa(5) = 0x80112233
+    val encA = Vp8l.encode(w, h, pa)
+    assert(Binary.parseWebpMeta(encA).exists(_.has_alpha))
+    assert(Vp8l.decode(encA).get._3.sameElements(pa))
+    // constant image: single-symbol channels + maximal LZ77
+    val flat = Array.fill(64 * 64)(0xff336699)
+    assert(Vp8l.decode(Vp8l.encode(64, 64, flat)).get._3.sameElements(flat))
+    // vertical-run image (dist = width copies)
+    val vert = Array.tabulate(16 * 50)(i => 0xff000000 | (i % 16) * 17)
+    assert(Vp8l.decode(Vp8l.encode(16, 50, vert)).get._3.sameElements(vert))
+    // 1x1
+    assert(Vp8l.decode(Vp8l.encode(1, 1, Array(0xffabcdef)))
+      .get._3.sameElements(Array(0xffabcdef)))
+  }
+
+  test("VP8L codec: strict rejection — transforms out of scope, flips never crash") {
+    import graft.multimodal.Vp8l
+    val px = Array.tabulate(40)(i => 0xff000000 | i)
+    val enc = Vp8l.encode(8, 5, px, subtractGreen = true)
+    assert(Vp8l.decode(enc).get._3.sameElements(px))
+    // bitstream bits 0-31 are dims/alpha/version (bytes 21-24); the
+    // transform list starts at byte 25 bit 0: present=1, type bits 1-2
+    // (=2, subtract-green). Clearing bit 2 turns the type into 0
+    // (PREDICTOR) -> documented out of scope -> None, not junk pixels
+    val pred = enc.clone(); pred(25) = (pred(25) & ~0x04).toByte
+    assert(Vp8l.decode(pred).isEmpty)
+    // truncation: None, never a crash
+    assert(Vp8l.decode(enc.take(24)).isEmpty)
+    assert(Vp8l.decode(enc.dropRight(1)).isEmpty)
+    // header-only fixture (no pixel data): parseWebpMeta accepts the
+    // metadata, the pixel decoder must reject
+    assert(Vp8l.decode(Binary.webpLossless(8, 5, alpha = false)).isEmpty)
+    // byte-flip sweep: decode returns None or different pixels, never
+    // throws (VP8L has no CRC, so some flips decode to a valid file)
+    (21 until enc.length).foreach { i =>
+      val bad = enc.clone(); bad(i) = (bad(i) ^ 0x10).toByte
+      Vp8l.decode(bad) match {
+        case Some((dw, dh, _)) => assert(dw >= 1 && dh >= 1)
+        case None => ()
+      }
+    }
+  }
+
   test("parseAudioMeta round-trips wav/flac headers, rejects garbage") {
     assert(Binary.parseAudioMeta(Binary.wavHeader(44100, 2, 16, 44100L))
       .contains(Binary.AudioMeta("wav", 44100, 2, 16, 44100L, 1000L)))

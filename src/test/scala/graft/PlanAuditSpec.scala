@@ -899,6 +899,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!q332.contains("BroadcastNestedLoopJoin"),
       s"near-dup twin plans a nested loop:\n$q332")
     assert(!q332.contains("Window"), s"near-dup twin plans a window:\n$q332")
+    val q333 = plan(SparkEntry.queries("q333_vp8l_decode")(spark, sf))
+    assert(!q333.contains("Join"), s"VP8L decode plans a join:\n$q333")
+    assert(!q333.contains("Window"), s"VP8L decode plans a window:\n$q333")
     assert("HashAggregate".r.findAllIn(q322).size >= 2,
       s"stream twin lost partial aggregation:\n$q322")
   }
