@@ -3572,8 +3572,9 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
     * id%1080+1, alpha iff even for the forms that carry it), so the
     * oracle recomputes every column with the same integer arithmetic;
     * the Spark side must walk real RIFF framing (size-tiles-file
-    * check, start codes, version bits) to recover them. Pixel decode
-    * stays documented-out as codec-library territory
+    * check, start codes, version bits) to recover them. VP8L pixel
+    * decode is REAL ([[graft.multimodal.Vp8l]], q333); VP8 lossy DCT
+    * decode stays documented-out as codec-library territory
     * ([[graft.multimodal.Binary.stubDecode]]).
     */
   private[graft] def qWebpMeta(s: SparkSession, dir: String): DataFrame = {

@@ -1034,10 +1034,11 @@ object Binary {
     * none, so the stub emits a deterministic 8-dim pseudo-feature
     * derived from the byte stream (stride-sampled rolling hashes scaled
     * to [0,1)). Signature and batching are what a real decoder uses.
-    * The stub's remaining territory is MP3/AAC frames and MP4 VIDEO
-    * frames only — PNG/GIF/WAV/JPEG (baseline, color 4:2:0,
-    * progressive, restart-interval) and FLAC all have REAL
-    * dependency-free payload decoders in this file.
+    * The stub's remaining territory is MP3/AAC frames, MP4 VIDEO
+    * frames, and the WebP VP8 lossy / transform-coded VP8L paths —
+    * PNG/GIF/WAV/JPEG (baseline, color 4:2:0, progressive,
+    * restart-interval), FLAC, and transform-free / subtract-green
+    * VP8L ([[Vp8l]]) all have REAL dependency-free payload decoders.
     */
   def stubDecode(bytes: Array[Byte]): Array[Float] = {
     val f = new Array[Float](8)
