@@ -379,7 +379,9 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q330_webp_meta" -> (qWebpMeta _),
     "q331_opus_meta" -> (qOpusMeta _),
     "q332_stream_neardup_twin" -> (qStreamNearDupTwin _),
-    "q333_vp8l_decode" -> (qVp8lDecode _)
+    "q333_vp8l_decode" -> (qVp8lDecode _),
+    "q334_url_canonical" -> (qUrlCanonical _),
+    "q335_domain_stats" -> (qDomainStats _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

@@ -3682,4 +3682,90 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** The q334/q335 URL fixture: per doc_id < 600, a raw crawl URL
+    * whose rule family cycles by (doc_id div 2) % 6 and whose messy
+    * variant (doc_id odd) differs from the clean one (even) only by
+    * things canonicalization must erase — scheme/host case, default
+    * ports, dot-segments, tracking params, param order, fragments —
+    * so every odd/even pair MUST collapse to one canonical URL. */
+  private def urlFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = doc(s, dir).where(col("doc_id") < 600)
+      .select(col("doc_id"),
+        expr("(doc_id div 2) % 6").as("fam"),
+        (col("doc_id") % 2).as("v"),
+        expr("(doc_id div 2) % 50").cast("string").as("n"))
+    val raw =
+      when(col("fam") === 0 && col("v") === 0,
+        concat(lit("http://site"), col("n"), lit(".com/a/c")))
+      .when(col("fam") === 0,
+        concat(lit("HTTP://SITE"), col("n"), lit(".COM:80/a/b/../c#frag")))
+      .when(col("fam") === 1 && col("v") === 0,
+        concat(lit("http://site"), col("n"), lit(".com/p?b=2&a=1")))
+      .when(col("fam") === 1,
+        concat(lit("http://site"), col("n"),
+          lit(".com/p?utm_source=news&b=2&gclid=XYZ&a=1")))
+      .when(col("fam") === 2 && col("v") === 0,
+        concat(lit("http://shop"), col("n"), lit(".co.uk")))
+      .when(col("fam") === 2,
+        concat(lit("http://shop"), col("n"), lit(".CO.UK:80/x/..")))
+      .when(col("fam") === 3 && col("v") === 0,
+        concat(lit("https://site"), col("n"), lit(".com/s")))
+      .when(col("fam") === 3,
+        concat(lit("HTTPS://site"), col("n"), lit(".com:443/s?fbclid=abc")))
+      .when(col("fam") === 4 && col("v") === 0,
+        concat(lit("http://a.b.site"), col("n"), lit(".com/d")))
+      .when(col("fam") === 4,
+        concat(lit("http://A.B.site"), col("n"), lit(".com:80/./d")))
+      .when(col("fam") === 5 && col("v") === 0,
+        concat(lit("http://site"), col("n"), lit(".com:8080/e?x=1")))
+      .otherwise(
+        concat(lit("http://SITE"), col("n"),
+          lit(".com:8080/f/../e?utm_medium=m&x=1")))
+    d.select(col("doc_id"), raw.as("raw"))
+  }
+
+  /** TX-URL — URL canonicalization ([[graft.text.Urls]], r13): the
+    * crawl-index stage BEFORE any text loads — canonical-URL dedup and
+    * registrable-domain aggregation are how a CC-index sweep decides
+    * what to fetch. Each fixture row is a raw URL whose messy variant
+    * carries exactly the junk the canonicalizer must erase
+    * (case, :80/:443, dot-segments, utm_-prefixed and gclid/fbclid
+    * tracking params, param order,
+    * fragments); the oracle states the expected canonical / host /
+    * eTLD+1 / surviving-param-count as closed forms of doc_id, so any
+    * rule the parser misapplies breaks a visible string. Per-row map
+    * work; embarrassingly parallel at crawl scale.
+    */
+  private[graft] def qUrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Urls
+    urlFixture(s, dir)
+      .select(col("doc_id"), Urls.partsCol(col("raw")).as("p"))
+      .select(col("doc_id"), col("p._1").as("canonical"),
+        col("p._2").as("host"), col("p._3").as("registrable"),
+        col("p._4").cast("long").as("n_params"))
+      .orderBy("doc_id")
+  }
+
+  /** TX-URL-AGG — canonical-URL dedup + registrable-domain rollup over
+    * the q334 fixture, THROUGH the real parser: every odd/even raw
+    * pair must collapse to one canonical (n_canonical is exactly half
+    * n_urls per domain unless two rule families share a canonical —
+    * the oracle recomputes the truth from the closed forms), and
+    * subdomain hosts roll up to their eTLD+1. The group-by shape is
+    * the per-domain cap/prior aggregation a corpus build runs at
+    * index scale.
+    */
+  private[graft] def qDomainStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Urls
+    urlFixture(s, dir)
+      .select(Urls.partsCol(col("raw")).as("p"))
+      .select(col("p._1").as("canonical"), col("p._2").as("host"),
+        col("p._3").as("registrable"))
+      .groupBy("registrable")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct("host").as("n_hosts"),
+        countDistinct("canonical").as("n_canonical"))
+      .orderBy("registrable")
+  }
+
 }

@@ -2229,6 +2229,46 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  CAST(sum((c * 33 + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum((c * 77 + 3 * doc_id) % 256) AS BIGINT) AS sum_b
         | FROM g GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    // q334/q335: the oracle states expected canonical/host/eTLD+1 as
+    // closed forms of doc_id — the Spark side must run the REAL
+    // canonicalizer over the messy raw variants to match
+    "q334_url_canonical" ->
+      s"""WITH d AS (SELECT doc_id, (doc_id // 2) % 6 AS fam,
+         |   CAST((doc_id // 2) % 50 AS VARCHAR) AS n
+         |  FROM documents WHERE doc_id < 600)
+         | SELECT doc_id, $UrlCanonicalSql AS canonical,
+         |  $UrlHostSql AS host, $UrlRegSql AS registrable,
+         |  CAST(CASE fam WHEN 1 THEN 2 WHEN 5 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS n_params
+         | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q335_domain_stats" ->
+      s"""WITH d AS (SELECT doc_id, (doc_id // 2) % 6 AS fam,
+         |   CAST((doc_id // 2) % 50 AS VARCHAR) AS n
+         |  FROM documents WHERE doc_id < 600),
+         | e AS (SELECT $UrlCanonicalSql AS canonical,
+         |   $UrlHostSql AS host, $UrlRegSql AS registrable FROM d)
+         | SELECT registrable, count(*) AS n_urls,
+         |  count(DISTINCT host) AS n_hosts,
+         |  count(DISTINCT canonical) AS n_canonical
+         | FROM e GROUP BY registrable ORDER BY registrable"""
         .stripMargin.replaceAll("\n", " ")
   )
+
+  /** Shared closed forms for the q334/q335 oracle rows. */
+  private val UrlCanonicalSql: String =
+    """CASE fam WHEN 0 THEN 'http://site' || n || '.com/a/c'
+      | WHEN 1 THEN 'http://site' || n || '.com/p?a=1&b=2'
+      | WHEN 2 THEN 'http://shop' || n || '.co.uk/'
+      | WHEN 3 THEN 'https://site' || n || '.com/s'
+      | WHEN 4 THEN 'http://a.b.site' || n || '.com/d'
+      | ELSE 'http://site' || n || '.com:8080/e?x=1' END"""
+      .stripMargin.replaceAll("\n", " ")
+  private val UrlHostSql: String =
+    """CASE fam WHEN 2 THEN 'shop' || n || '.co.uk'
+      | WHEN 4 THEN 'a.b.site' || n || '.com'
+      | ELSE 'site' || n || '.com' END""".stripMargin.replaceAll("\n", " ")
+  private val UrlRegSql: String =
+    """CASE fam WHEN 2 THEN 'shop' || n || '.co.uk'
+      | ELSE 'site' || n || '.com' END""".stripMargin.replaceAll("\n", " ")
 }

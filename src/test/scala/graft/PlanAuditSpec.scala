@@ -902,6 +902,15 @@ class PlanAuditSpec extends SparkSpec {
     val q333 = plan(SparkEntry.queries("q333_vp8l_decode")(spark, sf))
     assert(!q333.contains("Join"), s"VP8L decode plans a join:\n$q333")
     assert(!q333.contains("Window"), s"VP8L decode plans a window:\n$q333")
+    // q334/q335 URL canonicalization: per-row parse; the rollup keeps
+    // partial aggregation and never joins
+    val q334 = plan(SparkEntry.queries("q334_url_canonical")(spark, sf))
+    assert(!q334.contains("Join"), s"URL canonical plans a join:\n$q334")
+    assert(!q334.contains("Window"), s"URL canonical plans a window:\n$q334")
+    val q335 = plan(SparkEntry.queries("q335_domain_stats")(spark, sf))
+    assert(!q335.contains("Join"), s"domain stats plans a join:\n$q335")
+    assert("HashAggregate".r.findAllIn(q335).size >= 2,
+      s"domain stats lost partial aggregation:\n$q335")
     assert("HashAggregate".r.findAllIn(q322).size >= 2,
       s"stream twin lost partial aggregation:\n$q322")
   }
