@@ -381,7 +381,9 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q332_stream_neardup_twin" -> (qStreamNearDupTwin _),
     "q333_vp8l_decode" -> (qVp8lDecode _),
     "q334_url_canonical" -> (qUrlCanonical _),
-    "q335_domain_stats" -> (qDomainStats _)
+    "q335_domain_stats" -> (qDomainStats _),
+    "q336_html_extract" -> (qHtmlExtract _),
+    "q337_robots" -> (qRobots _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

@@ -3768,4 +3768,80 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("registrable")
   }
 
+  /** TX-HTML — HTML → text extraction ([[graft.text.Html]], r13): the
+    * WET-conversion step between a crawl `response` body (q329) and
+    * corpus text. Each fixture family plants one extraction hazard —
+    * nested inline tags that must NOT break the line, script/style
+    * content that must vanish, comments, named + decimal + hex
+    * character references, block-tag line structure — and the oracle
+    * states the exact expected text as a closed form of doc_id, so a
+    * single leaked tag, swallowed character, or misplaced line break
+    * diverges a visible string. Per-row map work at any scale.
+    */
+  private[graft] def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Html
+    val d = doc(s, dir).where(col("doc_id") < 300)
+      .select(col("doc_id"), (col("doc_id") % 5).as("fam"),
+        col("doc_id").cast("string").as("n"))
+    val html =
+      when(col("fam") === 0,
+        concat(lit("<p>alpha "), col("n"), lit("</p><p>beta</p>")))
+      .when(col("fam") === 1,
+        concat(lit("<div>x"), col("n"), lit("<span> y</span>z</div><br>w")))
+      .when(col("fam") === 2,
+        concat(lit("<script>var a=1;</script><b>bold "), col("n"),
+          lit("</b>&amp;&lt;tag&gt;")))
+      .when(col("fam") === 3,
+        concat(lit("<!-- note --><ul><li>a</li><li>b "), col("n"),
+          lit("</li></ul>")))
+      .otherwise(
+        concat(lit("<h1>T&#65;"), col("n"),
+          lit("</h1><style>p{color:red}</style><p>&quot;q&quot;&#x41;</p>")))
+    d.select(col("doc_id"), Html.htmlToTextCol(html).as("text_out"))
+      .select(col("doc_id"), col("text_out"),
+        (size(split(col("text_out"), "\n")).cast("long")).as("n_lines"),
+        length(col("text_out")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** TX-ROBOTS — robots.txt policy evaluation ([[graft.text.Robots]],
+    * RFC 9309): the crawl-policy gate between q334's canonical URL
+    * frontier and the fetcher. The fixture robots.txt carries a `*`
+    * group (prefix disallow, a MORE SPECIFIC allow that must win by
+    * length, a `*`-wildcard `$`-anchored pattern, a crawl delay) and a
+    * `graftbot` group; each path family exercises one decision rule,
+    * and the oracle states every verdict for BOTH agents as closed
+    * forms — including that the specific-agent group SUPPRESSES the
+    * `*` group entirely (allowed_bot is true on /private/ paths) and
+    * that crawl-delay resolution follows the matched group (-1 for the
+    * bot's group, which declares none).
+    */
+  private[graft] def qRobots(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Robots
+    val d = doc(s, dir).where(col("doc_id") < 300)
+      .select(col("doc_id"), (col("doc_id") % 6).as("fam"),
+        (col("doc_id") % 7).cast("string").as("cd"))
+    val robots = concat(
+      lit("User-agent: *\nDisallow: /private/\nAllow: /private/public/\n" +
+        "Disallow: /*.pdf$\nCrawl-delay: "), col("cd"),
+      lit("\n\nUser-agent: graftbot\nDisallow: /bot-only/\n"))
+    val path =
+      when(col("fam") === 0, lit("/a"))
+      .when(col("fam") === 1, lit("/private/x"))
+      .when(col("fam") === 2, lit("/private/public/y"))
+      .when(col("fam") === 3, lit("/doc.pdf"))
+      .when(col("fam") === 4, lit("/bot-only/z"))
+      .otherwise(lit("/files/report.pdf"))
+    d.select(col("doc_id"), path.as("path"),
+        Robots.isAllowedCol(robots, lit("googlebot"), path)
+          .as("allowed_star"),
+        Robots.isAllowedCol(robots, lit("graftbot"), path)
+          .as("allowed_bot"),
+        Robots.crawlDelayCol(robots, lit("googlebot")).cast("long")
+          .as("delay_star"),
+        Robots.crawlDelayCol(robots, lit("graftbot")).cast("long")
+          .as("delay_bot"))
+      .orderBy("doc_id")
+  }
+
 }

@@ -2242,6 +2242,35 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
          |  CAST(CASE fam WHEN 1 THEN 2 WHEN 5 THEN 1 ELSE 0 END
          |    AS BIGINT) AS n_params
          | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // q336: the oracle states the exact extracted text per rule family
+    // as a closed form — a leaked tag or swallowed entity diverges it
+    "q336_html_extract" -> {
+      val t = """CASE doc_id % 5
+        | WHEN 0 THEN 'alpha ' || doc_id || chr(10) || 'beta'
+        | WHEN 1 THEN 'x' || doc_id || ' yz' || chr(10) || 'w'
+        | WHEN 2 THEN 'bold ' || doc_id || '&<tag>'
+        | WHEN 3 THEN 'a' || chr(10) || 'b ' || doc_id
+        | ELSE 'TA' || doc_id || chr(10) || '"q"A' END"""
+        .stripMargin.replaceAll("\n", " ")
+      s"""SELECT doc_id, $t AS text_out,
+         | CAST(len(string_split($t, chr(10))) AS BIGINT) AS n_lines,
+         | CAST(len($t) AS BIGINT) AS n_chars
+         | FROM documents WHERE doc_id < 300
+         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    // q337: every verdict for both agents is a closed form of the path
+    // family; the Spark side must run the real RFC 9309 evaluation
+    "q337_robots" ->
+      """SELECT doc_id,
+        | CASE doc_id % 6 WHEN 0 THEN '/a' WHEN 1 THEN '/private/x'
+        |  WHEN 2 THEN '/private/public/y' WHEN 3 THEN '/doc.pdf'
+        |  WHEN 4 THEN '/bot-only/z' ELSE '/files/report.pdf' END AS path,
+        | (doc_id % 6 NOT IN (1, 3, 5)) AS allowed_star,
+        | (doc_id % 6 <> 4) AS allowed_bot,
+        | CAST(doc_id % 7 AS BIGINT) AS delay_star,
+        | CAST(-1 AS BIGINT) AS delay_bot
+        | FROM documents WHERE doc_id < 300
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q335_domain_stats" ->
       s"""WITH d AS (SELECT doc_id, (doc_id // 2) % 6 AS fam,
          |   CAST((doc_id // 2) % 50 AS VARCHAR) AS n

@@ -1,0 +1,125 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** HTML → text extraction — the step that turns a crawl `response`
+  * body into corpus text (what Common Crawl's WET conversion does
+  * between the WARC capture and the text record). Dependency-free
+  * byte/char walking:
+  *
+  *  - tags are tokenized and dropped; `script` / `style` / `noscript`
+  *    element CONTENT is skipped to the matching close tag
+  *    (case-insensitive) — the single biggest junk source in naive
+  *    strip-tags extractors;
+  *  - comments (`<!-- -->`) and declarations (`<!...>`) are skipped;
+  *  - block-level elements emit line breaks, inline elements nothing —
+  *    so "<div>x<span>y</span></div>" keeps x and y on one line while
+  *    paragraphs and list items separate;
+  *  - character references decode: the core named set (amp, lt, gt,
+  *    quot, apos, nbsp) plus numeric decimal and hex forms;
+  *  - whitespace normalizes per line (runs → one space, trim) and
+  *    empty lines drop.
+  *
+  * Malformed input never throws: an unterminated tag or comment
+  * truncates cleanly at end-of-input (exactly what a tag-soup crawl
+  * page needs). Pure per-row map work at any scale.
+  */
+object Html {
+
+  private val BlockTags = Set(
+    "p", "div", "br", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul",
+    "ol", "tr", "td", "th", "table", "section", "article", "header",
+    "footer", "blockquote", "pre", "hr", "form", "title", "dd", "dt",
+    "dl", "nav", "aside", "main", "figure", "figcaption", "address")
+
+  private val SkipContent = Set("script", "style", "noscript")
+
+  private val Named = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ")
+
+  /** Decode character references in a text chunk; unknown ones pass
+    * through verbatim (tag-soup tolerance). */
+  private[text] def decodeEntities(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '&') { out.append(c); i += 1 }
+      else {
+        val semi = s.indexOf(';', i + 1)
+        if (semi < 0 || semi - i > 10) { out.append(c); i += 1 }
+        else {
+          val body = s.substring(i + 1, semi)
+          val repl =
+            if (body.startsWith("#x") || body.startsWith("#X")) {
+              val hex = body.substring(2)
+              if (hex.nonEmpty && hex.forall(ch => Character.digit(ch, 16) >= 0))
+                try Some(new String(Character.toChars(Integer.parseInt(hex, 16))))
+                catch { case _: Exception => None }
+              else None
+            } else if (body.startsWith("#")) {
+              val dec = body.substring(1)
+              if (dec.nonEmpty && dec.forall(_.isDigit))
+                try Some(new String(Character.toChars(dec.toInt)))
+                catch { case _: Exception => None }
+              else None
+            } else Named.get(body.toLowerCase)
+          repl match {
+            case Some(r) => out.append(r); i = semi + 1
+            case None => out.append(c); i += 1
+          }
+        }
+      }
+    }
+    out.toString
+  }
+
+  /** Extract readable text from an HTML fragment or document. */
+  def htmlToText(html: String): String = {
+    val raw = new StringBuilder
+    var i = 0
+    val n = html.length
+    var skipUntil: String = null // lowercase tag whose close ends the skip
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && html.charAt(i + 1) == '!') {
+          val end = html.indexOf('>', i + 1)
+          i = if (end < 0) n else end + 1
+        } else {
+          val end = html.indexOf('>', i + 1)
+          val inner = if (end < 0) html.substring(i + 1)
+            else html.substring(i + 1, end)
+          i = if (end < 0) n else end + 1
+          val isClose = inner.startsWith("/")
+          val name = inner.stripPrefix("/").takeWhile(ch =>
+            ch.isLetterOrDigit).toLowerCase
+          if (skipUntil != null) {
+            if (isClose && name == skipUntil) skipUntil = null
+            // everything else inside a skip element is ignored
+          } else {
+            if (!isClose && SkipContent.contains(name) &&
+              !inner.endsWith("/")) skipUntil = name
+            if (BlockTags.contains(name)) raw.append('\n')
+          }
+        }
+      } else {
+        if (skipUntil == null) raw.append(c)
+        i += 1
+      }
+    }
+    decodeEntities(raw.toString)
+      .split("\n", -1)
+      .map(_.replaceAll("[\\s\\u00a0]+", " ").trim)
+      .filter(_.nonEmpty)
+      .mkString("\n")
+  }
+
+  def htmlToTextCol(c: Column): Column =
+    udf { s: String => Option(s).map(htmlToText) }.apply(c)
+}

@@ -911,6 +911,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!q335.contains("Join"), s"domain stats plans a join:\n$q335")
     assert("HashAggregate".r.findAllIn(q335).size >= 2,
       s"domain stats lost partial aggregation:\n$q335")
+    // q336/q337 HTML extraction + robots evaluation: per-row map work
+    val q336 = plan(SparkEntry.queries("q336_html_extract")(spark, sf))
+    assert(!q336.contains("Join"), s"HTML extract plans a join:\n$q336")
+    assert(!q336.contains("Window"), s"HTML extract plans a window:\n$q336")
+    val q337 = plan(SparkEntry.queries("q337_robots")(spark, sf))
+    assert(!q337.contains("Join"), s"robots eval plans a join:\n$q337")
+    assert(!q337.contains("Window"), s"robots eval plans a window:\n$q337")
     assert("HashAggregate".r.findAllIn(q322).size >= 2,
       s"stream twin lost partial aggregation:\n$q322")
   }
