@@ -383,7 +383,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q334_url_canonical" -> (qUrlCanonical _),
     "q335_domain_stats" -> (qDomainStats _),
     "q336_html_extract" -> (qHtmlExtract _),
-    "q337_robots" -> (qRobots _)
+    "q337_robots" -> (qRobots _),
+    "q338_frontier_capstone" -> (qFrontierCapstone _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

@@ -3844,4 +3844,67 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** D23 — FRONTIER-TO-TEXT CAPSTONE: the index-side half of the
+    * corpus pipeline, composed end-to-end over this round's operators
+    * the way q327 composed the ingest-side half — raw crawl URLs
+    * through the REAL canonicalizer ([[graft.text.Urls]]; messy
+    * variants must collapse onto their clean twins), canonical-URL
+    * keep-first dedup (the CC-index rule: fetch each canonical once),
+    * the RFC 9309 robots gate ([[graft.text.Robots]]; the policy
+    * blocks two path families), and HTML → text extraction
+    * ([[graft.text.Html]]) with the polynomial content hash over the
+    * extracted text. Output is the per-registrable-domain FUNNEL
+    * (frontier / unique / allowed counts + extracted chars + text
+    * hash), so a regression in any of four stages — a canonicalization
+    * rule, the dedup keep rule, a robots verdict, a leaked tag or
+    * swallowed entity — breaks a visible column. The oracle replays
+    * every stage from doc_id closed forms (min-per-canonical via a
+    * window, robots verdicts as family CASEs, extracted text as
+    * literal strings). The fetch boundary between the two halves is
+    * q329's oracle-pinned WARC response path. Scale shape: equi-join
+    * of the frontier against its per-canonical min (the q23 dedup
+    * shape); everything else per-row map work.
+    */
+  private[graft] def qFrontierCapstone(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Html, Robots, TextOps, Urls}
+    val parts = urlFixture(s, dir)
+      .select(col("doc_id"), Urls.partsCol(col("raw")).as("p"))
+      .select(col("doc_id"), col("p._1").as("canonical"),
+        col("p._3").as("registrable"), col("p._5").as("path"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q338", parts)
+    val firsts = parts.groupBy("canonical").agg(min("doc_id").as("first_id"))
+    val flagged = parts.join(firsts, Seq("canonical"))
+      .withColumn("kept", col("doc_id") === col("first_id"))
+      .withColumn("allowed", Robots.isAllowedCol(
+        lit("User-agent: *\nDisallow: /p\nDisallow: /d\n"),
+        lit("graftbot"), col("path")))
+    val html =
+      when(col("doc_id") % 5 === 0,
+        concat(lit("<p>alpha "), col("doc_id"), lit("</p><p>beta</p>")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("<div>x"), col("doc_id"),
+          lit("<span> y</span>z</div><br>w")))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("<script>var a=1;</script><b>bold "), col("doc_id"),
+          lit("</b>&amp;&lt;tag&gt;")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("<!-- note --><ul><li>a</li><li>b "), col("doc_id"),
+          lit("</li></ul>")))
+      .otherwise(
+        concat(lit("<h1>T&#65;"), col("doc_id"),
+          lit("</h1><style>p{color:red}</style><p>&quot;q&quot;&#x41;</p>")))
+    val fetch = col("kept") && col("allowed")
+    flagged.withColumn("text", when(fetch, Html.htmlToTextCol(html)))
+      .groupBy("registrable")
+      .agg(count(lit(1)).as("n_frontier"),
+        count(when(col("kept"), 1)).as("n_unique"),
+        count(when(fetch, 1)).as("n_allowed"),
+        sum(when(fetch, length(col("text")).cast("long")).otherwise(lit(0L)))
+          .cast("long").as("sum_chars"),
+        sum(when(fetch, TextOps.strHash(col("text"))).otherwise(lit(0L)))
+          .cast("long").as("sum_hash"))
+      .orderBy("registrable")
+  }
+
 }

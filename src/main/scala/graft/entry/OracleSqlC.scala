@@ -2271,6 +2271,37 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         | CAST(-1 AS BIGINT) AS delay_bot
         | FROM documents WHERE doc_id < 300
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // q338: replays all four frontier stages from doc_id closed forms —
+    // canonical identity via (fam, n), keep-first via a min window,
+    // robots verdicts as family CASEs, extracted text as literals
+    "q338_frontier_capstone" -> {
+      val h = graft.text.TextOps.Sql.strHash("txt")
+      val txt = """CASE doc_id % 5
+        | WHEN 0 THEN 'alpha ' || doc_id || chr(10) || 'beta'
+        | WHEN 1 THEN 'x' || doc_id || ' yz' || chr(10) || 'w'
+        | WHEN 2 THEN 'bold ' || doc_id || '&<tag>'
+        | WHEN 3 THEN 'a' || chr(10) || 'b ' || doc_id
+        | ELSE 'TA' || doc_id || chr(10) || '"q"A' END"""
+        .stripMargin.replaceAll("\n", " ")
+      s"""WITH d AS (SELECT doc_id, (doc_id // 2) % 6 AS fam,
+         |   (doc_id // 2) % 50 AS n FROM documents WHERE doc_id < 600),
+         | f AS (SELECT doc_id, fam,
+         |   CASE fam WHEN 2 THEN 'shop' || n || '.co.uk'
+         |     ELSE 'site' || n || '.com' END AS registrable,
+         |   min(doc_id) OVER (PARTITION BY fam, n) AS first_id FROM d),
+         | t AS (SELECT registrable, (doc_id = first_id) AS kept,
+         |   (doc_id = first_id AND fam NOT IN (1, 4)) AS fetched,
+         |   $txt AS txt FROM f)
+         | SELECT registrable, count(*) AS n_frontier,
+         |  count(*) FILTER (WHERE kept) AS n_unique,
+         |  count(*) FILTER (WHERE fetched) AS n_allowed,
+         |  CAST(COALESCE(sum(len(txt)) FILTER (WHERE fetched), 0)
+         |    AS BIGINT) AS sum_chars,
+         |  CAST(COALESCE(sum($h) FILTER (WHERE fetched), 0)
+         |    AS BIGINT) AS sum_hash
+         | FROM t GROUP BY 1 ORDER BY registrable"""
+        .stripMargin.replaceAll("\n", " ")
+    },
     "q335_domain_stats" ->
       s"""WITH d AS (SELECT doc_id, (doc_id // 2) % 6 AS fam,
          |   CAST((doc_id // 2) % 50 AS VARCHAR) AS n

@@ -35,7 +35,8 @@ import org.apache.spark.sql.functions.udf
 object Urls {
 
   final case class UrlParts(canonical: String, host: String,
-                            registrable: String, nParams: Int)
+                            registrable: String, nParams: Int,
+                            path: String)
 
   private val TrackingExact =
     Set("gclid", "fbclid", "msclkid", "mc_eid")
@@ -128,17 +129,17 @@ object Urls {
     canonical.append(path)
     if (params.nonEmpty) canonical.append('?').append(params.mkString("&"))
     Some(UrlParts(canonical.toString, host, registrableDomain(host),
-      params.length))
+      params.length, path))
   }
 
   def canonicalize(url: String): Option[String] =
     canonicalParts(url).map(_.canonical)
 
-  /** url string → struct(canonical, host, registrable, n_params);
-    * null on malformed input. */
+  /** url string → struct(canonical, host, registrable, n_params,
+    * path); null on malformed input. */
   def partsCol(c: Column): Column =
     udf { s: String =>
       Option(s).flatMap(canonicalParts).map(p =>
-        (p.canonical, p.host, p.registrable, p.nParams))
+        (p.canonical, p.host, p.registrable, p.nParams, p.path))
     }.apply(c)
 }

@@ -918,6 +918,14 @@ class PlanAuditSpec extends SparkSpec {
     val q337 = plan(SparkEntry.queries("q337_robots")(spark, sf))
     assert(!q337.contains("Join"), s"robots eval plans a join:\n$q337")
     assert(!q337.contains("Window"), s"robots eval plans a window:\n$q337")
+    // q338 frontier capstone: per-canonical min equi-join only
+    val q338 = plan(SparkEntry.queries("q338_frontier_capstone")(spark, sf))
+    assert(!q338.contains("CartesianProduct"),
+      s"frontier capstone plans a cartesian:\n$q338")
+    assert(!q338.contains("BroadcastNestedLoopJoin"),
+      s"frontier capstone plans a nested loop:\n$q338")
+    assert(!q338.contains("Window"),
+      s"frontier capstone dedup regressed to a window:\n$q338")
     assert("HashAggregate".r.findAllIn(q322).size >= 2,
       s"stream twin lost partial aggregation:\n$q322")
   }
