@@ -384,7 +384,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q335_domain_stats" -> (qDomainStats _),
     "q336_html_extract" -> (qHtmlExtract _),
     "q337_robots" -> (qRobots _),
-    "q338_frontier_capstone" -> (qFrontierCapstone _)
+    "q338_frontier_capstone" -> (qFrontierCapstone _),
+    "q339_link_extract" -> (qLinkExtract _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

@@ -3907,4 +3907,39 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("registrable")
   }
 
+  /** TX-LINK — link extraction + RFC 3986 reference resolution
+    * ([[graft.text.Html.extractLinks]] + [[graft.text.Urls.resolve]]):
+    * the crawl-GRAPH edge source — every page's href values resolved
+    * against its base URL into canonical absolute targets, which is
+    * what the frontier enqueues and what PageRank/HITS (q148/q293)
+    * consume as edges. One fixture page per doc carries every
+    * reference form — absolute external, network-path (`//host`,
+    * inherits scheme), absolute-path, relative with `..` merge,
+    * relative subdirectory, query-only — plus the two NON-edges
+    * (fragment-only = same document, mailto: = non-fetchable scheme;
+    * both must resolve to null, not junk), and a script-built link
+    * that must NOT be extracted. The oracle states every resolved
+    * target as a closed form of doc_id in document order. Per-row
+    * map work + posexplode.
+    */
+  private[graft] def qLinkExtract(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Html, Urls}
+    val d = doc(s, dir).where(col("doc_id") < 300)
+      .select(col("doc_id"), (col("doc_id") % 40).cast("string").as("n"))
+    val base = concat(lit("http://site"), col("n"), lit(".com/dir/page.html"))
+    val html = concat(
+      lit("<p>intro</p><a href=\"http://ext"), col("n"),
+      lit(".org/x\">e</a><a href='//cdn"), col("n"),
+      lit(".net/lib.js'>c</a><a href=/top>t</a>" +
+        "<a href=\"../up/a.html\">u</a>" +
+        "<script>var a='<a href=\"/junk\">x</a>';</script>" +
+        "<a href=\"sub/b.html\">s</a><a href=\"?q=1\">q</a>" +
+        "<a href=\"#frag\">f</a><a href=\"mailto:x@y.z\">m</a>"))
+    d.select(col("doc_id"), base.as("base"),
+        posexplode(Html.linksCol(html)))
+      .select(col("doc_id"), col("pos").cast("long").as("link_idx"),
+        Urls.resolveCol(col("base"), col("col")).as("target"))
+      .orderBy("doc_id", "link_idx")
+  }
+
 }

@@ -2302,6 +2302,24 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
          | FROM t GROUP BY 1 ORDER BY registrable"""
         .stripMargin.replaceAll("\n", " ")
     },
+    // q339: every resolved target is a closed form of doc_id in
+    // document order; the two non-edges (fragment, mailto) are NULL
+    "q339_link_extract" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 40 AS VARCHAR) AS n
+        |  FROM documents WHERE doc_id < 300),
+        | g AS (SELECT d.doc_id, d.n, i.i AS link_idx
+        |  FROM d, range(0, 8) i(i))
+        | SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx,
+        | CASE link_idx
+        |  WHEN 0 THEN 'http://ext' || n || '.org/x'
+        |  WHEN 1 THEN 'http://cdn' || n || '.net/lib.js'
+        |  WHEN 2 THEN 'http://site' || n || '.com/top'
+        |  WHEN 3 THEN 'http://site' || n || '.com/up/a.html'
+        |  WHEN 4 THEN 'http://site' || n || '.com/dir/sub/b.html'
+        |  WHEN 5 THEN 'http://site' || n || '.com/dir/page.html?q=1'
+        |  ELSE NULL END AS target
+        | FROM g ORDER BY doc_id, link_idx"""
+        .stripMargin.replaceAll("\n", " "),
     "q335_domain_stats" ->
       s"""WITH d AS (SELECT doc_id, (doc_id // 2) % 6 AS fam,
          |   CAST((doc_id // 2) % 50 AS VARCHAR) AS n

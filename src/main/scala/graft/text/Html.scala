@@ -122,4 +122,69 @@ object Html {
 
   def htmlToTextCol(c: Column): Column =
     udf { s: String => Option(s).map(htmlToText) }.apply(c)
+
+  /** href values of `<a>` tags, in document order — the crawl-graph
+    * edge source. Attribute values may be double-quoted, single-quoted
+    * or bare; tags inside skipped elements (a script building links at
+    * runtime) are NOT extracted; malformed tags truncate cleanly. */
+  def extractLinks(html: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val n = html.length
+    var skipUntil: String = null
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val end = html.indexOf('>', i + 1)
+          val inner = if (end < 0) html.substring(i + 1)
+            else html.substring(i + 1, end)
+          i = if (end < 0) n else end + 1
+          val isClose = inner.startsWith("/")
+          val name = inner.stripPrefix("/")
+            .takeWhile(_.isLetterOrDigit).toLowerCase
+          if (skipUntil != null) {
+            if (isClose && name == skipUntil) skipUntil = null
+          } else if (!isClose && SkipContent.contains(name) &&
+            !inner.endsWith("/")) {
+            skipUntil = name
+          } else if (!isClose && name == "a") {
+            hrefOf(inner).foreach(out += _)
+          }
+        }
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  private def hrefOf(tagInner: String): Option[String] = {
+    val lower = tagInner.toLowerCase
+    var at = lower.indexOf("href")
+    while (at >= 0) {
+      // a standalone attribute: whitespace before the name (rules out
+      // data-href and the like), '=' after
+      val beforeOk = at > 0 && lower.charAt(at - 1).isWhitespace
+      var j = at + 4
+      while (j < tagInner.length && tagInner.charAt(j).isWhitespace) j += 1
+      if (beforeOk && j < tagInner.length && tagInner.charAt(j) == '=') {
+        j += 1
+        while (j < tagInner.length && tagInner.charAt(j).isWhitespace) j += 1
+        if (j >= tagInner.length) return None
+        val q = tagInner.charAt(j)
+        return Some(if (q == '"' || q == '\'') {
+          val close = tagInner.indexOf(q, j + 1)
+          if (close < 0) tagInner.substring(j + 1)
+          else tagInner.substring(j + 1, close)
+        } else tagInner.substring(j).takeWhile(!_.isWhitespace))
+      }
+      at = lower.indexOf("href", at + 4)
+    }
+    None
+  }
+
+  /** html → array<string> of href values. */
+  def linksCol(c: Column): Column =
+    udf { s: String => Option(s).map(extractLinks) }.apply(c)
 }

@@ -135,6 +135,47 @@ object Urls {
   def canonicalize(url: String): Option[String] =
     canonicalParts(url).map(_.canonical)
 
+  /** RFC 3986 §5.2 reference resolution against an absolute base,
+    * CANONICALIZED — the step that turns a page's href values into
+    * crawl-graph edges. Handles absolute references (own scheme),
+    * network-path (`//host/x` inherits the base scheme), absolute-path
+    * (`/x`), relative-path (`x/y`, merged against the base directory),
+    * and query-only (`?q`) forms. Fragment-only references are
+    * same-document (None), and resolved URLs outside http/https
+    * (mailto:, javascript:, …) are not fetchable edges (None). */
+  def resolve(base: String, ref: String): Option[String] = {
+    if (ref.startsWith("#")) return None
+    val bp = canonicalParts(base).getOrElse(return None)
+    val sep = base.indexOf("://")
+    val scheme = base.substring(0, sep).toLowerCase
+    val hostPort = bp.canonical.substring(scheme.length + 3)
+      .takeWhile(c => c != '/' && c != '?')
+    val colon = ref.indexOf(':')
+    val hasScheme = colon > 0 && ref.take(colon).forall(c =>
+      c.isLetterOrDigit || c == '+' || c == '-' || c == '.') &&
+      ref.head.isLetter
+    val abs =
+      if (hasScheme) ref
+      else if (ref.startsWith("//")) scheme + ":" + ref
+      else if (ref.startsWith("/")) s"$scheme://$hostPort$ref"
+      else if (ref.startsWith("?")) s"$scheme://$hostPort${bp.path}$ref"
+      else { // relative path: merge against the base directory
+        val dir = bp.path.substring(0, bp.path.lastIndexOf('/') + 1)
+        s"$scheme://$hostPort$dir$ref"
+      }
+    canonicalParts(abs) match {
+      case Some(p) if abs.startsWith("http://") ||
+        abs.startsWith("https://") => Some(p.canonical)
+      case _ => None // non-fetchable scheme or malformed resolution
+    }
+  }
+
+  /** (base, ref) → canonical absolute URL or null. */
+  def resolveCol(base: Column, ref: Column): Column =
+    udf { (b: String, r: String) =>
+      for (bb <- Option(b); rr <- Option(r); out <- resolve(bb, rr)) yield out
+    }.apply(base, ref)
+
   /** url string → struct(canonical, host, registrable, n_params,
     * path); null on malformed input. */
   def partsCol(c: Column): Column =

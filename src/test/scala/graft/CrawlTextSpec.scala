@@ -70,4 +70,45 @@ class CrawlTextSpec extends AnyFunSuite {
     assert(!Robots.isAllowed(shared, "a", "/x") &&
       !Robots.isAllowed(shared, "b", "/x"))
   }
+
+  test("extractLinks: quoted/bare hrefs in order, script links excluded") {
+    val html = """<a href="/a">1</a><a href='/b'>2</a><a href=/c>3</a>
+      |<a class="x" HREF="/d">4</a>
+      |<script>var s='<a href="/no">n</a>';</script>
+      |<!-- <a href="/no2">n</a> -->
+      |<a data-href="/no3" href="/e">5</a>
+      |<a name="anchor">no href</a>""".stripMargin
+    assert(Html.extractLinks(html) == Seq("/a", "/b", "/c", "/d", "/e"))
+    // malformed tail: no crash
+    assert(Html.extractLinks("<a href=\"/x") == Seq("/x"))
+    assert(Html.extractLinks("<a href=") == Seq())
+  }
+
+  test("resolve: RFC 3986 reference forms against an absolute base") {
+    import graft.text.Urls
+    val base = "http://site.com/dir/page.html"
+    assert(Urls.resolve(base, "https://ext.org/x")
+      .contains("https://ext.org/x"))
+    assert(Urls.resolve(base, "//cdn.net/l.js")
+      .contains("http://cdn.net/l.js"))
+    assert(Urls.resolve(base, "/top").contains("http://site.com/top"))
+    assert(Urls.resolve(base, "../up/a.html")
+      .contains("http://site.com/up/a.html"))
+    assert(Urls.resolve(base, "sub/b.html")
+      .contains("http://site.com/dir/sub/b.html"))
+    assert(Urls.resolve(base, "?q=1")
+      .contains("http://site.com/dir/page.html?q=1"))
+    // https base propagates into network-path references
+    assert(Urls.resolve("https://s.com/p", "//c.net/x")
+      .contains("https://c.net/x"))
+    // non-edges: same-document and non-fetchable schemes
+    assert(Urls.resolve(base, "#frag").isEmpty)
+    assert(Urls.resolve(base, "mailto:a@b.c").isEmpty)
+    assert(Urls.resolve(base, "javascript:void(0)").isEmpty)
+    // resolution output is canonical (tracking params dropped)
+    assert(Urls.resolve(base, "/p?utm_source=x&a=1")
+      .contains("http://site.com/p?a=1"))
+    // malformed base
+    assert(Urls.resolve("not a url", "/x").isEmpty)
+  }
 }

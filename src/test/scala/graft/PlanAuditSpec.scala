@@ -926,6 +926,9 @@ class PlanAuditSpec extends SparkSpec {
       s"frontier capstone plans a nested loop:\n$q338")
     assert(!q338.contains("Window"),
       s"frontier capstone dedup regressed to a window:\n$q338")
+    val q339 = plan(SparkEntry.queries("q339_link_extract")(spark, sf))
+    assert(!q339.contains("Join"), s"link extract plans a join:\n$q339")
+    assert(!q339.contains("Window"), s"link extract plans a window:\n$q339")
     assert("HashAggregate".r.findAllIn(q322).size >= 2,
       s"stream twin lost partial aggregation:\n$q322")
   }
