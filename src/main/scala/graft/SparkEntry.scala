@@ -385,7 +385,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q336_html_extract" -> (qHtmlExtract _),
     "q337_robots" -> (qRobots _),
     "q338_frontier_capstone" -> (qFrontierCapstone _),
-    "q339_link_extract" -> (qLinkExtract _)
+    "q339_link_extract" -> (qLinkExtract _),
+    "q340_sitemap" -> (qSitemap _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

@@ -3942,4 +3942,45 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id", "link_idx")
   }
 
+  /** TX-SITEMAP — sitemap XML parsing ([[graft.text.Sitemap]]): the
+    * frontier's third leg (robots.txt `Sitemap:` lines point here) —
+    * both document kinds in one fixture battery: even docs carry a
+    * `<urlset>` whose three entries exercise entity-escaped locs
+    * (`&amp;` is REQUIRED escaping in sitemap URLs), a CDATA loc, an
+    * explicit priority pair and the spec's 0.5 default; odd docs carry
+    * a `<sitemapindex>` of gzipped shard pointers with everything
+    * optional omitted. Every field is a closed form of doc_id the
+    * oracle states directly. Per-row map work + posexplode.
+    */
+  private[graft] def qSitemap(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Sitemap
+    val d = doc(s, dir).where(col("doc_id") < 240)
+      .select(col("doc_id"), (col("doc_id") % 30).cast("string").as("n"))
+    def urlEntry(j: Int): org.apache.spark.sql.Column = {
+      val loc =
+        if (j == 1) concat(lit("<loc><![CDATA[http://site"), col("n"),
+          lit(s".com/p$j?a=1&b=$j]]></loc>"))
+        else concat(lit("<loc>http://site"), col("n"),
+          lit(s".com/p$j?a=1&amp;b=$j</loc>"))
+      val pri = if (j == 0) "<priority>0.9</priority>"
+        else if (j == 1) "<priority>0.3</priority>" else ""
+      concat(lit("<url>"), loc,
+        lit(s"<lastmod>2026-0${j + 1}-15</lastmod>$pri</url>"))
+    }
+    val urlset = concat(
+      lit("<?xml version=\"1.0\"?>" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+      urlEntry(0), urlEntry(1), urlEntry(2), lit("</urlset>"))
+    val index = concat(
+      lit("<sitemapindex><sitemap><loc>http://site"), col("n"),
+      lit(".com/sm0.xml.gz</loc></sitemap><sitemap><loc>http://site"),
+      col("n"), lit(".com/sm1.xml.gz</loc></sitemap></sitemapindex>"))
+    val xml = when(col("doc_id") % 2 === 0, urlset).otherwise(index)
+    d.select(col("doc_id"), posexplode(Sitemap.entriesCol(xml)))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col._1").as("kind"), col("col._2").as("loc"),
+        col("col._3").as("lastmod"), col("col._4").as("priority"))
+      .orderBy("doc_id", "idx")
+  }
+
 }

@@ -2320,6 +2320,26 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  ELSE NULL END AS target
         | FROM g ORDER BY doc_id, link_idx"""
         .stripMargin.replaceAll("\n", " "),
+    // q340: both sitemap kinds as closed forms — even docs a 3-entry
+    // urlset (entity/CDATA locs, explicit + default priorities), odd
+    // docs a 2-entry sitemapindex
+    "q340_sitemap" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 30 AS VARCHAR) AS n,
+        |   doc_id % 2 = 0 AS is_set FROM documents WHERE doc_id < 240),
+        | g AS (SELECT d.*, i.i AS idx FROM d, range(0, 3) i(i)
+        |  WHERE is_set OR i.i < 2)
+        | SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+        | CASE WHEN is_set THEN 'urlset' ELSE 'sitemapindex' END AS kind,
+        | CASE WHEN is_set
+        |   THEN 'http://site' || n || '.com/p' || idx || '?a=1&b=' || idx
+        |   ELSE 'http://site' || n || '.com/sm' || idx || '.xml.gz'
+        |   END AS loc,
+        | CASE WHEN is_set THEN '2026-0' || (idx + 1) || '-15'
+        |   ELSE '' END AS lastmod,
+        | CAST(CASE WHEN NOT is_set THEN 0.5 WHEN idx = 0 THEN 0.9
+        |   WHEN idx = 1 THEN 0.3 ELSE 0.5 END AS DOUBLE) AS priority
+        | FROM g ORDER BY doc_id, idx"""
+        .stripMargin.replaceAll("\n", " "),
     "q335_domain_stats" ->
       s"""WITH d AS (SELECT doc_id, (doc_id // 2) % 6 AS fam,
          |   CAST((doc_id // 2) % 50 AS VARCHAR) AS n

@@ -111,4 +111,32 @@ class CrawlTextSpec extends AnyFunSuite {
     // malformed base
     assert(Urls.resolve("not a url", "/x").isEmpty)
   }
+
+  test("sitemap: urlset/sitemapindex, CDATA, entities, defaults, strictness") {
+    import graft.text.Sitemap
+    val set = """<?xml version="1.0"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |<url><loc>http://e.com/a?x=1&amp;y=2</loc>
+      | <lastmod>2026-01-15</lastmod><priority>0.9</priority></url>
+      |<url><loc><![CDATA[http://e.com/b?x=1&y=2]]></loc></url>
+      |</urlset>""".stripMargin
+    val (kind, es) = Sitemap.parse(set).get
+    assert(kind == "urlset" && es.length == 2)
+    assert(es(0) == Sitemap.Entry("http://e.com/a?x=1&y=2", "2026-01-15", 0.9))
+    assert(es(1) == Sitemap.Entry("http://e.com/b?x=1&y=2", "", 0.5))
+    val idx = "<sitemapindex><sitemap><loc>http://e.com/s.xml.gz</loc>" +
+      "</sitemap></sitemapindex>"
+    assert(Sitemap.parse(idx).get ==
+      (("sitemapindex", Seq(Sitemap.Entry("http://e.com/s.xml.gz", "", 0.5)))))
+    // strictness: wrong root, missing loc, bad priority, unterminated
+    assert(Sitemap.parse("<rss><item/></rss>").isEmpty)
+    assert(Sitemap.parse("<urlset><url><lastmod>x</lastmod></url></urlset>")
+      .isEmpty)
+    assert(Sitemap.parse(
+      "<urlset><url><loc>u</loc><priority>high</priority></url></urlset>")
+      .isEmpty)
+    assert(Sitemap.parse("<urlset><url><loc>u</loc>").isEmpty)
+    // empty urlset is valid (zero entries)
+    assert(Sitemap.parse("<urlset></urlset>").get._2.isEmpty)
+  }
 }

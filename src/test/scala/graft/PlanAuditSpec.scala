@@ -929,6 +929,9 @@ class PlanAuditSpec extends SparkSpec {
     val q339 = plan(SparkEntry.queries("q339_link_extract")(spark, sf))
     assert(!q339.contains("Join"), s"link extract plans a join:\n$q339")
     assert(!q339.contains("Window"), s"link extract plans a window:\n$q339")
+    val q340 = plan(SparkEntry.queries("q340_sitemap")(spark, sf))
+    assert(!q340.contains("Join"), s"sitemap parse plans a join:\n$q340")
+    assert(!q340.contains("Window"), s"sitemap parse plans a window:\n$q340")
     assert("HashAggregate".r.findAllIn(q322).size >= 2,
       s"stream twin lost partial aggregation:\n$q322")
   }
