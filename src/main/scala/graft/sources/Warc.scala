@@ -266,10 +266,12 @@ object Warc {
   /** Parse an HTTP/1.x response block: (status, media type, body text).
     * Strict on framing — status line must be `HTTP/1.x NNN ...`, a
     * present Content-Length must equal the body length. Body decode is
-    * charset-aware: a declared utf-8 / us-ascii / iso-8859-1 charset
-    * param is honored; otherwise (or on an unrecognized declaration)
-    * the body is SNIFFED — strict UTF-8 validation first, ISO-8859-1
-    * (which decodes any byte string) as the fallback. */
+    * charset-aware: a declared utf-8 / us-ascii / iso-8859-1 /
+    * windows-1252 charset param is honored; otherwise (or on an
+    * unrecognized declaration) the body is SNIFFED — strict UTF-8
+    * validation first, windows-1252 (which decodes any byte string,
+    * and is what mislabeled "latin-1" web content actually is) as the
+    * fallback. */
   def parseHttpResponse(p: Array[Byte]): Option[(Int, String, String)] = {
     var i = 0
     def line(): String = {
@@ -312,8 +314,11 @@ object Warc {
       case Some("utf-8" | "utf8") => "UTF-8"
       case Some("us-ascii" | "ascii") => "US-ASCII"
       case Some("iso-8859-1" | "latin-1" | "latin1") => "ISO-8859-1"
+      // the web's de-facto latin-1: bytes 0x80-0x9F are printable
+      // (curly quotes, em dash, €) — the JDK ships the table
+      case Some("windows-1252" | "cp1252") => "windows-1252"
       case _ => // absent or unrecognized: sniff
-        if (isValidUtf8(body)) "UTF-8" else "ISO-8859-1"
+        if (isValidUtf8(body)) "UTF-8" else "windows-1252"
     }
     Some((status, media, new String(body, cs)))
   }

@@ -146,4 +146,49 @@ class PropertySpec extends AnyFunSuite {
       traceOk && orthoOk && residOk
     })
   }
+
+  // ---- crawl-boundary parsers: total functions on hostile input ----
+  // Every parser below claims "None/clean output, never a throw" on
+  // arbitrary bytes/strings — fuzz the claim, not just the fixtures.
+
+  private val anyStr: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.choose(32.toChar, 126.toChar),
+      1 -> Gen.oneOf('<', '>', '&', ';', '/', ':', '?', '#', '*', '$'),
+      1 -> Gen.choose(0.toChar, 0xffff.toChar))).map(_.mkString)
+
+  private val anyBytes: Gen[Array[Byte]] =
+    Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+
+  test("crawl text parsers never throw on arbitrary strings") {
+    import graft.text.{Html, Robots, Sitemap, Urls}
+    check("urls", Prop.forAll(anyStr) { s =>
+      Urls.canonicalParts(s); Urls.resolve("http://e.com/a/b", s); true
+    })
+    check("canonical-idempotent", Prop.forAll(anyStr) { s =>
+      Urls.canonicalize(s).forall(c => Urls.canonicalize(c).contains(c))
+    })
+    check("html", Prop.forAll(anyStr) { s =>
+      Html.htmlToText(s); Html.extractLinks(s); true
+    })
+    check("robots", Prop.forAll(anyStr) { s =>
+      Robots.isAllowed(s, "bot", "/x")
+      Robots.isAllowed("User-agent: *\nDisallow: /p\n", "bot", s)
+      Robots.crawlDelay(s, "bot"); true
+    })
+    check("sitemap", Prop.forAll(anyStr) { s => Sitemap.parse(s); true })
+  }
+
+  test("binary parsers never throw on arbitrary bytes") {
+    import graft.multimodal.Vp8l
+    import graft.sources.Warc
+    check("warc", Prop.forAll(anyBytes) { b =>
+      Warc.gunzipMembers(b); Warc.parseWarc(b); Warc.parseCrawl(b)
+      Warc.parseHttpResponse(b); Warc.parseWet(b); true
+    })
+    check("media", Prop.forAll(anyBytes) { b =>
+      Binary.parseImageMeta(b); Binary.parseWebpMeta(b)
+      Binary.parseAudioMeta(b); Vp8l.decode(b); true
+    })
+  }
 }

@@ -276,10 +276,18 @@ class SourcesSpec extends SparkSpec {
     val p3 = Warc.httpResponse(404, "Error", "text/plain",
       "gønε".getBytes("UTF-8"))
     assert(Warc.parseHttpResponse(p3).contains((404, "text/plain", "gønε")))
-    // ...and invalid UTF-8 falls back to ISO-8859-1 (never an exception)
+    // ...and invalid UTF-8 falls back to windows-1252 (never an exception)
     val p4 = Warc.httpResponse(200, "OK", "text/plain",
       Array[Byte]('a', 0xe9.toByte, 'b')) // lone 0xE9 is invalid UTF-8
     assert(Warc.parseHttpResponse(p4).contains((200, "text/plain", "aéb")))
+    // windows-1252: 0x80-0x9F are printable (what mislabeled latin-1 is)
+    val p5 = Warc.httpResponse(200, "OK", "text/html; charset=windows-1252",
+      Array[Byte](0x93.toByte, 'q', 0x94.toByte, 0x97.toByte))
+    assert(Warc.parseHttpResponse(p5).contains((200, "text/html", "“q”—")))
+    // sniffed fallback hits the same table
+    val p6 = Warc.httpResponse(200, "OK", "text/plain",
+      Array[Byte]('x', 0x97.toByte, 'y'))
+    assert(Warc.parseHttpResponse(p6).contains((200, "text/plain", "x—y")))
     // strictness: bad status line, bad Content-Length
     assert(Warc.parseHttpResponse("FTP/1.0 200 OK\r\n\r\n".getBytes).isEmpty)
     val clBad = Warc.httpResponse(200, "OK", "text/plain", "abc".getBytes)
