@@ -191,4 +191,25 @@ class PropertySpec extends AnyFunSuite {
       Binary.parseAudioMeta(b); Vp8l.decode(b); true
     })
   }
+
+  test("VP8L codec round-trips random images under every coding path") {
+    import graft.multimodal.Vp8l
+    val imgGen = for {
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(1, 24)
+      // mix pure noise (literal-dense, big alphabets) with run-heavy
+      // rows (LZ77/cache-dense) — both entropy regimes
+      runny <- Gen.oneOf(true, false)
+      px <- Gen.listOfN(w * h,
+        if (runny) Gen.oneOf(0xff112233, 0xff445566, 0x80aabbcc)
+        else Gen.choose(Int.MinValue, Int.MaxValue))
+      sg <- Gen.oneOf(true, false)
+      cb <- Gen.oneOf(0, 3, 6)
+    } yield (w, h, px.toArray, sg, cb)
+    check("vp8l-roundtrip", Prop.forAll(imgGen) {
+      case (w, h, px, sg, cb) =>
+        Vp8l.decode(Vp8l.encode(w, h, px, subtractGreen = sg,
+          cacheBits = cb)).exists(_._3.sameElements(px))
+    })
+  }
 }
