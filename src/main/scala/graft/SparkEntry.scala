@@ -386,7 +386,9 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q337_robots" -> (qRobots _),
     "q338_frontier_capstone" -> (qFrontierCapstone _),
     "q339_link_extract" -> (qLinkExtract _),
-    "q340_sitemap" -> (qSitemap _)
+    "q340_sitemap" -> (qSitemap _),
+    "q341_feed_parse" -> (qFeedParse _),
+    "q342_pdf_text" -> (qPdfText _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

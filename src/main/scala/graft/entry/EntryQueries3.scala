@@ -3983,4 +3983,83 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id", "idx")
   }
 
+  /** IDX-FEED — RSS 2.0 / Atom feed parsing
+    * ([[graft.text.Feeds.parse]]): the fresh-content frontier leg
+    * beside sitemaps (q340) — feeds announce new URLs before sitemaps
+    * or links carry them. Even docs are a 3-item RSS channel (CDATA
+    * and entity-escaped titles both decoding to the same closed form,
+    * a guid on item 0 with the default-to-link convention on the
+    * rest); odd docs a 2-entry Atom feed whose entries each carry a
+    * rel="self" link that MUST be skipped in favor of the
+    * rel="alternate"/rel-absent content link, with entity-escaped
+    * hrefs and the id-defaults-to-link convention on entry 1. Every
+    * column is a closed form of doc_id, so the oracle recomputes the
+    * full normalized entry table — rel selection, CDATA/entity
+    * decoding, and both default rules all sit inside the hash.
+    */
+  private[graft] def qFeedParse(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Feeds
+    val d = doc(s, dir).where(col("doc_id") < 240)
+      .select(col("doc_id"), (col("doc_id") % 30).cast("string").as("n"))
+    def rssItem(j: Int): org.apache.spark.sql.Column = {
+      val title = if (j == 1) s"<title><![CDATA[A & B $j]]></title>"
+        else s"<title>A &amp; B $j</title>"
+      val guid = if (j == 0)
+        concat(lit("<guid isPermaLink=\"false\">tag:site"), col("n"),
+          lit(",p0</guid>"))
+      else lit("")
+      concat(lit(s"<item>$title<link>http://site"), col("n"),
+        lit(s".com/post$j</link><pubDate>0${j + 1} Jun 2026</pubDate>"),
+        guid, lit("</item>"))
+    }
+    val rss = concat(
+      lit("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
+        "<title>Site News</title><link>http://x/</link>"),
+      rssItem(0), rssItem(1), rssItem(2), lit("</channel></rss>"))
+    def atomEntry(j: Int): org.apache.spark.sql.Column = {
+      val id = if (j == 0) concat(lit("<id>urn:b"), col("n"),
+        lit(":e0</id>")) else lit("")
+      concat(lit(s"<entry><title>Entry $j</title>" +
+          "<link rel=\"self\" href=\"http://blog"), col("n"),
+        lit(s".example/e$j.atom\"/><link rel=\"alternate\" href=\"http://blog"),
+        col("n"), lit(s".example/e$j?a=1&amp;b=$j\"/>" +
+          s"<updated>2026-07-0${j + 1}T00:00:00Z</updated>"),
+        id, lit("</entry>"))
+    }
+    val atom = concat(
+      lit("<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>Blog</title>" +
+        "<link rel=\"self\" href=\"http://x/feed\"/>"),
+      atomEntry(0), atomEntry(1), lit("</feed>"))
+    val xml = when(col("doc_id") % 2 === 0, rss).otherwise(atom)
+    d.select(col("doc_id"), posexplode(Feeds.entriesCol(xml)))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col._1").as("kind"), col("col._2").as("feed_title"),
+        col("col._3").as("title"), col("col._4").as("link"),
+        col("col._5").as("pub_date"), col("col._6").as("entry_id"))
+      .orderBy("doc_id", "idx")
+  }
+
+  /** MM-PDF — PDF text extraction ([[graft.multimodal.Pdf.parse]]):
+    * the second-biggest crawl document format after HTML, previously
+    * absent. REAL work on every row: a COS object scan (repair-mode
+    * `N G obj` walk, no xref), trailer→Catalog→Pages-tree→Contents
+    * resolution, direct AND indirect `/Length`, zlib `/FlateDecode`
+    * through JDK Inflater on variant 1, and content-stream text ops
+    * (Tj, TJ arrays with kerning drops, quote show-ops, Td/T* line
+    * breaks, paren-escape and hex-string decoding). Fixtures cycle
+    * four variants of doc_id with a second page every third doc, so
+    * the extracted text, page count and version are closed forms the
+    * oracle fully recomputes — a flipped byte anywhere (header,
+    * stream framing, zlib, escapes) changes the hash.
+    */
+  private[graft] def qPdfText(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Pdf
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("p", Pdf.pdfCol(Pdf.synthPdfCol(col("doc_id"))))
+      .select(col("doc_id"), col("p.version").as("version"),
+        col("p.n_pages").cast("long").as("n_pages"),
+        col("p.text").as("text"))
+      .orderBy("doc_id")
+  }
+
 }

@@ -2340,6 +2340,52 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |   WHEN idx = 1 THEN 0.3 ELSE 0.5 END AS DOUBLE) AS priority
         | FROM g ORDER BY doc_id, idx"""
         .stripMargin.replaceAll("\n", " "),
+    // q341: both feed kinds as closed forms — even docs a 3-item RSS
+    // channel (guid default-to-link, CDATA/entity titles), odd docs a
+    // 2-entry Atom feed (rel selection, id default-to-link)
+    "q341_feed_parse" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 30 AS VARCHAR) AS n,
+        |   doc_id % 2 = 0 AS is_rss FROM documents WHERE doc_id < 240),
+        | g AS (SELECT d.*, i.i AS idx FROM d, range(0, 3) i(i)
+        |  WHERE is_rss OR i.i < 2),
+        | l AS (SELECT g.*,
+        |  CASE WHEN is_rss THEN 'http://site' || n || '.com/post' || idx
+        |   ELSE 'http://blog' || n || '.example/e' || idx || '?a=1&b=' || idx
+        |   END AS link FROM g)
+        | SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+        | CASE WHEN is_rss THEN 'rss' ELSE 'atom' END AS kind,
+        | CASE WHEN is_rss THEN 'Site News' ELSE 'Blog' END AS feed_title,
+        | CASE WHEN is_rss THEN 'A & B ' || idx
+        |   ELSE 'Entry ' || idx END AS title,
+        | link,
+        | CASE WHEN is_rss THEN '0' || (idx + 1) || ' Jun 2026'
+        |   ELSE '2026-07-0' || (idx + 1) || 'T00:00:00Z' END AS pub_date,
+        | CASE WHEN is_rss AND idx = 0 THEN 'tag:site' || n || ',p0'
+        |   WHEN NOT is_rss AND idx = 0 THEN 'urn:b' || n || ':e0'
+        |   ELSE link END AS entry_id
+        | FROM l ORDER BY doc_id, idx"""
+        .stripMargin.replaceAll("\n", " "),
+    // q342: the synthetic-PDF text/pages/version closed forms — the
+    // parse itself (COS scan, Flate, escapes) happens Spark-side; the
+    // oracle recomputes what the four variants must extract to
+    "q342_pdf_text" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 AS v, doc_id % 3 = 0 AS two
+        |  FROM documents WHERE doc_id < 240),
+        | p AS (SELECT doc_id, two,
+        |  CASE v
+        |   WHEN 0 THEN 'Hello (doc) ' || doc_id || chr(10) ||
+        |     'Line two of ' || doc_id
+        |   WHEN 1 THEN 'Flate doc ' || doc_id || chr(10) ||
+        |     'Line two of ' || doc_id
+        |   WHEN 2 THEN 'World doc ' || doc_id
+        |   ELSE 'Hex doc ' || doc_id || chr(10) || 'Next line ' || doc_id
+        |   END AS page1 FROM d)
+        | SELECT doc_id, '1.4' AS version,
+        | CAST(CASE WHEN two THEN 2 ELSE 1 END AS BIGINT) AS n_pages,
+        | page1 || CASE WHEN two THEN chr(10) || 'Page 2 of ' || doc_id
+        |   ELSE '' END AS text
+        | FROM p ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
     "q335_domain_stats" ->
       s"""WITH d AS (SELECT doc_id, (doc_id // 2) % 6 AS fam,
          |   CAST((doc_id // 2) % 50 AS VARCHAR) AS n

@@ -1,0 +1,491 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** PDF text extraction — the second-biggest document format in a web
+  * crawl after HTML (reference capability bar: the crawl→corpus
+  * surfaces around `lib/utils.py`'s text handling; the HTML half is
+  * [[graft.text.Html]]/q336). Dependency-free, same discipline as the
+  * other codecs here: JDK `Inflater` for `/FlateDecode` plus hand
+  * parsing of the COS object layer (ISO 32000-1):
+  *
+  *  - indirect objects are located by a linear `N G obj … endobj`
+  *    scan (the spec's "repair mode" reading — no xref needed, which
+  *    is also what a crawl wants: truncated tails lose pages, not the
+  *    document);
+  *  - the document tree walks `trailer /Root` → Catalog `/Pages` →
+  *    `/Kids` (nested page-tree nodes supported, depth-capped) →
+  *    `/Page /Contents` (single ref or array);
+  *  - stream lengths honor direct `/Length N` and indirect
+  *    `/Length N G R`; `/Filter /FlateDecode` inflates through zlib,
+  *    absent filter is raw, anything else rejects the document;
+  *  - content-stream text ops: `Tj`, `TJ` (array form — strings
+  *    concatenate, kerning numbers drop), `'` and `"` (next line +
+  *    show), `Td`/`TD`/`T*` (line breaks), `BT` (block break);
+  *    literal strings decode the full escape set (named, octal,
+  *    line-continuation, balanced nested parens), hex strings decode
+  *    with odd-digit zero padding.
+  *
+  * Scope (documented, not silent): byte values map to text via
+  * Latin-1 — i.e. the standard encodings' ASCII range; CID/composite
+  * fonts and ToUnicode CMaps are codec-library territory like the
+  * other sample decoders. Encrypted documents and object streams
+  * (`/ObjStm`, PDF 1.5 cross-reference streams) reject. Pure per-row
+  * map work at any scale.
+  */
+object Pdf {
+
+  /** version is the header's "1.x"; text is page texts joined by
+    * newlines, empty lines dropped. */
+  final case class PdfDoc(version: String, n_pages: Int, text: String)
+
+  private final case class Obj(dict: String, stream: Option[Array[Byte]])
+
+  def parse(bytes: Array[Byte]): Option[PdfDoc] = {
+    if (bytes == null || bytes.length < 12) return None
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!s.startsWith("%PDF-1.") || !s.charAt(7).isDigit) return None
+    val version = s.substring(5, 8)
+    val objects = scanObjects(s, bytes).getOrElse(return None)
+    val trailerDict = lastTrailerDict(s)
+    val rootNum = trailerDict.flatMap(d => dictRef(d, "Root"))
+      .orElse(objects.collectFirst {
+        case (n, o) if dictName(o.dict, "Type").contains("Catalog") => n
+      }).getOrElse(return None)
+    val catalog = objects.get(rootNum).getOrElse(return None)
+    val pagesRef = dictRef(catalog.dict, "Pages").getOrElse(return None)
+    val pageNums = collectPages(objects, pagesRef, 0).getOrElse(return None)
+    if (pageNums.isEmpty) return None
+    val pageTexts = pageNums.map { pn =>
+      val page = objects.get(pn).getOrElse(return None)
+      val contentRefs = dictRefArray(page.dict, "Contents")
+        .getOrElse(return None)
+      val content = contentRefs.map { cr =>
+        val obj = objects.get(cr).getOrElse(return None)
+        val raw = obj.stream.getOrElse(return None)
+        decodeStream(obj.dict, raw).getOrElse(return None)
+      }.map(b => new String(b,
+        java.nio.charset.StandardCharsets.ISO_8859_1)).mkString("\n")
+      extractText(content)
+    }
+    Some(PdfDoc(version, pageNums.length,
+      pageTexts.filter(_.nonEmpty).mkString("\n")))
+  }
+
+  /** Linear object scan ("repair mode"). None on structural
+    * malformation (bad stream framing, unbalanced dict). */
+  private def scanObjects(s: String,
+      bytes: Array[Byte]): Option[Map[Int, Obj]] = {
+    val out = scala.collection.mutable.Map[Int, Obj]()
+    // deferred: streams whose /Length is an indirect reference
+    var deferred = List.empty[(Int, String, Long, Int)] // num, dict, start, lenRef
+    var i = 0L
+    val n = s.length.toLong
+    while (i < n) {
+      val at = s.indexOf(" obj", i.toInt)
+      if (at < 0) {
+        // resolve deferred indirect lengths
+        deferred.foreach { case (num, dict, start, lenRef) =>
+          val len = out.get(lenRef)
+            .flatMap(o => o.dict.trim.toLongOption)
+            .getOrElse(return None)
+          if (len < 0 || start + len > bytes.length) return None
+          val data = java.util.Arrays.copyOfRange(bytes, start.toInt,
+            (start + len).toInt)
+          if (!endstreamFollows(s, start + len)) return None
+          out(num) = Obj(dict, Some(data))
+        }
+        return Some(out.toMap)
+      }
+      // backtrack: generation then object number
+      var j = at - 1
+      while (j >= 0 && s.charAt(j).isDigit) j -= 1
+      val genStart = j + 1
+      if (genStart == at) { i = at + 4L } // no generation digits
+      else {
+        while (j >= 0 && s.charAt(j) == ' ') j -= 1
+        var k = j
+        while (k >= 0 && s.charAt(k).isDigit) k -= 1
+        val numStart = k + 1
+        if (numStart > j) { i = at + 4L }
+        else {
+          val num = s.substring(numStart, j + 1).toIntOption
+            .getOrElse { i = at + 4L; -1 }
+          if (num < 0) ()
+          else {
+            var p = at + 4L // after " obj"
+            while (p < n && s.charAt(p.toInt).isWhitespace) p += 1
+            if (p + 2 <= n && s.startsWith("<<", p.toInt)) {
+              val dictEnd = balancedDictEnd(s, p)
+              if (dictEnd < 0) return None
+              val dict = s.substring(p.toInt, dictEnd.toInt)
+              var q = dictEnd
+              while (q < n && s.charAt(q.toInt).isWhitespace) q += 1
+              if (s.startsWith("stream", q.toInt)) {
+                var dataStart = q + 6
+                if (dataStart < n && s.charAt(dataStart.toInt) == '\r')
+                  dataStart += 1
+                if (dataStart < n && s.charAt(dataStart.toInt) == '\n')
+                  dataStart += 1
+                dictInt(dict, "Length") match {
+                  case Some(len) =>
+                    if (len < 0 || dataStart + len > bytes.length) return None
+                    val data = java.util.Arrays.copyOfRange(bytes,
+                      dataStart.toInt, (dataStart + len).toInt)
+                    if (!endstreamFollows(s, dataStart + len)) return None
+                    out(num) = Obj(dict, Some(data))
+                    i = dataStart + len
+                  case None =>
+                    dictRef(dict, "Length") match {
+                      case Some(ref) =>
+                        deferred ::= ((num, dict, dataStart, ref))
+                        // skip scan past the stream terminator
+                        val es = s.indexOf("endstream", dataStart.toInt)
+                        if (es < 0) return None
+                        i = es + 9L
+                      case None => return None // stream without Length
+                    }
+                }
+              } else {
+                out(num) = Obj(dict, None)
+                i = q
+              }
+            } else {
+              // non-dict object body (e.g. a bare integer for an
+              // indirect /Length): up to endobj
+              val end = s.indexOf("endobj", p.toInt)
+              if (end < 0) return None
+              out(num) = Obj(s.substring(p.toInt, end).trim, None)
+              i = end + 6L
+            }
+          }
+        }
+      }
+    }
+    Some(out.toMap)
+  }
+
+  private def endstreamFollows(s: String, from: Long): Boolean = {
+    var p = from
+    while (p < s.length && (s.charAt(p.toInt) == '\r' ||
+      s.charAt(p.toInt) == '\n' || s.charAt(p.toInt) == ' ')) p += 1
+    s.startsWith("endstream", p.toInt)
+  }
+
+  /** End index (exclusive) of a `<< … >>` dict starting at `from`,
+    * balancing nested dicts; -1 if unterminated. */
+  private def balancedDictEnd(s: String, from: Long): Long = {
+    var depth = 0
+    var i = from
+    while (i < s.length) {
+      if (s.startsWith("<<", i.toInt)) { depth += 1; i += 2 }
+      else if (s.startsWith(">>", i.toInt)) {
+        depth -= 1; i += 2
+        if (depth == 0) return i
+      } else i += 1
+    }
+    -1L
+  }
+
+  private def lastTrailerDict(s: String): Option[String] = {
+    val at = s.lastIndexOf("trailer")
+    if (at < 0) return None
+    var p = (at + 7).toLong
+    while (p < s.length && s.charAt(p.toInt).isWhitespace) p += 1
+    if (!s.startsWith("<<", p.toInt)) return None
+    val end = balancedDictEnd(s, p)
+    if (end < 0) None else Some(s.substring(p.toInt, end.toInt))
+  }
+
+  // -- dict value lookups (regex with a name-boundary guard: /Length
+  // -- must not match /Length1) ------------------------------------ //
+
+  private def keyPattern(key: String) =
+    ("/" + key + "(?![A-Za-z0-9#])\\s*").r
+
+  private def afterKey(dict: String, key: String): Option[String] =
+    keyPattern(key).findFirstMatchIn(dict).map(m => dict.substring(m.end))
+
+  private def dictInt(dict: String, key: String): Option[Long] =
+    afterKey(dict, key).flatMap { rest =>
+      val digits = rest.takeWhile(_.isDigit)
+      // a direct int is NOT followed by a generation+R (indirect ref)
+      val tail = rest.substring(digits.length)
+      val isRef = tail.matches("(?s)\\s+\\d+\\s+R(?![A-Za-z0-9]).*")
+      if (digits.nonEmpty && !isRef) digits.toLongOption else None
+    }
+
+  private def dictRef(dict: String, key: String): Option[Int] =
+    afterKey(dict, key).flatMap { rest =>
+      val m = "^(\\d+)\\s+\\d+\\s+R(?![A-Za-z0-9])".r
+        .findFirstMatchIn(rest)
+      m.map(_.group(1).toInt)
+    }
+
+  private def dictName(dict: String, key: String): Option[String] =
+    afterKey(dict, key).flatMap { rest =>
+      if (rest.startsWith("/"))
+        Some(rest.drop(1).takeWhile(c => c.isLetterOrDigit))
+      else None
+    }
+
+  /** `/Key N G R` or `/Key [N G R N G R …]` → referenced numbers. */
+  private def dictRefArray(dict: String, key: String): Option[Seq[Int]] =
+    afterKey(dict, key).flatMap { rest =>
+      if (rest.startsWith("[")) {
+        val close = rest.indexOf(']')
+        if (close < 0) return None
+        val inner = rest.substring(1, close)
+        val refs = "(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(inner)
+          .map(_.group(1).toInt).toSeq
+        if (refs.isEmpty) None else Some(refs)
+      } else dictRef(dict, key).map(Seq(_))
+    }
+
+  /** Page-tree walk: Pages nodes recurse through /Kids, Page leaves
+    * collect, in order. Depth-capped against reference cycles. */
+  private def collectPages(objects: Map[Int, Obj], ref: Int,
+      depth: Int): Option[Seq[Int]] = {
+    if (depth > 32) return None
+    val node = objects.get(ref).getOrElse(return None)
+    dictName(node.dict, "Type") match {
+      case Some("Pages") =>
+        val kids = dictRefArray(node.dict, "Kids").getOrElse(return None)
+        val all = kids.map(k => collectPages(objects, k, depth + 1)
+          .getOrElse(return None))
+        Some(all.flatten)
+      case Some("Page") => Some(Seq(ref))
+      case _ => None
+    }
+  }
+
+  private def decodeStream(dict: String,
+      raw: Array[Byte]): Option[Array[Byte]] =
+    dictName(dict, "Filter") match {
+      case None => Some(raw)
+      case Some("FlateDecode") => inflate(raw)
+      case Some(_) => None // unsupported filter: reject, never junk
+    }
+
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4 + 64)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val k = inf.inflate(buf)
+        if (k == 0 && inf.needsInput()) return None // truncated
+        out.write(buf, 0, k)
+        if (out.size() > (64 << 20)) return None // decompression bomb
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  // -- content-stream text extraction ------------------------------- //
+
+  /** Text shown by a content stream: one string per line, lines
+    * separated by the Td/TD/T-star moves, the quote show-ops, and BT
+    * blocks; empty lines dropped. Tolerant of truncation (a cut-off
+    * string yields its prefix) — crawl material, not validator
+    * material. */
+  private[multimodal] def extractText(content: String): String = {
+    val lines = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var lastStr: String = null
+    var lastArr: Seq[String] = null
+    def newline(): Unit = { lines += cur.toString; cur.clear() }
+    var i = 0
+    val n = content.length
+    while (i < n) {
+      val c = content.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '%') { // comment to end of line
+        while (i < n && content.charAt(i) != '\n' &&
+          content.charAt(i) != '\r') i += 1
+      } else if (c == '(') {
+        val (str, next) = literalString(content, i)
+        lastStr = str; i = next
+      } else if (c == '<' && i + 1 < n && content.charAt(i + 1) == '<') {
+        val end = balancedDictEnd(content, i.toLong)
+        i = if (end < 0) n else end.toInt
+      } else if (c == '<') {
+        val (str, next) = hexString(content, i)
+        lastStr = str; i = next
+      } else if (c == '[') {
+        val (arr, next) = arrayStrings(content, i)
+        lastArr = arr; i = next
+      } else if (c == ']' || c == ')' || c == '>' || c == '{' ||
+        c == '}') i += 1
+      else if (c == '/') {
+        i += 1
+        while (i < n && !isDelimiter(content.charAt(i))) i += 1
+      } else {
+        val start = i
+        while (i < n && !isDelimiter(content.charAt(i))) i += 1
+        content.substring(start, i) match {
+          case "Tj" => if (lastStr != null) cur.append(lastStr)
+          case "TJ" => if (lastArr != null) lastArr.foreach(cur.append)
+          case "'" | "\"" =>
+            newline(); if (lastStr != null) cur.append(lastStr)
+          case "Td" | "TD" | "T*" => newline()
+          case "BT" => newline()
+          case _ => () // numbers, other operators
+        }
+      }
+    }
+    newline()
+    lines.result().filter(_.nonEmpty).mkString("\n")
+  }
+
+  private def isDelimiter(c: Char): Boolean =
+    c.isWhitespace || c == '(' || c == ')' || c == '<' || c == '>' ||
+      c == '[' || c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** `(…)` with the full ISO 32000-1 escape set; truncation yields
+    * the prefix. Returns (decoded, index after closing paren). */
+  private[multimodal] def literalString(s: String, from: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var depth = 1
+    var i = from + 1
+    val n = s.length
+    while (i < n && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '\\') {
+        i += 1
+        if (i < n) {
+          val d = s.charAt(i)
+          d match {
+            case 'n' => sb.append('\n'); i += 1
+            case 'r' => sb.append('\r'); i += 1
+            case 't' => sb.append('\t'); i += 1
+            case 'b' => sb.append('\b'); i += 1
+            case 'f' => sb.append('\f'); i += 1
+            case '(' => sb.append('('); i += 1
+            case ')' => sb.append(')'); i += 1
+            case '\\' => sb.append('\\'); i += 1
+            case '\r' => // line continuation: swallow CR (and LF)
+              i += 1; if (i < n && s.charAt(i) == '\n') i += 1
+            case '\n' => i += 1
+            case o if o >= '0' && o <= '7' =>
+              var v = 0; var k = 0
+              while (k < 3 && i < n && s.charAt(i) >= '0' &&
+                s.charAt(i) <= '7') { v = v * 8 + (s.charAt(i) - '0'); i += 1; k += 1 }
+              sb.append((v & 0xff).toChar)
+            case other => sb.append(other); i += 1 // \x → x
+          }
+        }
+      } else if (c == '(') { depth += 1; sb.append('('); i += 1 }
+      else if (c == ')') {
+        depth -= 1
+        if (depth > 0) sb.append(')')
+        i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    (sb.toString, i)
+  }
+
+  /** `<hex…>`: whitespace skipped, odd trailing digit zero-padded. */
+  private[multimodal] def hexString(s: String, from: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var i = from + 1
+    var hi = -1
+    while (i < s.length && s.charAt(i) != '>') {
+      val c = s.charAt(i)
+      val d = Character.digit(c, 16)
+      if (d >= 0) {
+        if (hi < 0) hi = d
+        else { sb.append(((hi << 4) | d).toChar); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) sb.append((hi << 4).toChar) // odd digit: pad 0
+    (sb.toString, if (i < s.length) i + 1 else i)
+  }
+
+  /** `[ … ]` TJ operand: strings in order, kerning numbers dropped. */
+  private def arrayStrings(s: String, from: Int): (Seq[String], Int) = {
+    val out = Vector.newBuilder[String]
+    var i = from + 1
+    while (i < s.length && s.charAt(i) != ']') {
+      val c = s.charAt(i)
+      if (c == '(') {
+        val (str, next) = literalString(s, i)
+        out += str; i = next
+      } else if (c == '<') {
+        val (str, next) = hexString(s, i)
+        out += str; i = next
+      } else i += 1
+    }
+    (out.result(), if (i < s.length) i + 1 else i)
+  }
+
+  // -- synthetic fixtures ------------------------------------------- //
+
+  /** Deterministic per-id synthetic PDF — the query-able fixture
+    * column for [[parse]]. Variant cycles (id % 4): 0 = plain content
+    * with paren escapes, 1 = real FlateDecode (JDK Deflater), 2 = TJ
+    * array with kerning numbers, 3 = hex string + `'` next-line-show
+    * with an INDIRECT /Length. Every third id gets a second page. */
+  def synthPdf(id: Long): Array[Byte] = {
+    val v = (id % 4).toInt
+    val twoPages = id % 3 == 0
+    val content1 = v match {
+      case 0 => s"BT (Hello \\(doc\\) $id) Tj 0 -14 Td (Line two of $id) Tj ET"
+      case 1 => s"BT (Flate doc $id) Tj 0 -14 Td (Line two of $id) Tj ET"
+      case 2 => s"BT [(Wor) -120 (ld doc ) 20 ($id)] TJ ET"
+      case _ =>
+        val hex = s"Hex doc $id".getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+          .map(b => f"${b & 0xff}%02x").mkString
+        s"BT <$hex> Tj (Next line $id) ' ET"
+    }
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val c1Raw = content1.getBytes(latin1)
+    val c1 = if (v == 1) deflate(c1Raw) else c1Raw
+    val filter1 = if (v == 1) " /Filter /FlateDecode" else ""
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(latin1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    val kids = if (twoPages) "[3 0 R 5 0 R]" else "[3 0 R]"
+    val count = if (twoPages) 2 else 1
+    w(s"2 0 obj << /Type /Pages /Kids $kids /Count $count >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    val lenSpec = if (v == 3) "7 0 R" else c1.length.toString
+    w(s"4 0 obj << /Length $lenSpec$filter1 >> stream\n")
+    out.write(c1)
+    w("\nendstream endobj\n")
+    if (twoPages) {
+      val c2 = s"BT (Page 2 of $id) Tj ET".getBytes(latin1)
+      w("5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n")
+      w(s"6 0 obj << /Length ${c2.length} >> stream\n")
+      out.write(c2)
+      w("\nendstream endobj\n")
+    }
+    if (v == 3) w(s"7 0 obj ${c1.length} endobj\n")
+    w("trailer << /Size 8 /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length + 32)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  def synthPdfCol(c: Column): Column =
+    udf { id: Long => synthPdf(id) }.apply(c)
+
+  /** bytes → struct<version, n_pages, text>; null when malformed. */
+  def pdfCol(c: Column): Column =
+    udf { b: Array[Byte] => parse(b) }.apply(c)
+}

@@ -55,34 +55,11 @@ object Sitemap {
   private def hasRoot(xml: String, root: String): Boolean =
     indexOfTag(xml, root, 0) >= 0
 
-  /** Start index of `<tag>` or `<tag ...>` (attribute-tolerant). */
-  private def indexOfTag(xml: String, tag: String, from: Int): Int = {
-    var i = xml.indexOf(s"<$tag", from)
-    while (i >= 0) {
-      val after = i + tag.length + 1
-      if (after < xml.length &&
-        (xml.charAt(after) == '>' || xml.charAt(after).isWhitespace))
-        return i
-      i = xml.indexOf(s"<$tag", i + 1)
-    }
-    -1
-  }
-
-  /** Inner text of the first `<name>` element: trimmed, CDATA
-    * unwrapped, entities decoded. */
-  private def element(body: String, name: String): Option[String] = {
-    val open = indexOfTag(body, name, 0)
-    if (open < 0) return None
-    val contentStart = body.indexOf('>', open) + 1
-    val close = body.indexOf(s"</$name>", contentStart)
-    if (close < 0) return None
-    val raw = body.substring(contentStart, close).trim
-    val unwrapped =
-      if (raw.startsWith("<![CDATA[") && raw.endsWith("]]>"))
-        raw.substring(9, raw.length - 3)
-      else Html.decodeEntities(raw)
-    Some(unwrapped.trim)
-  }
+  // tag location + first-element extraction shared with Feeds
+  private def indexOfTag(xml: String, tag: String, from: Int): Int =
+    XmlLite.indexOfTag(xml, tag, from)
+  private def element(body: String, name: String): Option[String] =
+    XmlLite.element(body, name)
 
   /** xml → array<struct<kind, loc, lastmod, priority>>; null on a
     * malformed document. */

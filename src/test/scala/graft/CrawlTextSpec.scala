@@ -139,4 +139,58 @@ class CrawlTextSpec extends AnyFunSuite {
     // empty urlset is valid (zero entries)
     assert(Sitemap.parse("<urlset></urlset>").get._2.isEmpty)
   }
+
+  test("feeds: RSS items, guid default, entities, CDATA titles") {
+    import graft.text.Feeds
+    val rss = """<?xml version="1.0"?><rss version="2.0"><channel>
+      |<title>Site &amp; News</title><link>http://e.com/</link>
+      |<item><title><![CDATA[A < B]]></title>
+      | <link>http://e.com/p0</link>
+      | <pubDate>Mon, 01 Jun 2026 10:00:00 GMT</pubDate>
+      | <guid isPermaLink="false">tag:e,p0</guid></item>
+      |<item><title>Second &#65;</title><link>http://e.com/p1</link></item>
+      |</channel></rss>""".stripMargin
+    val (kind, ft, es) = Feeds.parse(rss).get
+    assert(kind == "rss" && ft == "Site & News")
+    assert(es(0) == Feeds.Entry("A < B", "http://e.com/p0",
+      "Mon, 01 Jun 2026 10:00:00 GMT", "tag:e,p0"))
+    // guid defaults to the link; pubDate defaults empty
+    assert(es(1) == Feeds.Entry("Second A", "http://e.com/p1", "",
+      "http://e.com/p1"))
+    // the channel title is read BEFORE the first item: item titles
+    // cannot shadow it even when the channel has no title of its own
+    val noTitle = "<rss><channel><item><title>T</title>" +
+      "<link>http://e.com/x</link></item></channel></rss>"
+    assert(Feeds.parse(noTitle).get._2 == "")
+  }
+
+  test("feeds: Atom rel selection, id default, strictness") {
+    import graft.text.Feeds
+    val atom = """<feed xmlns="http://www.w3.org/2005/Atom">
+      |<title>Blog</title><link rel="self" href="http://b.com/feed"/>
+      |<entry><title>E0</title>
+      | <link rel="self" href="http://b.com/e0.atom"/>
+      | <link rel="alternate" href="http://b.com/e0?a=1&amp;b=2"/>
+      | <updated>2026-07-01T00:00:00Z</updated>
+      | <id>urn:b:e0</id></entry>
+      |<entry><title>E1</title><link href="http://b.com/e1"/></entry>
+      |</feed>""".stripMargin
+    val (kind, ft, es) = Feeds.parse(atom).get
+    assert(kind == "atom" && ft == "Blog")
+    // rel="self" skipped, alternate chosen, href entity-decoded
+    assert(es(0) == Feeds.Entry("E0", "http://b.com/e0?a=1&b=2",
+      "2026-07-01T00:00:00Z", "urn:b:e0"))
+    // rel-absent link qualifies; id defaults to it
+    assert(es(1) == Feeds.Entry("E1", "http://b.com/e1", "",
+      "http://b.com/e1"))
+    // strictness: wrong root, entry with no qualifying link,
+    // unterminated entry
+    assert(Feeds.parse("<urlset></urlset>").isEmpty)
+    assert(Feeds.parse(
+      "<feed><entry><link rel=\"self\" href=\"u\"/></entry></feed>").isEmpty)
+    assert(Feeds.parse("<rss><channel><item><link>u</link>").isEmpty)
+    // empty feed is valid (zero entries)
+    assert(Feeds.parse("<feed><title>T</title></feed>").get._3.isEmpty)
+    assert(Feeds.parse("<rss><channel></channel></rss>").get._3.isEmpty)
+  }
 }

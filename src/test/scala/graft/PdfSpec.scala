@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Pdf
+
+class PdfSpec extends AnyFunSuite {
+
+  private val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  test("synthPdf round-trips all four variants") {
+    // v0: escapes; one page (id=4: v0, 4%3!=0)
+    val d1 = Pdf.parse(Pdf.synthPdf(4)).get
+    assert(d1.version == "1.4" && d1.n_pages == 1)
+    assert(d1.text == "Hello (doc) 4\nLine two of 4")
+    // v1: FlateDecode, id=5
+    assert(Pdf.parse(Pdf.synthPdf(5)).get.text ==
+      "Flate doc 5\nLine two of 5")
+    // v2: TJ array, kerning numbers dropped, id=2
+    assert(Pdf.parse(Pdf.synthPdf(2)).get.text == "World doc 2")
+    // v3: hex string + ' + indirect /Length, id=7
+    assert(Pdf.parse(Pdf.synthPdf(7)).get.text ==
+      "Hex doc 7\nNext line 7")
+    // two pages when id % 3 == 0 (id=0 is v0 two-page)
+    val d0 = Pdf.parse(Pdf.synthPdf(0)).get
+    assert(d0.n_pages == 2)
+    assert(d0.text ==
+      "Hello (doc) 0\nLine two of 0\nPage 2 of 0")
+    // v1 + two pages (id=9: v1, 9%3==0)
+    val d9 = Pdf.parse(Pdf.synthPdf(9)).get
+    assert(d9.n_pages == 2 &&
+      d9.text == "Flate doc 9\nLine two of 9\nPage 2 of 9")
+  }
+
+  test("content-stream escapes: octal, named, continuation, nesting") {
+    def pdf(content: String): Array[Byte] = {
+      val c = content.getBytes(latin1)
+      ("%PDF-1.4\n" +
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" +
+        s"4 0 obj << /Length ${c.length} >> stream\n" + content +
+        "\nendstream endobj\ntrailer << /Root 1 0 R >>\n").getBytes(latin1)
+    }
+    // octal (A = \101), 2-digit octal stops at non-octal
+    assert(Pdf.parse(pdf("BT (\\101B\\61) Tj ET")).get.text == "AB1")
+    // named escapes + backslash-other passes through
+    assert(Pdf.parse(pdf("BT (a\\tb\\nc\\d) Tj ET")).get.text
+      == "a\tb\ncd")
+    // line continuation: backslash-newline vanishes
+    assert(Pdf.parse(pdf("BT (one\\\ntwo) Tj ET")).get.text == "onetwo")
+    // balanced nested parens need no escaping
+    assert(Pdf.parse(pdf("BT (a (nested) b) Tj ET")).get.text
+      == "a (nested) b")
+    // hex: whitespace ignored, odd digit zero-padded (0x40 = @)
+    assert(Pdf.parse(pdf("BT <41 42\n4> Tj ET")).get.text == "AB@")
+    // TJ mixes literal and hex strings, numbers dropped
+    assert(Pdf.parse(pdf("BT [(x) -3 <79> 12 (z)] TJ ET")).get.text
+      == "xyz")
+    // " shows on a new line like '
+    assert(Pdf.parse(pdf("BT (a) Tj 2 3 (b) \" ET")).get.text == "a\nb")
+    // comments skip to end of line
+    assert(Pdf.parse(pdf("BT % (gone) Tj\n(kept) Tj ET")).get.text
+      == "kept")
+    // inline dicts inside content are skipped, not misread
+    assert(Pdf.parse(pdf("BT << /K (no) >> (yes) Tj ET")).get.text
+      == "yes")
+  }
+
+  test("nested page tree collects leaves in order") {
+    val c1 = "BT (one) Tj ET".getBytes(latin1)
+    val c2 = "BT (two) Tj ET".getBytes(latin1)
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [5 0 R 4 0 R] /Count 2 >> endobj\n" +
+      "5 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Contents 6 0 R >> endobj\n" +
+      "4 0 obj << /Type /Page /Contents 7 0 R >> endobj\n" +
+      s"6 0 obj << /Length ${c1.length} >> stream\n" + new String(c1, latin1) +
+      "\nendstream endobj\n" +
+      s"7 0 obj << /Length ${c2.length} >> stream\n" + new String(c2, latin1) +
+      "\nendstream endobj\n" +
+      "trailer << /Root 1 0 R >>\n").getBytes(latin1)
+    val d = Pdf.parse(pdf).get
+    assert(d.n_pages == 2 && d.text == "one\ntwo")
+  }
+
+  test("malformations reject instead of junk") {
+    val good = Pdf.synthPdf(1)
+    // bad header
+    assert(Pdf.parse("%PDX-1.4 whatever".getBytes(latin1)).isEmpty)
+    assert(Pdf.parse(null).isEmpty)
+    assert(Pdf.parse(Array[Byte](1, 2, 3)).isEmpty)
+    // truncation mid-stream (Length points past EOF)
+    assert(Pdf.parse(good.take(good.length / 2).toArray).isEmpty)
+    // unknown filter rejects
+    val ascii = new String(good, latin1)
+      .replace("<< /Length", "<< /Filter /LZWDecode /Length")
+    assert(Pdf.parse(ascii.getBytes(latin1)).isEmpty)
+    // no trailer AND no catalog object
+    val noRoot = new String(good, latin1)
+      .replace("trailer << /Size 8 /Root 1 0 R >>", "")
+      .replace("/Type /Catalog", "/Type /NotIt")
+    assert(Pdf.parse(noRoot.getBytes(latin1)).isEmpty)
+    // page-tree reference cycle is depth-capped, not an infinite loop
+    val cyc = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [2 0 R] /Count 1 >> endobj\n" +
+      "trailer << /Root 1 0 R >>\n").getBytes(latin1)
+    assert(Pdf.parse(cyc).isEmpty)
+    // corrupted zlib stream rejects (flip a byte inside v1's data)
+    val flate = Pdf.synthPdf(5)
+    val s5 = new String(flate, latin1)
+    val dataAt = s5.indexOf("stream\n") + 7
+    val bad = flate.clone(); bad(dataAt + 4) = (bad(dataAt + 4) ^ 0x55).toByte
+    assert(Pdf.parse(bad).isEmpty)
+  }
+
+  test("trailerless documents fall back to the catalog scan") {
+    val good = Pdf.synthPdf(4)
+    val noTrailer = new String(good, latin1)
+      .replace("trailer << /Size 8 /Root 1 0 R >>\n", "")
+    val d = Pdf.parse(noTrailer.getBytes(latin1)).get
+    assert(d.text == "Hello (doc) 4\nLine two of 4")
+  }
+}
