@@ -388,7 +388,16 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q339_link_extract" -> (qLinkExtract _),
     "q340_sitemap" -> (qSitemap _),
     "q341_feed_parse" -> (qFeedParse _),
-    "q342_pdf_text" -> (qPdfText _)
+    "q342_pdf_text" -> (qPdfText _),
+    "q343_avif_meta" -> (qAvifMeta _),
+    "q344_code_corpus" -> (qCodeCorpus _),
+    "q345_markdown_text" -> (qMarkdownText _),
+    "q346_zip_ingest" -> (qZipIngest _),
+    "q347_tar_ingest" -> (qTarIngest _),
+    "q348_code_capstone" -> (qCodeCapstone _),
+    "q349_docx_text" -> (qDocxText _),
+    "q350_epub_text" -> (qEpubText _),
+    "q351_legacy_image_meta" -> (qLegacyImageMeta _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

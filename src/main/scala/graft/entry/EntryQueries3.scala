@@ -4062,4 +4062,241 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** MM-AVIF — AVIF metadata ([[graft.multimodal.Binary.parseAvifMeta]]):
+    * AV1-in-HEIF, the modern crawl image format beside WebP (q330),
+    * previously absent. Real ISO-BMFF work per row: the box walk into
+    * the `meta` FullBox's `iprp`/`ipco` property container for `ispe`
+    * (spatial extents), `pixi` (bit depth) and the alpha-plane `auxC`
+    * URN, with the avif/avis brand gate. All five columns are closed
+    * forms of doc_id the oracle recomputes; AV1 sample decode stays
+    * documented-out with MP4 frames.
+    */
+  private[graft] def qAvifMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 120).select(col("doc_id"))
+      .withColumn("av", Binary.synthAvifCol(col("doc_id")))
+      .select(col("doc_id"), Binary.avifMetaCol(col("av")).as("m"))
+      .select(col("doc_id"), col("m.brand").as("brand"),
+        col("m.width").cast("long").as("width"),
+        col("m.height").cast("long").as("height"),
+        col("m.bit_depth").cast("long").as("bit_depth"),
+        col("m.has_alpha").as("has_alpha"))
+      .orderBy("doc_id")
+  }
+
+  /** CODE-1 — code-corpus per-file analysis ([[graft.text.Code]]):
+    * language ID (extension + shebang), license detection (SPDX tag
+    * beats phrase fingerprints), generated-file banners, and the
+    * Stack-style quality stats + keep rule. Six fixture families
+    * (python shebang script, javascript, SPDX'd rust, Apache-phrase
+    * java, protoc-generated go, minified js) with a single-digit
+    * payload so content varies per doc while every stat stays a
+    * closed form; the oracle REPLAYS the stats from the same content
+    * strings (string_split line algebra, regexp alpha count,
+    * comment-prefix line filter) rather than asserting constants.
+    */
+  private[graft] def qCodeCorpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Code
+    val d = doc(s, dir).where(col("doc_id") < 300)
+      .select(col("doc_id"), (col("doc_id") % 6).as("f"),
+        (col("doc_id") % 10).cast("string").as("dg"))
+    val content = when(col("f") === 0, concat(
+        lit("#!/usr/bin/env python\n# comment "), col("dg"),
+        lit("\nx = "), col("dg"), lit("\n\nprint(x)")))
+      .when(col("f") === 1, concat(
+        lit("// header "), col("dg"), lit("\nconst x = "), col("dg"),
+        lit(";\nconsole.log(x);")))
+      .when(col("f") === 2, concat(
+        lit("// SPDX-License-Identifier: MIT\nfn main() { let x = "),
+        col("dg"), lit("; }")))
+      .when(col("f") === 3, concat(
+        lit("/* Licensed under the Apache License, Version 2.0 */\n" +
+          "class Main { int x = "), col("dg"), lit("; }")))
+      .when(col("f") === 4, concat(
+        lit("// Code generated by protoc. DO NOT EDIT.\npackage p\nvar x = "),
+        col("dg")))
+      // f5: minified js — one 1040-char line, 130 repeats of a unit
+      .otherwise(concat_ws("", array_repeat(
+        concat(lit("var a="), col("dg"), lit(";")), 130)))
+    val path = when(col("f") === 0, lit("scripts/run"))
+      .when(col("f") === 1, lit("src/app.js"))
+      .when(col("f") === 2, lit("src/lib.rs"))
+      .when(col("f") === 3, lit("Main.java"))
+      .when(col("f") === 4, lit("gen.go"))
+      .otherwise(lit("m.min.js"))
+    d.withColumn("content", content)
+      .withColumn("a", Code.analyzeCol(path, col("content")))
+      .select(col("doc_id"), col("a._1").as("lang"),
+        col("a._2").as("license"), col("a._3").as("autogen"),
+        col("a._4").cast("long").as("n_lines"),
+        col("a._5").cast("long").as("max_line"),
+        round(col("a._6"), 6).as("mean_line"),
+        round(col("a._7"), 6).as("alpha_frac"),
+        round(col("a._8"), 6).as("comment_frac"),
+        col("a._9").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** CODE-2 — Markdown → text ([[graft.text.Markdown.mdToText]]):
+    * README/doc extraction for the code corpus, the markup mirror of
+    * q336's HTML extraction. Three fixture families exercise
+    * headings + emphasis + links + list markers, fenced code kept
+    * VERBATIM (code is signal — emphasis inside a fence must
+    * survive), and rules/setext/blockquote handling with blank-line
+    * collapse. Expected text is a closed form of doc_id.
+    */
+  private[graft] def qMarkdownText(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Markdown
+    val d = doc(s, dir).where(col("doc_id") < 240)
+      .select(col("doc_id"), (col("doc_id") % 3).as("g"),
+        (col("doc_id") % 10).cast("string").as("dg"))
+    val md = when(col("g") === 0, concat(
+        lit("# Title "), col("dg"),
+        lit("\n\nBody **bold "), col("dg"), lit("** and [link "),
+        col("dg"), lit("](http://u/x).\n\n- item one "), col("dg"),
+        lit("\n- item two "), col("dg")))
+      .when(col("g") === 1, concat(
+        lit("Intro "), col("dg"),
+        lit("\n\n```js\nvar x = "), col("dg"),
+        lit("; // *keep*\n```\n\n> quote "), col("dg")))
+      .otherwise(concat(
+        lit("## Sub *em "), col("dg"),
+        lit("*\n\n---\n\nText `code "), col("dg"), lit("` end")))
+    d.select(col("doc_id"), Markdown.mdToTextCol(md).as("text"))
+      .orderBy("doc_id")
+  }
+
+  /** SRC-ZIP — ZIP ingestion ([[graft.sources.Archives.parseZip]]):
+    * the container code corpora arrive in. Real framing per row:
+    * EOCD back-scan, central-directory walk (the authoritative member
+    * list, local headers trusted only for their own lengths), raw
+    * deflate through JDK Inflater, stored members, and per-member
+    * CRC-32 verification — a flipped payload byte flips crc_ok, a
+    * flipped framing byte nulls the row. Members, methods, sizes and
+    * texts are closed forms of doc_id the oracle recomputes. The
+    * central directory's (offset, csize) per member is the same
+    * split index [[graft.sources.Warc]] exposes — member extraction
+    * parallelizes at 100 TB.
+    */
+  private[graft] def qZipIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Archives
+    doc(s, dir).where(col("doc_id") < 120).select(col("doc_id"))
+      .select(col("doc_id"), posexplode(Archives.zipEntriesCol(
+        Archives.synthZipCol(col("doc_id")))))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col._1").as("name"), col("col._2").as("method"),
+        col("col._3").as("usize"), col("col._4").as("crc_ok"),
+        col("col._5").as("text"))
+      .orderBy("doc_id", "idx")
+  }
+
+  /** SRC-TAR — tar.gz ingestion ([[graft.sources.Archives.parseTarGz]]):
+    * gzip inflate then the POSIX ustar walk — octal size fields,
+    * header checksums verified with the chksum bytes blanked,
+    * dir/file typeflags, block padding. Entry names, sizes, kinds and
+    * texts are closed forms of doc_id.
+    */
+  private[graft] def qTarIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Archives
+    doc(s, dir).where(col("doc_id") < 120).select(col("doc_id"))
+      .select(col("doc_id"), posexplode(Archives.tarGzEntriesCol(
+        Archives.synthTarGzCol(col("doc_id")))))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col._1").as("name"), col("col._2").as("size"),
+        col("col._3").as("type_flag"), col("col._4").as("text"))
+      .orderBy("doc_id", "idx")
+  }
+
+  /** CODE-CAP — the code-corpus capstone, third of the composed
+    * end-to-end rows (q327 ingest, q338 frontier): ZIP + tar.gz
+    * archives per doc → member extraction (CRC/checksum-verified) →
+    * per-file analysis ([[graft.text.Code.analyzeCol]]: language,
+    * license, generated-banner, quality stats, keep rule) → the
+    * per-language corpus rollup a Stack-style pipeline reports
+    * (files, keeps, lines, MIT-licensed). Every stage's effect is a
+    * closed form of doc_id; the oracle recomposes the rollup from the
+    * per-family constants times the doc count. Scale shape: per-row
+    * archive parse + explode, then one partial-aggregated groupBy on
+    * a 5-value key — no shuffle of member text.
+    */
+  private[graft] def qCodeCapstone(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Archives
+    import graft.text.Code
+    val d = doc(s, dir).where(col("doc_id") < 600).select(col("doc_id"))
+    val zipM = d.select(col("doc_id"), explode(Archives.zipEntriesCol(
+        Archives.synthZipCol(col("doc_id")))).as("e"))
+      .select(col("e._1").as("path"), col("e._5").as("text"))
+    val tarM = d.select(col("doc_id"), explode(Archives.tarGzEntriesCol(
+        Archives.synthTarGzCol(col("doc_id")))).as("e"))
+      .where(col("e._3") === "file")
+      .select(col("e._1").as("path"), col("e._4").as("text"))
+    zipM.unionByName(tarM)
+      .withColumn("a", Code.analyzeCol(col("path"), col("text")))
+      .select(col("a._1").as("lang"), col("a._2").as("license"),
+        col("a._4").as("file_lines"), col("a._9").as("keep"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_files"),
+        count(when(col("keep"), 1)).as("n_keep"),
+        sum(col("file_lines")).cast("long").as("n_lines"),
+        count(when(col("license") === "MIT", 1)).as("n_mit"))
+      .orderBy("lang")
+  }
+
+  /** DOC-X — DOCX text extraction ([[graft.sources.Docs.docxText]]):
+    * OOXML through the engine's own layers — the ZIP central
+    * directory (q346) opens the package, then the `word/document.xml`
+    * paragraph walk: `<w:t>` runs (entity-decoded, attribute-
+    * tolerant), `<w:tab/>`, `<w:br/>`. Paragraph count and extracted
+    * text are closed forms of doc_id; CRC verification sits inside
+    * the path (a corrupt member nulls the row).
+    */
+  private[graft] def qDocxText(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Docs
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("x", Docs.docxTextCol(Docs.synthDocxCol(col("doc_id"))))
+      .select(col("doc_id"),
+        col("x._1").cast("long").as("n_paragraphs"),
+        col("x._2").as("text"))
+      .orderBy("doc_id")
+  }
+
+  /** DOC-EPUB — EPUB text extraction ([[graft.sources.Docs.epubText]]):
+    * OCF container → `container.xml` rootfile attr → OPF manifest
+    * (id→href) → spine order → XHTML chapters through the SAME
+    * [[graft.text.Html]] extractor q336 gates. The fixture's OPF
+    * lists a stylesheet the spine must not pull in, so manifest-vs-
+    * spine discipline is inside the hash along with chapter order.
+    */
+  private[graft] def qEpubText(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Docs
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("x", Docs.epubTextCol(Docs.synthEpubCol(col("doc_id"))))
+      .select(col("doc_id"),
+        col("x._1").cast("long").as("n_chapters"),
+        col("x._2").as("text"))
+      .orderBy("doc_id")
+  }
+
+  /** MM-LEGACY — BMP/ICO/TIFF metadata
+    * ([[graft.multimodal.Binary.parseBmpMeta]]/[[graft.multimodal.Binary.parseIcoMeta]]/
+    * [[graft.multimodal.Binary.parseTiffMeta]]): the legacy raster
+    * long tail (scans, favicons, uploads). BMP alternates top-down
+    * negative heights (magnitude must surface), TIFF alternates byte
+    * order (both II and MM walks inside the hash), ICO exercises the
+    * 0-byte-means-256 rule at id%256==255. Dispatched through
+    * [[graft.multimodal.Binary.parseImageMeta]], which now covers
+    * PNG/JPEG/GIF/WebP/AVIF/BMP/ICO/TIFF.
+    */
+  private[graft] def qLegacyImageMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 300).select(col("doc_id"))
+      .withColumn("m", Binary.imageMetaCol(
+        Binary.synthLegacyImageCol(col("doc_id"))))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.width").cast("long").as("width"),
+        col("m.height").cast("long").as("height"),
+        col("m.bit_depth").cast("long").as("bit_depth"))
+      .orderBy("doc_id")
+  }
+
 }

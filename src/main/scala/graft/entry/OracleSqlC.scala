@@ -2386,6 +2386,179 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |   ELSE '' END AS text
         | FROM p ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+    // q343: AVIF metadata closed forms (box walk happens Spark-side)
+    "q343_avif_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 5 = 0 THEN 'avis' ELSE 'avif' END AS brand,
+        | CAST(doc_id % 1920 + 1 AS BIGINT) AS width,
+        | CAST(doc_id % 1080 + 1 AS BIGINT) AS height,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 10 ELSE 12 END
+        |   AS BIGINT) AS bit_depth,
+        | doc_id % 2 = 0 AS has_alpha
+        | FROM documents WHERE doc_id < 120 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    // q344: the oracle REPLAYS the quality stats from the same content
+    // strings (line algebra via list_transform/list_filter, alpha via
+    // regexp strip, keep rule recomposed) — not asserted constants
+    "q344_code_corpus" ->
+      """WITH d AS (SELECT doc_id, doc_id % 6 AS f,
+        |   CAST(doc_id % 10 AS VARCHAR) AS dg
+        |  FROM documents WHERE doc_id < 300),
+        | c AS (SELECT doc_id, f,
+        |  CASE f
+        |   WHEN 0 THEN '#!/usr/bin/env python' || chr(10) ||
+        |     '# comment ' || dg || chr(10) || 'x = ' || dg ||
+        |     chr(10) || chr(10) || 'print(x)'
+        |   WHEN 1 THEN '// header ' || dg || chr(10) || 'const x = ' ||
+        |     dg || ';' || chr(10) || 'console.log(x);'
+        |   WHEN 2 THEN '// SPDX-License-Identifier: MIT' || chr(10) ||
+        |     'fn main() { let x = ' || dg || '; }'
+        |   WHEN 3 THEN '/* Licensed under the Apache License, Version 2.0 */'
+        |     || chr(10) || 'class Main { int x = ' || dg || '; }'
+        |   WHEN 4 THEN '// Code generated by protoc. DO NOT EDIT.' ||
+        |     chr(10) || 'package p' || chr(10) || 'var x = ' || dg
+        |   ELSE repeat('var a=' || dg || ';', 130) END AS content,
+        |  CASE f WHEN 0 THEN '#' ELSE '//' END AS pfx,
+        |  CASE f WHEN 0 THEN 'python' WHEN 1 THEN 'javascript'
+        |   WHEN 2 THEN 'rust' WHEN 3 THEN 'java' WHEN 4 THEN 'go'
+        |   ELSE 'javascript' END AS lang,
+        |  CASE f WHEN 2 THEN 'MIT' WHEN 3 THEN 'Apache-2.0'
+        |   ELSE 'none' END AS license,
+        |  f = 4 AS autogen FROM d),
+        | s AS (SELECT doc_id, lang, license, autogen,
+        |  string_split(content, chr(10)) AS lines,
+        |  length(regexp_replace(content, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |    / length(content) AS alpha_raw, pfx FROM c),
+        | t AS (SELECT doc_id, lang, license, autogen, alpha_raw,
+        |  len(lines) AS n_lines,
+        |  list_max(list_transform(lines, x -> length(x))) AS max_line,
+        |  list_sum(list_transform(lines, x -> length(x)))::DOUBLE
+        |    / len(lines) AS mean_raw,
+        |  len(list_filter(lines, x -> trim(x) <> '' AND
+        |    starts_with(trim(x), pfx)))::DOUBLE /
+        |  len(list_filter(lines, x -> trim(x) <> '')) AS comment_raw
+        |  FROM s)
+        | SELECT doc_id, lang, license, autogen,
+        |  CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(max_line AS BIGINT) AS max_line,
+        |  round(mean_raw, 6) AS mean_line,
+        |  round(alpha_raw, 6) AS alpha_frac,
+        |  round(comment_raw, 6) AS comment_frac,
+        |  (max_line <= 1000 AND mean_raw <= 100.0 AND
+        |   alpha_raw >= 0.25 AND NOT autogen) AS keep
+        | FROM t ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    // q345: markdown extraction closed forms — heading/emphasis/link
+    // stripping, fence content verbatim, rule drop + blank collapse
+    "q345_markdown_text" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS g,
+        |   CAST(doc_id % 10 AS VARCHAR) AS dg
+        |  FROM documents WHERE doc_id < 240)
+        | SELECT doc_id,
+        | CASE g
+        |  WHEN 0 THEN 'Title ' || dg || chr(10) || chr(10) ||
+        |   'Body bold ' || dg || ' and link ' || dg || '.' ||
+        |   chr(10) || chr(10) || 'item one ' || dg || chr(10) ||
+        |   'item two ' || dg
+        |  WHEN 1 THEN 'Intro ' || dg || chr(10) || chr(10) ||
+        |   'var x = ' || dg || '; // *keep*' || chr(10) || chr(10) ||
+        |   'quote ' || dg
+        |  ELSE 'Sub em ' || dg || chr(10) || chr(10) ||
+        |   'Text code ' || dg || ' end' END AS text
+        | FROM d ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    // q346: ZIP member closed forms (EOCD/central-dir/CRC work is
+    // Spark-side; usize replayed as length of the same text)
+    "q346_zip_ingest" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS dg
+        |  FROM documents WHERE doc_id < 120),
+        | g AS (SELECT d.*, i.i AS idx FROM d, range(0, 3) i(i)),
+        | e AS (SELECT doc_id, idx,
+        |  CASE idx WHEN 0 THEN 'src/main.py' WHEN 1 THEN 'README.md'
+        |   ELSE 'gen/auto.go' END AS name,
+        |  CASE idx WHEN 0 THEN 'stored' ELSE 'deflate' END AS method,
+        |  CASE idx
+        |   WHEN 0 THEN '# module ' || dg || chr(10) || 'x = ' || dg ||
+        |     chr(10)
+        |   WHEN 1 THEN '# Readme ' || dg || chr(10) || chr(10) ||
+        |     'Hello ' || dg || chr(10)
+        |   ELSE '// Code generated by tool. DO NOT EDIT.' || chr(10) ||
+        |     'package p' || chr(10) || 'var x = ' || dg || chr(10)
+        |   END AS text FROM g)
+        | SELECT doc_id, CAST(idx AS BIGINT) AS idx, name, method,
+        |  CAST(length(text) AS BIGINT) AS usize, TRUE AS crc_ok, text
+        | FROM e ORDER BY doc_id, idx"""
+        .stripMargin.replaceAll("\n", " "),
+    // q347: tar.gz member closed forms (gzip + ustar checksum work is
+    // Spark-side)
+    "q347_tar_ingest" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS dg
+        |  FROM documents WHERE doc_id < 120),
+        | g AS (SELECT d.*, i.i AS idx FROM d, range(0, 3) i(i)),
+        | e AS (SELECT doc_id, idx,
+        |  CASE idx WHEN 0 THEN 'src' WHEN 1 THEN 'src/lib.rs'
+        |   ELSE 'notes.txt' END AS name,
+        |  CASE idx WHEN 0 THEN 'dir' ELSE 'file' END AS type_flag,
+        |  CASE idx WHEN 0 THEN ''
+        |   WHEN 1 THEN '// SPDX-License-Identifier: MIT' || chr(10) ||
+        |     'fn f' || dg || '() {}' || chr(10)
+        |   ELSE 'note ' || dg || chr(10) END AS text FROM g)
+        | SELECT doc_id, CAST(idx AS BIGINT) AS idx, name,
+        |  CAST(length(text) AS BIGINT) AS size, type_flag, text
+        | FROM e ORDER BY doc_id, idx"""
+        .stripMargin.replaceAll("\n", " "),
+    // q348: the per-language rollup recomposed from per-family
+    // constants x the doc count (each doc contributes the same five
+    // analyzed files; only the digit payload varies)
+    "q348_code_capstone" ->
+      """WITH n AS (SELECT count(*) AS c FROM documents
+        |   WHERE doc_id < 600),
+        | v(lang, keep_per, lines_per, mit_per) AS (VALUES
+        |  ('go', 0, 3, 0), ('markdown', 1, 3, 0), ('python', 1, 2, 0),
+        |  ('rust', 1, 2, 1), ('unknown', 1, 1, 0))
+        | SELECT lang, CAST(c AS BIGINT) AS n_files,
+        |  CAST(c * keep_per AS BIGINT) AS n_keep,
+        |  CAST(c * lines_per AS BIGINT) AS n_lines,
+        |  CAST(c * mit_per AS BIGINT) AS n_mit
+        | FROM v, n ORDER BY lang"""
+        .stripMargin.replaceAll("\n", " "),
+    // q349: DOCX paragraph/run/tab/break closed forms (zip + OOXML
+    // walk happens Spark-side)
+    "q349_docx_text" ->
+      """SELECT doc_id, CAST(3 AS BIGINT) AS n_paragraphs,
+        | 'Title & heading ' || (doc_id % 10) || chr(10) ||
+        | 'Cell A' || (doc_id % 10) || chr(9) ||
+        | 'Cell B' || (doc_id % 10) || chr(10) ||
+        | 'Line one ' || (doc_id % 10) || chr(10) ||
+        | 'Line two ' || (doc_id % 10) AS text
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    // q350: EPUB spine-ordered chapter extraction closed forms
+    "q350_epub_text" ->
+      """SELECT doc_id, CAST(2 AS BIGINT) AS n_chapters,
+        | 'Chapter one ' || (doc_id % 10) || chr(10) ||
+        | 'First body ' || (doc_id % 10) || chr(10) ||
+        | 'Second chapter ' || (doc_id % 10) || ' & end' AS text
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    // q351: BMP/ICO/TIFF metadata closed forms (top-down BMP heights,
+    // both TIFF byte orders, the ICO 0-means-256 rule all Spark-side)
+    "q351_legacy_image_meta" ->
+      """SELECT doc_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ico'
+        |  ELSE 'tiff' END AS format,
+        | CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id % 256 + 1
+        |  ELSE doc_id % 1920 + 1 END AS BIGINT) AS width,
+        | CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id % 256 + 1
+        |  ELSE doc_id % 1080 + 1 END AS BIGINT) AS height,
+        | CAST(CASE doc_id % 3
+        |  WHEN 0 THEN CASE (doc_id // 3) % 3 WHEN 0 THEN 8
+        |   WHEN 1 THEN 24 ELSE 32 END
+        |  WHEN 1 THEN CASE WHEN doc_id % 2 = 0 THEN 32 ELSE 8 END
+        |  ELSE CASE (doc_id // 3) % 3 WHEN 0 THEN 1 WHEN 1 THEN 8
+        |   ELSE 16 END END AS BIGINT) AS bit_depth
+        | FROM documents WHERE doc_id < 300 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
     "q335_domain_stats" ->
       s"""WITH d AS (SELECT doc_id, (doc_id // 2) % 6 AS fam,
          |   CAST((doc_id // 2) % 50 AS VARCHAR) AS n

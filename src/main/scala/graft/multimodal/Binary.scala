@@ -107,7 +107,8 @@ object Binary {
     * frame header: precision/height/width, skipping APP/COM/quant
     * segments), GIF (87a/89a logical screen descriptor,
     * little-endian dims + color-resolution bits), WebP (RIFF walk,
-    * delegated to [[parseWebpMeta]]). Returns None for
+    * delegated to [[parseWebpMeta]]), AVIF (ISO-BMFF walk, delegated
+    * to [[parseAvifMeta]]). Returns None for
     * unrecognized/truncated bytes. Pixel-data decode stays behind
     * [[stubDecode]]; dimension/bit-depth extraction — the metadata a
     * 100 TB multimodal pipeline filters and partitions on — needs
@@ -145,6 +146,19 @@ object Binary {
              b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
              b(11) == 'P') // WebP is always 8-bit-per-channel
       parseWebpMeta(b).map(m => ImageMeta("webp", m.width, m.height, 8))
+    else if (b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+             b(7) == 'p' && b(8) == 'a' && b(9) == 'v' && b(10) == 'i' &&
+             (b(11) == 'f' || b(11) == 's')) // ISO-BMFF, avif/avis brand
+      parseAvifMeta(b).map(m =>
+        ImageMeta("avif", m.width, m.height, m.bit_depth))
+    else if (b.length >= 30 && b(0) == 'B' && b(1) == 'M')
+      parseBmpMeta(b)
+    else if (b.length >= 14 && ((b(0) == 'I' && b(1) == 'I') ||
+             (b(0) == 'M' && b(1) == 'M')))
+      parseTiffMeta(b)
+    else if (b.length >= 22 && b(0) == 0 && b(1) == 0 && b(2) == 1 &&
+             b(3) == 0)
+      parseIcoMeta(b)
     else None
   }
 
@@ -805,6 +819,274 @@ object Binary {
     udf { id: Long => synthVideoHeader(id) }.apply(c)
   def videoMetaCol(c: Column): Column =
     udf { b: Array[Byte] => parseVideoMeta(b) }.apply(c)
+
+  /** Parsed AVIF metadata — AV1-in-HEIF, the image format modern
+    * crawls increasingly serve beside WebP. */
+  final case class AvifMeta(brand: String, width: Int, height: Int,
+                            bit_depth: Int, has_alpha: Boolean)
+
+  /** REAL AVIF metadata decode — an ISO-BMFF walk (the same box
+    * grammar as [[parseVideoMeta]], AVIF is ISO 23000-22 on top of
+    * HEIF) to `ftyp` (major brand must be avif/avis), then into the
+    * `meta` FullBox's children: `iprp` → `ipco`, whose properties
+    * carry what a pipeline filters on — `ispe` (image spatial
+    * extents: u32 width/height), `pixi` (bits per channel), and the
+    * alpha-auxiliary `auxC` whose URN identifies an alpha plane.
+    * Cursors stay Long (unsigned-32 size fields must never truncate
+    * to a zero/negative Int step). Strict: missing ftyp/meta/ispe,
+    * zero dims, or a malformed box size is None. AV1 sample decode
+    * (the `av1C` payload) is codec-library territory behind
+    * [[stubDecode]], exactly like MP4 frames.
+    */
+  def parseAvifMeta(b: Array[Byte]): Option[AvifMeta] = {
+    if (b == null || b.length < 16) return None
+    def u8(i: Long): Long = b(i.toInt) & 0xffL
+    def be32(i: Long): Long =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Long): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Long): String =
+      new String(b.slice(i.toInt, i.toInt + 4), "US-ASCII")
+    val n = b.length.toLong
+    def boxes(from: Long, hi: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] {
+        private var cur = from
+        def hasNext: Boolean = cur >= 0 && cur + 8 <= hi
+        def next(): (String, Long, Long) = {
+          val size32 = be32(cur)
+          val typ = fourcc(cur + 4)
+          val (body, end) =
+            if (size32 == 1L && cur + 16 <= hi) (cur + 16, cur + be64(cur + 8))
+            else if (size32 == 0L) (cur + 8, hi)
+            else (cur + 8, cur + size32)
+          if (end <= cur || end > hi) { cur = -1; (typ, body, -1L) }
+          else { cur = end; (typ, body, end) }
+        }
+      }
+    if (n < 16) return None
+    var brand: String = null
+    var width = -1L
+    var height = -1L
+    var depth = 8
+    var alpha = false
+    boxes(0L, n).foreach {
+      case (_, _, -1L) => return None
+      case ("ftyp", body, end) =>
+        if (body + 4 > end) return None
+        brand = fourcc(body)
+        if (brand != "avif" && brand != "avis") return None
+      case ("meta", body, end) =>
+        if (body + 4 > end) return None
+        boxes(body + 4, end).foreach { // meta is a FullBox
+          case (_, _, -1L) => return None
+          case ("iprp", ib, ie) =>
+            boxes(ib, ie).foreach {
+              case (_, _, -1L) => return None
+              case ("ipco", pb, pe) =>
+                boxes(pb, pe).foreach {
+                  case (_, _, -1L) => return None
+                  case ("ispe", sb, se) =>
+                    if (sb + 12 > se) return None
+                    width = be32(sb + 4); height = be32(sb + 8)
+                  case ("pixi", xb, xe) =>
+                    if (xb + 6 > xe) return None
+                    depth = u8(xb + 5).toInt // first channel's bits
+                  case ("auxC", ab, ae) =>
+                    val urn = new String(b.slice((ab + 4).toInt,
+                      (ae min n).toInt), "US-ASCII").takeWhile(_ != ' ')
+                    if (urn.contains(":alpha")) alpha = true
+                  case _ => ()
+                }
+              case _ => () // ipma associations etc.
+            }
+          case _ => () // hdlr/pitm/iinf/iloc
+        }
+      case _ => () // mdat and friends
+    }
+    if (brand == null || width <= 0 || height <= 0 ||
+      width > 0xffffffL || height > 0xffffffL) None
+    else Some(AvifMeta(brand, width.toInt, height.toInt, depth, alpha))
+  }
+
+  /** Minimal VALID AVIF skeleton (ftyp + meta[hdlr pict, iprp[ipco[
+    * ispe, pixi, auxC?]]]) — the deterministic fixture
+    * [[parseAvifMeta]] round-trips. */
+  def avifHeader(width: Int, height: Int, bitDepth: Int, alpha: Boolean,
+                 brand: String = "avif"): Array[Byte] = {
+    def be32(v: Long) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+    def fullBox(typ: String, body: Array[Byte]): Array[Byte] =
+      box(typ, Array[Byte](0, 0, 0, 0) ++ body)
+    val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ be32(0L) ++
+      "avifmif1miaf".getBytes("US-ASCII"))
+    val hdlr = fullBox("hdlr", be32(0L) ++
+      "pict".getBytes("US-ASCII") ++ new Array[Byte](13))
+    val ispe = fullBox("ispe", be32(width.toLong) ++ be32(height.toLong))
+    val pixi = fullBox("pixi", Array[Byte](3, bitDepth.toByte,
+      bitDepth.toByte, bitDepth.toByte))
+    val auxC = if (alpha) fullBox("auxC",
+      ("urn:mpeg:mpegB:cicp:systems:auxiliary:alpha ")
+        .getBytes("US-ASCII")) else Array.empty[Byte]
+    val ipco = box("ipco", ispe ++ pixi ++ auxC)
+    val meta = fullBox("meta", hdlr ++ box("iprp", ipco))
+    ftyp ++ meta
+  }
+
+  private val avifDepths = Array(8, 10, 12)
+
+  /** Deterministic per-id synthetic AVIF (dims/depth/alpha/brand all
+    * closed forms of the id). */
+  def synthAvif(id: Long): Array[Byte] =
+    avifHeader((id % 1920 + 1).toInt, (id % 1080 + 1).toInt,
+      avifDepths((id % 3).toInt), id % 2 == 0,
+      brand = if (id % 5 == 0) "avis" else "avif")
+
+  def synthAvifCol(c: Column): Column =
+    udf { id: Long => synthAvif(id) }.apply(c)
+  def avifMetaCol(c: Column): Column =
+    udf { b: Array[Byte] => parseAvifMeta(b) }.apply(c)
+
+  // ------------------------------------------------------------------ //
+  // Legacy raster metadata: BMP / ICO / TIFF — the long tail a crawl
+  // still meets (scans, favicons, uploads). Header arithmetic only.
+  // ------------------------------------------------------------------ //
+
+  /** BMP: "BM" + BITMAPINFOHEADER — LE dims at 18/22 (height may be
+    * negative = top-down; magnitude reported), bpp at 28. */
+  def parseBmpMeta(b: Array[Byte]): Option[ImageMeta] = {
+    if (b == null || b.length < 30 || b(0) != 'B' || b(1) != 'M') return None
+    def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32(i: Int): Long = le16(i).toLong | (le16(i + 2).toLong << 16)
+    val dibSize = le32(14)
+    if (dibSize < 40) return None // core-header BMPs out of scope
+    val w = le32(18).toInt
+    val h = le32(22).toInt // signed: negative = top-down rows
+    val bpp = le16(28)
+    if (w <= 0 || h == 0 || h == Int.MinValue) return None
+    if (!Set(1, 4, 8, 16, 24, 32).contains(bpp)) return None
+    Some(ImageMeta("bmp", w, math.abs(h), bpp))
+  }
+
+  /** ICO: the directory's FIRST image entry (0-byte dim = 256). */
+  def parseIcoMeta(b: Array[Byte]): Option[ImageMeta] = {
+    if (b == null || b.length < 22) return None
+    def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    if (le16(0) != 0 || le16(2) != 1) return None // reserved, type=icon
+    val count = le16(4)
+    if (count < 1) return None
+    val w = if ((b(6) & 0xff) == 0) 256 else b(6) & 0xff
+    val h = if ((b(7) & 0xff) == 0) 256 else b(7) & 0xff
+    val bpp = le16(12)
+    Some(ImageMeta("ico", w, h, if (bpp == 0) 32 else bpp))
+  }
+
+  /** TIFF: both byte orders ("II* 0" little / "MM 0*" big),
+    * first-IFD walk for ImageWidth(256) / ImageLength(257) /
+    * BitsPerSample(258, inline SHORT or via offset for multi-sample —
+    * first sample reported). Cursors Long (unsigned-32 offsets). */
+  def parseTiffMeta(b: Array[Byte]): Option[ImageMeta] = {
+    if (b == null || b.length < 14) return None
+    val le = b(0) == 'I' && b(1) == 'I'
+    val be = b(0) == 'M' && b(1) == 'M'
+    if (!le && !be) return None
+    def u16(i: Long): Int =
+      if (le) (b(i.toInt) & 0xff) | ((b(i.toInt + 1) & 0xff) << 8)
+      else ((b(i.toInt) & 0xff) << 8) | (b(i.toInt + 1) & 0xff)
+    def u32(i: Long): Long =
+      if (le) u16(i).toLong | (u16(i + 2).toLong << 16)
+      else (u16(i).toLong << 16) | u16(i + 2).toLong
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd + 2 > b.length) return None
+    val n = u16(ifd)
+    var width = -1L
+    var height = -1L
+    var depth = 1
+    var k = 0
+    while (k < n) {
+      val e = ifd + 2 + k * 12L
+      if (e + 12 > b.length) return None
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val cnt = u32(e + 4)
+      // SHORT(3) reads 2 bytes, LONG(4) reads 4 — inline when it fits
+      def inlineVal: Long =
+        if (typ == 3) u16(e + 8).toLong
+        else if (typ == 4) u32(e + 8)
+        else -1L
+      tag match {
+        case 256 => width = inlineVal
+        case 257 => height = inlineVal
+        case 258 =>
+          if (cnt == 1L) depth = inlineVal.toInt
+          else if (typ == 3 && cnt >= 2 && cnt <= 16) {
+            val off = u32(e + 8)
+            if (off + 2 > b.length) return None
+            depth = u16(off) // first sample's bits
+          } else return None
+        case _ => ()
+      }
+      k += 1
+    }
+    if (width <= 0 || height <= 0 || depth <= 0 || width > 0xffffff ||
+      height > 0xffffff) None
+    else Some(ImageMeta("tiff", width.toInt, height.toInt, depth))
+  }
+
+  /** Minimal valid builders for the three legacy formats. */
+  def bmpHeader(width: Int, height: Int, bpp: Int,
+                topDown: Boolean = false): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16(v >>> 16)
+    "BM".getBytes("US-ASCII") ++ le32(54) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(width) ++ le32(if (topDown) -height else height) ++
+      le16(1) ++ le16(bpp) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0)
+  }
+
+  def icoHeader(width: Int, height: Int, bpp: Int,
+                nImages: Int = 1): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16(v >>> 16)
+    val dir = le16(0) ++ le16(1) ++ le16(nImages)
+    val entry = Array[Byte](
+      (if (width == 256) 0 else width).toByte,
+      (if (height == 256) 0 else height).toByte, 0, 0) ++
+      le16(1) ++ le16(bpp) ++ le32(0) ++ le32(22)
+    dir ++ entry
+  }
+
+  def tiffHeader(width: Int, height: Int, bitsPerSample: Int,
+                 bigEndian: Boolean = false): Array[Byte] = {
+    def w16(v: Int) = if (bigEndian) Array[Byte]((v >>> 8).toByte, v.toByte)
+      else Array[Byte](v.toByte, (v >>> 8).toByte)
+    def w32(v: Int) = if (bigEndian) w16(v >>> 16) ++ w16(v & 0xffff)
+      else w16(v & 0xffff) ++ w16(v >>> 16)
+    val order = if (bigEndian) "MM" else "II"
+    // IFD at offset 8: 3 entries + next-IFD 0
+    def entry(tag: Int, typ: Int, cnt: Int, v: Int): Array[Byte] = {
+      val value = if (typ == 3) w16(v) ++ w16(0) else w32(v)
+      w16(tag) ++ w16(typ) ++ w32(cnt) ++ value
+    }
+    order.getBytes("US-ASCII") ++ w16(42) ++ w32(8) ++ w16(3) ++
+      entry(256, 4, 1, width) ++ entry(257, 4, 1, height) ++
+      entry(258, 3, 1, bitsPerSample) ++ w32(0)
+  }
+
+  /** Deterministic per-id legacy-format fixture (bmp/ico/tiff cycle;
+    * BMP alternates top-down, TIFF alternates byte order). */
+  def synthLegacyImage(id: Long): Array[Byte] = (id % 3) match {
+    case 0 => bmpHeader((id % 1920 + 1).toInt, (id % 1080 + 1).toInt,
+      Array(8, 24, 32)((id / 3 % 3).toInt), topDown = id % 2 == 0)
+    case 1 => icoHeader((id % 256 + 1).toInt, (id % 256 + 1).toInt,
+      if (id % 2 == 0) 32 else 8)
+    case _ => tiffHeader((id % 1920 + 1).toInt, (id % 1080 + 1).toInt,
+      Array(1, 8, 16)((id / 3 % 3).toInt), bigEndian = id % 2 == 0)
+  }
+
+  def synthLegacyImageCol(c: Column): Column =
+    udf { id: Long => synthLegacyImage(id) }.apply(c)
 
   // ------------------------------------------------------------------ //
   // REAL PNG pixel codec — dependency-free (java.util.zip only).

@@ -1,0 +1,200 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+import graft.text.{Html, XmlLite}
+
+/** Office/ebook document extraction — DOCX and EPUB, the two
+  * ZIP-packaged document formats a crawl meets after PDF. Both
+  * compose the layers already in the engine: [[Archives.parseZip]]
+  * for the container, tag scanning for the payload ([[Html]] for
+  * EPUB's XHTML chapters), so the only NEW parsing here is the
+  * format's own structure:
+  *
+  *  - DOCX (OOXML): `word/document.xml` — paragraphs are `<w:p>`
+  *    elements, text runs are `<w:t>` (entity-decoded,
+  *    `xml:space`-agnostic), `<w:tab/>` a tab, `<w:br/>` a line
+  *    break; everything else (run properties, tables' structure)
+  *    drops. Paragraphs join with newlines, empty ones drop.
+  *  - EPUB (OCF/OPF): `META-INF/container.xml` names the OPF; the
+  *    OPF's `<manifest>` maps ids to hrefs and `<spine>` orders them;
+  *    each spine XHTML chapter extracts through [[Html.htmlToText]].
+  *    Hrefs resolve relative to the OPF's directory.
+  *
+  * Strict on structure (bad zip, missing document.xml/container/OPF
+  * → None), tolerant on markup (tag soup truncates cleanly — crawl
+  * material).
+  */
+object Docs {
+
+  /** DOCX → (n_paragraphs, text). */
+  def docxText(zipBytes: Array[Byte]): Option[(Int, String)] = {
+    val entries = Archives.parseZip(zipBytes).getOrElse(return None)
+    val doc = entries.find(_.name == "word/document.xml")
+      .getOrElse(return None)
+    if (!doc.crc_ok) return None
+    val xml = doc.text
+    val paras = Vector.newBuilder[String]
+    var i = 0
+    var n = 0
+    while (i < xml.length) {
+      val open = xml.indexOf("<w:p>", i) match {
+        case -1 => xml.indexOf("<w:p ", i)
+        case v =>
+          val alt = xml.indexOf("<w:p ", i)
+          if (alt >= 0 && alt < v) alt else v
+      }
+      if (open < 0) { i = xml.length }
+      else {
+        val bodyStart = xml.indexOf('>', open) + 1
+        val close = xml.indexOf("</w:p>", bodyStart)
+        val body = if (close < 0) xml.substring(bodyStart)
+          else xml.substring(bodyStart, close)
+        paras += paragraphText(body)
+        n += 1
+        i = if (close < 0) xml.length else close + 6
+      }
+    }
+    Some((n, paras.result().filter(_.nonEmpty).mkString("\n")))
+  }
+
+  /** Text of one `<w:p>` body: `<w:t>` runs + tabs + breaks. */
+  private def paragraphText(body: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      if (body.regionMatches(i, "<w:t>", 0, 5) ||
+        body.regionMatches(i, "<w:t ", 0, 5)) {
+        val cs = body.indexOf('>', i) + 1
+        val ce = body.indexOf("</w:t>", cs)
+        val raw = if (ce < 0) body.substring(cs) else body.substring(cs, ce)
+        sb.append(Html.decodeEntities(raw))
+        i = if (ce < 0) body.length else ce + 6
+      } else if (body.regionMatches(i, "<w:tab/>", 0, 8)) {
+        sb.append('\t'); i += 8
+      } else if (body.regionMatches(i, "<w:br/>", 0, 7)) {
+        sb.append('\n'); i += 7
+      } else i += 1
+    }
+    sb.toString
+  }
+
+  /** EPUB → (n_chapters, text): container → OPF → spine-ordered
+    * XHTML chapters through the HTML extractor. */
+  def epubText(zipBytes: Array[Byte]): Option[(Int, String)] = {
+    val entries = Archives.parseZip(zipBytes).getOrElse(return None)
+    def entry(name: String): Option[String] =
+      entries.find(e => e.name == name && e.crc_ok).map(_.text)
+    val container = entry("META-INF/container.xml").getOrElse(return None)
+    val opfPath = attrOfTag(container, "rootfile", "full-path")
+      .getOrElse(return None)
+    val opf = entry(opfPath).getOrElse(return None)
+    val opfDir = opfPath.lastIndexOf('/') match {
+      case -1 => ""
+      case k => opfPath.substring(0, k + 1)
+    }
+    // manifest: id -> href
+    val hrefs = scala.collection.mutable.Map[String, String]()
+    foreachTag(opf, "item") { inner =>
+      for (id <- attrOf(inner, "id"); href <- attrOf(inner, "href"))
+        hrefs(id) = href
+    }
+    // spine: ordered idrefs
+    val chapters = Vector.newBuilder[String]
+    var count = 0
+    var missing = false
+    foreachTag(opf, "itemref") { inner =>
+      attrOf(inner, "idref").flatMap(hrefs.get) match {
+        case Some(href) =>
+          entry(opfDir + href) match {
+            case Some(xhtml) =>
+              chapters += Html.htmlToText(xhtml); count += 1
+            case None => missing = true
+          }
+        case None => missing = true
+      }
+    }
+    if (missing || count == 0) return None
+    Some((count, chapters.result().filter(_.nonEmpty).mkString("\n")))
+  }
+
+  /** Run `f` over the inner text of each `<tag …>` occurrence. */
+  private def foreachTag(xml: String, tag: String)(f: String => Unit): Unit = {
+    var i = 0
+    while (i < xml.length) {
+      val at = XmlLite.indexOfTag(xml, tag, i)
+      if (at < 0) return
+      val end = xml.indexOf('>', at)
+      if (end < 0) return
+      f(xml.substring(at + 1, end).stripSuffix("/"))
+      i = end + 1
+    }
+  }
+
+  private def attrOf(tagInner: String, name: String): Option[String] =
+    XmlLite.attr(tagInner, name)
+
+  private def attrOfTag(xml: String, tag: String,
+      attrName: String): Option[String] = {
+    var result: Option[String] = None
+    foreachTag(xml, tag) { inner =>
+      if (result.isEmpty) result = attrOf(inner, attrName)
+    }
+    result
+  }
+
+  // -- fixtures + Column lifts --------------------------------------- //
+
+  /** Deterministic per-id DOCX: 3 paragraphs (entity, tab, break). */
+  def synthDocx(id: Long): Array[Byte] = {
+    val d = (id % 10).toString
+    val doc =
+      "<?xml version=\"1.0\"?><w:document><w:body>" +
+        s"<w:p><w:r><w:t>Title &amp; heading $d</w:t></w:r></w:p>" +
+        s"<w:p><w:r><w:t>Cell A$d</w:t></w:r><w:r><w:tab/>" +
+        s"<w:t>Cell B$d</w:t></w:r></w:p>" +
+        s"<w:p><w:r><w:t xml:space=\"preserve\">Line one $d</w:t>" +
+        s"<w:br/><w:t>Line two $d</w:t></w:r></w:p>" +
+        "</w:body></w:document>"
+    Archives.buildZip(Seq(
+      ("[Content_Types].xml", "<Types/>", true),
+      ("word/document.xml", doc, true)))
+  }
+
+  /** Deterministic per-id EPUB: container → OPF → 2 spine chapters
+    * (the OPF lists a stylesheet the spine must NOT pull in). */
+  def synthEpub(id: Long): Array[Byte] = {
+    val d = (id % 10).toString
+    val container = "<?xml version=\"1.0\"?><container>" +
+      "<rootfiles><rootfile full-path=\"OEBPS/content.opf\" " +
+      "media-type=\"application/oebps-package+xml\"/></rootfiles></container>"
+    val opf = "<?xml version=\"1.0\"?><package><manifest>" +
+      "<item id=\"c1\" href=\"ch1.xhtml\" media-type=\"application/xhtml+xml\"/>" +
+      "<item id=\"css\" href=\"style.css\" media-type=\"text/css\"/>" +
+      "<item id=\"c2\" href=\"ch2.xhtml\" media-type=\"application/xhtml+xml\"/>" +
+      "</manifest><spine>" +
+      "<itemref idref=\"c1\"/><itemref idref=\"c2\"/></spine></package>"
+    val ch1 = s"<html><body><h1>Chapter one $d</h1>" +
+      s"<p>First body $d</p></body></html>"
+    val ch2 = s"<html><body><p>Second chapter $d &amp; end</p></body></html>"
+    Archives.buildZip(Seq(
+      ("mimetype", "application/epub+zip", false),
+      ("META-INF/container.xml", container, true),
+      ("OEBPS/content.opf", opf, true),
+      ("OEBPS/ch1.xhtml", ch1, true),
+      ("OEBPS/style.css", "p{}", true),
+      ("OEBPS/ch2.xhtml", ch2, true)))
+  }
+
+  def synthDocxCol(c: Column): Column =
+    udf { id: Long => synthDocx(id) }.apply(c)
+  def synthEpubCol(c: Column): Column =
+    udf { id: Long => synthEpub(id) }.apply(c)
+  /** bytes → struct<n_paragraphs, text>. */
+  def docxTextCol(c: Column): Column =
+    udf { b: Array[Byte] => docxText(b) }.apply(c)
+  /** bytes → struct<n_chapters, text>. */
+  def epubTextCol(c: Column): Column =
+    udf { b: Array[Byte] => epubText(b) }.apply(c)
+}

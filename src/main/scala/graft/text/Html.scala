@@ -41,7 +41,7 @@ object Html {
 
   /** Decode character references in a text chunk; unknown ones pass
     * through verbatim (tag-soup tolerance). */
-  private[text] def decodeEntities(s: String): String = {
+  private[graft] def decodeEntities(s: String): String = {
     val out = new StringBuilder
     var i = 0
     while (i < s.length) {

@@ -9,7 +9,7 @@ package graft.text
   * nested CDATA, processing-instruction tricks) is out of documented
   * scope for every caller.
   */
-private[text] object XmlLite {
+private[graft] object XmlLite {
 
   /** Start index of `<tag>` or `<tag ...>` (attribute-tolerant, also
     * matches the self-closing form `<tag .../>`). */

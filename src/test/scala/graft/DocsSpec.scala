@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Archives, Docs}
+
+class DocsSpec extends AnyFunSuite {
+
+  test("docx: paragraphs, runs, tabs, breaks, entities") {
+    val (n, text) = Docs.docxText(Docs.synthDocx(5)).get
+    assert(n == 3)
+    assert(text ==
+      "Title & heading 5\nCell A5\tCell B5\nLine one 5\nLine two 5")
+    // empty paragraphs count but contribute no text
+    val doc = "<w:document><w:body><w:p></w:p>" +
+      "<w:p><w:r><w:t>only</w:t></w:r></w:p></w:body></w:document>"
+    val zip = Archives.buildZip(Seq(("word/document.xml", doc, true)))
+    assert(Docs.docxText(zip).get == ((2, "only")))
+    // structure malformations reject
+    assert(Docs.docxText(Archives.buildZip(
+      Seq(("other.xml", "<x/>", false)))).isEmpty)
+    assert(Docs.docxText(Array[Byte](1, 2, 3)).isEmpty)
+    // corrupt member payload -> crc fails -> reject
+    val good = Docs.synthDocx(5)
+    // flip a byte inside the second member's deflate stream
+    val bad = good.clone()
+    bad(good.length / 2) = (bad(good.length / 2) ^ 0x35).toByte
+    assert(Docs.docxText(bad).isEmpty ||
+      Docs.docxText(bad).exists(_._2 != text))
+  }
+
+  test("epub: container -> opf -> spine order, css not pulled in") {
+    val (n, text) = Docs.epubText(Docs.synthEpub(7)).get
+    assert(n == 2)
+    assert(text ==
+      "Chapter one 7\nFirst body 7\nSecond chapter 7 & end")
+    // missing container rejects
+    assert(Docs.epubText(Archives.buildZip(
+      Seq(("mimetype", "application/epub+zip", false)))).isEmpty)
+    // spine pointing at a missing manifest id rejects
+    val badOpf = "<package><manifest>" +
+      "<item id=\"c1\" href=\"ch1.xhtml\"/></manifest>" +
+      "<spine><itemref idref=\"nope\"/></spine></package>"
+    val zip = Archives.buildZip(Seq(
+      ("META-INF/container.xml",
+        "<container><rootfiles><rootfile full-path=\"content.opf\"/>" +
+          "</rootfiles></container>", true),
+      ("content.opf", badOpf, true),
+      ("ch1.xhtml", "<p>x</p>", true)))
+    assert(Docs.epubText(zip).isEmpty)
+  }
+
+  test("epub: opf-relative hrefs and root-level opf both resolve") {
+    val zip = Archives.buildZip(Seq(
+      ("META-INF/container.xml",
+        "<container><rootfiles><rootfile full-path=\"book.opf\"/>" +
+          "</rootfiles></container>", true),
+      ("book.opf", "<package><manifest>" +
+        "<item id=\"a\" href=\"text/c.xhtml\"/></manifest>" +
+        "<spine><itemref idref=\"a\"/></spine></package>", true),
+      ("text/c.xhtml", "<body><p>deep chapter</p></body>", true)))
+    assert(Docs.epubText(zip).get == ((1, "deep chapter")))
+  }
+}
