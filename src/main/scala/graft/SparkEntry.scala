@@ -397,7 +397,11 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q348_code_capstone" -> (qCodeCapstone _),
     "q349_docx_text" -> (qDocxText _),
     "q350_epub_text" -> (qEpubText _),
-    "q351_legacy_image_meta" -> (qLegacyImageMeta _)
+    "q351_legacy_image_meta" -> (qLegacyImageMeta _),
+    "q352_ipynb_cells" -> (qIpynbCells _),
+    "q353_deps_rollup" -> (qDepsRollup _),
+    "q354_diff_stats" -> (qDiffStats _),
+    "q355_exif_meta" -> (qExifMeta _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

@@ -4299,4 +4299,128 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** NB-1 — Jupyter notebook extraction: deliberately SPARK-NATIVE —
+    * the .ipynb container is JSON, so the parse is codegen'd
+    * `from_json` with an explicit cells schema (Functions, not UDFs:
+    * the only per-row Scala is the markdown render, reusing
+    * [[graft.text.Markdown]] exactly as q345 gates it). Markdown
+    * cells render to text, code cells pass through raw — the shape a
+    * notebook-corpus pipeline (Stack-style) actually wants. Cell
+    * texts are closed forms of doc_id.
+    */
+  private[graft] def qIpynbCells(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Markdown
+    val d = doc(s, dir).where(col("doc_id") < 240)
+      .select(col("doc_id"), (col("doc_id") % 10).cast("string").as("dg"))
+    val json = concat(
+      lit("{\"nbformat\":4,\"cells\":[" +
+        "{\"cell_type\":\"markdown\",\"source\":[\"# Note "), col("dg"),
+      lit("\\n\",\"Body **"), col("dg"), lit("**\"]}," +
+        "{\"cell_type\":\"code\",\"source\":[\"x = "), col("dg"),
+      lit("\\n\",\"print(x)\"]}," +
+        "{\"cell_type\":\"markdown\",\"source\":[\"End "), col("dg"),
+      lit("\"]}]}"))
+    val schema = "nbformat INT, cells ARRAY<STRUCT<cell_type: STRING, " +
+      "source: ARRAY<STRING>>>"
+    d.select(col("doc_id"),
+        posexplode(from_json(json, org.apache.spark.sql.types.StructType
+          .fromDDL(schema)).getField("cells")))
+      .select(col("doc_id"), col("pos").cast("long").as("cell_idx"),
+        col("col.cell_type").as("cell_type"),
+        concat_ws("", col("col.source")).as("raw"))
+      .select(col("doc_id"), col("cell_idx"), col("cell_type"),
+        when(col("cell_type") === "markdown",
+          Markdown.mdToTextCol(col("raw"))).otherwise(col("raw"))
+          .as("text"))
+      .orderBy("doc_id", "cell_idx")
+  }
+
+  /** NB-2 — dependency-manifest rollup: package.json through
+    * codegen'd `from_json` with MAP columns (again no UDF in the
+    * parse), runtime + dev dependencies exploded and rolled up to
+    * (dep, kind) → uses + distinct version count — the
+    * ecosystem-level report a code-corpus data card carries. Version
+    * strings vary by doc digit, so n_versions exercises a real
+    * distinct aggregation the oracle replays with
+    * count(DISTINCT doc_id % 10).
+    */
+  private[graft] def qDepsRollup(s: SparkSession, dir: String): DataFrame = {
+    val d = doc(s, dir).where(col("doc_id") < 600)
+      .select(col("doc_id"), (col("doc_id") % 10).cast("string").as("dg"))
+    val express = when(col("doc_id") % 2 === 0,
+      lit(",\"express\":\"^4.18.0\"")).otherwise(lit(""))
+    val json = concat(
+      lit("{\"name\":\"pkg-"), col("dg"),
+      lit("\",\"dependencies\":{\"react\":\"^18.2.0\",\"lodash\":\"4.17."),
+      col("dg"), lit("\""), express,
+      lit("},\"devDependencies\":{\"jest\":\"^29."), col("dg"),
+      lit(".0\"}}"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "name STRING, dependencies MAP<STRING,STRING>, " +
+        "devDependencies MAP<STRING,STRING>")
+    val parsed = d.select(col("doc_id"), from_json(json, schema).as("p"))
+    val runtime = parsed.select(explode(col("p.dependencies"))
+        .as(Seq("dep", "version"))).withColumn("kind", lit("runtime"))
+    val dev = parsed.select(explode(col("p.devDependencies"))
+        .as(Seq("dep", "version"))).withColumn("kind", lit("dev"))
+    runtime.unionByName(dev)
+      .groupBy("dep", "kind")
+      .agg(count(lit(1)).as("n_uses"),
+        countDistinct(col("version")).as("n_versions"))
+      .orderBy("dep", "kind")
+  }
+
+  /** NB-3 — unified-diff stats ([[graft.text.Diffs.parse]]): patch
+    * shape for commit-data corpora — file boundaries (`---`/`+++`
+    * with `b/` stripping and the `/dev/null` deletion rule),
+    * VALIDATED `@@` hunk headers (a malformed header nulls the row,
+    * never junk counts), per-file added/removed tallies. The fixture
+    * carries a modification and a deletion per doc, closed forms
+    * throughout.
+    */
+  private[graft] def qDiffStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Diffs
+    val d = doc(s, dir).where(col("doc_id") < 240)
+      .select(col("doc_id"), (col("doc_id") % 10).cast("string").as("dg"))
+    val diff = concat(
+      lit("--- a/src/app_"), col("dg"), lit(".py\n+++ b/src/app_"),
+      col("dg"), lit(".py\n@@ -1,3 +1,4 @@\n ctx\n+new line "),
+      col("dg"), lit("\n+another "), col("dg"), lit("\n-old "),
+      col("dg"), lit("\n ctx\n--- a/README.md\n+++ /dev/null\n" +
+        "@@ -1,2 +0,0 @@\n-gone "), col("dg"), lit("\n-gone2 "),
+      col("dg"), lit("\n"))
+    d.select(col("doc_id"), posexplode(Diffs.fileDiffsCol(diff)))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col._1").as("path"),
+        col("col._2").cast("long").as("n_hunks"),
+        col("col._3").cast("long").as("n_added"),
+        col("col._4").cast("long").as("n_removed"))
+      .orderBy("doc_id", "idx")
+  }
+
+  /** MM-EXIF — EXIF orientation + capture stamp
+    * ([[graft.multimodal.Binary.parseExifMeta]]): what a
+    * vision-training pipeline must read before using a crawl image
+    * (orientation 1..8 decides the rotation/mirror fix). The APP1
+    * marker walk finds the embedded TIFF stream and the IFD0 entry
+    * walk reads tag 274 (SHORT inline) and tag 306 (ASCII via
+    * bounds-checked offset, NUL dropped). The SAME fixture bytes go
+    * through [[graft.multimodal.Binary.parseImageMeta]] for dims —
+    * the marker walk must skip APP1 correctly for SOF to resolve, so
+    * both parsers sit inside one hash.
+    */
+  private[graft] def qExifMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("jp", Binary.synthExifJpegCol(col("doc_id")))
+      .select(col("doc_id"), Binary.exifMetaCol(col("jp")).as("e"),
+        Binary.imageMetaCol(col("jp")).as("m"))
+      .select(col("doc_id"),
+        col("e.orientation").cast("long").as("orientation"),
+        col("e.datetime").as("datetime"),
+        col("m.width").cast("long").as("width"),
+        col("m.height").cast("long").as("height"))
+      .orderBy("doc_id")
+  }
+
 }

@@ -2559,6 +2559,64 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |   ELSE 16 END END AS BIGINT) AS bit_depth
         | FROM documents WHERE doc_id < 300 ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+    // q352: notebook cell closed forms (from_json + markdown render
+    // happen Spark-side; markdown cells must render, code stays raw)
+    "q352_ipynb_cells" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS dg
+        |  FROM documents WHERE doc_id < 240),
+        | g AS (SELECT d.*, i.i AS idx FROM d, range(0, 3) i(i))
+        | SELECT doc_id, CAST(idx AS BIGINT) AS cell_idx,
+        | CASE idx WHEN 1 THEN 'code' ELSE 'markdown' END AS cell_type,
+        | CASE idx
+        |  WHEN 0 THEN 'Note ' || dg || chr(10) || 'Body ' || dg
+        |  WHEN 1 THEN 'x = ' || dg || chr(10) || 'print(x)'
+        |  ELSE 'End ' || dg END AS text
+        | FROM g ORDER BY doc_id, cell_idx"""
+        .stripMargin.replaceAll("\n", " "),
+    // q353: (dep, kind) rollup replayed from the manifest closed
+    // forms — express only on even docs, version digits make
+    // n_versions a real distinct count
+    "q353_deps_rollup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 10 AS dg,
+        |   doc_id % 2 = 0 AS even FROM documents WHERE doc_id < 600)
+        | SELECT * FROM (
+        |  SELECT 'express' AS dep, 'runtime' AS kind,
+        |   count(*) FILTER (WHERE even) AS n_uses,
+        |   CAST(1 AS BIGINT) AS n_versions FROM d
+        |  UNION ALL SELECT 'jest', 'dev', count(*),
+        |   count(DISTINCT dg) FROM d
+        |  UNION ALL SELECT 'lodash', 'runtime', count(*),
+        |   count(DISTINCT dg) FROM d
+        |  UNION ALL SELECT 'react', 'runtime', count(*),
+        |   CAST(1 AS BIGINT) FROM d)
+        | ORDER BY dep, kind"""
+        .stripMargin.replaceAll("\n", " "),
+    // q354: per-file diff stats closed forms (file boundaries, hunk
+    // validation, /dev/null deletion rule all Spark-side)
+    "q354_diff_stats" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS dg
+        |  FROM documents WHERE doc_id < 240),
+        | g AS (SELECT d.*, i.i AS idx FROM d, range(0, 2) i(i))
+        | SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+        | CASE idx WHEN 0 THEN 'src/app_' || dg || '.py'
+        |  ELSE 'README.md' END AS path,
+        | CAST(1 AS BIGINT) AS n_hunks,
+        | CAST(CASE idx WHEN 0 THEN 2 ELSE 0 END AS BIGINT) AS n_added,
+        | CAST(CASE idx WHEN 0 THEN 1 ELSE 2 END AS BIGINT) AS n_removed
+        | FROM g ORDER BY doc_id, idx"""
+        .stripMargin.replaceAll("\n", " "),
+    // q355: EXIF closed forms — orientation/datetime from the APP1
+    // TIFF walk, dims from the SOF walk past it, one hash
+    "q355_exif_meta" ->
+      """SELECT doc_id,
+        | CAST(doc_id % 8 + 1 AS BIGINT) AS orientation,
+        | '2026:08:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |  ' 12:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') ||
+        |  ':00' AS datetime,
+        | CAST(doc_id % 1920 + 1 AS BIGINT) AS width,
+        | CAST(doc_id % 1080 + 1 AS BIGINT) AS height
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
     "q335_domain_stats" ->
       s"""WITH d AS (SELECT doc_id, (doc_id // 2) % 6 AS fam,
          |   CAST((doc_id // 2) % 50 AS VARCHAR) AS n

@@ -892,7 +892,7 @@ object Binary {
                     depth = u8(xb + 5).toInt // first channel's bits
                   case ("auxC", ab, ae) =>
                     val urn = new String(b.slice((ab + 4).toInt,
-                      (ae min n).toInt), "US-ASCII").takeWhile(_ != ' ')
+                      (ae min n).toInt), "US-ASCII").takeWhile(_ != '\u0000')
                     if (urn.contains(":alpha")) alpha = true
                   case _ => ()
                 }
@@ -926,7 +926,7 @@ object Binary {
     val pixi = fullBox("pixi", Array[Byte](3, bitDepth.toByte,
       bitDepth.toByte, bitDepth.toByte))
     val auxC = if (alpha) fullBox("auxC",
-      ("urn:mpeg:mpegB:cicp:systems:auxiliary:alpha ")
+      ("urn:mpeg:mpegB:cicp:systems:auxiliary:alpha\u0000")
         .getBytes("US-ASCII")) else Array.empty[Byte]
     val ipco = box("ipco", ispe ++ pixi ++ auxC)
     val meta = fullBox("meta", hdlr ++ box("iprp", ipco))
@@ -946,6 +946,122 @@ object Binary {
     udf { id: Long => synthAvif(id) }.apply(c)
   def avifMetaCol(c: Column): Column =
     udf { b: Array[Byte] => parseAvifMeta(b) }.apply(c)
+
+  /** EXIF essentials a vision-training pipeline filters on:
+    * `orientation` is the 1..8 rotation/mirror code (tag 274),
+    * `datetime` the capture stamp (tag 306, "YYYY:MM:DD HH:MM:SS"). */
+  final case class ExifMeta(orientation: Int, datetime: String)
+
+  /** EXIF decode from a JPEG's APP1 segment — the marker walk finds
+    * 0xFFE1 with the "Exif" identifier, and the payload is an
+    * embedded TIFF stream: byte order, magic 42, then the IFD0 entry
+    * walk for orientation (SHORT, inline) and DateTime (ASCII,
+    * NUL-terminated, via offset). The IFD machinery is the same
+    * grammar [[parseTiffMeta]] walks; offsets here are relative to
+    * the embedded TIFF origin, bounds-checked against the segment.
+    * None when there is no APP1/Exif, or the embedded stream is
+    * malformed — a JPEG without EXIF is not an error for
+    * [[parseImageMeta]], only for this extractor.
+    */
+  def parseExifMeta(b: Array[Byte]): Option[ExifMeta] = {
+    if (b == null || b.length < 4 || (b(0) & 0xff) != 0xff ||
+      (b(1) & 0xff) != 0xd8) return None
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    var i = 2
+    var tiffAt = -1
+    var tiffEnd = -1
+    while (tiffAt < 0 && i + 3 < b.length) {
+      if (u8(i) != 0xff) return None
+      val m = u8(i + 1)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
+      else if (m == 0xda || m == 0xd9) return None // image data: no EXIF
+      else {
+        val len = be16(i + 2)
+        if (m == 0xe1 && len >= 16 && i + 2 + len <= b.length &&
+          b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
+          b(i + 7) == 'f' && b(i + 8) == 0 && b(i + 9) == 0) {
+          tiffAt = i + 10
+          tiffEnd = i + 2 + len
+        } else i += 2 + len
+      }
+    }
+    if (tiffAt < 0 || tiffEnd > b.length) return None
+    // embedded TIFF (offsets relative to tiffAt)
+    val le = b(tiffAt) == 'I' && b(tiffAt + 1) == 'I'
+    val bigE = b(tiffAt) == 'M' && b(tiffAt + 1) == 'M'
+    if (!le && !bigE) return None
+    def t16(off: Long): Int = {
+      val a = tiffAt + off.toInt
+      if (le) u8(a) | (u8(a + 1) << 8) else (u8(a) << 8) | u8(a + 1)
+    }
+    def t32(off: Long): Long =
+      if (le) t16(off).toLong | (t16(off + 2).toLong << 16)
+      else (t16(off).toLong << 16) | t16(off + 2).toLong
+    val n = (tiffEnd - tiffAt).toLong
+    if (n < 8 || t16(2) != 42) return None
+    val ifd = t32(4)
+    if (ifd + 2 > n) return None
+    val cnt = t16(ifd)
+    var orientation = -1
+    var datetime = ""
+    var k = 0
+    while (k < cnt) {
+      val e = ifd + 2 + k * 12L
+      if (e + 12 > n) return None
+      val tag = t16(e)
+      val typ = t16(e + 2)
+      val valCnt = t32(e + 4)
+      if (tag == 274 && typ == 3 && valCnt == 1L)
+        orientation = t16(e + 8)
+      else if (tag == 306 && typ == 2 && valCnt >= 2 && valCnt <= 32) {
+        val off = t32(e + 8)
+        if (off + valCnt > n) return None
+        datetime = new String(b, tiffAt + off.toInt,
+          valCnt.toInt - 1, "US-ASCII") // NUL terminator dropped
+      }
+      k += 1
+    }
+    if (orientation < 1 || orientation > 8) None
+    else Some(ExifMeta(orientation, datetime))
+  }
+
+  /** JPEG with a real EXIF APP1 (little-endian embedded TIFF: IFD0
+    * carrying orientation + NUL-terminated DateTime) spliced between
+    * SOI and the [[jpegHeader]] body — [[parseImageMeta]] still reads
+    * dims from SOF past it, [[parseExifMeta]] reads the EXIF. */
+  def jpegWithExif(width: Int, height: Int, orientation: Int,
+                   datetime: String): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16(v >>> 16)
+    val dt = datetime.getBytes("US-ASCII") :+ 0.toByte
+    // IFD: 2 entries + next-IFD(0); DateTime bytes follow at offset
+    // 8 (tiff header) + 2 + 24 + 4 = 38
+    val ifd = le16(2) ++
+      (le16(274) ++ le16(3) ++ le32(1) ++ le16(orientation) ++ le16(0)) ++
+      (le16(306) ++ le16(2) ++ le32(dt.length) ++ le32(38)) ++
+      le32(0)
+    val tiff = "II".getBytes("US-ASCII") ++ le16(42) ++ le32(8) ++
+      ifd ++ dt
+    val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte) ++
+      Array[Byte](((payload.length + 2) >>> 8).toByte,
+        ((payload.length + 2) & 0xff).toByte) ++ payload
+    val base = jpegHeader(width, height)
+    base.take(2) ++ app1 ++ base.drop(2)
+  }
+
+  /** Deterministic per-id EXIF fixture (orientation cycles 1..8,
+    * capture stamp varies by the id digit). */
+  def synthExifJpeg(id: Long): Array[Byte] =
+    jpegWithExif((id % 1920 + 1).toInt, (id % 1080 + 1).toInt,
+      (id % 8 + 1).toInt,
+      f"2026:08:${id % 28 + 1}%02d 12:${id % 60}%02d:00")
+
+  def synthExifJpegCol(c: Column): Column =
+    udf { id: Long => synthExifJpeg(id) }.apply(c)
+  def exifMetaCol(c: Column): Column =
+    udf { b: Array[Byte] => parseExifMeta(b) }.apply(c)
 
   // ------------------------------------------------------------------ //
   // Legacy raster metadata: BMP / ICO / TIFF — the long tail a crawl
@@ -981,7 +1097,7 @@ object Binary {
     Some(ImageMeta("ico", w, h, if (bpp == 0) 32 else bpp))
   }
 
-  /** TIFF: both byte orders ("II* 0" little / "MM 0*" big),
+  /** TIFF: both byte orders (II little / MM big, magic 42),
     * first-IFD walk for ImageWidth(256) / ImageLength(257) /
     * BitsPerSample(258, inline SHORT or via offset for multi-sample —
     * first sample reported). Cursors Long (unsigned-32 offsets). */

@@ -43,6 +43,29 @@ class LegacyImageSpec extends AnyFunSuite {
     assert(Binary.parseTiffMeta(trunc).isEmpty)
   }
 
+  test("exif: orientation + datetime from APP1, dims still resolve") {
+    val jp = Binary.jpegWithExif(640, 480, 6, "2026:08:16 12:34:56")
+    assert(Binary.parseExifMeta(jp).get
+      == Binary.ExifMeta(6, "2026:08:16 12:34:56"))
+    // the marker walk past APP1 still reaches SOF
+    assert(Binary.parseImageMeta(jp).get
+      == Binary.ImageMeta("jpeg", 640, 480, 8))
+    // plain JPEG without EXIF: None, not an error
+    assert(Binary.parseExifMeta(Binary.jpegHeader(10, 10)).isEmpty)
+    // truncated APP1 rejects
+    assert(Binary.parseExifMeta(jp.take(20).toArray).isEmpty)
+    // bad orientation code rejects
+    val bad = Binary.jpegWithExif(10, 10, 9, "2026:01:01 00:00:00")
+    assert(Binary.parseExifMeta(bad).isEmpty)
+    // synth battery round-trips
+    (0L until 40L).foreach { id =>
+      val m = Binary.parseExifMeta(Binary.synthExifJpeg(id)).get
+      assert(m.orientation == (id % 8 + 1).toInt)
+      assert(m.datetime ==
+        f"2026:08:${id % 28 + 1}%02d 12:${id % 60}%02d:00")
+    }
+  }
+
   test("parseImageMeta dispatches all legacy formats") {
     assert(Binary.parseImageMeta(Binary.bmpHeader(3, 4, 24)).get.format
       == "bmp")

@@ -177,6 +177,13 @@ class PropertySpec extends AnyFunSuite {
       Robots.crawlDelay(s, "bot"); true
     })
     check("sitemap", Prop.forAll(anyStr) { s => Sitemap.parse(s); true })
+    check("feeds-md-code-diff", Prop.forAll(anyStr) { s =>
+      graft.text.Feeds.parse(s)
+      graft.text.Markdown.mdToText(s)
+      graft.text.Code.langOf("f.py", s); graft.text.Code.langOf(s, s)
+      graft.text.Code.statsOf(s, "python"); graft.text.Code.licenseOf(s)
+      graft.text.Diffs.parse(s); true
+    })
   }
 
   test("binary parsers never throw on arbitrary bytes") {
@@ -189,6 +196,40 @@ class PropertySpec extends AnyFunSuite {
     check("media", Prop.forAll(anyBytes) { b =>
       Binary.parseImageMeta(b); Binary.parseWebpMeta(b)
       Binary.parseAudioMeta(b); Vp8l.decode(b); true
+    })
+    check("docs-archives", Prop.forAll(anyBytes) { b =>
+      graft.multimodal.Pdf.parse(b)
+      graft.multimodal.Binary.parseAvifMeta(b)
+      graft.multimodal.Binary.parseExifMeta(b)
+      graft.multimodal.Binary.parseBmpMeta(b)
+      graft.multimodal.Binary.parseIcoMeta(b)
+      graft.multimodal.Binary.parseTiffMeta(b)
+      graft.sources.Archives.parseZip(b)
+      graft.sources.Archives.parseTar(b)
+      graft.sources.Archives.parseTarGz(b)
+      graft.sources.Docs.docxText(b); graft.sources.Docs.epubText(b)
+      true
+    })
+    // mutation fuzz: corrupt VALID containers anywhere — parsers must
+    // stay total (None / surviving prefix), never throw or hang
+    check("mutate-valid", Prop.forAll(
+      Gen.choose(0L, 63L), Gen.choose(0, 1 << 16),
+      Gen.choose(0, 255)) { (id, posSeed, v) =>
+      def mut(b: Array[Byte]): Array[Byte] = {
+        val c = b.clone(); val p = posSeed % c.length
+        c(p) = v.toByte; c
+      }
+      graft.multimodal.Pdf.parse(mut(graft.multimodal.Pdf.synthPdf(id)))
+      graft.sources.Archives.parseZip(mut(
+        graft.sources.Archives.synthZip(id)))
+      graft.sources.Archives.parseTarGz(mut(
+        graft.sources.Archives.synthTarGz(id)))
+      graft.sources.Docs.epubText(mut(graft.sources.Docs.synthEpub(id)))
+      graft.multimodal.Binary.parseImageMeta(mut(
+        graft.multimodal.Binary.synthLegacyImage(id)))
+      graft.multimodal.Binary.parseExifMeta(mut(
+        graft.multimodal.Binary.synthExifJpeg(id)))
+      true
     })
   }
 
