@@ -401,7 +401,11 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q352_ipynb_cells" -> (qIpynbCells _),
     "q353_deps_rollup" -> (qDepsRollup _),
     "q354_diff_stats" -> (qDiffStats _),
-    "q355_exif_meta" -> (qExifMeta _)
+    "q355_exif_meta" -> (qExifMeta _),
+    "q356_subtitles" -> (qSubtitles _),
+    "q357_page_meta" -> (qPageMeta _),
+    "q358_svg_meta" -> (qSvgMeta _),
+    "q359_id3_meta" -> (qId3Meta _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

@@ -4423,4 +4423,98 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** MM-SUB — subtitle parsing ([[graft.text.Subtitles]]): the text
+    * half of a video-training pair. Even docs an SRT (comma
+    * millis, multi-line cue text, minute-hour carries), odd docs a
+    * WebVTT (dot millis, hour field OPTIONAL, a cue identifier line
+    * and trailing cue settings that must be tolerated but not
+    * surface). Cue indexes, timestamps (exercising the sexagesimal
+    * carry math) and texts are closed forms of doc_id.
+    */
+  private[graft] def qSubtitles(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Subtitles
+    val d = doc(s, dir).where(col("doc_id") < 240)
+      .select(col("doc_id"), (col("doc_id") % 10).cast("string").as("dg"))
+    val srt = concat(
+      lit("1\n00:00:01,000 --> 00:00:02,500\nHello "), col("dg"),
+      lit("\n\n2\n00:00:03,000 --> 00:00:04,000\nLine one "), col("dg"),
+      lit("\nLine two "), col("dg"),
+      lit("\n\n3\n00:01:00,000 --> 00:01:30,250\nEnd "), col("dg"))
+    val vtt = concat(
+      lit("WEBVTT\n\n00:05.000 --> 00:07.100\nIntro "), col("dg"),
+      lit("\n\ncue-2\n00:00:10.000 --> 00:00:12.000 align:start\nBody "),
+      col("dg"))
+    val text = when(col("doc_id") % 2 === 0, srt).otherwise(vtt)
+    d.select(col("doc_id"), posexplode(Subtitles.cuesCol(text)))
+      .select(col("doc_id"),
+        col("col._1").cast("long").as("cue_idx"),
+        col("col._2").as("start_ms"), col("col._3").as("end_ms"),
+        col("col._4").as("cue_text"))
+      .orderBy("doc_id", "cue_idx")
+  }
+
+  /** IDX-META — page-head metadata ([[graft.text.Html.pageMeta]]):
+    * what an indexer reads before the body — title (entity-decoded),
+    * meta description, rel=canonical, OpenGraph title. Odd docs omit
+    * canonical/og (absent = empty string, not an error — the absent
+    * case must sit inside the hash too); a commented-out title must
+    * NOT win over the real one.
+    */
+  private[graft] def qPageMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Html
+    val d = doc(s, dir).where(col("doc_id") < 240)
+      .select(col("doc_id"), (col("doc_id") % 10).cast("string").as("dg"))
+    val extras = when(col("doc_id") % 2 === 0, concat(
+      lit("<link rel=\"canonical\" href=\"http://site.com/p"), col("dg"),
+      lit("\"/><meta property=\"og:title\" content=\"OG "), col("dg"),
+      lit("\">"))).otherwise(lit(""))
+    val html = concat(
+      lit("<html><head><!-- <title>decoy</title> --><title>Page &amp; "),
+      col("dg"), lit("</title><meta name=\"description\" content=\"Desc "),
+      col("dg"), lit("\">"), extras,
+      lit("</head><body>x</body></html>"))
+    d.select(col("doc_id"), Html.pageMetaCol(html).as("m"))
+      .select(col("doc_id"), col("m._1").as("title"),
+        col("m._2").as("description"), col("m._3").as("canonical"),
+        col("m._4").as("og_title"))
+      .orderBy("doc_id")
+  }
+
+  /** MM-SVG — SVG metadata ([[graft.multimodal.Binary.parseSvgMeta]]):
+    * the vector image format; attribute dims (px suffixes stripped)
+    * on even docs, the viewBox fallback on odd — both paths inside
+    * the hash.
+    */
+  private[graft] def qSvgMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("m", Binary.svgMetaCol(Binary.synthSvgCol(col("doc_id"))))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.width").cast("long").as("width"),
+        col("m.height").cast("long").as("height"))
+      .orderBy("doc_id")
+  }
+
+  /** MM-ID3 — ID3v2 tag content ([[graft.multimodal.Binary.parseId3v2]]):
+    * the metadata q328's frame walk skips. v2.4 syncsafe and v2.3
+    * plain-BE frame sizes alternate by doc parity; the SAME tagged
+    * bytes flow through [[graft.multimodal.Binary.parseAudioMeta]],
+    * so the tag-skip arithmetic inside the MP3 walk sits in the hash
+    * beside the tag read itself.
+    */
+  private[graft] def qId3Meta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("b", Binary.synthTaggedMp3Col(col("doc_id")))
+      .select(col("doc_id"), Binary.id3MetaCol(col("b")).as("t"),
+        Binary.audioMetaCol(col("b")).as("a"))
+      .select(col("doc_id"),
+        col("t.version").cast("long").as("version"),
+        col("t.title").as("title"), col("t.artist").as("artist"),
+        col("t.album").as("album"),
+        col("a.sample_rate").cast("long").as("sample_rate"),
+        col("a.n_frames").as("n_samples"))
+      .orderBy("doc_id")
+  }
+
 }

@@ -2617,6 +2617,65 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         | CAST(doc_id % 1080 + 1 AS BIGINT) AS height
         | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+    // q356: subtitle cue closed forms — SRT on even docs, VTT (with
+    // cue ids + settings tolerated) on odd; sexagesimal carries in
+    // the expected millis
+    "q356_subtitles" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS dg,
+        |   doc_id % 2 = 0 AS is_srt FROM documents WHERE doc_id < 240),
+        | g AS (SELECT d.*, i.i + 1 AS idx FROM d, range(0, 3) i(i)
+        |  WHERE is_srt OR i.i < 2)
+        | SELECT doc_id, CAST(idx AS BIGINT) AS cue_idx,
+        | CAST(CASE WHEN is_srt THEN
+        |   CASE idx WHEN 1 THEN 1000 WHEN 2 THEN 3000 ELSE 60000 END
+        |  ELSE CASE idx WHEN 1 THEN 5000 ELSE 10000 END
+        |  END AS BIGINT) AS start_ms,
+        | CAST(CASE WHEN is_srt THEN
+        |   CASE idx WHEN 1 THEN 2500 WHEN 2 THEN 4000 ELSE 90250 END
+        |  ELSE CASE idx WHEN 1 THEN 7100 ELSE 12000 END
+        |  END AS BIGINT) AS end_ms,
+        | CASE WHEN is_srt THEN
+        |   CASE idx WHEN 1 THEN 'Hello ' || dg
+        |    WHEN 2 THEN 'Line one ' || dg || chr(10) || 'Line two ' || dg
+        |    ELSE 'End ' || dg END
+        |  ELSE CASE idx WHEN 1 THEN 'Intro ' || dg
+        |   ELSE 'Body ' || dg END END AS cue_text
+        | FROM g ORDER BY doc_id, cue_idx"""
+        .stripMargin.replaceAll("\n", " "),
+    // q357: page-head metadata closed forms (commented-out decoy
+    // title excluded, canonical/og absent on odd docs)
+    "q357_page_meta" ->
+      """SELECT doc_id,
+        | 'Page & ' || (doc_id % 10) AS title,
+        | 'Desc ' || (doc_id % 10) AS description,
+        | CASE WHEN doc_id % 2 = 0
+        |  THEN 'http://site.com/p' || (doc_id % 10) ELSE '' END
+        |  AS canonical,
+        | CASE WHEN doc_id % 2 = 0 THEN 'OG ' || (doc_id % 10) ELSE '' END
+        |  AS og_title
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    // q358: SVG dims — attribute path (even) and viewBox path (odd)
+    "q358_svg_meta" ->
+      """SELECT doc_id, 'svg' AS format,
+        | CAST(doc_id % 1920 + 1 AS BIGINT) AS width,
+        | CAST(doc_id % 1080 + 1 AS BIGINT) AS height
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    // q359: ID3v2 tag content + the MP3 walk past it (q328's frame
+    // math: MPEG-1, frames = id%10+1, 1152 samples each)
+    "q359_id3_meta" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT)
+        |  AS version,
+        | 'Track ' || (doc_id % 100) AS title,
+        | 'Artist ' || (doc_id % 30) AS artist,
+        | 'Album ' || (doc_id % 12) AS album,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |  ELSE 32000 END AS BIGINT) AS sample_rate,
+        | CAST((doc_id % 10 + 1) * 1152 AS BIGINT) AS n_samples
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
     "q335_domain_stats" ->
       s"""WITH d AS (SELECT doc_id, (doc_id // 2) % 6 AS fam,
          |   CAST((doc_id // 2) % 50 AS VARCHAR) AS n

@@ -1063,6 +1063,149 @@ object Binary {
   def exifMetaCol(c: Column): Column =
     udf { b: Array[Byte] => parseExifMeta(b) }.apply(c)
 
+  /** ID3v2 text content — the metadata the MP3 walk (q328) skips:
+    * title/artist/album from TIT2/TPE1/TALB text frames. */
+  final case class Id3Meta(version: Int, title: String, artist: String,
+                           album: String)
+
+  /** ID3v2.3/2.4 parse: "ID3" + major version + syncsafe 28-bit tag
+    * size, then a frame walk — 4-char ids, v4 syncsafe / v3 plain BE
+    * frame sizes, 2 flag bytes, and text frames prefixed by an
+    * encoding byte (0 = Latin-1, 3 = UTF-8; UTF-16 variants are
+    * rejected rather than mis-decoded). Padding (a zero where a frame
+    * id should start) ends the walk. None for v2.2 or malformed
+    * framing.
+    */
+  def parseId3v2(b: Array[Byte]): Option[Id3Meta] = {
+    if (b == null || b.length < 10 || b(0) != 'I' || b(1) != 'D' ||
+      b(2) != '3') return None
+    def u8(i: Long): Int = b(i.toInt) & 0xff
+    val major = u8(3)
+    if (major != 3 && major != 4) return None
+    val tagSize = ((u8(6) & 0x7f) << 21) | ((u8(7) & 0x7f) << 14) |
+      ((u8(8) & 0x7f) << 7) | (u8(9) & 0x7f)
+    val end = math.min(10L + tagSize, b.length.toLong)
+    var i = 10L
+    var title = ""; var artist = ""; var album = ""
+    while (i + 10 <= end) {
+      if (u8(i) == 0) { i = end } // padding begins
+      else {
+        val id = new String(b, i.toInt, 4, "US-ASCII")
+        if (!id.forall(c => c.isUpper || c.isDigit)) return None
+        val size =
+          if (major == 4)
+            ((u8(i + 4) & 0x7f) << 21) | ((u8(i + 5) & 0x7f) << 14) |
+              ((u8(i + 6) & 0x7f) << 7) | (u8(i + 7) & 0x7f)
+          else (u8(i + 4) << 24) | (u8(i + 5) << 16) | (u8(i + 6) << 8) |
+            u8(i + 7)
+        if (size < 0 || i + 10 + size > end) return None
+        if (id.startsWith("T") && size >= 1) {
+          val enc = u8(i + 10)
+          val text = enc match {
+            case 0 => new String(b, i.toInt + 11, size - 1,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            case 3 => new String(b, i.toInt + 11, size - 1,
+              java.nio.charset.StandardCharsets.UTF_8)
+            case _ => return None // UTF-16 variants: reject, not garble
+          }
+          val clean = text.takeWhile(_ != ' ')
+          id match {
+            case "TIT2" => title = clean
+            case "TPE1" => artist = clean
+            case "TALB" => album = clean
+            case _ => ()
+          }
+        }
+        i += 10 + size
+      }
+    }
+    Some(Id3Meta(major, title, artist, album))
+  }
+
+  /** ID3v2 builder (v3 or v4 framing) for (title, artist, album). */
+  def id3v2(major: Int, title: String, artist: String,
+            album: String): Array[Byte] = {
+    require(major == 3 || major == 4)
+    def frame(id: String, text: String): Array[Byte] = {
+      val payload = 0.toByte +: text.getBytes(
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val n = payload.length
+      val size =
+        if (major == 4) Array[Byte](((n >> 21) & 0x7f).toByte,
+          ((n >> 14) & 0x7f).toByte, ((n >> 7) & 0x7f).toByte,
+          (n & 0x7f).toByte)
+        else Array[Byte]((n >>> 24).toByte, (n >>> 16).toByte,
+          (n >>> 8).toByte, n.toByte)
+      id.getBytes("US-ASCII") ++ size ++ Array[Byte](0, 0) ++ payload
+    }
+    val frames = frame("TIT2", title) ++ frame("TPE1", artist) ++
+      frame("TALB", album)
+    val n = frames.length
+    "ID3".getBytes("US-ASCII") ++
+      Array[Byte](major.toByte, 0, 0, ((n >> 21) & 0x7f).toByte,
+        ((n >> 14) & 0x7f).toByte, ((n >> 7) & 0x7f).toByte,
+        (n & 0x7f).toByte) ++ frames
+  }
+
+  /** Deterministic per-id ID3v2-tagged MP3: the tag prepends the
+    * q328 synthetic frame chain, so [[parseAudioMeta]] must still
+    * walk the frames past it while [[parseId3v2]] reads the tag. */
+  def synthTaggedMp3(id: Long): Array[Byte] =
+    id3v2(if (id % 2 == 0) 4 else 3, s"Track ${id % 100}",
+      s"Artist ${id % 30}", s"Album ${id % 12}") ++ synthMp3(id)
+
+  def synthTaggedMp3Col(c: Column): Column =
+    udf { id: Long => synthTaggedMp3(id) }.apply(c)
+  def id3MetaCol(c: Column): Column =
+    udf { b: Array[Byte] => parseId3v2(b) }.apply(c)
+
+  /** SVG metadata — the vector format in every crawl. The document is
+    * XML text: the `<svg>` root's width/height attributes (unit
+    * suffixes like `px` stripped; only integral values reported) with
+    * the `viewBox` third/fourth numbers as the fallback. bit_depth
+    * reports 8 (SVG rasterizes to 8-bit channels). */
+  def parseSvgMeta(b: Array[Byte]): Option[ImageMeta] = {
+    if (b == null || b.length < 5) return None
+    val head = new String(b, 0, math.min(b.length, 4096),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val at = graft.text.XmlLite.indexOfTag(head, "svg", 0)
+    if (at < 0) return None
+    val end = head.indexOf('>', at)
+    if (end < 0) return None
+    val inner = head.substring(at + 1, end).stripSuffix("/")
+    def dim(name: String): Option[Int] =
+      graft.text.XmlLite.attr(inner, name)
+        .map(_.stripSuffix("px").trim).flatMap(_.toIntOption)
+    val fromAttrs = for (w <- dim("width"); h <- dim("height"))
+      yield (w, h)
+    val fromViewBox = graft.text.XmlLite.attr(inner, "viewBox")
+      .map(_.trim.split("[ ,]+")).filter(_.length == 4)
+      .flatMap { p =>
+        for (w <- p(2).toIntOption; h <- p(3).toIntOption) yield (w, h)
+      }
+    fromAttrs.orElse(fromViewBox).collect {
+      case (w, h) if w > 0 && h > 0 => ImageMeta("svg", w, h, 8)
+    }
+  }
+
+  /** Deterministic per-id SVG (attribute dims on even ids, viewBox
+    * fallback on odd). */
+  def synthSvg(id: Long): Array[Byte] = {
+    val w = (id % 1920 + 1).toInt
+    val h = (id % 1080 + 1).toInt
+    val s =
+      if (id % 2 == 0)
+        s"""<?xml version="1.0"?><svg xmlns="http://www.w3.org/2000/svg" width="${w}px" height="$h"><rect/></svg>"""
+      else
+        s"""<svg viewBox="0 0 $w $h"><circle r="1"/></svg>"""
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  def synthSvgCol(c: Column): Column =
+    udf { id: Long => synthSvg(id) }.apply(c)
+  def svgMetaCol(c: Column): Column =
+    udf { b: Array[Byte] => parseSvgMeta(b) }.apply(c)
+
   // ------------------------------------------------------------------ //
   // Legacy raster metadata: BMP / ICO / TIFF — the long tail a crawl
   // still meets (scans, favicons, uploads). Header arithmetic only.

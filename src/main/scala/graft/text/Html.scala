@@ -184,6 +184,76 @@ object Html {
     None
   }
 
+  /** The page-level metadata an indexer extracts before the body:
+    * `<title>`, `<meta name="description">`, `<link rel="canonical">`
+    * and the OpenGraph title. Empty string = absent (a page without a
+    * canonical is normal, not an error). */
+  final case class PageMeta(title: String, description: String,
+                            canonical: String, og_title: String)
+
+  /** Head-metadata extraction with the same tag walk discipline as
+    * [[extractLinks]] (comments skipped, attribute quoting forms
+    * tolerated, first occurrence wins, entities decoded). */
+  def pageMeta(html: String): PageMeta = {
+    var title = ""; var desc = ""; var canonical = ""; var og = ""
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val end = html.indexOf('>', i + 1)
+          val inner = if (end < 0) html.substring(i + 1)
+            else html.substring(i + 1, end)
+          val isClose = inner.startsWith("/")
+          val name = inner.stripPrefix("/")
+            .takeWhile(_.isLetterOrDigit).toLowerCase
+          if (!isClose && name == "title" && title.isEmpty && end >= 0) {
+            val close = html.toLowerCase.indexOf("</title>", end + 1)
+            val raw = if (close < 0) html.substring(end + 1)
+              else html.substring(end + 1, close)
+            title = decodeEntities(raw).trim
+            i = if (close < 0) n else close + 8
+          } else {
+            if (!isClose && name == "meta") {
+              val tagInner = inner.stripSuffix("/")
+              val content = XmlLite.attr(tagInner, "content")
+              XmlLite.attr(tagInner, "name").map(_.toLowerCase) match {
+                case Some("description") if desc.isEmpty =>
+                  desc = content.getOrElse("")
+                case _ =>
+                  XmlLite.attr(tagInner, "property")
+                    .map(_.toLowerCase) match {
+                    case Some("og:title") if og.isEmpty =>
+                      og = content.getOrElse("")
+                    case _ => ()
+                  }
+              }
+            } else if (!isClose && name == "link" && canonical.isEmpty) {
+              val tagInner = inner.stripSuffix("/")
+              if (XmlLite.attr(tagInner, "rel").map(_.toLowerCase)
+                .contains("canonical"))
+                canonical = XmlLite.attr(tagInner, "href").getOrElse("")
+            }
+            i = if (end < 0) n else end + 1
+          }
+        }
+      } else i += 1
+    }
+    PageMeta(title, desc, canonical, og)
+  }
+
+  /** html → struct<title, description, canonical, og_title>. */
+  def pageMetaCol(c: Column): Column =
+    udf { s: String =>
+      Option(s).map { h =>
+        val m = pageMeta(h)
+        (m.title, m.description, m.canonical, m.og_title)
+      }
+    }.apply(c)
+
   /** html → array<string> of href values. */
   def linksCol(c: Column): Column =
     udf { s: String => Option(s).map(extractLinks) }.apply(c)

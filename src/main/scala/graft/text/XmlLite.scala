@@ -44,10 +44,13 @@ private[graft] object XmlLite {
   }
 
   /** Value of `name="..."` / `name='...'` inside a tag's inner text
-    * (the part between `<` and `>`), entity-decoded. */
+    * (the part between `<` and `>`), entity-decoded. Matching is
+    * case-insensitive on BOTH sides (attribute names are
+    * case-insensitive in HTML and mixed-case in the wild: viewBox). */
   def attr(tagInner: String, name: String): Option[String] = {
     val lower = tagInner.toLowerCase
-    var at = lower.indexOf(name)
+    val needle = name.toLowerCase
+    var at = lower.indexOf(needle)
     while (at >= 0) {
       val beforeOk = at > 0 && lower.charAt(at - 1).isWhitespace
       var j = at + name.length
@@ -66,7 +69,7 @@ private[graft] object XmlLite {
         return Some(Html.decodeEntities(
           tagInner.substring(j).takeWhile(!_.isWhitespace)))
       }
-      at = lower.indexOf(name, at + name.length)
+      at = lower.indexOf(needle, at + name.length)
     }
     None
   }

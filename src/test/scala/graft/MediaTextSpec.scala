@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Binary
+import graft.text.{Html, Subtitles}
+
+class MediaTextSpec extends AnyFunSuite {
+
+  test("srt: cues, multi-line text, minute carries, strictness") {
+    val srt = "1\n00:00:01,000 --> 00:00:02,500\nHello\n\n" +
+      "2\n00:01:10,250 --> 01:00:00,000\nA\nB\n"
+    val cs = Subtitles.parseSrt(srt).get
+    assert(cs(0) == Subtitles.Cue(1, 1000, 2500, "Hello"))
+    assert(cs(1) == Subtitles.Cue(2, 70250, 3600000, "A\nB"))
+    // end <= start rejects
+    assert(Subtitles.parseSrt(
+      "1\n00:00:02,000 --> 00:00:01,000\nx").isEmpty)
+    // malformed stamp rejects
+    assert(Subtitles.parseSrt("1\n00:00:1,000 --> 00:00:02,000\nx")
+      .isEmpty)
+    assert(Subtitles.parseSrt("1\n00:00:01,00 --> 00:00:02,000\nx")
+      .isEmpty)
+    assert(Subtitles.parseSrt("nonsense").isEmpty)
+    assert(Subtitles.parseSrt(null).isEmpty)
+  }
+
+  test("vtt: optional hours, cue ids, settings, NOTE blocks") {
+    val vtt = "WEBVTT\n\nNOTE a comment\n\n00:05.000 --> 00:07.100\nIntro\n\n" +
+      "my-cue\n00:00:10.000 --> 00:00:12.000 align:start\nBody\n"
+    val cs = Subtitles.parseVtt(vtt).get
+    assert(cs(0) == Subtitles.Cue(1, 5000, 7100, "Intro"))
+    assert(cs(1) == Subtitles.Cue(2, 10000, 12000, "Body"))
+    // SRT-style comma millis reject in VTT
+    assert(Subtitles.parseVtt(
+      "WEBVTT\n\n00:01,000 --> 00:02,000\nx").isEmpty)
+    // missing magic rejects
+    assert(Subtitles.parseVtt("00:01.000 --> 00:02.000\nx").isEmpty)
+  }
+
+  test("pageMeta: title, description, canonical, og, decoys") {
+    val html = "<html><head><!-- <title>decoy</title> -->" +
+      "<title>Real &amp; Title</title>" +
+      "<meta name=\"description\" content=\"the desc\">" +
+      "<link rel=\"canonical\" href=\"http://c.com/x\"/>" +
+      "<meta property=\"og:title\" content=\"og t\">" +
+      "</head><body><title>late</title></body></html>"
+    val m = Html.pageMeta(html)
+    assert(m == Html.PageMeta("Real & Title", "the desc",
+      "http://c.com/x", "og t"))
+    // absent fields are empty, first occurrence wins
+    val bare = Html.pageMeta("<title>A</title><title>B</title>")
+    assert(bare.title == "A" && bare.canonical == "")
+    assert(Html.pageMeta("no tags at all") ==
+      Html.PageMeta("", "", "", ""))
+  }
+
+  test("svg: attribute dims, px suffix, viewBox fallback") {
+    assert(Binary.parseSvgMeta(
+      "<svg width=\"640px\" height=\"480\"/>".getBytes("UTF-8")).get
+      == Binary.ImageMeta("svg", 640, 480, 8))
+    assert(Binary.parseSvgMeta(
+      "<?xml version=\"1.0\"?><svg viewBox=\"0 0 32 16\"></svg>"
+        .getBytes("UTF-8")).get == Binary.ImageMeta("svg", 32, 16, 8))
+    // width wins over viewBox when both parse
+    assert(Binary.parseSvgMeta(
+      "<svg width=\"1\" height=\"2\" viewBox=\"0 0 9 9\"/>"
+        .getBytes("UTF-8")).get.width == 1)
+    assert(Binary.parseSvgMeta("<svg/>".getBytes("UTF-8")).isEmpty)
+    assert(Binary.parseSvgMeta("not xml".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("id3v2: v3/v4 framing, NUL strip, tagged mp3 walks both ways") {
+    val t4 = Binary.parseId3v2(Binary.id3v2(4, "T", "A", "B")).get
+    assert(t4 == Binary.Id3Meta(4, "T", "A", "B"))
+    val t3 = Binary.parseId3v2(Binary.id3v2(3, "Ti tle", "Ar", "Al")).get
+    assert(t3 == Binary.Id3Meta(3, "Ti tle", "Ar", "Al"))
+    // v2.2 and garbage reject
+    val v2 = Binary.id3v2(3, "x", "y", "z"); v2(3) = 2
+    assert(Binary.parseId3v2(v2).isEmpty)
+    assert(Binary.parseId3v2("IDX".getBytes("US-ASCII")).isEmpty)
+    // the tagged fixture: tag reads AND the mp3 walk skips it
+    val b = Binary.synthTaggedMp3(7)
+    assert(Binary.parseId3v2(b).get.title == "Track 7")
+    val a = Binary.parseAudioMeta(b).get
+    assert(a.format == "mp3" && a.n_frames == 8 * 1152)
+  }
+}

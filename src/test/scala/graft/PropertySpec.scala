@@ -184,6 +184,11 @@ class PropertySpec extends AnyFunSuite {
       graft.text.Code.statsOf(s, "python"); graft.text.Code.licenseOf(s)
       graft.text.Diffs.parse(s); true
     })
+    check("subs-pagemeta", Prop.forAll(anyStr) { s =>
+      graft.text.Subtitles.parseSrt(s)
+      graft.text.Subtitles.parseVtt("WEBVTT\n\n" + s)
+      graft.text.Html.pageMeta(s); true
+    })
   }
 
   test("binary parsers never throw on arbitrary bytes") {
@@ -208,6 +213,8 @@ class PropertySpec extends AnyFunSuite {
       graft.sources.Archives.parseTar(b)
       graft.sources.Archives.parseTarGz(b)
       graft.sources.Docs.docxText(b); graft.sources.Docs.epubText(b)
+      graft.multimodal.Binary.parseId3v2(b)
+      graft.multimodal.Binary.parseSvgMeta(b)
       true
     })
     // mutation fuzz: corrupt VALID containers anywhere — parsers must
