@@ -4517,4 +4517,54 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** MM-CAP — the vision-pair capstone, fourth composed end-to-end
+    * row (q327 ingest, q338 frontier, q348 code): per doc an
+    * EXIF-tagged JPEG and an SRT caption track flow through THREE
+    * parser families — [[graft.multimodal.Binary.parseImageMeta]]
+    * (dims via the APP1-skipping marker walk),
+    * [[graft.multimodal.Binary.parseExifMeta]] (orientation), and
+    * [[graft.text.Subtitles]] (cue count + caption chars + covered
+    * millis) — then join on doc_id into the training-pair manifest a
+    * vision pipeline filters on: `usable` = landscape-or-square,
+    * upright orientation (1), and at least 2 cues. The rollup
+    * aggregates per orientation: pairs, usable pairs, caption chars,
+    * covered seconds. Every stage is a closed form of doc_id the
+    * oracle recomposes — including the sexagesimal cue timing sums.
+    */
+  private[graft] def qVisionCapstone(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    import graft.text.Subtitles
+    val d = doc(s, dir).where(col("doc_id") < 600)
+      .select(col("doc_id"), (col("doc_id") % 10).cast("string").as("dg"))
+    val img = d.select(col("doc_id"),
+        Binary.synthExifJpegCol(col("doc_id")).as("jp"))
+      .select(col("doc_id"),
+        Binary.imageMetaCol(col("jp")).as("m"),
+        Binary.exifMetaCol(col("jp")).as("e"))
+      .select(col("doc_id"), col("m.width").as("w"),
+        col("m.height").as("h"), col("e.orientation").as("orientation"))
+    val srt = concat(
+      lit("1\n00:00:00,000 --> 00:00:0"), col("dg"),
+      lit(",500\nCaption one "), col("dg"),
+      when(col("doc_id") % 3 === 0, concat(
+        lit("\n\n2\n00:00:10,000 --> 00:00:12,000\nCaption two "),
+        col("dg"))).otherwise(lit("")))
+    val caps = d.select(col("doc_id"), Subtitles.cuesCol(srt).as("cues"))
+      .select(col("doc_id"), size(col("cues")).as("n_cues"),
+        aggregate(col("cues"), lit(0L),
+          (acc, q) => acc + length(q.getField("_4"))).as("cap_chars"),
+        aggregate(col("cues"), lit(0L),
+          (acc, q) => acc + q.getField("_3") - q.getField("_2"))
+          .as("cap_ms"))
+    img.join(caps, "doc_id")
+      .withColumn("usable", col("w") >= col("h") &&
+        col("orientation") === 1 && col("n_cues") >= 2)
+      .groupBy(col("orientation").cast("long").as("orientation"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("usable"), 1)).as("n_usable"),
+        sum(col("cap_chars")).cast("long").as("caption_chars"),
+        sum(col("cap_ms")).cast("long").as("caption_ms"))
+      .orderBy("orientation")
+  }
+
 }

@@ -2676,6 +2676,27 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         | CAST((doc_id % 10 + 1) * 1152 AS BIGINT) AS n_samples
         | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+    // q360: the vision-pair manifest recomposed from closed forms —
+    // dims/orientation from the EXIF fixtures, cue counts/chars/
+    // millis from the SRT fixtures, the usable rule recombined
+    "q360_vision_capstone" ->
+      """WITH d AS (SELECT doc_id, doc_id % 10 AS dgn,
+        |   doc_id % 8 + 1 AS orientation, doc_id % 1920 + 1 AS w,
+        |   doc_id % 1080 + 1 AS h,
+        |   CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS n_cues
+        |  FROM documents WHERE doc_id < 600),
+        | e AS (SELECT *,
+        |  13 + CASE WHEN n_cues = 2 THEN 13 ELSE 0 END AS cap_chars,
+        |  dgn * 1000 + 500 +
+        |   CASE WHEN n_cues = 2 THEN 2000 ELSE 0 END AS cap_ms,
+        |  (w >= h AND orientation = 1 AND n_cues = 2) AS usable FROM d)
+        | SELECT CAST(orientation AS BIGINT) AS orientation,
+        |  count(*) AS n_pairs,
+        |  count(*) FILTER (WHERE usable) AS n_usable,
+        |  CAST(sum(cap_chars) AS BIGINT) AS caption_chars,
+        |  CAST(sum(cap_ms) AS BIGINT) AS caption_ms
+        | FROM e GROUP BY orientation ORDER BY orientation"""
+        .stripMargin.replaceAll("\n", " "),
     "q335_domain_stats" ->
       s"""WITH d AS (SELECT doc_id, (doc_id // 2) % 6 AS fam,
          |   CAST((doc_id // 2) % 50 AS VARCHAR) AS n
