@@ -4567,4 +4567,35 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("orientation")
   }
 
+  /** IDX-TBL — web-table extraction ([[graft.text.Html.extractTables]]):
+    * cell-grid structure is a corpus source of its own
+    * (relational/QA pretraining), and exactly what flat text
+    * extraction throws away. The fixture exercises header-row
+    * detection (all-th), entity decoding inside cells, tag-soup
+    * implicit cell/row closure (`<td>x<td>y</table>`), a second
+    * table after intervening prose, and a commented-out decoy table
+    * that must NOT surface. Every grid coordinate and cell text is a
+    * closed form of doc_id.
+    */
+  private[graft] def qHtmlTables(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Html
+    val d = doc(s, dir).where(col("doc_id") < 240)
+      .select(col("doc_id"), (col("doc_id") % 10).cast("string").as("dg"))
+    val html = concat(
+      lit("<table><tr><th>Name</th><th>Val</th></tr>" +
+        "<tr><td>alpha &amp; "), col("dg"), lit("</td><td>"), col("dg"),
+      lit("</td></tr><tr><td>beta "), col("dg"), lit("<td>x"), col("dg"),
+      lit("</table><p>gap</p><table><tr><td>solo "), col("dg"),
+      lit("</td></tr></table>" +
+        "<!-- <table><tr><td>decoy</td></tr></table> -->"))
+    d.select(col("doc_id"), explode(Html.tablesCol(html)).as("r"))
+      .select(col("doc_id"),
+        col("r._1").cast("long").as("table_idx"),
+        col("r._2").cast("long").as("row_idx"),
+        col("r._3").as("is_header"),
+        col("r._4").cast("long").as("n_cells"),
+        col("r._5").as("row_text"))
+      .orderBy("doc_id", "table_idx", "row_idx")
+  }
+
 }

@@ -2697,6 +2697,23 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  CAST(sum(cap_ms) AS BIGINT) AS caption_ms
         | FROM e GROUP BY orientation ORDER BY orientation"""
         .stripMargin.replaceAll("\n", " "),
+    // q361: web-table grid closed forms — header detection, entity
+    // cells, tag-soup implicit closure, the decoy exclusion
+    "q361_html_tables" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS dg
+        |  FROM documents WHERE doc_id < 240),
+        | g AS (SELECT d.*, i.i AS r FROM d, range(0, 4) i(i))
+        | SELECT doc_id,
+        | CAST(CASE WHEN r = 3 THEN 1 ELSE 0 END AS BIGINT) AS table_idx,
+        | CAST(CASE WHEN r = 3 THEN 0 ELSE r END AS BIGINT) AS row_idx,
+        | r = 0 AS is_header,
+        | CAST(CASE WHEN r = 3 THEN 1 ELSE 2 END AS BIGINT) AS n_cells,
+        | CASE r WHEN 0 THEN 'Name | Val'
+        |  WHEN 1 THEN 'alpha & ' || dg || ' | ' || dg
+        |  WHEN 2 THEN 'beta ' || dg || ' | x' || dg
+        |  ELSE 'solo ' || dg END AS row_text
+        | FROM g ORDER BY doc_id, table_idx, row_idx"""
+        .stripMargin.replaceAll("\n", " "),
     "q335_domain_stats" ->
       s"""WITH d AS (SELECT doc_id, (doc_id // 2) % 6 AS fam,
          |   CAST((doc_id // 2) % 50 AS VARCHAR) AS n

@@ -257,4 +257,123 @@ object Html {
   /** html → array<string> of href values. */
   def linksCol(c: Column): Column =
     udf { s: String => Option(s).map(extractLinks) }.apply(c)
+
+  /** One table row: `header` when the row's cells are `<th>`. */
+  final case class TableRow(header: Boolean, cells: Seq[String])
+
+  /** Structured `<table>` extraction — web tables are a
+    * corpus-building source of their own (relational/QA pretraining
+    * data), and cell-grid structure is exactly what [[htmlToText]]'s
+    * flat rendering throws away. Tag-soup-tolerant state machine:
+    *
+    *  - `<td>`/`<th>` open a cell, implicitly closing an unclosed
+    *    predecessor (HTML allows omitted `</td>`); `<tr>` likewise
+    *    closes the previous row; `</table>` closes everything open;
+    *  - a row is a header row when ALL its cells are `<th>`;
+    *  - cell text: tags inside cells drop (a nested table flattens
+    *    into its host cell — naive-extractor semantics, stated),
+    *    entities decode, whitespace normalizes, script/style content
+    *    and comments vanish;
+    *  - text outside any cell (including between `<table>` and the
+    *    first row) is discarded; unterminated tables truncate cleanly
+    *    at end of input.
+    */
+  def extractTables(html: String): Seq[Seq[TableRow]] = {
+    val tables = Vector.newBuilder[Seq[TableRow]]
+    var rows: scala.collection.mutable.ArrayBuffer[TableRow] = null
+    var cells: scala.collection.mutable.ArrayBuffer[String] = null
+    var headerFlags: scala.collection.mutable.ArrayBuffer[Boolean] = null
+    var cell: StringBuilder = null
+    var cellIsTh = false
+    var depth = 0 // nested <table> depth inside a cell: 0 = top level
+    var skipUntil: String = null
+    def closeCell(): Unit = if (cell != null) {
+      cells += decodeEntities(cell.toString)
+        .replaceAll("[\\s\\u00a0]+", " ").trim
+      headerFlags += cellIsTh
+      cell = null
+    }
+    def closeRow(): Unit = if (cells != null) {
+      closeCell()
+      if (cells.nonEmpty)
+        rows += TableRow(headerFlags.forall(identity), cells.toSeq)
+      cells = null; headerFlags = null
+    }
+    def closeTable(): Unit = if (rows != null) {
+      closeRow()
+      tables += rows.toSeq
+      rows = null
+    }
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && html.charAt(i + 1) == '!') {
+          val end = html.indexOf('>', i + 1)
+          i = if (end < 0) n else end + 1
+        } else {
+          val end = html.indexOf('>', i + 1)
+          val inner = if (end < 0) html.substring(i + 1)
+            else html.substring(i + 1, end)
+          i = if (end < 0) n else end + 1
+          val isClose = inner.startsWith("/")
+          val name = inner.stripPrefix("/")
+            .takeWhile(_.isLetterOrDigit).toLowerCase
+          if (skipUntil != null) {
+            if (isClose && name == skipUntil) skipUntil = null
+          } else if (!isClose && SkipContent.contains(name) &&
+            !inner.endsWith("/")) {
+            skipUntil = name
+          } else if (name == "table") {
+            if (!isClose) {
+              if (rows == null) { rows = scala.collection.mutable.ArrayBuffer() }
+              else depth += 1 // nested: flatten into the host cell
+            } else {
+              if (depth > 0) depth -= 1 else closeTable()
+            }
+          } else if (rows != null && depth == 0) {
+            name match {
+              case "tr" => if (!isClose) { closeRow()
+                cells = scala.collection.mutable.ArrayBuffer()
+                headerFlags = scala.collection.mutable.ArrayBuffer()
+              } else closeRow()
+              case "td" | "th" =>
+                if (!isClose) {
+                  if (cells == null) { // row-less cell: implicit <tr>
+                    cells = scala.collection.mutable.ArrayBuffer()
+                    headerFlags = scala.collection.mutable.ArrayBuffer()
+                  }
+                  closeCell()
+                  cell = new StringBuilder
+                  cellIsTh = name == "th"
+                } else closeCell()
+              case _ => () // formatting tags inside cells drop
+            }
+          }
+        }
+      } else {
+        if (skipUntil == null && cell != null) cell.append(c)
+        i += 1
+      }
+    }
+    closeTable() // unterminated table truncates cleanly
+    tables.result().filter(_.nonEmpty)
+  }
+
+  /** html → array<struct<table_idx, row_idx, is_header, n_cells,
+    * row_text>> with cells joined by " | ". */
+  def tablesCol(c: Column): Column =
+    udf { s: String =>
+      Option(s).map { h =>
+        extractTables(h).zipWithIndex.flatMap { case (rows, t) =>
+          rows.zipWithIndex.map { case (r, ri) =>
+            (t, ri, r.header, r.cells.length, r.cells.mkString(" | "))
+          }
+        }
+      }
+    }.apply(c)
 }

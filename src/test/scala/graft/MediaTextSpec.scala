@@ -70,6 +70,36 @@ class MediaTextSpec extends AnyFunSuite {
     assert(Binary.parseSvgMeta("not xml".getBytes("UTF-8")).isEmpty)
   }
 
+  test("extractTables: grids, headers, soup tolerance, nesting") {
+    val html = "<p>before</p><table><tr><th>H1</th><th>H2</th></tr>" +
+      "<tr><td>a &amp; b</td><td>c</td></tr>" +
+      "<tr><td>d<td>e</table>after"
+    val ts = Html.extractTables(html)
+    assert(ts.length == 1)
+    assert(ts(0)(0) == Html.TableRow(true, Seq("H1", "H2")))
+    assert(ts(0)(1) == Html.TableRow(false, Seq("a & b", "c")))
+    // unclosed td/tr (tag soup) still yields the row
+    assert(ts(0)(2) == Html.TableRow(false, Seq("d", "e")))
+    // formatting tags inside cells drop; mixed th/td is not a header
+    val t2 = Html.extractTables(
+      "<table><tr><th>k</th><td><b>v</b> 1</td></tr></table>")
+    assert(t2(0)(0) == Html.TableRow(false, Seq("k", "v 1")))
+    // nested table flattens into its host cell
+    val t3 = Html.extractTables("<table><tr><td>x" +
+      "<table><tr><td>inner</td></tr></table>y</td></tr></table>")
+    assert(t3.length == 1 && t3(0)(0).cells == Seq("xinnery"))
+    // commented-out and script-built tables are not extracted
+    assert(Html.extractTables(
+      "<!-- <table><tr><td>no</td></tr></table> -->").isEmpty)
+    assert(Html.extractTables(
+      "<script>'<table><tr><td>no</td></tr></table>'</script>").isEmpty)
+    // unterminated table truncates cleanly
+    assert(Html.extractTables("<table><tr><td>tail")(0)(0).cells
+      == Seq("tail"))
+    // no tables -> empty
+    assert(Html.extractTables("<p>plain</p>").isEmpty)
+  }
+
   test("id3v2: v3/v4 framing, NUL strip, tagged mp3 walks both ways") {
     val t4 = Binary.parseId3v2(Binary.id3v2(4, "T", "A", "B")).get
     assert(t4 == Binary.Id3Meta(4, "T", "A", "B"))

@@ -169,7 +169,8 @@ class PropertySpec extends AnyFunSuite {
       Urls.canonicalize(s).forall(c => Urls.canonicalize(c).contains(c))
     })
     check("html", Prop.forAll(anyStr) { s =>
-      Html.htmlToText(s); Html.extractLinks(s); true
+      Html.htmlToText(s); Html.extractLinks(s); Html.extractTables(s)
+      true
     })
     check("robots", Prop.forAll(anyStr) { s =>
       Robots.isAllowed(s, "bot", "/x")
