@@ -1,7 +1,52 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.{Partition, TaskContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Pass-through over a localCheckpoint's block-backed RDD that makes
+  * re-actioning a TRIMMED checkpoint fail with a NAMED error instead
+  * of Spark's bare "checkpoint block not found". [[kill]] flips the
+  * tombstone and releases the parent's blocks; any later action
+  * re-serializes this RDD into its task binary, so the flag reaches
+  * executors and [[compute]] raises before the doomed block fetch
+  * (and [[getPartitions]] raises driver-side when the partition array
+  * was never memoized). A live wrapper adds one virtual call per
+  * partition — nothing per row.
+  */
+private[graft] final class GuardedCheckpointRdd(
+    parent: RDD[InternalRow], key: String)
+  extends RDD[InternalRow](parent) {
+
+  @volatile private var dead = false
+
+  private def check(): Unit = if (dead) throw new IllegalStateException(
+    s"graft checkpointOnce('$key'): this frame's localCheckpoint blocks " +
+      "were released (per-key LRU trim past maxCkPerKey, or " +
+      "Caches.releaseAll session teardown); re-actioning a trimmed " +
+      "checkpoint is a caller lifecycle bug — re-derive the frame instead")
+
+  /** Tombstone + release the parent checkpoint's blocks (async). */
+  private[graft] def kill(): Unit = {
+    dead = true
+    firstParent[InternalRow].unpersist(false)
+  }
+
+  override protected def getPartitions: Array[Partition] = {
+    check(); firstParent[InternalRow].partitions
+  }
+
+  // keep the checkpoint blocks' executor locality on a real cluster
+  override protected def getPreferredLocations(split: Partition): Seq[String] =
+    firstParent[InternalRow].preferredLocations(split)
+
+  override def compute(split: Partition,
+      context: TaskContext): Iterator[InternalRow] = {
+    check(); firstParent[InternalRow].iterator(split, context)
+  }
+}
 
 /** Lifecycle discipline for intra-operator caches.
   *
@@ -119,6 +164,11 @@ object Caches {
   def releaseAll(): Unit = lock.synchronized {
     sets.foreach(_._2.foreach(_.unpersist(blocking = true)))
     sets = Vector.empty
+    // tombstone every memoized checkpoint so a post-teardown re-action
+    // raises the named GuardedCheckpointRdd error, not "blocks gone"
+    ckMemo.valuesIterator.foreach(_.foreach { case (_, f) =>
+      unpersistCheckpoint(f)
+    })
     ckMemo = Map.empty
     PrefixScan.reset() // same lifecycle: memoized frames die with the session
     SparkSession.getActiveSession.foreach { s =>
@@ -129,7 +179,8 @@ object Caches {
 
   // ---- memoized localCheckpoint ---------------------------------------
 
-  private val maxCkPerKey = 64
+  private def maxCkPerKey: Int =
+    sys.props.get("graft.caches.maxCkPerKey").map(_.toInt).getOrElse(64)
   // key -> newest-first (analyzed input plan, checkpointed frame)
   private var ckMemo: Map[String, List[(LogicalPlan, DataFrame)]] = Map.empty
 
@@ -153,8 +204,9 @@ object Caches {
     * exactly the unbounded protected-storage residue this memo exists
     * to prevent. Consequence of the trim contract: a frame returned by
     * checkpointOnce becomes DEAD once `maxCkPerKey` newer distinct
-    * plans have been checkpointed under the same key (a localCheckpoint
-    * whose blocks are gone cannot recompute). Iterative operators
+    * plans have been checkpointed under the same key — and re-actioning
+    * it FAILS LOUD with [[GuardedCheckpointRdd]]'s named error rather
+    * than Spark's bare block-not-found. Iterative operators
     * satisfy this by construction — iteration k's checkpoint is never
     * re-actioned after iteration k+1 materializes — and non-iterative
     * callers never approach the bound.
@@ -172,7 +224,15 @@ object Caches {
       }
     }
     hit.getOrElse {
-      val ck = df.localCheckpoint(true) // eager compute OUTSIDE the lock
+      val ck0 = df.localCheckpoint(true) // eager compute OUTSIDE the lock
+      // wrap the block-backed RDD so a post-trim re-action fails with
+      // a named error (see GuardedCheckpointRdd) instead of Spark's
+      // bare block-not-found; plan-level partitioning/stats preserved
+      val ck = GraftSqlBridge.checkpointRddOf(ck0) match {
+        case Some(rdd) => GraftSqlBridge.rewrapCheckpointRdd(
+          ck0, new GuardedCheckpointRdd(rdd, key))
+        case None => ck0
+      }
       lock.synchronized {
         val cur = ckMemo.getOrElse(key, Nil)
         cur.collectFirst { case (p, f) if p.sameResult(plan) => f } match {
@@ -205,7 +265,10 @@ object Caches {
     */
   private def unpersistCheckpoint(ck: DataFrame): Unit =
     ck.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd match {
+        case g: GuardedCheckpointRdd => g.kill() // tombstone + release
+        case r => r.unpersist(false)
+      }
       case _ => ()
     }
 }

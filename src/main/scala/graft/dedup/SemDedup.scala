@@ -10,7 +10,8 @@ import graft.sim.{KMeans, VectorMath => V}
   * arXiv:2303.09540): k-means cluster the embedding space, then prune
   * cosine near-duplicates ONLY within clusters. All-pairs cosine dedup
   * is O(n²·d); clustering confines the quadratic work to cluster-sized
-  * buckets, and k grows with n so bucket sizes stay bounded — the same
+  * buckets, and [[capBuckets]] re-splits any cluster past a hard size
+  * cap, pinning the pair stage at O(n·cap) — the same
   * bucket-confinement discipline as the MinHash/SimHash/LSH families
   * (reference capability analog: the embedding near-dup step a
   * pretraining corpus pipeline runs after exact/fuzzy text dedup).
@@ -27,15 +28,15 @@ import graft.sim.{KMeans, VectorMath => V}
 object SemDedup {
 
   /** The scale recipe for the cluster count: k = ⌈√n⌉ (clamped to
-    * [4, 4096]) balances the two cost terms — per-cluster pair work
-    * totals ~n²/k and the assignment scan costs n·k, so √n bounds the
-    * whole operator at O(n^1.5) with bucket sizes ~√n. A FIXED k (the
-    * pre-r10 registration) silently degrades: the in-cluster join
-    * grows as (n/k)² per cluster at larger corpora. The 4096 ceiling
-    * is the driver-pool Lloyd fit bound ([[KMeans.fit]] poolSize) —
-    * beyond that a real deployment shards the fit; the recipe still
-    * caps bucket sizes up to n ≈ 16M vectors per partition-group,
-    * and corpus-level runs cluster per shard.
+    * [4, 4096]) keeps cluster GRANULARITY tracking the corpus (bucket
+    * sizes ~√n, so semantics stay exact while √n ≤ the [[capBuckets]]
+    * cap). Since r14 the COST story no longer leans on k: the pair
+    * stage is pinned linear by the bucket-size cap regardless of k,
+    * and the remaining k-dependent terms are the n·k·d assignment
+    * flops (codegen'd arithmetic, trivial against the join) and the
+    * pool-bounded Lloyd fit ([[KMeans.fit]], ≤4096 rows regardless of
+    * n). The 4096 ceiling is that fit bound — beyond it a real
+    * deployment shards the fit and clusters per shard.
     */
   def kForCorpus(n: Long): Int =
     math.min(4096L, math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong))
@@ -69,6 +70,55 @@ object SemDedup {
       "vec", "cluster_check")
   }
 
+  /** Hard cap on effective bucket size (r13 verdict: the measured 10×
+    * exponent of the UNCAPPED operator was 1.42 — the in-cluster pair
+    * stage grows n²/k = n^1.5 under the √n recipe). Clusters larger
+    * than `cap` are re-split BEFORE the pair join, pinning per-bucket
+    * pair work at ~cap²·(size/cap) = size·cap, i.e. the whole pair
+    * stage at O(n·cap) — linear. Two layers:
+    *
+    *  - level 1, SEMANTIC: ceil(log2(size/cap)) hyperplane sign bits
+    *    ([[graft.sim.Ann.planeSigns]] — deterministic pseudo-random
+    *    planes). Near-duplicates at θ≈0.95+ differ by ≤ ~18° so a
+    *    plane separates a true pair with prob ≈ angle/π < 0.06/bit —
+    *    unlike an id-hash split, which would lose 1−1/nsub of them;
+    *  - level 2, HASH: sign buckets are data-dependent (a mass of
+    *    EXACT duplicates shares every sign bit and would defeat level
+    *    1), so any still-oversized (cluster, signs) bucket hash-splits
+    *    by id to ceil(size/cap) cells. Exact-duplicate mass is the one
+    *    case this drops pairs on — and exact dedup runs BEFORE
+    *    semantic dedup in the pipeline, so those pairs are already
+    *    found upstream.
+    *
+    * Clusters at or under `cap` (the common case while √n ≤ cap) pass
+    * through untouched — semantics are EXACT there; the cap only binds
+    * where all-pairs would blow up. Output: `cluster` rewritten to the
+    * composite bucket id, so [[clusterPairs]] runs unchanged. Both
+    * size computations are k-row aggregates joined back by broadcast —
+    * no extra shuffle of the vectors.
+    */
+  def capBuckets(assigned: DataFrame, dim: Int, cap: Int = 64): DataFrame = {
+    val nPlanes = 8 // level 1 splits a cluster up to 256-way
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("__csz"))
+    val lvl1 = assigned.join(broadcast(sizes), Seq("cluster"))
+      .withColumn("__b", least(lit(nPlanes),
+        ceil(log(2.0, col("__csz").cast("double") / cap)).cast("int")))
+      .withColumn("__signs", when(col("__b") > 0,
+        graft.sim.Ann.planeSigns(col("vec"), dim, nPlanes)))
+      .withColumn("__sub1", when(col("__b") <= 0, lit(0L)).otherwise(
+        aggregate(sequence(lit(1), greatest(col("__b"), lit(1))), lit(0L),
+          (acc, i) => acc * 2 + element_at(col("__signs"), i))))
+      .drop("__csz", "__signs", "__b")
+    val sizes2 = lvl1.groupBy("cluster", "__sub1")
+      .agg(count(lit(1)).as("__s2"))
+    lvl1.join(broadcast(sizes2), Seq("cluster", "__sub1"))
+      .withColumn("__sub2", pmod(xxhash64(col("id")),
+        greatest(lit(1L), ceil(col("__s2") / lit(cap.toDouble)).cast("long"))))
+      .withColumn("cluster",
+        concat_ws("#", col("cluster"), col("__sub1"), col("__sub2")))
+      .drop("__s2", "__sub1", "__sub2")
+  }
+
   /** In-cluster lower-id near-neighbor pairs: (id, cos) for every
     * ordered pair (b < id) sharing a cluster. The equi-join on the
     * cluster id is the bucket-confined quadratic stage.
@@ -96,10 +146,11 @@ object SemDedup {
     * similarity validity, `pruned_frac_ok` prune-rate sanity).
     */
   def audit(df: DataFrame, idCol: String, vecCol: String,
-            k: Int, theta: Double): DataFrame = {
+            k: Int, theta: Double, cap: Int = 64): DataFrame = {
     val assigned = assign(df, idCol, vecCol, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = clusterPairs(assigned)
+    val dim = df.select(size(col(vecCol))).first.getInt(0)
+    val pairs = clusterPairs(capBuckets(assigned, dim, cap))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a1 = assigned.agg(count(lit(1)).as("n_vecs"),
       max(size(col("vec"))).cast("long").as("dim"),

@@ -1071,8 +1071,9 @@ object Binary {
   /** ID3v2.3/2.4 parse: "ID3" + major version + syncsafe 28-bit tag
     * size, then a frame walk — 4-char ids, v4 syncsafe / v3 plain BE
     * frame sizes, 2 flag bytes, and text frames prefixed by an
-    * encoding byte (0 = Latin-1, 3 = UTF-8; UTF-16 variants are
-    * rejected rather than mis-decoded). Padding (a zero where a frame
+    * encoding byte (0 = Latin-1, 1 = UTF-16 with BOM, 2 = UTF-16BE,
+    * 3 = UTF-8; a BOM-less encoding-1 frame is rejected rather than
+    * mis-decoded). Padding (a zero where a frame
     * id should start) ends the walk. None for v2.2 or malformed
     * framing.
     */
@@ -1104,11 +1105,26 @@ object Binary {
           val text = enc match {
             case 0 => new String(b, i.toInt + 11, size - 1,
               java.nio.charset.StandardCharsets.ISO_8859_1)
+            case 1 => // UTF-16 with BOM (the common v2.3 "Unicode")
+              if (size <= 3) ""
+              else {
+                val b0 = u8(i + 11); val b1 = u8(i + 12)
+                val cs =
+                  if (b0 == 0xff && b1 == 0xfe)
+                    java.nio.charset.StandardCharsets.UTF_16LE
+                  else if (b0 == 0xfe && b1 == 0xff)
+                    java.nio.charset.StandardCharsets.UTF_16BE
+                  else return None // enc 1 without a BOM: malformed
+                new String(b, i.toInt + 13, size - 3, cs)
+              }
+            case 2 => // UTF-16BE, no BOM (v2.4)
+              new String(b, i.toInt + 11, size - 1,
+                java.nio.charset.StandardCharsets.UTF_16BE)
             case 3 => new String(b, i.toInt + 11, size - 1,
               java.nio.charset.StandardCharsets.UTF_8)
-            case _ => return None // UTF-16 variants: reject, not garble
+            case _ => return None // unknown encoding byte
           }
-          val clean = text.takeWhile(_ != ' ')
+          val clean = text.takeWhile(_ != '\u0000')
           id match {
             case "TIT2" => title = clean
             case "TPE1" => artist = clean
@@ -1124,11 +1140,19 @@ object Binary {
 
   /** ID3v2 builder (v3 or v4 framing) for (title, artist, album). */
   def id3v2(major: Int, title: String, artist: String,
-            album: String): Array[Byte] = {
+            album: String, enc: Int = 0): Array[Byte] = {
     require(major == 3 || major == 4)
+    require(enc >= 0 && enc <= 3)
     def frame(id: String, text: String): Array[Byte] = {
-      val payload = 0.toByte +: text.getBytes(
-        java.nio.charset.StandardCharsets.ISO_8859_1)
+      import java.nio.charset.StandardCharsets._
+      val payload = enc match {
+        case 0 => 0.toByte +: text.getBytes(ISO_8859_1)
+        case 1 => // UTF-16 with a little-endian BOM
+          1.toByte +: (Array(0xff.toByte, 0xfe.toByte) ++
+            text.getBytes(UTF_16LE))
+        case 2 => 2.toByte +: text.getBytes(UTF_16BE)
+        case _ => 3.toByte +: text.getBytes(UTF_8)
+      }
       val n = payload.length
       val size =
         if (major == 4) Array[Byte](((n >> 21) & 0x7f).toByte,
@@ -1149,10 +1173,14 @@ object Binary {
 
   /** Deterministic per-id ID3v2-tagged MP3: the tag prepends the
     * q328 synthetic frame chain, so [[parseAudioMeta]] must still
-    * walk the frames past it while [[parseId3v2]] reads the tag. */
+    * walk the frames past it while [[parseId3v2]] reads the tag. The
+    * text encoding cycles through all four (Latin-1, UTF-16+BOM,
+    * UTF-16BE, UTF-8) by id — the decoded strings are identical, so
+    * the q359 oracle is encoding-agnostic while the parse path isn't. */
   def synthTaggedMp3(id: Long): Array[Byte] =
     id3v2(if (id % 2 == 0) 4 else 3, s"Track ${id % 100}",
-      s"Artist ${id % 30}", s"Album ${id % 12}") ++ synthMp3(id)
+      s"Artist ${id % 30}", s"Album ${id % 12}",
+      enc = (id % 4).toInt) ++ synthMp3(id)
 
   def synthTaggedMp3Col(c: Column): Column =
     udf { id: Long => synthTaggedMp3(id) }.apply(c)

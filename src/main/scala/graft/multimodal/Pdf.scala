@@ -84,20 +84,8 @@ object Pdf {
     val n = s.length.toLong
     while (i < n) {
       val at = s.indexOf(" obj", i.toInt)
-      if (at < 0) {
-        // resolve deferred indirect lengths
-        deferred.foreach { case (num, dict, start, lenRef) =>
-          val len = out.get(lenRef)
-            .flatMap(o => o.dict.trim.toLongOption)
-            .getOrElse(return None)
-          if (len < 0 || start + len > bytes.length) return None
-          val data = java.util.Arrays.copyOfRange(bytes, start.toInt,
-            (start + len).toInt)
-          if (!endstreamFollows(s, start + len)) return None
-          out(num) = Obj(dict, Some(data))
-        }
-        return Some(out.toMap)
-      }
+      if (at < 0) { i = n }
+      else {
       // backtrack: generation then object number
       var j = at - 1
       while (j >= 0 && s.charAt(j).isDigit) j -= 1
@@ -140,8 +128,13 @@ object Pdf {
                     dictRef(dict, "Length") match {
                       case Some(ref) =>
                         deferred ::= ((num, dict, dataStart, ref))
-                        // skip scan past the stream terminator
-                        val es = s.indexOf("endstream", dataStart.toInt)
+                        // skip scan past the stream terminator; the
+                        // byte sequence "endstream" can occur inside
+                        // compressed stream data, so only accept a
+                        // candidate framed by a following "endobj"
+                        var es = s.indexOf("endstream", dataStart.toInt)
+                        while (es >= 0 && !endobjFollows(s, es + 9L))
+                          es = s.indexOf("endstream", es + 1)
                         if (es < 0) return None
                         i = es + 9L
                       case None => return None // stream without Length
@@ -162,8 +155,30 @@ object Pdf {
           }
         }
       }
+      }
+    }
+    // resolve deferred indirect lengths
+    deferred.foreach { case (num, dict, start, lenRef) =>
+      val len = out.get(lenRef)
+        .flatMap(o => o.dict.trim.toLongOption)
+        .getOrElse(return None)
+      if (len < 0 || start + len > bytes.length) return None
+      val data = java.util.Arrays.copyOfRange(bytes, start.toInt,
+        (start + len).toInt)
+      if (!endstreamFollows(s, start + len)) return None
+      out(num) = Obj(dict, Some(data))
     }
     Some(out.toMap)
+  }
+
+  /** `endobj` follows (after PDF whitespace) — frames a real
+    * `endstream` keyword vs the same bytes inside stream data. */
+  private def endobjFollows(s: String, from: Long): Boolean = {
+    var p = from
+    while (p < s.length && (s.charAt(p.toInt) == '\r' ||
+      s.charAt(p.toInt) == '\n' || s.charAt(p.toInt) == ' ' ||
+      s.charAt(p.toInt) == '\t')) p += 1
+    s.startsWith("endobj", p.toInt)
   }
 
   private def endstreamFollows(s: String, from: Long): Boolean = {

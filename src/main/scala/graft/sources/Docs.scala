@@ -47,13 +47,17 @@ object Docs {
       }
       if (open < 0) { i = xml.length }
       else {
-        val bodyStart = xml.indexOf('>', open) + 1
-        val close = xml.indexOf("</w:p>", bodyStart)
-        val body = if (close < 0) xml.substring(bodyStart)
-          else xml.substring(bodyStart, close)
-        paras += paragraphText(body)
-        n += 1
-        i = if (close < 0) xml.length else close + 6
+        val gt = xml.indexOf('>', open)
+        if (gt < 0) { i = xml.length } // unterminated open tag: stop
+        else {
+          val bodyStart = gt + 1
+          val close = xml.indexOf("</w:p>", bodyStart)
+          val body = if (close < 0) xml.substring(bodyStart)
+            else xml.substring(bodyStart, close)
+          paras += paragraphText(body)
+          n += 1
+          i = if (close < 0) xml.length else close + 6
+        }
       }
     }
     Some((n, paras.result().filter(_.nonEmpty).mkString("\n")))
@@ -66,11 +70,15 @@ object Docs {
     while (i < body.length) {
       if (body.regionMatches(i, "<w:t>", 0, 5) ||
         body.regionMatches(i, "<w:t ", 0, 5)) {
-        val cs = body.indexOf('>', i) + 1
-        val ce = body.indexOf("</w:t>", cs)
-        val raw = if (ce < 0) body.substring(cs) else body.substring(cs, ce)
-        sb.append(Html.decodeEntities(raw))
-        i = if (ce < 0) body.length else ce + 6
+        val gt = body.indexOf('>', i)
+        if (gt < 0) { i = body.length } // unterminated run tag: stop
+        else {
+          val cs = gt + 1
+          val ce = body.indexOf("</w:t>", cs)
+          val raw = if (ce < 0) body.substring(cs) else body.substring(cs, ce)
+          sb.append(Html.decodeEntities(raw))
+          i = if (ce < 0) body.length else ce + 6
+        }
       } else if (body.regionMatches(i, "<w:tab/>", 0, 8)) {
         sb.append('\t'); i += 8
       } else if (body.regionMatches(i, "<w:br/>", 0, 7)) {

@@ -48,28 +48,41 @@ private[graft] object XmlLite {
     * case-insensitive on BOTH sides (attribute names are
     * case-insensitive in HTML and mixed-case in the wild: viewBox). */
   def attr(tagInner: String, name: String): Option[String] = {
-    val lower = tagInner.toLowerCase
-    val needle = name.toLowerCase
-    var at = lower.indexOf(needle)
-    while (at >= 0) {
-      val beforeOk = at > 0 && lower.charAt(at - 1).isWhitespace
-      var j = at + name.length
-      while (j < tagInner.length && tagInner.charAt(j).isWhitespace) j += 1
-      if (beforeOk && j < tagInner.length && tagInner.charAt(j) == '=') {
-        j += 1
-        while (j < tagInner.length && tagInner.charAt(j).isWhitespace) j += 1
-        if (j >= tagInner.length) return None
-        val q = tagInner.charAt(j)
-        if (q == '"' || q == '\'') {
-          val close = tagInner.indexOf(q, j + 1)
-          val raw = if (close < 0) tagInner.substring(j + 1)
-            else tagInner.substring(j + 1, close)
+    // Tokenize left-to-right so a name=value sequence INSIDE another
+    // attribute's quoted value never matches (e.g.
+    // <link title="x rel=canonical" href=...> must not read as
+    // rel=canonical). The first token is the tag name and is skipped.
+    val n = tagInner.length
+    var i = 0
+    while (i < n && !tagInner.charAt(i).isWhitespace) i += 1 // tag name
+    while (i < n) {
+      while (i < n && tagInner.charAt(i).isWhitespace) i += 1
+      if (i >= n) return None
+      val nameStart = i
+      while (i < n && !tagInner.charAt(i).isWhitespace &&
+        tagInner.charAt(i) != '=') i += 1
+      val attrName = tagInner.substring(nameStart, i)
+      while (i < n && tagInner.charAt(i).isWhitespace) i += 1
+      if (i < n && tagInner.charAt(i) == '=') {
+        i += 1
+        while (i < n && tagInner.charAt(i).isWhitespace) i += 1
+        if (i >= n) return None
+        val q = tagInner.charAt(i)
+        val (raw, next) =
+          if (q == '"' || q == '\'') {
+            val close = tagInner.indexOf(q, i + 1)
+            if (close < 0) (tagInner.substring(i + 1), n)
+            else (tagInner.substring(i + 1, close), close + 1)
+          } else {
+            var j = i
+            while (j < n && !tagInner.charAt(j).isWhitespace) j += 1
+            (tagInner.substring(i, j), j)
+          }
+        if (attrName.equalsIgnoreCase(name))
           return Some(Html.decodeEntities(raw))
-        }
-        return Some(Html.decodeEntities(
-          tagInner.substring(j).takeWhile(!_.isWhitespace)))
-      }
-      at = lower.indexOf(needle, at + name.length)
+        i = next
+      } else if (attrName.isEmpty) i += 1 // stray char: keep advancing
+      // bare attribute (no '='): never a match here; loop continues
     }
     None
   }

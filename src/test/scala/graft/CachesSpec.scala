@@ -19,6 +19,11 @@ class CachesSpec extends SparkSpec {
 
   private def ckRdd(df: DataFrame) =
     df.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd }.head
+      match {
+        // storage lives on the wrapped checkpoint RDD, not the guard
+        case g: graft.core.GuardedCheckpointRdd => g.dependencies.head.rdd
+        case r => r
+      }
 
   test("checkpointOnce: racing builders converge on one memoized frame") {
     val df = (1 to 100).toDF("v").withColumn("race", lit("cachesspec"))
@@ -54,5 +59,25 @@ class CachesSpec extends SparkSpec {
       key, (1 to 10).toDF("v").withColumn("i", lit(64)))
     assert(again eq frames.last)
     assert(again.count() == 10)
+  }
+
+  test("checkpointOnce: re-actioning a trimmed frame fails LOUD by name") {
+    val key = "cachesspec-loud"
+    System.setProperty("graft.caches.maxCkPerKey", "2")
+    try {
+      val first = Caches.checkpointOnce(
+        key, (1 to 10).toDF("v").withColumn("i", lit(1000)))
+      assert(first.count() == 10) // live guard passes through untouched
+      (1001 to 1002).foreach { i => // push #1000 past the per-key bound
+        Caches.checkpointOnce(
+          key, (1 to 10).toDF("v").withColumn("i", lit(i))).count()
+      }
+      val ex = intercept[Exception] { first.count() }
+      def msgs(t: Throwable): List[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toList ::: msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains(s"checkpointOnce('$key')")),
+        s"expected the named GuardedCheckpointRdd error, got: $ex")
+    } finally System.clearProperty("graft.caches.maxCkPerKey")
   }
 }

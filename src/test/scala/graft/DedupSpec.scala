@@ -236,6 +236,38 @@ class DedupSpec extends SparkSpec {
     assert(!pruned.contains(0L), "the lower-id original must be kept")
   }
 
+  test("SemDedup: capBuckets pins bucket sizes; near-dups survive split") {
+    import graft.dedup.SemDedup
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    // k=4 over 500 vectors → clusters ~125, far above a cap of 16:
+    // every cluster must re-split
+    val assigned = SemDedup.assign(e, "vec_id", "embedding", k = 4)
+    val capped = SemDedup.capBuckets(assigned, dim = 64, cap = 16)
+    val sizes = capped.groupBy("cluster").count()
+    // level-1 sign splits are data-dependent; the level-2 hash layer
+    // pins any residual at ceil(size/cap) cells ≈ cap-sized buckets
+    // (hash balance gives slack — assert a 3× bound, not exactly cap)
+    assert(sizes.agg(max("count")).first.getLong(0) <= 48L)
+    assert(sizes.count() >= (500L / 48) + 1)
+    // at-or-under-cap clusters pass through untouched (exact semantics)
+    val small = SemDedup.assign(e.limit(40), "vec_id", "embedding", k = 8)
+    val smallCapped = SemDedup.capBuckets(small, dim = 64, cap = 64)
+    assert(smallCapped.groupBy("cluster").count().count()
+      == small.groupBy("cluster").count().count())
+    // a planted EXACT duplicate still pairs up through the capped path:
+    // identical vectors share every sign bit (level 1) — only the hash
+    // layer could separate them, and these buckets stay under cap
+    val dup = e.where(col("vec_id") === 3)
+      .select((col("vec_id") + 100001L).as("vec_id"), col("embedding"))
+    val a2 = SemDedup.assign(e.unionByName(dup), "vec_id", "embedding", k = 8)
+    val pruned = SemDedup.prunedIds(
+      SemDedup.clusterPairs(SemDedup.capBuckets(a2, dim = 64, cap = 64)),
+      0.999).collect().map(_.getLong(0)).toSet
+    assert(pruned.contains(100004L), "the planted duplicate must be pruned")
+    assert(!pruned.contains(3L), "the lower-id original must be kept")
+  }
+
   test("SemDedup: audit invariants hold on the test frame") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val r = graft.dedup.SemDedup.audit(e, "vec_id", "embedding",

@@ -6,6 +6,21 @@ import graft.sources.{Archives, Docs}
 
 class DocsSpec extends AnyFunSuite {
 
+  test("docx: unterminated open tags terminate (hang regression)") {
+    def docx(xml: String) = Archives.buildZip(Seq(
+      ("[Content_Types].xml", "<Types/>", true),
+      ("word/document.xml", xml, true)))
+    // '<w:p x' with no '>' after an earlier '</w:p>': the close-tag
+    // search used to restart from 0 and never advance (infinite loop
+    // + unbounded paragraph accumulation)
+    assert(Docs.docxText(docx("</w:p><w:p x")).contains((0, "")))
+    // same class inside a paragraph body: '<w:t zz' with no '>'
+    val r = Docs.docxText(docx("<w:p><w:t>ok</w:t></w:t><w:t zz</w:p>"))
+    assert(r.exists(_._2.contains("ok")))
+    // unterminated at the very start
+    assert(Docs.docxText(docx("<w:p x")).contains((0, "")))
+  }
+
   test("docx: paragraphs, runs, tabs, breaks, entities") {
     val (n, text) = Docs.docxText(Docs.synthDocx(5)).get
     assert(n == 3)

@@ -55,6 +55,30 @@ class MediaTextSpec extends AnyFunSuite {
       Html.PageMeta("", "", "", ""))
   }
 
+  test("attr lookup never matches inside another attribute's value") {
+    import graft.text.XmlLite
+    // 'rel=canonical' INSIDE title's quoted value must not match
+    val inner = "link title=\"x rel=canonical\" href=\"http://evil/\""
+    assert(XmlLite.attr(inner, "rel").isEmpty)
+    assert(XmlLite.attr(inner, "title").contains("x rel=canonical"))
+    assert(XmlLite.attr(inner, "href").contains("http://evil/"))
+    // page-level: the decoy link is not canonical; the real one is
+    val m = Html.pageMeta("<html><head>" +
+      "<link title=\"x rel=canonical\" href=\"http://evil/\">" +
+      "<link rel=\"canonical\" href=\"http://real/\"/></head></html>")
+    assert(m.canonical == "http://real/")
+    // the tag name itself never reads as an attribute
+    assert(XmlLite.attr("meta name=\"n\" content=\"c\"", "meta").isEmpty)
+    // bare attributes are skipped, later ones still found
+    assert(XmlLite.attr("link disabled href='/a'", "href").contains("/a"))
+    // ws around '=', single quotes, case-insensitive names
+    assert(XmlLite.attr("svg viewBox = '0 0 9 9'", "VIEWBOX")
+      .contains("0 0 9 9"))
+    // unquoted value terminates at whitespace
+    assert(XmlLite.attr("a href=/x rel=me", "href").contains("/x"))
+    assert(XmlLite.attr("a href=/x rel=me", "rel").contains("me"))
+  }
+
   test("svg: attribute dims, px suffix, viewBox fallback") {
     assert(Binary.parseSvgMeta(
       "<svg width=\"640px\" height=\"480\"/>".getBytes("UTF-8")).get
@@ -114,5 +138,39 @@ class MediaTextSpec extends AnyFunSuite {
     assert(Binary.parseId3v2(b).get.title == "Track 7")
     val a = Binary.parseAudioMeta(b).get
     assert(a.format == "mp3" && a.n_frames == 8 * 1152)
+  }
+
+  test("id3v2: UTF-16 text frames decode; BOM-less enc-1 rejects") {
+    // enc 1 with LE BOM (fixture), enc 2 BE, enc 3 UTF-8 — all four
+    // encodings of the same strings parse identically
+    for (enc <- 0 to 3) {
+      val t = Binary.parseId3v2(Binary.id3v2(4, "Tïtle µ", "Ar", "Al",
+        enc = enc)).get
+      assert(t == Binary.Id3Meta(4, "Tïtle µ", "Ar", "Al"), s"enc=$enc")
+    }
+    // enc 1 with a BE BOM (hand-built: swap the fixture's LE BOM+body)
+    val le = Binary.id3v2(3, "AB", "C", "D", enc = 1)
+    // frame layout: 10 tag header + 10 frame header + enc byte + BOM
+    def swapPairs(bytes: Array[Byte], from: Int, len: Int): Unit = {
+      var i = from
+      while (i + 1 < from + len) {
+        val t = bytes(i); bytes(i) = bytes(i + 1); bytes(i + 1) = t
+        i += 2
+      }
+    }
+    val be = le.clone()
+    // title frame payload: enc at 20, BOM+4 text bytes at 21..26
+    swapPairs(be, 21, 6)
+    assert(Binary.parseId3v2(be).get.title == "AB")
+    // BOM-less enc-1 is malformed: reject, never garble
+    val noBom = le.clone()
+    noBom(21) = 'A'; noBom(22) = 0; noBom(23) = 'B'; noBom(24) = 0
+    // (payload now starts with text bytes, no BOM)
+    assert(Binary.parseId3v2(noBom).isEmpty)
+    // the tagged-mp3 fixture cycles encodings; ids 0..3 cover all four
+    for (id <- 0L to 3L) {
+      val m = Binary.parseId3v2(Binary.synthTaggedMp3(id)).get
+      assert(m.title == s"Track $id" && m.album == s"Album $id")
+    }
   }
 }

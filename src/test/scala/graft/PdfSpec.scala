@@ -116,6 +116,28 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.parse(bad).isEmpty)
   }
 
+  test("indirect-/Length stream data containing 'endstream' bytes") {
+    // the skip-scan must reject an 'endstream' decoy INSIDE the data
+    // (not followed by endobj) and resume at the framed terminator —
+    // previously the decoy truncated the skip and valid docs parsed
+    // as None
+    val content = "BT (before endstream after 42) Tj ET"
+    val c = content.getBytes(latin1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(latin1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w("4 0 obj << /Length 7 0 R >> stream\n")
+    out.write(c)
+    w("\nendstream endobj\n")
+    w(s"7 0 obj ${c.length} endobj\n")
+    w("trailer << /Size 8 /Root 1 0 R >>\n%%EOF\n")
+    val d = Pdf.parse(out.toByteArray).get
+    assert(d.n_pages == 1 && d.text == "before endstream after 42")
+  }
+
   test("trailerless documents fall back to the catalog scan") {
     val good = Pdf.synthPdf(4)
     val noTrailer = new String(good, latin1)

@@ -239,6 +239,27 @@ class PropertySpec extends AnyFunSuite {
         graft.multimodal.Binary.synthExifJpeg(id)))
       true
     })
+    // DOCX XML-level fuzz: container byte flips die at the CRC gate,
+    // so mutate word/document.xml ITSELF and rebuild the zip around it
+    // (fresh CRC) — this is the lane that reaches the paragraph walk,
+    // where the unterminated-tag hang lived
+    check("mutate-docx-xml", Prop.forAll(
+      Gen.choose(0L, 63L), Gen.choose(0, 1 << 16),
+      Gen.choose(0, 255)) { (id, posSeed, v) =>
+      val xml = graft.sources.Archives
+        .parseZip(graft.sources.Docs.synthDocx(id)).get
+        .find(_.name == "word/document.xml").get.text
+      val p = posSeed % xml.length
+      def rezip(doc: String) = graft.sources.Archives.buildZip(Seq(
+        ("[Content_Types].xml", "<Types/>", true),
+        ("word/document.xml", doc, true)))
+      // single-char corruption
+      graft.sources.Docs.docxText(rezip(xml.updated(p, v.toChar)))
+      // structured splice of the two historical hang shapes
+      val splice = if (v % 2 == 0) "<w:p x" else "</w:t><w:t zz"
+      graft.sources.Docs.docxText(rezip(xml.take(p) + splice + xml.drop(p)))
+      true
+    })
   }
 
   test("VP8L codec round-trips random images under every coding path") {
