@@ -51,22 +51,26 @@ object SemDedup {
     */
   def assign(df: DataFrame, idCol: String, vecCol: String,
              k: Int, iters: Int = 8): DataFrame = {
+    graft.sim.GraftFunctions.register(df.sparkSession)
     val e = df.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
     val model = KMeans.fit(e, "id", "vec", k = k, iters = iters)
     // one nested-array Literal (typedlit), not k·d lit() nodes — keeps
-    // plan size O(1) in the codebook (the q215 planning-cost lesson)
+    // plan size O(1) in the codebook (the q215 planning-cost lesson);
+    // the per-center distance is the codegen'd SEQUENTIAL Σ(x−y)² fold
+    // (SqDistExpr) — bitwise equal to the interpreted zip_with form it
+    // replaced and to Model.assign's loop, 142×64 boxed lambda steps
+    // per row cheaper at the 10× ScaleAb point
     val centersLit = typedlit(model.centers.map(_.toSeq).toSeq)
     val dists = transform(centersLit, ctr =>
-      aggregate(zip_with(col("vec"), ctr, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, x) => a + x))
+      graft.sim.GraftFunctions.sqDist(col("vec"), ctr))
     model.transform(
       e.withColumn("dists", dists)
         .withColumn("cluster",
           element_at(filter(sequence(lit(0), lit(k - 1)),
             i => element_at(col("dists"), i + 1) === array_min(col("dists"))), 1))
         .drop("dists")
-        .withColumn("n2", V.norm2(col("vec"))),
+        .withColumn("n2", graft.sim.GraftFunctions.norm2(col("vec"))),
       "vec", "cluster_check")
   }
 
@@ -103,12 +107,11 @@ object SemDedup {
     val lvl1 = assigned.join(broadcast(sizes), Seq("cluster"))
       .withColumn("__b", least(lit(nPlanes),
         ceil(log(2.0, col("__csz").cast("double") / cap)).cast("int")))
-      .withColumn("__signs", when(col("__b") > 0,
-        graft.sim.Ann.planeSigns(col("vec"), dim, nPlanes)))
+      // one fold, each projection evaluated once (Ann.planePrefixBucket
+      // scaladoc: a separate signs column inlines per bit)
       .withColumn("__sub1", when(col("__b") <= 0, lit(0L)).otherwise(
-        aggregate(sequence(lit(1), greatest(col("__b"), lit(1))), lit(0L),
-          (acc, i) => acc * 2 + element_at(col("__signs"), i))))
-      .drop("__csz", "__signs", "__b")
+        graft.sim.Ann.planePrefixBucket(col("vec"), dim, col("__b"))))
+      .drop("__csz", "__b")
     val sizes2 = lvl1.groupBy("cluster", "__sub1")
       .agg(count(lit(1)).as("__s2"))
     lvl1.join(broadcast(sizes2), Seq("cluster", "__sub1"))
@@ -124,13 +127,14 @@ object SemDedup {
     * cluster id is the bucket-confined quadratic stage.
     */
   def clusterPairs(assigned: DataFrame): DataFrame = {
+    graft.sim.GraftFunctions.register(assigned.sparkSession)
     val right = assigned.select(col("cluster"), col("id").as("b"),
       col("vec").as("vb"), col("n2").as("n2b"))
     assigned.select(col("cluster"), col("id"), col("vec"), col("n2"))
       .join(right, Seq("cluster"))
       .where(col("b") < col("id"))
       .select(col("id"), col("b"),
-        V.cosineFromNorms(V.dot(col("vec"), col("vb")),
+        V.cosineFromNorms(graft.sim.GraftFunctions.dot(col("vec"), col("vb")),
           col("n2"), col("n2b")).as("cos"))
   }
 

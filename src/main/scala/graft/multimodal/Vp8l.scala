@@ -13,17 +13,19 @@ import org.apache.spark.sql.functions.udf
   * metadata stays in [[Binary.parseWebpMeta]].
   *
   * Scope (documented subset, not a stub): the decoder handles
-  * transform-free and SUBTRACT_GREEN streams with a single Huffman
-  * group (meta-Huffman bit 0) — the PREDICTOR / COLOR / COLOR_INDEXING
-  * transforms carry recursive sub-resolution images and sit behind the
-  * same codec-library boundary as progressive-everything; a stream
-  * using them returns None, never junk pixels. Within scope the decode
-  * is COMPLETE: simple and full Huffman code forms, zero-run /
-  * repeat-coded code lengths, color-cache hits, LZ77 copies crossing
-  * row boundaries, and the full 120-entry distance plane-code table.
-  * The encoder exists to mint valid fixtures (balanced complete codes,
-  * greedy horizontal/vertical run LZ77, optional cache) — ratio is a
-  * non-goal; validity and determinism are the contract.
+  * transform-free, SUBTRACT_GREEN, and (since r14) PREDICTOR streams —
+  * all 14 predictor modes with the sub-resolution tile-mode image
+  * decoded as its own entropy-coded stream — with a single Huffman
+  * group per stream (top-level meta-Huffman bit 0). The COLOR and
+  * COLOR_INDEXING transforms remain behind the codec-library boundary;
+  * a stream using them returns None, never junk pixels. Within scope
+  * the decode is COMPLETE: simple and full Huffman code forms,
+  * zero-run / repeat-coded code lengths, color-cache hits, LZ77 copies
+  * crossing row boundaries, and the full 120-entry distance plane-code
+  * table. The encoder exists to mint valid fixtures (balanced complete
+  * codes, greedy horizontal/vertical run LZ77, optional cache, per-tile
+  * forward prediction) — ratio is a non-goal; validity and determinism
+  * are the contract.
   */
 object Vp8l {
 
@@ -205,13 +207,19 @@ object Vp8l {
   private val MaxCopy = 4096 // longest length the 24 length codes reach
 
   /** Encode ARGB pixels (row-major 0xAARRGGBB) into a complete WebP
-    * file (RIFF + VP8L). `subtractGreen` emits the one in-scope
-    * transform; `cacheBits` > 0 enables the color cache. */
+    * file (RIFF + VP8L). `subtractGreen` and `predictorBits` > 0 emit
+    * the two in-scope transforms (stream order subtract-green then
+    * predictor, so the decoder's reverse-order inverses undo the
+    * predictor first — libwebp's order); `predictorMode(tx, ty)` picks
+    * each tile's mode 0..13; `cacheBits` > 0 enables the color cache. */
   def encode(width: Int, height: Int, argb: Array[Int],
-             subtractGreen: Boolean = false, cacheBits: Int = 0): Array[Byte] = {
+             subtractGreen: Boolean = false, cacheBits: Int = 0,
+             predictorBits: Int = 0,
+             predictorMode: (Int, Int) => Int = (_, _) => 7): Array[Byte] = {
     require(width >= 1 && width <= 16384 && height >= 1 && height <= 16384)
     require(argb.length == width * height)
     require(cacheBits >= 0 && cacheBits <= 11)
+    require(predictorBits == 0 || (predictorBits >= 2 && predictorBits <= 9))
     val hasAlpha = argb.exists(p => (p >>> 24) != 0xff)
     val w = new BitWriter
     // header: signature byte is written by the byte assembler below
@@ -220,12 +228,7 @@ object Vp8l {
     w.writeBits(if (hasAlpha) 1 else 0, 1)
     w.writeBits(0, 3) // version
     if (subtractGreen) { w.writeBit(1); w.writeBits(2, 2) }
-    w.writeBit(0) // end of transforms
-    if (cacheBits > 0) { w.writeBit(1); w.writeBits(cacheBits, 4) }
-    else w.writeBit(0)
-    w.writeBit(0) // no meta-Huffman
-    // coded pixels (transform applied)
-    val coded = argb.map { p =>
+    var coded = argb.map { p =>
       if (!subtractGreen) p
       else {
         val a = p >>> 24; val r = (p >> 16) & 0xff
@@ -233,6 +236,28 @@ object Vp8l {
         (a << 24) | (((r - g) & 0xff) << 16) | (g << 8) | ((b - g) & 0xff)
       }
     }
+    if (predictorBits > 0) {
+      w.writeBit(1); w.writeBits(0, 2) // PREDICTOR
+      w.writeBits(predictorBits - 2, 3)
+      val (res, tiles) =
+        forwardPredictor(coded, width, height, predictorBits, predictorMode)
+      val tpr = (width + (1 << predictorBits) - 1) >> predictorBits
+      val tpc = (height + (1 << predictorBits) - 1) >> predictorBits
+      writeCodedImage(w, tpr, tpc, tiles, 0, topLevel = false)
+      coded = res
+    }
+    w.writeBit(0) // end of transforms
+    writeCodedImage(w, width, height, coded, cacheBits, topLevel = true)
+    Binary.riffWebp("VP8L", Array[Byte](0x2f) ++ w.toBytes)
+  }
+
+  /** One entropy-coded image stream: color-cache bit(s), the (absent
+    * for sub-images) meta-Huffman bit, five channel codes, tokens. */
+  private def writeCodedImage(w: BitWriter, width: Int, height: Int,
+      coded: Array[Int], cacheBits: Int, topLevel: Boolean): Unit = {
+    if (cacheBits > 0) { w.writeBit(1); w.writeBits(cacheBits, 4) }
+    else w.writeBit(0)
+    if (topLevel) w.writeBit(0) // no meta-Huffman
     // token stream: Literal(argb) | Copy(len, dist) | CacheHit(idx)
     sealed trait Tok
     case class Lit(p: Int) extends Tok
@@ -362,7 +387,6 @@ object Vp8l {
       case Hit(idx) =>
         emit(gC, gLen, nG, 256 + 24 + idx)
     }
-    Binary.riffWebp("VP8L", Array[Byte](0x2f) ++ w.toBytes)
   }
 
   /** Lengths array → (CL symbol, extraBits, extraValue) emissions with
@@ -392,6 +416,9 @@ object Vp8l {
 
   // ---- decoder ---------------------------------------------------------
 
+  private final case class HuffGroup(g: HuffDecoder, r: HuffDecoder,
+      b: HuffDecoder, a: HuffDecoder, d: HuffDecoder)
+
   /** Decode a WebP VP8L file → (width, height, ARGB row-major). None on
     * malformation or an out-of-scope transform — never junk pixels. */
   def decode(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
@@ -402,18 +429,63 @@ object Vp8l {
     val width = br.readBits(14) + 1
     val height = br.readBits(14) + 1
     br.readBits(1 + 3) // alpha hint + version (validated by parseWebpMeta)
+    // transform list, read order recorded: inverses apply in REVERSE
+    // read order (the encoder applied them forward in read order)
     var subtractGreen = false
-    while (br.readBit() == 1) { // transform list
+    var predictor: Option[(Int, Array[Int])] = None // (sizeBits, tiles)
+    val order = scala.collection.mutable.ArrayBuffer[Int]()
+    while (br.readBit() == 1) {
       br.readBits(2) match {
-        case 2 => if (subtractGreen) return None else subtractGreen = true
-        case _ => return None // PREDICTOR/COLOR/COLOR_INDEXING: out of scope
+        case 0 => // PREDICTOR: tile-mode sub-resolution image
+          if (predictor.isDefined) return None
+          val bits = br.readBits(3) + 2
+          val subW = (width + (1 << bits) - 1) >> bits
+          val subH = (height + (1 << bits) - 1) >> bits
+          val tiles = decodeSubImage(br, subW, subH).getOrElse(return None)
+          predictor = Some((bits, tiles))
+          order += 0
+        case 2 =>
+          if (subtractGreen) return None
+          subtractGreen = true
+          order += 2
+        case _ => return None // COLOR/COLOR_INDEXING: out of scope
       }
     }
     val cacheBits = if (br.readBit() == 1) br.readBits(4) else 0
     if (cacheBits > 11) return None
     if (br.readBit() == 1) return None // meta-Huffman: out of scope
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
-    def readCode(alphabet: Int): HuffDecoder = {
+    val grp = readGroup(br, cacheSize)
+    if (br.bad) return None
+    if (width.toLong * height > 64 * 1024 * 1024) return None
+    val px = decodePixelData(br, width, height, cacheBits, grp)
+      .getOrElse(return None)
+    order.reverseIterator.foreach {
+      case 0 =>
+        val (bits, tiles) = predictor.get
+        if (!inversePredictor(px, width, height, bits, tiles)) return None
+      case _ => addGreenInverse(px)
+    }
+    Some((width, height, px))
+  }
+
+  /** Sub-resolution image stream (transform data): optional color
+    * cache + ONE Huffman group + pixel data — no transform list and no
+    * meta-Huffman bit (the spec recurses only at the top level). */
+  private def decodeSubImage(br: BitReader, width: Int,
+      height: Int): Option[Array[Int]] = {
+    val cacheBits = if (br.readBit() == 1) br.readBits(4) else 0
+    if (cacheBits > 11) return None
+    val grp = readGroup(br, if (cacheBits > 0) 1 << cacheBits else 0)
+    if (br.bad) return None
+    decodePixelData(br, width, height, cacheBits, grp)
+  }
+
+  private def readGroup(br: BitReader, cacheSize: Int): HuffGroup =
+    HuffGroup(readCode(br, 256 + 24 + cacheSize), readCode(br, 256),
+      readCode(br, 256), readCode(br, 256), readCode(br, 40))
+
+  private def readCode(br: BitReader, alphabet: Int): HuffDecoder = {
       if (br.readBit() == 1) { // simple
         val numSym = br.readBits(1) + 1
         val is8 = br.readBits(1)
@@ -463,30 +535,28 @@ object Vp8l {
         }
         new HuffDecoder(lengths)
       }
-    }
-    val gD = readCode(256 + 24 + cacheSize)
-    val rD = readCode(256)
-    val bD = readCode(256)
-    val aD = readCode(256)
-    val dD = readCode(40)
-    if (br.bad) return None
+  }
+
+  private def decodePixelData(br: BitReader, width: Int, height: Int,
+      cacheBits: Int, grp: HuffGroup): Option[Array[Int]] = {
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val n = width * height
-    if (n > 64 * 1024 * 1024) return None
     val px = new Array[Int](n)
     val cache = new Array[Int](math.max(cacheSize, 1))
     def insert(p: Int): Unit =
       if (cacheBits > 0) cache(cacheIndex(p, cacheBits)) = p
     var pos = 0
     while (pos < n && !br.bad) {
-      val g = gD.read(br)
+      val g = grp.g.read(br)
       if (g < 256) {
-        val r = rD.read(br); val bl = bD.read(br); val a = aD.read(br)
+        val r = grp.r.read(br); val bl = grp.b.read(br)
+        val a = grp.a.read(br)
         val p = (a << 24) | (r << 16) | (g << 8) | bl
         px(pos) = p; insert(p); pos += 1
       } else if (g < 256 + 24) {
         val len = prefixDecode(g - 256, br)
         val dist = planeCodeToDistance(width,
-          prefixDecode(dD.read(br), br))
+          prefixDecode(grp.d.read(br), br))
         if (dist > pos || pos + len > n) return None
         var k = 0
         while (k < len) {
@@ -500,19 +570,177 @@ object Vp8l {
         px(pos) = p; insert(p); pos += 1
       }
     }
-    if (br.bad || pos < n) return None
-    if (subtractGreen) {
-      var i = 0
-      while (i < n) {
-        val p = px(i)
-        val gch = (p >> 8) & 0xff
-        val r = (((p >> 16) & 0xff) + gch) & 0xff
-        val bl = ((p & 0xff) + gch) & 0xff
-        px(i) = (p & 0xff00ff00) | (r << 16) | bl
-        i += 1
+    if (br.bad || pos < n) None else Some(px)
+  }
+
+  /** In-place SUBTRACT_GREEN inverse: add green back to red/blue. */
+  private def addGreenInverse(px: Array[Int]): Unit = {
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      val gch = (p >> 8) & 0xff
+      val r = (((p >> 16) & 0xff) + gch) & 0xff
+      val bl = ((p & 0xff) + gch) & 0xff
+      px(i) = (p & 0xff00ff00) | (r << 16) | bl
+      i += 1
+    }
+  }
+
+  // ---- predictor transform (spec §4.2.2) --------------------------------
+
+  /** Per-channel mod-256 pixel add (libwebp VP8LAddPixels: channel
+    * carries fall into bits the masks clear). */
+  @inline private def addPixels(a: Int, b: Int): Int = {
+    val ag = ((a & 0xff00ff00) + (b & 0xff00ff00)) & 0xff00ff00
+    val rb = ((a & 0x00ff00ff) + (b & 0x00ff00ff)) & 0x00ff00ff
+    ag | rb
+  }
+
+  /** Per-channel mod-256 pixel subtract (encoder side). */
+  @inline private def subPixels(a: Int, b: Int): Int = {
+    val al = ((a >>> 24) - (b >>> 24)) & 0xff
+    val r = (((a >> 16) & 0xff) - ((b >> 16) & 0xff)) & 0xff
+    val g = (((a >> 8) & 0xff) - ((b >> 8) & 0xff)) & 0xff
+    val bl = ((a & 0xff) - (b & 0xff)) & 0xff
+    (al << 24) | (r << 16) | (g << 8) | bl
+  }
+
+  /** Per-channel floor average (carry-safe bit trick). */
+  @inline private def avg2(a: Int, b: Int): Int =
+    (((a ^ b) & 0xfefefefe) >>> 1) + (a & b)
+
+  @inline private def clamp255(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Mode 11: pick L or T, whichever is closer (L1 over channels) to
+    * the gradient prediction L+T−TL; ties go to T (libwebp Select). */
+  private def select(l: Int, t: Int, tl: Int): Int = {
+    var paMinusPb = 0
+    var s = 0
+    while (s < 32) {
+      val lc = (l >>> s) & 0xff; val tc = (t >>> s) & 0xff
+      val tlc = (tl >>> s) & 0xff
+      paMinusPb += math.abs(lc - tlc) - math.abs(tc - tlc)
+      s += 8
+    }
+    if (paMinusPb <= 0) t else l
+  }
+
+  /** Mode 12: per-channel clamp(L + T − TL) to [0, 255]. */
+  private def casFull(l: Int, t: Int, tl: Int): Int = {
+    var out = 0
+    var s = 0
+    while (s < 32) {
+      val v = clamp255(((l >>> s) & 0xff) + ((t >>> s) & 0xff) -
+        ((tl >>> s) & 0xff))
+      out |= v << s
+      s += 8
+    }
+    out
+  }
+
+  /** Mode 13: per-channel clamp(ave + (ave − TL)/2), ave = avg2(L, T);
+    * the halving truncates toward zero (C semantics, matched). */
+  private def casHalf(l: Int, t: Int, tl: Int): Int = {
+    val ave = avg2(l, t)
+    var out = 0
+    var s = 0
+    while (s < 32) {
+      val m = (ave >>> s) & 0xff
+      val v = clamp255(m + (m - ((tl >>> s) & 0xff)) / 2)
+      out |= v << s
+      s += 8
+    }
+    out
+  }
+
+  /** Prediction for the pixel at flat index `idx` = (x, y), reading
+    * already-final neighbor values from `buf` (reconstructed pixels on
+    * decode, original pixels on encode — identical by construction).
+    * Border rules: (0,0) predicts opaque black, row 0 predicts L,
+    * column 0 predicts T; otherwise `mode`. The top-right neighbor of
+    * the rightmost column wraps to the current row's first pixel
+    * (contiguous-buffer semantics the spec codifies). -1 = bad mode.
+    */
+  private def predictAt(buf: Array[Int], idx: Int, x: Int, y: Int,
+      width: Int, mode: Int): Int = {
+    if (y == 0) { if (x == 0) 0xff000000 else buf(idx - 1) }
+    else if (x == 0) buf(idx - width)
+    else {
+      val l = buf(idx - 1); val t = buf(idx - width)
+      val tl = buf(idx - width - 1); val tr = buf(idx - width + 1)
+      mode match {
+        case 0 => 0xff000000
+        case 1 => l
+        case 2 => t
+        case 3 => tr
+        case 4 => tl
+        case 5 => avg2(avg2(l, tr), t)
+        case 6 => avg2(l, tl)
+        case 7 => avg2(l, t)
+        case 8 => avg2(tl, t)
+        case 9 => avg2(t, tr)
+        case 10 => avg2(avg2(l, tl), avg2(t, tr))
+        case 11 => select(l, t, tl)
+        case 12 => casFull(l, t, tl)
+        case 13 => casHalf(l, t, tl)
+        case _ => -1
       }
     }
-    Some((width, height, px))
+  }
+
+  /** In-place inverse predictor: residuals become pixels top-left to
+    * bottom-right (predictions only read already-reconstructed
+    * indices). Tile modes are the GREEN channel of the sub-image.
+    * False on a mode above 13 (malformed, not junk pixels). */
+  private def inversePredictor(px: Array[Int], width: Int, height: Int,
+      bits: Int, tiles: Array[Int]): Boolean = {
+    val tilesPerRow = (width + (1 << bits) - 1) >> bits
+    var idx = 0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val mode =
+          if (x == 0 || y == 0) 1 // border rules ignore the tile mode
+          else (tiles((y >> bits) * tilesPerRow + (x >> bits)) >> 8) & 0xff
+        if (mode > 13) return false
+        px(idx) = addPixels(px(idx), predictAt(px, idx, x, y, width, mode))
+        x += 1; idx += 1
+      }
+      y += 1
+    }
+    true
+  }
+
+  /** Forward predictor (encoder): residual image + the tile-mode
+    * sub-image (mode in GREEN, alpha 0xff). Predictions read the
+    * ORIGINAL pixels — exactly the values the decoder will have
+    * reconstructed at those indices. */
+  private def forwardPredictor(px: Array[Int], width: Int, height: Int,
+      bits: Int, modeOf: (Int, Int) => Int): (Array[Int], Array[Int]) = {
+    val tilesPerRow = (width + (1 << bits) - 1) >> bits
+    val tilesPerCol = (height + (1 << bits) - 1) >> bits
+    val tiles = Array.tabulate(tilesPerRow * tilesPerCol) { i =>
+      val m = modeOf(i % tilesPerRow, i / tilesPerRow)
+      require(m >= 0 && m <= 13, s"predictor mode $m out of range")
+      0xff000000 | (m << 8)
+    }
+    val res = new Array[Int](px.length)
+    var idx = 0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val mode =
+          if (x == 0 || y == 0) 1
+          else (tiles((y >> bits) * tilesPerRow + (x >> bits)) >> 8) & 0xff
+        res(idx) = subPixels(px(idx), predictAt(px, idx, x, y, width, mode))
+        x += 1; idx += 1
+      }
+      y += 1
+    }
+    (res, tiles)
   }
 
   // ---- fixtures + column wrappers ---------------------------------------
@@ -534,7 +762,12 @@ object Vp8l {
       (0xff << 24) | (r << 16) | (g << 8) | b
     }
     encode(w, h, px, subtractGreen = id % 2 == 0,
-      cacheBits = if (id % 3 == 0) 6 else 0)
+      cacheBits = if (id % 3 == 0) 6 else 0,
+      // 3/5 of fixtures carry the predictor transform (block bits
+      // 2..4, every mode 0..13 cycling over tiles) — decode recovers
+      // identical pixels, so the oracle's closed form is unchanged
+      predictorBits = if (id % 5 < 3) (2 + id % 3).toInt else 0,
+      predictorMode = (tx, ty) => ((tx + ty + id) % 14).toInt)
   }
 
   def synthVp8lCol(c: Column): Column =

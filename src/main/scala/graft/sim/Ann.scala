@@ -49,6 +49,20 @@ object Ann {
     transform(sequence(lit(0), lit(nPlanes - 1)),
       p => when(planeDot(vec, p, dim) > 0, lit(1L)).otherwise(lit(0L)))
 
+  /** The first `n` (COLUMN-valued) plane sign bits packed MSB-first
+    * into a long, in ONE fold — each projection evaluated exactly
+    * once. Callers with a per-row bit count must use this rather than
+    * indexing a separate [[planeSigns]] column: CollapseProject
+    * inlines a single-reference signs array into the consuming
+    * lambda, re-evaluating all projections once PER BIT (the q198
+    * capBuckets stage measured 27 s at the 10× point from exactly
+    * that inlining). `n` must be ≥ 1 on the rows where the result is
+    * consumed. */
+  def planePrefixBucket(vec: Column, dim: Int, n: Column): Column =
+    aggregate(sequence(lit(0), greatest(n, lit(1)) - 1), lit(0L),
+      (acc, p) => acc * 2 +
+        when(planeDot(vec, p, dim) > 0, lit(1L)).otherwise(lit(0L)))
+
   /** Pack a sign array into per-table bucket ids (table t packs bits
     * t·b … t·b+b−1).
     */

@@ -84,6 +84,78 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance Σ(x−y)² of two array columns, whole-stage
+  * codegen, SEQUENTIAL left-to-right fold — bitwise identical to
+  * [[KMeans.Model.assign]]'s inner loop (the dual-path q198 audit pins
+  * that agreement) and to the interpreted
+  * `aggregate(zip_with(a, b, (x,y) => (x−y)²), 0.0, _+_)` it replaces,
+  * which cost ~24 s at the 10× ScaleAb point (142 centers × 64 dims ×
+  * 20k rows of boxed lambda evaluation). */
+case class SqDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_sqdist expects array<float|double> inputs, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      def get(arr: String, e: Expression) = elemType(e) match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case _ => s"$arr.getDouble($i)"
+      }
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${get(a, left)} - ${get(b, right)};
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration for graft's native functions. Idempotent. */
 object GraftFunctions {
   val DotName = "graft_dot"
@@ -111,7 +183,20 @@ object GraftFunctions {
         MinHashSigExpr(args(0), args(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SqDistName,
+      { args: Seq[Expression] =>
+        require(args.length == 2, s"$SqDistName takes 2 arguments")
+        SqDistExpr(args(0), args(1))
+      },
+      "built-in")
   }
+
+  val SqDistName = "graft_sqdist"
+
+  /** Codegen'd sequential Σ(x−y)² (requires [[register]]). */
+  def sqDist(a: Column, b: Column): Column =
+    F.call_function(SqDistName, a, b)
 
   val MinHashName = "graft_minhash"
 

@@ -171,10 +171,16 @@ class MultimodalSpec extends SparkSpec {
     assert(Vp8l.decode(enc).get._3.sameElements(px))
     // bitstream bits 0-31 are dims/alpha/version (bytes 21-24); the
     // transform list starts at byte 25 bit 0: present=1, type bits 1-2
-    // (=2, subtract-green). Clearing bit 2 turns the type into 0
-    // (PREDICTOR) -> documented out of scope -> None, not junk pixels
-    val pred = enc.clone(); pred(25) = (pred(25) & ~0x04).toByte
-    assert(Vp8l.decode(pred).isEmpty)
+    // LSB-first (=2, subtract-green). Rewriting the type to 1 (COLOR)
+    // hits the documented out-of-scope boundary -> None, never junk
+    val colorT = enc.clone()
+    colorT(25) = ((colorT(25) | 0x02) & ~0x04).toByte
+    assert(Vp8l.decode(colorT).isEmpty)
+    // type 0 (PREDICTOR) is IN scope since r14 — rewriting the type
+    // makes the following bits parse as a bogus sub-image: must stay
+    // total (None or a decode, never a throw)
+    val predT = enc.clone(); predT(25) = (predT(25) & ~0x04).toByte
+    Vp8l.decode(predT)
     // truncation: None, never a crash
     assert(Vp8l.decode(enc.take(24)).isEmpty)
     assert(Vp8l.decode(enc.dropRight(1)).isEmpty)

@@ -275,11 +275,37 @@ class PropertySpec extends AnyFunSuite {
         else Gen.choose(Int.MinValue, Int.MaxValue))
       sg <- Gen.oneOf(true, false)
       cb <- Gen.oneOf(0, 3, 6)
-    } yield (w, h, px.toArray, sg, cb)
+      pb <- Gen.oneOf(0, 2, 3, 4) // predictor off / block bits
+      pm <- Gen.choose(0, 13)     // uniform mode + per-tile cycling
+      cyc <- Gen.oneOf(true, false)
+    } yield (w, h, px.toArray, sg, cb, pb, pm, cyc)
     check("vp8l-roundtrip", Prop.forAll(imgGen) {
-      case (w, h, px, sg, cb) =>
+      case (w, h, px, sg, cb, pb, pm, cyc) =>
+        val modeOf: (Int, Int) => Int =
+          if (cyc) (tx, ty) => (tx + ty + pm) % 14 else (_, _) => pm
         Vp8l.decode(Vp8l.encode(w, h, px, subtractGreen = sg,
-          cacheBits = cb)).exists(_._3.sameElements(px))
+          cacheBits = cb, predictorBits = pb, predictorMode = modeOf))
+          .exists(_._3.sameElements(px))
     })
+    // every predictor mode individually, on a fixed gradient+noise
+    // image (deterministic, so a mode bug names itself)
+    val w0 = 19; val h0 = 11
+    val img = Array.tabulate(w0 * h0) { i =>
+      val x = i % w0; val y = i / w0
+      val r = (x * 13 + y * 7) % 256; val g = (x * 29 + y * 3) % 256
+      val b = (i * 97) % 256; val a = if (i % 5 == 0) 0x80 else 0xff
+      (a << 24) | (r << 16) | (g << 8) | b
+    }
+    for (mode <- 0 to 13; bits <- Seq(2, 4)) {
+      val enc = Vp8l.encode(w0, h0, img, predictorBits = bits,
+        predictorMode = (_, _) => mode)
+      assert(Vp8l.decode(enc).exists(_._3.sameElements(img)),
+        s"predictor mode $mode bits $bits must round-trip")
+    }
+    // predictor composes with subtract-green (reverse-order inverses)
+    val both = Vp8l.encode(w0, h0, img, subtractGreen = true,
+      cacheBits = 4, predictorBits = 3,
+      predictorMode = (tx, ty) => (tx * 5 + ty) % 14)
+    assert(Vp8l.decode(both).exists(_._3.sameElements(img)))
   }
 }
