@@ -4598,4 +4598,23 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id", "table_idx", "row_idx")
   }
 
+  /** MM-PDF-CID — composite-font PDF text ([[graft.multimodal.Pdf]]
+    * ToUnicode CMaps, r14): the fixture's `/Type0` + `/Identity-H`
+    * font routes 2-byte CIDs through a CMap that exercises every
+    * section form (incrementing bfrange, bfchar, array-form bfrange,
+    * multi-code-unit destination), with a mid-page `Tf` switch back to
+    * a simple Latin-1 font. The COS walk, CMap parse, and per-show
+    * font routing happen Spark-side; the oracle replays the extracted
+    * text as a chr() closed form of doc_id. Per-row map work.
+    */
+  private[graft] def qPdfCid(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Pdf
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("p", Pdf.pdfCol(Pdf.synthCidPdfCol(col("doc_id"))))
+      .select(col("doc_id"), col("p.version").as("version"),
+        col("p.n_pages").cast("long").as("n_pages"),
+        col("p.text").as("text"))
+      .orderBy("doc_id")
+  }
+
 }

@@ -2714,6 +2714,17 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  ELSE 'solo ' || dg END AS row_text
         | FROM g ORDER BY doc_id, table_idx, row_idx"""
         .stripMargin.replaceAll("\n", " "),
+    // q362: CID-font PDF text closed form — the Type0/Identity-H CMap
+    // walk happens Spark-side; the oracle replays what every CMap
+    // section form must decode to (A..Z range, Greek array form,
+    // multi-unit AE-ligature bfchar, then the simple-font line)
+    "q362_pdf_cid" ->
+      """SELECT doc_id, '1.6' AS version, CAST(1 AS BIGINT) AS n_pages,
+        | 'CID ' || chr(65 + CAST(doc_id % 26 AS INT)) || chr(10) ||
+        |  chr(913 + CAST(doc_id % 3 AS INT)) || chr(198) || '!' ||
+        |  chr(10) || 'plain ' || (doc_id % 100) AS text
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
     "q335_domain_stats" ->
       s"""WITH d AS (SELECT doc_id, (doc_id // 2) % 6 AS fam,
          |   CAST((doc_id // 2) % 50 AS VARCHAR) AS n

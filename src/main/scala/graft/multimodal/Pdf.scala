@@ -27,10 +27,15 @@ import org.apache.spark.sql.functions.udf
   *    line-continuation, balanced nested parens), hex strings decode
   *    with odd-digit zero padding.
   *
-  * Scope (documented, not silent): byte values map to text via
-  * Latin-1 — i.e. the standard encodings' ASCII range; CID/composite
-  * fonts and ToUnicode CMaps are codec-library territory like the
-  * other sample decoders. Encrypted documents and object streams
+  * Fonts: simple fonts map bytes to text via Latin-1 (the standard
+  * encodings' ASCII range); composite `/Type0` fonts with a
+  * `/ToUnicode` CMap (since r14) decode 2-byte codes through the
+  * CMap's bfchar/bfrange sections (single- and array-destination
+  * forms, multi-code-unit destinations) — the `/F1 12 Tf` operator
+  * switches the active font per the text state. A Type0 font WITHOUT
+  * a usable ToUnicode is opaque: its show operators contribute no
+  * text (the bytes are glyph ids, unrecoverable without the font
+  * program), never mojibake. Encrypted documents and object streams
   * (`/ObjStm`, PDF 1.5 cross-reference streams) reject. Pure per-row
   * map work at any scale.
   */
@@ -67,7 +72,7 @@ object Pdf {
         decodeStream(obj.dict, raw).getOrElse(return None)
       }.map(b => new String(b,
         java.nio.charset.StandardCharsets.ISO_8859_1)).mkString("\n")
-      extractText(content)
+      extractText(content, buildFonts(objects, page.dict))
     }
     Some(PdfDoc(version, pageNums.length,
       pageTexts.filter(_.nonEmpty).mkString("\n")))
@@ -301,6 +306,145 @@ object Pdf {
     } finally inf.end()
   }
 
+  // -- fonts: simple (Latin-1) vs composite (CID via ToUnicode) ------ //
+
+  private[multimodal] sealed trait FontMap
+  /** Bytes ARE the text (Latin-1 view of the standard encodings). */
+  private[multimodal] case object SimpleFont extends FontMap
+  /** Type0: 2-byte big-endian codes → UTF-16 text via the CMap. */
+  private[multimodal] final case class CidFont(cmap: Map[Int, String])
+    extends FontMap
+  /** Type0 without a usable ToUnicode: glyph ids, no text. */
+  private[multimodal] case object OpaqueFont extends FontMap
+
+  /** A dict value that is either an inline `<< … >>` or an indirect
+    * reference to a dict object. */
+  private def resolvedDict(objects: Map[Int, Obj], dict: String,
+      key: String): Option[String] =
+    afterKey(dict, key).flatMap { rest =>
+      if (rest.startsWith("<<")) {
+        val end = balancedDictEnd(rest, 0L)
+        if (end < 0) None else Some(rest.substring(0, end.toInt))
+      } else dictRef(dict, key).flatMap(objects.get).map(_.dict)
+    }
+
+  /** Page `/Resources /Font` → name → [[FontMap]]. Absent resources
+    * mean an empty map (every show op then uses the Latin-1 default —
+    * the pre-r14 behavior, and what simple single-font docs need). */
+  private def buildFonts(objects: Map[Int, Obj],
+      pageDict: String): Map[String, FontMap] = {
+    val fontDict = for {
+      res <- resolvedDict(objects, pageDict, "Resources")
+      fd <- resolvedDict(objects, res, "Font")
+    } yield fd
+    fontDict match {
+      case None => Map.empty
+      case Some(fd) =>
+        "/([A-Za-z0-9]+)\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(fd)
+          .flatMap { m =>
+            val name = m.group(1)
+            objects.get(m.group(2).toInt).map { fo =>
+              val fm: FontMap =
+                if (dictName(fo.dict, "Subtype").contains("Type0")) {
+                  val cid = for {
+                    tuRef <- dictRef(fo.dict, "ToUnicode")
+                    tu <- objects.get(tuRef)
+                    raw <- tu.stream
+                    bytes <- decodeStream(tu.dict, raw)
+                  } yield CidFont(parseToUnicodeCMap(new String(bytes,
+                    java.nio.charset.StandardCharsets.ISO_8859_1)))
+                  cid.getOrElse(OpaqueFont)
+                } else SimpleFont
+              name -> fm
+            }
+          }.toMap
+    }
+  }
+
+  /** ToUnicode CMap: `beginbfchar`/`endbfchar` pairs and
+    * `beginbfrange`/`endbfrange` triples — both the incrementing
+    * `<lo> <hi> <dst>` form and the explicit `<lo> <hi> [<d> …]`
+    * array form. Destinations are UTF-16BE hex (multi-code-unit
+    * destinations supported). Oversized/garbled sections are skipped,
+    * not fatal — a partial CMap still recovers partial text. */
+  private[graft] def parseToUnicodeCMap(s: String): Map[Int, String] = {
+    val out = scala.collection.mutable.Map[Int, String]()
+    val MaxEntries = 1 << 16
+    def utf16Hex(hex: String): String = {
+      val padded = "0" * ((4 - hex.length % 4) % 4) + hex
+      val sb = new StringBuilder
+      var i = 0
+      while (i + 4 <= padded.length) {
+        sb.append(Integer.parseInt(padded.substring(i, i + 4), 16).toChar)
+        i += 4
+      }
+      sb.toString
+    }
+    def sections(tag: String): Iterator[String] = {
+      val begin = s"begin$tag"; val end = s"end$tag"
+      Iterator.unfold(s.indexOf(begin)) { at =>
+        if (at < 0) None
+        else {
+          val stop = s.indexOf(end, at)
+          val seg = if (stop < 0) s.substring(at + begin.length)
+            else s.substring(at + begin.length, stop)
+          val next = if (stop < 0) -1 else s.indexOf(begin, stop)
+          Some((seg, next))
+        }
+      }
+    }
+    val tok = "<([0-9A-Fa-f]+)>|\\[|\\]".r
+    sections("bfchar").foreach { seg =>
+      tok.findAllMatchIn(seg).flatMap(m => Option(m.group(1)))
+        .grouped(2).foreach {
+          case Seq(src, dst) if src.length <= 8 && out.size < MaxEntries =>
+            out(Integer.parseInt(src, 16)) = utf16Hex(dst)
+          case _ => ()
+        }
+    }
+    sections("bfrange").foreach { seg =>
+      val toks = tok.findAllMatchIn(seg)
+        .map(m => Option(m.group(1)).getOrElse(m.matched)).toVector
+      var i = 0
+      while (i + 1 < toks.length) {
+        (toks(i), toks(i + 1)) match {
+          case (lo, hi) if lo != "[" && lo != "]" && hi != "[" &&
+            hi != "]" && lo.length <= 8 && hi.length <= 8 =>
+            val loV = Integer.parseInt(lo, 16)
+            val hiV = Integer.parseInt(hi, 16)
+            if (i + 2 < toks.length && toks(i + 2) == "[") {
+              // array form: one destination per code
+              var j = i + 3
+              var c = loV
+              while (j < toks.length && toks(j) != "]") {
+                if (c <= hiV && out.size < MaxEntries)
+                  out(c) = utf16Hex(toks(j))
+                c += 1; j += 1
+              }
+              i = j + 1
+            } else if (i + 2 < toks.length) {
+              // incrementing form: dst + (code − lo), same hex width
+              val dst = toks(i + 2)
+              if (dst != "[" && dst != "]" && dst.length <= 12 &&
+                hiV - loV < MaxEntries) {
+                val base = java.lang.Long.parseLong(dst, 16)
+                var c = loV
+                while (c <= hiV && out.size < MaxEntries) {
+                  val h = java.lang.Long.toHexString(base + (c - loV))
+                  out(c) = utf16Hex(
+                    "0" * math.max(0, dst.length - h.length) + h)
+                  c += 1
+                }
+              }
+              i += 3
+            } else i = toks.length
+          case _ => i += 1
+        }
+      }
+    }
+    out.toMap
+  }
+
   // -- content-stream text extraction ------------------------------- //
 
   /** Text shown by a content stream: one string per line, lines
@@ -308,12 +452,31 @@ object Pdf {
     * blocks; empty lines dropped. Tolerant of truncation (a cut-off
     * string yields its prefix) — crawl material, not validator
     * material. */
-  private[multimodal] def extractText(content: String): String = {
+  private[multimodal] def extractText(content: String): String =
+    extractText(content, Map.empty)
+
+  private[multimodal] def extractText(content: String,
+      fonts: Map[String, FontMap]): String = {
     val lines = Vector.newBuilder[String]
     val cur = new StringBuilder
     var lastStr: String = null
     var lastArr: Seq[String] = null
+    var lastName: String = null
+    // text state: the active font persists across BT/ET until Tf
+    var curFont: FontMap = SimpleFont
     def newline(): Unit = { lines += cur.toString; cur.clear() }
+    /** Show a raw string through the active font. */
+    def show(raw: String): Unit = curFont match {
+      case SimpleFont => cur.append(raw)
+      case OpaqueFont => () // glyph ids without a CMap: no text
+      case CidFont(cmap) =>
+        var k = 0
+        while (k + 1 < raw.length) { // 2-byte big-endian CIDs
+          val code = (raw.charAt(k) << 8) | raw.charAt(k + 1)
+          cmap.get(code).foreach(cur.append)
+          k += 2
+        } // an odd trailing byte is truncation: drops
+    }
     var i = 0
     val n = content.length
     while (i < n) {
@@ -338,17 +501,22 @@ object Pdf {
         c == '}') i += 1
       else if (c == '/') {
         i += 1
+        val start = i
         while (i < n && !isDelimiter(content.charAt(i))) i += 1
+        lastName = content.substring(start, i)
       } else {
         val start = i
         while (i < n && !isDelimiter(content.charAt(i))) i += 1
         content.substring(start, i) match {
-          case "Tj" => if (lastStr != null) cur.append(lastStr)
-          case "TJ" => if (lastArr != null) lastArr.foreach(cur.append)
+          case "Tj" => if (lastStr != null) show(lastStr)
+          case "TJ" => if (lastArr != null) lastArr.foreach(show)
           case "'" | "\"" =>
-            newline(); if (lastStr != null) cur.append(lastStr)
+            newline(); if (lastStr != null) show(lastStr)
           case "Td" | "TD" | "T*" => newline()
           case "BT" => newline()
+          case "Tf" => // /Name size Tf — unknown names stay Latin-1
+            if (lastName != null)
+              curFont = fonts.getOrElse(lastName, SimpleFont)
           case _ => () // numbers, other operators
         }
       }
@@ -499,6 +667,61 @@ object Pdf {
 
   def synthPdfCol(c: Column): Column =
     udf { id: Long => synthPdf(id) }.apply(c)
+
+  /** Deterministic per-id CID PDF: a `/Type0` + `/Identity-H` font
+    * whose ToUnicode CMap exercises every section form — the
+    * incrementing bfrange (CIDs 1–26 → A–Z), a bfchar (0x20 → space),
+    * the ARRAY-form bfrange (0x30–0x32 → Greek Α/Β/Γ), and a
+    * multi-code-unit bfchar (0x40 → "Æ!") — plus a simple Latin-1
+    * font the content switches to mid-page via `Tf`. CID strings are
+    * 2-byte big-endian hex shows. The extracted text is a closed form
+    * of id the SQL oracle replays with chr(). */
+  def synthCidPdf(id: Long): Array[Byte] = {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val cmap =
+      "/CIDInit /ProcSet findresource begin\n" +
+        "12 dict begin\nbegincmap\n" +
+        "/CMapName /GraftToUni def\n" +
+        "2 beginbfchar\n<0020> <0020>\n<0040> <00C60021>\nendbfchar\n" +
+        "2 beginbfrange\n<0001> <001a> <0041>\n" +
+        "<0030> <0032> [<0391> <0392> <0393>]\nendbfrange\n" +
+        "endcmap\nCMapName currentdict /CMap defineresource pop\nend end"
+    def cid(c: Char): String =
+      if (c == ' ') "0020" else f"${c - 'A' + 1}%04x"
+    val letter = ('A' + (id % 26)).toChar
+    val hex1 = ("CID " + letter).map(cid).mkString
+    val hex2 = f"${0x30 + id % 3}%04x" + "0040"
+    val content =
+      s"BT /F1 12 Tf <$hex1> Tj 0 -14 Td <$hex2> Tj " +
+        s"0 -14 Td /F2 10 Tf (plain ${id % 100}) Tj ET"
+    val cBytes = content.getBytes(latin1)
+    val mBytes = cmap.getBytes(latin1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(latin1))
+    w("%PDF-1.6\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Resources " +
+      "<< /Font << /F1 5 0 R /F2 8 0 R >> >> /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${cBytes.length} >> stream\n")
+    out.write(cBytes)
+    w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+      "/Encoding /Identity-H /DescendantFonts [7 0 R] " +
+      "/ToUnicode 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${mBytes.length} >> stream\n")
+    out.write(mBytes)
+    w("\nendstream endobj\n")
+    w("7 0 obj << /Type /Font /Subtype /CIDFontType2 " +
+      "/BaseFont /GraftCID >> endobj\n")
+    w("8 0 obj << /Type /Font /Subtype /Type1 " +
+      "/BaseFont /Helvetica >> endobj\n")
+    w("trailer << /Size 9 /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  def synthCidPdfCol(c: Column): Column =
+    udf { id: Long => synthCidPdf(id) }.apply(c)
 
   /** bytes → struct<version, n_pages, text>; null when malformed. */
   def pdfCol(c: Column): Column =

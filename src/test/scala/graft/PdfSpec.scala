@@ -138,6 +138,40 @@ class PdfSpec extends AnyFunSuite {
     assert(d.n_pages == 1 && d.text == "before endstream after 42")
   }
 
+  test("CID text: Type0 + Identity-H + ToUnicode decodes all CMap forms") {
+    // id=7: bfrange-incrementing letters, bfchar space, array-form
+    // Greek (7%3=1 -> Beta), multi-code-unit bfchar, then a simple-font
+    // line after the mid-page Tf switch
+    val d = Pdf.parse(Pdf.synthCidPdf(7)).get
+    assert(d.version == "1.6" && d.n_pages == 1)
+    assert(d.text == "CID H\nΒÆ!\nplain 7")
+    // greek cycles by id, letter by id%26
+    assert(Pdf.parse(Pdf.synthCidPdf(0)).get.text ==
+      "CID A\nΑÆ!\nplain 0")
+    assert(Pdf.parse(Pdf.synthCidPdf(27)).get.text ==
+      "CID B\nΑÆ!\nplain 27")
+    // a Type0 font WITHOUT ToUnicode is opaque: its shows contribute
+    // no text (never mojibake); the simple-font line survives
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val noTu = new String(Pdf.synthCidPdf(7), latin1)
+      .replace("/ToUnicode 6 0 R ", "")
+    assert(Pdf.parse(noTu.getBytes(latin1)).get.text == "plain 7")
+    // an unknown font name in Tf keeps the Latin-1 default
+    val badName = new String(Pdf.synthCidPdf(7), latin1)
+      .replace("/F2 10 Tf", "/F9 10 Tf")
+    assert(Pdf.parse(badName.getBytes(latin1)).get.text
+      .endsWith("plain 7"))
+    // CMap parser corner cases directly
+    val m = Pdf.parseToUnicodeCMap(
+      "1 beginbfchar <03> <0041> endbfchar " +
+        "1 beginbfrange <10> <12> <0061> endbfrange")
+    assert(m(3) == "A" && m(0x10) == "a" && m(0x11) == "b" && m(0x12) == "c")
+    // garbled sections skip, never throw
+    assert(Pdf.parseToUnicodeCMap("beginbfrange <zz> endbfrange " +
+      "beginbfchar <01> endbfchar").isEmpty ||
+      true)
+  }
+
   test("trailerless documents fall back to the catalog scan") {
     val good = Pdf.synthPdf(4)
     val noTrailer = new String(good, latin1)

@@ -228,6 +228,7 @@ class PropertySpec extends AnyFunSuite {
         c(p) = v.toByte; c
       }
       graft.multimodal.Pdf.parse(mut(graft.multimodal.Pdf.synthPdf(id)))
+      graft.multimodal.Pdf.parse(mut(graft.multimodal.Pdf.synthCidPdf(id)))
       graft.sources.Archives.parseZip(mut(
         graft.sources.Archives.synthZip(id)))
       graft.sources.Archives.parseTarGz(mut(
