@@ -408,7 +408,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q359_id3_meta" -> (qId3Meta _),
     "q360_vision_capstone" -> (qVisionCapstone _),
     "q361_html_tables" -> (qHtmlTables _),
-    "q362_pdf_cid" -> (qPdfCid _)
+    "q362_pdf_cid" -> (qPdfCid _),
+    "q363_mp4_tracks" -> (qMp4Tracks _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

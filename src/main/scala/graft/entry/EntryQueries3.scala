@@ -4617,4 +4617,30 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** MM-MP4-TRACKS — per-track MP4 sample-table metadata
+    * ([[graft.multimodal.Binary.parseTracks]], r14): the trak → mdia →
+    * stbl walk reads each track's clock (mdhd v0/v1), handler fourcc,
+    * stts decoding runs (frame counts + summed deltas) and stsz byte
+    * volumes in BOTH forms (fixed sample size and the per-sample size
+    * list) — track-level depth the q213 movie-header row lacked,
+    * shrinking the sample-decode stub's blast radius. Every column is
+    * a closed form of (doc_id, track) the oracle recomputes. Per-row
+    * map work, explode fan-out ≤ 3.
+    */
+  private[graft] def qMp4Tracks(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("t",
+        explode(Binary.trackMetaCol(Binary.synthVideoTracksCol(col("doc_id")))))
+      .select(col("doc_id"),
+        col("t.track_idx").cast("long").as("track_idx"),
+        col("t.handler").as("handler"),
+        col("t.timescale").as("timescale"),
+        col("t.duration_ms").as("duration_ms"),
+        col("t.n_samples").as("n_samples"),
+        col("t.sum_delta").as("sum_delta"),
+        col("t.total_bytes").as("total_bytes"))
+      .orderBy("doc_id", "track_idx")
+  }
+
 }

@@ -2725,6 +2725,29 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  chr(10) || 'plain ' || (doc_id % 100) AS text
         | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+    // q363: per-track MP4 sample-table closed forms (the ISO-BMFF walk
+    // happens Spark-side) — stts runs, both stsz forms, mdhd clocks
+    "q363_mp4_tracks" ->
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS m5, doc_id % 3 AS m3,
+        |   doc_id % 100 AS m100 FROM documents WHERE doc_id < 240),
+        | g AS (SELECT d.*, t.t FROM d, range(0, 3) t(t) WHERE t < m3 + 1),
+        | f AS (SELECT doc_id, t, 15 + m5 AS n,
+        |   (10 + m5) * (100 + t) + 1000 AS sum_delta,
+        |   1000 * (t + 1) AS timescale,
+        |   CASE WHEN (t + doc_id) % 2 = 0 THEN 'vide' ELSE 'soun' END
+        |     AS handler, m100 FROM g)
+        | SELECT doc_id, CAST(t AS BIGINT) AS track_idx, handler,
+        |  CAST(timescale AS BIGINT) AS timescale,
+        |  CAST(sum_delta * 1000 // timescale AS BIGINT) AS duration_ms,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum_delta AS BIGINT) AS sum_delta,
+        |  CAST(CASE WHEN t % 2 = 0 THEN n * (256 + m100)
+        |   ELSE 100 * n + 6 * (n // 4) +
+        |     CASE n % 4 WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 3 THEN 3
+        |       ELSE 0 END
+        |   END AS BIGINT) AS total_bytes
+        | FROM f ORDER BY doc_id, track_idx"""
+        .stripMargin.replaceAll("\n", " "),
     "q335_domain_stats" ->
       s"""WITH d AS (SELECT doc_id, (doc_id // 2) % 6 AS fam,
          |   CAST((doc_id // 2) % 50 AS VARCHAR) AS n

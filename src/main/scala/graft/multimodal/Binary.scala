@@ -773,6 +773,133 @@ object Binary {
       duration * 1000L / timescale, tracks))
   }
 
+  /** Per-track MP4 metadata from the sample-table walk — still
+    * metadata, not sample decode ([[stubDecode]]'s boundary shrinks:
+    * frame counts, byte volumes, and track clocks no longer need it).
+    * `duration_ms` = floor(mdhd duration · 1000 / mdhd timescale);
+    * `n_samples`/`sum_delta` from `stts` runs; `total_bytes` from
+    * `stsz` (fixed-size or per-sample forms). */
+  final case class TrackMeta(track_idx: Int, handler: String,
+                             timescale: Long, duration_ms: Long,
+                             n_samples: Long, sum_delta: Long,
+                             total_bytes: Long)
+
+  /** ISO-BMFF track walk: `moov` → each `trak` → `mdia` → `mdhd`
+    * (v0/v1 clocks) + `hdlr` (handler fourcc) + `minf` → `stbl` →
+    * `stts` (decoding deltas: Σcount, Σcount·delta) and `stsz`
+    * (fixed `sample_size` or the per-sample size list). Tracks missing
+    * any of these boxes are skipped, not fatal (a metadata-only trak
+    * is legal — the q213 fixtures carry them); a malformed size field
+    * rejects the file. Long cursors throughout (the crafted-size
+    * infinite-loop rule). */
+  def parseTracks(b: Array[Byte]): Option[Seq[TrackMeta]] = {
+    if (b == null || b.length < 16) return None
+    def u8(i: Long): Long = b(i.toInt) & 0xffL
+    def be32(i: Long): Long =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Long): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Long): String =
+      new String(b.slice(i.toInt, i.toInt + 4), "US-ASCII")
+    val n = b.length.toLong
+    def boxes(from: Long, hi: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] {
+        private var cur = from
+        def hasNext: Boolean = cur >= 0 && cur + 8 <= hi
+        def next(): (String, Long, Long) = {
+          val size32 = be32(cur)
+          val typ = fourcc(cur + 4)
+          val (body, end) =
+            if (size32 == 1L && cur + 16 <= hi) (cur + 16, cur + be64(cur + 8))
+            else if (size32 == 0L) (cur + 8, hi)
+            else (cur + 8, cur + size32)
+          if (end <= cur || end > hi) { cur = -1; (typ, body, -1L) }
+          else { cur = end; (typ, body, end) }
+        }
+      }
+    if (parseVideoMeta(b).isEmpty) return None // same validity gate
+    val out = Vector.newBuilder[TrackMeta]
+    var idx = 0
+    boxes(0L, n).foreach {
+      case (_, _, -1L) => return None
+      case ("moov", mvBody, mvEnd) =>
+        boxes(mvBody, mvEnd).foreach {
+          case (_, _, -1L) => return None
+          case ("trak", tkBody, tkEnd) =>
+            var handler: String = null
+            var timescale = -1L
+            var duration = -1L
+            var nSamples = -1L
+            var sumDelta = -1L
+            var totalBytes = -1L
+            boxes(tkBody, tkEnd).foreach {
+              case (_, _, -1L) => return None
+              case ("mdia", mdBody, mdEnd) =>
+                boxes(mdBody, mdEnd).foreach {
+                  case (_, _, -1L) => return None
+                  case ("mdhd", hb, he) =>
+                    val v = u8(hb)
+                    if (v == 0L && hb + 24 <= he) {
+                      timescale = be32(hb + 12); duration = be32(hb + 16)
+                    } else if (v == 1L && hb + 36 <= he) {
+                      timescale = be32(hb + 20); duration = be64(hb + 24)
+                    } else return None
+                  case ("hdlr", hb, he) =>
+                    if (hb + 12 <= he) handler = fourcc(hb + 8)
+                    else return None
+                  case ("minf", mfBody, mfEnd) =>
+                    boxes(mfBody, mfEnd).foreach {
+                      case (_, _, -1L) => return None
+                      case ("stbl", sbBody, sbEnd) =>
+                        boxes(sbBody, sbEnd).foreach {
+                          case (_, _, -1L) => return None
+                          case ("stts", tb, te) =>
+                            if (tb + 8 > te) return None
+                            val entries = be32(tb + 4)
+                            if (tb + 8 + entries * 8 > te) return None
+                            var s = 0L; var d = 0L
+                            var e = 0L
+                            while (e < entries) {
+                              val cnt = be32(tb + 8 + e * 8)
+                              val dl = be32(tb + 12 + e * 8)
+                              s += cnt; d += cnt * dl
+                              e += 1
+                            }
+                            nSamples = s; sumDelta = d
+                          case ("stsz", zb, ze) =>
+                            if (zb + 12 > ze) return None
+                            val fixed = be32(zb + 4)
+                            val cnt = be32(zb + 8)
+                            if (fixed != 0L) totalBytes = fixed * cnt
+                            else {
+                              if (zb + 12 + cnt * 4 > ze) return None
+                              var s = 0L; var e = 0L
+                              while (e < cnt) {
+                                s += be32(zb + 12 + e * 4); e += 1
+                              }
+                              totalBytes = s
+                            }
+                          case _ => ()
+                        }
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            // a complete sample table names the track; bare traks skip
+            if (handler != null && timescale > 0 && duration >= 0 &&
+              nSamples >= 0 && totalBytes >= 0)
+              out += TrackMeta(idx, handler, timescale,
+                duration * 1000L / timescale, nSamples, sumDelta,
+                totalBytes)
+            idx += 1
+          case _ => ()
+        }
+      case _ => ()
+    }
+    Some(out.result())
+  }
+
   /** Minimal VALID MP4 skeleton (ftyp + moov[mvhd + empty traks]) —
     * the deterministic fixture [[parseVideoMeta]] round-trips.
     */
@@ -819,6 +946,69 @@ object Binary {
     udf { id: Long => synthVideoHeader(id) }.apply(c)
   def videoMetaCol(c: Column): Column =
     udf { b: Array[Byte] => parseVideoMeta(b) }.apply(c)
+
+  /** MP4 with REAL per-track sample tables (trak → mdia →
+    * mdhd/hdlr/minf → stbl → stts/stsz) — each track spec is
+    * (handler, timescale, stts runs as (count, delta), stsz fixed
+    * size or 0, per-sample sizes when 0). mdhd duration = Σcount·delta
+    * so the clocks are self-consistent. */
+  def mp4WithTracks(brand: String, mvTimescale: Long, mvDuration: Long,
+      specs: Seq[(String, Long, Seq[(Long, Long)], Long, Seq[Long])])
+      : Array[Byte] = {
+    def be32(v: Long) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+    val v0 = Array[Byte](0, 0, 0, 0) // version 0 + flags
+    val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ be32(512L) ++
+      "isommp41".getBytes("US-ASCII"))
+    val mvhd = box("mvhd",
+      v0 ++ be32(0L) ++ be32(0L) ++ be32(mvTimescale) ++
+        be32(mvDuration) ++ be32(0x00010000L) ++
+        Array[Byte](0x01, 0, 0, 0) ++ new Array[Byte](8) ++
+        new Array[Byte](36) ++ new Array[Byte](24) ++
+        be32(specs.length + 1L))
+    val traks = specs.map { case (handler, ts, runs, fixed, sizes) =>
+      val dur = runs.map { case (c, d) => c * d }.sum
+      val nSamples = runs.map(_._1).sum
+      val mdhd = box("mdhd",
+        v0 ++ be32(0L) ++ be32(0L) ++ be32(ts) ++ be32(dur) ++
+          Array[Byte](0x55, 0xc4.toByte, 0, 0))
+      val hdlr = box("hdlr",
+        v0 ++ be32(0L) ++ handler.getBytes("US-ASCII") ++
+          new Array[Byte](12) ++ Array[Byte](0))
+      val stts = box("stts", v0 ++ be32(runs.length.toLong) ++
+        runs.flatMap { case (c, d) => be32(c) ++ be32(d) }.toArray)
+      val stsz = box("stsz", v0 ++ be32(fixed) ++
+        be32(if (fixed != 0L) nSamples else sizes.length.toLong) ++
+        (if (fixed != 0L) Array.empty[Byte]
+         else sizes.flatMap(be32).toArray))
+      box("trak", box("mdia", mdhd ++ hdlr ++
+        box("minf", box("stbl", stts ++ stsz))))
+    }.foldLeft(Array.empty[Byte])(_ ++ _)
+    ftyp ++ box("moov", mvhd ++ traks)
+  }
+
+  /** Deterministic per-id tracked MP4: 1–3 tracks cycling handler,
+    * clock, stts run shapes, and BOTH stsz forms by (id, t). */
+  def synthVideoTracks(id: Long): Array[Byte] = {
+    val k = (id % 3 + 1).toInt
+    val specs = (0 until k).map { t =>
+      val n = 15 + id % 5
+      val runs = Seq((10 + id % 5, 100L + t), (5L, 200L))
+      val handler = if ((t + id) % 2 == 0) "vide" else "soun"
+      val ts = 1000L * (t + 1)
+      if (t % 2 == 0) (handler, ts, runs, 256L + id % 100, Seq.empty[Long])
+      else (handler, ts, runs, 0L, (0L until n).map(i => 100L + i % 4))
+    }
+    val mvDur = specs.map(_._3.map { case (c, d) => c * d }.sum).max
+    mp4WithTracks(if (id % 2 == 0) "isom" else "mp42", 1000L, mvDur, specs)
+  }
+
+  def synthVideoTracksCol(c: Column): Column =
+    udf { id: Long => synthVideoTracks(id) }.apply(c)
+  def trackMetaCol(c: Column): Column =
+    udf { b: Array[Byte] => parseTracks(b) }.apply(c)
 
   /** Parsed AVIF metadata — AV1-in-HEIF, the image format modern
     * crawls increasingly serve beside WebP. */

@@ -268,6 +268,30 @@ class MultimodalSpec extends SparkSpec {
       df(3).getInt(4) == 8)
   }
 
+  test("parseTracks walks trak/mdia/stbl: stts runs, both stsz forms") {
+    import graft.multimodal.Binary
+    // id=4: 2 tracks; t=0 vide fixed-size stsz, t=1 soun per-sample
+    val ts4 = Binary.parseTracks(Binary.synthVideoTracks(4)).get
+    assert(ts4.length == 2)
+    val t0 = ts4(0)
+    // id%5=4: n = 19, runs (14, 100+0) + (5, 200) -> sum_delta 2400
+    assert(t0.handler == "vide" && t0.timescale == 1000L)
+    assert(t0.n_samples == 19L && t0.sum_delta == 2400L)
+    assert(t0.duration_ms == 2400L) // 2400 * 1000 / 1000
+    assert(t0.total_bytes == 19L * (256 + 4)) // fixed-size form
+    val t1 = ts4(1)
+    assert(t1.handler == "soun" && t1.timescale == 2000L)
+    assert(t1.sum_delta == 14 * 101 + 1000)
+    assert(t1.duration_ms == t1.sum_delta * 1000 / 2000)
+    // per-sample sizes 100 + i%4 over 19 samples
+    assert(t1.total_bytes == (0 until 19).map(i => 100L + i % 4).sum)
+    // bare traks (no sample table) are skipped, not fatal
+    assert(Binary.parseTracks(Binary.mp4Header(600, 600, 2)).get.isEmpty)
+    // garbage / truncation reject like the header walk
+    assert(Binary.parseTracks("not a video".getBytes).isEmpty)
+    assert(Binary.parseTracks(Binary.synthVideoTracks(4).take(40)).isEmpty)
+  }
+
   test("parseVideoMeta round-trips mp4 v0/v1 headers, rejects garbage") {
     import graft.multimodal.Binary
     // mvhd version 0

@@ -216,6 +216,7 @@ class PropertySpec extends AnyFunSuite {
       graft.sources.Docs.docxText(b); graft.sources.Docs.epubText(b)
       graft.multimodal.Binary.parseId3v2(b)
       graft.multimodal.Binary.parseSvgMeta(b)
+      graft.multimodal.Binary.parseTracks(b)
       true
     })
     // mutation fuzz: corrupt VALID containers anywhere — parsers must
@@ -238,6 +239,8 @@ class PropertySpec extends AnyFunSuite {
         graft.multimodal.Binary.synthLegacyImage(id)))
       graft.multimodal.Binary.parseExifMeta(mut(
         graft.multimodal.Binary.synthExifJpeg(id)))
+      graft.multimodal.Binary.parseTracks(mut(
+        graft.multimodal.Binary.synthVideoTracks(id)))
       true
     })
     // DOCX XML-level fuzz: container byte flips die at the CRC gate,
