@@ -12,20 +12,23 @@ import org.apache.spark.sql.functions.udf
   * progressive / restart-marker JPEG (q234/q323/q324); header-only
   * metadata stays in [[Binary.parseWebpMeta]].
   *
-  * Scope (documented subset, not a stub): the decoder handles
-  * transform-free, SUBTRACT_GREEN, and (since r14) PREDICTOR streams —
-  * all 14 predictor modes with the sub-resolution tile-mode image
-  * decoded as its own entropy-coded stream — with a single Huffman
-  * group per stream (top-level meta-Huffman bit 0). The COLOR and
-  * COLOR_INDEXING transforms remain behind the codec-library boundary;
-  * a stream using them returns None, never junk pixels. Within scope
-  * the decode is COMPLETE: simple and full Huffman code forms,
-  * zero-run / repeat-coded code lengths, color-cache hits, LZ77 copies
-  * crossing row boundaries, and the full 120-entry distance plane-code
-  * table. The encoder exists to mint valid fixtures (balanced complete
-  * codes, greedy horizontal/vertical run LZ77, optional cache, per-tile
-  * forward prediction) — ratio is a non-goal; validity and determinism
-  * are the contract.
+  * Scope: since r14 ALL FOUR transforms decode — SUBTRACT_GREEN,
+  * PREDICTOR (14 modes, tile-mode sub-image), COLOR (per-tile
+  * cross-color elements, signed-8-bit delta algebra) and
+  * COLOR_INDEXING (delta-coded palette, pixel bundling at every
+  * width-bits tier) — each sub-resolution image decoded as its own
+  * entropy-coded stream, with a single Huffman group per stream
+  * (top-level meta-Huffman bit 0). Two documented boundaries remain: a
+  * meta-Huffman (entropy image) stream, and a palette COMBINED with
+  * another transform (libwebp's encoder never emits that; every other
+  * transform would have to operate at the bundled width) — both return
+  * None, never junk pixels. Within scope the decode is COMPLETE:
+  * simple and full Huffman code forms, zero-run / repeat-coded code
+  * lengths, color-cache hits, LZ77 copies crossing row boundaries, and
+  * the full 120-entry distance plane-code table. The encoder exists to
+  * mint valid fixtures (balanced complete codes, greedy run LZ77,
+  * optional cache, per-tile prediction/cross-color, palette bundling)
+  * — ratio is a non-goal; validity and determinism are the contract.
   */
 object Vp8l {
 
@@ -207,19 +210,27 @@ object Vp8l {
   private val MaxCopy = 4096 // longest length the 24 length codes reach
 
   /** Encode ARGB pixels (row-major 0xAARRGGBB) into a complete WebP
-    * file (RIFF + VP8L). `subtractGreen` and `predictorBits` > 0 emit
-    * the two in-scope transforms (stream order subtract-green then
-    * predictor, so the decoder's reverse-order inverses undo the
-    * predictor first — libwebp's order); `predictorMode(tx, ty)` picks
-    * each tile's mode 0..13; `cacheBits` > 0 enables the color cache. */
+    * file (RIFF + VP8L). Transforms apply forward in libwebp's stream
+    * order — subtract-green, predictor, cross-color — so the decoder's
+    * reverse-order inverses undo them correctly; `predictorMode` /
+    * `colorElem` pick each tile's mode / packed element; `palette`
+    * emits the COLOR_INDEXING path instead (exclusive of the others,
+    * ≤256 distinct colors, bundled when ≤16); `cacheBits` > 0 enables
+    * the color cache. */
   def encode(width: Int, height: Int, argb: Array[Int],
              subtractGreen: Boolean = false, cacheBits: Int = 0,
              predictorBits: Int = 0,
-             predictorMode: (Int, Int) => Int = (_, _) => 7): Array[Byte] = {
+             predictorMode: (Int, Int) => Int = (_, _) => 7,
+             colorBits: Int = 0,
+             colorElem: (Int, Int) => Int = (_, _) => 0,
+             palette: Boolean = false): Array[Byte] = {
     require(width >= 1 && width <= 16384 && height >= 1 && height <= 16384)
     require(argb.length == width * height)
     require(cacheBits >= 0 && cacheBits <= 11)
     require(predictorBits == 0 || (predictorBits >= 2 && predictorBits <= 9))
+    require(colorBits == 0 || (colorBits >= 2 && colorBits <= 9))
+    require(!palette || (!subtractGreen && predictorBits == 0 &&
+      colorBits == 0), "a palette composes with no other transform")
     val hasAlpha = argb.exists(p => (p >>> 24) != 0xff)
     val w = new BitWriter
     // header: signature byte is written by the byte assembler below
@@ -227,6 +238,45 @@ object Vp8l {
     w.writeBits(height - 1, 14)
     w.writeBits(if (hasAlpha) 1 else 0, 1)
     w.writeBits(0, 3) // version
+    if (palette) {
+      val colors = scala.collection.mutable.LinkedHashSet[Int]()
+      argb.foreach(colors += _)
+      require(colors.size <= 256, "palette needs <= 256 distinct colors")
+      val pal = colors.toArray
+      val lookup = pal.zipWithIndex.toMap
+      w.writeBit(1); w.writeBits(3, 2) // COLOR_INDEXING
+      w.writeBits(pal.length - 1, 8)
+      val deltas = Array.tabulate(pal.length)(i =>
+        if (i == 0) pal(0) else subPixels(pal(i), pal(i - 1)))
+      writeCodedImage(w, pal.length, 1, deltas, 0, topLevel = false)
+      w.writeBit(0) // end of transforms
+      val widthBits =
+        if (pal.length <= 2) 3
+        else if (pal.length <= 4) 2
+        else if (pal.length <= 16) 1
+        else 0
+      val bpp = 8 >> widthBits
+      val perByte = 1 << widthBits
+      val effW = (width + perByte - 1) >> widthBits
+      val bundled = new Array[Int](effW * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val i = lookup(argb(y * width + x))
+          val at = y * effW + (x >> widthBits)
+          val shift = (x & (perByte - 1)) * bpp
+          bundled(at) |= (i << shift) << 8 // indices live in GREEN
+          x += 1
+        }
+        // opaque alpha on every bundled pixel (only green is decoded)
+        var e = y * effW
+        while (e < (y + 1) * effW) { bundled(e) |= 0xff000000; e += 1 }
+        y += 1
+      }
+      writeCodedImage(w, effW, height, bundled, cacheBits, topLevel = true)
+      return Binary.riffWebp("VP8L", Array[Byte](0x2f) ++ w.toBytes)
+    }
     if (subtractGreen) { w.writeBit(1); w.writeBits(2, 2) }
     var coded = argb.map { p =>
       if (!subtractGreen) p
@@ -243,6 +293,16 @@ object Vp8l {
         forwardPredictor(coded, width, height, predictorBits, predictorMode)
       val tpr = (width + (1 << predictorBits) - 1) >> predictorBits
       val tpc = (height + (1 << predictorBits) - 1) >> predictorBits
+      writeCodedImage(w, tpr, tpc, tiles, 0, topLevel = false)
+      coded = res
+    }
+    if (colorBits > 0) {
+      w.writeBit(1); w.writeBits(1, 2) // COLOR
+      w.writeBits(colorBits - 2, 3)
+      val (res, tiles) =
+        forwardColorTransform(coded, width, height, colorBits, colorElem)
+      val tpr = (width + (1 << colorBits) - 1) >> colorBits
+      val tpc = (height + (1 << colorBits) - 1) >> colorBits
       writeCodedImage(w, tpr, tpc, tiles, 0, topLevel = false)
       coded = res
     }
@@ -433,6 +493,8 @@ object Vp8l {
     // read order (the encoder applied them forward in read order)
     var subtractGreen = false
     var predictor: Option[(Int, Array[Int])] = None // (sizeBits, tiles)
+    var colorT: Option[(Int, Array[Int])] = None // (sizeBits, tiles)
+    var palette: Option[(Int, Array[Int])] = None // (widthBits, colors)
     val order = scala.collection.mutable.ArrayBuffer[Int]()
     while (br.readBit() == 1) {
       br.readBits(2) match {
@@ -444,12 +506,42 @@ object Vp8l {
           val tiles = decodeSubImage(br, subW, subH).getOrElse(return None)
           predictor = Some((bits, tiles))
           order += 0
+        case 1 => // COLOR: per-tile cross-color transform elements
+          if (colorT.isDefined) return None
+          val bits = br.readBits(3) + 2
+          val subW = (width + (1 << bits) - 1) >> bits
+          val subH = (height + (1 << bits) - 1) >> bits
+          val tiles = decodeSubImage(br, subW, subH).getOrElse(return None)
+          colorT = Some((bits, tiles))
+          order += 1
         case 2 =>
           if (subtractGreen) return None
           subtractGreen = true
           order += 2
-        case _ => return None // COLOR/COLOR_INDEXING: out of scope
+        case _ => // COLOR_INDEXING: delta-coded palette sub-image
+          if (palette.isDefined) return None
+          val tableSize = br.readBits(8) + 1
+          val pal = decodeSubImage(br, tableSize, 1).getOrElse(return None)
+          var i = 1
+          while (i < pal.length) { // entries are per-channel deltas
+            pal(i) = addPixels(pal(i), pal(i - 1)); i += 1
+          }
+          val widthBits =
+            if (tableSize <= 2) 3
+            else if (tableSize <= 4) 2
+            else if (tableSize <= 16) 1
+            else 0
+          palette = Some((widthBits, pal))
+          order += 3
       }
+    }
+    // scope: a palette composes with no other transform here (libwebp's
+    // encoder never combines them either — the combination would make
+    // every other transform operate at the bundled width)
+    if (palette.isDefined && order.length > 1) return None
+    val effWidth = palette match {
+      case Some((wb, _)) => (width + (1 << wb) - 1) >> wb
+      case None => width
     }
     val cacheBits = if (br.readBit() == 1) br.readBits(4) else 0
     if (cacheBits > 11) return None
@@ -458,13 +550,19 @@ object Vp8l {
     val grp = readGroup(br, cacheSize)
     if (br.bad) return None
     if (width.toLong * height > 64 * 1024 * 1024) return None
-    val px = decodePixelData(br, width, height, cacheBits, grp)
+    var px = decodePixelData(br, effWidth, height, cacheBits, grp)
       .getOrElse(return None)
     order.reverseIterator.foreach {
       case 0 =>
         val (bits, tiles) = predictor.get
         if (!inversePredictor(px, width, height, bits, tiles)) return None
-      case _ => addGreenInverse(px)
+      case 1 =>
+        val (bits, tiles) = colorT.get
+        inverseColorTransform(px, width, height, bits, tiles)
+      case 2 => addGreenInverse(px)
+      case _ =>
+        val (wb, pal) = palette.get
+        px = expandPalette(px, width, height, effWidth, wb, pal)
     }
     Some((width, height, px))
   }
@@ -713,6 +811,101 @@ object Vp8l {
     true
   }
 
+  // ---- color transform (spec §4.2.3) -------------------------------------
+
+  /** (t · c) >> 5 with both operands as signed 8-bit (libwebp
+    * ColorTransformDelta). */
+  @inline private def ctDelta(t: Int, c: Int): Int =
+    (t.toByte * c.toByte) >> 5
+
+  /** In-place inverse cross-color transform: each tile's element packs
+    * red_to_blue in RED, green_to_blue in GREEN, green_to_red in BLUE.
+    * red restores first; its restored int8 view feeds red_to_blue
+    * (bitwise libwebp VP8LTransformColorInverse). */
+  private def inverseColorTransform(px: Array[Int], width: Int,
+      height: Int, bits: Int, tiles: Array[Int]): Unit = {
+    val tpr = (width + (1 << bits) - 1) >> bits
+    var idx = 0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val t = tiles((y >> bits) * tpr + (x >> bits))
+        val g2r = (t & 0xff); val g2b = (t >> 8) & 0xff
+        val r2b = (t >> 16) & 0xff
+        val p = px(idx)
+        val green = (p >> 8) & 0xff
+        var red = (p >> 16) & 0xff
+        var blue = p & 0xff
+        red = (red + ctDelta(g2r, green)) & 0xff
+        blue = blue + ctDelta(g2b, green) + ctDelta(r2b, red)
+        blue &= 0xff
+        px(idx) = (p & 0xff00ff00) | (red << 16) | blue
+        x += 1; idx += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Forward cross-color (encoder): subtract the deltas; red_to_blue
+    * uses the ORIGINAL red — the value the inverse will have restored. */
+  private def forwardColorTransform(px: Array[Int], width: Int,
+      height: Int, bits: Int, elemOf: (Int, Int) => Int)
+      : (Array[Int], Array[Int]) = {
+    val tpr = (width + (1 << bits) - 1) >> bits
+    val tpc = (height + (1 << bits) - 1) >> bits
+    val tiles = Array.tabulate(tpr * tpc) { i =>
+      0xff000000 | (elemOf(i % tpr, i / tpr) & 0xffffff)
+    }
+    val res = new Array[Int](px.length)
+    var idx = 0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val t = tiles((y >> bits) * tpr + (x >> bits))
+        val g2r = t & 0xff; val g2b = (t >> 8) & 0xff
+        val r2b = (t >> 16) & 0xff
+        val p = px(idx)
+        val green = (p >> 8) & 0xff
+        val red = (p >> 16) & 0xff
+        var newRed = red - ctDelta(g2r, green)
+        newRed &= 0xff
+        var newBlue = (p & 0xff) - ctDelta(g2b, green) - ctDelta(r2b, red)
+        newBlue &= 0xff
+        res(idx) = (p & 0xff00ff00) | (newRed << 16) | newBlue
+        x += 1; idx += 1
+      }
+      y += 1
+    }
+    (res, tiles)
+  }
+
+  // ---- color-indexing transform (spec §4.2.4) -----------------------------
+
+  /** Bundled-index image → full-size pixels: each coded GREEN byte
+    * holds 1<<widthBits indices of 8>>widthBits bits (LSB-first along
+    * x); an index at or past the table maps to 0x00000000 (spec). */
+  private def expandPalette(px: Array[Int], width: Int, height: Int,
+      effWidth: Int, widthBits: Int, pal: Array[Int]): Array[Int] = {
+    val out = new Array[Int](width * height)
+    val bpp = 8 >> widthBits
+    val perByte = 1 << widthBits
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val packed = (px(y * effWidth + (x >> widthBits)) >> 8) & 0xff
+        val shift = (x & (perByte - 1)) * bpp
+        val i = (packed >> shift) & ((1 << bpp) - 1)
+        out(y * width + x) = if (i < pal.length) pal(i) else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Forward predictor (encoder): residual image + the tile-mode
     * sub-image (mode in GREEN, alpha 0xff). Predictions read the
     * ORIGINAL pixels — exactly the values the decoder will have
@@ -761,13 +954,21 @@ object Vp8l {
       val b = ((c * 77 + 3 * id) % 256).toInt
       (0xff << 24) | (r << 16) | (g << 8) | b
     }
-    encode(w, h, px, subtractGreen = id % 2 == 0,
+    // every 7th fixture takes the palette path (the 5-color image
+    // bundles 2 px/byte); the rest cycle subtract-green, predictor
+    // (block bits 2..4, all 14 modes over tiles), cross-color, and
+    // cache combinations — decode recovers identical pixels in every
+    // combination, so the oracle's closed form never changes
+    val isPalette = id % 7 == 3
+    encode(w, h, px,
+      subtractGreen = !isPalette && id % 2 == 0,
       cacheBits = if (id % 3 == 0) 6 else 0,
-      // 3/5 of fixtures carry the predictor transform (block bits
-      // 2..4, every mode 0..13 cycling over tiles) — decode recovers
-      // identical pixels, so the oracle's closed form is unchanged
-      predictorBits = if (id % 5 < 3) (2 + id % 3).toInt else 0,
-      predictorMode = (tx, ty) => ((tx + ty + id) % 14).toInt)
+      predictorBits = if (!isPalette && id % 5 < 3) (2 + id % 3).toInt else 0,
+      predictorMode = (tx, ty) => ((tx + ty + id) % 14).toInt,
+      colorBits = if (!isPalette && id % 4 == 1) (2 + id % 2).toInt else 0,
+      colorElem = (tx, ty) => ((((tx * 29 + ty * 17 + id) % 256) << 16) |
+        (((tx * 7 + id) % 256) << 8) | ((ty * 13 + id) % 256)).toInt,
+      palette = isPalette)
   }
 
   def synthVp8lCol(c: Column): Column =

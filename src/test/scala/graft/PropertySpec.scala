@@ -282,13 +282,31 @@ class PropertySpec extends AnyFunSuite {
       pb <- Gen.oneOf(0, 2, 3, 4) // predictor off / block bits
       pm <- Gen.choose(0, 13)     // uniform mode + per-tile cycling
       cyc <- Gen.oneOf(true, false)
-    } yield (w, h, px.toArray, sg, cb, pb, pm, cyc)
+      ctb <- Gen.oneOf(0, 2, 3)   // cross-color off / block bits
+      ce <- Gen.choose(0, 0xffffff)
+    } yield (w, h, px.toArray, sg, cb, pb, pm, cyc, ctb, ce)
     check("vp8l-roundtrip", Prop.forAll(imgGen) {
-      case (w, h, px, sg, cb, pb, pm, cyc) =>
+      case (w, h, px, sg, cb, pb, pm, cyc, ctb, ce) =>
         val modeOf: (Int, Int) => Int =
           if (cyc) (tx, ty) => (tx + ty + pm) % 14 else (_, _) => pm
         Vp8l.decode(Vp8l.encode(w, h, px, subtractGreen = sg,
-          cacheBits = cb, predictorBits = pb, predictorMode = modeOf))
+          cacheBits = cb, predictorBits = pb, predictorMode = modeOf,
+          colorBits = ctb,
+          colorElem = (tx, ty) => ce ^ (tx * 0x10101) ^ (ty * 0x20202)))
+          .exists(_._3.sameElements(px))
+    })
+    // palette round-trips at every bundling tier (8/4/2/1 px per byte)
+    val palGen = for {
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(1, 24)
+      nColors <- Gen.oneOf(2, 3, 4, 5, 16, 17, 200)
+      colors <- Gen.listOfN(nColors, Gen.choose(Int.MinValue, Int.MaxValue))
+      px <- Gen.listOfN(w * h, Gen.oneOf(colors))
+      cb <- Gen.oneOf(0, 4)
+    } yield (w, h, px.toArray, cb)
+    check("vp8l-palette-roundtrip", Prop.forAll(palGen) {
+      case (w, h, px, cb) =>
+        Vp8l.decode(Vp8l.encode(w, h, px, palette = true, cacheBits = cb))
           .exists(_._3.sameElements(px))
     })
     // every predictor mode individually, on a fixed gradient+noise
