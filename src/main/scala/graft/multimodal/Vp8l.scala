@@ -17,12 +17,13 @@ import org.apache.spark.sql.functions.udf
   * cross-color elements, signed-8-bit delta algebra) and
   * COLOR_INDEXING (delta-coded palette, pixel bundling at every
   * width-bits tier) — each sub-resolution image decoded as its own
-  * entropy-coded stream, with a single Huffman group per stream
-  * (top-level meta-Huffman bit 0). Two documented boundaries remain: a
-  * meta-Huffman (entropy image) stream, and a palette COMBINED with
-  * another transform (libwebp's encoder never emits that; every other
-  * transform would have to operate at the bundled width) — both return
-  * None, never junk pixels. Within scope the decode is COMPLETE:
+  * entropy-coded stream — and the top-level meta-Huffman (entropy
+  * image): per-tile Huffman-group selection with N groups read
+  * sequentially and a shared color cache. One documented boundary
+  * remains: a palette COMBINED with another transform (libwebp's
+  * encoder never emits that; every other transform would have to
+  * operate at the bundled width) returns None, never junk pixels.
+  * Within scope the decode is COMPLETE:
   * simple and full Huffman code forms, zero-run / repeat-coded code
   * lengths, color-cache hits, LZ77 copies crossing row boundaries, and
   * the full 120-entry distance plane-code table. The encoder exists to
@@ -223,12 +224,15 @@ object Vp8l {
              predictorMode: (Int, Int) => Int = (_, _) => 7,
              colorBits: Int = 0,
              colorElem: (Int, Int) => Int = (_, _) => 0,
-             palette: Boolean = false): Array[Byte] = {
+             palette: Boolean = false,
+             metaBits: Int = 0,
+             metaGroup: (Int, Int) => Int = null): Array[Byte] = {
     require(width >= 1 && width <= 16384 && height >= 1 && height <= 16384)
     require(argb.length == width * height)
     require(cacheBits >= 0 && cacheBits <= 11)
     require(predictorBits == 0 || (predictorBits >= 2 && predictorBits <= 9))
     require(colorBits == 0 || (colorBits >= 2 && colorBits <= 9))
+    require(metaBits == 0 || (metaBits >= 2 && metaBits <= 9))
     require(!palette || (!subtractGreen && predictorBits == 0 &&
       colorBits == 0), "a palette composes with no other transform")
     val hasAlpha = argb.exists(p => (p >>> 24) != 0xff)
@@ -274,7 +278,8 @@ object Vp8l {
         while (e < (y + 1) * effW) { bundled(e) |= 0xff000000; e += 1 }
         y += 1
       }
-      writeCodedImage(w, effW, height, bundled, cacheBits, topLevel = true)
+      writeCodedImage(w, effW, height, bundled, cacheBits,
+        topLevel = true, metaBits = metaBits, groupOf = metaGroup)
       return Binary.riffWebp("VP8L", Array[Byte](0x2f) ++ w.toBytes)
     }
     if (subtractGreen) { w.writeBit(1); w.writeBits(2, 2) }
@@ -307,18 +312,43 @@ object Vp8l {
       coded = res
     }
     w.writeBit(0) // end of transforms
-    writeCodedImage(w, width, height, coded, cacheBits, topLevel = true)
+    writeCodedImage(w, width, height, coded, cacheBits,
+      topLevel = true, metaBits = metaBits, groupOf = metaGroup)
     Binary.riffWebp("VP8L", Array[Byte](0x2f) ++ w.toBytes)
   }
 
   /** One entropy-coded image stream: color-cache bit(s), the (absent
     * for sub-images) meta-Huffman bit, five channel codes, tokens. */
   private def writeCodedImage(w: BitWriter, width: Int, height: Int,
-      coded: Array[Int], cacheBits: Int, topLevel: Boolean): Unit = {
+      coded: Array[Int], cacheBits: Int, topLevel: Boolean,
+      metaBits: Int = 0, groupOf: (Int, Int) => Int = null): Unit = {
     if (cacheBits > 0) { w.writeBit(1); w.writeBits(cacheBits, 4) }
     else w.writeBit(0)
-    if (topLevel) w.writeBit(0) // no meta-Huffman
-    // token stream: Literal(argb) | Copy(len, dist) | CacheHit(idx)
+    val useMeta = topLevel && metaBits > 0 && groupOf != null
+    // meta-Huffman: entropy image of group ids, then per-group codes
+    val metaW = if (useMeta) (width + (1 << metaBits) - 1) >> metaBits else 1
+    val metaH = if (useMeta) (height + (1 << metaBits) - 1) >> metaBits else 1
+    val groupIds: Array[Int] =
+      if (!useMeta) Array(0)
+      else Array.tabulate(metaW * metaH)(i =>
+        groupOf(i % metaW, i / metaW) & 0xffff)
+    val nGroups = groupIds.max + 1
+    if (topLevel) {
+      if (!useMeta) w.writeBit(0)
+      else {
+        w.writeBit(1)
+        w.writeBits(metaBits - 2, 3)
+        val tiles = groupIds.map(g =>
+          0xff000000 | ((g >> 8) << 16) | ((g & 0xff) << 8))
+        writeCodedImage(w, metaW, metaH, tiles, 0, topLevel = false)
+      }
+    }
+    def groupAt(pos: Int): Int =
+      if (!useMeta) 0
+      else groupIds(((pos / width) >> metaBits) * metaW +
+        ((pos % width) >> metaBits))
+    // token stream: Literal(argb) | Copy(len, dist) | CacheHit(idx),
+    // each tagged with the Huffman group of its starting pixel
     sealed trait Tok
     case class Lit(p: Int) extends Tok
     case class Copy(len: Int, dist: Int) extends Tok
@@ -329,7 +359,7 @@ object Vp8l {
     def insert(p: Int): Unit = if (cacheBits > 0) {
       val i = cacheIndex(p, cacheBits); cache(i) = p; cacheSet(i) = true
     }
-    val toks = scala.collection.mutable.ArrayBuffer[Tok]()
+    val toks = scala.collection.mutable.ArrayBuffer[(Int, Tok)]()
     var pos = 0
     val n = coded.length
     while (pos < n) {
@@ -346,8 +376,9 @@ object Vp8l {
       val h = runLen(1)
       val v = runLen(width)
       val (len, dist) = if (h >= v) (h, 1) else (v, width)
+      val g = groupAt(pos)
       if (len >= 3) {
-        toks += Copy(len, dist)
+        toks += ((g, Copy(len, dist)))
         var i = 0
         while (i < len) { insert(coded(pos + i)); i += 1 }
         pos += len
@@ -355,29 +386,30 @@ object Vp8l {
         val p = coded(pos)
         if (cacheBits > 0 && cacheSet(cacheIndex(p, cacheBits)) &&
           cache(cacheIndex(p, cacheBits)) == p) {
-          toks += Hit(cacheIndex(p, cacheBits))
+          toks += ((g, Hit(cacheIndex(p, cacheBits))))
         } else {
-          toks += Lit(p)
+          toks += ((g, Lit(p)))
         }
         insert(p)
         pos += 1
       }
     }
-    // channel alphabets + used-symbol sets
+    // channel alphabets + used-symbol sets, PER GROUP (unused groups
+    // still get readable dummy codes — the decoder reads max_id+1)
     val greenAlpha = 256 + 24 + cacheSize
-    val usedG = scala.collection.mutable.SortedSet[Int]()
-    val usedR = scala.collection.mutable.SortedSet[Int]()
-    val usedB = scala.collection.mutable.SortedSet[Int]()
-    val usedA = scala.collection.mutable.SortedSet[Int]()
-    val usedD = scala.collection.mutable.SortedSet[Int]()
+    val usedG = Array.fill(nGroups)(scala.collection.mutable.SortedSet[Int]())
+    val usedR = Array.fill(nGroups)(scala.collection.mutable.SortedSet[Int]())
+    val usedB = Array.fill(nGroups)(scala.collection.mutable.SortedSet[Int]())
+    val usedA = Array.fill(nGroups)(scala.collection.mutable.SortedSet[Int]())
+    val usedD = Array.fill(nGroups)(scala.collection.mutable.SortedSet[Int]())
     toks.foreach {
-      case Lit(p) =>
-        usedG += (p >> 8) & 0xff; usedR += (p >> 16) & 0xff
-        usedB += p & 0xff; usedA += p >>> 24
-      case Copy(len, dist) =>
-        usedG += 256 + prefixEncode(len)._1
-        usedD += prefixEncode(dist + 120)._1
-      case Hit(idx) => usedG += 256 + 24 + idx
+      case (g, Lit(p)) =>
+        usedG(g) += (p >> 8) & 0xff; usedR(g) += (p >> 16) & 0xff
+        usedB(g) += p & 0xff; usedA(g) += p >>> 24
+      case (g, Copy(len, dist)) =>
+        usedG(g) += 256 + prefixEncode(len)._1
+        usedD(g) += prefixEncode(dist + 120)._1
+      case (g, Hit(idx)) => usedG(g) += 256 + 24 + idx
     }
     // every channel needs a readable code even if unused
     def writeChannelCode(alphabet: Int,
@@ -416,36 +448,37 @@ object Vp8l {
         lengths
       }
     }
-    val gLen = writeChannelCode(greenAlpha, usedG.toSeq)
-    val rLen = writeChannelCode(256, usedR.toSeq)
-    val bLen = writeChannelCode(256, usedB.toSeq)
-    val aLen = writeChannelCode(256, usedA.toSeq)
-    val dLen = writeChannelCode(40, usedD.toSeq)
-    val gC = canonicalCodes(gLen); val rC = canonicalCodes(rLen)
-    val bC = canonicalCodes(bLen); val aC = canonicalCodes(aLen)
-    val dC = canonicalCodes(dLen)
-    def emit(codes: Array[Int], lengths: Array[Int], used: Int,
-             sym: Int): Unit =
-      if (used > 1) w.writeCode(codes(sym), lengths(sym))
-    val (nG, nR, nB, nA, nD) =
-      (math.max(usedG.size, 1), math.max(usedR.size, 1),
-        math.max(usedB.size, 1), math.max(usedA.size, 1),
-        math.max(usedD.size, 1))
+    // per-group code tables, written in group order 0..nGroups-1
+    final case class Ch(lengths: Array[Int], codes: Array[Int], nUsed: Int)
+    def channel(alphabet: Int, used: Seq[Int]): Ch = {
+      val lengths = writeChannelCode(alphabet, used)
+      Ch(lengths, canonicalCodes(lengths), math.max(used.size, 1))
+    }
+    val chans = Array.tabulate(nGroups) { g =>
+      (channel(greenAlpha, usedG(g).toSeq), channel(256, usedR(g).toSeq),
+        channel(256, usedB(g).toSeq), channel(256, usedA(g).toSeq),
+        channel(40, usedD(g).toSeq))
+    }
+    def emit(ch: Ch, sym: Int): Unit =
+      if (ch.nUsed > 1) w.writeCode(ch.codes(sym), ch.lengths(sym))
     toks.foreach {
-      case Lit(p) =>
-        emit(gC, gLen, nG, (p >> 8) & 0xff)
-        emit(rC, rLen, nR, (p >> 16) & 0xff)
-        emit(bC, bLen, nB, p & 0xff)
-        emit(aC, aLen, nA, p >>> 24)
-      case Copy(len, dist) =>
+      case (g, Lit(p)) =>
+        val (cg, cr, cb, ca, _) = chans(g)
+        emit(cg, (p >> 8) & 0xff)
+        emit(cr, (p >> 16) & 0xff)
+        emit(cb, p & 0xff)
+        emit(ca, p >>> 24)
+      case (g, Copy(len, dist)) =>
+        val (cg, _, _, _, cd) = chans(g)
         val (lc, lb, lv) = prefixEncode(len)
-        emit(gC, gLen, nG, 256 + lc)
+        emit(cg, 256 + lc)
         w.writeBits(lv, lb)
         val (dc, db, dv) = prefixEncode(dist + 120)
-        emit(dC, dLen, nD, dc)
+        emit(cd, dc)
         w.writeBits(dv, db)
-      case Hit(idx) =>
-        emit(gC, gLen, nG, 256 + 24 + idx)
+      case (g, Hit(idx)) =>
+        val (cg, _, _, _, _) = chans(g)
+        emit(cg, 256 + 24 + idx)
     }
   }
 
@@ -545,13 +578,24 @@ object Vp8l {
     }
     val cacheBits = if (br.readBit() == 1) br.readBits(4) else 0
     if (cacheBits > 11) return None
-    if (br.readBit() == 1) return None // meta-Huffman: out of scope
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
-    val grp = readGroup(br, cacheSize)
+    // optional meta-Huffman: an entropy image maps each tile to one of
+    // N Huffman groups, read sequentially after it (group index packs
+    // as (red << 8) | green); the color cache stays shared
+    val (groups, metaBits, metaTiles) =
+      if (br.readBit() == 1) {
+        val mb = br.readBits(3) + 2
+        val mw = (effWidth + (1 << mb) - 1) >> mb
+        val mh = (height + (1 << mb) - 1) >> mb
+        val img = decodeSubImage(br, mw, mh).getOrElse(return None)
+        val idx = img.map(p => (p >> 8) & 0xffff)
+        val nG = idx.max + 1
+        (Array.fill(nG)(readGroup(br, cacheSize)), mb, idx)
+      } else (Array(readGroup(br, cacheSize)), 0, null)
     if (br.bad) return None
     if (width.toLong * height > 64 * 1024 * 1024) return None
-    var px = decodePixelData(br, effWidth, height, cacheBits, grp)
-      .getOrElse(return None)
+    var px = decodePixelData(br, effWidth, height, cacheBits,
+      groups, metaBits, metaTiles).getOrElse(return None)
     order.reverseIterator.foreach {
       case 0 =>
         val (bits, tiles) = predictor.get
@@ -576,7 +620,7 @@ object Vp8l {
     if (cacheBits > 11) return None
     val grp = readGroup(br, if (cacheBits > 0) 1 << cacheBits else 0)
     if (br.bad) return None
-    decodePixelData(br, width, height, cacheBits, grp)
+    decodePixelData(br, width, height, cacheBits, Array(grp), 0, null)
   }
 
   private def readGroup(br: BitReader, cacheSize: Int): HuffGroup =
@@ -636,15 +680,22 @@ object Vp8l {
   }
 
   private def decodePixelData(br: BitReader, width: Int, height: Int,
-      cacheBits: Int, grp: HuffGroup): Option[Array[Int]] = {
+      cacheBits: Int, groups: Array[HuffGroup], metaBits: Int,
+      metaTiles: Array[Int]): Option[Array[Int]] = {
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val n = width * height
     val px = new Array[Int](n)
     val cache = new Array[Int](math.max(cacheSize, 1))
     def insert(p: Int): Unit =
       if (cacheBits > 0) cache(cacheIndex(p, cacheBits)) = p
+    val metaW = if (metaTiles == null) 0
+      else (width + (1 << metaBits) - 1) >> metaBits
     var pos = 0
     while (pos < n && !br.bad) {
+      val grp =
+        if (metaTiles == null) groups(0)
+        else groups(metaTiles(
+          ((pos / width) >> metaBits) * metaW + ((pos % width) >> metaBits)))
       val g = grp.g.read(br)
       if (g < 256) {
         val r = grp.r.read(br); val bl = grp.b.read(br)
@@ -968,7 +1019,9 @@ object Vp8l {
       colorBits = if (!isPalette && id % 4 == 1) (2 + id % 2).toInt else 0,
       colorElem = (tx, ty) => ((((tx * 29 + ty * 17 + id) % 256) << 16) |
         (((tx * 7 + id) % 256) << 8) | ((ty * 13 + id) % 256)).toInt,
-      palette = isPalette)
+      palette = isPalette,
+      metaBits = if (id % 11 == 2) 3 else 0,
+      metaGroup = (tx, ty) => ((tx + ty + id) % 3).toInt)
   }
 
   def synthVp8lCol(c: Column): Column =

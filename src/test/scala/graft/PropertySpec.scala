@@ -309,6 +309,22 @@ class PropertySpec extends AnyFunSuite {
         Vp8l.decode(Vp8l.encode(w, h, px, palette = true, cacheBits = cb))
           .exists(_._3.sameElements(px))
     })
+    // meta-Huffman: per-tile group selection composes with everything
+    val metaGen = for {
+      (w, h, px, sg, cb, pb, pm, cyc, ctb, ce) <- imgGen
+      mb <- Gen.oneOf(2, 3)
+      ng <- Gen.choose(1, 4)
+    } yield (w, h, px, sg, cb, pb, pm, ctb, ce, mb, ng)
+    check("vp8l-meta-huffman-roundtrip", Prop.forAll(metaGen) {
+      case (w, h, px, sg, cb, pb, pm, ctb, ce, mb, ng) =>
+        Vp8l.decode(Vp8l.encode(w, h, px, subtractGreen = sg,
+          cacheBits = cb, predictorBits = pb,
+          predictorMode = (tx, ty) => (tx + ty + pm) % 14,
+          colorBits = ctb,
+          colorElem = (tx, ty) => ce ^ (tx * 0x10101) ^ (ty * 0x20202),
+          metaBits = mb, metaGroup = (tx, ty) => (tx + 2 * ty) % ng))
+          .exists(_._3.sameElements(px))
+    })
     // every predictor mode individually, on a fixed gradient+noise
     // image (deterministic, so a mode bug names itself)
     val w0 = 19; val h0 = 11
