@@ -409,7 +409,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q360_vision_capstone" -> (qVisionCapstone _),
     "q361_html_tables" -> (qHtmlTables _),
     "q362_pdf_cid" -> (qPdfCid _),
-    "q363_mp4_tracks" -> (qMp4Tracks _)
+    "q363_mp4_tracks" -> (qMp4Tracks _),
+    "q364_pdf_objstm" -> (qPdfObjStm _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

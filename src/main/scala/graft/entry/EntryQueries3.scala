@@ -4643,4 +4643,23 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id", "track_idx")
   }
 
+  /** MM-PDF-OBJSTM — PDF 1.5 object streams
+    * ([[graft.multimodal.Pdf.expandObjectStreams]], r14): the
+    * fixture's entire document tree (catalog, pages node, page dict)
+    * lives inside one FlateDecode'd `/Type /ObjStm` — the shape modern
+    * PDF writers emit, where no /Root is reachable without expanding
+    * the packed objects into the map. The inflate + pair-table parse +
+    * tree walk happen Spark-side; the oracle replays the two extracted
+    * lines as closed forms of doc_id. Per-row map work.
+    */
+  private[graft] def qPdfObjStm(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Pdf
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("p", Pdf.pdfCol(Pdf.synthObjStmPdfCol(col("doc_id"))))
+      .select(col("doc_id"), col("p.version").as("version"),
+        col("p.n_pages").cast("long").as("n_pages"),
+        col("p.text").as("text"))
+      .orderBy("doc_id")
+  }
+
 }

@@ -2725,6 +2725,14 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  chr(10) || 'plain ' || (doc_id % 100) AS text
         | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+    // q364: ObjStm-packed PDF text closed form (the inflate + object
+    // expansion + tree walk happen Spark-side)
+    "q364_pdf_objstm" ->
+      """SELECT doc_id, '1.5' AS version, CAST(1 AS BIGINT) AS n_pages,
+        | 'ObjStm doc ' || doc_id || chr(10) ||
+        |  'Packed tree ' || (doc_id % 50) AS text
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
     // q363: per-track MP4 sample-table closed forms (the ISO-BMFF walk
     // happens Spark-side) — stts runs, both stsz forms, mdhd clocks
     "q363_mp4_tracks" ->

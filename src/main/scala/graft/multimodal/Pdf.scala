@@ -35,9 +35,11 @@ import org.apache.spark.sql.functions.udf
   * switches the active font per the text state. A Type0 font WITHOUT
   * a usable ToUnicode is opaque: its show operators contribute no
   * text (the bytes are glyph ids, unrecoverable without the font
-  * program), never mojibake. Encrypted documents and object streams
-  * (`/ObjStm`, PDF 1.5 cross-reference streams) reject. Pure per-row
-  * map work at any scale.
+  * program), never mojibake. PDF 1.5 object streams (`/Type /ObjStm`)
+  * expand into the object map (modern writers pack the whole document
+  * tree there), and binary cross-reference streams are harmless under
+  * the repair-mode scan (no xref is ever consulted). Encrypted
+  * documents reject. Pure per-row map work at any scale.
   */
 object Pdf {
 
@@ -52,7 +54,8 @@ object Pdf {
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     if (!s.startsWith("%PDF-1.") || !s.charAt(7).isDigit) return None
     val version = s.substring(5, 8)
-    val objects = scanObjects(s, bytes).getOrElse(return None)
+    val objects = expandObjectStreams(scanObjects(s, bytes)
+      .getOrElse(return None))
     val trailerDict = lastTrailerDict(s)
     val rootNum = trailerDict.flatMap(d => dictRef(d, "Root"))
       .orElse(objects.collectFirst {
@@ -76,6 +79,48 @@ object Pdf {
     }
     Some(PdfDoc(version, pageNums.length,
       pageTexts.filter(_.nonEmpty).mkString("\n")))
+  }
+
+  /** PDF 1.5 object streams: a `/Type /ObjStm` stream packs N
+    * compressed non-stream objects — `/First` bytes of (objnum,
+    * offset) integer pairs, then the object bodies back-to-back at
+    * their offsets. Modern writers put the whole document tree
+    * (catalog, pages, fonts) in one; without this expansion such
+    * documents have no reachable /Root. Direct objects win number
+    * collisions; a garbled ObjStm contributes nothing rather than
+    * failing the document (repair-mode discipline). */
+  private def expandObjectStreams(objects: Map[Int, Obj]): Map[Int, Obj] = {
+    val extra = scala.collection.mutable.Map[Int, Obj]()
+    objects.valuesIterator.foreach { o =>
+      if (dictName(o.dict, "Type").contains("ObjStm")) {
+        for {
+          raw <- o.stream
+          data <- decodeStream(o.dict, raw)
+          nObjs <- dictInt(o.dict, "N")
+          first <- dictInt(o.dict, "First")
+        } {
+          val s = new String(data,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          if (first >= 0 && first <= s.length && nObjs >= 0 &&
+            nObjs <= 65536) {
+            val pairs = "\\d+".r.findAllIn(s.substring(0, first.toInt))
+              .map(_.toLong).grouped(2).filter(_.length == 2)
+              .take(nObjs.toInt).toVector
+            pairs.zipWithIndex.foreach { case (p, i) =>
+              val num = p(0); val start = first + p(1)
+              val end = if (i + 1 < pairs.length)
+                math.min(first + pairs(i + 1)(1), s.length.toLong)
+              else s.length.toLong
+              if (start >= 0 && start <= end && end <= s.length &&
+                num > 0 && num <= Int.MaxValue)
+                extra(num.toInt) =
+                  Obj(s.substring(start.toInt, end.toInt).trim, None)
+            }
+          }
+        }
+      }
+    }
+    if (extra.isEmpty) objects else (extra ++ objects).toMap
   }
 
   /** Linear object scan ("repair mode"). None on structural
@@ -722,6 +767,47 @@ object Pdf {
 
   def synthCidPdfCol(c: Column): Column =
     udf { id: Long => synthCidPdf(id) }.apply(c)
+
+  /** Deterministic per-id PDF 1.5-style document: the ENTIRE document
+    * tree (catalog, pages node, page dict) lives inside one
+    * FlateDecode'd `/Type /ObjStm`; only the content stream and the
+    * ObjStm itself are direct objects — the shape modern PDF writers
+    * emit, unreachable without object-stream expansion. */
+  def synthObjStmPdf(id: Long): Array[Byte] = {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val content = s"BT (ObjStm doc $id) Tj 0 -14 Td " +
+      s"(Packed tree ${id % 50}) Tj ET"
+    val cBytes = content.getBytes(latin1)
+    // packed objects 1 (catalog), 2 (pages), 3 (page)
+    val bodies = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    val offsets = bodies.scanLeft(0) { case (off, (_, b)) =>
+      off + b.length + 1
+    }
+    val header = bodies.zip(offsets).map { case ((num, _), off) =>
+      s"$num $off"
+    }.mkString(" ") + " "
+    val payload = (header + bodies.map(_._2).mkString(" ")).getBytes(latin1)
+    val packed = deflate(payload)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(latin1))
+    w("%PDF-1.5\n")
+    w(s"10 0 obj << /Type /ObjStm /N ${bodies.length} " +
+      s"/First ${header.length} /Length ${packed.length} " +
+      "/Filter /FlateDecode >> stream\n")
+    out.write(packed)
+    w("\nendstream endobj\n")
+    w(s"4 0 obj << /Length ${cBytes.length} >> stream\n")
+    out.write(cBytes)
+    w("\nendstream endobj\n")
+    w("trailer << /Size 11 /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  def synthObjStmPdfCol(c: Column): Column =
+    udf { id: Long => synthObjStmPdf(id) }.apply(c)
 
   /** bytes → struct<version, n_pages, text>; null when malformed. */
   def pdfCol(c: Column): Column =

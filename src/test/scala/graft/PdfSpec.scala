@@ -172,6 +172,27 @@ class PdfSpec extends AnyFunSuite {
       true)
   }
 
+  test("ObjStm: the packed document tree expands and resolves") {
+    val d = Pdf.parse(Pdf.synthObjStmPdf(9)).get
+    assert(d.version == "1.5" && d.n_pages == 1)
+    assert(d.text == "ObjStm doc 9\nPacked tree 9")
+    assert(Pdf.parse(Pdf.synthObjStmPdf(63)).get.text ==
+      "ObjStm doc 63\nPacked tree 13")
+    // a direct object wins a number collision with a packed one
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val base = new String(Pdf.synthObjStmPdf(9), latin1)
+    val withDirect = base.replace("4 0 obj",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n4 0 obj")
+    assert(Pdf.parse(withDirect.getBytes(latin1)).get.text
+      .startsWith("ObjStm doc 9"))
+    // corrupting the packed zlib payload loses the tree -> None (no
+    // reachable root), never a crash
+    val bad = Pdf.synthObjStmPdf(9)
+    val at = new String(bad, latin1).indexOf("stream\n") + 7
+    bad(at + 3) = (bad(at + 3) ^ 0x7f).toByte
+    assert(Pdf.parse(bad).isEmpty)
+  }
+
   test("trailerless documents fall back to the catalog scan") {
     val good = Pdf.synthPdf(4)
     val noTrailer = new String(good, latin1)
