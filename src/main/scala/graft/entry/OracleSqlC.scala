@@ -2666,8 +2666,8 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
     // math: MPEG-1, frames = id%10+1, 1152 samples each)
     "q359_id3_meta" ->
       """SELECT doc_id,
-        | CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT)
-        |  AS version,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 2 END
+        |  AS BIGINT) AS version,
         | 'Track ' || (doc_id % 100) AS title,
         | 'Artist ' || (doc_id % 30) AS artist,
         | 'Album ' || (doc_id % 12) AS album,

@@ -1258,81 +1258,88 @@ object Binary {
   final case class Id3Meta(version: Int, title: String, artist: String,
                            album: String)
 
-  /** ID3v2.3/2.4 parse: "ID3" + major version + syncsafe 28-bit tag
-    * size, then a frame walk — 4-char ids, v4 syncsafe / v3 plain BE
-    * frame sizes, 2 flag bytes, and text frames prefixed by an
-    * encoding byte (0 = Latin-1, 1 = UTF-16 with BOM, 2 = UTF-16BE,
-    * 3 = UTF-8; a BOM-less encoding-1 frame is rejected rather than
-    * mis-decoded). Padding (a zero where a frame
-    * id should start) ends the walk. None for v2.2 or malformed
-    * framing.
+  /** ID3v2.2/2.3/2.4 parse: "ID3" + major version + syncsafe 28-bit
+    * tag size, then a frame walk — v2.2 uses 3-char ids (TT2/TP1/TAL)
+    * + 3-byte plain sizes + no flags, v3/v4 use 4-char ids
+    * (TIT2/TPE1/TALB) + plain/syncsafe sizes + 2 flag bytes — and
+    * text frames prefixed by an encoding byte (0 = Latin-1,
+    * 1 = UTF-16 with BOM, 2 = UTF-16BE, 3 = UTF-8; a BOM-less
+    * encoding-1 frame is rejected rather than mis-decoded). Padding
+    * (a zero where a frame id should start) ends the walk. None for
+    * malformed framing.
     */
   def parseId3v2(b: Array[Byte]): Option[Id3Meta] = {
     if (b == null || b.length < 10 || b(0) != 'I' || b(1) != 'D' ||
       b(2) != '3') return None
     def u8(i: Long): Int = b(i.toInt) & 0xff
     val major = u8(3)
-    if (major != 3 && major != 4) return None
+    if (major != 2 && major != 3 && major != 4) return None
     val tagSize = ((u8(6) & 0x7f) << 21) | ((u8(7) & 0x7f) << 14) |
       ((u8(8) & 0x7f) << 7) | (u8(9) & 0x7f)
     val end = math.min(10L + tagSize, b.length.toLong)
     var i = 10L
     var title = ""; var artist = ""; var album = ""
-    while (i + 10 <= end) {
+    // v2.2 frames: 3-char ids + 3-byte plain sizes, no flag bytes
+    val hdr = if (major == 2) 6 else 10
+    val idLen = if (major == 2) 3 else 4
+    while (i + hdr <= end) {
       if (u8(i) == 0) { i = end } // padding begins
       else {
-        val id = new String(b, i.toInt, 4, "US-ASCII")
+        val id = new String(b, i.toInt, idLen, "US-ASCII")
         if (!id.forall(c => c.isUpper || c.isDigit)) return None
-        val size =
-          if (major == 4)
+        val size = major match {
+          case 2 => (u8(i + 3) << 16) | (u8(i + 4) << 8) | u8(i + 5)
+          case 4 =>
             ((u8(i + 4) & 0x7f) << 21) | ((u8(i + 5) & 0x7f) << 14) |
               ((u8(i + 6) & 0x7f) << 7) | (u8(i + 7) & 0x7f)
-          else (u8(i + 4) << 24) | (u8(i + 5) << 16) | (u8(i + 6) << 8) |
-            u8(i + 7)
-        if (size < 0 || i + 10 + size > end) return None
+          case _ => (u8(i + 4) << 24) | (u8(i + 5) << 16) |
+            (u8(i + 6) << 8) | u8(i + 7)
+        }
+        if (size < 0 || i + hdr + size > end) return None
         if (id.startsWith("T") && size >= 1) {
-          val enc = u8(i + 10)
+          val enc = u8(i + hdr)
           val text = enc match {
-            case 0 => new String(b, i.toInt + 11, size - 1,
+            case 0 => new String(b, i.toInt + hdr + 1, size - 1,
               java.nio.charset.StandardCharsets.ISO_8859_1)
-            case 1 => // UTF-16 with BOM (the common v2.3 "Unicode")
+            case 1 => // UTF-16 with BOM (v2.2 UCS-2 / v2.3 "Unicode")
               if (size <= 3) ""
               else {
-                val b0 = u8(i + 11); val b1 = u8(i + 12)
+                val b0 = u8(i + hdr + 1); val b1 = u8(i + hdr + 2)
                 val cs =
                   if (b0 == 0xff && b1 == 0xfe)
                     java.nio.charset.StandardCharsets.UTF_16LE
                   else if (b0 == 0xfe && b1 == 0xff)
                     java.nio.charset.StandardCharsets.UTF_16BE
                   else return None // enc 1 without a BOM: malformed
-                new String(b, i.toInt + 13, size - 3, cs)
+                new String(b, i.toInt + hdr + 3, size - 3, cs)
               }
             case 2 => // UTF-16BE, no BOM (v2.4)
-              new String(b, i.toInt + 11, size - 1,
+              new String(b, i.toInt + hdr + 1, size - 1,
                 java.nio.charset.StandardCharsets.UTF_16BE)
-            case 3 => new String(b, i.toInt + 11, size - 1,
+            case 3 => new String(b, i.toInt + hdr + 1, size - 1,
               java.nio.charset.StandardCharsets.UTF_8)
             case _ => return None // unknown encoding byte
           }
           val clean = text.takeWhile(_ != '\u0000')
           id match {
-            case "TIT2" => title = clean
-            case "TPE1" => artist = clean
-            case "TALB" => album = clean
+            case "TIT2" | "TT2" => title = clean
+            case "TPE1" | "TP1" => artist = clean
+            case "TALB" | "TAL" => album = clean
             case _ => ()
           }
         }
-        i += 10 + size
+        i += hdr + size
       }
     }
     Some(Id3Meta(major, title, artist, album))
   }
 
-  /** ID3v2 builder (v3 or v4 framing) for (title, artist, album). */
+  /** ID3v2 builder (v2.2, v2.3 or v2.4 framing). */
   def id3v2(major: Int, title: String, artist: String,
             album: String, enc: Int = 0): Array[Byte] = {
-    require(major == 3 || major == 4)
+    require(major == 2 || major == 3 || major == 4)
     require(enc >= 0 && enc <= 3)
+    require(major != 2 || enc <= 1, "v2.2 defines encodings 0 and 1 only")
     def frame(id: String, text: String): Array[Byte] = {
       import java.nio.charset.StandardCharsets._
       val payload = enc match {
@@ -1344,16 +1351,24 @@ object Binary {
         case _ => 3.toByte +: text.getBytes(UTF_8)
       }
       val n = payload.length
-      val size =
-        if (major == 4) Array[Byte](((n >> 21) & 0x7f).toByte,
-          ((n >> 14) & 0x7f).toByte, ((n >> 7) & 0x7f).toByte,
-          (n & 0x7f).toByte)
-        else Array[Byte]((n >>> 24).toByte, (n >>> 16).toByte,
-          (n >>> 8).toByte, n.toByte)
-      id.getBytes("US-ASCII") ++ size ++ Array[Byte](0, 0) ++ payload
+      if (major == 2) // 3-char id + 3-byte size, no flags
+        id.getBytes("US-ASCII") ++ Array[Byte]((n >>> 16).toByte,
+          (n >>> 8).toByte, n.toByte) ++ payload
+      else {
+        val size =
+          if (major == 4) Array[Byte](((n >> 21) & 0x7f).toByte,
+            ((n >> 14) & 0x7f).toByte, ((n >> 7) & 0x7f).toByte,
+            (n & 0x7f).toByte)
+          else Array[Byte]((n >>> 24).toByte, (n >>> 16).toByte,
+            (n >>> 8).toByte, n.toByte)
+        id.getBytes("US-ASCII") ++ size ++ Array[Byte](0, 0) ++ payload
+      }
     }
-    val frames = frame("TIT2", title) ++ frame("TPE1", artist) ++
-      frame("TALB", album)
+    val frames =
+      if (major == 2)
+        frame("TT2", title) ++ frame("TP1", artist) ++ frame("TAL", album)
+      else frame("TIT2", title) ++ frame("TPE1", artist) ++
+        frame("TALB", album)
     val n = frames.length
     "ID3".getBytes("US-ASCII") ++
       Array[Byte](major.toByte, 0, 0, ((n >> 21) & 0x7f).toByte,
@@ -1364,13 +1379,20 @@ object Binary {
   /** Deterministic per-id ID3v2-tagged MP3: the tag prepends the
     * q328 synthetic frame chain, so [[parseAudioMeta]] must still
     * walk the frames past it while [[parseId3v2]] reads the tag. The
-    * text encoding cycles through all four (Latin-1, UTF-16+BOM,
-    * UTF-16BE, UTF-8) by id — the decoded strings are identical, so
-    * the q359 oracle is encoding-agnostic while the parse path isn't. */
-  def synthTaggedMp3(id: Long): Array[Byte] =
-    id3v2(if (id % 2 == 0) 4 else 3, s"Track ${id % 100}",
-      s"Artist ${id % 30}", s"Album ${id % 12}",
-      enc = (id % 4).toInt) ++ synthMp3(id)
+    * major version cycles 4/3/2 (v2.2 uses 3-char ids + 3-byte sizes)
+    * and the text encoding cycles all four (v2.2 only its defined
+    * 0/1) — the decoded strings are identical in every combination,
+    * so the q359 oracle depends on the version column alone. */
+  def synthTaggedMp3(id: Long): Array[Byte] = {
+    val major = (id % 3) match {
+      case 0 => 4
+      case 1 => 3
+      case _ => 2
+    }
+    val enc = if (major == 2) (id % 2).toInt else (id % 4).toInt
+    id3v2(major, s"Track ${id % 100}",
+      s"Artist ${id % 30}", s"Album ${id % 12}", enc = enc) ++ synthMp3(id)
+  }
 
   def synthTaggedMp3Col(c: Column): Column =
     udf { id: Long => synthTaggedMp3(id) }.apply(c)

@@ -129,9 +129,16 @@ class MediaTextSpec extends AnyFunSuite {
     assert(t4 == Binary.Id3Meta(4, "T", "A", "B"))
     val t3 = Binary.parseId3v2(Binary.id3v2(3, "Ti tle", "Ar", "Al")).get
     assert(t3 == Binary.Id3Meta(3, "Ti tle", "Ar", "Al"))
-    // v2.2 and garbage reject
+    // v2.2 parses with its own 3-char/3-byte framing
+    val t2 = Binary.parseId3v2(Binary.id3v2(2, "Old T", "Old A", "Old L",
+      enc = 1)).get
+    assert(t2 == Binary.Id3Meta(2, "Old T", "Old A", "Old L"))
+    // a v2.2 header over v3-framed frames is malformed -> reject
     val v2 = Binary.id3v2(3, "x", "y", "z"); v2(3) = 2
     assert(Binary.parseId3v2(v2).isEmpty)
+    // unknown majors and garbage reject
+    val v5 = Binary.id3v2(3, "x", "y", "z"); v5(3) = 5
+    assert(Binary.parseId3v2(v5).isEmpty)
     assert(Binary.parseId3v2("IDX".getBytes("US-ASCII")).isEmpty)
     // the tagged fixture: tag reads AND the mp3 walk skips it
     val b = Binary.synthTaggedMp3(7)
