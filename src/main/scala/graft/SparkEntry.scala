@@ -410,7 +410,9 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q361_html_tables" -> (qHtmlTables _),
     "q362_pdf_cid" -> (qPdfCid _),
     "q363_mp4_tracks" -> (qMp4Tracks _),
-    "q364_pdf_objstm" -> (qPdfObjStm _)
+    "q364_pdf_objstm" -> (qPdfObjStm _),
+    "q365_zip64" -> (qZip64 _),
+    "q366_tar_special" -> (qTarSpecial _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

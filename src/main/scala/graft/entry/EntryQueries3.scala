@@ -4662,4 +4662,41 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** ARCH-ZIP64 — 64-bit ZIP layout ([[graft.sources.Archives]], r14):
+    * the fixture archive uses sentinel'd EOCD fields routed through the
+    * ZIP64 locator/record and per-entry 0x0001 extra fields — the
+    * structure any >4 GiB member forces and many writers emit
+    * unconditionally. CRC-verified member extraction happens
+    * Spark-side; the oracle replays names/methods/sizes/text closed
+    * forms. Per-row map work.
+    */
+  private[graft] def qZip64(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Archives
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("e",
+        explode(Archives.zipEntriesCol(Archives.synthZip64Col(col("doc_id")))))
+      .select(col("doc_id"), col("e._1").as("name"),
+        col("e._2").as("method"), col("e._3").as("usize"),
+        col("e._4").as("crc_ok"), col("e._5").as("text"))
+      .orderBy("doc_id", "name")
+  }
+
+  /** ARCH-TAR-ZOO — the tar record types real tarballs carry
+    * ([[graft.sources.Archives.parseTar]], r14): GNU 'L' long-name
+    * records (>100-char paths), PAX 'x' extended headers with path
+    * overrides, and symlinks surfacing their targets — all folded into
+    * their logical entries by the walk. Oracle replays every column
+    * closed-form. Per-row map work.
+    */
+  private[graft] def qTarSpecial(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Archives
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("e", explode(
+        Archives.tarGzEntriesCol(Archives.synthTarSpecialCol(col("doc_id")))))
+      .select(col("doc_id"), col("e._1").as("name"),
+        col("e._2").as("size"), col("e._3").as("type_flag"),
+        col("e._4").as("text"))
+      .orderBy("doc_id", "name")
+  }
+
 }

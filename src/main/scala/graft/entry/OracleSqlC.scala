@@ -2733,6 +2733,47 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  'Packed tree ' || (doc_id % 50) AS text
         | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+    // q365: ZIP64 member closed forms (the sentinel/locator/extra-field
+    // resolution happens Spark-side)
+    "q365_zip64" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS dg,
+        |   1 + doc_id % 4 AS reps FROM documents WHERE doc_id < 240),
+        | e AS (
+        |  SELECT doc_id, 'META/manifest.txt' AS name, 'deflate' AS method,
+        |   'manifest ' || dg || chr(10) AS text FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 'big/data.bin', 'stored',
+        |   repeat('payload ' || dg || ' ', CAST(reps AS INT)) FROM d)
+        | SELECT doc_id, name, method,
+        |  CAST(strlen(text) AS BIGINT) AS usize, TRUE AS crc_ok,
+        |  text FROM e ORDER BY doc_id, name""".stripMargin
+        .replaceAll("\n", " "),
+    // q366: the tar record zoo — GNU long names, PAX overrides,
+    // symlink targets — replayed closed-form
+    "q366_tar_special" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS dg
+        |  FROM documents WHERE doc_id < 240),
+        | e AS (
+        |  SELECT doc_id,
+        |   'depth' || dg || '/' || repeat('nested/', 14) ||
+        |     'gnu_long_name_' || dg || '.txt' AS name,
+        |   'gnu payload ' || dg || chr(10) AS text, 'file' AS tf FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 'pax' || dg || '/' || repeat('p/', 10) ||
+        |     'pax_override_' || dg || '.md',
+        |   'pax payload ' || dg || chr(10), 'file' FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 'link' || dg, 'depth' || dg || '/target',
+        |   'symlink' FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 'plain' || dg || '.txt',
+        |   'plain ' || dg || chr(10), 'file' FROM d)
+        | SELECT doc_id, name,
+        |  CAST(CASE WHEN tf = 'symlink' THEN 0
+        |   ELSE strlen(text) END AS BIGINT) AS size,
+        |  tf AS type_flag, text
+        | FROM e ORDER BY doc_id, name""".stripMargin
+        .replaceAll("\n", " "),
     // q363: per-track MP4 sample-table closed forms (the ISO-BMFF walk
     // happens Spark-side) — stts runs, both stsz forms, mdhd clocks
     "q363_mp4_tracks" ->

@@ -70,4 +70,35 @@ class ArchivesSpec extends AnyFunSuite {
     assert(s.map(_.name) == Seq("src", "src/lib.rs", "notes.txt"))
     assert(s(1).text == "// SPDX-License-Identifier: MIT\nfn f3() {}\n")
   }
+
+  test("zip64: sentinel'd EOCD routes through the locator; extras resolve") {
+    val z = Archives.synthZip64(7)
+    val es = Archives.parseZip(z).get
+    assert(es.map(_.name) == Seq("big/data.bin", "META/manifest.txt"))
+    assert(es.forall(_.crc_ok))
+    assert(es(0).text == "payload 7 " * 4 && es(0).method == "stored")
+    assert(es(1).text == "manifest 7\n" && es(1).method == "deflate")
+    // a zip64 archive whose locator is clobbered rejects
+    val at = z.length - 22 - 20 // locator sits just before the EOCD
+    val bad = z.clone(); bad(at) = 'X'
+    assert(Archives.parseZip(bad).isEmpty)
+    // classic archives still parse (no sentinel path taken)
+    assert(Archives.parseZip(Archives.synthZip(7)).get.length == 3)
+  }
+
+  test("tar: GNU long names, PAX path overrides, symlinks") {
+    val t = Archives.parseTar(Archives.synthTarSpecial(4)).get
+    assert(t.length == 4) // 'L'/'x' records merge into their entries
+    val longName = "depth4/" + ("nested/" * 14) + "gnu_long_name_4.txt"
+    assert(t(0).name == longName && t(0).name.length > 100)
+    assert(t(0).type_flag == "file" && t(0).text == "gnu payload 4\n")
+    val paxName = "pax4/" + ("p/" * 10) + "pax_override_4.md"
+    assert(t(1).name == paxName && t(1).text == "pax payload 4\n")
+    assert(t(2).name == "link4" && t(2).type_flag == "symlink")
+    assert(t(2).text == "depth4/target" && t(2).size == 0L)
+    assert(t(3).name == "plain4.txt" && t(3).text == "plain 4\n")
+    // the gz lift round-trips too
+    assert(Archives.parseTarGz(
+      Archives.gzip(Archives.synthTarSpecial(4))).get.length == 4)
+  }
 }

@@ -233,8 +233,12 @@ class PropertySpec extends AnyFunSuite {
       graft.multimodal.Pdf.parse(mut(graft.multimodal.Pdf.synthObjStmPdf(id)))
       graft.sources.Archives.parseZip(mut(
         graft.sources.Archives.synthZip(id)))
+      graft.sources.Archives.parseZip(mut(
+        graft.sources.Archives.synthZip64(id)))
       graft.sources.Archives.parseTarGz(mut(
         graft.sources.Archives.synthTarGz(id)))
+      graft.sources.Archives.parseTar(mut(
+        graft.sources.Archives.synthTarSpecial(id)))
       graft.sources.Docs.epubText(mut(graft.sources.Docs.synthEpub(id)))
       graft.multimodal.Binary.parseImageMeta(mut(
         graft.multimodal.Binary.synthLegacyImage(id)))
