@@ -412,7 +412,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q363_mp4_tracks" -> (qMp4Tracks _),
     "q364_pdf_objstm" -> (qPdfObjStm _),
     "q365_zip64" -> (qZip64 _),
-    "q366_tar_special" -> (qTarSpecial _)
+    "q366_tar_special" -> (qTarSpecial _),
+    "q367_flac_tags" -> (qFlacTags _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

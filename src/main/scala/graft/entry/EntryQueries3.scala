@@ -4699,4 +4699,26 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id", "name")
   }
 
+  /** MM-FLAC-TAGS — FLAC VORBIS_COMMENT tags
+    * ([[graft.multimodal.Binary.parseFlacTags]], r14): the metadata
+    * the FLAC half of a music crawl carries (the ID3 analog, q359's
+    * sibling) — block walk to type 4, little-endian vendor + KEY=value
+    * comment list, case-insensitive keys, unknown keys counted. The
+    * STREAMINFO stays readable past the extra block (sample_rate
+    * cross-checked through parseAudioMeta). Closed forms throughout.
+    */
+  private[graft] def qFlacTags(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("b", Binary.synthTaggedFlacCol(col("doc_id")))
+      .select(col("doc_id"), Binary.flacTagsCol(col("b")).as("t"),
+        Binary.audioMetaCol(col("b")).as("a"))
+      .select(col("doc_id"), col("t.vendor").as("vendor"),
+        col("t.title").as("title"), col("t.artist").as("artist"),
+        col("t.album").as("album"),
+        col("t.n_comments").cast("long").as("n_comments"),
+        col("a.sample_rate").cast("long").as("sample_rate"))
+      .orderBy("doc_id")
+  }
+
 }

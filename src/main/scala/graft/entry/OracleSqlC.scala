@@ -2774,6 +2774,18 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  tf AS type_flag, text
         | FROM e ORDER BY doc_id, name""".stripMargin
         .replaceAll("\n", " "),
+    // q367: FLAC VORBIS_COMMENT closed forms (block walk Spark-side)
+    "q367_flac_tags" ->
+      """SELECT doc_id, 'graft ' || doc_id AS vendor,
+        | 'Flac Track ' || (doc_id % 100) AS title,
+        | 'Flac Artist ' || (doc_id % 30) AS artist,
+        | 'Flac Album ' || (doc_id % 12) AS album,
+        | CAST(4 AS BIGINT) AS n_comments,
+        | CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |  WHEN 2 THEN 24000 WHEN 3 THEN 44100 ELSE 48000 END AS BIGINT)
+        |  AS sample_rate
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
     // q363: per-track MP4 sample-table closed forms (the ISO-BMFF walk
     // happens Spark-side) — stts runs, both stsz forms, mdhd clocks
     "q363_mp4_tracks" ->

@@ -677,6 +677,104 @@ object Binary {
       packed ++ new Array[Byte](16) // MD5 (unset)
   }
 
+  /** FLAC VORBIS_COMMENT tags — what every music library writes into
+    * FLAC files (the FLAC analog of ID3). */
+  final case class FlacTags(vendor: String, title: String, artist: String,
+                            album: String, n_comments: Int)
+
+  /** Metadata-block walk after "fLaC" to the VORBIS_COMMENT block
+    * (type 4): little-endian vendor string + comment list of
+    * `KEY=value` UTF-8 records (keys case-insensitive —
+    * TITLE/ARTIST/ALBUM surface, everything else counts). None when
+    * no comment block exists or any length field lies. */
+  def parseFlacTags(b: Array[Byte]): Option[FlacTags] = {
+    if (b == null || b.length < 8 || !(b(0) == 'f' && b(1) == 'L' &&
+      b(2) == 'a' && b(3) == 'C')) return None
+    def u8(i: Long): Int = b(i.toInt) & 0xff
+    def le32(i: Long): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    var p = 4L
+    var last = false
+    while (!last && p + 4 <= b.length) {
+      val h = u8(p); last = (h & 0x80) != 0
+      val typ = h & 0x7f
+      val len = (u8(p + 1) << 16) | (u8(p + 2) << 8) | u8(p + 3)
+      if (p + 4 + len > b.length) return None
+      if (typ == 4) {
+        var q = p + 4
+        val end = p + 4 + len
+        if (q + 4 > end) return None
+        val vlen = le32(q); q += 4
+        if (vlen < 0 || q + vlen + 4 > end) return None
+        val vendor = new String(b, q.toInt, vlen.toInt,
+          java.nio.charset.StandardCharsets.UTF_8)
+        q += vlen
+        val n = le32(q); q += 4
+        if (n < 0 || n > 65536) return None
+        var title = ""; var artist = ""; var album = ""
+        var k = 0L
+        while (k < n) {
+          if (q + 4 > end) return None
+          val cl = le32(q); q += 4
+          if (cl < 0 || q + cl > end) return None
+          val c = new String(b, q.toInt, cl.toInt,
+            java.nio.charset.StandardCharsets.UTF_8)
+          q += cl
+          val eq = c.indexOf('=')
+          if (eq > 0) c.substring(0, eq).toUpperCase match {
+            case "TITLE" => title = c.substring(eq + 1)
+            case "ARTIST" => artist = c.substring(eq + 1)
+            case "ALBUM" => album = c.substring(eq + 1)
+            case _ => ()
+          }
+          k += 1
+        }
+        return Some(FlacTags(vendor, title, artist, album, n.toInt))
+      }
+      p += 4 + len
+    }
+    None
+  }
+
+  /** FLAC with a real VORBIS_COMMENT block after STREAMINFO. */
+  def flacWithTags(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nFrames: Long, vendor: String,
+      comments: Seq[(String, String)]): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val base = flacHeader(sampleRate, channels, bitsPerSample, nFrames)
+    base(4) = (base(4) & 0x7f).toByte // STREAMINFO is no longer last
+    def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    val vb = vendor.getBytes(utf8)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(le32(vb.length)); body.write(vb)
+    body.write(le32(comments.length))
+    comments.foreach { case (k, v) =>
+      val c = s"$k=$v".getBytes(utf8)
+      body.write(le32(c.length)); body.write(c)
+    }
+    val blk = body.toByteArray
+    base ++ Array[Byte]((0x80 | 4).toByte, (blk.length >>> 16).toByte,
+      (blk.length >>> 8).toByte, blk.length.toByte) ++ blk
+  }
+
+  /** Deterministic per-id tagged FLAC: rate/frames from the q75
+    * closed forms, TITLE/ARTIST/ALBUM plus a TRACKNUMBER the rollup
+    * only counts. */
+  def synthTaggedFlac(id: Long): Array[Byte] =
+    flacWithTags(synthRates((id % 5).toInt), (id % 2 + 1).toInt, 16,
+      (id % 10 + 1) * synthRates((id % 5).toInt) / 100,
+      s"graft $id", Seq(
+        ("TITLE", s"Flac Track ${id % 100}"),
+        ("ARTIST", s"Flac Artist ${id % 30}"),
+        ("ALBUM", s"Flac Album ${id % 12}"),
+        ("TRACKNUMBER", (id % 20 + 1).toString)))
+
+  def synthTaggedFlacCol(c: Column): Column =
+    udf { id: Long => synthTaggedFlac(id) }.apply(c)
+  def flacTagsCol(c: Column): Column =
+    udf { b: Array[Byte] => parseFlacTags(b) }.apply(c)
+
   /** Deterministic per-id synthetic audio header (format alternates
     * wav/flac; every field a closed form of the id so a SQL oracle can
     * recompute it) — the query-able fixture column for

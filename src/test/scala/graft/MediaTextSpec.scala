@@ -147,6 +147,27 @@ class MediaTextSpec extends AnyFunSuite {
     assert(a.format == "mp3" && a.n_frames == 8 * 1152)
   }
 
+  test("flac tags: VORBIS_COMMENT block walk, STREAMINFO still reads") {
+    val b = Binary.synthTaggedFlac(7)
+    val t = Binary.parseFlacTags(b).get
+    assert(t == Binary.FlacTags("graft 7", "Flac Track 7",
+      "Flac Artist 7", "Flac Album 7", 4))
+    // the extra block does not break the audio-meta walk
+    val a = Binary.parseAudioMeta(b).get
+    assert(a.format == "flac" && a.sample_rate == 24000)
+    // keys are case-insensitive; unknown keys only count
+    val m = Binary.parseFlacTags(Binary.flacWithTags(44100, 2, 16, 441,
+      "v", Seq(("title", "low"), ("X", "y")))).get
+    assert(m.title == "low" && m.n_comments == 2 && m.artist == "")
+    // an untagged header has no comment block -> None
+    assert(Binary.parseFlacTags(Binary.flacHeader(44100, 2, 16, 441)).isEmpty)
+    // lying length fields reject, never crash
+    val bad = b.clone(); bad(42) = 0x7f
+    Binary.parseFlacTags(bad) // total
+    assert(Binary.parseFlacTags("fLaC".getBytes ++ Array[Byte](0x84.toByte,
+      0, 0, 99)).isEmpty)
+  }
+
   test("id3v2: UTF-16 text frames decode; BOM-less enc-1 rejects") {
     // enc 1 with LE BOM (fixture), enc 2 BE, enc 3 UTF-8 — all four
     // encodings of the same strings parse identically

@@ -217,6 +217,7 @@ class PropertySpec extends AnyFunSuite {
       graft.multimodal.Binary.parseId3v2(b)
       graft.multimodal.Binary.parseSvgMeta(b)
       graft.multimodal.Binary.parseTracks(b)
+      graft.multimodal.Binary.parseFlacTags(b)
       true
     })
     // mutation fuzz: corrupt VALID containers anywhere — parsers must
