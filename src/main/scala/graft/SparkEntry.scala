@@ -413,7 +413,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q364_pdf_objstm" -> (qPdfObjStm _),
     "q365_zip64" -> (qZip64 _),
     "q366_tar_special" -> (qTarSpecial _),
-    "q367_flac_tags" -> (qFlacTags _)
+    "q367_flac_tags" -> (qFlacTags _),
+    "q368_opus_tags" -> (qOpusTags _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

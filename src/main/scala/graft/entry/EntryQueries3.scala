@@ -4721,4 +4721,24 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** MM-OPUS-TAGS — OpusTags ([[graft.multimodal.Binary.parseOpusTags]],
+    * r14): the CRC-checked Ogg page walk to the first non-BOS packet
+    * opening "OpusTags", then the SAME Vorbis-comment body as FLAC's
+    * block (one shared parser) — completing the audio-tag triple
+    * beside ID3 (q359) and FLAC (q367). The duration walk
+    * (parseAudioMeta) cross-checks on the same bytes.
+    */
+  private[graft] def qOpusTags(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("b", Binary.synthOggOpusCol(col("doc_id")))
+      .select(col("doc_id"), Binary.opusTagsCol(col("b")).as("t"),
+        Binary.audioMetaCol(col("b")).as("a"))
+      .select(col("doc_id"), col("t.vendor").as("vendor"),
+        col("t.title").as("title"), col("t.artist").as("artist"),
+        col("t.n_comments").cast("long").as("n_comments"),
+        col("a.duration_ms").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
 }

@@ -2786,6 +2786,16 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  AS sample_rate
         | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+    // q368: OpusTags closed forms (Ogg page walk + shared Vorbis
+    // comment parse Spark-side); duration from the q331 closed form
+    "q368_opus_tags" ->
+      """SELECT doc_id, 'graft ' || doc_id AS vendor,
+        | 'Opus Track ' || (doc_id % 100) AS title,
+        | 'Opus Artist ' || (doc_id % 30) AS artist,
+        | CAST(3 AS BIGINT) AS n_comments,
+        | CAST((doc_id % 10 + 1) * 20 AS BIGINT) AS duration_ms
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
     // q363: per-track MP4 sample-table closed forms (the ISO-BMFF walk
     // happens Spark-side) — stts runs, both stsz forms, mdhd clocks
     "q363_mp4_tracks" ->

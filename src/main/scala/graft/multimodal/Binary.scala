@@ -607,15 +607,22 @@ object Binary {
   /** Minimal VALID Opus-in-Ogg stream: BOS page with OpusHead, an
     * OpusTags page, one audio data page with EOS + final granule. */
   def oggOpus(channels: Int, preskip: Int, inputRate: Long,
-              nSamples48k: Long, dataBytes: Array[Byte]): Array[Byte] = {
+              nSamples48k: Long, dataBytes: Array[Byte],
+              vendor: String = "graft",
+              comments: Seq[(String, String)] = Seq.empty): Array[Byte] = {
     def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
     def le32(v: Long) = Array[Byte](v.toByte, (v >>> 8).toByte,
       (v >>> 16).toByte, (v >>> 24).toByte)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val head = "OpusHead".getBytes("US-ASCII") ++ Array[Byte](1,
       channels.toByte) ++ le16(preskip) ++ le32(inputRate) ++
       le16(0) ++ Array[Byte](0) // gain 0, mapping family 0
-    val tags = "OpusTags".getBytes("US-ASCII") ++ le32(5) ++
-      "graft".getBytes("US-ASCII") ++ le32(0)
+    val vb = vendor.getBytes(utf8)
+    val tags = "OpusTags".getBytes("US-ASCII") ++
+      le32(vb.length) ++ vb ++ le32(comments.length) ++
+      comments.flatMap { case (k, v) =>
+        val c = s"$k=$v".getBytes(utf8); le32(c.length) ++ c
+      }
     oggPage(2, 0L, 0x6772, 0, head) ++
       oggPage(0, 0L, 0x6772, 1, tags) ++
       oggPage(4, preskip.toLong + nSamples48k, 0x6772, 2, dataBytes)
@@ -631,7 +638,11 @@ object Binary {
     val data = Array.tabulate(((id % 50) + 40).toInt)(j =>
       ((id * 7 + j * 13) % 256).toByte)
     oggOpus((id % 2 + 1).toInt, 312, rates((id % 3).toInt),
-      (id % 10 + 1) * 960L, data)
+      (id % 10 + 1) * 960L, data,
+      vendor = s"graft $id", comments = Seq(
+        ("TITLE", s"Opus Track ${id % 100}"),
+        ("ARTIST", s"Opus Artist ${id % 30}"),
+        ("ENCODER", "graft")))
   }
 
   def synthOggOpusCol(c: Column): Column =
@@ -677,17 +688,55 @@ object Binary {
       packed ++ new Array[Byte](16) // MD5 (unset)
   }
 
-  /** FLAC VORBIS_COMMENT tags — what every music library writes into
-    * FLAC files (the FLAC analog of ID3). */
-  final case class FlacTags(vendor: String, title: String, artist: String,
-                            album: String, n_comments: Int)
+  /** Vorbis-comment tags — the metadata structure BOTH FLAC's
+    * VORBIS_COMMENT block and Ogg Opus's OpusTags packet carry (the
+    * open-audio analog of ID3). */
+  final case class VorbisTags(vendor: String, title: String, artist: String,
+                              album: String, n_comments: Int)
+
+  /** The shared Vorbis-comment body parse: little-endian vendor
+    * string + KEY=value UTF-8 records over b[from, end). */
+  private def vorbisComments(b: Array[Byte], from: Long,
+      end: Long): Option[VorbisTags] = {
+    def u8(i: Long): Int = b(i.toInt) & 0xff
+    def le32(i: Long): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    var q = from
+    if (q + 4 > end) return None
+    val vlen = le32(q); q += 4
+    if (vlen < 0 || q + vlen + 4 > end) return None
+    val vendor = new String(b, q.toInt, vlen.toInt,
+      java.nio.charset.StandardCharsets.UTF_8)
+    q += vlen
+    val n = le32(q); q += 4
+    if (n < 0 || n > 65536) return None
+    var title = ""; var artist = ""; var album = ""
+    var k = 0L
+    while (k < n) {
+      if (q + 4 > end) return None
+      val cl = le32(q); q += 4
+      if (cl < 0 || q + cl > end) return None
+      val c = new String(b, q.toInt, cl.toInt,
+        java.nio.charset.StandardCharsets.UTF_8)
+      q += cl
+      val eq = c.indexOf('=')
+      if (eq > 0) c.substring(0, eq).toUpperCase match {
+        case "TITLE" => title = c.substring(eq + 1)
+        case "ARTIST" => artist = c.substring(eq + 1)
+        case "ALBUM" => album = c.substring(eq + 1)
+        case _ => ()
+      }
+      k += 1
+    }
+    Some(VorbisTags(vendor, title, artist, album, n.toInt))
+  }
 
   /** Metadata-block walk after "fLaC" to the VORBIS_COMMENT block
     * (type 4): little-endian vendor string + comment list of
     * `KEY=value` UTF-8 records (keys case-insensitive —
     * TITLE/ARTIST/ALBUM surface, everything else counts). None when
     * no comment block exists or any length field lies. */
-  def parseFlacTags(b: Array[Byte]): Option[FlacTags] = {
+  def parseFlacTags(b: Array[Byte]): Option[VorbisTags] = {
     if (b == null || b.length < 8 || !(b(0) == 'f' && b(1) == 'L' &&
       b(2) == 'a' && b(3) == 'C')) return None
     def u8(i: Long): Int = b(i.toInt) & 0xff
@@ -700,37 +749,7 @@ object Binary {
       val typ = h & 0x7f
       val len = (u8(p + 1) << 16) | (u8(p + 2) << 8) | u8(p + 3)
       if (p + 4 + len > b.length) return None
-      if (typ == 4) {
-        var q = p + 4
-        val end = p + 4 + len
-        if (q + 4 > end) return None
-        val vlen = le32(q); q += 4
-        if (vlen < 0 || q + vlen + 4 > end) return None
-        val vendor = new String(b, q.toInt, vlen.toInt,
-          java.nio.charset.StandardCharsets.UTF_8)
-        q += vlen
-        val n = le32(q); q += 4
-        if (n < 0 || n > 65536) return None
-        var title = ""; var artist = ""; var album = ""
-        var k = 0L
-        while (k < n) {
-          if (q + 4 > end) return None
-          val cl = le32(q); q += 4
-          if (cl < 0 || q + cl > end) return None
-          val c = new String(b, q.toInt, cl.toInt,
-            java.nio.charset.StandardCharsets.UTF_8)
-          q += cl
-          val eq = c.indexOf('=')
-          if (eq > 0) c.substring(0, eq).toUpperCase match {
-            case "TITLE" => title = c.substring(eq + 1)
-            case "ARTIST" => artist = c.substring(eq + 1)
-            case "ALBUM" => album = c.substring(eq + 1)
-            case _ => ()
-          }
-          k += 1
-        }
-        return Some(FlacTags(vendor, title, artist, album, n.toInt))
-      }
+      if (typ == 4) return vorbisComments(b, p + 4, p + 4 + len)
       p += 4 + len
     }
     None
@@ -774,6 +793,51 @@ object Binary {
     udf { id: Long => synthTaggedFlac(id) }.apply(c)
   def flacTagsCol(c: Column): Column =
     udf { b: Array[Byte] => parseFlacTags(b) }.apply(c)
+
+  /** OpusTags (RFC 7845 §5.2): the CRC-checked Ogg page walk to the
+    * first non-BOS page whose packet opens "OpusTags", then the same
+    * Vorbis-comment body as FLAC's block. Multi-page tag packets are
+    * out of documented scope (length checks reject them, never
+    * garble). */
+  def parseOpusTags(b: Array[Byte]): Option[VorbisTags] = {
+    if (b == null || b.length < 27 || b(0) != 'O' || b(1) != 'g' ||
+      b(2) != 'g' || b(3) != 'S') return None
+    def u8(i: Long): Int = b(i.toInt) & 0xff
+    def le32(i: Long): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    var i = 0L
+    var first = true
+    while (i + 27 <= b.length) {
+      val p = i.toInt
+      if (u8(i) != 'O' || u8(i + 1) != 'g' || u8(i + 2) != 'g' ||
+        u8(i + 3) != 'S' || u8(i + 4) != 0) return None
+      val nseg = u8(i + 26)
+      if (i + 27 + nseg > b.length) return None
+      var payLen = 0L
+      var k = 0
+      while (k < nseg) { payLen += u8(i + 27 + k); k += 1 }
+      val total = 27L + nseg + payLen
+      if (i + total > b.length) return None
+      var crc = 0
+      var j = 0L
+      while (j < total) {
+        val byt = if (j >= 22 && j < 26) 0 else u8(i + j)
+        crc = (crc << 8) ^ oggCrcTable(((crc >>> 24) ^ byt) & 0xff)
+        j += 1
+      }
+      if ((crc.toLong & 0xffffffffL) != le32(i + 22)) return None
+      val h = i + 27 + nseg
+      if (!first && payLen >= 8 && (0 until 8).forall(k =>
+        b((h + k).toInt) == "OpusTags"(k).toByte))
+        return vorbisComments(b, h + 8, h + payLen)
+      first = false
+      i += total
+    }
+    None
+  }
+
+  def opusTagsCol(c: Column): Column =
+    udf { b: Array[Byte] => parseOpusTags(b) }.apply(c)
 
   /** Deterministic per-id synthetic audio header (format alternates
     * wav/flac; every field a closed form of the id so a SQL oracle can

@@ -150,7 +150,7 @@ class MediaTextSpec extends AnyFunSuite {
   test("flac tags: VORBIS_COMMENT block walk, STREAMINFO still reads") {
     val b = Binary.synthTaggedFlac(7)
     val t = Binary.parseFlacTags(b).get
-    assert(t == Binary.FlacTags("graft 7", "Flac Track 7",
+    assert(t == Binary.VorbisTags("graft 7", "Flac Track 7",
       "Flac Artist 7", "Flac Album 7", 4))
     // the extra block does not break the audio-meta walk
     val a = Binary.parseAudioMeta(b).get
@@ -166,6 +166,21 @@ class MediaTextSpec extends AnyFunSuite {
     Binary.parseFlacTags(bad) // total
     assert(Binary.parseFlacTags("fLaC".getBytes ++ Array[Byte](0x84.toByte,
       0, 0, 99)).isEmpty)
+  }
+
+  test("opus tags: page walk to OpusTags, shared comment body") {
+    val b = Binary.synthOggOpus(7)
+    val t = Binary.parseOpusTags(b).get
+    assert(t == Binary.VorbisTags("graft 7", "Opus Track 7",
+      "Opus Artist 7", "", 3))
+    // the duration walk reads the same bytes
+    assert(Binary.parseAudioMeta(b).get.duration_ms == 160L)
+    // a corrupted tags page fails the CRC -> None, never garble
+    val at = b.length / 2
+    val bad = b.clone(); bad(at) = (bad(at) ^ 0x40).toByte
+    Binary.parseOpusTags(bad) // total; most flips are CRC-rejected
+    assert(Binary.parseOpusTags("OggS".getBytes).isEmpty)
+    assert(Binary.parseOpusTags(null).isEmpty)
   }
 
   test("id3v2: UTF-16 text frames decode; BOM-less enc-1 rejects") {
