@@ -414,7 +414,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q365_zip64" -> (qZip64 _),
     "q366_tar_special" -> (qTarSpecial _),
     "q367_flac_tags" -> (qFlacTags _),
-    "q368_opus_tags" -> (qOpusTags _)
+    "q368_opus_tags" -> (qOpusTags _),
+    "q369_ass_subs" -> (qAssSubs _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

@@ -4453,6 +4453,35 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id", "cue_idx")
   }
 
+  /** MM-ASS — SubStation Alpha subtitles ([[graft.text.Subtitles
+    * .parseAss]], r14): the third caption format (fansub corpora ship
+    * it almost exclusively) — Format-line field ordering, Text fields
+    * containing commas (field-count-limited split), centisecond
+    * timing, `{\\i1}` override-tag stripping, `\\N` line breaks, and
+    * Comment: lines skipped. Closed forms throughout.
+    */
+  private[graft] def qAssSubs(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Subtitles
+    val d = doc(s, dir).where(col("doc_id") < 240)
+      .select(col("doc_id"), (col("doc_id") % 10).cast("string").as("dg"))
+    val ass = concat(
+      lit("[Script Info]\nTitle: graft fixture\n" +
+        "[V4+ Styles]\nFormat: Name, Fontname\nStyle: Default,Arial\n" +
+        "[Events]\nFormat: Layer, Start, End, Style, Name, MarginL, " +
+        "MarginR, MarginV, Effect, Text\n" +
+        "Dialogue: 0,0:00:01.00,0:00:02.50,Default,,0,0,0,," +
+        "{\\i1}Styled{\\i0} hello "), col("dg"),
+      lit("\nComment: 0,0:00:02.50,0:00:03.00,Default,,0,0,0,,not a cue\n" +
+        "Dialogue: 0,0:01:00.25,0:02:00.00,Default,,0,0,0,,Line one "),
+      col("dg"), lit("\\NLine two, with comma "), col("dg"))
+    d.select(col("doc_id"), posexplode(Subtitles.cuesCol(ass)))
+      .select(col("doc_id"),
+        col("col._1").cast("long").as("cue_idx"),
+        col("col._2").as("start_ms"), col("col._3").as("end_ms"),
+        col("col._4").as("cue_text"))
+      .orderBy("doc_id", "cue_idx")
+  }
+
   /** IDX-META — page-head metadata ([[graft.text.Html.pageMeta]]):
     * what an indexer reads before the body — title (entity-decoded),
     * meta description, rel=canonical, OpenGraph title. Odd docs omit

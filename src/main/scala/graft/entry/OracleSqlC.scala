@@ -2796,6 +2796,23 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         | CAST((doc_id % 10 + 1) * 20 AS BIGINT) AS duration_ms
         | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+    // q369: ASS subtitle cue closed forms (the section/Format/override
+    // parsing happens Spark-side)
+    "q369_ass_subs" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS dg
+        |  FROM documents WHERE doc_id < 240),
+        | e AS (
+        |  SELECT doc_id, 1 AS cue_idx, 1000 AS start_ms, 2500 AS end_ms,
+        |   'Styled hello ' || dg AS cue_text FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 2, 60250, 120000,
+        |   'Line one ' || dg || chr(10) || 'Line two, with comma ' || dg
+        |   FROM d)
+        | SELECT doc_id, CAST(cue_idx AS BIGINT) AS cue_idx,
+        |  CAST(start_ms AS BIGINT) AS start_ms,
+        |  CAST(end_ms AS BIGINT) AS end_ms, cue_text
+        | FROM e ORDER BY doc_id, cue_idx""".stripMargin
+        .replaceAll("\n", " "),
     // q363: per-track MP4 sample-table closed forms (the ISO-BMFF walk
     // happens Spark-side) — stts runs, both stsz forms, mdhd clocks
     "q363_mp4_tracks" ->

@@ -99,12 +99,70 @@ object Subtitles {
     Some(((h * 60 + m) * 60 + s) * 1000 + ms)
   }
 
-  /** text → array<struct<idx, start_ms, end_ms, text>>; SRT or VTT
-    * chosen by the magic; null when malformed. */
+  /** ASS/SSA (SubStation Alpha) — the third subtitle format a video
+    * crawl meets (anime/fansub corpora ship it almost exclusively).
+    * Section walk to `[Events]`, the `Format:` line names the field
+    * order, `Dialogue:` lines split with a field-count limit (the Text
+    * field may itself contain commas). Times are `H:MM:SS.cc`
+    * CENTIseconds. Text cleanup: `{…}` override tags strip, `\N`/`\n`
+    * become newlines, `\h` a space. `Comment:` lines skip. Same
+    * strictness as SRT/VTT: malformed timing or end <= start rejects
+    * the document. */
+  def parseAss(s: String): Option[Seq[Cue]] = {
+    if (s == null) return None
+    var inEvents = false
+    var sawEvents = false
+    var fmt: Array[String] = null
+    val out = Vector.newBuilder[Cue]
+    var idx = 0
+    s.split("\r?\n").foreach { ln =>
+      val t = ln.trim
+      if (t.startsWith("[")) {
+        inEvents = t.equalsIgnoreCase("[Events]")
+        sawEvents |= inEvents
+      } else if (inEvents && t.startsWith("Format:")) {
+        fmt = t.substring(7).split(",").map(_.trim)
+      } else if (inEvents && t.startsWith("Dialogue:")) {
+        if (fmt == null) return None
+        val vals = t.substring(9).trim.split(",", fmt.length)
+        if (vals.length < fmt.length) return None
+        def field(name: String): Option[String] = {
+          val i = fmt.indexWhere(_.equalsIgnoreCase(name))
+          if (i < 0) None else Some(vals(i))
+        }
+        val a = field("Start").flatMap(assStamp).getOrElse(return None)
+        val b = field("End").flatMap(assStamp).getOrElse(return None)
+        if (b <= a) return None
+        val raw = field("Text").getOrElse(return None)
+        idx += 1
+        out += Cue(idx, a, b, cleanAssText(raw))
+      } // headers, styles, Comment: lines — skipped
+    }
+    if (!sawEvents) return None
+    Some(out.result())
+  }
+
+  private val AssStampRe = "(\\d+):([0-5]\\d):([0-5]\\d)\\.(\\d\\d)".r
+
+  private def assStamp(t: String): Option[Long] = t.trim match {
+    case AssStampRe(h, m, sec, cs) =>
+      Some(((h.toLong * 60 + m.toLong) * 60 + sec.toLong) * 1000 +
+        cs.toLong * 10)
+    case _ => None
+  }
+
+  private def cleanAssText(t: String): String =
+    t.replaceAll("\\{[^}]*\\}", "")
+      .replace("\\N", "\n").replace("\\n", "\n").replace("\\h", " ")
+
+  /** text → array<struct<idx, start_ms, end_ms, text>>; ASS, VTT, or
+    * SRT chosen by the magic; null when malformed. */
   def cuesCol(c: Column): Column =
     udf { s: String =>
       Option(s).flatMap { v =>
-        if (v.startsWith("WEBVTT")) parseVtt(v) else parseSrt(v)
+        if (v.startsWith("WEBVTT")) parseVtt(v)
+        else if (v.startsWith("[Script Info]")) parseAss(v)
+        else parseSrt(v)
       }.map(_.map(q => (q.idx, q.start_ms, q.end_ms, q.text)))
     }.apply(c)
 }

@@ -38,6 +38,34 @@ class MediaTextSpec extends AnyFunSuite {
     assert(Subtitles.parseVtt("00:01.000 --> 00:02.000\nx").isEmpty)
   }
 
+  test("ass: Format ordering, comma text, override tags, comments") {
+    val ass = "[Script Info]\nTitle: t\n[Events]\n" +
+      "Format: Layer, Start, End, Style, Name, MarginL, MarginR, " +
+      "MarginV, Effect, Text\n" +
+      "Dialogue: 0,0:00:01.00,0:00:02.50,D,,0,0,0,,{\\i1}Hi{\\i0} there\n" +
+      "Comment: 0,0:00:03.00,0:00:04.00,D,,0,0,0,,skipped\n" +
+      "Dialogue: 0,1:02:03.45,1:02:04.00,D,,0,0,0,,a, b\\Nc\\hd\n"
+    val cs = Subtitles.parseAss(ass).get
+    assert(cs.length == 2)
+    assert(cs(0) == Subtitles.Cue(1, 1000, 2500, "Hi there"))
+    assert(cs(1) == Subtitles.Cue(2,
+      ((1 * 60 + 2) * 60 + 3) * 1000 + 450,
+      ((1 * 60 + 2) * 60 + 4) * 1000, "a, b\nc d"))
+    // a REORDERED Format line still maps fields by name
+    val reord = "[Events]\nFormat: Start, End, Text\n" +
+      "Dialogue: 0:00:01.00,0:00:02.00,only\n"
+    assert(Subtitles.parseAss(reord).get ==
+      Seq(Subtitles.Cue(1, 1000, 2000, "only")))
+    // strictness: end <= start, bad stamp, no [Events], no Format
+    assert(Subtitles.parseAss("[Events]\nFormat: Start, End, Text\n" +
+      "Dialogue: 0:00:02.00,0:00:01.00,x\n").isEmpty)
+    assert(Subtitles.parseAss("[Events]\nFormat: Start, End, Text\n" +
+      "Dialogue: 0:00:1.00,0:00:02.00,x\n").isEmpty)
+    assert(Subtitles.parseAss("just text").isEmpty)
+    assert(Subtitles.parseAss("[Events]\nDialogue: 0:00:01.00,x\n").isEmpty)
+    assert(Subtitles.parseAss(null).isEmpty)
+  }
+
   test("pageMeta: title, description, canonical, og, decoys") {
     val html = "<html><head><!-- <title>decoy</title> -->" +
       "<title>Real &amp; Title</title>" +

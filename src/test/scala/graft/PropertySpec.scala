@@ -188,6 +188,8 @@ class PropertySpec extends AnyFunSuite {
     check("subs-pagemeta", Prop.forAll(anyStr) { s =>
       graft.text.Subtitles.parseSrt(s)
       graft.text.Subtitles.parseVtt("WEBVTT\n\n" + s)
+      graft.text.Subtitles.parseAss(s)
+      graft.text.Subtitles.parseAss("[Events]\nFormat: Start, End, Text\n" + s)
       graft.text.Html.pageMeta(s); true
     })
   }
