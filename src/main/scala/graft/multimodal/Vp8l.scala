@@ -429,7 +429,14 @@ object Vp8l {
         lengths
       } else {
         w.writeBit(0) // full form
-        val lengths = balancedLengths(alphabet, syms)
+        // one used symbol above the simple form's 8-bit cap (a group
+        // whose only token is a copy or cache hit): transmit a single
+        // length-1 entry — the decoder's single-symbol codes read 0
+        // bits, matching the suppressed emit below
+        val lengths =
+          if (syms.length == 1) {
+            val l = Array.fill(alphabet)(0); l(syms.head) = 1; l
+          } else balancedLengths(alphabet, syms)
         // code-length code: balanced over the used CL symbols
         val runsEncoded = encodeLengthRuns(lengths)
         val usedCl = runsEncoded.map(_._1).distinct.sorted

@@ -348,6 +348,14 @@ class PropertySpec extends AnyFunSuite {
       assert(Vp8l.decode(enc).exists(_._3.sameElements(img)),
         s"predictor mode $mode bits $bits must round-trip")
     }
+    // regression: a meta-Huffman group whose ONLY token is a copy or
+    // cache hit has one green symbol above the simple form's 8-bit
+    // cap — must encode as a single-entry full code, not crash
+    // (found by scalacheck: 5x1, cache 6, 3 groups at block bits 2)
+    val tiny = Array.fill(5)(0xff112233)
+    val encTiny = Vp8l.encode(5, 1, tiny, cacheBits = 6,
+      metaBits = 2, metaGroup = (tx, _) => tx % 3)
+    assert(Vp8l.decode(encTiny).exists(_._3.sameElements(tiny)))
     // predictor composes with subtract-green (reverse-order inverses)
     val both = Vp8l.encode(w0, h0, img, subtractGreen = true,
       cacheBits = 4, predictorBits = 3,
