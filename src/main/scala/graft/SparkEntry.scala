@@ -415,7 +415,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q366_tar_special" -> (qTarSpecial _),
     "q367_flac_tags" -> (qFlacTags _),
     "q368_opus_tags" -> (qOpusTags _),
-    "q369_ass_subs" -> (qAssSubs _)
+    "q369_ass_subs" -> (qAssSubs _),
+    "q370_epub_meta" -> (qEpubMeta _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

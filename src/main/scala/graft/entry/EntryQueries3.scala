@@ -4482,6 +4482,23 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id", "cue_idx")
   }
 
+  /** MM-EPUB-META — EPUB OPF Dublin Core metadata
+    * ([[graft.sources.Docs.epubMeta]], r14): title/creator/language
+    * plus the spine length, read through container.xml → OPF without
+    * extracting any chapter — the metadata-only pass an indexer runs
+    * before deciding what to fetch. Absent elements are empty strings
+    * inside the hash. Per-row map work.
+    */
+  private[graft] def qEpubMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Docs
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("m", Docs.epubMetaCol(Docs.synthEpubCol(col("doc_id"))))
+      .select(col("doc_id"), col("m.title").as("title"),
+        col("m.creator").as("creator"), col("m.language").as("language"),
+        col("m.n_spine").cast("long").as("n_spine"))
+      .orderBy("doc_id")
+  }
+
   /** IDX-META — page-head metadata ([[graft.text.Html.pageMeta]]):
     * what an indexer reads before the body — title (entity-decoded),
     * meta description, rel=canonical, OpenGraph title. Odd docs omit

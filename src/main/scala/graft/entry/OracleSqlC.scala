@@ -2813,6 +2813,14 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  CAST(end_ms AS BIGINT) AS end_ms, cue_text
         | FROM e ORDER BY doc_id, cue_idx""".stripMargin
         .replaceAll("\n", " "),
+    // q370: EPUB OPF metadata closed forms (container/OPF walk
+    // Spark-side)
+    "q370_epub_meta" ->
+      """SELECT doc_id, 'Book & Tale ' || (doc_id % 10) AS title,
+        | 'Author ' || (doc_id % 10) AS creator, 'en' AS language,
+        | CAST(2 AS BIGINT) AS n_spine
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
     // q363: per-track MP4 sample-table closed forms (the ISO-BMFF walk
     // happens Spark-side) — stts runs, both stsz forms, mdhd clocks
     "q363_mp4_tracks" ->

@@ -127,6 +127,31 @@ object Docs {
     Some((count, chapters.result().filter(_.nonEmpty).mkString("\n")))
   }
 
+  /** EPUB OPF Dublin Core metadata + spine length — the document
+    * metadata an indexer reads before extracting chapters (the EPUB
+    * sibling of [[graft.text.Html.pageMeta]] and PDF's info). Absent
+    * elements surface as empty strings, not errors. */
+  final case class EpubMeta(title: String, creator: String,
+                            language: String, n_spine: Int)
+
+  def epubMeta(zipBytes: Array[Byte]): Option[EpubMeta] = {
+    val entries = Archives.parseZip(zipBytes).getOrElse(return None)
+    def entry(name: String): Option[String] =
+      entries.find(e => e.name == name && e.crc_ok).map(_.text)
+    val container = entry("META-INF/container.xml").getOrElse(return None)
+    val opfPath = attrOfTag(container, "rootfile", "full-path")
+      .getOrElse(return None)
+    val opf = entry(opfPath).getOrElse(return None)
+    var spine = 0
+    foreachTag(opf, "itemref")(_ => spine += 1)
+    def el(n: String): String = XmlLite.element(opf, n).getOrElse("")
+    Some(EpubMeta(el("dc:title"), el("dc:creator"), el("dc:language"),
+      spine))
+  }
+
+  def epubMetaCol(c: Column): Column =
+    udf { b: Array[Byte] => epubMeta(b) }.apply(c)
+
   /** Run `f` over the inner text of each `<tag …>` occurrence. */
   private def foreachTag(xml: String, tag: String)(f: String => Unit): Unit = {
     var i = 0
@@ -177,7 +202,10 @@ object Docs {
     val container = "<?xml version=\"1.0\"?><container>" +
       "<rootfiles><rootfile full-path=\"OEBPS/content.opf\" " +
       "media-type=\"application/oebps-package+xml\"/></rootfiles></container>"
-    val opf = "<?xml version=\"1.0\"?><package><manifest>" +
+    val opf = "<?xml version=\"1.0\"?><package><metadata>" +
+      s"<dc:title>Book &amp; Tale $d</dc:title>" +
+      s"<dc:creator>Author $d</dc:creator>" +
+      "<dc:language>en</dc:language></metadata><manifest>" +
       "<item id=\"c1\" href=\"ch1.xhtml\" media-type=\"application/xhtml+xml\"/>" +
       "<item id=\"css\" href=\"style.css\" media-type=\"text/css\"/>" +
       "<item id=\"c2\" href=\"ch2.xhtml\" media-type=\"application/xhtml+xml\"/>" +

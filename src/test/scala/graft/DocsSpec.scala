@@ -6,6 +6,23 @@ import graft.sources.{Archives, Docs}
 
 class DocsSpec extends AnyFunSuite {
 
+  test("epub: OPF Dublin Core metadata + spine length") {
+    val m = Docs.epubMeta(Docs.synthEpub(7)).get
+    assert(m == Docs.EpubMeta("Book & Tale 7", "Author 7", "en", 2))
+    // absent metadata elements are empty strings, not errors
+    val bare = "<?xml version=\"1.0\"?><package><manifest/>" +
+      "<spine><itemref idref=\"a\"/></spine></package>"
+    val container = "<container><rootfiles><rootfile " +
+      "full-path=\"c.opf\"/></rootfiles></container>"
+    val zip = Archives.buildZip(Seq(
+      ("META-INF/container.xml", container, true), ("c.opf", bare, true)))
+    assert(Docs.epubMeta(zip).get == Docs.EpubMeta("", "", "", 1))
+    // structural malformations still reject
+    assert(Docs.epubMeta(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Docs.epubMeta(Archives.buildZip(
+      Seq(("mimetype", "application/epub+zip", false)))).isEmpty)
+  }
+
   test("docx: unterminated open tags terminate (hang regression)") {
     def docx(xml: String) = Archives.buildZip(Seq(
       ("[Content_Types].xml", "<Types/>", true),

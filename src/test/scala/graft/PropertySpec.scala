@@ -216,6 +216,7 @@ class PropertySpec extends AnyFunSuite {
       graft.sources.Archives.parseTar(b)
       graft.sources.Archives.parseTarGz(b)
       graft.sources.Docs.docxText(b); graft.sources.Docs.epubText(b)
+      graft.sources.Docs.epubMeta(b)
       graft.multimodal.Binary.parseId3v2(b)
       graft.multimodal.Binary.parseSvgMeta(b)
       graft.multimodal.Binary.parseTracks(b)
