@@ -34,19 +34,36 @@ object Bench {
     // optional comma-separated query filter for single-query A/B timing
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_COMPOSITE=1 skips the per-query cache release:
+    // queries share retained caches like a real composite session (the
+    // SharedScanAb scheduler story) — the close-out reports BOTH totals.
+    val composite = sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPOSITE", "0") == "1"
+    val doWarmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    // per-rep JVM telemetry: GC-time delta and post-rep heap. The r9
+    // artifact carried unexplained 10x heavy tails (q155 reps
+    // [14.4, 2.2, 21.4] s) in the FULL sweep only — the same queries
+    // are flat in a 4-query session — so each rep records how much of
+    // its wall time was collector time. A rep whose gcSec ~= wall
+    // delta is a heap-pressure artifact, not a plan problem.
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    }
+    /** One query under the standard isolation protocol: cache release +
+      * heap settle, one untimed warmup, `runs` timed reps with GC/heap/
+      * storage telemetry. Returns (minOkTime | -1, reps, gc, heap,
+      * rddCount, storageGb) — index-aligned arrays, failed reps = -1.
+      */
+    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                reps: Int = runs)
+      : (Double, Seq[Double], Seq[Double], Seq[Double], Seq[Int], Seq[Double]) = {
       // isolate queries from each other: drop the cache registry (each
       // query is measured from a clean slate — its OWN reruns still hit
       // its caches) and settle the heap. The r8 A/B: q121 measured 11.8s
       // mid-sweep with neighbors' retained caches + GC debt vs 2.8s
       // isolated; r6/r7 showed the same 2-8× cross-query spread.
-      // SPARK_GRAFT_BENCH_COMPOSITE=1 skips the release: queries share
-      // retained caches like a real composite session (the SharedScanAb
-      // scheduler story) — the close-out reports BOTH totals.
-      val composite = sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPOSITE", "0") == "1"
-      // releaseAll now ALSO unpersists every persistent RDD the registry
+      // releaseAll ALSO unpersists every persistent RDD the registry
       // can't see (localCheckpoint blocks, unregistered persists) — the
       // r10 official sweep showed those residues squeezing execution
       // memory until the heavy joins spilled (q290 13-30s vs 2.2s
@@ -66,20 +83,9 @@ object Bench {
       // Disable with SPARK_GRAFT_BENCH_WARMUP=0 to time cold plans.
       // NonFatal only: swallowing an OOM/fatal JVM error here would let
       // the timed runs proceed on a degraded heap and report garbage.
-      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
+      if (doWarmup)
         try fn(spark, sfDir).count()
         catch { case scala.util.control.NonFatal(_) => () }
-      // per-rep JVM telemetry: GC-time delta and post-rep heap. The r9
-      // artifact carried unexplained 10x heavy tails (q155 reps
-      // [14.4, 2.2, 21.4] s) in the FULL sweep only — the same queries
-      // are flat in a 4-query session — so each rep records how much of
-      // its wall time was collector time. A rep whose gcSec ~= wall
-      // delta is a heap-pressure artifact, not a plan problem.
-      def gcMs: Long = {
-        import scala.jdk.CollectionConverters._
-        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-          .asScala.map(_.getCollectionTime).filter(_ > 0).sum
-      }
       val gcSecs = scala.collection.mutable.ListBuffer.empty[Double]
       val heapGb = scala.collection.mutable.ListBuffer.empty[Double]
       // per-rep STORAGE telemetry (r11 brief item 5): reps that rise
@@ -92,7 +98,7 @@ object Bench {
       // times array (never a fast failure wall time) alongside its own
       // gc/heap entries, so bench_detail telemetry always attributes to
       // the right rep (r10 advisory: flatMap-dropped failures skewed it)
-      val times = (1 to runs).map { _ =>
+      val times = (1 to reps).map { _ =>
         // untimed inter-rep gc: reaps the PREVIOUS rep's dead broadcast
         // blocks (ContextCleaner only fires on GC) and makes the per-rep
         // heap sample mean live-set, not allocation-since-last-collect
@@ -115,10 +121,55 @@ object Bench {
       }
       val okTimes = times.filter(_ >= 0)
       // a query with no successful run is reported as -1, never as a
-      // (fast) failure wall time, and lands in the `failed` list
-      if (okTimes.isEmpty) { failed += name; name -> (-1.0, times, gcSecs.toSeq, heapGb.toSeq, rddN.toSeq, storGb.toSeq) }
-      else name -> (okTimes.min, times, gcSecs.toSeq, heapGb.toSeq, rddN.toSeq, storGb.toSeq)
-    }.toMap
+      // (fast) failure wall time
+      (if (okTimes.isEmpty) -1.0 else okTimes.min,
+        times, gcSecs.toSeq, heapGb.toSeq, rddN.toSeq, storGb.toSeq)
+    }
+    // ---- ambient-load calibration (r15, verdict task 2) ------------- //
+    // Three pinned FIXED-PLAN sentinels run before the sweep, each with
+    // a FIXED 5-rep protocol (independent of SPARK_GRAFT_BENCH_RUNS);
+    // ambient_index = median(min / anchor). The shared machine drifts
+    // 1.4-2× per-core across a day (r12-r14 disputes), so per-query
+    // regression calls must divide by this index first: a query at 2×
+    // whose sweep's ambient_index is ~1 is suspicious; at 1.9 it is
+    // environment. Anchors are SESSION-START minima from a quiet r15
+    // session (load 2.3/32) under this exact protocol — NOT the r12
+    // mid-sweep values: an r15 A/B showed session-start sentinels read
+    // 1.5-2.2× the mid-sweep anchors even on an idle machine (shared
+    // Catalyst/codegen JIT accumulated over hundreds of prior queries
+    // is unreachable at position 1), so mid-sweep anchors would bake a
+    // permanent false "loaded" reading into every artifact. If a
+    // sentinel's plan is ever touched, re-record its anchor (same
+    // protocol, quiet machine) in the same commit.
+    val sentinelReps = 5
+    val sentinelAnchors = Seq(
+      "q60_pii_redact" -> 0.240,
+      "q62_asof_join" -> 0.250,
+      "q94_span_mask" -> 0.150)
+    // SPARK_GRAFT_BENCH_AMBIENT=0 skips calibration (fast A/B loops);
+    // it runs by default even under BENCH_ONLY so an isolated
+    // re-measure carries its own load context
+    val skipAmbient =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_AMBIENT", "1") == "0"
+    val ambient: Seq[(String, Double, Double)] =
+      if (skipAmbient) Seq.empty
+      else sentinelAnchors.flatMap { case (name, anchor) =>
+        SparkEntry.queries.get(name).map { fn =>
+          val (v, _, _, _, _, _) = measure(name, fn, sentinelReps)
+          (name, v, if (v > 0) v / anchor else -1.0)
+        }
+      }
+    val ratios = ambient.map(_._3).filter(_ > 0).sorted
+    val ambientIndex =
+      if (ratios.isEmpty) -1.0
+      else ratios(ratios.length / 2) // median of 3 (or mid of what ran)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val r = measure(name, fn)
+        if (r._1 < 0) failed += name
+        name -> r
+      }.toMap
     // times rounded to ms and the headline total emitted BEFORE the
     // per-query map: the driver's capture window can truncate the tail
     // of a long line, and the total must survive truncation
@@ -157,13 +208,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ms(results.values.map(_._1).filter(_ >= 0).sum)
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs,"runs":$runsJson}""")
+    val ambJson = ambient
+      .map { case (k, v, r) =>
+        s"\"" + k + "\":{\"sec\":" + ms(v) + ",\"vs_anchor\":" +
+          (math.round(r * 100) / 100.0) + "}"
+      }
+      .mkString("{", ",", "}")
+    val ambIdx = math.round(ambientIndex * 100) / 100.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"ambient_index":$ambIdx,"ambient":$ambJson,"queries":$qs,"runs":$runsJson}""")
     // The r6 artifact proved the driver's capture window can truncate
     // the FRONT of a long line (it kept the tail), while r5 assumed it
     // truncates the tail. Emit the headline total a second time as its
     // own short, self-contained line so it survives truncation from
     // EITHER end of the big line above.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"ambient_index":$ambIdx,"ambient":$ambJson}""")
     // full per-query artifact ON DISK: the driver's stdout capture
     // truncates the big line (the r8 tail carried ~49 of 197 per-query
     // arrays), so every (query → [runs]) also lands in a committed file
@@ -172,7 +230,7 @@ object Bench {
       "bench_detail.json")
     try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(detailPath),
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs,"runs":$runsJson,"gc_sec":$gcJson,"heap_gb":$heapJson,"persist_rdds":$rddJson,"storage_gb":$storJson}""" + "\n")
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"ambient_index":$ambIdx,"ambient":$ambJson,"queries":$qs,"runs":$runsJson,"gc_sec":$gcJson,"heap_gb":$heapJson,"persist_rdds":$rddJson,"storage_gb":$storJson}""" + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench_detail write failed: $e") }
     spark.stop()

@@ -180,7 +180,8 @@ object Caches {
   // ---- memoized localCheckpoint ---------------------------------------
 
   private def maxCkPerKey: Int =
-    sys.props.get("graft.caches.maxCkPerKey").map(_.toInt).getOrElse(64)
+    sys.props.get("graft.caches.maxCkPerKey")
+      .flatMap(_.toIntOption).map(math.max(1, _)).getOrElse(64)
   // key -> newest-first (analyzed input plan, checkpointed frame)
   private var ckMemo: Map[String, List[(LogicalPlan, DataFrame)]] = Map.empty
 

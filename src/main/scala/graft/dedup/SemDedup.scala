@@ -153,8 +153,12 @@ object SemDedup {
             k: Int, theta: Double, cap: Int = 64): DataFrame = {
     val assigned = assign(df, idCol, vecCol, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dim = df.select(size(col(vecCol))).first.getInt(0)
-    val pairs = clusterPairs(capBuckets(assigned, dim, cap))
+    // headOption: an empty input frame must yield the aggregate row,
+    // not throw from the dim probe; capBuckets is a no-op on empty
+    val dim = df.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val pairs = clusterPairs(
+      if (dim == 0) assigned else capBuckets(assigned, dim, cap))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a1 = assigned.agg(count(lit(1)).as("n_vecs"),
       max(size(col("vec"))).cast("long").as("dim"),

@@ -1542,16 +1542,18 @@ object Binary {
     * q328 synthetic frame chain, so [[parseAudioMeta]] must still
     * walk the frames past it while [[parseId3v2]] reads the tag. The
     * major version cycles 4/3/2 (v2.2 uses 3-char ids + 3-byte sizes)
-    * and the text encoding cycles all four (v2.2 only its defined
-    * 0/1) — the decoded strings are identical in every combination,
-    * so the q359 oracle depends on the version column alone. */
+    * and the text encoding cycles what each version DEFINES — all
+    * four on v2.4, only 0/1 on v2.3 and v2.2 (encodings 2/3 are
+    * v2.4-only per the spec) — the decoded strings are identical in
+    * every combination, so the q359 oracle depends on the version
+    * column alone. */
   def synthTaggedMp3(id: Long): Array[Byte] = {
     val major = (id % 3) match {
       case 0 => 4
       case 1 => 3
       case _ => 2
     }
-    val enc = if (major == 2) (id % 2).toInt else (id % 4).toInt
+    val enc = if (major == 4) (id % 4).toInt else (id % 2).toInt
     id3v2(major, s"Track ${id % 100}",
       s"Artist ${id % 30}", s"Album ${id % 12}", enc = enc) ++ synthMp3(id)
   }

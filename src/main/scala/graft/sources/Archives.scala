@@ -117,15 +117,19 @@ object Archives {
         while (e + 4 <= eEnd && !found) {
           val id = u16(b, e); val sz = u16(b, e + 2)
           if (id == 0x0001) {
+            // reads are bounded by THIS field's declared size, not the
+            // whole extras block — a truncated 0x0001 must reject, not
+            // read the next field's header bytes as size data
+            val fEnd = math.min(e + 4 + sz, eEnd)
             var q = e + 4
             if (usize == 0xffffffffL) {
-              if (q + 8 > eEnd) return None; usize = u64(b, q); q += 8
+              if (q + 8 > fEnd) return None; usize = u64(b, q); q += 8
             }
             if (csize == 0xffffffffL) {
-              if (q + 8 > eEnd) return None; csize = u64(b, q); q += 8
+              if (q + 8 > fEnd) return None; csize = u64(b, q); q += 8
             }
             if (lho == 0xffffffffL) {
-              if (q + 8 > eEnd) return None; lho = u64(b, q); q += 8
+              if (q + 8 > fEnd) return None; lho = u64(b, q); q += 8
             }
             found = true
           } else e += 4 + sz
