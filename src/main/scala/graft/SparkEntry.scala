@@ -416,7 +416,9 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q367_flac_tags" -> (qFlacTags _),
     "q368_opus_tags" -> (qOpusTags _),
     "q369_ass_subs" -> (qAssSubs _),
-    "q370_epub_meta" -> (qEpubMeta _)
+    "q370_epub_meta" -> (qEpubMeta _),
+    "q371_xlsx_cells" -> (qXlsxCells _),
+    "q372_pptx_text" -> (qPptxText _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

@@ -4499,6 +4499,47 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** MM-XLSX — workbook cell extraction ([[graft.sources.Office
+    * .xlsxCells]], r15): the office format beside DOCX every ingest
+    * pipeline hits. The fixture exercises workbook-ordered sheets
+    * (order from workbook.xml + rels, not part filenames), all five
+    * cell types (shared/inline/formula-string/boolean/numeric), a
+    * rich-text shared-string item, and a self-closing empty cell that
+    * must not count. Closed forms throughout; per-row map work, no
+    * shuffle beyond the final order.
+    */
+  private[graft] def qXlsxCells(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Office
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("m", Office.xlsxCellsCol(Office.synthXlsxCol(col("doc_id"))))
+      .select(col("doc_id"),
+        col("m.n_sheets").cast("long").as("n_sheets"),
+        col("m.n_rows").cast("long").as("n_rows"),
+        col("m.n_cells").cast("long").as("n_cells"),
+        col("m.n_shared").cast("long").as("n_shared"),
+        col("m.text_cells").as("text_cells"),
+        round(col("m.num_sum"), 2).as("num_sum"))
+      .orderBy("doc_id")
+  }
+
+  /** MM-PPTX — slide-deck text ([[graft.sources.Office.pptxText]],
+    * r15): completes the office triple. Slide ORDER comes from
+    * presentation.xml's sldIdLst resolved through the rels part — the
+    * fixture reverses the part-filename order so a glob-ordered
+    * reader hash-mismatches. `<a:t>` runs concatenate per `<a:p>`
+    * paragraph. Per-row map work.
+    */
+  private[graft] def qPptxText(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Office
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("m", Office.pptxTextCol(Office.synthPptxCol(col("doc_id"))))
+      .select(col("doc_id"),
+        col("m._1").cast("long").as("n_slides"),
+        col("m._2").cast("long").as("n_paras"),
+        col("m._3").as("text"))
+      .orderBy("doc_id")
+  }
+
   /** IDX-META — page-head metadata ([[graft.text.Html.pageMeta]]):
     * what an indexer reads before the body — title (entity-decoded),
     * meta description, rel=canonical, OpenGraph title. Odd docs omit

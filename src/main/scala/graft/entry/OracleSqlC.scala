@@ -2821,6 +2821,32 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         | CAST(2 AS BIGINT) AS n_spine
         | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+    // q371: XLSX workbook summary closed forms (the SpreadsheetML walk
+    // happens Spark-side): workbook-ordered sheets, all five cell
+    // types, a rich-text shared string, self-closing cells excluded
+    "q371_xlsx_cells" ->
+      """SELECT doc_id, CAST(2 AS BIGINT) AS n_sheets,
+        | CAST(4 AS BIGINT) AS n_rows, CAST(10 AS BIGINT) AS n_cells,
+        | CAST(3 AS BIGINT) AS n_shared,
+        | 'Name & id ' || (doc_id % 10) || chr(10) ||
+        |  'City ' || (doc_id % 7) || chr(10) ||
+        |  'Inline ' || (doc_id % 10) || chr(10) ||
+        |  'F' || (doc_id % 10) || chr(10) ||
+        |  'Sheet two ' || (doc_id % 10) || chr(10) ||
+        |  'Region ' || (doc_id % 5) AS text_cells,
+        | round((doc_id % 100) + (doc_id % 9) + 7.5, 2) AS num_sum
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    // q372: PPTX slide text closed forms — slide ORDER comes from the
+    // sldIdLst (the fixture reverses the filename order on purpose)
+    "q372_pptx_text" ->
+      """SELECT doc_id, CAST(2 AS BIGINT) AS n_slides,
+        | CAST(3 AS BIGINT) AS n_paras,
+        | 'Deck & notes ' || (doc_id % 10) || chr(10) ||
+        |  'Point ' || (doc_id % 5) || ' extra' || chr(10) ||
+        |  'Closing ' || (doc_id % 7) AS text
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
     // q363: per-track MP4 sample-table closed forms (the ISO-BMFF walk
     // happens Spark-side) — stts runs, both stsz forms, mdhd clocks
     "q363_mp4_tracks" ->

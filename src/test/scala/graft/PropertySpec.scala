@@ -217,6 +217,7 @@ class PropertySpec extends AnyFunSuite {
       graft.sources.Archives.parseTarGz(b)
       graft.sources.Docs.docxText(b); graft.sources.Docs.epubText(b)
       graft.sources.Docs.epubMeta(b)
+      graft.sources.Office.xlsxCells(b); graft.sources.Office.pptxText(b)
       graft.multimodal.Binary.parseId3v2(b)
       graft.multimodal.Binary.parseSvgMeta(b)
       graft.multimodal.Binary.parseTracks(b)
@@ -244,6 +245,10 @@ class PropertySpec extends AnyFunSuite {
       graft.sources.Archives.parseTar(mut(
         graft.sources.Archives.synthTarSpecial(id)))
       graft.sources.Docs.epubText(mut(graft.sources.Docs.synthEpub(id)))
+      graft.sources.Office.xlsxCells(mut(
+        graft.sources.Office.synthXlsx(id)))
+      graft.sources.Office.pptxText(mut(
+        graft.sources.Office.synthPptx(id)))
       graft.multimodal.Binary.parseImageMeta(mut(
         graft.multimodal.Binary.synthLegacyImage(id)))
       graft.multimodal.Binary.parseExifMeta(mut(
@@ -271,6 +276,36 @@ class PropertySpec extends AnyFunSuite {
       // structured splice of the two historical hang shapes
       val splice = if (v % 2 == 0) "<w:p x" else "</w:t><w:t zz"
       graft.sources.Docs.docxText(rezip(xml.take(p) + splice + xml.drop(p)))
+      true
+    })
+    // XLSX/PPTX XML-level fuzz (the DOCX lesson): byte flips on the
+    // CONTAINER die at the CRC gate, so mutate the inner sheet/slide
+    // XML itself and rebuild the zip around it (fresh CRC) — this is
+    // the lane that reaches the cell walk / paragraph-run walk
+    check("mutate-office-xml", Prop.forAll(
+      Gen.choose(0L, 63L), Gen.choose(0, 1 << 16),
+      Gen.choose(0, 255)) { (id, posSeed, v) =>
+      import graft.sources.{Archives, Office}
+      val xEntries = Archives.parseZip(Office.synthXlsx(id)).get
+      val sheet = xEntries.find(_.name == "xl/worksheets/sheet1.xml").get.text
+      def rezipX(s: String) = Archives.buildZip(
+        xEntries.map(e => (e.name,
+          if (e.name == "xl/worksheets/sheet1.xml") s else e.text, true)))
+      val p = posSeed % sheet.length
+      Office.xlsxCells(rezipX(sheet.updated(p, v.toChar)))
+      // structured splice of the walk's hang shapes: unterminated
+      // cell open tag, torn run close
+      val spliceX = if (v % 2 == 0) "<c r" else "</v><v zz"
+      Office.xlsxCells(rezipX(sheet.take(p) + spliceX + sheet.drop(p)))
+      val pEntries = Archives.parseZip(Office.synthPptx(id)).get
+      val slide = pEntries.find(_.name == "ppt/slides/slide2.xml").get.text
+      def rezipP(s: String) = Archives.buildZip(
+        pEntries.map(e => (e.name,
+          if (e.name == "ppt/slides/slide2.xml") s else e.text, true)))
+      val q = posSeed % slide.length
+      Office.pptxText(rezipP(slide.updated(q, v.toChar)))
+      val spliceP = if (v % 2 == 0) "<a:p x" else "</a:t><a:t zz"
+      Office.pptxText(rezipP(slide.take(q) + spliceP + slide.drop(q)))
       true
     })
   }
