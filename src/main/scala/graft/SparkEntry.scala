@@ -418,7 +418,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q369_ass_subs" -> (qAssSubs _),
     "q370_epub_meta" -> (qEpubMeta _),
     "q371_xlsx_cells" -> (qXlsxCells _),
-    "q372_pptx_text" -> (qPptxText _)
+    "q372_pptx_text" -> (qPptxText _),
+    "q373_jsonld" -> (qJsonLd _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

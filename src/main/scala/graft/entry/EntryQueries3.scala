@@ -4540,6 +4540,85 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** IDX-JSONLD — structured-data entity extraction
+    * ([[graft.text.Html.jsonLdBlocks]] + [[graft.text.Html.ogProps]],
+    * r15): the per-page entity row a metadata miner builds — JSON-LD
+    * blocks parsed by the codegen'd `from_json` (the q352 Functions-
+    * not-UDFs pattern; an array-wrapped block falls back to an
+    * ArrayType parse), joined with the OpenGraph property map. Decoy
+    * lanes baked into the fixture: a commented-out ld+json block and
+    * an inline-JS object never surface; every 3rd page carries an
+    * INVALID block first (from_json degrades it to null, `min_by`
+    * over the explode position picks the first PARSEABLE block);
+    * odd pages CDATA-wrap; every 7th page has no JSON-LD at all
+    * (absent = empty string inside the hash, via the left join).
+    * Scale: per-row map work + one doc_id-key join — both sides
+    * shuffle-partition on the id, no skew.
+    */
+  private[graft] def qJsonLd(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Html
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+    val d = doc(s, dir).where(col("doc_id") < 240)
+      .select(col("doc_id"), (col("doc_id") % 10).cast("string").as("dg"))
+    val valid = concat(
+      lit("{\"@type\":\"Article\",\"name\":\"Story "), col("dg"),
+      lit("\",\"author\":{\"name\":\"Writer "),
+      (col("doc_id") % 30).cast("string"),
+      lit("\"},\"datePublished\":\"2024-0"),
+      (col("doc_id") % 9 + 1).cast("string"), lit("-01\"}"))
+    val payload = when(col("doc_id") % 5 === 0,
+      concat(lit("["), valid, lit("]"))).otherwise(valid)
+    val wrapped = when(col("doc_id") % 2 === 1,
+      concat(lit("<![CDATA["), payload, lit("]]>"))).otherwise(payload)
+    val invalidFirst = when(col("doc_id") % 3 === 0,
+      lit("<script type=\"application/ld+json\">{\"@type\": </script>"))
+      .otherwise(lit(""))
+    val ldScripts = when(col("doc_id") % 7 === 0, lit(""))
+      .otherwise(concat(invalidFirst,
+        lit("<script type=\"application/ld+json\">"), wrapped,
+        lit("</script>")))
+    val html = concat(
+      lit("<html><head><!-- <script type=\"application/ld+json\">" +
+        "{\"@type\":\"Decoy\",\"name\":\"no\"}</script> -->" +
+        "<meta property=\"og:title\" content=\"OG "), col("dg"),
+      lit("\"><meta property=\"og:type\" content=\"article\">" +
+        "<meta property=\"og:image\" content=\"http://img.site/p"),
+      col("dg"),
+      lit(".png\"><script type=\"text/javascript\">" +
+        "var x = {\"name\": \"decoy\"};</script>"),
+      ldScripts, lit("</head><body>b</body></html>"))
+    val schema = new StructType()
+      .add("@type", StringType).add("name", StringType)
+      .add("author", new StructType().add("name", StringType))
+      .add("datePublished", StringType)
+    val base = d.select(col("doc_id"),
+      Html.ogPropsCol(html).as("og"), Html.jsonLdBlocksCol(html).as("blocks"))
+    val withOg = base.select(col("doc_id"),
+      coalesce(col("og")("title"), lit("")).as("og_title"),
+      coalesce(col("og")("type"), lit("")).as("og_type"),
+      coalesce(col("og")("image"), lit("")).as("og_image"),
+      col("blocks"))
+    // a struct-schema from_json on an ARRAY payload yields an all-null
+    // struct (PERMISSIVE corrupt handling), not NULL — so the
+    // array-wrapped form must dispatch on its leading '[', not coalesce
+    val ld = withOg.select(col("doc_id"), posexplode(col("blocks")))
+      .select(col("doc_id"), col("pos"),
+        when(startswith(ltrim(col("col")), lit("[")),
+          from_json(col("col"), ArrayType(schema)).getItem(0))
+          .otherwise(from_json(col("col"), schema)).as("p"))
+      .where(col("p").getField("name").isNotNull)
+      .groupBy("doc_id").agg(min_by(col("p"), col("pos")).as("p"))
+    withOg.drop("blocks").join(ld, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("og_title"), col("og_type"),
+        col("og_image"),
+        coalesce(col("p").getField("@type"), lit("")).as("ld_type"),
+        coalesce(col("p").getField("name"), lit("")).as("ld_name"),
+        coalesce(col("p").getField("author").getField("name"), lit(""))
+          .as("ld_author"),
+        coalesce(col("p").getField("datePublished"), lit("")).as("ld_date"))
+      .orderBy("doc_id")
+  }
+
   /** IDX-META — page-head metadata ([[graft.text.Html.pageMeta]]):
     * what an indexer reads before the body — title (entity-decoded),
     * meta description, rel=canonical, OpenGraph title. Odd docs omit

@@ -2847,6 +2847,22 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  'Closing ' || (doc_id % 7) AS text
         | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+    // q373: JSON-LD + OpenGraph entity rows — closed forms; the decoy
+    // (comment/inline-JS), invalid-first, CDATA, and array-wrap lanes
+    // all resolve to the same valid block Spark-side
+    "q373_jsonld" ->
+      """SELECT doc_id, 'OG ' || (doc_id % 10) AS og_title,
+        | 'article' AS og_type,
+        | 'http://img.site/p' || (doc_id % 10) || '.png' AS og_image,
+        | CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'Article' END AS ld_type,
+        | CASE WHEN doc_id % 7 = 0 THEN ''
+        |  ELSE 'Story ' || (doc_id % 10) END AS ld_name,
+        | CASE WHEN doc_id % 7 = 0 THEN ''
+        |  ELSE 'Writer ' || (doc_id % 30) END AS ld_author,
+        | CASE WHEN doc_id % 7 = 0 THEN ''
+        |  ELSE '2024-0' || (doc_id % 9 + 1) || '-01' END AS ld_date
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
     // q363: per-track MP4 sample-table closed forms (the ISO-BMFF walk
     // happens Spark-side) — stts runs, both stsz forms, mdhd clocks
     "q363_mp4_tracks" ->

@@ -376,4 +376,99 @@ object Html {
         }
       }
     }.apply(c)
+
+  /** The raw payloads of every `<script type="application/ld+json">`
+    * block, document order — the structured-data channel most entity
+    * extraction pipelines mine first. Comment-skipping (a commented-
+    * out block must NOT surface — it never executes), type matching
+    * is case-insensitive, XHTML `<![CDATA[...]]>` wrappers unwrap,
+    * and OTHER script types (the decoy case: an inline JS object
+    * literal) never match. The JSON itself is NOT parsed here —
+    * that's the caller's codegen'd `from_json`, where invalid JSON
+    * degrades to null instead of failing the page. */
+  def jsonLdBlocks(html: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val lower = html.toLowerCase
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      if (html.regionMatches(i, "<!--", 0, 4)) {
+        val end = html.indexOf("-->", i + 4)
+        i = if (end < 0) n else end + 3
+      } else {
+        val at = lower.indexOf("<script", i)
+        if (at < 0) return out.result()
+        // a comment may start before the next script: re-scan from it
+        val cm = html.indexOf("<!--", i)
+        if (cm >= 0 && cm < at) { i = cm }
+        else {
+          val after = at + 7
+          if (after < n && lower.charAt(after) != '>' &&
+            !lower.charAt(after).isWhitespace) { i = at + 1 }
+          else {
+            val gt = html.indexOf('>', at)
+            if (gt < 0) return out.result()
+            val inner = html.substring(at + 1, gt).stripSuffix("/")
+            val selfClosed = html.charAt(gt - 1) == '/'
+            val close = lower.indexOf("</script", gt + 1)
+            if (!selfClosed && XmlLite.attr(inner, "type")
+              .map(_.trim.toLowerCase).contains("application/ld+json")) {
+              val raw = html.substring(gt + 1,
+                if (close < 0) n else close).trim
+              val payload =
+                if (raw.startsWith("<![CDATA[") && raw.endsWith("]]>"))
+                  raw.substring(9, raw.length - 3).trim
+                else raw
+              if (payload.nonEmpty) out += payload
+            }
+            i = if (selfClosed) gt + 1
+              else if (close < 0) n
+              else { val ce = html.indexOf('>', close); if (ce < 0) n else ce + 1 }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** All OpenGraph properties of a page as (key-without-`og:`,
+    * content) pairs, first occurrence per key winning (the crawl
+    * convention [[pageMeta]] already applies to og:title) — comments
+    * skipped, entities decoded by the attribute reader. */
+  def ogProps(html: String): Seq[(String, String)] = {
+    val seen = scala.collection.mutable.LinkedHashMap[String, String]()
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val end = html.indexOf('>', i + 1)
+          val inner = if (end < 0) html.substring(i + 1)
+            else html.substring(i + 1, end)
+          if (!inner.startsWith("/") &&
+            inner.takeWhile(_.isLetterOrDigit).toLowerCase == "meta") {
+            val tagInner = inner.stripSuffix("/")
+            for (prop <- XmlLite.attr(tagInner, "property")
+                   .map(_.toLowerCase) if prop.startsWith("og:");
+                 content <- XmlLite.attr(tagInner, "content"))
+              if (!seen.contains(prop.drop(3))) seen(prop.drop(3)) = content
+          }
+          i = if (end < 0) n else end + 1
+        }
+      } else i += 1
+    }
+    seen.toSeq
+  }
+
+  /** html → array<string> of JSON-LD payloads. */
+  def jsonLdBlocksCol(c: Column): Column =
+    udf { s: String => Option(s).map(jsonLdBlocks) }.apply(c)
+
+  /** html → map<string,string> of og:* properties (keys stripped of
+    * the `og:` prefix, first occurrence wins). */
+  def ogPropsCol(c: Column): Column =
+    udf { s: String => Option(s).map(h => ogProps(h).toMap) }.apply(c)
 }

@@ -193,4 +193,43 @@ class CrawlTextSpec extends AnyFunSuite {
     assert(Feeds.parse("<feed><title>T</title></feed>").get._3.isEmpty)
     assert(Feeds.parse("<rss><channel></channel></rss>").get._3.isEmpty)
   }
+
+  test("jsonLdBlocks: type filter, CDATA, comment decoy, torn input") {
+    val ld = "<script type=\"application/ld+json\">{\"a\":1}</script>"
+    assert(Html.jsonLdBlocks(s"<html>$ld</html>") == Seq("{\"a\":1}"))
+    // case-insensitive type, whitespace tolerated
+    assert(Html.jsonLdBlocks(
+      "<SCRIPT TYPE=\" Application/LD+JSON \">{}</SCRIPT>") == Seq("{}"))
+    // other script types never match
+    assert(Html.jsonLdBlocks(
+      "<script type=\"text/javascript\">{\"a\":1}</script>").isEmpty)
+    assert(Html.jsonLdBlocks("<script>{\"a\":1}</script>").isEmpty)
+    // a commented-out block never executes, so it must not surface
+    assert(Html.jsonLdBlocks(s"<!-- $ld -->$ld").length == 1)
+    // CDATA wrapper unwraps
+    assert(Html.jsonLdBlocks("<script type=\"application/ld+json\">" +
+      "<![CDATA[{\"b\":2}]]></script>") == Seq("{\"b\":2}"))
+    // document order, multiple blocks
+    assert(Html.jsonLdBlocks(
+      ld + "<p>x</p><script type=\"application/ld+json\">{\"c\":3}" +
+        "</script>") == Seq("{\"a\":1}", "{\"c\":3}"))
+    // torn input terminates: unclosed script swallows to EOF
+    assert(Html.jsonLdBlocks(
+      "<script type=\"application/ld+json\">{\"d\":4}") == Seq("{\"d\":4}"))
+    assert(Html.jsonLdBlocks("<script type=\"application/ld+json\"")
+      .isEmpty)
+    // scriptsearch must not match <scriptx...>
+    assert(Html.jsonLdBlocks(
+      "<scriptx type=\"application/ld+json\">{}</scriptx>").isEmpty)
+  }
+
+  test("ogProps: og:* map, first-wins, comment skip") {
+    val h = "<meta property=\"og:title\" content=\"T1\">" +
+      "<!-- <meta property=\"og:title\" content=\"gone\"> -->" +
+      "<meta property=\"OG:Type\" content=\"article\"/>" +
+      "<meta property=\"og:title\" content=\"T2\">" +
+      "<meta name=\"og:title\" content=\"not-property\">" +
+      "<meta property=\"twitter:card\" content=\"x\">"
+    assert(Html.ogProps(h) == Seq("title" -> "T1", "type" -> "article"))
+  }
 }

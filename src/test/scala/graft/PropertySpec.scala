@@ -190,7 +190,10 @@ class PropertySpec extends AnyFunSuite {
       graft.text.Subtitles.parseVtt("WEBVTT\n\n" + s)
       graft.text.Subtitles.parseAss(s)
       graft.text.Subtitles.parseAss("[Events]\nFormat: Start, End, Text\n" + s)
-      graft.text.Html.pageMeta(s); true
+      graft.text.Html.pageMeta(s)
+      graft.text.Html.jsonLdBlocks(s)
+      graft.text.Html.jsonLdBlocks("<script type=\"application/ld+json\">" + s)
+      graft.text.Html.ogProps(s); true
     })
   }
 
