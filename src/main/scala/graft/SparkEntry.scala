@@ -419,7 +419,9 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q370_epub_meta" -> (qEpubMeta _),
     "q371_xlsx_cells" -> (qXlsxCells _),
     "q372_pptx_text" -> (qPptxText _),
-    "q373_jsonld" -> (qJsonLd _)
+    "q373_jsonld" -> (qJsonLd _),
+    "q374_vorbis_id" -> (qVorbisId _),
+    "q375_mkv_meta" -> (qMkvMeta _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

@@ -4619,6 +4619,53 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** MM-VORBIS — Ogg Vorbis identification header
+    * ([[graft.multimodal.Binary.parseOggVorbisMeta]], r15): the
+    * remaining first-class Ogg codec beside Opus — CRC-checked page
+    * walk, `vorbis` ident packet (version, channels, rate,
+    * nominal bitrate, the two blocksize exponents, framing bit), EOS
+    * granule = PCM samples at the stream's own rate (no 48 kHz rebase,
+    * unlike Opus). Closed forms; per-row map work.
+    */
+  private[graft] def qVorbisId(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Binary
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("m",
+        Binary.vorbisIdCol(Binary.synthOggVorbisCol(col("doc_id"))))
+      .select(col("doc_id"),
+        col("m.channels").cast("long").as("channels"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.bitrate_nominal").as("bitrate_nominal"),
+        col("m.blocksize0").cast("long").as("blocksize0"),
+        col("m.blocksize1").cast("long").as("blocksize1"),
+        col("m.n_samples").as("n_samples"),
+        col("m.duration_ms").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
+  /** MM-MKV — Matroska/WebM metadata ([[graft.multimodal.Ebml
+    * .parseMkv]], r15): the EBML element walk to DocType,
+    * TimestampScale/Duration, and the per-TrackEntry type/codec
+    * census — the container family MP4 doesn't cover. The fixture
+    * alternates doctype+timescale by parity, uses float32 AND float64
+    * Durations, hides a Void and a Cluster the walk must skip by
+    * size, and odd ids ship the UNKNOWN-size (streaming) Segment.
+    * Closed forms; per-row map work.
+    */
+  private[graft] def qMkvMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Ebml
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("m", Ebml.mkvMetaCol(Ebml.synthMkvCol(col("doc_id"))))
+      .select(col("doc_id"), col("m.doctype").as("doctype"),
+        col("m.timescale").as("timescale"),
+        col("m.duration_ms").as("duration_ms"),
+        col("m.n_video").cast("long").as("n_video"),
+        col("m.n_audio").cast("long").as("n_audio"),
+        col("m.n_subs").cast("long").as("n_subs"),
+        col("m.codecs").as("codecs"))
+      .orderBy("doc_id")
+  }
+
   /** IDX-META — page-head metadata ([[graft.text.Html.pageMeta]]):
     * what an indexer reads before the body — title (entity-decoded),
     * meta description, rel=canonical, OpenGraph title. Odd docs omit

@@ -2863,6 +2863,47 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  ELSE '2024-0' || (doc_id % 9 + 1) || '-01' END AS ld_date
         | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+    // q374: Ogg Vorbis identification-header closed forms (the page
+    // walk + CRC happen Spark-side); rates divisible by 100 make the
+    // sample and duration math exact
+    "q374_vorbis_id" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |   WHEN 2 THEN 24000 WHEN 3 THEN 44100 ELSE 48000 END AS rate,
+        |  doc_id % 10 + 1 AS dn FROM documents WHERE doc_id < 240)
+        | SELECT doc_id, CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        | CAST(rate AS BIGINT) AS sample_rate,
+        | CAST((doc_id % 8 + 1) * 32000 AS BIGINT) AS bitrate_nominal,
+        | CAST(256 AS BIGINT) AS blocksize0,
+        | CAST(2048 AS BIGINT) AS blocksize1,
+        | CAST(dn * rate // 100 AS BIGINT) AS n_samples,
+        | CAST(dn * 10 AS BIGINT) AS duration_ms
+        | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // q375: Matroska/WebM EBML closed forms — doctype/timescale by
+    // parity, duration in ms after the timescale rebase, per-track
+    // type census with codecs in track order
+    "q375_mkv_meta" ->
+      """WITH d AS (SELECT doc_id, doc_id % 10 AS m10, doc_id % 3 AS m3,
+        |   doc_id % 2 AS m2 FROM documents WHERE doc_id < 240),
+        | g AS (SELECT d.*, t.t FROM d, range(0, 3) t(t) WHERE t < m3 + 1),
+        | f AS (SELECT doc_id, t, (doc_id + t) % 3 AS ty FROM g),
+        | a AS (SELECT doc_id,
+        |   count(*) FILTER (WHERE ty = 0) AS n_video,
+        |   count(*) FILTER (WHERE ty = 1) AS n_audio,
+        |   count(*) FILTER (WHERE ty = 2) AS n_subs,
+        |   string_agg(CASE ty WHEN 0 THEN 'V_VP9' WHEN 1 THEN 'A_OPUS'
+        |    ELSE 'S_TEXT/UTF8' END, ',' ORDER BY t) AS codecs
+        |  FROM f GROUP BY doc_id)
+        | SELECT d.doc_id,
+        | CASE WHEN m2 = 0 THEN 'matroska' ELSE 'webm' END AS doctype,
+        | CAST(CASE WHEN m2 = 0 THEN 1000000 ELSE 500000 END AS BIGINT)
+        |  AS timescale,
+        | CAST((m10 + 1) * 1000 * (1 + m2) AS BIGINT) AS duration_ms,
+        | CAST(n_video AS BIGINT) AS n_video,
+        | CAST(n_audio AS BIGINT) AS n_audio,
+        | CAST(n_subs AS BIGINT) AS n_subs, codecs
+        | FROM d JOIN a USING (doc_id) ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
     // q363: per-track MP4 sample-table closed forms (the ISO-BMFF walk
     // happens Spark-side) — stts runs, both stsz forms, mdhd clocks
     "q363_mp4_tracks" ->

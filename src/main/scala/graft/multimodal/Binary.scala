@@ -648,6 +648,123 @@ object Binary {
   def synthOggOpusCol(c: Column): Column =
     udf { id: Long => synthOggOpus(id) }.apply(c)
 
+  /** Vorbis identification header (Vorbis I spec §4.2.2): the fields
+    * a transcoding pipeline reads before deciding what to do with an
+    * Ogg Vorbis file. */
+  final case class VorbisId(channels: Int, sample_rate: Long,
+                            bitrate_nominal: Long, blocksize0: Int,
+                            blocksize1: Int, n_samples: Long,
+                            duration_ms: Long)
+
+  /** Ogg VORBIS metadata — the identification-header sibling of
+    * [[parseOggOpusMeta]], sharing the same strict RFC 3533 page walk
+    * (capture pattern, version byte, lacing, CRC with the field
+    * zeroed). The BOS page's first packet must be `vorbis` with
+    * vorbis_version 0; channels/rate/nominal-bitrate read directly,
+    * the blocksize byte's two 4-bit exponents give blocksize0 (low
+    * nibble) ≤ blocksize1 (high nibble) — both must land in the
+    * spec's [64, 8192] — and the framing bit must be set. Unlike
+    * Opus, Vorbis granules are PCM sample counts at the STREAM's own
+    * rate, so the EOS granule is n_samples directly and duration
+    * needs no 48 kHz rebase. */
+  def parseOggVorbisMeta(b: Array[Byte]): Option[VorbisId] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    def le64(i: Int): Long = le32(i) | (le32(i + 4) << 32)
+    if (b == null || b.length < 27) return None
+    var i = 0L
+    var first = true
+    var channels = -1; var rate = -1L; var nominal = -1L
+    var bs0 = -1; var bs1 = -1
+    var lastGranule = 0L; var sawEos = false
+    while (i < b.length) {
+      if (sawEos) return None // trailing garbage after EOS
+      if (i + 27 > b.length) return None
+      val p = i.toInt
+      if (u8(p) != 'O' || u8(p + 1) != 'g' || u8(p + 2) != 'g' ||
+        u8(p + 3) != 'S' || u8(p + 4) != 0) return None
+      val flags = u8(p + 5)
+      val granule = le64(p + 6)
+      val nseg = u8(p + 26)
+      if (i + 27 + nseg > b.length) return None
+      var payLen = 0L
+      var k = 0
+      while (k < nseg) { payLen += u8(p + 27 + k); k += 1 }
+      val total = 27L + nseg + payLen
+      if (i + total > b.length) return None
+      var crc = 0
+      var j = 0
+      while (j < total) {
+        val byt = if (j >= 22 && j < 26) 0 else u8(p + j)
+        crc = (crc << 8) ^ oggCrcTable(((crc >>> 24) ^ byt) & 0xff)
+        j += 1
+      }
+      if ((crc.toLong & 0xffffffffL) != le32(p + 22)) return None
+      if (first) {
+        if ((flags & 2) == 0) return None // must open with BOS
+        val h = p + 27 + nseg
+        // \x01vorbis + version(4) + ch(1) + rate(4) + 3 bitrates(12)
+        // + blocksizes(1) + framing(1) = 30 bytes
+        if (payLen < 30 || u8(h) != 1 || !(1 to 6).forall(k =>
+          b(h + k) == "vorbis"(k - 1).toByte)) return None
+        if (le32(h + 7) != 0) return None // vorbis_version
+        channels = u8(h + 11)
+        rate = le32(h + 12)
+        nominal = le32(h + 20) // max(16), nominal(20), min(24)
+        val bsByte = u8(h + 28)
+        bs0 = 1 << (bsByte & 0xf)
+        bs1 = 1 << (bsByte >>> 4)
+        if ((u8(h + 29) & 1) == 0) return None // framing bit
+        if (channels < 1 || rate < 1) return None
+        if (bs0 < 64 || bs1 > 8192 || bs0 > bs1) return None
+        first = false
+      }
+      if ((flags & 4) != 0) { sawEos = true; lastGranule = granule }
+      i += total
+    }
+    if (first || !sawEos || lastGranule < 0) return None
+    Some(VorbisId(channels, rate, nominal, bs0, bs1, lastGranule,
+      lastGranule * 1000L / rate))
+  }
+
+  /** Minimal VALID Vorbis-in-Ogg stream: BOS identification page,
+    * comment-header page, one data page with EOS + final granule. */
+  def oggVorbis(channels: Int, rate: Long, nominal: Long,
+                bs0Exp: Int, bs1Exp: Int, nSamples: Long,
+                dataBytes: Array[Byte]): Array[Byte] = {
+    def le32(v: Long) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    val ident = Array[Byte](1) ++ "vorbis".getBytes("US-ASCII") ++
+      le32(0) ++ Array[Byte](channels.toByte) ++ le32(rate) ++
+      le32(0) ++ le32(nominal) ++ le32(0) ++
+      Array[Byte]((bs0Exp | (bs1Exp << 4)).toByte, 1)
+    val vb = "graft".getBytes("UTF-8")
+    val comments = Array[Byte](3) ++ "vorbis".getBytes("US-ASCII") ++
+      le32(vb.length) ++ vb ++ le32(0) ++ Array[Byte](1)
+    oggPage(2, 0L, 0x7653, 0, ident) ++
+      oggPage(0, 0L, 0x7653, 1, comments) ++
+      oggPage(4, nSamples, 0x7653, 2, dataBytes)
+  }
+
+  /** Deterministic per-id Ogg Vorbis: rate from [[synthRates]] (all
+    * divisible by 100, so `(id%10+1)·rate/100` samples = an exact
+    * `(id%10+1)·10` ms), nominal bitrate `(id%8+1)·32000`, the spec's
+    * common 256/2048 blocksizes. */
+  def synthOggVorbis(id: Long): Array[Byte] = {
+    val rate = synthRates((id % 5).toInt)
+    val data = Array.tabulate(((id % 40) + 30).toInt)(j =>
+      ((id * 11 + j * 17) % 256).toByte)
+    oggVorbis((id % 2 + 1).toInt, rate, (id % 8 + 1) * 32000L,
+      8, 11, (id % 10 + 1) * rate / 100L, data)
+  }
+
+  def synthOggVorbisCol(c: Column): Column =
+    udf { id: Long => synthOggVorbis(id) }.apply(c)
+  def vorbisIdCol(c: Column): Column =
+    udf { b: Array[Byte] => parseOggVorbisMeta(b) }.apply(c)
+
   /** Minimal VALID audio headers (container + format fields, no PCM
     * payload) — deterministic fixtures for codec-less environments:
     * [[parseAudioMeta]] round-trips them, exercising both parser paths

@@ -771,6 +771,58 @@ class MultimodalSpec extends SparkSpec {
     assert(Binary.parseAudioMeta(nb).isEmpty) // (also fails CRC — still None)
   }
 
+  test("Vorbis/Ogg: identification header + strict rejection") {
+    for (id <- 0L to 19L) {
+      val m = Binary.parseOggVorbisMeta(Binary.synthOggVorbis(id)).get
+      val rate = Binary.synthRates((id % 5).toInt)
+      assert(m.channels == id % 2 + 1 && m.sample_rate == rate)
+      assert(m.bitrate_nominal == (id % 8 + 1) * 32000)
+      assert(m.blocksize0 == 256 && m.blocksize1 == 2048)
+      assert(m.n_samples == (id % 10 + 1) * rate / 100)
+      assert(m.duration_ms == (id % 10 + 1) * 10)
+    }
+    val v = Binary.synthOggVorbis(4)
+    (0 until v.length by 7).foreach { i =>
+      val bad = v.clone(); bad(i) = (bad(i) ^ 0x01).toByte
+      assert(Binary.parseOggVorbisMeta(bad).isEmpty, s"flip at $i")
+    }
+    assert(Binary.parseOggVorbisMeta(v.dropRight(1)).isEmpty)
+    assert(Binary.parseOggVorbisMeta(v ++ Array[Byte](7)).isEmpty)
+    // an Opus stream is not a Vorbis stream (and vice versa)
+    assert(Binary.parseOggVorbisMeta(Binary.synthOggOpus(4)).isEmpty)
+    assert(Binary.parseAudioMeta(v).isEmpty)
+    // blocksize sanity: bs0 > bs1 rejects
+    assert(Binary.parseOggVorbisMeta(Binary.oggVorbis(
+      1, 8000, 32000, 11, 8, 80, Array[Byte](1, 2))).isEmpty)
+  }
+
+  test("EBML/Matroska: doctype, duration rebase, track census, skips") {
+    import graft.multimodal.Ebml
+    for (id <- 0L to 19L) {
+      val m = Ebml.parseMkv(Ebml.synthMkv(id)).get
+      assert(m.doctype == (if (id % 2 == 1) "webm" else "matroska"))
+      assert(m.timescale == (if (id % 2 == 1) 500000L else 1000000L))
+      assert(m.duration_ms == (id % 10 + 1) * 1000 * (1 + id % 2))
+      val tys = (0 until (id % 3 + 1).toInt).map(t => (id + t) % 3)
+      assert(m.n_video == tys.count(_ == 0))
+      assert(m.n_audio == tys.count(_ == 1))
+      assert(m.n_subs == tys.count(_ == 2))
+      assert(m.codecs == tys.map {
+        case 0 => "V_VP9"
+        case 1 => "A_OPUS"
+        case _ => "S_TEXT/UTF8"
+      }.mkString(","))
+    }
+    // structural rejections: wrong magic, truncation anywhere
+    assert(Ebml.parseMkv(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)).isEmpty)
+    val v = Ebml.synthMkv(6) // known-size segment: truncation rejects
+    (1 until v.length).foreach { k =>
+      assert(Ebml.parseMkv(v.take(k)).isEmpty, s"truncation at $k")
+    }
+    // MP4 is not EBML
+    assert(Ebml.parseMkv(Binary.synthVideoTracks(3)).isEmpty)
+  }
+
   test("FLAC codec: exact round-trip across subframe types") {
     // a smooth-ish deterministic 16-bit signal: FIXED predictors bite,
     // residuals stay small, and the tail block is shorter than 192

@@ -225,6 +225,8 @@ class PropertySpec extends AnyFunSuite {
       graft.multimodal.Binary.parseSvgMeta(b)
       graft.multimodal.Binary.parseTracks(b)
       graft.multimodal.Binary.parseFlacTags(b)
+      graft.multimodal.Binary.parseOggVorbisMeta(b)
+      graft.multimodal.Ebml.parseMkv(b)
       true
     })
     // mutation fuzz: corrupt VALID containers anywhere — parsers must
@@ -258,6 +260,10 @@ class PropertySpec extends AnyFunSuite {
         graft.multimodal.Binary.synthExifJpeg(id)))
       graft.multimodal.Binary.parseTracks(mut(
         graft.multimodal.Binary.synthVideoTracks(id)))
+      graft.multimodal.Binary.parseOggVorbisMeta(mut(
+        graft.multimodal.Binary.synthOggVorbis(id)))
+      graft.multimodal.Ebml.parseMkv(mut(
+        graft.multimodal.Ebml.synthMkv(id)))
       true
     })
     // DOCX XML-level fuzz: container byte flips die at the CRC gate,
