@@ -421,7 +421,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q372_pptx_text" -> (qPptxText _),
     "q373_jsonld" -> (qJsonLd _),
     "q374_vorbis_id" -> (qVorbisId _),
-    "q375_mkv_meta" -> (qMkvMeta _)
+    "q375_mkv_meta" -> (qMkvMeta _),
+    "q376_pdf_encrypt" -> (qPdfEncrypt _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

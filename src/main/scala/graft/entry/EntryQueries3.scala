@@ -4058,7 +4058,31 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .withColumn("p", Pdf.pdfCol(Pdf.synthPdfCol(col("doc_id"))))
       .select(col("doc_id"), col("p.version").as("version"),
         col("p.n_pages").cast("long").as("n_pages"),
-        col("p.text").as("text"))
+        col("p.text").as("text"),
+        col("p.encrypted").as("encrypted")) // plain corpus: pinned FALSE
+      .orderBy("doc_id")
+  }
+
+  /** MM-PDF-ENC — the `/Encrypt` gate ([[graft.multimodal.Pdf
+    * .synthEncryptedPdf]], r15): every 3rd doc is an encrypted stub
+    * (Standard security handler in the trailer, ciphertext-junk
+    * content stream) that must surface the typed flag with ZERO pages
+    * and EMPTY text — the parser never decrypts and never lets
+    * ciphertext reach the text path as mojibake; the rest are plain
+    * [[graft.multimodal.Pdf.synthPdf]] docs pinned unencrypted.
+    * Per-row map work.
+    */
+  private[graft] def qPdfEncrypt(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Pdf
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("b", when(col("doc_id") % 3 === 0,
+        Pdf.synthEncryptedPdfCol(col("doc_id")))
+        .otherwise(Pdf.synthPdfCol(col("doc_id"))))
+      .withColumn("p", Pdf.pdfCol(col("b")))
+      .select(col("doc_id"), col("p.version").as("version"),
+        col("p.n_pages").cast("long").as("n_pages"),
+        (col("p.text") === "").as("text_empty"),
+        col("p.encrypted").as("encrypted"))
       .orderBy("doc_id")
   }
 

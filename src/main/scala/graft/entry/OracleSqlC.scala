@@ -2383,8 +2383,20 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         | SELECT doc_id, '1.4' AS version,
         | CAST(CASE WHEN two THEN 2 ELSE 1 END AS BIGINT) AS n_pages,
         | page1 || CASE WHEN two THEN chr(10) || 'Page 2 of ' || doc_id
-        |   ELSE '' END AS text
+        |   ELSE '' END AS text, FALSE AS encrypted
         | FROM p ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    // q376: the /Encrypt gate — encrypted stubs flag with zero pages
+    // and EMPTY text (ciphertext must never reach the text path),
+    // plain docs pin encrypted = FALSE with their normal page count
+    "q376_pdf_encrypt" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN '1.6' ELSE '1.4' END AS version,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT)
+        |  AS n_pages,
+        | doc_id % 3 = 0 AS text_empty,
+        | doc_id % 3 = 0 AS encrypted
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
     // q343: AVIF metadata closed forms (box walk happens Spark-side)
     "q343_avif_meta" ->

@@ -44,8 +44,12 @@ import org.apache.spark.sql.functions.udf
 object Pdf {
 
   /** version is the header's "1.x"; text is page texts joined by
-    * newlines, empty lines dropped. */
-  final case class PdfDoc(version: String, n_pages: Int, text: String)
+    * newlines, empty lines dropped. `encrypted` documents surface the
+    * typed flag with zero pages and empty text — the parser NEVER
+    * attempts decryption, and never lets RC4/AES stream bytes reach
+    * the text path as mojibake. */
+  final case class PdfDoc(version: String, n_pages: Int, text: String,
+                          encrypted: Boolean)
 
   private final case class Obj(dict: String, stream: Option[Array[Byte]])
 
@@ -54,9 +58,21 @@ object Pdf {
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     if (!s.startsWith("%PDF-1.") || !s.charAt(7).isDigit) return None
     val version = s.substring(5, 8)
-    val objects = expandObjectStreams(scanObjects(s, bytes)
-      .getOrElse(return None))
+    // /Encrypt detection runs BEFORE any stream work: an encrypted
+    // document's streams are ciphertext and must not be interpreted.
+    // The key lives in the trailer dict (classic xref) or in the
+    // cross-reference STREAM's dict (PDF 1.5+, which carries the
+    // trailer fields) — check both.
+    def hasEncrypt(d: String): Boolean =
+      keyPattern("Encrypt").findFirstIn(d).isDefined
     val trailerDict = lastTrailerDict(s)
+    if (trailerDict.exists(hasEncrypt))
+      return Some(PdfDoc(version, 0, "", encrypted = true))
+    val scanned = scanObjects(s, bytes).getOrElse(return None)
+    if (scanned.valuesIterator.exists(o =>
+      dictName(o.dict, "Type").contains("XRef") && hasEncrypt(o.dict)))
+      return Some(PdfDoc(version, 0, "", encrypted = true))
+    val objects = expandObjectStreams(scanned)
     val rootNum = trailerDict.flatMap(d => dictRef(d, "Root"))
       .orElse(objects.collectFirst {
         case (n, o) if dictName(o.dict, "Type").contains("Catalog") => n
@@ -78,7 +94,7 @@ object Pdf {
       extractText(content, buildFonts(objects, page.dict))
     }
     Some(PdfDoc(version, pageNums.length,
-      pageTexts.filter(_.nonEmpty).mkString("\n")))
+      pageTexts.filter(_.nonEmpty).mkString("\n"), encrypted = false))
   }
 
   /** PDF 1.5 object streams: a `/Type /ObjStm` stream packs N
@@ -816,7 +832,36 @@ object Pdf {
   def synthObjStmPdfCol(c: Column): Column =
     udf { id: Long => synthObjStmPdf(id) }.apply(c)
 
-  /** bytes → struct<version, n_pages, text>; null when malformed. */
+  /** bytes → struct<version, n_pages, text, encrypted>; null when
+    * malformed. */
   def pdfCol(c: Column): Column =
     udf { b: Array[Byte] => parse(b) }.apply(c)
+
+  /** Deterministic per-id ENCRYPTED PDF stub: a structurally ordinary
+    * document whose trailer carries `/Encrypt` (Standard security
+    * handler dict, RC4 shape) and whose content stream is
+    * deterministic ciphertext-looking junk — [[parse]] must flag it
+    * without ever reaching that stream (reaching it would mint
+    * mojibake, the failure mode the flag exists to prevent). */
+  def synthEncryptedPdf(id: Long): Array[Byte] = {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(latin1))
+    w("%PDF-1.6\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    val junk = Array.tabulate(((id % 40) + 24).toInt)(j =>
+      ((id * 131 + j * 29 + 7) % 256).toByte)
+    w(s"4 0 obj << /Length ${junk.length} >> stream\n")
+    out.write(junk)
+    w("\nendstream endobj\n")
+    w("9 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 " +
+      "/P -3904 /O (o) /U (u) >> endobj\n")
+    w("trailer << /Size 10 /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  def synthEncryptedPdfCol(c: Column): Column =
+    udf { id: Long => synthEncryptedPdf(id) }.apply(c)
 }

@@ -116,6 +116,35 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.parse(bad).isEmpty)
   }
 
+  test("/Encrypt gate: typed flag, never mojibake") {
+    for (id <- 0L to 9L) {
+      val d = Pdf.parse(Pdf.synthEncryptedPdf(id)).get
+      assert(d.encrypted && d.n_pages == 0 && d.text.isEmpty)
+      assert(d.version == "1.6")
+    }
+    // plain documents pin the flag FALSE
+    assert(!Pdf.parse(Pdf.synthPdf(1)).get.encrypted)
+    assert(!Pdf.parse(Pdf.synthCidPdf(1)).get.encrypted)
+    // /Encrypt in a cross-reference STREAM's dict (PDF 1.5 trailer
+    // fields) is detected too, even with no classic trailer keyword
+    val xrefStm = ("%PDF-1.6\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "5 0 obj << /Type /XRef /Size 6 /Root 1 0 R /Encrypt 9 0 R " +
+      "/Length 1 >> stream\nx\nendstream endobj\n" +
+      "%%EOF\n").getBytes(latin1)
+    assert(Pdf.parse(xrefStm).get.encrypted)
+    // name-boundary guard: /EncryptMetadata alone is NOT /Encrypt
+    val notEnc = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      "4 0 obj << /Length 17 >> stream\nBT (plain) Tj ET\nendstream endobj\n" +
+      "trailer << /Root 1 0 R /EncryptMetadata true >>\n%%EOF\n")
+      .getBytes(latin1)
+    val nd = Pdf.parse(notEnc).get
+    assert(!nd.encrypted && nd.text == "plain")
+  }
+
   test("indirect-/Length stream data containing 'endstream' bytes") {
     // the skip-scan must reject an 'endstream' decoy INSIDE the data
     // (not followed by endobj) and resume at the framed terminator —

@@ -241,6 +241,8 @@ class PropertySpec extends AnyFunSuite {
       graft.multimodal.Pdf.parse(mut(graft.multimodal.Pdf.synthPdf(id)))
       graft.multimodal.Pdf.parse(mut(graft.multimodal.Pdf.synthCidPdf(id)))
       graft.multimodal.Pdf.parse(mut(graft.multimodal.Pdf.synthObjStmPdf(id)))
+      graft.multimodal.Pdf.parse(mut(
+        graft.multimodal.Pdf.synthEncryptedPdf(id)))
       graft.sources.Archives.parseZip(mut(
         graft.sources.Archives.synthZip(id)))
       graft.sources.Archives.parseZip(mut(
