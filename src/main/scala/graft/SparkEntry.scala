@@ -422,7 +422,11 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q373_jsonld" -> (qJsonLd _),
     "q374_vorbis_id" -> (qVorbisId _),
     "q375_mkv_meta" -> (qMkvMeta _),
-    "q376_pdf_encrypt" -> (qPdfEncrypt _)
+    "q376_pdf_encrypt" -> (qPdfEncrypt _),
+    "q377_eml_parse" -> (qEmlParse _),
+    "q378_odt_text" -> (qOdtText _),
+    "q379_rtf_text" -> (qRtfText _),
+    "q380_font_meta" -> (qFontMeta _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

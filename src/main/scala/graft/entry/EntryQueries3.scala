@@ -4072,6 +4072,79 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
     * [[graft.multimodal.Pdf.synthPdf]] docs pinned unencrypted.
     * Per-row map work.
     */
+  /** MM-EML — RFC 5322/MIME email ([[graft.sources.Mail.parseEml]],
+    * r15): the mail-archive ingest surface — header unfolding (the
+    * folded To), RFC 2047 B- and Q-encoded Subjects (including the
+    * adjacent-words whitespace-transparency rule), nested
+    * mixed[alternative[...]] multipart splitting, quoted-printable
+    * with soft line breaks, base64 parts, HTML parts through the
+    * text extractor, attachments counted not decoded. Fixture cycles
+    * the three shapes by id%3; closed forms throughout. Per-row map
+    * work.
+    */
+  private[graft] def qEmlParse(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Mail
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("m", Mail.emlCol(Mail.synthEmlCol(col("doc_id"))))
+      .select(col("doc_id"),
+        col("m.from").as("from_addr"), col("m.to").as("to_addr"),
+        col("m.subject").as("subject"),
+        col("m.n_parts").cast("long").as("n_parts"),
+        col("m.n_attachments").cast("long").as("n_attachments"),
+        col("m.text").as("text"))
+      .orderBy("doc_id")
+  }
+
+  /** MM-ODT — OpenDocument Text ([[graft.sources.Docs.odtText]],
+    * r15): content.xml paragraphs/headings with spans transparent,
+    * tab/line-break/explicit-space elements rendered, meta.xml
+    * dc:title. Closed forms; per-row map work.
+    */
+  private[graft] def qOdtText(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Docs
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("m", Docs.odtTextCol(Docs.synthOdtCol(col("doc_id"))))
+      .select(col("doc_id"),
+        col("m._1").cast("long").as("n_paragraphs"),
+        col("m._2").as("title"), col("m._3").as("text"))
+      .orderBy("doc_id")
+  }
+
+  /** MM-RTF — RTF plain text ([[graft.text.Rtf.rtfText]], r15): the
+    * legacy rich-text format — group-stack walk with destination
+    * skipping (fonttbl + the `\*` ignorable form), `\'hh` and `\uN`
+    * escapes (with the `\uc` fallback-skip rule), escaped braces,
+    * `\par`/`\tab` rendering. Closed forms; per-row map work.
+    */
+  private[graft] def qRtfText(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Rtf
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("t", Rtf.rtfTextCol(Rtf.synthRtfCol(col("doc_id"))))
+      .select(col("doc_id"), col("t").as("text"),
+        length(col("t")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** MM-FONT — TTF/OTF metadata ([[graft.multimodal.Font.parseFont]],
+    * r15): the sfnt table-directory walk to head (unitsPerEm + magic
+    * gate), maxp (glyph count), and the name table's family/subfamily
+    * — with the Windows-over-Mac record preference the fixture's
+    * decoy Mac record pins. Checksums ignored by design (wild fonts
+    * carry stale ones). Closed forms; per-row map work.
+    */
+  private[graft] def qFontMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Font
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("m", Font.fontMetaCol(Font.synthFontCol(col("doc_id"))))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.n_tables").cast("long").as("n_tables"),
+        col("m.family").as("family"),
+        col("m.subfamily").as("subfamily"),
+        col("m.n_glyphs").cast("long").as("n_glyphs"),
+        col("m.units_per_em").cast("long").as("units_per_em"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def qPdfEncrypt(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Pdf
     doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))

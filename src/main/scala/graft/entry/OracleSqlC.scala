@@ -2916,6 +2916,66 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         | CAST(n_subs AS BIGINT) AS n_subs, codecs
         | FROM d JOIN a USING (doc_id) ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+    // q377: EML/MIME closed forms — subjects carry the RFC 2047
+    // decodes (B, Q with underscore-space, adjacent-word joining),
+    // texts the QP soft-break and base64+html paths
+    "q377_eml_parse" ->
+      """WITH d AS (SELECT doc_id, doc_id % 10 AS m, doc_id % 3 AS k
+        |  FROM documents WHERE doc_id < 240)
+        | SELECT doc_id,
+        | 'user' || (doc_id % 30) || '@example.com' AS from_addr,
+        | CASE WHEN k = 0 THEN 'list' || (doc_id % 7) ||
+        |   '@example.org, second@example.org'
+        |  ELSE 'list' || (doc_id % 7) || '@example.org' END AS to_addr,
+        | CASE k WHEN 0 THEN 'Plain note ' || m
+        |  WHEN 1 THEN 'Réport ' || m
+        |  ELSE 'Résumé ' || m || ' final' END AS subject,
+        | CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 2 END AS BIGINT)
+        |  AS n_parts,
+        | CAST(CASE k WHEN 1 THEN 1 ELSE 0 END AS BIGINT)
+        |  AS n_attachments,
+        | CASE k WHEN 0 THEN 'Hello body ' || m || chr(10) || 'Bye ' || m
+        |  WHEN 1 THEN 'Café one ' || m || ' two' || chr(10) ||
+        |   'Para ' || m || chr(10) || 'End ' || m
+        |  ELSE 'Alt body ' || m || chr(10) || 'Html alt ' || m
+        |  END AS text
+        | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // q378: ODT closed forms (the content.xml walk happens Spark-side)
+    "q378_odt_text" ->
+      """SELECT doc_id, CAST(3 AS BIGINT) AS n_paragraphs,
+        | 'Odt title ' || (doc_id % 10) AS title,
+        | 'Heading ' || (doc_id % 10) || chr(10) ||
+        |  'Cell' || chr(9) || 'styled ' || (doc_id % 10) || chr(10) ||
+        |  'One & two ' || (doc_id % 10) || chr(10) ||
+        |  'three four ' || (doc_id % 10) AS text
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    // q379: RTF closed forms — destinations vanish, escapes decode,
+    // the \uc fallback char is skipped
+    "q379_rtf_text" ->
+      """WITH d AS (SELECT doc_id,
+        |  'Café doc ' || (doc_id % 10) || chr(10) ||
+        |  'Bold ' || (doc_id % 10) || ' and é plain ' || (doc_id % 7) ||
+        |  chr(10) || 'Col A' || (doc_id % 10) || chr(9) ||
+        |  'Col B' || (doc_id % 10) || chr(10) ||
+        |  'Brace {x' || (doc_id % 10) || '} end' AS text
+        |  FROM documents WHERE doc_id < 240)
+        | SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+        | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // q380: sfnt font-metadata closed forms — Windows name records
+    // win over the Mac decoys Spark-side
+    "q380_font_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 4 = 3 THEN 'otf' ELSE 'ttf' END AS format,
+        | CAST(3 AS BIGINT) AS n_tables,
+        | 'Graft Sans ' || (doc_id % 10) AS family,
+        | CASE doc_id % 3 WHEN 0 THEN 'Regular' WHEN 1 THEN 'Bold'
+        |  ELSE 'Italic' END AS subfamily,
+        | CAST(doc_id % 500 + 10 AS BIGINT) AS n_glyphs,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 2048 END
+        |  AS BIGINT) AS units_per_em
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
     // q363: per-track MP4 sample-table closed forms (the ISO-BMFF walk
     // happens Spark-side) — stts runs, both stsz forms, mdhd clocks
     "q363_mp4_tracks" ->

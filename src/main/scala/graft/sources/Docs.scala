@@ -223,6 +223,110 @@ object Docs {
       ("OEBPS/ch2.xhtml", ch2, true)))
   }
 
+  // ---- ODT (OpenDocument Text) -------------------------------------- //
+
+  /** ODT → (n_paragraphs, title, text): the third office word-
+    * processing format beside DOCX — `content.xml` paragraphs
+    * (`<text:p>`) and headings (`<text:h>`), with `<text:span>`
+    * formatting transparent, `<text:tab/>` a tab, `<text:line-break/>`
+    * a break, `<text:s/>` an explicit space; `meta.xml`'s `<dc:title>`
+    * is the document title (absent = empty). Strict on the container
+    * (bad zip / missing content.xml → None), tolerant on markup. */
+  def odtText(zipBytes: Array[Byte]): Option[(Int, String, String)] = {
+    val entries = Archives.parseZip(zipBytes).getOrElse(return None)
+    def entry(name: String): Option[String] =
+      entries.find(e => e.name == name && e.crc_ok).map(_.text)
+    val content = entry("content.xml").getOrElse(return None)
+    val title = entry("meta.xml")
+      .flatMap(XmlLite.element(_, "dc:title")).getOrElse("")
+    val paras = Vector.newBuilder[String]
+    var n = 0
+    var i = 0
+    while (i < content.length) {
+      val p = XmlLite.indexOfTag(content, "text:p", i)
+      val h = XmlLite.indexOfTag(content, "text:h", i)
+      val open = if (p < 0) h else if (h < 0) p else math.min(p, h)
+      if (open < 0) { i = content.length }
+      else {
+        val gt = content.indexOf('>', open)
+        if (gt < 0) { i = content.length }
+        else if (content.charAt(gt - 1) == '/') { n += 1; i = gt + 1 }
+        else {
+          val tag = if (open == p) "</text:p>" else "</text:h>"
+          val close = content.indexOf(tag, gt + 1)
+          val body = if (close < 0) content.substring(gt + 1)
+            else content.substring(gt + 1, close)
+          paras += odtParagraphText(body)
+          n += 1
+          i = if (close < 0) content.length else close + tag.length
+        }
+      }
+    }
+    Some((n, title, paras.result().filter(_.nonEmpty).mkString("\n")))
+  }
+
+  /** One paragraph body: tags transparent (spans), tab/line-break/
+    * explicit-space elements rendered, entities decoded per text
+    * segment. */
+  private def odtParagraphText(body: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var segStart = 0
+    def flush(upTo: Int): Unit =
+      if (upTo > segStart) sb.append(Html.decodeEntities(
+        body.substring(segStart, upTo)))
+    while (i < body.length) {
+      if (body.charAt(i) == '<') {
+        flush(i)
+        val gt = body.indexOf('>', i)
+        if (gt < 0) { i = body.length; segStart = i }
+        else {
+          // text:s must not match text:span — require the name boundary
+          def isTag(t: String): Boolean =
+            body.regionMatches(i + 1, t, 0, t.length) && {
+              val c = body.charAt(math.min(i + 1 + t.length, body.length - 1))
+              c == '>' || c == '/' || c.isWhitespace
+            }
+          if (isTag("text:tab")) sb.append('\t')
+          else if (isTag("text:line-break")) sb.append('\n')
+          else if (isTag("text:s")) sb.append(' ')
+          i = gt + 1
+          segStart = i
+        }
+      } else i += 1
+    }
+    flush(body.length)
+    sb.toString
+  }
+
+  /** Deterministic per-id ODT: a heading, a span+tab paragraph, a
+    * line-break + entity paragraph, an explicit-space element, and a
+    * meta.xml title. */
+  def synthOdt(id: Long): Array[Byte] = {
+    val d = (id % 10).toString
+    val content = "<?xml version=\"1.0\"?><office:document-content>" +
+      "<office:body><office:text>" +
+      s"<text:h text:outline-level=\"1\">Heading $d</text:h>" +
+      s"<text:p>Cell<text:tab/><text:span text:style-name=\"T1\">" +
+      s"styled $d</text:span></text:p>" +
+      s"<text:p>One &amp; two $d<text:line-break/>three" +
+      s"<text:s/>four $d</text:p>" +
+      "</office:text></office:body></office:document-content>"
+    val meta = "<?xml version=\"1.0\"?><office:document-meta>" +
+      s"<office:meta><dc:title>Odt title $d</dc:title></office:meta>" +
+      "</office:document-meta>"
+    Archives.buildZip(Seq(
+      ("mimetype", "application/vnd.oasis.opendocument.text", false),
+      ("content.xml", content, true),
+      ("meta.xml", meta, true)))
+  }
+
+  def synthOdtCol(c: Column): Column =
+    udf { id: Long => synthOdt(id) }.apply(c)
+  /** bytes → struct<n_paragraphs, title, text>. */
+  def odtTextCol(c: Column): Column =
+    udf { b: Array[Byte] => odtText(b) }.apply(c)
+
   def synthDocxCol(c: Column): Column =
     udf { id: Long => synthDocx(id) }.apply(c)
   def synthEpubCol(c: Column): Column =

@@ -23,6 +23,23 @@ class DocsSpec extends AnyFunSuite {
       Seq(("mimetype", "application/epub+zip", false)))).isEmpty)
   }
 
+  test("odt: headings, spans transparent, tab/break/space elements") {
+    val (n, title, text) = Docs.odtText(Docs.synthOdt(4)).get
+    assert(n == 3 && title == "Odt title 4")
+    assert(text ==
+      "Heading 4\nCell\tstyled 4\nOne & two 4\nthree four 4")
+    // text:s must not be confused with text:span (name boundary)
+    val zip = Archives.buildZip(Seq(("content.xml",
+      "<office:text><text:p>a<text:span>b</text:span>c</text:p>" +
+        "</office:text>", true)))
+    assert(Docs.odtText(zip).get._3 == "abc")
+    // structural malformations reject; missing meta = empty title
+    assert(Docs.odtText(Array[Byte](1, 2)).isEmpty)
+    assert(Docs.odtText(Archives.buildZip(
+      Seq(("mimetype", "x", false)))).isEmpty)
+    assert(Docs.odtText(zip).get._2 == "")
+  }
+
   test("docx: unterminated open tags terminate (hang regression)") {
     def docx(xml: String) = Archives.buildZip(Seq(
       ("[Content_Types].xml", "<Types/>", true),

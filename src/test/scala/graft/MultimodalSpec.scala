@@ -796,6 +796,28 @@ class MultimodalSpec extends SparkSpec {
       1, 8000, 32000, 11, 8, 80, Array[Byte](1, 2))).isEmpty)
   }
 
+  test("sfnt fonts: table walk, Windows-over-Mac names, bounds") {
+    import graft.multimodal.Font
+    for (id <- 0L to 11L) {
+      val m = Font.parseFont(Font.synthFont(id)).get
+      assert(m.format == (if (id % 4 == 3) "otf" else "ttf"))
+      assert(m.n_tables == 3)
+      assert(m.family == s"Graft Sans ${id % 10}") // Mac decoy loses
+      assert(m.subfamily ==
+        Seq("Regular", "Bold", "Italic")((id % 3).toInt))
+      assert(m.n_glyphs == id % 500 + 10)
+      assert(m.units_per_em == (if (id % 2 == 0) 1000 else 2048))
+    }
+    val f = Font.synthFont(5)
+    // truncation anywhere rejects (offsets/lengths bounds-checked)
+    for (k <- Seq(3, 11, 20, f.length / 2, f.length - 1))
+      assert(Font.parseFont(f.take(k)).isEmpty, s"truncation at $k")
+    // a bare offset table with no usable directory rejects
+    assert(Font.parseFont(Array[Byte](0, 1, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0)).isEmpty)
+    assert(Font.parseFont("not a font at all".getBytes("UTF-8")).isEmpty)
+  }
+
   test("EBML/Matroska: doctype, duration rebase, track census, skips") {
     import graft.multimodal.Ebml
     for (id <- 0L to 19L) {

@@ -195,6 +195,26 @@ class PropertySpec extends AnyFunSuite {
       graft.text.Html.jsonLdBlocks("<script type=\"application/ld+json\">" + s)
       graft.text.Html.ogProps(s); true
     })
+    check("mail-rtf", Prop.forAll(anyStr) { s =>
+      graft.sources.Mail.parseEml(s)
+      graft.sources.Mail.parseEml("From: a@b\nContent-Type: " +
+        "multipart/mixed; boundary=x\n\n" + s)
+      graft.sources.Mail.decodeEncodedWords(s)
+      graft.text.Rtf.rtfText(s)
+      graft.text.Rtf.rtfText("{\\rtf1" + s)
+      true
+    })
+    // string-level mutation of the VALID mail/rtf fixtures — the
+    // parsers' tolerance claims under single-char corruption
+    check("mutate-mail-rtf", Prop.forAll(
+      Gen.choose(0L, 63L), Gen.choose(0, 1 << 16),
+      Gen.choose(32.toChar, 126.toChar)) { (id, posSeed, ch) =>
+      val eml = graft.sources.Mail.synthEml(id)
+      graft.sources.Mail.parseEml(eml.updated(posSeed % eml.length, ch))
+      val rtf = graft.text.Rtf.synthRtf(id)
+      graft.text.Rtf.rtfText(rtf.updated(posSeed % rtf.length, ch))
+      true
+    })
   }
 
   test("binary parsers never throw on arbitrary bytes") {
@@ -221,6 +241,8 @@ class PropertySpec extends AnyFunSuite {
       graft.sources.Docs.docxText(b); graft.sources.Docs.epubText(b)
       graft.sources.Docs.epubMeta(b)
       graft.sources.Office.xlsxCells(b); graft.sources.Office.pptxText(b)
+      graft.sources.Docs.odtText(b)
+      graft.multimodal.Font.parseFont(b)
       graft.multimodal.Binary.parseId3v2(b)
       graft.multimodal.Binary.parseSvgMeta(b)
       graft.multimodal.Binary.parseTracks(b)
@@ -256,6 +278,9 @@ class PropertySpec extends AnyFunSuite {
         graft.sources.Office.synthXlsx(id)))
       graft.sources.Office.pptxText(mut(
         graft.sources.Office.synthPptx(id)))
+      graft.sources.Docs.odtText(mut(graft.sources.Docs.synthOdt(id)))
+      graft.multimodal.Font.parseFont(mut(
+        graft.multimodal.Font.synthFont(id)))
       graft.multimodal.Binary.parseImageMeta(mut(
         graft.multimodal.Binary.synthLegacyImage(id)))
       graft.multimodal.Binary.parseExifMeta(mut(
