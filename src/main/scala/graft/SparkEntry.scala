@@ -426,7 +426,10 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q377_eml_parse" -> (qEmlParse _),
     "q378_odt_text" -> (qOdtText _),
     "q379_rtf_text" -> (qRtfText _),
-    "q380_font_meta" -> (qFontMeta _)
+    "q380_font_meta" -> (qFontMeta _),
+    "q381_avro_ingest" -> (qAvroIngest _),
+    "q382_ics_events" -> (qIcsEvents _),
+    "q383_proto_census" -> (qProtoCensus _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

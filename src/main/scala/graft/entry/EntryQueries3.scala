@@ -4145,6 +4145,72 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** SRC-AVRO — Avro OCF ingest ([[graft.sources.Avro.parseAvro]],
+    * r15): the row-format data-lake sibling of Parquet — metadata map
+    * (schema + codec), sync-marker-gated blocks, null AND deflate
+    * codecs, and real record decode (zigzag varints, length-prefixed
+    * strings, LE doubles, booleans) against the flat schema. Records
+    * explode to rows; every field a closed form. Per-row map work +
+    * the explode.
+    */
+  private[graft] def qAvroIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Avro
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("a", Avro.avroCol(Avro.synthAvroCol(col("doc_id"))))
+      .select(col("doc_id"), col("a._1").as("codec"),
+        col("a._2").cast("long").as("n_blocks"),
+        posexplode(col("a._3")))
+      .select(col("doc_id"), col("codec"), col("n_blocks"),
+        col("pos").cast("long").as("rec_idx"),
+        col("col")("name").as("name"),
+        col("col")("n").cast("long").as("n"),
+        col("col")("score").cast("double").as("score"),
+        col("col")("ok").cast("boolean").as("ok"))
+      .orderBy("doc_id", "rec_idx")
+  }
+
+  /** TXT-ICS — iCalendar events ([[graft.text.Calendar.parseIcs]],
+    * r15): RFC 5545 content-line unfolding (continuation drops ONE
+    * char, unlike mail), quoted-param ':' trap, text escapes,
+    * VALARM exclusion, and UTC basic-format date-times through plain
+    * Gregorian arithmetic. Events explode; closed forms.
+    */
+  private[graft] def qIcsEvents(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Calendar => Cal}
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(Cal.icsEventsCol(Cal.synthIcsCol(col("doc_id")))))
+      .select(col("doc_id"), col("pos").cast("long").as("ev_idx"),
+        col("col.summary").as("summary"),
+        col("col.location").as("location"),
+        col("col.start").as("start_ts"),
+        col("col.duration_min").as("duration_min"))
+      .orderBy("doc_id", "ev_idx")
+  }
+
+  /** SRC-PROTO — schema-less protobuf census ([[graft.sources.Proto
+    * .census]], r15): the wire-format triage walk over an unknown
+    * binary column — tag/wire-type validation, per-type counts, the
+    * one-level nested-message probe, varint sums. Closed forms;
+    * per-row map work.
+    */
+  private[graft] def qProtoCensus(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Proto
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("c", Proto.censusCol(Proto.synthProtoCol(col("doc_id"))))
+      .select(col("doc_id"),
+        col("c.n_fields").cast("long").as("n_fields"),
+        col("c.n_varint").cast("long").as("n_varint"),
+        col("c.n_fixed64").cast("long").as("n_fixed64"),
+        col("c.n_len").cast("long").as("n_len"),
+        col("c.n_fixed32").cast("long").as("n_fixed32"),
+        col("c.n_nested").cast("long").as("n_nested"),
+        col("c.max_field").cast("long").as("max_field"),
+        col("c.varint_sum").as("varint_sum"),
+        col("c.len_bytes").as("len_bytes"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def qPdfEncrypt(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Pdf
     doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))

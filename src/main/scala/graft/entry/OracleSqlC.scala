@@ -2976,6 +2976,56 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  AS BIGINT) AS units_per_em
         | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+    // q381: Avro OCF closed forms — 2 blocks of id%3+1 records each,
+    // record index global across blocks, codec by parity
+    "q381_avro_ingest" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS pb
+        |  FROM documents WHERE doc_id < 240),
+        | g AS (SELECT doc_id, t.t AS i FROM d, range(0, 6) t(t)
+        |  WHERE t < 2 * pb)
+        | SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 1 THEN 'deflate' ELSE 'null' END AS codec,
+        | CAST(2 AS BIGINT) AS n_blocks, CAST(i AS BIGINT) AS rec_idx,
+        | 'item ' || (doc_id % 10) || '-' || i AS name,
+        | CAST(doc_id * 10 + i AS BIGINT) AS n,
+        | CAST(doc_id % 7 + 0.5 AS DOUBLE) AS score,
+        | (doc_id + i) % 2 = 0 AS ok
+        | FROM g ORDER BY doc_id, rec_idx"""
+        .stripMargin.replaceAll("\n", " "),
+    // q382: iCalendar closed forms — two events per doc, folded
+    // escaped summary, VALARM excluded, durations from the UTC stamps
+    "q382_ics_events" ->
+      """WITH d AS (SELECT doc_id, doc_id % 10 AS m, doc_id % 12 AS h,
+        |   (doc_id % 4 + 1) * 10 AS dur, 10 + doc_id % 8 AS h2
+        |  FROM documents WHERE doc_id < 240),
+        | e AS (
+        |  SELECT doc_id, 0 AS ev_idx,
+        |   'Standup, team ' || m || ' and planning ' || m AS summary,
+        |   'Room ' || m AS location,
+        |   '2024-03-01 ' || lpad(CAST(h AS VARCHAR), 2, '0') ||
+        |    ':00:00' AS start_ts,
+        |   CAST(dur AS BIGINT) AS duration_min FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'Review ' || (doc_id % 7), '',
+        |   '2024-03-02 ' || h2 || ':00:00', CAST(30 AS BIGINT) FROM d)
+        | SELECT doc_id, CAST(ev_idx AS BIGINT) AS ev_idx, summary,
+        |  location, start_ts, duration_min
+        | FROM e ORDER BY doc_id, ev_idx"""
+        .stripMargin.replaceAll("\n", " "),
+    // q383: protobuf wire census closed forms — id%5+1 varints, one
+    // fixed64/fixed32, the string that must NOT probe as nested, the
+    // 4-byte inner message that must
+    "q383_proto_census" ->
+      """WITH d AS (SELECT doc_id, doc_id % 5 + 1 AS nv
+        |  FROM documents WHERE doc_id < 240)
+        | SELECT doc_id, CAST(nv + 4 AS BIGINT) AS n_fields,
+        | CAST(nv AS BIGINT) AS n_varint, CAST(1 AS BIGINT) AS n_fixed64,
+        | CAST(2 AS BIGINT) AS n_len, CAST(1 AS BIGINT) AS n_fixed32,
+        | CAST(1 AS BIGINT) AS n_nested, CAST(12 AS BIGINT) AS max_field,
+        | CAST(nv * doc_id * 3 + nv * (nv + 1) / 2 AS BIGINT)
+        |  AS varint_sum,
+        | CAST(10 AS BIGINT) AS len_bytes
+        | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // q363: per-track MP4 sample-table closed forms (the ISO-BMFF walk
     // happens Spark-side) — stts runs, both stsz forms, mdhd clocks
     "q363_mp4_tracks" ->

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Avro, Proto}
+import graft.text.{Calendar => Cal}
+
+/** Round-15 ingest formats: Avro OCF, iCalendar, protobuf census. */
+class IngestFormatsSpec extends AnyFunSuite {
+
+  test("avro: metadata, both codecs, record decode, sync gate") {
+    for (id <- Seq(2L, 3L)) { // null and deflate codecs
+      val (codec, nBlocks, recs) = Avro.parseAvro(Avro.synthAvro(id)).get
+      assert(codec == (if (id % 2 == 1) "deflate" else "null"))
+      assert(nBlocks == 2)
+      assert(recs.length == 2 * (id % 3 + 1))
+      val r0 = recs.head
+      assert(r0("name") == s"item ${id % 10}-0")
+      assert(r0("n") == (id * 10).toString)
+      assert(r0("score") == ((id % 7) + 0.5).toString)
+      assert(r0("ok") == ((id % 2) == 0).toString)
+    }
+    // a flipped byte in a block's SYNC marker rejects the file
+    val f = Avro.synthAvro(4)
+    val synced = f.clone()
+    synced(f.length - 1) = (synced(f.length - 1) ^ 0x01).toByte
+    assert(Avro.parseAvro(synced).isEmpty)
+    // truncation anywhere rejects
+    assert(Avro.parseAvro(f.take(f.length / 2)).isEmpty)
+    assert(Avro.parseAvro("Obj".getBytes("UTF-8")).isEmpty)
+    // nested schema types are out of scope: reject, don't misparse
+    assert(Avro.schemaFields(
+      """{"fields":[{"name":"a","type":{"type":"array"}}]}""").isEmpty)
+    assert(Avro.schemaFields(
+      """{"fields":[{"name":"a","type":"string"}]}""")
+      .contains(Seq("a" -> "string")))
+  }
+
+  test("ics: unfolding, escapes, quoted-param colon, valarm excluded") {
+    val evs = Cal.parseIcs(Cal.synthIcs(7)).get
+    assert(evs.length == 2)
+    assert(evs(0).summary == "Standup, team 7 and planning 7")
+    assert(evs(0).location == "Room 7")
+    assert(evs(0).start == "2024-03-01 07:00:00")
+    assert(evs(0).duration_min == (7 % 4 + 1) * 10)
+    assert(evs(1).summary == "Review 0")
+    assert(evs(1).start == "2024-03-02 17:00:00")
+    assert(evs(1).duration_min == 30)
+    // the VALARM description never leaks
+    assert(!evs.exists(_.summary.contains("decoy")))
+    // non-calendar text rejects; empty calendar is zero events
+    assert(Cal.parseIcs("hello world").isEmpty)
+    assert(Cal.parseIcs("BEGIN:VCALENDAR\nEND:VCALENDAR").get.isEmpty)
+    // leap-day and epoch-edge date math
+    assert(Cal.parseUtc("19700101T000000Z").contains(0L))
+    assert(Cal.parseUtc("20240229T120000Z").contains(1709208000000L))
+    assert(Cal.parseUtc("20240230T120000Z").isDefined) // tolerated form
+    assert(Cal.parseUtc("2024022T9120000Z").isEmpty)
+  }
+
+  test("proto: census counts, nested probe, strict validation") {
+    for (id <- 0L to 5L) {
+      val c = Proto.census(Proto.synthProto(id)).get
+      val nv = (id % 5 + 1).toInt
+      assert(c.n_fields == nv + 4 && c.n_varint == nv)
+      assert(c.n_fixed64 == 1 && c.n_fixed32 == 1 && c.n_len == 2)
+      assert(c.n_nested == 1) // the string field must NOT probe nested
+      assert(c.max_field == 12)
+      assert(c.varint_sum == (1 to nv).map(id * 3 + _).sum)
+      assert(c.len_bytes == 10)
+    }
+    // truncated fixed64, group wire types, field 0 all reject
+    val m = Proto.synthProto(3)
+    assert(Proto.census(m.dropRight(1)).isEmpty)
+    assert(Proto.census(Array[Byte](0x0b)).isEmpty) // wt 3 = group
+    assert(Proto.census(Array[Byte](0x00, 0x01)).isEmpty) // field 0
+    assert(Proto.census(Array.empty[Byte]).isEmpty)
+  }
+}

@@ -202,6 +202,8 @@ class PropertySpec extends AnyFunSuite {
       graft.sources.Mail.decodeEncodedWords(s)
       graft.text.Rtf.rtfText(s)
       graft.text.Rtf.rtfText("{\\rtf1" + s)
+      graft.text.Calendar.parseIcs(s)
+      graft.text.Calendar.parseIcs("BEGIN:VCALENDAR\n" + s)
       true
     })
     // string-level mutation of the VALID mail/rtf fixtures — the
@@ -243,6 +245,8 @@ class PropertySpec extends AnyFunSuite {
       graft.sources.Office.xlsxCells(b); graft.sources.Office.pptxText(b)
       graft.sources.Docs.odtText(b)
       graft.multimodal.Font.parseFont(b)
+      graft.sources.Avro.parseAvro(b)
+      graft.sources.Proto.census(b)
       graft.multimodal.Binary.parseId3v2(b)
       graft.multimodal.Binary.parseSvgMeta(b)
       graft.multimodal.Binary.parseTracks(b)
@@ -281,6 +285,8 @@ class PropertySpec extends AnyFunSuite {
       graft.sources.Docs.odtText(mut(graft.sources.Docs.synthOdt(id)))
       graft.multimodal.Font.parseFont(mut(
         graft.multimodal.Font.synthFont(id)))
+      graft.sources.Avro.parseAvro(mut(graft.sources.Avro.synthAvro(id)))
+      graft.sources.Proto.census(mut(graft.sources.Proto.synthProto(id)))
       graft.multimodal.Binary.parseImageMeta(mut(
         graft.multimodal.Binary.synthLegacyImage(id)))
       graft.multimodal.Binary.parseExifMeta(mut(
