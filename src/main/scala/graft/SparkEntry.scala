@@ -429,7 +429,9 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q380_font_meta" -> (qFontMeta _),
     "q381_avro_ingest" -> (qAvroIngest _),
     "q382_ics_events" -> (qIcsEvents _),
-    "q383_proto_census" -> (qProtoCensus _)
+    "q383_proto_census" -> (qProtoCensus _),
+    "q384_sqlite_master" -> (qSqliteMaster _),
+    "q385_frame_meta" -> (qFrameMeta _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

@@ -4211,6 +4211,52 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** SRC-SQLITE — database-file catalog ([[graft.sources.Sqlite
+    * .parseSqlite]], r15): the 100-byte header plus a REAL page-1
+    * b-tree leaf walk of sqlite_master — SQLite varints, record
+    * serial types, the (type,name,tbl_name,rootpage,sql) catalog
+    * columns, with index rows filtered out by the type column.
+    * Tables explode; closed forms. Per-row map work.
+    */
+  private[graft] def qSqliteMaster(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Sqlite
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("m",
+        Sqlite.sqliteMetaCol(Sqlite.synthSqliteCol(col("doc_id"))))
+      .select(col("doc_id"),
+        col("m.page_size").cast("long").as("page_size"),
+        col("m.n_pages").as("n_pages"),
+        col("m.encoding").as("encoding"),
+        posexplode(col("m.tables")))
+      .select(col("doc_id"), col("page_size"), col("n_pages"),
+        col("encoding"), col("pos").cast("long").as("tbl_idx"),
+        col("col.name").as("name"),
+        col("col.rootpage").as("rootpage"),
+        col("col.sql").as("sql"))
+      .orderBy("doc_id", "tbl_idx")
+  }
+
+  /** SRC-FRAMES — zstd/LZ4/XZ frame-header metadata
+    * ([[graft.sources.Frames.parseFrame]], r15): the archive-layer
+    * triage pass — format, claimed content size (all four zstd FCS
+    * widths incl. the 2-byte +256 bias), window size, checksum kind,
+    * block independence — without decompressing (entropy decode stays
+    * behind the documented codec-table boundary). Closed forms;
+    * per-row map work.
+    */
+  private[graft] def qFrameMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Frames
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("m",
+        Frames.frameMetaCol(Frames.synthFrameCol(col("doc_id"))))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.content_size").as("content_size"),
+        col("m.window_size").as("window_size"),
+        col("m.checksum").as("checksum"),
+        col("m.block_independent").as("block_independent"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def qPdfEncrypt(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Pdf
     doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))

@@ -3026,6 +3026,52 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  AS varint_sum,
         | CAST(10 AS BIGINT) AS len_bytes
         | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // q384: sqlite_master closed forms — id%3+1 tables, the index row
+    // filtered Spark-side, rootpage k+2
+    "q384_sqlite_master" ->
+      """WITH d AS (SELECT doc_id, doc_id % 10 AS m, doc_id % 3 + 1 AS nt
+        |  FROM documents WHERE doc_id < 240),
+        | g AS (SELECT doc_id, m, nt, t.t AS k FROM d, range(0, 3) t(t)
+        |  WHERE t < nt)
+        | SELECT doc_id, CAST(512 AS BIGINT) AS page_size,
+        | CAST(nt + 2 AS BIGINT) AS n_pages, 'utf-8' AS encoding,
+        | CAST(k AS BIGINT) AS tbl_idx,
+        | 't' || k || '_' || m AS name,
+        | CAST(k + 2 AS BIGINT) AS rootpage,
+        | 'CREATE TABLE t' || k || '_' || m || ' (a INT, b TEXT)' AS sql
+        | FROM g ORDER BY doc_id, tbl_idx"""
+        .stripMargin.replaceAll("\n", " "),
+    // q385: zstd/LZ4/XZ frame-header closed forms — FCS widths, the
+    // 2-byte +256 bias, window exponents, checksum kinds
+    "q385_frame_meta" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS f, doc_id % 4 AS k4,
+        |   doc_id % 2 AS k2, doc_id % 8 AS k8
+        |  FROM documents WHERE doc_id < 240)
+        | SELECT doc_id,
+        | CASE f WHEN 0 THEN 'zstd' WHEN 1 THEN 'lz4' ELSE 'xz' END
+        |  AS format,
+        | CAST(CASE
+        |  WHEN f = 0 AND k4 = 0 THEN -1
+        |  WHEN f = 0 AND k4 = 1 THEN doc_id % 200
+        |  WHEN f = 0 AND k4 = 2 THEN doc_id + 256
+        |  WHEN f = 0 THEN doc_id * 1000 + 5
+        |  WHEN f = 1 AND k2 = 1 THEN doc_id * 777 + 1
+        |  ELSE -1 END AS BIGINT) AS content_size,
+        | CAST(CASE
+        |  WHEN f = 0 AND k4 = 1 THEN doc_id % 200
+        |  WHEN f = 0 THEN (CAST(1 AS BIGINT) << (k8 + 10))
+        |  WHEN f = 1 THEN (CAST(1 AS BIGINT) << (2 * k4 + 16))
+        |  ELSE -1 END AS BIGINT) AS window_size,
+        | CASE
+        |  WHEN f = 0 THEN
+        |   (CASE WHEN k2 = 0 THEN 'xxh64' ELSE 'none' END)
+        |  WHEN f = 1 THEN
+        |   (CASE WHEN k2 = 1 THEN 'xxh32' ELSE 'none' END)
+        |  ELSE (CASE k4 WHEN 0 THEN 'none' WHEN 1 THEN 'crc32'
+        |   WHEN 2 THEN 'crc64' ELSE 'sha256' END)
+        | END AS checksum,
+        | (f = 0 OR f = 2 OR k4 = 1) AS block_independent
+        | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // q363: per-track MP4 sample-table closed forms (the ISO-BMFF walk
     // happens Spark-side) — stts runs, both stsz forms, mdhd clocks
     "q363_mp4_tracks" ->

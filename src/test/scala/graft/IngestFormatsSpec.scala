@@ -58,6 +58,58 @@ class IngestFormatsSpec extends AnyFunSuite {
     assert(Cal.parseUtc("2024022T9120000Z").isEmpty)
   }
 
+  test("sqlite: header fields, master-leaf walk, index rows filtered") {
+    import graft.sources.Sqlite
+    for (id <- 0L to 5L) {
+      val m = Sqlite.parseSqlite(Sqlite.synthSqlite(id)).get
+      val nt = (id % 3 + 1).toInt
+      assert(m.page_size == 512 && m.n_pages == nt + 2)
+      assert(m.encoding == "utf-8")
+      assert(m.tables.length == nt) // the index row must NOT count
+      m.tables.zipWithIndex.foreach { case (t, k) =>
+        assert(t.name == s"t${k}_${id % 10}")
+        assert(t.rootpage == k + 2)
+        assert(t.sql.startsWith(s"CREATE TABLE t${k}_${id % 10}"))
+      }
+    }
+    val f = Sqlite.synthSqlite(2)
+    assert(Sqlite.parseSqlite(f.take(99)).isEmpty)
+    // bad magic, non-power-of-two page size reject
+    val badMagic = f.clone(); badMagic(0) = 'X'.toByte
+    assert(Sqlite.parseSqlite(badMagic).isEmpty)
+    val badPs = f.clone(); badPs(16) = 1; badPs(17) = 3 // 259
+    assert(Sqlite.parseSqlite(badPs).isEmpty)
+    // interior root page: out of scope, rejects
+    val interior = f.clone(); interior(100) = 0x05
+    assert(Sqlite.parseSqlite(interior).isEmpty)
+  }
+
+  test("frames: zstd FCS widths, lz4 flags, xz check types") {
+    import graft.sources.Frames
+    // zstd single-segment (id 9: %3=0, %4=1): content == window
+    val ss = Frames.parseFrame(Frames.synthFrame(9)).get
+    assert(ss.format == "zstd" && ss.content_size == 9 &&
+      ss.window_size == 9 && ss.checksum == "none")
+    // zstd 2-byte FCS carries the +256 bias (id 6: %3=0, %4=2)
+    val biased = Frames.parseFrame(Frames.synthFrame(6)).get
+    assert(biased.content_size == 6 + 256 && biased.checksum == "xxh64")
+    assert(biased.window_size == (1L << (6 % 8 + 10)))
+    // lz4 with content size (id 7: %3=1, odd)
+    val l4 = Frames.parseFrame(Frames.synthFrame(7)).get
+    assert(l4.format == "lz4" && l4.content_size == 7 * 777 + 1)
+    assert(l4.window_size == (1L << (2 * 3 + 16)))
+    assert(l4.checksum == "xxh32" && !l4.block_independent)
+    // xz check types cycle (id 2: %3=2, %4=2 -> crc64)
+    val xz = Frames.parseFrame(Frames.synthFrame(2)).get
+    assert(xz.format == "xz" && xz.checksum == "crc64")
+    // rejections: reserved zstd bit, lz4 version, unknown magic
+    assert(Frames.parseFrame(Array[Byte](0x28, 0xB5.toByte, 0x2F,
+      0xFD.toByte, 0x08, 0x00)).isEmpty) // reserved bit set
+    assert(Frames.parseFrame(Array[Byte](0x04, 0x22, 0x4D, 0x18,
+      0x00, 0x40, 0x00)).isEmpty) // version 00
+    assert(Frames.parseFrame("random text".getBytes("UTF-8")).isEmpty)
+  }
+
   test("proto: census counts, nested probe, strict validation") {
     for (id <- 0L to 5L) {
       val c = Proto.census(Proto.synthProto(id)).get

@@ -247,6 +247,8 @@ class PropertySpec extends AnyFunSuite {
       graft.multimodal.Font.parseFont(b)
       graft.sources.Avro.parseAvro(b)
       graft.sources.Proto.census(b)
+      graft.sources.Sqlite.parseSqlite(b)
+      graft.sources.Frames.parseFrame(b)
       graft.multimodal.Binary.parseId3v2(b)
       graft.multimodal.Binary.parseSvgMeta(b)
       graft.multimodal.Binary.parseTracks(b)
@@ -287,6 +289,10 @@ class PropertySpec extends AnyFunSuite {
         graft.multimodal.Font.synthFont(id)))
       graft.sources.Avro.parseAvro(mut(graft.sources.Avro.synthAvro(id)))
       graft.sources.Proto.census(mut(graft.sources.Proto.synthProto(id)))
+      graft.sources.Sqlite.parseSqlite(mut(
+        graft.sources.Sqlite.synthSqlite(id)))
+      graft.sources.Frames.parseFrame(mut(
+        graft.sources.Frames.synthFrame(id)))
       graft.multimodal.Binary.parseImageMeta(mut(
         graft.multimodal.Binary.synthLegacyImage(id)))
       graft.multimodal.Binary.parseExifMeta(mut(
