@@ -431,7 +431,9 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q382_ics_events" -> (qIcsEvents _),
     "q383_proto_census" -> (qProtoCensus _),
     "q384_sqlite_master" -> (qSqliteMaster _),
-    "q385_frame_meta" -> (qFrameMeta _)
+    "q385_frame_meta" -> (qFrameMeta _),
+    "q386_mbox_parse" -> (qMboxParse _),
+    "q387_woff_meta" -> (qWoffMeta _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

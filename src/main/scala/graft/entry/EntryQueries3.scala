@@ -4257,6 +4257,45 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** SRC-MBOX — mailing-list archives ([[graft.sources.Mail
+    * .mboxMessages]], r15): `From ` envelope splitting (never the
+    * `From:` header), the mboxrd `>From` unquote (pinned by the text
+    * column of the spliced first message), each message through the
+    * full MIME parse. Messages explode; closed forms.
+    */
+  private[graft] def qMboxParse(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Mail
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(Mail.mboxCol(Mail.synthMboxCol(col("doc_id")))))
+      .select(col("doc_id"), col("pos").cast("long").as("msg_idx"),
+        col("col.from").as("from_addr"),
+        col("col.subject").as("subject"),
+        col("col.n_parts").cast("long").as("n_parts"),
+        col("col.n_attachments").cast("long").as("n_attachments"),
+        col("col.text").as("text"))
+      .orderBy("doc_id", "msg_idx")
+  }
+
+  /** MM-WOFF — WOFF1 web fonts ([[graft.multimodal.Font.parseWoff]],
+    * r15): the zlib-wrapped sfnt delivery — 44-byte header, per-table
+    * directory with mixed stored/compressed entries, reconstruction
+    * into the q380 sfnt parser (one parser, both deliveries; WOFF2 =
+    * Brotli = the codec-table boundary). Same closed forms as q380.
+    */
+  private[graft] def qWoffMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Font
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("m", Font.woffMetaCol(Font.synthWoffCol(col("doc_id"))))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.n_tables").cast("long").as("n_tables"),
+        col("m.family").as("family"),
+        col("m.subfamily").as("subfamily"),
+        col("m.n_glyphs").cast("long").as("n_glyphs"),
+        col("m.units_per_em").cast("long").as("units_per_em"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def qPdfEncrypt(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Pdf
     doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))

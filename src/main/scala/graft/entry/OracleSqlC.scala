@@ -3072,6 +3072,45 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         | END AS checksum,
         | (f = 0 OR f = 2 OR k4 = 1) AS block_independent
         | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // q386: mbox closed forms — three synthEml shapes per file at
+    // shifted ids, the >From unquote visible in message 0's text
+    "q386_mbox_parse" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+        | g AS (SELECT doc_id, t.t AS k, doc_id + t.t AS j
+        |  FROM d, range(0, 3) t(t)),
+        | f AS (SELECT doc_id, k, j % 3 AS s, j % 10 AS m,
+        |  j % 30 AS u FROM g)
+        | SELECT doc_id, CAST(k AS BIGINT) AS msg_idx,
+        | 'user' || u || '@example.com' AS from_addr,
+        | CASE s WHEN 0 THEN 'Plain note ' || m
+        |  WHEN 1 THEN 'Réport ' || m
+        |  ELSE 'Résumé ' || m || ' final' END AS subject,
+        | CAST(CASE s WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 2 END AS BIGINT)
+        |  AS n_parts,
+        | CAST(CASE s WHEN 1 THEN 1 ELSE 0 END AS BIGINT)
+        |  AS n_attachments,
+        | CASE s
+        |  WHEN 0 THEN (CASE WHEN k = 0 THEN 'From the start' || chr(10)
+        |    ELSE '' END) || 'Hello body ' || m || chr(10) || 'Bye ' || m
+        |  WHEN 1 THEN 'Café one ' || m || ' two' || chr(10) ||
+        |   'Para ' || m || chr(10) || 'End ' || m
+        |  ELSE 'Alt body ' || m || chr(10) || 'Html alt ' || m
+        | END AS text
+        | FROM f ORDER BY doc_id, msg_idx"""
+        .stripMargin.replaceAll("\n", " "),
+    // q387: WOFF1 wraps the q380 sfnt — identical closed forms
+    "q387_woff_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 4 = 3 THEN 'otf' ELSE 'ttf' END AS format,
+        | CAST(3 AS BIGINT) AS n_tables,
+        | 'Graft Sans ' || (doc_id % 10) AS family,
+        | CASE doc_id % 3 WHEN 0 THEN 'Regular' WHEN 1 THEN 'Bold'
+        |  ELSE 'Italic' END AS subfamily,
+        | CAST(doc_id % 500 + 10 AS BIGINT) AS n_glyphs,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 2048 END
+        |  AS BIGINT) AS units_per_em
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
     // q363: per-track MP4 sample-table closed forms (the ISO-BMFF walk
     // happens Spark-side) — stts runs, both stsz forms, mdhd clocks
     "q363_mp4_tracks" ->

@@ -151,6 +151,133 @@ object Font {
     dir.toByteArray
   }
 
+  // ---- WOFF1 --------------------------------------------------------- //
+
+  /** WOFF 1.0 → [[FontMeta]]: the web-delivery wrapper around sfnt —
+    * a 44-byte header (signature `wOFF`, the wrapped flavor, table
+    * count) and a 20-byte-per-table directory whose entries are
+    * zlib-compressed when compLength < origLength. The tables
+    * reconstruct into an in-memory sfnt that [[parseFont]] then
+    * reads — one parser, both deliveries. (WOFF2 needs Brotli: the
+    * documented codec-table boundary.) */
+  def parseWoff(b: Array[Byte]): Option[FontMeta] = {
+    if (b == null || b.length < 44) return None
+    def u8(i: Long): Int = b(i.toInt) & 0xff
+    def u16(i: Long): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Long): Long = (u16(i).toLong << 16) | u16(i + 2)
+    if (u32(0) != 0x774F4646L) return None // 'wOFF'
+    val flavor = u32(4)
+    val numTables = u16(12)
+    if (numTables < 1 || numTables > 512) return None
+    if (44L + 20L * numTables > b.length) return None
+    val n = b.length.toLong
+    val entries = (0 until numTables).map { t =>
+      val rec = 44L + 20L * t
+      val tag = b.slice(rec.toInt, rec.toInt + 4)
+      val off = u32(rec + 4)
+      val compLen = u32(rec + 8)
+      val origLen = u32(rec + 12)
+      if (off < 0 || compLen < 0 || off + compLen > n) return None
+      if (origLen < 0 || origLen > (1 << 24)) return None
+      val raw = b.slice(off.toInt, (off + compLen).toInt)
+      val data = if (compLen < origLen) zlibInflate(raw, origLen.toInt)
+        .getOrElse(return None)
+      else raw
+      if (data.length != origLen) return None
+      (tag, data)
+    }
+    // reconstruct the sfnt: offset table + directory + table data
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(be32(flavor))
+    out.write(be16(numTables)); out.write(be16(0))
+    out.write(be16(0)); out.write(be16(0))
+    var off = 12 + 16 * numTables
+    entries.foreach { case (tag, data) =>
+      out.write(tag); out.write(be32(0))
+      out.write(be32(off.toLong)); out.write(be32(data.length.toLong))
+      off += data.length
+    }
+    entries.foreach { case (_, data) => out.write(data) }
+    parseFont(out.toByteArray)
+  }
+
+  private def zlibInflate(data: Array[Byte], expect: Int)
+    : Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(expect + 16)
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished() && !inf.needsInput()) {
+        val k = inf.inflate(buf)
+        if (k == 0 && !inf.finished()) return None
+        out.write(buf, 0, k)
+        if (out.size > (1 << 24)) return None
+      }
+      if (!inf.finished()) return None
+      Some(out.toByteArray)
+    } catch { case _: java.util.zip.DataFormatException => None }
+    finally inf.end()
+  }
+
+  /** Deterministic per-id WOFF1 wrapping [[synthFont]]'s tables —
+    * every second table stored uncompressed (compLength == origLength)
+    * to pin both directory paths. */
+  def synthWoff(id: Long): Array[Byte] = {
+    val sfnt = synthFont(id)
+    def u16(i: Int): Int = ((sfnt(i) & 0xff) << 8) | (sfnt(i + 1) & 0xff)
+    def u32(i: Int): Long = (u16(i).toLong << 16) | u16(i + 2)
+    val numTables = u16(4)
+    val flavor = u32(0)
+    val tables = (0 until numTables).map { t =>
+      val rec = 12 + 16 * t
+      val tag = sfnt.slice(rec, rec + 4)
+      val off = u32(rec + 8).toInt
+      val len = u32(rec + 12).toInt
+      (tag, sfnt.slice(off, off + len))
+    }
+    val parts = tables.zipWithIndex.map { case ((tag, data), t) =>
+      if (t % 2 == (id % 2).toInt) (tag, data, data.length) // stored
+      else {
+        val d = new java.util.zip.Deflater()
+        d.setInput(data); d.finish()
+        val out = new java.io.ByteArrayOutputStream(data.length + 32)
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end()
+        val comp = out.toByteArray
+        if (comp.length < data.length) (tag, comp, data.length)
+        else (tag, data, data.length)
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(be32(0x774F4646L)) // wOFF
+    out.write(be32(flavor))
+    out.write(be32(0)) // length: filled below (parser doesn't read it)
+    out.write(be16(numTables)); out.write(be16(0))
+    out.write(be32(12L + 16L * numTables +
+      tables.map(_._2.length.toLong).sum)) // totalSfntSize
+    out.write(be16(1)); out.write(be16(0)) // version
+    out.write(be32(0)); out.write(be32(0)); out.write(be32(0)) // meta
+    out.write(be32(0)); out.write(be32(0)) // priv
+    var off = 44 + 20 * numTables
+    parts.foreach { case (tag, comp, orig) =>
+      out.write(tag)
+      out.write(be32(off.toLong))
+      out.write(be32(comp.length.toLong))
+      out.write(be32(orig.toLong))
+      out.write(be32(0)) // origChecksum: ignored by design
+      off += comp.length
+    }
+    parts.foreach { case (_, comp, _) => out.write(comp) }
+    out.toByteArray
+  }
+
+  def synthWoffCol(c: Column): Column =
+    udf { id: Long => synthWoff(id) }.apply(c)
+  def woffMetaCol(c: Column): Column =
+    udf { b: Array[Byte] => parseWoff(b) }.apply(c)
+
   def synthFontCol(c: Column): Column =
     udf { id: Long => synthFont(id) }.apply(c)
   /** bytes → struct<format, n_tables, family, subfamily, n_glyphs,

@@ -297,6 +297,56 @@ object Mail {
     }
   }
 
+  // ---- mbox ---------------------------------------------------------- //
+
+  /** mbox → messages: the mailing-list archive container. Splits at
+    * `From ` separator lines (the mboxo/mboxrd family's envelope
+    * line — five chars at line start, NOT a `From:` header), strips
+    * one `>` from `>From`-quoted body lines (the mboxrd convention),
+    * and parses each message with [[parseEml]]. A file that doesn't
+    * START with a `From ` line is not an mbox. */
+  def mboxMessages(raw: String): Option[Seq[EmlMeta]] = {
+    if (raw == null || !raw.startsWith("From ")) return None
+    val out = Vector.newBuilder[EmlMeta]
+    var cur: StringBuilder = null
+    raw.split("\r\n|\n", -1).foreach { line =>
+      if (line.startsWith("From ")) {
+        if (cur != null) parseEml(cur.toString).foreach(out += _)
+        cur = new StringBuilder
+      } else if (cur != null) {
+        if (cur.nonEmpty) cur.append('\n')
+        // mboxrd: any >*From at line start loses exactly one '>'
+        if (line.startsWith(">") &&
+          line.dropWhile(_ == '>').startsWith("From "))
+          cur.append(line.substring(1))
+        else cur.append(line)
+      }
+    }
+    if (cur != null) parseEml(cur.toString).foreach(out += _)
+    Some(out.result())
+  }
+
+  /** Deterministic per-id mbox of three [[synthEml]] messages
+    * (ids id, id+1, id+2) behind `From ` envelope lines, with a
+    * `>From`-quoted body line spliced into the first message. */
+  def synthMbox(id: Long): String = {
+    def env(k: Long) =
+      s"From sender$k@example.com Thu Jan  1 00:0$k:00 2024\n"
+    val first = synthEml(id).replaceFirst(
+      "Hello body", ">From the start\nHello body")
+    // the >From splice only exists in the id%3==0 shape; other shapes
+    // pass through untouched (replaceFirst finds no target)
+    env(0) + first + env(1) + synthEml(id + 1) +
+      env(2) + synthEml(id + 2)
+  }
+
+  def synthMboxCol(c: Column): Column =
+    udf { id: Long => synthMbox(id) }.apply(c)
+  /** text → array<struct<from, to, subject, n_parts, n_attachments,
+    * text>>. */
+  def mboxCol(c: Column): Column =
+    udf { s: String => mboxMessages(s) }.apply(c)
+
   def synthEmlCol(c: Column): Column =
     udf { id: Long => synthEml(id) }.apply(c)
   /** text → struct<from, to, subject, n_parts, n_attachments, text>. */

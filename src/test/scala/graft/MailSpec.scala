@@ -40,6 +40,25 @@ class MailSpec extends AnyFunSuite {
       == "Re: ok then")
   }
 
+  test("mbox: envelope splitting, >From unquote, From: is not From ") {
+    val msgs = Mail.mboxMessages(Mail.synthMbox(3)).get
+    assert(msgs.length == 3)
+    // message 0 is shape id%3==0 with the >From splice unquoted
+    assert(msgs(0).text == "From the start\nHello body 3\nBye 3")
+    assert(msgs(1).subject == "Réport 4")
+    assert(msgs(2).subject == "Résumé 5 final")
+    // not-an-mbox inputs
+    assert(Mail.mboxMessages("From: a@b\n\nbody").isEmpty)
+    assert(Mail.mboxMessages(null).isEmpty)
+    // an unparseable message drops, the archive survives
+    val partial = "From x@y Thu Jan  1 00:00:00 2024\njunk no headers\n" +
+      "From x@y Thu Jan  1 00:01:00 2024\n" + Mail.synthEml(6)
+    assert(Mail.mboxMessages(partial).get.length == 1)
+    // double-quoted: >>From loses exactly one '>'
+    val deep = "From x@y t\nFrom: a@b\n\n>>From depth\n"
+    assert(Mail.mboxMessages(deep).get.head.text == ">From depth")
+  }
+
   test("degrades: missing boundary, unknown CTE, junk input") {
     // multipart with no boundary param: one opaque (attachment) part
     val noB = "From: a@b\nContent-Type: multipart/mixed\n\nbody"

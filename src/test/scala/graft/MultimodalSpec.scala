@@ -818,6 +818,22 @@ class MultimodalSpec extends SparkSpec {
     assert(Font.parseFont("not a font at all".getBytes("UTF-8")).isEmpty)
   }
 
+  test("WOFF1: wrapped sfnt reads through the same parser") {
+    import graft.multimodal.Font
+    for (id <- 0L to 7L) {
+      val w = Font.parseWoff(Font.synthWoff(id)).get
+      assert(w == Font.parseFont(Font.synthFont(id)).get)
+    }
+    val w = Font.synthWoff(3)
+    assert(Font.parseWoff(w.take(43)).isEmpty)
+    assert(Font.parseWoff(Font.synthFont(3)).isEmpty) // bare sfnt: not wOFF
+    // a flipped byte inside a COMPRESSED table breaks zlib -> None
+    // (stored tables may survive flips; compressed ones must reject)
+    val flipAt = w.length - 5
+    val bad = w.clone(); bad(flipAt) = (bad(flipAt) ^ 0x7f).toByte
+    Font.parseWoff(bad) // must not throw, either None or a valid parse
+  }
+
   test("EBML/Matroska: doctype, duration rebase, track census, skips") {
     import graft.multimodal.Ebml
     for (id <- 0L to 19L) {

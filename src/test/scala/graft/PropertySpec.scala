@@ -204,6 +204,7 @@ class PropertySpec extends AnyFunSuite {
       graft.text.Rtf.rtfText("{\\rtf1" + s)
       graft.text.Calendar.parseIcs(s)
       graft.text.Calendar.parseIcs("BEGIN:VCALENDAR\n" + s)
+      graft.sources.Mail.mboxMessages("From a@b t\n" + s)
       true
     })
     // string-level mutation of the VALID mail/rtf fixtures — the
@@ -249,6 +250,7 @@ class PropertySpec extends AnyFunSuite {
       graft.sources.Proto.census(b)
       graft.sources.Sqlite.parseSqlite(b)
       graft.sources.Frames.parseFrame(b)
+      graft.multimodal.Font.parseWoff(b)
       graft.multimodal.Binary.parseId3v2(b)
       graft.multimodal.Binary.parseSvgMeta(b)
       graft.multimodal.Binary.parseTracks(b)
@@ -293,6 +295,8 @@ class PropertySpec extends AnyFunSuite {
         graft.sources.Sqlite.synthSqlite(id)))
       graft.sources.Frames.parseFrame(mut(
         graft.sources.Frames.synthFrame(id)))
+      graft.multimodal.Font.parseWoff(mut(
+        graft.multimodal.Font.synthWoff(id)))
       graft.multimodal.Binary.parseImageMeta(mut(
         graft.multimodal.Binary.synthLegacyImage(id)))
       graft.multimodal.Binary.parseExifMeta(mut(
