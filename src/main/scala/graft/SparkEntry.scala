@@ -433,7 +433,9 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q384_sqlite_master" -> (qSqliteMaster _),
     "q385_frame_meta" -> (qFrameMeta _),
     "q386_mbox_parse" -> (qMboxParse _),
-    "q387_woff_meta" -> (qWoffMeta _)
+    "q387_woff_meta" -> (qWoffMeta _),
+    "q388_vcards" -> (qVcards _),
+    "q389_git_objects" -> (qGitObjects _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

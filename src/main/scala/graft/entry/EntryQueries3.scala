@@ -4296,6 +4296,48 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** TXT-VCF — vCard contacts ([[graft.text.Calendar.parseVcards]],
+    * r15): shares the RFC 5545 content-line machinery with iCalendar
+    * — folding, quoted-param ':' trap, escaped `\;` in ORG, N's
+    * unescaped-semicolon split, first-occurrence-wins per property.
+    * Cards explode; closed forms.
+    */
+  private[graft] def qVcards(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Calendar => Cal}
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(Cal.vcardsCol(Cal.synthVcfCol(col("doc_id")))))
+      .select(col("doc_id"), col("pos").cast("long").as("card_idx"),
+        col("col.family").as("family"), col("col.given").as("given"),
+        col("col.fn").as("fn"), col("col.email").as("email"),
+        col("col.tel").as("tel"), col("col.org").as("org"))
+      .orderBy("doc_id", "card_idx")
+  }
+
+  /** SRC-GIT — git loose objects ([[graft.sources.Git.parseLoose]],
+    * r15): the code-crawl object store — zlib envelope with the
+    * declared-size gate, blob line counts, commit tree/parents/author
+    * line (epoch from the trailing timestamp pair) / first message
+    * line, tree mode-name-sha entries. The oracle REBUILDS the commit
+    * content string to pin its size. Closed forms; per-row map work.
+    */
+  private[graft] def qGitObjects(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Git
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("g", Git.looseCol(Git.synthLooseCol(col("doc_id"))))
+      .select(col("doc_id"), col("g.obj_type").as("obj_type"),
+        col("g.size").as("size"),
+        col("g.n_lines").cast("long").as("n_lines"),
+        col("g.tree_sha").as("tree_sha"),
+        col("g.n_parents").cast("long").as("n_parents"),
+        col("g.author").as("author"),
+        col("g.author_epoch").as("author_epoch"),
+        col("g.message").as("message"),
+        col("g.n_entries").cast("long").as("n_entries"),
+        col("g.listing").as("listing"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def qPdfEncrypt(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Pdf
     doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))

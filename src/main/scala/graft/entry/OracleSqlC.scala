@@ -3111,6 +3111,71 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  AS BIGINT) AS units_per_em
         | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+    // q388: vCard closed forms — folded FN, escaped-semicolon ORG,
+    // TYPE params skipped, first-wins
+    "q388_vcards" ->
+      """WITH d AS (SELECT doc_id, doc_id % 10 AS m, doc_id % 7 AS k7,
+        |   doc_id % 5 AS k5 FROM documents WHERE doc_id < 240),
+        | e AS (
+        |  SELECT doc_id, 0 AS card_idx, 'Fam' || m AS family,
+        |   'Giv' || k7 AS given, 'Giv' || k7 || ' Fam' || m AS fn,
+        |   'g' || m || '@corp.example' AS email,
+        |   '+1-555-010' || m AS tel, 'Acme; Sons ' || m AS org FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'Solo' || k5, '', 'Solo' || k5, '', '', ''
+        |   FROM d)
+        | SELECT doc_id, CAST(card_idx AS BIGINT) AS card_idx, family,
+        |  given, fn, email, tel, org
+        | FROM e ORDER BY doc_id, card_idx"""
+        .stripMargin.replaceAll("\n", " "),
+    // q389: git loose-object closed forms — the commit size is pinned
+    // by REBUILDING the content string oracle-side
+    "q389_git_objects" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS s, doc_id % 10 AS m,
+        |   doc_id % 30 AS u, doc_id % 7 AS k7, doc_id % 20 + 1 AS nb,
+        |   doc_id % 4 + 1 AS nt, (doc_id % 5) % 3 AS np
+        |  FROM documents WHERE doc_id < 240),
+        | c AS (SELECT *,
+        |   repeat(printf('%08x', doc_id * 1000003 + 1), 5) AS tsha,
+        |   'Dev ' || u || ' <d' || u || '@example.com>' AS auth,
+        |   1700000000 + doc_id * 60 AS ep FROM d),
+        | cc AS (SELECT *,
+        |   'tree ' || tsha || chr(10) ||
+        |   (CASE np WHEN 0 THEN '' WHEN 1 THEN 'parent ' ||
+        |     repeat(printf('%08x', doc_id * 1000003 + 100), 5) || chr(10)
+        |    ELSE 'parent ' ||
+        |     repeat(printf('%08x', doc_id * 1000003 + 100), 5) ||
+        |     chr(10) || 'parent ' ||
+        |     repeat(printf('%08x', doc_id * 1000003 + 101), 5) ||
+        |     chr(10) END) ||
+        |   'author ' || auth || ' ' || ep || ' +0000' || chr(10) ||
+        |   'committer ' || auth || ' ' || ep || ' +0000' || chr(10) ||
+        |   chr(10) || 'feat: change ' || m || chr(10) || chr(10) ||
+        |   'body detail ' || k7 || chr(10) AS cmt,
+        |   CASE nt WHEN 1 THEN '100644 file0.txt'
+        |    WHEN 2 THEN '100644 file0.txt' || chr(10) || '40000 dir1'
+        |    WHEN 3 THEN '100644 file0.txt' || chr(10) || '40000 dir1' ||
+        |     chr(10) || '100644 file2.txt'
+        |    ELSE '100644 file0.txt' || chr(10) || '40000 dir1' ||
+        |     chr(10) || '100644 file2.txt' || chr(10) || '40000 dir3'
+        |    END AS tlist FROM c)
+        | SELECT doc_id,
+        | CASE s WHEN 0 THEN 'blob' WHEN 1 THEN 'commit' ELSE 'tree' END
+        |  AS obj_type,
+        | CAST(CASE s WHEN 0 THEN 12 * nb + greatest(0, nb - 9)
+        |   WHEN 1 THEN length(cmt)
+        |   ELSE CASE nt WHEN 1 THEN 37 WHEN 2 THEN 68 WHEN 3 THEN 105
+        |    ELSE 136 END END AS BIGINT) AS size,
+        | CAST(CASE s WHEN 0 THEN nb ELSE 0 END AS BIGINT) AS n_lines,
+        | CASE s WHEN 1 THEN tsha ELSE '' END AS tree_sha,
+        | CAST(CASE s WHEN 1 THEN np ELSE 0 END AS BIGINT) AS n_parents,
+        | CASE s WHEN 1 THEN auth ELSE '' END AS author,
+        | CAST(CASE s WHEN 1 THEN ep ELSE 0 END AS BIGINT)
+        |  AS author_epoch,
+        | CASE s WHEN 1 THEN 'feat: change ' || m ELSE '' END AS message,
+        | CAST(CASE s WHEN 2 THEN nt ELSE 0 END AS BIGINT) AS n_entries,
+        | CASE s WHEN 2 THEN tlist ELSE '' END AS listing
+        | FROM cc ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // q363: per-track MP4 sample-table closed forms (the ISO-BMFF walk
     // happens Spark-side) — stts runs, both stsz forms, mdhd clocks
     "q363_mp4_tracks" ->

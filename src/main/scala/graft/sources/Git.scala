@@ -1,0 +1,189 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Git loose-object extraction — code crawls that mirror repositories
+  * meet `.git/objects/xx/...` files constantly; each is
+  * zlib(`<type> <size>` + NUL + content). Inflates (bomb-guarded),
+  * validates the declared size against the actual payload, then
+  * dispatches:
+  *
+  *  - `blob`: line count + the text (Latin-1-safe);
+  *  - `commit`: tree sha, parent COUNT (merges have 2+), author
+  *    name/email/epoch from the `author` line's trailing
+  *    `timestamp tz` pair, first message line;
+  *  - `tree`: `<mode> <name>` + NUL + 20-byte sha entries — count and
+  *    newline-joined `mode name` listing (shas hex in the listing's
+  *    order is the caller's follow-up, kept out of the row).
+  *
+  * Packfiles (delta chains) are a different on-disk format and out of
+  * documented scope; this is the loose half.
+  */
+object Git {
+
+  final case class GitObject(obj_type: String, size: Long, n_lines: Int,
+                             tree_sha: String, n_parents: Int,
+                             author: String, author_epoch: Long,
+                             message: String, n_entries: Int,
+                             listing: String)
+
+  private val Empty = GitObject("", 0L, 0, "", 0, "", 0L, "", 0, "")
+
+  def parseLoose(b: Array[Byte]): Option[GitObject] = {
+    if (b == null || b.length < 3) return None
+    val data = zlibInflate(b).getOrElse(return None)
+    val nul = data.indexOf(0.toByte)
+    if (nul <= 0 || nul > 32) return None
+    val header = new String(data, 0, nul,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val sp = header.indexOf(' ')
+    if (sp <= 0) return None
+    val typ = header.substring(0, sp)
+    val size = header.substring(sp + 1).toLongOption.getOrElse(return None)
+    val content = java.util.Arrays.copyOfRange(data, nul + 1, data.length)
+    if (content.length != size) return None // declared size must match
+    typ match {
+      case "blob" =>
+        val text = new String(content,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val lines = if (text.isEmpty) 0
+          else text.count(_ == '\n') + (if (text.endsWith("\n")) 0 else 1)
+        Some(Empty.copy(obj_type = "blob", size = size, n_lines = lines))
+      case "commit" =>
+        val text = new String(content,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val (headers, message) = text.indexOf("\n\n") match {
+          case -1 => (text, "")
+          case at => (text.substring(0, at), text.substring(at + 2))
+        }
+        var tree = ""; var parents = 0
+        var author = ""; var epoch = -1L
+        headers.split('\n').foreach { line =>
+          if (line.startsWith("tree ")) tree = line.substring(5).trim
+          else if (line.startsWith("parent ")) parents += 1
+          else if (line.startsWith("author ")) {
+            // author NAME <email> EPOCH TZ
+            val rest = line.substring(7)
+            val lt = rest.lastIndexOf('>')
+            if (lt > 0) {
+              author = rest.substring(0, lt + 1).trim
+              val tail = rest.substring(lt + 1).trim.split("\\s+")
+              if (tail.nonEmpty)
+                epoch = tail(0).toLongOption.getOrElse(-1L)
+            }
+          }
+        }
+        if (tree.length != 40) return None
+        Some(Empty.copy(obj_type = "commit", size = size,
+          tree_sha = tree, n_parents = parents, author = author,
+          author_epoch = epoch,
+          message = message.takeWhile(_ != '\n')))
+      case "tree" =>
+        val entries = Vector.newBuilder[String]
+        var i = 0
+        var n = 0
+        while (i < content.length) {
+          val z = {
+            var k = i
+            while (k < content.length && content(k) != 0) k += 1
+            k
+          }
+          if (z + 21 > content.length) return None // torn entry
+          val head = new String(content, i, z - i,
+            java.nio.charset.StandardCharsets.UTF_8)
+          if (!head.contains(' ')) return None
+          entries += head
+          n += 1
+          i = z + 21 // NUL + 20-byte sha
+        }
+        Some(Empty.copy(obj_type = "tree", size = size, n_entries = n,
+          listing = entries.result().mkString("\n")))
+      case "tag" =>
+        Some(Empty.copy(obj_type = "tag", size = size))
+      case _ => None
+    }
+  }
+
+  private def zlibInflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 2 + 64)
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished() && !inf.needsInput()) {
+        val k = inf.inflate(buf)
+        if (k == 0 && !inf.finished()) return None
+        out.write(buf, 0, k)
+        if (out.size > (1 << 26)) return None // bomb guard
+      }
+      if (!inf.finished()) return None
+      Some(out.toByteArray)
+    } catch { case _: java.util.zip.DataFormatException => None }
+    finally inf.end()
+  }
+
+  // ---- fixture ------------------------------------------------------ //
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length + 32)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def loose(typ: String, content: Array[Byte]): Array[Byte] =
+    deflate((s"$typ ${content.length}" + "\u0000").getBytes("US-ASCII") ++
+      content)
+
+  /** 40-hex deterministic pseudo-sha of (id, salt) — an 8-hex word
+    * repeated 5×, so a SQL oracle rebuilds it with
+    * repeat(printf('%08x', id·1000003 + salt), 5). */
+  private[graft] def hex40(id: Long, salt: Long): String = {
+    val h = f"${(id * 1000003L + salt) & 0xffffffffL}%08x"
+    h * 5
+  }
+
+  /** Deterministic per-id loose object cycling blob/commit/tree:
+    * blobs have id%20+1 lines; commits have (id%5)%3 parents, a UTC
+    * epoch closed form, a multi-line message (only line 1 surfaces);
+    * trees have id%4+1 entries of alternating file/dir modes. */
+  def synthLoose(id: Long): Array[Byte] = (id % 3) match {
+    case 0 =>
+      val n = (id % 20 + 1).toInt
+      loose("blob", (1 to n).map(k => s"line $k of ${id % 10}")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    case 1 =>
+      val parents = (0 until ((id % 5) % 3).toInt)
+        .map(p => s"parent ${hex40(id, p + 100)}\n").mkString
+      val content =
+        s"tree ${hex40(id, 1)}\n" + parents +
+          s"author Dev ${id % 30} <d${id % 30}@example.com> " +
+          s"${1700000000L + id * 60} +0000\n" +
+          s"committer Dev ${id % 30} <d${id % 30}@example.com> " +
+          s"${1700000000L + id * 60} +0000\n\n" +
+          s"feat: change ${id % 10}\n\nbody detail ${id % 7}\n"
+      loose("commit", content.getBytes("UTF-8"))
+    case _ =>
+      val n = (id % 4 + 1).toInt
+      val bytes = new java.io.ByteArrayOutputStream()
+      (0 until n).foreach { k =>
+        val mode = if (k % 2 == 0) "100644" else "40000"
+        val name = if (k % 2 == 0) s"file$k.txt" else s"dir$k"
+        bytes.write((s"$mode $name" + "\u0000").getBytes("UTF-8"))
+        val sha = hex40(id, k)
+        (0 until 20).foreach { j =>
+          bytes.write(Integer.parseInt(sha.substring(2 * j, 2 * j + 2), 16))
+        }
+      }
+      loose("tree", bytes.toByteArray)
+  }
+
+  def synthLooseCol(c: Column): Column =
+    udf { id: Long => synthLoose(id) }.apply(c)
+  def looseCol(c: Column): Column =
+    udf { b: Array[Byte] => parseLoose(b) }.apply(c)
+}

@@ -196,6 +196,94 @@ object Calendar {
       "END:VCALENDAR\r\n"
   }
 
+  // ---- vCard --------------------------------------------------------- //
+
+  /** One address-book card: N's family/given, the formatted name,
+    * first email/phone (params like TYPE=work skipped), org. */
+  final case class VCard(family: String, given: String, fn: String,
+                         email: String, tel: String, org: String)
+
+  /** vCard 3.0/4.0 (RFC 6350) — the contact format beside iCalendar,
+    * sharing its content-line machinery (same unfolding, same
+    * param-skipping, same escapes). `BEGIN:VCARD`..`END:VCARD` blocks;
+    * N splits family;given on UNESCAPED semicolons; first occurrence
+    * wins per property (the dedup convention address-book importers
+    * apply). */
+  def parseVcards(raw: String): Option[Seq[VCard]] = {
+    if (raw == null) return None
+    val lines = unfold(raw)
+    if (!lines.headOption.exists(_.equalsIgnoreCase("BEGIN:VCARD")))
+      return None
+    val out = Vector.newBuilder[VCard]
+    var in = false
+    var family = ""; var given = ""; var fn = ""
+    var email = ""; var tel = ""; var org = ""
+    lines.foreach { line =>
+      val (name, value) = splitLine(line)
+      val uname = name.toUpperCase
+      if (uname == "BEGIN" && value.equalsIgnoreCase("VCARD")) {
+        in = true
+        family = ""; given = ""; fn = ""; email = ""; tel = ""; org = ""
+      } else if (uname == "END" && value.equalsIgnoreCase("VCARD")) {
+        if (in) out += VCard(family, given, fn, email, tel, org)
+        in = false
+      } else if (in) uname match {
+        case "N" if family.isEmpty && given.isEmpty =>
+          val parts = splitUnescaped(value, ';')
+          family = unescape(parts.headOption.getOrElse(""))
+          given = unescape(if (parts.length > 1) parts(1) else "")
+        case "FN" if fn.isEmpty => fn = unescape(value)
+        case "EMAIL" if email.isEmpty => email = unescape(value)
+        case "TEL" if tel.isEmpty => tel = unescape(value)
+        case "ORG" if org.isEmpty =>
+          org = unescape(splitUnescaped(value, ';').headOption
+            .getOrElse(""))
+        case _ => ()
+      }
+    }
+    Some(out.result())
+  }
+
+  /** Split on `sep` except where a backslash escapes it. */
+  private def splitUnescaped(s: String, sep: Char): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) { sb.append(c).append(s.charAt(i + 1)); i += 2 }
+      else if (c == sep) { out += sb.toString; sb.clear(); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    out += sb.toString
+    out.result()
+  }
+
+  /** Deterministic per-id 2-card file: the first card has an escaped
+    * semicolon in ORG, a folded FN, and TYPE params to skip; the
+    * second is minimal. */
+  def synthVcf(id: Long): String = {
+    val d = id % 10
+    "BEGIN:VCARD\r\nVERSION:4.0\r\n" +
+      s"N:Fam$d;Giv${id % 7};;;\r\n" +
+      s"FN:Giv${id % 7}\r\n  Fam$d\r\n" +
+      s"EMAIL;TYPE=work:g$d@corp.example\r\n" +
+      s"EMAIL;TYPE=home:decoy$d@home.example\r\n" +
+      s"TEL;TYPE=\"cell:main\":+1-555-010$d\r\n" +
+      s"ORG:Acme\\; Sons $d;Unit ${id % 5}\r\n" +
+      "END:VCARD\r\n" +
+      "BEGIN:VCARD\r\nVERSION:3.0\r\n" +
+      s"N:Solo${id % 5};;;;\r\n" +
+      s"FN:Solo${id % 5}\r\n" +
+      "END:VCARD\r\n"
+  }
+
+  def synthVcfCol(c: Column): Column =
+    udf { id: Long => synthVcf(id) }.apply(c)
+  /** text → array<struct<family, given, fn, email, tel, org>>. */
+  def vcardsCol(c: Column): Column =
+    udf { s: String => parseVcards(s) }.apply(c)
+
   def synthIcsCol(c: Column): Column =
     udf { id: Long => synthIcs(id) }.apply(c)
   /** text → array<struct<summary, location, start, duration_min>>. */

@@ -110,6 +110,39 @@ class IngestFormatsSpec extends AnyFunSuite {
     assert(Frames.parseFrame("random text".getBytes("UTF-8")).isEmpty)
   }
 
+  test("vcard: shared content-line machinery, escapes, first-wins") {
+    val cards = Cal.parseVcards(Cal.synthVcf(13)).get
+    assert(cards.length == 2)
+    val c0 = cards(0)
+    assert(c0.family == "Fam3" && c0.given == "Giv6")
+    assert(c0.fn == "Giv6 Fam3") // folded
+    assert(c0.email == "g3@corp.example") // first wins, param skipped
+    assert(c0.tel == "+1-555-0103") // quoted-param ':' trap
+    assert(c0.org == "Acme; Sons 3") // escaped semicolon
+    assert(cards(1) == Cal.VCard("Solo3", "", "Solo3", "", "", ""))
+    assert(Cal.parseVcards("not a card").isEmpty)
+    assert(Cal.parseVcards("BEGIN:VCARD").get.isEmpty) // never ended
+  }
+
+  test("git: loose objects — blob/commit/tree, size gate, totality") {
+    import graft.sources.Git
+    val blob = Git.parseLoose(Git.synthLoose(3)).get // 3%3==0
+    assert(blob.obj_type == "blob" && blob.n_lines == 4)
+    val commit = Git.parseLoose(Git.synthLoose(4)).get // 4%3==1
+    assert(commit.obj_type == "commit")
+    assert(commit.tree_sha == Git.hex40(4, 1))
+    assert(commit.n_parents == (4 % 5) % 3)
+    assert(commit.author == "Dev 4 <d4@example.com>")
+    assert(commit.author_epoch == 1700000000L + 4 * 60)
+    assert(commit.message == "feat: change 4")
+    val tree = Git.parseLoose(Git.synthLoose(5)).get // 5%3==2
+    assert(tree.obj_type == "tree" && tree.n_entries == 2)
+    assert(tree.listing == "100644 file0.txt\n40000 dir1")
+    // size gate: declared size must match the payload exactly
+    assert(Git.parseLoose(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Git.parseLoose(Git.synthLoose(6).dropRight(1)).isEmpty)
+  }
+
   test("proto: census counts, nested probe, strict validation") {
     for (id <- 0L to 5L) {
       val c = Proto.census(Proto.synthProto(id)).get

@@ -205,6 +205,8 @@ class PropertySpec extends AnyFunSuite {
       graft.text.Calendar.parseIcs(s)
       graft.text.Calendar.parseIcs("BEGIN:VCALENDAR\n" + s)
       graft.sources.Mail.mboxMessages("From a@b t\n" + s)
+      graft.text.Calendar.parseVcards(s)
+      graft.text.Calendar.parseVcards("BEGIN:VCARD\n" + s)
       true
     })
     // string-level mutation of the VALID mail/rtf fixtures — the
@@ -251,6 +253,7 @@ class PropertySpec extends AnyFunSuite {
       graft.sources.Sqlite.parseSqlite(b)
       graft.sources.Frames.parseFrame(b)
       graft.multimodal.Font.parseWoff(b)
+      graft.sources.Git.parseLoose(b)
       graft.multimodal.Binary.parseId3v2(b)
       graft.multimodal.Binary.parseSvgMeta(b)
       graft.multimodal.Binary.parseTracks(b)
@@ -297,6 +300,8 @@ class PropertySpec extends AnyFunSuite {
         graft.sources.Frames.synthFrame(id)))
       graft.multimodal.Font.parseWoff(mut(
         graft.multimodal.Font.synthWoff(id)))
+      graft.sources.Git.parseLoose(mut(
+        graft.sources.Git.synthLoose(id)))
       graft.multimodal.Binary.parseImageMeta(mut(
         graft.multimodal.Binary.synthLegacyImage(id)))
       graft.multimodal.Binary.parseExifMeta(mut(
