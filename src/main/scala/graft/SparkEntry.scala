@@ -435,7 +435,9 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q386_mbox_parse" -> (qMboxParse _),
     "q387_woff_meta" -> (qWoffMeta _),
     "q388_vcards" -> (qVcards _),
-    "q389_git_objects" -> (qGitObjects _)
+    "q389_git_objects" -> (qGitObjects _),
+    "q390_pcap_census" -> (qPcapCensus _),
+    "q391_po_stats" -> (qPoStats _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

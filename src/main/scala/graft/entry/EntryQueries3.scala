@@ -4338,6 +4338,50 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** SRC-PCAP — capture census ([[graft.sources.Pcap.census]], r15):
+    * magic-probed endianness AND timestamp resolution (µs/ns), the
+    * snaplen/incl_len crafted-capture gate, Ethernet ethertype +
+    * IPv4 protocol mix, span from reconstructed millis. Closed
+    * forms; per-row map work.
+    */
+  private[graft] def qPcapCensus(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Pcap
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("c", Pcap.censusCol(Pcap.synthPcapCol(col("doc_id"))))
+      .select(col("doc_id"), col("c.endian").as("endian"),
+        col("c.resolution").as("resolution"),
+        col("c.link_type").cast("long").as("link_type"),
+        col("c.n_packets").cast("long").as("n_packets"),
+        col("c.total_bytes").as("total_bytes"),
+        col("c.n_ipv4").cast("long").as("n_ipv4"),
+        col("c.n_tcp").cast("long").as("n_tcp"),
+        col("c.n_udp").cast("long").as("n_udp"),
+        col("c.n_arp").cast("long").as("n_arp"),
+        col("c.n_other").cast("long").as("n_other"),
+        col("c.span_ms").as("span_ms"))
+      .orderBy("doc_id")
+  }
+
+  /** TXT-PO — gettext catalogs ([[graft.text.Gettext.poStats]],
+    * r15): the parallel-text channel in every localized repo —
+    * continuation-line strings, C escapes, the header entry excluded,
+    * fuzzy entries not counted as translations, plural forms with
+    * msgstr[0] standing in. Closed forms; per-row map work.
+    */
+  private[graft] def qPoStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Gettext
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("p", Gettext.poStatsCol(Gettext.synthPoCol(col("doc_id"))))
+      .select(col("doc_id"),
+        col("p.n_entries").cast("long").as("n_entries"),
+        col("p.n_translated").cast("long").as("n_translated"),
+        col("p.n_fuzzy").cast("long").as("n_fuzzy"),
+        col("p.n_plural").cast("long").as("n_plural"),
+        col("p.first_id").as("first_id"),
+        col("p.first_str").as("first_str"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def qPdfEncrypt(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Pdf
     doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))

@@ -3176,6 +3176,43 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         | CAST(CASE s WHEN 2 THEN nt ELSE 0 END AS BIGINT) AS n_entries,
         | CASE s WHEN 2 THEN tlist ELSE '' END AS listing
         | FROM cc ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // q390: PCAP census closed forms — per-packet sizes summed over a
+    // range, TCP/UDP/ARP cycling by packet index
+    "q390_pcap_census" ->
+      """WITH d AS (SELECT doc_id, doc_id % 10 + 5 AS n,
+        |   doc_id % 5 + 1 AS step FROM documents WHERE doc_id < 240),
+        | g AS (SELECT doc_id, n, step, t.t AS k FROM d, range(0, 15) t(t)
+        |  WHERE t < n),
+        | p AS (SELECT doc_id, n, step, k,
+        |   14 + (CASE WHEN k % 3 = 2 THEN 0 ELSE 20 END) +
+        |    ((doc_id + k) % 20 + 6) AS incl FROM g),
+        | a AS (SELECT doc_id, min(n) AS n, min(step) AS step,
+        |   sum(incl) AS tb,
+        |   count(*) FILTER (WHERE k % 3 = 0) AS tcp,
+        |   count(*) FILTER (WHERE k % 3 = 1) AS udp,
+        |   count(*) FILTER (WHERE k % 3 = 2) AS arp
+        |  FROM p GROUP BY doc_id)
+        | SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'little' ELSE 'big' END AS endian,
+        | CASE WHEN doc_id % 4 = 3 THEN 'ns' ELSE 'us' END AS resolution,
+        | CAST(1 AS BIGINT) AS link_type, CAST(n AS BIGINT) AS n_packets,
+        | CAST(tb AS BIGINT) AS total_bytes,
+        | CAST(tcp + udp AS BIGINT) AS n_ipv4,
+        | CAST(tcp AS BIGINT) AS n_tcp, CAST(udp AS BIGINT) AS n_udp,
+        | CAST(arp AS BIGINT) AS n_arp, CAST(0 AS BIGINT) AS n_other,
+        | CAST((n - 1) * step AS BIGINT) AS span_ms
+        | FROM a ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // q391: PO catalog closed forms — header excluded, fuzzy not
+    // translated, plural counted once, continuations joined
+    "q391_po_stats" ->
+      """SELECT doc_id,
+        | CAST(3 + doc_id % 3 AS BIGINT) AS n_entries,
+        | CAST(2 + doc_id % 3 AS BIGINT) AS n_translated,
+        | CAST(1 AS BIGINT) AS n_fuzzy, CAST(1 AS BIGINT) AS n_plural,
+        | 'Hello world ' || (doc_id % 10) || chr(10) AS first_id,
+        | 'Hola mundo ' || (doc_id % 10) || chr(10) AS first_str
+        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
     // q363: per-track MP4 sample-table closed forms (the ISO-BMFF walk
     // happens Spark-side) — stts runs, both stsz forms, mdhd clocks
     "q363_mp4_tracks" ->

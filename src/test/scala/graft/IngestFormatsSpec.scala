@@ -143,6 +143,43 @@ class IngestFormatsSpec extends AnyFunSuite {
     assert(Git.parseLoose(Git.synthLoose(6).dropRight(1)).isEmpty)
   }
 
+  test("pcap: endianness probe, resolution, protocol mix, span") {
+    import graft.sources.Pcap
+    for (id <- 0L to 7L) {
+      val c = Pcap.census(Pcap.synthPcap(id)).get
+      val n = (id % 10 + 5).toInt
+      assert(c.endian == (if (id % 2 == 0) "little" else "big"))
+      assert(c.resolution == (if (id % 4 == 3) "ns" else "us"))
+      assert(c.link_type == 1 && c.n_packets == n)
+      val tcp = (0 until n).count(_ % 3 == 0)
+      val udp = (0 until n).count(_ % 3 == 1)
+      val arp = (0 until n).count(_ % 3 == 2)
+      assert(c.n_tcp == tcp && c.n_udp == udp && c.n_arp == arp)
+      assert(c.n_ipv4 == tcp + udp && c.n_other == 0)
+      assert(c.span_ms == (n - 1) * (id % 5 + 1))
+    }
+    val f = Pcap.synthPcap(3)
+    assert(Pcap.census(f.dropRight(1)).isEmpty) // torn packet
+    assert(Pcap.census(f.take(23)).isEmpty)
+    val badMagic = f.clone(); badMagic(0) = 0x11
+    assert(Pcap.census(badMagic).isEmpty)
+  }
+
+  test("po: continuations, escapes, header/fuzzy/plural rules") {
+    import graft.text.Gettext
+    val s = Gettext.poStats(Gettext.synthPo(5)).get
+    assert(s.n_entries == 3 + 5 % 3)
+    assert(s.n_translated == 2 + 5 % 3) // fuzzy excluded
+    assert(s.n_fuzzy == 1 && s.n_plural == 1)
+    assert(s.first_id == "Hello world 5\n") // continuation + escape
+    assert(s.first_str == "Hola mundo 5\n")
+    val entries = Gettext.parsePo(Gettext.synthPo(5)).get
+    assert(entries.exists(e => e.plural && e.msgstr == "Un archivo 5"))
+    assert(entries.exists(e => e.fuzzy && e.msgid == "Draft 5"))
+    assert(Gettext.parsePo("no po content here").isEmpty)
+    assert(Gettext.parsePo("").isEmpty)
+  }
+
   test("proto: census counts, nested probe, strict validation") {
     for (id <- 0L to 5L) {
       val c = Proto.census(Proto.synthProto(id)).get

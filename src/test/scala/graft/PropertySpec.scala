@@ -207,6 +207,8 @@ class PropertySpec extends AnyFunSuite {
       graft.sources.Mail.mboxMessages("From a@b t\n" + s)
       graft.text.Calendar.parseVcards(s)
       graft.text.Calendar.parseVcards("BEGIN:VCARD\n" + s)
+      graft.text.Gettext.parsePo(s)
+      graft.text.Gettext.parsePo("msgid \"x\"\nmsgstr \"y\"\n" + s)
       true
     })
     // string-level mutation of the VALID mail/rtf fixtures — the
@@ -254,6 +256,7 @@ class PropertySpec extends AnyFunSuite {
       graft.sources.Frames.parseFrame(b)
       graft.multimodal.Font.parseWoff(b)
       graft.sources.Git.parseLoose(b)
+      graft.sources.Pcap.census(b)
       graft.multimodal.Binary.parseId3v2(b)
       graft.multimodal.Binary.parseSvgMeta(b)
       graft.multimodal.Binary.parseTracks(b)
@@ -302,6 +305,8 @@ class PropertySpec extends AnyFunSuite {
         graft.multimodal.Font.synthWoff(id)))
       graft.sources.Git.parseLoose(mut(
         graft.sources.Git.synthLoose(id)))
+      graft.sources.Pcap.census(mut(
+        graft.sources.Pcap.synthPcap(id)))
       graft.multimodal.Binary.parseImageMeta(mut(
         graft.multimodal.Binary.synthLegacyImage(id)))
       graft.multimodal.Binary.parseExifMeta(mut(
