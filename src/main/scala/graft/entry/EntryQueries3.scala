@@ -4063,15 +4063,6 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
-  /** MM-PDF-ENC — the `/Encrypt` gate ([[graft.multimodal.Pdf
-    * .synthEncryptedPdf]], r15): every 3rd doc is an encrypted stub
-    * (Standard security handler in the trailer, ciphertext-junk
-    * content stream) that must surface the typed flag with ZERO pages
-    * and EMPTY text — the parser never decrypts and never lets
-    * ciphertext reach the text path as mojibake; the rest are plain
-    * [[graft.multimodal.Pdf.synthPdf]] docs pinned unencrypted.
-    * Per-row map work.
-    */
   /** MM-EML — RFC 5322/MIME email ([[graft.sources.Mail.parseEml]],
     * r15): the mail-archive ingest surface — header unfolding (the
     * folded To), RFC 2047 B- and Q-encoded Subjects (including the
@@ -4382,6 +4373,15 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** MM-PDF-ENC — the `/Encrypt` gate ([[graft.multimodal.Pdf
+    * .synthEncryptedPdf]], r15): every 3rd doc is an encrypted stub
+    * (Standard security handler in the trailer, ciphertext-junk
+    * content stream) that must surface the typed flag with ZERO pages
+    * and EMPTY text — the parser never decrypts and never lets
+    * ciphertext reach the text path as mojibake; the rest are plain
+    * [[graft.multimodal.Pdf.synthPdf]] docs pinned unencrypted.
+    * Per-row map work.
+    */
   private[graft] def qPdfEncrypt(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Pdf
     doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))

@@ -180,8 +180,9 @@ object Font {
       if (off < 0 || compLen < 0 || off + compLen > n) return None
       if (origLen < 0 || origLen > (1 << 24)) return None
       val raw = b.slice(off.toInt, (off + compLen).toInt)
-      val data = if (compLen < origLen) zlibInflate(raw, origLen.toInt)
-        .getOrElse(return None)
+      val data = if (compLen < origLen)
+        graft.sources.Inflate(raw, raw = false, cap = 1 << 24)
+          .getOrElse(return None)
       else raw
       if (data.length != origLen) return None
       (tag, data)
@@ -199,25 +200,6 @@ object Font {
     }
     entries.foreach { case (_, data) => out.write(data) }
     parseFont(out.toByteArray)
-  }
-
-  private def zlibInflate(data: Array[Byte], expect: Int)
-    : Option[Array[Byte]] = {
-    val inf = new java.util.zip.Inflater()
-    inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream(expect + 16)
-    val buf = new Array[Byte](8192)
-    try {
-      while (!inf.finished() && !inf.needsInput()) {
-        val k = inf.inflate(buf)
-        if (k == 0 && !inf.finished()) return None
-        out.write(buf, 0, k)
-        if (out.size > (1 << 24)) return None
-      }
-      if (!inf.finished()) return None
-      Some(out.toByteArray)
-    } catch { case _: java.util.zip.DataFormatException => None }
-    finally inf.end()
   }
 
   /** Deterministic per-id WOFF1 wrapping [[synthFont]]'s tables —

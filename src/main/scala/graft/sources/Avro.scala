@@ -74,8 +74,10 @@ object Avro {
       val payload = cur.raw(size).getOrElse(return None)
       val blockSync = cur.raw(16).getOrElse(return None)
       if (!java.util.Arrays.equals(blockSync, sync)) return None
-      val data = if (codec == "deflate") inflateRaw(payload)
-        .getOrElse(return None) else payload
+      val data = if (codec == "deflate")
+        Inflate(payload, raw = true, cap = 1 << 26)
+          .getOrElse(return None)
+      else payload
       val bc = new Cursor(data, 0L)
       var r = 0L
       while (r < count) {
@@ -128,24 +130,6 @@ object Avro {
     val rest = schema.substring(at)
     if ("\"type\"\\s*:\\s*[\\[{]".r.findFirstIn(rest).isDefined) return None
     Some(out)
-  }
-
-  private def inflateRaw(data: Array[Byte]): Option[Array[Byte]] = {
-    val inf = new java.util.zip.Inflater(true) // raw: no zlib header
-    inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream(data.length * 2 + 64)
-    val buf = new Array[Byte](8192)
-    try {
-      while (!inf.finished() && !inf.needsInput()) {
-        val n = inf.inflate(buf)
-        if (n == 0 && !inf.finished()) return None
-        out.write(buf, 0, n)
-        if (out.size > (1 << 26)) return None // 64 MiB bomb guard
-      }
-      if (!inf.finished()) return None
-      Some(out.toByteArray)
-    } catch { case _: java.util.zip.DataFormatException => None }
-    finally inf.end()
   }
 
   /** Bounds-checked little cursor over the buffer (positions Long —

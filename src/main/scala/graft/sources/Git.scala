@@ -32,7 +32,8 @@ object Git {
 
   def parseLoose(b: Array[Byte]): Option[GitObject] = {
     if (b == null || b.length < 3) return None
-    val data = zlibInflate(b).getOrElse(return None)
+    val data = Inflate(b, raw = false, cap = 1 << 26)
+      .getOrElse(return None)
     val nul = data.indexOf(0.toByte)
     if (nul <= 0 || nul > 32) return None
     val header = new String(data, 0, nul,
@@ -103,24 +104,6 @@ object Git {
         Some(Empty.copy(obj_type = "tag", size = size))
       case _ => None
     }
-  }
-
-  private def zlibInflate(data: Array[Byte]): Option[Array[Byte]] = {
-    val inf = new java.util.zip.Inflater()
-    inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream(data.length * 2 + 64)
-    val buf = new Array[Byte](8192)
-    try {
-      while (!inf.finished() && !inf.needsInput()) {
-        val k = inf.inflate(buf)
-        if (k == 0 && !inf.finished()) return None
-        out.write(buf, 0, k)
-        if (out.size > (1 << 26)) return None // bomb guard
-      }
-      if (!inf.finished()) return None
-      Some(out.toByteArray)
-    } catch { case _: java.util.zip.DataFormatException => None }
-    finally inf.end()
   }
 
   // ---- fixture ------------------------------------------------------ //

@@ -82,7 +82,6 @@ object Calendar {
     * params between ';' and ':' drop. */
   private def splitLine(line: String): (String, String) = {
     var i = 0
-    var nameEnd = -1
     var inQuote = false
     while (i < line.length) {
       val c = line.charAt(i)
@@ -92,7 +91,7 @@ object Calendar {
         val semi = header.indexOf(';')
         return (if (semi < 0) header else header.substring(0, semi),
           line.substring(i + 1))
-      } else if (c == ';' && nameEnd < 0 && !inQuote) nameEnd = i
+      }
       i += 1
     }
     (line, "")

@@ -33,7 +33,11 @@ object Gettext {
     var msgid: StringBuilder = null
     var msgstr: StringBuilder = null
     var cur: StringBuilder = null // continuation target
-    var fuzzy = false
+    var fuzzy = false // the entry being built
+    // a `#, fuzzy` comment precedes ITS entry's msgid — when entries
+    // are not blank-line separated, the comment must not retroactively
+    // flag the PREVIOUS entry, so it stages here until the msgid opens
+    var pendingFuzzy = false
     var plural = false
     def flush(): Unit = {
       if (msgid != null && msgstr != null) {
@@ -46,9 +50,10 @@ object Gettext {
     }
     raw.split("\r\n|\n", -1).foreach { line0 =>
       val line = line0.trim
-      if (line.isEmpty) flush()
+      if (line.isEmpty) { flush(); pendingFuzzy = false }
       else if (line.startsWith("#")) {
-        if (line.startsWith("#,") && line.contains("fuzzy")) fuzzy = true
+        if (line.startsWith("#,") && line.contains("fuzzy"))
+          pendingFuzzy = true
       } else if (line.startsWith("msgid_plural")) {
         plural = true
         cur = null // the plural source doesn't join either field
@@ -56,6 +61,8 @@ object Gettext {
         if (msgid != null && msgstr != null) flush()
         msgid = new StringBuilder(unquote(line.substring(5).trim))
         cur = msgid
+        fuzzy = pendingFuzzy
+        pendingFuzzy = false
       } else if (line.startsWith("msgstr")) {
         val rest = line.substring(6).trim
         if (rest.startsWith("[")) {

@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions.udf
   *    `fonttbl`, `colortbl`, `stylesheet`, `info`, `pict`,
   *    `themedata`, `fldinst`, plus anything opened with the `\*`
   *    ignorable marker — skip to their closing brace;
-  *  - `\\`, `\{`, `\}` escape to literals; raw CR/LF in the source
-  *    are ignored (the spec: line breaks are `\par`, not newlines).
+  *  - `\\`, `\{`, `\}` escape to literals; `\~` a space; `\_` a
+  *    hyphen; `\-` (an optional-hyphen break POINT) emits nothing;
+  *    raw CR/LF in the source are ignored (the spec: line breaks are
+  *    `\par`, not newlines). A `\*` or a pending `\uN` fallback skip
+  *    never crosses text or a group boundary.
   *
   * Total on hostile input: every branch advances the cursor, an
   * unbalanced group simply ends at EOF, non-RTF input returns None
@@ -42,8 +45,15 @@ object Rtf {
     val n = s.length
     while (i < n && stack.nonEmpty) {
       val c = s.charAt(i)
-      if (c == '{') { stack = stack.head :: stack; i += 1 }
-      else if (c == '}') {
+      if (c == '{') {
+        // \* binds to the control word IMMEDIATELY after it; a group
+        // boundary in between voids it (else a leaked flag would mark
+        // some later OUTER group ignorable and eat its text). The \uN
+        // fallback skip likewise never crosses a group boundary.
+        starPending = false; pendingUcSkip = 0
+        stack = stack.head :: stack; i += 1
+      } else if (c == '}') {
+        starPending = false; pendingUcSkip = 0
         stack = stack.tail
         if (stack.isEmpty) i = n else i += 1 // document group closed
       } else if (c == '\\') {
@@ -56,7 +66,12 @@ object Rtf {
             i += 2
           } else if (c1 == '~') {
             if (!skip && pendingUcSkip == 0) sb.append(' '); i += 2
-          } else if (c1 == '-' || c1 == '_') {
+          } else if (c1 == '-') {
+            // optional-hyphen break POINT, not a character: emits
+            // nothing (extracted text must read "document", not
+            // "doc-ument")
+            i += 2
+          } else if (c1 == '_') {
             if (!skip && pendingUcSkip == 0) sb.append('-'); i += 2
           } else if (c1 == '*') {
             starPending = true; i += 2
@@ -109,6 +124,7 @@ object Rtf {
         }
       } else if (c == '\r' || c == '\n') i += 1
       else {
+        starPending = false // plain text voids a dangling \*
         if (!skip) {
           if (pendingUcSkip > 0) pendingUcSkip -= 1
           else sb.append(c)

@@ -178,6 +178,14 @@ class IngestFormatsSpec extends AnyFunSuite {
     assert(entries.exists(e => e.fuzzy && e.msgid == "Draft 5"))
     assert(Gettext.parsePo("no po content here").isEmpty)
     assert(Gettext.parsePo("").isEmpty)
+    // a '#, fuzzy' between UNSEPARATED entries flags the entry it
+    // PRECEDES, never the one it follows (review regression)
+    val dense = "msgid \"a\"\nmsgstr \"x\"\n#, fuzzy\n" +
+      "msgid \"b\"\nmsgstr \"y\"\n"
+    val es = Gettext.parsePo(dense).get
+    assert(es == Seq(Gettext.PoEntry("a", "x", fuzzy = false,
+      plural = false), Gettext.PoEntry("b", "y", fuzzy = true,
+      plural = false)))
   }
 
   test("proto: census counts, nested probe, strict validation") {

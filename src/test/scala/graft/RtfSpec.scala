@@ -32,6 +32,16 @@ class RtfSpec extends AnyFunSuite {
     assert(t("{\\rtf1\\uc0 \\u-3825 }") == "\uF10F")
     // raw newlines in source are ignored
     assert(t("{\\rtf1 one\ntwo\r\nthree}") == "onetwothree")
+    // optional hyphen \- is a break POINT: emits nothing
+    assert(t("{\\rtf1 doc\\-ument}") == "document")
+    // a dangling \* never leaks past text or a group boundary to mark
+    // some LATER group ignorable (review regression)
+    // (the malformed "\\* then text" group degrades to text — the
+    // point is that 'c' in the OUTER group survives)
+    assert(t("{\\rtf1 a{\\* x}b\\i c}") == "a xbc")
+    assert(t("{\\rtf1 a\\* b\\i c}") == "a bc")
+    // the \uN fallback skip dies at a group boundary
+    assert(t("{\\rtf1\\uc1 {\\u65 }B}") == "AB")
     // uc state is per-group: inner \uc0 does not leak out
     assert(t("{\\rtf1\\uc1 {\\uc0 \\u65 }\\u66 zq}") == "ABq")
   }
