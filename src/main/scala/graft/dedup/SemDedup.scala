@@ -54,7 +54,17 @@ object SemDedup {
     graft.sim.GraftFunctions.register(df.sparkSession)
     val e = df.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-    val model = KMeans.fit(e, "id", "vec", k = k, iters = iters)
+    // fewer rows than k (including zero): the fit pool can't seed k
+    // centers — clamp k to the row count, and with NO rows skip the
+    // fit entirely (schema-preserving empty result; [[audit]] on an
+    // empty frame must yield its aggregate row, not throw)
+    val nProbe = e.limit(k).count().toInt
+    if (nProbe == 0)
+      return e.withColumn("cluster", lit(0))
+        .withColumn("n2", lit(0.0))
+        .withColumn("cluster_check", lit(0))
+    val kEff = math.min(k, nProbe)
+    val model = KMeans.fit(e, "id", "vec", k = kEff, iters = iters)
     // one nested-array Literal (typedlit), not k·d lit() nodes — keeps
     // plan size O(1) in the codebook (the q215 planning-cost lesson);
     // the per-center distance is the codegen'd SEQUENTIAL Σ(x−y)² fold
@@ -67,7 +77,7 @@ object SemDedup {
     model.transform(
       e.withColumn("dists", dists)
         .withColumn("cluster",
-          element_at(filter(sequence(lit(0), lit(k - 1)),
+          element_at(filter(sequence(lit(0), lit(kEff - 1)),
             i => element_at(col("dists"), i + 1) === array_min(col("dists"))), 1))
         .drop("dists")
         .withColumn("n2", graft.sim.GraftFunctions.norm2(col("vec"))),
@@ -108,8 +118,11 @@ object SemDedup {
       .withColumn("__b", least(lit(nPlanes),
         ceil(log(2.0, col("__csz").cast("double") / cap)).cast("int")))
       // one fold, each projection evaluated once (Ann.planePrefixBucket
-      // scaladoc: a separate signs column inlines per bit)
-      .withColumn("__sub1", when(col("__b") <= 0, lit(0L)).otherwise(
+      // scaladoc: a separate signs column inlines per bit). dim<=0
+      // (zero-length vectors) has no planes to project — fall through
+      // to the level-2 hash split, which caps sizes without dim.
+      .withColumn("__sub1", if (dim <= 0) lit(0L)
+      else when(col("__b") <= 0, lit(0L)).otherwise(
         graft.sim.Ann.planePrefixBucket(col("vec"), dim, col("__b"))))
       .drop("__csz", "__b")
     val sizes2 = lvl1.groupBy("cluster", "__sub1")
@@ -154,11 +167,16 @@ object SemDedup {
     val assigned = assign(df, idCol, vecCol, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // headOption: an empty input frame must yield the aggregate row,
-    // not throw from the dim probe; capBuckets is a no-op on empty
-    val dim = df.select(size(col(vecCol))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    // not throw from the dim probe. Distinguish "no rows" from
+    // "first vector has dim 0": only a genuinely empty frame may
+    // bypass capBuckets — a non-empty frame with zero-length vectors
+    // must still cap oversized clusters (the in-cluster join is
+    // quadratic per bucket).
+    val probe = df.select(size(col(vecCol))).limit(1).collect().headOption
+    val isEmpty = probe.isEmpty
+    val dim = probe.map(_.getInt(0)).getOrElse(0)
     val pairs = clusterPairs(
-      if (dim == 0) assigned else capBuckets(assigned, dim, cap))
+      if (isEmpty) assigned else capBuckets(assigned, dim, cap))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a1 = assigned.agg(count(lit(1)).as("n_vecs"),
       max(size(col("vec"))).cast("long").as("dim"),

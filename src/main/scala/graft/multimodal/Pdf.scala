@@ -489,16 +489,17 @@ object Pdf {
               if (dst != "[" && dst != "]" && dst.length <= 12 &&
                 hiV - loV < MaxEntries) {
                 val base = java.lang.Long.parseLong(dst, 16)
-                // the CMap spec increments only the LAST code unit
-                // (ranges may not cross its 0xFF.. boundary): add the
-                // offset within the low 16 bits, higher units fixed —
-                // a carry must never propagate upward
-                val baseHi = base & ~0xffffL
-                val baseLo = base & 0xffffL
+                // PDF 32000-1 §9.10.3: only the LAST BYTE of the
+                // destination string is incremented (conforming
+                // ranges may not cross its 0xFF boundary) — add the
+                // offset within the low 8 bits, all higher bytes
+                // fixed; a carry must never propagate upward
+                val baseHi = base & ~0xffL
+                val baseLo = base & 0xffL
                 var c = loV
                 while (c <= hiV && out.size < MaxEntries) {
                   val h = java.lang.Long.toHexString(
-                    baseHi | ((baseLo + (c - loV)) & 0xffffL))
+                    baseHi | ((baseLo + (c - loV)) & 0xffL))
                   out(c) = utf16Hex(
                     "0" * math.max(0, dst.length - h.length) + h)
                   c += 1

@@ -28,9 +28,16 @@ object VectorMath {
   def norm2(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
 
-  /** Cosine similarity given precomputed squared norms. */
+  /** Cosine similarity given precomputed squared norms. A zero-norm
+    * side (the zero vector — empty embeddings do occur in real
+    * corpora) is DEFINED as similarity 0.0 rather than a
+    * divide-by-zero: under ANSI mode the raw division would fail the
+    * whole stage, and "no direction" ≡ "similar to nothing" is the
+    * convention every downstream θ-prune wants. The SQL twin matches.
+    */
   def cosineFromNorms(dotAB: Column, n2a: Column, n2b: Column): Column =
-    dotAB / (sqrt(n2a) * sqrt(n2b))
+    when(n2a === 0.0 || n2b === 0.0, lit(0.0))
+      .otherwise(dotAB / (sqrt(n2a) * sqrt(n2b)))
 
   def cosine(a: Column, b: Column): Column =
     cosineFromNorms(dot(a, b), norm2(a), norm2(b))
@@ -42,6 +49,6 @@ object VectorMath {
     def norm2(a: String): String =
       s"list_reduce(list_prepend(0.0::DOUBLE, list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x)"
     def cosineFromNorms(d: String, n2a: String, n2b: String): String =
-      s"($d / (sqrt($n2a) * sqrt($n2b)))"
+      s"(CASE WHEN $n2a = 0 OR $n2b = 0 THEN 0.0 ELSE ($d / (sqrt($n2a) * sqrt($n2b))) END)"
   }
 }

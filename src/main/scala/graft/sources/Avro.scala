@@ -122,13 +122,30 @@ object Avro {
         "\\s*\"type\"\\s*:\\s*\"([^\"]+)\"\\s*\\}").r
     val out = Field.findAllMatchIn(schema.substring(at))
       .map(m => (m.group(1), m.group(2))).toVector
-    // a fields array we couldn't fully parse (nested types) must not
-    // silently half-decode: every '{' inside the array should be one
-    // of our matches -- approximate by requiring at least one field
-    // and no "type" token followed by '{' or '['
+    // a fields array we couldn't fully parse must not silently
+    // half-decode: a field carrying extra keys ("default", "doc") or
+    // with name/type reversed misses the exact-shape regex, and a
+    // "null"-typed omission consumes zero bytes so the record decode
+    // would still align — the column would silently disappear. So
+    // require every object inside the fields ARRAY (brace-counted to
+    // the array's matching ']') to be one of our matches, and reject
+    // nested types ("type" followed by '{' or '[') outright.
     if (out.isEmpty) return None
     val rest = schema.substring(at)
     if ("\"type\"\\s*:\\s*[\\[{]".r.findFirstIn(rest).isDefined) return None
+    val open = rest.indexOf('[')
+    if (open < 0) return None
+    var i = open; var depth = 0; var braces = 0; var end = -1
+    while (i < rest.length && end < 0) {
+      rest.charAt(i) match {
+        case '[' => depth += 1
+        case ']' => depth -= 1; if (depth == 0) end = i
+        case '{' => braces += 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (end < 0 || braces != out.length) return None
     Some(out)
   }
 

@@ -59,6 +59,10 @@ object Sqlite {
     if (pageType != 0x0D) return None
     val nCells = u16(ph + 3)
     if (nCells > 10000) return None
+    // the cell-pointer array must fit in the buffer BEFORE we index
+    // into it — a truncated file whose header claims more cells than
+    // the bytes hold must reject, not throw (parser-totality rule)
+    if (ph + 8 + 2L * nCells > b.length) return None
     val tables = Vector.newBuilder[SqliteTable]
     var c = 0
     while (c < nCells) {

@@ -279,6 +279,32 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Boolean]("pruned_frac_ok"))
   }
 
+  test("SemDedup: audit survives empty frame AND zero-length vectors") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    // genuinely empty frame: the aggregate row still comes back
+    val r0 = graft.dedup.SemDedup.audit(e.limit(0), "vec_id", "embedding",
+      k = 4, theta = 0.45).collect()(0)
+    assert(r0.getAs[Long]("n_vecs") == 0L)
+    // NON-empty frame of zero-length vectors: dim==0 must NOT bypass
+    // capBuckets (the in-cluster join stays capped), and nothing
+    // throws from the plane projection with no dims
+    val z = e.limit(40).select(col("vec_id"),
+      expr("array()").cast("array<double>").as("embedding"))
+    val rz = graft.dedup.SemDedup.audit(z, "vec_id", "embedding",
+      k = 4, theta = 0.45, cap = 8).collect()(0)
+    assert(rz.getAs[Long]("n_vecs") == 40L)
+    assert(rz.getAs[Long]("dim") == 0L)
+    // and the cap actually bit: all-identical (empty) vectors land in
+    // one k-means cluster, so capBuckets must have re-split it (hash
+    // balance gives slack — assert a 3× bound, as the sized test does)
+    val assigned = graft.dedup.SemDedup.assign(z, "vec_id", "embedding", k = 4)
+    val capped = graft.dedup.SemDedup.capBuckets(assigned, dim = 0, cap = 8)
+    val sizes = capped.groupBy("cluster").count()
+    assert(sizes.agg(max("count")).collect()(0).getLong(0) <= 24L)
+    assert(sizes.count() >= 2L)
+  }
+
   test("winnowing: detection guarantee and density bound") {
     // k=4, w=4: any shared run of >= w+k-1 = 7 tokens must yield a
     // shared fingerprint. Docs 1 and 2 share an 8-token run; doc 3 is

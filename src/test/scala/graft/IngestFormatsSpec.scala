@@ -34,6 +34,19 @@ class IngestFormatsSpec extends AnyFunSuite {
     assert(Avro.schemaFields(
       """{"fields":[{"name":"a","type":"string"}]}""")
       .contains(Seq("a" -> "string")))
+    // a field with EXTRA keys ("default") misses the exact-shape
+    // regex — it must reject the whole schema, never silently drop
+    // the column (a "null"-typed omission would still byte-align)
+    assert(Avro.schemaFields(
+      """{"fields":[{"name":"a","type":"string"},""" +
+        """{"name":"b","type":"null","default":null}]}""").isEmpty)
+    assert(Avro.schemaFields(
+      """{"fields":[{"type":"long","name":"rev"}]}""").isEmpty)
+    // two clean fields still parse (brace count == match count)
+    assert(Avro.schemaFields(
+      """{"fields":[{"name":"a","type":"string"},""" +
+        """{"name":"b","type":"long"}]}""")
+      .contains(Seq("a" -> "string", "b" -> "long")))
   }
 
   test("ics: unfolding, escapes, quoted-param colon, valarm excluded") {
@@ -82,6 +95,15 @@ class IngestFormatsSpec extends AnyFunSuite {
     // interior root page: out of scope, rejects
     val interior = f.clone(); interior(100) = 0x05
     assert(Sqlite.parseSqlite(interior).isEmpty)
+    // a header claiming more cells than the buffer holds must reject
+    // BEFORE indexing the cell-pointer array (no AIOOBE from a
+    // truncated/corrupt db) — nCells lives at page offset 3..4
+    val manyCells = f.take(112).toArray
+    manyCells(103) = 0x20; manyCells(104) = 0x00 // nCells = 8192
+    assert(Sqlite.parseSqlite(manyCells).isEmpty)
+    val fewBytes = f.clone()
+    fewBytes(103) = 0x27.toByte; fewBytes(104) = 0x0f.toByte // 9999
+    assert(Sqlite.parseSqlite(fewBytes).isEmpty)
   }
 
   test("frames: zstd FCS widths, lz4 flags, xz check types") {

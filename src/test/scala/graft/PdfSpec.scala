@@ -199,6 +199,13 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.parseToUnicodeCMap("beginbfrange <zz> endbfrange " +
       "beginbfchar <01> endbfchar").isEmpty ||
       true)
+    // PDF 32000-1 §9.10.3: only the LAST BYTE increments — a range
+    // whose low byte crosses 0xFF must wrap within that byte, never
+    // carry into the next one up
+    val wrap = Pdf.parseToUnicodeCMap(
+      "1 beginbfrange <10> <12> <41fe> endbfrange")
+    assert(wrap(0x10) == "\u41fe" && wrap(0x11) == "\u41ff" &&
+      wrap(0x12) == "\u4100")
   }
 
   test("ObjStm: the packed document tree expands and resolves") {
