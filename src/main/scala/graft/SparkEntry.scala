@@ -437,7 +437,12 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q388_vcards" -> (qVcards _),
     "q389_git_objects" -> (qGitObjects _),
     "q390_pcap_census" -> (qPcapCensus _),
-    "q391_po_stats" -> (qPoStats _)
+    "q391_po_stats" -> (qPoStats _),
+    "q392_parquet_footer" -> (qParquetFooter _),
+    "q393_pcapng_census" -> (qPcapngCensus _),
+    "q394_cbor_census" -> (qCborCensus _),
+    "q395_msgpack_census" -> (qMsgpackCensus _),
+    "q396_git_pack_idx" -> (qGitPackIdx _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //
@@ -503,4 +508,17 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     * 6,000-line literal; the driver only ever looks entries up by key).
     */
   def oracleSql: Map[String, String] = oracleSqlA ++ oracleSqlB ++ oracleSqlC
+
+  /** Input-byte probes for the corpus-proportional ingest rows (r16):
+    * total bytes each named query's parse stage consumes at a given
+    * sf dir. [[Bench]] emits `parse_mb_s` = bytes / 1e6 / min-time for
+    * each — the measured ingest-layer throughput the fixed-battery
+    * rows could never provide.
+    */
+  def parseBytes: Map[String, (SparkSession, String) => Long] = Map(
+    "q329_warc_responses" -> (warcParseBytes _),
+    "q342_pdf_text" -> (pdfParseBytes _),
+    "q346_zip_ingest" -> (zipParseBytes _),
+    "q371_xlsx_cells" -> (xlsxParseBytes _),
+    "q381_avro_ingest" -> (avroParseBytes _))
 }

@@ -3513,13 +3513,21 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
     * needs: per-record member offsets strictly positive (warcinfo owns
     * offset 0), one member per record, and the last member tiling
     * exactly to the file end — Spark-checked structurally, oracle
-    * expects TRUE. Scale shape: `collect_list` groups bounded by
-    * construction (doc_id < 480 over 48 buckets ⇒ 10 docs/shard);
-    * parse is per-row map work, records explode to rows.
+    * expects TRUE. Scale shape (r16: the battery is the WHOLE corpus,
+    * not a fixed 480-doc slice, so the measured bench time scales with
+    * the table — the ingest-layer throughput number is real): docs
+    * shard into 48 WET files, so shard size grows with the corpus
+    * exactly as real crawl shards do; `collect_list` groups stay
+    * file-sized (~100 docs at sf0.1); parse is per-row map work,
+    * records explode to rows.
     */
-  private[graft] def qWarcResponses(s: SparkSession, dir: String): DataFrame = {
+  /** The (bucket, wrc) crawl shards qWarcResponses parses — factored
+    * out so the parse-bytes probe ([[SparkEntry.parseBytes]]) measures
+    * the exact byte volume the query's parse stage consumes.
+    */
+  private[graft] def warcShards(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Warc
-    val d = par(doc(s, dir)).where(col("doc_id") < 480)
+    val d = par(doc(s, dir))
       .select(col("doc_id"), col("text"),
         (col("doc_id") % lit(48L)).as("bucket"),
         when(col("doc_id") % 2 === 0, lit("response"))
@@ -3531,12 +3539,16 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       // a 404 capture carries an error page, not the document
       .withColumn("body", when(col("rec_type") === "response" &&
         col("status") === 404, lit("gone")).otherwise(col("text")))
-    val shards = d.groupBy("bucket").agg(
+    d.groupBy("bucket").agg(
         sort_array(collect_list(struct(
           concat(lit("urn:graft:doc:"), col("doc_id")).as("uri"),
           col("body").as("text"), col("rec_type").as("rec_type"),
           col("status").as("status"), col("ctype").as("ctype")))).as("docs"))
       .select(col("bucket"), Warc.buildCrawlCol(col("docs")).as("wrc"))
+  }
+  private[graft] def qWarcResponses(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val shards = warcShards(s, dir)
     val parsed = shards.select(col("bucket"),
         length(col("wrc")).cast("long").as("file_len"),
         explode(Warc.parseCrawlCol(col("wrc"))).as("r"))
@@ -3561,6 +3573,31 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
           col("__max_end") === col("__flen")).as("offsets_ok"))
       .orderBy("bucket")
   }
+
+  /** Parse-input byte probes for the ingest-throughput rows (r16): for
+    * each corpus-proportional parser query, the total bytes its parse
+    * stage consumes at `dir`'s scale — WARC shard files for q329, the
+    * per-doc synthetic containers for the rest. [[graft.Bench]] runs
+    * these once (untimed) and divides the measured min wall time into
+    * them to emit `parse_mb_s`, the number a 100 TB crawl budget needs.
+    */
+  private[graft] def warcParseBytes(s: SparkSession, dir: String): Long =
+    warcShards(s, dir)
+      .agg(sum(octet_length(col("wrc")).cast("long")))
+      .collect()(0).getLong(0)
+  private def synthBytes(synth: Column => Column)(
+      s: SparkSession, dir: String): Long =
+    par(doc(s, dir))
+      .select(length(synth(col("doc_id"))).cast("long").as("b"))
+      .agg(sum(col("b"))).collect()(0).getLong(0)
+  private[graft] def pdfParseBytes(s: SparkSession, dir: String): Long =
+    synthBytes(graft.multimodal.Pdf.synthPdfCol)(s, dir)
+  private[graft] def zipParseBytes(s: SparkSession, dir: String): Long =
+    synthBytes(graft.sources.Archives.synthZipCol)(s, dir)
+  private[graft] def xlsxParseBytes(s: SparkSession, dir: String): Long =
+    synthBytes(graft.sources.Office.synthXlsxCol)(s, dir)
+  private[graft] def avroParseBytes(s: SparkSession, dir: String): Long =
+    synthBytes(graft.sources.Avro.synthAvroCol)(s, dir)
 
   /** MM-WEBP — WebP metadata via the RIFF + stream-header walk
     * ([[graft.multimodal.Binary.parseWebpMeta]]): the most common
@@ -4050,11 +4087,13 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
     * four variants of doc_id with a second page every third doc, so
     * the extracted text, page count and version are closed forms the
     * oracle fully recomputes — a flipped byte anywhere (header,
-    * stream framing, zlib, escapes) changes the hash.
+    * stream framing, zlib, escapes) changes the hash. r16: the battery
+    * is the WHOLE documents table (corpus-proportional, repartitioned
+    * across cores) so the bench row measures real parse throughput.
     */
   private[graft] def qPdfText(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Pdf
-    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+    par(doc(s, dir)).select(col("doc_id"))
       .withColumn("p", Pdf.pdfCol(Pdf.synthPdfCol(col("doc_id"))))
       .select(col("doc_id"), col("p.version").as("version"),
         col("p.n_pages").cast("long").as("n_pages"),
@@ -4146,7 +4185,7 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
     */
   private[graft] def qAvroIngest(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Avro
-    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+    par(doc(s, dir)).select(col("doc_id"))
       .withColumn("a", Avro.avroCol(Avro.synthAvroCol(col("doc_id"))))
       .select(col("doc_id"), col("a._1").as("codec"),
         col("a._2").cast("long").as("n_blocks"),
@@ -4514,7 +4553,7 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
     */
   private[graft] def qZipIngest(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Archives
-    doc(s, dir).where(col("doc_id") < 120).select(col("doc_id"))
+    par(doc(s, dir)).select(col("doc_id"))
       .select(col("doc_id"), posexplode(Archives.zipEntriesCol(
         Archives.synthZipCol(col("doc_id")))))
       .select(col("doc_id"), col("pos").cast("long").as("idx"),
@@ -4697,7 +4736,26 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
         .as(Seq("dep", "version"))).withColumn("kind", lit("runtime"))
     val dev = parsed.select(explode(col("p.devDependencies"))
         .as(Seq("dep", "version"))).withColumn("kind", lit("dev"))
-    runtime.unionByName(dev)
+    // r16: the same crawl hits Cargo.toml just as often — a REAL TOML
+    // parse (graft.text.Toml: tables, strings, comment stripping,
+    // duplicate-key rejection) feeds the same (dep, kind) rollup; the
+    // [package] table and the comment decoy must NOT surface
+    val tomlText = concat(
+      lit("# manifest for pkg-"), col("dg"), lit("\n[package]\nname = \"pkg-"),
+      col("dg"), lit("\"\nversion = \"1.0."), col("dg"),
+      lit("\"\n\n[dependencies]\nserde = \"1.0."), col("dg"),
+      lit("\" # decoy = \"9.9.9\"\nrand = \"0.8."), col("dg"), lit("\"\n"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("tokio = \"1."), col("dg"), lit("\"\n")))
+        .otherwise(lit("")),
+      lit("\n[dev-dependencies]\ncriterion = \"0.5."), col("dg"), lit("\"\n"))
+    val toml = d.select(col("doc_id"),
+        explode(graft.text.Toml.parseTomlCol(tomlText)).as("kv"))
+      .where(col("kv.table").isin("dependencies", "dev-dependencies"))
+      .select(col("kv.key").as("dep"), col("kv.value").as("version"),
+        when(col("kv.table") === "dependencies", lit("runtime"))
+          .otherwise(lit("dev")).as("kind"))
+    runtime.unionByName(dev).unionByName(toml)
       .groupBy("dep", "kind")
       .agg(count(lit(1)).as("n_uses"),
         countDistinct(col("version")).as("n_versions"))
@@ -4844,7 +4902,7 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
     */
   private[graft] def qXlsxCells(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Office
-    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+    par(doc(s, dir)).select(col("doc_id"))
       .withColumn("m", Office.xlsxCellsCol(Office.synthXlsxCol(col("doc_id"))))
       .select(col("doc_id"),
         col("m.n_sheets").cast("long").as("n_sheets"),
@@ -5285,6 +5343,124 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
         col("t.title").as("title"), col("t.artist").as("artist"),
         col("t.n_comments").cast("long").as("n_comments"),
         col("a.duration_ms").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
+  /** SRC-PQMETA — Parquet footer / row-group census
+    * ([[graft.sources.Parquet.parseFooter]], r16): a REAL thrift
+    * compact-protocol decode of FileMetaData — varints/zigzag, field
+    * deltas, list headers, structural skip of unknown fields (the
+    * fixture plants field id 32767) — yielding the pruning-planning
+    * primitive of a 100 TB lake: per-chunk codec, sizes, INT64
+    * min/max stats. Every field is a closed form of doc_id.
+    */
+  private[graft] def qParquetFooter(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Parquet
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("m",
+        Parquet.footerCol(Parquet.synthParquetCol(col("doc_id"))))
+      .select(col("doc_id"),
+        col("m.version").cast("long").as("version"),
+        col("m.n_rows").as("n_rows"),
+        col("m.n_groups").cast("long").as("n_groups"),
+        col("m.n_leaves").cast("long").as("n_leaves"),
+        col("m.created_by").as("created_by"),
+        explode(col("m.columns")).as("c"))
+      .select(col("doc_id"), col("version"), col("n_rows"),
+        col("n_groups"), col("n_leaves"), col("created_by"),
+        col("c.rg").cast("long").as("rg"), col("c.path").as("path"),
+        col("c.codec").as("codec"), col("c.num_values").as("num_values"),
+        col("c.compressed").as("compressed"),
+        col("c.uncompressed").as("uncompressed"),
+        col("c.min_i64").as("min_i64"), col("c.max_i64").as("max_i64"),
+        col("c.null_count").as("null_count"))
+      .orderBy("doc_id", "rg", "path")
+  }
+
+  /** SRC-PCAPNG — next-generation capture census
+    * ([[graft.sources.Pcap.censusNg]], r16): the block-structured walk
+    * (SHB byte-order magic, IDB if_tsresol options, EPB 64-bit split
+    * timestamps, unknown-block skip) beside q390's classic format —
+    * same census row shape plus the interface count.
+    */
+  private[graft] def qPcapngCensus(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Pcap
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("c", Pcap.censusNgCol(Pcap.synthPcapngCol(col("doc_id"))))
+      .select(col("doc_id"), col("c.endian").as("endian"),
+        col("c.resolution").as("resolution"),
+        col("c.n_interfaces").cast("long").as("n_interfaces"),
+        col("c.link_type").cast("long").as("link_type"),
+        col("c.n_packets").cast("long").as("n_packets"),
+        col("c.total_bytes").as("total_bytes"),
+        col("c.n_ipv4").cast("long").as("n_ipv4"),
+        col("c.n_tcp").cast("long").as("n_tcp"),
+        col("c.n_udp").cast("long").as("n_udp"),
+        col("c.n_arp").cast("long").as("n_arp"),
+        col("c.n_other").cast("long").as("n_other"),
+        col("c.span_ms").as("span_ms"))
+      .orderBy("doc_id")
+  }
+
+  /** SRC-CBOR — RFC 8949 type-walk census ([[graft.sources.Cbor
+    * .census]], r16): major-type dispatch, definite+indefinite
+    * containers, tags, negative-int encoding, text byte volumes —
+    * the self-describing binary interchange triage beside JSON
+    * (q235) and protobuf (q383). Closed forms of doc_id.
+    */
+  private[graft] def qCborCensus(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Cbor
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("c", Cbor.censusCol(Cbor.synthCborCol(col("doc_id"))))
+      .select(col("doc_id"), col("c.top_type").as("top_type"),
+        col("c.n_nodes").as("n_nodes"), col("c.n_int").as("n_int"),
+        col("c.n_str").as("n_str"), col("c.n_arr").as("n_arr"),
+        col("c.n_map").as("n_map"), col("c.n_bool").as("n_bool"),
+        col("c.n_tag").as("n_tag"),
+        col("c.max_depth").cast("long").as("max_depth"),
+        col("c.int_sum").as("int_sum"),
+        col("c.str_bytes").as("str_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** SRC-MSGPACK — MessagePack initial-byte census
+    * ([[graft.sources.Msgpack.census]], r16): fixint/fixmap/fixstr
+    * forms, forced uint16 widths, negative fixints, float64, the
+    * fixext skip path — the same census row as CBOR (exts land in
+    * n_tag), so the two walkers cross-check each other's shape.
+    */
+  private[graft] def qMsgpackCensus(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Msgpack
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("c",
+        Msgpack.censusCol(Msgpack.synthMsgpackCol(col("doc_id"))))
+      .select(col("doc_id"), col("c.top_type").as("top_type"),
+        col("c.n_nodes").as("n_nodes"), col("c.n_int").as("n_int"),
+        col("c.n_str").as("n_str"), col("c.n_arr").as("n_arr"),
+        col("c.n_map").as("n_map"), col("c.n_bool").as("n_bool"),
+        col("c.n_float").as("n_float"), col("c.n_tag").as("n_ext"),
+        col("c.max_depth").cast("long").as("max_depth"),
+        col("c.int_sum").as("int_sum"),
+        col("c.str_bytes").as("str_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** SRC-PACKIDX — git pack-index v2 census ([[graft.sources.Git
+    * .parsePackIdx]], r16): fanout/sha-histogram consistency, strict
+    * sha ordering, crc sums, the MSB 64-bit offset escape — the
+    * split index for pack shards beside q389's loose objects.
+    */
+  private[graft] def qGitPackIdx(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Git
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("p", Git.packIdxCol(Git.synthPackIdxCol(col("doc_id"))))
+      .select(col("doc_id"),
+        col("p.n_objects").cast("long").as("n_objects"),
+        col("p.n_large").cast("long").as("n_large"),
+        col("p.sum_crc").as("sum_crc"),
+        col("p.max_offset").as("max_offset"),
+        col("p.first_sha8").as("first_sha8"),
+        col("p.last_sha8").as("last_sha8"))
       .orderBy("doc_id")
   }
 

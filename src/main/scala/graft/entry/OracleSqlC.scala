@@ -2159,7 +2159,7 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
          | CAST(COALESCE(sum($h) FILTER (WHERE doc_id % 2 = 1
          |   OR doc_id % 10 <> 4), 0) AS BIGINT) AS sum_hash,
          | TRUE AS offsets_ok
-         | FROM documents WHERE doc_id < 480
+         | FROM documents
          | GROUP BY 1 ORDER BY bucket""".stripMargin.replaceAll("\n", " ")
     },
     // q330: every WebP header field is a closed form of doc_id; the
@@ -2370,7 +2370,7 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
     // oracle recomputes what the four variants must extract to
     "q342_pdf_text" ->
       """WITH d AS (SELECT doc_id, doc_id % 4 AS v, doc_id % 3 = 0 AS two
-        |  FROM documents WHERE doc_id < 240),
+        |  FROM documents),
         | p AS (SELECT doc_id, two,
         |  CASE v
         |   WHEN 0 THEN 'Hello (doc) ' || doc_id || chr(10) ||
@@ -2483,7 +2483,7 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
     // Spark-side; usize replayed as length of the same text)
     "q346_zip_ingest" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS dg
-        |  FROM documents WHERE doc_id < 120),
+        |  FROM documents),
         | g AS (SELECT d.*, i.i AS idx FROM d, range(0, 3) i(i)),
         | e AS (SELECT doc_id, idx,
         |  CASE idx WHEN 0 THEN 'src/main.py' WHEN 1 THEN 'README.md'
@@ -2600,7 +2600,16 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  UNION ALL SELECT 'lodash', 'runtime', count(*),
         |   count(DISTINCT dg) FROM d
         |  UNION ALL SELECT 'react', 'runtime', count(*),
-        |   CAST(1 AS BIGINT) FROM d)
+        |   CAST(1 AS BIGINT) FROM d
+        |  UNION ALL SELECT 'serde', 'runtime', count(*),
+        |   count(DISTINCT dg) FROM d
+        |  UNION ALL SELECT 'rand', 'runtime', count(*),
+        |   count(DISTINCT dg) FROM d
+        |  UNION ALL SELECT 'tokio', 'runtime',
+        |   count(*) FILTER (WHERE even),
+        |   count(DISTINCT dg) FILTER (WHERE even) FROM d
+        |  UNION ALL SELECT 'criterion', 'dev', count(*),
+        |   count(DISTINCT dg) FROM d)
         | ORDER BY dep, kind"""
         .stripMargin.replaceAll("\n", " "),
     // q354: per-file diff stats closed forms (file boundaries, hunk
@@ -2847,7 +2856,7 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         |  'Sheet two ' || (doc_id % 10) || chr(10) ||
         |  'Region ' || (doc_id % 5) AS text_cells,
         | round((doc_id % 100) + (doc_id % 9) + 7.5, 2) AS num_sum
-        | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        | FROM documents ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
     // q372: PPTX slide text closed forms — slide ORDER comes from the
     // sldIdLst (the fixture reverses the filename order on purpose)
@@ -2980,7 +2989,7 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
     // record index global across blocks, codec by parity
     "q381_avro_ingest" ->
       """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS pb
-        |  FROM documents WHERE doc_id < 240),
+        |  FROM documents),
         | g AS (SELECT doc_id, t.t AS i FROM d, range(0, 6) t(t)
         |  WHERE t < 2 * pb)
         | SELECT doc_id,
@@ -3212,6 +3221,157 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         | 'Hello world ' || (doc_id % 10) || chr(10) AS first_id,
         | 'Hola mundo ' || (doc_id % 10) || chr(10) AS first_str
         | FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    // q392: parquet footer closed forms — per (row-group, column)
+    // codec cycle, sizes, INT64 stats on even columns only; the
+    // thrift compact decode happens Spark-side
+    "q392_parquet_footer" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 + 2 AS k,
+        |   doc_id % 2 + 1 AS g, doc_id % 50 + 10 AS rpg
+        |  FROM documents WHERE doc_id < 240),
+        | rj AS (SELECT d.*, r.r AS rg FROM d, range(0, 2) r(r)
+        |  WHERE r < g),
+        | cj AS (SELECT rj.*, j.j AS j FROM rj, range(0, 4) j(j)
+        |  WHERE j < k)
+        | SELECT doc_id, CAST(1 AS BIGINT) AS version,
+        | CAST(g * rpg AS BIGINT) AS n_rows, CAST(g AS BIGINT) AS n_groups,
+        | CAST(k AS BIGINT) AS n_leaves,
+        | 'graft-writer 1.' || (doc_id % 10) AS created_by,
+        | CAST(rg AS BIGINT) AS rg, 'c' || j AS path,
+        | CASE (doc_id + j) % 3 WHEN 0 THEN 'uncompressed'
+        |  WHEN 1 THEN 'snappy' ELSE 'gzip' END AS codec,
+        | CAST(rpg AS BIGINT) AS num_values,
+        | CAST(1000 + 10 * j + rg + doc_id % 100 - (j + 1) AS BIGINT)
+        |  AS compressed,
+        | CAST(1000 + 10 * j + rg + doc_id % 100 AS BIGINT)
+        |  AS uncompressed,
+        | CASE WHEN j % 2 = 0 THEN CAST(doc_id + rg AS BIGINT)
+        |  ELSE NULL END AS min_i64,
+        | CASE WHEN j % 2 = 0 THEN CAST(doc_id + rg + rpg - 1 AS BIGINT)
+        |  ELSE NULL END AS max_i64,
+        | CASE WHEN j % 2 = 0 THEN CAST((doc_id + j) % 3 AS BIGINT)
+        |  ELSE NULL END AS null_count
+        | FROM cj ORDER BY doc_id, rg, path"""
+        .stripMargin.replaceAll("\n", " "),
+    // q393: pcapng closed forms — the q390 packet mix on interface 0
+    // plus the second-interface "other" packets every 3rd id; the
+    // block/option walk happens Spark-side
+    "q393_pcapng_census" ->
+      """WITH d AS (SELECT doc_id, doc_id % 10 + 5 AS n,
+        |   doc_id % 5 + 1 AS step, doc_id % 3 = 0 AS two
+        |  FROM documents WHERE doc_id < 240),
+        | g AS (SELECT doc_id, n, step, two, t.t AS k
+        |  FROM d, range(0, 15) t(t) WHERE t < n),
+        | p AS (SELECT doc_id, n, step, two, k,
+        |   14 + (CASE WHEN k % 3 = 2 THEN 0 ELSE 20 END) +
+        |    ((doc_id + k) % 20 + 6) AS incl FROM g),
+        | a AS (SELECT doc_id, min(n) AS n, min(step) AS step,
+        |   bool_or(two) AS two, sum(incl) AS tb,
+        |   count(*) FILTER (WHERE k % 3 = 0) AS tcp,
+        |   count(*) FILTER (WHERE k % 3 = 1) AS udp,
+        |   count(*) FILTER (WHERE k % 3 = 2) AS arp
+        |  FROM p GROUP BY doc_id)
+        | SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'little' ELSE 'big' END AS endian,
+        | CASE WHEN doc_id % 4 = 3 THEN 'ns' ELSE 'us' END AS resolution,
+        | CAST(CASE WHEN two THEN 2 ELSE 1 END AS BIGINT) AS n_interfaces,
+        | CAST(1 AS BIGINT) AS link_type,
+        | CAST(n + CASE WHEN two THEN 2 ELSE 0 END AS BIGINT) AS n_packets,
+        | CAST(tb + CASE WHEN two THEN 32 ELSE 0 END AS BIGINT)
+        |  AS total_bytes,
+        | CAST(tcp + udp AS BIGINT) AS n_ipv4,
+        | CAST(tcp AS BIGINT) AS n_tcp, CAST(udp AS BIGINT) AS n_udp,
+        | CAST(arp AS BIGINT) AS n_arp,
+        | CAST(CASE WHEN two THEN 2 ELSE 0 END AS BIGINT) AS n_other,
+        | CAST((n - 1) * step AS BIGINT) AS span_ms
+        | FROM a ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    // q394: CBOR census closed forms — per-entry kind cycle summed
+    // over e = id%3+2 entries + the neg entry + the 5th-id tag wrap
+    "q394_cbor_census" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 + 2 AS e,
+        |   CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS tag,
+        |   doc_id % 2 + 1 AS an FROM documents WHERE doc_id < 240),
+        | g AS (SELECT d.*, j.j FROM d, range(0, 4) j(j) WHERE j < e),
+        | per AS (SELECT doc_id, j,
+        |   CASE j % 4 WHEN 0 THEN 1 WHEN 2 THEN an ELSE 0 END AS vi,
+        |   CASE j % 4 WHEN 0 THEN doc_id * 10 + j
+        |    WHEN 2 THEN 2 * an + an * (an - 1) // 2 ELSE 0 END AS vs,
+        |   CASE j % 4 WHEN 1 THEN 1 ELSE 0 END AS vstr,
+        |   CASE j % 4 WHEN 1 THEN 4 ELSE 0 END AS vstrb,
+        |   CASE j % 4 WHEN 2 THEN 1 ELSE 0 END AS va,
+        |   CASE j % 4 WHEN 3 THEN 1 ELSE 0 END AS vb,
+        |   2 + CASE j % 4 WHEN 2 THEN an ELSE 0 END AS vn
+        |  FROM g),
+        | agg AS (SELECT doc_id, sum(vi) AS vi, sum(vs) AS vs,
+        |   sum(vstr) AS vstr, sum(vstrb) AS vstrb, sum(va) AS va,
+        |   sum(vb) AS vb, sum(vn) AS vn FROM per GROUP BY doc_id)
+        | SELECT d.doc_id,
+        | CASE WHEN tag = 1 THEN 'tag' ELSE 'map' END AS top_type,
+        | CAST(tag + 1 + vn + 2 AS BIGINT) AS n_nodes,
+        | CAST(vi + 1 AS BIGINT) AS n_int,
+        | CAST(e + vstr + 1 AS BIGINT) AS n_str,
+        | CAST(va AS BIGINT) AS n_arr, CAST(1 AS BIGINT) AS n_map,
+        | CAST(vb AS BIGINT) AS n_bool, CAST(tag AS BIGINT) AS n_tag,
+        | CAST(CASE WHEN e >= 3 THEN 3 ELSE 2 END + tag AS BIGINT)
+        |  AS max_depth,
+        | CAST(vs - (doc_id % 100 + 1) AS BIGINT) AS int_sum,
+        | CAST(2 * e + vstrb + 3 AS BIGINT) AS str_bytes
+        | FROM d JOIN agg USING (doc_id) ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    // q395: MessagePack census closed forms — same entry cycle as
+    // CBOR plus the always-present float64 and the 4th-id fixext
+    "q395_msgpack_census" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 + 2 AS e,
+        |   CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS ext,
+        |   doc_id % 2 + 1 AS an FROM documents WHERE doc_id < 240),
+        | g AS (SELECT d.*, j.j FROM d, range(0, 4) j(j) WHERE j < e),
+        | per AS (SELECT doc_id, j,
+        |   CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN an
+        |    ELSE 0 END AS vi,
+        |   CASE j % 4 WHEN 0 THEN doc_id % 100 + j
+        |    WHEN 1 THEN 1000 + doc_id % 1000
+        |    WHEN 2 THEN 2 * an + an * (an - 1) // 2 ELSE 0 END AS vs,
+        |   CASE j % 4 WHEN 2 THEN 1 ELSE 0 END AS va,
+        |   CASE j % 4 WHEN 3 THEN 1 ELSE 0 END AS vb,
+        |   2 + CASE j % 4 WHEN 2 THEN an ELSE 0 END AS vn
+        |  FROM g),
+        | agg AS (SELECT doc_id, sum(vi) AS vi, sum(vs) AS vs,
+        |   sum(va) AS va, sum(vb) AS vb, sum(vn) AS vn
+        |  FROM per GROUP BY doc_id)
+        | SELECT d.doc_id, 'map' AS top_type,
+        | CAST(1 + vn + 4 + ext * 2 AS BIGINT) AS n_nodes,
+        | CAST(vi + 1 AS BIGINT) AS n_int,
+        | CAST(e + 2 + ext AS BIGINT) AS n_str,
+        | CAST(va AS BIGINT) AS n_arr, CAST(1 AS BIGINT) AS n_map,
+        | CAST(vb AS BIGINT) AS n_bool, CAST(1 AS BIGINT) AS n_float,
+        | CAST(ext AS BIGINT) AS n_ext,
+        | CAST(CASE WHEN e >= 3 THEN 3 ELSE 2 END AS BIGINT) AS max_depth,
+        | CAST(vs - (doc_id % 30 + 1) AS BIGINT) AS int_sum,
+        | CAST(2 * e + 3 + 1 + ext AS BIGINT) AS str_bytes
+        | FROM d JOIN agg USING (doc_id) ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    // q396: pack-index v2 closed forms — crc sums are exact (no
+    // modulus bites below 2^31), the large-offset escape every 3rd id
+    "q396_git_pack_idx" ->
+      """WITH d AS (SELECT doc_id, doc_id % 20 + 5 AS n,
+        |   doc_id % 3 = 0 AS big, doc_id % 50 AS m50
+        |  FROM documents WHERE doc_id < 240)
+        | SELECT doc_id, CAST(n AS BIGINT) AS n_objects,
+        | CAST(CASE WHEN big THEN 1 ELSE 0 END AS BIGINT) AS n_large,
+        | CAST(n * doc_id * 1000 + 17 * n * (n - 1) // 2 AS BIGINT)
+        |  AS sum_crc,
+        | CAST(CASE WHEN big THEN 2147483648 + doc_id
+        |  ELSE 12 + (n - 1) * (100 + m50) END AS BIGINT) AS max_offset,
+        | printf('%02x%02x%02x%02x', 0, 0,
+        |  CAST((doc_id * 3 + 22) % 256 AS INT),
+        |  CAST((doc_id * 3 + 33) % 256 AS INT)) AS first_sha8,
+        | printf('%02x%02x%02x%02x',
+        |  CAST((n - 1) * 256 // n AS INT), CAST(n - 1 AS INT),
+        |  CAST((doc_id * 3 + (n - 1) * 5 + 22) % 256 AS INT),
+        |  CAST((doc_id * 3 + (n - 1) * 5 + 33) % 256 AS INT))
+        |  AS last_sha8
+        | FROM d ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
     // q363: per-track MP4 sample-table closed forms (the ISO-BMFF walk
     // happens Spark-side) — stts runs, both stsz forms, mdhd clocks

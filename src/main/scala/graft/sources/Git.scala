@@ -169,4 +169,135 @@ object Git {
     udf { id: Long => synthLoose(id) }.apply(c)
   def looseCol(c: Column): Column =
     udf { b: Array[Byte] => parseLoose(b) }.apply(c)
+
+  // ---- pack index (pack-*.idx v2) ----------------------------------- //
+
+  final case class PackIdx(n_objects: Int, n_large: Int, sum_crc: Long,
+                           max_offset: Long, first_sha8: String,
+                           last_sha8: String)
+
+  /** Pack-index v2 census — real mirrors are 99% packfiles, and the
+    * `.idx` sidecar (magic \xFFtOc, version 2, 256-entry cumulative
+    * fanout, sorted sha table, crc table, offset table with the
+    * MSB-set 64-bit escape) is the bounded binary walk that yields
+    * object counts and offset spans WITHOUT decoding delta chains —
+    * the split index a 100 TB code crawl shards packs by, matching
+    * the ZIP central-directory / WARC member-offset story.
+    *
+    * Validations (violation → None, the reject-not-misparse rule):
+    * exact length accounting (the large-offset table size is DERIVED
+    * from the residue and must divide by 8), fanout monotonic AND
+    * consistent with the sha first-byte histogram, shas strictly
+    * sorted, large-offset indices in range. sum_crc / max_offset /
+    * first+last sha prefixes give the oracle its closed forms.
+    */
+  def parsePackIdx(b: Array[Byte]): Option[PackIdx] = {
+    if (b == null || b.length < 8 + 1024 + 40) return None
+    def u8(i: Long): Int = b(i.toInt) & 0xff
+    def u32(i: Long): Long = (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+      (u8(i + 2).toLong << 8) | u8(i + 3)
+    if (u32(0) != 0xff744f63L) return None // \377tOc
+    if (u32(4) != 2L) return None
+    val fanout = Array.tabulate(256)(k => u32(8L + 4 * k))
+    var k = 1
+    while (k < 256) {
+      if (fanout(k) < fanout(k - 1)) return None
+      k += 1
+    }
+    val n = fanout(255)
+    if (n > 1000000) return None
+    val shaAt = 8L + 1024
+    val crcAt = shaAt + 20 * n
+    val offAt = crcAt + 4 * n
+    val largeAt = offAt + 4 * n
+    val rem = b.length - largeAt - 40
+    if (rem < 0 || rem % 8 != 0) return None
+    val nLarge = (rem / 8).toInt
+    // shas: strictly sorted, and the first-byte histogram must match
+    // the fanout's deltas
+    val hist = new Array[Long](256)
+    var i = 0L
+    while (i < n) {
+      hist(u8(shaAt + 20 * i)) += 1
+      if (i > 0) {
+        // unsigned lexicographic compare vs the previous sha
+        var j = 0
+        var cmp = 0
+        while (j < 20 && cmp == 0) {
+          cmp = u8(shaAt + 20 * i + j) - u8(shaAt + 20 * (i - 1) + j)
+          j += 1
+        }
+        if (cmp <= 0) return None // unsorted or duplicate
+      }
+      i += 1
+    }
+    var acc = 0L
+    k = 0
+    while (k < 256) {
+      acc += hist(k)
+      if (fanout(k) != acc) return None
+      k += 1
+    }
+    var sumCrc = 0L
+    i = 0L
+    while (i < n) { sumCrc += u32(crcAt + 4 * i); i += 1 }
+    var maxOff = 0L
+    var largeSeen = 0
+    i = 0L
+    while (i < n) {
+      val o = u32(offAt + 4 * i)
+      if ((o & 0x80000000L) != 0) {
+        val idx = o & 0x7fffffffL
+        if (idx >= nLarge) return None
+        val p = largeAt + 8 * idx
+        val big = (u32(p) << 32) | u32(p + 4)
+        if (big < 0) return None
+        if (big > maxOff) maxOff = big
+        largeSeen += 1
+      } else if (o > maxOff) maxOff = o
+      i += 1
+    }
+    if (n == 0) return None
+    def hex8(at: Long): String =
+      f"${u8(at)}%02x${u8(at + 1)}%02x${u8(at + 2)}%02x${u8(at + 3)}%02x"
+    Some(PackIdx(n.toInt, nLarge, sumCrc, maxOff, hex8(shaAt),
+      hex8(shaAt + 20 * (n - 1))))
+  }
+
+  /** Deterministic per-id .idx v2: n = id%20+5 sorted shas whose
+    * byte0 spreads buckets (k·256/n) and byte1 breaks ties (k), crcs
+    * and offsets as closed forms, with object 2 routed through the
+    * 64-bit large-offset table every 3rd id. */
+  def synthPackIdx(id: Long): Array[Byte] = {
+    val n = (id % 20 + 5).toInt
+    val hasLarge = id % 3 == 0
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+      out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    w32(0xff744f63L); w32(2L)
+    def byte0(kk: Int): Int = kk * 256 / n
+    (0 until 256).foreach { bb =>
+      w32((0 until n).count(kk => byte0(kk) <= bb).toLong)
+    }
+    (0 until n).foreach { kk =>
+      out.write(byte0(kk)); out.write(kk)
+      (2 until 20).foreach(j => out.write(((id * 3 + kk * 5 + j * 11) % 256).toInt))
+    }
+    (0 until n).foreach(kk => w32((id * 1000 + kk * 17) % 2147483647L))
+    (0 until n).foreach { kk =>
+      if (hasLarge && kk == 2) w32(0x80000000L) // large index 0
+      else w32(12L + kk * (100 + id % 50))
+    }
+    if (hasLarge) { w32((2147483648L + id) >>> 32); w32((2147483648L + id) & 0xffffffffL) }
+    // trailing packfile + idx checksums (closed-form filler bytes)
+    (0 until 40).foreach(j => out.write(((id + j) % 256).toInt))
+    out.toByteArray
+  }
+
+  def synthPackIdxCol(c: Column): Column =
+    udf { id: Long => synthPackIdx(id) }.apply(c)
+  def packIdxCol(c: Column): Column =
+    udf { b: Array[Byte] => parsePackIdx(b) }.apply(c)
 }

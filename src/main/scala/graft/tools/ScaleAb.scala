@@ -133,13 +133,19 @@ object ScaleAb {
       System.err.println(s"[scaleab] materializing ${factor}x of $sfDir -> $outDir")
       inflate(spark, sfDir, outDir, factor)
     }
+    // noop write, not count() (r16, same fix as Bench): count() prunes
+    // the final projection, so projection-shaped parser rows measured
+    // scan+count instead of the parse — their 10× exponents read flat
+    // no matter what the parser cost.
+    def exec(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       graft.core.Caches.releaseAll(); System.gc()
-      fn(spark, dir).count() // untimed warmup (codegen/JIT)
+      exec(fn(spark, dir)) // untimed warmup (codegen/JIT)
       (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        exec(fn(spark, dir))
         (System.nanoTime() - t0) / 1e9
       }.min
     }
@@ -148,8 +154,25 @@ object ScaleAb {
       val t1 = time(n, sfDir)
       val t10 = time(n, outDir)
       val exp = math.log(t10 / t1) / math.log(factor.toDouble)
-      System.err.println(f"[scaleab] $n%-26s t1=$t1%7.2fs t10=$t10%7.2fs exp=$exp%5.2f")
-      s"""{"query":"$n","t1_sec":${r(t1)},"t10_sec":${r(t10)},"exponent":${r(exp)}}"""
+      // ingest rows: MARGINAL throughput (Δbytes/Δtime) alongside the
+      // exponent — at sub-second row times the ~0.3-0.5 s fixed local
+      // job overhead (scheduling 2×32 tasks, plan exec, noop commit)
+      // depresses the raw exponent even when the parse itself is
+      // perfectly linear; the marginal rate subtracts that constant
+      // and IS the bytes/s a 100 TB ingest budget extrapolates from
+      val marginal = graft.SparkEntry.parseBytes.get(n).map { bf =>
+        val b1 = bf(spark, sfDir); val b10 = bf(spark, outDir)
+        val mbs = (b10 - b1) / 1e6 / math.max(1e-3, t10 - t1)
+        (b1, b10, mbs)
+      }
+      val mtxt = marginal
+        .map { case (_, _, m) => f" marginal=$m%7.1f MB/s" }.getOrElse("")
+      System.err.println(
+        f"[scaleab] $n%-26s t1=$t1%7.2fs t10=$t10%7.2fs exp=$exp%5.2f$mtxt")
+      val mjson = marginal.map { case (b1, b10, m) =>
+        s""","mb_1":${r(b1 / 1e6)},"mb_10":${r(b10 / 1e6)},"marginal_mb_s":${r(m)}"""
+      }.getOrElse("")
+      s"""{"query":"$n","t1_sec":${r(t1)},"t10_sec":${r(t10)},"exponent":${r(exp)}$mjson}"""
     }
     println(s"""{"metric":"scale_ab","factor":$factor,"sf":"$sfDir","results":[${rows.mkString(",")}]}""")
     spark.stop()

@@ -209,6 +209,9 @@ class PropertySpec extends AnyFunSuite {
       graft.text.Calendar.parseVcards("BEGIN:VCARD\n" + s)
       graft.text.Gettext.parsePo(s)
       graft.text.Gettext.parsePo("msgid \"x\"\nmsgstr \"y\"\n" + s)
+      graft.text.Toml.parseToml(s)
+      graft.text.Toml.parseToml("[deps]\n" + s)
+      graft.text.Toml.parseToml("k = \"" + s + "\"")
       true
     })
     // string-level mutation of the VALID mail/rtf fixtures — the
@@ -257,6 +260,11 @@ class PropertySpec extends AnyFunSuite {
       graft.multimodal.Font.parseWoff(b)
       graft.sources.Git.parseLoose(b)
       graft.sources.Pcap.census(b)
+      graft.sources.Pcap.censusNg(b)
+      graft.sources.Parquet.parseFooter(b)
+      graft.sources.Cbor.census(b)
+      graft.sources.Msgpack.census(b)
+      graft.sources.Git.parsePackIdx(b)
       graft.multimodal.Binary.parseId3v2(b)
       graft.multimodal.Binary.parseSvgMeta(b)
       graft.multimodal.Binary.parseTracks(b)
@@ -307,6 +315,16 @@ class PropertySpec extends AnyFunSuite {
         graft.sources.Git.synthLoose(id)))
       graft.sources.Pcap.census(mut(
         graft.sources.Pcap.synthPcap(id)))
+      graft.sources.Pcap.censusNg(mut(
+        graft.sources.Pcap.synthPcapng(id)))
+      graft.sources.Parquet.parseFooter(mut(
+        graft.sources.Parquet.synthParquet(id)))
+      graft.sources.Cbor.census(mut(
+        graft.sources.Cbor.synthCbor(id)))
+      graft.sources.Msgpack.census(mut(
+        graft.sources.Msgpack.synthMsgpack(id)))
+      graft.sources.Git.parsePackIdx(mut(
+        graft.sources.Git.synthPackIdx(id)))
       graft.multimodal.Binary.parseImageMeta(mut(
         graft.multimodal.Binary.synthLegacyImage(id)))
       graft.multimodal.Binary.parseExifMeta(mut(
