@@ -349,23 +349,11 @@ object Pdf {
       case Some(_) => None // unsupported filter: reject, never junk
     }
 
-  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
-    val inf = new java.util.zip.Inflater()
-    try {
-      inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(data.length * 4 + 64)
-      val buf = new Array[Byte](8192)
-      while (!inf.finished()) {
-        val k = inf.inflate(buf)
-        if (k == 0 && inf.needsInput()) return None // truncated
-        out.write(buf, 0, k)
-        if (out.size() > (64 << 20)) return None // decompression bomb
-      }
-      Some(out.toByteArray)
-    } catch {
-      case _: java.util.zip.DataFormatException => None
-    } finally inf.end()
-  }
+  /** zlib-inflate a /FlateDecode stream — delegated to the shared
+    * bounds-guarded [[graft.sources.Inflate]] with this reader's
+    * 64 MiB bomb cap (r16 consolidation). */
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] =
+    graft.sources.Inflate(data, raw = false, cap = 64 << 20)
 
   // -- fonts: simple (Latin-1) vs composite (CID via ToUnicode) ------ //
 

@@ -164,24 +164,11 @@ object Archives {
     Some(out.result())
   }
 
+  /** Raw-deflate a ZIP member to its declared size — delegated to the
+    * shared bounds-guarded [[Inflate.exact]] (r16 consolidation). */
   private def inflateRaw(data: Array[Byte],
-      expected: Long): Option[Array[Byte]] = {
-    if (expected > (256L << 20)) return None // bomb guard
-    val inf = new java.util.zip.Inflater(true)
-    try {
-      inf.setInput(data)
-      val out = new Array[Byte](expected.toInt)
-      var off = 0
-      while (off < out.length && !inf.finished()) {
-        val k = inf.inflate(out, off, out.length - off)
-        if (k == 0 && inf.needsInput()) return None // truncated
-        off += k
-      }
-      if (off == out.length) Some(out) else None
-    } catch {
-      case _: java.util.zip.DataFormatException => None
-    } finally inf.end()
-  }
+      expected: Long): Option[Array[Byte]] =
+    Inflate.exact(data, expected)
 
   /** ustar walk; None on a bad checksum/octal field/truncation.
     * Directories surface with empty text; only regular files carry
