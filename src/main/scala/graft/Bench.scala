@@ -166,16 +166,19 @@ object Bench {
     // same quiet session — hundreds of prior queries' shared
     // Catalyst/codegen JIT state). If a sentinel's plan changes,
     // re-record BOTH its anchors in the same commit.
+    // Anchors re-recorded r16 for the noop-write action (the count()
+    // anchors measured pruned plans — q94's mask work never ran):
+    // quiet machine (load 0.9/32 at launch), full sf0.1 sweep. Cold =
+    // the start-phase 5-rep minima; warm = min of the mid/end phase
+    // minima of the same sweep.
     val sentinelAnchorsCold = Seq(
-      "q60_pii_redact" -> 0.240,
-      "q62_asof_join" -> 0.250,
-      "q94_span_mask" -> 0.150)
-    // warm anchors recorded r16 (quiet machine, load < 3/32, median of
-    // the mid and end phase minima of two full sf0.1 sweeps)
+      "q60_pii_redact" -> 0.812,
+      "q62_asof_join" -> 0.684,
+      "q94_span_mask" -> 3.143)
     val sentinelAnchorsWarm = Seq(
-      "q60_pii_redact" -> 0.157,
-      "q62_asof_join" -> 0.170,
-      "q94_span_mask" -> 0.100)
+      "q60_pii_redact" -> 0.712,
+      "q62_asof_join" -> 0.523,
+      "q94_span_mask" -> 3.218)
     // SPARK_GRAFT_BENCH_AMBIENT=0 skips calibration (fast A/B loops);
     // it runs by default even under BENCH_ONLY so an isolated
     // re-measure carries its own load context

@@ -31,10 +31,6 @@ object SimHash {
   private def mix(h: Column): Column =
     (lit(1103515245L) * h + lit(12345L)) % lit(P)
 
-  /** Bit j (0-based) of g via exact double floor-division. */
-  private def bitAt(g: Column, j: Column): Column =
-    (floor(g.cast("double") / pow(lit(2.0), j.cast("double"))).cast("long") % 2)
-
   /** The packed SimHash fingerprint of a text column.
     *
     * SINGLE-PASS: folds the token array once, hashing each token exactly
@@ -42,16 +38,26 @@ object SimHash {
     * per-bit form re-hashes every token `bits` times per row (Catalyst
     * inlines the shared hash subtree into each lambda), a measured 24×
     * slowdown at sf0.1. Same values: integer vote sums commute.
+    *
+    * Bit extraction is a bitwise AND against a LITERAL power-of-two
+    * array (r16): the previous `floor(g / pow(2.0, j))` form paid a
+    * transcendental Math.pow per (token, bit) — bits·|tokens| pow
+    * calls per row dominated the honest bench (3.6 s isolated). For
+    * g ≥ 0 < 2⁵³ both forms extract the identical bit, so the
+    * fingerprints are bitwise unchanged.
     */
   def simhash(text: Column, bits: Int = DefaultBits): Column = {
+    val powers = typedlit((0 until bits).map(j => 1L << j))
     val hs = transform(TextOps.tokens(text), t => mix(TextOps.strHash(t)))
     val votes = aggregate(hs,
       transform(sequence(lit(0), lit(bits - 1)), _ => lit(0L)),
       (acc, g) => zip_with(acc, sequence(lit(0L), lit(bits - 1L)),
-        (v, j) => v + bitAt(g, j) * lit(2L) - lit(1L)))
+        (v, j) => v + when(
+          g.bitwiseAND(element_at(powers, (j + 1).cast("int"))) =!= 0,
+          lit(2L)).otherwise(lit(0L)) - lit(1L)))
     aggregate(
       zip_with(votes, sequence(lit(0L), lit(bits - 1L)),
-        (v, j) => when(v > 0, pow(lit(2.0), j.cast("double")).cast("long"))
+        (v, j) => when(v > 0, element_at(powers, (j + 1).cast("int")))
           .otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
   }

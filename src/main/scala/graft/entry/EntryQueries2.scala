@@ -67,8 +67,14 @@ private[graft] trait EntryQueries2 { this: SparkEntry.type =>
     */
   private[graft] def qSpanMask(s: SparkSession, dir: String): DataFrame = {
     import graft.text.TextOps
-    doc(s, dir)
-      .withColumn("masked", TextOps.maskTokens(col("doc_id"), col("text"), pct = 15))
+    // tokens hoisted (the mask lambda's element_at would re-tokenize
+    // per element) + par(): per-row compute on a one-row-group scan
+    // (r16 A/B: 4.3 s → sub-second). The masked array is projected
+    // once and read three times.
+    par(doc(s, dir))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .withColumn("masked",
+        TextOps.maskTokensFromTokens(col("doc_id"), col("__toks"), pct = 15))
       .select(col("doc_id"),
         size(col("masked")).cast("long").as("n_tokens"),
         size(filter(col("masked"), t => t === "<mask>")).cast("long").as("n_masked"),
@@ -1974,9 +1980,12 @@ private[graft] trait EntryQueries2 { this: SparkEntry.type =>
     }
     val ok = vd("l_extendedprice").isNotNull && vd("l_quantity").isNotNull &&
       vd("l_discount").isNotNull
-    val base = li(s, dir).where(ok)
+    // par(): both passes are decimal-exact sums of double products —
+    // per-row BigDecimal accumulation on a one-row-group scan would
+    // run single-core (r16 honest bench: 5.1 s isolated)
+    val base = par(li(s, dir).where(ok)
       .select(vd("l_extendedprice").as("y"), vd("l_quantity").as("x1"),
-        vd("l_discount").as("x2"))
+        vd("l_discount").as("x2")))
     val mrow = base.agg(Stats.dsum(col("y")).as("sy"),
       Stats.dsum(col("x1")).as("s1"), Stats.dsum(col("x2")).as("s2"),
       count(lit(1)).as("c")).head()

@@ -35,13 +35,19 @@ object Hbos {
         acc + when(col(c).cast(DoubleType) > lit(e), 1).otherwise(0)
       }
 
-    /** Σ_f −log₁₀ density_f(bin_f(x)) as a column expression. */
+    /** Σ_f −log₁₀ density_f(bin_f(x)) as a column expression. The
+      * density lookup is `element_at` on a LITERAL array indexed by
+      * the bin (one evaluation of the 9-CASE bin expression per
+      * feature) — the previous 10-branch when-chain inlined the bin
+      * subtree into EVERY branch (Catalyst shares no common
+      * subexpressions across CASE branches), ~45× the comparisons
+      * per row; the r16 honest bench surfaced it at 13 s/600k rows.
+      * Values are the same model doubles, summed in the same order —
+      * bitwise identical to the chain it replaces.
+      */
     def score: Column =
       cols.zip(edges).zip(logDens).map { case ((c, es), lds) =>
-        val bin = binOf(c, es)
-        lds.zipWithIndex.foldRight(lit(Double.NaN): Column) {
-          case ((ld, b), rest) => when(bin === b, -ld).otherwise(rest)
-        }
+        element_at(typedlit(lds.map(ld => -ld)), binOf(c, es) + 1)
       }.reduceLeft(_ + _)
   }
 

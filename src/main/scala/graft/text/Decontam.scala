@@ -36,14 +36,23 @@ object Decontam {
         "Decontam.contamination: id column cast to null — contamination join needs numeric non-null ids")))
         .otherwise(col(idCol).cast("long")).as("id"),
       Dedup.shingles(col(textCol), n).as("sh"))
-    val hits = base.select(col("id"), explode(col("sh")).as("shingle"))
-      .join(broadcast(bsh), Seq("shingle"))
-      .groupBy("id").agg(count(lit(1)).as("n_hit"))
-    base.join(hits, Seq("id"), "left")
-      .select(col("id"), size(col("sh")).cast("long").as("n_shingles"),
-        coalesce(col("n_hit"), lit(0L)).as("n_contaminated"),
-        when(size(col("sh")) > 0,
-          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
-            size(col("sh")).cast("double"), 6)).as("contamination"))
+    // ONE pass (r16): the previous shape joined `base` back to a
+    // grouped explode of itself — a self-join that recomputed the
+    // shingle expression for every document twice. explode_outer
+    // keeps empty documents (one null-shingle row), the broadcast
+    // LEFT join marks benchmark hits, and a single per-id aggregate
+    // recovers both counts. Same numbers, half the shingle work, no
+    // self-join.
+    base.select(col("id"), size(col("sh")).as("n_sh"),
+        explode_outer(col("sh")).as("shingle"))
+      .join(broadcast(bsh.withColumn("__hit", lit(1))),
+        Seq("shingle"), "left")
+      .groupBy("id")
+      .agg(first(col("n_sh")).cast("long").as("n_shingles"),
+        count(col("__hit")).as("n_contaminated"))
+      .select(col("id"), col("n_shingles"), col("n_contaminated"),
+        when(col("n_shingles") > 0,
+          round(col("n_contaminated").cast("double") /
+            col("n_shingles").cast("double"), 6)).as("contamination"))
   }
 }

@@ -253,8 +253,16 @@ object TextOps {
     * than n tokens). High values mark boilerplate/spam (the duplicate
     * n-gram filters of Rae et al. 2021). Pure codegen'd map stage.
     */
-  def dupNgramFraction(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def dupNgramFraction(text: Column, n: Int): Column =
+    dupNgramFractionFromTokens(tokens(text), n)
+
+  /** [[dupNgramFraction]] over a token-array column. Hot callers MUST
+    * project `tokens(text)` into its own multi-referenced column
+    * first: the per-gram lambda references the token array once per
+    * element, and an INLINE `tokens(text)` expression re-runs the
+    * split per gram — O(len²) tokenization (the r16 honest bench
+    * measured q59 at 8.9 s; hoisted it is 0.9 s). */
+  def dupNgramFractionFromTokens(toks: Column, n: Int): Column = {
     val total = size(toks) - lit(n - 1)
     val grams = transform(sequence(lit(1), total),
       i => array_join(slice(toks, i, lit(n)), " "))
@@ -279,8 +287,15 @@ object TextOps {
     * identical.
     */
   def maskTokens(id: Column, text: Column, pct: Int,
-                 seed: Long = 11L): Column = {
-    val toks = tokens(text)
+                 seed: Long = 11L): Column =
+    maskTokensFromTokens(id, tokens(text), pct, seed)
+
+  /** [[maskTokens]] over a token-array column — hot callers project
+    * `tokens(text)` once first (the per-token lambda's `element_at`
+    * re-runs an inline tokenizer per element: O(len²), the same trap
+    * as [[dupNgramFractionFromTokens]]). */
+  def maskTokensFromTokens(id: Column, toks: Column, pct: Int,
+                           seed: Long = 11L): Column = {
     val masked = transform(sequence(lit(1), size(toks)), i => {
       // sign-normalize the id residue (the keyBucket convention):
       // Spark % is a signed remainder, so a negative id would make h
