@@ -918,11 +918,17 @@ private[graft] trait EntryQueries1 { this: SparkEntry.type =>
     // par() first: the C4 token walks + the content hash are the
     // per-row compute bulk, and the one-row-group scan would otherwise
     // run them on a single core (A/B: 6.0 s → see PLANS.md)
-    val stats = par(d).select(col("doc_id"), col("text"),
-      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
-      TextOps.avgTokenLen(col("text")).as("avg_len"),
-      TextOps.stopwordRatio(col("text")).as("sw_ratio"),
-      TextOps.dupNgramFraction(col("text"), 2).as("dup_frac"))
+    // dup_frac consumes a HOISTED token array: its per-gram lambda
+    // slices the array per element, and an inline tokens(text) would
+    // re-run the split per gram (the q59 O(len²) trap, fixed r16)
+    val stats = par(d)
+      .select(col("doc_id"), col("text"),
+        TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("text"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.avgTokenLen(col("text")).as("avg_len"),
+        TextOps.stopwordRatio(col("text")).as("sw_ratio"),
+        TextOps.dupNgramFractionFromTokens(col("__toks"), 2).as("dup_frac"))
     val passAll = TextOps.c4Rules(col("n_tokens"), col("avg_len"),
       col("sw_ratio"), col("dup_frac")).map(_._2).reduce(_ && _)
     // persisted: the corpus side is referenced by its own dedup reps
@@ -3119,11 +3125,15 @@ private[graft] trait EntryQueries1 { this: SparkEntry.type =>
   private[graft] def qQualityFilter(s: SparkSession, dir: String): DataFrame = {
     import graft.text.TextOps
     val t = col("text")
-    val stats = doc(s, dir).select(col("source"),
-      TextOps.tokenCount(t).cast("long").as("n_tokens"),
-      TextOps.avgTokenLen(t).as("avg_len"),
-      TextOps.stopwordRatio(t).as("sw_ratio"),
-      TextOps.dupNgramFraction(t, 2).as("dup_frac"))
+    // same hoist as qCurationPipeline: dup_frac off a projected token
+    // array, per-row compute spread with par()
+    val stats = par(doc(s, dir))
+      .select(col("source"), t, TextOps.tokens(t).as("__toks"))
+      .select(col("source"),
+        TextOps.tokenCount(t).cast("long").as("n_tokens"),
+        TextOps.avgTokenLen(t).as("avg_len"),
+        TextOps.stopwordRatio(t).as("sw_ratio"),
+        TextOps.dupNgramFractionFromTokens(col("__toks"), 2).as("dup_frac"))
     val rules = TextOps.c4Rules(col("n_tokens"), col("avg_len"),
       col("sw_ratio"), col("dup_frac"))
     val passAll = rules.map(_._2).reduce(_ && _)

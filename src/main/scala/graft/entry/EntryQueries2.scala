@@ -396,9 +396,12 @@ private[graft] trait EntryQueries2 { this: SparkEntry.type =>
     */
   private[graft] def qChunk(s: SparkSession, dir: String): DataFrame = {
     import graft.text.TextOps
+    // tokens hoisted: chunkTexts' per-chunk lambda slices the array,
+    // and an inline tokens(text) re-runs the split per chunk (r16)
     par(doc(s, dir))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
-        posexplode(TextOps.chunkTexts(TextOps.tokens(col("text")), 40, 8))
+        posexplode(TextOps.chunkTexts(col("__toks"), 40, 8))
           .as(Seq("chunk_idx", "chunk")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         TextOps.tokenCount(col("chunk")).cast("long").as("chunk_tokens"),
@@ -1446,7 +1449,9 @@ private[graft] trait EntryQueries2 { this: SparkEntry.type =>
     * ambiguity between engines.
     */
   private[graft] def qCube(s: SparkSession, dir: String): DataFrame =
-    li(s, dir)
+    // par(): cube's Expand quadruples every row into a decimal-exact
+    // partial aggregation — single-core on a one-row-group scan (r16)
+    par(li(s, dir))
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
         round(Stats.dsum(col("l_quantity")), 4).as("sum_qty"),
@@ -2485,8 +2490,12 @@ private[graft] trait EntryQueries2 { this: SparkEntry.type =>
     // class, observed shifting ss_between at 1e-5 here). The center
     // choice is conventional in Levene's test; a 1e-6 shift of a 5e4
     // magnitude center is statistically nil but buys bitwise parity.
-    val mn = base.groupBy("g").agg(round(Stats.dmean(col("v0")), 6).as("mn"))
-    centeredAnovaF(base.join(broadcast(mn), "g")
+    // par(): two decimal-exact passes (group means, centered F) over
+    // a one-row-group scan otherwise run single-core (r16)
+    val basePar = par(base)
+    val mn = basePar.groupBy("g")
+      .agg(round(Stats.dmean(col("v0")), 6).as("mn"))
+    centeredAnovaF(basePar.join(broadcast(mn), "g")
       .select(col("g"), abs(col("v0") - col("mn")).as("v")))
   }
 
