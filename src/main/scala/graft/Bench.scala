@@ -171,14 +171,18 @@ object Bench {
     // quiet machine (load 0.9/32 at launch), full sf0.1 sweep. Cold =
     // the start-phase 5-rep minima; warm = min of the mid/end phase
     // minima of the same sweep.
+    // (q94's anchors re-baked a second time in the same round after
+    // its own hot-path fix — the maskTokensFromTokens hoist — changed
+    // its plan; values from the post-optimization quiet full sweep,
+    // whose other two sentinels read 0.91-1.0× their anchors.)
     val sentinelAnchorsCold = Seq(
       "q60_pii_redact" -> 0.812,
       "q62_asof_join" -> 0.684,
-      "q94_span_mask" -> 3.143)
+      "q94_span_mask" -> 0.389)
     val sentinelAnchorsWarm = Seq(
       "q60_pii_redact" -> 0.712,
       "q62_asof_join" -> 0.523,
-      "q94_span_mask" -> 3.218)
+      "q94_span_mask" -> 0.412)
     // SPARK_GRAFT_BENCH_AMBIENT=0 skips calibration (fast A/B loops);
     // it runs by default even under BENCH_ONLY so an isolated
     // re-measure carries its own load context
