@@ -64,8 +64,13 @@ object Bootstrap {
       s"replicates must be in [2, 64]: $replicates")
     val spark = df.sparkSession
     val x = col(valueCol).cast(DoubleType)
+    // repartition BEFORE the replicate expansion: the broadcast
+    // crossJoin preserves the input's partitioning, so a one-row-group
+    // scan would put all n·replicates weighted rows on a single core
+    // (r16 honest bench: 3.5 s isolated at sf0.1×40 reps)
     val base = df.where(x.isNotNull && !isnan(x))
       .select(col(keyCol).cast("long").as("__k"), x.as("__x"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val reps = spark.range(replicates).select(col("id").as("__r"))
     val bucket = Sampling.keyBucket(col("__k") * 64 + col("__r"), seed)
     val means = base.crossJoin(broadcast(reps))

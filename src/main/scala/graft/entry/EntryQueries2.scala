@@ -1966,7 +1966,10 @@ private[graft] trait EntryQueries2 { this: SparkEntry.type =>
     val med = graft.core.OrderStats
       .groupedQuantiles(base, "g", "v0", Seq(0.5))
       .select(col("g"), col("value").as("md"))
-    centeredAnovaF(base.join(broadcast(med), "g")
+    // par() on the centered-F pass only (decimal-exact sums); the
+    // median selection keeps the bare scan — repartitioning it would
+    // re-shuffle per selection pass for no gain (r16 A/B)
+    centeredAnovaF(par(base).join(broadcast(med), "g")
       .select(col("g"), abs(col("v0") - col("md")).as("v")))
   }
 
