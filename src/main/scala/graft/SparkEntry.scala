@@ -442,7 +442,8 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q393_pcapng_census" -> (qPcapngCensus _),
     "q394_cbor_census" -> (qCborCensus _),
     "q395_msgpack_census" -> (qMsgpackCensus _),
-    "q396_git_pack_idx" -> (qGitPackIdx _)
+    "q396_git_pack_idx" -> (qGitPackIdx _),
+    "q397_orc_footer" -> (qOrcFooter _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

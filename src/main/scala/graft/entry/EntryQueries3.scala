@@ -5445,6 +5445,35 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** SRC-ORC — ORC footer/stripe census ([[graft.sources.Orc
+    * .parseOrc]], r16): the OTHER columnar lake format beside q392's
+    * Parquet — tail walk through the plain-protobuf PostScript
+    * (field-8000 magic, unknown-field skip), chunk-framed raw-deflate
+    * footer decode via the shared [[graft.sources.Inflate]], stripe
+    * spans + schema width. Stripes explode; closed forms.
+    */
+  private[graft] def qOrcFooter(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Orc
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("m", Orc.orcMetaCol(Orc.synthOrcCol(col("doc_id"))))
+      .select(col("doc_id"),
+        col("m.compression").as("compression"),
+        col("m.writer_version").as("writer_version"),
+        col("m.content_length").as("content_length"),
+        col("m.n_rows").as("n_rows"),
+        col("m.n_types").cast("long").as("n_types"),
+        posexplode(col("m.stripes")))
+      .select(col("doc_id"), col("compression"), col("writer_version"),
+        col("content_length"), col("n_rows"), col("n_types"),
+        col("pos").cast("long").as("stripe_idx"),
+        col("col.offset").as("offset"),
+        col("col.index_len").as("index_len"),
+        col("col.data_len").as("data_len"),
+        col("col.footer_len").as("footer_len"),
+        col("col.n_rows").as("stripe_rows"))
+      .orderBy("doc_id", "stripe_idx")
+  }
+
   /** SRC-PACKIDX — git pack-index v2 census ([[graft.sources.Git
     * .parsePackIdx]], r16): fanout/sha-histogram consistency, strict
     * sha ordering, crc sums, the MSB 64-bit offset escape — the

@@ -3351,6 +3351,28 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         | CAST(2 * e + 3 + 1 + ext AS BIGINT) AS str_bytes
         | FROM d JOIN agg USING (doc_id) ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+    // q397: ORC footer closed forms — per-stripe spans over a range
+    // join; the PostScript/chunk-frame/deflate walk happens Spark-side
+    "q397_orc_footer" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS g,
+        |   doc_id % 4 + 1 AS m, doc_id % 50 + 10 AS rp
+        |  FROM documents WHERE doc_id < 240),
+        | sj AS (SELECT d.*, k.k FROM d, range(0, 3) k(k) WHERE k < g)
+        | SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 1 THEN 'zlib' ELSE 'none' END
+        |  AS compression,
+        | CAST(doc_id % 9 AS BIGINT) AS writer_version,
+        | CAST(3 + g * 1000 AS BIGINT) AS content_length,
+        | CAST(g * rp AS BIGINT) AS n_rows,
+        | CAST(m + 1 AS BIGINT) AS n_types,
+        | CAST(k AS BIGINT) AS stripe_idx,
+        | CAST(3 + k * 1000 AS BIGINT) AS offset,
+        | CAST(50 + k AS BIGINT) AS index_len,
+        | CAST(800 + 10 * k + doc_id % 100 AS BIGINT) AS data_len,
+        | CAST(40 + k AS BIGINT) AS footer_len,
+        | CAST(rp AS BIGINT) AS stripe_rows
+        | FROM sj ORDER BY doc_id, stripe_idx"""
+        .stripMargin.replaceAll("\n", " "),
     // q396: pack-index v2 closed forms — crc sums are exact (no
     // modulus bites below 2^31), the large-offset escape every 3rd id
     "q396_git_pack_idx" ->

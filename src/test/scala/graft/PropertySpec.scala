@@ -265,6 +265,7 @@ class PropertySpec extends AnyFunSuite {
       graft.sources.Cbor.census(b)
       graft.sources.Msgpack.census(b)
       graft.sources.Git.parsePackIdx(b)
+      graft.sources.Orc.parseOrc(b)
       graft.multimodal.Binary.parseId3v2(b)
       graft.multimodal.Binary.parseSvgMeta(b)
       graft.multimodal.Binary.parseTracks(b)
@@ -325,6 +326,8 @@ class PropertySpec extends AnyFunSuite {
         graft.sources.Msgpack.synthMsgpack(id)))
       graft.sources.Git.parsePackIdx(mut(
         graft.sources.Git.synthPackIdx(id)))
+      graft.sources.Orc.parseOrc(mut(
+        graft.sources.Orc.synthOrc(id)))
       graft.multimodal.Binary.parseImageMeta(mut(
         graft.multimodal.Binary.synthLegacyImage(id)))
       graft.multimodal.Binary.parseExifMeta(mut(
