@@ -443,7 +443,9 @@ object SparkEntry extends EntryQueries1 with EntryQueries2 with EntryQueries3 wi
     "q394_cbor_census" -> (qCborCensus _),
     "q395_msgpack_census" -> (qMsgpackCensus _),
     "q396_git_pack_idx" -> (qGitPackIdx _),
-    "q397_orc_footer" -> (qOrcFooter _)
+    "q397_orc_footer" -> (qOrcFooter _),
+    "q398_thrift_census" -> (qThriftCensus _),
+    "q399_delta_log" -> (qDeltaLog _)
   )
 
   // --- DuckDB oracle SQL ------------------------------------------- //

@@ -5474,6 +5474,80 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .orderBy("doc_id", "stripe_idx")
   }
 
+  /** SRC-THRIFT — schema-less thrift-compact census
+    * ([[graft.sources.Parquet.thriftCensus]], r16): the unknown-
+    * Thrift-payload triage walk beside protobuf (q383) and
+    * CBOR/MessagePack (q394/q395), riding the SAME compact-protocol
+    * walker as the q392 parquet footer — per-type field counts,
+    * nesting depth, zigzag int sums, string volume. Closed forms.
+    */
+  private[graft] def qThriftCensus(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Parquet
+    doc(s, dir).where(col("doc_id") < 240).select(col("doc_id"))
+      .withColumn("c",
+        Parquet.thriftCensusCol(Parquet.synthThriftCol(col("doc_id"))))
+      .select(col("doc_id"), col("c.n_fields").as("n_fields"),
+        col("c.n_int").as("n_int"), col("c.n_bool").as("n_bool"),
+        col("c.n_str").as("n_str"), col("c.n_double").as("n_double"),
+        col("c.n_list").as("n_list"), col("c.n_struct").as("n_struct"),
+        col("c.max_field_id").as("max_field_id"),
+        col("c.max_depth").cast("long").as("max_depth"),
+        col("c.int_sum").as("int_sum"),
+        col("c.str_bytes").as("str_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** LAKE-DELTA — Delta-style transaction-log census: the _delta_log
+    * JSON-lines commit stream (protocol / metaData / add / remove
+    * actions) split and parsed with codegen'd `from_json` — no custom
+    * parser; the lakehouse log is Spark-native by construction, and
+    * this row pins the shape a table-state reconstruction starts
+    * from: action counts, bytes added, distinct partitions touched,
+    * protocol presence. Closed forms per commit.
+    */
+  private[graft] def qDeltaLog(s: SparkSession, dir: String): DataFrame = {
+    val d = doc(s, dir).where(col("doc_id") < 600)
+      .select(col("doc_id"), (col("doc_id") % 10).cast("string").as("dg"))
+    val k = (col("doc_id") % 3 + 1).cast("int")
+    def addLine(j: Int) = when(lit(j) < k, concat(
+      lit("{\"add\":{\"path\":\"part-" + j + "-"), col("dg"),
+      lit(s".parquet\",\"size\":"),
+      (lit(1000 + 10 * j) + col("doc_id") % 10).cast("string"),
+      lit(",\"partitionValues\":{\"dt\":\"2024-01-0" + (j % 9 + 1) +
+        "\"},\"dataChange\":true}}\n"))).otherwise(lit(""))
+    val log = concat(
+      when(col("doc_id") % 5 === 0, lit(
+        "{\"protocol\":{\"minReaderVersion\":1,\"minWriterVersion\":2}}\n"))
+        .otherwise(lit("")),
+      concat(lit("{\"metaData\":{\"id\":\"m-"), col("dg"),
+        lit("\",\"format\":{\"provider\":\"parquet\"}}}\n")),
+      addLine(0), addLine(1), addLine(2),
+      when(col("doc_id") % 4 === 0, concat(
+        lit("{\"remove\":{\"path\":\"part-9-"), col("dg"),
+        lit(".parquet\",\"deletionTimestamp\":170000000"), col("dg"),
+        lit("}}\n"))).otherwise(lit("")))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "protocol STRUCT<minReaderVersion INT, minWriterVersion INT>, " +
+        "metaData STRUCT<id STRING, format STRUCT<provider STRING>>, " +
+        "add STRUCT<path STRING, size BIGINT, " +
+        "partitionValues MAP<STRING,STRING>, dataChange BOOLEAN>, " +
+        "remove STRUCT<path STRING, deletionTimestamp BIGINT>")
+    d.select(col("doc_id"),
+        explode(filter(split(log, "\n"), l => l =!= "")).as("line"))
+      .select(col("doc_id"), from_json(col("line"), schema).as("a"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_actions"),
+        count(col("a.add.path")).as("n_adds"),
+        coalesce(sum(col("a.add.size")), lit(0L)).as("bytes_added"),
+        count(col("a.remove.path")).as("n_removes"),
+        max(col("a.protocol.minWriterVersion")).isNotNull
+          .as("has_protocol"),
+        countDistinct(col("a.add.partitionValues")("dt"))
+          .as("n_partitions"),
+        max(col("a.metaData.id")).as("meta_id"))
+      .orderBy("doc_id")
+  }
+
   /** SRC-PACKIDX — git pack-index v2 census ([[graft.sources.Git
     * .parsePackIdx]], r16): fanout/sha-histogram consistency, strict
     * sha ordering, crc sums, the MSB 64-bit offset escape — the

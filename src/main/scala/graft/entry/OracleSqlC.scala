@@ -3373,6 +3373,44 @@ private[graft] trait OracleSqlC { this: SparkEntry.type =>
         | CAST(rp AS BIGINT) AS stripe_rows
         | FROM sj ORDER BY doc_id, stripe_idx"""
         .stripMargin.replaceAll("\n", " "),
+    // q398: thrift-compact census closed forms — 9 fields (7 top + 2
+    // nested), ints = list + three scalars, the long-form id 200
+    "q398_thrift_census" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS n
+        |  FROM documents WHERE doc_id < 240)
+        | SELECT doc_id, CAST(9 AS BIGINT) AS n_fields,
+        | CAST(n + 3 AS BIGINT) AS n_int, CAST(1 AS BIGINT) AS n_bool,
+        | CAST(2 AS BIGINT) AS n_str, CAST(1 AS BIGINT) AS n_double,
+        | CAST(1 AS BIGINT) AS n_list, CAST(1 AS BIGINT) AS n_struct,
+        | CAST(200 AS BIGINT) AS max_field_id,
+        | CAST(2 AS BIGINT) AS max_depth,
+        | CAST(doc_id % 100 + n * doc_id * 10 + n * (n - 1) // 2
+        |   - (doc_id % 50) - 1 + doc_id % 30 AS BIGINT) AS int_sum,
+        | CAST(4 AS BIGINT) AS str_bytes
+        | FROM d ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    // q399: delta-log closed forms — k adds, the 4th-id remove, the
+    // 5th-id protocol line, partitions distinct by construction
+    "q399_delta_log" ->
+      """WITH d AS (SELECT doc_id, doc_id % 10 AS dg,
+        |   doc_id % 3 + 1 AS k FROM documents WHERE doc_id < 600),
+        | a AS (SELECT doc_id, dg, k, j.j FROM d, range(0, 3) j(j)
+        |  WHERE j < k),
+        | s AS (SELECT doc_id, sum(1000 + 10 * j + dg) AS ba
+        |  FROM a GROUP BY doc_id)
+        | SELECT d.doc_id,
+        | CAST(1 + k + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END +
+        |  CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |  AS n_actions,
+        | CAST(k AS BIGINT) AS n_adds,
+        | CAST(s.ba AS BIGINT) AS bytes_added,
+        | CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |  AS n_removes,
+        | doc_id % 5 = 0 AS has_protocol,
+        | CAST(k AS BIGINT) AS n_partitions,
+        | 'm-' || dg AS meta_id
+        | FROM d JOIN s USING (doc_id) ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
     // q396: pack-index v2 closed forms — crc sums are exact (no
     // modulus bites below 2^31), the large-offset escape every 3rd id
     "q396_git_pack_idx" ->

@@ -468,4 +468,123 @@ object Parquet {
     udf { id: Long => synthParquet(id) }.apply(c)
   def footerCol(c: Column): Column =
     udf { b: Array[Byte] => parseFooter(b) }.apply(c)
+
+  // ---- schema-less thrift-compact census ---------------------------- //
+
+  final case class ThriftCensus(n_fields: Long, n_int: Long,
+                                n_bool: Long, n_str: Long,
+                                n_double: Long, n_list: Long,
+                                n_struct: Long, max_field_id: Long,
+                                max_depth: Int, int_sum: Long,
+                                str_bytes: Long)
+
+  /** Schema-less census of a bare thrift-compact STRUCT — the triage
+    * walk for unknown Thrift payloads (RPC dumps, serialized caches),
+    * the exact sibling of the protobuf census (q383): same walker the
+    * parquet footer uses ([[TC]]), counting per-type fields, nesting
+    * depth, zigzag int sums and string byte volume instead of
+    * extracting known ids. Trailing bytes, reserved types, depth
+    * bombs and truncation return None.
+    */
+  def thriftCensus(b: Array[Byte]): Option[ThriftCensus] = {
+    if (b == null || b.length == 0) return None
+    val tc = new TC(b, 0L, b.length.toLong)
+    var nFields = 0L; var nInt = 0L; var nBool = 0L; var nStr = 0L
+    var nDouble = 0L; var nList = 0L; var nStruct = 0L
+    var maxField = 0L; var maxDepth = 0
+    var intSum = 0L; var strBytes = 0L
+    def value(tpe: Int, depth: Int): Boolean = {
+      if (depth > 16 || nFields > 1000000) return false
+      if (depth > maxDepth) maxDepth = depth
+      tpe match {
+        case 1 | 2 => nBool += 1; true
+        case 3 => tc.skipN(1)
+        case 4 | 5 | 6 =>
+          tc.zigzag() match {
+            case Some(v) => nInt += 1; intSum += v; true
+            case None => false
+          }
+        case 7 => nDouble += 1; tc.skipN(8)
+        case 8 => tc.binary() match {
+          case Some(v) => nStr += 1; strBytes += v.length; true
+          case None => false
+        }
+        case 9 | 10 => tc.listHeader() match {
+          case Some((n, et)) =>
+            nList += 1
+            var k = 0L
+            while (k < n) {
+              if (!value(et, depth + 1)) return false
+              k += 1
+            }
+            true
+          case None => false
+        }
+        case 11 => // map: size, one kt/vt nibble byte, then pairs
+          nList += 1
+          tc.varint() match {
+            case Some(0) => true
+            case Some(nm) if nm > 0 && nm <= 100000 =>
+              tc.u8() match {
+                case Some(kv) =>
+                  val kt = (kv >> 4) & 0xf; val vt = kv & 0xf
+                  var k = 0L
+                  while (k < nm) {
+                    if (!value(kt, depth + 1) || !value(vt, depth + 1))
+                      return false
+                    k += 1
+                  }
+                  true
+                case None => false
+              }
+            case _ => false
+          }
+        case 12 => nStruct += 1; struct(depth + 1)
+        case _ => false // reserved types: reject
+      }
+    }
+    def struct(depth: Int): Boolean =
+      tc.struct(depth) { (id, tpe) =>
+        if (id < 0) false
+        else {
+          nFields += 1
+          if (id > maxField) maxField = id
+          value(tpe, depth)
+        }
+      }
+    if (!struct(1)) return None
+    if (tc.pos != tc.end) return None // trailing bytes: misparse
+    Some(ThriftCensus(nFields, nInt, nBool, nStr, nDouble, nList,
+      nStruct, maxField, maxDepth, intSum, strBytes))
+  }
+
+  /** Deterministic per-id thrift-compact struct: cycled scalar fields,
+    * an i64 list, a nested struct, a long-form field id (200) the
+    * delta encoding can't reach, and a negative zigzag value. */
+  def synthThrift(id: Long): Array[Byte] = {
+    val w = new TW
+    w.push()
+    w.i32(1, id % 100)
+    w.strF(2, s"s${id % 10}")
+    w.field(3, if (id % 2 == 0) 1 else 2) // bool in the type nibble
+    w.field(4, 7) // double
+    val dv = java.lang.Double.doubleToLongBits((id % 7).toDouble + 0.25)
+    (0 until 8).foreach(k => w.raw(((dv >>> (8 * k)) & 0xff).toInt))
+    val n = (id % 3 + 1).toInt
+    w.list(5, n, 6)
+    (0 until n).foreach(j => w.zigzag(id * 10 + j))
+    w.field(6, 12) // nested struct
+    w.push()
+    w.i32(1, -(id % 50) - 1) // negative zigzag
+    w.strF(2, s"n${id % 10}")
+    w.pop()
+    w.i32(200, id % 30) // long-form header (delta > 15)
+    w.pop()
+    w.bytes
+  }
+
+  def synthThriftCol(c: Column): Column =
+    udf { id: Long => synthThrift(id) }.apply(c)
+  def thriftCensusCol(c: Column): Column =
+    udf { b: Array[Byte] => thriftCensus(b) }.apply(c)
 }

@@ -197,6 +197,33 @@ class IngestFormats2Spec extends AnyFunSuite {
     assert(Orc.parseOrc(Array.empty[Byte]).isEmpty)
   }
 
+  test("thrift-compact: schema-less census closed forms; strict walk") {
+    import graft.sources.Parquet
+    for (id <- 0L to 8L) {
+      val c = Parquet.thriftCensus(Parquet.synthThrift(id)).get
+      val n = (id % 3 + 1).toInt
+      assert(c.n_fields == 9 && c.n_int == n + 3)
+      assert(c.n_bool == 1 && c.n_str == 2 && c.n_double == 1)
+      assert(c.n_list == 1 && c.n_struct == 1)
+      assert(c.max_field_id == 200 && c.max_depth == 2)
+      assert(c.int_sum == id % 100 + n * id * 10 + n * (n - 1) / 2 -
+        (id % 50) - 1 + id % 30)
+      assert(c.str_bytes == 4)
+    }
+    val f = Parquet.synthThrift(3)
+    assert(Parquet.thriftCensus(f.take(f.length / 2)).isEmpty)
+    assert(Parquet.thriftCensus(f ++ Array[Byte](1)).isEmpty) // trailing
+    assert(Parquet.thriftCensus(Array.empty[Byte]).isEmpty)
+    // a map-typed field censuses its pairs: struct { 1: map<i32,i32>
+    // {2: 4} } — one container, two ints, sum 6
+    val withMap = Parquet.thriftCensus(
+      Array[Byte](0x1b, 0x01, 0x55, 0x04, 0x08, 0x00)).get
+    assert(withMap.n_fields == 1 && withMap.n_list == 1 &&
+      withMap.n_int == 2 && withMap.int_sum == 6)
+    // a truncated map header still rejects
+    assert(Parquet.thriftCensus(Array[Byte](0x1b, 0x01)).isEmpty)
+  }
+
   test("toml: manifests parse; out-of-scope forms reject whole-file") {
     val kv = Toml.parseToml(
       "# top comment\n[package]\nname = \"demo\" # trailing\n" +

@@ -266,6 +266,7 @@ class PropertySpec extends AnyFunSuite {
       graft.sources.Msgpack.census(b)
       graft.sources.Git.parsePackIdx(b)
       graft.sources.Orc.parseOrc(b)
+      graft.sources.Parquet.thriftCensus(b)
       graft.multimodal.Binary.parseId3v2(b)
       graft.multimodal.Binary.parseSvgMeta(b)
       graft.multimodal.Binary.parseTracks(b)
@@ -328,6 +329,8 @@ class PropertySpec extends AnyFunSuite {
         graft.sources.Git.synthPackIdx(id)))
       graft.sources.Orc.parseOrc(mut(
         graft.sources.Orc.synthOrc(id)))
+      graft.sources.Parquet.thriftCensus(mut(
+        graft.sources.Parquet.synthThrift(id)))
       graft.multimodal.Binary.parseImageMeta(mut(
         graft.multimodal.Binary.synthLegacyImage(id)))
       graft.multimodal.Binary.parseExifMeta(mut(
