@@ -21,7 +21,9 @@ private[graft] trait EntryQueries1 { this: SparkEntry.type =>
 
   /** A1/A8 — grouped aggregation (sums, exact mean, count). */
   private[graft] def qPricingSummary(s: SparkSession, dir: String): DataFrame =
-    li(s, dir)
+    // par(): the four decimal partial aggregates otherwise run inside
+    // the scan's single row-group task (r16 second pass, A/B'd)
+    par(li(s, dir))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(Stats.dsum(col("l_quantity")), 4).as("sum_qty"),
@@ -43,6 +45,11 @@ private[graft] trait EntryQueries1 { this: SparkEntry.type =>
     */
   private[graft] def liStats(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_orderkey", "l_linestatus") ++ lineitemNumerics
+    // NOT par()'d (r16 second-pass A/B): the quantile-selection
+    // consumers (q03/q14/q16) run 4-6 short passes over this cache and
+    // a 32-partition cache makes each pass pay 32 tasks of overhead
+    // for trivial per-pass compute (q03 0.72→1.43 s, q16 0.71→1.32 s
+    // with par) — the single-pass profiler repartitions per-call below
     val df = li(s, dir).select(cols.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.Caches.retain("entry.shared_li_stats", df)
@@ -400,16 +407,24 @@ private[graft] trait EntryQueries1 { this: SparkEntry.type =>
     * the key, per-key ordered windows, decimal-exact windowed sums
     * (engines disagree on windowed-double association order).
     */
-  private[graft] def qRollingFeats(s: SparkSession, dir: String): DataFrame =
-    graft.seq.Rolling.rolling(ev(s, dir), Seq("user_id"), col("event_id"),
-        col("value"), k = 4)
+  private[graft] def qRollingFeats(s: SparkSession, dir: String): DataFrame = {
+    // persist BEFORE the final orderBy: a range exchange executes its
+    // narrow child TWICE (once for the boundary-sampling job, once as
+    // the shuffle map pass — guide §2.4's accidental-shuffle cost), and
+    // here that child is the whole two-window battery. Materializing
+    // the pre-sort frame makes both passes read one computed result.
+    val out = graft.seq.Rolling.rolling(ev(s, dir), Seq("user_id"),
+        col("event_id"), col("value"), k = 4)
       .select(col("event_id"), col("user_id"), col("roll_n"),
         round(col("roll_avg"), 6).as("roll_avg"),
         round(col("roll_std"), 6).as("roll_std"),
         round(col("roll_min"), 6).as("roll_min"),
         round(col("roll_max"), 6).as("roll_max"),
         round(col("roll_delta"), 6).as("roll_delta"))
-      .orderBy("event_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q66", out)
+    out.orderBy("event_id")
+  }
 
   /** A16 — pairwise Pearson correlation matrix of the lineitem numeric
     * features in ONE mergeable aggregate pass (pairwise-complete
@@ -1129,13 +1144,18 @@ private[graft] trait EntryQueries1 { this: SparkEntry.type =>
       Stats.dmean(col("value").cast(DoubleType)),
       Stats.dvarPop(col("value").cast(DoubleType))).head()
     val (mu, vr) = (r.getDouble(0), r.getDouble(1))
-    graft.seq.Sequencer
+    // persist before the final orderBy (the q66 fix): the window
+    // battery + per-sequence scoring otherwise run twice (range-
+    // exchange sampling pass + shuffle pass)
+    val out = graft.seq.Sequencer
       .slidingSequences(e, Seq("user_id"), seqOrder, col("value"), seqT)
       .select(col("user_id"), col("row_id"),
         round(graft.score.ReconstructionError.seqVarNormalizedMae(
           transform(col("seq"), v => array(v)), Seq(mu), Seq(vr)), 6)
           .as("seq_recon_mae"))
-      .orderBy("user_id", "row_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q40", out)
+    out.orderBy("user_id", "row_id")
   }
 
   /** S6/A2-A5 — the full fitted feature pipeline end-to-end (impute →
@@ -1357,7 +1377,7 @@ private[graft] trait EntryQueries1 { this: SparkEntry.type =>
 
   /** A9 — per-group population and sample variance (exact-sum identity). */
   private[graft] def qVariance(s: SparkSession, dir: String): DataFrame =
-    li(s, dir).groupBy(col("l_returnflag"))
+    par(li(s, dir)).groupBy(col("l_returnflag"))
       .agg(
         round(Stats.dvarPop(col("l_quantity")), 6).as("var_pop_qty"),
         round(Stats.dvarSamp(col("l_quantity")), 6).as("var_samp_qty"),
@@ -2484,6 +2504,11 @@ private[graft] trait EntryQueries1 { this: SparkEntry.type =>
         col("c_acctbal").cast("double").as("x"))
       .withColumn("grp", when(graft.aug.Sampling.keyBucket(
         col("o_orderkey"), 1234L) < 500000, "A").otherwise("B"))
+      // par() BEFORE the persist: the broadcast join preserves the
+      // scan's single row-group partition, so without it every decimal
+      // pass over the cache (cov/var fit + grouped CUPED aggregates)
+      // runs single-core (r16 second pass)
+      .transform(par)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.Caches.retain("entry.q257", d)
     val st = d.agg(Stats.dcovSamp(col("x"), col("y")).as("cov"),

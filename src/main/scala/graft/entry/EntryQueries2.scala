@@ -167,7 +167,9 @@ private[graft] trait EntryQueries2 { this: SparkEntry.type =>
     * reshape feeding any per-metric operator.
     */
   private[graft] def qUnpivot(s: SparkSession, dir: String): DataFrame =
-    li(s, dir)
+    // par(): stack() triples the rows and the decimal partials run in
+    // the same task — spread before the expansion (r16 second pass)
+    par(li(s, dir))
       .select(col("l_returnflag"), expr(
         """stack(3, 'quantity', CAST(l_quantity AS DOUBLE),
           | 'price', CAST(l_extendedprice AS DOUBLE),
@@ -456,12 +458,17 @@ private[graft] trait EntryQueries2 { this: SparkEntry.type =>
   private[graft] def qTrend(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir).select(col("user_id"),
       expr("ts div 1000").as("x"), col("value").as("y"))
-    graft.seq.Trend.linearFit(e, Seq("user_id"), "x", "y")
+    // persist before the final orderBy: the range exchange's sampling
+    // job otherwise re-runs the window+aggregate fit a second time
+    // (same fix as q66; the per-user fit table is tiny)
+    val fit = graft.seq.Trend.linearFit(e, Seq("user_id"), "x", "y")
       .select(col("user_id"), col("n"),
         round(col("slope") * lit(3.6e9), 6).as("slope_per_hour"),
         round(col("intercept"), 6).as("intercept"),
         round(col("r2"), 6).as("r2"))
-      .orderBy("user_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q118", fit)
+    fit.orderBy("user_id")
   }
 
   /** Decile lift/gains table — the marketing-science twin of the ROC
@@ -1153,6 +1160,9 @@ private[graft] trait EntryQueries2 { this: SparkEntry.type =>
     * conditional decimal aggregates in ONE pass.
     */
   private[graft] def qTrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    // NOT par()'d (r16 A/B: 1.17→2.51 s with it) — the quantile
+    // selection's multi-pass reads dominate and prefer the single
+    // row-group partition over 32-task-per-pass overhead
     val base = li(s, dir).select(col("l_extendedprice").cast("double").as("v"))
     val qs = Quantiles.exactQuantiles(base, "v", Seq(0.1, 0.9))
     val (p10, p90) = (qs(0), qs(1))
@@ -1560,6 +1570,9 @@ private[graft] trait EntryQueries2 { this: SparkEntry.type =>
   private[graft] def qAnova(s: SparkSession, dir: String): DataFrame = {
     val d = col("l_extendedprice").cast("double")
     val v = when(col("l_extendedprice").isNotNull && !isnan(d), d)
+    // NOT par()'d unlike its q172/q195 siblings (r16 A/B: 1.49→1.62 s
+    // with it): without their median/mean prepass there is no reuse to
+    // amortize the repartition shuffle against
     centeredAnovaF(li(s, dir).select(col("l_returnflag").as("g"), v.as("v")))
   }
 

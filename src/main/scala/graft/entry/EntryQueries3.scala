@@ -2407,9 +2407,15 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val dfCap = sh.groupBy("w").agg(count(lit(1)).as("df"))
       .where(col("df") <= 50).select("w")
-    val inter = sh.join(dfCap, Seq("w"))
+    // persist the capped side ONCE: a self-join recomputes its whole
+    // upstream per side (guide §3.3), which here re-ran the df-cap
+    // aggregate + join probe twice (r16 second pass)
+    val filt = sh.join(dfCap, Seq("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q305", filt)
+    val inter = filt
       .select(col("doc_id").as("a"), col("w"))
-      .join(sh.join(dfCap, Seq("w")).select(col("doc_id").as("b"), col("w")),
+      .join(filt.select(col("doc_id").as("b"), col("w")),
         Seq("w"))
       .where(col("a") =!= col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
