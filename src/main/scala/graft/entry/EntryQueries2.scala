@@ -677,7 +677,12 @@ private[graft] trait EntryQueries2 { this: SparkEntry.type =>
     */
   private[graft] def qMahalanobis(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice")
-    val base = graft.score.Mahalanobis.completeCase(li(s, dir), cols)
+    // par() + persist (the q15 shape): both the moment-fit pass and
+    // the d² scoring pass are single decimal-heavy passes that
+    // otherwise run in the scan's one row-group task (r16 second pass)
+    val base = par(graft.score.Mahalanobis.completeCase(li(s, dir), cols))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q132", base)
     val m = graft.score.Mahalanobis.fit(base, cols)
     base.select(m.score.as("d2"))
       .agg(count(lit(1)).as("n"),
