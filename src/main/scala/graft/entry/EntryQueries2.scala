@@ -1524,7 +1524,11 @@ private[graft] trait EntryQueries2 { this: SparkEntry.type =>
     */
   private[graft] def qJarqueBera(s: SparkSession, dir: String): DataFrame = {
     val cols = lineitemNumerics
+    // persist the par'd slice: the mean pass and the central-moment
+    // pass otherwise each pay the serial cache read + re-shuffle (r16)
     val t = par(liStats(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q162", t)
     def vd(c: String) = {
       val d = col(c).cast("double")
       when(col(c).isNotNull && !isnan(d), d)
@@ -1586,7 +1590,13 @@ private[graft] trait EntryQueries2 { this: SparkEntry.type =>
     * centering makes the double-midpoint tie class measure-zero).
     * [[centeredAnovaSql]] is its oracle twin over a `d(g, v)` CTE.
     */
-  private[graft] def centeredAnovaF(gv: DataFrame): DataFrame = {
+  private[graft] def centeredAnovaF(gv0: DataFrame): DataFrame = {
+    // persist the (g, v) frame: it feeds the grand-mean pass here AND
+    // the centered-F pass below — without it each pass re-runs the
+    // caller's whole upstream (scan + par shuffle + centering join)
+    // (r16 second pass; guide §5 caching-for-reuse)
+    val gv = gv0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.centeredAnovaF", gv)
     val mrow = gv.agg(Stats.dsum(col("v")).as("s"), count(col("v")).as("c")).head()
     // round the centering constant to 6 dp: every caller feeds v with
     // ≤6 decimal places, so vc = v − mu stays EXACTLY representable in
@@ -2512,8 +2522,11 @@ private[graft] trait EntryQueries2 { this: SparkEntry.type =>
     // choice is conventional in Levene's test; a 1e-6 shift of a 5e4
     // magnitude center is statistically nil but buys bitwise parity.
     // par(): two decimal-exact passes (group means, centered F) over
-    // a one-row-group scan otherwise run single-core (r16)
+    // a one-row-group scan otherwise run single-core (r16); persisted
+    // because the mean pass and the centering join each re-read it
     val basePar = par(base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q195", basePar)
     val mn = basePar.groupBy("g")
       .agg(round(Stats.dmean(col("v0")), 6).as("mn"))
     centeredAnovaF(basePar.join(broadcast(mn), "g")
