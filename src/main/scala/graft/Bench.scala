@@ -69,6 +69,9 @@ object Bench {
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 reps: Int = runs)
       : (Double, Seq[Double], Seq[Double], Seq[Double], Seq[Int], Seq[Double]) = {
+      // guide §1.5: label the jobs so a UI/event-log reading of a sweep
+      // attributes every stage to its query (thread-local, zero cost)
+      spark.sparkContext.setJobDescription(s"bench: $name")
       // isolate queries from each other: drop the cache registry (each
       // query is measured from a clean slate — its OWN reruns still hit
       // its caches) and settle the heap. The r8 A/B: q121 measured 11.8s
