@@ -2018,10 +2018,15 @@ private[graft] trait EntryQueries2 { this: SparkEntry.type =>
       vd("l_discount").isNotNull
     // par(): both passes are decimal-exact sums of double products —
     // per-row BigDecimal accumulation on a one-row-group scan would
-    // run single-core (r16 honest bench: 5.1 s isolated)
+    // run single-core (r16 honest bench: 5.1 s isolated); persisted
+    // because the mean pass (head()) and the centered-moment pass are
+    // separate actions that otherwise re-run the scan+shuffle (r16
+    // second pass, the centeredAnovaF shape)
     val base = par(li(s, dir).where(ok)
       .select(vd("l_extendedprice").as("y"), vd("l_quantity").as("x1"),
         vd("l_discount").as("x2")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q173", base)
     val mrow = base.agg(Stats.dsum(col("y")).as("sy"),
       Stats.dsum(col("x1")).as("s1"), Stats.dsum(col("x2")).as("s2"),
       count(lit(1)).as("c")).head()

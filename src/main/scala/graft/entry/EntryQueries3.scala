@@ -3445,10 +3445,15 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
     // 3. exact content dedup among quality survivors: keep-first by id
     val firstIds = scored.where(col("quality"))
       .groupBy("h").agg(min("doc_id").as("first_id"))
+    // persisted: flagged feeds the budget scalar, the prefix scan AND
+    // the per-source funnel — three separate actions that otherwise
+    // each re-run the dedup join over the scored cache (r16)
     val flagged = scored
       .join(firstIds, scored("h") === firstIds("h"), "left")
       .drop(firstIds("h"))
       .withColumn("kept", col("quality") && col("doc_id") === col("first_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q327", flagged)
     // 4. token-budget greedy selection over the kept set (q223 machinery)
     val kept = flagged.where(col("kept"))
       .withColumn("key",
