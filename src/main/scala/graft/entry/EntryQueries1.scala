@@ -2049,6 +2049,8 @@ private[graft] trait EntryQueries1 { this: SparkEntry.type =>
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.Caches.retain("entry.q247", ob)
     val nOrders = ob.select("ok").distinct().count()
+    // NOT persisted (r16 A/B: 1.70 -> 1.78 s with supp cached): the two
+    // join builds' aggregate subtrees reuse one exchange already
     val supp = ob.groupBy("b").agg(count(lit(1)).as("nb"))
     val pair = ob.toDF("ok", "x")
       .join(ob.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") =!= col("y"))

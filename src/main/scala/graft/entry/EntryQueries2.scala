@@ -1441,7 +1441,11 @@ private[graft] trait EntryQueries2 { this: SparkEntry.type =>
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.Caches.retain("q159", dw)
     val nD = dw.select("doc_id").distinct().count()
+    // wc feeds TWO broadcast builds (the w1 and w2 joins) — vocab-sized,
+    // but unpersisted each build re-aggregates the dw cache (r16)
     val wc = dw.groupBy("w").agg(count(lit(1)).as("cw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q159", wc)
     val pairs = dw.toDF("doc_id", "w1")
       .join(dw.toDF("doc2", "w2"),
         col("doc_id") === col("doc2") && col("w1") < col("w2"))

@@ -156,14 +156,19 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
           .otherwise(array().cast("array<long>"))).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.Caches.retain("entry.q262", inst)
-    val tgt = inst.where(col("lang") === "en")
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    val raw = inst.groupBy("b").agg(count(lit(1)).as("cr"))
-    val nT = inst.where(col("lang") === "en").count()
-    val nR = inst.count()
-    val lr = raw.join(tgt, Seq("b"), "left")
+    // ONE fused groupBy(b) pass replaces the separate target/raw
+    // aggregates and their left join (a zero en-count is identical to
+    // the old join's null through the +1 Laplace term), and ONE fused
+    // scalar aggregate replaces the two count() actions — two cache
+    // passes and a join instead of four passes and a join (r16)
+    val byB = inst.groupBy("b").agg(count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+    val cnts = inst.agg(count(lit(1)).as("nr"),
+      count(when(col("lang") === "en", 1)).as("nt")).head()
+    val (nR, nT) = (cnts.getLong(0), cnts.getLong(1))
+    val lr = byB
       .select(col("b"), round(
-        log((coalesce(col("ct"), lit(0L)) + lit(1)).cast(DoubleType) /
+        log((col("ct") + lit(1)).cast(DoubleType) /
           lit((nT + NB).toDouble)) -
         log((col("cr") + lit(1)).cast(DoubleType) / lit((nR + NB).toDouble)),
         6).as("lr"))
@@ -1652,18 +1657,32 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .unionByName(scored.select(lit("adamic_adar").as("method"),
         col("aa").as("score"), col("pos")))
     // tie-aware Mann–Whitney AUC via integer pair counting over the
-    // per-method DISTINCT-SCORE frame (the rocPoints exemption class)
+    // per-method DISTINCT-SCORE frame. r16: the cumulative negative
+    // count comes from the per-method TWO-PHASE PREFIX SCAN (the
+    // rocPoints/W4 primitive) instead of a Window.partitionBy(method)
+    // — that window hash-partitions ~1M distinct-score rows into THREE
+    // tasks (one per method literal), a single-core sort+scan straggler
+    // at any cluster size, and it re-ran every rep (isolated A/B at
+    // sf0.1: 3.8-4.3 s/rep windowed vs 0.3-0.4 s/rep scanned, integer
+    // won2 bitwise identical). byScore persists because the three
+    // scans and the scan memo all read it.
     val byScore = long.groupBy("method", "score").agg(
-      sum(col("pos")).cast("long").as("np"),
-      sum(lit(1) - col("pos")).cast("long").as("nn"))
-    val w = Window.partitionBy("method").orderBy("score")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val won = byScore
-      .withColumn("cum_nn", coalesce(sum("nn").over(w), lit(0L)))
-      .withColumn("won2",
-        lit(2L) * col("np") * col("cum_nn") + col("np") * col("nn"))
-    val agg = won.groupBy("method").agg(sum("np").as("n_pos"),
-      sum("nn").as("n_neg"), sum("won2").as("won2"))
+        sum(col("pos")).cast("long").as("np"),
+        sum(lit(1) - col("pos")).cast("long").as("nn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q290.byScore", byScore)
+    val agg = Seq("cn", "jaccard", "adamic_adar").map { m =>
+      val one = byScore.where(col("method") === m)
+        .select(col("score"), col("np"), col("nn"))
+      val (scanned, _) = graft.core.PrefixScan.exclusive(
+        one, "score", Seq("nn"), s"q290.auc.$m")
+      scanned
+        .withColumn("won2",
+          lit(2L) * col("np") * col("cum_nn_below") + col("np") * col("nn"))
+        .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+          sum("won2").as("won2"))
+        .select(lit(m).as("method"), col("n_pos"), col("n_neg"), col("won2"))
+    }.reduce(_ unionByName _)
     val testTotal = co.where(col("test")).agg(count(lit(1)).as("n_test_total"))
     agg.crossJoin(broadcast(testTotal))
       .select(col("method"), col("n_pos"), col("n_neg"), col("n_test_total"),
@@ -2842,9 +2861,16 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
       .select(col("c_nationkey").as("nation"), col("yc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.Caches.retain("q315", per)
+    // gtot/tot are nation-count-sized but feed FIVE broadcast builds
+    // below — unpersisted, every build re-aggregates the per cache;
+    // terms feeds two aggregates (t_total and the per-nation t_g sums)
+    // that would each re-run the join+log pass (r16)
     val gtot = per.groupBy("nation").agg(sum("yc").as("ycg"),
-      count(lit(1)).cast("long").as("ng"))
+        count(lit(1)).cast("long").as("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = gtot.agg(sum("ycg").as("yct"), sum("ng").as("nt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q315", gtot, tot)
     // per-customer terms for T_total and (via the group mean) T_within
     val terms = per.join(broadcast(gtot), Seq("nation"))
       .crossJoin(broadcast(tot))
@@ -2855,6 +2881,8 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
         ((col("yc").cast(DoubleType) / col("ycg").cast(DoubleType)) *
           log((col("yc").cast(DoubleType) / col("ycg").cast(DoubleType)) *
             col("ng").cast(DoubleType))).as("t_g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("q315", terms)
     val tTotal = terms.agg(Stats.dsum(col("t_tot")).as("t_total"))
     val tWithin = terms.groupBy("nation")
       .agg(Stats.dsum(col("t_g")).as("tg"))
@@ -3110,6 +3138,11 @@ private[graft] trait EntryQueries3 { this: SparkEntry.type =>
   private[graft] def qHurst(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.aug.Sampling.keyBucket
+    // NOT persisted (r16 A/B: 1.53 -> 1.64 s with daily0+base cached):
+    // the duplicated daily0 aggregate subtrees below are identical
+    // post-canonicalization, so ReusedExchange already bounds the
+    // events scan at one pass — the caches only added materialization
+    // overhead
     val daily0 = ev(s, dir)
       .select(expr("(ts div 1000) div 86400000000").as("day"), col("value"))
       .groupBy("day")
