@@ -1,12 +1,13 @@
 package graft.tools
-// scratch: split one query's wall time into plan-construction,
+// scratch: split each query's wall time into plan-construction,
 // physical-planning, and per-rep execution under the noop action —
-// tells planning-bound rows apart from execution-bound ones.
-// Usage: runMain graft.tools.ActionProfile <name> [reps] [sfDir]
+// tells planning-bound rows apart from execution-bound ones, and a
+// high warm-rep time (what the bench min measures) from cold cost.
+// Usage: runMain graft.tools.ActionProfile <name>[,name...] [reps] [sfDir]
 import org.apache.spark.sql.SparkSession
 object ActionProfile {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val dir = args.lift(2).getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
@@ -21,12 +22,18 @@ object ActionProfile {
       val t0 = System.nanoTime(); val r = f
       println(f"  $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s"); r
     }
-    (1 to reps).foreach { i =>
-      println(s"rep $i:")
-      val df = t("construct")(graft.SparkEntry.queries(name)(spark, dir))
-      t("physical plan")(df.queryExecution.executedPlan)
-      t("execute (noop)")(
-        df.write.mode("overwrite").format("noop").save())
+    names.foreach { name =>
+      println(s"$name:")
+      graft.core.Caches.releaseAll()
+      spark.sql("CLEAR CACHE")
+      System.gc()
+      (1 to reps).foreach { i =>
+        println(s" rep $i:")
+        val df = t("construct")(graft.SparkEntry.queries(name)(spark, dir))
+        t("physical plan")(df.queryExecution.executedPlan)
+        t("execute (noop)")(
+          df.write.mode("overwrite").format("noop").save())
+      }
     }
     spark.stop()
   }
