@@ -1222,8 +1222,13 @@ private[graft] trait EntryQueries1 { this: SparkEntry.type =>
         "vec_id", "embedding", k = 3, nCells = 16, nprobe = 8,
         queryPred = col("id") < 100)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: the exact baseline feeds TWO count actions (nTrue and
+    // the semi-join hit count) — unpersisted, the brute-force rerank
+    // pass ran twice per rep (r16)
     val brute = graft.sim.Ann.cosineTopK(e,
-      "vec_id", "embedding", k = 3, queryPred = col("id") < 100)
+        "vec_id", "embedding", k = 3, queryPred = col("id") < 100)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caches.retain("entry.q45.brute", brute)
     val nTrue = brute.count()
     val nHit = brute.select("a", "b")
       .join(ivf.select("a", "b"), Seq("a", "b"), "left_semi").count()

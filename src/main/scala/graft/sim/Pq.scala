@@ -44,9 +44,24 @@ object Pq {
     val d = pool(0).length
     require(d % m == 0, s"dim $d must divide into $m sub-spaces")
     val sub = d / m
-    val books = Array.tabulate(m) { mi =>
-      val slice = pool.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
-      KMeans.fitPool(slice, k, iters).centers
+    // the m sub-space fits are INDEPENDENT pure functions of their own
+    // slice (deterministic hash seeding, fixed iteration count), so
+    // they run on a driver thread pool; Future.sequence preserves
+    // sub-space order, so the assembled codebook array — and every
+    // downstream code/distance — is bitwise identical to the
+    // sequential fold (r16: the serial 8×256-center loop was the whole
+    // warm-rep cost of the PQ rows)
+    val books = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence((0 until m).toList.map { mi =>
+        Future {
+          val slice = pool.map(v =>
+            java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+          KMeans.fitPool(slice, k, iters).centers
+        }
+      }), Duration.Inf).toArray
     }
     new Model(books)
   }
